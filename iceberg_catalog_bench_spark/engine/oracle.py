@@ -1,0 +1,95 @@
+"""Local DuckDB-oracle parity checker.
+
+Mirrors the driver's correctness gate (CORRECTNESS_r{N}.json): run a
+registered Spark query and its oracle SQL on the same parquet tables,
+then compare row count, column names, and order-insensitive values.
+Used by tests/ while iterating so oracle mismatches surface before
+the driver runs.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass, field
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from ..sources import TABLES
+
+
+@dataclass
+class ParityResult:
+    name: str
+    ok: bool
+    spark_rows: int
+    oracle_rows: int
+    errors: list[str] = field(default_factory=list)
+
+
+def _duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # Canonical row order: sort by stringified row for order-insensitive compare.
+    if len(df) > 0:
+        key = df.astype(str).apply(lambda r: "\x00".join(r.values), axis=1)
+        df = df.loc[key.sort_values().index].reset_index(drop=True)
+    return df
+
+
+def _values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            af, bf = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(af) and math.isnan(bf):
+            return True
+        return math.isclose(af, bf, rel_tol=1e-9, abs_tol=1e-9)
+    return str(a) == str(b)
+
+
+def compare(name: str, spark: SparkSession, sf_dir: str) -> ParityResult:
+    from ..operators import registry
+
+    fn = registry.QUERIES[name]
+    sdf = fn(spark, sf_dir).toPandas()
+    errors: list[str] = []
+
+    oracle = registry.ORACLES.get(name)
+    if oracle is None:
+        # rows-only check, like the driver's weaker path
+        return ParityResult(name, True, len(sdf), -1, [])
+
+    con = _duck_con(sf_dir)
+    odf = con.execute(oracle).fetchdf()
+
+    if sorted(map(str.lower, sdf.columns)) != sorted(map(str.lower, odf.columns)):
+        errors.append(f"columns differ: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+    if len(sdf) != len(odf):
+        errors.append(f"rowcount differs: spark={len(sdf)} oracle={len(odf)}")
+
+    if not errors:
+        sdf.columns = [c.lower() for c in sdf.columns]
+        odf.columns = [c.lower() for c in odf.columns]
+        a, b = _normalize(sdf), _normalize(odf)
+        for i in range(len(a)):
+            for c in a.columns:
+                if not _values_equal(a.at[i, c], b.at[i, c]):
+                    errors.append(f"row {i} col {c}: spark={a.at[i, c]!r} oracle={b.at[i, c]!r}")
+                    if len(errors) > 5:
+                        break
+            if len(errors) > 5:
+                break
+    return ParityResult(name, not errors, len(sdf), len(odf) if oracle else -1, errors)

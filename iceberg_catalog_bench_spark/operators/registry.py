@@ -1,0 +1,46 @@
+"""Query registry.
+
+Every implemented operator from SURVEY.md §2 registers here as a
+named query ``(spark, sf_dir) -> DataFrame`` plus (when expressible)
+an equivalent ANSI-SQL oracle string that DuckDB runs on the same
+parquet tables. The driver's correctness gate compares the two.
+
+Column names are part of the contract: alias every computed column
+identically in the Spark code and the oracle SQL — the driver sorts
+columns by name before value-hashing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query; ``oracle=None`` → driver does a rows-only check."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every operator module so registrations run."""
+    from . import relational  # noqa: F401
+    from . import dedup  # noqa: F401
+    from . import similarity  # noqa: F401
+    from . import text  # noqa: F401
+    from . import crud  # noqa: F401
+    from . import multimodal  # noqa: F401

@@ -1,0 +1,3 @@
+from .tables import TABLES, load_events_ts_range, load_table, register_all_views
+
+__all__ = ["TABLES", "load_events_ts_range", "load_table", "register_all_views"]

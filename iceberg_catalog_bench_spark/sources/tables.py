@@ -1,0 +1,92 @@
+"""Parquet table sources for the driver-generated testdata.
+
+The reference reads Iceberg tables through engine catalogs
+(``iceberg-tests/framework/engines/spark.py:63-71``); our local
+substrate is the driver's parquet star schema (TESTDATA.md). This
+module is the single place that maps logical table names to storage,
+so swapping in an Iceberg/REST catalog later is a one-file change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Load one logical table as a DataFrame (parquet scan, pruned by Catalyst).
+
+    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL). We read it
+    via the ``nanosAsLong`` legacy path and convert to a microsecond
+    TimestampType column (sub-µs components are zero in this data).
+    Time-range filters that must push down to the parquet scan should
+    use :func:`load_events_ts_range` instead, which filters on the raw
+    int64 nanos BEFORE the conversion.
+    """
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        raw = _load_events_raw(spark, path)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def _load_events_raw(spark: SparkSession, path: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path)
+
+
+def load_events_ts_range(
+    spark: SparkSession,
+    sf_dir: str | None,
+    ts_lo: str | None = None,
+    ts_hi: str | None = None,
+) -> DataFrame:
+    """events with a [ts_lo, ts_hi) filter applied on the raw int64 nanos.
+
+    Filtering on the physical long column keeps the predicate eligible
+    for parquet row-group pruning (PushedFilters shows GreaterThanOrEqual/
+    LessThan on ts) — the equivalent of Iceberg days(ts) partition
+    pruning in the reference (blob-dfs_bench.py:117-122). The column is
+    converted to TimestampType only after the pushed filter.
+    """
+    import datetime as _dt
+
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    raw = _load_events_raw(spark, os.path.join(sf_dir, "events.parquet"))
+
+    def _ns(ts: str) -> int:
+        dt = _dt.datetime.fromisoformat(ts).replace(tzinfo=_dt.timezone.utc)
+        return int(dt.timestamp() * 1_000_000) * 1000
+
+    if ts_lo is not None:
+        raw = raw.filter(F.col("ts") >= F.lit(_ns(ts_lo)))
+    if ts_hi is not None:
+        raw = raw.filter(F.col("ts") < F.lit(_ns(ts_hi)))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def register_all_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Register every testdata table as a temp view for spark.sql queries."""
+    for name in TABLES:
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)
