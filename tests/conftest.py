@@ -5,6 +5,10 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Small-data tests: fewer local cores/shuffle partitions → far less
+# task-scheduling and Python-worker overhead than the prod local[32].
+os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+
 from iceberg_catalog_bench_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")

@@ -1,0 +1,219 @@
+"""LakeTable semantics tests — replicates the reference's golden
+sales_events lifecycle (FIXTURES.md §1 / framework.yaml plans):
+create → insert 8 → checksum → update → delete → evolve schema →
+append → merge → time travel → maintenance."""
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_catalog_bench_spark.catalog import LakeTable
+from iceberg_catalog_bench_spark.catalog.table import CommitConflict
+
+SCHEMA = (
+    "event_id bigint, tenant_id int, event_ts timestamp, sku string, "
+    "qty int, price decimal(18,2), country string, ds date"
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+BASELINE_ROWS = [
+    (1, 10, _ts("2024-01-01 00:00:00"), "sku-0001", 3, Decimal("19.99"), "US", dt.date(2024, 1, 1)),
+    (2, 11, _ts("2024-01-01 00:05:00"), "sku-0002", 5, Decimal("5.00"), "US", dt.date(2024, 1, 1)),
+    (3, 12, _ts("2024-01-02 09:30:00"), "sku-0003", 2, Decimal("10.00"), "GB", dt.date(2024, 1, 2)),
+    (4, 13, _ts("2024-01-02 10:45:00"), "sku-0004", 8, Decimal("7.50"), "FR", dt.date(2024, 1, 2)),
+    (5, 10, _ts("2024-01-03 12:00:00"), "sku-0005", 1, Decimal("99.99"), "US", dt.date(2024, 1, 3)),
+    (6, 11, _ts("2024-01-03 13:25:00"), "sku-0002", 10, Decimal("5.00"), "US", dt.date(2024, 1, 3)),
+    (7, 12, _ts("2024-01-04 15:55:00"), "sku-0003", 4, Decimal("11.00"), "GB", dt.date(2024, 1, 4)),
+    (8, 13, _ts("2024-01-05 16:10:00"), "sku-0004", 6, Decimal("7.50"), "FR", dt.date(2024, 1, 5)),
+]
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "sales_events"),
+        SCHEMA,
+        partition_by=["days(event_ts)"],
+        sort_order=["event_ts", "tenant_id"],
+        properties={"write.distribution-mode": "hash", "format-version": "2"},
+    )
+    t.insert_rows(BASELINE_ROWS)
+    return t
+
+
+def test_insert_and_counts(table):
+    # rowcount_equals {{ dataset.rows }} (framework.yaml:310-313)
+    assert table.read().count() == 8
+    agg = table.read().agg(
+        F.sum("qty").alias("sum_qty"),
+        F.sum(F.col("price") * F.col("qty")).alias("revenue"),
+    ).collect()[0]
+    assert agg["sum_qty"] == 39
+    assert agg["revenue"] == Decimal("403.96")
+
+
+def test_update_price(table):
+    # UPDATE SET price = price*1.1 WHERE event_id = 1 (update_sales_events.sql:3-5)
+    snap = table.update({"price": "price * 1.1"}, "event_id = 1")
+    assert snap.summary["updated_rows"] == 1
+    row = table.read().filter("event_id = 1").collect()[0]
+    assert row["price"] == Decimal("21.99")  # 19.99*1.1 = 21.989 → 2dp
+    assert table.read().count() == 8
+
+
+def test_delete(table):
+    # DELETE WHERE event_id = 8 → rows-1 (delete_sales_events.sql, framework.yaml:435-437)
+    snap = table.delete_where("event_id = 8")
+    assert snap.summary["deleted_rows"] == 1
+    assert table.read().count() == 7
+    assert table.read().filter("event_id = 8").count() == 0
+
+
+def test_copy_on_write_is_file_scoped(table):
+    """Only files containing matches are rewritten — the CoW contract.
+
+    The baseline insert's files (event_id 1-8) contain no event_id=200
+    rows, so deleting from the second append must leave them untouched."""
+    baseline_files = {e.path for e in table._snapshot().files}
+    table.insert_rows([
+        (200, 10, _ts("2024-02-01 00:00:00"), "sku-z", 1, Decimal("1.00"),
+         "US", dt.date(2024, 2, 1)),
+        (201, 11, _ts("2024-02-01 01:00:00"), "sku-z", 1, Decimal("1.00"),
+         "US", dt.date(2024, 2, 1)),
+    ])
+    table.delete_where("event_id = 200")
+    after = {e.path for e in table._snapshot().files}
+    assert baseline_files <= after, "delete rewrote files that contain no matches"
+    assert table.read().count() == 9
+
+
+def test_schema_evolution_and_append(table):
+    # D6/D7: ADD COLUMN channel DEFAULT 'web'; RENAME sku→product_sku
+    table.add_column("channel", "string", default="web")
+    table.rename_column("sku", "product_sku")
+    df = table.read()
+    assert "channel" in df.columns and "product_sku" in df.columns
+    assert df.filter("channel = 'web'").count() == 8  # default backfills old files
+
+    # M2: post-evolution append naming all 9 cols (append_sales_events.sql:3-7)
+    table.insert_rows([
+        (10, 10, _ts("2024-01-06 09:05:00"), "sku-0001", 2, Decimal("19.99"), "US",
+         dt.date(2024, 1, 6), "app"),
+        (11, 12, _ts("2024-01-06 10:10:00"), "sku-0003", 3, Decimal("10.00"), "GB",
+         dt.date(2024, 1, 6), "store"),
+    ])
+    assert table.read().count() == 10
+    assert table.read().filter("channel = 'app'").count() == 1
+
+
+def test_type_widening(table):
+    table.alter_column_type("qty", "bigint")
+    assert dict(table.read().dtypes)["qty"] == "bigint"
+    assert table.read().agg(F.sum("qty")).collect()[0][0] == 39
+
+
+def test_merge_upsert(spark, table):
+    # M5: MERGE matched-update id=2 (qty 6, price 5.50), not-matched-insert id=9
+    src = spark.createDataFrame(
+        [
+            (2, 11, _ts("2024-01-01 00:05:00"), "sku-0002", 6, Decimal("5.50"), "US",
+             dt.date(2024, 1, 1)),
+            (9, 14, _ts("2024-01-06 08:10:00"), "sku-0006", 7, Decimal("15.00"), "DE",
+             dt.date(2024, 1, 6)),
+        ],
+        SCHEMA,
+    )
+    snap = table.merge(src, on=["event_id"], when_matched_update="*")
+    assert snap.summary["matched_rows"] == 1
+    assert snap.summary["inserted_rows"] == 1
+    assert table.read().count() == 9
+    r2 = table.read().filter("event_id = 2").collect()[0]
+    assert (r2["qty"], r2["price"]) == (6, Decimal("5.50"))
+    assert table.read().filter("event_id = 9").count() == 1
+    # follow-up delete (merge_sales_events.sql:23)
+    table.delete_where("event_id = 4")
+    assert table.read().count() == 8
+
+
+def test_time_travel(table):
+    """T2/T6: store baseline snapshot, mutate, travel back
+    (time_travel_validate.sql:6-12; framework.yaml:317-319,352-360)."""
+    baseline = table._snapshot().snapshot_id
+    table.update({"price": "price * 1.1"}, "event_id = 1")
+    table.delete_where("event_id = 8")
+    assert table.read().count() == 7
+    # VERSION AS OF baseline
+    old = table.read(snapshot_id=baseline)
+    assert old.count() == 8
+    assert old.agg(F.sum("qty")).collect()[0][0] == 39
+    # TIMESTAMP AS OF now → current state
+    import time
+    cur = table.read(as_of_ms=int(time.time() * 1000) + 1000)
+    assert cur.count() == 7
+
+
+def test_snapshots_metadata_table(table):
+    table.delete_where("event_id = 8")
+    snaps = table.snapshots()
+    assert snaps.count() == 2
+    latest = snaps.orderBy(F.desc("committed_at_ms")).limit(1).collect()[0]
+    assert latest["operation"] == "delete"
+    assert table.files().count() >= 1
+    assert table.history().count() == 2
+
+
+def test_maintenance(table):
+    for i in range(3):
+        table.insert_rows([
+            (100 + i, 10, _ts("2024-01-07 00:00:00"), "sku-x", 1, Decimal("1.00"),
+             "US", dt.date(2024, 1, 7)),
+        ])
+    res = table.rewrite_data_files(min_input_files=2)
+    assert res["rewritten_data_files_count"] >= 2
+    assert table.read().count() == 11  # compaction preserves data
+
+    res = table.rewrite_manifests()
+    assert res["rewritten_manifests_count"] == 1
+
+    res = table.expire_snapshots(retain_last=2)
+    assert res["expired_snapshots_count"] >= 1
+    assert table.read().count() == 11  # current snapshot unaffected
+
+    res = table.remove_orphan_files()
+    assert table.read().count() == 11
+    # every remaining on-disk parquet is referenced
+    res2 = table.remove_orphan_files()
+    assert res2["orphan_file_count"] == 0
+
+
+def test_commit_conflict(spark, table):
+    """Optimistic concurrency (spec :83): a writer holding a stale
+    snapshot must not silently clobber a newer commit."""
+    stale = LakeTable.load(spark, table.path)
+    table.delete_where("event_id = 8")  # advances the table
+    with pytest.raises(CommitConflict):
+        stale.delete_where("event_id = 7")
+
+
+def test_stats_pruning_skips_files(table):
+    """Min/max pruning: a point predicate on event_id must skip files
+    whose [min,max] range excludes it (here: the second append, ids
+    500-501, can never contain event_id = 1)."""
+    table.insert_rows([
+        (500, 10, _ts("2024-03-01 00:00:00"), "sku-p", 1, Decimal("1.00"),
+         "US", dt.date(2024, 3, 1)),
+        (501, 11, _ts("2024-03-01 01:00:00"), "sku-p", 1, Decimal("1.00"),
+         "US", dt.date(2024, 3, 1)),
+    ])
+    snap = table._snapshot()
+    pruned = table._prune_files(snap.files, "event_id = 1")
+    assert len(pruned) < len(snap.files)
+    # and the pruned set still finds the row
+    assert table.read().filter("event_id = 1").count() == 1
