@@ -1,0 +1,133 @@
+"""Benchmark harness — reimplements the reference's phase set
+(`/root/reference/blob_dfs/blob-dfs_bench.py:90-161`) on LakeTable +
+the driver testdata, plus our headline relational queries.
+
+Phases (reference parity):
+- write_append       : bulk append of the events table into a LakeTable
+                       partitioned `days(ts), bucket(16, user_id)`
+                       (blob-dfs_bench.py:72,104-106)
+- read_pruned        : 2-day ts-window GROUP BY count
+                       (blob-dfs_bench.py:117-122)
+- read_agg           : full-scan approx_percentile + count by group
+                       (blob-dfs_bench.py:125-129)
+- read_lookup        : 3-key IN-list point lookup (blob-dfs_bench.py:132-136)
+- rewrite_data_files / rewrite_manifests / expire_snapshots
+                       (blob-dfs_bench.py:140-155)
+
+Protocol: warm-up 1, measure 3, report median (spec
+ICEBERG-Interoperability-Test-Spec.md:194). Maintenance runs once.
+
+Output: ONE JSON line
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+MEASURE_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+HEADLINE = [
+    "pricing_summary",
+    "range_pruned_agg",
+    "percentile_approx_by_group",
+    "inlist_lookup",
+    "join_fact_fact",
+    "join_multiway_region_revenue",
+    "shipping_priority_top10",
+    "window_topn_per_group",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_brute_force",
+    "text_quality_scores",
+]
+
+
+def timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def median_of(fn, runs: int = MEASURE_RUNS) -> float:
+    fn()  # warm-up (spec :194)
+    return statistics.median(timed(fn) for _ in range(runs))
+
+
+def main() -> None:
+    from iceberg_catalog_bench_spark.catalog import LakeTable
+    from iceberg_catalog_bench_spark.operators import registry
+    from iceberg_catalog_bench_spark.session import get_spark
+    from iceberg_catalog_bench_spark.sources import load_events_ts_range, load_table
+
+    registry.load_all()
+    spark = get_spark(app_name="bench")
+    sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
+    results: dict[str, float] = {}
+
+    # --- reference phase set on LakeTable ---------------------------------
+    scratch = tempfile.mkdtemp(prefix="bench-laketable-")
+    table_dir = os.path.join(scratch, "tx_events")
+    events = load_table(spark, "events", SF_DIR)
+
+    t = LakeTable.create(
+        spark, table_dir,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+        partition_by=["days(ts)", "bucket(16, user_id)"],
+        properties={"write.target-file-size-bytes": str(128 * 1024 * 1024)},
+    )
+    results["write_append"] = timed(lambda: t.append(events))
+
+    lake = t.read()
+    results["read_pruned"] = median_of(
+        lambda: lake.filter(
+            (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-07 00:00:00").cast("timestamp"))
+        ).groupBy("event_type").count().collect()
+    )
+    results["read_agg"] = median_of(
+        lambda: lake.groupBy("event_type").agg(
+            F.percentile_approx("value", 0.95), F.count(F.lit(1))
+        ).collect()
+    )
+    results["read_lookup"] = median_of(
+        lambda: lake.filter(F.col("user_id").isin(123, 456, 789)).collect()
+    )
+    results["rewrite_data_files"] = timed(lambda: t.rewrite_data_files(min_input_files=2))
+    results["rewrite_manifests"] = timed(lambda: t.rewrite_manifests())
+    results["expire_snapshots"] = timed(lambda: t.expire_snapshots(retain_last=2))
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    # --- headline queries (median of 3, spec protocol) --------------------
+    for name in HEADLINE:
+        fn = registry.QUERIES.get(name)
+        if fn is None:
+            continue
+        results[name] = median_of(lambda fn=fn: fn(spark, SF_DIR).collect())
+
+    total = sum(results.values())
+    print(json.dumps({
+        "metric": "bench_phase_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in results.items()},
+        "sf": sf,
+        "cpus": CPUS,
+    }))
+
+
+if __name__ == "__main__":
+    main()
