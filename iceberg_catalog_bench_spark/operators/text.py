@@ -1,1 +1,149 @@
-"""Placeholder — filled in by subsequent milestones."""
+"""Text-analysis operators for LLM training-data pipelines.
+
+Beyond the reference surface (SURVEY.md §2.9): language-ID, quality
+scoring, token counting, and document fingerprinting over the
+``documents`` table. All are expressed with built-in JVM-side
+functions (split / filter / transform / md5 — whole-stage codegen,
+no Python in the hot path), so they scale linearly with a 100 TB
+corpus: each is a single map-only pass with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+# Marker stopwords per language for the n-gram/stopword heuristic.
+# Deterministic and reproducible in ANSI SQL (the oracle uses the same
+# lists), which is the point — language ID here is a pipeline operator,
+# not a model.
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "las", "una", "y"),
+}
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.trim(F.col(col)), " ")
+
+
+@register(
+    "text_token_count",
+    oracle=(
+        "SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens, "
+        "n_chars, length(text) AS n_chars_check FROM documents"
+    ),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + char-count validation. Single
+    map-only pass, no shuffle; at 100 TB this is scan-bound."""
+    return load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.size(_tokens()).alias("n_tokens"),
+        "n_chars",
+        F.length("text").alias("n_chars_check"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=(
+        "SELECT doc_id, "
+        "len(string_split(trim(text), ' ')) AS n_tokens, "
+        "ROUND(length(text) * 1.0 / len(string_split(trim(text), ' ')), 4) "
+        "AS avg_token_len, "
+        "ROUND(len(list_filter(string_split(trim(text), ' '), "
+        "x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0 "
+        "/ len(string_split(trim(text), ' ')), 4) AS stopword_ratio, "
+        "ROUND(len(list_distinct(string_split(trim(text), ' '))) * 1.0 "
+        "/ len(string_split(trim(text), ' ')), 4) AS distinct_ratio "
+        "FROM documents"
+    ),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: token count, mean token length,
+    stopword ratio, type-token (distinct) ratio — the standard cheap
+    filters (C4/Gopher-style) before expensive model scoring. All
+    built-in higher-order array functions (JVM, codegen)."""
+    toks = _tokens()
+    n = F.size(toks)
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(F.length("text") / n, 4).alias("avg_token_len"),
+        F.round(
+            F.size(F.expr(f"filter(split(trim(text), ' '), x -> x IN ({stop_list}))")) / n, 4
+        ).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct(toks)) / n, 4).alias("distinct_ratio"),
+    )
+
+
+def _lang_score_sql_spark(lang: str) -> F.Column:
+    markers = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return F.size(F.expr(f"filter(split(trim(text), ' '), x -> x IN ({markers}))"))
+
+
+@register(
+    "text_lang_id",
+    oracle=(
+        "WITH scored AS (SELECT doc_id, lang, "
+        + ", ".join(
+            "len(list_filter(string_split(trim(text), ' '), x -> x IN ("
+            + ", ".join(f"'{w}'" for w in ws)
+            + f"))) AS score_{lang}"
+            for lang, ws in _LANG_MARKERS.items()
+        )
+        + " FROM documents) "
+        "SELECT doc_id, lang, CASE "
+        "WHEN score_de > score_en AND score_de >= score_fr AND score_de >= score_es THEN 'de' "
+        "WHEN score_fr > score_en AND score_fr > score_de AND score_fr >= score_es THEN 'fr' "
+        "WHEN score_es > score_en AND score_es > score_de AND score_es > score_fr THEN 'es' "
+        "ELSE 'en' END AS predicted_lang FROM scored"
+    ),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID (n-gram-heuristic family): score
+    each language by marker-token hits, argmax with a deterministic
+    tie-break order (de > fr > es > en fallback). Map-only, no
+    shuffle; the marker lists live in the closure (no broadcast or
+    join needed)."""
+    docs = load_table(spark, "documents", sf_dir)
+    s = {lang: _lang_score_sql_spark(lang) for lang in _LANG_MARKERS}
+    pred = (
+        F.when(
+            (s["de"] > s["en"]) & (s["de"] >= s["fr"]) & (s["de"] >= s["es"]), F.lit("de")
+        )
+        .when((s["fr"] > s["en"]) & (s["fr"] > s["de"]) & (s["fr"] >= s["es"]), F.lit("fr"))
+        .when((s["es"] > s["en"]) & (s["es"] > s["de"]) & (s["es"] > s["fr"]), F.lit("es"))
+        .otherwise(F.lit("en"))
+    )
+    return docs.select("doc_id", "lang", pred.alias("predicted_lang"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=(
+        "SELECT doc_id, md5(text) AS doc_md5, "
+        "md5(array_to_string(string_split(trim(text), ' ')[1:8], ' ')) AS prefix_md5 "
+        "FROM documents"
+    ),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full-text MD5 plus a first-8-token
+    prefix fingerprint (rolling-hash family — catches shared-prefix
+    boilerplate). Both engines produce identical hex digests, so the
+    fingerprints themselves are oracle-checked, not just counts."""
+    toks = _tokens()
+    return load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.md5("text").alias("doc_md5"),
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, 8))).alias("prefix_md5"),
+    )

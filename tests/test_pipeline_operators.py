@@ -1,0 +1,68 @@
+"""Behavioral tests for the LLM-pipeline operators beyond oracle parity:
+LSH recall, simhash self-consistency, multimodal frame shapes."""
+
+from pyspark.sql import functions as F
+
+from iceberg_catalog_bench_spark.operators import registry
+
+registry.load_all()
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, oracle_sf_dir):
+    """The ANN bucket scan must recover most of the true top-10
+    (random-hyperplane LSH with 8 planes on 64-d data)."""
+    exact = {
+        r["vec_id"]
+        for r in registry.QUERIES["knn_brute_force"](spark, oracle_sf_dir).collect()
+    }
+    approx = {
+        r["vec_id"]
+        for r in registry.QUERIES["ann_lsh_buckets"](spark, oracle_sf_dir).collect()
+    }
+    # in-bucket candidates are a subset of the corpus; recall@10 >= 0.3
+    # is the determinism-checked floor for 8 planes (bucket ~1/256 of
+    # corpus yet similar vectors collide far more often than random)
+    assert len(exact) == 10
+    assert len(approx & exact) >= 3, f"recall too low: {approx & exact}"
+
+
+def test_simhash_near_dups_cover_jaccard_dups(spark, oracle_sf_dir):
+    """Documents that are >=0.9-Jaccard near-dups should also collide
+    under simhash with small hamming distance (the two detectors agree
+    on strong duplicates)."""
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in registry.QUERIES["dedup_ngram_jaccard"](spark, oracle_sf_dir)
+        .filter(F.col("jaccard") >= 0.9).collect()
+    }
+    sim = {
+        (r["doc_a"], r["doc_b"])
+        for r in registry.QUERIES["dedup_simhash"](spark, oracle_sf_dir).collect()
+    }
+    assert jac, "fixture should contain near-dup pairs"
+    covered = len(jac & sim) / len(jac)
+    assert covered >= 0.8, f"simhash missed too many strong near-dups: {covered:.2f}"
+
+
+def test_multimodal_frame_sample_shape(spark, oracle_sf_dir):
+    df = registry.QUERIES["multimodal_frame_sample"](spark, oracle_sf_dir)
+    rows = df.collect()
+    assert rows, "no frames sampled"
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, frames in per_doc.items():
+        idxs = sorted(f["frame_idx"] for f in frames)
+        assert idxs == list(range(len(idxs))), f"doc {doc_id} frame idxs not dense"
+        assert all(1 <= f["frame_bytes"] <= 256 for f in frames)
+        assert len(frames) <= 8
+
+
+def test_multimodal_real_decoder_is_gated():
+    from iceberg_catalog_bench_spark.operators.multimodal import _decode_image_real
+
+    try:
+        _decode_image_real(b"xx")
+        raise AssertionError("stub should raise")
+    except NotImplementedError:
+        pass
