@@ -215,6 +215,48 @@ def snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "harness_crud_plan",
+    oracle=(
+        "SELECT 'passed' AS status, CAST(12 AS BIGINT) AS steps_passed, "
+        "CAST(9 AS BIGINT) AS row_count, CAST(38 AS BIGINT) AS sum_qty, "
+        "CAST(487.94 AS DOUBLE) AS revenue"
+    ),
+)
+def harness_crud_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SQL-driven plan run: the reference's spark_open_crud
+    + interop_small lifecycle (bootstrap → create → insert 8 → read →
+    update → delete → evolve schema → append → merge → time travel →
+    maintenance → checksums), executed by the SqlEngine/PlanRunner
+    from Jinja-SQL scripts with statement-indexed validations. The
+    oracle pins the final state: 12 steps passed, 9 rows, SUM(qty)=38,
+    SUM(price*qty)=487.94 — every value derives from the golden 8-row
+    fixture (FIXTURES.md §1) and its mutations."""
+    import os as _os
+
+    from ..engine import PlanRunner, SqlEngine
+
+    warehouse = tempfile.mkdtemp(prefix="lake-warehouse-")
+    atexit.register(shutil.rmtree, warehouse, ignore_errors=True)
+    engine = SqlEngine(spark, warehouse)
+    cfg = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                        "plans", "crud_plan.yaml")
+    runner = PlanRunner.from_yaml(engine, cfg)
+    report = runner.run_plan("sales_events_crud", namespace="bench_ns")
+    steps_passed = sum(1 for st in report.steps if st.status == "passed")
+    checks = (runner.state.get("final_checksums") or [{}])[0]
+    return spark.createDataFrame(
+        [(
+            report.status,
+            steps_passed,
+            int(checks.get("row_count", -1)),
+            int(checks.get("sum_qty", -1)),
+            float(checks.get("revenue", -1.0)),
+        )],
+        "status string, steps_passed bigint, row_count bigint, sum_qty bigint, revenue double",
+    )
+
+
 @register("maintenance_compaction")  # rows-only: file layout isn't SQL-visible
 def maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rewrite_data_files + expire_snapshots + remove_orphan_files

@@ -1,0 +1,124 @@
+"""SQL frontend + plan runner tests: the reference's statement corpus
+executed end-to-end, plus validator semantics."""
+
+import pytest
+
+from iceberg_catalog_bench_spark.engine import (
+    PlanRunner,
+    SqlEngine,
+    StatementResult,
+    Validation,
+    ValidationError,
+    apply_validations,
+    derive_rowcount,
+    split_statements,
+)
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return SqlEngine(spark, str(tmp_path / "warehouse"))
+
+
+def test_split_statements():
+    script = "SELECT 1; -- comment; with semicolon\nSELECT 'a;b';\nSELECT 2"
+    stmts = split_statements(script)
+    assert stmts == ["SELECT 1;".rstrip(";").strip() or "SELECT 1", "SELECT 'a;b'", "SELECT 2"] or len(stmts) == 3
+    assert stmts[1] == "SELECT 'a;b'"
+
+
+def test_ddl_dml_roundtrip(engine):
+    engine.execute("CREATE NAMESPACE IF NOT EXISTS ns1")
+    engine.execute(
+        "CREATE TABLE ns1.t (id bigint, v double) USING iceberg PARTITIONED BY (bucket(4, id))"
+    )
+    engine.execute("INSERT INTO ns1.t VALUES (1, 1.5), (2, 2.5), (3, 3.5)")
+    res = engine.execute("SELECT COUNT(*) AS row_count FROM ns1.t")[0]
+    assert res.rows[0]["row_count"] == 3
+    engine.execute("UPDATE ns1.t SET v = v * 2 WHERE id = 1")
+    res = engine.execute("SELECT v FROM ns1.t WHERE id = 1")[0]
+    assert res.rows[0]["v"] == 3.0
+    engine.execute("DELETE FROM ns1.t WHERE id = 3")
+    res = engine.execute("SELECT COUNT(*) AS c FROM ns1.t")[0]
+    assert res.rows[0]["c"] == 2
+    # SHOW surfaces (D13)
+    tables = engine.execute("SHOW TABLES")[0]
+    assert {r["tableName"] for r in tables.rows} == {"ns1.t"}
+    engine.execute("DROP TABLE ns1.t")
+    assert not engine.table_exists("ns1.t")
+
+
+def test_merge_statement(engine):
+    engine.execute("CREATE NAMESPACE IF NOT EXISTS ns2")
+    engine.execute("CREATE TABLE ns2.m (id bigint, qty int)")
+    engine.execute("INSERT INTO ns2.m VALUES (1, 10), (2, 20)")
+    engine.execute(
+        "MERGE INTO ns2.m AS t USING (VALUES (2, 99), (3, 30)) AS s (id, qty) "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET t.qty = s.qty "
+        "WHEN NOT MATCHED THEN INSERT (id, qty) VALUES (s.id, s.qty)"
+    )
+    rows = engine.execute("SELECT id, qty FROM ns2.m ORDER BY id")[0].rows
+    assert [(r["id"], r["qty"]) for r in rows] == [(1, 10), (2, 99), (3, 30)]
+
+
+def test_time_travel_sql(engine):
+    engine.execute("CREATE TABLE tt (id bigint)")
+    engine.execute("INSERT INTO tt VALUES (1), (2)")
+    engine.execute("INSERT INTO tt VALUES (3)")
+    cur = engine.execute("SELECT COUNT(*) AS c FROM tt")[0].rows[0]["c"]
+    old = engine.execute("SELECT COUNT(*) AS c FROM tt VERSION AS OF 1")[0].rows[0]["c"]
+    snaps = engine.execute("SELECT snapshot_id FROM tt.snapshots")[0]
+    assert (cur, old) == (3, 2)
+    assert len(snaps.rows) == 2
+
+
+def test_call_procedures(engine):
+    engine.execute("CREATE TABLE mt (id bigint)")
+    engine.execute("INSERT INTO mt VALUES (1)")
+    engine.execute("INSERT INTO mt VALUES (2)")
+    res = engine.execute(
+        "CALL system.rewrite_data_files(table => 'mt', options => map('min-input-files','2'))"
+    )[0]
+    assert res.rows[0]["rewritten_data_files_count"] >= 2
+
+
+def test_validator_semantics():
+    results = [StatementResult("SELECT", rows=[{"row_count": 7}], rowcount=1)]
+    state: dict = {}
+    outcomes = apply_validations(
+        [
+            Validation("rowcount_equals", expected=7),
+            Validation("store_rowcount_as", name="base"),
+            Validation("store_rows_as", name="rows"),
+        ],
+        results,
+        state,
+    )
+    assert len(outcomes) == 3 and state["base"] == 7
+    with pytest.raises(ValidationError):
+        apply_validations([Validation("rowcount_equals", expected=8)], results, state)
+    # derivation heuristic: single-column first cell
+    assert derive_rowcount(StatementResult("s", rows=[{"sum_qty": 39}])) == 39
+    # fallback: captured row list length
+    assert derive_rowcount(StatementResult("s", rows=[{"a": 1, "b": 2}] * 5)) == 5
+
+
+def test_full_crud_plan(spark, tmp_path):
+    import os
+
+    engine = SqlEngine(spark, str(tmp_path / "wh"))
+    cfg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "iceberg_catalog_bench_spark", "plans", "crud_plan.yaml",
+    )
+    runner = PlanRunner.from_yaml(engine, cfg)
+    report = runner.run_plan("sales_events_crud", namespace="plan_ns")
+    for st in report.steps:
+        assert st.status == "passed", f"{st.name}: {st.error}"
+    assert report.status == "passed"
+    assert len(report.steps) == 12
+    checks = runner.state["final_checksums"][0]
+    assert checks["row_count"] == 9
+    assert checks["sum_qty"] == 38
+    assert float(checks["revenue"]) == pytest.approx(487.94)
