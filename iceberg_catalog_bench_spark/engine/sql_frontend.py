@@ -93,6 +93,28 @@ class SqlEngine:
     def table_exists(self, ident: str) -> bool:
         return os.path.exists(os.path.join(self._table_path(ident), "_meta", "metadata.json"))
 
+    # -- views (reference §2.8: SQL-representation view metadata,
+    #    opencatalog/samples/view_create_template.json — "type":"sql",
+    #    "dialect":"spark" SQL text over a table) ---------------------------
+
+    @property
+    def _views_path(self) -> str:
+        return os.path.join(self.warehouse, "_views.json")
+
+    def _views(self) -> dict[str, str]:
+        import json
+
+        if os.path.exists(self._views_path):
+            with open(self._views_path) as fh:
+                return json.load(fh)
+        return {}
+
+    def _save_views(self, views: dict[str, str]) -> None:
+        import json
+
+        with open(self._views_path, "w") as fh:
+            json.dump(views, fh)
+
     # -- execution -----------------------------------------------------------
 
     def execute(self, statements: list[str] | str) -> list[StatementResult]:
@@ -132,6 +154,22 @@ class SqlEngine:
             return StatementResult(s, metadata={"op": "create_namespace"})
 
         m = re.match(
+            r"(?is)^create\s+(or\s+replace\s+)?view\s+(if\s+not\s+exists\s+)?(" + _IDENT + r")\s+as\s+(.+)$",
+            s,
+        )
+        if m:
+            # view create/replace (opencatalog_api_tester.py:796-841)
+            replace, if_not_exists, ident, view_sql = m.groups()
+            views = self._views()
+            if ident in views and not replace:
+                if if_not_exists:
+                    return StatementResult(s, metadata={"op": "create_view", "skipped": True})
+                raise ValueError(f"view {ident} already exists")
+            views[ident] = view_sql.strip()
+            self._save_views(views)
+            return StatementResult(s, metadata={"op": "create_view", "view": ident})
+
+        m = re.match(
             r"(?is)^create\s+(or\s+replace\s+)?table\s+(if\s+not\s+exists\s+)?(" + _IDENT + r")\s*"
             r"\((.*?)\)\s*(?:using\s+\w+\s*)?"
             r"(?:partitioned\s+by\s*\((.*?)\)\s*)?"
@@ -165,6 +203,19 @@ class SqlEngine:
         raise ValueError(f"unsupported CREATE statement: {s[:120]}")
 
     def _drop(self, s: str) -> StatementResult:
+        m = re.match(
+            r"(?is)^drop\s+view\s+(if\s+exists\s+)?(" + _IDENT + r")\s*$", s
+        )
+        if m:
+            if_exists, ident = m.groups()
+            views = self._views()
+            if ident in views:
+                del views[ident]
+                self._save_views(views)
+            elif not if_exists:
+                raise ValueError(f"view {ident} does not exist")
+            return StatementResult(s, metadata={"op": "drop_view"})
+
         m = re.match(
             r"(?is)^drop\s+(table|namespace|schema|database)\s+(if\s+exists\s+)?(" + _IDENT + r")\s*$",
             s,
@@ -241,6 +292,9 @@ class SqlEngine:
                 if os.path.isdir(self._ns_dir(d))
                 and not os.path.exists(os.path.join(self._ns_dir(d), "_meta"))
             ]
+            return StatementResult(s, rows=rows, rowcount=len(rows))
+        if re.match(r"(?is)^show\s+views\s*$", s):
+            rows = [{"viewName": v} for v in sorted(self._views())]
             return StatementResult(s, rows=rows, rowcount=len(rows))
         m = re.match(r"(?is)^show\s+tables(?:\s+in\s+(" + _IDENT + r"))?\s*$", s)
         if m:
@@ -440,6 +494,20 @@ class SqlEngine:
         T1-T3), rewrite the reference to the view name, run spark.sql.
         """
         view_n = 0
+        views = self._views()
+
+        # Expand SQL-representation views first (so tables referenced
+        # inside view bodies get the LakeTable rewrite below); bounded
+        # depth guards against cyclic definitions.
+        for _ in range(5):
+            expanded = s
+            for vname, vsql in views.items():
+                expanded = re.sub(
+                    rf"(?<![\w.]){re.escape(vname)}(?![\w.])", f"({vsql})", expanded
+                )
+            if expanded == s:
+                break
+            s = expanded
 
         def repl(m: re.Match) -> str:
             nonlocal view_n

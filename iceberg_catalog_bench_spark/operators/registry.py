@@ -44,3 +44,5 @@ def load_all() -> None:
     from . import text  # noqa: F401
     from . import crud  # noqa: F401
     from . import multimodal  # noqa: F401
+    from ..streaming import events  # noqa: F401
+    from ..sources import datagen  # noqa: F401

@@ -122,3 +122,20 @@ def test_full_crud_plan(spark, tmp_path):
     assert checks["row_count"] == 9
     assert checks["sum_qty"] == 38
     assert float(checks["revenue"]) == pytest.approx(487.94)
+
+
+def test_view_lifecycle(engine):
+    """Reference §2.8 view surface: create / query / replace / show /
+    drop, with SQL-representation bodies over lake tables."""
+    engine.execute("CREATE TABLE vt (id bigint, v double)")
+    engine.execute("INSERT INTO vt VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+    engine.execute("CREATE VIEW big_v AS SELECT id, v FROM vt WHERE v >= 20")
+    rows = engine.execute("SELECT COUNT(*) AS c FROM big_v")[0].rows
+    assert rows[0]["c"] == 2
+    engine.execute("CREATE OR REPLACE VIEW big_v AS SELECT id, v FROM vt WHERE v >= 30")
+    rows = engine.execute("SELECT COUNT(*) AS c FROM big_v")[0].rows
+    assert rows[0]["c"] == 1
+    shown = engine.execute("SHOW VIEWS")[0].rows
+    assert {r["viewName"] for r in shown} == {"big_v"}
+    engine.execute("DROP VIEW big_v")
+    assert engine._views() == {}

@@ -1,0 +1,65 @@
+"""Physical-plan assertions: the scale properties that make these
+queries viable at 100 TB must be visible in the executed plan —
+pushed filters, broadcast joins, top-k instead of global sorts,
+whole-stage codegen, rank-limit pushdown for window top-N."""
+
+from iceberg_catalog_bench_spark.operators import registry
+
+registry.load_all()
+
+
+def _plan(name, spark, sf_dir) -> str:
+    df = registry.QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_point_lookup_pushes_filter(spark, oracle_sf_dir):
+    plan = _plan("point_lookup", spark, oracle_sf_dir)
+    assert "PushedFilters: [IsNotNull(event_id), EqualTo(event_id,421)]" in plan
+
+
+def test_range_filter_pushes_to_scan(spark, oracle_sf_dir):
+    """The ns-timestamp workaround must not break pushdown: the range
+    predicate reaches the scan as int64-nanos comparisons."""
+    plan = _plan("range_pruned_agg", spark, oracle_sf_dir)
+    assert "GreaterThanOrEqual(ts," in plan and "LessThan(ts," in plan
+
+
+def test_inlist_pushes_in_filter(spark, oracle_sf_dir):
+    plan = _plan("inlist_lookup", spark, oracle_sf_dir)
+    assert "PushedFilters: [In(user_id," in plan
+
+
+def test_dim_joins_broadcast(spark, oracle_sf_dir):
+    plan = _plan("join_multiway_region_revenue", spark, oracle_sf_dir)
+    assert plan.count("BroadcastHashJoin") == 3, "all three dims must broadcast"
+    assert "SortMergeJoin" not in plan
+
+
+def test_top1_uses_take_ordered(spark, oracle_sf_dir):
+    plan = _plan("latest_event_top1", spark, oracle_sf_dir)
+    assert "TakeOrderedAndProject" in plan, "LIMIT 1 must not global-sort"
+
+
+def test_topk_after_agg_uses_take_ordered(spark, oracle_sf_dir):
+    plan = _plan("shipping_priority_top10", spark, oracle_sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_window_topn_rank_limit_pushdown(spark, oracle_sf_dir):
+    plan = _plan("window_topn_per_group", spark, oracle_sf_dir)
+    assert "WindowGroupLimit" in plan, "row_number<=k must push a group limit"
+
+
+def test_pricing_summary_partial_agg(spark, oracle_sf_dir):
+    # map-side partial aggregation before the exchange (AQE wraps the
+    # plan pre-execution, so assert the aggregate mode, not the codegen
+    # annotation — codegen is confirmed via explain("codegen") manually)
+    plan = _plan("pricing_summary", spark, oracle_sf_dir)
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_column_pruning_reads_only_needed_columns(spark, oracle_sf_dir):
+    plan = _plan("full_scan_projection", spark, oracle_sf_dir)
+    assert "ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string,value:double>" in plan
