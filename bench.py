@@ -52,6 +52,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "knn_brute_force",
     "text_quality_scores",
+    "streaming_windowed_agg",
 ]
 
 
