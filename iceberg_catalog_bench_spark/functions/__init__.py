@@ -1,0 +1,11 @@
+from .vectors import cosine_similarity, dot_product, l2_norm
+from .textfns import shingles_expr, tokens, stopword_hits
+
+__all__ = [
+    "cosine_similarity",
+    "dot_product",
+    "l2_norm",
+    "shingles_expr",
+    "stopword_hits",
+    "tokens",
+]

@@ -27,14 +27,11 @@ from pyspark.sql import functions as F
 from ..sources import load_table
 from .registry import register
 
+from ..functions import shingles_expr
+
 # 3-word shingles, 0-based Spark array indexing (DuckDB oracle uses
 # 1-based list_extract — mind the off-by-one when editing either side).
-_SHINGLES_EXPR = (
-    "CASE WHEN size(split(trim(text), ' ')) < 3 THEN array() "
-    "ELSE array_distinct(transform(sequence(0, size(split(trim(text), ' ')) - 3), "
-    "i -> concat(split(trim(text), ' ')[i], ' ', split(trim(text), ' ')[i+1], ' ', "
-    "split(trim(text), ' ')[i+2]))) END"
-)
+_SHINGLES_EXPR = shingles_expr("text", 3)
 
 _ORACLE_SHINGLES = (
     "list_distinct(list_transform(generate_series(1, len(string_split(trim(text), ' ')) - 2), "
@@ -265,12 +262,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    from ..functions import cosine_similarity
+
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    dot = "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
-    na = "sqrt(aggregate(ea, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
-    nb = "sqrt(aggregate(eb, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
     return (
-        pairs.withColumn("cos_sim", F.round(F.expr(f"({dot}) / (({na}) * ({nb}))"), 4))
+        pairs.withColumn("cos_sim", F.round(cosine_similarity("ea", "eb"), 4))
         .select("vec_a", "vec_b", "cos_sim")
         .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
         .limit(20)

@@ -39,6 +39,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def load_all() -> None:
     """Import every operator module so registrations run."""
     from . import relational  # noqa: F401
+    from . import relational_ext  # noqa: F401
     from . import dedup  # noqa: F401
     from . import similarity  # noqa: F401
     from . import text  # noqa: F401

@@ -1,0 +1,345 @@
+"""Extended relational corpus: outer joins, correlated subqueries,
+HAVING, conditional aggregation, grouping sets, and the window-function
+family beyond top-N. All additive beyond the reference surface
+(SURVEY.md §2.9) — a user switching engines expects the full ANSI
+relational vocabulary, and each entry here is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+@register(
+    "left_outer_join_orders",
+    oracle=(
+        "SELECT c.c_custkey, c.c_mktsegment, "
+        "CAST(COUNT(o.o_orderkey) AS BIGINT) AS order_cnt, "
+        "ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS total_spend "
+        "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+        "GROUP BY c.c_custkey, c.c_mktsegment"
+    ),
+)
+def left_outer_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER fact join preserving customers with zero orders —
+    COUNT(col) (null-skipping) vs COUNT(*) semantics are part of what
+    the oracle pins down."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "full_outer_join_sets",
+    oracle=(
+        "SELECT COALESCE(a.k, b.k) AS k, a.cnt_even, b.cnt_five FROM "
+        "(SELECT o_orderkey % 7 AS k, COUNT(*) AS cnt_even FROM orders "
+        "WHERE o_orderkey % 2 = 0 GROUP BY o_orderkey % 7) a "
+        "FULL OUTER JOIN "
+        "(SELECT o_orderkey % 11 AS k, COUNT(*) AS cnt_five FROM orders "
+        "WHERE o_orderkey % 5 = 0 GROUP BY o_orderkey % 11) b "
+        "ON a.k = b.k"
+    ),
+)
+def full_outer_join_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates with non-overlapping key
+    domains (mod-7 vs mod-11 buckets) — exercises null-filling on both
+    sides."""
+    o = _t(spark, sf_dir, "orders")
+    a = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .groupBy((F.col("o_orderkey") % 7).alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt_even"))
+    )
+    b = (
+        o.filter(F.col("o_orderkey") % 5 == 0)
+        .groupBy((F.col("o_orderkey") % 11).alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt_five"))
+    )
+    return a.join(b, a.k == b.k, "full_outer").select(
+        F.coalesce(a.k, b.k).alias("k"), "cnt_even", "cnt_five"
+    )
+
+
+@register(
+    "having_filter",
+    oracle=(
+        "SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS order_cnt "
+        "FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15"
+    ),
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING — post-aggregation predicate."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("order_cnt"))
+        .filter(F.col("order_cnt") >= 15)
+    )
+
+
+@register(
+    "conditional_aggregation",
+    oracle=(
+        "SELECT l_returnflag, "
+        "ROUND(SUM(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END), 2) "
+        "AS discounted_revenue, "
+        "ROUND(100.0 * SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) / COUNT(*), 4) "
+        "AS discounted_pct FROM lineitem GROUP BY l_returnflag"
+    ),
+)
+def conditional_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style CASE-WHEN inside aggregates (promo-revenue
+    share shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(0)
+    flag = F.when(F.col("l_discount") > 0.05, 1).otherwise(0)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(disc), 2).alias("discounted_revenue"),
+        F.round(100.0 * F.sum(flag) / F.count(F.lit(1)), 4).alias("discounted_pct"),
+    )
+
+
+@register(
+    "correlated_exists_subquery",
+    oracle=(
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_cnt "
+        "FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45) "
+        "GROUP BY o_orderpriority"
+    ),
+)
+def correlated_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS decorrelated to a left-semi
+    join (what Catalyst does with the SQL form; expressed directly
+    here so the physical plan is the one you'd want)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_cnt"))
+    )
+
+
+@register(
+    "scalar_subquery_above_avg",
+    oracle=(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS above_avg_parts FROM part "
+        "WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)"
+    ),
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (global average) as a cross-joined 1-row
+    aggregate — the broadcast-scalar pattern."""
+    p = _t(spark, sf_dir, "part")
+    avg = p.agg(F.avg("p_retailprice").alias("avg_price"))
+    return (
+        p.crossJoin(F.broadcast(avg))
+        .filter(F.col("p_retailprice") > F.col("avg_price"))
+        .agg(F.count(F.lit(1)).alias("above_avg_parts"))
+    )
+
+
+@register(
+    "window_lag_delta",
+    oracle=(
+        "SELECT user_id, event_id, "
+        "ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) "
+        "AS delta_value, "
+        "CAST(RANK() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) "
+        "AS value_rank "
+        "FROM events WHERE user_id < 15"
+    ),
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG deltas + RANK in one window pass — change-detection shape."""
+    w_time = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_rank = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 15)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value") - F.lag("value").over(w_time), 4).alias("delta_value"),
+            F.rank().over(w_rank).cast("bigint").alias("value_rank"),
+        )
+    )
+
+
+@register(
+    "window_moving_average",
+    oracle=(
+        "SELECT user_id, event_id, "
+        "ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg "
+        "FROM events WHERE user_id < 15"
+    ),
+)
+def window_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average (ROWS frame) — the smoothing idiom."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 15)
+        .select(
+            "user_id", "event_id",
+            F.round(F.avg("value").over(w), 4).alias("moving_avg"),
+        )
+    )
+
+
+@register(
+    "rollup_aggregation",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, "
+        "ROUND(SUM(l_quantity), 2) AS sum_qty, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+    ),
+)
+def rollup_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (detail → per-flag subtotal → grand total) in
+    one pass — Spark expands grouping sets map-side, one shuffle."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@register(
+    "pivot_event_types",
+    oracle=(
+        "SELECT user_id, "
+        "CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click, "
+        "CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view, "
+        "CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase "
+        "FROM events WHERE user_id < 25 GROUP BY user_id"
+    ),
+)
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (long → wide): per-user counts by event type. Explicit
+    value list keeps it one pass with no distinct-values pre-query."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 25)
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "purchase"])
+    )
+
+
+@register(
+    "unpivot_part_metrics",
+    oracle=(
+        "SELECT p_partkey, metric, ROUND(val, 2) AS val FROM ("
+        "SELECT p_partkey, 'retail' AS metric, p_retailprice AS val FROM part "
+        "UNION ALL SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part)"
+    ),
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long) via the stack() generator — one pass, no
+    union of scans."""
+    return (
+        _t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.expr("stack(2, 'retail', p_retailprice, 'size', CAST(p_size AS DOUBLE))")
+            .alias("metric", "v"),
+        )
+        .select("p_partkey", "metric", F.round("v", 2).alias("val"))
+    )
+
+
+@register(
+    "string_functions_suite",
+    oracle=(
+        "SELECT p_partkey, UPPER(p_brand) AS brand_upper, "
+        "SUBSTRING(p_name, 1, 5) AS name_prefix, "
+        "CAST(LENGTH(p_name) AS INT) AS name_len, "
+        "REPLACE(p_type, ' ', '_') AS type_snake, "
+        "CONCAT(p_brand, ':', p_type) AS brand_type "
+        "FROM part"
+    ),
+)
+def string_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core string vocabulary (upper/substr/length/replace/concat) —
+    all JVM built-ins, checked bit-for-bit against the oracle."""
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@register(
+    "date_functions_suite",
+    oracle=(
+        "SELECT o_orderkey, "
+        "CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year, "
+        "CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month, "
+        "strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start, "
+        "strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date "
+        "FROM orders WHERE o_orderkey <= 400"
+    ),
+)
+def date_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal vocabulary: extract/trunc/interval arithmetic."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 400)
+    # dates travel as ISO strings: Spark DateType and DuckDB DATE render
+    # differently through pandas, so the contract is the formatted value
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias("due_date"),
+    )
+
+
+@register(
+    "json_extraction",
+    oracle=(
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS prop_k "
+        "FROM events WHERE user_id < 10"
+    ),
+)
+def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events.props column (semi-
+    structured payloads are routine in event pipelines)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        )
+    )

@@ -22,24 +22,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import dot_product as _dot
+from ..functions import l2_norm as _norm
 from ..sources import load_table
 from .registry import register
 
 _QUERY_VEC_ID = 0
 _DIM = 64
-
-
-def _dot(a: str, b: str) -> Column:
-    return F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        f"0D, (acc, v) -> acc + v)"
-    )
-
-
-def _norm(a: str) -> Column:
-    return F.sqrt(
-        F.expr(f"aggregate({a}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
-    )
 
 
 @register(
