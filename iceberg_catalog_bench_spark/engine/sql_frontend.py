@@ -124,6 +124,10 @@ class SqlEngine:
 
     def _execute_one(self, sql: str) -> StatementResult:
         s = sql.strip()
+        # D14: IDENTIFIER('...') late-bound object names
+        # (sql/snowflake/unity_catalog/create_sales_events.sql:4) —
+        # resolve before routing, like Spark's IDENTIFIER clause.
+        s = re.sub(r"(?i)identifier\s*\(\s*'([^']+)'\s*\)", r"\1", s)
         head = s.split(None, 1)[0].lower() if s else ""
         handlers = {
             "create": self._create,
@@ -240,6 +244,14 @@ class SqlEngine:
             t._meta["sort_order"] = [c.strip() for c in m.group(2).split(",")]
             t._write_meta()
             return StatementResult(s, metadata={"op": "set_sort_order"})
+
+        # P5: ALTER [ICEBERG] TABLE ... REFRESH (snowflake.sql:390) —
+        # metadata reload; LakeTable reads metadata per-op, so refresh
+        # is a reload of the in-memory handle.
+        m = re.match(r"(?is)^alter\s+(?:iceberg\s+)?table\s+(" + _IDENT + r")\s+refresh\s*$", s)
+        if m:
+            self.table(m.group(1))._reload()
+            return StatementResult(s, metadata={"op": "refresh"})
 
         # D6: ALTER TABLE ADD COLUMN [..] DEFAULT (schema_evolution_sales_events.sql:3-4)
         m = re.match(

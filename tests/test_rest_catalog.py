@@ -1,0 +1,53 @@
+"""REST catalog conformance (reference §2.8): the tester's call
+sequence against the in-process server, all PASS/EXP as classified."""
+
+import pytest
+
+from iceberg_catalog_bench_spark.catalog.rest import (
+    RestCatalogClient,
+    RestCatalogServer,
+    run_conformance,
+)
+
+
+@pytest.fixture(scope="module")
+def server():
+    s = RestCatalogServer().start()
+    yield s
+    s.stop()
+
+
+def test_conformance_suite_all_pass(server):
+    results = run_conformance(server.url, ns="suite_ns")
+    failures = [r for r in results if r.outcome == "FAIL"]
+    assert not failures, failures
+    # expected-failure calls classify EXP, not PASS (tester :137-141)
+    exp = {r.name for r in results if r.outcome == "EXP"}
+    assert exp == {
+        "create_namespace_conflict",
+        "applicable_policies_disabled",
+        "drop_namespace_not_empty",
+    }
+    assert len(results) == 21
+
+
+def test_unauthenticated_requests_rejected(server):
+    c = RestCatalogClient(server.url)  # no token
+    status, _ = c.list_namespaces()
+    assert status == 401
+
+
+def test_auto_location_expansion(server):
+    """location "__AUTO__" expands server-side (opencatalog/README.md:95)."""
+    c = RestCatalogClient(server.url)
+    c.authenticate()
+    c.create_namespace("loc_ns")
+    _, body = c.create_table(
+        "loc_ns", "t_auto",
+        {"type": "struct", "fields": [{"id": 1, "name": "id", "type": "long", "required": True}]},
+    )
+    assert "__AUTO__" not in body.get("metadata-location", "__AUTO__")
+    _, loaded = c.load_table("loc_ns", "t_auto")
+    assert loaded["location"].startswith("file:///warehouse/loc_ns/")
+    c.drop_table("loc_ns", "t_auto")
+    c.drop_namespace("loc_ns")
