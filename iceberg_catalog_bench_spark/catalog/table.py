@@ -425,6 +425,30 @@ class LakeTable:
     def to_df(self) -> DataFrame:
         return self.read()
 
+    def scan(self, where: str | None = None,
+             snapshot_id: int | None = None, as_of_ms: int | None = None) -> DataFrame:
+        """Pruned read: manifest-level (file-stats) pruning before the
+        Spark scan, then the same predicate applied row-level.
+
+        This is the Iceberg read path split: the driver drops whole
+        files whose [min,max] ranges cannot match (no I/O), Spark's
+        parquet reader then prunes row groups and rows via the pushed
+        filter. At 100 TB the first step is what turns a full-table
+        scan into a partition-sized one."""
+        snap = self._snapshot(snapshot_id, as_of_ms)
+        version = (
+            snap.schema_version
+            if (snapshot_id is not None or as_of_ms is not None) and snap
+            else self._meta["current_schema_version"]
+        )
+        if snap is None:
+            return self._read_entries([], version)
+        entries = snap.files
+        if where:
+            entries = self._prune_files(entries, where)
+        df = self._read_entries(entries, version)
+        return df.filter(F.expr(where)) if where else df
+
     # -- file pruning --------------------------------------------------------
 
     _SIMPLE_PRED = re.compile(
@@ -579,7 +603,13 @@ class LakeTable:
         src = source.select(
             *[F.col(c).alias(f"src_{c}") for c in source.columns],
             F.lit(True).alias("_src_match"),
-        )
+        ).cache()
+        # Broadcast the source only while it's dimension-sized; a
+        # corpus-scale MERGE source must shuffle-join or the broadcast
+        # OOMs the executors. (Iceberg's MERGE makes the same choice via
+        # Spark's join planning.)
+        src_rows = src.count()
+        src_for_join = F.broadcast(src) if src_rows <= 1_000_000 else src
 
         # 1. which target files contain matched keys?
         keys_probe = self._read_entries(snap.files, self._meta["current_schema_version"], with_file_path=True)
@@ -589,7 +619,7 @@ class LakeTable:
             join_cond = c if join_cond is None else (join_cond & c)
         hit_paths = {
             r["_lake_file"]
-            for r in keys_probe.join(F.broadcast(src), join_cond, "inner")
+            for r in keys_probe.join(src_for_join, join_cond, "inner")
             .select("_lake_file").distinct().collect()
         }
         norm = {_strip_scheme(p) for p in hit_paths}

@@ -10,6 +10,8 @@ corpus: each is a single map-only pass with no shuffle.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves string type hints here
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -146,4 +148,41 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5("text").alias("doc_md5"),
         F.md5(F.concat_ws(" ", F.slice(toks, 1, 8))).alias("prefix_md5"),
+    )
+
+
+@register("text_quality_pandas_udf")  # rows-only: UDF-path demonstrator
+def text_quality_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same quality metrics as text_quality_scores, computed in an
+    Arrow-batched Pandas UDF instead of JVM built-ins. Registered as
+    the UDF-path reference point: tests assert value equality with the
+    JVM version, and the pairing documents the perf rule — built-ins
+    beat row-at-a-time Python by orders of magnitude, and when Python
+    is unavoidable, Arrow-vectorized beats per-row. Use this shape only
+    for logic the built-ins genuinely can't express."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("n_tokens int, avg_token_len double, stopword_ratio double, distinct_ratio double")
+    def quality(texts: pd.Series) -> pd.DataFrame:
+        stop = set(_STOPWORDS)
+        toks = texts.str.strip().str.split(" ")
+        n = toks.str.len()
+        return pd.DataFrame(
+            {
+                "n_tokens": n.astype("int32"),
+                "avg_token_len": texts.str.len() / n,
+                "stopword_ratio": toks.map(lambda ws: sum(1 for w in ws if w in stop)) / n,
+                "distinct_ratio": toks.map(lambda ws: len(set(ws))) / n,
+            }
+        )
+
+    # round Spark-side so both code paths share one rounding rule
+    # (pandas .round is half-to-even; Spark ROUND is half-up)
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", quality("text").alias("q")).select(
+        "doc_id",
+        "q.n_tokens",
+        F.round("q.avg_token_len", 4).alias("avg_token_len"),
+        F.round("q.stopword_ratio", 4).alias("stopword_ratio"),
+        F.round("q.distinct_ratio", 4).alias("distinct_ratio"),
     )

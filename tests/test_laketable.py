@@ -217,3 +217,19 @@ def test_stats_pruning_skips_files(table):
     assert len(pruned) < len(snap.files)
     # and the pruned set still finds the row
     assert table.read().filter("event_id = 1").count() == 1
+
+
+def test_scan_prunes_and_matches_full_read(table):
+    """scan(where) must return the same rows as read().filter(where)
+    while reading fewer files (manifest-level pruning)."""
+    table.insert_rows([
+        (600, 10, _ts("2024-04-01 00:00:00"), "sku-s", 1, Decimal("1.00"),
+         "US", dt.date(2024, 4, 1)),
+    ])
+    pred = "event_id <= 4"
+    full = {r["event_id"] for r in table.read().filter(pred).collect()}
+    pruned_df = table.scan(pred)
+    pruned = {r["event_id"] for r in pruned_df.collect()}
+    assert pruned == full == {1, 2, 3, 4}
+    snap = table._snapshot()
+    assert len(table._prune_files(snap.files, pred)) < len(snap.files)

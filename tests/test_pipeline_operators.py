@@ -66,3 +66,15 @@ def test_multimodal_real_decoder_is_gated():
         raise AssertionError("stub should raise")
     except NotImplementedError:
         pass
+
+
+def test_pandas_udf_matches_jvm_quality_scores(spark, oracle_sf_dir):
+    """Arrow-batched Pandas UDF path must agree exactly with the JVM
+    built-in path (same rounding, same values)."""
+    jvm = registry.QUERIES["text_quality_scores"](spark, oracle_sf_dir).toPandas()
+    udf = registry.QUERIES["text_quality_pandas_udf"](spark, oracle_sf_dir).toPandas()
+    jvm = jvm.sort_values("doc_id").reset_index(drop=True)
+    udf = udf.sort_values("doc_id").reset_index(drop=True)
+    assert (jvm["n_tokens"].values == udf["n_tokens"].values).all()
+    for c in ("avg_token_len", "stopword_ratio", "distinct_ratio"):
+        assert (abs(jvm[c].values - udf[c].values) < 1e-9).all(), c
