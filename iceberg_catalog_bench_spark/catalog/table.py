@@ -78,6 +78,7 @@ class FileEntry:
     bytes: int
     schema_version: int
     stats: dict[str, list] = field(default_factory=dict)  # col -> [min, max]
+    partition: dict[str, str] = field(default_factory=dict)  # transform -> value
 
     def to_json(self) -> dict:
         return {
@@ -86,11 +87,15 @@ class FileEntry:
             "bytes": self.bytes,
             "schema_version": self.schema_version,
             "stats": self.stats,
+            "partition": self.partition,
         }
 
     @staticmethod
     def from_json(d: dict) -> "FileEntry":
-        return FileEntry(d["path"], d["rows"], d["bytes"], d["schema_version"], d.get("stats", {}))
+        return FileEntry(
+            d["path"], d["rows"], d["bytes"], d["schema_version"],
+            d.get("stats", {}), d.get("partition", {}),
+        )
 
 
 @dataclass
@@ -279,71 +284,101 @@ class LakeTable:
 
     # -- write path ----------------------------------------------------------
 
-    def _cluster(self, df: DataFrame) -> DataFrame:
-        """Apply the partition-spec clustering + sort order before write.
-
-        ``repartition(transform_exprs)`` is the write.distribution-mode=hash
-        analog (framework.yaml:139); ``sortWithinPartitions`` is WRITE
-        ORDERED BY (create_sales_events.sql:21-24). Together they bound
-        file count and give each file tight min/max ranges → pruning works.
-        """
-        spec = self.partition_spec
-        if spec:
-            df = df.repartition(*[transform_expr(t) for t in spec])
-        order = self._meta.get("sort_order") or []
-        if order:
-            df = df.sortWithinPartitions(*order)
-        return df
-
     def _write_files(self, df: DataFrame, cluster: bool = True) -> list[FileEntry]:
         """Write a DataFrame as new parquet data files; collect per-file
-        stats from the parquet footers (driver-side metadata-only read)."""
+        stats from the parquet footers (driver-side metadata-only read).
+
+        With a partition spec, rows are physically SPLIT by transform
+        value (``write.partitionBy`` on materialized transform columns)
+        after a hash repartition on those values — Iceberg's fanout
+        writer. Each data file then covers exactly one partition value,
+        so the footer min/max of the *source* column (which stays in
+        the file) is tight and manifest pruning actually skips files.
+        A plain hash-repartition alone mixes partition values whenever
+        shuffle-partitions < distinct values, leaving every file with
+        full-range stats — pruning silently degrades to nothing (found
+        the hard way at 10M rows: a 2-day window kept 32/32 files).
+        The transform columns live only in directory names, never in
+        the data files, so readers see the declared schema unchanged.
+        """
         import pyarrow.parquet as pq
+
+        # INT96 (the legacy default) carries NO min/max statistics in
+        # parquet footers → timestamp predicates could never prune.
+        # INT64 micros is also what Iceberg mandates for its files.
+        self.spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
         sub = f"snap-{uuid.uuid4().hex[:12]}"
         out_dir = os.path.join(self.path, _DATA_DIR, sub)
         fields = self._fields()
         cols = [F.col(f.name).cast(f.type).alias(f.name) for f in fields]
         df = df.select(*cols)
-        if cluster:
-            df = self._cluster(df)
-        df.write.mode("overwrite").parquet(out_dir)
+
+        spec = self.partition_spec if cluster else []
+        pcols: list[str] = []
+        if spec:
+            for i, t in enumerate(spec):
+                name = f"_p{i}_{t.name}_{t.column}"
+                df = df.withColumn(name, transform_expr(t).cast("string"))
+                pcols.append(name)
+            # co-locate each partition value in one task → one file per
+            # value (write.distribution-mode=hash, framework.yaml:139)
+            df = df.repartition(*[F.col(c) for c in pcols])
+        order = self._meta.get("sort_order") or []
+        if order and cluster:
+            # WRITE ORDERED BY (create_sales_events.sql:21-24)
+            df = df.sortWithinPartitions(*order)
+
+        writer = df.write.mode("overwrite")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(out_dir)
 
         entries: list[FileEntry] = []
         version = self._meta["current_schema_version"]
-        for fn in sorted(os.listdir(out_dir)):
-            if not fn.endswith(".parquet"):
-                continue
-            fpath = os.path.join(out_dir, fn)
-            md = pq.ParquetFile(fpath).metadata
-            if md.num_rows == 0:
-                continue
-            stats: dict[str, list] = {}
-            for ci in range(md.num_columns):
-                col_name = md.schema.column(ci).name
-                lo = hi = None
-                try:
-                    for rg in range(md.num_row_groups):
-                        st = md.row_group(rg).column(ci).statistics
-                        if st is None or not st.has_min_max:
-                            lo = hi = None
-                            break
-                        lo = st.min if lo is None else min(lo, st.min)
-                        hi = st.max if hi is None else max(hi, st.max)
-                except Exception:
-                    # some physical types (e.g. INT96) expose no stats
+        for dirpath, _dirs, files in os.walk(out_dir):
+            # partition values from hive-style dir components
+            part_vals: dict[str, str] = {}
+            rel_dir = os.path.relpath(dirpath, out_dir)
+            if rel_dir != ".":
+                for comp in rel_dir.split(os.sep):
+                    if "=" in comp:
+                        k, _, v = comp.partition("=")
+                        part_vals[k] = v
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(dirpath, fn)
+                md = pq.ParquetFile(fpath).metadata
+                if md.num_rows == 0:
+                    continue
+                stats: dict[str, list] = {}
+                for ci in range(md.num_columns):
+                    col_name = md.schema.column(ci).name
                     lo = hi = None
-                if lo is not None:
-                    stats[col_name] = [_json_safe(lo), _json_safe(hi)]
-            entries.append(
-                FileEntry(
-                    path=os.path.join(_DATA_DIR, sub, fn),
-                    rows=md.num_rows,
-                    bytes=os.path.getsize(fpath),
-                    schema_version=version,
-                    stats=stats,
+                    try:
+                        for rg in range(md.num_row_groups):
+                            st = md.row_group(rg).column(ci).statistics
+                            if st is None or not st.has_min_max:
+                                lo = hi = None
+                                break
+                            lo = st.min if lo is None else min(lo, st.min)
+                            hi = st.max if hi is None else max(hi, st.max)
+                    except Exception:
+                        # some physical types (e.g. INT96) expose no stats
+                        lo = hi = None
+                    if lo is not None:
+                        stats[col_name] = [_json_safe(lo), _json_safe(hi)]
+                entries.append(
+                    FileEntry(
+                        path=os.path.relpath(fpath, self.path),
+                        rows=md.num_rows,
+                        bytes=os.path.getsize(fpath),
+                        schema_version=version,
+                        stats=stats,
+                        partition=part_vals,
+                    )
                 )
-            )
         return entries
 
     def append(self, df: DataFrame) -> Snapshot:
@@ -455,13 +490,43 @@ class LakeTable:
         r"^\s*(\w+)\s*(=|==|<=|>=|<|>)\s*('[^']*'|[-\d.]+)\s*$"
     )
 
-    def _prune_files(self, entries: list[FileEntry], where: str) -> list[FileEntry]:
-        """Min/max-stats pruning for conjunctions of simple comparisons.
+    def _transform_value(self, t: Transform, val: Any) -> str | None:
+        """Apply a partition transform to a literal, driver-side, via a
+        1-row Spark eval (so bucket hashing etc. match the write path
+        exactly). Memoized — one tiny job per distinct (transform,
+        literal) per table handle."""
+        key = (t.name, t.column, t.param, repr(val))
+        cache = getattr(self, "_tv_cache", None)
+        if cache is None:
+            cache = self._tv_cache = {}
+        if key in cache:
+            return cache[key]
+        fld = next((f for f in self._fields() if f.name == t.column), None)
+        if fld is None:
+            cache[key] = None
+            return None
+        row = (
+            self.spark.range(1)
+            .select(F.lit(val).cast(fld.type).alias(t.column))
+            .select(transform_expr(t).cast("string").alias("v"))
+            .collect()
+        )
+        cache[key] = row[0]["v"]
+        return cache[key]
 
-        Mirrors Iceberg's manifest-level pruning: a file whose [min,max]
-        range cannot satisfy a conjunct is skipped without I/O. Anything
-        unparseable keeps all files (correctness preserved; the exact
-        `_metadata.file_path` probe narrows further)."""
+    def _prune_files(self, entries: list[FileEntry], where: str) -> list[FileEntry]:
+        """Manifest-level pruning for conjunctions of simple comparisons,
+        in two passes (both zero-I/O, driver-side):
+
+        1. partition values: each file records its transform values
+           (directory components); `days()` supports range predicates
+           on the source column, identity/bucket/truncate support
+           equality (the transform of the literal is computed with a
+           1-row Spark eval so hashing matches the write path);
+        2. footer min/max stats of the data columns.
+
+        Anything unparseable keeps all files (correctness preserved;
+        the exact `_metadata.file_path` probe narrows further)."""
         conjuncts = [c.strip() for c in re.split(r"(?i)\s+and\s+", where)]
         preds = []
         for c in conjuncts:
@@ -474,7 +539,34 @@ class LakeTable:
         if not preds:
             return entries
 
-        def may_match(e: FileEntry) -> bool:
+        spec = self.partition_spec
+        pkeys = {t.column: (f"_p{i}_{t.name}_{t.column}", t) for i, t in enumerate(spec)}
+
+        def partition_may_match(e: FileEntry) -> bool:
+            for col, op, val in preds:
+                hit = pkeys.get(col)
+                if hit is None:
+                    continue
+                pkey, t = hit
+                pval = e.partition.get(pkey)
+                if pval is None:
+                    continue
+                sval = str(val)
+                if t.name == "days":
+                    day = sval[:10]  # ISO prefix of the literal
+                    if op in ("=", "==") and pval != day:
+                        return False
+                    if op in (">", ">=") and pval < day:
+                        return False
+                    if op in ("<", "<=") and pval > day:
+                        return False
+                elif op in ("=", "=="):
+                    tv = self._transform_value(t, val)
+                    if tv is not None and pval != tv:
+                        return False
+            return True
+
+        def stats_may_match(e: FileEntry) -> bool:
             for col, op, val in preds:
                 rng = e.stats.get(col)
                 if not rng:
@@ -496,7 +588,7 @@ class LakeTable:
                     continue
             return True
 
-        return [e for e in entries if may_match(e)]
+        return [e for e in entries if partition_may_match(e) and stats_may_match(e)]
 
     def _affected_files(self, snap: Snapshot, where: str) -> list[FileEntry]:
         """Exact set of files containing rows matching ``where``:
@@ -780,19 +872,38 @@ class LakeTable:
         if snap is None:
             return {"rewritten_data_files_count": 0, "added_data_files_count": 0}
         small = [e for e in snap.files if e.bytes < target_file_size_bytes]
-        if len(small) < min_input_files:
+
+        # Bin-pack WITHIN each partition group: merging files across
+        # partition values would destroy the one-value-per-file layout
+        # (and with it, pruning). Iceberg's rewrite_data_files makes the
+        # same per-partition grouping.
+        groups: dict[tuple, list[FileEntry]] = {}
+        for e in small:
+            groups.setdefault(tuple(sorted(e.partition.items())), []).append(e)
+
+        rewritten_inputs: list[FileEntry] = []
+        compacted: list[FileEntry] = []
+        version = self._meta["current_schema_version"]
+        for key, grp in groups.items():
+            if len(grp) < min_input_files:
+                continue
+            df = self._read_entries(grp, version)
+            n_out = max(1, sum(e.bytes for e in grp) // target_file_size_bytes)
+            new_entries = self._write_files(df.coalesce(int(n_out)), cluster=False)
+            for e in new_entries:
+                e.partition = dict(key)
+            rewritten_inputs.extend(grp)
+            compacted.extend(new_entries)
+
+        if not rewritten_inputs:
             return {"rewritten_data_files_count": 0, "added_data_files_count": 0}
-        keep = [e for e in snap.files if e not in small]
-        df = self._read_entries(small, self._meta["current_schema_version"])
-        total_bytes = sum(e.bytes for e in small)
-        n_out = max(1, total_bytes // target_file_size_bytes)
-        compacted = self._write_files(df.coalesce(int(n_out)), cluster=False)
+        keep = [e for e in snap.files if e not in rewritten_inputs]
         self._commit(
             "replace", keep + compacted,
-            {"compacted_input": len(small), "compacted_output": len(compacted)},
+            {"compacted_input": len(rewritten_inputs), "compacted_output": len(compacted)},
         )
         return {
-            "rewritten_data_files_count": len(small),
+            "rewritten_data_files_count": len(rewritten_inputs),
             "added_data_files_count": len(compacted),
         }
 

@@ -56,6 +56,9 @@ def get_spark(
         # Input split sizing: 128MB splits match the reference's
         # write.target-file-size-bytes=134217728 (blob-dfs_bench.py:85).
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        # INT64-micros timestamps (Iceberg's mandate): INT96 writes no
+        # footer stats, which silently disables timestamp pruning.
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "spark.ui.enabled": "false",
     }
