@@ -93,11 +93,11 @@ def main() -> None:
     results["write_append"] = timed(lambda: t.append(events))
 
     lake = t.read()
+    # scan() applies manifest-level file pruning before the Spark scan
+    # (448/480 files skipped for this window at 10M rows — BASELINE.md)
     results["read_pruned"] = median_of(
-        lambda: lake.filter(
-            (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
-            & (F.col("ts") < F.lit("2024-01-07 00:00:00").cast("timestamp"))
-        ).groupBy("event_type").count().collect()
+        lambda: t.scan("ts >= '2024-01-05 00:00:00' AND ts < '2024-01-07 00:00:00'")
+        .groupBy("event_type").count().collect()
     )
     results["read_agg"] = median_of(
         lambda: lake.groupBy("event_type").agg(

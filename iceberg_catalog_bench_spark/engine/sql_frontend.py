@@ -173,6 +173,35 @@ class SqlEngine:
             self._save_views(views)
             return StatementResult(s, metadata={"op": "create_view", "view": ident})
 
+        # CTAS: CREATE TABLE ... AS SELECT ...
+        m = re.match(
+            r"(?is)^create\s+(or\s+replace\s+)?table\s+(if\s+not\s+exists\s+)?(" + _IDENT + r")\s*"
+            r"(?:using\s+\w+\s*)?(?:partitioned\s+by\s*\((.*?)\)\s*)?as\s+(select\b.+)$",
+            s,
+        )
+        if m:
+            replace, if_not_exists, ident, part, select_sql = m.groups()
+            if self.table_exists(ident):
+                if replace:
+                    shutil.rmtree(self._table_path(ident))
+                elif if_not_exists:
+                    return StatementResult(s, metadata={"op": "ctas", "skipped": True})
+                else:
+                    raise ValueError(f"table {ident} already exists")
+            result_df = self._select_df(select_sql)
+            partition_by = (
+                [p.strip() for p in re.split(r",(?![^()]*\))", part)] if part else None
+            )
+            t = LakeTable.create(
+                self.spark, self._table_path(ident), result_df.schema,
+                partition_by=partition_by,
+            )
+            snap = t.append(result_df)
+            return StatementResult(
+                s, rowcount=snap.summary.get("added_rows"),
+                metadata={"op": "ctas", "table": ident},
+            )
+
         m = re.match(
             r"(?is)^create\s+(or\s+replace\s+)?table\s+(if\s+not\s+exists\s+)?(" + _IDENT + r")\s*"
             r"\((.*?)\)\s*(?:using\s+\w+\s*)?"
@@ -327,6 +356,20 @@ class SqlEngine:
     # -- DML (reference M1-M5) ----------------------------------------------
 
     def _insert(self, s: str) -> StatementResult:
+        # INSERT INTO t SELECT ...
+        m = re.match(
+            r"(?is)^insert\s+into\s+(" + _IDENT + r")\s+(select\b.+)$", s
+        )
+        if m:
+            ident, select_sql = m.groups()
+            t = self.table(ident)
+            src = self._select_df(select_sql)
+            snap = t.append(src)
+            return StatementResult(
+                s, rowcount=snap.summary.get("added_rows"),
+                metadata={"op": "insert_select"},
+            )
+
         m = re.match(
             r"(?is)^insert\s+into\s+(" + _IDENT + r")\s*(?:\(([^)]*)\)\s*)?values\s+(.+)$", s
         )
@@ -500,6 +543,11 @@ class SqlEngine:
     )
 
     def _select(self, s: str) -> StatementResult:
+        df = self._select_df(s)
+        rows = [r.asDict(recursive=True) for r in df.take(MAX_RESULT_ROWS)]
+        return StatementResult(s, rows=rows, rowcount=len(rows))
+
+    def _select_df(self, s: str):
         """SELECT passthrough: register temp views for every known
         LakeTable referenced (honoring VERSION AS OF / TIMESTAMP AS OF
         and .snapshots/.files/.history metadata suffixes — reference
@@ -559,6 +607,4 @@ class SqlEngine:
             return f" {view} "
 
         rewritten = self._TRAVEL_RE.sub(repl, s)
-        df = self.spark.sql(rewritten)
-        rows = [r.asDict(recursive=True) for r in df.take(MAX_RESULT_ROWS)]
-        return StatementResult(s, rows=rows, rowcount=len(rows))
+        return self.spark.sql(rewritten)

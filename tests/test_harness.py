@@ -139,3 +139,14 @@ def test_view_lifecycle(engine):
     assert {r["viewName"] for r in shown} == {"big_v"}
     engine.execute("DROP VIEW big_v")
     assert engine._views() == {}
+
+
+def test_ctas_and_insert_select(engine):
+    """CTAS + INSERT INTO ... SELECT — derived-table lifecycle."""
+    engine.execute("CREATE TABLE src (id bigint, v double)")
+    engine.execute("INSERT INTO src VALUES (1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)")
+    engine.execute("CREATE TABLE evens AS SELECT id, v * 10 AS v10 FROM src WHERE id % 2 = 0")
+    rows = engine.execute("SELECT id, v10 FROM evens ORDER BY id")[0].rows
+    assert [(r["id"], r["v10"]) for r in rows] == [(2, 20.0), (4, 40.0)]
+    engine.execute("INSERT INTO evens SELECT id, v * 10 AS v10 FROM src WHERE id = 1")
+    assert engine.execute("SELECT COUNT(*) AS c FROM evens")[0].rows[0]["c"] == 3
