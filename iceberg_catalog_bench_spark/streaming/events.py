@@ -132,3 +132,81 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").alias("n_events"),
     )
+
+
+@register("streaming_sessionize_stateful")  # closed-session semantics → rows-only
+def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user sessionization with a 30-minute inactivity gap.
+
+    State = the user's open session (start, last_ts, count). Each
+    micro-batch merges new events into state, emits every session
+    CLOSED by a gap inside the batch, keeps the trailing open session
+    in state, and arms an event-time timeout at last_ts + gap; when
+    the watermark passes it, the timeout branch emits the session.
+    availableNow runs a final timer batch after the data, so emitted
+    sessions = all sessions except those ending inside the trailing
+    watermark window (max_ts - 2h) — exactly live-stream semantics,
+    which the test pins against batch session_window output. Only
+    users < 40 to bound state, mirroring sessionize_batch."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    GAP_S = 30 * 60
+    ev = _events_stream(spark, sf_dir).filter(F.col("user_id") < 40).withWatermark(
+        "ts", "2 hours"
+    )
+
+    def sessionize(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, cnt = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "session_start_s": [start],
+                 "session_end_s": [last], "n_events": [cnt]}
+            )
+            return
+        ts_list = []
+        for pdf in pdf_iter:
+            ts_list.extend((pdf["ts"].astype("int64") // 10**9).tolist())
+        ts_list.sort()
+        if state.exists:
+            start, last, cnt = state.get
+        else:
+            start = last = cnt = None
+        out = []
+        for t in ts_list:
+            if start is None:
+                start, last, cnt = t, t, 1
+            elif t - last > GAP_S:
+                out.append((user_id, start, last, cnt))
+                start, last, cnt = t, t, 1
+            else:
+                last, cnt = t, cnt + 1
+        if start is not None:
+            state.update((int(start), int(last), int(cnt)))
+            state.setTimeoutTimestamp((int(last) + GAP_S) * 1000)
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "session_start_s", "session_end_s", "n_events"]
+            )
+
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType="user_id bigint, session_start_s bigint, session_end_s bigint, n_events int",
+        stateStructType="start bigint, last bigint, cnt int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    name = f"stream_{uuid.uuid4().hex[:10]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

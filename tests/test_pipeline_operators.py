@@ -78,3 +78,46 @@ def test_pandas_udf_matches_jvm_quality_scores(spark, oracle_sf_dir):
     assert (jvm["n_tokens"].values == udf["n_tokens"].values).all()
     for c in ("avg_token_len", "stopword_ratio", "distinct_ratio"):
         assert (abs(jvm[c].values - udf[c].values) < 1e-9).all(), c
+
+
+def test_stateful_sessionize_matches_batch_closed_sessions(spark, oracle_sf_dir):
+    """applyInPandasWithState sessionization must agree with the batch
+    session_window operator on every CLOSED session (the availableNow
+    replay cannot fire the final timeout, so each user's last session
+    stays open — excluded from the comparison)."""
+    from iceberg_catalog_bench_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    stream = registry.QUERIES["streaming_sessionize_stateful"](spark, oracle_sf_dir)
+    got = {
+        (r["user_id"], r["session_start_s"], r["n_events"])
+        for r in stream.collect()
+    }
+
+    ev = load_table(spark, "events", oracle_sf_dir).filter(F.col("user_id") < 40)
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("sw.start")).alias("start_s"),
+            F.unix_timestamp(F.col("sw.end")).alias("end_s"),
+            "n_events",
+        )
+        .collect()
+    )
+    max_ts = ev.agg(F.max(F.unix_timestamp("ts"))).collect()[0][0]
+    # a session's event-time timeout (session end = last_ts + gap) fires
+    # once the final watermark (max event ts - 2h delay) passes it; at
+    # the exact boundary second the firing depends on sub-second
+    # watermark arithmetic, so assert the two-sided contract instead:
+    watermark_s = max_ts - 2 * 3600
+    all_sessions = {(r["user_id"], r["start_s"], r["n_events"]) for r in batch}
+    definitely_closed = {
+        (r["user_id"], r["start_s"], r["n_events"])
+        for r in batch
+        if r["end_s"] < watermark_s - 1
+    }
+    assert got <= all_sessions, f"fabricated sessions: {got - all_sessions}"
+    assert definitely_closed <= got, f"missing closed sessions: {definitely_closed - got}"
+    assert len(all_sessions) > len(definitely_closed), "fixture should leave sessions open"
