@@ -343,3 +343,60 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
         )
     )
+
+
+@register(
+    "stats_aggregates",
+    oracle=(
+        "SELECT l_returnflag, "
+        "ROUND(stddev_samp(l_extendedprice), 4) AS price_stddev, "
+        "ROUND(var_samp(l_quantity), 4) AS qty_var, "
+        "ROUND(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr, "
+        "ROUND(covar_samp(l_extendedprice, l_discount), 4) AS price_disc_covar, "
+        "ROUND(MIN(l_extendedprice), 2) AS min_price, "
+        "ROUND(MAX(l_extendedprice), 2) AS max_price "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+)
+def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate vocabulary: sample stddev/variance,
+    correlation, covariance, min/max — single-pass distributed moments
+    (partial aggregation map-side, exact merge)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_discount"), 4).alias("price_disc_covar"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "array_functions_suite",
+    oracle=(
+        "SELECT vec_id, len(embedding) AS dim, "
+        "ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 4) AS vec_sum, "
+        "ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'), 4) AS vec_max, "
+        "ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_dim "
+        "FROM embeddings WHERE vec_id < 50"
+    ),
+)
+def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column vocabulary over embeddings: size, element access,
+    and higher-order aggregate/max — all JVM built-ins (no UDF), the
+    primitives the similarity operators compose."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.expr("aggregate(embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE))"), 4
+        ).alias("vec_sum"),
+        F.round(
+            F.expr("aggregate(embedding, CAST(-1e300 AS DOUBLE), (acc, v) -> greatest(acc, CAST(v AS DOUBLE)))"),
+            4,
+        ).alias("vec_max"),
+        F.round(F.expr("CAST(embedding[0] AS DOUBLE)"), 4).alias("first_dim"),
+    )
