@@ -112,6 +112,23 @@ def main() -> None:
     results["expire_snapshots"] = timed(lambda: t.expire_snapshots(retain_last=2))
     shutil.rmtree(scratch, ignore_errors=True)
 
+    # Optional: the reference's synthetic-write phase at chosen scale
+    # (blob-dfs_bench.py:48-106 writes a generated table, not a copy).
+    synth_rows = int(os.environ.get("SPARK_GRAFT_BENCH_SYNTH_ROWS", "0"))
+    if synth_rows > 0:
+        from iceberg_catalog_bench_spark.sources.datagen import generate_tx_events
+
+        sdir = tempfile.mkdtemp(prefix="bench-synth-")
+        st = LakeTable.create(
+            spark, os.path.join(sdir, "tx"),
+            "user_id bigint, ts timestamp, amount double, city string, category string",
+            partition_by=["days(ts)", "bucket(16, user_id)"],
+        )
+        results["write_append_synth"] = timed(
+            lambda: st.append(generate_tx_events(spark, synth_rows))
+        )
+        shutil.rmtree(sdir, ignore_errors=True)
+
     # --- headline queries (median of 3, spec protocol) --------------------
     for name in HEADLINE:
         fn = registry.QUERIES.get(name)
