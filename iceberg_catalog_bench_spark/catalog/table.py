@@ -889,7 +889,12 @@ class LakeTable:
                 continue
             df = self._read_entries(grp, version)
             n_out = max(1, sum(e.bytes for e in grp) // target_file_size_bytes)
-            new_entries = self._write_files(df.coalesce(int(n_out)), cluster=False)
+            df = df.coalesce(int(n_out))
+            order = self._meta.get("sort_order") or []
+            if order:
+                # preserve WRITE ORDERED BY through compaction
+                df = df.sortWithinPartitions(*order)
+            new_entries = self._write_files(df, cluster=False)
             for e in new_entries:
                 e.partition = dict(key)
             rewritten_inputs.extend(grp)

@@ -131,6 +131,7 @@ class SqlEngine:
         head = s.split(None, 1)[0].lower() if s else ""
         handlers = {
             "create": self._create,
+            "truncate": self._truncate,
             "drop": self._drop,
             "alter": self._alter,
             "insert": self._insert,
@@ -314,6 +315,14 @@ class SqlEngine:
             return StatementResult(s, metadata={"op": "alter_column_type"})
         raise ValueError(f"unsupported ALTER statement: {s[:120]}")
 
+    def _truncate(self, s: str) -> StatementResult:
+        m = re.match(r"(?is)^truncate\s+table\s+(" + _IDENT + r")\s*$", s)
+        if not m:
+            raise ValueError(f"unsupported TRUNCATE: {s[:120]}")
+        t = self.table(m.group(1))
+        t.overwrite(self.spark.createDataFrame([], t.schema()))
+        return StatementResult(s, metadata={"op": "truncate"})
+
     def _describe(self, s: str) -> StatementResult:
         # D9: DESCRIBE TABLE (schema_evolution_sales_events.sql:12)
         m = re.match(r"(?is)^describe\s+(?:table\s+)?(" + _IDENT + r")\s*$", s)
@@ -403,13 +412,14 @@ class SqlEngine:
         )
 
     def _update(self, s: str) -> StatementResult:
-        # M3: UPDATE t SET a = expr[, ...] WHERE pred (update_sales_events.sql:3-5)
+        # M3: UPDATE t SET a = expr[, ...] [WHERE pred] (update_sales_events.sql:3-5)
         m = re.match(
-            r"(?is)^update\s+(" + _IDENT + r")\s+set\s+(.+?)\s+where\s+(.+)$", s
+            r"(?is)^update\s+(" + _IDENT + r")\s+set\s+(.+?)(?:\s+where\s+(.+))?$", s
         )
         if not m:
             raise ValueError(f"unsupported UPDATE: {s[:120]}")
         ident, sets, where = m.groups()
+        where = where or "true"
         set_exprs = {}
         for part in re.split(r",(?![^()]*\))", sets):
             col, _, expr = part.partition("=")
@@ -418,11 +428,11 @@ class SqlEngine:
         return StatementResult(s, rowcount=snap.summary.get("updated_rows"), metadata={"op": "update"})
 
     def _delete(self, s: str) -> StatementResult:
-        # M4: DELETE FROM t WHERE pred (delete_sales_events.sql:3-4)
-        m = re.match(r"(?is)^delete\s+from\s+(" + _IDENT + r")\s+where\s+(.+)$", s)
+        # M4: DELETE FROM t [WHERE pred] (delete_sales_events.sql:3-4)
+        m = re.match(r"(?is)^delete\s+from\s+(" + _IDENT + r")(?:\s+where\s+(.+))?$", s)
         if not m:
             raise ValueError(f"unsupported DELETE: {s[:120]}")
-        snap = self.table(m.group(1)).delete_where(m.group(2).strip())
+        snap = self.table(m.group(1)).delete_where((m.group(2) or "true").strip())
         return StatementResult(s, rowcount=snap.summary.get("deleted_rows"), metadata={"op": "delete"})
 
     def _merge(self, s: str) -> StatementResult:

@@ -233,3 +233,37 @@ def test_scan_prunes_and_matches_full_read(table):
     assert pruned == full == {1, 2, 3, 4}
     snap = table._snapshot()
     assert len(table._prune_files(snap.files, pred)) < len(snap.files)
+
+
+def test_dml_after_schema_evolution(table):
+    """CoW UPDATE/DELETE/MERGE must work across schema versions:
+    predicates over the current schema hit rows stored in
+    pre-evolution files (aligned on read, rewritten at the current
+    version)."""
+    table.add_column("channel", "string", default="web")
+    table.rename_column("sku", "product_sku")
+    # update rows that only exist in v0-schema files, keyed by renamed col
+    snap = table.update({"channel": "'updated'"}, "product_sku = 'sku-0002'")
+    assert snap.summary["updated_rows"] == 2
+    assert table.read().filter("channel = 'updated'").count() == 2
+    # delete via the new column's default
+    table.delete_where("channel = 'web' AND event_id = 1")
+    assert table.read().count() == 7
+    # rewritten files carry the current schema version
+    versions = {e.schema_version for e in table._snapshot().files}
+    assert max(versions) == table._meta["current_schema_version"]
+
+
+def test_full_table_dml_via_sql(spark, tmp_path):
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE ft (id bigint, v double)")
+    e.execute("INSERT INTO ft VALUES (1, 1.0), (2, 2.0)")
+    e.execute("UPDATE ft SET v = v + 1")  # no WHERE → all rows
+    assert {r["v"] for r in e.execute("SELECT v FROM ft")[0].rows} == {2.0, 3.0}
+    e.execute("TRUNCATE TABLE ft")
+    assert e.execute("SELECT COUNT(*) AS c FROM ft")[0].rows[0]["c"] == 0
+    e.execute("INSERT INTO ft VALUES (9, 9.0)")
+    e.execute("DELETE FROM ft")  # no WHERE → all rows
+    assert e.execute("SELECT COUNT(*) AS c FROM ft")[0].rows[0]["c"] == 0
