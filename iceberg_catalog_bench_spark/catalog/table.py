@@ -334,8 +334,8 @@ class LakeTable:
             writer = writer.partitionBy(*pcols)
         writer.parquet(out_dir)
 
-        entries: list[FileEntry] = []
         version = self._meta["current_schema_version"]
+        work: list[tuple[str, dict[str, str]]] = []
         for dirpath, _dirs, files in os.walk(out_dir):
             # partition values from hive-style dir components
             part_vals: dict[str, str] = {}
@@ -346,39 +346,48 @@ class LakeTable:
                         k, _, v = comp.partition("=")
                         part_vals[k] = v
             for fn in sorted(files):
-                if not fn.endswith(".parquet"):
-                    continue
-                fpath = os.path.join(dirpath, fn)
-                md = pq.ParquetFile(fpath).metadata
-                if md.num_rows == 0:
-                    continue
-                stats: dict[str, list] = {}
-                for ci in range(md.num_columns):
-                    col_name = md.schema.column(ci).name
+                if fn.endswith(".parquet"):
+                    work.append((os.path.join(dirpath, fn), part_vals))
+
+        def footer_entry(item: tuple[str, dict[str, str]]) -> FileEntry | None:
+            fpath, part_vals = item
+            md = pq.ParquetFile(fpath).metadata
+            if md.num_rows == 0:
+                return None
+            stats: dict[str, list] = {}
+            for ci in range(md.num_columns):
+                col_name = md.schema.column(ci).name
+                lo = hi = None
+                try:
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(ci).statistics
+                        if st is None or not st.has_min_max:
+                            lo = hi = None
+                            break
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                except Exception:
+                    # some physical types (e.g. INT96) expose no stats
                     lo = hi = None
-                    try:
-                        for rg in range(md.num_row_groups):
-                            st = md.row_group(rg).column(ci).statistics
-                            if st is None or not st.has_min_max:
-                                lo = hi = None
-                                break
-                            lo = st.min if lo is None else min(lo, st.min)
-                            hi = st.max if hi is None else max(hi, st.max)
-                    except Exception:
-                        # some physical types (e.g. INT96) expose no stats
-                        lo = hi = None
-                    if lo is not None:
-                        stats[col_name] = [_json_safe(lo), _json_safe(hi)]
-                entries.append(
-                    FileEntry(
-                        path=os.path.relpath(fpath, self.path),
-                        rows=md.num_rows,
-                        bytes=os.path.getsize(fpath),
-                        schema_version=version,
-                        stats=stats,
-                        partition=part_vals,
-                    )
-                )
+                if lo is not None:
+                    stats[col_name] = [_json_safe(lo), _json_safe(hi)]
+            return FileEntry(
+                path=os.path.relpath(fpath, self.path),
+                rows=md.num_rows,
+                bytes=os.path.getsize(fpath),
+                schema_version=version,
+                stats=stats,
+                partition=part_vals,
+            )
+
+        # footer reads are metadata-only but latency-bound; a fanout
+        # write produces hundreds of files, so collect stats in a
+        # thread pool (I/O-bound → threads suffice)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            entries = [e for e in pool.map(footer_entry, work) if e is not None]
+        entries.sort(key=lambda e: e.path)
         return entries
 
     def append(self, df: DataFrame) -> Snapshot:

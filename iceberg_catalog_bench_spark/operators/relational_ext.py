@@ -400,3 +400,19 @@ def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vec_max"),
         F.round(F.expr("CAST(embedding[0] AS DOUBLE)"), 4).alias("first_dim"),
     )
+
+
+@register(
+    "cube_aggregation",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+    ),
+)
+def cube_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations) in one pass."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

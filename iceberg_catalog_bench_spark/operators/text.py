@@ -186,3 +186,53 @@ def text_quality_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("q.stopword_ratio", 4).alias("stopword_ratio"),
         F.round("q.distinct_ratio", 4).alias("distinct_ratio"),
     )
+
+
+@register(
+    "pipeline_training_data",
+    oracle=(
+        "WITH scored AS ("
+        "  SELECT doc_id, text, lang, "
+        "  len(string_split(trim(text), ' ')) AS n_tokens, "
+        "  len(list_filter(string_split(trim(text), ' '), "
+        "      x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0 "
+        "      / len(string_split(trim(text), ' ')) AS stop_ratio, "
+        "  ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn "
+        "  FROM documents) "
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS kept_docs, "
+        "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens "
+        "FROM scored WHERE rn = 1 AND n_tokens >= 30 AND stop_ratio < 0.5 "
+        "GROUP BY lang"
+    ),
+)
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation pipeline as ONE declarative
+    plan: exact dedup (keep lowest doc_id per content hash) → quality
+    gate (>=30 tokens, stopword ratio < 0.5) → per-language corpus
+    stats. This is the composition the individual operators exist
+    for; Catalyst fuses the whole thing into dedup-window + filter +
+    aggregate with no intermediate materialization. At 100 TB each
+    stage stays distributed: the dedup window shuffles 16-byte
+    hashes, the filters are map-side, the final agg is tiny."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = _tokens()
+    n = F.size(toks)
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    stop_ratio = (
+        F.size(F.expr(f"filter(split(trim(text), ' '), x -> x IN ({stop_list}))")) / n
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        docs.select(
+            "doc_id", "lang", n.alias("n_tokens"), stop_ratio.alias("stop_ratio"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter((F.col("rn") == 1) & (F.col("n_tokens") >= 30) & (F.col("stop_ratio") < 0.5))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
