@@ -236,3 +236,26 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+@register(
+    "top_tokens",
+    oracle=(
+        "SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM ("
+        "SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents) "
+        "GROUP BY token ORDER BY freq DESC, token LIMIT 20"
+    ),
+)
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies via explode (generator) + count + top-20
+    — the vocabulary-building pass of a tokenizer pipeline. explode is
+    a generator (one pass, no join); the count shuffles (token, n)
+    pairs, never documents; top-20 is TakeOrderedAndProject."""
+    return (
+        load_table(spark, "documents", sf_dir)
+        .select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(20)
+    )
