@@ -227,30 +227,48 @@ class LakeTable:
 
     def _commit(self, op: str, files: list[FileEntry], summary: dict | None = None,
                 expected_parent: int | None = None) -> Snapshot:
-        """Optimistic commit: fail if another writer advanced the table
-        past the snapshot we planned against (reference spec `:83`,
-        concurrent writers / no lost commits)."""
-        current = self._meta.get("current_snapshot_id")
-        if expected_parent is not None or current is not None:
-            on_disk = json.load(open(os.path.join(self.path, _META_DIR, _META_FILE)))
+        """Optimistic commit under a filesystem lock: verify the table
+        has not advanced past the snapshot we planned against, then
+        publish atomically (reference spec `:83`, concurrent writers /
+        no lost commits). The O_EXCL lock file closes the
+        check-then-write race between concurrent committers; the
+        verify-against-on-disk raise is the optimistic-concurrency
+        conflict the caller retries."""
+        lock = os.path.join(self.path, _META_DIR, "commit.lock")
+        fd = None
+        for _ in range(500):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                time.sleep(0.01)
+        if fd is None:
+            raise TimeoutError(f"could not acquire commit lock {lock}")
+        try:
+            current = self._meta.get("current_snapshot_id")
+            with open(os.path.join(self.path, _META_DIR, _META_FILE)) as fh:
+                on_disk = json.load(fh)
             if on_disk.get("current_snapshot_id") != current:
                 raise CommitConflict(
                     f"table advanced: expected parent {current}, "
                     f"found {on_disk.get('current_snapshot_id')}"
                 )
-        snap = Snapshot(
-            snapshot_id=(current or 0) + 1,
-            parent_id=current,
-            timestamp_ms=int(time.time() * 1000),
-            operation=op,
-            schema_version=self._meta["current_schema_version"],
-            files=files,
-            summary=summary or {},
-        )
-        self._meta["snapshots"].append(snap.to_json())
-        self._meta["current_snapshot_id"] = snap.snapshot_id
-        self._write_meta()
-        return snap
+            snap = Snapshot(
+                snapshot_id=(current or 0) + 1,
+                parent_id=current,
+                timestamp_ms=int(time.time() * 1000),
+                operation=op,
+                schema_version=self._meta["current_schema_version"],
+                files=files,
+                summary=summary or {},
+            )
+            self._meta["snapshots"].append(snap.to_json())
+            self._meta["current_snapshot_id"] = snap.snapshot_id
+            self._write_meta()
+            return snap
+        finally:
+            os.close(fd)
+            os.remove(lock)
 
     def _snapshot(self, snapshot_id: int | None = None, as_of_ms: int | None = None) -> Snapshot | None:
         snaps = [Snapshot.from_json(s) for s in self._meta["snapshots"]]
@@ -390,16 +408,31 @@ class LakeTable:
         entries.sort(key=lambda e: e.path)
         return entries
 
-    def append(self, df: DataFrame) -> Snapshot:
+    def append(self, df: DataFrame, _retries: int = 5) -> Snapshot:
         """Bulk append — reference M1/M6 (`df.writeTo(t).append()`,
-        blob-dfs_bench.py:104-105)."""
+        blob-dfs_bench.py:104-105).
+
+        Appends auto-retry on commit conflicts (spec `:83`: concurrent
+        writers, no lost commits): the new data files are written once;
+        only the metadata commit re-bases onto the advanced snapshot —
+        safe because an append reads nothing, exactly Iceberg's
+        fast-append retry. Row-level ops (delete/update/merge) do NOT
+        auto-retry: their rewrites depend on the snapshot they read, so
+        the caller must reload and re-run."""
         new_files = self._write_files(df)
-        cur = self._snapshot() if self._meta["current_snapshot_id"] else None
-        base = list(cur.files) if cur else []
-        return self._commit(
-            "append", base + new_files, {"added_files": len(new_files),
-                                         "added_rows": sum(f.rows for f in new_files)}
-        )
+        for attempt in range(_retries + 1):
+            cur = self._snapshot() if self._meta["current_snapshot_id"] else None
+            base = list(cur.files) if cur else []
+            try:
+                return self._commit(
+                    "append", base + new_files,
+                    {"added_files": len(new_files),
+                     "added_rows": sum(f.rows for f in new_files)},
+                )
+            except CommitConflict:
+                if attempt == _retries:
+                    raise
+                self._reload()
 
     def overwrite(self, df: DataFrame) -> Snapshot:
         new_files = self._write_files(df)

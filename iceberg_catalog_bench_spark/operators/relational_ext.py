@@ -416,3 +416,48 @@ def cube_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register(
+    "join_skew_salted",
+    oracle=(
+        "SELECT e.event_type, "
+        "CAST(COUNT(*) AS BIGINT) AS event_cnt, "
+        "ROUND(SUM(e.value * w.weight), 2) AS weighted_value "
+        "FROM events e JOIN (VALUES "
+        "('click', 1.0), ('view', 0.5), ('purchase', 5.0), "
+        "('signup', 3.0), ('error', 0.0)) AS w(event_type, weight) "
+        "ON e.event_type = w.event_type GROUP BY e.event_type"
+    ),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join via key salting. event_type has 5 values
+    over the whole fact table — the worst-case skew for a shuffle
+    join (5 reducers own everything). The salting idiom: replicate
+    the small side SALT times, scatter the fact side across salts
+    with a deterministic hash, join on (key, salt) → every reducer
+    gets 1/SALT of each hot key. Results are salt-invariant, so the
+    oracle is the plain join. (With a dim this small you'd broadcast
+    — AQE's skew-join handles the mid-size case — but salting is the
+    tool when BOTH sides are too big to broadcast and one key
+    dominates; broadcast is disabled here to force the salted path.)
+    """
+    SALT = 8
+    weights = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 5.0), ("signup", 3.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    salted_dim = weights.crossJoin(
+        spark.range(SALT).select(F.col("id").cast("int").alias("salt"))
+    ).hint("shuffle_hash")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT)).cast("int")
+    )
+    return (
+        ev.join(salted_dim, ["event_type", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted_value"),
+        )
+    )

@@ -80,3 +80,36 @@ def test_conflict_then_reload_retry_succeeds(spark, tmp_path):
     writer_b.delete_where("id = 2")
     remaining = {r["id"] for r in LakeTable.load(spark, d).read().collect()}
     assert remaining == set(range(10)) - {1, 2}
+
+
+def test_concurrent_appends_no_lost_commits(spark, tmp_path):
+    """Spec :83 — concurrent appenders: every commit must land
+    (fast-append auto-retry re-bases new files onto the advanced
+    snapshot under the commit lock)."""
+    import threading
+
+    d = str(tmp_path / "t")
+    LakeTable.create(spark, d, "id bigint, writer int")
+    N_WRITERS, N_APPENDS = 4, 3
+    errors = []
+
+    def writer(w):
+        try:
+            handle = LakeTable.load(spark, d)
+            for i in range(N_APPENDS):
+                handle.append(
+                    spark.createDataFrame([(w * 100 + i, w)], "id bigint, writer int")
+                )
+                handle._reload()
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"writer {w}: {e}")
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(N_WRITERS)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    final = LakeTable.load(spark, d)
+    assert final.read().count() == N_WRITERS * N_APPENDS
+    assert final._snapshot().snapshot_id == N_WRITERS * N_APPENDS
