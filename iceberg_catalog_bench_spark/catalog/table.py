@@ -502,6 +502,48 @@ class LakeTable:
     def to_df(self) -> DataFrame:
         return self.read()
 
+    def incremental_read(self, from_snapshot_id: int, to_snapshot_id: int | None = None) -> DataFrame:
+        """Incremental (append-diff) read: rows in files added between
+        two snapshots — Iceberg's incremental scan
+        (``option("start-snapshot-id", ...)``), the CDC-style feed for
+        downstream consumers. Exact for append-only history; for
+        copy-on-write rewrites the rewritten files count as added
+        (same caveat as Iceberg's append-only incremental scan)."""
+        start = self._snapshot(from_snapshot_id)
+        end = self._snapshot(to_snapshot_id) if to_snapshot_id else self._snapshot()
+        start_paths = {e.path for e in start.files}
+        added = [e for e in end.files if e.path not in start_paths]
+        return self._read_entries(added, self._meta["current_schema_version"])
+
+    def rollback_to_snapshot(self, snapshot_id: int) -> Snapshot:
+        """CALL system.rollback_to_snapshot — restore an earlier
+        snapshot's file set as a NEW commit (history is preserved;
+        time travel to the undone snapshots still works)."""
+        target = self._snapshot(snapshot_id)
+        return self._commit(
+            "rollback", list(target.files), {"rolled_back_to": snapshot_id}
+        )
+
+    # -- tags (named snapshot refs, Iceberg v2 refs) -------------------------
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Tag a snapshot with a stable name (Iceberg ref): time travel
+        by meaning ('pre-migration') instead of by id."""
+        sid = snapshot_id if snapshot_id is not None else self._meta["current_snapshot_id"]
+        self._snapshot(sid)  # validate
+        self._meta.setdefault("refs", {})[name] = sid
+        self._write_meta()
+
+    def drop_tag(self, name: str) -> None:
+        del self._meta.setdefault("refs", {})[name]
+        self._write_meta()
+
+    def read_tag(self, name: str) -> DataFrame:
+        refs = self._meta.get("refs", {})
+        if name not in refs:
+            raise KeyError(f"no tag {name!r}; tags: {sorted(refs)}")
+        return self.read(snapshot_id=refs[name])
+
     def scan(self, where: str | None = None,
              snapshot_id: int | None = None, as_of_ms: int | None = None) -> DataFrame:
         """Pruned read: manifest-level (file-stats) pruning before the

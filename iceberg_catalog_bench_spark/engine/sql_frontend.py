@@ -283,6 +283,22 @@ class SqlEngine:
             self.table(m.group(1))._reload()
             return StatementResult(s, metadata={"op": "refresh"})
 
+        # tags: ALTER TABLE t CREATE TAG name [AS OF VERSION n] / DROP TAG
+        m = re.match(
+            r"(?is)^alter\s+table\s+(" + _IDENT + r")\s+create\s+tag\s+(\w+)"
+            r"(?:\s+as\s+of\s+version\s+(\d+))?\s*$", s
+        )
+        if m:
+            ident, tag, ver = m.groups()
+            self.table(ident).create_tag(tag, int(ver) if ver else None)
+            return StatementResult(s, metadata={"op": "create_tag"})
+        m = re.match(
+            r"(?is)^alter\s+table\s+(" + _IDENT + r")\s+drop\s+tag\s+(\w+)\s*$", s
+        )
+        if m:
+            self.table(m.group(1)).drop_tag(m.group(2))
+            return StatementResult(s, metadata={"op": "drop_tag"})
+
         # D6: ALTER TABLE ADD COLUMN [..] DEFAULT (schema_evolution_sales_events.sql:3-4)
         m = re.match(
             r"(?is)^alter\s+table\s+(" + _IDENT + r")\s+add\s+columns?\s*\(?\s*"
@@ -541,6 +557,10 @@ class SqlEngine:
             res = t.expire_snapshots(retain_last=int(kwargs.get("retain_last", 2)))
         elif proc == "remove_orphan_files":
             res = t.remove_orphan_files()
+        elif proc == "rollback_to_snapshot":
+            snap = t.rollback_to_snapshot(int(kwargs["snapshot_id"]))
+            res = {"previous_snapshot_id": snap.parent_id,
+                   "current_snapshot_id": snap.snapshot_id}
         else:
             raise ValueError(f"unknown procedure {proc}")
         return StatementResult(s, rows=[res], rowcount=1, metadata={"op": proc})
@@ -549,7 +569,8 @@ class SqlEngine:
 
     _TRAVEL_RE = re.compile(
         r"(?is)(" + _IDENT + r")"
-        r"(\s+version\s+as\s+of\s+(\d+)|\s+timestamp\s+as\s+of\s+'([^']+)')?"
+        r"(\s+version\s+as\s+of\s+(?:(\d+)|'(?:tag:)?([^']+)')"
+        r"|\s+timestamp\s+as\s+of\s+'([^']+)')?"
     )
 
     def _select(self, s: str) -> StatementResult:
@@ -581,7 +602,9 @@ class SqlEngine:
 
         def repl(m: re.Match) -> str:
             nonlocal view_n
-            token, _travel, version, ts = m.group(1), m.group(2), m.group(3), m.group(4)
+            token, _travel, version, tag, ts = (
+                m.group(1), m.group(2), m.group(3), m.group(4), m.group(5),
+            )
             base, meta_suffix = token, None
             for sfx in (".snapshots", ".files", ".history"):
                 if token.lower().endswith(sfx):
@@ -598,6 +621,8 @@ class SqlEngine:
                 t = self.table(token)
                 if version is not None:
                     df = t.read(snapshot_id=int(version))
+                elif tag is not None:
+                    df = t.read_tag(tag)
                 elif ts is not None:
                     import datetime as dt
 

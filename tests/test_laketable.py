@@ -267,3 +267,54 @@ def test_full_table_dml_via_sql(spark, tmp_path):
     e.execute("INSERT INTO ft VALUES (9, 9.0)")
     e.execute("DELETE FROM ft")  # no WHERE → all rows
     assert e.execute("SELECT COUNT(*) AS c FROM ft")[0].rows[0]["c"] == 0
+
+
+def test_incremental_read(spark, table):
+    """Append-diff incremental scan between snapshots."""
+    s1 = table._snapshot().snapshot_id
+    table.insert_rows([
+        (300, 10, _ts("2024-05-01 00:00:00"), "sku-i", 1, Decimal("2.00"),
+         "US", dt.date(2024, 5, 1)),
+        (301, 11, _ts("2024-05-01 01:00:00"), "sku-i", 2, Decimal("2.00"),
+         "US", dt.date(2024, 5, 1)),
+    ])
+    s2 = table._snapshot().snapshot_id
+    inc = table.incremental_read(s1, s2)
+    assert {r["event_id"] for r in inc.collect()} == {300, 301}
+    # full incremental from baseline to current == everything added since
+    table.insert_rows([
+        (302, 12, _ts("2024-05-02 00:00:00"), "sku-i", 3, Decimal("2.00"),
+         "US", dt.date(2024, 5, 2)),
+    ])
+    inc2 = table.incremental_read(s1)
+    assert {r["event_id"] for r in inc2.collect()} == {300, 301, 302}
+
+
+def test_rollback_and_tags(spark, table):
+    baseline = table._snapshot().snapshot_id
+    table.create_tag("baseline")
+    table.delete_where("event_id <= 4")
+    assert table.read().count() == 4
+    # tag read sees the pre-delete state
+    assert table.read_tag("baseline").count() == 8
+    # rollback restores the file set as a new commit
+    snap = table.rollback_to_snapshot(baseline)
+    assert snap.operation == "rollback"
+    assert table.read().count() == 8
+    # history preserved: the deleted state is still time-travelable
+    assert table.read(snapshot_id=snap.parent_id).count() == 4
+
+
+def test_tags_and_rollback_via_sql(spark, tmp_path):
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE rt (id bigint)")
+    e.execute("INSERT INTO rt VALUES (1), (2), (3)")
+    e.execute("ALTER TABLE rt CREATE TAG before_delete")
+    e.execute("DELETE FROM rt WHERE id = 3")
+    rows = e.execute("SELECT COUNT(*) AS c FROM rt VERSION AS OF 'before_delete'")[0].rows
+    assert rows[0]["c"] == 3
+    res = e.execute("CALL system.rollback_to_snapshot(table => 'rt', snapshot_id => 1)")[0]
+    assert res.rows[0]["current_snapshot_id"] == 3
+    assert e.execute("SELECT COUNT(*) AS c FROM rt")[0].rows[0]["c"] == 3
