@@ -461,3 +461,35 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted_value"),
         )
     )
+
+
+@register(
+    "distinct_users_exact",
+    oracle=(
+        "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users "
+        "FROM events GROUP BY event_type"
+    ),
+)
+def distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group — expands to a two-phase
+    aggregate (dedup shuffle then count). The correctness baseline for
+    the HLL variant below."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("distinct_users"))
+    )
+
+
+@register("distinct_users_approx")  # HLL sketches differ across engines
+def distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): single-pass, mergeable,
+    fixed-size sketch — at 100 TB this replaces the exact two-phase
+    dedup (whose shuffle carries every distinct key). Default rsd 5%;
+    rows-only check (HLL implementations differ across engines), with
+    the exact twin above as the in-repo accuracy reference."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("distinct_users"))
+    )

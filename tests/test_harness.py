@@ -150,3 +150,17 @@ def test_ctas_and_insert_select(engine):
     assert [(r["id"], r["v10"]) for r in rows] == [(2, 20.0), (4, 40.0)]
     engine.execute("INSERT INTO evens SELECT id, v * 10 AS v10 FROM src WHERE id = 1")
     assert engine.execute("SELECT COUNT(*) AS c FROM evens")[0].rows[0]["c"] == 3
+
+
+def test_unsupported_statements_raise_clearly(engine):
+    """Unparseable statements fail loudly with the statement echoed —
+    never silently skipped (step isolation happens in the runner)."""
+    engine.execute("CREATE TABLE errt (id bigint)")
+    for bad in (
+        "GRANT SELECT ON errt TO someone",
+        "ALTER TABLE errt SET SOMETHING weird",
+        "MERGE INTO errt USING x ON bad syntax",
+    ):
+        with pytest.raises(Exception) as ei:
+            engine.execute(bad)
+        assert bad.split()[0].lower() in str(ei.value).lower() or "unsupported" in str(ei.value).lower()
