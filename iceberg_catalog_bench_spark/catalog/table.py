@@ -335,8 +335,9 @@ class LakeTable:
         spec = self.partition_spec if cluster else []
         pcols: list[str] = []
         if spec:
-            for i, t in enumerate(spec):
-                name = f"_p{i}_{t.name}_{t.column}"
+            for t in spec:
+                # index-free key: stable across partition-spec evolution
+                name = f"_p_{t.name}_{t.column}"
                 df = df.withColumn(name, transform_expr(t).cast("string"))
                 pcols.append(name)
             # co-locate each partition value in one task → one file per
@@ -624,7 +625,7 @@ class LakeTable:
             return entries
 
         spec = self.partition_spec
-        pkeys = {t.column: (f"_p{i}_{t.name}_{t.column}", t) for i, t in enumerate(spec)}
+        pkeys = {t.column: (f"_p_{t.name}_{t.column}", t) for t in spec}
 
         def partition_may_match(e: FileEntry) -> bool:
             for col, op, val in preds:
@@ -902,6 +903,32 @@ class LakeTable:
         if len(fields) == len(self._fields()):
             raise KeyError(name)
         self._new_schema_version(fields)
+
+    # -- partition-spec evolution (Iceberg spec evolution) -------------------
+
+    def add_partition_field(self, transform: str) -> None:
+        """ALTER TABLE ... ADD PARTITION FIELD — Iceberg partition-spec
+        evolution: future writes cluster by the new spec; existing
+        files keep their old per-file partition values (pruning reads
+        partition values per FileEntry, so both generations prune
+        under whichever keys they actually have). No data rewrite."""
+        spec = self._meta["partition_spec"]
+        new = parse_spec([transform])[0]
+        if any(Transform.from_json(t) == new for t in spec):
+            raise ValueError(f"partition field {transform} already present")
+        spec.append(new.to_json())
+        self._write_meta()
+
+    def drop_partition_field(self, transform: str) -> None:
+        target = parse_spec([transform])[0]
+        before = len(self._meta["partition_spec"])
+        self._meta["partition_spec"] = [
+            t for t in self._meta["partition_spec"]
+            if Transform.from_json(t) != target
+        ]
+        if len(self._meta["partition_spec"]) == before:
+            raise KeyError(transform)
+        self._write_meta()
 
     # -- metadata tables (reference T1/T4/T5) --------------------------------
 

@@ -283,6 +283,19 @@ class SqlEngine:
             self.table(m.group(1))._reload()
             return StatementResult(s, metadata={"op": "refresh"})
 
+        # partition-spec evolution: ALTER TABLE t ADD/DROP PARTITION FIELD
+        m = re.match(
+            r"(?is)^alter\s+table\s+(" + _IDENT + r")\s+(add|drop)\s+partition\s+field\s+(.+?)\s*$", s
+        )
+        if m:
+            ident, action, transform = m.groups()
+            t = self.table(ident)
+            if action.lower() == "add":
+                t.add_partition_field(transform)
+            else:
+                t.drop_partition_field(transform)
+            return StatementResult(s, metadata={"op": f"{action.lower()}_partition_field"})
+
         # tags: ALTER TABLE t CREATE TAG name [AS OF VERSION n] / DROP TAG
         m = re.match(
             r"(?is)^alter\s+table\s+(" + _IDENT + r")\s+create\s+tag\s+(\w+)"

@@ -318,3 +318,54 @@ def test_tags_and_rollback_via_sql(spark, tmp_path):
     res = e.execute("CALL system.rollback_to_snapshot(table => 'rt', snapshot_id => 1)")[0]
     assert res.rows[0]["current_snapshot_id"] == 3
     assert e.execute("SELECT COUNT(*) AS c FROM rt")[0].rows[0]["c"] == 3
+
+
+def test_partition_spec_evolution(spark, tmp_path):
+    """Iceberg spec evolution: change partitioning without rewriting
+    data. Old files keep their old partition values; both generations
+    prune under the keys they actually carry."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "pe"),
+        "id bigint, ts timestamp, grp int",
+        partition_by=["days(ts)"],
+    )
+    t.append(spark.createDataFrame(
+        [(i, _ts(f"2024-01-0{1 + i % 3} 00:00:00"), i % 5) for i in range(30)],
+        "id bigint, ts timestamp, grp int",
+    ))
+    t.add_partition_field("bucket(4, grp)")
+    t.append(spark.createDataFrame(
+        [(100 + i, _ts(f"2024-02-0{1 + i % 3} 00:00:00"), i % 5) for i in range(30)],
+        "id bigint, ts timestamp, grp int",
+    ))
+    assert t.read().count() == 60
+    snap = t._snapshot()
+    gen1 = [e for e in snap.files if "_p_bucket_grp" not in e.partition]
+    gen2 = [e for e in snap.files if "_p_bucket_grp" in e.partition]
+    assert gen1 and gen2, "both partition-spec generations should coexist"
+    # days-pruning still works across generations
+    pruned = t._prune_files(snap.files, "ts >= '2024-02-01 00:00:00'")
+    assert len(pruned) < len(snap.files)
+    assert t.scan("ts >= '2024-02-01 00:00:00'").count() == 30
+    # dropping the field reverts future writes
+    t.drop_partition_field("days(ts)")
+    assert [tr.name for tr in t.partition_spec] == ["bucket"]
+
+
+def test_null_partition_values_roundtrip(spark, tmp_path):
+    """Rows with NULL partition-source values land in the hive default
+    partition and read back correctly; predicate pruning never loses
+    them for predicates nulls can't match anyway."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "np"), "id bigint, ts timestamp",
+        partition_by=["days(ts)"],
+    )
+    t.append(spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00")), (2, None), (3, None)],
+        "id bigint, ts timestamp",
+    ))
+    assert t.read().count() == 3
+    assert t.read().filter("ts IS NULL").count() == 2
+    # scan with a ts predicate: null rows can't match → dropping their
+    # file is correct, and the non-null row survives
+    assert {r["id"] for r in t.scan("ts >= '2024-01-01 00:00:00'").collect()} == {1}
