@@ -36,7 +36,9 @@ import os
 import re
 import shutil
 import time
+import urllib.parse
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -49,6 +51,7 @@ from .transforms import Transform, parse_spec, transform_expr
 _META_DIR = "_meta"
 _META_FILE = "metadata.json"
 _DATA_DIR = "data"
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
 # ---------------------------------------------------------------------------
@@ -133,16 +136,49 @@ class Snapshot:
 
 
 def _json_safe(v: Any) -> Any:
-    """Make a parquet-footer stat value JSON-serializable but comparable."""
+    """Make a parquet-footer stat value JSON-serializable but comparable.
+
+    Timestamps serialize with a SPACE separator ('2024-01-05 12:00:00')
+    — the form SQL literals use — so string comparison against predicate
+    literals orders correctly. The ISO default 'T' separator sorts AFTER
+    ' ', which made same-day range predicates wrongly prune files (a
+    file containing the exact matching row looked out-of-range)."""
     import datetime
     import decimal
 
-    if isinstance(v, (datetime.datetime, datetime.date)):
+    if isinstance(v, datetime.datetime):
+        # tz-aware (parquet isAdjustedToUTC) → naive UTC, so the string
+        # carries no '+00:00' suffix that would break ordering against
+        # a plain literal
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, decimal.Decimal):
         return str(v)
     if isinstance(v, bytes):
         return None
+    return v
+
+
+_ISO_TS = re.compile(r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}")
+
+
+def _norm_stat(v: Any) -> Any:
+    """Normalize ISO timestamp strings — 'T' separator, tz offsets —
+    to the naive-UTC SQL-literal space form so stats written by older
+    metadata (or 'T'-form predicate literals) still compare correctly."""
+    import datetime
+
+    if isinstance(v, str) and _ISO_TS.match(v):
+        try:
+            d = datetime.datetime.fromisoformat(v)
+        except ValueError:
+            return v
+        if d.tzinfo is not None:
+            d = d.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return d.isoformat(sep=" ")
     return v
 
 
@@ -225,15 +261,9 @@ class LakeTable:
         with open(os.path.join(self.path, _META_DIR, _META_FILE)) as fh:
             self._meta = json.load(fh)
 
-    def _commit(self, op: str, files: list[FileEntry], summary: dict | None = None,
-                expected_parent: int | None = None) -> Snapshot:
-        """Optimistic commit under a filesystem lock: verify the table
-        has not advanced past the snapshot we planned against, then
-        publish atomically (reference spec `:83`, concurrent writers /
-        no lost commits). The O_EXCL lock file closes the
-        check-then-write race between concurrent committers; the
-        verify-against-on-disk raise is the optimistic-concurrency
-        conflict the caller retries."""
+    @contextmanager
+    def _commit_lock(self):
+        """O_EXCL filesystem lock serializing metadata writers."""
         lock = os.path.join(self.path, _META_DIR, "commit.lock")
         fd = None
         for _ in range(500):
@@ -245,6 +275,33 @@ class LakeTable:
         if fd is None:
             raise TimeoutError(f"could not acquire commit lock {lock}")
         try:
+            yield
+        finally:
+            os.close(fd)
+            os.remove(lock)
+
+    def _locked_meta_mutation(self, mutate) -> None:
+        """Locked read-modify-write for non-snapshot metadata (schema
+        evolution, partition-spec evolution, tags, expiry): reload the
+        on-disk state under the commit lock, apply ``mutate()`` against
+        it, publish. A handle holding stale ``_meta`` therefore cannot
+        clobber snapshots committed concurrently by another writer —
+        the same lost-commit protection ``_commit`` has."""
+        with self._commit_lock():
+            self._reload()
+            mutate()
+            self._write_meta()
+
+    def _commit(self, op: str, files: list[FileEntry], summary: dict | None = None,
+                expected_parent: int | None = None) -> Snapshot:
+        """Optimistic commit under a filesystem lock: verify the table
+        has not advanced past the snapshot we planned against, then
+        publish atomically (reference spec `:83`, concurrent writers /
+        no lost commits). The O_EXCL lock file closes the
+        check-then-write race between concurrent committers; the
+        verify-against-on-disk raise is the optimistic-concurrency
+        conflict the caller retries."""
+        with self._commit_lock():
             current = self._meta.get("current_snapshot_id")
             with open(os.path.join(self.path, _META_DIR, _META_FILE)) as fh:
                 on_disk = json.load(fh)
@@ -266,9 +323,6 @@ class LakeTable:
             self._meta["current_snapshot_id"] = snap.snapshot_id
             self._write_meta()
             return snap
-        finally:
-            os.close(fd)
-            os.remove(lock)
 
     def _snapshot(self, snapshot_id: int | None = None, as_of_ms: int | None = None) -> Snapshot | None:
         snaps = [Snapshot.from_json(s) for s in self._meta["snapshots"]]
@@ -363,7 +417,15 @@ class LakeTable:
                 for comp in rel_dir.split(os.sep):
                     if "=" in comp:
                         k, _, v = comp.partition("=")
-                        part_vals[k] = v
+                        # Spark percent-escapes dir values (':'→'%3A');
+                        # store the UNESCAPED value so equality pruning
+                        # compares like with like (_transform_value
+                        # computes unescaped values). The hive null
+                        # marker stays as-is — pruning treats it as an
+                        # explicit null sentinel.
+                        part_vals[k] = (
+                            v if v == _HIVE_NULL else urllib.parse.unquote(v)
+                        )
             for fn in sorted(files):
                 if fn.endswith(".parquet"):
                     work.append((os.path.join(dirpath, fn), part_vals))
@@ -532,12 +594,15 @@ class LakeTable:
         by meaning ('pre-migration') instead of by id."""
         sid = snapshot_id if snapshot_id is not None else self._meta["current_snapshot_id"]
         self._snapshot(sid)  # validate
-        self._meta.setdefault("refs", {})[name] = sid
-        self._write_meta()
+        self._locked_meta_mutation(
+            lambda: self._meta.setdefault("refs", {}).__setitem__(name, sid)
+        )
 
     def drop_tag(self, name: str) -> None:
-        del self._meta.setdefault("refs", {})[name]
-        self._write_meta()
+        def mutate():
+            del self._meta.setdefault("refs", {})[name]
+
+        self._locked_meta_mutation(mutate)
 
     def read_tag(self, name: str) -> DataFrame:
         refs = self._meta.get("refs", {})
@@ -635,7 +700,12 @@ class LakeTable:
                 pkey, t = hit
                 pval = e.partition.get(pkey)
                 if pval is None:
-                    continue
+                    continue  # file predates this spec field — keep
+                if pval == _HIVE_NULL:
+                    # file holds only rows whose transform source is
+                    # NULL; a simple comparison on that column can never
+                    # be true for NULL → drop the file
+                    return False
                 sval = str(val)
                 if t.name == "days":
                     day = sval[:10]  # ISO prefix of the literal
@@ -652,11 +722,12 @@ class LakeTable:
             return True
 
         def stats_may_match(e: FileEntry) -> bool:
-            for col, op, val in preds:
+            for col, op, raw_val in preds:
                 rng = e.stats.get(col)
                 if not rng:
                     continue
-                lo, hi = rng
+                lo, hi = _norm_stat(rng[0]), _norm_stat(rng[1])
+                val = _norm_stat(raw_val)
                 try:
                     if op in ("=", "=="):
                         if val < lo or val > hi:
@@ -675,23 +746,25 @@ class LakeTable:
 
         return [e for e in entries if partition_may_match(e) and stats_may_match(e)]
 
-    def _affected_files(self, snap: Snapshot, where: str) -> list[FileEntry]:
-        """Exact set of files containing rows matching ``where``:
-        stats-prune first (no I/O), then probe survivors with a pushed
-        filter + `_metadata.file_path` projection."""
+    def _affected_files(self, snap: Snapshot, where: str) -> tuple[list[FileEntry], int]:
+        """(files containing rows matching ``where``, total matching
+        rows): stats-prune first (no I/O), then probe survivors with a
+        pushed filter + `_metadata.file_path` projection. The per-file
+        match counts ride along in the same probe job, so callers never
+        need a second read to report affected-row stats."""
         candidates = self._prune_files(snap.files, where)
         if not candidates:
-            return []
+            return [], 0
         probe = self._read_entries(candidates, self._meta["current_schema_version"], with_file_path=True)
-        hit_paths = {
-            r["_lake_file"]
-            for r in probe.filter(F.expr(where)).select("_lake_file").distinct().collect()
-        }
-        norm_hits = {_strip_scheme(p) for p in hit_paths}
-        return [
+        per_file = (
+            probe.filter(F.expr(where)).groupBy("_lake_file").count().collect()
+        )
+        norm_hits = {_strip_scheme(r["_lake_file"]): r["count"] for r in per_file}
+        affected = [
             e for e in candidates
             if os.path.join(self.path, e.path) in norm_hits
         ]
+        return affected, sum(norm_hits.values())
 
     # -- row-level ops (copy-on-write) ---------------------------------------
 
@@ -702,7 +775,7 @@ class LakeTable:
         snap = self._snapshot()
         if snap is None:
             raise ValueError("delete on empty table")
-        affected = self._affected_files(snap, where)
+        affected, _ = self._affected_files(snap, where)
         if not affected:
             return self._commit("delete", snap.files, {"deleted_rows": 0})
         keep = [e for e in snap.files if e not in affected]
@@ -724,7 +797,7 @@ class LakeTable:
         snap = self._snapshot()
         if snap is None:
             raise ValueError("update on empty table")
-        affected = self._affected_files(snap, where)
+        affected, n_updated = self._affected_files(snap, where)
         if not affected:
             return self._commit("update", snap.files, {"updated_rows": 0})
         keep = [e for e in snap.files if e not in affected]
@@ -740,7 +813,8 @@ class LakeTable:
                 )
             else:
                 out_cols.append(F.col(f.name))
-        n_updated = df.filter(cond).count()
+        # updated_rows came from the _affected_files probe — no second
+        # read of the affected files just for the stat.
         rewritten = self._write_files(df.select(*out_cols))
         return self._commit(
             "update", keep + rewritten,
@@ -781,31 +855,53 @@ class LakeTable:
             *[F.col(c).alias(f"src_{c}") for c in source.columns],
             F.lit(True).alias("_src_match"),
         ).cache()
+        # One materialization of the cached source yields everything we
+        # need driver-side: row count (broadcast decision) and key
+        # cardinality (MERGE's multiple-matching-rows check).
+        key_cols = [F.col(f"src_{k}") for k in on]
+        nonnull = key_cols[0].isNotNull()
+        for c in key_cols[1:]:
+            nonnull = nonnull & c.isNotNull()
+        stats = src.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(nonnull, 1)).alias("n_keyed"),
+            F.countDistinct(*key_cols).alias("n_distinct"),
+        ).first()
+        src_rows = stats["n"]
+        if stats["n_distinct"] < stats["n_keyed"]:
+            # Iceberg/Spark MERGE raises when a target row can match
+            # more than one source row; duplicate source keys guarantee
+            # it. (NULL keys never equality-match, so they're exempt.)
+            src.unpersist()
+            raise ValueError(
+                "MERGE source has duplicate join keys "
+                f"({stats['n_keyed'] - stats['n_distinct']} extra rows); "
+                "a target row would match multiple source rows"
+            )
         # Broadcast the source only while it's dimension-sized; a
         # corpus-scale MERGE source must shuffle-join or the broadcast
         # OOMs the executors. (Iceberg's MERGE makes the same choice via
         # Spark's join planning.)
-        src_rows = src.count()
         src_for_join = F.broadcast(src) if src_rows <= 1_000_000 else src
 
-        # 1. which target files contain matched keys?
+        # 1. which target files contain matched keys — and how many
+        # matching rows each holds (same probe job, no re-read later)
         keys_probe = self._read_entries(snap.files, self._meta["current_schema_version"], with_file_path=True)
         join_cond = None
         for k in on:
             c = keys_probe[k] == src[f"src_{k}"]
             join_cond = c if join_cond is None else (join_cond & c)
-        hit_paths = {
-            r["_lake_file"]
-            for r in keys_probe.join(src_for_join, join_cond, "inner")
-            .select("_lake_file").distinct().collect()
-        }
-        norm = {_strip_scheme(p) for p in hit_paths}
+        per_file = (
+            keys_probe.join(src_for_join, join_cond, "inner")
+            .groupBy("_lake_file").count().collect()
+        )
+        norm = {_strip_scheme(r["_lake_file"]) for r in per_file}
+        matched_rows = sum(r["count"] for r in per_file)
         affected = [e for e in snap.files if os.path.join(self.path, e.path) in norm]
         keep = [e for e in snap.files if e not in affected]
 
         # 2. rewrite affected files with matched actions applied
         rewritten: list[FileEntry] = []
-        matched_rows = 0
         if affected:
             tgt = self._read_entries(affected, self._meta["current_schema_version"])
             cond = None
@@ -831,7 +927,6 @@ class LakeTable:
                     )
                 else:
                     out_cols.append(F.col(f.name))
-            matched_rows = joined.filter(matched).count()
             rewritten = self._write_files(joined.select(*out_cols))
 
         # 3. not-matched inserts: source anti-join target keys
@@ -849,60 +944,75 @@ class LakeTable:
             if new_rows.columns:
                 inserted = self._write_files(new_rows)
 
-        return self._commit(
+        snap_out = self._commit(
             "merge", keep + rewritten + inserted,
             {"matched_rows": matched_rows,
              "inserted_rows": sum(e.rows for e in inserted),
              "rewritten_files": len(affected)},
         )
+        src.unpersist()
+        return snap_out
 
     # -- schema evolution (reference D6-D8) ----------------------------------
 
-    def _new_schema_version(self, fields: list[Field]) -> None:
+    def _bump_schema(self, fields: list[Field]) -> None:
+        """Record a new schema version in _meta (no write — callers run
+        this inside ``_locked_meta_mutation``)."""
         v = self._meta["current_schema_version"] + 1
         self._meta["schemas"][str(v)] = [f.to_json() for f in fields]
         self._meta["current_schema_version"] = v
-        self._write_meta()
 
     def add_column(self, name: str, type_: str, default: Any = None) -> None:
         """ALTER TABLE ADD COLUMN ... DEFAULT — reference D6
         (`schema_evolution_sales_events.sql:3-4`). Metadata-only: old
         files never rewritten; reads fill the default."""
-        fields = self._fields()
-        if any(f.name == name for f in fields):
-            raise ValueError(f"column {name} exists")
-        fid = self._meta["next_field_id"]
-        self._meta["next_field_id"] = fid + 1
-        fields.append(Field(fid, name, type_, default))
-        self._new_schema_version(fields)
+        def mutate():
+            fields = self._fields()
+            if any(f.name == name for f in fields):
+                raise ValueError(f"column {name} exists")
+            fid = self._meta["next_field_id"]
+            self._meta["next_field_id"] = fid + 1
+            fields.append(Field(fid, name, type_, default))
+            self._bump_schema(fields)
+
+        self._locked_meta_mutation(mutate)
 
     def rename_column(self, old: str, new: str) -> None:
         """ALTER TABLE RENAME COLUMN — reference D7 (sku → product_sku).
         Field-id mapping keeps old files readable without rewrite."""
-        fields = self._fields()
-        for f in fields:
-            if f.name == old:
-                f.name = new
-                self._new_schema_version(fields)
-                return
-        raise KeyError(old)
+        def mutate():
+            fields = self._fields()
+            for f in fields:
+                if f.name == old:
+                    f.name = new
+                    self._bump_schema(fields)
+                    return
+            raise KeyError(old)
+
+        self._locked_meta_mutation(mutate)
 
     def alter_column_type(self, name: str, new_type: str) -> None:
         """ALTER COLUMN TYPE (widening) — reference D8 (int → bigint,
         decimal widening). Old files cast on read."""
-        fields = self._fields()
-        for f in fields:
-            if f.name == name:
-                f.type = new_type
-                self._new_schema_version(fields)
-                return
-        raise KeyError(name)
+        def mutate():
+            fields = self._fields()
+            for f in fields:
+                if f.name == name:
+                    f.type = new_type
+                    self._bump_schema(fields)
+                    return
+            raise KeyError(name)
+
+        self._locked_meta_mutation(mutate)
 
     def drop_column(self, name: str) -> None:
-        fields = [f for f in self._fields() if f.name != name]
-        if len(fields) == len(self._fields()):
-            raise KeyError(name)
-        self._new_schema_version(fields)
+        def mutate():
+            fields = [f for f in self._fields() if f.name != name]
+            if len(fields) == len(self._fields()):
+                raise KeyError(name)
+            self._bump_schema(fields)
+
+        self._locked_meta_mutation(mutate)
 
     # -- partition-spec evolution (Iceberg spec evolution) -------------------
 
@@ -912,23 +1022,29 @@ class LakeTable:
         files keep their old per-file partition values (pruning reads
         partition values per FileEntry, so both generations prune
         under whichever keys they actually have). No data rewrite."""
-        spec = self._meta["partition_spec"]
         new = parse_spec([transform])[0]
-        if any(Transform.from_json(t) == new for t in spec):
-            raise ValueError(f"partition field {transform} already present")
-        spec.append(new.to_json())
-        self._write_meta()
+
+        def mutate():
+            spec = self._meta["partition_spec"]
+            if any(Transform.from_json(t) == new for t in spec):
+                raise ValueError(f"partition field {transform} already present")
+            spec.append(new.to_json())
+
+        self._locked_meta_mutation(mutate)
 
     def drop_partition_field(self, transform: str) -> None:
         target = parse_spec([transform])[0]
-        before = len(self._meta["partition_spec"])
-        self._meta["partition_spec"] = [
-            t for t in self._meta["partition_spec"]
-            if Transform.from_json(t) != target
-        ]
-        if len(self._meta["partition_spec"]) == before:
-            raise KeyError(transform)
-        self._write_meta()
+
+        def mutate():
+            before = len(self._meta["partition_spec"])
+            self._meta["partition_spec"] = [
+                t for t in self._meta["partition_spec"]
+                if Transform.from_json(t) != target
+            ]
+            if len(self._meta["partition_spec"]) == before:
+                raise KeyError(transform)
+
+        self._locked_meta_mutation(mutate)
 
     # -- metadata tables (reference T1/T4/T5) --------------------------------
 
@@ -1034,26 +1150,37 @@ class LakeTable:
     def expire_snapshots(self, retain_last: int = 2) -> dict:
         """CALL system.expire_snapshots(retain_last=>n) — reference P3
         (`blob-dfs_bench.py:152-155`). Drops old snapshot records and
-        physically deletes files no retained snapshot references."""
-        snaps = self._meta["snapshots"]
-        if len(snaps) <= retain_last:
-            return {"deleted_data_files_count": 0, "expired_snapshots_count": 0}
-        retained = snaps[-retain_last:]
-        expired = snaps[:-retain_last]
-        keep_paths = {f["path"] for s in retained for f in s["files"]}
-        dead_paths = {
-            f["path"] for s in expired for f in s["files"]
-        } - keep_paths
-        for rel in dead_paths:
-            p = os.path.join(self.path, rel)
-            if os.path.exists(p):
-                os.remove(p)
-        self._meta["snapshots"] = retained
-        self._write_meta()
-        return {
-            "deleted_data_files_count": len(dead_paths),
-            "expired_snapshots_count": len(expired),
-        }
+        physically deletes files no retained snapshot references.
+        Ref-protected (tagged) snapshots are never expired — Iceberg's
+        ref-retention semantics — so time travel to a tag keeps working
+        after expiry. Runs as a locked read-modify-write."""
+        result = {"deleted_data_files_count": 0, "expired_snapshots_count": 0}
+
+        def mutate():
+            snaps = self._meta["snapshots"]
+            if len(snaps) <= retain_last:
+                return
+            ref_ids = set((self._meta.get("refs") or {}).values())
+            tail_ids = {s["snapshot_id"] for s in snaps[-retain_last:]}
+            keep_ids = tail_ids | ref_ids
+            retained = [s for s in snaps if s["snapshot_id"] in keep_ids]
+            expired = [s for s in snaps if s["snapshot_id"] not in keep_ids]
+            if not expired:
+                return
+            keep_paths = {f["path"] for s in retained for f in s["files"]}
+            dead_paths = {
+                f["path"] for s in expired for f in s["files"]
+            } - keep_paths
+            for rel in dead_paths:
+                p = os.path.join(self.path, rel)
+                if os.path.exists(p):
+                    os.remove(p)
+            self._meta["snapshots"] = retained
+            result["deleted_data_files_count"] = len(dead_paths)
+            result["expired_snapshots_count"] = len(expired)
+
+        self._locked_meta_mutation(mutate)
+        return result
 
     def remove_orphan_files(self) -> dict:
         """CALL system.remove_orphan_files — reference P4 (spec `:85,:104`,

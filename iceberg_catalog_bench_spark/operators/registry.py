@@ -37,13 +37,21 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 def load_all() -> None:
-    """Import every operator module so registrations run."""
-    from . import relational  # noqa: F401
-    from . import relational_ext  # noqa: F401
-    from . import dedup  # noqa: F401
-    from . import similarity  # noqa: F401
+    """Import every operator module so registrations run.
+
+    Registration order is the driver's execution order, and the driver
+    may stop at a query-count or time cap mid-suite (round 1 truncated
+    at 50 of 73). The modules proving SURVEY §2 semantics that lack any
+    cheaper verification path — DML/time-travel/maintenance, text,
+    multimodal, streaming, datagen, similarity — therefore register
+    FIRST; the broad relational suites (all green in round 1) last.
+    """
+    from . import crud  # noqa: F401  — UPDATE/DELETE/MERGE/travel/evolution
     from . import text  # noqa: F401
-    from . import crud  # noqa: F401
     from . import multimodal  # noqa: F401
     from ..streaming import events  # noqa: F401
     from ..sources import datagen  # noqa: F401
+    from . import similarity  # noqa: F401
+    from . import dedup  # noqa: F401
+    from . import relational  # noqa: F401
+    from . import relational_ext  # noqa: F401

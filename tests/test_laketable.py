@@ -369,3 +369,88 @@ def test_null_partition_values_roundtrip(spark, tmp_path):
     # scan with a ts predicate: null rows can't match → dropping their
     # file is correct, and the non-null row survives
     assert {r["id"] for r in t.scan("ts >= '2024-01-01 00:00:00'").collect()} == {1}
+
+
+def test_same_day_timestamp_stats_prune(spark, tmp_path):
+    """Regression: footer timestamp stats must compare correctly against
+    SQL space-separated literals. With ISO 'T'-separated stats, same-day
+    '<='/'=' predicates wrongly pruned the file holding the matching row
+    (scan lost rows; delete/update silently skipped them)."""
+    t = LakeTable.create(spark, str(tmp_path / "tsn"), "id bigint, ts timestamp")
+    t.append(spark.createDataFrame(
+        [(1, _ts("2024-01-05 10:00:00")), (2, _ts("2024-01-05 14:00:00"))],
+        "id bigint, ts timestamp",
+    ))
+    assert {r["id"] for r in t.scan("ts <= '2024-01-05 10:00:00'").collect()} == {1}
+    assert {r["id"] for r in t.scan("ts = '2024-01-05 14:00:00'").collect()} == {2}
+    assert {r["id"] for r in t.scan("ts < '2024-01-05 12:00:00'").collect()} == {1}
+    t.delete_where("ts = '2024-01-05 10:00:00'")
+    assert {r["id"] for r in t.read().collect()} == {2}
+
+
+def test_escaped_partition_values_prune(spark, tmp_path):
+    """Regression: Spark percent-escapes partition dir values
+    (':' -> '%3A'); pruning must compare the UNESCAPED value or
+    hours()/identity-on-string partitions wrongly drop matching files."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "esc"), "id bigint, ts timestamp, tag string",
+        partition_by=["hours(ts)", "identity(tag)"],
+    )
+    t.append(spark.createDataFrame(
+        [(1, _ts("2024-01-05 10:30:00"), "a:b"),
+         (2, _ts("2024-01-06 22:15:00"), "c d")],
+        "id bigint, ts timestamp, tag string",
+    ))
+    snap = t._snapshot()
+    assert all(
+        "%" not in v for e in snap.files for v in e.partition.values()
+    ), "partition values must be stored unescaped"
+    assert {r["id"] for r in t.scan("tag = 'a:b'").collect()} == {1}
+    assert {r["id"] for r in t.scan("ts = '2024-01-05 10:30:00'").collect()} == {1}
+
+
+def test_concurrent_metadata_mutation_no_lost_commit(spark, tmp_path):
+    """Regression: schema evolution / tags from a STALE handle must not
+    clobber snapshots committed concurrently by another writer."""
+    p = str(tmp_path / "cc")
+    t1 = LakeTable.create(spark, p, "id bigint, v double")
+    t1.append(spark.createDataFrame([(1, 1.0)], "id bigint, v double"))
+    t2 = LakeTable.load(spark, p)  # second handle, snapshot 1 in memory
+    t1.append(spark.createDataFrame([(2, 2.0)], "id bigint, v double"))
+    t2.add_column("note", "string", default="n/a")  # stale handle mutates
+    t3 = LakeTable.load(spark, p)
+    assert t3._meta["current_snapshot_id"] == 2, "append must survive evolution"
+    assert t3.read().count() == 2
+    assert "note" in t3.read().columns
+    t2.create_tag("after-evolve")  # tag from the (still stale) handle
+    t4 = LakeTable.load(spark, p)
+    assert t4._meta["current_snapshot_id"] == 2
+    assert t4.read_tag("after-evolve").count() == 2
+
+
+def test_expire_snapshots_keeps_tagged(spark, tmp_path):
+    """Regression: expire_snapshots must never expire ref-protected
+    (tagged) snapshots or delete their files — Iceberg ref retention."""
+    t = LakeTable.create(spark, str(tmp_path / "tags"), "id bigint, v double")
+    t.append(spark.createDataFrame([(1, 1.0)], "id bigint, v double"))
+    t.create_tag("first")
+    t.overwrite(spark.createDataFrame([(2, 2.0)], "id bigint, v double"))
+    t.overwrite(spark.createDataFrame([(3, 3.0)], "id bigint, v double"))
+    res = t.expire_snapshots(retain_last=1)
+    assert res["expired_snapshots_count"] == 1  # only the middle one
+    assert {r["id"] for r in t.read_tag("first").collect()} == {1}
+    assert {r["id"] for r in t.read().collect()} == {3}
+
+
+def test_merge_duplicate_source_keys_raises(spark, table):
+    """MERGE with duplicate source join keys must raise (Iceberg's
+    multiple-matching-rows cardinality error), not duplicate rows."""
+    dup = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 00:00:00"), "sku-0001", 9, Decimal("1.00"), "US", dt.date(2024, 1, 1)),
+         (1, 10, _ts("2024-01-01 00:00:00"), "sku-0001", 7, Decimal("2.00"), "US", dt.date(2024, 1, 1))],
+        SCHEMA,
+    )
+    before = table.read().count()
+    with pytest.raises(ValueError, match="duplicate join keys"):
+        table.merge(dup, on=["event_id"], when_matched_update="*")
+    assert table.read().count() == before
