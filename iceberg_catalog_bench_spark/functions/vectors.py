@@ -27,3 +27,35 @@ def l2_norm(a: str) -> Column:
 
 def cosine_similarity(a: str, b: str) -> Column:
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def lsh_band_buckets(
+    vec_col: str, n_tables: int, bits: int, dim: int = 64, salt: int = 12_345
+) -> Column:
+    """Random-hyperplane LSH bucket ids, OR-of-ANDs banding: ``n_tables``
+    independent hash tables of ``bits`` sign bits each → an
+    ``array<int>`` with one bucket id per table (table *t* uses planes
+    ``t*bits .. t*bits+bits-1``, so tables are plane-disjoint).
+
+    A vector pair at angle θ agrees on one plane with p = 1 − θ/π;
+    collides in a table with p^bits; escapes all tables with
+    (1 − p^bits)^n_tables — the same banding amplification the minhash
+    dedup uses, applied to cosine space.
+
+    Plane weights are derived ARITHMETICALLY inside the expression —
+    ``xxhash64(plane, dim, salt)`` scaled to [−1, 1) — not as array
+    literals: full avalanche makes the planes statistically independent
+    (a linear-congruential mix here leaves lattice correlations ACROSS
+    tables, which makes misses correlate and caps recall no matter how
+    many tables you add — measured), and the whole computation is one
+    nested higher-order expression in whole-stage codegen: no stored
+    model, no Python in the hot path, identical buckets every run."""
+    plane = f"(CAST(t AS BIGINT) * {bits} + i)"
+    w = f"(CAST(xxhash64({plane}, d, {salt}) AS DOUBLE) / 9.223372036854776e18)"
+    dot = (
+        f"aggregate(zip_with({vec_col}, transform(sequence(0, {dim - 1}), d -> {w}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), 0D, (a2, v) -> a2 + v)"
+    )
+    bit = f"(CASE WHEN ({dot}) >= 0 THEN 1 ELSE 0 END)"
+    bucket = f"aggregate(sequence(0, {bits - 1}), 0, (acc, i) -> acc * 2 + {bit})"
+    return F.expr(f"transform(sequence(0, {n_tables - 1}), t -> {bucket})")

@@ -5,14 +5,16 @@ each Spark-first and designed for 100 TB:
 
 - exact        : hash-groupBy (one shuffle on a 128-bit digest)
 - n-gram Jaccard: shingle-inverted-index self-join — never a cross
-                  join; pair candidates only via shared shingles
+                  join; pair candidates only via shared shingles,
+                  stop-shingle df cap bounds the worst bucket
 - MinHash+LSH  : signature → band buckets → bucket join → exact
                   verify. The scale path: candidate generation cost
                   is proportional to true-near-dup density, not n².
 - SimHash      : 64-bit signature + pigeonhole band join + hamming
                   verify via xor/bit_count
-- embedding    : cosine near-dup pairs (brute-force pair join here;
-                  the LSH-bucketed scale path lives in similarity.py)
+- embedding    : cosine near-dup pairs via hyperplane-LSH band
+                  buckets + exact verify — same banding shape as
+                  minhash, in cosine space (no all-pairs join)
 
 All hashing uses deterministic built-ins (md5 / xxhash64), so every
 run — and the DuckDB oracle where registered — reproduces identical
@@ -50,6 +52,34 @@ _ORACLE_JACCARD_PAIRS = (
     "len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8"
 )
 
+# Stop-shingle document-frequency cap: shingles present in more than
+# max(10, 10% of docs) documents are boilerplate — they say nothing
+# about near-duplication but create the quadratic hot bucket in the
+# inverted-index self-join. Both the Spark operator and the DuckDB
+# oracle compute jaccard over the CAPPED shingle space, so the two
+# stay equivalent at every scale (not just at test SF where the cap
+# happens not to fire).
+_STOP_SHINGLE_FRAC = 0.10
+_STOP_SHINGLE_MIN = 10
+
+_ORACLE_JACCARD_PAIRS_CAPPED = (
+    "WITH sh0 AS (SELECT doc_id, unnest(" + _ORACLE_SHINGLES + ") AS shingle "
+    "FROM documents), "
+    "hot AS (SELECT shingle FROM sh0 GROUP BY shingle "
+    f"HAVING COUNT(*) > greatest({_STOP_SHINGLE_MIN}, "
+    f"{_STOP_SHINGLE_FRAC} * (SELECT COUNT(*) FROM documents))), "
+    "kept AS (SELECT doc_id, shingle FROM sh0 "
+    "WHERE shingle NOT IN (SELECT shingle FROM hot)), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i "
+    "FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+    "GROUP BY a.doc_id, b.doc_id) "
+    "SELECT da AS doc_a, db AS doc_b, "
+    "ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard "
+    "FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db "
+    "WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8"
+)
+
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) inverted-index rows + per-doc set sizes."""
@@ -77,18 +107,32 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_ngram_jaccard", oracle=_ORACLE_JACCARD_PAIRS)
+@register("dedup_ngram_jaccard", oracle=_ORACLE_JACCARD_PAIRS_CAPPED)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs (threshold 0.8) via a
-    shingle inverted index: explode → self-join on shingle → count
-    shared shingles per pair → |A∪B| = |A|+|B|-inter.
+    """n-gram-Jaccard near-dup pairs (threshold 0.8) via a shingle
+    inverted index: explode → self-join on shingle → count shared
+    shingles per pair → |A∪B| = |A|+|B|-inter.
 
-    Scale note: candidate pairs arise only from shared shingles —
-    no cross join. At corpus scale you'd additionally drop
-    ultra-frequent shingles (stop-shingles) to bound the worst
-    bucket; at testdata scale every shingle is kept so the result is
-    exact and oracle-checkable."""
-    sh = _doc_shingles(spark, sf_dir)
+    Scale guards: candidate pairs arise only from shared shingles —
+    no cross join — and shingles whose document frequency exceeds
+    max(10, 10% of docs) are dropped BEFORE the self-join (the
+    standard stop-shingle cap). Without it, one boilerplate shingle
+    shared by 1M docs creates a 10¹²-row join bucket; with it the
+    worst bucket is bounded by the cap². The hot set is by
+    construction tiny → broadcast anti-join, no shuffle of the index.
+    Jaccard is computed over the capped shingle space on BOTH the
+    Spark side and the DuckDB oracle, so equivalence holds at every
+    scale, not just where the cap happens not to fire."""
+    docs = load_table(spark, "documents", sf_dir)
+    cap = max(float(_STOP_SHINGLE_MIN), _STOP_SHINGLE_FRAC * docs.count())
+    sh0 = _doc_shingles(spark, sf_dir)
+    hot = (
+        sh0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > cap)
+        .select("shingle")
+    )
+    sh = sh0.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -254,19 +298,51 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: top-20 most-similar vector pairs.
-    Brute-force pair join at testdata scale (exact, oracle-checked);
-    the sub-quadratic path for corpus scale is the LSH-bucketed
-    variant in similarity.py (ann_lsh_buckets). Dot products run as
-    JVM higher-order functions — no Python, no UDF."""
-    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    from ..functions import cosine_similarity
+    """Embedding-cosine near-dup: top-20 most-similar vector pairs via
+    LSH-bucketed candidate generation + exact verification — never an
+    all-pairs/non-equi join.
 
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    Pipeline (mirrors dedup_minhash_lsh, in cosine space):
+    1. band: 48 hyperplane tables × 3 sign bits per vector
+       (``lsh_band_buckets``) — each vector emits 48 (table, bucket)
+       ints, so the shuffle carries small ints, not vectors;
+    2. candidates: self-equi-join on (table, bucket), vec_a < vec_b,
+       distinct;
+    3. verify: exact cosine on candidate pairs only, top-20.
+
+    The oracle is the exact all-pairs SQL, so LSH completeness is
+    itself gated: a pair at the observed top-20 cutoff (cos ≈ 0.43,
+    plane-agreement p ≈ 0.64) escapes all 48 tables with
+    (1 − p³)⁴⁸ ≈ 4e-7. On this near-uniform corpus most random pairs
+    also collide somewhere (worst case for LSH — no structure), but on
+    a real near-dup corpus (cos ≥ 0.9 → p ≥ 0.85) the same banding
+    passes ~0.2% of random pairs while missing ~0 true pairs: candidate
+    cost tracks duplicate density, not n²."""
+    from ..functions import cosine_similarity, lsh_band_buckets
+
+    emb = (
+        load_table(spark, "embeddings", sf_dir)
+        .select("vec_id", "embedding")
+        .withColumn("buckets", lsh_band_buckets("embedding", 48, 3))
+    )
+    banded = emb.select("vec_id", F.posexplode("buckets").alias("t", "bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (
-        pairs.withColumn("cos_sim", F.round(cosine_similarity("ea", "eb"), 4))
+        cand.join(ea, "vec_a").join(eb, "vec_b")
+        .withColumn("cos_sim", F.round(cosine_similarity("ea", "eb"), 4))
         .select("vec_a", "vec_b", "cos_sim")
         .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
         .limit(20)
