@@ -14,7 +14,9 @@ Spark's native session_window (state store, not a Python UDF).
 
 from __future__ import annotations
 
-import uuid
+import atexit
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,21 +49,32 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def _run_to_completion(df: DataFrame, spark: SparkSession) -> DataFrame:
-    """Execute a streaming aggregation with availableNow against a
-    memory sink; block until the backlog is drained; return the result
-    table. Complete output mode → final aggregates (equivalent to the
-    batch query over the same input)."""
-    name = f"stream_{uuid.uuid4().hex[:10]}"
+def _run_to_file_sink(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Execute a streaming query with availableNow against a PARQUET
+    file sink (append mode) and read the sink back as a DataFrame.
+
+    This is the production shape: results land distributed in files —
+    state never accumulates on the driver the way a memory/complete
+    sink's does. Append mode means stateful operators emit only
+    FINALIZED results (windows the watermark has passed, sessions a
+    timeout closed); registered queries either mirror that cutoff in
+    their oracle SQL or are row-passthrough ops (dedup) where append
+    emits everything."""
+    d = tempfile.mkdtemp(prefix="stream-sink-")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
+        df.writeStream.format("parquet")
+        .option("path", d + "/out")
+        .option("checkpointLocation", d + "/ck")
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    try:
+        return spark.read.schema(df.schema).parquet(d + "/out")
+    except Exception:  # no files written (empty result stream)
+        return spark.createDataFrame([], df.schema)
 
 
 @register(
@@ -69,15 +82,22 @@ def _run_to_completion(df: DataFrame, spark: SparkSession) -> DataFrame:
     oracle=(
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
         "COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value "
-        "FROM events GROUP BY date_trunc('hour', ts), event_type"
+        "FROM events "
+        "WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR "
+        "<= (SELECT MAX(ts) FROM events) - INTERVAL 2 HOUR "
+        "GROUP BY date_trunc('hour', ts), event_type"
     ),
 )
 def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream → watermark(2h) → 1-hour tumbling window agg →
-    availableNow to a memory sink. Because availableNow drains the
-    whole backlog and the watermark only drops *late* data (none in a
-    replay), the final aggregates equal the batch GROUP BY — which is
-    exactly what the oracle asserts."""
+    availableNow append to a parquet file sink, read back.
+
+    Append mode emits a window only once the watermark (max event time
+    − 2h) passes its end — live-stream finalization semantics, with
+    results landing in files instead of accumulating driver-side. The
+    oracle mirrors the cutoff exactly: batch GROUP BY restricted to
+    windows with end ≤ max(ts) − 2h (the trailing still-open windows
+    are the withheld ones)."""
     ev = _events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "2 hours")
@@ -85,7 +105,7 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value")
     )
-    return _run_to_completion(agg, spark)
+    return _run_to_file_sink(agg, spark)
 
 
 @register(
@@ -95,13 +115,17 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact dedup: dropDuplicates on event_id under a
-    watermark (bounded state), then a global count — the streaming
-    ingestion-dedup idiom. availableNow replay == batch DISTINCT."""
+    """Streaming ingestion-dedup: dropDuplicates on event_id under a
+    watermark (bounded state), deduped ROWS appended to a parquet file
+    sink — the production pipeline shape (a dedup stage persists the
+    cleaned stream; nothing aggregates on the driver). The count runs
+    batch-side over the sink and must equal batch COUNT(DISTINCT)."""
     ev = _events_stream(spark, sf_dir)
-    deduped = ev.withWatermark("ts", "1 day").dropDuplicates(["event_id"])
-    agg = deduped.groupBy().agg(F.count(F.lit(1)).alias("distinct_events"))
-    return _run_to_completion(agg, spark)
+    deduped = ev.withWatermark("ts", "1 day").dropDuplicates(["event_id"]).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    sink = _run_to_file_sink(deduped, spark)
+    return sink.agg(F.count(F.lit(1)).alias("distinct_events"))
 
 
 @register(
@@ -200,13 +224,4 @@ def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    name = f"stream_{uuid.uuid4().hex[:10]}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_to_file_sink(sessions, spark)
