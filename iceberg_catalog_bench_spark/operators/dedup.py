@@ -62,23 +62,30 @@ _ORACLE_JACCARD_PAIRS = (
 _STOP_SHINGLE_FRAC = 0.10
 _STOP_SHINGLE_MIN = 10
 
-_ORACLE_JACCARD_PAIRS_CAPPED = (
-    "WITH sh0 AS (SELECT doc_id, unnest(" + _ORACLE_SHINGLES + ") AS shingle "
-    "FROM documents), "
-    "hot AS (SELECT shingle FROM sh0 GROUP BY shingle "
-    f"HAVING COUNT(*) > greatest({_STOP_SHINGLE_MIN}, "
-    f"{_STOP_SHINGLE_FRAC} * (SELECT COUNT(*) FROM documents))), "
-    "kept AS (SELECT doc_id, shingle FROM sh0 "
-    "WHERE shingle NOT IN (SELECT shingle FROM hot)), "
-    "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id), "
-    "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i "
-    "FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
-    "GROUP BY a.doc_id, b.doc_id) "
-    "SELECT da AS doc_a, db AS doc_b, "
-    "ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard "
-    "FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db "
-    "WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8"
-)
+def _oracle_jaccard_capped(threshold: float, extra_select: str = "") -> str:
+    """Exact-jaccard pair SQL over the CAPPED shingle space (see cap
+    comment above) at the given threshold; ``extra_select`` appends
+    verdict columns to the projection."""
+    return (
+        "WITH sh0 AS (SELECT doc_id, unnest(" + _ORACLE_SHINGLES + ") AS shingle "
+        "FROM documents), "
+        "hot AS (SELECT shingle FROM sh0 GROUP BY shingle "
+        f"HAVING COUNT(*) > greatest({_STOP_SHINGLE_MIN}, "
+        f"{_STOP_SHINGLE_FRAC} * (SELECT COUNT(*) FROM documents))), "
+        "kept AS (SELECT doc_id, shingle FROM sh0 "
+        "WHERE shingle NOT IN (SELECT shingle FROM hot)), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i "
+        "FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id) "
+        "SELECT da AS doc_a, db AS doc_b, "
+        "ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard" + extra_select + " "
+        "FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db "
+        f"WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {threshold}"
+    )
+
+
+_ORACLE_JACCARD_PAIRS_CAPPED = _oracle_jaccard_capped(0.8)
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,6 +130,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard is computed over the capped shingle space on BOTH the
     Spark side and the DuckDB oracle, so equivalence holds at every
     scale, not just where the cap happens not to fire."""
+    return _capped_jaccard_pairs(spark, sf_dir, 0.8)
+
+
+def _capped_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
+    """Exact jaccard pairs ≥ threshold over the capped shingle space
+    (the Spark mirror of ``_oracle_jaccard_capped``)."""
     docs = load_table(spark, "documents", sf_dir)
     cap = max(float(_STOP_SHINGLE_MIN), _STOP_SHINGLE_FRAC * docs.count())
     sh0 = _doc_shingles(spark, sf_dir)
@@ -148,7 +161,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn("jaccard", F.round(jac, 4))
-        .filter(jac >= 0.8)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
 
@@ -226,14 +239,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash")  # rows-only: 64-bit bit algebra isn't portable SQL
+@register(
+    "dedup_simhash",
+    oracle=_oracle_jaccard_capped(0.9, ", TRUE AS simhash_covered"),
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signature per document (sign of
-    the per-bit token-hash sum), candidates via the pigeonhole band
+    """SimHash near-dup detection: 64-bit signature per document (sign
+    of the per-bit token-hash sum), candidates via the pigeonhole band
     trick (8 × 8-bit chunks: hamming ≤ 7 ⇒ ≥ 1 chunk equal), verified
     with bit_count(xor) ≤ 6 (measured: ≥0.9-Jaccard near-dups in this
     corpus sit at hamming ≤ 5). Everything stays in JVM expressions
-    (xxhash64 / shiftright / bit_count)."""
+    (xxhash64 / shiftright / bit_count).
+
+    Candidate-superset oracle: the 64-bit signature itself isn't
+    portable SQL, but simhash's CONTRACT is — every true near-dup pair
+    (exact jaccard ≥ 0.9, reproducible in SQL) must appear among the
+    simhash pairs. The query returns the exact near-dup pairs with a
+    per-pair coverage verdict; the oracle pins every verdict TRUE, so
+    a simhash miss turns the driver row red instead of being
+    unverifiable."""
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("token")
@@ -280,10 +304,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
+    simhash_pairs = (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= 6)
-        .select("doc_a", "doc_b", "hamming")
+        .select("doc_a", "doc_b", F.lit(True).alias("simhash_covered"))
+    )
+    exact = _capped_jaccard_pairs(spark, sf_dir, 0.9)
+    return (
+        exact.join(simhash_pairs, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a", "doc_b", "jaccard",
+            F.coalesce("simhash_covered", F.lit(False)).alias("simhash_covered"),
+        )
     )
 
 

@@ -214,19 +214,37 @@ def percentile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("percentile_approx_by_group")  # no oracle: sketch algorithms differ
+@register(
+    "percentile_approx_by_group",
+    oracle=(
+        "SELECT event_type, COUNT(*) AS cnt, "
+        "TRUE AS approx_within_bounds FROM events GROUP BY event_type"
+    ),
+)
 def percentile_approx_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile — the actual operator the reference benchmark
     runs (`blob-dfs_bench.py:127`). GK-sketch, single-pass, mergeable —
     this is the one to run at 100 TB (exact percentile needs a full
-    sort per group)."""
+    sort per group).
+
+    Bounded-error oracle: the sketch value itself differs across
+    engines by design, so the query returns a VERDICT — whether the
+    approx p95 lands between the exact p94 and p96 (computed in the
+    same aggregate; the GK rank-error guarantee at default accuracy is
+    1e-4, far inside that band). The oracle pins the verdict TRUE for
+    every group: a sketch drifting out of bounds turns the driver row
+    red instead of being unverifiable."""
+    approx = F.percentile_approx("value", 0.95)
+    lo = F.expr("percentile(value, 0.94)")
+    hi = F.expr("percentile(value, 0.96)")
     return (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.percentile_approx("value", 0.95).alias("p95_value"),
             F.count(F.lit(1)).alias("cnt"),
+            ((approx >= lo) & (approx <= hi)).alias("approx_within_bounds"),
         )
+        .select("event_type", "cnt", "approx_within_bounds")
     )
 
 

@@ -481,15 +481,35 @@ def distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("distinct_users_approx")  # HLL sketches differ across engines
+@register(
+    "distinct_users_approx",
+    oracle=(
+        "SELECT event_type, COUNT(DISTINCT user_id) AS distinct_exact, "
+        "TRUE AS approx_within_3rsd FROM events GROUP BY event_type"
+    ),
+)
 def distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): single-pass, mergeable,
     fixed-size sketch — at 100 TB this replaces the exact two-phase
-    dedup (whose shuffle carries every distinct key). Default rsd 5%;
-    rows-only check (HLL implementations differ across engines), with
-    the exact twin above as the in-repo accuracy reference."""
+    dedup (whose shuffle carries every distinct key).
+
+    Bounded-error oracle: HLL sketch values differ across engines, so
+    the query returns the EXACT distinct count (which the oracle can
+    reproduce) plus a verdict that the sketch (default rsd 5%) landed
+    within 3 standard deviations (±15%) of it, computed in the same
+    aggregate. The oracle pins the verdict TRUE — sketch drift turns
+    the row red instead of being unverifiable."""
+    approx = F.approx_count_distinct("user_id")
+    exact = F.countDistinct("user_id")
     return (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id").alias("distinct_users"))
+        .agg(
+            exact.alias("distinct_exact"),
+            (
+                F.abs(approx.cast("double") - exact.cast("double"))
+                <= 0.15 * exact.cast("double")
+            ).alias("approx_within_3rsd"),
+        )
+        .select("event_type", "distinct_exact", "approx_within_3rsd")
     )
