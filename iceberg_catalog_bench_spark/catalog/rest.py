@@ -43,12 +43,36 @@ _TOKEN = "conformance-test-token"
 class _State:
     """In-memory catalog state (namespaces / tables / views), the shape
     the REST API exposes. Table schemas use the Iceberg JSON schema
-    model from ``opencatalog/samples/table_create_template.json``."""
+    model from ``opencatalog/samples/table_create_template.json``.
+
+    ``catalogs`` is the Polaris-style MANAGEMENT entity store
+    (tester :272-460): each catalog carries an ``entityVersion`` that
+    optimistic-concurrency PUT updates must present and that every
+    successful update bumps — the management-plane mirror of the data
+    plane's snapshot-id commit check."""
 
     def __init__(self) -> None:
         self.namespaces: dict[str, dict] = {}
         self.tables: dict[tuple[str, str], dict] = {}
         self.views: dict[tuple[str, str], dict] = {}
+        self.catalogs: dict[str, dict] = {
+            "open_catalog": {
+                "name": "open_catalog",
+                "type": "INTERNAL",
+                "entityVersion": 1,
+                "properties": {
+                    "default-base-location": "file:///warehouse/open_catalog"
+                },
+                "storageConfigInfo": {
+                    "storageType": "FILE",
+                    "allowedLocations": ["file:///warehouse/open_catalog"],
+                },
+            }
+        }
+        self.catalog_roles: dict[str, list[str]] = {
+            "open_catalog": ["catalog_admin"]
+        }
+        self.principal_roles: list[str] = ["service_admin"]
 
 
 def _make_handler(state: _State):
@@ -142,6 +166,28 @@ def _make_handler(state: _State):
             parts = self._route()
             if not self._authed():
                 return self._send(401, {"error": "unauthorized"})
+            # -- management API (Polaris-style, tester :272-460) -----------
+            if parts[:3] == ["api", "management", "v1"]:
+                m = parts[3:]
+                if m == ["catalogs"]:
+                    return self._send(
+                        200, {"catalogs": [state.catalogs[k] for k in sorted(state.catalogs)]}
+                    )
+                if len(m) == 2 and m[0] == "catalogs":
+                    cat = state.catalogs.get(m[1])
+                    if cat is None:
+                        return self._send(404, {"error": "no such catalog"})
+                    return self._send(200, cat)
+                if len(m) == 3 and m[0] == "catalogs" and m[2] == "catalog-roles":
+                    roles = state.catalog_roles.get(m[1])
+                    if roles is None:
+                        return self._send(404, {"error": "no such catalog"})
+                    return self._send(200, {"roles": [{"name": r} for r in roles]})
+                if m == ["principal-roles"]:
+                    return self._send(
+                        200, {"roles": [{"name": r} for r in state.principal_roles]}
+                    )
+                return self._send(404, {"error": "no route"})
             if parts == ["v1", "config"]:
                 return self._send(200, {"defaults": {}, "overrides": {"prefix": ""}})
             if parts == ["v1", "namespaces"]:
@@ -174,6 +220,35 @@ def _make_handler(state: _State):
             # applicable-policies: disabled policy store → 406 (tester :552)
             if parts[-1] == "applicable-policies":
                 return self._send(406, {"error": "policy store disabled"})
+            return self._send(404, {"error": "no route"})
+
+        def do_PUT(self):  # noqa: N802
+            parts = self._route()
+            if not self._authed():
+                return self._send(401, {"error": "unauthorized"})
+            # optimistic-concurrency catalog update (tester :406-460):
+            # the caller presents the entityVersion it read; a stale
+            # version is a 409 conflict; success applies the changed
+            # sections and bumps the version.
+            if parts[:3] == ["api", "management", "v1"] and len(parts) == 5 \
+                    and parts[3] == "catalogs":
+                cat = state.catalogs.get(parts[4])
+                if cat is None:
+                    return self._send(404, {"error": "no such catalog"})
+                body = self._body()
+                presented = body.get("currentEntityVersion")
+                if presented != cat["entityVersion"]:
+                    return self._send(
+                        409,
+                        {"error": "entity version conflict",
+                         "currentEntityVersion": cat["entityVersion"]},
+                    )
+                if isinstance(body.get("properties"), dict):
+                    cat["properties"] = body["properties"]
+                if isinstance(body.get("storageConfigInfo"), dict):
+                    cat["storageConfigInfo"] = body["storageConfigInfo"]
+                cat["entityVersion"] += 1
+                return self._send(200, cat)
             return self._send(404, {"error": "no route"})
 
         def do_HEAD(self):  # noqa: N802
@@ -342,6 +417,30 @@ class RestCatalogClient:
     def applicable_policies(self, ns: str):
         return self._request("GET", f"/v1/namespaces/{ns}/applicable-policies")
 
+    # -- management API (tester :272-460) ----------------------------------
+
+    def list_catalogs(self):
+        return self._request("GET", "/api/management/v1/catalogs")
+
+    def describe_catalog(self, name: str):
+        return self._request("GET", f"/api/management/v1/catalogs/{name}")
+
+    def list_catalog_roles(self, name: str):
+        return self._request("GET", f"/api/management/v1/catalogs/{name}/catalog-roles")
+
+    def list_principal_roles(self):
+        return self._request("GET", "/api/management/v1/principal-roles")
+
+    def update_catalog(self, name: str, current_entity_version: int,
+                       properties: dict | None = None,
+                       storage_config: dict | None = None):
+        body: dict = {"currentEntityVersion": current_entity_version}
+        if properties is not None:
+            body["properties"] = properties
+        if storage_config is not None:
+            body["storageConfigInfo"] = storage_config
+        return self._request("PUT", f"/api/management/v1/catalogs/{name}", body)
+
 
 _ICEBERG_SCHEMA = {
     # struct< id: long required, name: string optional > — the sample
@@ -369,6 +468,59 @@ def run_conformance(base_url: str, ns: str = "conformance_ns") -> list[CallResul
 
     check("oauth_token", (c.authenticate(), {}), ok=(200,))
     check("get_config", c.get_config())
+
+    # -- management plane (tester :272-460): read surface, then the
+    # optimistic-concurrency update-and-revert cycle on the catalog
+    # entity, with entityVersion captured from each response ----------
+    check("list_catalogs", c.list_catalogs())
+    cat = check("describe_catalog", c.describe_catalog("open_catalog"))
+    check("list_catalog_roles", c.list_catalog_roles("open_catalog"))
+    check("list_principal_roles", c.list_principal_roles())
+    version = cat.get("entityVersion")
+    original_props = dict(cat.get("properties", {}))
+    updated_props = dict(original_props)
+    updated_props["default-base-location"] = (
+        original_props.get("default-base-location", "") + "-conformance"
+    )
+    cat = check(
+        "update_catalog_base_location",
+        c.update_catalog("open_catalog", version, properties=updated_props),
+    )
+    version = cat.get("entityVersion", version)
+    check(
+        "update_catalog_stale_version",
+        c.update_catalog("open_catalog", version - 1, properties=updated_props),
+        ok=(), expected=(409,),
+    )
+    cat = check(
+        "revert_catalog_base_location",
+        c.update_catalog("open_catalog", version, properties=original_props),
+    )
+    version = cat.get("entityVersion", version)
+    storage = dict(cat.get("storageConfigInfo", {}))
+    original_locs = list(storage.get("allowedLocations", []))
+    storage["allowedLocations"] = [
+        (original_locs[0] + "-conformance") if original_locs else "file:///x"
+    ] + original_locs[1:]
+    cat = check(
+        "update_catalog_allowed_locations",
+        c.update_catalog("open_catalog", version, storage_config=storage),
+    )
+    version = cat.get("entityVersion", version)
+    storage["allowedLocations"] = original_locs
+    cat = check(
+        "revert_catalog_allowed_locations",
+        c.update_catalog("open_catalog", version, storage_config=storage),
+    )
+    final = check("describe_catalog_after_revert", c.describe_catalog("open_catalog"))
+    check(
+        "catalog_state_reverted",
+        (200 if (final.get("properties") == original_props
+                 and final.get("storageConfigInfo", {}).get("allowedLocations")
+                 == original_locs) else 500, final),
+        ok=(200,),
+    )
+
     check("create_namespace", c.create_namespace(ns))
     check("create_namespace_conflict", c.create_namespace(ns), ok=(), expected=(409,))
     check("list_namespaces", c.list_namespaces())

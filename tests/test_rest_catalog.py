@@ -25,10 +25,32 @@ def test_conformance_suite_all_pass(server):
     exp = {r.name for r in results if r.outcome == "EXP"}
     assert exp == {
         "create_namespace_conflict",
+        "update_catalog_stale_version",
         "applicable_policies_disabled",
         "drop_namespace_not_empty",
     }
-    assert len(results) == 21
+    # ≥ the reference tester's 29-call transcript
+    # (opencatalog_api_tester.py:272-460, opencatalog/README.md:157-201)
+    assert len(results) == 32
+
+
+def test_catalog_update_optimistic_concurrency(server):
+    """entityVersion must gate catalog PUTs: a stale version is a 409
+    carrying the current version; a fresh one applies and bumps it."""
+    c = RestCatalogClient(server.url)
+    c.authenticate()
+    _, cat = c.describe_catalog("open_catalog")
+    v = cat["entityVersion"]
+    props = dict(cat["properties"], extra="1")
+    status, updated = c.update_catalog("open_catalog", v, properties=props)
+    assert status == 200 and updated["entityVersion"] == v + 1
+    status, conflict = c.update_catalog("open_catalog", v, properties=props)
+    assert status == 409 and conflict["currentEntityVersion"] == v + 1
+    # revert to leave shared server state clean for other tests
+    status, reverted = c.update_catalog(
+        "open_catalog", v + 1, properties={k: x for k, x in cat["properties"].items()}
+    )
+    assert status == 200 and reverted["properties"] == cat["properties"]
 
 
 def test_unauthenticated_requests_rejected(server):
