@@ -1,0 +1,278 @@
+"""Iceberg-v2-shaped metadata export for LakeTable.
+
+The reference's whole point is CROSS-ENGINE reads of Iceberg v2 table
+metadata (``ICEBERG-Interoperability-Test-Spec.md:4-14``; the field-id
+schema JSON in ``opencatalog/samples/table_create_template.json``).
+LakeTable's native metadata is a single JSON document; this module
+re-emits it in the Iceberg v2 LAYOUT — ``vN.metadata.json`` with
+field-id'd schemas, named partition specs, a snapshot list whose
+entries point at per-snapshot MANIFEST LISTS, which point at MANIFESTS
+carrying per-file stats — so the table is mechanically convertible to
+a real Iceberg table the moment an Iceberg runtime is available
+(manifests here are JSON with Avro-field names; converting them to the
+spec's Avro encoding is a serialization change, not a model change).
+
+``read_via_iceberg_metadata`` walks the exported chain exactly the way
+an external Iceberg reader would (metadata → current snapshot →
+manifest list → manifests → data files) and never touches LakeTable's
+native metadata — the round-trip test's proof of convertibility.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .table import LakeTable, _strip_scheme
+from .transforms import Transform
+
+# Spark DDL type → Iceberg primitive type name
+_TYPE_MAP = {
+    "bigint": "long",
+    "int": "int",
+    "smallint": "int",
+    "tinyint": "int",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamptz",  # Spark TIMESTAMP = instant semantics
+    "timestamp_ntz": "timestamp",
+    "binary": "binary",
+}
+
+
+def _iceberg_type(ddl: str) -> str:
+    ddl = ddl.strip().lower()
+    if ddl.startswith("decimal"):
+        return ddl  # decimal(p, s) spells identically
+    try:
+        return _TYPE_MAP[ddl]
+    except KeyError:
+        raise ValueError(f"no Iceberg mapping for Spark type {ddl!r}") from None
+
+
+def _iceberg_transform(t: Transform) -> str:
+    """Iceberg transform spelling: bucket[N] / truncate[W] / day / ..."""
+    if t.name == "bucket":
+        return f"bucket[{t.param}]"
+    if t.name == "truncate":
+        return f"truncate[{t.param}]"
+    # Iceberg uses singular day/hour/month/year
+    return {"days": "day", "hours": "hour", "months": "month", "years": "year"}.get(
+        t.name, t.name
+    )
+
+
+def to_iceberg_metadata(table: LakeTable) -> str:
+    """Emit the Iceberg v2 metadata chain for the table's full history
+    under ``<table>/_meta/iceberg/``; return the metadata.json path."""
+    meta = table._meta
+    out_dir = os.path.join(table.path, "_meta", "iceberg")
+    os.makedirs(out_dir, exist_ok=True)
+
+    schemas = []
+    last_column_id = 0
+    for ver, fields in sorted(meta["schemas"].items(), key=lambda kv: int(kv[0])):
+        schemas.append(
+            {
+                "type": "struct",
+                "schema-id": int(ver),
+                "fields": [
+                    {
+                        "id": f["id"],
+                        "name": f["name"],
+                        "required": False,
+                        "type": _iceberg_type(f["type"]),
+                        **(
+                            {"initial-default": f["default"]}
+                            if f.get("default") is not None
+                            else {}
+                        ),
+                    }
+                    for f in fields
+                ],
+            }
+        )
+        last_column_id = max(last_column_id, *(f["id"] for f in fields)) if fields else 0
+
+    field_ids_by_name = {
+        f["name"]: f["id"] for f in meta["schemas"][str(meta["current_schema_version"])]
+    }
+    spec_fields = []
+    for i, tj in enumerate(meta["partition_spec"]):
+        t = Transform.from_json(tj)
+        spec_fields.append(
+            {
+                # 1000+ is Iceberg's partition-field id range
+                "field-id": 1000 + i,
+                "source-id": field_ids_by_name.get(t.column, -1),
+                "name": f"{t.column}_{t.name}",
+                "transform": _iceberg_transform(t),
+            }
+        )
+
+    snapshots = []
+    for s in meta["snapshots"]:
+        manifest_path = os.path.join(out_dir, f"manifest-{s['snapshot_id']}.json")
+        entries = [
+            {
+                "status": 1,  # ADDED/EXISTING in this snapshot's scope
+                "snapshot-id": s["snapshot_id"],
+                "data-file": {
+                    "content": 0,  # DATA (LakeTable is copy-on-write: no delete files)
+                    "file-path": os.path.join(table.path, f["path"]),
+                    "file-format": "PARQUET",
+                    "partition": f.get("partition", {}),
+                    "record-count": f["rows"],
+                    "file-size-in-bytes": f["bytes"],
+                    "lower-bounds": {k: v[0] for k, v in f.get("stats", {}).items()},
+                    "upper-bounds": {k: v[1] for k, v in f.get("stats", {}).items()},
+                    # Spec extension: real Iceberg resolves columns via
+                    # field-ids embedded in parquet footers; Spark-written
+                    # parquet lacks them, so the writing schema rides in
+                    # the manifest instead (a converter would re-resolve
+                    # names→ids from this schema when writing Avro).
+                    "schema-id": f["schema_version"],
+                },
+            }
+            for f in s["files"]
+        ]
+        with open(manifest_path, "w") as fh:
+            json.dump({"entries": entries}, fh)
+        mlist_path = os.path.join(out_dir, f"snap-{s['snapshot_id']}-manifest-list.json")
+        with open(mlist_path, "w") as fh:
+            json.dump(
+                {
+                    "manifests": [
+                        {
+                            "manifest-path": manifest_path,
+                            "manifest-length": os.path.getsize(manifest_path),
+                            "content": 0,
+                            "added-snapshot-id": s["snapshot_id"],
+                            "added-files-count": len(entries),
+                            "added-rows-count": sum(f["rows"] for f in s["files"]),
+                        }
+                    ]
+                },
+                fh,
+            )
+        snapshots.append(
+            {
+                "snapshot-id": s["snapshot_id"],
+                **(
+                    {"parent-snapshot-id": s["parent_id"]}
+                    if s.get("parent_id") is not None
+                    else {}
+                ),
+                "sequence-number": s["snapshot_id"],
+                "timestamp-ms": s["timestamp_ms"],
+                "manifest-list": mlist_path,
+                "schema-id": s["schema_version"],
+                "summary": {"operation": s["operation"], **{
+                    k: str(v) for k, v in (s.get("summary") or {}).items()
+                }},
+            }
+        )
+
+    metadata = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, table.path)),
+        "location": table.path,
+        "last-sequence-number": meta.get("current_snapshot_id") or 0,
+        "last-updated-ms": int(time.time() * 1000),
+        "last-column-id": last_column_id,
+        "current-schema-id": meta["current_schema_version"],
+        "schemas": schemas,
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 1000 + max(len(spec_fields) - 1, 0),
+        "default-sort-order-id": 0,
+        "sort-orders": [
+            {
+                "order-id": 0,
+                "fields": [
+                    {
+                        "transform": "identity",
+                        "source-id": field_ids_by_name.get(c, -1),
+                        "direction": "asc",
+                        "null-order": "nulls-first",
+                    }
+                    for c in (meta.get("sort_order") or [])
+                ],
+            }
+        ],
+        "properties": meta.get("properties", {}),
+        "current-snapshot-id": meta.get("current_snapshot_id"),
+        "snapshots": snapshots,
+        "snapshot-log": [
+            {"snapshot-id": s["snapshot-id"], "timestamp-ms": s["timestamp-ms"]}
+            for s in snapshots
+        ],
+        "metadata-log": [],
+        "refs": {
+            name: {"snapshot-id": sid, "type": "tag"}
+            for name, sid in (meta.get("refs") or {}).items()
+        },
+    }
+    n = meta.get("current_snapshot_id") or 0
+    metadata_path = os.path.join(out_dir, f"v{n}.metadata.json")
+    with open(metadata_path, "w") as fh:
+        json.dump(metadata, fh, indent=1)
+    return metadata_path
+
+
+def read_via_iceberg_metadata(
+    spark: SparkSession, metadata_path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Read a table THROUGH its exported Iceberg metadata chain only —
+    metadata.json → snapshot → manifest list → manifests → data files —
+    with field-id projection to the snapshot's schema, exactly the walk
+    an external Iceberg reader performs. Never consults LakeTable
+    metadata (that's the point)."""
+    from pyspark.sql import functions as F
+
+    with open(metadata_path) as fh:
+        md = json.load(fh)
+    sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+    with open(snap["manifest-list"]) as fh:
+        mlist = json.load(fh)
+    by_schema: dict[int, list[str]] = {}
+    for m in mlist["manifests"]:
+        with open(m["manifest-path"]) as fh:
+            manifest = json.load(fh)
+        for e in manifest["entries"]:
+            df_entry = e["data-file"]
+            by_schema.setdefault(df_entry["schema-id"], []).append(
+                _strip_scheme(df_entry["file-path"])
+            )
+    target = next(s for s in md["schemas"] if s["schema-id"] == snap["schema-id"])
+    if not by_schema:
+        ddl = ", ".join(f"{f['name']} string" for f in target["fields"])
+        return spark.createDataFrame([], ddl)
+    # Iceberg resolves columns by FIELD ID: for each file generation,
+    # map the target schema's ids onto that generation's names (renames
+    # and widenings never rewrote the files), defaulting added columns.
+    parts = []
+    for schema_id, files in sorted(by_schema.items()):
+        written = next(s for s in md["schemas"] if s["schema-id"] == schema_id)
+        names_by_id = {f["id"]: f["name"] for f in written["fields"]}
+        raw = spark.read.parquet(*files)
+        sel = []
+        for f in target["fields"]:
+            old_name = names_by_id.get(f["id"])
+            if old_name is not None:
+                sel.append(F.col(old_name).alias(f["name"]))
+            else:
+                sel.append(F.lit(f.get("initial-default")).alias(f["name"]))
+        parts.append(raw.select(*sel))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1182,6 +1182,15 @@ class LakeTable:
         self._locked_meta_mutation(mutate)
         return result
 
+    def to_iceberg_metadata(self) -> str:
+        """Emit this table's metadata in the Iceberg v2 layout
+        (metadata.json → manifest lists → manifests) for cross-engine
+        convertibility; see ``catalog.iceberg_export``. Returns the
+        metadata.json path."""
+        from .iceberg_export import to_iceberg_metadata
+
+        return to_iceberg_metadata(self)
+
     def remove_orphan_files(self) -> dict:
         """CALL system.remove_orphan_files — reference P4 (spec `:85,:104`,
         acceptance: orphan files = 0). Deletes data files on disk that no

@@ -454,3 +454,53 @@ def test_merge_duplicate_source_keys_raises(spark, table):
     with pytest.raises(ValueError, match="duplicate join keys"):
         table.merge(dup, on=["event_id"], when_matched_update="*")
     assert table.read().count() == before
+
+
+def test_iceberg_metadata_export_roundtrip(spark, tmp_path):
+    """to_iceberg_metadata emits the Iceberg v2 chain (metadata.json →
+    manifest list → manifests); read_via_iceberg_metadata walks ONLY
+    that chain, as an external Iceberg reader would, and must reproduce
+    the table across appends, schema evolution (add/rename), DML, tags,
+    and time travel."""
+    import json
+
+    from iceberg_catalog_bench_spark.catalog.iceberg_export import (
+        read_via_iceberg_metadata,
+        to_iceberg_metadata,
+    )
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "ice"), "id bigint, sku string, price double",
+        partition_by=["bucket(4, id)"], sort_order=["id"],
+    )
+    t.append(spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "id bigint, sku string, price double",
+    ))
+    baseline = t._snapshot().snapshot_id
+    t.create_tag("exported-baseline", baseline)
+    t.add_column("category", "string", default="general")
+    t.rename_column("sku", "product_sku")
+    t.append(spark.createDataFrame(
+        [(4, "d", 4.0, "oversize")],
+        "id bigint, product_sku string, price double, category string",
+    ))
+    t.update({"price": "price * 2"}, "id = 1")
+
+    mp = to_iceberg_metadata(t)
+    md = json.loads(open(mp).read())
+    assert md["format-version"] == 2
+    assert md["partition-specs"][0]["fields"][0]["transform"] == "bucket[4]"
+    ids = {f["name"]: f["id"] for f in md["schemas"][-1]["fields"]}
+    assert ids["product_sku"] == 2, "rename must preserve the field id"
+    assert md["refs"]["exported-baseline"]["snapshot-id"] == baseline
+
+    native = {tuple(r) for r in t.read().collect()}
+    via_ice = {tuple(r) for r in read_via_iceberg_metadata(spark, mp).collect()}
+    assert via_ice == native
+
+    # time travel through the exported chain: pre-evolution snapshot
+    # reads with the pre-evolution schema
+    old = read_via_iceberg_metadata(spark, mp, snapshot_id=baseline)
+    assert old.columns == ["id", "sku", "price"]
+    assert old.count() == 3
