@@ -112,9 +112,14 @@ def main() -> None:
     results["expire_snapshots"] = timed(lambda: t.expire_snapshots(retain_last=2))
     shutil.rmtree(scratch, ignore_errors=True)
 
-    # Optional: the reference's synthetic-write phase at chosen scale
-    # (blob-dfs_bench.py:48-106 writes a generated table, not a copy).
-    synth_rows = int(os.environ.get("SPARK_GRAFT_BENCH_SYNTH_ROWS", "0"))
+    # Standing synthetic probe (reference blob-dfs_bench.py:48-106 writes
+    # a GENERATED table, not a copy): fanout write under days×bucket,
+    # then the reads the fanout pays for — a 2-day pruned window and a
+    # bucket-pruned point lookup. A pruning/fanout regression (e.g. the
+    # INT96-stats or partition-escaping traps) shows up here as a jump
+    # in the read phases, directly in BENCH_rN rather than only in
+    # BASELINE.md prose. Row count tunable; 0 disables.
+    synth_rows = int(os.environ.get("SPARK_GRAFT_BENCH_SYNTH_ROWS", "1000000"))
     if synth_rows > 0:
         from iceberg_catalog_bench_spark.sources.datagen import generate_tx_events
 
@@ -126,6 +131,14 @@ def main() -> None:
         )
         results["write_append_synth"] = timed(
             lambda: st.append(generate_tx_events(spark, synth_rows))
+        )
+        results["synth_read_pruned"] = median_of(
+            lambda: st.scan(
+                "ts >= '2025-01-05 00:00:00' AND ts < '2025-01-07 00:00:00'"
+            ).groupBy("category").agg(F.round(F.sum("amount"), 2)).collect()
+        )
+        results["synth_point_lookup"] = median_of(
+            lambda: st.scan("user_id = 4242").collect()
         )
         shutil.rmtree(sdir, ignore_errors=True)
 
