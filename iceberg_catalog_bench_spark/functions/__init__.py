@@ -1,4 +1,5 @@
-from .vectors import cosine_similarity, dot_product, l2_norm, lsh_band_buckets
+from .vectors import (cosine_similarity, dot_product, l2_norm,
+                      lsh_band_buckets, lsh_band_buckets_arrow)
 from .textfns import shingles_expr, tokens, stopword_hits
 
 __all__ = [
@@ -6,6 +7,7 @@ __all__ = [
     "dot_product",
     "l2_norm",
     "lsh_band_buckets",
+    "lsh_band_buckets_arrow",
     "shingles_expr",
     "stopword_hits",
     "tokens",

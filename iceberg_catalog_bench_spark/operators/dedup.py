@@ -350,7 +350,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     a real near-dup corpus (cos ≥ 0.9 → p ≥ 0.85) the same banding
     passes ~0.2% of random pairs while missing ~0 true pairs: candidate
     cost tracks duplicate density, not n²."""
-    from ..functions import cosine_similarity, lsh_band_buckets
+    from ..functions import cosine_similarity, lsh_band_buckets_arrow as lsh_band_buckets
 
     emb = (
         load_table(spark, "embeddings", sf_dir)

@@ -11,11 +11,14 @@ Two tiers, as a 100 TB pipeline needs:
   co-locate similar vectors; a miss must escape EVERY table, so recall
   amplifies with table count exactly like the minhash dedup's bands.
   Candidates re-rank exactly; the test asserts recall@10 ≥ 0.9 vs
-  brute force. Hyperplanes derive from xxhash64, so results are
-  reproducible without a stored model.
+  brute force. Hyperplanes derive from a seeded generator, so results
+  are reproducible without a stored model.
 
-Dot products are JVM higher-order functions (zip_with + aggregate) —
-Arrow/pandas never enter the hot path.
+Dot products are JVM higher-order functions (zip_with + aggregate).
+Signature computation is the one place Arrow enters: a per-batch BLAS
+matmul (``lsh_band_buckets_arrow``) — Spark doesn't codegen
+higher-order functions, so the pure-expression variant pays ~10⁴
+interpreter steps per row for the same math.
 """
 
 from __future__ import annotations
@@ -25,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions import dot_product as _dot
 from ..functions import l2_norm as _norm
-from ..functions import lsh_band_buckets as _lsh_buckets
+from ..functions import lsh_band_buckets_arrow as _lsh_buckets
 from ..sources import load_table
 from .registry import register
 
