@@ -17,7 +17,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# Spark PYTHON WORKERS inherit PYTHONPATH from the JVM's environment,
+# not the driver's sys.path — export it so closures shipped to workers
+# (mapInPandas / pandas_udf) can unpickle references into this package
+# even when the harness launched Python from another directory.
+if _REPO not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from iceberg_catalog_bench_spark.operators import registry as _registry
 

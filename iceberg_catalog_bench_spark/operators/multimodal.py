@@ -70,14 +70,21 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # The decode formula is INLINED (same math as _decode_image_fake,
+        # vectorized): a shipped closure must not reference module-level
+        # functions of this package — cloudpickle serializes those BY
+        # REFERENCE, and a Python worker whose PYTHONPATH lacks the repo
+        # (driver added it to sys.path only) would fail to unpickle.
         for pdf in batches:
-            dims = [_decode_image_fake(b) for b in pdf["image_bytes"]]
+            blobs = pdf["image_bytes"]
+            nb = blobs.map(len)
+            checksum = blobs.map(lambda b: (b[0] + b[-1]) if len(b) else 0)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": [len(b) for b in pdf["image_bytes"]],
-                    "width": [w for w, _ in dims],
-                    "height": [h for _, h in dims],
+                    "n_bytes": nb.astype("int32"),
+                    "width": (64 + (nb % 512)).astype("int32"),
+                    "height": (64 + ((nb + checksum) % 512)).astype("int32"),
                 }
             )
 
