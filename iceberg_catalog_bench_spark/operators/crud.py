@@ -63,12 +63,12 @@ def crud_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(src.select("event_id", "user_id", "event_type", "value"))
     t.update({"value": "value * 1.1"}, "event_type = 'error'")
     t.delete_where("event_type = 'signup'")
-    out = t.read().select(
+    # returned lazily: the scratch table's files live until interpreter
+    # exit (atexit cleanup), so the driver's collect() reads them directly
+    # without a second evaluation through a cache
+    return t.read().select(
         "event_id", "event_type", F.round("value", 4).alias("value_out")
     )
-    out = out.cache()
-    out.count()  # materialize before the tmp dir disappears
-    return out
 
 
 @register(
@@ -98,12 +98,9 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(target)
     t.merge(source, on=["o_orderkey"], when_matched_update="*",
             when_not_matched_insert=True)
-    out = t.read().select(
+    return t.read().select(
         "o_orderkey", F.round("o_totalprice", 2).alias("price_out")
     )
-    out = out.cache()
-    out.count()
-    return out
 
 
 @register(
@@ -140,12 +137,9 @@ def time_travel_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         ).select(F.lit(label).alias("snap_label"), "row_count", "sum_value")
 
-    out = _checks(t.read(snapshot_id=baseline_snapshot), "baseline").unionAll(
+    return _checks(t.read(snapshot_id=baseline_snapshot), "baseline").unionAll(
         _checks(t.read(), "current")
     )
-    out = out.cache()
-    out.count()
-    return out
 
 
 @register(
@@ -177,13 +171,10 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("oversize").alias("category"),
         )
     )
-    out = t.read().select(
+    return t.read().select(
         "p_partkey", "part_name", "category",
         F.round("p_retailprice", 2).alias("price"),
     )
-    out = out.cache()
-    out.count()
-    return out
 
 
 @register(
@@ -209,10 +200,7 @@ def snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(sup)
     t.append(sup.withColumn("s_suppkey", F.col("s_suppkey") + 1_000_000))
     t.delete_where("s_acctbal < 0")
-    out = t.snapshots().select("snapshot_id", "operation", "total_rows")
-    out = out.cache()
-    out.count()
-    return out
+    return t.snapshots().select("snapshot_id", "operation", "total_rows")
 
 
 @register(

@@ -259,3 +259,115 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "token")
         .limit(20)
     )
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, lang, "
+        "len(string_split(trim(text), ' ')) AS n_tokens FROM documents), "
+        "packed AS (SELECT lang, "
+        "CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id "
+        "ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0) AS BIGINT) AS seq_id, "
+        "n_tokens FROM toks) "
+        "SELECT lang, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens "
+        "FROM packed GROUP BY lang, seq_id"
+    ),
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the LLM-training preprocessing step that
+    concatenates documents into fixed-capacity (2048-token) training
+    sequences: a doc starts in the sequence its running-token offset
+    falls into (docs may span a boundary; token-level packing splits
+    them downstream). Returns per-sequence document and token counts.
+
+    Scale shape: the running sum is a window PARTITIONED BY lang —
+    real pipelines pack per shard/stream precisely so no global
+    ordered cumsum exists; each partition's window runs independently
+    after one shuffle. At 100 TB you'd partition by (lang, shard)
+    with shard = hash(doc_id) % K to bound partition size — same
+    plan, one more key."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    n = F.size(_tokens())
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select("doc_id", "lang", n.alias("n_tokens"))
+    packed = toks.select(
+        "lang",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048.0).alias("seq_id"),
+        "n_tokens",
+    )
+    return packed.groupBy("lang", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+    )
+
+
+@register(
+    "sample_stratified_by_lang",
+    oracle=(
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS sampled_docs, "
+        "CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT) AS max_doc "
+        "FROM documents "
+        "WHERE (doc_id * 2654435761) % 100 < "
+        "(CASE WHEN lang = 'en' THEN 50 ELSE 20 END) "
+        "GROUP BY lang"
+    ),
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling — downsample the dominant
+    language (en: 50%) while keeping more of the rest (20%), the
+    data-mixing step of corpus curation. The sampler is a pure integer
+    hash of the key ((doc_id * K) % 100 < rate): reproducible across
+    runs AND engines (no RNG state), map-side only, no shuffle until
+    the stats agg. At 100 TB this is a filter pushed into the scan —
+    sampling never materializes the unsampled corpus."""
+    docs = load_table(spark, "documents", sf_dir)
+    slot = (F.col("doc_id") * F.lit(2654435761)) % 100
+    rate = F.when(F.col("lang") == "en", 50).otherwise(20)
+    return (
+        docs.filter(slot < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("sampled_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@register(
+    "corpus_shard_manifest",
+    oracle=(
+        "SELECT CAST(FLOOR(((doc_id * 2654435761) % 4294967296) / 536870912.0) "
+        "AS BIGINT) AS shard, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(octet_length(encode(text))) AS BIGINT) AS shard_bytes "
+        "FROM documents GROUP BY shard"
+    ),
+)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-shard assignment manifest — the write-planning step of a
+    corpus export: hash-assign every document to one of 8 shards and
+    report per-shard doc counts and byte sizes (what a writer uses to
+    produce balanced training-data files). The shard id is the TOP 3
+    bits of a 32-bit multiplicative hash (taking `% 8` directly would
+    collapse to `doc_id % 8` because the multiplier is odd): integer
+    arithmetic only, identical in both engines, no overflow under ANSI
+    mode for ids < 2^31. At scale `shard` becomes the
+    repartition/partitionBy key of the actual write, so the manifest
+    agg and the write share one shuffle."""
+    docs = load_table(spark, "documents", sf_dir)
+    shard = F.floor(
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(536870912.0)
+    ).cast("bigint")
+    return docs.groupBy(shard.alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.octet_length(F.encode("text", "utf-8"))).alias("shard_bytes"),
+    )
