@@ -15,6 +15,7 @@ Spark's native session_window (state store, not a Python UDF).
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 
@@ -23,6 +24,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.registry import register
+
+# Number of state-store partitions for streaming queries. Spark fixes
+# state partitioning at first checkpoint, and every micro-batch pays a
+# per-partition state-store commit (delta file + CRC + rename), so this
+# should track stream volume, not session shuffle width: measured at
+# sf0.1, 32 partitions cost ~3.1s/query vs ~1.7s at 8 for identical
+# results. On a real cluster set it once to ~2× executor cores via the
+# env var; it cannot be changed after the checkpoint exists.
+_STATE_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
 
 _EVENTS_SCHEMA = T.StructType(
     [
@@ -62,15 +72,21 @@ def _run_to_file_sink(df: DataFrame, spark: SparkSession) -> DataFrame:
     emits everything."""
     d = tempfile.mkdtemp(prefix="stream-sink-")
     atexit.register(shutil.rmtree, d, ignore_errors=True)
-    q = (
-        df.writeStream.format("parquet")
-        .option("path", d + "/out")
-        .option("checkpointLocation", d + "/ck")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = df.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _STATE_PARTITIONS)
+    try:
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", d + "/out")
+            .option("checkpointLocation", d + "/ck")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     try:
         return spark.read.schema(df.schema).parquet(d + "/out")
     except Exception:  # no files written (empty result stream)
