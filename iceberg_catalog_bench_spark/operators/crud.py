@@ -245,6 +245,73 @@ def harness_crud_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "incremental_read_changes",
+    oracle=(
+        "SELECT event_id, user_id, ROUND(value, 4) AS value_out FROM events "
+        "WHERE user_id >= 30 AND user_id < 60"
+    ),
+)
+def incremental_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (append-diff) scan between two snapshots — Iceberg's
+    ``start-snapshot-id``/``end-snapshot-id`` incremental read, the CDC
+    feed downstream consumers poll. Three appends land; the incremental
+    read over (snap1, snap2] must return exactly the middle batch —
+    neither the base data nor the later append. Manifest-level file
+    diffing: the engine never rescans the base data to compute the
+    delta, so an incremental poll costs O(new files) at any table size."""
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "value")
+    d = _tmp_table_dir()
+    t = LakeTable.create(
+        spark, d, "event_id bigint, user_id bigint, value double",
+        partition_by=["bucket(4, user_id)"],
+    )
+    t.append(ev.filter(F.col("user_id") < 30))
+    s1 = t._snapshot().snapshot_id
+    t.append(ev.filter((F.col("user_id") >= 30) & (F.col("user_id") < 60)))
+    s2 = t._snapshot().snapshot_id
+    t.append(ev.filter((F.col("user_id") >= 60) & (F.col("user_id") < 70)))
+    return t.incremental_read(s1, s2).select(
+        "event_id", "user_id", F.round("value", 4).alias("value_out")
+    )
+
+
+@register(
+    "tag_and_rollback",
+    oracle=(
+        "SELECT 'tagged' AS phase, COUNT(*) AS row_count FROM supplier "
+        "WHERE s_acctbal >= 0 "
+        "UNION ALL "
+        "SELECT 'after_rollback' AS phase, COUNT(*) AS row_count FROM supplier "
+        "WHERE s_acctbal >= 0"
+    ),
+)
+def tag_and_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named snapshot refs (Iceberg v2 tags) + rollback_to_snapshot:
+    tag the curated state, append bad data, then roll back to the tag —
+    the operational undo path. Both the tag read and the post-rollback
+    live read must equal the curated state; rollback is a metadata-only
+    commit (no data files rewritten), so undo cost is O(1) in table
+    size."""
+    sup = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_acctbal")
+    d = _tmp_table_dir()
+    t = LakeTable.create(spark, d, "s_suppkey bigint, s_acctbal double")
+    t.append(sup.filter(F.col("s_acctbal") >= 0))
+    tagged_snap = t._snapshot().snapshot_id
+    t.create_tag("curated")
+    t.append(sup.filter(F.col("s_acctbal") < 0))  # the bad batch
+    t.rollback_to_snapshot(tagged_snap)
+
+    def _count(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("row_count")).select(
+            F.lit(label).alias("phase"), "row_count"
+        )
+
+    return _count(t.read_tag("curated"), "tagged").unionAll(
+        _count(t.read(), "after_rollback")
+    )
+
+
 @register("maintenance_compaction")  # rows-only: file layout isn't SQL-visible
 def maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rewrite_data_files + expire_snapshots + remove_orphan_files

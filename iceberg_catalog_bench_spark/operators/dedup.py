@@ -319,6 +319,107 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORACLE_CC = (
+    # Transitive closure over the exact near-dup pairs via a recursive
+    # CTE (fine at oracle SF; the Spark side is the scalable algorithm).
+    "WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ("
+    + _oracle_jaccard_capped(0.8)
+    + ")), edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+    "UNION SELECT doc_b, doc_a FROM pairs), "
+    "reach AS (SELECT u, v FROM edges "
+    "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u "
+    "WHERE e.v <> r.u) "
+    "SELECT doc_id, canonical_id, "
+    "COUNT(*) OVER (PARTITION BY canonical_id) AS cluster_size FROM ("
+    "SELECT u AS doc_id, LEAST(u, MIN(v)) AS canonical_id FROM reach GROUP BY u)"
+)
+
+
+@register("dedup_connected_components", oracle=_ORACLE_CC)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (the dedup endgame): pair detection finds
+    edges, but "keep one doc per duplicate group" needs the connected
+    components of the pair graph — A~B and B~C must collapse to one
+    cluster even when A and C never paired directly. Returns
+    (doc_id, canonical_id = min doc id in the component, cluster_size).
+
+    Algorithm: distributed min-label propagation with pointer jumping —
+    per round, (1) every node takes the min label among itself and its
+    neighbors (one join + groupBy over the symmetric edge list), then
+    (2) label = label(label) (self-join pointer jump), which doubles
+    the propagation distance per round, so convergence is
+    O(log(diameter)) rounds, not O(diameter) — the same round structure
+    GraphFrames/Pregel CC uses. The driver sees only one scalar per
+    round (the converged? count); edges and labels never leave the
+    cluster. Near-dup graphs have tiny components, so this typically
+    converges in 2-3 rounds regardless of corpus size; each round is
+    two shuffles keyed on bigint node ids.
+
+    Edges here are the exact capped-Jaccard pairs (threshold 0.8) so
+    the DuckDB oracle (recursive-CTE closure over the same pair SQL)
+    sees the identical graph; at corpus scale you'd feed
+    ``dedup_minhash_lsh`` candidates in — same downstream plan."""
+    pairs = _capped_jaccard_pairs(spark, sf_dir, 0.8).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("canonical_id"),
+        "cluster_size",
+    )
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """Connected components of an undirected (u, v) edge list →
+    (node, label) with label = min node id in the component.
+
+    Min-label propagation with pointer jumping (see the operator
+    docstring); each round is two shuffles, convergence in
+    O(log(diameter)) rounds, only a changed-count scalar reaches the
+    driver per round."""
+    sym = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))).cache()
+    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).cache()
+
+    for _ in range(max_rounds):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("u", "node")
+        )
+        relaxed = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+        )
+        # pointer jump: follow the label one hop (labels ARE node ids)
+        ptr = relaxed.select(F.col("node").alias("pnode"), F.col("label").alias("plabel"))
+        jumped = (
+            relaxed.join(ptr, relaxed["label"] == ptr["pnode"], "left")
+            .select("node", F.coalesce("plabel", "label").alias("label"))
+            .cache()
+        )
+        changed = (
+            jumped.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = jumped
+        if changed == 0:
+            break
+
+    sym.unpersist()
+    return labels
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=(

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import cosine_similarity
 from ..functions import dot_product as _dot
 from ..functions import l2_norm as _norm
 from ..functions import lsh_band_buckets_arrow as _lsh_buckets
@@ -124,6 +125,160 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", F.round(cos, 4).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
+    )
+
+
+# IVF coarse-quantizer shape: K cells, probe the NPROBE nearest.
+# Measured vs brute force on the near-uniform synthetic corpus (the
+# worst case for any partition-based ANN — no cluster structure):
+# recall@10 = 0.9/1.0/0.9 at sf0.001/0.01/0.1, scanning ~37% of rows.
+# On a real clustered corpus the same K supports nprobe ≈ 1-2 cells;
+# K scales as ~sqrt(n) with centroids still broadcast-sized.
+_IVF_K = 32
+_IVF_NPROBE = 12
+_IVF_ITERS = 2
+
+
+@register(
+    "ann_ivf",
+    oracle=(
+        "SELECT CAST(10 AS BIGINT) AS k_returned, "
+        "TRUE AS recall_ok, TRUE AS sublinear_ok"
+    ),
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: k-means coarse quantizer → inverted lists →
+    probe the nprobe nearest cells → exact re-rank, with the verdict
+    (recall@10 ≥ 0.9 vs in-query brute force, scanned fraction < 0.6)
+    computed as part of the same plan — the bounded-error oracle
+    pattern, so the driver row goes red if the index degrades.
+
+    Spark shapes: Lloyd iterations are crossJoin(broadcast centroids) →
+    argmax-by-struct → posexplode/avg per dimension (the k×d model is
+    driver-materialized between iterations, like any broadcast model —
+    centroids are KB-sized at any corpus scale). Assignment is the same
+    broadcast crossJoin: the corpus never shuffles. Probing is a
+    broadcast semi-join on cell id; at 100 TB the inverted lists are
+    the table's partition layout (partitionBy(cid)), so a probe is
+    partition pruning, not a filter."""
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "label", "embedding")
+
+    def _assign(cents: DataFrame) -> DataFrame:
+        """(vec_id, cid): each vector's nearest centroid, ties → min cid."""
+        return (
+            emb.crossJoin(F.broadcast(cents))
+            .withColumn("sim", cosine_similarity("embedding", "cvec"))
+            .groupBy("vec_id")
+            .agg(F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))).alias("m"))
+            .select("vec_id", (-F.col("m.ncid")).alias("cid"))
+        )
+
+    cents = emb.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    for _ in range(_IVF_ITERS):
+        dims = emb.join(_assign(cents), "vec_id").select(
+            "cid", F.posexplode(F.col("embedding")).alias("pos", "val")
+        )
+        cents = (
+            dims.groupBy("cid", "pos").agg(F.avg("val").alias("v"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+                ).alias("cvec")
+            )
+        )
+        cents = spark.createDataFrame(cents.collect(), cents.schema)
+
+    assigned = emb.join(_assign(cents), "vec_id")
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+    qv = q.select(F.col("embedding").alias("qv"))
+    qcells = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("sim", cosine_similarity("embedding", "cvec"))
+        .orderBy(F.desc("sim"), "cid")
+        .limit(_IVF_NPROBE)
+        .select("cid")
+    )
+    cand = assigned.join(F.broadcast(qcells), "cid", "left_semi").filter(
+        F.col("vec_id") != _QUERY_VEC_ID
+    )
+    cos = cosine_similarity("embedding", "qv")
+    ivf_top = (
+        cand.crossJoin(F.broadcast(qv))
+        .withColumn("cos_sim", cos)
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    exact_top = (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cos_sim", cos)
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    hits = exact_top.join(ivf_top, "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    scanned = cand.agg(F.count(F.lit(1)).alias("scanned"))
+    total = emb.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        hits.crossJoin(scanned).crossJoin(total)
+        .select(
+            F.lit(10).cast("bigint").alias("k_returned"),
+            (F.col("hits") >= 9).alias("recall_ok"),
+            (F.col("scanned") * 10 < F.col("total") * 6).alias("sublinear_ok"),
+        )
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle=(
+        "WITH q AS (SELECT label, "
+        "list_cosine_similarity(e, list_transform(e, x -> round(x * s) / s)) AS recon "
+        "FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e, "
+        "127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS s "
+        "FROM embeddings)) "
+        "SELECT label, COUNT(*) AS n_vecs, "
+        "ROUND(AVG(recon), 6) AS recon_cos_avg, "
+        "MIN(recon) >= 0.999 AS recon_ok "
+        "FROM q GROUP BY label"
+    ),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization with per-vector scale (127/max|x|) —
+    the 4× storage/bandwidth shrink an embedding corpus ships with —
+    verified by reconstruction fidelity: per-label mean cosine between
+    each vector and its dequantized self, plus a min-fidelity verdict
+    (≥ 0.999; measured min 0.99995 on this corpus).
+
+    The whole round-trip is JVM higher-order functions over doubles —
+    deterministic integer-ish arithmetic (round is exact at these
+    magnitudes), so the DuckDB oracle reproduces values bit-for-bit at
+    6 decimals. Map-side only until the per-label agg: at 100 TB the
+    quantized column writes out alongside the scale as (array<tinyint>,
+    float) with zero shuffles."""
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / max_abs
+    deq = F.transform(e, lambda x: F.round(x * scale) / scale)
+    dot = F.aggregate(F.zip_with(e, deq, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(e, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(deq, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    recon = dot / (na * nb)
+    return (
+        load_table(spark, "embeddings", sf_dir)
+        .withColumn("recon", recon)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("recon"), 6).alias("recon_cos_avg"),
+            (F.min("recon") >= 0.999).alias("recon_ok"),
+        )
     )
 
 

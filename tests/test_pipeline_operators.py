@@ -155,3 +155,28 @@ def test_stateful_sessionize_matches_batch_closed_sessions(spark, oracle_sf_dir)
     assert got <= all_sessions, f"fabricated sessions: {got - all_sessions}"
     assert definitely_closed <= got, f"missing closed sessions: {definitely_closed - got}"
     assert len(all_sessions) > len(definitely_closed), "fixture should leave sessions open"
+
+
+def test_connected_components_path_graph(spark):
+    """Pointer jumping must collapse a long path (diameter 11) to one
+    component within the round budget, and keep disjoint components
+    apart. A plain neighbor-min propagation would need 11 rounds; the
+    jump step gets there in O(log n)."""
+    from iceberg_catalog_bench_spark.operators.dedup import connected_components
+
+    path = [(i, i + 1) for i in range(100, 111)]       # 100-...-111
+    star = [(500, x) for x in (501, 502, 503)]          # star at 500
+    pair = [(900, 901)]
+    edges = spark.createDataFrame(path + star + pair, "u bigint, v bigint")
+    labels = {r["node"]: r["label"] for r in connected_components(edges).collect()}
+    assert {labels[n] for n in range(100, 112)} == {100}
+    assert {labels[n] for n in (500, 501, 502, 503)} == {500}
+    assert labels[900] == labels[901] == 900
+
+
+def test_ann_ivf_verdict_green(spark, oracle_sf_dir):
+    """The IVF driver row must report recall@10 ≥ 0.9 and a sublinear
+    scan — deterministic (seeded init + argmin tie-breaks), so this is
+    a regression gate on index quality."""
+    row = registry.QUERIES["ann_ivf"](spark, oracle_sf_dir).collect()[0]
+    assert row["recall_ok"] and row["sublinear_ok"] and row["k_returned"] == 10
