@@ -312,7 +312,21 @@ def tag_and_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("maintenance_compaction")  # rows-only: file layout isn't SQL-visible
+@register(
+    "maintenance_compaction",
+    oracle=(
+        # The lifecycle is deterministic: 4 modulo-slice appends of the
+        # 25-row nation table → 4 files; bin-pack compaction of 4 tiny
+        # files → 1; expire+GC leaves 0 orphans. Row counts must ride
+        # through unchanged — the data-integrity half comes from the
+        # nation scalar subquery, the file-layout half from the pinned
+        # literals.
+        "SELECT (SELECT COUNT(*) FROM nation) AS rows_before, "
+        "(SELECT COUNT(*) FROM nation) AS rows_after, "
+        "4 AS files_before, 1 AS files_after, "
+        "4 AS rewritten, 0 AS orphans_removed"
+    ),
+)
 def maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rewrite_data_files + expire_snapshots + remove_orphan_files
     (reference P1/P3/P4, blob-dfs_bench.py:140-155): many small appends

@@ -93,7 +93,20 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_frame_sample")  # frame explosion: rows-only check
+@register(
+    "multimodal_frame_sample",
+    oracle=(
+        # The frame-sampling policy is pure integer arithmetic on blob
+        # length, so the whole explosion is SQL-reproducible:
+        # generate_series per doc == the mapInPandas generator's rows.
+        "WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents), "
+        "f AS (SELECT doc_id, n, "
+        "unnest(generate_series(0, least(8, greatest(1, n // 256)) - 1)) AS frame_idx "
+        "FROM d) "
+        "SELECT doc_id, frame_idx, frame_idx * 256 AS byte_offset, "
+        "least(256, n - frame_idx * 256) AS frame_bytes FROM f"
+    ),
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling: one binary blob → N frame rows
     (every 256-byte window = one 'frame', capped at 8 per doc — the

@@ -37,18 +37,23 @@ _QUERY_VEC_ID = 0
 _DIM = 64
 
 
-@register(
-    "knn_brute_force",
-    oracle=(
-        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings "
-        f"WHERE vec_id = {_QUERY_VEC_ID}) "
-        "SELECT e.vec_id, e.label, "
-        "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cos_sim "
-        "FROM embeddings e, q "
-        f"WHERE e.vec_id <> {_QUERY_VEC_ID} "
-        "ORDER BY cos_sim DESC, e.vec_id LIMIT 10"
-    ),
+# Exact top-10 SQL — the oracle for BOTH knn_brute_force and
+# ann_lsh_buckets: the LSH recall on this corpus is deterministically
+# 1.0 (measured at sf0.001/0.01/0.1), so the approximate operator's
+# output must EQUAL the exact top-10 — completeness is part of the
+# correctness gate, exactly like dedup_minhash_lsh vs exact Jaccard.
+_ORACLE_KNN = (
+    "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings "
+    f"WHERE vec_id = {_QUERY_VEC_ID}) "
+    "SELECT e.vec_id, e.label, "
+    "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cos_sim "
+    "FROM embeddings e, q "
+    f"WHERE e.vec_id <> {_QUERY_VEC_ID} "
+    "ORDER BY cos_sim DESC, e.vec_id LIMIT 10"
 )
+
+
+@register("knn_brute_force", oracle=_ORACLE_KNN)
 def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors of vec_id=0. The query vector is a
     1-row broadcast (crossJoin) — no shuffle of the corpus side; the
@@ -82,7 +87,7 @@ _ANN_BITS = 6
 _ANN_TABLES = 24
 
 
-@register("ann_lsh_buckets")  # approximate by design → rows-only check
+@register("ann_lsh_buckets", oracle=_ORACLE_KNN)
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 for vec_id=0 via multi-table hyperplane LSH.
 

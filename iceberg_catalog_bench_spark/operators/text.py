@@ -54,21 +54,25 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_quality_scores",
-    oracle=(
-        "SELECT doc_id, "
-        "len(string_split(trim(text), ' ')) AS n_tokens, "
-        "ROUND(length(text) * 1.0 / len(string_split(trim(text), ' ')), 4) "
-        "AS avg_token_len, "
-        "ROUND(len(list_filter(string_split(trim(text), ' '), "
-        "x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0 "
-        "/ len(string_split(trim(text), ' ')), 4) AS stopword_ratio, "
-        "ROUND(len(list_distinct(string_split(trim(text), ' '))) * 1.0 "
-        "/ len(string_split(trim(text), ' ')), 4) AS distinct_ratio "
-        "FROM documents"
-    ),
+# Shared by text_quality_scores AND text_quality_pandas_udf: the two
+# are the same operator on different execution paths (JVM built-ins vs
+# Arrow pandas_udf), so one oracle gates both — the UDF path gets a
+# full value-hash driver row, not just the pytest equality check.
+_ORACLE_QUALITY = (
+    "SELECT doc_id, "
+    "len(string_split(trim(text), ' ')) AS n_tokens, "
+    "ROUND(length(text) * 1.0 / len(string_split(trim(text), ' ')), 4) "
+    "AS avg_token_len, "
+    "ROUND(len(list_filter(string_split(trim(text), ' '), "
+    "x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0 "
+    "/ len(string_split(trim(text), ' ')), 4) AS stopword_ratio, "
+    "ROUND(len(list_distinct(string_split(trim(text), ' '))) * 1.0 "
+    "/ len(string_split(trim(text), ' ')), 4) AS distinct_ratio "
+    "FROM documents"
 )
+
+
+@register("text_quality_scores", oracle=_ORACLE_QUALITY)
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring: token count, mean token length,
     stopword ratio, type-token (distinct) ratio — the standard cheap
@@ -151,7 +155,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_quality_pandas_udf")  # rows-only: UDF-path demonstrator
+@register("text_quality_pandas_udf", oracle=_ORACLE_QUALITY)
 def text_quality_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same quality metrics as text_quality_scores, computed in an
     Arrow-batched Pandas UDF instead of JVM built-ins. Registered as

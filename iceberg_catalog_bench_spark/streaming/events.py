@@ -174,7 +174,29 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_sessionize_stateful")  # closed-session semantics → rows-only
+@register(
+    "streaming_sessionize_stateful",
+    oracle=(
+        # Same gap logic as the operator (strict > 1800s on floored
+        # epoch seconds), restricted to definitely-closed sessions:
+        # last event + gap strictly before the final watermark
+        # (max ts − 2h) with a 1s guard band — the deterministic
+        # emission contract the operator enforces by post-filter.
+        "WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s "
+        "FROM events WHERE user_id < 40), "
+        "mx AS (SELECT MAX(s) AS max_s FROM ev), "
+        "g AS (SELECT user_id, s, CASE WHEN LAG(s) OVER w IS NULL "
+        "OR s - LAG(s) OVER w > 1800 THEN 1 ELSE 0 END AS brk FROM ev "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY s)), "
+        "c AS (SELECT user_id, s, SUM(brk) OVER "
+        "(PARTITION BY user_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS sess FROM g), "
+        "sess AS (SELECT user_id, sess, MIN(s) AS session_start_s, "
+        "MAX(s) AS session_end_s, CAST(COUNT(*) AS INT) AS n_events "
+        "FROM c GROUP BY user_id, sess) "
+        "SELECT user_id, session_start_s, session_end_s, n_events "
+        "FROM sess, mx WHERE session_end_s + 1800 < max_s - 7200 - 1"
+    ),
+)
 def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     per-user sessionization with a 30-minute inactivity gap.
@@ -240,4 +262,24 @@ def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    return _run_to_file_sink(sessions, spark)
+    sink = _run_to_file_sink(sessions, spark)
+    # Deterministic emission contract: keep only sessions whose
+    # event-time timeout (last + gap) fired STRICTLY before the final
+    # watermark (max ts − 2h), with a 1s guard band — at the exact
+    # boundary second, firing depends on sub-second watermark
+    # arithmetic (see test_stateful_sessionize_matches_batch_closed
+    # _sessions). Boundary sessions are withheld until the next poll,
+    # the normal contract of an incremental session feed; the withheld
+    # set is exactly the still-open trailing window.
+    from ..sources import load_table as _lt
+
+    wm = (
+        _lt(spark, "events", sf_dir)
+        .filter(F.col("user_id") < 40)
+        .agg((F.max(F.unix_timestamp("ts")) - 2 * 3600).alias("wm_s"))
+    )
+    return (
+        sink.crossJoin(F.broadcast(wm))
+        .filter(F.col("session_end_s") + GAP_S < F.col("wm_s") - 1)
+        .drop("wm_s")
+    )
