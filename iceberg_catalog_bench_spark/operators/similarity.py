@@ -206,9 +206,11 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_IVF_NPROBE)
         .select("cid")
     )
+    # cached: the candidate set feeds both the top-k re-rank and the
+    # scanned-count verdict — one assignment pass, not two
     cand = assigned.join(F.broadcast(qcells), "cid", "left_semi").filter(
         F.col("vec_id") != _QUERY_VEC_ID
-    )
+    ).cache()
     cos = cosine_similarity("embedding", "qv")
     ivf_top = (
         cand.crossJoin(F.broadcast(qv))

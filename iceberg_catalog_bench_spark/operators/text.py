@@ -266,6 +266,92 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_scores",
+    oracle=(
+        "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w, "
+        "len(string_split(trim(text), ' ')) AS n FROM documents) "
+        "SELECT doc_id, "
+        "CASE WHEN n - 1 > 0 THEN ROUND(1.0 - "
+        "len(list_distinct(list_transform(generate_series(1, n - 1), "
+        "i -> w[i] || ' ' || w[i+1]))) * 1.0 / (n - 1), 4) ELSE 0.0 END "
+        "AS dup_2gram_frac, "
+        "CASE WHEN n - 2 > 0 THEN ROUND(1.0 - "
+        "len(list_distinct(list_transform(generate_series(1, n - 2), "
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) * 1.0 / (n - 2), 4) "
+        "ELSE 0.0 END AS dup_3gram_frac "
+        "FROM t"
+    ),
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition scoring (the Gopher/MassiveText
+    repetition filters): fraction of duplicate 2-grams and 3-grams per
+    document — high values flag boilerplate/spam/looping generations
+    before they reach training. dup_frac_n = 1 − distinct_n/total_n.
+
+    Map-only higher-order functions over the token array (total count
+    is arithmetic, distinct count reuses the shingle builder): no
+    shuffle, no Python — at 100 TB this rides the same scan as every
+    other per-doc quality score."""
+    from ..functions import shingles_expr
+
+    n_toks = F.size(_tokens())
+
+    def dup_frac(n: int) -> F.Column:
+        total = n_toks - (n - 1)
+        distinct_n = F.size(F.expr(shingles_expr("text", n)))
+        return (
+            F.when(total > 0, F.round(1.0 - distinct_n / total, 4))
+            .otherwise(F.lit(0.0))
+        )
+
+    return load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+    )
+
+
+@register(
+    "corpus_mixture_weights",
+    oracle=(
+        "WITH per_lang AS (SELECT lang, COUNT(*) AS n_docs, "
+        "CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS lang_tokens "
+        "FROM documents GROUP BY lang), "
+        "tot AS (SELECT SUM(lang_tokens) AS total_tokens FROM per_lang) "
+        "SELECT lang, n_docs, lang_tokens, "
+        "ROUND(lang_tokens * 1.0 / total_tokens, 6) AS actual_share, "
+        "ROUND(0.2 * total_tokens / lang_tokens, 6) AS sampling_weight "
+        "FROM per_lang, tot"
+    ),
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weights: given a target mixture (uniform 0.2 per
+    language here), compute each language's actual token share and the
+    sampling weight (target/actual) that rebalances the corpus — the
+    number a weighted sampler or dataloader consumes. One partial-agg
+    shuffle on a 5-value key plus a broadcast of the 1-row total; the
+    weights table is dimension-sized at any corpus scale."""
+    per_lang = (
+        load_table(spark, "documents", sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(_tokens())).alias("lang_tokens"),
+        )
+    )
+    tot = per_lang.agg(F.sum("lang_tokens").alias("total_tokens"))
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "lang_tokens",
+        F.round(F.col("lang_tokens") / F.col("total_tokens"), 6).alias("actual_share"),
+        F.round(F.lit(0.2) * F.col("total_tokens") / F.col("lang_tokens"), 6).alias(
+            "sampling_weight"
+        ),
+    )
+
+
+@register(
     "pipeline_pack_sequences",
     oracle=(
         "WITH toks AS (SELECT doc_id, lang, "

@@ -94,6 +94,66 @@ def _run_to_file_sink(df: DataFrame, spark: SparkSession) -> DataFrame:
 
 
 @register(
+    "streaming_ingest_laketable",
+    oracle=(
+        "SELECT event_type, COUNT(*) AS cnt, "
+        "ROUND(SUM(value), 2) AS sum_value, "
+        "CAST(COUNT(DISTINCT event_id) AS BIGINT) AS distinct_ids "
+        "FROM events GROUP BY event_type"
+    ),
+)
+def streaming_ingest_laketable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion INTO the catalog table — Iceberg's
+    streaming-write path (``writeStream.format('iceberg')``), expressed
+    as ``foreachBatch`` → ``LakeTable.append`` per micro-batch: each
+    batch is one atomic snapshot commit, so readers see
+    exactly-per-batch atomicity and time travel records the ingest
+    history. availableNow replays the whole source, then the query
+    verifies the TABLE (not the stream) against batch SQL over the
+    same rows.
+
+    Scale notes: appends go through the table's commit-lock/retry
+    path, so a streaming writer coexists with batch writers;
+    maxFilesPerTrigger shards a 100 TB backfill into bounded commits;
+    the partition spec (bucket(8, user_id)) applies per batch, giving
+    the same pruned layout a batch write would."""
+    import tempfile as _tf
+
+    from ..catalog import LakeTable
+
+    d = _tf.mkdtemp(prefix="stream-ingest-")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    t = LakeTable.create(
+        spark, d + "/t",
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double",
+        partition_by=["bucket(8, user_id)"],
+    )
+    ev = _events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t.append(batch_df)
+
+    q = (
+        ev.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", d + "/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("event_id").alias("distinct_ids"),
+        )
+    )
+
+
+@register(
     "streaming_windowed_agg",
     oracle=(
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
