@@ -313,6 +313,89 @@ def tag_and_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_metadata_roundtrip",
+    oracle=(
+        "SELECT COUNT(*) AS row_count, "
+        "ROUND(SUM(p_retailprice), 2) AS price_sum, "
+        "CAST(SUM(CASE WHEN p_size <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_general, "
+        "CAST(SUM(CASE WHEN p_size > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize "
+        "FROM part"
+    ),
+)
+def iceberg_metadata_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine interoperability, driver-checked: build a table
+    WITH schema evolution (add-default + rename), export its metadata
+    in the Iceberg v2 layout (metadata.json → manifest list →
+    manifests), then read it back THROUGH that chain only — the walk
+    an external Iceberg reader performs, field-id projection included;
+    LakeTable's own metadata is never consulted on the read side. The
+    checksums must equal plain SQL over the source rows, proving the
+    exported chain describes the same table."""
+    from ..catalog.iceberg_export import read_via_iceberg_metadata, to_iceberg_metadata
+
+    part = load_table(spark, "part", sf_dir)
+    d = _tmp_table_dir()
+    t = LakeTable.create(spark, d, "p_partkey bigint, p_name string, p_retailprice double")
+    t.append(part.filter(F.col("p_size") <= 25).select("p_partkey", "p_name", "p_retailprice"))
+    t.add_column("category", "string", default="general")
+    t.rename_column("p_name", "part_name")
+    t.append(
+        part.filter(F.col("p_size") > 25).select(
+            "p_partkey",
+            F.col("p_name").alias("part_name"),
+            "p_retailprice",
+            F.lit("oversize").alias("category"),
+        )
+    )
+    exported = read_via_iceberg_metadata(spark, to_iceberg_metadata(t))
+    return exported.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.round(F.sum("p_retailprice"), 2).alias("price_sum"),
+        F.sum((F.col("category") == "general").cast("bigint")).alias("n_general"),
+        F.sum((F.col("category") == "oversize").cast("bigint")).alias("n_oversize"),
+    )
+
+
+@register(
+    "rest_catalog_conformance",
+    oracle=(
+        # Pinned transcript shape: 32 ordered calls, 4 intentional
+        # expected-failure probes (conflict / stale-version /
+        # disabled-feature / non-empty-drop), zero FAILs — the
+        # reference tester's PASS/EXP/FAIL classification over a
+        # superset of its 29-call sequence.
+        "SELECT CAST(32 AS BIGINT) AS total_calls, "
+        "CAST(28 AS BIGINT) AS passed, "
+        "CAST(4 AS BIGINT) AS expected_failures, "
+        "CAST(0 AS BIGINT) AS failures"
+    ),
+)
+def rest_catalog_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REST catalog conformance (reference §2.8 + management plane) as
+    a driver row: boot the in-process Polaris-style server, run the
+    ordered 32-call suite (OAuth → config → management read surface →
+    optimistic-concurrency catalog update/revert → namespace/table/view
+    lifecycle → cleanup), and report the PASS/EXP/FAIL tally."""
+    from ..catalog.rest import RestCatalogServer, run_conformance
+
+    server = RestCatalogServer().start()
+    try:
+        results = run_conformance(server.url, ns="driver_conf_ns")
+    finally:
+        server.stop()
+    tally = (
+        len(results),
+        sum(1 for r in results if r.outcome == "PASS"),
+        sum(1 for r in results if r.outcome == "EXP"),
+        sum(1 for r in results if r.outcome == "FAIL"),
+    )
+    return spark.createDataFrame(
+        [tally],
+        "total_calls bigint, passed bigint, expected_failures bigint, failures bigint",
+    )
+
+
+@register(
     "maintenance_compaction",
     oracle=(
         # The lifecycle is deterministic: 4 modulo-slice appends of the

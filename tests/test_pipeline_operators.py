@@ -31,7 +31,8 @@ def test_no_cartesian_join_in_pair_operators(spark, oracle_sf_dir):
     hash buckets — never CartesianProduct / BroadcastNestedLoopJoin
     (the n² shapes that die at corpus scale)."""
     for name in ("dedup_embedding_cosine", "dedup_ngram_jaccard",
-                 "dedup_minhash_lsh", "ann_lsh_buckets", "dedup_simhash"):
+                 "dedup_minhash_lsh", "ann_lsh_buckets", "dedup_simhash",
+                 "join_asof_last_purchase", "join_range_error_context"):
         plan = (
             registry.QUERIES[name](spark, oracle_sf_dir)
             ._jdf.queryExecution().executedPlan().toString()

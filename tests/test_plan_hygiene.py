@@ -63,3 +63,24 @@ def test_pricing_summary_partial_agg(spark, oracle_sf_dir):
 def test_column_pruning_reads_only_needed_columns(spark, oracle_sf_dir):
     plan = _plan("full_scan_projection", spark, oracle_sf_dir)
     assert "ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string,value:double>" in plan
+
+
+def test_text_corpus_ops_stay_jvm_side(spark, oracle_sf_dir):
+    """The per-doc scoring / packing / sampling / sharding operators
+    must compile to pure JVM plans — any *EvalPython node means a
+    Python worker crept into the hot path (the pandas-UDF twin is the
+    only op allowed to have one)."""
+    from iceberg_catalog_bench_spark.operators import registry
+
+    registry.load_all()
+    for name in (
+        "text_token_count", "text_quality_scores", "text_lang_id",
+        "text_fingerprint", "text_repetition_scores", "corpus_mixture_weights",
+        "pipeline_pack_sequences", "sample_stratified_by_lang",
+        "corpus_shard_manifest", "embedding_quantize_int8",
+    ):
+        plan = (
+            registry.QUERIES[name](spark, oracle_sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "EvalPython" not in plan, f"{name} plans a Python stage"
