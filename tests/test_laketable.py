@@ -504,3 +504,41 @@ def test_iceberg_metadata_export_roundtrip(spark, tmp_path):
     old = read_via_iceberg_metadata(spark, mp, snapshot_id=baseline)
     assert old.columns == ["id", "sku", "price"]
     assert old.count() == 3
+
+
+def test_concurrent_appenders_all_commit(spark, tmp_path):
+    """N handles appending concurrently must ALL land (append
+    auto-retries on CommitConflict with a fresh snapshot): final table
+    = union of every writer's batch, snapshot count = N appends.
+    This is the multi-writer contract a shared catalog table lives by."""
+    import threading
+
+    path = str(tmp_path / "concurrent")
+    LakeTable.create(spark, path, "k bigint, writer int")
+    n_writers, rows_each = 6, 50
+    errors = []
+
+    def write(widx: int) -> None:
+        try:
+            h = LakeTable.load(spark, path)
+            df = spark.range(widx * 1000, widx * 1000 + rows_each).select(
+                F.col("id").alias("k"), F.lit(widx).alias("writer")
+            )
+            h.append(df)
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errors.append((widx, e))
+
+    threads = [threading.Thread(target=write, args=(i,)) for i in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    final = LakeTable.load(spark, path)
+    got = final.read().groupBy("writer").count().collect()
+    assert {(r["writer"], r["count"]) for r in got} == {
+        (i, rows_each) for i in range(n_writers)
+    }
+    ops = [r["operation"] for r in final.snapshots().collect()]
+    assert ops.count("append") == n_writers
