@@ -154,6 +154,37 @@ def streaming_ingest_laketable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_enrich_join",
+    oracle=(
+        "SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS cnt, "
+        "ROUND(SUM(e.value), 2) AS sum_value "
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+        "GROUP BY c.c_mktsegment"
+    ),
+)
+def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins the
+    customer dimension (broadcast, stateless — no watermark or state
+    store needed), enriched rows land in the file sink, and the check
+    aggregates the sink against the equivalent batch join. This is the
+    standard streaming-ETL lookup shape; at 100 TB the dimension is
+    broadcast once per micro-batch and the stream side never
+    shuffles."""
+    from ..sources import load_table as _lt
+
+    dim = _lt(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    ev = _events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+    enriched = ev.join(F.broadcast(dim), "user_id")
+    sink = _run_to_file_sink(enriched, spark)
+    return sink.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
     "streaming_windowed_agg",
     oracle=(
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
