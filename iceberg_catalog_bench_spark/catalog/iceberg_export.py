@@ -57,6 +57,24 @@ def _iceberg_type(ddl: str) -> str:
         raise ValueError(f"no Iceberg mapping for Spark type {ddl!r}") from None
 
 
+def _spark_ddl_type(iceberg: str) -> str:
+    """Inverse of `_iceberg_type` — Iceberg primitive → Spark DDL."""
+    if iceberg.startswith("decimal"):
+        return iceberg
+    return {
+        "long": "bigint",
+        "int": "int",
+        "string": "string",
+        "double": "double",
+        "float": "float",
+        "boolean": "boolean",
+        "date": "date",
+        "timestamptz": "timestamp",
+        "timestamp": "timestamp_ntz",
+        "binary": "binary",
+    }.get(iceberg, "string")
+
+
 def _iceberg_transform(t: Transform) -> str:
     """Iceberg transform spelling: bucket[N] / truncate[W] / day / ..."""
     if t.name == "bucket":
@@ -99,11 +117,20 @@ def to_iceberg_metadata(table: LakeTable) -> str:
                 ],
             }
         )
-        last_column_id = max(last_column_id, *(f["id"] for f in fields)) if fields else 0
+        if fields:
+            last_column_id = max(last_column_id, *(f["id"] for f in fields))
 
-    field_ids_by_name = {
-        f["name"]: f["id"] for f in meta["schemas"][str(meta["current_schema_version"])]
-    }
+    # Renames keep field ids, but a partition spec / sort order created
+    # before a rename still names the column by its old spelling —
+    # resolve through EVERY schema version (current spelling wins) so
+    # source-ids survive renames.
+    field_ids_by_name: dict[str, int] = {}
+    for _ver, fields in sorted(meta["schemas"].items(), key=lambda kv: int(kv[0])):
+        for f in fields:
+            field_ids_by_name.setdefault(f["name"], f["id"])
+    field_ids_by_name.update(
+        {f["name"]: f["id"] for f in meta["schemas"][str(meta["current_schema_version"])]}
+    )
     spec_fields = []
     for i, tj in enumerate(meta["partition_spec"]):
         t = Transform.from_json(tj)
@@ -254,7 +281,9 @@ def read_via_iceberg_metadata(
             )
     target = next(s for s in md["schemas"] if s["schema-id"] == snap["schema-id"])
     if not by_schema:
-        ddl = ", ".join(f"{f['name']} string" for f in target["fields"])
+        ddl = ", ".join(
+            f"{f['name']} {_spark_ddl_type(f['type'])}" for f in target["fields"]
+        )
         return spark.createDataFrame([], ddl)
     # Iceberg resolves columns by FIELD ID: for each file generation,
     # map the target schema's ids onto that generation's names (renames

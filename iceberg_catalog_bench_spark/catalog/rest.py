@@ -477,49 +477,65 @@ def run_conformance(base_url: str, ns: str = "conformance_ns") -> list[CallResul
     check("list_catalog_roles", c.list_catalog_roles("open_catalog"))
     check("list_principal_roles", c.list_principal_roles())
     version = cat.get("entityVersion")
-    original_props = dict(cat.get("properties", {}))
-    updated_props = dict(original_props)
-    updated_props["default-base-location"] = (
-        original_props.get("default-base-location", "") + "-conformance"
-    )
-    cat = check(
-        "update_catalog_base_location",
-        c.update_catalog("open_catalog", version, properties=updated_props),
-    )
-    version = cat.get("entityVersion", version)
-    check(
-        "update_catalog_stale_version",
-        c.update_catalog("open_catalog", version - 1, properties=updated_props),
-        ok=(), expected=(409,),
-    )
-    cat = check(
-        "revert_catalog_base_location",
-        c.update_catalog("open_catalog", version, properties=original_props),
-    )
-    version = cat.get("entityVersion", version)
-    storage = dict(cat.get("storageConfigInfo", {}))
-    original_locs = list(storage.get("allowedLocations", []))
-    storage["allowedLocations"] = [
-        (original_locs[0] + "-conformance") if original_locs else "file:///x"
-    ] + original_locs[1:]
-    cat = check(
-        "update_catalog_allowed_locations",
-        c.update_catalog("open_catalog", version, storage_config=storage),
-    )
-    version = cat.get("entityVersion", version)
-    storage["allowedLocations"] = original_locs
-    cat = check(
-        "revert_catalog_allowed_locations",
-        c.update_catalog("open_catalog", version, storage_config=storage),
-    )
-    final = check("describe_catalog_after_revert", c.describe_catalog("open_catalog"))
-    check(
-        "catalog_state_reverted",
-        (200 if (final.get("properties") == original_props
-                 and final.get("storageConfigInfo", {}).get("allowedLocations")
-                 == original_locs) else 500, final),
-        ok=(200,),
-    )
+    if not isinstance(version, int):
+        # A failed/shape-changed describe means the optimistic-
+        # concurrency cycle cannot run; record its calls as FAIL
+        # rows (the suite's contract is PASS/EXP/FAIL, never an
+        # unhandled exception) and continue with the data plane.
+        for nm in (
+            "update_catalog_base_location", "update_catalog_stale_version",
+            "revert_catalog_base_location", "update_catalog_allowed_locations",
+            "revert_catalog_allowed_locations", "describe_catalog_after_revert",
+            "catalog_state_reverted",
+        ):
+            results.append(CallResult(
+                nm, 0, "FAIL",
+                {"error": "describe_catalog returned no entityVersion"},
+            ))
+    else:
+        original_props = dict(cat.get("properties", {}))
+        updated_props = dict(original_props)
+        updated_props["default-base-location"] = (
+            original_props.get("default-base-location", "") + "-conformance"
+        )
+        cat = check(
+            "update_catalog_base_location",
+            c.update_catalog("open_catalog", version, properties=updated_props),
+        )
+        version = cat.get("entityVersion", version)
+        check(
+            "update_catalog_stale_version",
+            c.update_catalog("open_catalog", version - 1, properties=updated_props),
+            ok=(), expected=(409,),
+        )
+        cat = check(
+            "revert_catalog_base_location",
+            c.update_catalog("open_catalog", version, properties=original_props),
+        )
+        version = cat.get("entityVersion", version)
+        storage = dict(cat.get("storageConfigInfo", {}))
+        original_locs = list(storage.get("allowedLocations", []))
+        storage["allowedLocations"] = [
+            (original_locs[0] + "-conformance") if original_locs else "file:///x"
+        ] + original_locs[1:]
+        cat = check(
+            "update_catalog_allowed_locations",
+            c.update_catalog("open_catalog", version, storage_config=storage),
+        )
+        version = cat.get("entityVersion", version)
+        storage["allowedLocations"] = original_locs
+        cat = check(
+            "revert_catalog_allowed_locations",
+            c.update_catalog("open_catalog", version, storage_config=storage),
+        )
+        final = check("describe_catalog_after_revert", c.describe_catalog("open_catalog"))
+        check(
+            "catalog_state_reverted",
+            (200 if (final.get("properties") == original_props
+                     and final.get("storageConfigInfo", {}).get("allowedLocations")
+                     == original_locs) else 500, final),
+            ok=(200,),
+        )
 
     check("create_namespace", c.create_namespace(ns))
     check("create_namespace_conflict", c.create_namespace(ns), ok=(), expected=(409,))

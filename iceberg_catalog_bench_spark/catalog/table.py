@@ -855,103 +855,126 @@ class LakeTable:
             *[F.col(c).alias(f"src_{c}") for c in source.columns],
             F.lit(True).alias("_src_match"),
         ).cache()
-        # One materialization of the cached source yields everything we
-        # need driver-side: row count (broadcast decision) and key
-        # cardinality (MERGE's multiple-matching-rows check).
-        key_cols = [F.col(f"src_{k}") for k in on]
-        nonnull = key_cols[0].isNotNull()
-        for c in key_cols[1:]:
-            nonnull = nonnull & c.isNotNull()
-        stats = src.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count(F.when(nonnull, 1)).alias("n_keyed"),
-            F.countDistinct(*key_cols).alias("n_distinct"),
-        ).first()
-        src_rows = stats["n"]
-        if stats["n_distinct"] < stats["n_keyed"]:
-            # Iceberg/Spark MERGE raises when a target row can match
-            # more than one source row; duplicate source keys guarantee
-            # it. (NULL keys never equality-match, so they're exempt.)
-            src.unpersist()
-            raise ValueError(
-                "MERGE source has duplicate join keys "
-                f"({stats['n_keyed'] - stats['n_distinct']} extra rows); "
-                "a target row would match multiple source rows"
-            )
-        # Broadcast the source only while it's dimension-sized; a
-        # corpus-scale MERGE source must shuffle-join or the broadcast
-        # OOMs the executors. (Iceberg's MERGE makes the same choice via
-        # Spark's join planning.)
-        src_for_join = F.broadcast(src) if src_rows <= 1_000_000 else src
-
-        # 1. which target files contain matched keys — and how many
-        # matching rows each holds (same probe job, no re-read later)
-        keys_probe = self._read_entries(snap.files, self._meta["current_schema_version"], with_file_path=True)
-        join_cond = None
-        for k in on:
-            c = keys_probe[k] == src[f"src_{k}"]
-            join_cond = c if join_cond is None else (join_cond & c)
-        per_file = (
-            keys_probe.join(src_for_join, join_cond, "inner")
-            .groupBy("_lake_file").count().collect()
-        )
-        norm = {_strip_scheme(r["_lake_file"]) for r in per_file}
-        matched_rows = sum(r["count"] for r in per_file)
-        affected = [e for e in snap.files if os.path.join(self.path, e.path) in norm]
-        keep = [e for e in snap.files if e not in affected]
-
-        # 2. rewrite affected files with matched actions applied
-        rewritten: list[FileEntry] = []
-        if affected:
-            tgt = self._read_entries(affected, self._meta["current_schema_version"])
-            cond = None
-            for k in on:
-                c = tgt[k] == src[f"src_{k}"]
-                cond = c if cond is None else (cond & c)
-            joined = tgt.join(src, cond, "left")
-            matched = F.coalesce(F.col("_src_match"), F.lit(False))
-            if when_matched_delete is not None:
-                del_cond = matched if when_matched_delete is True else (
-                    matched & F.expr(str(when_matched_delete))
+        try:
+            # One materialization of the cached source yields everything we
+            # need driver-side: row count (broadcast decision) and key
+            # cardinality (MERGE's multiple-matching-rows check).
+            key_cols = [F.col(f"src_{k}") for k in on]
+            nonnull = key_cols[0].isNotNull()
+            for c in key_cols[1:]:
+                nonnull = nonnull & c.isNotNull()
+            stats = src.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(nonnull, 1)).alias("n_keyed"),
+                F.countDistinct(*key_cols).alias("n_distinct"),
+            ).first()
+            src_rows = stats["n"]
+            if stats["n_distinct"] < stats["n_keyed"]:
+                # Iceberg/Spark MERGE raises only when a TARGET row
+                # matches more than one source row. Duplicate source
+                # keys matching an existing target key guarantee it;
+                # duplicates matching nothing are a legal insert-only
+                # merge, so probe the target before raising. (NULL keys
+                # never equality-match, so they're exempt.) The probe
+                # job runs only on the duplicate path.
+                dup_keys = (
+                    src.groupBy(*key_cols)
+                    .agg(F.count(F.lit(1)).alias("_dup_n"))
+                    .filter(F.col("_dup_n") > 1)
+                    .drop("_dup_n")
                 )
-                joined = joined.filter(~del_cond)
-            out_cols = []
-            upd = when_matched_update
-            if upd == "*":
-                upd = {c: f"src_{c}" for c in fnames if c not in on and f"src_{c}" in src.columns}
-            for f in fields:
-                if upd and f.name in upd:
-                    out_cols.append(
-                        F.when(matched, F.expr(upd[f.name]).cast(f.type))
-                        .otherwise(F.col(f.name)).alias(f.name)
+                tgt_keys = self._read_entries(
+                    snap.files, self._meta["current_schema_version"]
+                ).select(*on)
+                dup_cond = None
+                for k in on:
+                    c = tgt_keys[k] == dup_keys[f"src_{k}"]
+                    dup_cond = c if dup_cond is None else (dup_cond & c)
+                dup_matched = (
+                    tgt_keys.join(F.broadcast(dup_keys), dup_cond, "left_semi")
+                    .limit(1).count()
+                )
+                if dup_matched:
+                    raise ValueError(
+                        "MERGE source has duplicate join keys "
+                        f"({stats['n_keyed'] - stats['n_distinct']} extra rows); "
+                        "a target row would match multiple source rows"
                     )
-                else:
-                    out_cols.append(F.col(f.name))
-            rewritten = self._write_files(joined.select(*out_cols))
+            # Broadcast the source only while it's dimension-sized; a
+            # corpus-scale MERGE source must shuffle-join or the broadcast
+            # OOMs the executors. (Iceberg's MERGE makes the same choice via
+            # Spark's join planning.)
+            src_for_join = F.broadcast(src) if src_rows <= 1_000_000 else src
 
-        # 3. not-matched inserts: source anti-join target keys
-        inserted: list[FileEntry] = []
-        if when_not_matched_insert:
-            tgt_keys = self._read_entries(snap.files, self._meta["current_schema_version"]).select(*on).distinct()
-            anti_cond = None
+            # 1. which target files contain matched keys — and how many
+            # matching rows each holds (same probe job, no re-read later)
+            keys_probe = self._read_entries(snap.files, self._meta["current_schema_version"], with_file_path=True)
+            join_cond = None
             for k in on:
-                c = src[f"src_{k}"] == tgt_keys[k]
-                anti_cond = c if anti_cond is None else (anti_cond & c)
-            new_rows = src.join(tgt_keys, anti_cond, "left_anti").select(
-                *[F.col(f"src_{f.name}").cast(f.type).alias(f.name) for f in fields
-                  if f"src_{f.name}" in src.columns]
+                c = keys_probe[k] == src[f"src_{k}"]
+                join_cond = c if join_cond is None else (join_cond & c)
+            per_file = (
+                keys_probe.join(src_for_join, join_cond, "inner")
+                .groupBy("_lake_file").count().collect()
             )
-            if new_rows.columns:
-                inserted = self._write_files(new_rows)
+            norm = {_strip_scheme(r["_lake_file"]) for r in per_file}
+            matched_rows = sum(r["count"] for r in per_file)
+            affected = [e for e in snap.files if os.path.join(self.path, e.path) in norm]
+            keep = [e for e in snap.files if e not in affected]
 
-        snap_out = self._commit(
-            "merge", keep + rewritten + inserted,
-            {"matched_rows": matched_rows,
-             "inserted_rows": sum(e.rows for e in inserted),
-             "rewritten_files": len(affected)},
-        )
-        src.unpersist()
-        return snap_out
+            # 2. rewrite affected files with matched actions applied
+            rewritten: list[FileEntry] = []
+            if affected:
+                tgt = self._read_entries(affected, self._meta["current_schema_version"])
+                cond = None
+                for k in on:
+                    c = tgt[k] == src[f"src_{k}"]
+                    cond = c if cond is None else (cond & c)
+                joined = tgt.join(src, cond, "left")
+                matched = F.coalesce(F.col("_src_match"), F.lit(False))
+                if when_matched_delete is not None:
+                    del_cond = matched if when_matched_delete is True else (
+                        matched & F.expr(str(when_matched_delete))
+                    )
+                    joined = joined.filter(~del_cond)
+                out_cols = []
+                upd = when_matched_update
+                if upd == "*":
+                    upd = {c: f"src_{c}" for c in fnames if c not in on and f"src_{c}" in src.columns}
+                for f in fields:
+                    if upd and f.name in upd:
+                        out_cols.append(
+                            F.when(matched, F.expr(upd[f.name]).cast(f.type))
+                            .otherwise(F.col(f.name)).alias(f.name)
+                        )
+                    else:
+                        out_cols.append(F.col(f.name))
+                rewritten = self._write_files(joined.select(*out_cols))
+
+            # 3. not-matched inserts: source anti-join target keys
+            inserted: list[FileEntry] = []
+            if when_not_matched_insert:
+                tgt_keys = self._read_entries(snap.files, self._meta["current_schema_version"]).select(*on).distinct()
+                anti_cond = None
+                for k in on:
+                    c = src[f"src_{k}"] == tgt_keys[k]
+                    anti_cond = c if anti_cond is None else (anti_cond & c)
+                new_rows = src.join(tgt_keys, anti_cond, "left_anti").select(
+                    *[F.col(f"src_{f.name}").cast(f.type).alias(f.name) for f in fields
+                      if f"src_{f.name}" in src.columns]
+                )
+                if new_rows.columns:
+                    inserted = self._write_files(new_rows)
+
+            snap_out = self._commit(
+                "merge", keep + rewritten + inserted,
+                {"matched_rows": matched_rows,
+                 "inserted_rows": sum(e.rows for e in inserted),
+                 "rewritten_files": len(affected)},
+            )
+            return snap_out
+        finally:
+            src.unpersist()
 
     # -- schema evolution (reference D6-D8) ----------------------------------
 
@@ -986,6 +1009,20 @@ class LakeTable:
                 if f.name == old:
                     f.name = new
                     self._bump_schema(fields)
+                    # Iceberg partition specs / sort orders reference
+                    # columns by FIELD ID, so renames follow into them
+                    # automatically; ours store the column NAME — keep
+                    # them in sync or the next write/DML would compute
+                    # partition values from a column that no longer
+                    # resolves.
+                    for tj in self._meta.get("partition_spec", []):
+                        if tj.get("column") == old:
+                            tj["column"] = new
+                    if self._meta.get("sort_order"):
+                        self._meta["sort_order"] = [
+                            new if c == old else c
+                            for c in self._meta["sort_order"]
+                        ]
                     return
             raise KeyError(old)
 

@@ -62,6 +62,17 @@ _ORACLE_JACCARD_PAIRS = (
 _STOP_SHINGLE_FRAC = 0.10
 _STOP_SHINGLE_MIN = 10
 
+# COUNT(*) of documents per sf_dir, memoized for the session: the stop-
+# shingle cap is a driver-side scalar, and recounting per invocation
+# would add a full metadata pass to every pair operator.
+_N_DOCS_CACHE: dict[str, int] = {}
+
+
+def _n_docs(spark: SparkSession, sf_dir: str) -> int:
+    if sf_dir not in _N_DOCS_CACHE:
+        _N_DOCS_CACHE[sf_dir] = load_table(spark, "documents", sf_dir).count()
+    return _N_DOCS_CACHE[sf_dir]
+
 def _oracle_jaccard_capped(threshold: float, extra_select: str = "") -> str:
     """Exact-jaccard pair SQL over the CAPPED shingle space (see cap
     comment above) at the given threshold; ``extra_select`` appends
@@ -136,8 +147,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _capped_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
     """Exact jaccard pairs ≥ threshold over the capped shingle space
     (the Spark mirror of ``_oracle_jaccard_capped``)."""
-    docs = load_table(spark, "documents", sf_dir)
-    cap = max(float(_STOP_SHINGLE_MIN), _STOP_SHINGLE_FRAC * docs.count())
+    # The cap scalar needs COUNT(*) over documents. Joining a 1-row
+    # aggregate in-plan degrades to BroadcastNestedLoopJoin (Catalyst
+    # constant-folds any literal join key), so the count runs as its
+    # own tiny job instead — memoized per sf_dir, shared by every pair
+    # operator in the session, and a column-less parquet COUNT(*) is
+    # answered from row-group metadata, not a data scan.
+    cap = max(
+        float(_STOP_SHINGLE_MIN), _STOP_SHINGLE_FRAC * _n_docs(spark, sf_dir)
+    )
     sh0 = _doc_shingles(spark, sf_dir)
     hot = (
         sh0.groupBy("shingle")

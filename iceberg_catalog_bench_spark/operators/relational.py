@@ -248,6 +248,25 @@ def percentile_approx_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def percentile_approx_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PURE GK-sketch plan — approx p95 + count, no exact
+    percentile anywhere (unregistered: the sketch value isn't
+    oracle-comparable across engines). This is what callers use to get
+    the approx value, and what bench.py times for the
+    `percentile_approx_by_group` headline: the registered verdict query
+    above computes exact p94/p96 bounds for its oracle, which would
+    make the timing measure the full-sort path instead of the
+    single-pass sketch the reference benchmarks."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile_approx("value", 0.95), 6).alias("p95_approx"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
 @register(
     "reagg_total",
     oracle=(

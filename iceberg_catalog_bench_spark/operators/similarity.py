@@ -206,11 +206,16 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_IVF_NPROBE)
         .select("cid")
     )
-    # cached: the candidate set feeds both the top-k re-rank and the
-    # scanned-count verdict — one assignment pass, not two
+    # NOT cached: the candidate set feeds both the top-k re-rank and
+    # the scanned-count verdict, but both land in ONE action — a
+    # .cache() here would outlive the query (nothing can unpersist it
+    # after the caller collects) and pin executor storage per
+    # invocation. The assignment join is map-side over a broadcast
+    # centroid table, so the recompute is cheap and AQE exchange reuse
+    # can dedupe it.
     cand = assigned.join(F.broadcast(qcells), "cid", "left_semi").filter(
         F.col("vec_id") != _QUERY_VEC_ID
-    ).cache()
+    )
     cos = cosine_similarity("embedding", "qv")
     ivf_top = (
         cand.crossJoin(F.broadcast(qv))

@@ -59,7 +59,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def _run_to_file_sink(df: DataFrame, spark: SparkSession) -> DataFrame:
+def _run_to_file_sink(df: DataFrame) -> DataFrame:
     """Execute a streaming query with availableNow against a PARQUET
     file sink (append mode) and read the sink back as a DataFrame.
 
@@ -117,11 +117,9 @@ def streaming_ingest_laketable(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxFilesPerTrigger shards a 100 TB backfill into bounded commits;
     the partition spec (bucket(8, user_id)) applies per batch, giving
     the same pruned layout a batch write would."""
-    import tempfile as _tf
-
     from ..catalog import LakeTable
 
-    d = _tf.mkdtemp(prefix="stream-ingest-")
+    d = tempfile.mkdtemp(prefix="stream-ingest-")
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     t = LakeTable.create(
         spark, d + "/t",
@@ -177,7 +175,7 @@ def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = _events_stream(spark, sf_dir).select("event_id", "user_id", "value")
     enriched = ev.join(F.broadcast(dim), "user_id")
-    sink = _run_to_file_sink(enriched, spark)
+    sink = _run_to_file_sink(enriched)
     return sink.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum("value"), 2).alias("sum_value"),
@@ -212,7 +210,7 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value")
     )
-    return _run_to_file_sink(agg, spark)
+    return _run_to_file_sink(agg)
 
 
 @register(
@@ -231,7 +229,7 @@ def streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = ev.withWatermark("ts", "1 day").dropDuplicates(["event_id"]).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    sink = _run_to_file_sink(deduped, spark)
+    sink = _run_to_file_sink(deduped)
     return sink.agg(F.count(F.lit(1)).alias("distinct_events"))
 
 
@@ -353,7 +351,7 @@ def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    sink = _run_to_file_sink(sessions, spark)
+    sink = _run_to_file_sink(sessions)
     # Deterministic emission contract: keep only sessions whose
     # event-time timeout (last + gap) fired STRICTLY before the final
     # watermark (max ts − 2h), with a 1s guard band — at the exact

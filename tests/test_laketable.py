@@ -542,3 +542,51 @@ def test_concurrent_appenders_all_commit(spark, tmp_path):
     }
     ops = [r["operation"] for r in final.snapshots().collect()]
     assert ops.count("append") == n_writers
+
+
+def test_merge_duplicate_keys_insert_only_ok(spark, table):
+    """Duplicate source keys that match NO target row are a legal
+    insert-only merge — Spark/Iceberg's cardinality error fires only on
+    an actual target multi-match, so both duplicate rows append."""
+    dup = spark.createDataFrame(
+        [(101, 10, _ts("2024-02-01 00:00:00"), "sku-0101", 1, Decimal("1.00"), "US", dt.date(2024, 2, 1)),
+         (101, 10, _ts("2024-02-01 00:00:00"), "sku-0101", 2, Decimal("2.00"), "US", dt.date(2024, 2, 1))],
+        SCHEMA,
+    )
+    before = table.read().count()
+    table.merge(dup, on=["event_id"], when_matched_update="*",
+                when_not_matched_insert=True)
+    assert table.read().count() == before + 2
+    assert table.read().filter("event_id = 101").count() == 2
+
+
+def test_iceberg_export_renamed_partition_source_id(spark, tmp_path):
+    """Partition-spec and sort-order source-ids must survive a column
+    rename (the transform keeps the old spelling; field ids do not
+    change), and an empty-snapshot read-back must keep real types."""
+    import json
+
+    from iceberg_catalog_bench_spark.catalog.iceberg_export import (
+        read_via_iceberg_metadata,
+        to_iceberg_metadata,
+    )
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "renamed"), "id bigint, sku string, price double",
+        partition_by=["sku"], sort_order=["sku"],
+    )
+    t.append(spark.createDataFrame([(1, "a", 1.0)], "id bigint, sku string, price double"))
+    t.rename_column("sku", "product_sku")
+    t.delete_where("id = 1")  # current snapshot: zero data files
+
+    mp = to_iceberg_metadata(t)
+    md = json.loads(open(mp).read())
+    sku_id = {f["name"]: f["id"] for f in md["schemas"][-1]["fields"]}["product_sku"]
+    assert md["partition-specs"][0]["fields"][0]["source-id"] == sku_id
+    assert md["sort-orders"][0]["fields"][0]["source-id"] == sku_id
+
+    empty = read_via_iceberg_metadata(spark, mp)
+    assert empty.count() == 0
+    assert dict(empty.dtypes) == {
+        "id": "bigint", "product_sku": "string", "price": "double"
+    }
