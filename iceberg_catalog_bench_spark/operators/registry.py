@@ -48,6 +48,7 @@ def load_all() -> None:
     """
     from . import crud  # noqa: F401  — UPDATE/DELETE/MERGE/travel/evolution
     from . import text  # noqa: F401
+    from . import corpus  # noqa: F401
     from . import multimodal  # noqa: F401
     from ..streaming import events  # noqa: F401
     from ..sources import datagen  # noqa: F401
