@@ -416,6 +416,10 @@ def connected_components(pairs: DataFrame, max_rounds: int = 16) -> DataFrame:
     keeps blocks on the executors — no driver collect, no disk round
     trip; on a real cluster you'd use reliable checkpointing for
     fault tolerance at the same call sites."""
+    # Checkpoint the edge list BEFORE symmetrizing: union references
+    # `pairs` twice, so a union-then-checkpoint would execute the
+    # (potentially expensive — minhash LSH) upstream plan twice.
+    pairs = pairs.localCheckpoint()
     sym = pairs.union(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
