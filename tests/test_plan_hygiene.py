@@ -78,9 +78,20 @@ def test_text_corpus_ops_stay_jvm_side(spark, oracle_sf_dir):
         "text_fingerprint", "text_repetition_scores", "corpus_mixture_weights",
         "pipeline_pack_sequences", "sample_stratified_by_lang",
         "corpus_shard_manifest", "embedding_quantize_int8",
+        "corpus_split_train_val_test", "corpus_shuffle_shards",
+        "text_pii_redaction", "doc_length_histogram",
     ):
         plan = (
             registry.QUERIES[name](spark, oracle_sf_dir)
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "EvalPython" not in plan, f"{name} plans a Python stage"
+
+
+def test_corpus_shuffle_avoids_global_sort(spark, oracle_sf_dir):
+    """The deterministic shuffle must plan as a hash exchange on shard
+    + per-shard sort — never a rangepartitioning total sort (that's the
+    ORDER BY rand() shape this operator exists to avoid)."""
+    plan = _plan("corpus_shuffle_shards", spark, oracle_sf_dir)
+    assert "hashpartitioning(shard" in plan
+    assert "rangepartitioning" not in plan
