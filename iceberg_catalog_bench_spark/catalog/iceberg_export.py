@@ -243,8 +243,15 @@ def to_iceberg_metadata(table: LakeTable) -> str:
         ],
         "metadata-log": [],
         "refs": {
-            name: {"snapshot-id": sid, "type": "tag"}
-            for name, sid in (meta.get("refs") or {}).items()
+            **{
+                name: {"snapshot-id": sid, "type": "tag"}
+                for name, sid in (meta.get("refs") or {}).items()
+            },
+            **{
+                name: {"snapshot-id": sid, "type": "branch"}
+                for name, sid in (meta.get("branches") or {}).items()
+                if sid is not None
+            },
         },
     }
     n = meta.get("current_snapshot_id") or 0

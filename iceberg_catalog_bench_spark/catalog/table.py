@@ -293,26 +293,35 @@ class LakeTable:
             self._write_meta()
 
     def _commit(self, op: str, files: list[FileEntry], summary: dict | None = None,
-                expected_parent: int | None = None) -> Snapshot:
-        """Optimistic commit under a filesystem lock: verify the table
-        has not advanced past the snapshot we planned against, then
-        publish atomically (reference spec `:83`, concurrent writers /
-        no lost commits). The O_EXCL lock file closes the
-        check-then-write race between concurrent committers; the
-        verify-against-on-disk raise is the optimistic-concurrency
-        conflict the caller retries."""
+                branch: str | None = None) -> Snapshot:
+        """Optimistic commit under a filesystem lock: verify the ref we
+        planned against (main, or a named branch) has not advanced,
+        then publish atomically onto the RELOADED on-disk metadata
+        (reference spec `:83`, concurrent writers / no lost commits).
+        Reloading under the lock means a main commit can never clobber
+        a concurrent branch commit and vice versa — the two refs only
+        share the append-only snapshot list. The O_EXCL lock file
+        closes the check-then-write race between concurrent committers;
+        the stale-ref raise is the optimistic-concurrency conflict the
+        caller retries."""
+
+        def head(meta: dict) -> int | None:
+            if branch is None:
+                return meta.get("current_snapshot_id")
+            return (meta.get("branches") or {}).get(branch)
+
         with self._commit_lock():
-            current = self._meta.get("current_snapshot_id")
-            with open(os.path.join(self.path, _META_DIR, _META_FILE)) as fh:
-                on_disk = json.load(fh)
-            if on_disk.get("current_snapshot_id") != current:
+            expected = head(self._meta)
+            self._reload()
+            if head(self._meta) != expected:
                 raise CommitConflict(
-                    f"table advanced: expected parent {current}, "
-                    f"found {on_disk.get('current_snapshot_id')}"
+                    f"{'branch ' + branch if branch else 'table'} advanced: "
+                    f"expected parent {expected}, found {head(self._meta)}"
                 )
+            ids = [s["snapshot_id"] for s in self._meta["snapshots"]]
             snap = Snapshot(
-                snapshot_id=(current or 0) + 1,
-                parent_id=current,
+                snapshot_id=(max(ids) + 1) if ids else 1,
+                parent_id=expected,
                 timestamp_ms=int(time.time() * 1000),
                 operation=op,
                 schema_version=self._meta["current_schema_version"],
@@ -320,7 +329,10 @@ class LakeTable:
                 summary=summary or {},
             )
             self._meta["snapshots"].append(snap.to_json())
-            self._meta["current_snapshot_id"] = snap.snapshot_id
+            if branch is None:
+                self._meta["current_snapshot_id"] = snap.snapshot_id
+            else:
+                self._meta.setdefault("branches", {})[branch] = snap.snapshot_id
             self._write_meta()
             return snap
 
@@ -339,6 +351,8 @@ class LakeTable:
                 raise KeyError(f"no snapshot at or before {as_of_ms}")
             return eligible[-1]
         cur = self._meta["current_snapshot_id"]
+        if cur is None:  # snapshots may exist only on branches
+            return None
         return next(s for s in snaps if s.snapshot_id == cur)
 
     def _fields(self, version: int | None = None) -> list[Field]:
@@ -471,9 +485,12 @@ class LakeTable:
         entries.sort(key=lambda e: e.path)
         return entries
 
-    def append(self, df: DataFrame, _retries: int = 5) -> Snapshot:
+    def append(self, df: DataFrame, _retries: int = 5,
+               branch: str | None = None) -> Snapshot:
         """Bulk append — reference M1/M6 (`df.writeTo(t).append()`,
-        blob-dfs_bench.py:104-105).
+        blob-dfs_bench.py:104-105). ``branch`` targets a named branch
+        head instead of main (Iceberg's ``toBranch`` / WAP staging
+        write): main readers never see the rows until ``fast_forward``.
 
         Appends auto-retry on commit conflicts (spec `:83`: concurrent
         writers, no lost commits): the new data files are written once;
@@ -482,15 +499,25 @@ class LakeTable:
         fast-append retry. Row-level ops (delete/update/merge) do NOT
         auto-retry: their rewrites depend on the snapshot they read, so
         the caller must reload and re-run."""
+        if branch is not None and branch not in (self._meta.get("branches") or {}):
+            raise KeyError(
+                f"no branch {branch!r}; branches: "
+                f"{sorted(self._meta.get('branches') or {})}"
+            )
         new_files = self._write_files(df)
         for attempt in range(_retries + 1):
-            cur = self._snapshot() if self._meta["current_snapshot_id"] else None
+            if branch is None:
+                cur = self._snapshot() if self._meta["current_snapshot_id"] else None
+            else:
+                head = (self._meta.get("branches") or {}).get(branch)
+                cur = self._snapshot(head) if head is not None else None
             base = list(cur.files) if cur else []
             try:
                 return self._commit(
                     "append", base + new_files,
                     {"added_files": len(new_files),
                      "added_rows": sum(f.rows for f in new_files)},
+                    branch=branch,
                 )
             except CommitConflict:
                 if attempt == _retries:
@@ -609,6 +636,70 @@ class LakeTable:
         if name not in refs:
             raise KeyError(f"no tag {name!r}; tags: {sorted(refs)}")
         return self.read(snapshot_id=refs[name])
+
+    # -- branches (writable refs — Iceberg WAP: write-audit-publish) ---------
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
+        """Create a writable branch at a snapshot (default: current
+        main head; may be None on an empty table → empty branch).
+        Writers then stage commits with ``append(df, branch=name)``;
+        main is untouched until ``fast_forward``."""
+        sid = snapshot_id if snapshot_id is not None else self._meta.get("current_snapshot_id")
+        if sid is not None:
+            self._snapshot(sid)  # validate
+        self._locked_meta_mutation(
+            lambda: self._meta.setdefault("branches", {}).__setitem__(name, sid)
+        )
+
+    def drop_branch(self, name: str) -> None:
+        def mutate():
+            del self._meta.setdefault("branches", {})[name]
+
+        self._locked_meta_mutation(mutate)
+
+    def read_branch(self, name: str) -> DataFrame:
+        """Audit read of a branch head (the A in WAP): what main WOULD
+        become if this branch were published."""
+        branches = self._meta.get("branches", {})
+        if name not in branches:
+            raise KeyError(f"no branch {name!r}; branches: {sorted(branches)}")
+        if branches[name] is None:
+            return self._read_entries([], self._meta["current_schema_version"])
+        return self.read(snapshot_id=branches[name])
+
+    def fast_forward(self, branch: str) -> int:
+        """Publish a branch (the P in WAP): fast-forward main to the
+        branch head — allowed only when main's head is an ancestor of
+        the branch head (Iceberg `fast_forward` semantics; anything
+        else would silently drop main commits). Returns the new main
+        snapshot id."""
+        published: list[int] = []
+
+        def mutate():
+            branches = self._meta.get("branches") or {}
+            if branch not in branches:
+                raise KeyError(f"no branch {branch!r}")
+            head = branches[branch]
+            if head is None:
+                raise ValueError(f"branch {branch!r} has no commits to publish")
+            cur = self._meta.get("current_snapshot_id")
+            by_id = {s["snapshot_id"]: s for s in self._meta["snapshots"]}
+            node, ok = head, cur is None
+            while node is not None and not ok:
+                if node == cur:
+                    ok = True
+                    break
+                node = by_id[node].get("parent_id")
+            if not ok:
+                raise ValueError(
+                    f"cannot fast-forward: main head {cur} is not an "
+                    f"ancestor of branch {branch!r} head {head}"
+                )
+            self._meta["current_snapshot_id"] = head
+            published.append(head)
+
+        self._locked_meta_mutation(mutate)
+        return published[0]
 
     def scan(self, where: str | None = None,
              snapshot_id: int | None = None, as_of_ms: int | None = None) -> DataFrame:
@@ -1117,6 +1208,27 @@ class LakeTable:
                   "schema_version int, stats_json string"
         )
 
+    def partitions(self, snapshot_id: int | None = None) -> DataFrame:
+        """`t.partitions` metadata table — per-partition file/row/byte
+        totals (Iceberg's partitions table, the input to small-file and
+        skew diagnostics). Aggregated from manifest-level FileEntry
+        stats: no data files are read."""
+        snap = self._snapshot(snapshot_id)
+        agg: dict[str, list[int]] = {}
+        for e in (snap.files if snap else []):
+            key = json.dumps(e.partition, sort_keys=True)
+            tot = agg.setdefault(key, [0, 0, 0])
+            tot[0] += 1
+            tot[1] += e.rows
+            tot[2] += e.bytes
+        rows = [
+            (k, v[0], v[1], v[2]) for k, v in sorted(agg.items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "partition string, file_count bigint, record_count bigint, "
+                  "total_size_bytes bigint"
+        )
+
     def history(self) -> DataFrame:
         """`t.history` — reference T5 (snapshot refresh history)."""
         return self.snapshots().select(
@@ -1197,7 +1309,10 @@ class LakeTable:
             snaps = self._meta["snapshots"]
             if len(snaps) <= retain_last:
                 return
-            ref_ids = set((self._meta.get("refs") or {}).values())
+            ref_ids = set((self._meta.get("refs") or {}).values()) | {
+                h for h in (self._meta.get("branches") or {}).values()
+                if h is not None
+            }
             tail_ids = {s["snapshot_id"] for s in snaps[-retain_last:]}
             keep_ids = tail_ids | ref_ids
             retained = [s for s in snaps if s["snapshot_id"] in keep_ids]

@@ -433,3 +433,75 @@ def maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_before bigint, rows_after bigint, files_before int, "
         "files_after int, rewritten int, orphans_removed int",
     ).filter(F.col("rows_before") == F.col("rows_after"))
+
+
+@register(
+    "branch_wap_publish",
+    oracle=(
+        # Isolation + publish are pinned: while the batch is staged on
+        # the branch, main must still hold ONLY the base slice
+        # (main_rows_staged); after fast_forward it holds both slices.
+        "SELECT (SELECT COUNT(*) FROM events WHERE user_id < 20) AS main_rows_staged, "
+        "(SELECT COUNT(*) FROM events WHERE user_id < 40) AS main_rows_published, "
+        "CAST((SELECT ROUND(SUM(value), 2) FROM events WHERE user_id < 40) "
+        "AS DOUBLE) AS sum_value_published"
+    ),
+)
+def branch_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish via branches (Iceberg WAP / `toBranch`):
+    base rows land on main, a second batch is STAGED on an audit
+    branch (main readers cannot see it), audited via read_branch, then
+    published atomically with fast_forward. The returned row carries
+    main's row count both while staged and after publish, so the
+    oracle verifies the isolation window, not just the end state."""
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "value")
+    d = _tmp_table_dir()
+    t = LakeTable.create(
+        spark, d, "event_id bigint, user_id bigint, value double",
+        partition_by=["bucket(8, event_id)"],
+    )
+    t.append(ev.filter(F.col("user_id") < 20))
+    t.create_branch("audit")
+    t.append(
+        ev.filter((F.col("user_id") >= 20) & (F.col("user_id") < 40)),
+        branch="audit",
+    )
+    main_rows_staged = t.read().count()  # must exclude the staged batch
+    t.fast_forward("audit")
+    return t.read().agg(
+        F.lit(main_rows_staged).cast("bigint").alias("main_rows_staged"),
+        F.count(F.lit(1)).alias("main_rows_published"),
+        F.round(F.sum("value"), 2).cast("double").alias("sum_value_published"),
+    )
+
+
+@register(
+    "partitions_metadata",
+    oracle=(
+        # One partition per event_type; per-partition row counts must
+        # equal the source's group counts, with exactly one file each
+        # (fanout write: one file per partition value).
+        "SELECT event_type, COUNT(*) AS record_count, 1 AS file_count "
+        "FROM events WHERE user_id < 50 GROUP BY event_type"
+    ),
+)
+def partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`t.partitions` metadata table: per-partition file/row totals
+    aggregated from manifest stats only — the small-file / skew
+    diagnostic every maintenance job starts from. No data files are
+    read; the oracle recomputes the totals from the source rows."""
+    d = _tmp_table_dir()
+    t = LakeTable.create(
+        spark, d, "event_id bigint, event_type string, value double",
+        partition_by=["event_type"],
+    )
+    t.append(
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id") < 50)
+        .select("event_id", "event_type", "value")
+    )
+    return t.partitions().select(
+        F.get_json_object("partition", "$._p_identity_event_type").alias("event_type"),
+        "record_count",
+        F.col("file_count").cast("int").alias("file_count"),
+    )

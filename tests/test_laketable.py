@@ -590,3 +590,66 @@ def test_iceberg_export_renamed_partition_source_id(spark, tmp_path):
     assert dict(empty.dtypes) == {
         "id": "bigint", "product_sku": "string", "price": "double"
     }
+
+
+def test_branch_wap_lifecycle(spark, tmp_path):
+    """Write-audit-publish: stage appends on a branch (main readers see
+    nothing), audit the branch, fast-forward main to publish. Non-fast-
+    forward publishes (diverged main) must be refused."""
+    t = LakeTable.create(spark, str(tmp_path / "wap"), "k bigint, v double")
+    t.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k bigint, v double"))
+    t.create_branch("audit")
+    t.append(spark.createDataFrame([(3, 3.0)], "k bigint, v double"), branch="audit")
+    t.append(spark.createDataFrame([(4, 4.0)], "k bigint, v double"), branch="audit")
+    # isolation: main untouched, branch sees staged rows
+    assert {r["k"] for r in t.read().collect()} == {1, 2}
+    assert {r["k"] for r in t.read_branch("audit").collect()} == {1, 2, 3, 4}
+    # publish
+    sid = t.fast_forward("audit")
+    assert t._meta["current_snapshot_id"] == sid
+    assert {r["k"] for r in t.read().collect()} == {1, 2, 3, 4}
+    # diverged branch: main advances past the fork -> refuse publish
+    t.create_branch("b2")
+    t.append(spark.createDataFrame([(5, 5.0)], "k bigint, v double"), branch="b2")
+    t.append(spark.createDataFrame([(6, 6.0)], "k bigint, v double"))  # main moves
+    with pytest.raises(ValueError, match="fast-forward"):
+        t.fast_forward("b2")
+    # unknown branch append
+    with pytest.raises(KeyError):
+        t.append(spark.createDataFrame([(7, 7.0)], "k bigint, v double"), branch="nope")
+
+
+def test_branch_and_main_commits_do_not_clobber(spark, tmp_path):
+    """A main commit through a STALE handle must not lose a branch
+    commit that landed in between (commit reloads on-disk metadata
+    under the lock), and vice versa."""
+    path = str(tmp_path / "iso")
+    t1 = LakeTable.create(spark, path, "k bigint, v double")
+    t1.append(spark.createDataFrame([(1, 1.0)], "k bigint, v double"))
+    t1.create_branch("audit")
+    t2 = LakeTable.load(spark, path)  # second writer handle
+    t2.append(spark.createDataFrame([(2, 2.0)], "k bigint, v double"), branch="audit")
+    # t1 is stale (no branch head in memory) — its main append must
+    # preserve t2's branch snapshot
+    t1.append(spark.createDataFrame([(3, 3.0)], "k bigint, v double"))
+    fresh = LakeTable.load(spark, path)
+    assert {r["k"] for r in fresh.read().collect()} == {1, 3}
+    assert {r["k"] for r in fresh.read_branch("audit").collect()} == {1, 2}
+    # expire_snapshots must protect the branch head
+    fresh.append(spark.createDataFrame([(4, 4.0)], "k bigint, v double"))
+    fresh.expire_snapshots(retain_last=1)
+    assert {r["k"] for r in fresh.read_branch("audit").collect()} == {1, 2}
+
+
+def test_partitions_metadata_table(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "parts"), "k bigint, cat string",
+        partition_by=["cat"],
+    )
+    t.append(spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "k bigint, cat string"
+    ))
+    rows = {r["partition"]: r for r in t.partitions().collect()}
+    assert len(rows) == 2
+    a = next(v for k, v in rows.items() if '"a"' in k)
+    assert a["record_count"] == 2 and a["file_count"] == 1
