@@ -312,6 +312,23 @@ class SqlEngine:
             self.table(m.group(1)).drop_tag(m.group(2))
             return StatementResult(s, metadata={"op": "drop_tag"})
 
+        # branches (WAP): ALTER TABLE t CREATE BRANCH b [AS OF VERSION n]
+        # / DROP BRANCH b — Iceberg branch DDL
+        m = re.match(
+            r"(?is)^alter\s+table\s+(" + _IDENT + r")\s+create\s+branch\s+(\w+)"
+            r"(?:\s+as\s+of\s+version\s+(\d+))?\s*$", s
+        )
+        if m:
+            ident, br, ver = m.groups()
+            self.table(ident).create_branch(br, int(ver) if ver else None)
+            return StatementResult(s, metadata={"op": "create_branch"})
+        m = re.match(
+            r"(?is)^alter\s+table\s+(" + _IDENT + r")\s+drop\s+branch\s+(\w+)\s*$", s
+        )
+        if m:
+            self.table(m.group(1)).drop_branch(m.group(2))
+            return StatementResult(s, metadata={"op": "drop_branch"})
+
         # D6: ALTER TABLE ADD COLUMN [..] DEFAULT (schema_evolution_sales_events.sql:3-4)
         m = re.match(
             r"(?is)^alter\s+table\s+(" + _IDENT + r")\s+add\s+columns?\s*\(?\s*"
@@ -400,9 +417,10 @@ class SqlEngine:
         )
         if m:
             ident, select_sql = m.groups()
+            ident, branch = self._split_branch_ident(ident)
             t = self.table(ident)
             src = self._select_df(select_sql)
-            snap = t.append(src)
+            snap = t.append(src, branch=branch)
             return StatementResult(
                 s, rowcount=snap.summary.get("added_rows"),
                 metadata={"op": "insert_select"},
@@ -414,6 +432,7 @@ class SqlEngine:
         if not m:
             raise ValueError(f"unsupported INSERT: {s[:120]}")
         ident, collist, values = m.groups()
+        ident, branch = self._split_branch_ident(ident)
         t = self.table(ident)
         fields = t._fields()
         names = (
@@ -435,10 +454,17 @@ class SqlEngine:
                 for f in fields
             ]
         )
-        snap = t.append(aligned)
+        snap = t.append(aligned, branch=branch)
         return StatementResult(
             s, rowcount=snap.summary.get("added_rows"), metadata={"op": "insert"}
         )
+
+    @staticmethod
+    def _split_branch_ident(ident: str) -> tuple[str, str | None]:
+        """``t.branch_audit`` → (``t``, ``audit``) — Iceberg's Spark
+        spelling for writing to a branch instead of main."""
+        m = re.match(r"(?is)^(.*)\.branch_(\w+)$", ident)
+        return (m.group(1), m.group(2)) if m else (ident, None)
 
     def _update(self, s: str) -> StatementResult:
         # M3: UPDATE t SET a = expr[, ...] [WHERE pred] (update_sales_events.sql:3-5)
@@ -574,6 +600,9 @@ class SqlEngine:
             snap = t.rollback_to_snapshot(int(kwargs["snapshot_id"]))
             res = {"previous_snapshot_id": snap.parent_id,
                    "current_snapshot_id": snap.snapshot_id}
+        elif proc == "fast_forward":
+            # CALL system.fast_forward(table => 't', branch => 'audit')
+            res = {"current_snapshot_id": t.fast_forward(kwargs["branch"])}
         else:
             raise ValueError(f"unknown procedure {proc}")
         return StatementResult(s, rows=[res], rowcount=1, metadata={"op": proc})
@@ -619,7 +648,7 @@ class SqlEngine:
                 m.group(1), m.group(2), m.group(3), m.group(4), m.group(5),
             )
             base, meta_suffix = token, None
-            for sfx in (".snapshots", ".files", ".history"):
+            for sfx in (".snapshots", ".files", ".history", ".partitions"):
                 if token.lower().endswith(sfx):
                     base, meta_suffix = token[: -len(sfx)], sfx
                     break
@@ -629,13 +658,19 @@ class SqlEngine:
                     ".snapshots": t.snapshots,
                     ".files": t.files,
                     ".history": t.history,
+                    ".partitions": t.partitions,
                 }[meta_suffix]()
             elif self.table_exists(token):
                 t = self.table(token)
                 if version is not None:
                     df = t.read(snapshot_id=int(version))
                 elif tag is not None:
-                    df = t.read_tag(tag)
+                    # VERSION AS OF '<ref>' accepts any ref name —
+                    # tags first, then branches (Iceberg ref semantics)
+                    if tag in t._meta.get("refs", {}):
+                        df = t.read_tag(tag)
+                    else:
+                        df = t.read_branch(tag)
                 elif ts is not None:
                     import datetime as dt
 

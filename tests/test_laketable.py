@@ -653,3 +653,27 @@ def test_partitions_metadata_table(spark, tmp_path):
     assert len(rows) == 2
     a = next(v for k, v in rows.items() if '"a"' in k)
     assert a["record_count"] == 2 and a["file_count"] == 1
+
+
+def test_sql_frontend_branch_wap(spark, tmp_path):
+    """The SQL spelling of WAP: branch DDL, INSERT INTO t.branch_x,
+    VERSION AS OF '<branch>', CALL system.fast_forward, .partitions."""
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE wt (id bigint, v double) PARTITIONED BY (bucket(4, id))")
+    e.execute("INSERT INTO wt VALUES (1, 1.0), (2, 2.0)")
+    e.execute("ALTER TABLE wt CREATE BRANCH audit")
+    e.execute("INSERT INTO wt.branch_audit VALUES (3, 3.0)")
+    # isolation
+    assert e.execute("SELECT COUNT(*) AS c FROM wt")[0].rows[0]["c"] == 2
+    assert e.execute(
+        "SELECT COUNT(*) AS c FROM wt VERSION AS OF 'audit'"
+    )[0].rows[0]["c"] == 3
+    # publish
+    e.execute("CALL system.fast_forward(table => 'wt', branch => 'audit')")
+    assert e.execute("SELECT COUNT(*) AS c FROM wt")[0].rows[0]["c"] == 3
+    # partitions metadata table through SQL
+    parts = e.execute("SELECT * FROM wt.partitions")[0].rows
+    assert sum(p["record_count"] for p in parts) == 3
+    e.execute("ALTER TABLE wt DROP BRANCH audit")
