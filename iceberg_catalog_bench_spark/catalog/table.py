@@ -1229,6 +1229,83 @@ class LakeTable:
                   "total_size_bytes bigint"
         )
 
+    def rewrite_zorder(self, columns: list[str], target_files: int = 16) -> dict:
+        """Z-order re-layout (Iceberg's ``rewrite_data_files`` with
+        ``strategy => 'sort', sort_order => 'zorder(a, b)'``): rewrite
+        the table so file boundaries follow the Z-curve over the given
+        NUMERIC columns. Each output file then covers a compact
+        hyper-rectangle, so footer-stats pruning works on EVERY z
+        column at once — a linear sort prunes only its leading column.
+
+        Mechanics: scale each column to 16-bit using min/max taken from
+        MANIFEST stats (no data read; falls back to one agg job for
+        columns with missing stats), bit-interleave into a z-value,
+        ``repartitionByRange`` on it (one range exchange — the same
+        cost class as any sort-based rewrite), one file per range.
+        Unpartitioned tables only: a partitioned table's layout is
+        already pinned to its spec (Iceberg z-orders within partitions;
+        LakeTable keeps the two strategies separate and honest)."""
+        if self._meta.get("partition_spec"):
+            raise ValueError("rewrite_zorder requires an unpartitioned table")
+        snap = self._snapshot()
+        if snap is None or not snap.files:
+            return {"rewritten_data_files_count": 0, "added_data_files_count": 0}
+        numeric = {"int", "bigint", "smallint", "tinyint", "double", "float"}
+        for f in self._fields():
+            if f.name in columns and f.type.lower() not in numeric:
+                raise ValueError(f"zorder column {f.name!r} is {f.type}, not numeric")
+        df = self._read_entries(snap.files, self._meta["current_schema_version"])
+
+        bounds: dict[str, tuple[float, float]] = {}
+        for c in columns:
+            los = [e.stats[c][0] for e in snap.files if c in e.stats]
+            his = [e.stats[c][1] for e in snap.files if c in e.stats]
+            if len(los) == len(snap.files):
+                bounds[c] = (float(min(los)), float(max(his)))
+        missing = [c for c in columns if c not in bounds]
+        if missing:
+            row = df.agg(
+                *[F.min(c).alias(f"lo_{c}") for c in missing],
+                *[F.max(c).alias(f"hi_{c}") for c in missing],
+            ).first()
+            for c in missing:
+                bounds[c] = (float(row[f"lo_{c}"]), float(row[f"hi_{c}"]))
+
+        k, bits = len(columns), 16
+        z = F.lit(0).cast("bigint")
+        for j, c in enumerate(columns):
+            lo, hi = bounds[c]
+            span = (hi - lo) or 1.0
+            scaled = F.least(
+                F.lit(65535),
+                F.greatest(
+                    F.lit(0),
+                    ((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * 65535)
+                    .cast("int"),
+                ),
+            )
+            for i in range(bits):
+                z = z + F.shiftleft(
+                    F.shiftright(scaled, i).bitwiseAND(F.lit(1)).cast("bigint"),
+                    i * k + j,
+                )
+        shaped = (
+            df.withColumn("_z", z)
+            .repartitionByRange(target_files, "_z")
+            .sortWithinPartitions("_z")
+        )
+        new_files = self._write_files(shaped, cluster=False)
+        self._commit(
+            "rewrite_zorder", new_files,
+            {"zorder_by": ",".join(columns),
+             "rewritten_files": len(snap.files),
+             "added_files": len(new_files)},
+        )
+        return {
+            "rewritten_data_files_count": len(snap.files),
+            "added_data_files_count": len(new_files),
+        }
+
     def history(self) -> DataFrame:
         """`t.history` — reference T5 (snapshot refresh history)."""
         return self.snapshots().select(

@@ -586,10 +586,18 @@ class SqlEngine:
         t = self.table(ident)
         if proc == "rewrite_data_files":
             opts = kwargs
-            res = t.rewrite_data_files(
-                target_file_size_bytes=int(opts.get("max-file-size-bytes", 128 * 1024 * 1024)),
-                min_input_files=int(opts.get("min-input-files", 2)),
-            )
+            zm = re.match(r"(?is)^zorder\s*\(([^)]*)\)$", opts.get("sort_order", ""))
+            if opts.get("strategy", "").lower() == "sort" and zm:
+                # Iceberg: strategy => 'sort', sort_order => 'zorder(a, b)'
+                res = t.rewrite_zorder(
+                    [c.strip() for c in zm.group(1).split(",")],
+                    target_files=int(opts.get("target_files", 16)),
+                )
+            else:
+                res = t.rewrite_data_files(
+                    target_file_size_bytes=int(opts.get("max-file-size-bytes", 128 * 1024 * 1024)),
+                    min_input_files=int(opts.get("min-input-files", 2)),
+                )
         elif proc == "rewrite_manifests":
             res = t.rewrite_manifests()
         elif proc == "expire_snapshots":

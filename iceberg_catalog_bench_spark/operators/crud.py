@@ -505,3 +505,45 @@ def partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "record_count",
         F.col("file_count").cast("int").alias("file_count"),
     )
+
+
+@register(
+    "maintenance_zorder",
+    oracle=(
+        # Deterministic: rows ride through the rewrite; the layout is
+        # pinned (16 z-range files) and a point predicate on EITHER
+        # z column must exclude at least half the files by stats.
+        "SELECT (SELECT COUNT(*) FROM events) AS rows_after, "
+        "16 AS files_after, TRUE AS pruned_event_dim, TRUE AS pruned_user_dim"
+    ),
+)
+def maintenance_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rewrite_data_files(strategy='sort', sort_order='zorder(...)'):
+    multi-dimensional clustering. After the rewrite each file covers a
+    compact (event_id, user_id) rectangle, so manifest stats prune
+    point lookups on BOTH columns — a linearly-sorted layout serves
+    only its leading column. The returned row carries the measured
+    per-dimension pruning verdicts; the oracle pins them TRUE."""
+    d = _tmp_table_dir()
+    t = LakeTable.create(
+        spark, d, "event_id bigint, user_id bigint, value double"
+    )
+    t.append(
+        load_table(spark, "events", sf_dir).select("event_id", "user_id", "value")
+    )
+    t.rewrite_zorder(["event_id", "user_id"], target_files=16)
+    snap = t._snapshot()
+
+    def covering(col: str, val: int) -> int:
+        return sum(
+            1 for e in snap.files
+            if col in e.stats and e.stats[col][0] <= val <= e.stats[col][1]
+        )
+
+    n_files = len(snap.files)
+    return t.read().agg(
+        F.count(F.lit(1)).alias("rows_after"),
+        F.lit(n_files).cast("int").alias("files_after"),
+        F.lit(covering("event_id", 100) <= n_files // 2).alias("pruned_event_dim"),
+        F.lit(covering("user_id", 50) <= n_files // 2).alias("pruned_user_dim"),
+    )

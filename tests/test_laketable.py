@@ -677,3 +677,60 @@ def test_sql_frontend_branch_wap(spark, tmp_path):
     parts = e.execute("SELECT * FROM wt.partitions")[0].rows
     assert sum(p["record_count"] for p in parts) == 3
     e.execute("ALTER TABLE wt DROP BRANCH audit")
+
+
+def test_rewrite_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Z-order re-layout: after rewriting a 64x64 grid into 16 z-range
+    files, a point predicate on EITHER column must exclude most files
+    by footer stats — a linear sort would prune only its lead column."""
+    t = LakeTable.create(spark, str(tmp_path / "z"), "a bigint, b bigint, v double")
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("a"),
+        (F.col("id") / 64).cast("bigint").alias("b"),
+        F.col("id").cast("double").alias("v"),
+    )
+    t.append(grid)
+    res = t.rewrite_zorder(["a", "b"], target_files=16)
+    assert res["added_data_files_count"] == 16
+    snap = t._snapshot()
+
+    def files_covering(col, val):
+        n = 0
+        for e in snap.files:
+            lo, hi = e.stats[col]
+            if lo <= val <= hi:
+                n += 1
+        return n
+
+    # each z-range file covers a compact rectangle: a point value on a
+    # or b intersects ~sqrt(16)=4 of 16 files; allow slack to 8
+    assert files_covering("a", 10) <= 8
+    assert files_covering("b", 10) <= 8
+    # data rides through unchanged
+    assert t.read().count() == 64 * 64
+    assert t.read().agg(F.sum("v")).first()[0] == sum(range(64 * 64))
+    # scan() actually skips the excluded files
+    assert {r["a"] for r in t.scan("a = 10").select("a").collect()} == {10}
+    # partitioned tables refuse (layout pinned to the spec)
+    tp = LakeTable.create(
+        spark, str(tmp_path / "zp"), "a bigint, v double", partition_by=["bucket(4, a)"]
+    )
+    tp.append(spark.createDataFrame([(1, 1.0)], "a bigint, v double"))
+    with pytest.raises(ValueError, match="unpartitioned"):
+        tp.rewrite_zorder(["a"])
+
+
+def test_rewrite_zorder_via_call(spark, tmp_path):
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE zt (a bigint, b bigint)")
+    e.execute(
+        "INSERT INTO zt SELECT id % 32 AS a, CAST(id / 32 AS BIGINT) AS b FROM RANGE(1024)"
+    )
+    res = e.execute(
+        "CALL system.rewrite_data_files(table => 'zt', strategy => 'sort', "
+        "sort_order => 'zorder(a, b)', target_files => 8)"
+    )[0]
+    assert res.rows[0]["added_data_files_count"] == 8
+    assert e.execute("SELECT COUNT(*) AS c FROM zt")[0].rows[0]["c"] == 1024
