@@ -605,6 +605,38 @@ class LakeTable:
         added = [e for e in end.files if e.path not in start_paths]
         return self._read_entries(added, self._meta["current_schema_version"])
 
+    def changelog(self, from_snapshot_id: int,
+                  to_snapshot_id: int | None = None) -> DataFrame:
+        """Net row-level changes between two snapshots with a
+        ``_change_type`` column ('insert' / 'delete') — Iceberg's
+        ``create_changelog_view``. Updates appear as delete+insert
+        pairs, exactly Iceberg's net-changes contract for copy-on-write
+        tables.
+
+        Computed as multiset difference over the FILE DIFF, not the
+        full table: only files added or removed between the snapshots
+        are read (an unchanged file cancels itself, so skip it —
+        manifest-level work), then ``exceptAll`` nets out rows the
+        rewrite carried over unchanged. At 100 TB an incremental poll
+        therefore costs O(changed files), and exceptAll is one
+        hash-partitioned anti-aggregation on the changed subset."""
+        start = self._snapshot(from_snapshot_id)
+        end = self._snapshot(to_snapshot_id) if to_snapshot_id else self._snapshot()
+        version = self._meta["current_schema_version"]
+        start_paths = {e.path for e in start.files}
+        end_paths = {e.path for e in end.files}
+        added = [e for e in end.files if e.path not in start_paths]
+        removed = [e for e in start.files if e.path not in end_paths]
+        new_rows = self._read_entries(added, version)
+        old_rows = self._read_entries(removed, version)
+        inserts = new_rows.exceptAll(old_rows).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        deletes = old_rows.exceptAll(new_rows).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return inserts.unionAll(deletes)
+
     def rollback_to_snapshot(self, snapshot_id: int) -> Snapshot:
         """CALL system.rollback_to_snapshot — restore an earlier
         snapshot's file set as a NEW commit (history is preserved;

@@ -547,3 +547,46 @@ def maintenance_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(covering("event_id", 100) <= n_files // 2).alias("pruned_event_dim"),
         F.lit(covering("user_id", 50) <= n_files // 2).alias("pruned_user_dim"),
     )
+
+
+@register(
+    "cdc_changelog",
+    oracle=(
+        # Net changes from the baseline snapshot: every pre-update
+        # 'error' row leaves (delete) and re-enters with the doubled
+        # value (insert); 'signup' rows only leave. Rows carried
+        # through the copy-on-write rewrites unchanged must NOT appear.
+        "SELECT event_id, ROUND(value * 2, 4) AS value_out, "
+        "'insert' AS change_type FROM events "
+        "WHERE user_id < 40 AND event_type = 'error' "
+        "UNION ALL "
+        "SELECT event_id, ROUND(value, 4) AS value_out, "
+        "'delete' AS change_type FROM events "
+        "WHERE user_id < 40 AND event_type IN ('error', 'signup')"
+    ),
+)
+def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog view between snapshots (Iceberg
+    ``create_changelog_view``): UPDATE surfaces as delete+insert pairs,
+    DELETE as deletes, and rows the CoW rewrite merely carried over
+    cancel out. Only files added/removed between the snapshots are
+    read (manifest diff), then ``exceptAll`` nets the carried-over
+    rows — O(changed files) at any table size."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    d = _tmp_table_dir()
+    t = LakeTable.create(
+        spark, d,
+        "event_id bigint, user_id bigint, event_type string, value double",
+        partition_by=["bucket(8, event_id)"],
+    )
+    t.append(ev.filter(F.col("user_id") < 40))
+    baseline = t._snapshot().snapshot_id
+    t.update({"value": "value * 2"}, "event_type = 'error'")
+    t.delete_where("event_type = 'signup'")
+    return t.changelog(baseline).select(
+        "event_id",
+        F.round("value", 4).alias("value_out"),
+        F.col("_change_type").alias("change_type"),
+    )

@@ -734,3 +734,22 @@ def test_rewrite_zorder_via_call(spark, tmp_path):
     )[0]
     assert res.rows[0]["added_data_files_count"] == 8
     assert e.execute("SELECT COUNT(*) AS c FROM zt")[0].rows[0]["c"] == 1024
+
+
+def test_changelog_nets_out_carried_rows(spark, tmp_path):
+    """changelog(): updates appear as delete+insert pairs, deletes as
+    deletes, and rows the CoW rewrite carried over unchanged cancel."""
+    t = LakeTable.create(spark, str(tmp_path / "cdc"), "k bigint, v double")
+    t.append(spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)], "k bigint, v double"
+    ))
+    base = t._snapshot().snapshot_id
+    t.update({"v": "v * 10"}, "k = 2")
+    t.delete_where("k = 3")
+    rows = {(r["k"], r["v"], r["_change_type"])
+            for r in t.changelog(base).collect()}
+    assert rows == {
+        (2, 20.0, "insert"),   # new value of the updated row
+        (2, 2.0, "delete"),    # its old value
+        (3, 3.0, "delete"),    # the deleted row
+    }  # k=1 was carried through the rewrite and must not appear
