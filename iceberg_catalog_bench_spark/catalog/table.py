@@ -1240,6 +1240,22 @@ class LakeTable:
                   "schema_version int, stats_json string"
         )
 
+    def refs(self) -> DataFrame:
+        """`t.refs` metadata table — every named ref (tags and
+        branches) with its snapshot id, mirroring Iceberg's refs
+        table."""
+        rows = [
+            (name, "tag", sid)
+            for name, sid in sorted((self._meta.get("refs") or {}).items())
+        ] + [
+            (name, "branch", sid)
+            for name, sid in sorted((self._meta.get("branches") or {}).items())
+            if sid is not None
+        ]
+        return self.spark.createDataFrame(
+            rows, "name string, type string, snapshot_id bigint"
+        )
+
     def partitions(self, snapshot_id: int | None = None) -> DataFrame:
         """`t.partitions` metadata table — per-partition file/row/byte
         totals (Iceberg's partitions table, the input to small-file and

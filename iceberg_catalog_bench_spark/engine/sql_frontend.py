@@ -656,7 +656,7 @@ class SqlEngine:
                 m.group(1), m.group(2), m.group(3), m.group(4), m.group(5),
             )
             base, meta_suffix = token, None
-            for sfx in (".snapshots", ".files", ".history", ".partitions"):
+            for sfx in (".snapshots", ".files", ".history", ".partitions", ".refs"):
                 if token.lower().endswith(sfx):
                     base, meta_suffix = token[: -len(sfx)], sfx
                     break
@@ -667,6 +667,7 @@ class SqlEngine:
                     ".files": t.files,
                     ".history": t.history,
                     ".partitions": t.partitions,
+                    ".refs": t.refs,
                 }[meta_suffix]()
             elif self.table_exists(token):
                 t = self.table(token)

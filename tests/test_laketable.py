@@ -753,3 +753,15 @@ def test_changelog_nets_out_carried_rows(spark, tmp_path):
         (2, 2.0, "delete"),    # its old value
         (3, 3.0, "delete"),    # the deleted row
     }  # k=1 was carried through the rewrite and must not appear
+
+
+def test_refs_metadata_table(spark, tmp_path):
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE rt (id bigint)")
+    e.execute("INSERT INTO rt VALUES (1)")
+    e.execute("ALTER TABLE rt CREATE TAG v1")
+    e.execute("ALTER TABLE rt CREATE BRANCH audit")
+    refs = {(r["name"], r["type"]) for r in e.execute("SELECT * FROM rt.refs")[0].rows}
+    assert refs == {("v1", "tag"), ("audit", "branch")}
