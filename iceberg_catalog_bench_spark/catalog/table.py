@@ -891,16 +891,30 @@ class LakeTable:
 
     # -- row-level ops (copy-on-write) ---------------------------------------
 
-    def delete_where(self, where: str) -> Snapshot:
+    def _ref_snapshot(self, branch: str | None) -> "Snapshot | None":
+        """The snapshot a write against ``branch`` (None = main) plans
+        against."""
+        if branch is None:
+            return self._snapshot()
+        branches = self._meta.get("branches") or {}
+        if branch not in branches:
+            raise KeyError(f"no branch {branch!r}; branches: {sorted(branches)}")
+        head = branches[branch]
+        return self._snapshot(head) if head is not None else None
+
+    def delete_where(self, where: str, branch: str | None = None) -> Snapshot:
         """DELETE FROM t WHERE ... — reference M4
         (`delete_sales_events.sql:3-4`). Copy-on-write: only files that
-        contain matching rows are rewritten."""
-        snap = self._snapshot()
+        contain matching rows are rewritten. ``branch`` stages the
+        delete on a branch head (Iceberg's ``spark.wap.branch`` DML),
+        leaving main untouched until fast_forward."""
+        snap = self._ref_snapshot(branch)
         if snap is None:
             raise ValueError("delete on empty table")
         affected, _ = self._affected_files(snap, where)
         if not affected:
-            return self._commit("delete", snap.files, {"deleted_rows": 0})
+            return self._commit("delete", snap.files, {"deleted_rows": 0},
+                                branch=branch)
         keep = [e for e in snap.files if e not in affected]
         remaining = self._read_entries(affected, self._meta["current_schema_version"]).filter(
             ~F.expr(where)
@@ -911,18 +925,22 @@ class LakeTable:
         return self._commit(
             "delete", keep + rewritten,
             {"rewritten_files": len(affected), "deleted_rows": before - after},
+            branch=branch,
         )
 
-    def update(self, set_exprs: dict[str, str], where: str) -> Snapshot:
+    def update(self, set_exprs: dict[str, str], where: str,
+               branch: str | None = None) -> Snapshot:
         """UPDATE t SET col = expr WHERE ... — reference M3
         (`update_sales_events.sql:3-5`, SET price = price*1.1). Exprs are
-        Spark SQL over the current schema; CoW rewrite of affected files."""
-        snap = self._snapshot()
+        Spark SQL over the current schema; CoW rewrite of affected
+        files. ``branch`` stages the update on a branch head."""
+        snap = self._ref_snapshot(branch)
         if snap is None:
             raise ValueError("update on empty table")
         affected, n_updated = self._affected_files(snap, where)
         if not affected:
-            return self._commit("update", snap.files, {"updated_rows": 0})
+            return self._commit("update", snap.files, {"updated_rows": 0},
+                                branch=branch)
         keep = [e for e in snap.files if e not in affected]
         df = self._read_entries(affected, self._meta["current_schema_version"])
         cond = F.expr(where)
@@ -942,6 +960,7 @@ class LakeTable:
         return self._commit(
             "update", keep + rewritten,
             {"rewritten_files": len(affected), "updated_rows": n_updated},
+            branch=branch,
         )
 
     def merge(

@@ -765,3 +765,23 @@ def test_refs_metadata_table(spark, tmp_path):
     e.execute("ALTER TABLE rt CREATE BRANCH audit")
     refs = {(r["name"], r["type"]) for r in e.execute("SELECT * FROM rt.refs")[0].rows}
     assert refs == {("v1", "tag"), ("audit", "branch")}
+
+
+def test_branch_dml_staging(spark, tmp_path):
+    """UPDATE/DELETE staged on a branch (spark.wap.branch-style DML):
+    main is untouched until the branch is published."""
+    t = LakeTable.create(spark, str(tmp_path / "bdml"), "k bigint, v double")
+    t.append(spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)], "k bigint, v double"
+    ))
+    t.create_branch("fix")
+    t.update({"v": "v * 10"}, "k = 1", branch="fix")
+    t.delete_where("k = 2", branch="fix")
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == {
+        (1, 1.0), (2, 2.0), (3, 3.0)
+    }
+    assert {(r["k"], r["v"]) for r in t.read_branch("fix").collect()} == {
+        (1, 10.0), (3, 3.0)
+    }
+    t.fast_forward("fix")
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == {(1, 10.0), (3, 3.0)}
