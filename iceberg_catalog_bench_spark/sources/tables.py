@@ -33,13 +33,15 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one logical table as a DataFrame (parquet scan, pruned by Catalyst).
 
-    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL). We read it
-    via the ``nanosAsLong`` legacy path and convert to a microsecond
-    TimestampType column (sub-µs components are zero in this data).
-    Time-range filters that must push down to the parquet scan should
-    use :func:`load_events_ts_range` instead, which filters on the raw
-    int64 nanos BEFORE the conversion.
+    ``events.parquet`` has shipped ``ts`` as either parquet
+    TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+    PARQUET_TYPE_ILLEGAL — so we read it via the ``nanosAsLong`` legacy
+    path and convert) or plain TIMESTAMP(MICROS) (read natively). The
+    reader adapts to whichever physical type the file carries and
+    always presents a session-TZ TimestampType column. Time-range
+    filters that must push down to the parquet scan should use
+    :func:`load_events_ts_range`, which filters on the raw column
+    BEFORE any conversion.
     """
     sf_dir = sf_dir or DEFAULT_SF_DIR
     if name not in TABLES:
@@ -49,8 +51,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        raw = _load_events_raw(spark, path)
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _events_normalize_ts(_load_events_raw(spark, path))
     return spark.read.parquet(path)
 
 
@@ -59,34 +60,49 @@ def _load_events_raw(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _events_normalize_ts(raw: DataFrame) -> DataFrame:
+    """Present ``ts`` as TimestampType whatever the file stored:
+    int64 nanos (legacy nanosAsLong read) → µs; TIMESTAMP_NTZ /
+    TIMESTAMP → cast (wall-clock preserved, session TZ is UTC)."""
+    if dict(raw.dtypes)["ts"] == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def load_events_ts_range(
     spark: SparkSession,
     sf_dir: str | None,
     ts_lo: str | None = None,
     ts_hi: str | None = None,
 ) -> DataFrame:
-    """events with a [ts_lo, ts_hi) filter applied on the raw int64 nanos.
+    """events with a [ts_lo, ts_hi) filter applied on the RAW stored column.
 
-    Filtering on the physical long column keeps the predicate eligible
-    for parquet row-group pruning (PushedFilters shows GreaterThanOrEqual/
-    LessThan on ts) — the equivalent of Iceberg days(ts) partition
-    pruning in the reference (blob-dfs_bench.py:117-122). The column is
-    converted to TimestampType only after the pushed filter.
+    Filtering on the physical column (int64 nanos or timestamp micros,
+    whichever the file carries) keeps the predicate eligible for parquet
+    row-group pruning (PushedFilters shows GreaterThanOrEqual/LessThan
+    on ts) — the equivalent of Iceberg days(ts) partition pruning in the
+    reference (blob-dfs_bench.py:117-122). The column is normalized to
+    TimestampType only after the pushed filter.
     """
     import datetime as _dt
 
     sf_dir = sf_dir or DEFAULT_SF_DIR
     raw = _load_events_raw(spark, os.path.join(sf_dir, "events.parquet"))
+    ts_is_long = dict(raw.dtypes)["ts"] == "bigint"
 
-    def _ns(ts: str) -> int:
-        dt = _dt.datetime.fromisoformat(ts).replace(tzinfo=_dt.timezone.utc)
-        return int(dt.timestamp() * 1_000_000) * 1000
+    def _bound(ts: str):
+        if ts_is_long:
+            dt = _dt.datetime.fromisoformat(ts).replace(tzinfo=_dt.timezone.utc)
+            return F.lit(int(dt.timestamp() * 1_000_000) * 1000)
+        # timestamp/ntz column: an untyped string literal comparison
+        # coerces to the column type and still pushes down
+        return F.lit(ts).cast(dict(raw.dtypes)["ts"])
 
     if ts_lo is not None:
-        raw = raw.filter(F.col("ts") >= F.lit(_ns(ts_lo)))
+        raw = raw.filter(F.col("ts") >= _bound(ts_lo))
     if ts_hi is not None:
-        raw = raw.filter(F.col("ts") < F.lit(_ns(ts_hi)))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        raw = raw.filter(F.col("ts") < _bound(ts_hi))
+    return _events_normalize_ts(raw)
 
 
 def register_all_views(spark: SparkSession, sf_dir: str | None = None) -> None:

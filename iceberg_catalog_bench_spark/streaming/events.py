@@ -21,7 +21,6 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..operators.registry import register
 
@@ -34,29 +33,21 @@ from ..operators.registry import register
 # env var; it cannot be changed after the checkpoint exists.
 _STATE_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
 
-_EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over events.parquet with the ns→µs timestamp
-    conversion (same workaround as sources.tables — the file stores
-    TIMESTAMP(NANOS), which Spark reads as long under nanosAsLong)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over events.parquet, normalizing ``ts`` to
+    TimestampType whatever physical type the file stores (int64 nanos
+    via the nanosAsLong legacy read, or native timestamp micros — same
+    adaptive logic as sources.tables). A streaming source needs an
+    explicit schema, so we probe the file with a one-off batch read."""
+    from ..sources.tables import _events_normalize_ts, _load_events_raw
+
+    raw_batch = _load_events_raw(spark, os.path.join(sf_dir, "events.parquet"))
     raw = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+        spark.readStream.schema(raw_batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _events_normalize_ts(raw)
 
 
 def _run_to_file_sink(df: DataFrame) -> DataFrame:
