@@ -152,7 +152,7 @@ def to_iceberg_metadata(table: LakeTable) -> str:
                 "status": 1,  # ADDED/EXISTING in this snapshot's scope
                 "snapshot-id": s["snapshot_id"],
                 "data-file": {
-                    "content": 0,  # DATA (LakeTable is copy-on-write: no delete files)
+                    "content": 0,  # DATA (position deletes ride in their own manifest)
                     "file-path": os.path.join(table.path, f["path"]),
                     "file-format": "PARQUET",
                     "partition": f.get("partition", {}),
@@ -172,23 +172,55 @@ def to_iceberg_metadata(table: LakeTable) -> str:
         ]
         with open(manifest_path, "w") as fh:
             json.dump({"entries": entries}, fh)
+        manifests = [
+            {
+                "manifest-path": manifest_path,
+                "manifest-length": os.path.getsize(manifest_path),
+                "content": 0,
+                "added-snapshot-id": s["snapshot_id"],
+                "added-files-count": len(entries),
+                "added-rows-count": sum(f["rows"] for f in s["files"]),
+            }
+        ]
+        # Iceberg v2 merge-on-read: position-delete files live in their
+        # own manifest with content=1; readers anti-join (file, pos).
+        if s.get("delete_files"):
+            del_manifest_path = os.path.join(
+                out_dir, f"delete-manifest-{s['snapshot_id']}.json"
+            )
+            del_entries = [
+                {
+                    "status": 1,
+                    "snapshot-id": s["snapshot_id"],
+                    "data-file": {
+                        "content": 1,  # POSITION_DELETES
+                        "file-path": os.path.join(table.path, d["path"]),
+                        "file-format": "PARQUET",
+                        "record-count": d["rows"],
+                        "file-size-in-bytes": d["bytes"],
+                        "referenced-data-files": [
+                            os.path.join(table.path, p)
+                            for p in d.get("referenced", [])
+                        ],
+                    },
+                }
+                for d in s["delete_files"]
+            ]
+            with open(del_manifest_path, "w") as fh:
+                json.dump({"entries": del_entries}, fh)
+            manifests.append(
+                {
+                    "manifest-path": del_manifest_path,
+                    "manifest-length": os.path.getsize(del_manifest_path),
+                    "content": 1,
+                    "added-snapshot-id": s["snapshot_id"],
+                    "added-files-count": len(del_entries),
+                    "added-rows-count": sum(d["rows"] for d in s["delete_files"]),
+                }
+            )
         mlist_path = os.path.join(out_dir, f"snap-{s['snapshot_id']}-manifest-list.json")
         with open(mlist_path, "w") as fh:
-            json.dump(
-                {
-                    "manifests": [
-                        {
-                            "manifest-path": manifest_path,
-                            "manifest-length": os.path.getsize(manifest_path),
-                            "content": 0,
-                            "added-snapshot-id": s["snapshot_id"],
-                            "added-files-count": len(entries),
-                            "added-rows-count": sum(f["rows"] for f in s["files"]),
-                        }
-                    ]
-                },
-                fh,
-            )
+            json.dump({"manifests": manifests}, fh)
         snapshots.append(
             {
                 "snapshot-id": s["snapshot_id"],
@@ -278,11 +310,19 @@ def read_via_iceberg_metadata(
     with open(snap["manifest-list"]) as fh:
         mlist = json.load(fh)
     by_schema: dict[int, list[str]] = {}
+    delete_paths: list[str] = []
+    referenced: set[str] = set()
     for m in mlist["manifests"]:
         with open(m["manifest-path"]) as fh:
             manifest = json.load(fh)
         for e in manifest["entries"]:
             df_entry = e["data-file"]
+            if df_entry.get("content") == 1:  # position deletes
+                delete_paths.append(_strip_scheme(df_entry["file-path"]))
+                referenced.update(
+                    _strip_scheme(p) for p in df_entry.get("referenced-data-files", [])
+                )
+                continue
             by_schema.setdefault(df_entry["schema-id"], []).append(
                 _strip_scheme(df_entry["file-path"])
             )
@@ -307,8 +347,24 @@ def read_via_iceberg_metadata(
                 sel.append(F.col(old_name).alias(f["name"]))
             else:
                 sel.append(F.lit(f.get("initial-default")).alias(f["name"]))
+        if delete_paths:
+            sel.append(F.col("_metadata.file_path").alias("_ice_file"))
+            sel.append(F.col("_metadata.row_index").alias("_ice_pos"))
         parts.append(raw.select(*sel))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if delete_paths:
+        # the merge-on-read half of the walk: content=1 manifests hold
+        # (file_path, pos) tombstones; apply them as a broadcast anti-join
+        tomb = spark.read.parquet(*delete_paths).select("file_path", "pos")
+        stripped = F.regexp_replace(F.col("_ice_file"), "^file:/+", "/")
+        out = (
+            out.join(
+                F.broadcast(tomb),
+                (stripped == tomb["file_path"]) & (out["_ice_pos"] == tomb["pos"]),
+                "left_anti",
+            )
+            .drop("_ice_file", "_ice_pos")
+        )
     return out

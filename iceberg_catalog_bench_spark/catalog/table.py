@@ -102,6 +102,35 @@ class FileEntry:
 
 
 @dataclass
+class DeleteFileEntry:
+    """A position-delete file (Iceberg v2 content=1): parquet rows of
+    ``(file_path, pos)`` marking rows of existing data files as deleted
+    without rewriting them — the merge-on-read half of row-level ops.
+    ``referenced`` lists the table-relative data-file paths the delete
+    rows point at, so reads apply the anti-join only to those files and
+    commits can drop delete files whose targets left the table."""
+
+    path: str  # relative to table root
+    rows: int
+    bytes: int
+    referenced: list[str] = field(default_factory=list)
+
+    def to_json(self) -> dict:
+        return {
+            "path": self.path,
+            "rows": self.rows,
+            "bytes": self.bytes,
+            "referenced": self.referenced,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "DeleteFileEntry":
+        return DeleteFileEntry(
+            d["path"], d["rows"], d["bytes"], d.get("referenced", [])
+        )
+
+
+@dataclass
 class Snapshot:
     snapshot_id: int
     parent_id: int | None
@@ -110,9 +139,10 @@ class Snapshot:
     schema_version: int
     files: list[FileEntry]
     summary: dict[str, Any] = field(default_factory=dict)
+    delete_files: list[DeleteFileEntry] = field(default_factory=list)
 
     def to_json(self) -> dict:
-        return {
+        out = {
             "snapshot_id": self.snapshot_id,
             "parent_id": self.parent_id,
             "timestamp_ms": self.timestamp_ms,
@@ -121,6 +151,9 @@ class Snapshot:
             "files": [f.to_json() for f in self.files],
             "summary": self.summary,
         }
+        if self.delete_files:
+            out["delete_files"] = [d.to_json() for d in self.delete_files]
+        return out
 
     @staticmethod
     def from_json(d: dict) -> "Snapshot":
@@ -132,6 +165,7 @@ class Snapshot:
             d["schema_version"],
             [FileEntry.from_json(f) for f in d["files"]],
             d.get("summary", {}),
+            [DeleteFileEntry.from_json(x) for x in d.get("delete_files", [])],
         )
 
 
@@ -293,7 +327,8 @@ class LakeTable:
             self._write_meta()
 
     def _commit(self, op: str, files: list[FileEntry], summary: dict | None = None,
-                branch: str | None = None) -> Snapshot:
+                branch: str | None = None,
+                delete_files: list[DeleteFileEntry] | None = None) -> Snapshot:
         """Optimistic commit under a filesystem lock: verify the ref we
         planned against (main, or a named branch) has not advanced,
         then publish atomically onto the RELOADED on-disk metadata
@@ -319,6 +354,18 @@ class LakeTable:
                     f"expected parent {expected}, found {head(self._meta)}"
                 )
             ids = [s["snapshot_id"] for s in self._meta["snapshots"]]
+            # Delete-file carry-over: merge-on-read delete files ride
+            # along until every data file they reference has left the
+            # table (rewritten by CoW/compaction or removed), at which
+            # point they are dropped automatically — Iceberg's dangling-
+            # delete cleanup in rewrite_data_files.
+            if delete_files is None:
+                parent = self._snapshot(expected) if expected is not None else None
+                delete_files = list(parent.delete_files) if parent else []
+            live = {e.path for e in files}
+            delete_files = [
+                d for d in delete_files if any(p in live for p in d.referenced)
+            ]
             snap = Snapshot(
                 snapshot_id=(max(ids) + 1) if ids else 1,
                 parent_id=expected,
@@ -327,6 +374,7 @@ class LakeTable:
                 schema_version=self._meta["current_schema_version"],
                 files=files,
                 summary=summary or {},
+                delete_files=delete_files,
             )
             self._meta["snapshots"].append(snap.to_json())
             if branch is None:
@@ -539,10 +587,14 @@ class LakeTable:
     # -- read path -----------------------------------------------------------
 
     def _read_entries(self, entries: list[FileEntry], schema_version: int,
-                      with_file_path: bool = False) -> DataFrame:
+                      with_file_path: bool = False,
+                      with_pos: bool = False) -> DataFrame:
         """Read a file set, aligning every historical schema version to
         ``schema_version`` via field-id mapping (Iceberg-style evolution:
-        renames and type widenings never rewrite data files)."""
+        renames and type widenings never rewrite data files).
+        ``with_pos`` adds the row's ordinal within its file
+        (``_metadata.row_index``) — the position half of an Iceberg
+        position delete."""
         target_fields = self._fields(schema_version)
         if not entries:
             sch = T.StructType(
@@ -550,6 +602,8 @@ class LakeTable:
             )
             if with_file_path:
                 sch = sch.add("_lake_file", T.StringType())
+            if with_pos:
+                sch = sch.add("_lake_pos", T.LongType())
             return self.spark.createDataFrame([], sch)
 
         by_version: dict[int, list[FileEntry]] = {}
@@ -570,11 +624,100 @@ class LakeTable:
                     sel.append(F.lit(f.default).cast(f.type).alias(f.name))
             if with_file_path:
                 sel.append(F.col("_metadata.file_path").alias("_lake_file"))
+            if with_pos:
+                sel.append(F.col("_metadata.row_index").alias("_lake_pos"))
             parts.append(raw.select(*sel))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def _read_with_deletes(self, snap: "Snapshot", schema_version: int,
+                           entries: list[FileEntry] | None = None,
+                           with_file_path: bool = False,
+                           with_pos: bool = False) -> DataFrame:
+        """Snapshot read with position-delete files applied — the
+        merge-on-read scan (Iceberg v2 content=1 deletes).
+
+        Files no delete file references stream through untouched; the
+        referenced minority joins ``(file, pos)`` LEFT ANTI against the
+        delete rows. Delete files are dimension-sized (they hold only
+        tombstones), so the anti-join broadcasts and stays map-side —
+        at 100 TB the read costs the scan plus a hash probe, never a
+        shuffle of the data."""
+        entries = snap.files if entries is None else entries
+        dels = snap.delete_files
+        if not dels:
+            return self._read_entries(entries, schema_version, with_file_path, with_pos)
+        referenced: set[str] = set()
+        for d in dels:
+            referenced.update(d.referenced)
+        plain = [e for e in entries if e.path not in referenced]
+        dirty = [e for e in entries if e.path in referenced]
+        parts: list[DataFrame] = []
+        if dirty:
+            df = self._read_entries(dirty, schema_version, True, True)
+            del_paths = [os.path.join(self.path, d.path) for d in dels]
+            tomb = self.spark.read.parquet(*del_paths).select("file_path", "pos")
+            if sum(d.rows for d in dels) <= 10_000_000:
+                tomb = F.broadcast(tomb)
+            stripped = F.regexp_replace(F.col("_lake_file"), "^file:/+", "/")
+            df = df.join(
+                tomb,
+                (stripped == tomb["file_path"]) & (df["_lake_pos"] == tomb["pos"]),
+                "left_anti",
+            )
+            if not with_file_path:
+                df = df.drop("_lake_file")
+            if not with_pos:
+                df = df.drop("_lake_pos")
+            parts.append(df)
+        if plain:
+            parts.append(
+                self._read_entries(plain, schema_version, with_file_path, with_pos)
+            )
+        if not parts:
+            return self._read_entries([], schema_version, with_file_path, with_pos)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _write_delete_files(self, tombstones: DataFrame) -> list[DeleteFileEntry]:
+        """Write ``(file_path, pos)`` tombstone rows as a position-delete
+        parquet file set. ``file_path`` is the scheme-stripped absolute
+        data-file path (Iceberg position deletes store full paths);
+        ``referenced`` is recorded table-relative for metadata use."""
+        sub = f"del-{uuid.uuid4().hex[:12]}"
+        out_dir = os.path.join(self.path, _DATA_DIR, sub)
+        tombstones.select(
+            F.col("file_path").cast("string"), F.col("pos").cast("bigint")
+        ).write.mode("overwrite").parquet(out_dir)
+        back = self.spark.read.parquet(out_dir)
+        referenced = sorted(
+            os.path.relpath(r["file_path"], self.path)
+            for r in back.select("file_path").distinct().collect()
+        )
+        entries: list[DeleteFileEntry] = []
+        import pyarrow.parquet as pq
+
+        for dirpath, _dirs, files in os.walk(out_dir):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                md = pq.ParquetFile(full).metadata
+                if md.num_rows == 0:
+                    continue
+                entries.append(
+                    DeleteFileEntry(
+                        path=os.path.relpath(full, self.path),
+                        rows=md.num_rows,
+                        bytes=os.path.getsize(full),
+                        referenced=referenced,
+                    )
+                )
+        return entries
 
     def read(self, snapshot_id: int | None = None, as_of_ms: int | None = None) -> DataFrame:
         """Current-or-time-travel read — reference T2/T3 (VERSION AS OF /
@@ -587,7 +730,7 @@ class LakeTable:
         # projects the schema as of that snapshot.
         time_travel = snapshot_id is not None or as_of_ms is not None
         version = snap.schema_version if time_travel else self._meta["current_schema_version"]
-        return self._read_entries(snap.files, version)
+        return self._read_with_deletes(snap, version)
 
     def to_df(self) -> DataFrame:
         return self.read()
@@ -613,8 +756,10 @@ class LakeTable:
         pairs, exactly Iceberg's net-changes contract for copy-on-write
         tables.
 
-        Computed as multiset difference over the FILE DIFF, not the
-        full table: only files added or removed between the snapshots
+        Computed as multiset difference over the FILE-STATE DIFF, not
+        the full table: a file's state is its path plus the set of
+        position-delete files that apply to it, so only files that were
+        added, removed, or gained/lost tombstones between the snapshots
         are read (an unchanged file cancels itself, so skip it —
         manifest-level work), then ``exceptAll`` nets out rows the
         rewrite carried over unchanged. At 100 TB an incremental poll
@@ -623,12 +768,23 @@ class LakeTable:
         start = self._snapshot(from_snapshot_id)
         end = self._snapshot(to_snapshot_id) if to_snapshot_id else self._snapshot()
         version = self._meta["current_schema_version"]
-        start_paths = {e.path for e in start.files}
-        end_paths = {e.path for e in end.files}
-        added = [e for e in end.files if e.path not in start_paths]
-        removed = [e for e in start.files if e.path not in end_paths]
-        new_rows = self._read_entries(added, version)
-        old_rows = self._read_entries(removed, version)
+
+        def file_state(snap: Snapshot) -> dict[str, frozenset]:
+            dels: dict[str, set[str]] = {}
+            for d in snap.delete_files:
+                for p in d.referenced:
+                    dels.setdefault(p, set()).add(d.path)
+            return {e.path: frozenset(dels.get(e.path, ())) for e in snap.files}
+
+        s_state, e_state = file_state(start), file_state(end)
+        changed_new = [
+            e for e in end.files if s_state.get(e.path) != e_state[e.path]
+        ]
+        changed_old = [
+            e for e in start.files if s_state[e.path] != e_state.get(e.path)
+        ]
+        new_rows = self._read_with_deletes(end, version, entries=changed_new)
+        old_rows = self._read_with_deletes(start, version, entries=changed_old)
         inserts = new_rows.exceptAll(old_rows).withColumn(
             "_change_type", F.lit("insert")
         )
@@ -754,7 +910,7 @@ class LakeTable:
         entries = snap.files
         if where:
             entries = self._prune_files(entries, where)
-        df = self._read_entries(entries, version)
+        df = self._read_with_deletes(snap, version, entries=entries)
         return df.filter(F.expr(where)) if where else df
 
     # -- file pruning --------------------------------------------------------
@@ -878,7 +1034,12 @@ class LakeTable:
         candidates = self._prune_files(snap.files, where)
         if not candidates:
             return [], 0
-        probe = self._read_entries(candidates, self._meta["current_schema_version"], with_file_path=True)
+        # delete-aware probe: rows already tombstoned by merge-on-read
+        # delete files must not count as (or resurrect into) matches
+        probe = self._read_with_deletes(
+            snap, self._meta["current_schema_version"],
+            entries=candidates, with_file_path=True,
+        )
         per_file = (
             probe.filter(F.expr(where)).groupBy("_lake_file").count().collect()
         )
@@ -902,25 +1063,49 @@ class LakeTable:
         head = branches[branch]
         return self._snapshot(head) if head is not None else None
 
-    def delete_where(self, where: str, branch: str | None = None) -> Snapshot:
+    def _row_op_mode(self, op: str, override: str | None) -> str:
+        """Resolve copy-on-write vs merge-on-read for a row-level op,
+        Iceberg's ``write.delete.mode`` / ``write.update.mode`` table
+        properties (spec `:73-74`: equality + position deletes)."""
+        mode = override or (self._meta.get("properties") or {}).get(
+            f"write.{op}.mode", "copy-on-write"
+        )
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"write.{op}.mode must be copy-on-write or merge-on-read, got {mode!r}")
+        return mode
+
+    def delete_where(self, where: str, branch: str | None = None,
+                     mode: str | None = None) -> Snapshot:
         """DELETE FROM t WHERE ... — reference M4
-        (`delete_sales_events.sql:3-4`). Copy-on-write: only files that
-        contain matching rows are rewritten. ``branch`` stages the
-        delete on a branch head (Iceberg's ``spark.wap.branch`` DML),
-        leaving main untouched until fast_forward."""
+        (`delete_sales_events.sql:3-4`).
+
+        Copy-on-write (default): only files that contain matching rows
+        are rewritten. Merge-on-read (``write.delete.mode`` property or
+        ``mode=``): matched row positions are written to a position-
+        delete file (Iceberg v2 content=1) and NO data file is touched
+        — at 100 TB deleting one row costs one tombstone row, not a
+        128 MB rewrite; readers apply the tombstones as a broadcast
+        anti-join. ``branch`` stages the delete on a branch head
+        (Iceberg's ``spark.wap.branch`` DML), leaving main untouched
+        until fast_forward."""
         snap = self._ref_snapshot(branch)
         if snap is None:
             raise ValueError("delete on empty table")
+        if self._row_op_mode("delete", mode) == "merge-on-read":
+            return self._delete_where_mor(snap, where, branch)
         affected, _ = self._affected_files(snap, where)
         if not affected:
             return self._commit("delete", snap.files, {"deleted_rows": 0},
                                 branch=branch)
         keep = [e for e in snap.files if e not in affected]
-        remaining = self._read_entries(affected, self._meta["current_schema_version"]).filter(
-            ~F.expr(where)
-        )
+        remaining = self._read_with_deletes(
+            snap, self._meta["current_schema_version"], entries=affected
+        ).filter(~F.expr(where))
         rewritten = self._write_files(remaining)
-        before = sum(e.rows for e in affected)
+        live_tombstoned = sum(
+            r["count"] for r in self._tombstone_counts(snap, affected)
+        )
+        before = sum(e.rows for e in affected) - live_tombstoned
         after = sum(e.rows for e in rewritten)
         return self._commit(
             "delete", keep + rewritten,
@@ -928,21 +1113,68 @@ class LakeTable:
             branch=branch,
         )
 
+    def _tombstone_counts(self, snap: Snapshot, entries: list[FileEntry]) -> list:
+        """Per-file tombstone counts for ``entries`` from the snapshot's
+        delete files (metadata-sized read; empty when no delete files)."""
+        if not snap.delete_files:
+            return []
+        paths = {os.path.join(self.path, e.path) for e in entries}
+        del_paths = [os.path.join(self.path, d.path) for d in snap.delete_files]
+        rows = (
+            self.spark.read.parquet(*del_paths)
+            .groupBy("file_path").count().collect()
+        )
+        return [r for r in rows if r["file_path"] in paths]
+
+    def _delete_where_mor(self, snap: Snapshot, where: str,
+                          branch: str | None) -> Snapshot:
+        """Merge-on-read DELETE: write position tombstones for matching
+        live rows; data files are never rewritten."""
+        candidates = self._prune_files(snap.files, where)
+        deleted = 0
+        new_dels: list[DeleteFileEntry] = []
+        if candidates:
+            probe = self._read_with_deletes(
+                snap, self._meta["current_schema_version"],
+                entries=candidates, with_file_path=True, with_pos=True,
+            )
+            tomb = probe.filter(F.expr(where)).select(
+                F.regexp_replace(F.col("_lake_file"), "^file:/+", "/").alias("file_path"),
+                F.col("_lake_pos").alias("pos"),
+            )
+            new_dels = self._write_delete_files(tomb)
+            deleted = sum(d.rows for d in new_dels)
+        return self._commit(
+            "delete", list(snap.files),
+            {"deleted_rows": deleted, "added_delete_files": len(new_dels),
+             "mode": "merge-on-read"},
+            branch=branch,
+            delete_files=list(snap.delete_files) + new_dels,
+        )
+
     def update(self, set_exprs: dict[str, str], where: str,
-               branch: str | None = None) -> Snapshot:
+               branch: str | None = None, mode: str | None = None) -> Snapshot:
         """UPDATE t SET col = expr WHERE ... — reference M3
         (`update_sales_events.sql:3-5`, SET price = price*1.1). Exprs are
-        Spark SQL over the current schema; CoW rewrite of affected
-        files. ``branch`` stages the update on a branch head."""
+        Spark SQL over the current schema. Copy-on-write (default)
+        rewrites affected files; merge-on-read (``write.update.mode``
+        property or ``mode=``) tombstones the matched positions and
+        appends the updated rows as new files — Iceberg's MoR UPDATE
+        (delete + insert), leaving the original files untouched.
+        ``branch`` stages the update on a branch head."""
         snap = self._ref_snapshot(branch)
         if snap is None:
             raise ValueError("update on empty table")
+        if self._row_op_mode("update", mode) == "merge-on-read":
+            return self._update_mor(snap, set_exprs, where, branch)
         affected, n_updated = self._affected_files(snap, where)
         if not affected:
             return self._commit("update", snap.files, {"updated_rows": 0},
                                 branch=branch)
         keep = [e for e in snap.files if e not in affected]
-        df = self._read_entries(affected, self._meta["current_schema_version"])
+        df = self._read_with_deletes(
+            snap, self._meta["current_schema_version"], entries=affected
+        )
         cond = F.expr(where)
         out_cols = []
         for f in self._fields():
@@ -962,6 +1194,47 @@ class LakeTable:
             {"rewritten_files": len(affected), "updated_rows": n_updated},
             branch=branch,
         )
+
+    def _update_mor(self, snap: Snapshot, set_exprs: dict[str, str],
+                    where: str, branch: str | None) -> Snapshot:
+        """Merge-on-read UPDATE = position-delete the matched rows +
+        append their updated images as new clustered files. One pass
+        computes both outputs from the same matched-row scan."""
+        candidates = self._prune_files(snap.files, where)
+        if not candidates:
+            return self._commit("update", snap.files, {"updated_rows": 0},
+                                branch=branch)
+        # cache: the matched-row scan feeds BOTH the tombstone write and
+        # the updated-image write — one pruned read, two small outputs
+        matched = self._read_with_deletes(
+            snap, self._meta["current_schema_version"],
+            entries=candidates, with_file_path=True, with_pos=True,
+        ).filter(F.expr(where)).cache()
+        try:
+            new_dels = self._write_delete_files(
+                matched.select(
+                    F.regexp_replace(F.col("_lake_file"), "^file:/+", "/").alias("file_path"),
+                    F.col("_lake_pos").alias("pos"),
+                )
+            )
+            if not new_dels:  # nothing actually matched
+                return self._commit("update", snap.files, {"updated_rows": 0},
+                                    branch=branch)
+            out_cols = [
+                F.expr(set_exprs[f.name]).cast(f.type).alias(f.name)
+                if f.name in set_exprs else F.col(f.name)
+                for f in self._fields()
+            ]
+            new_files = self._write_files(matched.select(*out_cols))
+            return self._commit(
+                "update", list(snap.files) + new_files,
+                {"updated_rows": sum(d.rows for d in new_dels),
+                 "added_delete_files": len(new_dels), "mode": "merge-on-read"},
+                branch=branch,
+                delete_files=list(snap.delete_files) + new_dels,
+            )
+        finally:
+            matched.unpersist()
 
     def merge(
         self,
@@ -1025,8 +1298,8 @@ class LakeTable:
                     .filter(F.col("_dup_n") > 1)
                     .drop("_dup_n")
                 )
-                tgt_keys = self._read_entries(
-                    snap.files, self._meta["current_schema_version"]
+                tgt_keys = self._read_with_deletes(
+                    snap, self._meta["current_schema_version"]
                 ).select(*on)
                 dup_cond = None
                 for k in on:
@@ -1050,7 +1323,9 @@ class LakeTable:
 
             # 1. which target files contain matched keys — and how many
             # matching rows each holds (same probe job, no re-read later)
-            keys_probe = self._read_entries(snap.files, self._meta["current_schema_version"], with_file_path=True)
+            keys_probe = self._read_with_deletes(
+                snap, self._meta["current_schema_version"], with_file_path=True
+            )
             join_cond = None
             for k in on:
                 c = keys_probe[k] == src[f"src_{k}"]
@@ -1067,7 +1342,9 @@ class LakeTable:
             # 2. rewrite affected files with matched actions applied
             rewritten: list[FileEntry] = []
             if affected:
-                tgt = self._read_entries(affected, self._meta["current_schema_version"])
+                tgt = self._read_with_deletes(
+                    snap, self._meta["current_schema_version"], entries=affected
+                )
                 cond = None
                 for k in on:
                     c = tgt[k] == src[f"src_{k}"]
@@ -1096,7 +1373,9 @@ class LakeTable:
             # 3. not-matched inserts: source anti-join target keys
             inserted: list[FileEntry] = []
             if when_not_matched_insert:
-                tgt_keys = self._read_entries(snap.files, self._meta["current_schema_version"]).select(*on).distinct()
+                tgt_keys = self._read_with_deletes(
+                    snap, self._meta["current_schema_version"]
+                ).select(*on).distinct()
                 anti_cond = None
                 for k in on:
                     c = src[f"src_{k}"] == tgt_keys[k]
@@ -1259,6 +1538,20 @@ class LakeTable:
                   "schema_version int, stats_json string"
         )
 
+    def delete_files(self, snapshot_id: int | None = None) -> DataFrame:
+        """`t.delete_files` metadata table (Iceberg v2): the snapshot's
+        position-delete files with row counts and the data files they
+        reference — the merge-on-read debt that compaction pays down."""
+        snap = self._snapshot(snapshot_id)
+        rows = [
+            (d.path, "position-deletes", d.rows, d.bytes, json.dumps(sorted(d.referenced)))
+            for d in (snap.delete_files if snap else [])
+        ]
+        return self.spark.createDataFrame(
+            rows, "file_path string, content string, record_count bigint, "
+                  "file_size_bytes bigint, referenced_data_files string"
+        )
+
     def refs(self) -> DataFrame:
         """`t.refs` metadata table — every named ref (tags and
         branches) with its snapshot id, mirroring Iceberg's refs
@@ -1321,7 +1614,7 @@ class LakeTable:
         for f in self._fields():
             if f.name in columns and f.type.lower() not in numeric:
                 raise ValueError(f"zorder column {f.name!r} is {f.type}, not numeric")
-        df = self._read_entries(snap.files, self._meta["current_schema_version"])
+        df = self._read_with_deletes(snap, self._meta["current_schema_version"])
 
         bounds: dict[str, tuple[float, float]] = {}
         for c in columns:
@@ -1391,7 +1684,16 @@ class LakeTable:
         snap = self._snapshot()
         if snap is None:
             return {"rewritten_data_files_count": 0, "added_data_files_count": 0}
-        small = [e for e in snap.files if e.bytes < target_file_size_bytes]
+        # Files carrying position-delete tombstones are ALWAYS rewrite
+        # candidates regardless of size (Iceberg's delete-file-threshold):
+        # compaction is what folds merge-on-read tombstones back into
+        # clean data files, after which _commit drops the delete files
+        # automatically (nothing references them anymore).
+        dirty = {p for d in snap.delete_files for p in d.referenced}
+        small = [
+            e for e in snap.files
+            if e.bytes < target_file_size_bytes or e.path in dirty
+        ]
 
         # Bin-pack WITHIN each partition group: merging files across
         # partition values would destroy the one-value-per-file layout
@@ -1405,9 +1707,9 @@ class LakeTable:
         compacted: list[FileEntry] = []
         version = self._meta["current_schema_version"]
         for key, grp in groups.items():
-            if len(grp) < min_input_files:
+            if len(grp) < min_input_files and not any(e.path in dirty for e in grp):
                 continue
-            df = self._read_entries(grp, version)
+            df = self._read_with_deletes(snap, version, entries=grp)
             n_out = max(1, sum(e.bytes for e in grp) // target_file_size_bytes)
             df = df.coalesce(int(n_out))
             order = self._meta.get("sort_order") or []
@@ -1463,10 +1765,13 @@ class LakeTable:
             expired = [s for s in snaps if s["snapshot_id"] not in keep_ids]
             if not expired:
                 return
-            keep_paths = {f["path"] for s in retained for f in s["files"]}
-            dead_paths = {
-                f["path"] for s in expired for f in s["files"]
-            } - keep_paths
+            keep_paths = {f["path"] for s in retained for f in s["files"]} | {
+                d["path"] for s in retained for d in s.get("delete_files", [])
+            }
+            dead_paths = (
+                {f["path"] for s in expired for f in s["files"]}
+                | {d["path"] for s in expired for d in s.get("delete_files", [])}
+            ) - keep_paths
             for rel in dead_paths:
                 p = os.path.join(self.path, rel)
                 if os.path.exists(p):
@@ -1493,6 +1798,9 @@ class LakeTable:
         snapshot references."""
         referenced = {
             f["path"] for s in self._meta["snapshots"] for f in s["files"]
+        } | {
+            d["path"] for s in self._meta["snapshots"]
+            for d in s.get("delete_files", [])
         }
         removed = 0
         data_root = os.path.join(self.path, _DATA_DIR)

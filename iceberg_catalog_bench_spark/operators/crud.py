@@ -590,3 +590,54 @@ def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("value_out"),
         F.col("_change_type").alias("change_type"),
     )
+
+
+@register(
+    "mor_delete_update_read",
+    oracle=(
+        # Final state after MoR DELETE (user_id >= 30 gone) and MoR
+        # UPDATE (+100 on user_id < 10), then compaction folding the
+        # tombstones: counts and checksum must match plain SQL over the
+        # base rows; the three pinned flags assert the merge-on-read
+        # file mechanics (originals untouched, tombstones present, then
+        # folded to zero by rewrite_data_files).
+        "SELECT COUNT(*) AS cnt, "
+        "CAST(ROUND(SUM(CASE WHEN user_id < 10 THEN value + 100 ELSE value END), 2) "
+        "AS DOUBLE) AS sum_value, "
+        "1 AS originals_untouched, 1 AS had_tombstones, "
+        "0 AS tombstones_after_compaction "
+        "FROM events WHERE user_id < 30"
+    ),
+)
+def mor_delete_update_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read row-level ops (Iceberg v2 position deletes, spec
+    `:73-74`; ``write.delete.mode`` / ``write.update.mode`` =
+    merge-on-read): DELETE writes (file, pos) tombstones instead of
+    rewriting data files, UPDATE tombstones + appends the new row
+    images, readers apply tombstones as a broadcast anti-join, and
+    ``rewrite_data_files`` folds the tombstones back into clean files.
+    At 100 TB this is the difference between a 1-row delete costing one
+    tombstone row and costing a 128 MB file rewrite."""
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "value")
+    d = _tmp_table_dir()
+    t = LakeTable.create(
+        spark, d, "event_id bigint, user_id bigint, value double",
+        partition_by=["bucket(8, event_id)"],
+        properties={"write.delete.mode": "merge-on-read",
+                    "write.update.mode": "merge-on-read"},
+    )
+    t.append(ev.filter(F.col("user_id") < 40))
+    files_before = {e.path for e in t._snapshot().files}
+    t.delete_where("user_id >= 30")
+    t.update({"value": "value + 100"}, "user_id < 10")
+    originals_untouched = int(files_before <= {e.path for e in t._snapshot().files})
+    had_tombstones = int(len(t._snapshot().delete_files) > 0)
+    t.rewrite_data_files(min_input_files=2)
+    tombstones_after = len(t._snapshot().delete_files)
+    return t.read().agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).cast("double").alias("sum_value"),
+        F.lit(originals_untouched).cast("int").alias("originals_untouched"),
+        F.lit(had_tombstones).cast("int").alias("had_tombstones"),
+        F.lit(tombstones_after).cast("int").alias("tombstones_after_compaction"),
+    )

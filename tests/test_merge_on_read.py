@@ -1,0 +1,163 @@
+"""Merge-on-read row-level ops: position-delete files (Iceberg v2
+content=1 — spec `ICEBERG-Interoperability-Test-Spec.md:73-74`,
+equality + position deletes; `write.delete.mode` / `write.update.mode`
+table properties).
+
+The scale property under test: a MoR DELETE/UPDATE never rewrites a
+data file — it writes tombstones the size of the matched rows — and
+compaction later folds tombstones back into clean files.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_catalog_bench_spark.catalog.table import LakeTable
+
+
+@pytest.fixture()
+def mor_table(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), "id bigint, v double, cat string",
+        partition_by=["cat"],
+        properties={"write.delete.mode": "merge-on-read",
+                    "write.update.mode": "merge-on-read"},
+    )
+    t.append(
+        spark.range(100).selectExpr(
+            "id", "cast(id * 1.5 as double) v", "concat('c', id % 4) cat"
+        )
+    )
+    return t
+
+
+def test_mor_delete_leaves_data_files_untouched(mor_table):
+    t = mor_table
+    files_before = sorted(e.path for e in t._snapshot().files)
+    snap = t.delete_where("id % 10 = 3")
+    assert snap.summary["mode"] == "merge-on-read"
+    assert snap.summary["deleted_rows"] == 10
+    assert sorted(e.path for e in t._snapshot().files) == files_before
+    assert t.read().count() == 90
+    assert t.read().filter("id = 3").count() == 0
+    assert t.delete_files().count() >= 1
+
+
+def test_mor_delete_time_travel_sees_pre_delete_rows(mor_table):
+    t = mor_table
+    base = t._snapshot().snapshot_id
+    t.delete_where("id < 50")
+    assert t.read().count() == 50
+    assert t.read(snapshot_id=base).count() == 100
+
+
+def test_reinserted_row_not_hit_by_old_tombstones(mor_table, spark):
+    t = mor_table
+    t.delete_where("id = 7")
+    assert t.read().filter("id = 7").count() == 0
+    t.append(spark.createDataFrame([(7, -1.0, "c3")], "id bigint, v double, cat string"))
+    rows = t.read().filter("id = 7").collect()
+    assert len(rows) == 1 and rows[0]["v"] == -1.0
+
+
+def test_stacked_mor_deletes(mor_table):
+    t = mor_table
+    t.delete_where("id < 10")
+    t.delete_where("id >= 90")
+    assert t.read().count() == 80
+    # second delete's probe must not re-tombstone already-deleted rows
+    assert t._snapshot().summary["deleted_rows"] == 10
+
+
+def test_mor_update_appends_new_images(mor_table):
+    t = mor_table
+    files_before = {e.path for e in t._snapshot().files}
+    snap = t.update({"v": "v + 1000"}, "id = 4")
+    assert snap.summary["mode"] == "merge-on-read"
+    assert snap.summary["updated_rows"] == 1
+    # originals untouched; updated image appended as a new file
+    assert files_before <= {e.path for e in t._snapshot().files}
+    assert t.read().filter("id = 4").collect()[0]["v"] == 4 * 1.5 + 1000
+    assert t.read().count() == 100
+
+
+def test_cow_delete_after_mor_delete_does_not_resurrect(mor_table):
+    t = mor_table
+    t.delete_where("id = 11")
+    t.delete_where("id = 13", mode="copy-on-write")
+    assert t.read().count() == 98
+    assert t.read().filter("id in (11, 13)").count() == 0
+
+
+def test_compaction_folds_tombstones(mor_table):
+    t = mor_table
+    t.delete_where("id % 2 = 0")
+    t.update({"v": "0.0"}, "id = 1")
+    before = t.read().orderBy("id").collect()
+    res = t.rewrite_data_files(min_input_files=2)
+    assert res["rewritten_data_files_count"] > 0
+    assert t._snapshot().delete_files == []
+    assert t.read().orderBy("id").collect() == before
+
+
+def test_merge_ignores_tombstoned_target_rows(mor_table, spark):
+    t = mor_table
+    t.delete_where("id = 5")
+    src = spark.createDataFrame([(5, 555.0, "c1")], "id bigint, v double, cat string")
+    t.merge(src, on=["id"], when_matched_update="*", when_not_matched_insert=True)
+    # id=5 was tombstoned → source row is NOT MATCHED → inserted fresh
+    rows = t.read().filter("id = 5").collect()
+    assert len(rows) == 1 and rows[0]["v"] == 555.0
+
+
+def test_gc_preserves_live_delete_files(mor_table):
+    t = mor_table
+    t.delete_where("id < 20")
+    t.append(t.spark.range(1).selectExpr("id + 1000 id", "cast(0 as double) v", "'c0' cat"))
+    t.expire_snapshots(retain_last=1)
+    assert t.remove_orphan_files()["orphan_file_count"] >= 0
+    # tombstones still applied after GC
+    assert t.read().filter("id < 20").count() == 0
+    assert t.read().count() == 81
+
+
+def test_changelog_across_mor_delete(mor_table):
+    t = mor_table
+    base = t._snapshot().snapshot_id
+    t.delete_where("id < 3")
+    log = t.changelog(base).collect()
+    assert sorted(r["id"] for r in log) == [0, 1, 2]
+    assert {r["_change_type"] for r in log} == {"delete"}
+
+
+def test_iceberg_export_roundtrip_with_deletes(mor_table, spark):
+    from iceberg_catalog_bench_spark.catalog.iceberg_export import (
+        read_via_iceberg_metadata,
+    )
+
+    t = mor_table
+    t.delete_where("id % 3 = 0")
+    t.update({"v": "v * 2"}, "id = 1")
+    md = t.to_iceberg_metadata()
+    ours = t.read().orderBy("id").collect()
+    theirs = (
+        read_via_iceberg_metadata(spark, md)
+        .select("id", "v", "cat").orderBy("id").collect()
+    )
+    assert ours == theirs
+
+
+def test_scan_predicate_respects_tombstones(mor_table):
+    t = mor_table
+    t.delete_where("id = 40")
+    assert t.scan("id = 40").count() == 0
+    assert t.scan("id >= 38 and id <= 42").count() == 4
+
+
+def test_mode_property_validation(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "bad"), "id bigint",
+        properties={"write.delete.mode": "sideways"},
+    )
+    t.append(spark.range(3))
+    with pytest.raises(ValueError, match="write.delete.mode"):
+        t.delete_where("id = 1")
