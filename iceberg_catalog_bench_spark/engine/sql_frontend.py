@@ -329,6 +329,37 @@ class SqlEngine:
             self.table(m.group(1)).drop_branch(m.group(2))
             return StatementResult(s, metadata={"op": "drop_branch"})
 
+        # ALTER TABLE t SET TBLPROPERTIES ('k'='v', ...) — Iceberg table
+        # properties (e.g. write.delete.mode / write.update.mode to
+        # switch row-level ops to merge-on-read), and UNSET to clear.
+        m = re.match(
+            r"(?is)^alter\s+table\s+(" + _IDENT + r")\s+set\s+tblproperties\s*\((.*?)\)\s*$", s
+        )
+        if m:
+            t = self.table(m.group(1))
+            props = dict(
+                re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group(2))
+            )
+            if not props:
+                raise ValueError(f"no properties parsed from: {s[:120]}")
+            t._locked_meta_mutation(
+                lambda: t._meta.setdefault("properties", {}).update(props)
+            )
+            return StatementResult(s, metadata={"op": "set_tblproperties"})
+        m = re.match(
+            r"(?is)^alter\s+table\s+(" + _IDENT + r")\s+unset\s+tblproperties\s*\((.*?)\)\s*$", s
+        )
+        if m:
+            t = self.table(m.group(1))
+            keys = re.findall(r"'([^']+)'", m.group(2))
+
+            def unset():
+                for k in keys:
+                    t._meta.setdefault("properties", {}).pop(k, None)
+
+            t._locked_meta_mutation(unset)
+            return StatementResult(s, metadata={"op": "unset_tblproperties"})
+
         # D6: ALTER TABLE ADD COLUMN [..] DEFAULT (schema_evolution_sales_events.sql:3-4)
         m = re.match(
             r"(?is)^alter\s+table\s+(" + _IDENT + r")\s+add\s+columns?\s*\(?\s*"

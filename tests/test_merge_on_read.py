@@ -161,3 +161,32 @@ def test_mode_property_validation(spark, tmp_path):
     t.append(spark.range(3))
     with pytest.raises(ValueError, match="write.delete.mode"):
         t.delete_where("id = 1")
+
+
+def test_sql_frontend_mor_via_tblproperties(spark, tmp_path):
+    """The SQL spelling: SET TBLPROPERTIES flips DELETE/UPDATE to
+    merge-on-read; subsequent DML writes tombstones, UNSET restores
+    copy-on-write."""
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE mt (id bigint, v double) PARTITIONED BY (bucket(4, id))")
+    e.execute("INSERT INTO mt VALUES (1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)")
+    e.execute(
+        "ALTER TABLE mt SET TBLPROPERTIES "
+        "('write.delete.mode'='merge-on-read', 'write.update.mode'='merge-on-read')"
+    )
+    t = e.table("mt")
+    files_before = {x.path for x in t._snapshot().files}
+    e.execute("DELETE FROM mt WHERE id = 2")
+    e.execute("UPDATE mt SET v = v + 10 WHERE id = 1")
+    t._reload()
+    assert files_before <= {x.path for x in t._snapshot().files}
+    assert t._snapshot().delete_files
+    rows = {r["id"]: r["v"] for r in e.execute("SELECT id, v FROM mt")[0].rows}
+    assert rows == {1: 11.0, 3: 3.0, 4: 4.0}
+    e.execute("ALTER TABLE mt UNSET TBLPROPERTIES ('write.delete.mode')")
+    e.execute("DELETE FROM mt WHERE id = 3")
+    t._reload()
+    assert (t._meta.get("properties") or {}).get("write.delete.mode") is None
+    assert {r["id"] for r in e.execute("SELECT id FROM mt")[0].rows} == {1, 4}
