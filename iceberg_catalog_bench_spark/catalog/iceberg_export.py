@@ -152,10 +152,11 @@ def to_iceberg_metadata(table: LakeTable) -> str:
                 "status": 1,  # ADDED/EXISTING in this snapshot's scope
                 "snapshot-id": s["snapshot_id"],
                 "data-file": {
-                    "content": 0,  # DATA (position deletes ride in their own manifest)
+                    "content": 0,  # DATA (delete files ride in their own manifest)
                     "file-path": os.path.join(table.path, f["path"]),
                     "file-format": "PARQUET",
                     "partition": f.get("partition", {}),
+                    "data-sequence-number": f.get("seq", 0),
                     "record-count": f["rows"],
                     "file-size-in-bytes": f["bytes"],
                     "lower-bounds": {k: v[0] for k, v in f.get("stats", {}).items()},
@@ -193,15 +194,24 @@ def to_iceberg_metadata(table: LakeTable) -> str:
                     "status": 1,
                     "snapshot-id": s["snapshot_id"],
                     "data-file": {
-                        "content": 1,  # POSITION_DELETES
+                        # 1 = POSITION_DELETES, 2 = EQUALITY_DELETES
+                        "content": 1 if d.get("content", "position") == "position" else 2,
                         "file-path": os.path.join(table.path, d["path"]),
                         "file-format": "PARQUET",
                         "record-count": d["rows"],
                         "file-size-in-bytes": d["bytes"],
+                        "data-sequence-number": d.get("seq", 0),
                         "referenced-data-files": [
                             os.path.join(table.path, p)
                             for p in d.get("referenced", [])
                         ],
+                        # Iceberg stores equality field IDs; carry the
+                        # names alongside for the JSON-manifest reader
+                        "equality-ids": [
+                            field_ids_by_name.get(c, -1)
+                            for c in d.get("equality_cols", [])
+                        ],
+                        "equality-field-names": d.get("equality_cols", []),
                     },
                 }
                 for d in s["delete_files"]
@@ -309,8 +319,9 @@ def read_via_iceberg_metadata(
     snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
     with open(snap["manifest-list"]) as fh:
         mlist = json.load(fh)
-    by_schema: dict[int, list[str]] = {}
+    by_schema: dict[int, list[tuple[str, int]]] = {}
     delete_paths: list[str] = []
+    eq_deletes: list[dict] = []
     referenced: set[str] = set()
     for m in mlist["manifests"]:
         with open(m["manifest-path"]) as fh:
@@ -323,8 +334,12 @@ def read_via_iceberg_metadata(
                     _strip_scheme(p) for p in df_entry.get("referenced-data-files", [])
                 )
                 continue
+            if df_entry.get("content") == 2:  # equality deletes
+                eq_deletes.append(df_entry)
+                continue
             by_schema.setdefault(df_entry["schema-id"], []).append(
-                _strip_scheme(df_entry["file-path"])
+                (_strip_scheme(df_entry["file-path"]),
+                 df_entry.get("data-sequence-number", 0))
             )
     target = next(s for s in md["schemas"] if s["schema-id"] == snap["schema-id"])
     if not by_schema:
@@ -335,11 +350,12 @@ def read_via_iceberg_metadata(
     # Iceberg resolves columns by FIELD ID: for each file generation,
     # map the target schema's ids onto that generation's names (renames
     # and widenings never rewrote the files), defaulting added columns.
+    mor = bool(delete_paths or eq_deletes)
     parts = []
     for schema_id, files in sorted(by_schema.items()):
         written = next(s for s in md["schemas"] if s["schema-id"] == schema_id)
         names_by_id = {f["id"]: f["name"] for f in written["fields"]}
-        raw = spark.read.parquet(*files)
+        raw = spark.read.parquet(*[f for f, _seq in files])
         sel = []
         for f in target["fields"]:
             old_name = names_by_id.get(f["id"])
@@ -347,7 +363,7 @@ def read_via_iceberg_metadata(
                 sel.append(F.col(old_name).alias(f["name"]))
             else:
                 sel.append(F.lit(f.get("initial-default")).alias(f["name"]))
-        if delete_paths:
+        if mor:
             sel.append(F.col("_metadata.file_path").alias("_ice_file"))
             sel.append(F.col("_metadata.row_index").alias("_ice_pos"))
         parts.append(raw.select(*sel))
@@ -355,16 +371,36 @@ def read_via_iceberg_metadata(
     for p in parts[1:]:
         out = out.unionByName(p)
     if delete_paths:
-        # the merge-on-read half of the walk: content=1 manifests hold
-        # (file_path, pos) tombstones; apply them as a broadcast anti-join
+        # merge-on-read, content=1: (file_path, pos) tombstones applied
+        # as a broadcast anti-join
         tomb = spark.read.parquet(*delete_paths).select("file_path", "pos")
         stripped = F.regexp_replace(F.col("_ice_file"), "^file:/+", "/")
-        out = (
-            out.join(
-                F.broadcast(tomb),
-                (stripped == tomb["file_path"]) & (out["_ice_pos"] == tomb["pos"]),
-                "left_anti",
-            )
-            .drop("_ice_file", "_ice_pos")
+        out = out.join(
+            F.broadcast(tomb),
+            (stripped == tomb["file_path"]) & (out["_ice_pos"] == tomb["pos"]),
+            "left_anti",
         )
+    if eq_deletes:
+        # merge-on-read, content=2: key tombstones apply to data files
+        # with a STRICTLY smaller data sequence number
+        seq_rows = [
+            (f, seq) for files in by_schema.values() for f, seq in files
+        ]
+        seq_map = spark.createDataFrame(seq_rows, "_seq_path string, _file_seq long")
+        stripped = F.regexp_replace(F.col("_ice_file"), "^file:/+", "/")
+        out = out.join(
+            F.broadcast(seq_map), stripped == seq_map["_seq_path"], "left"
+        ).drop("_seq_path")
+        for d in eq_deletes:
+            cols = d.get("equality-field-names", [])
+            tomb = spark.read.parquet(_strip_scheme(d["file-path"])).select(
+                *[F.col(c).alias(f"_del_{c}") for c in cols]
+            )
+            cond = F.col("_file_seq") < F.lit(d.get("data-sequence-number", 0))
+            for c in cols:
+                cond = cond & out[c].eqNullSafe(tomb[f"_del_{c}"])
+            out = out.join(F.broadcast(tomb), cond, "left_anti")
+        out = out.drop("_file_seq")
+    if mor:
+        out = out.drop("_ice_file", "_ice_pos")
     return out

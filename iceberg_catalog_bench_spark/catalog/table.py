@@ -82,6 +82,10 @@ class FileEntry:
     schema_version: int
     stats: dict[str, list] = field(default_factory=dict)  # col -> [min, max]
     partition: dict[str, str] = field(default_factory=dict)  # transform -> value
+    # Iceberg data sequence number: assigned at commit (the committing
+    # snapshot's id — monotonic), carried unchanged by later snapshots.
+    # Equality deletes apply only to files with a SMALLER sequence.
+    seq: int | None = 0
 
     def to_json(self) -> dict:
         return {
@@ -91,29 +95,40 @@ class FileEntry:
             "schema_version": self.schema_version,
             "stats": self.stats,
             "partition": self.partition,
+            "seq": self.seq,
         }
 
     @staticmethod
     def from_json(d: dict) -> "FileEntry":
         return FileEntry(
             d["path"], d["rows"], d["bytes"], d["schema_version"],
-            d.get("stats", {}), d.get("partition", {}),
+            d.get("stats", {}), d.get("partition", {}), d.get("seq", 0),
         )
 
 
 @dataclass
 class DeleteFileEntry:
-    """A position-delete file (Iceberg v2 content=1): parquet rows of
-    ``(file_path, pos)`` marking rows of existing data files as deleted
-    without rewriting them — the merge-on-read half of row-level ops.
-    ``referenced`` lists the table-relative data-file paths the delete
-    rows point at, so reads apply the anti-join only to those files and
-    commits can drop delete files whose targets left the table."""
+    """A merge-on-read delete file.
+
+    ``content="position"`` (Iceberg v2 content=1): parquet rows of
+    ``(file_path, pos)`` tombstoning specific rows of specific data
+    files; ``referenced`` lists the table-relative paths the tombstones
+    point at, so reads anti-join only those files and commits drop the
+    delete file once its targets leave the table.
+
+    ``content="equality"`` (Iceberg v2 content=2): parquet rows of key
+    values over ``equality_cols``; a row in any data file whose
+    sequence number is SMALLER than ``seq`` and whose key equals a
+    delete row is deleted. This is the streaming-CDC shape — a writer
+    retracts keys without ever reading the target."""
 
     path: str  # relative to table root
     rows: int
     bytes: int
     referenced: list[str] = field(default_factory=list)
+    content: str = "position"
+    equality_cols: list[str] = field(default_factory=list)
+    seq: int | None = 0
 
     def to_json(self) -> dict:
         return {
@@ -121,12 +136,17 @@ class DeleteFileEntry:
             "rows": self.rows,
             "bytes": self.bytes,
             "referenced": self.referenced,
+            "content": self.content,
+            "equality_cols": self.equality_cols,
+            "seq": self.seq,
         }
 
     @staticmethod
     def from_json(d: dict) -> "DeleteFileEntry":
         return DeleteFileEntry(
-            d["path"], d["rows"], d["bytes"], d.get("referenced", [])
+            d["path"], d["rows"], d["bytes"], d.get("referenced", []),
+            d.get("content", "position"), d.get("equality_cols", []),
+            d.get("seq", 0),
         )
 
 
@@ -354,20 +374,34 @@ class LakeTable:
                     f"expected parent {expected}, found {head(self._meta)}"
                 )
             ids = [s["snapshot_id"] for s in self._meta["snapshots"]]
+            sid = (max(ids) + 1) if ids else 1
+            # Sequence-number assignment (Iceberg data sequence): files
+            # and delete files new to this commit (seq None) get the
+            # committing snapshot's id; carried-over entries keep theirs.
+            for e in files:
+                if e.seq is None:
+                    e.seq = sid
             # Delete-file carry-over: merge-on-read delete files ride
-            # along until every data file they reference has left the
-            # table (rewritten by CoW/compaction or removed), at which
-            # point they are dropped automatically — Iceberg's dangling-
-            # delete cleanup in rewrite_data_files.
+            # along until nothing they can apply to remains — position
+            # deletes until every referenced data file left the table,
+            # equality deletes until no live file has a smaller sequence
+            # — then they are dropped automatically (Iceberg's dangling-
+            # delete cleanup in rewrite_data_files).
             if delete_files is None:
                 parent = self._snapshot(expected) if expected is not None else None
                 delete_files = list(parent.delete_files) if parent else []
+            for d in delete_files:
+                if d.seq is None:
+                    d.seq = sid
             live = {e.path for e in files}
+            min_seq = min((e.seq for e in files), default=0)
             delete_files = [
-                d for d in delete_files if any(p in live for p in d.referenced)
+                d for d in delete_files
+                if (d.content == "position" and any(p in live for p in d.referenced))
+                or (d.content == "equality" and min_seq < d.seq)
             ]
             snap = Snapshot(
-                snapshot_id=(max(ids) + 1) if ids else 1,
+                snapshot_id=sid,
                 parent_id=expected,
                 timestamp_ms=int(time.time() * 1000),
                 operation=op,
@@ -521,6 +555,7 @@ class LakeTable:
                 schema_version=version,
                 stats=stats,
                 partition=part_vals,
+                seq=None,  # assigned by the commit that publishes it
             )
 
         # footer reads are metadata-only but latency-bound; a fanout
@@ -636,37 +671,78 @@ class LakeTable:
                            entries: list[FileEntry] | None = None,
                            with_file_path: bool = False,
                            with_pos: bool = False) -> DataFrame:
-        """Snapshot read with position-delete files applied — the
-        merge-on-read scan (Iceberg v2 content=1 deletes).
+        """Snapshot read with merge-on-read delete files applied —
+        position deletes (Iceberg v2 content=1) AND equality deletes
+        (content=2).
 
-        Files no delete file references stream through untouched; the
-        referenced minority joins ``(file, pos)`` LEFT ANTI against the
-        delete rows. Delete files are dimension-sized (they hold only
-        tombstones), so the anti-join broadcasts and stays map-side —
-        at 100 TB the read costs the scan plus a hash probe, never a
-        shuffle of the data."""
+        Files no delete file can apply to stream through untouched.
+        Position-referenced files join ``(file, pos)`` LEFT ANTI against
+        the tombstones; files older than an equality delete join its key
+        columns LEFT ANTI with the sequence guard ``file.seq < del.seq``
+        (so a key re-inserted AFTER the retraction survives). Delete
+        files are dimension-sized, so both anti-joins broadcast and
+        stay map-side — at 100 TB the read costs the scan plus hash
+        probes, never a shuffle of the data."""
         entries = snap.files if entries is None else entries
-        dels = snap.delete_files
-        if not dels:
+        pos_dels = [d for d in snap.delete_files if d.content == "position"]
+        eq_dels = [d for d in snap.delete_files if d.content == "equality"]
+        if not pos_dels and not eq_dels:
             return self._read_entries(entries, schema_version, with_file_path, with_pos)
         referenced: set[str] = set()
-        for d in dels:
+        for d in pos_dels:
             referenced.update(d.referenced)
-        plain = [e for e in entries if e.path not in referenced]
-        dirty = [e for e in entries if e.path in referenced]
+        max_eq_seq = max((d.seq for d in eq_dels), default=0)
+
+        def is_dirty(e: FileEntry) -> bool:
+            return e.path in referenced or (e.seq or 0) < max_eq_seq
+
+        plain = [e for e in entries if not is_dirty(e)]
+        dirty = [e for e in entries if is_dirty(e)]
         parts: list[DataFrame] = []
         if dirty:
             df = self._read_entries(dirty, schema_version, True, True)
-            del_paths = [os.path.join(self.path, d.path) for d in dels]
-            tomb = self.spark.read.parquet(*del_paths).select("file_path", "pos")
-            if sum(d.rows for d in dels) <= 10_000_000:
-                tomb = F.broadcast(tomb)
             stripped = F.regexp_replace(F.col("_lake_file"), "^file:/+", "/")
-            df = df.join(
-                tomb,
-                (stripped == tomb["file_path"]) & (df["_lake_pos"] == tomb["pos"]),
-                "left_anti",
-            )
+            if pos_dels and any(e.path in referenced for e in dirty):
+                del_paths = [os.path.join(self.path, d.path) for d in pos_dels]
+                tomb = self.spark.read.parquet(*del_paths).select("file_path", "pos")
+                if sum(d.rows for d in pos_dels) <= 10_000_000:
+                    tomb = F.broadcast(tomb)
+                df = df.join(
+                    tomb,
+                    (stripped == tomb["file_path"]) & (df["_lake_pos"] == tomb["pos"]),
+                    "left_anti",
+                )
+            if eq_dels:
+                # attach each row's file sequence via a tiny broadcast
+                # map (path → seq), then one anti-join per distinct key
+                # set with the sequence guard
+                seq_map = self.spark.createDataFrame(
+                    [(os.path.join(self.path, e.path), e.seq or 0) for e in dirty],
+                    "_seq_path string, _file_seq bigint",
+                )
+                df = df.join(
+                    F.broadcast(seq_map), stripped == seq_map["_seq_path"], "left"
+                ).drop("_seq_path")
+                by_cols: dict[tuple, list[DeleteFileEntry]] = {}
+                for d in eq_dels:
+                    by_cols.setdefault(tuple(d.equality_cols), []).append(d)
+                for cols, group in by_cols.items():
+                    tombs = None
+                    for d in group:
+                        one = self.spark.read.parquet(
+                            os.path.join(self.path, d.path)
+                        ).select(
+                            *[F.col(c).alias(f"_del_{c}") for c in cols],
+                            F.lit(d.seq).cast("bigint").alias("_del_seq"),
+                        )
+                        tombs = one if tombs is None else tombs.unionByName(one)
+                    if sum(d.rows for d in group) <= 10_000_000:
+                        tombs = F.broadcast(tombs)
+                    cond = F.col("_file_seq") < tombs["_del_seq"]
+                    for c in cols:
+                        cond = cond & (df[c].eqNullSafe(tombs[f"_del_{c}"]))
+                    df = df.join(tombs, cond, "left_anti")
+                df = df.drop("_file_seq")
             if not with_file_path:
                 df = df.drop("_lake_file")
             if not with_pos:
@@ -715,9 +791,89 @@ class LakeTable:
                         rows=md.num_rows,
                         bytes=os.path.getsize(full),
                         referenced=referenced,
+                        seq=None,  # assigned at commit
                     )
                 )
         return entries
+
+    def _write_equality_delete_files(
+        self, keys: DataFrame, cols: list[str]
+    ) -> list[DeleteFileEntry]:
+        """Write distinct key rows as an equality-delete file set
+        (Iceberg v2 content=2). No target read happens here — that's
+        the point: a CDC writer retracts keys blind."""
+        sub = f"eqdel-{uuid.uuid4().hex[:12]}"
+        out_dir = os.path.join(self.path, _DATA_DIR, sub)
+        keys.select(*cols).distinct().write.mode("overwrite").parquet(out_dir)
+        import pyarrow.parquet as pq
+
+        entries: list[DeleteFileEntry] = []
+        for dirpath, _dirs, files in os.walk(out_dir):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                md = pq.ParquetFile(full).metadata
+                if md.num_rows == 0:
+                    continue
+                entries.append(
+                    DeleteFileEntry(
+                        path=os.path.relpath(full, self.path),
+                        rows=md.num_rows,
+                        bytes=os.path.getsize(full),
+                        content="equality",
+                        equality_cols=list(cols),
+                        seq=None,  # assigned at commit
+                    )
+                )
+        return entries
+
+    def delete_by_keys(self, keys: DataFrame,
+                       on: list[str] | None = None) -> Snapshot:
+        """Equality delete (Iceberg v2 content=2): every existing row
+        whose ``on`` columns match a key row is deleted — WITHOUT
+        reading the target. Rows appended later are unaffected (the
+        sequence-number guard). This is the Flink-CDC retraction path:
+        at 100 TB a million-key delete costs writing a million-row
+        parquet file, zero scans."""
+        snap = self._snapshot()
+        if snap is None:
+            raise ValueError("delete on empty table")
+        cols = list(on or keys.columns)
+        for c in cols:
+            if c not in {f.name for f in self._fields()}:
+                raise KeyError(f"unknown equality column {c!r}")
+        new_dels = self._write_equality_delete_files(keys, cols)
+        return self._commit(
+            "delete", list(snap.files),
+            {"equality_delete_keys": sum(d.rows for d in new_dels),
+             "added_delete_files": len(new_dels), "mode": "merge-on-read"},
+            delete_files=list(snap.delete_files) + new_dels,
+        )
+
+    def upsert_by_keys(self, df: DataFrame, on: list[str]) -> Snapshot:
+        """Streaming-CDC upsert: one commit that equality-deletes the
+        incoming keys and appends the new row images. The delete and
+        the data files share the commit's sequence number, and equality
+        deletes apply only to STRICTLY older files — so the new images
+        survive their own retraction. No target read, ever: upsert cost
+        is O(batch), not O(table) — the write path Flink uses for CDC
+        streams into Iceberg v2."""
+        snap = self._snapshot()
+        base = list(snap.files) if snap else []
+        base_dels = list(snap.delete_files) if snap else []
+        for c in on:
+            if c not in {f.name for f in self._fields()}:
+                raise KeyError(f"unknown key column {c!r}")
+        new_files = self._write_files(df)
+        new_dels = self._write_equality_delete_files(df.select(*on), on)
+        return self._commit(
+            "upsert", base + new_files,
+            {"upserted_rows": sum(e.rows for e in new_files),
+             "equality_delete_keys": sum(d.rows for d in new_dels),
+             "mode": "merge-on-read"},
+            delete_files=base_dels + new_dels,
+        )
 
     def read(self, snapshot_id: int | None = None, as_of_ms: int | None = None) -> DataFrame:
         """Current-or-time-travel read — reference T2/T3 (VERSION AS OF /
@@ -1544,12 +1700,21 @@ class LakeTable:
         reference — the merge-on-read debt that compaction pays down."""
         snap = self._snapshot(snapshot_id)
         rows = [
-            (d.path, "position-deletes", d.rows, d.bytes, json.dumps(sorted(d.referenced)))
+            (
+                d.path,
+                "position-deletes" if d.content == "position" else "equality-deletes",
+                d.rows,
+                d.bytes,
+                json.dumps(sorted(d.referenced)),
+                json.dumps(d.equality_cols),
+                d.seq or 0,
+            )
             for d in (snap.delete_files if snap else [])
         ]
         return self.spark.createDataFrame(
             rows, "file_path string, content string, record_count bigint, "
-                  "file_size_bytes bigint, referenced_data_files string"
+                  "file_size_bytes bigint, referenced_data_files string, "
+                  "equality_columns string, sequence_number bigint"
         )
 
     def refs(self) -> DataFrame:
@@ -1689,7 +1854,15 @@ class LakeTable:
         # compaction is what folds merge-on-read tombstones back into
         # clean data files, after which _commit drops the delete files
         # automatically (nothing references them anymore).
-        dirty = {p for d in snap.delete_files for p in d.referenced}
+        dirty = {
+            p for d in snap.delete_files
+            if d.content == "position" for p in d.referenced
+        }
+        max_eq_seq = max(
+            (d.seq for d in snap.delete_files if d.content == "equality"),
+            default=0,
+        )
+        dirty |= {e.path for e in snap.files if (e.seq or 0) < max_eq_seq}
         small = [
             e for e in snap.files
             if e.bytes < target_file_size_bytes or e.path in dirty

@@ -641,3 +641,48 @@ def mor_delete_update_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(had_tombstones).cast("int").alias("had_tombstones"),
         F.lit(tombstones_after).cast("int").alias("tombstones_after_compaction"),
     )
+
+
+@register(
+    "cdc_equality_upsert",
+    oracle=(
+        # Last-writer-wins state after an equality-delete retraction and
+        # a CDC upsert batch, expressed as pure SQL over the base rows:
+        # retracted keys (o_orderkey % 100 = 7) vanish, upserted keys
+        # (o_orderkey % 10 = 1) carry the doubled price.
+        "SELECT COUNT(*) AS cnt, "
+        "CAST(ROUND(SUM(CASE WHEN o_orderkey % 10 = 1 "
+        "THEN o_totalprice * 2 ELSE o_totalprice END), 2) AS DOUBLE) AS sum_price "
+        "FROM orders WHERE o_orderkey % 5 <> 0 AND o_orderkey % 100 <> 7"
+    ),
+)
+def cdc_equality_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-delete files + CDC upsert (Iceberg v2 content=2, the
+    Flink-CDC write path): ``upsert_by_keys`` commits the new row
+    images AND an equality-delete of their keys in one snapshot —
+    without ever reading the target — and ``delete_by_keys`` retracts
+    keys blind. The sequence-number guard makes the new images survive
+    their own retraction. At 100 TB an upsert batch costs O(batch)
+    writes, zero table scans; readers fold the key tombstones in as a
+    broadcast anti-join."""
+    od = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    d = _tmp_table_dir()
+    t = LakeTable.create(
+        spark, d, "o_orderkey bigint, o_totalprice double",
+        partition_by=["bucket(8, o_orderkey)"],
+    )
+    t.append(od.filter(F.col("o_orderkey") % 5 != 0))
+    # CDC upsert batch: doubled price for keys ending in 1
+    t.upsert_by_keys(
+        od.filter(F.col("o_orderkey") % 10 == 1)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2),
+        on=["o_orderkey"],
+    )
+    # blind retraction of a key slice (includes keys never present)
+    t.delete_by_keys(
+        od.filter(F.col("o_orderkey") % 100 == 7).select("o_orderkey")
+    )
+    return t.read().agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).cast("double").alias("sum_price"),
+    )

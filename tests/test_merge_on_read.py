@@ -190,3 +190,110 @@ def test_sql_frontend_mor_via_tblproperties(spark, tmp_path):
     t._reload()
     assert (t._meta.get("properties") or {}).get("write.delete.mode") is None
     assert {r["id"] for r in e.execute("SELECT id FROM mt")[0].rows} == {1, 4}
+
+
+# -- equality deletes (Iceberg v2 content=2) + CDC upsert -------------------
+
+
+@pytest.fixture()
+def eq_table(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "eq"), "k bigint, v double",
+        partition_by=["bucket(4, k)"],
+    )
+    t.append(spark.range(20).selectExpr("id k", "cast(id as double) v"))
+    return t
+
+
+def test_equality_delete_without_target_read(eq_table, spark):
+    t = eq_table
+    files_before = {e.path for e in t._snapshot().files}
+    t.delete_by_keys(spark.createDataFrame([(3,), (4,)], "k bigint"))
+    assert {e.path for e in t._snapshot().files} == files_before
+    assert t.read().count() == 18
+    assert t.read().filter("k in (3, 4)").count() == 0
+
+
+def test_equality_delete_sequence_guard(eq_table, spark):
+    t = eq_table
+    t.delete_by_keys(spark.createDataFrame([(5,)], "k bigint"))
+    t.append(spark.createDataFrame([(5, 99.0)], "k bigint, v double"))
+    rows = t.read().filter("k = 5").collect()
+    assert len(rows) == 1 and rows[0]["v"] == 99.0
+
+
+def test_upsert_by_keys_single_commit(eq_table, spark):
+    t = eq_table
+    n_snaps = len(t._meta["snapshots"])
+    t.upsert_by_keys(
+        spark.createDataFrame([(1, -1.0), (100, -100.0)], "k bigint, v double"),
+        on=["k"],
+    )
+    assert len(t._meta["snapshots"]) == n_snaps + 1
+    r = {x["k"]: x["v"] for x in t.read().collect()}
+    assert r[1] == -1.0 and r[100] == -100.0 and len(r) == 21
+
+
+def test_stacked_upserts_last_writer_wins(eq_table, spark):
+    t = eq_table
+    for v in (10.0, 20.0, 30.0):
+        t.upsert_by_keys(
+            spark.createDataFrame([(7, v)], "k bigint, v double"), on=["k"]
+        )
+    rows = t.read().filter("k = 7").collect()
+    assert len(rows) == 1 and rows[0]["v"] == 30.0
+
+
+def test_equality_delete_time_travel(eq_table, spark):
+    t = eq_table
+    base = t._snapshot().snapshot_id
+    t.delete_by_keys(spark.createDataFrame([(0,), (1,)], "k bigint"))
+    assert t.read(snapshot_id=base).count() == 20
+    assert t.read().count() == 18
+
+
+def test_compaction_folds_equality_deletes(eq_table, spark):
+    t = eq_table
+    t.delete_by_keys(spark.createDataFrame([(2,), (4,)], "k bigint"))
+    t.upsert_by_keys(spark.createDataFrame([(6, 66.0)], "k bigint, v double"), on=["k"])
+    before = sorted((x["k"], x["v"]) for x in t.read().collect())
+    t.rewrite_data_files(min_input_files=2)
+    assert t._snapshot().delete_files == []
+    assert sorted((x["k"], x["v"]) for x in t.read().collect()) == before
+
+
+def test_equality_delete_export_roundtrip(eq_table, spark):
+    from iceberg_catalog_bench_spark.catalog.iceberg_export import (
+        read_via_iceberg_metadata,
+    )
+
+    t = eq_table
+    t.delete_by_keys(spark.createDataFrame([(9,), (11,)], "k bigint"))
+    t.upsert_by_keys(spark.createDataFrame([(9, 900.0)], "k bigint, v double"), on=["k"])
+    md = t.to_iceberg_metadata()
+    ours = sorted((x["k"], x["v"]) for x in t.read().collect())
+    theirs = sorted(
+        (x["k"], x["v"]) for x in read_via_iceberg_metadata(spark, md).collect()
+    )
+    assert ours == theirs
+
+
+def test_mixed_position_and_equality_deletes(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "mix"), "k bigint, v double",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.append(spark.range(30).selectExpr("id k", "cast(id as double) v"))
+    t.delete_where("k < 5")  # position tombstones
+    t.delete_by_keys(spark.createDataFrame([(10,), (11,)], "k bigint"))
+    assert t.read().count() == 23
+    assert t.read().filter("k < 5 or k in (10, 11)").count() == 0
+    kinds = {r["content"] for r in t.delete_files().collect()}
+    assert kinds == {"position-deletes", "equality-deletes"}
+
+
+def test_unknown_equality_column_raises(eq_table, spark):
+    with pytest.raises(KeyError, match="nope"):
+        eq_table.delete_by_keys(
+            spark.createDataFrame([(1,)], "nope bigint"), on=["nope"]
+        )
