@@ -107,6 +107,18 @@ def main() -> None:
     results["read_lookup"] = median_of(
         lambda: lake.filter(F.col("user_id").isin(123, 456, 789)).collect()
     )
+    # Row-level delete, both modes, same shape (single-event point
+    # delete): copy-on-write pays a file rewrite, merge-on-read pays a
+    # tombstone write — the gap is the whole point of MoR at scale
+    # (Iceberg v2 position deletes). The tombstone is folded by the
+    # rewrite_data_files phase right after, so compaction is timed
+    # WITH delete-aware work.
+    results["delete_cow"] = timed(
+        lambda: t.delete_where("event_id = 777", mode="copy-on-write")
+    )
+    results["delete_mor"] = timed(
+        lambda: t.delete_where("event_id = 888", mode="merge-on-read")
+    )
     results["rewrite_data_files"] = timed(lambda: t.rewrite_data_files(min_input_files=2))
     results["rewrite_manifests"] = timed(lambda: t.rewrite_manifests())
     results["expire_snapshots"] = timed(lambda: t.expire_snapshots(retain_last=2))

@@ -363,3 +363,68 @@ def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("session_end_s") + GAP_S < F.col("wm_s") - 1)
         .drop("wm_s")
     )
+
+
+@register(
+    "streaming_cdc_upsert_laketable",
+    oracle=(
+        # Keyed upsert replay: after streaming every event through
+        # upsert_by_keys on user_id, the table holds exactly ONE row
+        # per user — the LATEST event by (ts, event_id) — i.e. classic
+        # CDC compaction semantics, recomputed here with a window.
+        "SELECT user_id, event_id AS last_event_id, "
+        "ROUND(value, 4) AS last_value FROM ("
+        "SELECT user_id, event_id, value, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn "
+        "FROM events WHERE user_id < 200) WHERE rn = 1"
+    ),
+)
+def streaming_cdc_upsert_laketable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert INTO the catalog table: each micro-batch is
+    reduced to its latest image per key (max_by over the batch) and
+    committed via ``upsert_by_keys`` — one snapshot per batch holding
+    the new images plus an equality-delete of their keys (Iceberg v2
+    content=2, the Flink upsert-sink shape). No batch ever reads the
+    table: upsert cost tracks the batch, not the table, which is what
+    makes a 100 TB keyed sink sustainable. availableNow replays the
+    whole source; the oracle recomputes last-writer-wins per key with
+    a window over the same rows.
+
+    Batches arrive in source order (a single file source here), so
+    cross-batch recency is the batch order itself — exactly a CDC
+    stream's arrival-order contract."""
+    from ..catalog import LakeTable
+
+    d = tempfile.mkdtemp(prefix="stream-cdc-")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    t = LakeTable.create(
+        spark, d + "/t",
+        "user_id bigint, last_event_id bigint, last_value double, last_ts timestamp",
+        partition_by=["bucket(8, user_id)"],
+    )
+    ev = _events_stream(spark, sf_dir).filter(F.col("user_id") < 200)
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        latest = (
+            batch_df.groupBy("user_id").agg(
+                F.max(F.struct("ts", "event_id", "value")).alias("m")
+            )
+            .select(
+                "user_id",
+                F.col("m.event_id").alias("last_event_id"),
+                F.col("m.value").alias("last_value"),
+                F.col("m.ts").alias("last_ts"),
+            )
+        )
+        t.upsert_by_keys(latest, on=["user_id"])
+
+    q = (
+        ev.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", d + "/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return t.read().select(
+        "user_id", "last_event_id", F.round("last_value", 4).alias("last_value")
+    )
