@@ -15,6 +15,7 @@ import pandas as pd  # module-level: pandas_udf resolves string type hints here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import shingles_expr
 from ..sources import load_table
 from .registry import register
 
@@ -460,4 +461,55 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy(shard.alias("shard")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.octet_length(F.encode("text", "utf-8"))).alias("shard_bytes"),
+    )
+
+
+_CONTAM_N = 5  # contamination n-gram width (word-level)
+_CONTAM_ORACLE_GRAMS = (
+    "list_distinct(list_transform("
+    "generate_series(1, len(string_split(trim(text), ' ')) - 4), "
+    "i -> array_to_string(string_split(trim(text), ' ')[i:i+4], ' ')))"
+)
+
+
+@register(
+    "corpus_contamination_check",
+    oracle=(
+        # eval set = doc_id % 5 = 0; a corpus doc is contaminated if it
+        # shares any 5-word n-gram with any eval doc. Reported per doc
+        # with the count of distinct overlapping grams.
+        "WITH g AS (SELECT doc_id, unnest(" + _CONTAM_ORACLE_GRAMS + ") AS gram "
+        "FROM documents), "
+        "ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 5 = 0) "
+        "SELECT g.doc_id, COUNT(DISTINCT g.gram) AS overlap_grams "
+        "FROM g JOIN ev USING (gram) WHERE g.doc_id % 5 <> 0 "
+        "GROUP BY g.doc_id"
+    ),
+)
+def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection (the GPT-3/PaLM n-gram-overlap
+    protocol): flag training documents that share any 5-word n-gram
+    with a held-out eval set, with the distinct-overlap count per doc.
+
+    Scale shape: corpus grams are hashed to 64-bit (xxhash64) so the
+    join shuffles 8-byte keys, never gram text; the eval set's gram
+    hashes are dimension-sized (eval suites are thousands of docs, the
+    corpus is billions) and BROADCAST, so the check is one map-side
+    semi-reduction over the corpus — cost O(corpus grams), no
+    corpus-side shuffle. The oracle joins the gram STRINGS; equality of
+    results rides on xxhash64 collision-freeness at 2^-64."""
+    docs = load_table(spark, "documents", sf_dir)
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.expr(shingles_expr("text", _CONTAM_N))).alias("gram"),
+    ).select("doc_id", F.xxhash64("gram").alias("gh"))
+    ev = (
+        grams.filter(F.col("doc_id") % 5 == 0)
+        .select("gh").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 5 != 0)
+        .join(F.broadcast(ev), "gh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gh").alias("overlap_grams"))
     )
