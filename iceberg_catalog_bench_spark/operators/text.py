@@ -513,3 +513,39 @@ def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("gh").alias("overlap_grams"))
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=(
+        # Corpus-fit unigram LM, then per-doc mean negative log-prob —
+        # the cheap perplexity proxy used for quality filtering.
+        "WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token "
+        "FROM documents), "
+        "freq AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token), "
+        "tot AS (SELECT SUM(c) AS s FROM freq) "
+        "SELECT doc_id, ROUND(AVG(-ln(c * 1.0 / s)), 4) AS avg_neg_logprob "
+        "FROM tok JOIN freq USING (token), tot GROUP BY doc_id"
+    ),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: fit a unigram LM on the corpus
+    (one groupBy over tokens), then score each document by its mean
+    negative log-probability — the standard cheap stand-in for a model
+    perplexity filter in training-data pipelines (high score = tokens
+    the corpus finds surprising = often junk).
+
+    Scale shape: pass 1 aggregates token counts (map-side partial
+    combine, shuffle is vocabulary-sized, not corpus-sized); the
+    resulting frequency table is vocabulary-small and BROADCAST into
+    pass 2, so per-token scoring is map-side and the only corpus-wide
+    shuffle is the per-doc average keyed by doc_id."""
+    tok = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("s"))
+    scored = tok.join(F.broadcast(freq), "token").join(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg(-F.log(F.col("c") / F.col("s"))), 4).alias("avg_neg_logprob")
+    )

@@ -80,7 +80,7 @@ def test_text_corpus_ops_stay_jvm_side(spark, oracle_sf_dir):
         "corpus_shard_manifest", "embedding_quantize_int8",
         "corpus_split_train_val_test", "corpus_shuffle_shards",
         "text_pii_redaction", "doc_length_histogram",
-        "corpus_contamination_check",
+        "corpus_contamination_check", "text_unigram_logprob",
     ):
         plan = (
             registry.QUERIES[name](spark, oracle_sf_dir)
