@@ -314,3 +314,48 @@ def centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.expr("CAST(embedding[0] AS DOUBLE)")), 4).alias("dim0_mean"),
         F.round(F.avg(F.expr("CAST(embedding[63] AS DOUBLE)")), 4).alias("dim63_mean"),
     )
+
+
+@register(
+    "knn_batch_queries",
+    oracle=(
+        # Exact top-3 per query vector (vec_id < 8), one window per
+        # (query, corpus) pair set — the batch-serving shape.
+        "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv "
+        "FROM embeddings WHERE vec_id < 8), "
+        "scored AS (SELECT q.qid, e.vec_id, "
+        "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim "
+        "FROM embeddings e, q WHERE e.vec_id >= 8) "
+        "SELECT qid, vec_id, ROUND(sim, 4) AS cos_sim FROM ("
+        "SELECT qid, vec_id, sim, "
+        "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn "
+        "FROM scored) WHERE rn <= 3"
+    ),
+)
+def knn_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch KNN: exact cosine top-3 for EIGHT query vectors in one
+    pass — the offline-serving shape (score a query batch against the
+    corpus, not one query at a time).
+
+    Scale shape: the query batch is broadcast (batches are KB-MB; the
+    corpus is the big side), each corpus row scores all queries
+    map-side, and the per-query top-k is a window with rank-limit
+    pushdown (WindowGroupLimit keeps per-partition heaps of k — the
+    corpus is never globally sorted). One corpus scan for the whole
+    batch instead of |batch| scans."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    cos = _dot("embedding", "qv") / (_norm("embedding") * _norm("qv"))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.col("vec_id"))
+    return (
+        emb.filter(F.col("vec_id") >= 8)
+        .crossJoin(F.broadcast(q))
+        .withColumn("sim", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id", F.round("sim", 4).alias("cos_sim"))
+    )

@@ -51,6 +51,15 @@ def test_window_topn_rank_limit_pushdown(spark, oracle_sf_dir):
     assert "WindowGroupLimit" in plan, "row_number<=k must push a group limit"
 
 
+def test_batch_knn_broadcasts_queries_and_limits_groups(spark, oracle_sf_dir):
+    """Batch KNN must broadcast the query batch (corpus never shuffles
+    for the join) and push the per-query rank limit."""
+    plan = _plan("knn_batch_queries", spark, oracle_sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_pricing_summary_partial_agg(spark, oracle_sf_dir):
     # map-side partial aggregation before the exchange (AQE wraps the
     # plan pre-execution, so assert the aggregate mode, not the codegen
