@@ -137,3 +137,69 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
         "doc_id bigint, frame_idx int, byte_offset int, frame_bytes int",
     )
+
+
+@register(
+    "multimodal_audio_features",
+    oracle=(
+        # The 'waveform' is the document's bytes (ASCII text, so byte ==
+        # codepoint and the window math is exactly reproducible in SQL):
+        # 128-byte windows (max 5), per-window mean amplitude.
+        "WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n "
+        "FROM documents), "
+        "c AS (SELECT doc_id, text, n, "
+        "unnest(generate_series(0, least(5, greatest(1, n // 128)) - 1)) AS chunk_idx "
+        "FROM d) "
+        "SELECT doc_id, chunk_idx, chunk_idx * 128 AS sample_offset, "
+        "least(128, n - chunk_idx * 128) AS chunk_len, "
+        "CAST(FLOOR(list_avg(list_transform("
+        "generate_series(chunk_idx * 128 + 1, least(n, chunk_idx * 128 + 128)), "
+        "i -> ascii(text[i]))) * 1000) AS INT) AS mean_amplitude_milli "
+        "FROM c"
+    ),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style feature extraction: one binary waveform → N windowed
+    feature rows (128-byte windows, max 5 per doc; per-window mean
+    amplitude). The decode step is the identity fake (bytes ARE the
+    samples — real torchaudio/ffmpeg kernels aren't in this container);
+    the Spark plumbing is the real shape: Arrow-batched mapInPandas,
+    numpy vectorization inside the batch, windowed explosion streamed
+    by a generator so a long waveform never materializes all windows.
+    """
+    import numpy as np  # noqa: F401  (vectorized math inside the closure)
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("audio_bytes")
+    )
+
+    def window_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        for pdf in batches:
+            out = {"doc_id": [], "chunk_idx": [], "sample_offset": [],
+                   "chunk_len": [], "mean_amplitude_milli": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["audio_bytes"]):
+                wave = _np.frombuffer(blob, dtype=_np.uint8)
+                n = len(wave)
+                n_chunks = min(5, max(1, n // 128))
+                for i in range(n_chunks):
+                    chunk = wave[i * 128:(i + 1) * 128]
+                    out["doc_id"].append(doc_id)
+                    out["chunk_idx"].append(i)
+                    out["sample_offset"].append(i * 128)
+                    out["chunk_len"].append(len(chunk))
+                    # floor(mean*1000): chunk means are exact binary
+                    # fractions (sum/len with len ≤ 128), so the scaled
+                    # floor is bit-identical in numpy and DuckDB — no
+                    # round-half tie-breaking to disagree on
+                    out["mean_amplitude_milli"].append(
+                        int(_np.floor(chunk.astype(_np.float64).mean() * 1000))
+                    )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        window_features,
+        "doc_id bigint, chunk_idx int, sample_offset int, "
+        "chunk_len int, mean_amplitude_milli int",
+    )

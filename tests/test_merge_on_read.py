@@ -297,3 +297,23 @@ def test_unknown_equality_column_raises(eq_table, spark):
         eq_table.delete_by_keys(
             spark.createDataFrame([(1,)], "nope bigint"), on=["nope"]
         )
+
+
+def test_mor_scan_plan_shape(spark, tmp_path):
+    """The MoR read tax must be exactly a broadcast hash anti-join:
+    predicates still push to the parquet scan, the tombstone side
+    broadcasts, and nothing sort-merge-joins."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "plan"), "id bigint, v double",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.append(spark.range(100000).selectExpr("id", "cast(id as double) v"))
+    t.delete_where("id % 1000 = 7")
+    plan = (
+        t.scan("id >= 500 and id < 600")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "(id#" in plan and ">= 500" in plan  # pushed range filter
