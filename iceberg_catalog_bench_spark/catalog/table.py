@@ -1907,6 +1907,57 @@ class LakeTable:
             "added_data_files_count": len(compacted),
         }
 
+    def rewrite_position_delete_files(self) -> dict:
+        """CALL system.rewrite_position_delete_files — Iceberg's
+        dedicated merge-on-read debt compactor: rewrite ONLY the data
+        files that delete files currently apply to (position-referenced
+        or older than an equality delete), folding the tombstones in;
+        untouched clean files are left alone regardless of size. The
+        commit then drops the dangling delete files automatically."""
+        snap = self._snapshot()
+        if snap is None or not snap.delete_files:
+            return {"rewritten_data_files_count": 0,
+                    "removed_delete_files_count": 0}
+        referenced = {
+            p for d in snap.delete_files
+            if d.content == "position" for p in d.referenced
+        }
+        max_eq_seq = max(
+            (d.seq for d in snap.delete_files if d.content == "equality"),
+            default=0,
+        )
+        dirty = [
+            e for e in snap.files
+            if e.path in referenced or (e.seq or 0) < max_eq_seq
+        ]
+        if not dirty:
+            # delete files exist but apply to nothing live — commit a
+            # no-op so the auto-prune clears them
+            self._commit("replace", list(snap.files), {"noop": True})
+            return {"rewritten_data_files_count": 0,
+                    "removed_delete_files_count": len(snap.delete_files)}
+        version = self._meta["current_schema_version"]
+        keep = [e for e in snap.files if e not in dirty]
+        groups: dict[tuple, list[FileEntry]] = {}
+        for e in dirty:
+            groups.setdefault(tuple(sorted(e.partition.items())), []).append(e)
+        rewritten: list[FileEntry] = []
+        for key, grp in groups.items():
+            df = self._read_with_deletes(snap, version, entries=grp)
+            new_entries = self._write_files(df, cluster=False)
+            for e in new_entries:
+                e.partition = dict(key)
+            rewritten.extend(new_entries)
+        self._commit(
+            "replace", keep + rewritten,
+            {"rewritten_files": len(dirty),
+             "folded_delete_files": len(snap.delete_files)},
+        )
+        return {
+            "rewritten_data_files_count": len(dirty),
+            "removed_delete_files_count": len(snap.delete_files),
+        }
+
     def rewrite_manifests(self) -> dict:
         """CALL system.rewrite_manifests — reference P2. Our manifest is
         one JSON document; rewriting = dropping per-file stats entries

@@ -629,6 +629,8 @@ class SqlEngine:
                     target_file_size_bytes=int(opts.get("max-file-size-bytes", 128 * 1024 * 1024)),
                     min_input_files=int(opts.get("min-input-files", 2)),
                 )
+        elif proc == "rewrite_position_delete_files":
+            res = t.rewrite_position_delete_files()
         elif proc == "rewrite_manifests":
             res = t.rewrite_manifests()
         elif proc == "expire_snapshots":

@@ -317,3 +317,39 @@ def test_mor_scan_plan_shape(spark, tmp_path):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "(id#" in plan and ">= 500" in plan  # pushed range filter
+
+
+def test_rewrite_position_delete_files_procedure(mor_table, spark):
+    """The dedicated MoR compactor touches ONLY delete-affected files
+    and clears all delete files; content survives byte-for-byte."""
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    t = mor_table
+    t.delete_where("id % 7 = 0")
+    t.delete_by_keys(spark.createDataFrame([(50,)], "id bigint"), on=["id"])
+    before = sorted((r["id"], r["v"]) for r in t.read().collect())
+    res = t.rewrite_position_delete_files()
+    assert res["removed_delete_files_count"] >= 2
+    assert t._snapshot().delete_files == []
+    assert sorted((r["id"], r["v"]) for r in t.read().collect()) == before
+    # idempotent once clean
+    res2 = t.rewrite_position_delete_files()
+    assert res2 == {"rewritten_data_files_count": 0,
+                    "removed_delete_files_count": 0}
+
+
+def test_rewrite_position_delete_files_via_call(spark, tmp_path):
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE pt (id bigint, v double) "
+              "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    e.execute("INSERT INTO pt VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    e.execute("DELETE FROM pt WHERE id = 2")
+    t = e.table("pt")
+    t._reload()
+    assert t._snapshot().delete_files
+    e.execute("CALL system.rewrite_position_delete_files(table => 'pt')")
+    t._reload()
+    assert t._snapshot().delete_files == []
+    assert {r["id"] for r in e.execute("SELECT id FROM pt")[0].rows} == {1, 3}
