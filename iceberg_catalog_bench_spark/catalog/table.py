@@ -1739,19 +1739,29 @@ class LakeTable:
         skew diagnostics). Aggregated from manifest-level FileEntry
         stats: no data files are read."""
         snap = self._snapshot(snapshot_id)
+        files = snap.files if snap else []
+        dels = snap.delete_files if snap else []
+        pos_ref = {p for d in dels if d.content == "position" for p in d.referenced}
+        max_eq_seq = max((d.seq for d in dels if d.content == "equality"), default=0)
         agg: dict[str, list[int]] = {}
-        for e in (snap.files if snap else []):
+        for e in files:
             key = json.dumps(e.partition, sort_keys=True)
-            tot = agg.setdefault(key, [0, 0, 0])
+            tot = agg.setdefault(key, [0, 0, 0, 0])
             tot[0] += 1
             tot[1] += e.rows
             tot[2] += e.bytes
+            # files with pending merge-on-read debt (Iceberg's partitions
+            # table reports delete counts alongside data record counts:
+            # record_count here is the DATA rows; tombstoned rows are
+            # netted out at read time)
+            if e.path in pos_ref or (e.seq or 0) < max_eq_seq:
+                tot[3] += 1
         rows = [
-            (k, v[0], v[1], v[2]) for k, v in sorted(agg.items())
+            (k, v[0], v[1], v[2], v[3]) for k, v in sorted(agg.items())
         ]
         return self.spark.createDataFrame(
             rows, "partition string, file_count bigint, record_count bigint, "
-                  "total_size_bytes bigint"
+                  "total_size_bytes bigint, delete_affected_file_count bigint"
         )
 
     def rewrite_zorder(self, columns: list[str], target_files: int = 16) -> dict:
