@@ -113,3 +113,85 @@ def test_concurrent_appends_no_lost_commits(spark, tmp_path):
     final = LakeTable.load(spark, d)
     assert final.read().count() == N_WRITERS * N_APPENDS
     assert final._snapshot().snapshot_id == N_WRITERS * N_APPENDS
+
+
+# op space mixing both row-op modes + CDC ops + compaction: the model
+# is mode-blind (semantics must be identical), so any divergence in the
+# tombstone/sequence machinery shows up as a frame mismatch.
+_MOR_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.lists(st.integers(0, 99), min_size=1, max_size=8)),
+        st.tuples(st.just("delete_mod"), st.tuples(st.integers(2, 5), st.booleans())),
+        st.tuples(st.just("update_add"), st.tuples(st.integers(2, 5), st.booleans())),
+        st.tuples(st.just("upsert"), st.lists(st.integers(0, 30), min_size=1, max_size=5)),
+        st.tuples(st.just("delete_keys"), st.lists(st.integers(0, 30), min_size=1, max_size=5)),
+        st.tuples(st.just("compact"), st.booleans()),
+    ),
+    min_size=1,
+    max_size=7,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(ops=_MOR_OPS)
+def test_mor_dml_sequence_matches_pandas_model(spark, tmp_path_factory, ops):
+    d = str(tmp_path_factory.mktemp("morprop") / "t")
+    t = LakeTable.create(spark, d, "id bigint, v bigint", partition_by=["bucket(4, id)"])
+    model = pd.DataFrame({"id": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64")})
+    next_uid = [0]
+
+    for op, arg in ops:
+        if op == "append":
+            rows = [(next_uid[0] + i, int(x)) for i, x in enumerate(arg)]
+            next_uid[0] += len(arg)
+            t.append(spark.createDataFrame(rows, "id bigint, v bigint"))
+            model = pd.concat(
+                [model, pd.DataFrame(rows, columns=["id", "v"])], ignore_index=True
+            )
+        elif op == "delete_mod":
+            k, use_mor = arg
+            if model.empty:
+                continue
+            t.delete_where(f"v % {k} = 0",
+                           mode="merge-on-read" if use_mor else "copy-on-write")
+            model = model[model["v"] % k != 0]
+        elif op == "update_add":
+            k, use_mor = arg
+            if model.empty:
+                continue
+            t.update({"v": f"v + {k}"}, f"v % {k} = 1",
+                     mode="merge-on-read" if use_mor else "copy-on-write")
+            model = model.copy()
+            mask = model["v"] % k == 1
+            model.loc[mask, "v"] = model.loc[mask, "v"] + k
+        elif op == "upsert":
+            rows = [(int(i), int(i) * 1000) for i in sorted(set(arg))]
+            t.upsert_by_keys(spark.createDataFrame(rows, "id bigint, v bigint"), on=["id"])
+            model = model[~model["id"].isin({i for i, _ in rows})]
+            model = pd.concat(
+                [model, pd.DataFrame(rows, columns=["id", "v"])], ignore_index=True
+            )
+        elif op == "delete_keys":
+            if t._snapshot() is None:
+                continue
+            keys = sorted(set(arg))
+            t.delete_by_keys(
+                spark.createDataFrame([(int(i),) for i in keys], "id bigint")
+            )
+            model = model[~model["id"].isin(set(keys))]
+        elif op == "compact":
+            if arg:
+                t.rewrite_position_delete_files()
+            else:
+                t.rewrite_data_files(min_input_files=2)
+
+    got = t.read().toPandas().sort_values(["id", "v"]).reset_index(drop=True)
+    want = (
+        model.sort_values(["id", "v"]).reset_index(drop=True)
+        .astype({"id": "int64", "v": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
