@@ -513,3 +513,55 @@ def distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "distinct_exact", "approx_within_3rsd")
     )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS revenue, "
+        "CAST(COUNT(*) AS BIGINT) AS n_orders "
+        "FROM orders GROUP BY GROUPING SETS "
+        "((o_orderstatus, o_orderpriority), (o_orderstatus), ())"
+    ),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond ROLLUP/CUBE — arbitrary set
+    lists): revenue at (status, priority), (status), and grand-total
+    grains in ONE pass. Spark expands the sets over a single shuffled
+    aggregate (Expand + HashAggregate) — one scan feeds every grain,
+    where naive SQL would union three scans."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS revenue, "
+        "COUNT(*) AS n_orders "
+        "FROM _gs_orders GROUP BY GROUPING SETS "
+        "((o_orderstatus, o_orderpriority), (o_orderstatus), ())"
+    )
+
+
+@register(
+    "regexp_functions_suite",
+    oracle=(
+        "SELECT doc_id, "
+        "COALESCE(regexp_extract(text, '([a-z]+)[0-9]+', 1), '') AS first_alnum_stem, "
+        "CAST(len(regexp_extract_all(text, '\\b[a-z]{5,}\\b')) AS BIGINT) AS long_words, "
+        "regexp_replace(text[1:40], '[aeiou]', '_', 'g') AS devoweled_prefix, "
+        "regexp_matches(text, 'table|index') AS mentions_storage "
+        "FROM documents"
+    ),
+)
+def regexp_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp surface: extract (group ref), extract_all (count),
+    replace (global), and match-test in one projection — all JVM
+    expressions inside whole-stage codegen (regex compiles once per
+    task, streams through the scan with zero shuffles)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+)[0-9]+", 1).alias("first_alnum_stem"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\b[a-z]{5,}\b"), 0)).cast("bigint").alias("long_words"),
+        F.regexp_replace(F.substring("text", 1, 40), "[aeiou]", "_").alias("devoweled_prefix"),
+        F.col("text").rlike("table|index").alias("mentions_storage"),
+    )
