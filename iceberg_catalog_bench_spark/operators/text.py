@@ -549,3 +549,83 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.round(F.avg(-F.log(F.col("c") / F.col("s"))), 4).alias("avg_neg_logprob")
     )
+
+
+@register(
+    "pipeline_curate_full",
+    oracle=(
+        # The full curation chain as one SQL pipeline: drop the eval
+        # slice and anything contaminated by it (shared 5-gram), exact-
+        # dedup (min doc_id per content hash), quality-gate (>= 30
+        # tokens), pack per-lang into 2048-token sequences, report
+        # per-lang corpus stats.
+        "WITH g AS (SELECT doc_id, unnest(" + _CONTAM_ORACLE_GRAMS + ") AS gram "
+        "FROM documents), "
+        "ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 5 = 0), "
+        "contam AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram) "
+        "WHERE g.doc_id % 5 <> 0), "
+        "clean AS (SELECT * FROM documents WHERE doc_id % 5 <> 0 "
+        "AND doc_id NOT IN (SELECT doc_id FROM contam)), "
+        "dedup AS (SELECT doc_id, lang, text, "
+        "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM clean), "
+        "kept AS (SELECT doc_id, lang, "
+        "len(string_split(trim(text), ' ')) AS n_tokens FROM dedup "
+        "WHERE rn = 1 AND len(string_split(trim(text), ' ')) >= 30), "
+        "packed AS (SELECT lang, n_tokens, "
+        "CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id "
+        "ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0) AS BIGINT) AS seq_id "
+        "FROM kept) "
+        "SELECT lang, CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_sequences, "
+        "CAST(COUNT(*) AS BIGINT) AS kept_docs, "
+        "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens "
+        "FROM packed GROUP BY lang"
+    ),
+)
+def pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation capstone as ONE declarative plan:
+    benchmark-decontamination (drop the eval slice and every training
+    doc sharing a 5-gram with it) → exact dedup → quality gate →
+    2048-token sequence packing → per-language corpus stats.
+
+    Catalyst fuses the stages; the scale shape of each: contamination
+    is a broadcast anti-join on 64-bit gram hashes (map-side, corpus
+    never shuffles for it), dedup shuffles 16-byte digests, the quality
+    gate is a map-side filter, packing windows per lang (independent
+    partitions), the final agg is tiny. No stage materializes an
+    intermediate corpus."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    grams = docs.select(
+        "doc_id", F.explode(F.expr(shingles_expr("text", _CONTAM_N))).alias("gram")
+    ).select("doc_id", F.xxhash64("gram").alias("gh"))
+    ev_grams = grams.filter(F.col("doc_id") % 5 == 0).select("gh").distinct()
+    contaminated = (
+        grams.filter(F.col("doc_id") % 5 != 0)
+        .join(F.broadcast(ev_grams), "gh")
+        .select("doc_id").distinct()
+    )
+    clean = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    n = F.size(F.split(F.trim("text"), " "))
+    kept = (
+        clean.select("doc_id", "lang", n.alias("n_tokens"),
+                     F.row_number().over(w).alias("rn"))
+        .filter((F.col("rn") == 1) & (F.col("n_tokens") >= 30))
+    )
+    pw = (
+        Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = kept.select(
+        "lang", "n_tokens",
+        F.floor((F.sum("n_tokens").over(pw) - F.col("n_tokens")) / 2048.0).alias("seq_id"),
+    )
+    return packed.groupBy("lang").agg(
+        F.countDistinct("seq_id").alias("n_sequences"),
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

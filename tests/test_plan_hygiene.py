@@ -90,6 +90,7 @@ def test_text_corpus_ops_stay_jvm_side(spark, oracle_sf_dir):
         "corpus_split_train_val_test", "corpus_shuffle_shards",
         "text_pii_redaction", "doc_length_histogram",
         "corpus_contamination_check", "text_unigram_logprob",
+        "pipeline_curate_full", "grouping_sets_revenue", "regexp_functions_suite",
     ):
         plan = (
             registry.QUERIES[name](spark, oracle_sf_dir)
