@@ -428,3 +428,65 @@ def streaming_cdc_upsert_laketable(spark: SparkSession, sf_dir: str) -> DataFram
     return t.read().select(
         "user_id", "last_event_id", F.round("last_value", 4).alias("last_value")
     )
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle=(
+        # Batch replay of the interval-joined click→purchase pairs:
+        # same user, purchase within 30 minutes AFTER the click.
+        "WITH c AS (SELECT event_id, user_id, ts FROM events "
+        "WHERE event_type = 'click' AND user_id < 30), "
+        "p AS (SELECT event_id, user_id, ts FROM events "
+        "WHERE event_type = 'purchase' AND user_id < 30) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        "CAST(COUNT(DISTINCT c.event_id) AS BIGINT) AS matched_clicks, "
+        "CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS matched_users "
+        "FROM c JOIN p ON c.user_id = p.user_id "
+        "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"
+    ),
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join — the missing stateful shape after
+    windowed agg / dedup / session windows: clicks join purchases of
+    the same user within 30 minutes after the click, BOTH sides
+    watermarked so the state store evicts rows the time bound can no
+    longer match (Spark buffers each side keyed by user until the
+    other side's watermark passes the interval). Joined pairs land in
+    a parquet file sink; the batch check aggregates the sink against
+    the equivalent batch interval join.
+
+    At 100 TB the watermark bound is what makes this run at all:
+    unwatermarked stream-stream joins grow state without limit, while
+    this plan's state is (events in the last 30 minutes) per side."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter((F.col("event_type") == "click") & (F.col("user_id") < 30))
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") < 30))
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    sink = _run_to_file_sink(pairs)
+    return sink.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("c_event_id").alias("matched_clicks"),
+        F.countDistinct("c_user_id").alias("matched_users"),
+    )
