@@ -844,12 +844,22 @@ class LakeTable:
             if c not in {f.name for f in self._fields()}:
                 raise KeyError(f"unknown equality column {c!r}")
         new_dels = self._write_equality_delete_files(keys, cols)
-        return self._commit(
-            "delete", list(snap.files),
-            {"equality_delete_keys": sum(d.rows for d in new_dels),
-             "added_delete_files": len(new_dels), "mode": "merge-on-read"},
-            delete_files=list(snap.delete_files) + new_dels,
-        )
+        # Blind write → safe to auto-retry on conflict, like append:
+        # rebase onto the advanced snapshot (sequence numbers keep the
+        # delete applying only to files older than THIS commit).
+        for attempt in range(6):
+            snap = self._snapshot()
+            try:
+                return self._commit(
+                    "delete", list(snap.files),
+                    {"equality_delete_keys": sum(d.rows for d in new_dels),
+                     "added_delete_files": len(new_dels), "mode": "merge-on-read"},
+                    delete_files=list(snap.delete_files) + new_dels,
+                )
+            except CommitConflict:
+                if attempt == 5:
+                    raise
+                self._reload()
 
     def upsert_by_keys(self, df: DataFrame, on: list[str]) -> Snapshot:
         """Streaming-CDC upsert: one commit that equality-deletes the
@@ -859,21 +869,31 @@ class LakeTable:
         survive their own retraction. No target read, ever: upsert cost
         is O(batch), not O(table) — the write path Flink uses for CDC
         streams into Iceberg v2."""
-        snap = self._snapshot()
-        base = list(snap.files) if snap else []
-        base_dels = list(snap.delete_files) if snap else []
         for c in on:
             if c not in {f.name for f in self._fields()}:
                 raise KeyError(f"unknown key column {c!r}")
         new_files = self._write_files(df)
         new_dels = self._write_equality_delete_files(df.select(*on), on)
-        return self._commit(
-            "upsert", base + new_files,
-            {"upserted_rows": sum(e.rows for e in new_files),
-             "equality_delete_keys": sum(d.rows for d in new_dels),
-             "mode": "merge-on-read"},
-            delete_files=base_dels + new_dels,
-        )
+        # Reads nothing → append-style auto-retry: rebase onto the
+        # advanced snapshot; commit order serializes concurrent writers
+        # (this upsert's retraction applies to everything older than
+        # its own commit, so the later commit's images win per key).
+        for attempt in range(6):
+            snap = self._snapshot()
+            base = list(snap.files) if snap else []
+            base_dels = list(snap.delete_files) if snap else []
+            try:
+                return self._commit(
+                    "upsert", base + new_files,
+                    {"upserted_rows": sum(e.rows for e in new_files),
+                     "equality_delete_keys": sum(d.rows for d in new_dels),
+                     "mode": "merge-on-read"},
+                    delete_files=base_dels + new_dels,
+                )
+            except CommitConflict:
+                if attempt == 5:
+                    raise
+                self._reload()
 
     def read(self, snapshot_id: int | None = None, as_of_ms: int | None = None) -> DataFrame:
         """Current-or-time-travel read — reference T2/T3 (VERSION AS OF /

@@ -353,3 +353,39 @@ def test_rewrite_position_delete_files_via_call(spark, tmp_path):
     t._reload()
     assert t._snapshot().delete_files == []
     assert {r["id"] for r in e.execute("SELECT id FROM pt")[0].rows} == {1, 3}
+
+
+def test_concurrent_cdc_upserts_auto_retry(spark, tmp_path):
+    """Blind-write CDC ops rebase and retry on commit conflicts like
+    appends: concurrent upsert + key-delete both land, serialized by
+    commit order."""
+    import threading
+
+    d = str(tmp_path / "cc")
+    t0 = LakeTable.create(spark, d, "k bigint, v double")
+    t0.append(spark.range(10).selectExpr("id k", "cast(id as double) v"))
+    errors = []
+
+    def upserter(k, v):
+        try:
+            h = LakeTable.load(spark, d)
+            h.upsert_by_keys(
+                spark.createDataFrame([(k, v)], "k bigint, v double"), on=["k"]
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append(str(e))
+
+    threads = [
+        threading.Thread(target=upserter, args=(1, 100.0)),
+        threading.Thread(target=upserter, args=(2, 200.0)),
+        threading.Thread(target=upserter, args=(11, 110.0)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    final = LakeTable.load(spark, d)
+    r = {x["k"]: x["v"] for x in final.read().collect()}
+    assert r[1] == 100.0 and r[2] == 200.0 and r[11] == 110.0
+    assert len(r) == 11
