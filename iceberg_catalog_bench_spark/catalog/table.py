@@ -1737,6 +1737,29 @@ class LakeTable:
                   "equality_columns string, sequence_number bigint"
         )
 
+    def manifests(self, snapshot_id: int | None = None) -> DataFrame:
+        """`t.manifests` metadata table: per-snapshot manifest summary
+        (LakeTable keeps one data + one delete manifest per snapshot in
+        its JSON metadata; the Iceberg export materializes them as
+        separate files). Columns mirror Iceberg's manifests table."""
+        snap = self._snapshot(snapshot_id)
+        rows = []
+        if snap:
+            rows.append(
+                ("data", len(snap.files), sum(e.rows for e in snap.files),
+                 sum(e.bytes for e in snap.files), snap.snapshot_id)
+            )
+            if snap.delete_files:
+                rows.append(
+                    ("deletes", len(snap.delete_files),
+                     sum(d.rows for d in snap.delete_files),
+                     sum(d.bytes for d in snap.delete_files), snap.snapshot_id)
+                )
+        return self.spark.createDataFrame(
+            rows, "content string, file_count bigint, record_count bigint, "
+                  "total_size_bytes bigint, added_snapshot_id bigint"
+        )
+
     def refs(self) -> DataFrame:
         """`t.refs` metadata table — every named ref (tags and
         branches) with its snapshot id, mirroring Iceberg's refs

@@ -689,7 +689,8 @@ class SqlEngine:
                 m.group(1), m.group(2), m.group(3), m.group(4), m.group(5),
             )
             base, meta_suffix = token, None
-            for sfx in (".snapshots", ".files", ".history", ".partitions", ".refs"):
+            for sfx in (".snapshots", ".files", ".history", ".partitions",
+                        ".refs", ".manifests", ".delete_files"):
                 if token.lower().endswith(sfx):
                     base, meta_suffix = token[: -len(sfx)], sfx
                     break
@@ -701,6 +702,8 @@ class SqlEngine:
                     ".history": t.history,
                     ".partitions": t.partitions,
                     ".refs": t.refs,
+                    ".manifests": t.manifests,
+                    ".delete_files": t.delete_files,
                 }[meta_suffix]()
             elif self.table_exists(token):
                 t = self.table(token)

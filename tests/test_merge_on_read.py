@@ -389,3 +389,17 @@ def test_concurrent_cdc_upserts_auto_retry(spark, tmp_path):
     r = {x["k"]: x["v"] for x in final.read().collect()}
     assert r[1] == 100.0 and r[2] == 200.0 and r[11] == 110.0
     assert len(r) == 11
+
+
+def test_manifests_and_delete_files_metadata_sql(spark, tmp_path):
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE mm (id bigint) "
+              "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    e.execute("INSERT INTO mm VALUES (1), (2), (3)")
+    e.execute("DELETE FROM mm WHERE id = 2")
+    rows = e.execute("SELECT content, file_count FROM mm.manifests")[0].rows
+    assert {r["content"] for r in rows} == {"data", "deletes"}
+    dels = e.execute("SELECT content, record_count FROM mm.delete_files")[0].rows
+    assert dels and dels[0]["content"] == "position-deletes"
