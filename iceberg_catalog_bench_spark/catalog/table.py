@@ -946,11 +946,20 @@ class LakeTable:
         version = self._meta["current_schema_version"]
 
         def file_state(snap: Snapshot) -> dict[str, frozenset]:
-            dels: dict[str, set[str]] = {}
+            pos: dict[str, set[str]] = {}
+            eq: list[tuple[str, int]] = []
             for d in snap.delete_files:
-                for p in d.referenced:
-                    dels.setdefault(p, set()).add(d.path)
-            return {e.path: frozenset(dels.get(e.path, ())) for e in snap.files}
+                if d.content == "position":
+                    for p in d.referenced:
+                        pos.setdefault(p, set()).add(d.path)
+                else:  # equality: applies to files with a smaller sequence
+                    eq.append((d.path, d.seq or 0))
+            state: dict[str, frozenset] = {}
+            for e in snap.files:
+                applicable = set(pos.get(e.path, ()))
+                applicable.update(p for p, seq in eq if (e.seq or 0) < seq)
+                state[e.path] = frozenset(applicable)
+            return state
 
         s_state, e_state = file_state(start), file_state(end)
         changed_new = [

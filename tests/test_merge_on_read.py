@@ -403,3 +403,30 @@ def test_manifests_and_delete_files_metadata_sql(spark, tmp_path):
     assert {r["content"] for r in rows} == {"data", "deletes"}
     dels = e.execute("SELECT content, record_count FROM mm.delete_files")[0].rows
     assert dels and dels[0]["content"] == "position-deletes"
+
+
+def test_changelog_across_equality_delete(eq_table, spark):
+    """Equality deletes have no referenced-file list; the changelog's
+    file-state diff must still see every file the sequence guard makes
+    them apply to."""
+    t = eq_table
+    base = t._snapshot().snapshot_id
+    t.delete_by_keys(spark.createDataFrame([(4,), (9,)], "k bigint"))
+    log = t.changelog(base).collect()
+    assert sorted(r["k"] for r in log) == [4, 9]
+    assert {r["_change_type"] for r in log} == {"delete"}
+
+
+def test_changelog_across_upsert(eq_table, spark):
+    t = eq_table
+    base = t._snapshot().snapshot_id
+    t.upsert_by_keys(
+        spark.createDataFrame([(3, 300.0), (50, 500.0)], "k bigint, v double"),
+        on=["k"],
+    )
+    log = {(r["k"], r["v"], r["_change_type"]) for r in t.changelog(base).collect()}
+    assert log == {
+        (3, 3.0, "delete"),      # old image retracted
+        (3, 300.0, "insert"),    # new image
+        (50, 500.0, "insert"),   # fresh key
+    }
