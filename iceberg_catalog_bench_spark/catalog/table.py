@@ -984,7 +984,11 @@ class LakeTable:
         time travel to the undone snapshots still works)."""
         target = self._snapshot(snapshot_id)
         return self._commit(
-            "rollback", list(target.files), {"rolled_back_to": snapshot_id}
+            "rollback", list(target.files), {"rolled_back_to": snapshot_id},
+            # restore the TARGET's delete files — inheriting the current
+            # head's would keep later tombstones applied to the restored
+            # state (rollback must reproduce the target snapshot exactly)
+            delete_files=list(target.delete_files),
         )
 
     # -- tags (named snapshot refs, Iceberg v2 refs) -------------------------

@@ -430,3 +430,18 @@ def test_changelog_across_upsert(eq_table, spark):
         (3, 300.0, "insert"),    # new image
         (50, 500.0, "insert"),   # fresh key
     }
+
+
+def test_rollback_undoes_mor_delete(mor_table):
+    """Rollback must restore the TARGET snapshot's delete-file set —
+    not keep later tombstones applied to the restored files."""
+    t = mor_table
+    base = t._snapshot().snapshot_id
+    t.delete_where("id < 50")
+    assert t.read().count() == 50
+    t.rollback_to_snapshot(base)
+    assert t.read().count() == 100
+    # and rolling FORWARD to the post-delete snapshot re-applies them
+    post = [s["snapshot_id"] for s in t._meta["snapshots"]][-2]
+    t.rollback_to_snapshot(post)
+    assert t.read().count() == 50
