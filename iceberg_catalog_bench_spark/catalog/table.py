@@ -1282,7 +1282,10 @@ class LakeTable:
             raise ValueError("delete on empty table")
         if self._row_op_mode("delete", mode) == "merge-on-read":
             return self._delete_where_mor(snap, where, branch)
-        affected, _ = self._affected_files(snap, where)
+        # n_matched comes from the delete-aware probe, so it counts LIVE
+        # matching rows exactly — correct whatever mix of position and
+        # equality tombstones already applies to the affected files.
+        affected, n_matched = self._affected_files(snap, where)
         if not affected:
             return self._commit("delete", snap.files, {"deleted_rows": 0},
                                 branch=branch)
@@ -1291,29 +1294,11 @@ class LakeTable:
             snap, self._meta["current_schema_version"], entries=affected
         ).filter(~F.expr(where))
         rewritten = self._write_files(remaining)
-        live_tombstoned = sum(
-            r["count"] for r in self._tombstone_counts(snap, affected)
-        )
-        before = sum(e.rows for e in affected) - live_tombstoned
-        after = sum(e.rows for e in rewritten)
         return self._commit(
             "delete", keep + rewritten,
-            {"rewritten_files": len(affected), "deleted_rows": before - after},
+            {"rewritten_files": len(affected), "deleted_rows": n_matched},
             branch=branch,
         )
-
-    def _tombstone_counts(self, snap: Snapshot, entries: list[FileEntry]) -> list:
-        """Per-file tombstone counts for ``entries`` from the snapshot's
-        delete files (metadata-sized read; empty when no delete files)."""
-        if not snap.delete_files:
-            return []
-        paths = {os.path.join(self.path, e.path) for e in entries}
-        del_paths = [os.path.join(self.path, d.path) for d in snap.delete_files]
-        rows = (
-            self.spark.read.parquet(*del_paths)
-            .groupBy("file_path").count().collect()
-        )
-        return [r for r in rows if r["file_path"] in paths]
 
     def _delete_where_mor(self, snap: Snapshot, where: str,
                           branch: str | None) -> Snapshot:

@@ -445,3 +445,15 @@ def test_rollback_undoes_mor_delete(mor_table):
     post = [s["snapshot_id"] for s in t._meta["snapshots"]][-2]
     t.rollback_to_snapshot(post)
     assert t.read().count() == 50
+
+
+def test_cow_delete_stats_with_equality_deletes(eq_table, spark):
+    """Copy-on-write DELETE on a table carrying equality tombstones:
+    deleted_rows must count only LIVE matches (and the op must not
+    trip over the equality files' different parquet schema)."""
+    t = eq_table
+    t.delete_by_keys(spark.createDataFrame([(2,), (3,)], "k bigint"))
+    snap = t.delete_where("k < 5", mode="copy-on-write")
+    # k in {0,1,4} live and matching; 2,3 already tombstoned
+    assert snap.summary["deleted_rows"] == 3
+    assert t.read().count() == 15
