@@ -1417,6 +1417,7 @@ class LakeTable:
         when_matched_update: dict[str, str] | str | None = None,
         when_matched_delete: str | bool | None = None,
         when_not_matched_insert: bool = True,
+        mode: str | None = None,
     ) -> Snapshot:
         """MERGE INTO target USING source ON keys — reference M5
         (`merge_sales_events.sql:4-21`: WHEN MATCHED UPDATE SET, WHEN NOT
@@ -1513,9 +1514,53 @@ class LakeTable:
             affected = [e for e in snap.files if os.path.join(self.path, e.path) in norm]
             keep = [e for e in snap.files if e not in affected]
 
-            # 2. rewrite affected files with matched actions applied
+            mor = self._row_op_mode("merge", mode) == "merge-on-read"
+            upd = when_matched_update
+            if upd == "*":
+                upd = {c: f"src_{c}" for c in fnames if c not in on and f"src_{c}" in src.columns}
+
+            # 2. apply matched actions — copy-on-write rewrites the
+            # affected files; merge-on-read position-tombstones the
+            # matched rows and appends their post-action images, leaving
+            # every original file in place (write.merge.mode, the
+            # Iceberg MoR MERGE).
             rewritten: list[FileEntry] = []
-            if affected:
+            new_dels: list[DeleteFileEntry] = []
+            if affected and mor:
+                tgt = self._read_with_deletes(
+                    snap, self._meta["current_schema_version"],
+                    entries=affected, with_file_path=True, with_pos=True,
+                )
+                cond = None
+                for k in on:
+                    c = tgt[k] == src[f"src_{k}"]
+                    cond = c if cond is None else (cond & c)
+                # matched rows feed BOTH the tombstone write and the
+                # image write — cache the (small) matched set once
+                joined = tgt.join(src, cond, "inner").cache()
+                try:
+                    new_dels = self._write_delete_files(
+                        joined.select(
+                            F.regexp_replace(F.col("_lake_file"), "^file:/+", "/").alias("file_path"),
+                            F.col("_lake_pos").alias("pos"),
+                        )
+                    )
+                    images = joined
+                    if when_matched_delete is not None:
+                        del_cond = (
+                            F.lit(True) if when_matched_delete is True
+                            else F.expr(str(when_matched_delete))
+                        )
+                        images = images.filter(~del_cond)
+                    out_cols = [
+                        F.expr(upd[f.name]).cast(f.type).alias(f.name)
+                        if upd and f.name in upd else F.col(f.name)
+                        for f in fields
+                    ]
+                    rewritten = self._write_files(images.select(*out_cols))
+                finally:
+                    joined.unpersist()
+            elif affected:
                 tgt = self._read_with_deletes(
                     snap, self._meta["current_schema_version"], entries=affected
                 )
@@ -1531,9 +1576,6 @@ class LakeTable:
                     )
                     joined = joined.filter(~del_cond)
                 out_cols = []
-                upd = when_matched_update
-                if upd == "*":
-                    upd = {c: f"src_{c}" for c in fnames if c not in on and f"src_{c}" in src.columns}
                 for f in fields:
                     if upd and f.name in upd:
                         out_cols.append(
@@ -1561,12 +1603,22 @@ class LakeTable:
                 if new_rows.columns:
                     inserted = self._write_files(new_rows)
 
-            snap_out = self._commit(
-                "merge", keep + rewritten + inserted,
-                {"matched_rows": matched_rows,
-                 "inserted_rows": sum(e.rows for e in inserted),
-                 "rewritten_files": len(affected)},
-            )
+            if mor:
+                snap_out = self._commit(
+                    "merge", list(snap.files) + rewritten + inserted,
+                    {"matched_rows": matched_rows,
+                     "inserted_rows": sum(e.rows for e in inserted),
+                     "added_delete_files": len(new_dels),
+                     "mode": "merge-on-read"},
+                    delete_files=list(snap.delete_files) + new_dels,
+                )
+            else:
+                snap_out = self._commit(
+                    "merge", keep + rewritten + inserted,
+                    {"matched_rows": matched_rows,
+                     "inserted_rows": sum(e.rows for e in inserted),
+                     "rewritten_files": len(affected)},
+                )
             return snap_out
         finally:
             src.unpersist()

@@ -457,3 +457,42 @@ def test_cow_delete_stats_with_equality_deletes(eq_table, spark):
     # k in {0,1,4} live and matching; 2,3 already tombstoned
     assert snap.summary["deleted_rows"] == 3
     assert t.read().count() == 15
+
+
+def test_mor_merge_tombstones_instead_of_rewrite(spark, tmp_path):
+    """write.merge.mode=merge-on-read: matched target rows are
+    position-tombstoned, post-action images appended, originals
+    untouched; inserts and matched-delete clauses behave as in CoW."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "mm"), "k bigint, v double, s string",
+        partition_by=["bucket(4, k)"],
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    t.append(
+        spark.range(20).selectExpr("id k", "cast(id as double) v", "'old' s")
+    )
+    files_before = {e.path for e in t._snapshot().files}
+    src = spark.createDataFrame(
+        [(1, 100.0, "upd"), (2, 200.0, "upd"), (5, -1.0, "del"), (50, 500.0, "new")],
+        "k bigint, v double, s string",
+    )
+    snap = t.merge(
+        src, on=["k"],
+        when_matched_update="*",
+        when_matched_delete="src_s = 'del'",
+        when_not_matched_insert=True,
+    )
+    assert snap.summary["mode"] == "merge-on-read"
+    assert files_before <= {e.path for e in t._snapshot().files}
+    assert t._snapshot().delete_files
+    r = {x["k"]: (x["v"], x["s"]) for x in t.read().collect()}
+    assert r[1] == (100.0, "upd") and r[2] == (200.0, "upd")
+    assert 5 not in r              # matched-delete clause
+    assert r[50] == (500.0, "new")  # not-matched insert
+    assert len(r) == 20            # 20 - deleted(1) + inserted(1)
+    assert r[3] == (3.0, "old")    # untouched row intact
+    # compaction folds the merge tombstones too
+    before = sorted(t.read().collect())
+    t.rewrite_position_delete_files()
+    assert t._snapshot().delete_files == []
+    assert sorted(t.read().collect()) == before
