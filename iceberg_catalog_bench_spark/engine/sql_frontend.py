@@ -374,6 +374,15 @@ class SqlEngine:
             self.table(ident).add_column(col, typ.lower(), default=dval)
             return StatementResult(s, metadata={"op": "add_column"})
 
+        # ALTER TABLE DROP COLUMN (Iceberg metadata-only drop; old files
+        # keep the data, reads project it away via field-id mapping)
+        m = re.match(
+            r"(?is)^alter\s+table\s+(" + _IDENT + r")\s+drop\s+columns?\s*\(?\s*(\w+)\s*\)?\s*$", s
+        )
+        if m:
+            self.table(m.group(1)).drop_column(m.group(2))
+            return StatementResult(s, metadata={"op": "drop_column"})
+
         # D7: ALTER TABLE RENAME COLUMN (schema_evolution_sales_events.sql:6-7)
         m = re.match(
             r"(?is)^alter\s+table\s+(" + _IDENT + r")\s+rename\s+column\s+(\w+)\s+to\s+(\w+)\s*$", s

@@ -164,3 +164,14 @@ def test_unsupported_statements_raise_clearly(engine):
         with pytest.raises(Exception) as ei:
             engine.execute(bad)
         assert bad.split()[0].lower() in str(ei.value).lower() or "unsupported" in str(ei.value).lower()
+
+
+def test_drop_column_via_sql(engine):
+    engine.execute("CREATE NAMESPACE IF NOT EXISTS nsd")
+    engine.execute("CREATE TABLE nsd.d (id bigint, v double, junk string)")
+    engine.execute("INSERT INTO nsd.d VALUES (1, 1.5, 'x'), (2, 2.5, 'y')")
+    engine.execute("ALTER TABLE nsd.d DROP COLUMN junk")
+    res = engine.execute("DESCRIBE TABLE nsd.d")[0]
+    assert [r["col_name"] for r in res.rows] == ["id", "v"]
+    rows = engine.execute("SELECT * FROM nsd.d ORDER BY id")[0].rows
+    assert rows == [{"id": 1, "v": 1.5}, {"id": 2, "v": 2.5}]
