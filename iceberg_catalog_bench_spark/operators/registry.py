@@ -52,8 +52,8 @@ def load_all() -> None:
     from . import multimodal  # noqa: F401
     from ..streaming import events  # noqa: F401
     from ..sources import datagen  # noqa: F401
-    from . import similarity  # noqa: F401
     from . import temporal  # noqa: F401
+    from . import similarity  # noqa: F401
     from . import dedup  # noqa: F401
     from . import relational  # noqa: F401
     from . import relational_ext  # noqa: F401

@@ -53,7 +53,6 @@ _ORACLE_KNN = (
 )
 
 
-@register("knn_brute_force", oracle=_ORACLE_KNN)
 def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors of vec_id=0. The query vector is a
     1-row broadcast (crossJoin) — no shuffle of the corpus side; the
@@ -359,3 +358,9 @@ def knn_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("qid", "vec_id", F.round("sim", 4).alias("cos_sim"))
     )
+
+
+# knn_brute_force registers LAST in this module: it already has a
+# driver-green row from round 1, so if the driver's per-round query cap
+# bites mid-suite, the never-verified operators above get rows first.
+register("knn_brute_force", oracle=_ORACLE_KNN)(knn_brute_force)
