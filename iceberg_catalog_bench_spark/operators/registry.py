@@ -41,19 +41,20 @@ def load_all() -> None:
 
     Registration order is the driver's execution order, and the driver
     may stop at a query-count or time cap mid-suite (round 1 truncated
-    at 50 of 73). The modules proving SURVEY §2 semantics that lack any
-    cheaper verification path — DML/time-travel/maintenance, text,
-    multimodal, streaming, datagen, similarity — therefore register
-    FIRST; the broad relational suites (all green in round 1) last.
+    at 50 of 73). Priority order (never-driver-verified first, then by
+    how loudly round 1's verdict asked for their rows): CRUD/MoR/CDC,
+    the reworked ANN + dedup operators (verdict items 2-3), temporal
+    joins, multimodal, streaming, datagen, text/corpus, then the broad
+    relational suites (green in round 1) last.
     """
     from . import crud  # noqa: F401  — UPDATE/DELETE/MERGE/travel/evolution
-    from . import text  # noqa: F401
-    from . import corpus  # noqa: F401
+    from . import similarity  # noqa: F401
+    from . import dedup  # noqa: F401
+    from . import temporal  # noqa: F401
     from . import multimodal  # noqa: F401
     from ..streaming import events  # noqa: F401
     from ..sources import datagen  # noqa: F401
-    from . import temporal  # noqa: F401
-    from . import similarity  # noqa: F401
-    from . import dedup  # noqa: F401
+    from . import text  # noqa: F401
+    from . import corpus  # noqa: F401
     from . import relational  # noqa: F401
     from . import relational_ext  # noqa: F401
