@@ -2069,13 +2069,17 @@ class LakeTable:
         self._write_meta()
         return {"rewritten_manifests_count": 1, "metadata_bytes": before}
 
-    def expire_snapshots(self, retain_last: int = 2) -> dict:
-        """CALL system.expire_snapshots(retain_last=>n) — reference P3
-        (`blob-dfs_bench.py:152-155`). Drops old snapshot records and
-        physically deletes files no retained snapshot references.
-        Ref-protected (tagged) snapshots are never expired — Iceberg's
-        ref-retention semantics — so time travel to a tag keeps working
-        after expiry. Runs as a locked read-modify-write."""
+    def expire_snapshots(self, retain_last: int = 2,
+                         older_than_ms: int | None = None) -> dict:
+        """CALL system.expire_snapshots(retain_last=>n [, older_than=>ts])
+        — reference P3 (`blob-dfs_bench.py:152-155`). Drops old snapshot
+        records and physically deletes files no retained snapshot
+        references. ``older_than_ms`` (Iceberg's primary knob) expires
+        only snapshots committed strictly before that timestamp;
+        ``retain_last`` is the floor in either form. Ref-protected
+        (tagged/branch) snapshots and the current head are never
+        expired — Iceberg's ref-retention semantics — so time travel to
+        a ref keeps working after expiry. Locked read-modify-write."""
         result = {"deleted_data_files_count": 0, "expired_snapshots_count": 0}
 
         def mutate():
@@ -2085,8 +2089,13 @@ class LakeTable:
             ref_ids = set((self._meta.get("refs") or {}).values()) | {
                 h for h in (self._meta.get("branches") or {}).values()
                 if h is not None
-            }
+            } | {self._meta.get("current_snapshot_id")}
             tail_ids = {s["snapshot_id"] for s in snaps[-retain_last:]}
+            if older_than_ms is not None:
+                tail_ids |= {
+                    s["snapshot_id"] for s in snaps
+                    if s["timestamp_ms"] >= older_than_ms
+                }
             keep_ids = tail_ids | ref_ids
             retained = [s for s in snaps if s["snapshot_id"] in keep_ids]
             expired = [s for s in snaps if s["snapshot_id"] not in keep_ids]

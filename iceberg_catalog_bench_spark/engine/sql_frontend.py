@@ -643,7 +643,19 @@ class SqlEngine:
         elif proc == "rewrite_manifests":
             res = t.rewrite_manifests()
         elif proc == "expire_snapshots":
-            res = t.expire_snapshots(retain_last=int(kwargs.get("retain_last", 2)))
+            older = kwargs.get("older_than")
+            older_ms = None
+            if older is not None:
+                import datetime as _dt
+
+                older_ms = int(
+                    _dt.datetime.fromisoformat(older)
+                    .replace(tzinfo=_dt.timezone.utc).timestamp() * 1000
+                )
+            res = t.expire_snapshots(
+                retain_last=int(kwargs.get("retain_last", 2)),
+                older_than_ms=older_ms,
+            )
         elif proc == "remove_orphan_files":
             res = t.remove_orphan_files()
         elif proc == "rollback_to_snapshot":

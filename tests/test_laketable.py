@@ -785,3 +785,22 @@ def test_branch_dml_staging(spark, tmp_path):
     }
     t.fast_forward("fix")
     assert {(r["k"], r["v"]) for r in t.read().collect()} == {(1, 10.0), (3, 3.0)}
+
+
+def test_expire_snapshots_older_than(spark, tmp_path):
+    """older_than expires only snapshots committed before the cutoff;
+    retain_last stays the floor and the head survives."""
+    import time as _time
+
+    t = LakeTable.create(spark, str(tmp_path / "exp2"), "id bigint")
+    for i in range(3):
+        t.append(spark.range(i + 1))
+    cutoff_ms = int(_time.time() * 1000) + 1  # after the first three
+    _time.sleep(0.01)
+    for i in range(2):
+        t.append(spark.range(1))
+    res = t.expire_snapshots(retain_last=1, older_than_ms=cutoff_ms)
+    assert res["expired_snapshots_count"] == 3
+    kept = [s["snapshot_id"] for s in t._meta["snapshots"]]
+    assert len(kept) == 2
+    assert t.read().count() == 1 + 2 + 3 + 1 + 1
