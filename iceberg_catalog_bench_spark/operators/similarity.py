@@ -360,6 +360,103 @@ def knn_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf_partitioned",
+    oracle=(
+        "SELECT CAST(10 AS BIGINT) AS k_returned, "
+        "TRUE AS recall_ok, TRUE AS partition_pruned_ok"
+    ),
+)
+def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the inverted lists AS the table's partition layout:
+    vectors are assigned to their nearest of 16 coarse cells and
+    WRITTEN into a LakeTable ``PARTITIONED BY (cid)`` — so probing the
+    nprobe nearest cells is manifest-level partition PRUNING, not a
+    filter over the corpus. This materializes the claim the in-memory
+    ``ann_ivf`` makes in prose: at 100 TB the index lives in the
+    table layout and a probe reads only its cells' files.
+
+    Verdict columns computed in-plan (bounded-error oracle pattern):
+    recall@10 >= 0.9 vs in-query brute force, and the pruned probe
+    must keep at most nprobe cells' worth of files."""
+    import atexit as _atexit
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..catalog import LakeTable
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "label", "embedding")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("sim", cosine_similarity("embedding", "cvec"))
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))).alias("m"))
+        .select("vec_id", (-F.col("m.ncid")).cast("int").alias("cid"))
+        .join(emb, "vec_id")
+    )
+    d = _tempfile.mkdtemp(prefix="ivf-table-")
+    _atexit.register(_shutil.rmtree, d, ignore_errors=True)
+    t = LakeTable.create(
+        spark, d + "/t",
+        "vec_id bigint, cid int, label string, embedding array<float>",
+        partition_by=["cid"],
+    )
+    t.append(assigned.select("vec_id", "cid", "label", "embedding"))
+
+    qv = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    qcells = [
+        r["cid"]
+        for r in emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("sim", cosine_similarity("embedding", "cvec"))
+        .orderBy(F.desc("sim"), "cid")
+        .limit(4)
+        .select("cid")
+        .collect()
+    ]
+    # probe = one pruned scan per cell; the manifest prune must keep
+    # only that cell's files (identity-transform partition pruning)
+    snap = t._snapshot()
+    total_files = len(snap.files)
+    kept_files = sum(
+        len(t._prune_files(snap.files, f"cid = {c}")) for c in qcells
+    )
+    cand = None
+    for c in qcells:
+        part = t.scan(f"cid = {c}")
+        cand = part if cand is None else cand.unionByName(part)
+    cand = cand.filter(F.col("vec_id") != _QUERY_VEC_ID)
+    cos = cosine_similarity("embedding", "qv")
+    ivf_top = (
+        cand.crossJoin(F.broadcast(qv))
+        .withColumn("cos_sim", cos)
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    exact_top = (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cos_sim", cos)
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    hits = exact_top.join(ivf_top, "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    return hits.select(
+        F.lit(10).cast("bigint").alias("k_returned"),
+        (F.col("hits") >= 9).alias("recall_ok"),
+        F.lit(kept_files * 16 <= total_files * 4 + 16).alias("partition_pruned_ok"),
+    )
+
+
 # knn_brute_force registers LAST in this module: it already has a
 # driver-green row from round 1, so if the driver's per-round query cap
 # bites mid-suite, the never-verified operators above get rows first.
