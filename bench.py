@@ -120,6 +120,14 @@ def main() -> None:
         lambda: t.delete_where("event_id = 888", mode="merge-on-read")
     )
     results["rewrite_data_files"] = timed(lambda: t.rewrite_data_files(min_input_files=2))
+    # CDC upsert batch (equality deletes + images, no target read) —
+    # measured after compaction so the rewrite phase stays comparable.
+    upsert_batch = events.limit(10_000).withColumn(
+        "value", F.col("value") + 1.0
+    )
+    results["upsert_cdc"] = timed(
+        lambda: t.upsert_by_keys(upsert_batch, on=["event_id"])
+    )
     results["rewrite_manifests"] = timed(lambda: t.rewrite_manifests())
     results["expire_snapshots"] = timed(lambda: t.expire_snapshots(retain_last=2))
     shutil.rmtree(scratch, ignore_errors=True)
