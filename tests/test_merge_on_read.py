@@ -496,3 +496,16 @@ def test_mor_merge_tombstones_instead_of_rewrite(spark, tmp_path):
     t.rewrite_position_delete_files()
     assert t._snapshot().delete_files == []
     assert sorted(t.read().collect()) == before
+
+
+def test_mor_delete_on_branch_then_publish(mor_table):
+    """WAP × MoR: a tombstone-only delete staged on an audit branch is
+    invisible on main until fast_forward publishes it."""
+    t = mor_table
+    t.create_branch("audit")
+    t.delete_where("id < 10", branch="audit")
+    assert t.read().count() == 100          # main untouched
+    assert t.read_branch("audit").count() == 90
+    t.fast_forward("audit")
+    assert t.read().count() == 90
+    assert t._snapshot().delete_files       # tombstones rode the publish
