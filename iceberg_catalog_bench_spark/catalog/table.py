@@ -913,13 +913,29 @@ class LakeTable:
 
     def incremental_read(self, from_snapshot_id: int, to_snapshot_id: int | None = None) -> DataFrame:
         """Incremental (append-diff) read: rows in files added between
-        two snapshots — Iceberg's incremental scan
+        two snapshots — Iceberg's incremental append scan
         (``option("start-snapshot-id", ...)``), the CDC-style feed for
-        downstream consumers. Exact for append-only history; for
-        copy-on-write rewrites the rewritten files count as added
-        (same caveat as Iceberg's append-only incremental scan)."""
+        downstream consumers.
+
+        Like Iceberg, the append scan REFUSES a range containing
+        row-level or replace commits (delete/update/merge/upsert/
+        rollback/rewrites): a file diff cannot express removed or
+        tombstoned rows, and silently returning a wrong feed is worse
+        than failing. Use :meth:`changelog` for those ranges — it nets
+        exact row-level inserts and deletes."""
         start = self._snapshot(from_snapshot_id)
         end = self._snapshot(to_snapshot_id) if to_snapshot_id else self._snapshot()
+        window_ops = {
+            s["snapshot_id"]: s["operation"] for s in self._meta["snapshots"]
+            if start.snapshot_id < s["snapshot_id"] <= end.snapshot_id
+        }
+        non_append = {sid: op for sid, op in window_ops.items() if op != "append"}
+        if non_append:
+            raise ValueError(
+                "incremental_read is an append-only scan but the range "
+                f"contains {sorted(non_append.items())}; use changelog() "
+                "for exact row-level changes across those commits"
+            )
         start_paths = {e.path for e in start.files}
         added = [e for e in end.files if e.path not in start_paths]
         return self._read_entries(added, self._meta["current_schema_version"])

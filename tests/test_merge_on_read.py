@@ -509,3 +509,19 @@ def test_mor_delete_on_branch_then_publish(mor_table):
     t.fast_forward("audit")
     assert t.read().count() == 90
     assert t._snapshot().delete_files       # tombstones rode the publish
+
+
+def test_incremental_read_refuses_non_append_ranges(mor_table, spark):
+    """The append-only incremental scan must refuse ranges containing
+    row-level commits (Iceberg behavior) instead of silently dropping
+    the deletes — changelog() is the exact alternative."""
+    t = mor_table
+    base = t._snapshot().snapshot_id
+    t.append(spark.createDataFrame([(500, 0.0, "c0")], "id bigint, v double, cat string"))
+    assert {r["id"] for r in t.incremental_read(base).collect()} == {500}
+    t.delete_where("id = 500")
+    with pytest.raises(ValueError, match="append-only"):
+        t.incremental_read(base)
+    # changelog still answers the same window exactly
+    log = t.changelog(base).collect()
+    assert {(r["id"], r["_change_type"]) for r in log} <= {(500, "insert"), (500, "delete")}
