@@ -1759,13 +1759,16 @@ class LakeTable:
                 s["operation"],
                 sum(f["rows"] for f in s["files"]),
                 len(s["files"]),
+                len(s.get("delete_files", [])),
+                json.dumps(s.get("summary", {}), default=_json_safe, sort_keys=True),
             )
             for s in self._meta["snapshots"]
         ]
         return self.spark.createDataFrame(
             rows,
             "snapshot_id bigint, parent_id bigint, committed_at_ms bigint, "
-            "operation string, total_rows bigint, file_count int",
+            "operation string, total_rows bigint, file_count int, "
+            "delete_file_count int, summary string",
         ).withColumn("committed_at", F.timestamp_millis(F.col("committed_at_ms")))
 
     def files(self, snapshot_id: int | None = None) -> DataFrame:
