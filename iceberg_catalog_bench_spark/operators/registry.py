@@ -36,16 +36,41 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+# Queries lacking a green driver row after rounds 1-2 (VERDICT.md r2
+# item 1): 15 never driver-run plus 2 stale ``no_oracle`` re-runs whose
+# bounded-error oracles now exist. The driver executes queries in dict
+# order and may stop at a 50-query cap, so these MUST come first.
+PRIORITY: tuple[str, ...] = (
+    "ddl_lifecycle",
+    "pipeline_curate_full",
+    "pipeline_pack_sequences",
+    "text_unigram_logprob",
+    "corpus_contamination_check",
+    "corpus_mixture_weights",
+    "sample_stratified_by_lang",
+    "corpus_shard_manifest",
+    "corpus_split_train_val_test",
+    "corpus_shuffle_shards",
+    "text_pii_redaction",
+    "doc_length_histogram",
+    "top_tokens",
+    "text_repetition_scores",
+    "percentile_approx_by_group",
+    "distinct_users_approx",
+    "grouping_sets_revenue",
+    "regexp_functions_suite",
+)
+
+
 def load_all() -> None:
-    """Import every operator module so registrations run.
+    """Import every operator module, then reorder the registry.
 
     Registration order is the driver's execution order, and the driver
-    may stop at a query-count or time cap mid-suite (round 1 truncated
-    at 50 of 73). Priority order (never-driver-verified first, then by
-    how loudly round 1's verdict asked for their rows): CRUD/MoR/CDC,
-    the reworked ANN + dedup operators (verdict items 2-3), temporal
-    joins, multimodal, streaming, datagen, text/corpus, then the broad
-    relational suites (green in round 1) last.
+    may stop at a query-count or time cap mid-suite (rounds 1-2 ran 50
+    each). After importing all modules, :data:`PRIORITY` (the queries
+    without a green CORRECTNESS row yet) is moved to the front so the
+    cap verifies the never-verified surface first; already-green
+    queries re-run only if the cap allows.
     """
     from . import crud  # noqa: F401  — UPDATE/DELETE/MERGE/travel/evolution
     from . import similarity  # noqa: F401
@@ -58,3 +83,9 @@ def load_all() -> None:
     from . import corpus  # noqa: F401
     from . import relational  # noqa: F401
     from . import relational_ext  # noqa: F401
+
+    ordered = [n for n in PRIORITY if n in QUERIES]
+    ordered += [n for n in QUERIES if n not in PRIORITY]
+    reordered = {n: QUERIES[n] for n in ordered}
+    QUERIES.clear()
+    QUERIES.update(reordered)
