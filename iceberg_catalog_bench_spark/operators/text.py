@@ -352,18 +352,41 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Packing windows run one task per (lang, shard): the shard term bounds
+# the largest window task no matter how skewed the language mix is
+# (80%-English at 100 TB would otherwise sort that whole language in
+# ONE task). Shard key = the same engine-portable md5 bucket
+# `corpus_shuffle_shards` uses, so membership is reproducible across
+# engines. 16 keeps test-SF shards non-trivial; at 100 TB raise it so a
+# (lang, shard) cell is a few GB — the documented scale knob.
+_N_PACK_SHARDS = 16
+
+
+def _pack_shard_sql() -> str:
+    from .corpus import _BUCKET_SQL
+
+    return f"CAST(({_BUCKET_SQL}) % {_N_PACK_SHARDS} AS INTEGER)"
+
+
+def _pack_shard_col() -> F.Column:
+    from .corpus import _bucket_col
+
+    return (_bucket_col() % _N_PACK_SHARDS).cast("int")
+
+
 @register(
     "pipeline_pack_sequences",
     oracle=(
         "WITH toks AS (SELECT doc_id, lang, "
+        + _pack_shard_sql() + " AS shard, "
         "len(string_split(trim(text), ' ')) AS n_tokens FROM documents), "
-        "packed AS (SELECT lang, "
-        "CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id "
+        "packed AS (SELECT lang, shard, "
+        "CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id "
         "ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0) AS BIGINT) AS seq_id, "
         "n_tokens FROM toks) "
-        "SELECT lang, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "SELECT lang, shard, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs, "
         "CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens "
-        "FROM packed GROUP BY lang, seq_id"
+        "FROM packed GROUP BY lang, shard, seq_id"
     ),
 )
 def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -371,30 +394,34 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     concatenates documents into fixed-capacity (2048-token) training
     sequences: a doc starts in the sequence its running-token offset
     falls into (docs may span a boundary; token-level packing splits
-    them downstream). Returns per-sequence document and token counts.
+    them downstream). Returns per-sequence document and token counts,
+    keyed by (lang, shard, seq_id).
 
-    Scale shape: the running sum is a window PARTITIONED BY lang —
-    real pipelines pack per shard/stream precisely so no global
-    ordered cumsum exists; each partition's window runs independently
-    after one shuffle. At 100 TB you'd partition by (lang, shard)
-    with shard = hash(doc_id) % K to bound partition size — same
-    plan, one more key."""
+    Scale shape: the running sum is a window PARTITIONED BY
+    (lang, shard) — the shard term (md5 bucket, `_N_PACK_SHARDS` is
+    the knob) bounds every window task regardless of language skew, so
+    no single task ever sorts a whole language. Real pipelines pack per
+    shard/stream for exactly this reason; readers consume shards
+    independently."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, "documents", sf_dir)
     n = F.size(_tokens())
     w = (
-        Window.partitionBy("lang")
+        Window.partitionBy("lang", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    toks = docs.select("doc_id", "lang", n.alias("n_tokens"))
+    toks = docs.select(
+        "doc_id", "lang", _pack_shard_col().alias("shard"), n.alias("n_tokens")
+    )
     packed = toks.select(
         "lang",
+        "shard",
         F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048.0).alias("seq_id"),
         "n_tokens",
     )
-    return packed.groupBy("lang", "seq_id").agg(
+    return packed.groupBy("lang", "shard", "seq_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("seq_tokens"),
     )
@@ -515,39 +542,66 @@ def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Vocabulary cap for the unigram LM: on a 100 TB web corpus the RAW
+# vocabulary (typos, URLs, numbers) is billions of rows — broadcasting
+# it would OOM the driver. Top-K by (count DESC, token) is a hard bound
+# on the broadcast; everything else scores through one shared <unk>
+# bucket carrying the dropped mass. 4096 binds at test SF too, so the
+# oracle exercises the <unk> path.
+_UNIGRAM_VOCAB_K = 4096
+
+
 @register(
     "text_unigram_logprob",
     oracle=(
-        # Corpus-fit unigram LM, then per-doc mean negative log-prob —
-        # the cheap perplexity proxy used for quality filtering.
+        # Corpus-fit unigram LM (top-K vocab + <unk> mass), then
+        # per-doc mean negative log-prob — the cheap perplexity proxy
+        # used for quality filtering.
         "WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token "
         "FROM documents), "
         "freq AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token), "
-        "tot AS (SELECT SUM(c) AS s FROM freq) "
-        "SELECT doc_id, ROUND(AVG(-ln(c * 1.0 / s)), 4) AS avg_neg_logprob "
-        "FROM tok JOIN freq USING (token), tot GROUP BY doc_id"
+        "tot AS (SELECT SUM(c) AS s FROM freq), "
+        f"vocab AS (SELECT token, c FROM freq ORDER BY c DESC, token LIMIT {_UNIGRAM_VOCAB_K}), "
+        "unk AS (SELECT s - (SELECT SUM(c) FROM vocab) AS unk_c, s FROM tot) "
+        "SELECT doc_id, "
+        "ROUND(AVG(-ln(COALESCE(v.c, unk.unk_c) * 1.0 / unk.s)), 4) AS avg_neg_logprob "
+        "FROM tok LEFT JOIN vocab v USING (token), unk GROUP BY doc_id"
     ),
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality score: fit a unigram LM on the corpus
-    (one groupBy over tokens), then score each document by its mean
-    negative log-probability — the standard cheap stand-in for a model
-    perplexity filter in training-data pipelines (high score = tokens
-    the corpus finds surprising = often junk).
+    (one groupBy over tokens), cap it to the top-`_UNIGRAM_VOCAB_K`
+    tokens with a shared <unk> bucket carrying the dropped mass, then
+    score each document by its mean negative log-probability — the
+    standard cheap stand-in for a model perplexity filter (high score =
+    tokens the corpus finds surprising = often junk).
 
     Scale shape: pass 1 aggregates token counts (map-side partial
-    combine, shuffle is vocabulary-sized, not corpus-sized); the
-    resulting frequency table is vocabulary-small and BROADCAST into
-    pass 2, so per-token scoring is map-side and the only corpus-wide
-    shuffle is the per-doc average keyed by doc_id."""
+    combine, shuffle is vocabulary-sized, not corpus-sized); the LM
+    broadcast is then HARD-BOUNDED at K rows (TakeOrderedAndProject —
+    a raw web vocabulary is billions of typos/URLs/numbers and would
+    OOM unbounded); OOV tokens coalesce to the <unk> probability
+    map-side, so the only corpus-wide shuffle is the per-doc average
+    keyed by doc_id. Ties at the cut break on (count DESC, token) in
+    both engines, keeping vocab membership deterministic."""
     tok = load_table(spark, "documents", sf_dir).select(
         "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("token")
     )
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").alias("s"))
-    scored = tok.join(F.broadcast(freq), "token").join(F.broadcast(total))
+    vocab = freq.orderBy(F.desc("c"), "token").limit(_UNIGRAM_VOCAB_K)
+    unk = (
+        vocab.agg(F.sum("c").alias("vocab_c"))
+        .crossJoin(F.broadcast(total))
+        .select((F.col("s") - F.col("vocab_c")).alias("unk_c"), "s")
+    )
+    scored = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .crossJoin(F.broadcast(unk))
+        .select("doc_id", F.coalesce(F.col("c"), F.col("unk_c")).alias("c_eff"), "s")
+    )
     return scored.groupBy("doc_id").agg(
-        F.round(F.avg(-F.log(F.col("c") / F.col("s"))), 4).alias("avg_neg_logprob")
+        F.round(F.avg(-F.log(F.col("c_eff") / F.col("s"))), 4).alias("avg_neg_logprob")
     )
 
 
@@ -569,13 +623,14 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dedup AS (SELECT doc_id, lang, text, "
         "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM clean), "
         "kept AS (SELECT doc_id, lang, "
+        + _pack_shard_sql() + " AS shard, "
         "len(string_split(trim(text), ' ')) AS n_tokens FROM dedup "
         "WHERE rn = 1 AND len(string_split(trim(text), ' ')) >= 30), "
-        "packed AS (SELECT lang, n_tokens, "
-        "CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id "
+        "packed AS (SELECT lang, shard, n_tokens, "
+        "CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id "
         "ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0) AS BIGINT) AS seq_id "
         "FROM kept) "
-        "SELECT lang, CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_sequences, "
+        "SELECT lang, CAST(COUNT(DISTINCT (shard, seq_id)) AS BIGINT) AS n_sequences, "
         "CAST(COUNT(*) AS BIGINT) AS kept_docs, "
         "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens "
         "FROM packed GROUP BY lang"
@@ -590,9 +645,11 @@ def pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst fuses the stages; the scale shape of each: contamination
     is a broadcast anti-join on 64-bit gram hashes (map-side, corpus
     never shuffles for it), dedup shuffles 16-byte digests, the quality
-    gate is a map-side filter, packing windows per lang (independent
-    partitions), the final agg is tiny. No stage materializes an
-    intermediate corpus."""
+    gate is a map-side filter, packing windows per (lang, shard) so no
+    task ever sorts a whole language (the contaminated-id broadcast
+    assumes contamination is rare — swap to a shuffled left-anti join
+    if an eval suite ever taints a large corpus fraction), the final
+    agg is tiny. No stage materializes an intermediate corpus."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, "documents", sf_dir)
@@ -612,20 +669,20 @@ def pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     n = F.size(F.split(F.trim("text"), " "))
     kept = (
-        clean.select("doc_id", "lang", n.alias("n_tokens"),
-                     F.row_number().over(w).alias("rn"))
+        clean.select("doc_id", "lang", _pack_shard_col().alias("shard"),
+                     n.alias("n_tokens"), F.row_number().over(w).alias("rn"))
         .filter((F.col("rn") == 1) & (F.col("n_tokens") >= 30))
     )
     pw = (
-        Window.partitionBy("lang").orderBy("doc_id")
+        Window.partitionBy("lang", "shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     packed = kept.select(
-        "lang", "n_tokens",
+        "lang", "shard", "n_tokens",
         F.floor((F.sum("n_tokens").over(pw) - F.col("n_tokens")) / 2048.0).alias("seq_id"),
     )
     return packed.groupBy("lang").agg(
-        F.countDistinct("seq_id").alias("n_sequences"),
+        F.countDistinct("shard", "seq_id").alias("n_sequences"),
         F.count(F.lit(1)).alias("kept_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )

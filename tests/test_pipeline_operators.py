@@ -181,3 +181,33 @@ def test_ann_ivf_verdict_green(spark, oracle_sf_dir):
     a regression gate on index quality."""
     row = registry.QUERIES["ann_ivf"](spark, oracle_sf_dir).collect()[0]
     assert row["recall_ok"] and row["sublinear_ok"] and row["k_returned"] == 10
+
+
+def test_unigram_unk_bucket_scores_oov(spark, tmp_path, monkeypatch):
+    """With the vocab capped below the corpus vocabulary, OOV tokens
+    must score through the shared <unk> bucket carrying the dropped
+    mass — checked against a hand-computed LM on a tiny corpus."""
+    import math
+
+    from iceberg_catalog_bench_spark.operators import text as text_ops
+
+    monkeypatch.setattr(text_ops, "_UNIGRAM_VOCAB_K", 4)
+    rows = [(1, "a a a a b b b c c d"), (2, "e f g h a")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = str(tmp_path / "docs")
+    docs.coalesce(1).write.parquet(out + "/documents.parquet")
+
+    got = {
+        r["doc_id"]: r["avg_neg_logprob"]
+        for r in text_ops.text_unigram_logprob(spark, out).collect()
+    }
+    # counts: a=5 b=3 c=2 d=e=f=g=h=1, s=15; top-4 by (c desc, token)
+    # = {a,b,c,d}; unk mass = 4 (e,f,g,h).
+    s = 15.0
+    lp = {"a": 5, "b": 3, "c": 2, "d": 1}
+    unk = 4
+    doc1 = [lp["a"]] * 4 + [lp["b"]] * 3 + [lp["c"]] * 2 + [lp["d"]]
+    doc2 = [unk] * 4 + [lp["a"]]
+    for doc_id, toks in ((1, doc1), (2, doc2)):
+        want = round(sum(-math.log(c / s) for c in toks) / len(toks), 4)
+        assert abs(got[doc_id] - want) < 1e-9, (doc_id, got[doc_id], want)

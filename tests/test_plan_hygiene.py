@@ -106,3 +106,26 @@ def test_corpus_shuffle_avoids_global_sort(spark, oracle_sf_dir):
     plan = _plan("corpus_shuffle_shards", spark, oracle_sf_dir)
     assert "hashpartitioning(shard" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_pack_sequences_windows_per_lang_shard(spark, oracle_sf_dir):
+    """Sequence packing must window per (lang, shard) — a per-lang-only
+    window puts an 80%-English 100 TB corpus into ONE sort task. The
+    shard term must appear in the window's hash exchange."""
+    import re
+
+    for name in ("pipeline_pack_sequences", "pipeline_curate_full"):
+        plan = _plan(name, spark, oracle_sf_dir)
+        assert re.search(r"hashpartitioning\(lang#\d+, shard#\d+", plan), (
+            f"{name}: pack window not partitioned by (lang, shard)"
+        )
+
+
+def test_unigram_lm_broadcast_is_capped(spark, oracle_sf_dir):
+    """The unigram LM broadcast must be hard-bounded: the vocab side
+    must flow through a TakeOrderedAndProject limit=K — an unbounded
+    vocabulary broadcast OOMs on a web corpus."""
+    from iceberg_catalog_bench_spark.operators.text import _UNIGRAM_VOCAB_K
+
+    plan = _plan("text_unigram_logprob", spark, oracle_sf_dir)
+    assert f"TakeOrderedAndProject(limit={_UNIGRAM_VOCAB_K}" in plan
