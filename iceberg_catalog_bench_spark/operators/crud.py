@@ -246,6 +246,49 @@ def harness_crud_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ddl_lifecycle",
+    oracle=(
+        "SELECT 'passed' AS status, CAST(6 AS BIGINT) AS steps_passed, "
+        "CAST(4 AS BIGINT) AS described_cols, "
+        "CAST(3 AS BIGINT) AS rows_at_travel_ts, "
+        "CAST(0 AS BIGINT) AS tables_after_teardown"
+    ),
+)
+def ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-lifecycle plan covering the §2.1 statements the CRUD
+    plan doesn't: CREATE SCHEMA (D2) / USE (D12) / IDENTIFIER (D14) /
+    CREATE OR REPLACE TABLE (D5) / DESCRIBE (D9) / SHOW NAMESPACES,
+    TABLES, VIEWS (D13) / REFRESH (P5) / TIMESTAMP AS OF (T3) /
+    DROP TABLE IF EXISTS (D10) / DROP SCHEMA (D11), validated with
+    compare_rows_with_state (V5) across the refresh and pinned
+    catalog-state counts. Reference: sql/snowflake/snowflake.sql:57-216
+    and the SHOW/USE cells of jupyternotebook/openspark.ipynb."""
+    import os as _os
+
+    from ..engine import PlanRunner, SqlEngine
+
+    warehouse = tempfile.mkdtemp(prefix="lake-ddl-warehouse-")
+    atexit.register(shutil.rmtree, warehouse, ignore_errors=True)
+    engine = SqlEngine(spark, warehouse)
+    cfg = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                        "plans", "crud_plan.yaml")
+    runner = PlanRunner.from_yaml(engine, cfg)
+    report = runner.run_plan("ddl_lifecycle", namespace="ddl_ns")
+    steps_passed = sum(1 for st in report.steps if st.status == "passed")
+    return spark.createDataFrame(
+        [(
+            report.status,
+            steps_passed,
+            int(runner.state.get("described_cols", -1)),
+            int(runner.state.get("rows_at_travel_ts", -1)),
+            int(runner.state.get("tables_after_teardown", -1)),
+        )],
+        "status string, steps_passed bigint, described_cols bigint, "
+        "rows_at_travel_ts bigint, tables_after_teardown bigint",
+    )
+
+
+@register(
     "incremental_read_changes",
     oracle=(
         "SELECT event_id, user_id, ROUND(value, 4) AS value_out FROM events "

@@ -175,3 +175,18 @@ def test_drop_column_via_sql(engine):
     assert [r["col_name"] for r in res.rows] == ["id", "v"]
     rows = engine.execute("SELECT * FROM nsd.d ORDER BY id")[0].rows
     assert rows == [{"id": 1, "v": 1.5}, {"id": 2, "v": 2.5}]
+
+
+def test_ddl_lifecycle_plan_green(spark):
+    """The ddl_lifecycle plan (D2/D5/D9-D14/P5/T3 + V5) must pass all
+    six steps with the pinned catalog-state counts — this is the
+    driver row covering the otherwise pytest-only §2.1 statements."""
+    from iceberg_catalog_bench_spark.operators import registry
+
+    registry.load_all()
+    row = registry.QUERIES["ddl_lifecycle"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["status"] == "passed"
+    assert row["steps_passed"] == 6
+    assert row["described_cols"] == 4
+    assert row["rows_at_travel_ts"] == 3
+    assert row["tables_after_teardown"] == 0
