@@ -51,6 +51,12 @@ from .transforms import Transform, parse_spec, transform_expr
 _META_DIR = "_meta"
 _META_FILE = "metadata.json"
 _DATA_DIR = "data"
+
+# Tombstone sets broadcast only below this on-disk size (snappy parquet
+# ≈ 2-4× smaller than in-memory rows, so 64 MB of files is roughly
+# 128-256 MB per executor — autoBroadcastJoinThreshold territory). A
+# row-count gate alone let multi-hundred-MB (path, pos) sets through.
+_BROADCAST_DELETE_BYTES = 64 * 1024 * 1024
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
@@ -129,9 +135,19 @@ class DeleteFileEntry:
     content: str = "position"
     equality_cols: list[str] = field(default_factory=list)
     seq: int | None = 0
+    # Physical column names inside the delete parquet file, frozen at
+    # write time. ``equality_cols`` tracks the CURRENT schema names
+    # (rename_column rewrites them — Iceberg's binds-by-field-id
+    # semantics); empty means "never renamed", i.e. same as
+    # equality_cols.
+    file_cols: list[str] = field(default_factory=list)
+
+    @property
+    def physical_cols(self) -> list[str]:
+        return self.file_cols or self.equality_cols
 
     def to_json(self) -> dict:
-        return {
+        out = {
             "path": self.path,
             "rows": self.rows,
             "bytes": self.bytes,
@@ -140,13 +156,16 @@ class DeleteFileEntry:
             "equality_cols": self.equality_cols,
             "seq": self.seq,
         }
+        if self.file_cols:
+            out["file_cols"] = self.file_cols
+        return out
 
     @staticmethod
     def from_json(d: dict) -> "DeleteFileEntry":
         return DeleteFileEntry(
             d["path"], d["rows"], d["bytes"], d.get("referenced", []),
             d.get("content", "position"), d.get("equality_cols", []),
-            d.get("seq", 0),
+            d.get("seq", 0), d.get("file_cols", []),
         )
 
 
@@ -446,6 +465,15 @@ class LakeTable:
             [T.StructField(f.name, _parse_type(f.type), True) for f in self._fields()]
         )
 
+    def _names_at_version(self, names: list[str], version: int) -> list[str]:
+        """Resolve CURRENT-schema column names to their spelling in an
+        older schema version via field ids — the Iceberg bind-by-id
+        rule that keeps equality deletes working across renames when a
+        read time-travels to a pre-rename snapshot."""
+        cur_ids = {f.name: f.id for f in self._fields()}
+        at_v = {f.id: f.name for f in self._fields(version)}
+        return [at_v.get(cur_ids.get(n, -1), n) for n in names]
+
     @property
     def partition_spec(self) -> list[Transform]:
         return parse_spec(self._meta["partition_spec"])
@@ -705,7 +733,7 @@ class LakeTable:
             if pos_dels and any(e.path in referenced for e in dirty):
                 del_paths = [os.path.join(self.path, d.path) for d in pos_dels]
                 tomb = self.spark.read.parquet(*del_paths).select("file_path", "pos")
-                if sum(d.rows for d in pos_dels) <= 10_000_000:
+                if sum(d.bytes for d in pos_dels) <= _BROADCAST_DELETE_BYTES:
                     tomb = F.broadcast(tomb)
                 df = df.join(
                     tomb,
@@ -725,18 +753,29 @@ class LakeTable:
                 ).drop("_seq_path")
                 by_cols: dict[tuple, list[DeleteFileEntry]] = {}
                 for d in eq_dels:
-                    by_cols.setdefault(tuple(d.equality_cols), []).append(d)
+                    # group by key names AS SPELLED IN THE SCHEMA BEING
+                    # READ (field-id resolution — a time travel to a
+                    # pre-rename snapshot binds the old spelling); files
+                    # written before a rename read via their frozen
+                    # physical names below
+                    by_cols.setdefault(
+                        tuple(self._names_at_version(d.equality_cols, schema_version)),
+                        [],
+                    ).append(d)
                 for cols, group in by_cols.items():
                     tombs = None
                     for d in group:
                         one = self.spark.read.parquet(
                             os.path.join(self.path, d.path)
                         ).select(
-                            *[F.col(c).alias(f"_del_{c}") for c in cols],
+                            *[
+                                F.col(fc).alias(f"_del_{c}")
+                                for fc, c in zip(d.physical_cols, cols)
+                            ],
                             F.lit(d.seq).cast("bigint").alias("_del_seq"),
                         )
                         tombs = one if tombs is None else tombs.unionByName(one)
-                    if sum(d.rows for d in group) <= 10_000_000:
+                    if sum(d.bytes for d in group) <= _BROADCAST_DELETE_BYTES:
                         tombs = F.broadcast(tombs)
                     cond = F.col("_file_seq") < tombs["_del_seq"]
                     for c in cols:
@@ -868,10 +907,27 @@ class LakeTable:
         deletes apply only to STRICTLY older files — so the new images
         survive their own retraction. No target read, ever: upsert cost
         is O(batch), not O(table) — the write path Flink uses for CDC
-        streams into Iceberg v2."""
+        streams into Iceberg v2.
+
+        Duplicate keys WITHIN the batch reduce to the last image per
+        key first (batch order via monotonically_increasing_id), the
+        Flink upsert-sink contract — the intra-commit sequence guard is
+        strictly 'older', so unreduced duplicates would all survive."""
         for c in on:
             if c not in {f.name for f in self._fields()}:
                 raise KeyError(f"unknown key column {c!r}")
+        others = [c for c in df.columns if c not in on]
+        if others:
+            # max_by keeps the partial-aggregate (map-side combine)
+            # shape — one hash shuffle of the batch, no per-key sort
+            df = (
+                df.withColumn("_lake_upsert_ord", F.monotonically_increasing_id())
+                .groupBy(*on)
+                .agg(F.max_by(F.struct(*others), F.col("_lake_upsert_ord")).alias("_img"))
+                .select(*on, *[F.col(f"_img.{c}").alias(c) for c in others])
+            )
+        else:
+            df = df.distinct()
         new_files = self._write_files(df)
         new_dels = self._write_equality_delete_files(df.select(*on), on)
         # Reads nothing → append-style auto-retry: rebase onto the
@@ -917,27 +973,52 @@ class LakeTable:
         (``option("start-snapshot-id", ...)``), the CDC-style feed for
         downstream consumers.
 
-        Like Iceberg, the append scan REFUSES a range containing
-        row-level or replace commits (delete/update/merge/upsert/
-        rollback/rewrites): a file diff cannot express removed or
-        tombstoned rows, and silently returning a wrong feed is worse
-        than failing. Use :meth:`changelog` for those ranges — it nets
-        exact row-level inserts and deletes."""
+        The scan walks the PARENT CHAIN from end back to start — not an
+        id interval — so commits staged on unpublished branches (WAP)
+        never poison an append-only main line. Like Iceberg, it SKIPS
+        'replace' (compaction/rewrite) commits — rewritten files carry
+        no new rows, and the appended files they fold are read from
+        their own append snapshots — and REFUSES row-level commits
+        (delete/update/merge/upsert/rollback): a file diff cannot
+        express removed or tombstoned rows, and silently returning a
+        wrong feed is worse than failing. Use :meth:`changelog` for
+        those ranges — it nets exact row-level inserts and deletes."""
         start = self._snapshot(from_snapshot_id)
         end = self._snapshot(to_snapshot_id) if to_snapshot_id else self._snapshot()
-        window_ops = {
-            s["snapshot_id"]: s["operation"] for s in self._meta["snapshots"]
-            if start.snapshot_id < s["snapshot_id"] <= end.snapshot_id
+        by_id = {s["snapshot_id"]: s for s in self._meta["snapshots"]}
+        chain: list[dict] = []  # end → ... → child-of-start
+        cur: int | None = end.snapshot_id
+        while cur is not None and cur != start.snapshot_id:
+            s = by_id.get(cur)
+            if s is None:
+                break
+            chain.append(s)
+            cur = s.get("parent_id")
+        if cur != start.snapshot_id:
+            raise ValueError(
+                f"snapshot {start.snapshot_id} is not an ancestor of "
+                f"{end.snapshot_id}; incremental_read needs a linear range"
+            )
+        non_append = {
+            s["snapshot_id"]: s["operation"] for s in chain
+            if s["operation"] not in ("append", "replace")
         }
-        non_append = {sid: op for sid, op in window_ops.items() if op != "append"}
         if non_append:
             raise ValueError(
                 "incremental_read is an append-only scan but the range "
                 f"contains {sorted(non_append.items())}; use changelog() "
                 "for exact row-level changes across those commits"
             )
-        start_paths = {e.path for e in start.files}
-        added = [e for e in end.files if e.path not in start_paths]
+        added: list[FileEntry] = []
+        prev_paths = {e.path for e in start.files}
+        for s in reversed(chain):  # oldest → newest
+            cur_paths = {f["path"] for f in s["files"]}
+            if s["operation"] == "append":
+                added.extend(
+                    FileEntry.from_json(f) for f in s["files"]
+                    if f["path"] not in prev_paths
+                )
+            prev_paths = cur_paths
         return self._read_entries(added, self._meta["current_schema_version"])
 
     def changelog(self, from_snapshot_id: int,
@@ -1665,13 +1746,28 @@ class LakeTable:
 
     def rename_column(self, old: str, new: str) -> None:
         """ALTER TABLE RENAME COLUMN — reference D7 (sku → product_sku).
-        Field-id mapping keeps old files readable without rewrite."""
+        Field-id mapping keeps old files readable without rewrite.
+
+        Pending equality-delete files follow the rename (Iceberg binds
+        equality deletes by field id, so a renamed key keeps deleting):
+        ``equality_cols`` is rewritten to the new name while
+        ``file_cols`` freezes the physical parquet column names the
+        read path selects by."""
         def mutate():
             fields = self._fields()
             for f in fields:
                 if f.name == old:
                     f.name = new
                     self._bump_schema(fields)
+                    for sj in self._meta.get("snapshots", []):
+                        for dj in sj.get("delete_files", []):
+                            eq = dj.get("equality_cols") or []
+                            if dj.get("content") == "equality" and old in eq:
+                                if not dj.get("file_cols"):
+                                    dj["file_cols"] = list(eq)
+                                dj["equality_cols"] = [
+                                    new if c == old else c for c in eq
+                                ]
                     # Iceberg partition specs / sort orders reference
                     # columns by FIELD ID, so renames follow into them
                     # automatically; ours store the column NAME — keep
@@ -1710,6 +1806,18 @@ class LakeTable:
             fields = [f for f in self._fields() if f.name != name]
             if len(fields) == len(self._fields()):
                 raise KeyError(name)
+            snap = self._snapshot()
+            if snap is not None and any(
+                d.content == "equality" and name in d.equality_cols
+                for d in snap.delete_files
+            ):
+                # A live equality tombstone keyed on this column would
+                # make every later read unresolvable. Compact first
+                # (rewrite_data_files folds tombstones), then drop.
+                raise ValueError(
+                    f"column {name} is referenced by a pending equality "
+                    "delete; run rewrite_data_files before dropping it"
+                )
             self._bump_schema(fields)
 
         self._locked_meta_mutation(mutate)

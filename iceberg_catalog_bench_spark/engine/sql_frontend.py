@@ -677,6 +677,42 @@ class SqlEngine:
         r"|\s+timestamp\s+as\s+of\s+'([^']+)')?"
     )
 
+    # Snowflake relative/absolute travel (snowflake.sql:356-358):
+    # ``t AT(OFFSET => -60*1800)`` (seconds relative to now) and
+    # ``t AT(TIMESTAMP => CAST('...' AS TIMESTAMP_LTZ))``. One level of
+    # nested parens covers the CAST form.
+    _AT_RE = re.compile(
+        r"(?is)(" + _IDENT + r")\s+at\s*\("
+        r"\s*(timestamp|offset)\s*=>\s*([^()]*(?:\([^()]*\)[^()]*)*)\)"
+    )
+
+    @classmethod
+    def _rewrite_at_clauses(cls, s: str) -> str:
+        """Rewrite Snowflake AT(...) travel into TIMESTAMP AS OF form.
+        OFFSET is seconds relative to now (negative = past), evaluated
+        as constant arithmetic — Snowflake's own semantics (T3)."""
+        import datetime as dt
+
+        def repl(m: re.Match) -> str:
+            ident, kind, arg = m.group(1), m.group(2).lower(), m.group(3)
+            if kind == "offset":
+                expr = arg.strip()
+                if not re.fullmatch(r"[\d.\s()+*/-]+", expr):
+                    raise ValueError(f"unsupported AT(OFFSET => {expr!r})")
+                secs = float(eval(expr))  # noqa: S307 — digits/operators only
+                ts = (
+                    dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+                    + dt.timedelta(seconds=secs)
+                ).isoformat(sep=" ")
+            else:
+                lit = re.search(r"'([^']+)'", arg)
+                if not lit:
+                    raise ValueError(f"unsupported AT(TIMESTAMP => {arg!r})")
+                ts = lit.group(1)
+            return f"{ident} timestamp as of '{ts}'"
+
+        return cls._AT_RE.sub(repl, s)
+
     def _select(self, s: str) -> StatementResult:
         df = self._select_df(s)
         rows = [r.asDict(recursive=True) for r in df.take(MAX_RESULT_ROWS)]
@@ -689,6 +725,7 @@ class SqlEngine:
         T1-T3), rewrite the reference to the view name, run spark.sql.
         """
         view_n = 0
+        s = self._rewrite_at_clauses(s)
         views = self._views()
 
         # Expand SQL-representation views first (so tables referenced

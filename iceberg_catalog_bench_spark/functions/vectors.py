@@ -47,8 +47,12 @@ def lsh_band_buckets_arrow(
 
     @pandas_udf("array<int>")
     def _buckets(vecs: pd.Series) -> pd.Series:
-        planes = np.random.default_rng(salt).uniform(-1.0, 1.0, (dim, n_tables * bits))
         m = np.stack(vecs.to_numpy()).astype(np.float64)  # (rows, dim)
+        # plane matrix follows the ACTUAL vector width (``dim`` is only
+        # the documented default) — a corpus from a different embedding
+        # model must not crash the banding; same seed + same width ⇒
+        # identical buckets across runs and batches
+        planes = np.random.default_rng(salt).uniform(-1.0, 1.0, (m.shape[1], n_tables * bits))
         bits_m = (m @ planes >= 0).astype(np.int64).reshape(len(m), n_tables, bits)
         weights = 1 << np.arange(bits - 1, -1, -1)
         buckets = (bits_m * weights).sum(axis=2).astype(np.int32)  # (rows, tables)

@@ -1,0 +1,94 @@
+"""Multi-writer commit concurrency (reference spec
+`ICEBERG-Interoperability-Test-Spec.md:83,107-111`): concurrent
+writers against ONE table must serialize through the O_EXCL commit
+lock with optimistic retry — every commit lands (no lost updates) and
+the snapshot history stays a single linear parent chain.
+
+The commit path is Spark-free metadata I/O, so the writers are real
+OS processes (spawn, separate interpreters — nothing shared but the
+filesystem), the same isolation two engines writing one Iceberg table
+would have.
+"""
+
+import multiprocessing as mp
+import os
+
+from iceberg_catalog_bench_spark.catalog.table import LakeTable
+
+_N_WRITERS = 4
+_N_COMMITS = 12
+
+
+def _writer(table_path: str, wid: int, out_dir: str) -> None:
+    from iceberg_catalog_bench_spark.catalog.table import (
+        CommitConflict,
+        FileEntry,
+        LakeTable,
+    )
+
+    t = LakeTable.load(None, table_path)
+    conflicts = 0
+    for i in range(_N_COMMITS):
+        while True:
+            t._reload()
+            snap = t._snapshot()
+            base = list(snap.files) if snap else []
+            fe = FileEntry(
+                path=f"data/w{wid}-c{i}.parquet", rows=1, bytes=10,
+                schema_version=0, seq=None,
+            )
+            try:
+                t._commit("append", base + [fe], {"writer": wid, "commit": i})
+                break
+            except CommitConflict:
+                conflicts += 1
+    with open(os.path.join(out_dir, f"conflicts-{wid}"), "w") as fh:
+        fh.write(str(conflicts))
+
+
+def test_multiprocess_writers_no_lost_commits(spark, tmp_path):
+    table_path = str(tmp_path / "t")
+    # schema DDL parsing needs the JVM; the writers themselves are
+    # Spark-free (pure metadata commits)
+    LakeTable.create(spark, table_path, "id bigint")
+
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+    ctx = mp.get_context("spawn")
+    procs = [
+        ctx.Process(target=_writer, args=(table_path, w, out_dir))
+        for w in range(_N_WRITERS)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=300)
+        assert p.exitcode == 0
+
+    t = LakeTable.load(None, table_path)
+    snaps = t._meta["snapshots"]
+    assert len(snaps) == _N_WRITERS * _N_COMMITS
+
+    # no lost commit: every (writer, commit) pair landed exactly once
+    seen = [(s["summary"]["writer"], s["summary"]["commit"]) for s in snaps]
+    assert sorted(seen) == sorted(
+        (w, i) for w in range(_N_WRITERS) for i in range(_N_COMMITS)
+    )
+
+    # linear history: walking parents from the tip visits every commit
+    by_id = {s["snapshot_id"]: s for s in snaps}
+    cur, chain = t._meta["current_snapshot_id"], 0
+    while cur is not None:
+        chain += 1
+        cur = by_id[cur]["parent_id"]
+    assert chain == _N_WRITERS * _N_COMMITS
+
+    # the contention was real: at least one optimistic retry happened
+    total_conflicts = sum(
+        int(open(os.path.join(out_dir, f"conflicts-{w}")).read())
+        for w in range(_N_WRITERS)
+    )
+    assert total_conflicts >= 1
+
+    # the lock file never leaks
+    assert not os.path.exists(os.path.join(table_path, "_meta", "commit.lock"))

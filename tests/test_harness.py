@@ -190,3 +190,36 @@ def test_ddl_lifecycle_plan_green(spark):
     assert row["described_cols"] == 4
     assert row["rows_at_travel_ts"] == 3
     assert row["tables_after_teardown"] == 0
+
+
+def test_snowflake_at_offset_relative_travel(engine):
+    """AT(OFFSET => -n) — Snowflake's seconds-relative time travel
+    (reference snowflake.sql:358) — must resolve to the snapshot
+    current n seconds ago; AT(TIMESTAMP => CAST(...)) is the absolute
+    spelling (snowflake.sql:356)."""
+    import time
+
+    import datetime as dt
+
+    engine.execute("CREATE NAMESPACE IF NOT EXISTS rel")
+    engine.execute("CREATE TABLE rel.t (id bigint)")
+    engine.execute("INSERT INTO rel.t VALUES (1), (2)")
+    time.sleep(1.5)
+    engine.execute("INSERT INTO rel.t VALUES (3)")
+    now_rows = engine.execute("SELECT COUNT(*) AS c FROM rel.t AT(OFFSET => -0)")[0].rows
+    assert now_rows[0]["c"] == 3
+    # aim between the two commits: the offset resolves relative to NOW
+    # at statement execution, so derive it from the recorded commit times
+    snaps = engine.execute("SELECT committed_at FROM rel.t.snapshots ORDER BY committed_at")[0].rows
+    t1, t2 = snaps[0]["committed_at"], snaps[-1]["committed_at"]
+    mid = t1 + (t2 - t1) / 2
+    off = (mid - dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)).total_seconds()
+    old_rows = engine.execute(f"SELECT COUNT(*) AS c FROM rel.t AT(OFFSET => {off:.3f})")[0].rows
+    assert old_rows[0]["c"] == 2
+    # arithmetic offsets parse like the reference's -60*1800 form
+    assert engine.execute("SELECT COUNT(*) AS c FROM rel.t AT(OFFSET => -0*1800)")[0].rows[0]["c"] == 3
+    ts = snaps[-1]["committed_at"]
+    abs_rows = engine.execute(
+        f"SELECT COUNT(*) AS c FROM rel.t AT(TIMESTAMP => CAST('{ts}' AS TIMESTAMP_LTZ))"
+    )[0].rows
+    assert abs_rows[0]["c"] == 3

@@ -525,3 +525,93 @@ def test_incremental_read_refuses_non_append_ranges(mor_table, spark):
     # changelog still answers the same window exactly
     log = t.changelog(base).collect()
     assert {(r["id"], r["_change_type"]) for r in log} <= {(500, "insert"), (500, "delete")}
+
+
+def test_rename_key_column_keeps_equality_deletes_working(eq_table, spark):
+    """Iceberg binds equality deletes by field id: renaming a key
+    column with tombstones pending must not break reads — current
+    reads bind the new name, pre-rename time travel binds the old."""
+    t = eq_table
+    t.delete_by_keys(spark.createDataFrame([(3,), (4,)], "k bigint"))
+    pre_rename = t._snapshot().snapshot_id
+    t.rename_column("k", "kk")
+    assert {r["kk"] for r in t.read().collect()} == set(range(20)) - {3, 4}
+    # pre-rename travel: old schema spelling, tombstones still apply
+    assert {r["k"] for r in t.read(snapshot_id=pre_rename).collect()} == (
+        set(range(20)) - {3, 4}
+    )
+    # the retraction keeps working for future appends too (seq guard)
+    t.append(spark.createDataFrame([(3, 99.0)], "kk bigint, v double"))
+    rows = t.read().filter("kk = 3").collect()
+    assert len(rows) == 1 and rows[0]["v"] == 99.0
+
+
+def test_drop_column_refuses_live_equality_delete_key(eq_table, spark):
+    """Dropping a column referenced by a pending equality tombstone
+    would make every later read crash — must refuse until compaction
+    folds the tombstones."""
+    t = eq_table
+    t.delete_by_keys(spark.createDataFrame([(3,)], "k bigint"))
+    with pytest.raises(ValueError, match="equality"):
+        t.drop_column("k")
+    t.rewrite_data_files(min_input_files=1)
+    assert not [
+        d for d in t._snapshot().delete_files if d.content == "equality"
+    ]
+    t.drop_column("k")
+    assert [f.name for f in t._fields()] == ["v"]
+
+
+def test_upsert_batch_duplicate_keys_last_image_wins(eq_table, spark):
+    """Flink's upsert sink applies last-per-key within a batch; the
+    library API must reduce duplicates the same way instead of letting
+    every image survive."""
+    t = eq_table
+    batch = spark.createDataFrame(
+        [(1, 10.0), (1, 11.0), (1, 12.0), (2, 20.0)], "k bigint, v double"
+    ).coalesce(1)
+    t.upsert_by_keys(batch, on=["k"])
+    rows = {r["k"]: r["v"] for r in t.read().filter("k in (1, 2)").collect()}
+    assert rows == {1: 12.0, 2: 20.0}
+    assert t.read().filter("k = 1").count() == 1
+
+
+def test_incremental_read_ignores_branch_staged_deletes(mor_table):
+    """A delete staged on an unpublished WAP branch is not a main-line
+    ancestor — the parent-chain walk must not refuse the range."""
+    t = mor_table
+    base = t._snapshot().snapshot_id
+    t.create_branch("audit")
+    t.delete_where("id < 10", branch="audit")   # branch-only commit
+    t.append(t.spark.createDataFrame([(700, 0.0, "c0")],
+                                     "id bigint, v double, cat string"))
+    assert {r["id"] for r in t.incremental_read(base).collect()} == {700}
+
+
+def test_incremental_read_skips_replace_commits(mor_table):
+    """Compaction inside the window must be skipped (its files carry no
+    new rows); the appended rows still come from their own append
+    snapshots — Iceberg's incremental append-scan behavior."""
+    t = mor_table
+    base = t._snapshot().snapshot_id
+    t.append(t.spark.createDataFrame([(800, 0.0, "c0")],
+                                     "id bigint, v double, cat string"))
+    t.rewrite_data_files(min_input_files=1)     # 'replace' commit
+    t.append(t.spark.createDataFrame([(801, 1.0, "c1")],
+                                     "id bigint, v double, cat string"))
+    got = {r["id"] for r in t.incremental_read(base).collect()}
+    assert got == {800, 801}
+
+
+def test_incremental_read_non_ancestor_raises(mor_table):
+    t = mor_table
+    t.append(t.spark.createDataFrame([(900, 0.0, "c0")],
+                                     "id bigint, v double, cat string"))
+    tip = t._snapshot().snapshot_id
+    # a rollback makes the old tip a non-ancestor of the new line
+    base = t._meta["snapshots"][0]["snapshot_id"]
+    t.rollback_to_snapshot(base)
+    t.append(t.spark.createDataFrame([(901, 1.0, "c1")],
+                                     "id bigint, v double, cat string"))
+    with pytest.raises(ValueError):
+        t.incremental_read(tip)

@@ -211,3 +211,29 @@ def test_unigram_unk_bucket_scores_oov(spark, tmp_path, monkeypatch):
     for doc_id, toks in ((1, doc1), (2, doc2)):
         want = round(sum(-math.log(c / s) for c in toks) / len(toks), 4)
         assert abs(got[doc_id] - want) < 1e-9, (doc_id, got[doc_id], want)
+
+
+def test_embedding_cosine_banding_recall_on_planted_dups(spark, tmp_path):
+    """Measured (not derived) banding completeness: on a corpus with 20
+    planted near-dups (cos ≈ 0.96), the LSH candidate generation +
+    exact verify must return exactly the planted pairs as the top-20 —
+    recall 1.0 with zero spurious pairs above them."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(200, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(200)]
+    planted = set()
+    for j in range(20):
+        v = base[j] + rng.normal(scale=0.05, size=64)
+        v /= np.linalg.norm(v)
+        rows.append((1000 + j, v.tolist()))
+        planted.add((j, 1000 + j))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = str(tmp_path / "emb")
+    df.coalesce(1).write.parquet(out + "/embeddings.parquet")
+
+    got = registry.QUERIES["dedup_embedding_cosine"](spark, out).collect()
+    top = {(r["vec_a"], r["vec_b"]) for r in got}
+    assert top == planted, f"missed: {planted - top}; spurious: {top - planted}"
