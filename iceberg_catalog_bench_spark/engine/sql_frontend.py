@@ -77,15 +77,118 @@ class SqlEngine:
         self.spark = spark
         self.warehouse = os.path.abspath(warehouse)
         os.makedirs(self.warehouse, exist_ok=True)
+        # Snowflake session context (USE DATABASE / USE SCHEMA,
+        # snowflake.sql:85-107): unqualified table names resolve
+        # against it, Snowflake-style.
+        self._ctx: list[str] = []
+        self._rest_clients: dict[str, Any] = {}
 
     # -- catalog helpers -----------------------------------------------------
 
     def _ns_dir(self, ns: str) -> str:
         return os.path.join(self.warehouse, ns)
 
+    def _resolve_ident(self, ident: str) -> str:
+        links = self._links()
+        ident = links.get(ident, ident)
+        if "." not in ident and self._ctx:
+            root_meta = os.path.join(self.warehouse, ident, "_meta", "metadata.json")
+            if not os.path.exists(root_meta):
+                qual = ".".join([*self._ctx, ident])
+                return links.get(qual, qual)
+        return ident
+
+    def _rest_for_db(self, db: str):
+        """RestCatalogClient for a LINKED_CATALOG database, or None.
+        The link names a catalog integration whose CATALOG_URI points
+        at an Iceberg REST catalog (snowflake.sql:60-85) — here, the
+        in-process `catalog/rest.py` server."""
+        linked = self._store("_linked_dbs.json")
+        integ_name = linked.get(db)
+        if integ_name is None:
+            return None
+        integ = self._store("_integrations.json").get(integ_name) or {}
+        uri = integ.get("catalog_uri")
+        if not uri:
+            return None
+        cli = self._rest_clients.get(uri)
+        if cli is None:
+            from ..catalog.rest import RestCatalogClient
+
+            cli = RestCatalogClient(uri)
+            cli.authenticate()
+            self._rest_clients[uri] = cli
+        return cli
+
     def _table_path(self, ident: str) -> str:
+        ident = self._resolve_ident(ident)
         parts = ident.split(".")
+        if len(parts) >= 3:
+            cli = self._rest_for_db(parts[0])
+            if cli is not None:
+                ns, tbl = ".".join(parts[1:-1]), parts[-1]
+                code, body = cli.load_table(ns, tbl)
+                if code == 200:
+                    return re.sub(r"^file://", "", body.get("location", ""))
+                # not in the catalog yet → the location a CREATE routed
+                # through this link will register
         return os.path.join(self.warehouse, *parts)
+
+    def _register_linked_table(self, ident: str, path: str) -> None:
+        """After a CREATE lands under a linked database, register the
+        table in the REST catalog so other engines see it — the
+        catalog-linked write-through the reference demonstrates."""
+        parts = self._resolve_ident(ident).split(".")
+        if len(parts) >= 3:
+            cli = self._rest_for_db(parts[0])
+            if cli is not None:
+                ns, tbl = ".".join(parts[1:-1]), parts[-1]
+                cli.create_namespace(ns)  # 409 if present — fine
+                cli.create_table(ns, tbl, schema={}, location=f"file://{path}")
+
+    def _unregister_linked_table(self, ident: str) -> None:
+        parts = self._resolve_ident(ident).split(".")
+        if len(parts) >= 3:
+            cli = self._rest_for_db(parts[0])
+            if cli is not None:
+                cli.drop_table(".".join(parts[1:-1]), parts[-1])
+
+    # -- named account objects (integrations / volumes / db params) ---------
+
+    def _store(self, fname: str) -> dict:
+        import json
+
+        p = os.path.join(self.warehouse, fname)
+        if os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)
+        return {}
+
+    def _save_store(self, fname: str, data: dict) -> None:
+        import json
+
+        with open(os.path.join(self.warehouse, fname), "w") as fh:
+            json.dump(data, fh)
+
+    # -- catalog-linked table names (snowflake.sql:131-136) ------------------
+
+    @property
+    def _links_path(self) -> str:
+        return os.path.join(self.warehouse, "_links.json")
+
+    def _links(self) -> dict[str, str]:
+        import json
+
+        if os.path.exists(self._links_path):
+            with open(self._links_path) as fh:
+                return json.load(fh)
+        return {}
+
+    def _save_links(self, links: dict[str, str]) -> None:
+        import json
+
+        with open(self._links_path, "w") as fh:
+            json.dump(links, fh)
 
     def table(self, ident: str) -> LakeTable:
         return LakeTable.load(self.spark, self._table_path(ident))
@@ -128,6 +231,11 @@ class SqlEngine:
         # (sql/snowflake/unity_catalog/create_sales_events.sql:4) —
         # resolve before routing, like Spark's IDENTIFIER clause.
         s = re.sub(r"(?i)identifier\s*\(\s*'([^']+)'\s*\)", r"\1", s)
+        # ANSI/Snowflake double-quoted identifier segments
+        # (snowflake.sql:223: ...CATALOGLINKEDNAMESPACE."sales_events") —
+        # normalize to bare names (string literals are single-quoted, so
+        # double quotes only ever wrap identifiers here)
+        s = re.sub(r'"(\w+)"', r"\1", s)
         head = s.split(None, 1)[0].lower() if s else ""
         handlers = {
             "create": self._create,
@@ -139,6 +247,7 @@ class SqlEngine:
             "delete": self._delete,
             "merge": self._merge,
             "describe": self._describe,
+            "desc": self._describe,
             "show": self._show,
             "use": self._use,
             "call": self._call,
@@ -176,8 +285,8 @@ class SqlEngine:
 
         # CTAS: CREATE TABLE ... AS SELECT ...
         m = re.match(
-            r"(?is)^create\s+(or\s+replace\s+)?table\s+(if\s+not\s+exists\s+)?(" + _IDENT + r")\s*"
-            r"(?:using\s+\w+\s*)?(?:partitioned\s+by\s*\((.*?)\)\s*)?as\s+(select\b.+)$",
+            r"(?is)^create\s+(or\s+replace\s+)?(?:iceberg\s+)?table\s+(if\s+not\s+exists\s+)?(" + _IDENT + r")\s*"
+            r"(?:using\s+\w+\s*)?(?:partition(?:ed)?\s+by\s*\((.*?)\)\s*)?as\s+(select\b.+)$",
             s,
         )
         if m:
@@ -197,6 +306,7 @@ class SqlEngine:
                 self.spark, self._table_path(ident), result_df.schema,
                 partition_by=partition_by,
             )
+            self._register_linked_table(ident, t.path)
             snap = t.append(result_df)
             return StatementResult(
                 s, rowcount=snap.summary.get("added_rows"),
@@ -204,16 +314,20 @@ class SqlEngine:
             )
 
         m = re.match(
-            r"(?is)^create\s+(or\s+replace\s+)?table\s+(if\s+not\s+exists\s+)?(" + _IDENT + r")\s*"
+            r"(?is)^create\s+(or\s+replace\s+)?(?:iceberg\s+)?table\s+(if\s+not\s+exists\s+)?(" + _IDENT + r")\s*"
             r"\((.*?)\)\s*(?:using\s+\w+\s*)?"
-            r"(?:partitioned\s+by\s*\((.*?)\)\s*)?"
-            r"(?:tblproperties\s*\((.*?)\)\s*)?$",
+            r"(?:partition(?:ed)?\s+by\s*\((.*?)\)\s*)?"
+            r"(?:tblproperties\s*\((.*?)\)\s*)?"
+            r"((?:\w+\s*=\s*'[^']*'\s*)*)$",
             s,
         )
         if m:
             # D3/D5: CREATE TABLE ... USING iceberg PARTITIONED BY (...)
-            # TBLPROPERTIES (create_sales_events.sql:1-19)
-            replace, if_not_exists, ident, cols, part, props = m.groups()
+            # TBLPROPERTIES (create_sales_events.sql:1-19); Snowflake
+            # dialect: CREATE [OR REPLACE] ICEBERG TABLE ... partition
+            # by (...) TARGET_FILE_SIZE = '64MB', column COMMENTs
+            # (snowflake.sql:96-118,392)
+            replace, if_not_exists, ident, cols, part, props, sf_props = m.groups()
             path = self._table_path(ident)
             if self.table_exists(ident):
                 if replace:
@@ -229,11 +343,127 @@ class SqlEngine:
             if props:
                 for kv in re.finditer(r"'([^']+)'\s*=\s*'([^']*)'", props):
                     properties[kv.group(1)] = kv.group(2)
+            if sf_props:
+                for kv in re.finditer(r"(\w+)\s*=\s*'([^']*)'", sf_props):
+                    properties[kv.group(1).lower()] = kv.group(2)
+            # column COMMENT clauses are doc-only — strip before DDL parse
+            cols = re.sub(r"(?i)\s+comment\s+'[^']*'", "", cols)
             LakeTable.create(
                 self.spark, path, cols.strip(), partition_by=partition_by,
                 properties=properties,
             )
+            self._register_linked_table(ident, path)
             return StatementResult(s, metadata={"op": "create_table", "table": ident})
+
+        # Snowflake catalog-linked table (snowflake.sql:131-136,293-297):
+        # CREATE [OR REPLACE] ICEBERG TABLE t EXTERNAL_VOLUME = '..'
+        # CATALOG = '..' CATALOG_NAMESPACE = '..' CATALOG_TABLE_NAME =
+        # '..' — no column list; the table IS an existing catalog table,
+        # referenced under a local name. Modeled as a name link resolved
+        # by _table_path (reads AND writes flow to the linked table).
+        m = re.match(
+            r"(?is)^create\s+(or\s+replace\s+)?(?:iceberg\s+)?table\s+"
+            r"(if\s+not\s+exists\s+)?(" + _IDENT + r")\s+"
+            r"((?:\w+\s*=\s*'[^']*'\s*)+)$",
+            s,
+        )
+        if m:
+            replace, if_not_exists, ident, kvs = m.groups()
+            kv = {
+                k.lower(): v
+                for k, v in re.findall(r"(\w+)\s*=\s*'([^']*)'", kvs)
+            }
+            if "catalog_table_name" not in kv:
+                raise ValueError(f"unsupported CREATE statement: {s[:120]}")
+            target = kv["catalog_table_name"]
+            if kv.get("catalog_namespace"):
+                target = f"{kv['catalog_namespace']}.{target}"
+            if not self.table_exists(target):
+                raise ValueError(
+                    f"catalog table {target} does not exist (create it in "
+                    "the catalog first, then link)"
+                )
+            links = self._links()
+            if ident in links and not replace:
+                if if_not_exists:
+                    return StatementResult(s, metadata={"op": "link_table", "skipped": True})
+                raise ValueError(f"table {ident} already exists")
+            links[ident] = target
+            self._save_links(links)
+            return StatementResult(
+                s, metadata={"op": "link_table", "table": ident, "target": target}
+            )
+
+        # CREATE [OR REPLACE] CATALOG INTEGRATION (snowflake.sql:60-85):
+        # named config wiring an engine to an Iceberg REST catalog
+        # (CATALOG_URI / CATALOG_NAME / CATALOG_SOURCE = POLARIS ...).
+        m = re.match(
+            r"(?is)^create\s+(or\s+replace\s+)?catalog\s+integration\s+"
+            r"(if\s+not\s+exists\s+)?(\w+)\s+(.+)$",
+            s,
+        )
+        if m:
+            replace, ine, name, cfg = m.groups()
+            kv = {
+                k.lower(): v.strip("'")
+                for k, v in re.findall(r"(\w+)\s*=\s*('[^']*'|[\w.:/-]+)", cfg)
+            }
+            store = self._store("_integrations.json")
+            if name in store and not replace:
+                if ine:
+                    return StatementResult(s, metadata={"op": "create_catalog_integration", "skipped": True})
+                raise ValueError(f"catalog integration {name} already exists")
+            store[name] = kv
+            self._save_store("_integrations.json", store)
+            return StatementResult(s, metadata={"op": "create_catalog_integration", "name": name})
+
+        # CREATE EXTERNAL VOLUME (snowflake.sql:42-58): named storage
+        # config — STORAGE_LOCATIONS recorded verbatim.
+        m = re.match(
+            r"(?is)^create\s+(or\s+replace\s+)?external\s+volume\s+"
+            r"(if\s+not\s+exists\s+)?(\w+)\s+(.+)$",
+            s,
+        )
+        if m:
+            replace, ine, name, cfg = m.groups()
+            store = self._store("_volumes.json")
+            if name in store and not replace:
+                if ine:
+                    return StatementResult(s, metadata={"op": "create_external_volume", "skipped": True})
+                raise ValueError(f"external volume {name} already exists")
+            store[name] = {"config": " ".join(cfg.split())}
+            self._save_store("_volumes.json", store)
+            return StatementResult(s, metadata={"op": "create_external_volume", "name": name})
+
+        # CREATE DATABASE db LINKED_CATALOG = (CATALOG = 'integ', ...)
+        # (snowflake.sql:86-91): the database IS a remote catalog —
+        # tables under it resolve (and register) through the REST client.
+        # snapshot policies/sets: a Snowflake backup feature the
+        # reference itself shows failing (snowflake.sql:380-388 —
+        # "not supported in a catalog-linked database") — match that.
+        m = re.match(r"(?is)^create\s+snapshot\s+(policy|set)\s+.+$", s)
+        if m:
+            raise ValueError(f"snapshot {m.group(1).lower()}s are not supported: {s[:80]}")
+
+        m = re.match(
+            r"(?is)^create\s+(?:or\s+replace\s+)?database\s+(\w+)\s+"
+            r"linked_catalog\s*=\s*\((.*)\)\s*(?:,\s*\w+\s*=\s*'[^']*'\s*)*$",
+            s,
+        )
+        if m:
+            db, cfg = m.groups()
+            kv = {
+                k.lower(): v.strip("'")
+                for k, v in re.findall(r"(\w+)\s*=\s*('[^']*'|[\w.:/-]+)", cfg)
+            }
+            integ = kv.get("catalog")
+            if not integ or integ not in self._store("_integrations.json"):
+                raise ValueError(f"unknown catalog integration {integ!r}")
+            os.makedirs(self._ns_dir(db), exist_ok=True)
+            linked = self._store("_linked_dbs.json")
+            linked[db] = integ
+            self._save_store("_linked_dbs.json", linked)
+            return StatementResult(s, metadata={"op": "create_linked_database", "database": db})
         raise ValueError(f"unsupported CREATE statement: {s[:120]}")
 
     def _drop(self, s: str) -> StatementResult:
@@ -251,23 +481,74 @@ class SqlEngine:
             return StatementResult(s, metadata={"op": "drop_view"})
 
         m = re.match(
-            r"(?is)^drop\s+(table|namespace|schema|database)\s+(if\s+exists\s+)?(" + _IDENT + r")\s*$",
+            r"(?is)^drop\s+catalog\s+integration\s+(if\s+exists\s+)?(\w+)\s*$", s
+        )
+        if m:
+            store = self._store("_integrations.json")
+            if m.group(2) in store:
+                del store[m.group(2)]
+                self._save_store("_integrations.json", store)
+            elif not m.group(1):
+                raise ValueError(f"catalog integration {m.group(2)} does not exist")
+            return StatementResult(s, metadata={"op": "drop_catalog_integration"})
+
+        m = re.match(r"(?is)^drop\s+external\s+volume\s+(if\s+exists\s+)?(\w+)\s*$", s)
+        if m:
+            store = self._store("_volumes.json")
+            if m.group(2) in store:
+                del store[m.group(2)]
+                self._save_store("_volumes.json", store)
+            elif not m.group(1):
+                raise ValueError(f"external volume {m.group(2)} does not exist")
+            return StatementResult(s, metadata={"op": "drop_external_volume"})
+
+        m = re.match(
+            r"(?is)^drop\s+((?:iceberg\s+)?table|namespace|schema|database)\s+(if\s+exists\s+)?(" + _IDENT + r")\s*$",
             s,
         )
         if not m:
             raise ValueError(f"unsupported DROP statement: {s[:120]}")
         kind, if_exists, ident = m.groups()
-        path = self._table_path(ident) if kind.lower() == "table" else self._ns_dir(ident)
+        kind = "table" if "table" in kind.lower() else kind.lower()
+        if kind == "table":
+            path = self._table_path(ident)
+            self._unregister_linked_table(ident)
+        else:
+            path = self._ns_dir(ident)
+            linked = self._store("_linked_dbs.json")
+            if ident in linked:
+                del linked[ident]
+                self._save_store("_linked_dbs.json", linked)
         if os.path.exists(path):
             shutil.rmtree(path)
         elif not if_exists:
             raise ValueError(f"{kind} {ident} does not exist")
-        return StatementResult(s, metadata={"op": f"drop_{kind.lower()}"})
+        return StatementResult(s, metadata={"op": f"drop_{kind}"})
 
     def _alter(self, s: str) -> StatementResult:
+        # ALTER DATABASE db SET k = v (snowflake.sql:10) — database
+        # parameters, surfaced by SHOW PARAMETERS IN DATABASE
+        m = re.match(
+            r"(?is)^alter\s+database\s+(" + _IDENT + r")\s+set\s+(\w+)\s*=\s*('[^']*'|[\w.]+)\s*$",
+            s,
+        )
+        if m:
+            db, key, val = m.groups()
+            params = self._store("_db_params.json")
+            params.setdefault(db, {})[key.lower()] = val.strip("'")
+            self._save_store("_db_params.json", params)
+            return StatementResult(s, metadata={"op": "alter_database_set"})
+
+        m = re.match(r"(?is)^alter\s+snapshot\s+set\s+.+$", s)
+        if m:
+            # snapshot sets are a Snowflake backup feature the reference
+            # itself shows failing on catalog-linked tables
+            # (snowflake.sql:380-388) — matching semantics: refuse.
+            raise ValueError(f"snapshot sets are not supported: {s[:80]}")
+
         # D4: ALTER TABLE ... WRITE ORDERED BY (create_sales_events.sql:21-24)
         m = re.match(
-            r"(?is)^alter\s+table\s+(" + _IDENT + r")\s+write\s+ordered\s+by\s+(.+)$", s
+            r"(?is)^alter\s+(?:iceberg\s+)?table\s+(" + _IDENT + r")\s+write\s+ordered\s+by\s+(.+)$", s
         )
         if m:
             t = self.table(m.group(1))
@@ -285,7 +566,7 @@ class SqlEngine:
 
         # partition-spec evolution: ALTER TABLE t ADD/DROP PARTITION FIELD
         m = re.match(
-            r"(?is)^alter\s+table\s+(" + _IDENT + r")\s+(add|drop)\s+partition\s+field\s+(.+?)\s*$", s
+            r"(?is)^alter\s+(?:iceberg\s+)?table\s+(" + _IDENT + r")\s+(add|drop)\s+partition\s+field\s+(.+?)\s*$", s
         )
         if m:
             ident, action, transform = m.groups()
@@ -298,7 +579,7 @@ class SqlEngine:
 
         # tags: ALTER TABLE t CREATE TAG name [AS OF VERSION n] / DROP TAG
         m = re.match(
-            r"(?is)^alter\s+table\s+(" + _IDENT + r")\s+create\s+tag\s+(\w+)"
+            r"(?is)^alter\s+(?:iceberg\s+)?table\s+(" + _IDENT + r")\s+create\s+tag\s+(\w+)"
             r"(?:\s+as\s+of\s+version\s+(\d+))?\s*$", s
         )
         if m:
@@ -306,7 +587,7 @@ class SqlEngine:
             self.table(ident).create_tag(tag, int(ver) if ver else None)
             return StatementResult(s, metadata={"op": "create_tag"})
         m = re.match(
-            r"(?is)^alter\s+table\s+(" + _IDENT + r")\s+drop\s+tag\s+(\w+)\s*$", s
+            r"(?is)^alter\s+(?:iceberg\s+)?table\s+(" + _IDENT + r")\s+drop\s+tag\s+(\w+)\s*$", s
         )
         if m:
             self.table(m.group(1)).drop_tag(m.group(2))
@@ -315,7 +596,7 @@ class SqlEngine:
         # branches (WAP): ALTER TABLE t CREATE BRANCH b [AS OF VERSION n]
         # / DROP BRANCH b — Iceberg branch DDL
         m = re.match(
-            r"(?is)^alter\s+table\s+(" + _IDENT + r")\s+create\s+branch\s+(\w+)"
+            r"(?is)^alter\s+(?:iceberg\s+)?table\s+(" + _IDENT + r")\s+create\s+branch\s+(\w+)"
             r"(?:\s+as\s+of\s+version\s+(\d+))?\s*$", s
         )
         if m:
@@ -323,7 +604,7 @@ class SqlEngine:
             self.table(ident).create_branch(br, int(ver) if ver else None)
             return StatementResult(s, metadata={"op": "create_branch"})
         m = re.match(
-            r"(?is)^alter\s+table\s+(" + _IDENT + r")\s+drop\s+branch\s+(\w+)\s*$", s
+            r"(?is)^alter\s+(?:iceberg\s+)?table\s+(" + _IDENT + r")\s+drop\s+branch\s+(\w+)\s*$", s
         )
         if m:
             self.table(m.group(1)).drop_branch(m.group(2))
@@ -333,7 +614,7 @@ class SqlEngine:
         # properties (e.g. write.delete.mode / write.update.mode to
         # switch row-level ops to merge-on-read), and UNSET to clear.
         m = re.match(
-            r"(?is)^alter\s+table\s+(" + _IDENT + r")\s+set\s+tblproperties\s*\((.*?)\)\s*$", s
+            r"(?is)^alter\s+(?:iceberg\s+)?table\s+(" + _IDENT + r")\s+set\s+tblproperties\s*\((.*?)\)\s*$", s
         )
         if m:
             t = self.table(m.group(1))
@@ -347,7 +628,7 @@ class SqlEngine:
             )
             return StatementResult(s, metadata={"op": "set_tblproperties"})
         m = re.match(
-            r"(?is)^alter\s+table\s+(" + _IDENT + r")\s+unset\s+tblproperties\s*\((.*?)\)\s*$", s
+            r"(?is)^alter\s+(?:iceberg\s+)?table\s+(" + _IDENT + r")\s+unset\s+tblproperties\s*\((.*?)\)\s*$", s
         )
         if m:
             t = self.table(m.group(1))
@@ -362,8 +643,8 @@ class SqlEngine:
 
         # D6: ALTER TABLE ADD COLUMN [..] DEFAULT (schema_evolution_sales_events.sql:3-4)
         m = re.match(
-            r"(?is)^alter\s+table\s+(" + _IDENT + r")\s+add\s+columns?\s*\(?\s*"
-            r"(\w+)\s+([\w()\d,]+)(?:\s+default\s+('[^']*'|\S+))?\s*\)?\s*$",
+            r"(?is)^alter\s+(?:iceberg\s+)?table\s+(" + _IDENT + r")\s+add\s+columns?\s*\(?\s*"
+            r"(\w+)\s+([\w()\d,]+)(?:\s+default\s+('[^']*'|\S+))?(?:\s+comment\s+'[^']*')?\s*\)?\s*$",
             s,
         )
         if m:
@@ -377,7 +658,7 @@ class SqlEngine:
         # ALTER TABLE DROP COLUMN (Iceberg metadata-only drop; old files
         # keep the data, reads project it away via field-id mapping)
         m = re.match(
-            r"(?is)^alter\s+table\s+(" + _IDENT + r")\s+drop\s+columns?\s*\(?\s*(\w+)\s*\)?\s*$", s
+            r"(?is)^alter\s+(?:iceberg\s+)?table\s+(" + _IDENT + r")\s+drop\s+columns?\s*\(?\s*(\w+)\s*\)?\s*$", s
         )
         if m:
             self.table(m.group(1)).drop_column(m.group(2))
@@ -385,7 +666,7 @@ class SqlEngine:
 
         # D7: ALTER TABLE RENAME COLUMN (schema_evolution_sales_events.sql:6-7)
         m = re.match(
-            r"(?is)^alter\s+table\s+(" + _IDENT + r")\s+rename\s+column\s+(\w+)\s+to\s+(\w+)\s*$", s
+            r"(?is)^alter\s+(?:iceberg\s+)?table\s+(" + _IDENT + r")\s+rename\s+column\s+(\w+)\s+to\s+(\w+)\s*$", s
         )
         if m:
             self.table(m.group(1)).rename_column(m.group(2), m.group(3))
@@ -393,7 +674,7 @@ class SqlEngine:
 
         # D8: ALTER COLUMN TYPE widening (schema_evolution_sales_events.sql:9-10)
         m = re.match(
-            r"(?is)^alter\s+table\s+(" + _IDENT + r")\s+alter\s+column\s+(\w+)\s+type\s+([\w()\d,]+)\s*$",
+            r"(?is)^alter\s+(?:iceberg\s+)?table\s+(" + _IDENT + r")\s+alter\s+column\s+(\w+)\s+type\s+([\w()\d,]+)\s*$",
             s,
         )
         if m:
@@ -410,8 +691,17 @@ class SqlEngine:
         return StatementResult(s, metadata={"op": "truncate"})
 
     def _describe(self, s: str) -> StatementResult:
+        # DESC EXTERNAL VOLUME (snowflake.sql:58)
+        m = re.match(r"(?is)^desc(?:ribe)?\s+external\s+volume\s+(\w+)\s*$", s)
+        if m:
+            vol = self._store("_volumes.json").get(m.group(1))
+            if vol is None:
+                raise ValueError(f"external volume {m.group(1)} does not exist")
+            rows = [{"property": k, "value": v} for k, v in sorted(vol.items())]
+            return StatementResult(s, rows=rows, rowcount=len(rows))
+
         # D9: DESCRIBE TABLE (schema_evolution_sales_events.sql:12)
-        m = re.match(r"(?is)^describe\s+(?:table\s+)?(" + _IDENT + r")\s*$", s)
+        m = re.match(r"(?is)^desc(?:ribe)?\s+(?:table\s+)?(" + _IDENT + r")\s*$", s)
         if not m:
             raise ValueError(f"unsupported DESCRIBE: {s[:120]}")
         t = self.table(m.group(1))
@@ -442,11 +732,46 @@ class SqlEngine:
                     dirs.clear()
             rows.sort(key=lambda r: r["tableName"])
             return StatementResult(s, rows=rows, rowcount=len(rows))
+        if re.match(r"(?is)^show\s+catalog\s+integrations\s*$", s):
+            # snowflake.sql:39 — list the named integrations
+            rows = [{"name": n} for n in sorted(self._store("_integrations.json"))]
+            return StatementResult(s, rows=rows, rowcount=len(rows))
+        if re.match(r"(?is)^show\s+external\s+volumes\s*$", s):
+            rows = [{"name": n} for n in sorted(self._store("_volumes.json"))]
+            return StatementResult(s, rows=rows, rowcount=len(rows))
+        m = re.match(
+            r"(?is)^show\s+parameters\s+in\s+(?:database|schema)\s+(" + _IDENT + r")\s*$", s
+        )
+        if m:
+            # snowflake.sql:10-12 — session/database parameters set via
+            # ALTER DATABASE ... SET k = v
+            params = self._store("_db_params.json").get(m.group(1), {})
+            rows = [{"key": k, "value": v} for k, v in sorted(params.items())]
+            return StatementResult(s, rows=rows, rowcount=len(rows))
         raise ValueError(f"unsupported SHOW: {s[:120]}")
 
     def _use(self, s: str) -> StatementResult:
-        # D12: USE <ns> — session context is a no-op for a rooted warehouse
-        return StatementResult(s, metadata={"op": "use"})
+        """D12: USE [CATALOG|DATABASE|SCHEMA|...] <name> — Snowflake
+        session context (snowflake.sql:85-107,352-353): unqualified
+        table names resolve under the current database[.schema]."""
+        m = re.match(
+            r"(?is)^use\s+(?:(catalog|database|schema|namespace|warehouse|role)\s+)?"
+            r"(" + _IDENT + r")\s*$",
+            s,
+        )
+        if not m:
+            raise ValueError(f"unsupported USE: {s[:120]}")
+        kind = (m.group(1) or "").lower()
+        name = m.group(2)
+        if kind in ("catalog", "warehouse", "role"):
+            return StatementResult(s, metadata={"op": "use", "noop": kind})
+        if kind == "schema" and self._ctx and "." not in name:
+            self._ctx = [self._ctx[0], name]
+        else:
+            self._ctx = name.split(".")
+        return StatementResult(
+            s, metadata={"op": "use", "context": ".".join(self._ctx)}
+        )
 
     # -- DML (reference M1-M5) ----------------------------------------------
 
@@ -537,23 +862,34 @@ class SqlEngine:
         (merge_sales_events.sql:4-21)."""
         m = re.match(
             r"(?is)^merge\s+into\s+(" + _IDENT + r")(?:\s+as\s+(\w+))?\s+using\s+"
-            r"(?:\((\s*values.+?)\)\s+as\s+(\w+)\s*\(([^)]*)\)|(" + _IDENT + r")(?:\s+as\s+(\w+))?)\s+"
+            r"(?:\((\s*values.+?)\)\s+as\s+(\w+)\s*\(([^)]*)\)"
+            r"|\((\s*select.+?)\)\s+as\s+(\w+)"
+            r"|(" + _IDENT + r")(?:\s+as\s+(\w+))?)\s+"
             r"on\s+(.+?)\s+(when\s+.+)$",
             s,
         )
         if not m:
             raise ValueError(f"unsupported MERGE: {s[:120]}")
-        (ident, talias, values_sql, valias, vcols, src_table, salias,
-         on_cond, when_clauses) = m.groups()
+        (ident, talias, values_sql, valias, vcols, sub_sql, sub_alias,
+         src_table, salias, on_cond, when_clauses) = m.groups()
         t = self.table(ident)
         talias = talias or ident.split(".")[-1]
-        salias = valias or salias or (src_table.split(".")[-1] if src_table else "source")
+        salias = (
+            valias or sub_alias or salias
+            or (src_table.split(".")[-1] if src_table else "source")
+        )
 
         if values_sql:
             source = self.spark.sql(
                 f"SELECT * FROM (VALUES {values_sql[len('values'):].strip() if values_sql.lower().startswith('values') else values_sql}) "
                 f"AS v({vcols})"
             )
+        elif sub_sql:
+            # Snowflake-dialect USING (SELECT ... FROM (VALUES ...) AS
+            # v(cols)) AS src (sql/snowflake/open_catalog/
+            # merge_sales_events.sql:5-12) — any SELECT source,
+            # lake-table references included
+            source = self._select_df(sub_sql)
         else:
             source = self.table(src_table).read()
 
@@ -686,6 +1022,53 @@ class SqlEngine:
         r"\s*(timestamp|offset)\s*=>\s*([^()]*(?:\([^()]*\)[^()]*)*)\)"
     )
 
+    # Snowflake INFORMATION_SCHEMA table functions over Iceberg
+    # metadata (snowflake.sql:363-378): ICEBERG_TABLE_FILES(TABLE_NAME
+    # => 't' [, AT => <ts>]) → t.files at that time;
+    # ICEBERG_TABLE_SNAPSHOT_REFRESH_HISTORY(TABLE_NAME => 't') →
+    # t.history. One paren-nesting level covers the CAST(...) AT arg.
+    _TF_RE = re.compile(
+        r"(?is)table\s*\(\s*information_schema\s*\.\s*"
+        r"(iceberg_table_files|iceberg_table_snapshot_refresh_history)"
+        r"\s*\(([^()]*(?:\([^()]*\)[^()]*)*)\)\s*\)"
+    )
+
+    def _rewrite_table_functions(self, s: str) -> str:
+        tf_n = 0
+
+        def repl(m: re.Match) -> str:
+            nonlocal tf_n
+            fn, args = m.group(1).lower(), m.group(2)
+            kv = {
+                k.lower(): v.strip()
+                for k, v in re.findall(r"(\w+)\s*=>\s*('[^']*'|[^,]+)", args)
+            }
+            tname = kv["table_name"].strip("'")
+            t = self.table(tname)
+            if fn == "iceberg_table_files":
+                sid = None
+                at = kv.get("at")
+                if at:
+                    import datetime as dt
+
+                    lit = re.search(r"'([^']+)'", at)
+                    if not lit:
+                        raise ValueError(f"unsupported AT argument: {at!r}")
+                    ms = int(
+                        dt.datetime.fromisoformat(lit.group(1))
+                        .replace(tzinfo=dt.timezone.utc).timestamp() * 1000
+                    )
+                    sid = t._snapshot(as_of_ms=ms).snapshot_id
+                df = t.files(snapshot_id=sid)
+            else:
+                df = t.history()
+            view = f"__lake_tf_{tf_n}"
+            tf_n += 1
+            df.createOrReplaceTempView(view)
+            return f" {view} "
+
+        return self._TF_RE.sub(repl, s)
+
     @classmethod
     def _rewrite_at_clauses(cls, s: str) -> str:
         """Rewrite Snowflake AT(...) travel into TIMESTAMP AS OF form.
@@ -725,6 +1108,7 @@ class SqlEngine:
         T1-T3), rewrite the reference to the view name, run spark.sql.
         """
         view_n = 0
+        s = self._rewrite_table_functions(s)
         s = self._rewrite_at_clauses(s)
         views = self._views()
 

@@ -223,3 +223,177 @@ def test_snowflake_at_offset_relative_travel(engine):
         f"SELECT COUNT(*) AS c FROM rel.t AT(TIMESTAMP => CAST('{ts}' AS TIMESTAMP_LTZ))"
     )[0].rows
     assert abs_rows[0]["c"] == 3
+
+
+def test_snowflake_iceberg_table_dialect(engine):
+    """The Snowflake dialect surface of the reference corpus
+    (snowflake.sql): CREATE [OR REPLACE] ICEBERG TABLE with lowercase
+    `partition by` and TARGET_FILE_SIZE (:96-118), catalog-linked
+    tables via CATALOG_NAMESPACE/CATALOG_TABLE_NAME (:131-136), ALTER
+    ICEBERG TABLE ADD COLUMN ... COMMENT (:392), double-quoted
+    identifiers (:223), and the INFORMATION_SCHEMA Iceberg table
+    functions (:363-378)."""
+    engine.execute("CREATE SCHEMA IF NOT EXISTS sfd")
+    engine.execute(
+        "CREATE ICEBERG TABLE sfd.linked (\n"
+        "  first_name STRING,\n  last_name STRING,\n"
+        "  amount INT,\n  create_date DATE\n) TARGET_FILE_SIZE = '64MB'"
+    )
+    engine.execute("INSERT INTO sfd.linked VALUES ('kun', 'xue', 100, '2025-05-06')")
+    assert engine.table("sfd.linked")._meta["properties"]["target_file_size"] == "64MB"
+
+    engine.execute(
+        "CREATE ICEBERG TABLE sfd.linked_part (\n"
+        "  first_name STRING,\n  last_name STRING,\n"
+        "  amount INT,\n  create_date DATE\n)\n"
+        "partition by (first_name)\nTARGET_FILE_SIZE = '64MB'"
+    )
+    assert engine.table("sfd.linked_part").partition_spec
+
+    # catalog-linked name: reads AND writes flow to the target table
+    engine.execute(
+        "CREATE OR REPLACE ICEBERG TABLE external_managed_table\n"
+        "  EXTERNAL_VOLUME = 'opensnowflake'\n  CATALOG = 'opensnowflake'\n"
+        "  CATALOG_NAMESPACE = 'sfd'\n  CATALOG_TABLE_NAME = 'linked'"
+    )
+    engine.execute(
+        "INSERT INTO external_managed_table VALUES ('kiki', 'liu', 500, '2025-12-05')"
+    )
+    assert engine.execute("SELECT COUNT(*) AS c FROM sfd.linked")[0].rows[0]["c"] == 2
+    assert engine.execute(
+        "SELECT COUNT(*) AS c FROM external_managed_table"
+    )[0].rows[0]["c"] == 2
+
+    engine.execute("ALTER ICEBERG TABLE sfd.linked ADD COLUMN mail STRING comment 'e-mail'")
+    engine.execute(
+        "INSERT INTO sfd.linked VALUES ('kiki2', 'liu', 500, '2025-12-05', 'k@mail.com')"
+    )
+    assert engine.execute('SELECT COUNT(*) AS c FROM sfd."linked"')[0].rows[0]["c"] == 3
+
+    files_now = engine.execute(
+        "SELECT COUNT(*) AS c FROM TABLE(INFORMATION_SCHEMA.ICEBERG_TABLE_FILES("
+        "TABLE_NAME => 'sfd.linked'))"
+    )[0].rows[0]["c"]
+    assert files_now >= 2
+    snaps = engine.execute(
+        "SELECT committed_at FROM sfd.linked.snapshots ORDER BY committed_at"
+    )[0].rows
+    ts = snaps[0]["committed_at"]
+    files_then = engine.execute(
+        "SELECT COUNT(*) AS c FROM TABLE(INFORMATION_SCHEMA.ICEBERG_TABLE_FILES("
+        f"TABLE_NAME => 'sfd.linked', AT => CAST('{ts}' AS TIMESTAMP_LTZ)))"
+    )[0].rows[0]["c"]
+    assert 1 <= files_then < files_now
+    hist = engine.execute(
+        "SELECT * FROM TABLE(INFORMATION_SCHEMA.ICEBERG_TABLE_SNAPSHOT_REFRESH_HISTORY("
+        "TABLE_NAME => 'sfd.linked'))"
+    )[0].rows
+    assert len(hist) == 3
+
+
+def test_merge_using_select_subquery(engine):
+    """The Snowflake-dialect MERGE source — USING (SELECT * FROM
+    (VALUES ...) AS v(cols)) AS src with ::TIMESTAMP/::DATE casts —
+    verbatim from sql/snowflake/open_catalog/merge_sales_events.sql."""
+    engine.execute("CREATE TABLE ms (event_id bigint, qty int, price double, channel string)")
+    engine.execute(
+        "INSERT INTO ms VALUES (2, 5, 5.00, 'web'), (4, 8, 7.50, 'web')"
+    )
+    engine.execute(
+        "MERGE INTO ms AS tgt\n"
+        "USING (\n"
+        "  SELECT * FROM (\n"
+        "    VALUES\n"
+        "      (2, 6, 5.50, 'app'),\n"
+        "      (9, 7, 15.00, 'store')\n"
+        "  ) AS updates(event_id, qty, price, channel)\n"
+        ") AS src\n"
+        "ON tgt.event_id = src.event_id\n"
+        "WHEN MATCHED THEN UPDATE SET\n"
+        "  qty = src.qty,\n  price = src.price,\n  channel = src.channel\n"
+        "WHEN NOT MATCHED THEN INSERT (event_id, qty, price, channel)\n"
+        "VALUES (src.event_id, src.qty, src.price, src.channel)"
+    )
+    rows = engine.execute("SELECT event_id, qty, channel FROM ms ORDER BY event_id")[0].rows
+    assert [(r["event_id"], r["qty"], r["channel"]) for r in rows] == [
+        (2, 6, "app"), (4, 8, "web"), (9, 7, "store"),
+    ]
+    # :: casts pass through to Spark (the reference uses them in VALUES)
+    r = engine.execute("SELECT '2024-01-01'::DATE AS d")[0].rows[0]
+    import datetime
+    assert r["d"] == datetime.date(2024, 1, 1)
+
+
+def test_catalog_linked_database_flow(engine):
+    """The reference's catalog-linked demo flow (snowflake.sql:42-107)
+    against OUR in-process REST catalog: CREATE EXTERNAL VOLUME +
+    CATALOG INTEGRATION (CATALOG_URI → rest.py server) + CREATE
+    DATABASE ... LINKED_CATALOG, then USE context + CREATE ICEBERG
+    TABLE / INSERT / SELECT through the link — and the table is
+    visible to any other engine via the REST API."""
+    from iceberg_catalog_bench_spark.catalog.rest import (
+        RestCatalogClient,
+        RestCatalogServer,
+    )
+
+    server = RestCatalogServer().start()
+    try:
+        engine.execute(
+            "CREATE EXTERNAL VOLUME opensnowflake STORAGE_LOCATIONS = "
+            "((NAME = 'local', STORAGE_PROVIDER = 'FILE'))"
+        )
+        assert engine.execute("SHOW EXTERNAL VOLUMES")[0].rows == [{"name": "opensnowflake"}]
+        assert engine.execute("DESC EXTERNAL VOLUME opensnowflake")[0].rowcount == 1
+
+        engine.execute(
+            "CREATE OR REPLACE CATALOG INTEGRATION opensnowflake "
+            "CATALOG_SOURCE=POLARIS TABLE_FORMAT=ICEBERG "
+            f"REST_CONFIG = (CATALOG_URI = '{server.url}', CATALOG_NAME = 'open_catalog') "
+            "ENABLED=TRUE"
+        )
+        assert engine.execute("SHOW CATALOG INTEGRATIONS")[0].rows == [{"name": "opensnowflake"}]
+
+        engine.execute(
+            "CREATE DATABASE catalog_linked_db LINKED_CATALOG = "
+            "(CATALOG = 'opensnowflake', ALLOWED_NAMESPACES = ('cataloglinkedschema'))"
+        )
+        engine.execute("USE DATABASE catalog_linked_db")
+        engine.execute("CREATE SCHEMA cataloglinkedschema")
+        engine.execute("USE SCHEMA catalog_linked_db.cataloglinkedschema")
+        engine.execute(
+            "CREATE ICEBERG TABLE catalog_linked_table (\n"
+            "  first_name STRING, last_name STRING, amount INT, create_date DATE\n"
+            ") TARGET_FILE_SIZE = '64MB'"
+        )
+        engine.execute(
+            "INSERT INTO catalog_linked_table VALUES ('kun', 'xue', 100, '2025-05-06')"
+        )
+        rows = engine.execute("SELECT first_name, amount FROM catalog_linked_table")[0].rows
+        assert rows == [{"first_name": "kun", "amount": 100}]
+
+        # the linked write registered the table in the REST catalog
+        cli = RestCatalogClient(server.url)
+        cli.authenticate()
+        code, body = cli.list_tables("cataloglinkedschema")
+        assert code == 200
+        assert [i["name"] for i in body["identifiers"]] == ["catalog_linked_table"]
+        code, body = cli.load_table("cataloglinkedschema", "catalog_linked_table")
+        assert code == 200 and body["location"].startswith("file://")
+
+        # database parameters (snowflake.sql:10-12)
+        engine.execute("ALTER DATABASE catalog_linked_db SET CATALOG = 'SNOWFLAKE'")
+        params = engine.execute("SHOW PARAMETERS IN DATABASE catalog_linked_db")[0].rows
+        assert params == [{"key": "catalog", "value": "SNOWFLAKE"}]
+
+        # snapshot sets refuse, matching the reference's own error
+        # (snowflake.sql:380-388)
+        with pytest.raises(ValueError, match="not supported"):
+            engine.execute("ALTER SNAPSHOT SET t1_snapshots ADD SNAPSHOT")
+
+        engine.execute("DROP TABLE catalog_linked_table")
+        code, body = cli.list_tables("cataloglinkedschema")
+        assert body["identifiers"] == []
+        engine.execute("DROP CATALOG INTEGRATION opensnowflake")
+        assert engine.execute("SHOW CATALOG INTEGRATIONS")[0].rows == []
+    finally:
+        server.stop()
