@@ -53,6 +53,9 @@ HEADLINE = [
     "knn_brute_force",
     "text_quality_scores",
     "streaming_windowed_agg",
+    # round 3: the LLM-curation capstone (decontaminate → dedup → gate
+    # → pack per (lang, shard)) as a tracked throughput number
+    "pipeline_curate_full",
 ]
 
 

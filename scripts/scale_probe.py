@@ -61,6 +61,20 @@ def main() -> None:
     tick("read_lookup", lambda: t.scan("user_id = 777777").collect())
     tick("delete_1row", lambda: t.delete_where("user_id = 777777"))
     tick("update_1row", lambda: t.update({"amount": "amount + 1"}, "user_id = 888888"))
+
+    # Incremental consumption cost must track the CHANGE, not the table:
+    # a 100k-row append polled via incremental_read reads only the new
+    # files; changelog across a small delete reads only the files whose
+    # tombstone state changed (plus the exceptAll netting on them).
+    s_before = t._snapshot().snapshot_id
+    batch = df.limit(100_000).withColumn("user_id", F.col("user_id") + 20_000_000)
+    t.append(batch)
+    tick("incremental_read_100k_batch",
+         lambda: t.incremental_read(s_before).count())
+    s_mid = t._snapshot().snapshot_id
+    t.delete_where("user_id = 20000001")
+    tick("changelog_after_point_delete",
+         lambda: t.changelog(s_mid).count())
     shutil.rmtree(root, ignore_errors=True)
 
 
