@@ -199,3 +199,85 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_chars",
         )
     )
+
+
+# UNIFORM salted bucket in [0, 4096) for probability-threshold
+# sampling: three md5 hex digits decoded to their values (the raw
+# ascii-pair trick above is fine for coarse splits but its codes
+# cluster — a threshold sampler needs the full range). hexval(c) =
+# ascii%16 + 9 if a-f: '0'-'9' → 0-9, 'a'-'f' → 10-15. Identical
+# syntax parses in Spark SQL and DuckDB.
+
+
+def _hexval_sql(expr: str, i: int) -> str:
+    c = f"ascii(substr({expr}, {i}, 1))"
+    return f"({c} % 16 + CASE WHEN {c} >= 97 THEN 9 ELSE 0 END)"
+
+
+_IMP_MD5 = "md5(CAST(doc_id AS VARCHAR) || '-imp42')"
+_IMP_BUCKET_SQL = (
+    f"({_hexval_sql(_IMP_MD5, 1)} * 256 + {_hexval_sql(_IMP_MD5, 2)} * 16 + "
+    f"{_hexval_sql(_IMP_MD5, 3)})"
+)
+
+
+def _imp_bucket_col() -> F.Column:
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("-imp42")))
+
+    def hv(i: int) -> F.Column:
+        c = F.ascii(F.substring(h, i, 1))
+        return c % 16 + F.when(c >= 97, 9).otherwise(0)
+
+    return hv(1) * 256 + hv(2) * 16 + hv(3)
+
+
+@register(
+    "sample_importance_weighted",
+    oracle=(
+        # Quality-proportional sampling: accept probability scales with
+        # document length (clamped weight), decided by a salted md5
+        # bucket so membership is reproducible across engines. The
+        # float threshold math is identical IEEE arithmetic on both
+        # sides, so the comparison is exact — no rounding boundary.
+        "WITH d AS (SELECT doc_id, lang, "
+        "len(string_split(trim(text), ' ')) AS n_tokens, "
+        f"{_IMP_BUCKET_SQL} AS bkt FROM documents), "
+        "p AS (SELECT lang, bkt, "
+        "LEAST(1.0, 0.3 * LEAST(2.0, GREATEST(0.2, n_tokens / 200.0))) AS p_accept "
+        "FROM d) "
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total, "
+        "CAST(SUM(CASE WHEN bkt < p_accept * 4096.0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_sampled "
+        "FROM p GROUP BY lang"
+    ),
+)
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted corpus sampling: each document's acceptance
+    probability scales with a quality proxy (clamped length weight,
+    base rate 0.3), decided deterministically by a salted md5 bucket —
+    the shape of quality-proportional data selection (DSIR-style
+    importance sampling) where the weights come from a scorer.
+
+    Scale shape: map-only accept/reject per row (no shuffle for the
+    decision — the sampler is a filter, not a join), one small-key
+    aggregation for the per-language report. Reproducible across
+    engines AND across runs: re-running selects the same documents, so
+    downstream dedup/packing stay stable."""
+    docs = load_table(spark, "documents", sf_dir)
+    bkt = _imp_bucket_col()
+    n_tokens = F.size(F.split(F.trim("text"), " "))
+    p_accept = F.least(
+        F.lit(1.0),
+        0.3 * F.least(F.lit(2.0), F.greatest(F.lit(0.2), n_tokens / F.lit(200.0))),
+    )
+    return (
+        docs.select(
+            "lang",
+            (bkt < p_accept * 4096.0).cast("int").alias("accepted"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("accepted").cast("bigint").alias("n_sampled"),
+        )
+    )

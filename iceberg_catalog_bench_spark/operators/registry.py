@@ -42,6 +42,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # order and may stop at a 50-query cap, so these MUST come first.
 PRIORITY: tuple[str, ...] = (
     "ddl_lifecycle",
+    "tokenizer_bpe_pair_counts",
+    "sample_importance_weighted",
     "pipeline_curate_full",
     "pipeline_pack_sequences",
     "text_unigram_logprob",

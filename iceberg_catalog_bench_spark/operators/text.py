@@ -686,3 +686,61 @@ def pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("kept_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@register(
+    "tokenizer_bpe_pair_counts",
+    oracle=(
+        # One BPE merge iteration: corpus-weighted adjacent-symbol-pair
+        # frequencies at the character level, top 20.
+        "WITH words AS (SELECT token AS word, COUNT(*) AS wc FROM ("
+        "SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents) "
+        "WHERE token <> '' GROUP BY token), "
+        "pairs AS (SELECT substr(word, i, 1) AS pair_left, "
+        "substr(word, i + 1, 1) AS pair_right, wc "
+        "FROM words, unnest(generate_series(1, length(word) - 1)) AS t(i) "
+        "WHERE length(word) >= 2) "
+        "SELECT pair_left, pair_right, CAST(SUM(wc) AS BIGINT) AS pair_count "
+        "FROM pairs GROUP BY pair_left, pair_right "
+        "ORDER BY pair_count DESC, pair_left, pair_right LIMIT 20"
+    ),
+)
+def tokenizer_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One iteration of distributed BPE tokenizer training: count
+    adjacent character-pair frequencies across the corpus, weighted by
+    word frequency — the argmax pair is the next BPE merge. Returns
+    the top-20 candidate merges.
+
+    Scale shape (the step Sennrich-BPE trainers distribute): pass 1
+    reduces the corpus to the WORD VOCABULARY (map-side partial
+    count, shuffle is vocab-sized); pass 2 explodes each vocab entry
+    into its symbol pairs — O(vocab × word-length) work on the
+    already-reduced table, never on raw documents — and partial-sums
+    again. Both shuffles carry (symbol-pair, count), so a 100 TB
+    corpus costs one corpus scan plus vocab-sized exchanges; top-20 is
+    TakeOrderedAndProject."""
+    words = (
+        load_table(spark, "documents", sf_dir)
+        .select(F.explode(_tokens()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), "
+                "i -> struct(substring(word, i, 1) AS l, substring(word, i + 1, 1) AS r))"
+            )
+        ).alias("p"),
+        "wc",
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.l").alias("pair_left"), F.col("p.r").alias("pair_right")
+        )
+        .agg(F.sum("wc").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair_left", "pair_right")
+        .limit(20)
+    )

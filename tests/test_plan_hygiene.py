@@ -91,6 +91,7 @@ def test_text_corpus_ops_stay_jvm_side(spark, oracle_sf_dir):
         "text_pii_redaction", "doc_length_histogram",
         "corpus_contamination_check", "text_unigram_logprob",
         "pipeline_curate_full", "grouping_sets_revenue", "regexp_functions_suite",
+        "tokenizer_bpe_pair_counts", "sample_importance_weighted",
     ):
         plan = (
             registry.QUERIES[name](spark, oracle_sf_dir)
