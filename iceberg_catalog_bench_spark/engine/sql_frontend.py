@@ -233,9 +233,12 @@ class SqlEngine:
         s = re.sub(r"(?i)identifier\s*\(\s*'([^']+)'\s*\)", r"\1", s)
         # ANSI/Snowflake double-quoted identifier segments
         # (snowflake.sql:223: ...CATALOGLINKEDNAMESPACE."sales_events") —
-        # normalize to bare names (string literals are single-quoted, so
-        # double quotes only ever wrap identifiers here)
-        s = re.sub(r'"(\w+)"', r"\1", s)
+        # normalize to bare names, but only OUTSIDE single-quoted string
+        # literals (a literal may legitimately contain double quotes)
+        s = "'".join(
+            re.sub(r'"(\w+)"', r"\1", seg) if i % 2 == 0 else seg
+            for i, seg in enumerate(s.split("'"))
+        )
         head = s.split(None, 1)[0].lower() if s else ""
         handlers = {
             "create": self._create,

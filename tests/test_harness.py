@@ -397,3 +397,12 @@ def test_catalog_linked_database_flow(engine):
         assert engine.execute("SHOW CATALOG INTEGRATIONS")[0].rows == []
     finally:
         server.stop()
+
+
+def test_double_quotes_inside_string_literals_survive(engine):
+    """Identifier-quote normalization must not touch double quotes
+    INSIDE single-quoted string literals."""
+    engine.execute("CREATE TABLE qt (id bigint, msg string)")
+    engine.execute("INSERT INTO qt VALUES (1, 'say \"hi\" there')")
+    rows = engine.execute('SELECT msg FROM "qt" WHERE id = 1')[0].rows
+    assert rows == [{"msg": 'say "hi" there'}]
