@@ -38,8 +38,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # Queries lacking a green driver row after rounds 1-2 (VERDICT.md r2
 # item 1): 15 never driver-run plus 2 stale ``no_oracle`` re-runs whose
-# bounded-error oracles now exist. The driver executes queries in dict
-# order and may stop at a 50-query cap, so these MUST come first.
+# bounded-error oracles now exist, plus round-3 additions
+# (ddl_lifecycle, tokenizer_bpe_pair_counts, sample_importance_weighted).
+# The driver executes queries in dict order and may stop at a 50-query
+# cap, so these MUST come first. REFRESH EACH ROUND: rebuild this tuple
+# from the union of CORRECTNESS_r*.json — never-green and newly-added
+# queries first, everything already green after.
 PRIORITY: tuple[str, ...] = (
     "ddl_lifecycle",
     "tokenizer_bpe_pair_counts",
