@@ -490,11 +490,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the exact all-pairs SQL, so LSH completeness is
     itself gated: a pair at the observed top-20 cutoff (cos ≈ 0.43,
     plane-agreement p ≈ 0.64) escapes all 48 tables with
-    (1 − p³)⁴⁸ ≈ 4e-7. On this near-uniform corpus most random pairs
-    also collide somewhere (worst case for LSH — no structure), but on
-    a real near-dup corpus (cos ≥ 0.9 → p ≥ 0.85) the same banding
-    passes ~0.2% of random pairs while missing ~0 true pairs: candidate
-    cost tracks duplicate density, not n²."""
+    (1 − p³)⁴⁸ ≈ 4e-7.
+
+    BAND WIDTH IS THE SCALE KNOB: 3 bits/table is tuned to THIS
+    corpus (~1k near-uniform vectors, 0.43 similarity floor — random
+    pairs collide somewhere at 3 bits, which is unavoidable when the
+    targets themselves are barely above random). Production near-dup
+    detection (cos ≥ 0.85) at n vectors needs bits ≈ log2(n /
+    bucket_target): `scripts/embedding_dedup_probe.py` MEASURES
+    16 bits × 48 tables at 51k vectors with planted cos-0.93 dups —
+    recall 0.995, zero spurious pairs, candidate volume 1.5e-3 of all
+    pairs, 26s on local[32] (BASELINE.md). With bits sized to n,
+    candidate cost tracks duplicate density, not n²."""
     from ..functions import cosine_similarity, lsh_band_buckets_arrow as lsh_band_buckets
 
     emb = (
