@@ -208,7 +208,15 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     With 16×2 banding the miss probability at j≥0.8 is ~7e-8, so the
     verified output equals the exact operator's — the oracle is the
     same exact-Jaccard SQL, making the approximation's completeness
-    itself part of the correctness gate."""
+    itself part of the correctness gate.
+
+    Bands × rows is the scale knob (same rule as the embedding
+    banding's bit width): r=2 keeps random-pair collisions ≈ j²·16
+    — fine at test SF and measured fine at 50k docs
+    (scripts/dedup_scale_probe.py, recall 1.0 in 19s) — but at
+    billions of documents raise rows-per-band (r=4-8 with more
+    permutations) so the S-curve crosses near the 0.8 threshold and
+    the candidate volume keeps tracking duplicate density, not n²."""
     sh = _doc_shingles(spark, sf_dir).cache()
     sig = sh.groupBy("doc_id").agg(
         *[
