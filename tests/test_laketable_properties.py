@@ -195,3 +195,76 @@ def test_mor_dml_sequence_matches_pandas_model(spark, tmp_path_factory, ops):
         .astype({"id": "int64", "v": "int64"})
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# op = ("append", [(k, v)...]) | ("del_keys", [k...]) | ("upsert", [(k, v)...])
+#    | ("rename", ) — rename flips the key column name back and forth
+_EQ_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"),
+                  st.lists(st.tuples(st.integers(0, 19), st.integers(0, 99)),
+                           min_size=1, max_size=5)),
+        st.tuples(st.just("del_keys"),
+                  st.lists(st.integers(0, 19), min_size=1, max_size=4, unique=True)),
+        st.tuples(st.just("upsert"),
+                  st.lists(st.tuples(st.integers(0, 19), st.integers(0, 99)),
+                           min_size=1, max_size=4,
+                           unique_by=lambda kv: kv[0])),
+        st.tuples(st.just("rename"), st.just(None)),
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(ops=_EQ_OPS)
+def test_equality_deletes_survive_renames_model(spark, tmp_path_factory, ops):
+    """Random interleavings of appends, equality deletes, CDC upserts,
+    and KEY-COLUMN RENAMES must agree with a dict model — the field-id
+    binding (rename rewrites pending tombstones' key names, frozen
+    physical file columns) can't lose or resurrect rows, and the final
+    read must bind whatever the key is currently called."""
+    d = str(tmp_path_factory.mktemp("eqprop") / "t")
+    t = LakeTable.create(spark, d, "k bigint, v bigint",
+                         partition_by=["bucket(4, k)"])
+    names = ["k", "kk"]
+    cur = 0  # index into names
+    # model: multiset of rows per key — append can stack duplicates
+    model: dict[int, list[int]] = {}
+
+    wrote = False
+    for op, arg in ops:
+        key = names[cur]
+        if op == "append":
+            t.append(spark.createDataFrame(arg, f"{key} bigint, v bigint"))
+            wrote = True
+            for k, v in arg:
+                model.setdefault(k, []).append(v)
+        elif op == "del_keys":
+            if not wrote:
+                continue  # the API refuses deletes before any snapshot
+            t.delete_by_keys(spark.createDataFrame([(k,) for k in arg], f"{key} bigint"))
+            for k in arg:
+                model.pop(k, None)
+        elif op == "upsert":
+            t.upsert_by_keys(
+                spark.createDataFrame(arg, f"{key} bigint, v bigint"), on=[key]
+            )
+            wrote = True
+            for k, v in arg:
+                model[k] = [v]
+        else:  # rename
+            t.rename_column(names[cur], names[1 - cur])
+            cur = 1 - cur
+
+    key = names[cur]
+    got: dict[int, list[int]] = {}
+    for r in t.read().collect():
+        got.setdefault(r[key], []).append(r["v"])
+    want = {k: sorted(vs) for k, vs in model.items()}
+    assert {k: sorted(vs) for k, vs in got.items()} == want
