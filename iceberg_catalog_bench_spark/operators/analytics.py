@@ -1,0 +1,201 @@
+"""Event-analytics operators — funnel conversion, cohort retention,
+and time-bucket (OHLC) resampling over the events stream.
+
+These are the product-analytics shapes (Amplitude/Mixpanel-style
+funnels, weekly retention triangles, time-series downsampling) a
+warehouse team runs daily on event tables; the reference's event
+fixtures (`blob-dfs_bench.py` events generator, sales_events plan)
+stop at windowed aggregates, so these extend the same table with the
+sequential/temporal semantics Spark expresses via windows.
+
+Scale notes (100 TB events):
+- Funnel and retention both reduce to ONE shuffle keyed by user_id
+  (plus a tiny final agg). Per-user event counts are bounded in
+  practice, so partitions stay balanced; there is no per-stage
+  self-join (the naive funnel formulation joins events to events
+  k-1 times — quadratic in the worst key).
+- OHLC resampling is a pure two-level groupBy with map-side partial
+  aggregation; ties at equal timestamps are pre-reduced by event_id
+  so open/close are deterministic on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .registry import register
+
+
+@register(
+    "events_funnel_conversion",
+    oracle=(
+        # Stage k's first-touch must be strictly after stage k-1's
+        # first-touch for the same user (classic ordered funnel).
+        "WITH s AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS st "
+        "FROM events WHERE event_type = 'signup' GROUP BY user_id), "
+        "v AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS vt "
+        "FROM events e JOIN s ON e.user_id = s.user_id "
+        "WHERE e.event_type = 'view' AND CAST(e.ts AS TIMESTAMP) > s.st "
+        "GROUP BY e.user_id), "
+        "p AS (SELECT e.user_id FROM events e JOIN v ON e.user_id = v.user_id "
+        "WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > v.vt "
+        "GROUP BY e.user_id) "
+        "SELECT (SELECT COUNT(*) FROM s) AS users_signup, "
+        "(SELECT COUNT(*) FROM v) AS users_viewed, "
+        "(SELECT COUNT(*) FROM p) AS users_purchased, "
+        "ROUND((SELECT COUNT(*) FROM v) * 1.0 / (SELECT COUNT(*) FROM s), 4) "
+        "AS view_rate, "
+        "ROUND((SELECT COUNT(*) FROM p) * 1.0 / (SELECT COUNT(*) FROM v), 4) "
+        "AS purchase_rate"
+    ),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → view → purchase: users whose first view
+    is strictly after their first signup, and first purchase strictly
+    after that view.
+
+    Plan shape: one shuffle on user_id, one time sort, two window
+    passes over the SAME partitioning (Spark reuses the sort — no
+    second exchange). The running ``min(signup ts)`` at a view row
+    equals the user's global first signup whenever any signup precedes
+    the view, so the strict ``ts > first_signup`` window predicate is
+    exactly the oracle's join condition; same argument one stage down
+    for purchases. The naive alternative (events self-joined per
+    stage) is quadratic on hot users — this shape is linear."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = ev.withColumn(
+        "sig_ts", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    ).withColumn(
+        "is_view_after",
+        (F.col("event_type") == "view") & (F.col("ts") > F.col("sig_ts")),
+    )
+    staged = staged.withColumn(
+        "fv_ts", F.min(F.when(F.col("is_view_after"), F.col("ts"))).over(w)
+    ).withColumn(
+        "is_purchase_after",
+        (F.col("event_type") == "purchase") & (F.col("ts") > F.col("fv_ts")),
+    )
+    agg = staged.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "signup", F.col("user_id"))
+        ).alias("users_signup"),
+        F.countDistinct(F.when(F.col("is_view_after"), F.col("user_id"))).alias(
+            "users_viewed"
+        ),
+        F.countDistinct(F.when(F.col("is_purchase_after"), F.col("user_id"))).alias(
+            "users_purchased"
+        ),
+    )
+    return agg.select(
+        "users_signup",
+        "users_viewed",
+        "users_purchased",
+        F.round(F.col("users_viewed") / F.col("users_signup"), 4).alias("view_rate"),
+        F.round(F.col("users_purchased") / F.col("users_viewed"), 4).alias(
+            "purchase_rate"
+        ),
+    )
+
+
+@register(
+    "retention_cohort_weekly",
+    oracle=(
+        # Cohort = ISO week (Monday-truncated) of the user's first
+        # event; a cell counts users from that cohort active in week
+        # cohort+offset. Both engines truncate weeks to Monday 00:00.
+        "WITH a AS (SELECT DISTINCT user_id, "
+        "date_trunc('week', CAST(ts AS TIMESTAMP)) AS aw FROM events), "
+        "f AS (SELECT user_id, MIN(aw) AS cw FROM a GROUP BY user_id) "
+        "SELECT f.cw AS cohort_week, "
+        "CAST((epoch(a.aw) - epoch(f.cw)) / 604800 AS INT) AS week_offset, "
+        "COUNT(*) AS users "
+        "FROM a JOIN f ON a.user_id = f.user_id "
+        "GROUP BY cohort_week, week_offset"
+    ),
+)
+def retention_cohort_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by the week of their
+    first event, counted in each subsequent week they were active.
+
+    Plan shape: distinct (user, week) — the only shuffle that scales
+    with raw volume; the cohort min and the activity join both key on
+    user_id, so they reuse one hash partitioning; the final cell agg
+    is over |users| × |weeks| rows, tiny. Week truncation is monotone
+    in ts, so min(activity week) IS the first-event week — no second
+    pass over raw events."""
+    a = (
+        load_table(spark, "events", sf_dir)
+        .select("user_id", F.date_trunc("week", F.col("ts")).alias("aw"))
+        .distinct()
+    )
+    f = a.groupBy("user_id").agg(F.min("aw").alias("cw"))
+    return (
+        a.join(f, "user_id")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            (
+                (F.unix_timestamp("aw") - F.unix_timestamp("cw")) / 604800
+            ).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("users"))
+    )
+
+
+@register(
+    "events_resample_ohlc",
+    oracle=(
+        # Equal-timestamp ties are pre-reduced to the min/max event_id
+        # image so open/close are deterministic (same device as the
+        # as-of join oracle in temporal.py).
+        "WITH r AS (SELECT event_type, "
+        "date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bh, "
+        "CAST(ts AS TIMESTAMP) AS ts, "
+        "arg_min(value, event_id) AS o_val, arg_max(value, event_id) AS c_val, "
+        "SUM(value) AS sv, COUNT(*) AS cnt, MAX(value) AS hi, MIN(value) AS lo "
+        "FROM events GROUP BY event_type, bh, ts) "
+        "SELECT event_type, bh AS bucket_hour, "
+        "ROUND(arg_min(o_val, ts), 4) AS open, ROUND(MAX(hi), 4) AS high, "
+        "ROUND(MIN(lo), 4) AS low, ROUND(arg_max(c_val, ts), 4) AS close, "
+        "CAST(SUM(cnt) AS BIGINT) AS volume, ROUND(SUM(sv), 2) AS total "
+        "FROM r GROUP BY event_type, bucket_hour"
+    ),
+)
+def events_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC resample per event type: open/high/low/close of
+    ``value`` plus volume — the time-series downsampling every metrics
+    store (and every hypertable continuous aggregate) performs.
+
+    Plan shape: ONE groupBy on (event_type, hour) with full map-side
+    partial aggregation — min_by/max_by ordered by the (ts, event_id)
+    struct pick open/close JVM-side and combine associatively, so the
+    shuffle carries one partial row per (type, hour) per map task, not
+    the raw events. (The oracle is two-level only because DuckDB's
+    arg_min can't order by a struct.) No window, no sort of the full
+    bucket. At 100 TB this is the rollup you'd run per ingest batch
+    and store keyed by (type, hour) for pruned reads."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", "ts", "event_id", "value"
+    )
+    tie = F.struct("ts", "event_id")
+    return (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_hour"))
+        .agg(
+            F.round(F.min_by("value", tie), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", tie), 4).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("volume"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )

@@ -46,6 +46,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # queries first, everything already green after.
 PRIORITY: tuple[str, ...] = (
     "ddl_lifecycle",
+    "events_funnel_conversion",
+    "retention_cohort_weekly",
+    "events_resample_ohlc",
     "tokenizer_bpe_pair_counts",
     "sample_importance_weighted",
     "pipeline_curate_full",
@@ -82,6 +85,7 @@ def load_all() -> None:
     from . import similarity  # noqa: F401
     from . import dedup  # noqa: F401
     from . import temporal  # noqa: F401
+    from . import analytics  # noqa: F401
     from . import multimodal  # noqa: F401
     from ..streaming import events  # noqa: F401
     from ..sources import datagen  # noqa: F401
