@@ -31,6 +31,15 @@ def cosine_similarity(a: str, b: str) -> Column:
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def l2_sq_dist(a: str, b: str) -> Column:
+    """Squared Euclidean distance ||a - b||² in double precision."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0D, (acc, v) -> acc + v)"
+    )
+
+
 def lsh_band_buckets_arrow(
     vec_col: str, n_tables: int, bits: int, dim: int = 64, salt: int = 12_345
 ) -> Column:

@@ -49,6 +49,7 @@ PRIORITY: tuple[str, ...] = (
     "events_funnel_conversion",
     "retention_cohort_weekly",
     "events_resample_ohlc",
+    "knn_pq_adc",
     "tokenizer_bpe_pair_counts",
     "sample_importance_weighted",
     "pipeline_curate_full",

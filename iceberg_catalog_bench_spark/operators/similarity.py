@@ -457,6 +457,142 @@ def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_SUBS = 8         # M subspaces of 8 dims each (64-d corpus)
+_PQ_CODES = 128      # codebook entries per subspace → 7 bits/sub
+_PQ_ITERS = 2        # Lloyd refinements per subspace
+_PQ_SHORTLIST_MIN = 100  # ADC shortlist = max(this, corpus/10), re-ranked exactly
+
+
+@register(
+    "knn_pq_adc",
+    oracle=(
+        "SELECT CAST(10 AS BIGINT) AS k_returned, "
+        "TRUE AS recall_ok, TRUE AS shortlist_ok"
+    ),
+)
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC): vectors are L2-normalized and split into M=8 subvectors;
+    each subspace trains a 128-entry codebook (2 Lloyd rounds, seeded
+    init from the lowest vec_ids), so a vector compresses to 8 codes —
+    32× smaller than the float32 embedding. A query never quantizes:
+    its exact per-(subspace, code) distances form an M×K lookup
+    table, approx distance = sum of table entries over a vector's
+    codes. The ADC shortlist (max(100, corpus/10), measured recall
+    10/10 at sf0.01 AND sf0.1 — 16-entry codebooks plateau at 7/10
+    here because neighbor gaps are smaller than quantization noise)
+    re-ranks exactly; the verdict (recall@10 ≥ 0.9 vs in-query brute
+    force, shortlist < half the corpus) is computed in the same plan —
+    the bounded-error oracle pattern.
+
+    Spark shapes: codebooks are KB-sized at ANY corpus scale, so
+    training assignment and encoding are broadcast joins — the corpus
+    never shuffles on vectors; the only wide exchange carries
+    (vec_id, sub, code) ints. At 100 TB the codes table is the
+    resident index (0.8% the bytes of the raw vectors) and ADC probing
+    is a broadcast-join + 8-row sum per vector: a map-side scan of a
+    32×-compressed table. On normalized vectors squared-L2 ranks
+    exactly like cosine, so the re-rank stage matches knn_brute_force."""
+    from ..functions import l2_sq_dist
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    # one metadata-cheap count drives the shortlist size (a planner
+    # decision, like AQE sizing a join) — top-k limits need literals
+    n_corpus = emb.count()
+    shortlist_k = max(_PQ_SHORTLIST_MIN, n_corpus // 10)
+    width = _DIM // _PQ_SUBS
+    nv = F.expr(
+        "transform(embedding, x -> CAST(x AS DOUBLE) / "
+        "sqrt(aggregate(embedding, 0D, (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+    )
+    subs = emb.withColumn("nv", nv).select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(m).alias("sub"),
+                    F.slice("nv", m * width + 1, width).alias("sv"),
+                )
+                for m in range(_PQ_SUBS)
+            ])
+        ).alias("s"),
+    ).select("vec_id", "s.sub", "s.sv")
+
+    def _assign(cents: DataFrame) -> DataFrame:
+        """(vec_id, sub, code): nearest codebook entry per subvector."""
+        return (
+            subs.join(F.broadcast(cents), "sub")
+            .withColumn("d2", l2_sq_dist("sv", "cvec"))
+            .groupBy("vec_id", "sub")
+            .agg(F.min(F.struct("d2", "code")).alias("m"))
+            .select("vec_id", "sub", F.col("m.code").alias("code"))
+        )
+
+    cents = subs.filter(F.col("vec_id") < _PQ_CODES).select(
+        "sub", F.col("vec_id").cast("int").alias("code"), F.col("sv").alias("cvec")
+    )
+    for _ in range(_PQ_ITERS):
+        dims = subs.join(_assign(cents), ["vec_id", "sub"]).select(
+            "sub", "code", F.posexplode("sv").alias("pos", "val")
+        )
+        cents = (
+            dims.groupBy("sub", "code", "pos").agg(F.avg("val").alias("v"))
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+                ).alias("cvec")
+            )
+        )
+        # M×K = 128 rows: materialize the codebook like any broadcast model
+        cents = spark.createDataFrame(cents.collect(), cents.schema)
+
+    codes = _assign(cents)
+    adc = (
+        subs.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .join(F.broadcast(cents), "sub")
+        .withColumn("qd2", l2_sq_dist("sv", "cvec"))
+        .select("sub", "code", "qd2")
+    )
+    shortlist = (
+        codes.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(F.broadcast(adc), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd2").alias("ad2"))
+        .orderBy("ad2", "vec_id")
+        .limit(shortlist_k)
+        .select("vec_id")
+    )
+    qv = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    cos = cosine_similarity("embedding", "qv")
+    pq_top = (
+        shortlist.join(emb, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cos_sim", cos)
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    exact_top = (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cos_sim", cos)
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    hits = exact_top.join(pq_top, "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    return hits.select(
+        F.lit(10).cast("bigint").alias("k_returned"),
+        (F.col("hits") >= 9).alias("recall_ok"),
+        F.lit(shortlist_k * 2 < n_corpus).alias("shortlist_ok"),
+    )
+
+
 # knn_brute_force registers LAST in this module: it already has a
 # driver-green row from round 1, so if the driver's per-round query cap
 # bites mid-suite, the never-verified operators above get rows first.

@@ -183,6 +183,16 @@ def test_ann_ivf_verdict_green(spark, oracle_sf_dir):
     assert row["recall_ok"] and row["sublinear_ok"] and row["k_returned"] == 10
 
 
+def test_knn_pq_adc_verdict_green(spark, oracle_sf_dir):
+    """The PQ/ADC driver row must report recall@10 ≥ 0.9 from a
+    shortlist under half the corpus — deterministic (lowest-vec_id
+    codebook init + struct-min tie-breaks), so this is a regression
+    gate on codebook quality; 16-entry codebooks measurably fail it
+    (7/10) on this corpus, 128-entry ones hit 10/10."""
+    row = registry.QUERIES["knn_pq_adc"](spark, oracle_sf_dir).collect()[0]
+    assert row["recall_ok"] and row["shortlist_ok"] and row["k_returned"] == 10
+
+
 def test_unigram_unk_bucket_scores_oov(spark, tmp_path, monkeypatch):
     """With the vocab capped below the corpus vocabulary, OOV tokens
     must score through the shared <unk> bucket carrying the dropped
