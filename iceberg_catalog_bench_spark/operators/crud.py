@@ -729,3 +729,98 @@ def cdc_equality_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum("o_totalprice"), 2).cast("double").alias("sum_price"),
     )
+
+
+@register(
+    "mv_incremental_maintenance",
+    oracle=(
+        # Full recompute of the final base state in pure SQL: the three
+        # change batches are deterministic orders slices — init + insert
+        # = o_orderkey % 5 <= 3, delete removes % 11 = 0, and the
+        # update multiplied 'F'-status % 7 = 0 rows by 1.1. The QUERY
+        # side never recomputes: it returns the delta-maintained MV, so
+        # a wrong delta (or a missed change) mismatches here. Revenue
+        # is exact integer CENTS: a double running sum accumulates ±fp
+        # error across deltas and lands a cent off the full recompute
+        # (measured at sf0.01) — the classic reason incremental engines
+        # maintain aggregates in decimals, not floats.
+        "SELECT o_orderstatus, COUNT(*) AS n_orders, "
+        "CAST(SUM(CAST(ROUND(CASE WHEN o_orderstatus = 'F' AND o_orderkey % 7 = 0 "
+        "THEN o_totalprice * 1.1 ELSE o_totalprice END * 100) AS BIGINT)) AS BIGINT) "
+        "AS revenue_cents "
+        "FROM orders WHERE o_orderkey % 5 <= 3 AND o_orderkey % 11 <> 0 "
+        "GROUP BY o_orderstatus"
+    ),
+)
+def mv_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance from the snapshot
+    changelog: a revenue-per-status MV (itself a LakeTable) is kept
+    current across an append, a copy-on-write UPDATE, and a DELETE by
+    applying ONLY the per-batch net changes — ``changelog()``'s
+    insert/delete rows aggregated into per-key deltas and upserted into
+    the MV. The returned DataFrame is the maintained MV; the oracle
+    recomputes the final aggregate from scratch, so the row goes red if
+    any delta is wrong, missed, or double-applied.
+
+    At 100 TB this is the continuous-aggregate refresh shape: each
+    refresh reads O(changed files) (the changelog diffs file states,
+    not the table), shuffles one delta row per touched key, and
+    upserts O(keys) rows — never rescanning the base table. The same
+    loop driven by streaming_cdc_upsert_laketable's sink makes it a
+    near-real-time rollup."""
+    od = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = LakeTable.create(
+        spark, _tmp_table_dir(),
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double",
+        partition_by=["bucket(8, o_orderkey)"],
+    )
+    s0 = base.append(od.filter(F.col("o_orderkey") % 5 < 3))
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    mv = LakeTable.create(
+        spark, _tmp_table_dir(),
+        "o_orderstatus string, n_orders bigint, revenue_cents bigint",
+    )
+    mv.append(
+        base.read().groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+    )
+
+    def refresh(from_id: int, to_id: int) -> None:
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+        delta = (
+            base.changelog(from_id, to_id)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.sum(sign).alias("dn"),
+                F.sum(sign * cents).alias("dr"),
+            )
+        )
+        merged = (
+            mv.read().join(delta, "o_orderstatus", "full_outer")
+            .filter(F.col("dn").isNotNull())
+            .select(
+                "o_orderstatus",
+                (F.coalesce(F.col("n_orders"), F.lit(0)) + F.col("dn"))
+                .cast("bigint").alias("n_orders"),
+                (F.coalesce(F.col("revenue_cents"), F.lit(0)) + F.col("dr"))
+                .cast("bigint").alias("revenue_cents"),
+            )
+        )
+        mv.upsert_by_keys(merged, on=["o_orderstatus"])
+
+    s1 = base.append(od.filter(F.col("o_orderkey") % 5 == 3))
+    refresh(s0.snapshot_id, s1.snapshot_id)
+    s2 = base.update(
+        {"o_totalprice": "o_totalprice * 1.1"},
+        "o_orderstatus = 'F' AND o_orderkey % 7 = 0",
+    )
+    refresh(s1.snapshot_id, s2.snapshot_id)
+    s3 = base.delete_where("o_orderkey % 11 = 0")
+    refresh(s2.snapshot_id, s3.snapshot_id)
+
+    return mv.read().select("o_orderstatus", "n_orders", "revenue_cents")

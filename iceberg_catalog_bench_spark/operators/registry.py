@@ -50,6 +50,7 @@ PRIORITY: tuple[str, ...] = (
     "retention_cohort_weekly",
     "events_resample_ohlc",
     "knn_pq_adc",
+    "mv_incremental_maintenance",
     "tokenizer_bpe_pair_counts",
     "sample_importance_weighted",
     "pipeline_curate_full",
