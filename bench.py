@@ -56,6 +56,10 @@ HEADLINE = [
     # round 3: the LLM-curation capstone (decontaminate → dedup → gate
     # → pack per (lang, shard)) as a tracked throughput number
     "pipeline_curate_full",
+    # round 3: event analytics — the sequential-semantics window shape
+    # (funnel) and the single-exchange partial-agg rollup (OHLC)
+    "events_funnel_conversion",
+    "events_resample_ohlc",
 ]
 
 
