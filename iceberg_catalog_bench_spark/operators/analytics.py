@@ -199,3 +199,137 @@ def events_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total"),
         )
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=(
+        # Quartile thresholds via linear-interpolated quantiles —
+        # Spark's percentile() and DuckDB's quantile_cont share the
+        # pos = p*(n-1) definition, and a customer can only EQUAL a
+        # threshold when the threshold IS a data point (fraction 0),
+        # where both formulas are exact — so <= bucketing is
+        # cross-engine deterministic.
+        "WITH cust AS (SELECT o_custkey, "
+        "date_diff('day', MAX(CAST(o_orderdate AS TIMESTAMP)), "
+        "(SELECT MAX(CAST(o_orderdate AS TIMESTAMP)) FROM orders)) AS rec, "
+        "COUNT(*) AS freq, SUM(o_totalprice) AS mon FROM orders GROUP BY o_custkey), "
+        "th AS (SELECT quantile_cont(rec, [0.25, 0.5, 0.75]) AS rq, "
+        "quantile_cont(freq, [0.25, 0.5, 0.75]) AS fq, "
+        "quantile_cont(mon, [0.25, 0.5, 0.75]) AS mq FROM cust) "
+        "SELECT "
+        "CASE WHEN rec <= rq[1] THEN 1 WHEN rec <= rq[2] THEN 2 "
+        "WHEN rec <= rq[3] THEN 3 ELSE 4 END AS r_score, "
+        "CASE WHEN freq <= fq[1] THEN 1 WHEN freq <= fq[2] THEN 2 "
+        "WHEN freq <= fq[3] THEN 3 ELSE 4 END AS f_score, "
+        "CASE WHEN mon <= mq[1] THEN 1 WHEN mon <= mq[2] THEN 2 "
+        "WHEN mon <= mq[3] THEN 3 ELSE 4 END AS m_score, "
+        "COUNT(*) AS n_customers "
+        "FROM cust, th GROUP BY r_score, f_score, m_score"
+    ),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency / frequency / monetary quartile scores
+    per customer, reported as segment-cell counts — the marketing-
+    analytics staple.
+
+    Plan shape: one customer-keyed aggregate, then quartile thresholds
+    as a 1-row broadcast (percentile() is an exact single-pass
+    aggregate here; at petabyte cardinalities swap in
+    percentile_approx and re-pin the oracle to its GK bounds) and a
+    map-side CASE bucketing — crucially NOT the ntile() formulation,
+    whose global sort serializes the whole customer set through one
+    window task at scale."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("o_totalprice").alias("mon"),
+        )
+        .withColumn("ref", F.max("last_order").over(Window.partitionBy()))
+        .withColumn("rec", F.datediff("ref", "last_order"))
+    )
+    th = cust.agg(
+        F.expr("percentile(rec, array(0.25, 0.5, 0.75))").alias("rq"),
+        F.expr("percentile(freq, array(0.25, 0.5, 0.75))").alias("fq"),
+        F.expr("percentile(mon, array(0.25, 0.5, 0.75))").alias("mq"),
+    )
+
+    def score(col: str, q: str):
+        return (
+            F.when(F.col(col) <= F.col(q)[0], 1)
+            .when(F.col(col) <= F.col(q)[1], 2)
+            .when(F.col(col) <= F.col(q)[2], 3)
+            .otherwise(4)
+        )
+
+    return (
+        cust.crossJoin(F.broadcast(th))
+        .select(
+            score("rec", "rq").alias("r_score"),
+            score("freq", "fq").alias("f_score"),
+            score("mon", "mq").alias("m_score"),
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=(
+        "WITH hourly AS (SELECT event_type, "
+        "date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bh, COUNT(*) AS cnt "
+        "FROM events GROUP BY event_type, bh), "
+        "w AS (SELECT event_type, bh, cnt, "
+        "AVG(cnt) OVER win AS mu, STDDEV_SAMP(cnt) OVER win AS sd, "
+        "COUNT(*) OVER win AS n_window FROM hourly "
+        "WINDOW win AS (PARTITION BY event_type ORDER BY bh "
+        "ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) "
+        "SELECT event_type, bh AS bucket_hour, cnt, "
+        "ROUND((cnt - mu) / NULLIF(sd, 0), 4) AS z, "
+        "(ABS((cnt - mu) / NULLIF(sd, 0)) > 3) AS is_anomaly "
+        "FROM w WHERE n_window = 24"
+    ),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly detection in batch: each (event_type,
+    hour) count is z-scored against its own trailing 24-hour window;
+    |z| > 3 flags the anomaly. The monitoring rollup every metrics
+    pipeline runs.
+
+    Plan shape: the raw stream reduces to (type, hour) granularity
+    FIRST (partial-agg groupBy — the only shuffle that sees raw
+    volume); the trailing window then runs over ~hours×types rows, so
+    the per-partition window sort is over series cells, never events.
+    At 100 TB the hourly rollup is what you'd persist (see
+    events_resample_ohlc) and this becomes a map-only pass over it."""
+    hourly = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_hour")
+        .rowsBetween(-24, -1)
+    )
+    z = (F.col("cnt") - F.avg("cnt").over(win)) / F.nullif(
+        F.stddev_samp("cnt").over(win), F.lit(0.0)
+    )
+    return (
+        hourly.withColumn("n_window", F.count(F.lit(1)).over(win))
+        .withColumn("z_raw", z)
+        .filter(F.col("n_window") == 24)
+        .select(
+            "event_type",
+            "bucket_hour",
+            "cnt",
+            F.round("z_raw", 4).alias("z"),
+            (F.abs(F.col("z_raw")) > 3).alias("is_anomaly"),
+        )
+    )

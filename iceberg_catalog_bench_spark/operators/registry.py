@@ -51,6 +51,10 @@ PRIORITY: tuple[str, ...] = (
     "events_resample_ohlc",
     "knn_pq_adc",
     "mv_incremental_maintenance",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+    "customer_rfm_segments",
+    "events_anomaly_zscore",
     "tokenizer_bpe_pair_counts",
     "sample_importance_weighted",
     "pipeline_curate_full",

@@ -565,3 +565,116 @@ def regexp_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(F.substring("text", 1, 40), "[aeiou]", "_").alias("devoweled_prefix"),
         F.col("text").rlike("table|index").alias("mentions_storage"),
     )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle=(
+        "SELECT n.n_name AS nation_name, "
+        "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+        "FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey "
+        "AND o.o_orderdate >= TIMESTAMP '1997-01-01' "
+        "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY n.n_name"
+    ),
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 proper — local-supplier volume: revenue by nation where
+    the customer and the line's supplier share a nation, restricted to
+    one region and one order year. Unlike the star-shaped
+    `join_multiway_region_revenue`, this is the 6-table plan with a
+    fact-fact join (lineitem ⋈ orders) AND a cross-dimension equality
+    (c_nationkey = s_nationkey) that join reordering must keep cheap.
+
+    Plan shape: region ⋈ nation pre-reduces to the ~5 Asian nations and
+    prunes SUPPLIER before any fact touches it (dim-first reduction);
+    supplier and nation broadcast; the only wide shuffles are
+    lineitem ⋈ orders and orders ⋈ customer on their natural keys. The
+    year filter lands on the orders scan (PushedFilters), cutting the
+    fact-fact shuffle ~7× before it happens."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    asia_nations = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle=(
+        "SELECT c.c_custkey, c.c_name, n.n_name AS nation_name, "
+        "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+        "FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "WHERE l.l_returnflag = 'R' "
+        "AND o.o_orderdate >= TIMESTAMP '1997-07-01' "
+        "AND o.o_orderdate < TIMESTAMP '1997-10-01' "
+        "GROUP BY c.c_custkey, c.c_name, nation_name "
+        "ORDER BY revenue DESC, c.c_custkey LIMIT 20"
+    ),
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 — returned-item reporting: the 20 customers who lost
+    the most revenue to returns in one quarter. Fact-fact join +
+    selective scan filters + grouped top-k.
+
+    Plan shape: the returnflag filter prunes lineitem at the scan
+    (~2/3 dropped) and the quarter filter prunes orders before the
+    fact-fact shuffle; nation broadcasts; the final top-20 is a
+    TakeOrderedAndProject over the grouped aggregate, ordered by the
+    ROUNDED revenue with c_custkey as tiebreak so ranking is
+    cross-engine deterministic."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-07-01") & (F.col("o_orderdate") < "1997-10-01")
+    ).select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
