@@ -243,15 +243,16 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir).select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )
-    cust = (
-        o.groupBy("o_custkey")
-        .agg(
-            F.max("o_orderdate").alias("last_order"),
-            F.count(F.lit(1)).alias("freq"),
-            F.sum("o_totalprice").alias("mon"),
-        )
-        .withColumn("ref", F.max("last_order").over(Window.partitionBy()))
-        .withColumn("rec", F.datediff("ref", "last_order"))
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("o_totalprice").alias("mon"),
+    )
+    # reference date as a broadcast scalar — NOT a global window, which
+    # would funnel every customer through one partition
+    ref = per_cust.agg(F.max("last_order").alias("ref"))
+    cust = per_cust.crossJoin(F.broadcast(ref)).withColumn(
+        "rec", F.datediff("ref", "last_order")
     )
     th = cust.agg(
         F.expr("percentile(rec, array(0.25, 0.5, 0.75))").alias("rq"),

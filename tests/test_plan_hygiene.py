@@ -130,3 +130,45 @@ def test_unigram_lm_broadcast_is_capped(spark, oracle_sf_dir):
 
     plan = _plan("text_unigram_logprob", spark, oracle_sf_dir)
     assert f"TakeOrderedAndProject(limit={_UNIGRAM_VOCAB_K}" in plan
+
+
+def test_tpch_q5_pushes_filters_and_broadcasts_dims(spark, oracle_sf_dir):
+    """Q5's year filter must reach the orders scan and the dim chain
+    (region→nation→supplier) must broadcast; the rounded-revenue agg
+    must keep map-side partials."""
+    plan = _plan("tpch_q5_local_supplier_volume", spark, oracle_sf_dir)
+    assert "GreaterThanOrEqual(o_orderdate," in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+
+
+def test_tpch_q10_scan_prune_and_topk(spark, oracle_sf_dir):
+    """Q10's returnflag filter must reach the lineitem scan and the
+    top-20 must be TakeOrderedAndProject, not a global sort."""
+    plan = _plan("tpch_q10_returned_items", spark, oracle_sf_dir)
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_funnel_single_window_sort(spark, oracle_sf_dir):
+    """Both funnel window passes must reuse ONE user-keyed sort (no
+    second exchange between them) and there must be no self-join."""
+    plan = _plan("events_funnel_conversion", spark, oracle_sf_dir)
+    assert plan.count("Sort [user_id") == 1
+    assert "Join" not in plan
+
+
+def test_ohlc_single_exchange_with_partial_agg(spark, oracle_sf_dir):
+    """OHLC must be one exchange with map-side partial min_by/max_by."""
+    plan = _plan("events_resample_ohlc", spark, oracle_sf_dir)
+    assert plan.count("Exchange") == 1
+    assert "partial_min_by" in plan
+
+
+def test_rfm_avoids_global_ntile_sort(spark, oracle_sf_dir):
+    """RFM must bucket via broadcast thresholds, not a global ntile
+    window (whose single-partition sort serializes the customer set)."""
+    plan = _plan("customer_rfm_segments", spark, oracle_sf_dir)
+    # no Window operator at all — neither ntile nor a global max window
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
