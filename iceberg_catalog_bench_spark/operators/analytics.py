@@ -334,3 +334,105 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("z_raw")) > 3).alias("is_anomaly"),
         )
     )
+
+
+@register(
+    "basket_part_affinity",
+    oracle=(
+        "WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+        "pc AS (SELECT l_partkey, COUNT(*) AS pcnt FROM b GROUP BY l_partkey), "
+        "n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM b), "
+        "pairs AS (SELECT a.l_partkey AS p1, c.l_partkey AS p2, "
+        "COUNT(*) AS pair_cnt FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey "
+        "AND a.l_partkey < c.l_partkey GROUP BY p1, p2) "
+        "SELECT p1, p2, pair_cnt, "
+        "ROUND(pair_cnt * n.n_orders * 1.0 / (x.pcnt * y.pcnt), 4) AS lift "
+        "FROM pairs JOIN pc x ON pairs.p1 = x.l_partkey "
+        "JOIN pc y ON pairs.p2 = y.l_partkey CROSS JOIN n "
+        "ORDER BY pair_cnt DESC, p1, p2 LIMIT 20"
+    ),
+)
+def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the 20 part pairs most often co-ordered,
+    with lift = P(p1,p2) / (P(p1)·P(p2)) — the retail co-occurrence
+    classic.
+
+    Plan shape: the within-order self-join is keyed on l_orderkey, so
+    the candidate blow-up is bounded by lines-per-order² (single
+    digits squared), NOT parts² — the same bounded-bucket discipline
+    as the n-gram dedup join. Part-frequency sides broadcast; top-20
+    is TakeOrderedAndProject on (count, p1, p2), cross-engine
+    deterministic."""
+    b = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pc = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("pcnt"))
+    n = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    left = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("p1"))
+    right = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        left.join(right, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+    return (
+        pairs.join(F.broadcast(pc.withColumnRenamed("pcnt", "c1")),
+                   pairs.p1 == F.col("l_partkey")).drop("l_partkey")
+        .join(F.broadcast(pc.withColumnRenamed("pcnt", "c2")),
+              F.col("p2") == F.col("l_partkey")).drop("l_partkey")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1", "p2", "pair_cnt",
+            F.round(
+                F.col("pair_cnt") * F.col("n_orders") / (F.col("c1") * F.col("c2")), 4
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("pair_cnt"), "p1", "p2")
+        .limit(20)
+    )
+
+
+@register(
+    "events_transition_matrix",
+    oracle=(
+        "WITH s AS (SELECT user_id, event_type, "
+        "LAG(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type FROM events) "
+        "SELECT prev_type, event_type, COUNT(*) AS cnt, "
+        "ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 4) "
+        "AS prob FROM s WHERE prev_type IS NOT NULL "
+        "GROUP BY prev_type, event_type"
+    ),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the per-user event
+    stream: P(next event type | previous) — the clickstream model
+    behind next-action prediction and funnel diagnosis.
+
+    Plan shape: one user-keyed window sort for lag(), then the count
+    aggregate reduces to |types|² cells; the row-normalizing window
+    runs over those 25 cells. Same single-wide-shuffle discipline as
+    the funnel — raw volume is sorted once, never self-joined."""
+    s = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("prev_type"),
+    )
+    cells = (
+        s.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return cells.select(
+        "prev_type",
+        "event_type",
+        "cnt",
+        F.round(
+            F.col("cnt") / F.sum("cnt").over(Window.partitionBy("prev_type")), 4
+        ).alias("prob"),
+    )

@@ -55,6 +55,8 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q10_returned_items",
     "customer_rfm_segments",
     "events_anomaly_zscore",
+    "basket_part_affinity",
+    "events_transition_matrix",
     "tokenizer_bpe_pair_counts",
     "sample_importance_weighted",
     "pipeline_curate_full",
