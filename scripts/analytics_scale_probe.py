@@ -38,6 +38,7 @@ QUERIES = [
     "events_resample_ohlc",
     "events_anomaly_zscore",
     "retention_cohort_weekly",
+    "events_transition_matrix",
 ]
 
 
