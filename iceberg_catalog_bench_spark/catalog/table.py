@@ -527,6 +527,24 @@ class LakeTable:
             df = df.sortWithinPartitions(*order)
 
         writer = df.write.mode("overwrite")
+        # Iceberg `write.parquet.bloom-filter-enabled.column.<col>`
+        # (TableProperties.PARQUET_BLOOM_FILTER_COLUMN_ENABLED_PREFIX):
+        # map to the parquet-mr writer options so equality lookups on
+        # high-cardinality, unsorted columns can skip row groups whose
+        # min/max span everything (where footer stats are useless). The
+        # optional `...bloom-filter-expected-ndv.column.<col>` sizes it.
+        props = self._meta.get("properties", {}) or {}
+        _BLOOM_ON = "write.parquet.bloom-filter-enabled.column."
+        _BLOOM_NDV = "write.parquet.bloom-filter-expected-ndv.column."
+        for k, v in props.items():
+            if k.startswith(_BLOOM_ON) and str(v).lower() == "true":
+                writer = writer.option(
+                    f"parquet.bloom.filter.enabled#{k[len(_BLOOM_ON):]}", "true"
+                )
+            elif k.startswith(_BLOOM_NDV):
+                writer = writer.option(
+                    f"parquet.bloom.filter.expected.ndv#{k[len(_BLOOM_NDV):]}", str(v)
+                )
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(out_dir)

@@ -804,3 +804,39 @@ def test_expire_snapshots_older_than(spark, tmp_path):
     kept = [s["snapshot_id"] for s in t._meta["snapshots"]]
     assert len(kept) == 2
     assert t.read().count() == 1 + 2 + 3 + 1 + 1
+
+
+def test_parquet_bloom_filter_property_writes_bloom(spark, tmp_path):
+    """`write.parquet.bloom-filter-enabled.column.<col>` (the Iceberg
+    table property) must reach the parquet writer: every data file's
+    footer carries a bloom filter offset for that column, and none for
+    columns not listed. Verified through parquet-mr's own footer
+    reader (pyarrow does not expose bloom offsets)."""
+    import os
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "bloom"), "user_id bigint, v double",
+        properties={
+            "write.parquet.bloom-filter-enabled.column.user_id": "true",
+            "write.parquet.bloom-filter-expected-ndv.column.user_id": "50000",
+        },
+    )
+    t.append(spark.range(50_000).selectExpr("id AS user_id", "id * 0.5 AS v"))
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    offsets = {}
+    for e in t._snapshot().files:
+        path = os.path.join(t.path, e.path)
+        inf = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            jvm.org.apache.hadoop.fs.Path(path), conf
+        )
+        rdr = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inf)
+        try:
+            for col in rdr.getFooter().getBlocks().get(0).getColumns():
+                offsets[col.getPath().toDotString()] = col.getBloomFilterOffset()
+        finally:
+            rdr.close()
+    assert offsets["user_id"] > 0, "bloom filter missing for enabled column"
+    assert offsets["v"] == -1, "bloom filter written for non-enabled column"
+    # reads are unaffected
+    assert t.read().filter("user_id = 4242").count() == 1
