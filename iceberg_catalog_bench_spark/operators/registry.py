@@ -57,6 +57,7 @@ PRIORITY: tuple[str, ...] = (
     "events_anomaly_zscore",
     "basket_part_affinity",
     "events_transition_matrix",
+    "sketch_hll_union_rollup",
     "tokenizer_bpe_pair_counts",
     "sample_importance_weighted",
     "pipeline_curate_full",

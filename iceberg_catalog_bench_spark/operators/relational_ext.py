@@ -678,3 +678,65 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "sketch_hll_union_rollup",
+    oracle=(
+        # The scalars the sketch must reproduce are exact SQL; the
+        # bound flags are pinned TRUE — at these cardinalities the
+        # lgK=12 HLL is in sparse mode and the 5% gate has ~1.6%-error
+        # headroom, so a red row means the sketch pipeline broke.
+        "SELECT CAST(COUNT(DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP))) "
+        "AS BIGINT) AS n_days, TRUE AS daily_within_bounds, "
+        "CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT) "
+        "AS merged_exact_users, TRUE AS merged_within_bounds FROM events"
+    ),
+)
+def sketch_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (the Apache DataSketches pattern Spark
+    4 ships natively): per-day distinct-user HLL sketches are built
+    ONCE, then the month total comes from ``hll_union_agg`` over the
+    30 daily sketches — never re-reading raw events. The in-plan
+    verdict checks every daily estimate AND the merged estimate
+    against exact distinct counts within the lgK=12 error budget.
+
+    This is THE cube/rollup trick at 100 TB: materialize kilobyte
+    sketches per (day, dim) cell and answer any coarser distinct-count
+    rollup by unioning cells — turning a full-data re-aggregation into
+    a metadata-sized merge. (`distinct_users_approx` gates the same
+    estimator per-group; this gates MERGEABILITY.)"""
+    ev = load_table(spark, "events", sf_dir).select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    per_day = daily.select(
+        "day", "exact_users",
+        F.expr("hll_sketch_estimate(sk)").alias("est_users"),
+    )
+    daily_ok = per_day.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.min(
+            (F.abs(F.col("est_users") - F.col("exact_users"))
+             <= F.col("exact_users") * 0.05)
+        ).alias("daily_within_bounds"),
+    )
+    merged = daily.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("merged_est")
+    )
+    merged_exact = ev.agg(F.countDistinct("user_id").alias("merged_exact_users"))
+    return (
+        daily_ok.crossJoin(merged).crossJoin(merged_exact)
+        .select(
+            "n_days",
+            "daily_within_bounds",
+            "merged_exact_users",
+            (
+                F.abs(F.col("merged_est") - F.col("merged_exact_users"))
+                <= F.col("merged_exact_users") * 0.05
+            ).alias("merged_within_bounds"),
+        )
+    )
