@@ -406,3 +406,40 @@ def test_double_quotes_inside_string_literals_survive(engine):
     engine.execute("INSERT INTO qt VALUES (1, 'say \"hi\" there')")
     rows = engine.execute('SELECT msg FROM "qt" WHERE id = 1')[0].rows
     assert rows == [{"msg": 'say "hi" there'}]
+
+
+def test_tblproperties_bloom_filter_reaches_writes(spark, tmp_path):
+    """The Iceberg bloom-filter table property set via SQL
+    TBLPROPERTIES must reach the parquet writer on INSERT (footer
+    bloom offset present, checked via parquet-mr)."""
+    import os
+
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE NAMESPACE IF NOT EXISTS nsb")
+    e.execute(
+        "CREATE TABLE nsb.t (user_id BIGINT, v DOUBLE) TBLPROPERTIES "
+        "('write.parquet.bloom-filter-enabled.column.user_id'='true')"
+    )
+    e.execute(
+        "INSERT INTO nsb.t VALUES "
+        + ", ".join(f"({i}, {i}.5)" for i in range(200))
+    )
+    t = e.table("nsb.t")
+    entry = t._snapshot().files[0]
+    jvm = spark._jvm
+    inf = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        jvm.org.apache.hadoop.fs.Path(os.path.join(t.path, entry.path)),
+        spark._jsc.hadoopConfiguration(),
+    )
+    rdr = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inf)
+    try:
+        cols = {
+            c.getPath().toDotString(): c.getBloomFilterOffset()
+            for c in rdr.getFooter().getBlocks().get(0).getColumns()
+        }
+    finally:
+        rdr.close()
+    assert cols["user_id"] > 0
+    assert cols["v"] == -1
