@@ -58,6 +58,7 @@ PRIORITY: tuple[str, ...] = (
     "basket_part_affinity",
     "events_transition_matrix",
     "sketch_hll_union_rollup",
+    "events_gapfill_locf",
     "tokenizer_bpe_pair_counts",
     "sample_importance_weighted",
     "pipeline_curate_full",
