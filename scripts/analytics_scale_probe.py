@@ -39,6 +39,7 @@ QUERIES = [
     "events_anomaly_zscore",
     "retention_cohort_weekly",
     "events_transition_matrix",
+    "events_gapfill_locf",
 ]
 
 
