@@ -508,3 +508,76 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("avg_value", ignorenulls=True).over(w).alias("locf_avg_value"),
         )
     )
+
+
+@register(
+    "attribution_last_touch",
+    oracle=(
+        # DuckDB native ASOF LEFT JOIN is the oracle; equal-ts touches
+        # pre-reduce to max event_id (temporal.py device) and a touch
+        # at the purchase's exact ts is eligible ("at-or-before").
+        "WITH t AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, "
+        "arg_max(event_type, event_id) AS ch FROM events "
+        "WHERE user_id < 50 AND event_type <> 'purchase' GROUP BY user_id, ts), "
+        "p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events "
+        "WHERE user_id < 50 AND event_type = 'purchase') "
+        "SELECT COALESCE(CASE WHEN p.ts - t.ts <= INTERVAL 7 DAY "
+        "THEN t.ch END, 'direct') AS channel, "
+        "COUNT(*) AS attributed_purchases, "
+        "ROUND(SUM(p.value), 2) AS attributed_revenue "
+        "FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND t.ts <= p.ts "
+        "GROUP BY channel"
+    ),
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase credits the
+    user's most recent non-purchase event within a 7-day lookback
+    ('direct' if none) — revenue and counts per channel.
+
+    Plan shape: the same union + last-non-null-window device as
+    `join_asof_last_purchase` — one shuffle on user_id, one time sort,
+    no range join, no per-key explosion; the lookback bound is a
+    map-side filter AFTER the as-of match, so expired touches fall to
+    'direct' without a second pass. user_id < 50 bounds the checked
+    slice like the other temporal oracles."""
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id") < 50)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+    )
+    touches = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("event_type", "event_id").alias("t_channel"))
+        .withColumn("t_ts", F.col("ts"))
+        .withColumn("isp", F.lit(0))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    ).withColumn("isp", F.lit(1))
+    merged = purchases.unionByName(touches, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "isp")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attributed = (
+        merged.withColumn("lt_channel", F.last("t_channel", ignorenulls=True).over(w))
+        .withColumn("lt_ts", F.last("t_ts", ignorenulls=True).over(w))
+        .filter(F.col("isp") == 1)
+        .withColumn(
+            "channel",
+            F.coalesce(
+                F.when(
+                    F.unix_micros("ts") - F.unix_micros("lt_ts")
+                    <= F.lit(7 * 86400 * 1_000_000),
+                    F.col("lt_channel"),
+                ),
+                F.lit("direct"),
+            ),
+        )
+    )
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("attributed_purchases"),
+        F.round(F.sum("value"), 2).alias("attributed_revenue"),
+    )

@@ -72,6 +72,8 @@ PRIORITY: tuple[str, ...] = (
     "events_resample_ohlc",
     "events_anomaly_zscore",
     "events_gapfill_locf",
+    "tpch_q8_market_share",
+    "attribution_last_touch",
     "events_transition_matrix",
     "customer_rfm_segments",
     "sketch_hll_union_rollup",

@@ -740,3 +740,80 @@ def sketch_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("merged_within_bounds"),
         )
     )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=(
+        # share-of-total per year: NATION_12 suppliers' slice of all
+        # PROMO-part revenue sold to ASIA customers. Integer cents for
+        # the numerator/denominator sums keep the ratio cross-engine
+        # exact (the mv_incremental_maintenance lesson).
+        "WITH rev AS (SELECT EXTRACT(year FROM o.o_orderdate) AS o_year, "
+        "CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS cents, "
+        "sn.n_name AS supp_nation "
+        "FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation cn ON c.c_nationkey = cn.n_nationkey "
+        "JOIN region r ON cn.n_regionkey = r.r_regionkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "JOIN nation sn ON s.s_nationkey = sn.n_nationkey "
+        "JOIN part p ON l.l_partkey = p.p_partkey "
+        "WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO') "
+        "SELECT CAST(o_year AS INT) AS o_year, "
+        "ROUND(SUM(CASE WHEN supp_nation = 'NATION_12' THEN cents ELSE 0 END) "
+        "* 1.0 / SUM(cents), 6) AS mkt_share "
+        "FROM rev GROUP BY o_year"
+    ),
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 — national market share: NATION_12's fraction of
+    PROMO-part revenue sold into ASIA, per order year. The 8-table
+    join with a conditional-share aggregate (CASE inside SUM over the
+    same rows — one pass, not two queries diffed).
+
+    Plan shape: all five dimensions (customer-nation-region chain,
+    supplier-nation, filtered part) broadcast; lineitem ⋈ orders is
+    the only fact-fact shuffle, pre-pruned by the PROMO part semi-join
+    (~1/6 of lineitem survives before the shuffle). Revenue sums in
+    integer cents so numerator/denominator — and therefore the rounded
+    ratio — are bit-identical across engines."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    asia_cust = c.join(
+        F.broadcast(
+            n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select("n_nationkey")
+        ),
+        c.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp_nat = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))),
+        s.s_nationkey == F.col("sk"),
+    ).select("s_suppkey", "supp_nation")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(asia_cust), o.o_custkey == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_nat), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            cents.alias("cents"),
+            "supp_nation",
+        )
+    )
+    return rev.groupBy(F.col("o_year").cast("int").alias("o_year")).agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_12", F.col("cents")).otherwise(F.lit(0)))
+            / F.sum("cents"),
+            6,
+        ).alias("mkt_share")
+    )
