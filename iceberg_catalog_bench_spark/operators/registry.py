@@ -74,6 +74,8 @@ PRIORITY: tuple[str, ...] = (
     "events_gapfill_locf",
     "tpch_q8_market_share",
     "attribution_last_touch",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_volume_customer",
     "events_transition_matrix",
     "customer_rfm_segments",
     "sketch_hll_union_rollup",

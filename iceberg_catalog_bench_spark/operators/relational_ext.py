@@ -817,3 +817,86 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mkt_share")
     )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle=(
+        "SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue, "
+        "CAST(COUNT(*) AS BIGINT) AS qualifying_lines FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01' "
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+    ),
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 — forecast revenue change: a pure filter-aggregate
+    whose entire predicate set (date range, discount band, quantity
+    cap) must reach the parquet scan as PushedFilters; the plan is one
+    scan + one partial/final agg, zero joins, zero wide shuffles —
+    the query that measures scan + pushdown efficiency and nothing
+    else."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("qualifying_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_volume_customer",
+    oracle=(
+        "WITH big AS (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey "
+        "HAVING SUM(l_quantity) > 150) "
+        "SELECT c.c_custkey, c.c_name, o.o_orderkey, "
+        "ROUND(o.o_totalprice, 2) AS o_totalprice, "
+        "ROUND(SUM(l.l_quantity), 2) AS total_qty "
+        "FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+        "GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice "
+        "ORDER BY o_totalprice DESC, o.o_orderkey LIMIT 25"
+    ),
+)
+def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 — large-volume customers: orders whose total line
+    quantity exceeds a threshold, top 25 by order value. The
+    semi-join-on-aggregate shape: the HAVING aggregate reduces
+    lineitem to qualifying orderkeys FIRST, and that (tiny) key set
+    semi-joins orders before any wide join runs — the aggregate acts
+    as its own join filter. Both lineitem passes shuffle on
+    l_orderkey, so AQE reuses one exchange; top-25 is
+    TakeOrderedAndProject on (rounded totalprice, orderkey)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 150)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
+    )
