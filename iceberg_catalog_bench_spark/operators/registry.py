@@ -76,6 +76,7 @@ PRIORITY: tuple[str, ...] = (
     "attribution_last_touch",
     "tpch_q6_forecast_revenue",
     "tpch_q18_large_volume_customer",
+    "streaming_ohlc_rollup",
     "events_transition_matrix",
     "customer_rfm_segments",
     "sketch_hll_union_rollup",

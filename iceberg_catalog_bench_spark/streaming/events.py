@@ -490,3 +490,60 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("c_event_id").alias("matched_clicks"),
         F.countDistinct("c_user_id").alias("matched_users"),
     )
+
+
+@register(
+    "streaming_ohlc_rollup",
+    oracle=(
+        # Batch OHLC restricted to watermark-finalized windows (end ≤
+        # max ts − 2h), ties pre-reduced per exact ts like the batch
+        # events_resample_ohlc oracle.
+        "WITH r AS (SELECT event_type, "
+        "date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bh, "
+        "CAST(ts AS TIMESTAMP) AS ts, "
+        "arg_min(value, event_id) AS o_val, arg_max(value, event_id) AS c_val, "
+        "SUM(value) AS sv, COUNT(*) AS cnt, MAX(value) AS hi, MIN(value) AS lo "
+        "FROM events GROUP BY event_type, bh, ts) "
+        "SELECT event_type, bh AS bucket_hour, "
+        "ROUND(arg_min(o_val, ts), 4) AS open, ROUND(MAX(hi), 4) AS high, "
+        "ROUND(MIN(lo), 4) AS low, ROUND(arg_max(c_val, ts), 4) AS close, "
+        "CAST(SUM(cnt) AS BIGINT) AS volume, ROUND(SUM(sv), 2) AS total "
+        "FROM r WHERE bh + INTERVAL 1 HOUR <= "
+        "(SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 2 HOUR "
+        "GROUP BY event_type, bucket_hour"
+    ),
+)
+def streaming_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-aggregate version of ``events_resample_ohlc``:
+    readStream → watermark(2h) → 1-hour tumbling windows with
+    min_by/max_by open/close (struct tie-break, same as batch) →
+    availableNow append into a parquet file sink. Append mode emits a
+    bar only when the watermark passes its window end, so the sink IS
+    the finalized OHLC table a live metrics store would serve; the
+    oracle is the batch rollup restricted to finalized windows.
+
+    Scale shape: state per (type, open-window) only — the stream's raw
+    volume is absorbed by the same partial aggregation as batch, and
+    each micro-batch writes finalized bars incrementally (this rollup
+    + mv_incremental_maintenance are the two halves of a continuous
+    aggregate: event-time finalization here, changelog-delta upkeep
+    there)."""
+    ev = _events_stream(spark, sf_dir)
+    tie = F.struct("ts", "event_id")
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.round(F.min_by("value", tie), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", tie), 4).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("volume"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select(
+            "event_type", F.col("w.start").alias("bucket_hour"),
+            "open", "high", "low", "close", "volume", "total",
+        )
+    )
+    return _run_to_file_sink(agg)
