@@ -527,24 +527,39 @@ class LakeTable:
             df = df.sortWithinPartitions(*order)
 
         writer = df.write.mode("overwrite")
-        # Iceberg `write.parquet.bloom-filter-enabled.column.<col>`
-        # (TableProperties.PARQUET_BLOOM_FILTER_COLUMN_ENABLED_PREFIX):
-        # map to the parquet-mr writer options so equality lookups on
+        # Iceberg bloom-filter table properties
+        # (TableProperties.PARQUET_BLOOM_FILTER_*): the upstream surface
+        # is `write.parquet.bloom-filter-enabled.column.<col>`,
+        # `write.parquet.bloom-filter-fpp.column.<col>`, and the global
+        # `write.parquet.bloom-filter-max-bytes`. Map each to its
+        # parquet-mr writer option so equality lookups on
         # high-cardinality, unsorted columns can skip row groups whose
-        # min/max span everything (where footer stats are useless). The
-        # optional `...bloom-filter-expected-ndv.column.<col>` sizes it.
+        # min/max span everything (where footer stats are useless).
+        # `...bloom-filter-expected-ndv.column.<col>` is a DELIBERATE
+        # EXTENSION beyond Iceberg's surface (parquet-mr sizes filters
+        # from NDV; Iceberg only exposes fpp/max-bytes) — kept because
+        # it is the direct sizing knob, named with the same prefix
+        # convention so it can't be mistaken for an upstream property.
         props = self._meta.get("properties", {}) or {}
         _BLOOM_ON = "write.parquet.bloom-filter-enabled.column."
+        _BLOOM_FPP = "write.parquet.bloom-filter-fpp.column."
         _BLOOM_NDV = "write.parquet.bloom-filter-expected-ndv.column."
+        _BLOOM_MAX = "write.parquet.bloom-filter-max-bytes"
         for k, v in props.items():
             if k.startswith(_BLOOM_ON) and str(v).lower() == "true":
                 writer = writer.option(
                     f"parquet.bloom.filter.enabled#{k[len(_BLOOM_ON):]}", "true"
                 )
+            elif k.startswith(_BLOOM_FPP):
+                writer = writer.option(
+                    f"parquet.bloom.filter.fpp#{k[len(_BLOOM_FPP):]}", str(v)
+                )
             elif k.startswith(_BLOOM_NDV):
                 writer = writer.option(
                     f"parquet.bloom.filter.expected.ndv#{k[len(_BLOOM_NDV):]}", str(v)
                 )
+            elif k == _BLOOM_MAX:
+                writer = writer.option("parquet.bloom.filter.max.bytes", str(v))
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(out_dir)

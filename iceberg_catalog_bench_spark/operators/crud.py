@@ -811,7 +811,15 @@ def mv_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint").alias("revenue_cents"),
             )
         )
-        mv.upsert_by_keys(merged, on=["o_orderstatus"])
+        # A group whose maintained count reaches 0 must LEAVE the MV —
+        # a full recompute would omit it entirely, so keeping an
+        # n_orders=0 row would diverge the moment a change batch
+        # drains a group. Split the delta: surviving groups upsert,
+        # emptied groups retract via equality delete (both O(delta)).
+        mv.upsert_by_keys(merged.filter(F.col("n_orders") > 0), on=["o_orderstatus"])
+        dead = merged.filter(F.col("n_orders") <= 0).select("o_orderstatus")
+        if dead.limit(1).count() > 0:
+            mv.delete_by_keys(dead)
 
     s1 = base.append(od.filter(F.col("o_orderkey") % 5 == 3))
     refresh(s0.snapshot_id, s1.snapshot_id)

@@ -36,56 +36,76 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Queries lacking a green driver row after rounds 1-2, ordered by
-# round-2 VERDICT demand first: the 15 never driver-run + 2 stale
-# ``no_oracle`` re-runs (cheap, the judge's explicit item 1) lead, so
-# even a time-capped driver pass closes them; round-3 additions follow
-# cheapest-first with the heavy index/MV builders last. The driver
-# executes queries in dict order and may stop at a 50-query cap.
-# REFRESH EACH ROUND: rebuild this tuple from the union of
-# CORRECTNESS_r*.json — never-green and newly-added queries first,
-# everything already green after.
+# Round-4 rotation. The r1+r2+r3 union is 130/130 green, so the
+# objective is FRESHNESS (VERDICT r3 item 1): first the
+# equality-delete/MoR family whose last green rows (r2) predate round
+# 3's field-id tombstone surgery on catalog/table.py; then every query
+# whose code changes THIS round (ADVICE fixes + hot-key hardening);
+# then the round-4 additions; then the 42 queries whose only green row
+# is round 1, least-trivial first so a 50-query cap drops only
+# checksum/limit-grade queries to round 5.
+# REFRESH EACH ROUND: rebuild from the union of CORRECTNESS_r*.json —
+# never-green and code-touched queries first, oldest-green next.
 PRIORITY: tuple[str, ...] = (
-    # -- round-2 tail (VERDICT r2 item 1) --
-    "pipeline_curate_full",
-    "pipeline_pack_sequences",
-    "text_unigram_logprob",
-    "corpus_contamination_check",
-    "corpus_mixture_weights",
-    "sample_stratified_by_lang",
-    "corpus_shard_manifest",
-    "corpus_split_train_val_test",
-    "corpus_shuffle_shards",
-    "text_pii_redaction",
-    "doc_length_histogram",
-    "top_tokens",
-    "text_repetition_scores",
-    "percentile_approx_by_group",
-    "distinct_users_approx",
-    "grouping_sets_revenue",
-    "regexp_functions_suite",
-    # -- round-3 additions, cheap first --
-    "tokenizer_bpe_pair_counts",
-    "sample_importance_weighted",
-    "events_funnel_conversion",
-    "retention_cohort_weekly",
-    "events_resample_ohlc",
-    "events_anomaly_zscore",
-    "events_gapfill_locf",
-    "tpch_q8_market_share",
-    "attribution_last_touch",
-    "tpch_q6_forecast_revenue",
-    "tpch_q18_large_volume_customer",
-    "streaming_ohlc_rollup",
-    "events_transition_matrix",
-    "customer_rfm_segments",
-    "sketch_hll_union_rollup",
-    "tpch_q10_returned_items",
-    "tpch_q5_local_supplier_volume",
-    "basket_part_affinity",
-    "ddl_lifecycle",
+    # -- equality-delete / MoR family (r3 VERDICT item 1) --
+    "cdc_equality_upsert",
+    "mor_delete_update_read",
+    "partitions_metadata",
+    "streaming_cdc_upsert_laketable",
+    "cdc_changelog",
+    # -- code changed in round 4 (ADVICE fixes + hot-key hardening) --
     "knn_pq_adc",
+    "streaming_ohlc_rollup",
     "mv_incremental_maintenance",
+    "events_funnel_conversion",
+    "events_transition_matrix",
+    # -- new in round 4 --
+    "mv_join_incremental_maintenance",
+    "tpcds_returned_ratio_by_date",
+    "tpcds_rollup_rolling_sales",
+    # -- r1-only-green backlog (stale two rounds), riskiest first --
+    "pivot_event_types",
+    "unpivot_part_metrics",
+    "json_extraction",
+    "window_topn_per_group",
+    "window_moving_average",
+    "window_running_sum",
+    "window_lag_delta",
+    "join_skew_salted",
+    "join_multiway_region_revenue",
+    "join_fact_fact",
+    "join_broadcast_dim",
+    "full_outer_join_sets",
+    "left_outer_join_orders",
+    "semi_anti_join",
+    "set_ops_customers",
+    "correlated_exists_subquery",
+    "scalar_subquery_above_avg",
+    "cube_aggregation",
+    "rollup_aggregation",
+    "conditional_aggregation",
+    "percentile_by_group",
+    "stats_aggregates",
+    "array_functions_suite",
+    "string_functions_suite",
+    "date_functions_suite",
+    "pricing_summary",
+    "shipping_priority_top10",
+    "range_pruned_agg",
+    "latest_event_top1",
+    "having_filter",
+    "distinct_pairs",
+    "distinct_users_exact",
+    "ordered_read",
+    "inlist_lookup",
+    "reagg_total",
+    "groupby_count",
+    "full_scan_projection",
+    "sum_checksum",
+    "revenue_checksum",
+    "point_lookup",
+    "limit_preview",
+    "count_star",
 )
 
 

@@ -586,8 +586,12 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = exact_top.join(pq_top, "vec_id", "left_semi").agg(
         F.count(F.lit(1)).alias("hits")
     )
-    return hits.select(
-        F.lit(10).cast("bigint").alias("k_returned"),
+    # k_returned is COUNTED from pq_top, not a literal: a shortlist or
+    # re-rank bug returning <10 rows now fails the oracle hash even
+    # when the 9-of-10 recall gate happens to pass.
+    k_returned = pq_top.agg(F.count(F.lit(1)).alias("k_returned"))
+    return hits.crossJoin(F.broadcast(k_returned)).select(
+        F.col("k_returned").cast("bigint").alias("k_returned"),
         (F.col("hits") >= 9).alias("recall_ok"),
         F.lit(shortlist_k * 2 < n_corpus).alias("shortlist_ok"),
     )

@@ -497,7 +497,10 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         # Batch OHLC restricted to watermark-finalized windows (end ≤
         # max ts − 2h), ties pre-reduced per exact ts like the batch
-        # events_resample_ohlc oracle.
+        # events_resample_ohlc oracle. The max ts is truncated to
+        # MILLISECONDS to mirror Spark's watermark, which is computed
+        # from ms-truncated event time — a window end falling inside
+        # the truncated sub-millisecond must finalize on neither side.
         "WITH r AS (SELECT event_type, "
         "date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bh, "
         "CAST(ts AS TIMESTAMP) AS ts, "
@@ -509,7 +512,8 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(MIN(lo), 4) AS low, ROUND(arg_max(c_val, ts), 4) AS close, "
         "CAST(SUM(cnt) AS BIGINT) AS volume, ROUND(SUM(sv), 2) AS total "
         "FROM r WHERE bh + INTERVAL 1 HOUR <= "
-        "(SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 2 HOUR "
+        "(SELECT date_trunc('milliseconds', MAX(CAST(ts AS TIMESTAMP))) "
+        "FROM events) - INTERVAL 2 HOUR "
         "GROUP BY event_type, bucket_hour"
     ),
 )

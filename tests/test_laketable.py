@@ -840,3 +840,37 @@ def test_parquet_bloom_filter_property_writes_bloom(spark, tmp_path):
     assert offsets["v"] == -1, "bloom filter written for non-enabled column"
     # reads are unaffected
     assert t.read().filter("user_id = 4242").count() == 1
+
+
+def test_parquet_bloom_filter_fpp_and_max_bytes(spark, tmp_path):
+    """The upstream Iceberg knobs `write.parquet.bloom-filter-fpp
+    .column.<col>` and `write.parquet.bloom-filter-max-bytes` must
+    reach parquet-mr: a loose fpp (0.2) with a tight max-bytes cap
+    still produces a (small) bloom filter for the enabled column."""
+    import os
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "bloomfpp"), "user_id bigint, v double",
+        properties={
+            "write.parquet.bloom-filter-enabled.column.user_id": "true",
+            "write.parquet.bloom-filter-fpp.column.user_id": "0.2",
+            "write.parquet.bloom-filter-max-bytes": "65536",
+        },
+    )
+    t.append(spark.range(50_000).selectExpr("id AS user_id", "id * 0.5 AS v"))
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    offsets = {}
+    for e in t._snapshot().files:
+        path = os.path.join(t.path, e.path)
+        inf = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            jvm.org.apache.hadoop.fs.Path(path), conf
+        )
+        rdr = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inf)
+        try:
+            for col in rdr.getFooter().getBlocks().get(0).getColumns():
+                offsets[col.getPath().toDotString()] = col.getBloomFilterOffset()
+        finally:
+            rdr.close()
+    assert offsets["user_id"] > 0, "bloom filter missing with fpp/max-bytes knobs"
+    assert t.read().filter("user_id = 4242").count() == 1
