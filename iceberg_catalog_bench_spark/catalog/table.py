@@ -51,6 +51,10 @@ from .transforms import Transform, parse_spec, transform_expr
 _META_DIR = "_meta"
 _META_FILE = "metadata.json"
 _DATA_DIR = "data"
+# Lease timeout for breaking a commit lock whose owner died without
+# releasing it (SIGKILL mid-commit). Same-host pid liveness breaks it
+# sooner; this bound is the portable fallback.
+_LOCK_STALE_SEC = 30.0
 
 # Tombstone sets broadcast only below this on-disk size (snappy parquet
 # ≈ 2-4× smaller than in-memory rows, so 64 MB of files is roughly
@@ -336,14 +340,45 @@ class LakeTable:
 
     @contextmanager
     def _commit_lock(self):
-        """O_EXCL filesystem lock serializing metadata writers."""
+        """O_EXCL filesystem lock serializing metadata writers, with
+        stale-lock recovery (reference spec `:107-111`, failure
+        injection: a writer killed mid-commit must not wedge the
+        table). The owner's pid is recorded in the lock file; a
+        contender breaks the lock when that pid is gone (same-host
+        check) or the lock is older than ``_LOCK_STALE_SEC`` (the
+        lease-timeout fallback — on an object store, where pid checks
+        are meaningless, the mtime lease is the whole mechanism, which
+        is exactly how Iceberg's lock-table/DynamoDB lock managers
+        expire dead holders)."""
         lock = os.path.join(self.path, _META_DIR, "commit.lock")
         fd = None
         for _ in range(500):
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
                 break
             except FileExistsError:
+                try:
+                    with open(lock) as fh:
+                        owner = int(fh.read().strip() or "0")
+                    dead = False
+                    if owner:
+                        try:
+                            os.kill(owner, 0)
+                        except ProcessLookupError:
+                            dead = True
+                        except PermissionError:
+                            pass  # alive, other uid
+                    expired = (
+                        time.time() - os.path.getmtime(lock) > _LOCK_STALE_SEC
+                    )
+                    if dead or expired:
+                        # benign race: two breakers may both remove —
+                        # O_EXCL re-create still admits exactly one
+                        os.remove(lock)
+                        continue
+                except OSError:
+                    pass  # lock vanished/changed under us — just retry
                 time.sleep(0.01)
         if fd is None:
             raise TimeoutError(f"could not acquire commit lock {lock}")
@@ -351,7 +386,10 @@ class LakeTable:
             yield
         finally:
             os.close(fd)
-            os.remove(lock)
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass  # a (mistaken) breaker raced us; commit already done
 
     def _locked_meta_mutation(self, mutate) -> None:
         """Locked read-modify-write for non-snapshot metadata (schema
@@ -2309,6 +2347,14 @@ class LakeTable:
                     removed += 1
                 elif not fn.endswith(".parquet"):
                     os.remove(full)  # _SUCCESS / .crc markers
+        # metadata debris: a writer killed inside _write_meta leaves a
+        # never-renamed temp file (spec `:107-111` — crash debris must
+        # be collectable). The live metadata file never matches.
+        meta_root = os.path.join(self.path, _META_DIR)
+        for fn in os.listdir(meta_root):
+            if f"{_META_FILE}.tmp-" in fn:
+                os.remove(os.path.join(meta_root, fn))
+                removed += 1
         return {"orphan_file_count": removed}
 
 
