@@ -10,10 +10,16 @@ sequential/temporal semantics Spark expresses via windows.
 
 Scale notes (100 TB events):
 - Funnel and retention both reduce to ONE shuffle keyed by user_id
-  (plus a tiny final agg). Per-user event counts are bounded in
-  practice, so partitions stay balanced; there is no per-stage
+  (plus a tiny final agg). Per-user event counts are bounded for
+  HUMAN users, so partitions stay balanced; there is no per-stage
   self-join (the naive funnel formulation joins events to events
   k-1 times — quadratic in the worst key).
+- The human-user assumption is enforced, not hoped for: the
+  user-keyed window operators pre-filter users above ``_BOT_CAP``
+  events via :func:`_without_bot_users`. A bot key with 10⁸ events
+  would otherwise become one straggler sort task; the count that
+  detects it is map-side combinable, so the hot key collapses to one
+  row per map partition and never reaches a sort.
 - OHLC resampling is a pure two-level groupBy with map-side partial
   aggregation; ties at equal timestamps are pre-reduced by event_id
   so open/close are deterministic on both engines.
@@ -28,20 +34,50 @@ from pyspark.sql.window import Window
 from ..sources import load_table
 from .registry import register
 
+# Users with more events than this are machines, not people (the
+# sf0.1 per-user max is ~100; 1e5 is ~3 events/min for a month) and
+# are excluded from per-user sequence analytics BEFORE any window
+# sort. Oracles mirror the same HAVING filter.
+_BOT_CAP = 100_000
+
+_BOT_FILTER_SQL = (
+    "user_id NOT IN (SELECT user_id FROM events "
+    f"GROUP BY user_id HAVING COUNT(*) > {_BOT_CAP})"
+)
+
+
+def _without_bot_users(ev: DataFrame) -> DataFrame:
+    """Drop users with > ``_BOT_CAP`` events ahead of any user-keyed
+    window. Shape: per-user counts partial-aggregate map-side (a 10⁸-
+    event bot collapses to one row per map partition — no skewed sort
+    ever happens), the over-cap user list is a few rows broadcast into
+    a left-anti hash join, and AQE sees an ordinary filtered scan."""
+    bots = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > _BOT_CAP)
+        .select("user_id")
+    )
+    return ev.join(F.broadcast(bots), "user_id", "left_anti")
+
 
 @register(
     "events_funnel_conversion",
     oracle=(
         # Stage k's first-touch must be strictly after stage k-1's
         # first-touch for the same user (classic ordered funnel).
-        "WITH s AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS st "
-        "FROM events WHERE event_type = 'signup' GROUP BY user_id), "
-        "v AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS vt "
-        "FROM events e JOIN s ON e.user_id = s.user_id "
-        "WHERE e.event_type = 'view' AND CAST(e.ts AS TIMESTAMP) > s.st "
+        # Users above the bot cap are excluded, mirroring
+        # _without_bot_users (no-op at test SFs: max/user ≈ 100).
+        "WITH ev AS (SELECT user_id, event_type, event_id, "
+        f"CAST(ts AS TIMESTAMP) AS ts FROM events WHERE {_BOT_FILTER_SQL}), "
+        "s AS (SELECT user_id, MIN(ts) AS st "
+        "FROM ev WHERE event_type = 'signup' GROUP BY user_id), "
+        "v AS (SELECT e.user_id, MIN(e.ts) AS vt "
+        "FROM ev e JOIN s ON e.user_id = s.user_id "
+        "WHERE e.event_type = 'view' AND e.ts > s.st "
         "GROUP BY e.user_id), "
-        "p AS (SELECT e.user_id FROM events e JOIN v ON e.user_id = v.user_id "
-        "WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > v.vt "
+        "p AS (SELECT e.user_id FROM ev e JOIN v ON e.user_id = v.user_id "
+        "WHERE e.event_type = 'purchase' AND e.ts > v.vt "
         "GROUP BY e.user_id) "
         "SELECT (SELECT COUNT(*) FROM s) AS users_signup, "
         "(SELECT COUNT(*) FROM v) AS users_viewed, "
@@ -64,9 +100,12 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the view, so the strict ``ts > first_signup`` window predicate is
     exactly the oracle's join condition; same argument one stage down
     for purchases. The naive alternative (events self-joined per
-    stage) is quadratic on hot users — this shape is linear."""
-    ev = load_table(spark, "events", sf_dir).select(
-        "user_id", "ts", "event_id", "event_type"
+    stage) is quadratic on hot users — this shape is linear, with
+    over-cap bot users anti-joined out before the window sort."""
+    ev = _without_bot_users(
+        load_table(spark, "events", sf_dir).select(
+            "user_id", "ts", "event_id", "event_type"
+        )
     )
     w = (
         Window.partitionBy("user_id")
@@ -398,9 +437,12 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_transition_matrix",
     oracle=(
-        "WITH s AS (SELECT user_id, event_type, "
+        # Bot-cap filter mirrors _without_bot_users (no-op at test SFs).
+        "WITH ev AS (SELECT user_id, event_type, event_id, "
+        f"CAST(ts AS TIMESTAMP) AS ts FROM events WHERE {_BOT_FILTER_SQL}), "
+        "s AS (SELECT user_id, event_type, "
         "LAG(event_type) OVER (PARTITION BY user_id "
-        "ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type FROM events) "
+        "ORDER BY ts, event_id) AS prev_type FROM ev) "
         "SELECT prev_type, event_type, COUNT(*) AS cnt, "
         "ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 4) "
         "AS prob FROM s WHERE prev_type IS NOT NULL "
@@ -415,8 +457,11 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: one user-keyed window sort for lag(), then the count
     aggregate reduces to |types|² cells; the row-normalizing window
     runs over those 25 cells. Same single-wide-shuffle discipline as
-    the funnel — raw volume is sorted once, never self-joined."""
-    s = load_table(spark, "events", sf_dir).select(
+    the funnel — raw volume is sorted once, never self-joined, and
+    over-cap bot users are anti-joined out before the sort."""
+    s = _without_bot_users(
+        load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts", "event_id")
+    ).select(
         "user_id",
         "event_type",
         F.lag("event_type").over(

@@ -131,6 +131,7 @@ def load_all() -> None:
     from . import corpus  # noqa: F401
     from . import relational  # noqa: F401
     from . import relational_ext  # noqa: F401
+    from . import tpcds  # noqa: F401
 
     ordered = [n for n in PRIORITY if n in QUERIES]
     ordered += [n for n in QUERIES if n not in PRIORITY]

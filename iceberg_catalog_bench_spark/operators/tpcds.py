@@ -1,0 +1,177 @@
+"""TPC-DS-shaped queries — the decision-support shapes the reference's
+spec planned but never implemented (`ICEBERG-Interoperability-Test-
+Spec.md:43` names a TPC-DS subset as future scope).
+
+TPC-DS differs from TPC-H in two signature patterns, both exercised
+here against the TPC-H-ish fixture tables:
+
+- **date-dimension join**: facts join a generated calendar dimension
+  and filter/aggregate on its ATTRIBUTES (year, quarter, weekday) —
+  not on raw fact timestamps. The dimension is generated, broadcast,
+  and kilobyte-sized at any fact scale.
+- **grouping sets + window over the aggregate**: multi-grain rollups
+  whose cells then feed an ordered analytic (here a 3-month moving
+  average) — the report-table shape. The window input is |groups|
+  rows, never raw facts.
+
+Scale notes (100 TB facts): both queries shuffle raw volume exactly
+once (the partial aggregate); the calendar join is a broadcast hash
+join with the dimension generated driver-free via ``sequence()``;
+revenue is kept in integer cents through every delta so the moving
+average is bit-identical across engines (the measured fp-drift
+lesson from mv_incremental_maintenance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+
+@register(
+    "tpcds_returned_ratio_by_date",
+    oracle=(
+        # Calendar dimension generated in SQL; weekday-only cells.
+        # DuckDB dow: 0=Sun..6=Sat (Spark dayofweek is 1=Sun..7=Sat).
+        "WITH date_dim AS (SELECT d AS d_date, "
+        "CAST(EXTRACT(year FROM d) AS BIGINT) AS d_year, "
+        "CAST(EXTRACT(quarter FROM d) AS BIGINT) AS d_qoy "
+        "FROM (SELECT unnest(generate_series(DATE '1995-01-01', "
+        "DATE '2001-12-31', INTERVAL 1 DAY))::DATE AS d) "
+        "WHERE EXTRACT(dow FROM d) NOT IN (0, 6)) "
+        "SELECT d_year, d_qoy, "
+        "CAST(COUNT(*) AS BIGINT) AS n_items, "
+        "CAST(ROUND(SUM(CASE WHEN l_returnflag = 'R' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS DOUBLE) "
+        "AS returned_amt, "
+        "CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) "
+        "AS total_amt, "
+        "ROUND(SUM(CASE WHEN l_returnflag = 'R' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
+        "/ SUM(l_extendedprice * (1 - l_discount)), 4) AS return_ratio "
+        "FROM lineitem JOIN date_dim ON CAST(l_shipdate AS DATE) = d_date "
+        "GROUP BY d_year, d_qoy"
+    ),
+)
+def tpcds_returned_ratio_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-to-sold revenue ratio by (year, quarter), weekday
+    shipments only — the TPC-DS catalog-returns shape (e.g. Q40/Q77's
+    returns-vs-sales ratios driven through date_dim attributes).
+
+    Plan shape: the calendar dimension is GENERATED (``sequence()``
+    exploded from literals — zero scans), filtered to weekdays, and
+    broadcast; lineitem partial-aggregates per (year, quarter) after
+    the broadcast hash join, so the only wide exchange carries ≤
+    |years|×4 partial rows per task. At 100 TB the dimension is still
+    ~2.5k rows — the join never shuffles the fact side, and the
+    weekday predicate lives on the dimension, where TPC-DS puts it."""
+    dd = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.expr(
+                    "sequence(DATE'1995-01-01', DATE'2001-12-31', interval 1 day)"
+                )
+            ).alias("d_date")
+        )
+        .filter(~F.dayofweek("d_date").isin(1, 7))  # 1=Sun, 7=Sat
+        .select(
+            "d_date",
+            F.year("d_date").cast("bigint").alias("d_year"),
+            F.quarter("d_date").cast("bigint").alias("d_qoy"),
+        )
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_shipdate", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ret = F.when(F.col("l_returnflag") == "R", net).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(dd), F.to_date("l_shipdate") == F.col("d_date"))
+        .groupBy("d_year", "d_qoy")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(ret), 2).cast("double").alias("returned_amt"),
+            F.round(F.sum(net), 2).cast("double").alias("total_amt"),
+            F.round(F.sum(ret) / F.sum(net), 4).alias("return_ratio"),
+        )
+    )
+
+
+@register(
+    "tpcds_rollup_rolling_sales",
+    oracle=(
+        # Two grains in one pass — (nation, month) and (month) — then
+        # a 3-month moving average per scope over the aggregate rows.
+        # Revenue stays in integer cents until the final display
+        # division, so the window math is exact on both engines.
+        "WITH monthly AS (SELECT n_name, "
+        "date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS sales_month, "
+        "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents, "
+        "COUNT(*) AS n_orders "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "GROUP BY GROUPING SETS ((n_name, sales_month), (sales_month))) "
+        "SELECT COALESCE(n_name, 'ALL') AS scope, sales_month, "
+        "CAST(n_orders AS BIGINT) AS n_orders, "
+        "ROUND(rev_cents / 100.0, 2) AS revenue, "
+        # integer window-sum // window-count: floor-to-cent average,
+        # immune to the half-even/half-up ROUND divergence on .5 cents
+        "ROUND((SUM(rev_cents) OVER (PARTITION BY COALESCE(n_name, 'ALL') "
+        "ORDER BY sales_month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) "
+        "// COUNT(*) OVER (PARTITION BY COALESCE(n_name, 'ALL') "
+        "ORDER BY sales_month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) "
+        "/ 100.0, 2) AS revenue_3mo "
+        "FROM monthly"
+    ),
+)
+def tpcds_rollup_rolling_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue by nation at two grains (per-nation and
+    all-nations) with a 3-month moving average per scope — the TPC-DS
+    store-sales report shape (grouping sets feeding an ordered window,
+    cf. Q36's rollup + rank-within-parent).
+
+    Plan shape: orders ⋈ customer is a custkey-keyed hash join (the
+    customer "dimension" scales with the fact table — 1.5B rows at
+    100 TB — so it is NOT broadcast; AQE may still pick broadcast at
+    small SF), nation IS broadcast (25 rows at any scale), then ONE
+    shuffled aggregate expands both grouping sets (Expand +
+    HashAggregate — one scan feeds every grain); the moving-average
+    window sorts |nations+1| × |months| aggregate rows, thousands at
+    any fact scale. Revenue is summed as integer cents so the window
+    average divides identical integers on both engines."""
+    od = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cu = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    na = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .createOrReplaceTempView("_tpcds_sales")
+    )
+    return spark.sql(
+        "WITH monthly AS (SELECT n_name, "
+        "date_trunc('month', o_orderdate) AS sales_month, "
+        "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents, "
+        "COUNT(*) AS n_orders "
+        "FROM _tpcds_sales "
+        "GROUP BY GROUPING SETS ((n_name, date_trunc('month', o_orderdate)), "
+        "(date_trunc('month', o_orderdate)))) "
+        "SELECT COALESCE(n_name, 'ALL') AS scope, sales_month, "
+        "n_orders, "
+        # 100e0 not 100.0: Spark types the latter DECIMAL, which would
+        # leak a decimal column where the oracle has DOUBLE
+        "ROUND(rev_cents / 100e0, 2) AS revenue, "
+        # integer window-sum DIV window-count: floor-to-cent average,
+        # immune to the half-even/half-up ROUND divergence on .5 cents
+        "ROUND((SUM(rev_cents) OVER (PARTITION BY COALESCE(n_name, 'ALL') "
+        "ORDER BY sales_month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) "
+        "DIV COUNT(*) OVER (PARTITION BY COALESCE(n_name, 'ALL') "
+        "ORDER BY sales_month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) "
+        "/ 100e0, 2) AS revenue_3mo "
+        "FROM monthly"
+    )
