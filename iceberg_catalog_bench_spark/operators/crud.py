@@ -832,3 +832,145 @@ def mv_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     refresh(s2.snapshot_id, s3.snapshot_id)
 
     return mv.read().select("o_orderstatus", "n_orders", "revenue_cents")
+
+
+@register(
+    "mv_join_incremental_maintenance",
+    oracle=(
+        # Full recompute of the final two-table state in pure SQL.
+        # Orders final = %4 <= 2 slices minus the %9 deletions;
+        # customers final = %3 <> 0 seed with the %7 nation moves
+        # applied. Revenue in integer cents (the fp-drift lesson).
+        "WITH c AS (SELECT c_custkey, CASE WHEN c_custkey % 7 = 0 "
+        "THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS nk "
+        "FROM customer WHERE c_custkey % 3 <> 0) "
+        "SELECT CAST(c.nk AS BIGINT) AS nation_key, "
+        "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS revenue_cents "
+        "FROM orders o JOIN c ON o.o_custkey = c.c_custkey "
+        "WHERE o.o_orderkey % 4 <= 2 AND o.o_orderkey % 9 <> 0 "
+        "GROUP BY nation_key"
+    ),
+)
+def mv_join_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN materialized view from TWO
+    tables' changelogs — revenue per nation over orders ⋈ customer,
+    kept current across an orders append, a customer UPDATE that moves
+    customers between nations, and an orders DELETE. The incremental
+    identity per sequential batch (only one side changes at a time) is
+    Δ(A ⋈ B) = ΔA ⋈ B when A changed, and A ⋈ ΔB when B changed, with
+    signed rows (insert = +1, delete = −1) so updates — delete+insert
+    pairs in the changelog — transfer an order's revenue from the old
+    nation to the new one in a single signed aggregate.
+
+    At 100 TB this is the shape that keeps a join MV fresh without
+    rejoining the tables: an orders batch joins O(batch) broadcast
+    rows against the customer table; a customer change joins the
+    orders table against O(changed customers) broadcast keys, with the
+    orders scan pruned by its bucket(o_custkey) layout (the delta keys
+    hash to a bounded set of buckets). Neither direction rescans both
+    tables, and the MV upsert is O(touched nations). The returned
+    DataFrame is the MAINTAINED MV — a wrong, missed, or
+    double-applied delta fails the full-recompute oracle's hash."""
+    od = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cu = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+
+    orders = LakeTable.create(
+        spark, _tmp_table_dir(),
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double",
+        partition_by=["bucket(8, o_custkey)"],
+    )
+    cust = LakeTable.create(
+        spark, _tmp_table_dir(),
+        "c_custkey bigint, c_nationkey int",
+    )
+    o0 = orders.append(od.filter(F.col("o_orderkey") % 4 < 2))
+    cust.append(cu.filter(F.col("c_custkey") % 3 != 0))
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    mv = LakeTable.create(
+        spark, _tmp_table_dir(),
+        "nation_key bigint, n_orders bigint, revenue_cents bigint",
+    )
+    mv.append(
+        orders.read().join(cust.read(), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("nation_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+    )
+
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+
+    def apply_delta(delta: DataFrame) -> None:
+        """Upsert per-nation deltas; retract groups drained to zero."""
+        merged = (
+            mv.read().join(delta, "nation_key", "full_outer")
+            .filter(F.col("dn").isNotNull())
+            .select(
+                "nation_key",
+                (F.coalesce(F.col("n_orders"), F.lit(0)) + F.col("dn"))
+                .cast("bigint").alias("n_orders"),
+                (F.coalesce(F.col("revenue_cents"), F.lit(0)) + F.col("dr"))
+                .cast("bigint").alias("revenue_cents"),
+            )
+        )
+        mv.upsert_by_keys(merged.filter(F.col("n_orders") > 0), on=["nation_key"])
+        dead = merged.filter(F.col("n_orders") <= 0).select("nation_key")
+        if dead.limit(1).count() > 0:
+            mv.delete_by_keys(dead)
+
+    def refresh_from_orders(from_id: int, to_id: int) -> None:
+        """ΔA ⋈ B: the signed orders batch (small) broadcasts into the
+        customer table to resolve each changed order's nation."""
+        d = (
+            orders.changelog(from_id, to_id)
+            .select("o_custkey", sign.alias("s"), cents.alias("cts"))
+        )
+        delta = (
+            F.broadcast(d)
+            .join(cust.read(), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy(F.col("c_nationkey").cast("bigint").alias("nation_key"))
+            .agg(
+                F.sum("s").alias("dn"),
+                F.sum(F.col("s") * F.col("cts")).alias("dr"),
+            )
+        )
+        apply_delta(delta)
+
+    def refresh_from_customers(from_id: int, to_id: int) -> None:
+        """A ⋈ ΔB: the signed customer batch (old row −, new row +)
+        broadcasts into the orders table; each affected order transfers
+        its revenue from the old nation to the new in one aggregate."""
+        d = (
+            cust.changelog(from_id, to_id)
+            .select("c_custkey", "c_nationkey", sign.alias("s"))
+        )
+        delta = (
+            orders.read()
+            .join(F.broadcast(d), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy(F.col("c_nationkey").cast("bigint").alias("nation_key"))
+            .agg(
+                F.sum("s").alias("dn"),
+                F.sum(F.col("s") * cents).alias("dr"),
+            )
+        )
+        apply_delta(delta)
+
+    o1 = orders.append(od.filter(F.col("o_orderkey") % 4 == 2))
+    refresh_from_orders(o0.snapshot_id, o1.snapshot_id)
+
+    c0 = cust._snapshot().snapshot_id
+    c1 = cust.update(
+        {"c_nationkey": "(c_nationkey + 1) % 25"}, "c_custkey % 7 = 0"
+    )
+    refresh_from_customers(c0, c1.snapshot_id)
+
+    o2 = orders.delete_where("o_orderkey % 9 = 0")
+    refresh_from_orders(o1.snapshot_id, o2.snapshot_id)
+
+    return mv.read().select("nation_key", "n_orders", "revenue_cents")
