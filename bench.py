@@ -17,8 +17,21 @@ Phases (reference parity):
 Protocol: warm-up 1, measure 3, report median (spec
 ICEBERG-Interoperability-Test-Spec.md:194). Maintenance runs once.
 
+Round 4 additions:
+- per-phase Spark metrics (input bytes, shuffle read/write bytes,
+  executor task-time) diffed from the AppStatusStore around each
+  phase — the spec's cost-KPI stand-in (spec `:93`). A plan
+  regression (lost pushdown, new shuffle) moves these even when
+  sub-second wall-time noise hides it.
+- a 10M-row scale pair (`write_append_scale` fanout write +
+  `scale_read_pruned` 2-day window) so the layout/pruning claims
+  probed in BASELINE.md are REGRESSION-TESTED per round; tune or
+  disable via SPARK_GRAFT_BENCH_SCALE_ROWS=0.
+
 Output: ONE JSON line
-  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+   "metrics": {phase: {input_mb, shuffle_read_mb, shuffle_write_mb,
+   task_sec, execs}}, "sf": ...}
 """
 
 from __future__ import annotations
@@ -74,6 +87,43 @@ def median_of(fn, runs: int = MEASURE_RUNS) -> float:
     return statistics.median(timed(fn) for _ in range(runs))
 
 
+class PhaseMetrics:
+    """Per-phase Spark resource metrics (spec `:93` cost-KPI stand-in):
+    cumulative executor totals from the AppStatusStore (never evicted,
+    unlike per-stage entries) are snapshotted around each phase; the
+    delta is the phase's input bytes, shuffle bytes, and executor
+    task-time. Wall-time noise on sub-second phases is ±20-30%, but
+    these counters are deterministic for a fixed plan — a lost
+    pushdown or an extra exchange moves them every time."""
+
+    def __init__(self, spark) -> None:
+        self._store = spark.sparkContext._jsc.sc().statusStore()
+
+    def _totals(self) -> dict[str, int]:
+        s = self._store.executorList(False)
+        t = {"input": 0, "sread": 0, "swrite": 0, "dur": 0}
+        for i in range(s.size()):
+            e = s.apply(i)
+            t["input"] += e.totalInputBytes()
+            t["sread"] += e.totalShuffleRead()
+            t["swrite"] += e.totalShuffleWrite()
+            t["dur"] += e.totalDuration()
+        return t
+
+    def measure(self, fn, execs: int = 1) -> tuple[object, dict]:
+        before = self._totals()
+        out = fn()
+        after = self._totals()
+        mb = 1024.0 * 1024.0
+        return out, {
+            "input_mb": round((after["input"] - before["input"]) / mb, 2),
+            "shuffle_read_mb": round((after["sread"] - before["sread"]) / mb, 2),
+            "shuffle_write_mb": round((after["swrite"] - before["swrite"]) / mb, 2),
+            "task_sec": round((after["dur"] - before["dur"]) / 1000.0, 2),
+            "execs": execs,
+        }
+
+
 def main() -> None:
     from iceberg_catalog_bench_spark.catalog import LakeTable
     from iceberg_catalog_bench_spark.operators import registry
@@ -84,6 +134,16 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     results: dict[str, float] = {}
+    metrics: dict[str, dict] = {}
+    pm = PhaseMetrics(spark)
+
+    def phase_once(name: str, fn) -> None:
+        results[name], metrics[name] = pm.measure(lambda: timed(fn))
+
+    def phase_median(name: str, fn) -> None:
+        results[name], metrics[name] = pm.measure(
+            lambda: median_of(fn), execs=MEASURE_RUNS + 1
+        )
 
     # --- reference phase set on LakeTable ---------------------------------
     scratch = tempfile.mkdtemp(prefix="bench-laketable-")
@@ -97,22 +157,25 @@ def main() -> None:
         partition_by=["days(ts)", "bucket(16, user_id)"],
         properties={"write.target-file-size-bytes": str(128 * 1024 * 1024)},
     )
-    results["write_append"] = timed(lambda: t.append(events))
+    phase_once("write_append", lambda: t.append(events))
 
     lake = t.read()
     # scan() applies manifest-level file pruning before the Spark scan
     # (448/480 files skipped for this window at 10M rows — BASELINE.md)
-    results["read_pruned"] = median_of(
+    phase_median(
+        "read_pruned",
         lambda: t.scan("ts >= '2024-01-05 00:00:00' AND ts < '2024-01-07 00:00:00'")
-        .groupBy("event_type").count().collect()
+        .groupBy("event_type").count().collect(),
     )
-    results["read_agg"] = median_of(
+    phase_median(
+        "read_agg",
         lambda: lake.groupBy("event_type").agg(
             F.percentile_approx("value", 0.95), F.count(F.lit(1))
-        ).collect()
+        ).collect(),
     )
-    results["read_lookup"] = median_of(
-        lambda: lake.filter(F.col("user_id").isin(123, 456, 789)).collect()
+    phase_median(
+        "read_lookup",
+        lambda: lake.filter(F.col("user_id").isin(123, 456, 789)).collect(),
     )
     # Row-level delete, both modes, same shape (single-event point
     # delete): copy-on-write pays a file rewrite, merge-on-read pays a
@@ -120,23 +183,21 @@ def main() -> None:
     # (Iceberg v2 position deletes). The tombstone is folded by the
     # rewrite_data_files phase right after, so compaction is timed
     # WITH delete-aware work.
-    results["delete_cow"] = timed(
-        lambda: t.delete_where("event_id = 777", mode="copy-on-write")
+    phase_once(
+        "delete_cow", lambda: t.delete_where("event_id = 777", mode="copy-on-write")
     )
-    results["delete_mor"] = timed(
-        lambda: t.delete_where("event_id = 888", mode="merge-on-read")
+    phase_once(
+        "delete_mor", lambda: t.delete_where("event_id = 888", mode="merge-on-read")
     )
-    results["rewrite_data_files"] = timed(lambda: t.rewrite_data_files(min_input_files=2))
+    phase_once("rewrite_data_files", lambda: t.rewrite_data_files(min_input_files=2))
     # CDC upsert batch (equality deletes + images, no target read) —
     # measured after compaction so the rewrite phase stays comparable.
     upsert_batch = events.limit(10_000).withColumn(
         "value", F.col("value") + 1.0
     )
-    results["upsert_cdc"] = timed(
-        lambda: t.upsert_by_keys(upsert_batch, on=["event_id"])
-    )
-    results["rewrite_manifests"] = timed(lambda: t.rewrite_manifests())
-    results["expire_snapshots"] = timed(lambda: t.expire_snapshots(retain_last=2))
+    phase_once("upsert_cdc", lambda: t.upsert_by_keys(upsert_batch, on=["event_id"]))
+    phase_once("rewrite_manifests", lambda: t.rewrite_manifests())
+    phase_once("expire_snapshots", lambda: t.expire_snapshots(retain_last=2))
     shutil.rmtree(scratch, ignore_errors=True)
 
     # Standing synthetic probe (reference blob-dfs_bench.py:48-106 writes
@@ -156,16 +217,46 @@ def main() -> None:
             "user_id bigint, ts timestamp, amount double, city string, category string",
             partition_by=["days(ts)", "bucket(16, user_id)"],
         )
-        results["write_append_synth"] = timed(
-            lambda: st.append(generate_tx_events(spark, synth_rows))
+        phase_once(
+            "write_append_synth",
+            lambda: st.append(generate_tx_events(spark, synth_rows)),
         )
-        results["synth_read_pruned"] = median_of(
+        phase_median(
+            "synth_read_pruned",
             lambda: st.scan(
                 "ts >= '2025-01-05 00:00:00' AND ts < '2025-01-07 00:00:00'"
-            ).groupBy("category").agg(F.round(F.sum("amount"), 2)).collect()
+            ).groupBy("category").agg(F.round(F.sum("amount"), 2)).collect(),
         )
-        results["synth_point_lookup"] = median_of(
-            lambda: st.scan("user_id = 4242").collect()
+        phase_median(
+            "synth_point_lookup", lambda: st.scan("user_id = 4242").collect()
+        )
+        shutil.rmtree(sdir, ignore_errors=True)
+
+    # 10M-row scale pair (round 4): the fanout-write + manifest-pruned
+    # read whose layout claims were previously only probe-verified in
+    # BASELINE.md — promoted to a standing phase so a pruning/fanout
+    # regression moves BENCH_rN, not just prose. ~4s at 10M on
+    # local[32] (first numbers in BASELINE.md); set
+    # SPARK_GRAFT_BENCH_SCALE_ROWS=0 to skip.
+    scale_rows = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_ROWS", "10000000"))
+    if scale_rows > 0:
+        from iceberg_catalog_bench_spark.sources.datagen import generate_tx_events
+
+        sdir = tempfile.mkdtemp(prefix="bench-scale-")
+        st = LakeTable.create(
+            spark, os.path.join(sdir, "tx"),
+            "user_id bigint, ts timestamp, amount double, city string, category string",
+            partition_by=["days(ts)", "bucket(16, user_id)"],
+        )
+        phase_once(
+            "write_append_scale",
+            lambda: st.append(generate_tx_events(spark, scale_rows)),
+        )
+        phase_median(
+            "scale_read_pruned",
+            lambda: st.scan(
+                "ts >= '2025-01-05 00:00:00' AND ts < '2025-01-07 00:00:00'"
+            ).groupBy("category").agg(F.round(F.sum("amount"), 2)).collect(),
         )
         shutil.rmtree(sdir, ignore_errors=True)
 
@@ -181,14 +272,14 @@ def main() -> None:
                 percentile_approx_values,
             )
 
-            results[name] = median_of(
-                lambda: percentile_approx_values(spark, SF_DIR).collect()
+            phase_median(
+                name, lambda: percentile_approx_values(spark, SF_DIR).collect()
             )
             continue
         fn = registry.QUERIES.get(name)
         if fn is None:
             continue
-        results[name] = median_of(lambda fn=fn: fn(spark, SF_DIR).collect())
+        phase_median(name, lambda fn=fn: fn(spark, SF_DIR).collect())
 
     total = sum(results.values())
     print(json.dumps({
@@ -196,6 +287,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in results.items()},
+        "metrics": metrics,
         "sf": sf,
         "cpus": CPUS,
     }))
