@@ -974,3 +974,106 @@ def mv_join_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     refresh_from_orders(o1.snapshot_id, o2.snapshot_id)
 
     return mv.read().select("nation_key", "n_orders", "revenue_cents")
+
+
+@register(
+    "partition_evolution_read",
+    oracle=(
+        # Both partition-spec generations must come back in one read:
+        # the per-type counts/sums cover gen A (days+bucket files) and
+        # gen B (days+truncate files) together; the verdict columns are
+        # pinned TRUE (computed from the actual manifest plan).
+        "SELECT event_type, COUNT(*) AS n_events, "
+        "ROUND(SUM(ROUND(value, 2)), 2) AS sum_value, "
+        "TRUE AS gens_disjoint, TRUE AS pruned_day_both_gens, "
+        "TRUE AS pruned_type_new_gen "
+        "FROM events WHERE user_id < 80 AND ts < TIMESTAMP '2024-01-13' "
+        "GROUP BY event_type"
+    ),
+)
+def partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution, the spec's §9 requirement
+    (`ICEBERG-Interoperability-Test-Spec.md:78-79`: add a truncate
+    field, remove a bucket field, verify engines still read the table).
+
+    Iceberg semantics, LakeTable shape: evolution is METADATA-ONLY —
+    no data rewrite. Gen-A files keep their ``days(ts), bucket(2,
+    user_id)`` partition values; after ``DROP PARTITION FIELD bucket``
+    + ``ADD PARTITION FIELD truncate(4, event_type)``, gen-B files
+    carry ``days(ts), truncate(event_type)``. Reads union both
+    generations; manifest pruning applies per-file under whichever
+    keys the file actually has (a file that predates a spec field is
+    kept, never wrongly pruned — `_prune_files` treats a missing key
+    as match-all).
+
+    The returned verdicts exercise the REAL planner:
+    - ``gens_disjoint``: every file carries days(ts); bucket and
+      truncate keys never co-occur; both generations non-empty.
+    - ``pruned_day_both_gens``: a 3-day ts-range plan keeps files from
+      BOTH generations (shared days field) and drops most files.
+    - ``pruned_type_new_gen``: an event_type equality plan keeps every
+      gen-A file (no truncate key — pruning it would lose rows) while
+      keeping only the matching truncate value in gen B.
+
+    At 100 TB this is the operation that lets a table re-partition for
+    a new query pattern without rewriting history: old partitions
+    prune under the old spec, new partitions under the new, and
+    `rewrite_data_files` migrates stragglers lazily if wanted.
+    """
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    src = (
+        load_table(spark, "events", sf_dir)
+        .filter((F.col("user_id") < 80) & (F.col("ts") < "2024-01-13"))
+        .select(*cols)
+    )
+    d = _tmp_table_dir()
+    t = LakeTable.create(
+        spark, d,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double",
+        partition_by=["days(ts)", "bucket(2, user_id)"],
+    )
+    t.append(src.filter(F.col("event_id") % 2 == 0))
+    t.drop_partition_field("bucket(2, user_id)")
+    t.add_partition_field("truncate(4, event_type)")
+    t.append(src.filter(F.col("event_id") % 2 == 1))
+
+    files = t._snapshot().files
+    gen_a = [e for e in files if "_p_bucket_user_id" in e.partition]
+    gen_b = [e for e in files if "_p_truncate_event_type" in e.partition]
+    gens_disjoint = (
+        bool(gen_a) and bool(gen_b)
+        and len(gen_a) + len(gen_b) == len(files)
+        and all("_p_days_ts" in e.partition for e in files)
+    )
+    day_plan = t._prune_files(
+        files, "ts >= '2024-01-03 00:00:00' and ts < '2024-01-06 00:00:00'"
+    )
+    day_paths = {e.path for e in day_plan}
+    pruned_day_both_gens = (
+        len(day_plan) < len(files)
+        and any(e.path in day_paths for e in gen_a)
+        and any(e.path in day_paths for e in gen_b)
+    )
+    type_plan = {e.path for e in t._prune_files(files, "event_type = 'error'")}
+    pruned_type_new_gen = (
+        len(type_plan) < len(files)
+        # correctness side: gen-A files lack the truncate key and MUST
+        # all survive the plan, else pre-evolution rows would be lost
+        and all(e.path in type_plan for e in gen_a)
+        and all(
+            e.partition["_p_truncate_event_type"] == "erro"
+            for e in gen_b if e.path in type_plan
+        )
+    )
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.round("value", 2)), 2).alias("sum_value"),
+        )
+        .withColumn("gens_disjoint", F.lit(gens_disjoint))
+        .withColumn("pruned_day_both_gens", F.lit(pruned_day_both_gens))
+        .withColumn("pruned_type_new_gen", F.lit(pruned_type_new_gen))
+    )

@@ -63,6 +63,8 @@ PRIORITY: tuple[str, ...] = (
     "mv_join_incremental_maintenance",
     "tpcds_returned_ratio_by_date",
     "tpcds_rollup_rolling_sales",
+    "partition_evolution_read",
+    "join_bucketed_colocated",
     # -- r1-only-green backlog (stale two rounds), riskiest first --
     "pivot_event_types",
     "unpivot_part_metrics",
@@ -132,6 +134,7 @@ def load_all() -> None:
     from . import relational  # noqa: F401
     from . import relational_ext  # noqa: F401
     from . import tpcds  # noqa: F401
+    from . import physical  # noqa: F401
 
     ordered = [n for n in PRIORITY if n in QUERIES]
     ordered += [n for n in QUERIES if n not in PRIORITY]

@@ -152,10 +152,15 @@ def test_tpch_q10_scan_prune_and_topk(spark, oracle_sf_dir):
 
 def test_funnel_single_window_sort(spark, oracle_sf_dir):
     """Both funnel window passes must reuse ONE user-keyed sort (no
-    second exchange between them) and there must be no self-join."""
+    second exchange between them) and there must be no self-join. The
+    only join allowed is the hot-key guard: a broadcast LEFT ANTI
+    against the (tiny) over-cap bot-user list — never a shuffled
+    join, which would defeat the single-shuffle shape."""
     plan = _plan("events_funnel_conversion", spark, oracle_sf_dir)
     assert plan.count("Sort [user_id") == 1
-    assert "Join" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") <= 2  # bot filter (+AQE reuse)
+    assert "LeftAnti" in plan or "BroadcastHashJoin" not in plan
 
 
 def test_ohlc_single_exchange_with_partial_agg(spark, oracle_sf_dir):
