@@ -65,6 +65,7 @@ PRIORITY: tuple[str, ...] = (
     "tpcds_rollup_rolling_sales",
     "partition_evolution_read",
     "join_bucketed_colocated",
+    "ann_ivf_incremental",
     # -- r1-only-green backlog (stale two rounds), riskiest first --
     "pivot_event_types",
     "unpivot_part_metrics",
