@@ -144,9 +144,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _capped_jaccard_pairs(spark, sf_dir, 0.8)
 
 
-def _capped_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
-    """Exact jaccard pairs ≥ threshold over the capped shingle space
-    (the Spark mirror of ``_oracle_jaccard_capped``)."""
+def _capped_pair_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a < doc_b, inter, size_a, size_b) over the capped shingle
+    space — the shared core of the jaccard and containment operators.
+    Candidates arise only from shared shingles (inverted-index
+    self-join, never a cross join); the stop-shingle df cap bounds the
+    worst join bucket."""
     # The cap scalar needs COUNT(*) over documents. Joining a 1-row
     # aggregate in-plan degrades to BroadcastNestedLoopJoin (Catalyst
     # constant-folds any literal join key), so the count runs as its
@@ -175,13 +178,72 @@ def _capped_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float) ->
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def _capped_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
+    """Exact jaccard pairs ≥ threshold over the capped shingle space
+    (the Spark mirror of ``_oracle_jaccard_capped``)."""
     jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
     return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
+        _capped_pair_overlaps(spark, sf_dir)
         .withColumn("jaccard", F.round(jac, 4))
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+_ORACLE_CONTAINMENT = (
+    "WITH sh0 AS (SELECT doc_id, unnest(" + _ORACLE_SHINGLES + ") AS shingle "
+    "FROM documents), "
+    "hot AS (SELECT shingle FROM sh0 GROUP BY shingle "
+    f"HAVING COUNT(*) > greatest({_STOP_SHINGLE_MIN}, "
+    f"{_STOP_SHINGLE_FRAC} * (SELECT COUNT(*) FROM documents))), "
+    "kept AS (SELECT doc_id, shingle FROM sh0 "
+    "WHERE shingle NOT IN (SELECT shingle FROM hot)), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i "
+    "FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+    "GROUP BY a.doc_id, b.doc_id), "
+    "pairs AS (SELECT da, db, i, sa.sz AS sza, sb.sz AS szb "
+    "FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db) "
+    "SELECT da AS contained_id, db AS container_id, "
+    "ROUND(i * 1.0 / sza, 4) AS containment FROM pairs WHERE i * 10 >= sza * 9 "
+    "UNION ALL "
+    "SELECT db AS contained_id, da AS container_id, "
+    "ROUND(i * 1.0 / szb, 4) AS containment FROM pairs WHERE i * 10 >= szb * 9"
+)
+
+
+@register("text_near_containment", oracle=_ORACLE_CONTAINMENT)
+def text_near_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-containment pairs: doc A is (≥90%) quoted inside
+    doc B when |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥ 0.9.
+    This is the asymmetric complement to jaccard dedup — a short
+    document embedded verbatim in a much longer one has LOW jaccard
+    (the union is dominated by B) but containment ≈ 1, and it's the
+    shape quote/boilerplate/forwarded-content contamination takes in
+    a web corpus.
+
+    Same scale spine as the jaccard operator: candidates only from
+    the shared-shingle inverted index (stop-shingle cap bounds the
+    worst bucket), one undirected overlap per pair, then BOTH
+    directions scored from the same row — no second join. The
+    threshold compares as integer cross-multiplication
+    (``inter*10 >= size*9``), so the 0.9 boundary is exact on both
+    engines — no float-division tie to diverge on."""
+    pairs = _capped_pair_overlaps(spark, sf_dir)
+    ab = pairs.filter(F.col("inter") * 10 >= F.col("size_a") * 9).select(
+        F.col("doc_a").alias("contained_id"),
+        F.col("doc_b").alias("container_id"),
+        F.round(F.col("inter") / F.col("size_a"), 4).alias("containment"),
+    )
+    ba = pairs.filter(F.col("inter") * 10 >= F.col("size_b") * 9).select(
+        F.col("doc_b").alias("contained_id"),
+        F.col("doc_a").alias("container_id"),
+        F.round(F.col("inter") / F.col("size_b"), 4).alias("containment"),
+    )
+    return ab.unionByName(ba)
 
 
 _NUM_PERM = 32

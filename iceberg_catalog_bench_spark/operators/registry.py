@@ -66,6 +66,7 @@ PRIORITY: tuple[str, ...] = (
     "partition_evolution_read",
     "join_bucketed_colocated",
     "ann_ivf_incremental",
+    "text_near_containment",
     # -- r1-only-green backlog (stale two rounds), riskiest first --
     "pivot_event_types",
     "unpivot_part_metrics",
