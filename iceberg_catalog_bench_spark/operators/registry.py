@@ -67,6 +67,7 @@ PRIORITY: tuple[str, ...] = (
     "join_bucketed_colocated",
     "ann_ivf_incremental",
     "text_near_containment",
+    "tpch_q21_sole_fault_supplier",
     # -- r1-only-green backlog (stale two rounds), riskiest first --
     "pivot_event_types",
     "unpivot_part_metrics",

@@ -900,3 +900,71 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(25)
     )
+
+
+@register(
+    "tpch_q21_sole_fault_supplier",
+    oracle=(
+        # EXISTS / NOT EXISTS formulation — the textbook Q21 shape
+        # (adapted: this corpus has no receipt/commit dates, so the
+        # "fault" marker is l_returnflag = 'R'). The Spark side runs
+        # the decorrelated rewrite; DuckDB proves them equivalent.
+        "SELECT s_name, n_name, COUNT(*) AS numwait "
+        "FROM supplier, lineitem l1, orders, nation "
+        "WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey "
+        "AND o_orderstatus = 'F' AND l1.l_returnflag = 'R' "
+        "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey "
+        "AND l2.l_suppkey <> l1.l_suppkey) "
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey "
+        "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') "
+        "AND s_nationkey = n_nationkey "
+        "GROUP BY s_name, n_name ORDER BY numwait DESC, s_name LIMIT 100"
+    ),
+)
+def tpch_q21_sole_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers solely at fault in multi-supplier
+    orders (fault = returned line, this corpus's stand-in for
+    receipt-past-commit). The reference semantics is a correlated
+    EXISTS plus a correlated NOT EXISTS over the same fact table —
+    naively two extra lineitem self-joins, each shuffling the fact.
+
+    Spark-first decorrelation: ONE aggregate computes both
+    existentials per order — ``n_supps = countDistinct(suppkey)``
+    (EXISTS other supplier ⟺ ≥ 2) and ``n_fault = countDistinct(
+    suppkey WHERE fault)`` (NOT EXISTS other fault supplier ⟺ == 1,
+    since the probe line itself is a fault). The fact shuffles on
+    l_orderkey once for the stats and once for the probe join — AQE
+    reuses the exchange — instead of three times; supplier and nation
+    broadcast. At 100 TB the two correlated subqueries are the
+    difference between one map-combined aggregate and two extra
+    fact-fact shuffles. Final top-100 is TakeOrderedAndProject on
+    (numwait DESC, s_name) — a total order, so LIMIT is
+    deterministic."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_fault"),
+    )
+    f_orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(stats, "l_orderkey")
+        .filter((F.col("n_supps") >= 2) & (F.col("n_fault") == 1))
+        .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
