@@ -73,6 +73,19 @@ class _State:
             "open_catalog": ["catalog_admin"]
         }
         self.principal_roles: list[str] = ["service_admin"]
+        # Polaris-style grants (spec §9 permissions: revoke read/write
+        # then restore). The single bearer principal holds every
+        # catalog role; its effective privileges are the union of the
+        # roles' grants. The management plane itself is governed by
+        # the principal role (always held) so a revoked principal can
+        # be restored — mirroring Polaris, where catalog grants gate
+        # the DATA plane and service_admin retains the admin plane.
+        self.grants: dict[str, set[str]] = {
+            "catalog_admin": {"TABLE_READ_DATA", "TABLE_WRITE_DATA"}
+        }
+
+
+_PRIVILEGES = ("TABLE_READ_DATA", "TABLE_WRITE_DATA")
 
 
 def _make_handler(state: _State):
@@ -101,6 +114,21 @@ def _make_handler(state: _State):
             parts = [p for p in self.path.split("?")[0].split("/") if p]
             return parts
 
+        # -- permissions (spec §9) ----------------------------------------
+        def _privileges(self) -> set:
+            privs: set = set()
+            for r in state.catalog_roles.get("open_catalog", []):
+                privs |= state.grants.get(r, set())
+            return privs
+
+        def _forbid(self, priv: str) -> None:
+            # Iceberg REST error envelope: the surface engines show the
+            # user when a catalog privilege is missing.
+            self._send(403, {"error": {
+                "message": f"Principal is not authorized: missing {priv}",
+                "type": "NotAuthorizedException", "code": 403,
+            }})
+
         # -- dispatch ------------------------------------------------------
         def do_POST(self):  # noqa: N802 (http.server API)
             parts = self._route()
@@ -109,6 +137,9 @@ def _make_handler(state: _State):
                 return self._send(200, {"access_token": _TOKEN, "token_type": "bearer"})
             if not self._authed():
                 return self._send(401, {"error": "unauthorized"})
+            # data-plane writes require TABLE_WRITE_DATA (spec §9)
+            if parts[:1] == ["v1"] and "TABLE_WRITE_DATA" not in self._privileges():
+                return self._forbid("TABLE_WRITE_DATA")
             if parts[:2] == ["v1", "namespaces"] and len(parts) == 2:
                 body = self._body()
                 ns = ".".join(body.get("namespace", []))
@@ -169,6 +200,16 @@ def _make_handler(state: _State):
             # -- management API (Polaris-style, tester :272-460) -----------
             if parts[:3] == ["api", "management", "v1"]:
                 m = parts[3:]
+                if (
+                    len(m) == 5 and m[0] == "catalogs" and m[2] == "catalog-roles"
+                    and m[4] == "grants"
+                ):
+                    if m[1] not in state.catalogs or m[3] not in state.grants:
+                        return self._send(404, {"error": "no such role"})
+                    return self._send(200, {"grants": [
+                        {"type": "catalog", "privilege": p}
+                        for p in sorted(state.grants[m[3]])
+                    ]})
                 if m == ["catalogs"]:
                     return self._send(
                         200, {"catalogs": [state.catalogs[k] for k in sorted(state.catalogs)]}
@@ -189,7 +230,12 @@ def _make_handler(state: _State):
                     )
                 return self._send(404, {"error": "no route"})
             if parts == ["v1", "config"]:
+                # config stays readable — clients must bootstrap before
+                # any privilege check can even be reported to them
                 return self._send(200, {"defaults": {}, "overrides": {"prefix": ""}})
+            # data-plane reads require TABLE_READ_DATA (spec §9)
+            if parts[:1] == ["v1"] and "TABLE_READ_DATA" not in self._privileges():
+                return self._forbid("TABLE_READ_DATA")
             if parts == ["v1", "namespaces"]:
                 return self._send(
                     200, {"namespaces": [ns.split(".") for ns in sorted(state.namespaces)]}
@@ -226,6 +272,20 @@ def _make_handler(state: _State):
             parts = self._route()
             if not self._authed():
                 return self._send(401, {"error": "unauthorized"})
+            # grant a catalog privilege to a role (restore path):
+            # PUT /api/management/v1/catalogs/{c}/catalog-roles/{r}/grants
+            if (
+                parts[:3] == ["api", "management", "v1"] and len(parts) == 8
+                and parts[3] == "catalogs" and parts[5] == "catalog-roles"
+                and parts[7] == "grants"
+            ):
+                if parts[4] not in state.catalogs or parts[6] not in state.grants:
+                    return self._send(404, {"error": "no such role"})
+                priv = (self._body().get("grant") or {}).get("privilege")
+                if priv not in _PRIVILEGES:
+                    return self._send(400, {"error": f"unknown privilege {priv!r}"})
+                state.grants[parts[6]].add(priv)
+                return self._send(201, {"grant": {"type": "catalog", "privilege": priv}})
             # optimistic-concurrency catalog update (tester :406-460):
             # the caller presents the entityVersion it read; a stale
             # version is a 409 conflict; success applies the changed
@@ -255,6 +315,8 @@ def _make_handler(state: _State):
             parts = self._route()
             if not self._authed():
                 return self._send(401)
+            if parts[:1] == ["v1"] and "TABLE_READ_DATA" not in self._privileges():
+                return self._send(403)
             if len(parts) == 3 and parts[:2] == ["v1", "namespaces"]:
                 return self._send(200 if parts[2] in state.namespaces else 404)
             if len(parts) == 5 and parts[3] in ("tables", "views"):
@@ -266,6 +328,23 @@ def _make_handler(state: _State):
             parts = self._route()
             if not self._authed():
                 return self._send(401)
+            # revoke a catalog privilege from a role:
+            # DELETE /api/management/v1/catalogs/{c}/catalog-roles/{r}/grants
+            if (
+                parts[:3] == ["api", "management", "v1"] and len(parts) == 8
+                and parts[3] == "catalogs" and parts[5] == "catalog-roles"
+                and parts[7] == "grants"
+            ):
+                if parts[4] not in state.catalogs or parts[6] not in state.grants:
+                    return self._send(404, {"error": "no such role"})
+                priv = (self._body().get("grant") or {}).get("privilege")
+                if priv not in _PRIVILEGES:
+                    return self._send(400, {"error": f"unknown privilege {priv!r}"})
+                state.grants[parts[6]].discard(priv)
+                return self._send(204)
+            # data-plane deletes require TABLE_WRITE_DATA (spec §9)
+            if parts[:1] == ["v1"] and "TABLE_WRITE_DATA" not in self._privileges():
+                return self._forbid("TABLE_WRITE_DATA")
             if len(parts) == 3 and parts[:2] == ["v1", "namespaces"]:
                 ns = parts[2]
                 if ns not in state.namespaces:
@@ -431,6 +510,23 @@ class RestCatalogClient:
     def list_principal_roles(self):
         return self._request("GET", "/api/management/v1/principal-roles")
 
+    def list_grants(self, catalog: str, role: str):
+        return self._request(
+            "GET", f"/api/management/v1/catalogs/{catalog}/catalog-roles/{role}/grants"
+        )
+
+    def add_grant(self, catalog: str, role: str, privilege: str):
+        return self._request(
+            "PUT", f"/api/management/v1/catalogs/{catalog}/catalog-roles/{role}/grants",
+            {"grant": {"type": "catalog", "privilege": privilege}},
+        )
+
+    def revoke_grant(self, catalog: str, role: str, privilege: str):
+        return self._request(
+            "DELETE", f"/api/management/v1/catalogs/{catalog}/catalog-roles/{role}/grants",
+            {"grant": {"type": "catalog", "privilege": privilege}},
+        )
+
     def update_catalog(self, name: str, current_entity_version: int,
                        properties: dict | None = None,
                        storage_config: dict | None = None):
@@ -556,4 +652,39 @@ def run_conformance(base_url: str, ns: str = "conformance_ns") -> list[CallResul
     check("drop_table", c.drop_table(ns, "t1"))
     check("drop_namespace", c.drop_namespace(ns))
     check("head_namespace_gone", c.namespace_exists(ns), ok=(404,))
+
+    # -- permissions: revoke read/write then restore (spec §9,
+    # ICEBERG-Interoperability-Test-Spec.md:87-88) — correct error
+    # surfaces (403 NotAuthorizedException envelope) while revoked,
+    # full recovery after restore, catalog state intact throughout ----
+    check("list_grants", c.list_grants("open_catalog", "catalog_admin"))
+    check(
+        "revoke_write",
+        c.revoke_grant("open_catalog", "catalog_admin", "TABLE_WRITE_DATA"),
+        ok=(204,),
+    )
+    check(
+        "write_denied_after_revoke", c.create_namespace(f"{ns}_denied"),
+        ok=(), expected=(403,),
+    )
+    check("read_still_allowed", c.list_namespaces())
+    check(
+        "revoke_read",
+        c.revoke_grant("open_catalog", "catalog_admin", "TABLE_READ_DATA"),
+        ok=(204,),
+    )
+    check("read_denied_after_revoke", c.list_namespaces(), ok=(), expected=(403,))
+    check(
+        "restore_read",
+        c.add_grant("open_catalog", "catalog_admin", "TABLE_READ_DATA"),
+        ok=(201,),
+    )
+    check(
+        "restore_write",
+        c.add_grant("open_catalog", "catalog_admin", "TABLE_WRITE_DATA"),
+        ok=(201,),
+    )
+    check("read_recovered", c.list_namespaces())
+    check("write_recovered", c.create_namespace(f"{ns}_recovered"))
+    check("recovery_cleanup", c.drop_namespace(f"{ns}_recovered"))
     return results

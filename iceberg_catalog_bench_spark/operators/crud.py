@@ -402,23 +402,25 @@ def iceberg_metadata_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rest_catalog_conformance",
     oracle=(
-        # Pinned transcript shape: 32 ordered calls, 4 intentional
+        # Pinned transcript shape: 43 ordered calls, 6 intentional
         # expected-failure probes (conflict / stale-version /
-        # disabled-feature / non-empty-drop), zero FAILs — the
-        # reference tester's PASS/EXP/FAIL classification over a
-        # superset of its 29-call sequence.
-        "SELECT CAST(32 AS BIGINT) AS total_calls, "
-        "CAST(28 AS BIGINT) AS passed, "
-        "CAST(4 AS BIGINT) AS expected_failures, "
+        # disabled-feature / non-empty-drop / 2× revoked-privilege
+        # 403), zero FAILs — the reference tester's PASS/EXP/FAIL
+        # classification over a superset of its 29-call sequence,
+        # plus the spec §9 revoke-read/write-then-restore cycle.
+        "SELECT CAST(43 AS BIGINT) AS total_calls, "
+        "CAST(37 AS BIGINT) AS passed, "
+        "CAST(6 AS BIGINT) AS expected_failures, "
         "CAST(0 AS BIGINT) AS failures"
     ),
 )
 def rest_catalog_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REST catalog conformance (reference §2.8 + management plane) as
     a driver row: boot the in-process Polaris-style server, run the
-    ordered 32-call suite (OAuth → config → management read surface →
+    ordered 43-call suite (OAuth → config → management read surface →
     optimistic-concurrency catalog update/revert → namespace/table/view
-    lifecycle → cleanup), and report the PASS/EXP/FAIL tally."""
+    lifecycle → cleanup → privilege revoke/restore cycle with 403
+    error-surface probes), and report the PASS/EXP/FAIL tally."""
     from ..catalog.rest import RestCatalogServer, run_conformance
 
     server = RestCatalogServer().start()

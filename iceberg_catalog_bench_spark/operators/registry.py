@@ -59,6 +59,8 @@ PRIORITY: tuple[str, ...] = (
     "mv_incremental_maintenance",
     "events_funnel_conversion",
     "events_transition_matrix",
+    "dedup_ngram_jaccard",  # r4: pair core factored into _capped_pair_overlaps
+    "rest_catalog_conformance",  # r4: +11-call privilege revoke/restore cycle
     # -- new in round 4 --
     "mv_join_incremental_maintenance",
     "tpcds_returned_ratio_by_date",

@@ -28,10 +28,14 @@ def test_conformance_suite_all_pass(server):
         "update_catalog_stale_version",
         "applicable_policies_disabled",
         "drop_namespace_not_empty",
+        # spec §9 revoke probes: denied calls must surface 403, not fail
+        "write_denied_after_revoke",
+        "read_denied_after_revoke",
     }
     # ≥ the reference tester's 29-call transcript
     # (opencatalog_api_tester.py:272-460, opencatalog/README.md:157-201)
-    assert len(results) == 32
+    # + the 11-call privilege revoke/restore cycle (spec §9)
+    assert len(results) == 43
 
 
 def test_catalog_update_optimistic_concurrency(server):
@@ -73,3 +77,55 @@ def test_auto_location_expansion(server):
     assert loaded["location"].startswith("file:///warehouse/loc_ns/")
     c.drop_table("loc_ns", "t_auto")
     c.drop_namespace("loc_ns")
+
+
+def test_privilege_revoke_restore_cycle(server):
+    """Spec §9 permissions: revoking TABLE_WRITE_DATA must 403 writes
+    (with the Iceberg NotAuthorizedException envelope) while reads
+    keep working; revoking TABLE_READ_DATA must 403 reads; restoring
+    both must fully recover, with catalog state intact throughout."""
+    from iceberg_catalog_bench_spark.catalog.rest import RestCatalogClient
+
+    c = RestCatalogClient(server.url)
+    assert c.authenticate() == 200
+    assert c.create_namespace("perm_ns")[0] == 200
+
+    status, _ = c.revoke_grant("open_catalog", "catalog_admin", "TABLE_WRITE_DATA")
+    assert status == 204
+    status, body = c.create_namespace("perm_ns2")
+    assert status == 403
+    assert body["error"]["type"] == "NotAuthorizedException"
+    assert "TABLE_WRITE_DATA" in body["error"]["message"]
+    assert c.drop_namespace("perm_ns")[0] == 403  # deletes are writes too
+    assert c.describe_namespace("perm_ns")[0] == 200  # reads unaffected
+
+    status, _ = c.revoke_grant("open_catalog", "catalog_admin", "TABLE_READ_DATA")
+    assert status == 204
+    status, body = c.describe_namespace("perm_ns")
+    assert status == 403 and "TABLE_READ_DATA" in body["error"]["message"]
+    assert c.namespace_exists("perm_ns")[0] == 403
+
+    # the management plane stays reachable — that's the restore path
+    assert c.list_grants("open_catalog", "catalog_admin")[0] == 200
+    assert c.add_grant("open_catalog", "catalog_admin", "TABLE_READ_DATA")[0] == 201
+    assert c.add_grant("open_catalog", "catalog_admin", "TABLE_WRITE_DATA")[0] == 201
+
+    # full recovery, nothing lost while revoked
+    assert c.describe_namespace("perm_ns")[0] == 200
+    assert c.drop_namespace("perm_ns")[0] == 204
+    status, body = c.list_grants("open_catalog", "catalog_admin")
+    assert status == 200
+    assert {g["privilege"] for g in body["grants"]} == {
+        "TABLE_READ_DATA", "TABLE_WRITE_DATA"
+    }
+
+
+def test_grant_validation_errors(server):
+    """Unknown privileges are 400; unknown roles are 404."""
+    from iceberg_catalog_bench_spark.catalog.rest import RestCatalogClient
+
+    c = RestCatalogClient(server.url)
+    assert c.authenticate() == 200
+    assert c.add_grant("open_catalog", "catalog_admin", "MAKE_COFFEE")[0] == 400
+    assert c.add_grant("open_catalog", "nope", "TABLE_READ_DATA")[0] == 404
+    assert c.revoke_grant("no_catalog", "catalog_admin", "TABLE_READ_DATA")[0] == 404
