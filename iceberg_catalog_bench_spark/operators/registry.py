@@ -70,6 +70,7 @@ PRIORITY: tuple[str, ...] = (
     "ann_ivf_incremental",
     "text_near_containment",
     "tpch_q21_sole_fault_supplier",
+    "streaming_multibatch_windowed",
     # -- r1-only-green backlog (stale two rounds), riskiest first --
     "pivot_event_types",
     "unpivot_part_metrics",

@@ -551,3 +551,103 @@ def streaming_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_file_sink(agg)
+
+
+@register(
+    "streaming_multibatch_windowed",
+    oracle=(
+        # No late data (files are ts-ordered slices), so the finalized
+        # windows must equal the batch aggregate up to the final
+        # watermark cutoff — REGARDLESS of micro-batch boundaries.
+        # multibatch_ok pins that the run really was 8 micro-batches.
+        "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+        "COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value, "
+        "TRUE AS multibatch_ok "
+        "FROM events WHERE user_id < 120 "
+        "AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= "
+        "(SELECT date_trunc('milliseconds', MAX(ts)) FROM events "
+        "WHERE user_id < 120) - INTERVAL 2 HOUR "
+        "GROUP BY date_trunc('hour', ts), event_type"
+    ),
+)
+def streaming_multibatch_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed aggregation across MANY micro-batches: the input is
+    split into 8 ts-ordered files and streamed with
+    ``maxFilesPerTrigger=1``, so the 1-hour window state must carry
+    across 8 separate micro-batches, with the watermark advancing and
+    append-mode flushing finalized windows incrementally as each
+    batch lands. Every other streaming query here consumes one file =
+    one batch; this one proves the INCREMENTAL half of the streaming
+    contract — per-batch state commits, progressive watermark
+    finalization, exactly-once accumulation — by requiring the
+    multi-batch run to reproduce the single-shot batch aggregate
+    exactly.
+
+    Fixture prep (driver-side, not the operator): the slice is split
+    by an ntile(8) over ts order — ts-ordered files mean no event is
+    ever late for the watermark, which is what makes the oracle a
+    pure batch GROUP BY. File arrival order is pinned via mtimes
+    (Spark's file source processes oldest-first by default).
+
+    At 100 TB this is exactly how a file-fed production stream runs:
+    maxFilesPerTrigger bounds per-batch volume, state lives in the
+    state store between batches, and the sink accumulates finalized
+    windows append-only."""
+    import glob
+
+    from pyspark.sql.window import Window
+
+    from ..sources import load_table
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id") < 120)
+        .select("ts", "event_type", "value")
+    )
+    d = tempfile.mkdtemp(prefix="stream-multibatch-")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    in_dir = d + "/in"
+    os.makedirs(in_dir)
+    # one write job for all 8 slices (partitionBy on the ntile key);
+    # the post-window plan is single-partition, so each slice dir
+    # holds exactly one part file
+    sliced = ev.withColumn(
+        "slice", F.ntile(8).over(Window.orderBy("ts", "event_type", "value"))
+    )
+    sliced.write.partitionBy("slice").parquet(d + "/slices")
+    for i in range(1, 9):
+        (src,) = glob.glob(f"{d}/slices/slice={i}/part-*.parquet")
+        dst = f"{in_dir}/{i:02d}.parquet"
+        shutil.move(src, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    raw = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    agg = (
+        raw.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value")
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _STATE_PARTITIONS)
+    try:
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", d + "/out")
+            .option("checkpointLocation", d + "/ck")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        data_batches = sum(
+            1 for p in q.recentProgress if p["numInputRows"] > 0
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = spark.read.schema(agg.schema).parquet(d + "/out")
+    return out.withColumn("multibatch_ok", F.lit(data_batches == 8))
