@@ -73,6 +73,9 @@ HEADLINE = [
     # (funnel) and the single-exchange partial-agg rollup (OHLC)
     "events_funnel_conversion",
     "events_resample_ohlc",
+    # round 4: the decorrelated dual-existential aggregate — tracks
+    # the cost of the one-wide-aggregate Q21 rewrite per round
+    "tpch_q21_sole_fault_supplier",
 ]
 
 

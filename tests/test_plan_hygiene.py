@@ -177,3 +177,18 @@ def test_rfm_avoids_global_ntile_sort(spark, oracle_sf_dir):
     # no Window operator at all — neither ntile nor a global max window
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_tpch_q21_single_aggregate_decorrelation(spark, oracle_sf_dir):
+    """Q21's two correlated existentials must come from ONE per-order
+    aggregate (a single Expand feeding both countDistincts), never
+    materialize as extra fact self-joins, and the top-100 must be
+    TakeOrderedAndProject."""
+    plan = _plan("tpch_q21_sole_fault_supplier", spark, oracle_sf_dir)
+    assert plan.count("Expand") == 1
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # exactly the three intended exchanges: the two-step distinct
+    # aggregate plus the final (s_name, n_name) group
+    import re as _re
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) <= 3
