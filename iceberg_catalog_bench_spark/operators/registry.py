@@ -71,6 +71,7 @@ PRIORITY: tuple[str, ...] = (
     "text_near_containment",
     "tpch_q21_sole_fault_supplier",
     "streaming_multibatch_windowed",
+    "window_time_range_agg",
     # -- r1-only-green backlog (stale two rounds), riskiest first --
     "pivot_event_types",
     "unpivot_part_metrics",

@@ -968,3 +968,51 @@ def tpch_q21_sole_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+@register(
+    "window_time_range_agg",
+    oracle=(
+        "SELECT o_orderkey, o_custkey, "
+        "COUNT(*) OVER w AS orders_30d, "
+        "ROUND(SUM(o_totalprice) OVER w, 2) AS revenue_30d "
+        "FROM orders WHERE o_custkey < 200 "
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate "
+        "RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)"
+    ),
+)
+def window_time_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame — trailing 30-DAY per-customer order
+    count and revenue at every order. The frame is bounded by VALUE
+    (event time), not row count: a customer with 50 orders in the
+    window aggregates 50 rows, one with 2 aggregates 2 — the shape
+    ROWS frames (`window_moving_average`) cannot express, and the one
+    every "activity in the last N days" metric needs.
+
+    Spark has no INTERVAL range frame, so the standard idiom applies:
+    order by epoch seconds and give `rangeBetween` the interval in
+    seconds (−30·86400, 0] — value-based, tie rows (same customer,
+    same date) are peers and aggregate together, exactly DuckDB's
+    `RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW`.
+
+    Scale shape: one hash exchange on o_custkey + per-partition sort;
+    frames are computed by a running accumulator over the sorted
+    partition (no per-row rescan). Human customers bound the partition
+    size; the bot-key cap idiom (`_without_bot_users`) applies if the
+    key were open-ended."""
+    w = (
+        Window.partitionBy("o_custkey")
+        # NTZ → (UTC session) timestamp → epoch seconds; the file
+        # stores TIMESTAMP_NTZ which has no direct long cast
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .select(
+            "o_orderkey", "o_custkey",
+            F.count(F.lit(1)).over(w).alias("orders_30d"),
+            F.round(F.sum("o_totalprice").over(w), 2).alias("revenue_30d"),
+        )
+    )
