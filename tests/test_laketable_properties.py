@@ -268,3 +268,72 @@ def test_equality_deletes_survive_renames_model(spark, tmp_path_factory, ops):
         got.setdefault(r[key], []).append(r["v"])
     want = {k: sorted(vs) for k, vs in model.items()}
     assert {k: sorted(vs) for k, vs in got.items()} == want
+
+
+# op = ("append", [vals]) | ("evolve", spec_idx) | ("read_where", k)
+_PE_FIELDS = ["bucket(2, id)", "truncate(1, c)", "c"]  # bare name = identity
+_PE_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.lists(st.integers(0, 99), min_size=1, max_size=6)),
+        st.tuples(st.just("evolve"), st.integers(0, 2)),
+        st.tuples(st.just("read_where"), st.integers(0, 3)),
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(ops=_PE_OPS)
+def test_partition_evolution_sequence_matches_model(spark, tmp_path_factory, ops):
+    """Random interleavings of appends and partition-spec evolution
+    (toggle bucket/truncate/identity fields on and off between
+    generations) must never change READ results: the full read and
+    every pruned read (`read(where=...)` — the path that consults
+    per-file partition values across mixed-spec generations) must
+    equal the pandas model. Files written under any historical spec
+    must survive pruning under any later spec."""
+    d = str(tmp_path_factory.mktemp("pevo") / "t")
+    t = LakeTable.create(spark, d, "id bigint, v bigint, c string")
+    model = pd.DataFrame({
+        "id": pd.Series(dtype="int64"),
+        "v": pd.Series(dtype="int64"),
+        "c": pd.Series(dtype="object"),
+    })
+    next_uid = [0]
+
+    def check(where: str | None, expect: pd.DataFrame) -> None:
+        got = (
+            t.scan(where) if where else t.read()
+        ).toPandas().sort_values(["id"]).reset_index(drop=True)
+        want = expect.sort_values(["id"]).reset_index(drop=True).astype(
+            {"id": "int64", "v": "int64"}
+        )
+        pd.testing.assert_frame_equal(
+            got[["id", "v", "c"]], want[["id", "v", "c"]], check_dtype=False
+        )
+
+    for op, arg in ops:
+        if op == "append":
+            rows = [(next_uid[0] + i, int(x), f"s{x % 3}") for i, x in enumerate(arg)]
+            next_uid[0] += len(arg)
+            t.append(spark.createDataFrame(rows, "id bigint, v bigint, c string"))
+            model = pd.concat(
+                [model, pd.DataFrame(rows, columns=["id", "v", "c"])],
+                ignore_index=True,
+            )
+        elif op == "evolve":
+            field = _PE_FIELDS[arg]
+            try:
+                t.add_partition_field(field)
+            except ValueError:
+                t.drop_partition_field(field)  # present → toggle off
+        elif op == "read_where":
+            check(f"c = 's{arg % 3}'", model[model["c"] == f"s{arg % 3}"])
+            check(f"v = {arg * 7}", model[model["v"] == arg * 7])
+
+    check(None, model)
