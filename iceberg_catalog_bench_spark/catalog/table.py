@@ -2139,6 +2139,58 @@ class LakeTable:
             F.lit(True).alias("is_current_ancestor"),
         )
 
+    # -- table statistics (Iceberg Puffin role: ANALYZE TABLE) ---------------
+
+    def analyze(self, columns: list[str] | None = None) -> dict:
+        """``ANALYZE TABLE … COMPUTE STATISTICS [FOR COLUMNS …]`` —
+        the role Iceberg's Puffin statistics files play: table-level
+        NDV sketches + null counts per column, stored in metadata and
+        stamped with the snapshot they were computed at (readers can
+        judge staleness). One single-pass aggregate over the CURRENT
+        snapshot (merge-on-read deletes applied): NDV via
+        approx_count_distinct (HLL, rsd ≈ 1.6% — the same sketch
+        class Puffin stores as apache-datasketches-theta), null
+        counts exact. These are the inputs a cost-based planner uses
+        for broadcast/join-order decisions; at 100 TB the one pass is
+        itself map-combined partial aggregation, never a per-column
+        scan."""
+        fields = [f.name for f in self._fields()]
+        cols = list(columns) if columns else fields
+        unknown = [c for c in cols if c not in fields]
+        if unknown:
+            raise ValueError(f"no such column(s): {unknown}; have {fields}")
+        aggs = [F.count(F.lit(1)).alias("_row_count")]
+        for c in cols:
+            # rsd 0.016 (HLL++ precision ~2^12 registers) — Spark's
+            # 0.05 default is a planner-grade guess; stats persisted
+            # as metadata deserve the tighter sketch (still KBs)
+            aggs.append(F.approx_count_distinct(c, 0.016).alias(f"_ndv_{c}"))
+            aggs.append(
+                F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0))
+                .alias(f"_nulls_{c}")
+            )
+        row = self.read().agg(*aggs).collect()[0].asDict()
+        snap = self._snapshot()
+        stats = {
+            "snapshot_id": snap.snapshot_id if snap else None,
+            "row_count": int(row["_row_count"]),
+            "columns": {
+                c: {
+                    "ndv": int(row[f"_ndv_{c}"]),
+                    "null_count": int(row[f"_nulls_{c}"]),
+                }
+                for c in cols
+            },
+        }
+        self._locked_meta_mutation(
+            lambda: self._meta.__setitem__("column_stats", stats)
+        )
+        return stats
+
+    def column_stats(self) -> dict | None:
+        """Most recent ANALYZE result (None if never analyzed)."""
+        return self._meta.get("column_stats")
+
     # -- maintenance procedures (reference P1-P4) ----------------------------
 
     def rewrite_data_files(

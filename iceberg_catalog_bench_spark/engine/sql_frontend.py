@@ -254,9 +254,26 @@ class SqlEngine:
             "show": self._show,
             "use": self._use,
             "call": self._call,
+            "analyze": self._analyze,
         }
         h = handlers.get(head, self._select)
         return h(s)
+
+    def _analyze(self, s: str) -> StatementResult:
+        # ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS a, b | FOR ALL
+        # COLUMNS] — Spark's stats DDL, backed by LakeTable.analyze
+        # (Puffin-role NDV/null-count metadata stamped with snapshot id)
+        m = re.match(
+            r"(?is)^analyze\s+table\s+(" + _IDENT + r")\s+compute\s+statistics"
+            r"(?:\s+for\s+(?:all\s+columns|columns\s+([\w\s,]+)))?\s*$",
+            s,
+        )
+        if not m:
+            raise ValueError(f"unsupported ANALYZE statement: {s!r}")
+        ident, cols = m.groups()
+        columns = [c.strip() for c in cols.split(",")] if cols else None
+        stats = self.table(ident).analyze(columns)
+        return StatementResult(s, metadata={"op": "analyze_table", "stats": stats})
 
     # -- DDL (reference D1-D14) ---------------------------------------------
 

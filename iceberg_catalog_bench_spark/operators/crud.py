@@ -1079,3 +1079,80 @@ def partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pruned_day_both_gens", F.lit(pruned_day_both_gens))
         .withColumn("pruned_type_new_gen", F.lit(pruned_type_new_gen))
     )
+
+
+@register(
+    "analyze_table_stats",
+    oracle=(
+        # Exact per-column profile of the same slice (nulls injected at
+        # event_id % 10 = 0): null counts and row counts must match
+        # EXACTLY (they are not approximated); the HLL NDV must land
+        # within 5% of the exact distinct count (rsd ≈ 1.6%, so 5% is
+        # a >3-sigma bound) — pinned TRUE.
+        "WITH ev AS (SELECT event_id, user_id, event_type, "
+        "CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS value "
+        "FROM events WHERE user_id < 100) "
+        "SELECT col, null_count, "
+        "(SELECT COUNT(*) FROM ev) AS row_count, TRUE AS ndv_ok FROM ("
+        "SELECT 'event_id' AS col, COUNT(CASE WHEN event_id IS NULL THEN 1 END) AS null_count FROM ev "
+        "UNION ALL SELECT 'user_id', COUNT(CASE WHEN user_id IS NULL THEN 1 END) FROM ev "
+        "UNION ALL SELECT 'event_type', COUNT(CASE WHEN event_type IS NULL THEN 1 END) FROM ev "
+        "UNION ALL SELECT 'value', COUNT(CASE WHEN value IS NULL THEN 1 END) FROM ev)"
+    ),
+)
+def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE → Puffin-role column statistics: NDV sketches +
+    null counts per column, stored in table metadata stamped with the
+    snapshot id. The returned rows carry the EXACT parts of the
+    profile (null counts, row count — hash-compared against DuckDB)
+    plus a bounded-error verdict for the approximate part (HLL NDV
+    within 5% of the exact distinct count, computed in-plan). The
+    stats must also round-trip through metadata: the returned rows
+    read from ``column_stats()`` after a reload, not from the analyze
+    call's own return value."""
+    src = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id") < 100)
+        .select(
+            "event_id", "user_id", "event_type",
+            F.when(F.col("event_id") % 10 == 0, F.lit(None))
+            .otherwise(F.col("value")).alias("value"),
+        )
+    )
+    d = _tmp_table_dir()
+    t = LakeTable.create(
+        spark, d,
+        "event_id bigint, user_id bigint, event_type string, value double",
+    )
+    t.append(src)
+    t.analyze()
+
+    # round-trip: a FRESH handle must see the persisted stats
+    t2 = LakeTable.load(spark, d)
+    stats = t2.column_stats()
+    assert stats is not None and stats["snapshot_id"] == t2._snapshot().snapshot_id
+
+    exact = {
+        r["col"]: r["nd"]
+        for r in src.groupBy().agg(
+            *[
+                F.countDistinct(c).alias(c)
+                for c in ("event_id", "user_id", "event_type", "value")
+            ]
+        ).selectExpr(
+            "stack(4, 'event_id', event_id, 'user_id', user_id, "
+            "'event_type', event_type, 'value', value) AS (col, nd)"
+        ).collect()
+    }
+    rows = [
+        (
+            c,
+            stats["columns"][c]["null_count"],
+            stats["row_count"],
+            abs(stats["columns"][c]["ndv"] - exact[c]) <= 0.05 * exact[c],
+        )
+        for c in ("event_id", "user_id", "event_type", "value")
+    ]
+    return spark.createDataFrame(
+        rows, "col string, null_count bigint, row_count bigint, ndv_ok boolean"
+    )

@@ -72,6 +72,7 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q21_sole_fault_supplier",
     "streaming_multibatch_windowed",
     "window_time_range_agg",
+    "analyze_table_stats",
     # -- r1-only-green backlog (stale two rounds), riskiest first --
     "pivot_event_types",
     "unpivot_part_metrics",

@@ -443,3 +443,23 @@ def test_tblproperties_bloom_filter_reaches_writes(spark, tmp_path):
         rdr.close()
     assert cols["user_id"] > 0
     assert cols["v"] == -1
+
+
+def test_analyze_table_via_sql(engine):
+    """ANALYZE TABLE ... COMPUTE STATISTICS routes to LakeTable.analyze
+    and persists Puffin-role column stats stamped with the snapshot."""
+    engine.execute("CREATE NAMESPACE nstat")
+    engine.execute("CREATE TABLE nstat.s (id BIGINT, v DOUBLE) USING iceberg")
+    engine.execute("INSERT INTO nstat.s VALUES (1, 1.5), (2, 2.5), (3, NULL)")
+    (r,) = engine.execute("ANALYZE TABLE nstat.s COMPUTE STATISTICS FOR COLUMNS id, v")
+    stats = r.metadata["stats"]
+    assert stats["row_count"] == 3
+    assert stats["columns"]["id"] == {"ndv": 3, "null_count": 0}
+    assert stats["columns"]["v"]["null_count"] == 1
+    t = engine.table("nstat.s")
+    assert t.column_stats()["snapshot_id"] == t._snapshot().snapshot_id
+    # FOR ALL COLUMNS and bare forms parse too
+    engine.execute("ANALYZE TABLE nstat.s COMPUTE STATISTICS FOR ALL COLUMNS")
+    engine.execute("ANALYZE TABLE nstat.s COMPUTE STATISTICS")
+    engine.execute("DROP TABLE nstat.s")
+    engine.execute("DROP NAMESPACE nstat")
