@@ -73,6 +73,7 @@ PRIORITY: tuple[str, ...] = (
     "streaming_multibatch_windowed",
     "window_time_range_agg",
     "analyze_table_stats",
+    "dq_expectation_suite",
     # -- r1-only-green backlog (stale two rounds), riskiest first --
     "pivot_event_types",
     "unpivot_part_metrics",
@@ -143,6 +144,7 @@ def load_all() -> None:
     from . import relational_ext  # noqa: F401
     from . import tpcds  # noqa: F401
     from . import physical  # noqa: F401
+    from . import quality  # noqa: F401
 
     ordered = [n for n in PRIORITY if n in QUERIES]
     ordered += [n for n in QUERIES if n not in PRIORITY]
