@@ -74,6 +74,7 @@ PRIORITY: tuple[str, ...] = (
     "window_time_range_agg",
     "analyze_table_stats",
     "dq_expectation_suite",
+    "knn_metadata_filtered",
     # -- r1-only-green backlog (stale two rounds), riskiest first --
     "pivot_event_types",
     "unpivot_part_metrics",

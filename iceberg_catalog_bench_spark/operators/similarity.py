@@ -775,3 +775,52 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(append_rows_match).alias("append_rows_match"),
         F.lit(matches_full_rebuild).alias("matches_full_rebuild"),
     )
+
+
+@register(
+    "knn_metadata_filtered",
+    oracle=(
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings "
+        "WHERE vec_id = 0) "
+        "SELECT e.vec_id, d.lang, d.source, "
+        "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cos_sim "
+        "FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id, q "
+        "WHERE e.vec_id <> 0 AND d.lang = 'en' AND d.n_chars >= 200 "
+        "ORDER BY cos_sim DESC, e.vec_id LIMIT 10"
+    ),
+)
+def knn_metadata_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search — the retrieval shape every
+    curation/RAG pipeline runs: filter candidates by structured
+    metadata (here ``lang = 'en' AND n_chars >= 200`` from the
+    documents table) THEN rank by cosine. PRE-filter semantics: the
+    top-k is exact over the filtered set, so k results always come
+    back — a post-filter ANN (rank first, filter after) silently
+    under-delivers whenever the filter is selective, which is the
+    classic filtered-ANN failure mode.
+
+    Spark shapes: the metadata predicate pushes into the documents
+    scan (at 100 TB with docs PARTITIONED BY lang, that's partition
+    pruning, not a filter); the doc→embedding join is keyed 1:1 on
+    doc_id; the query vector broadcasts; the filtered candidate
+    stream gets one map-side dot product and a
+    TakeOrderedAndProject top-k. For selective filters this exact
+    scan IS the production plan — banding/IVF only pay off when the
+    filtered set is still huge, and then the same bands apply WITHIN
+    the filtered stream."""
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter((F.col("lang") == "en") & (F.col("n_chars") >= 200))
+        .select("doc_id", "lang", "source")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cos = _dot("embedding", "qv") / (_norm("embedding") * _norm("qv"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .join(docs, emb["vec_id"] == docs["doc_id"])
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "lang", "source", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
