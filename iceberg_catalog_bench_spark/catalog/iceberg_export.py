@@ -131,24 +131,66 @@ def to_iceberg_metadata(table: LakeTable) -> str:
     field_ids_by_name.update(
         {f["name"]: f["id"] for f in meta["schemas"][str(meta["current_schema_version"])]}
     )
-    spec_fields = []
-    for i, tj in enumerate(meta["partition_spec"]):
-        t = Transform.from_json(tj)
-        spec_fields.append(
-            {
-                # 1000+ is Iceberg's partition-field id range
-                "field-id": 1000 + i,
-                "source-id": field_ids_by_name.get(t.column, -1),
-                "name": f"{t.column}_{t.name}",
-                "transform": _iceberg_transform(t),
-            }
+    def _spec_fields(spec_json: list) -> list:
+        out = []
+        for i, tj in enumerate(spec_json):
+            t = Transform.from_json(tj)
+            out.append(
+                {
+                    # 1000+ is Iceberg's partition-field id range
+                    "field-id": 1000 + i,
+                    "source-id": field_ids_by_name.get(t.column, -1),
+                    "name": f"{t.column}_{t.name}",
+                    "transform": _iceberg_transform(t),
+                }
+            )
+        return out
+
+    # Full spec history (Iceberg keeps every spec ever used — files in
+    # a multi-generation table reference theirs by id). Dedupe the
+    # recorded history + current spec in first-seen order; the current
+    # spec's position is the default-spec-id.
+    all_specs = list(meta.get("partition_spec_history") or []) + [
+        meta["partition_spec"]
+    ]
+    spec_list: list[list] = []
+    spec_keys: list[str] = []
+    for sp in all_specs:
+        key = json.dumps(sp, sort_keys=True)
+        if key not in spec_keys:
+            spec_keys.append(key)
+            spec_list.append(sp)
+    default_spec_id = spec_keys.index(
+        json.dumps(meta["partition_spec"], sort_keys=True)
+    )
+    spec_fields = _spec_fields(meta["partition_spec"])
+    # per-file spec resolution: a file's hive partition keys
+    # (_p_<transform>_<column>) identify which spec wrote it; prefer
+    # the LATEST spec whose key-set matches (a re-added identical
+    # field should resolve to the newest id)
+    keyset_by_spec = [
+        frozenset(
+            f"_p_{Transform.from_json(tj).name}_{Transform.from_json(tj).column}"
+            for tj in sp
         )
+        for sp in spec_list
+    ]
+
+    def _file_spec_id(file_entry: dict) -> int:
+        fkeys = frozenset(file_entry.get("partition", {}).keys())
+        for sid in range(len(spec_list) - 1, -1, -1):
+            if keyset_by_spec[sid] == fkeys:
+                return sid
+        return default_spec_id
 
     snapshots = []
     for s in meta["snapshots"]:
-        manifest_path = os.path.join(out_dir, f"manifest-{s['snapshot_id']}.json")
-        entries = [
-            {
+        # one data manifest PER PARTITION SPEC (Iceberg's invariant: a
+        # manifest carries exactly one partition-spec-id; a snapshot
+        # spanning an evolution gets one manifest per generation)
+        entries_by_spec: dict[int, list] = {}
+        for f in s["files"]:
+            entry = {
                 "status": 1,  # ADDED/EXISTING in this snapshot's scope
                 "snapshot-id": s["snapshot_id"],
                 "data-file": {
@@ -169,20 +211,30 @@ def to_iceberg_metadata(table: LakeTable) -> str:
                     "schema-id": f["schema_version"],
                 },
             }
-            for f in s["files"]
-        ]
-        with open(manifest_path, "w") as fh:
-            json.dump({"entries": entries}, fh)
-        manifests = [
-            {
-                "manifest-path": manifest_path,
-                "manifest-length": os.path.getsize(manifest_path),
-                "content": 0,
-                "added-snapshot-id": s["snapshot_id"],
-                "added-files-count": len(entries),
-                "added-rows-count": sum(f["rows"] for f in s["files"]),
-            }
-        ]
+            entries_by_spec.setdefault(_file_spec_id(f), []).append(entry)
+        manifests = []
+        for spec_id, entries in sorted(entries_by_spec.items()):
+            suffix = f"-spec{spec_id}" if len(entries_by_spec) > 1 else ""
+            manifest_path = os.path.join(
+                out_dir, f"manifest-{s['snapshot_id']}{suffix}.json"
+            )
+            with open(manifest_path, "w") as fh:
+                json.dump(
+                    {"partition-spec-id": spec_id, "entries": entries}, fh
+                )
+            manifests.append(
+                {
+                    "manifest-path": manifest_path,
+                    "manifest-length": os.path.getsize(manifest_path),
+                    "content": 0,
+                    "partition-spec-id": spec_id,
+                    "added-snapshot-id": s["snapshot_id"],
+                    "added-files-count": len(entries),
+                    "added-rows-count": sum(
+                        e["data-file"]["record-count"] for e in entries
+                    ),
+                }
+            )
         # Iceberg v2 merge-on-read: position-delete files live in their
         # own manifest with content=1; readers anti-join (file, pos).
         if s.get("delete_files"):
@@ -258,9 +310,13 @@ def to_iceberg_metadata(table: LakeTable) -> str:
         "last-column-id": last_column_id,
         "current-schema-id": meta["current_schema_version"],
         "schemas": schemas,
-        "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
-        "last-partition-id": 1000 + max(len(spec_fields) - 1, 0),
+        "default-spec-id": default_spec_id,
+        "partition-specs": [
+            {"spec-id": i, "fields": _spec_fields(sp)}
+            for i, sp in enumerate(spec_list)
+        ],
+        "last-partition-id": 1000
+        + max(max((len(sp) for sp in spec_list), default=1) - 1, 0),
         "default-sort-order-id": 0,
         "sort-orders": [
             {

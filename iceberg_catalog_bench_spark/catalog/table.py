@@ -1907,6 +1907,13 @@ class LakeTable:
             spec = self._meta["partition_spec"]
             if any(Transform.from_json(t) == new for t in spec):
                 raise ValueError(f"partition field {transform} already present")
+            # spec history: Iceberg keeps every spec ever used (files
+            # reference their spec by id); record the outgoing spec so
+            # the metadata export can emit the full partition-specs
+            # list with correct per-manifest spec ids
+            self._meta.setdefault("partition_spec_history", []).append(
+                [dict(t) for t in spec]
+            )
             spec.append(new.to_json())
 
         self._locked_meta_mutation(mutate)
@@ -1916,12 +1923,16 @@ class LakeTable:
 
         def mutate():
             before = len(self._meta["partition_spec"])
-            self._meta["partition_spec"] = [
+            kept = [
                 t for t in self._meta["partition_spec"]
                 if Transform.from_json(t) != target
             ]
-            if len(self._meta["partition_spec"]) == before:
+            if len(kept) == before:
                 raise KeyError(transform)
+            self._meta.setdefault("partition_spec_history", []).append(
+                [dict(t) for t in self._meta["partition_spec"]]
+            )
+            self._meta["partition_spec"] = kept
 
         self._locked_meta_mutation(mutate)
 

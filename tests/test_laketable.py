@@ -874,3 +874,50 @@ def test_parquet_bloom_filter_fpp_and_max_bytes(spark, tmp_path):
             rdr.close()
     assert offsets["user_id"] > 0, "bloom filter missing with fpp/max-bytes knobs"
     assert t.read().filter("user_id = 4242").count() == 1
+
+
+def test_iceberg_export_partition_spec_evolution(spark, tmp_path):
+    """After ADD/DROP PARTITION FIELD the export must emit the FULL
+    spec history (Iceberg keeps every spec ever used), stamp
+    default-spec-id at the current spec, and split each snapshot's
+    data manifests per spec — a file written under the bucket spec
+    must never sit in a manifest claiming the truncate spec."""
+    import json
+
+    from iceberg_catalog_bench_spark.catalog.iceberg_export import (
+        read_via_iceberg_metadata,
+    )
+
+    d = str(tmp_path / "t")
+    t = LakeTable.create(spark, d, "id bigint, c string", partition_by=["bucket(2, id)"])
+    t.append(spark.createDataFrame([(i, f"s{i % 3}") for i in range(10)], "id bigint, c string"))
+    t.drop_partition_field("bucket(2, id)")
+    t.add_partition_field("truncate(1, c)")
+    t.append(spark.createDataFrame([(i, f"s{i % 3}") for i in range(10, 20)], "id bigint, c string"))
+
+    mpath = t.to_iceberg_metadata()
+    assert read_via_iceberg_metadata(spark, mpath).count() == 20
+
+    md = json.load(open(mpath))
+    specs = {s["spec-id"]: s["fields"] for s in md["partition-specs"]}
+    assert len(specs) == 3  # bucket → (empty intermediate) → truncate
+    assert specs[0][0]["transform"] == "bucket[2]"
+    assert specs[1] == []
+    assert specs[2][0]["transform"] == "truncate[1]"
+    assert md["default-spec-id"] == 2
+
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"])
+    mlist = json.load(open(snap["manifest-list"]))
+    seen = {}
+    for m in mlist["manifests"]:
+        man = json.load(open(m["manifest-path"]))
+        sid = man["partition-spec-id"]
+        assert m["partition-spec-id"] == sid
+        for e in man["entries"]:
+            keys = frozenset(e["data-file"]["partition"].keys())
+            seen[sid] = keys
+            if sid == 0:
+                assert keys == {"_p_bucket_id"}
+            if sid == 2:
+                assert keys == {"_p_truncate_c"}
+    assert set(seen) == {0, 2}  # both generations present, correctly attributed
