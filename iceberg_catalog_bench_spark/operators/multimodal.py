@@ -203,3 +203,51 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, chunk_idx int, sample_offset int, "
         "chunk_len int, mean_amplitude_milli int",
     )
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle=(
+        # The fake pHash is a pure function of the bytes, so DuckDB
+        # reproduces the whole pipeline: hash → group → keeper/copies.
+        "WITH h AS (SELECT doc_id, "
+        "octet_length(encode(text)) * 512 + "
+        "(ascii(text[1]) + ascii(text[-1])) % 512 AS phash FROM documents) "
+        "SELECT phash, MIN(doc_id) AS keeper_id, COUNT(*) AS copies "
+        "FROM h GROUP BY phash"
+    ),
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup by perceptual hash — the multimodal twin of
+    ``dedup_exact``: decode each binary blob, compute a compact hash,
+    shuffle ONLY the (doc_id, hash) pairs, group, keep min doc_id.
+    The real pipeline would put a 64-bit aHash/pHash of decoded
+    pixels here (`_decode_image_real` hook); the container has no
+    codecs, so the hash is the deterministic fake — a pure function
+    of the bytes — which keeps the full Arrow mapInPandas plumbing
+    (binary in, int64 hash out, batch-at-a-time) oracle-checked.
+
+    At 100 TB the design point is that the blobs NEVER shuffle: the
+    hash computes map-side in the Arrow stream, and the exchange
+    carries 16 bytes/row regardless of image size."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("image_bytes")
+    )
+
+    def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # formula inlined (see decode_batches note: closures must not
+        # reference module-level package functions)
+        for pdf in batches:
+            blobs = pdf["image_bytes"]
+            n = blobs.map(len)
+            first = blobs.map(lambda b: b[0] if len(b) else 0)
+            last = blobs.map(lambda b: b[-1] if len(b) else 0)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "phash": n * 512 + (first + last) % 512,
+            })
+
+    hashed = docs.mapInPandas(phash_batches, "doc_id bigint, phash bigint")
+    return hashed.groupBy("phash").agg(
+        F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("copies")
+    )

@@ -61,6 +61,7 @@ PRIORITY: tuple[str, ...] = (
     "events_transition_matrix",
     "dedup_ngram_jaccard",  # r4: pair core factored into _capped_pair_overlaps
     "rest_catalog_conformance",  # r4: +11-call privilege revoke/restore cycle
+    "iceberg_metadata_roundtrip",  # r4: export gained spec-history manifests
     # -- new in round 4 --
     "mv_join_incremental_maintenance",
     "tpcds_returned_ratio_by_date",
@@ -75,6 +76,7 @@ PRIORITY: tuple[str, ...] = (
     "analyze_table_stats",
     "dq_expectation_suite",
     "knn_metadata_filtered",
+    "multimodal_phash_dedup",
     # -- r1-only-green backlog (stale two rounds), riskiest first --
     "pivot_event_types",
     "unpivot_part_metrics",
