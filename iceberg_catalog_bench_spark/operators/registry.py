@@ -77,6 +77,7 @@ PRIORITY: tuple[str, ...] = (
     "dq_expectation_suite",
     "knn_metadata_filtered",
     "multimodal_phash_dedup",
+    "streaming_quarantine_gate",
     # -- r1-only-green backlog (stale two rounds), riskiest first --
     "pivot_event_types",
     "unpivot_part_metrics",

@@ -651,3 +651,80 @@ def streaming_multibatch_windowed(spark: SparkSession, sf_dir: str) -> DataFrame
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = spark.read.schema(agg.schema).parquet(d + "/out")
     return out.withColumn("multibatch_ok", F.lit(data_batches == 8))
+
+
+@register(
+    "streaming_quarantine_gate",
+    oracle=(
+        # The gate is row-deterministic, so the split is pure SQL: a
+        # row passes iff its type is in-domain AND value is in [0, 950].
+        "SELECT event_type, "
+        "COUNT(CASE WHEN value >= 0 AND value <= 950 THEN 1 END) AS n_passed, "
+        "COUNT(CASE WHEN value < 0 OR value > 950 THEN 1 END) AS n_quarantined "
+        "FROM events WHERE event_type IN "
+        "('click','view','purchase','signup','error') GROUP BY event_type"
+    ),
+)
+def streaming_quarantine_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch data-quality gate with a quarantine sink — the
+    foreachBatch multi-sink split a production ingest runs: each
+    micro-batch is validated row-by-row (domain + range rules here;
+    `dq_expectation_suite` is the batch-level cousin), valid rows
+    append to the publish sink, violations append to a quarantine
+    sink WITH the rule name that caught them — nothing is dropped
+    silently, and the quarantine is replayable after a rule fix.
+
+    foreachBatch is the only way to fan one stream into two sinks
+    with a shared scan; both writes happen inside the same batch
+    epoch, so a crash replays the whole batch into both sinks
+    (append-mode idempotence at the file level via the checkpoint).
+    The returned summary re-reads BOTH sinks and re-joins them per
+    event_type — a row lost by the gate would break the oracle's
+    totals."""
+    ev = _events_stream(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    d = tempfile.mkdtemp(prefix="stream-gate-")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    good_dir, quar_dir = d + "/good", d + "/quarantine"
+
+    rule = (
+        F.when(~F.col("value").between(0, 950), F.lit("value_out_of_range"))
+    )
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        checked = batch_df.withColumn("violation", rule)
+        checked.filter(F.col("violation").isNull()).drop("violation") \
+            .write.mode("append").parquet(good_dir)
+        checked.filter(F.col("violation").isNotNull()) \
+            .write.mode("append").parquet(quar_dir)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _STATE_PARTITIONS)
+    try:
+        q = (
+            ev.writeStream.foreachBatch(gate)
+            .option("checkpointLocation", d + "/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    good = spark.read.parquet(good_dir).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_passed")
+    )
+    try:
+        quar = spark.read.parquet(quar_dir).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_quarantined")
+        )
+    except Exception:  # no violations at this SF → empty quarantine
+        quar = None
+    out = (
+        good.join(quar, "event_type", "full_outer") if quar is not None else
+        good.withColumn("n_quarantined", F.lit(None).cast("bigint"))
+    )
+    return out.select(
+        "event_type",
+        F.coalesce("n_passed", F.lit(0)).alias("n_passed"),
+        F.coalesce("n_quarantined", F.lit(0)).alias("n_quarantined"),
+    )
