@@ -2150,6 +2150,90 @@ class LakeTable:
             F.lit(True).alias("is_current_ancestor"),
         )
 
+    # -- migrate / add_files (Iceberg's in-place table import) ---------------
+
+    @classmethod
+    def migrate_parquet(
+        cls,
+        spark: SparkSession,
+        parquet_dir: str,
+        dest_path: str,
+    ) -> "LakeTable":
+        """Iceberg's ``migrate`` / ``add_files`` procedure: register an
+        existing plain-parquet directory as a catalog table WITHOUT
+        rewriting a byte — the first snapshot's manifest points at the
+        ORIGINAL files (absolute paths), with footer min/max stats
+        collected so pruning works from commit one. Schema is inferred
+        from the files.
+
+        This is the migration on-ramp at 100 TB: adopting a petabyte
+        of historical parquet costs one metadata pass (threaded footer
+        reads), not a rewrite; `rewrite_data_files` later folds the
+        external files into table-owned, spec-clustered layout
+        incrementally if wanted. `remove_orphan_files` only sweeps the
+        table's own directory, so imported source files are never
+        collected."""
+        import glob as _glob
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow.parquet as pq
+
+        src_files = sorted(
+            _glob.glob(os.path.join(parquet_dir, "**", "*.parquet"), recursive=True)
+        )
+        if not src_files:
+            raise ValueError(f"no parquet files under {parquet_dir}")
+        sample = spark.read.parquet(parquet_dir)
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in sample.schema.fields
+        )
+        t = cls.create(spark, dest_path, ddl)
+        version = t._meta["current_schema_version"]
+
+        def footer_entry(fpath: str) -> FileEntry | None:
+            md = pq.ParquetFile(fpath).metadata
+            if md.num_rows == 0:
+                return None
+            stats: dict[str, list] = {}
+            for ci in range(md.num_columns):
+                col_name = md.schema.column(ci).name
+                lo = hi = None
+                try:
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(ci).statistics
+                        if st is None or not st.has_min_max:
+                            lo = hi = None
+                            break
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                except Exception:
+                    lo = hi = None
+                if lo is not None:
+                    stats[col_name] = [_json_safe(lo), _json_safe(hi)]
+            return FileEntry(
+                # ABSOLUTE path: the read path joins entries onto the
+                # table dir, and os.path.join yields the absolute path
+                # unchanged — external files read in place, zero copy
+                path=os.path.abspath(fpath),
+                rows=md.num_rows,
+                bytes=os.path.getsize(fpath),
+                schema_version=version,
+                stats=stats,
+                partition={},
+                seq=None,
+            )
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            entries = [e for e in pool.map(footer_entry, src_files) if e is not None]
+        entries.sort(key=lambda e: e.path)
+        t._commit(
+            "import", entries,
+            {"imported_files": len(entries),
+             "imported_rows": sum(e.rows for e in entries),
+             "source": parquet_dir},
+        )
+        return t
+
     # -- table statistics (Iceberg Puffin role: ANALYZE TABLE) ---------------
 
     def analyze(self, columns: list[str] | None = None) -> dict:

@@ -1156,3 +1156,64 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "col string, null_count bigint, row_count bigint, ndv_ok boolean"
     )
+
+
+@register(
+    "migrate_parquet_inplace",
+    oracle=(
+        "SELECT event_type, COUNT(*) AS n_events, "
+        "ROUND(SUM(ROUND(value, 2)), 2) AS sum_value, "
+        "TRUE AS zero_copy, TRUE AS stats_collected "
+        "FROM events WHERE user_id < 60 GROUP BY event_type"
+    ),
+)
+def migrate_parquet_inplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg's ``migrate`` / ``add_files`` on-ramp: an existing
+    plain-parquet directory becomes a catalog table WITHOUT copying a
+    byte — the first snapshot's manifest points at the original files
+    (absolute paths) with footer stats collected at import, so
+    pruning works from commit one. Verdicts (pinned TRUE):
+    ``zero_copy`` — every imported manifest entry resolves into the
+    legacy directory, and the legacy files' byte sizes are unchanged;
+    ``stats_collected`` — every entry carries event_id min/max. The
+    returned aggregate reads THROUGH the migrated table, so a
+    mis-imported file breaks the hash. At 100 TB this is a metadata
+    pass (threaded footer reads) instead of a petabyte rewrite;
+    `rewrite_data_files` folds stragglers into table-owned layout
+    lazily (proven in `test_migrate_parquet_inplace`)."""
+    import os as _os
+
+    src = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id") < 60)
+        .select("event_id", "event_type", "value")
+    )
+    base = _tmp_table_dir()  # parent scratch for legacy + table
+    legacy = base + "-legacy"
+    src.repartition(4).write.parquet(legacy)
+    sizes_before = {
+        p: _os.path.getsize(_os.path.join(legacy, p))
+        for p in _os.listdir(legacy) if p.endswith(".parquet")
+    }
+
+    t = LakeTable.migrate_parquet(spark, legacy, base)
+    files = t._snapshot().files
+    zero_copy = (
+        all(e.path.startswith(_os.path.abspath(legacy)) for e in files)
+        and all(
+            _os.path.getsize(_os.path.join(legacy, p)) == sz
+            for p, sz in sizes_before.items()
+        )
+        and len(files) == len(sizes_before)
+    )
+    stats_collected = all("event_id" in e.stats for e in files)
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.round("value", 2)), 2).alias("sum_value"),
+        )
+        .withColumn("zero_copy", F.lit(zero_copy))
+        .withColumn("stats_collected", F.lit(stats_collected))
+    )

@@ -78,6 +78,7 @@ PRIORITY: tuple[str, ...] = (
     "knn_metadata_filtered",
     "multimodal_phash_dedup",
     "streaming_quarantine_gate",
+    "migrate_parquet_inplace",
     # -- r1-only-green backlog (stale two rounds), riskiest first --
     "pivot_event_types",
     "unpivot_part_metrics",

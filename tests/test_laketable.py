@@ -921,3 +921,38 @@ def test_iceberg_export_partition_spec_evolution(spark, tmp_path):
             if sid == 2:
                 assert keys == {"_p_truncate_c"}
     assert set(seen) == {0, 2}  # both generations present, correctly attributed
+
+
+def test_migrate_parquet_inplace(spark, tmp_path):
+    """migrate_parquet registers legacy files without rewriting them;
+    appends coexist; compaction folds external refs into table-owned
+    files; orphan cleanup never touches the legacy directory."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path)
+    spark.range(1000).select(
+        "id", (F.col("id") % 7).alias("g"), (F.col("id") * 1.5).alias("v")
+    ).repartition(4).write.parquet(d + "/legacy")
+
+    t = LakeTable.migrate_parquet(spark, d + "/legacy", d + "/t")
+    assert t.read().count() == 1000
+    files = t._snapshot().files
+    assert len(files) == 4
+    assert all(os.path.isabs(e.path) and e.path.startswith(d + "/legacy") for e in files)
+    assert all("id" in e.stats for e in files)  # pruning-ready from commit one
+
+    t.append(spark.range(1000, 1100).select(
+        "id", (F.col("id") % 7).alias("g"), (F.col("id") * 1.5).alias("v")
+    ))
+    assert t.read().count() == 1100
+
+    t.rewrite_data_files(min_input_files=2)
+    assert t.read().count() == 1100
+    assert not any(
+        e.path.startswith(d + "/legacy") for e in t._snapshot().files
+    )  # folded into table-owned layout
+    t.remove_orphan_files()
+    assert len(glob.glob(d + "/legacy/*.parquet")) == 4  # source untouched
