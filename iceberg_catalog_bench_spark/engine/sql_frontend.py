@@ -979,6 +979,21 @@ class SqlEngine:
             ident = pm.group(1) if pm else None
         if not ident:
             raise ValueError(f"CALL needs a table argument: {s[:120]}")
+        # migrate creates the table, so it resolves the path itself
+        if proc == "migrate":
+            src = kwargs.get("source") or kwargs.get("source_dir")
+            if not src:
+                raise ValueError("CALL system.migrate needs source => '<dir>'")
+            if self.table_exists(ident):
+                raise ValueError(f"table {ident} already exists")
+            t = LakeTable.migrate_parquet(self.spark, src, self._table_path(ident))
+            snap = t._snapshot()
+            return StatementResult(
+                s,
+                metadata={"op": "migrate",
+                          "imported_files": len(snap.files),
+                          "imported_rows": sum(f.rows for f in snap.files)},
+            )
         t = self.table(ident)
         if proc == "rewrite_data_files":
             opts = kwargs

@@ -463,3 +463,20 @@ def test_analyze_table_via_sql(engine):
     engine.execute("ANALYZE TABLE nstat.s COMPUTE STATISTICS")
     engine.execute("DROP TABLE nstat.s")
     engine.execute("DROP NAMESPACE nstat")
+
+
+def test_migrate_via_sql(engine, spark, tmp_path):
+    """CALL system.migrate registers an existing parquet dir as a new
+    table without rewriting; the migrated table is queryable."""
+    from pyspark.sql import functions as F
+
+    src_dir = str(tmp_path / "legacy")
+    spark.range(100).select("id", (F.col("id") % 5).alias("g")).write.parquet(src_dir)
+    engine.execute("CREATE NAMESPACE nmig")
+    (r,) = engine.execute(
+        f"CALL system.migrate(table => 'nmig.adopted', source => '{src_dir}')"
+    )
+    assert r.metadata["imported_rows"] == 100
+    assert r.metadata["imported_files"] >= 1
+    t = engine.table("nmig.adopted")
+    assert t.read().count() == 100
