@@ -92,3 +92,66 @@ def test_multiprocess_writers_no_lost_commits(spark, tmp_path):
 
     # the lock file never leaks
     assert not os.path.exists(os.path.join(table_path, "_meta", "commit.lock"))
+
+
+def test_streaming_ingest_races_batch_appends(spark, tmp_path):
+    """A foreachBatch streaming ingest and a concurrent batch writer
+    hitting the SAME LakeTable must both land all rows: every commit
+    retries through the commit lock, so no snapshot is lost and the
+    history stays linear. This is the streaming×batch coexistence the
+    Iceberg commit protocol promises (a streaming writer is just
+    another optimistic committer)."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from iceberg_catalog_bench_spark.catalog import LakeTable
+
+    d = str(tmp_path / "t")
+    t = LakeTable.create(spark, d, "id bigint, src string")
+
+    src_dir = str(tmp_path / "stream-src")
+    # 4 source files → up to 4 streaming micro-batch commits
+    spark.range(400).select("id", F.lit("stream").alias("src")) \
+        .repartition(4).write.parquet(src_dir)
+
+    errs = []
+
+    def batch_writer():
+        try:
+            h = LakeTable.load(spark, d)
+            for i in range(4):
+                h.append(
+                    spark.range(1000 + i * 100, 1100 + i * 100)
+                    .select("id", F.lit("batch").alias("src"))
+                )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ingest_handle = LakeTable.load(spark, d)
+
+    def ingest(batch_df, batch_id):
+        ingest_handle.append(batch_df)
+
+    th = threading.Thread(target=batch_writer)
+    th.start()
+    q = (
+        spark.readStream.schema("id bigint, src string").parquet(src_dir)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .option("maxFilesPerTrigger", "1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    th.join()
+    assert not errs, errs
+
+    final = LakeTable.load(spark, d)
+    counts = {r["src"]: r["n"] for r in
+              final.read().groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"stream": 400, "batch": 400}
+    # linear history: every snapshot's parent is the previous snapshot
+    snaps = [r.asDict() for r in final.snapshots().orderBy("snapshot_id").collect()]
+    for prev, cur in zip(snaps, snaps[1:]):
+        assert cur["parent_id"] == prev["snapshot_id"]
