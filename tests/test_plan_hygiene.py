@@ -192,3 +192,49 @@ def test_tpch_q21_single_aggregate_decorrelation(spark, oracle_sf_dir):
     # aggregate plus the final (s_name, n_name) group
     import re as _re
     assert len(_re.findall(r"Exchange hashpartitioning", plan)) <= 3
+
+
+def test_time_range_window_single_exchange(spark, oracle_sf_dir):
+    """The 30-day RANGE window must be one custkey hash exchange +
+    per-partition sort — never a rangepartitioning total sort."""
+    plan = _plan("window_time_range_agg", spark, oracle_sf_dir)
+    assert "hashpartitioning(o_custkey" in plan
+    assert "rangepartitioning" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_knn_metadata_filtered_pushes_and_takeordered(spark, oracle_sf_dir):
+    """The metadata pre-filter must reach the documents scan and the
+    top-k must be TakeOrderedAndProject over the filtered stream."""
+    plan = _plan("knn_metadata_filtered", spark, oracle_sf_dir)
+    assert "EqualTo(lang,en)" in plan
+    assert "GreaterThanOrEqual(n_chars,200)" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan  # 1:1 join broadcasts at any SF tier
+
+
+def test_dq_suite_single_pass_over_events(spark, oracle_sf_dir):
+    """The five single-table expectations must fold into ONE aggregate
+    over ONE events scan (the whole point: six checks, one pass)."""
+    from iceberg_catalog_bench_spark.operators import registry
+    from iceberg_catalog_bench_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, oracle_sf_dir and "events", oracle_sf_dir)
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("dup_ids"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_values"),
+        F.max("ts").alias("max_ts"),
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("events.parquet") == 1
+    assert "partial" in plan  # map-side combine before the 1-row reduce
+
+
+def test_phash_dedup_shuffles_hashes_not_blobs(spark, oracle_sf_dir):
+    """The image-dedup exchange must carry (doc_id, phash) only — the
+    binary column must not survive past the Arrow stage."""
+    plan = _plan("multimodal_phash_dedup", spark, oracle_sf_dir)
+    assert "image_bytes" not in plan.split("Exchange")[0]  # agg side is hash-only
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
