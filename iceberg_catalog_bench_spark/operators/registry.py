@@ -79,6 +79,7 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_phash_dedup",
     "streaming_quarantine_gate",
     "migrate_parquet_inplace",
+    "stats_gini_grouped_udaf",
     # -- r1-only-green backlog (stale two rounds), riskiest first --
     "pivot_event_types",
     "unpivot_part_metrics",

@@ -744,3 +744,56 @@ def tokenizer_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "pair_left", "pair_right")
         .limit(20)
     )
+
+
+@register(
+    "stats_gini_grouped_udaf",
+    oracle=(
+        # Closed-form Gini from ascending ranks: with x sorted asc and
+        # 1-based index i, G = 2*Σ(i·x_i)/(n·Σx) − (n+1)/n. Ties don't
+        # affect the sum (equal x share the tied index block), so the
+        # value is order-deterministic. n_chars are integers → every
+        # sum is exact in double → the 6dp round matches bitwise.
+        "WITH r AS (SELECT lang, n_chars, "
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS i "
+        "FROM documents) "
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "ROUND(2.0 * SUM(i * n_chars) / (COUNT(*) * SUM(n_chars)) "
+        "- (COUNT(*) + 1.0) / COUNT(*), 6) AS gini_n_chars "
+        "FROM r GROUP BY lang"
+    ),
+)
+def stats_gini_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDAF — the third Arrow surface after
+    scalar pandas UDFs (`text_quality_pandas_udf`) and mapInPandas
+    (multimodal): a custom aggregate (Gini concentration of document
+    lengths per language — the inequality measure data-mixture work
+    uses to spot head-heavy sources) that Spark's built-ins can't
+    express, computed per group from an Arrow-transferred numpy
+    vector. The UDAF is partial-agg-free (whole group to one worker),
+    so the docstring rule applies: use it only where groups are
+    bounded (languages here); for open-ended keys, decompose to the
+    closed-form rank sums the oracle uses — which is also the exact
+    equivalence being verified."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def gini(x: pd.Series) -> float:
+        v = np.sort(x.to_numpy(dtype=np.float64))
+        n = v.size
+        i = np.arange(1, n + 1, dtype=np.float64)
+        return float(2.0 * np.dot(i, v) / (n * v.sum()) - (n + 1.0) / n)
+
+    # Spark refuses to mix grouped-agg pandas UDFs with JVM aggregates
+    # in one agg (INVALID_PANDAS_UDF_PLACEMENT) — the count rides as a
+    # second pandas UDAF so the whole group aggregates in one pass.
+    @pandas_udf("long")
+    def n_docs(x: pd.Series) -> int:
+        return len(x)
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.groupBy("lang").agg(
+        n_docs("n_chars").alias("n_docs"),
+        F.round(gini("n_chars"), 6).alias("gini_n_chars"),
+    )
