@@ -285,12 +285,26 @@ def main() -> None:
         phase_median(name, lambda fn=fn: fn(spark, SF_DIR).collect())
 
     total = sum(results.values())
+    # Record protocol (VERDICT r4 item 2): the driver tail-captures the
+    # LAST stdout line and json-parses it — round 4's inline per-phase
+    # `metrics` dict grew that line past the capture window and
+    # BENCH_r04 landed `parsed: null`. The per-phase metrics therefore
+    # go to a sidecar file (and a preceding stdout line for humans);
+    # the final line is the compact totals dict only.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_metrics.json"
+    )
+    try:
+        with open(sidecar, "w") as f:
+            json.dump({"sf": sf, "metrics": metrics}, f, indent=1, sort_keys=True)
+        print(f"per-phase metrics -> {sidecar}")
+    except OSError as e:  # never let the sidecar kill the record
+        print(f"per-phase metrics sidecar failed: {e}")
     print(json.dumps({
         "metric": "bench_phase_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in results.items()},
-        "metrics": metrics,
         "sf": sf,
         "cpus": CPUS,
     }))

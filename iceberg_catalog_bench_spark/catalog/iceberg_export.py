@@ -131,14 +131,29 @@ def to_iceberg_metadata(table: LakeTable) -> str:
     field_ids_by_name.update(
         {f["name"]: f["id"] for f in meta["schemas"][str(meta["current_schema_version"])]}
     )
+    # Partition field-ids are TABLE-WIDE in Iceberg: assigned once per
+    # (source column, transform), starting at 1000, never reused, and
+    # stable across spec evolution — a reader unions manifest partition
+    # structs by field-id, so a positional scheme (1000+index-in-spec,
+    # the pre-round-5 behavior flagged in ADVICE r4) would conflate
+    # different fields that happen to share a position in different
+    # specs. `_pf_ids` is the global allocator; `_spec_fields` only
+    # looks up / extends it in first-use order.
+    _pf_ids: dict[tuple[str, str], int] = {}
+
+    def _pf_id(t: Transform) -> int:
+        key = (t.column, _iceberg_transform(t))
+        if key not in _pf_ids:
+            _pf_ids[key] = 1000 + len(_pf_ids)
+        return _pf_ids[key]
+
     def _spec_fields(spec_json: list) -> list:
         out = []
-        for i, tj in enumerate(spec_json):
+        for tj in spec_json:
             t = Transform.from_json(tj)
             out.append(
                 {
-                    # 1000+ is Iceberg's partition-field id range
-                    "field-id": 1000 + i,
+                    "field-id": _pf_id(t),
                     "source-id": field_ids_by_name.get(t.column, -1),
                     "name": f"{t.column}_{t.name}",
                     "transform": _iceberg_transform(t),
@@ -163,7 +178,10 @@ def to_iceberg_metadata(table: LakeTable) -> str:
     default_spec_id = spec_keys.index(
         json.dumps(meta["partition_spec"], sort_keys=True)
     )
-    spec_fields = _spec_fields(meta["partition_spec"])
+    # Walk the spec history OLDEST-FIRST so field-ids reflect first
+    # use (spec 0's fields get the lowest ids), then the current spec.
+    for sp in spec_list:
+        _spec_fields(sp)
     # per-file spec resolution: a file's hive partition keys
     # (_p_<transform>_<column>) identify which spec wrote it; prefer
     # the LATEST spec whose key-set matches (a re-added identical
@@ -175,13 +193,37 @@ def to_iceberg_metadata(table: LakeTable) -> str:
         )
         for sp in spec_list
     ]
+    _PARAM_FREE = {"identity", "days", "hours", "months", "years", "day",
+                   "hour", "month", "year"}
 
     def _file_spec_id(file_entry: dict) -> int:
         fkeys = frozenset(file_entry.get("partition", {}).keys())
         for sid in range(len(spec_list) - 1, -1, -1):
             if keyset_by_spec[sid] == fkeys:
                 return sid
-        return default_spec_id
+        # No recorded spec matches (possible only for tables whose
+        # evolution predates spec-history recording). Silently stamping
+        # default_spec_id would misattribute the file's partition
+        # struct (ADVICE r4): synthesize a spec from the file's own
+        # keys when every transform is parameter-free (the key name
+        # `_p_<transform>_<column>` loses bucket/truncate params),
+        # else fail loudly.
+        synthesized = []
+        for k in sorted(fkeys):
+            name, _, column = k.removeprefix("_p_").partition("_")
+            if name not in _PARAM_FREE or not column:
+                raise ValueError(
+                    f"data file {file_entry.get('path')!r} carries partition "
+                    f"keys {sorted(fkeys)} matching no recorded partition "
+                    "spec and not synthesizable (parameterized transform); "
+                    "cannot attribute a partition-spec-id"
+                )
+            synthesized.append(Transform(name, column).to_json())
+        spec_list.append(synthesized)
+        spec_keys.append(json.dumps(synthesized, sort_keys=True))
+        keyset_by_spec.append(fkeys)
+        _spec_fields(synthesized)
+        return len(spec_list) - 1
 
     snapshots = []
     for s in meta["snapshots"]:
@@ -315,8 +357,9 @@ def to_iceberg_metadata(table: LakeTable) -> str:
             {"spec-id": i, "fields": _spec_fields(sp)}
             for i, sp in enumerate(spec_list)
         ],
-        "last-partition-id": 1000
-        + max(max((len(sp) for sp in spec_list), default=1) - 1, 0),
+        # max field-id EVER assigned by the table-wide allocator (999
+        # for a never-partitioned table, matching Iceberg's sentinel)
+        "last-partition-id": max(_pf_ids.values(), default=999),
         "default-sort-order-id": 0,
         "sort-orders": [
             {

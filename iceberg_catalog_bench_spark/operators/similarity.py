@@ -236,10 +236,14 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scanned = cand.agg(F.count(F.lit(1)).alias("scanned"))
     total = emb.agg(F.count(F.lit(1)).alias("total"))
+    # k_returned is COUNTED from the actual top-k output (same fix as
+    # knn_pq_adc, ADVICE r3): a probe set too small to yield k rows
+    # now fails the row instead of reporting a decorative literal.
+    returned = ivf_top.agg(F.count(F.lit(1)).alias("k_returned"))
     return (
-        hits.crossJoin(scanned).crossJoin(total)
+        hits.crossJoin(scanned).crossJoin(total).crossJoin(F.broadcast(returned))
         .select(
-            F.lit(10).cast("bigint").alias("k_returned"),
+            F.col("k_returned").cast("bigint").alias("k_returned"),
             (F.col("hits") >= 9).alias("recall_ok"),
             (F.col("scanned") * 10 < F.col("total") * 6).alias("sublinear_ok"),
         )
@@ -450,8 +454,9 @@ def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = exact_top.join(ivf_top, "vec_id", "left_semi").agg(
         F.count(F.lit(1)).alias("hits")
     )
-    return hits.select(
-        F.lit(10).cast("bigint").alias("k_returned"),
+    returned = ivf_top.agg(F.count(F.lit(1)).alias("k_returned"))
+    return hits.crossJoin(F.broadcast(returned)).select(
+        F.col("k_returned").cast("bigint").alias("k_returned"),
         (F.col("hits") >= 9).alias("recall_ok"),
         F.lit(kept_files * 16 <= total_files * 4 + 16).alias("partition_pruned_ok"),
     )
@@ -768,8 +773,9 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = exact_top.join(ivf_top, "vec_id", "left_semi").agg(
         F.count(F.lit(1)).alias("hits")
     )
-    return hits.select(
-        F.lit(10).cast("bigint").alias("k_returned"),
+    returned = ivf_top.agg(F.count(F.lit(1)).alias("k_returned"))
+    return hits.crossJoin(F.broadcast(returned)).select(
+        F.col("k_returned").cast("bigint").alias("k_returned"),
         (F.col("hits") >= 7).alias("recall_ok"),
         F.lit(base_files_untouched).alias("base_files_untouched"),
         F.lit(append_rows_match).alias("append_rows_match"),

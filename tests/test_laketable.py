@@ -956,3 +956,42 @@ def test_migrate_parquet_inplace(spark, tmp_path):
     )  # folded into table-owned layout
     t.remove_orphan_files()
     assert len(glob.glob(d + "/legacy/*.parquet")) == 4  # source untouched
+
+
+def test_iceberg_export_global_partition_field_ids(spark, tmp_path):
+    """Partition field-ids are TABLE-WIDE (Iceberg spec): assigned once
+    per (source, transform) starting at 1000, never reused, stable
+    across spec evolution — readers union manifest partition structs
+    by field-id, so two different fields must never share one and the
+    same field must keep its id in every spec (ADVICE r4 medium)."""
+    import json
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "gids"), "id bigint, c string, ts timestamp",
+        partition_by=["bucket(2, id)"],
+    )
+    t.append(spark.createDataFrame(
+        [(1, "a", dt.datetime(2024, 1, 1))], "id bigint, c string, ts timestamp"
+    ))
+    t.add_partition_field("truncate(1, c)")   # spec 1: bucket + truncate
+    t.drop_partition_field("bucket(2, id)")   # spec 2: truncate only
+    t.add_partition_field("days(ts)")         # spec 3: truncate + days
+    t.append(spark.createDataFrame(
+        [(2, "b", dt.datetime(2024, 1, 2))], "id bigint, c string, ts timestamp"
+    ))
+
+    md = json.load(open(t.to_iceberg_metadata()))
+    by_key: dict[tuple, set] = {}
+    all_ids: list[int] = []
+    for sp in md["partition-specs"]:
+        for f in sp["fields"]:
+            by_key.setdefault((f["source-id"], f["transform"]), set()).add(f["field-id"])
+            all_ids.append(f["field-id"])
+    # same (source, transform) -> ONE id across every spec it appears in
+    assert all(len(ids) == 1 for ids in by_key.values()), by_key
+    # different fields never share an id
+    assert len({next(iter(v)) for v in by_key.values()}) == len(by_key)
+    # first-use order from spec 0: bucket=1000, truncate=1001, days=1002
+    ids = {k[1]: next(iter(v)) for k, v in by_key.items()}
+    assert ids == {"bucket[2]": 1000, "truncate[1]": 1001, "day": 1002}
+    assert md["last-partition-id"] == max(all_ids)
