@@ -122,7 +122,11 @@ def streaming_ingest_laketable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
-        t.append(batch_df)
+        # replay-idempotent: the snapshot summary records the batch id
+        # atomically with the commit, so a micro-batch replayed after a
+        # sink-commit/checkpoint-commit crash is skipped, not
+        # double-appended (Iceberg streaming-sink semantics, spec :70)
+        t.streaming_append(batch_df, batch_id, query_id="ingest")
 
     q = (
         ev.writeStream.foreachBatch(ingest_batch)

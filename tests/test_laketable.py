@@ -995,3 +995,106 @@ def test_iceberg_export_global_partition_field_ids(spark, tmp_path):
     ids = {k[1]: next(iter(v)) for k, v in by_key.items()}
     assert ids == {"bucket[2]": 1000, "truncate[1]": 1001, "day": 1002}
     assert md["last-partition-id"] == max(all_ids)
+
+
+def test_streaming_append_replay_idempotent(spark, tmp_path):
+    """foreachBatch replay safety (Iceberg streaming-sink semantics,
+    spec :70): a micro-batch re-delivered after a sink-commit /
+    checkpoint-commit crash must be SKIPPED — the snapshot summary
+    records (query-id, batch-id) atomically with the data, and ids
+    ≤ the last committed are no-ops. Distinct query-ids keep
+    independent pointers; interleaved batch appends don't disturb
+    them."""
+    t = LakeTable.create(spark, str(tmp_path / "s"), "k bigint, v double")
+    mk = lambda lo, n: spark.range(lo, lo + n).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+
+    assert t.streaming_append(mk(0, 10), 0, query_id="q") is not None
+    assert t.streaming_append(mk(10, 10), 1, query_id="q") is not None
+    snaps_before = len(t._meta["snapshots"])
+
+    # replay of batch 1 (and a late replay of batch 0): skipped
+    assert t.streaming_append(mk(10, 10), 1, query_id="q") is None
+    assert t.streaming_append(mk(0, 10), 0, query_id="q") is None
+    assert t.read().count() == 20
+    assert len(t._meta["snapshots"]) == snaps_before
+
+    # a plain batch append between micro-batches must not clobber the pointer
+    t.append(mk(1000, 5))
+    assert t.last_streaming_batch("q") == 1
+    assert t.streaming_append(mk(20, 10), 2, query_id="q") is not None
+    assert t.read().count() == 35
+
+    # an independent query id has its own sequence
+    assert t.streaming_append(mk(2000, 3), 0, query_id="other") is not None
+    assert t.last_streaming_batch("q") == 2
+    assert t.last_streaming_batch("other") == 0
+
+
+def test_streaming_append_concurrent_replay_single_commit(spark, tmp_path):
+    """Two workers replaying the SAME micro-batch concurrently (the
+    crash-recovery race): exactly one commits; the loser detects the
+    committed batch-id under conflict, skips, and unlinks its
+    duplicate files (no orphan rows, no double count)."""
+    import threading
+
+    path = str(tmp_path / "race")
+    LakeTable.create(spark, path, "k bigint, v double")
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    results, errors = [], []
+
+    def run():
+        try:
+            h = LakeTable.load(spark, path)
+            results.append(h.streaming_append(df, 0, query_id="q"))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    committed = [r for r in results if r is not None]
+    assert len(committed) == 1, "exactly one replay may commit"
+    final = LakeTable.load(spark, path)
+    assert final.read().count() == 100
+
+
+def test_streaming_ingest_survives_checkpoint_loss(spark, tmp_path):
+    """End-to-end: an availableNow foreachBatch ingest whose CHECKPOINT
+    is destroyed mid-life (the worst replay case — Spark re-delivers
+    every micro-batch from 0) must leave the table with exactly one
+    copy of the source. This is the kill-between-sink-commit-and-
+    checkpoint scenario taken to its limit."""
+    src = str(tmp_path / "src")
+    spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    ).repartition(4).write.parquet(src)
+
+    t = LakeTable.create(spark, str(tmp_path / "tbl"), "k bigint, v double")
+
+    def run_stream(ck: str) -> None:
+        stream = (
+            spark.readStream.schema("k bigint, v double")
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            stream.writeStream
+            .foreachBatch(lambda b, bid: t.streaming_append(b, bid, query_id="ingest"))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream(str(tmp_path / "ck1"))
+    assert t.read().count() == 500
+    # checkpoint lost -> restart replays batches 0..N from scratch
+    run_stream(str(tmp_path / "ck2"))
+    t2 = LakeTable.load(spark, str(tmp_path / "tbl"))
+    assert t2.read().count() == 500, "replayed batches must be skipped"
+    assert t2.read().groupBy().agg(F.sum("v")).collect()[0][0] == sum(
+        i * 2.0 for i in range(500)
+    )
