@@ -1021,12 +1021,14 @@ class LakeTable:
         for attempt in range(6):
             snap = self._snapshot()
             try:
-                return self._commit(
+                out = self._commit(
                     "delete", list(snap.files),
                     {"equality_delete_keys": sum(d.rows for d in new_dels),
                      "added_delete_files": len(new_dels), "mode": "merge-on-read"},
                     delete_files=list(snap.delete_files) + new_dels,
                 )
+                self._maybe_auto_compact()
+                return out
             except CommitConflict:
                 if attempt == 5:
                     raise
@@ -1071,13 +1073,15 @@ class LakeTable:
             base = list(snap.files) if snap else []
             base_dels = list(snap.delete_files) if snap else []
             try:
-                return self._commit(
+                out = self._commit(
                     "upsert", base + new_files,
                     {"upserted_rows": sum(e.rows for e in new_files),
                      "equality_delete_keys": sum(d.rows for d in new_dels),
                      "mode": "merge-on-read"},
                     delete_files=base_dels + new_dels,
                 )
+                self._maybe_auto_compact()
+                return out
             except CommitConflict:
                 if attempt == 5:
                     raise
@@ -1510,7 +1514,9 @@ class LakeTable:
         if snap is None:
             raise ValueError("delete on empty table")
         if self._row_op_mode("delete", mode) == "merge-on-read":
-            return self._delete_where_mor(snap, where, branch)
+            out = self._delete_where_mor(snap, where, branch)
+            self._maybe_auto_compact(branch)
+            return out
         # n_matched comes from the delete-aware probe, so it counts LIVE
         # matching rows exactly — correct whatever mix of position and
         # equality tombstones already applies to the affected files.
@@ -1569,7 +1575,9 @@ class LakeTable:
         if snap is None:
             raise ValueError("update on empty table")
         if self._row_op_mode("update", mode) == "merge-on-read":
-            return self._update_mor(snap, set_exprs, where, branch)
+            out = self._update_mor(snap, set_exprs, where, branch)
+            self._maybe_auto_compact(branch)
+            return out
         affected, n_updated = self._affected_files(snap, where)
         if not affected:
             return self._commit("update", snap.files, {"updated_rows": 0},
@@ -1841,6 +1849,7 @@ class LakeTable:
                      "mode": "merge-on-read"},
                     delete_files=list(snap.delete_files) + new_dels,
                 )
+                self._maybe_auto_compact()
             else:
                 snap_out = self._commit(
                     "merge", keep + rewritten + inserted,
@@ -2056,6 +2065,77 @@ class LakeTable:
                   "file_size_bytes bigint, referenced_data_files string, "
                   "equality_columns string, sequence_number bigint"
         )
+
+    def maintenance_advice(self) -> DataFrame:
+        """Metadata-only merge-on-read debt advisory (VERDICT r4 item 4;
+        reference analogue: maintenance acceptance, spec `:85,:104`).
+        BASELINE.md measures a 4.9× read tax at 5 outstanding equality
+        delete files — this surfaces that measurement operationally,
+        from manifests alone (zero data reads):
+
+        - ``read_amplification_est``: 1 + Σ_d affected_bytes(d) /
+          total_data_bytes — each outstanding delete file costs roughly
+          one extra pass over the data files it applies to (position
+          deletes: the files they reference; equality deletes: every
+          file with an older sequence number).
+        - ``advice``: 'compact' once the outstanding delete-file count
+          reaches ``write.delete.compact-advice-after-files`` (default
+          3), else 'ok'.
+
+        The opt-in ``write.delete.auto-compact-after-files=N`` property
+        goes one further: any row-level op that leaves ≥ N outstanding
+        delete files triggers ``rewrite_position_delete_files``
+        post-commit, folding the tombstones in."""
+        snap = self._snapshot()
+        props = self._meta.get("properties", {}) or {}
+        threshold = int(props.get("write.delete.compact-advice-after-files", 3))
+        files = list(snap.files) if snap else []
+        dels = list(snap.delete_files) if snap else []
+        total_bytes = sum(e.bytes for e in files)
+        affected_paths: set[str] = set()
+        extra_bytes = 0
+        for d in dels:
+            if d.content == "position":
+                hit = [e for e in files if e.path in set(d.referenced)]
+            else:
+                hit = [e for e in files if (e.seq or 0) < (d.seq or 0)]
+            affected_paths.update(e.path for e in hit)
+            extra_bytes += sum(e.bytes for e in hit)
+        amp = 1.0 + (extra_bytes / total_bytes if total_bytes else 0.0)
+        row = (
+            len(dels),
+            sum(1 for d in dels if d.content == "position"),
+            sum(1 for d in dels if d.content == "equality"),
+            sum(d.rows for d in dels),
+            len(affected_paths),
+            len(files),
+            round(amp, 3),
+            "compact" if len(dels) >= threshold else "ok",
+        )
+        return self.spark.createDataFrame(
+            [row],
+            "delete_file_count bigint, position_delete_files bigint, "
+            "equality_delete_files bigint, delete_rows bigint, "
+            "affected_data_files bigint, total_data_files bigint, "
+            "read_amplification_est double, advice string",
+        )
+
+    def _maybe_auto_compact(self, branch: str | None = None) -> None:
+        """Post-commit hook for the opt-in
+        ``write.delete.auto-compact-after-files=N`` property: once the
+        current snapshot carries ≥ N outstanding delete files, fold
+        them with ``rewrite_position_delete_files`` (the targeted MoR
+        debt compactor — clean files are never rewritten). Branch-
+        staged DML never auto-compacts (publish decides)."""
+        if branch is not None:
+            return
+        props = self._meta.get("properties", {}) or {}
+        n = props.get("write.delete.auto-compact-after-files")
+        if not n:
+            return
+        snap = self._snapshot()
+        if snap is not None and len(snap.delete_files) >= int(n):
+            self.rewrite_position_delete_files()
 
     def manifests(self, snapshot_id: int | None = None) -> DataFrame:
         """`t.manifests` metadata table: per-snapshot manifest summary

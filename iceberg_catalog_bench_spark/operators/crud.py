@@ -689,6 +689,67 @@ def mor_delete_update_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delete_files_advisory",
+    oracle=(
+        # The advisory math is fully determined by the construction:
+        # one base append (seq 1) + 5 equality-delete commits, each
+        # applying to every base file → read_amplification_est =
+        # 1 + 5·(total/total) = 6.0 exactly, independent of parquet
+        # byte sizes. The 6th delete crosses the opt-in
+        # auto-compact-after-files=6 threshold, the post-commit hook
+        # folds every tombstone, and the advisory returns to 1.0/'ok'.
+        # cnt/sum_price prove the fold preserved the data.
+        "SELECT CAST(5 AS BIGINT) AS delete_files_outstanding, "
+        "'compact' AS advice_before, "
+        "CAST(6.0 AS DOUBLE) AS read_amp_before, "
+        "CAST(0 AS BIGINT) AS delete_files_after, "
+        "'ok' AS advice_after, "
+        "CAST(1.0 AS DOUBLE) AS read_amp_after, "
+        "COUNT(*) AS cnt, "
+        "CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS sum_price "
+        "FROM orders WHERE o_orderkey % 4 = 1 AND o_orderkey % 50 > 5"
+    ),
+)
+def delete_files_advisory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-delete compaction advisory + opt-in auto-compaction
+    (VERDICT r4 item 4; reference analogue: maintenance acceptance,
+    spec `:85,:104`). BASELINE.md measures a 4.9× read tax at 5
+    outstanding equality delete files; ``maintenance_advice()`` makes
+    that operational from manifests alone — outstanding delete-file
+    counts, the estimated read amplification (1 + one extra pass over
+    the files each delete applies to), and a 'compact' verdict past the
+    ``write.delete.compact-advice-after-files`` threshold — and
+    ``write.delete.auto-compact-after-files=N`` triggers the targeted
+    MoR debt compactor post-commit once N files are outstanding. At
+    100 TB this is the knob that keeps CDC read latency bounded without
+    a human watching `.delete_files`."""
+    od = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    d = _tmp_table_dir()
+    t = LakeTable.create(
+        spark, d, "o_orderkey bigint, o_totalprice double",
+        partition_by=["bucket(8, o_orderkey)"],
+        properties={"write.delete.auto-compact-after-files": "6"},
+    )
+    t.append(od.filter(F.col("o_orderkey") % 4 == 1))
+    for i in range(5):
+        t.delete_by_keys(od.filter(F.col("o_orderkey") % 50 == i).select("o_orderkey"))
+    before = t.maintenance_advice().collect()[0]
+    # 6th delete crosses the threshold → post-commit fold fires
+    t.delete_by_keys(od.filter(F.col("o_orderkey") % 50 == 5).select("o_orderkey"))
+    after = t.maintenance_advice().collect()[0]
+    return t.read().agg(
+        F.lit(before["delete_file_count"]).cast("bigint").alias("delete_files_outstanding"),
+        F.lit(before["advice"]).alias("advice_before"),
+        F.lit(before["read_amplification_est"]).cast("double").alias("read_amp_before"),
+        F.lit(after["delete_file_count"]).cast("bigint").alias("delete_files_after"),
+        F.lit(after["advice"]).alias("advice_after"),
+        F.lit(after["read_amplification_est"]).cast("double").alias("read_amp_after"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).cast("double").alias("sum_price"),
+    )
+
+
+@register(
     "cdc_equality_upsert",
     oracle=(
         # Last-writer-wins state after an equality-delete retraction and

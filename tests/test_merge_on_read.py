@@ -649,3 +649,79 @@ def test_mor_delete_across_partition_generations(spark, tmp_path):
     got2 = sorted((r.id, r.c) for r in t.read().collect())
     assert got2 == want
     assert t.delete_files().count() == 0
+
+
+def test_maintenance_advice_math(eq_table, spark):
+    """maintenance_advice is metadata-only: with one base generation
+    (seq 1) and K equality-delete commits each applying to every base
+    file, read_amplification_est = 1 + K exactly (byte sizes cancel),
+    advice flips to 'compact' at the default 3-file threshold, and a
+    clean table reports 1.0/'ok'."""
+    t = eq_table
+    clean = t.maintenance_advice().collect()[0]
+    assert (clean["delete_file_count"], clean["read_amplification_est"],
+            clean["advice"]) == (0, 1.0, "ok")
+
+    for i in range(3):
+        t.delete_by_keys(spark.createDataFrame([(100 + i,)], "k bigint"))
+    adv = t.maintenance_advice().collect()[0]
+    assert adv["delete_file_count"] == 3
+    assert adv["equality_delete_files"] == 3
+    assert adv["read_amplification_est"] == 4.0
+    assert adv["affected_data_files"] == adv["total_data_files"]
+    assert adv["advice"] == "compact"
+
+    # position deletes count their referenced files only
+    t2 = LakeTable.create(
+        spark, t.path + "_pos", "id bigint, v double",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t2.append(spark.range(50).selectExpr("id", "cast(id as double) v"))
+    t2.delete_where("id = 1")
+    adv2 = t2.maintenance_advice().collect()[0]
+    assert adv2["position_delete_files"] == 1
+    assert adv2["affected_data_files"] <= adv2["total_data_files"]
+    assert adv2["advice"] == "ok"  # below threshold
+
+
+def test_auto_compact_after_files_triggers_and_folds(spark, tmp_path):
+    """write.delete.auto-compact-after-files=N: the Nth outstanding
+    delete file triggers rewrite_position_delete_files post-commit —
+    tombstones fold, data survives byte-for-byte, and a below-threshold
+    table is never compacted."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "ac"), "k bigint, v double",
+        partition_by=["bucket(4, k)"],
+        properties={"write.delete.auto-compact-after-files": "3",
+                    "write.delete.mode": "merge-on-read"},
+    )
+    t.append(spark.range(40).selectExpr("id k", "cast(id * 2 as double) v"))
+
+    t.delete_by_keys(spark.createDataFrame([(0,)], "k bigint"))
+    t.delete_where("k = 1")  # MoR position delete, also hooked
+    assert len(t._snapshot().delete_files) == 2, "below threshold: no fold"
+
+    t.delete_by_keys(spark.createDataFrame([(2,)], "k bigint"))  # 3rd -> fold
+    snap = t._snapshot()
+    assert snap.delete_files == [], "threshold crossed: tombstones folded"
+    assert snap.operation == "replace"
+    got = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert got == {(i, i * 2.0) for i in range(40) if i not in (0, 1, 2)}
+    adv = t.maintenance_advice().collect()[0]
+    assert (adv["read_amplification_est"], adv["advice"]) == (1.0, "ok")
+
+
+def test_auto_compact_skips_branch_staged_dml(spark, tmp_path):
+    """Branch-staged MoR DML must NOT auto-compact (publish decides):
+    the branch accumulates tombstones past the threshold untouched."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "br"), "k bigint, v double",
+        properties={"write.delete.auto-compact-after-files": "1",
+                    "write.delete.mode": "merge-on-read"},
+    )
+    t.append(spark.range(10).selectExpr("id k", "cast(id as double) v"))
+    t.create_branch("stage")
+    t.delete_where("k = 1", branch="stage")
+    t.delete_where("k = 2", branch="stage")
+    head = (t._meta.get("branches") or {})["stage"]
+    assert len(t._snapshot(head).delete_files) == 2, "branch left unfolded"
