@@ -112,12 +112,26 @@ def _make_handler(state: _State):
 
         def _route(self):
             parts = [p for p in self.path.split("?")[0].split("/") if p]
+            # Iceberg REST optional catalog prefix (/v1/{prefix}/...,
+            # the `prefix` a client gets from /v1/config): strip it and
+            # remember which catalog the data-plane call targets, so
+            # privilege enforcement resolves THAT catalog's roles —
+            # grants on a runtime-created catalog govern its own data
+            # plane, not open_catalog's (ADVICE r4). Un-prefixed calls
+            # target the default catalog, as the conformance client does.
+            self._catalog = "open_catalog"
+            if (
+                len(parts) >= 2 and parts[0] == "v1"
+                and parts[1] not in ("namespaces", "oauth", "config")
+            ):
+                self._catalog = parts[1]
+                parts = [parts[0]] + parts[2:]
             return parts
 
         # -- permissions (spec §9) ----------------------------------------
         def _privileges(self) -> set:
             privs: set = set()
-            for r in state.catalog_roles.get("open_catalog", []):
+            for r in state.catalog_roles.get(self._catalog, []):
                 privs |= state.grants.get(r, set())
             return privs
 

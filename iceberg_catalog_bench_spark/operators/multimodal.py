@@ -208,13 +208,19 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_phash_dedup",
     oracle=(
-        # The fake pHash is a pure function of the bytes, so DuckDB
-        # reproduces the whole pipeline: hash → group → keeper/copies.
-        "WITH h AS (SELECT doc_id, "
-        "octet_length(encode(text)) * 512 + "
-        "(ascii(text[1]) + ascii(text[-1])) % 512 AS phash FROM documents) "
+        # The fake pHash is a pure function of the BYTES, so the oracle
+        # extracts the first/last UTF-8 byte from the encoded blob via
+        # hex() — NOT ascii(text[1])/ascii(text[-1]), which are Unicode
+        # codepoints of the first/last CHARACTERS and diverge from the
+        # Spark side on any non-ASCII document (ADVICE r4).
+        "WITH h AS (SELECT doc_id, octet_length(encode(text)) AS n, "
+        "hex(encode(text)) AS hx FROM documents), "
+        "p AS (SELECT doc_id, n * 512 + ("
+        "COALESCE(TRY_CAST(('0x' || substr(hx, 1, 2)) AS INT), 0) + "
+        "COALESCE(TRY_CAST(('0x' || substr(hx, n * 2 - 1, 2)) AS INT), 0)) % 512 "
+        "AS phash FROM h) "
         "SELECT phash, MIN(doc_id) AS keeper_id, COUNT(*) AS copies "
-        "FROM h GROUP BY phash"
+        "FROM p GROUP BY phash"
     ),
 )
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -660,19 +660,28 @@ def streaming_multibatch_windowed(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "streaming_quarantine_gate",
     oracle=(
-        # The gate is row-deterministic, so the split is pure SQL: a
-        # row passes iff its type is in-domain AND value is in [0, 950].
+        # The gate is row-deterministic, so the split is pure SQL over
+        # EVERY row — no WHERE pre-filter (ADVICE r4: the old oracle
+        # silently excluded out-of-domain types, making the domain rule
+        # vacuous). pass = in-domain AND non-NULL AND in-range;
+        # everything else (unknown/NULL type, NULL value, out-of-range)
+        # is quarantined — the two buckets partition the input exactly.
         "SELECT event_type, "
-        "COUNT(CASE WHEN value >= 0 AND value <= 950 THEN 1 END) AS n_passed, "
-        "COUNT(CASE WHEN value < 0 OR value > 950 THEN 1 END) AS n_quarantined "
-        "FROM events WHERE event_type IN "
-        "('click','view','purchase','signup','error') GROUP BY event_type"
+        "COUNT(CASE WHEN event_type IN "
+        "('click','view','purchase','signup','error') "
+        "AND value IS NOT NULL AND value >= 0 AND value <= 950 THEN 1 END) "
+        "AS n_passed, "
+        "COUNT(CASE WHEN event_type IS NULL OR event_type NOT IN "
+        "('click','view','purchase','signup','error') "
+        "OR value IS NULL OR value < 0 OR value > 950 THEN 1 END) "
+        "AS n_quarantined "
+        "FROM events GROUP BY event_type"
     ),
 )
 def streaming_quarantine_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-batch data-quality gate with a quarantine sink — the
     foreachBatch multi-sink split a production ingest runs: each
-    micro-batch is validated row-by-row (domain + range rules here;
+    micro-batch is validated row-by-row (domain, null, and range rules;
     `dq_expectation_suite` is the batch-level cousin), valid rows
     append to the publish sink, violations append to a quarantine
     sink WITH the rule name that caught them — nothing is dropped
@@ -690,8 +699,18 @@ def streaming_quarantine_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     good_dir, quar_dir = d + "/good", d + "/quarantine"
 
+    # First-match rule chain; NULLs are handled EXPLICITLY (a bare
+    # when(~between) lets a NULL value slide through as no-violation —
+    # ADVICE r4): unknown/NULL type → domain violation, NULL value →
+    # its own rule, then the range check on known-good input.
+    _DOMAIN = ["click", "view", "purchase", "signup", "error"]
     rule = (
-        F.when(~F.col("value").between(0, 950), F.lit("value_out_of_range"))
+        F.when(
+            F.col("event_type").isNull() | ~F.col("event_type").isin(_DOMAIN),
+            F.lit("event_type_out_of_domain"),
+        )
+        .when(F.col("value").isNull(), F.lit("value_null"))
+        .when(~F.col("value").between(0, 950), F.lit("value_out_of_range"))
     )
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:

@@ -129,3 +129,47 @@ def test_grant_validation_errors(server):
     assert c.add_grant("open_catalog", "catalog_admin", "MAKE_COFFEE")[0] == 400
     assert c.add_grant("open_catalog", "nope", "TABLE_READ_DATA")[0] == 404
     assert c.revoke_grant("no_catalog", "catalog_admin", "TABLE_READ_DATA")[0] == 404
+
+
+def test_per_catalog_privilege_enforcement():
+    """Per-catalog privilege resolution (ADVICE r4): the data plane
+    accepts the Iceberg REST catalog prefix (/v1/{prefix}/...), and
+    enforcement resolves THAT catalog's roles — a second catalog with a
+    read-only role 403s writes through its prefix while open_catalog's
+    unprefixed writes keep working, and revoking open_catalog's grants
+    does not gate the other catalog's data plane."""
+    s = RestCatalogServer().start()
+    try:
+        # a second catalog with a read-only role, wired directly into
+        # server state (the management API has no create-catalog route;
+        # this models a pre-provisioned tenant)
+        st = s.state
+        st.catalogs["tenant_b"] = {"name": "tenant_b", "type": "INTERNAL",
+                                   "entityVersion": 1, "properties": {},
+                                   "storageConfigInfo": {"storageType": "FILE"}}
+        st.catalog_roles["tenant_b"] = ["b_reader"]
+        st.grants["b_reader"] = {"TABLE_READ_DATA"}
+
+        c = RestCatalogClient(s.url)
+        assert c.authenticate() == 200
+        assert c.create_namespace("main_ns")[0] == 200  # open_catalog write ok
+
+        # tenant_b prefix: reads pass, writes 403 (role lacks WRITE)
+        assert c._request("GET", "/v1/tenant_b/namespaces")[0] == 200
+        status, body = c._request(
+            "POST", "/v1/tenant_b/namespaces", {"namespace": ["b_ns"]}
+        )
+        assert status == 403
+        assert "TABLE_WRITE_DATA" in body["error"]["message"]
+
+        # unknown catalog prefix -> zero privileges -> 403, not a fallthrough
+        assert c._request("GET", "/v1/ghost/namespaces")[0] == 403
+
+        # revoking open_catalog's READ must NOT gate tenant_b's reads
+        assert c.revoke_grant("open_catalog", "catalog_admin", "TABLE_READ_DATA")[0] == 204
+        assert c._request("GET", "/v1/namespaces")[0] == 403
+        assert c._request("GET", "/v1/tenant_b/namespaces")[0] == 200
+        assert c.add_grant("open_catalog", "catalog_admin", "TABLE_READ_DATA")[0] == 201
+        assert c._request("GET", "/v1/namespaces")[0] == 200
+    finally:
+        s.stop()
