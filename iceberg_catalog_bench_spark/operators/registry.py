@@ -36,83 +36,47 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Round-4 rotation. The r1+r2+r3 union is 130/130 green, so the
-# objective is FRESHNESS (VERDICT r3 item 1): first the
-# equality-delete/MoR family whose last green rows (r2) predate round
-# 3's field-id tombstone surgery on catalog/table.py; then every query
-# whose code changes THIS round (ADVICE fixes + hot-key hardening);
-# then the round-4 additions; then the 42 queries whose only green row
-# is round 1, least-trivial first so a 50-query cap drops only
-# checksum/limit-grade queries to round 5.
+# Round-5 rotation (VERDICT r4 item 1: close the freshness backlog).
+# Build order: (a) queries whose CODE changed this round (streaming
+# replay-idempotency, auto-compact hooks on the delete paths, counted
+# k_returned, quarantine domain rule, byte-based phash oracle,
+# global partition field-ids, per-catalog REST privileges) plus the
+# two round-5 debuts; (b) the 22 queries whose ONLY green is round 1
+# (the reference's §2.3 correctness core — three rounds stale); (c) as
+# many of the 32 r2-latest (dedup/ANN/streaming families) as the
+# 50-query cap admits — the remainder stays r2-latest (within the
+# freshness bar) and leads round 6.
 # REFRESH EACH ROUND: rebuild from the union of CORRECTNESS_r*.json —
 # never-green and code-touched queries first, oldest-green next.
 PRIORITY: tuple[str, ...] = (
-    # -- equality-delete / MoR family (r3 VERDICT item 1) --
-    "cdc_equality_upsert",
-    "mor_delete_update_read",
-    "partitions_metadata",
-    "streaming_cdc_upsert_laketable",
-    "cdc_changelog",
-    # -- code changed in round 4 (ADVICE fixes + hot-key hardening) --
-    "knn_pq_adc",
-    "streaming_ohlc_rollup",
-    "mv_incremental_maintenance",
-    "events_funnel_conversion",
-    "events_transition_matrix",
-    "dedup_ngram_jaccard",  # r4: pair core factored into _capped_pair_overlaps
-    "rest_catalog_conformance",  # r4: +11-call privilege revoke/restore cycle
-    "iceberg_metadata_roundtrip",  # r4: export gained spec-history manifests
-    # -- new in round 4 --
-    "mv_join_incremental_maintenance",
-    "tpcds_returned_ratio_by_date",
-    "tpcds_rollup_rolling_sales",
-    "partition_evolution_read",
-    "join_bucketed_colocated",
-    "ann_ivf_incremental",
-    "text_near_containment",
-    "tpch_q21_sole_fault_supplier",
-    "streaming_multibatch_windowed",
-    "window_time_range_agg",
-    "analyze_table_stats",
-    "dq_expectation_suite",
-    "knn_metadata_filtered",
-    "multimodal_phash_dedup",
-    "streaming_quarantine_gate",
-    "migrate_parquet_inplace",
-    "stats_gini_grouped_udaf",
-    # -- r1-only-green backlog (stale two rounds), riskiest first --
-    "pivot_event_types",
-    "unpivot_part_metrics",
-    "json_extraction",
-    "window_topn_per_group",
-    "window_moving_average",
-    "window_running_sum",
-    "window_lag_delta",
-    "join_skew_salted",
-    "join_multiway_region_revenue",
-    "join_fact_fact",
-    "join_broadcast_dim",
-    "full_outer_join_sets",
-    "left_outer_join_orders",
-    "semi_anti_join",
-    "set_ops_customers",
-    "correlated_exists_subquery",
-    "scalar_subquery_above_avg",
-    "cube_aggregation",
-    "rollup_aggregation",
-    "conditional_aggregation",
-    "percentile_by_group",
-    "stats_aggregates",
-    "array_functions_suite",
-    "string_functions_suite",
-    "date_functions_suite",
+    # -- (a) round-5 code-touched + debuts --
+    "delete_files_advisory",            # NEW r5: advisory + auto-compact
+    "tpcds_channel_union",              # NEW r5: multi-channel UNION template
+    "streaming_ingest_laketable",       # r5: replay-idempotent streaming_append
+    "streaming_quarantine_gate",        # r5: domain + null rules added
+    "multimodal_phash_dedup",           # r5: byte-based oracle
+    "iceberg_metadata_roundtrip",       # r5: table-wide partition field-ids
+    "rest_catalog_conformance",         # r5: per-catalog privilege resolution
+    "ann_ivf",                          # r5: counted k_returned
+    "ann_ivf_partitioned",              # r5: counted k_returned
+    "ann_ivf_incremental",              # r5: counted k_returned
+    "cdc_equality_upsert",              # r5: auto-compact hook on delete_by_keys
+    "mor_delete_update_read",           # r5: auto-compact hook on MoR paths
+    "crud_update_delete",               # r5: auto-compact hook on delete/update
+    "merge_upsert",                     # r5: auto-compact hook on MoR merge
+    # -- (b) the 22 r1-only-green backlog (stale three rounds) --
     "pricing_summary",
     "shipping_priority_top10",
     "range_pruned_agg",
     "latest_event_top1",
-    "having_filter",
-    "distinct_pairs",
+    "percentile_by_group",
     "distinct_users_exact",
+    "distinct_pairs",
+    "having_filter",
+    "stats_aggregates",
+    "array_functions_suite",
+    "string_functions_suite",
+    "date_functions_suite",
     "ordered_read",
     "inlist_lookup",
     "reagg_total",
@@ -123,6 +87,37 @@ PRIORITY: tuple[str, ...] = (
     "point_lookup",
     "limit_preview",
     "count_star",
+    # -- (c) r2-latest cohort, code-drift-riskiest first (fills the cap) --
+    "knn_brute_force",
+    "knn_batch_queries",
+    "ann_lsh_buckets",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_connected_components",
+    "embedding_quantize_int8",
+    "streaming_enrich_join",
+    "streaming_windowed_agg",
+    "streaming_dedup_count",
+    "streaming_sessionize_stateful",
+    "streaming_stream_stream_join",
+    # ---- 50-query cap lands here; the rest leads round 6 ----
+    "multimodal_image_meta",
+    "multimodal_frame_sample",
+    "multimodal_audio_features",
+    "text_quality_scores",
+    "text_quality_pandas_udf",
+    "text_token_count",
+    "text_lang_id",
+    "text_fingerprint",
+    "centroid_by_label",
+    "join_asof_last_purchase",
+    "join_range_error_context",
+    "sessionize_batch",
+    "maintenance_zorder",
+    "pipeline_training_data",
+    "datagen_tx_events_dims",
 )
 
 

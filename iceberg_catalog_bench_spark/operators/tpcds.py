@@ -175,3 +175,102 @@ def tpcds_rollup_rolling_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         "/ 100e0, 2) AS revenue_3mo "
         "FROM monthly"
     )
+
+
+@register(
+    "tpcds_channel_union",
+    oracle=(
+        # Two channels aggregated INDEPENDENTLY per (year) against the
+        # same generated calendar, unioned as cells, then ROLLUP over
+        # (channel, year) — revenue in integer cents end-to-end so
+        # every grain re-sums exactly.
+        "WITH date_dim AS (SELECT d AS d_date, "
+        "CAST(EXTRACT(year FROM d) AS BIGINT) AS d_year "
+        "FROM (SELECT unnest(generate_series(DATE '1995-01-01', "
+        "DATE '1997-12-31', INTERVAL 1 DAY))::DATE AS d)), "
+        "store AS (SELECT 'store' AS channel, d_year, "
+        "COUNT(*) AS n, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents "
+        "FROM orders JOIN date_dim ON CAST(o_orderdate AS DATE) = d_date "
+        "GROUP BY d_year), "
+        "catalog AS (SELECT 'catalog' AS channel, d_year, "
+        "COUNT(*) AS n, "
+        "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) "
+        "AS cents "
+        "FROM lineitem JOIN date_dim ON CAST(l_shipdate AS DATE) = d_date "
+        "GROUP BY d_year), "
+        "cells AS (SELECT * FROM store UNION ALL SELECT * FROM catalog) "
+        "SELECT COALESCE(channel, 'ALL') AS channel, "
+        "COALESCE(d_year, 0) AS d_year, "
+        "CAST(SUM(n) AS BIGINT) AS n_sales, "
+        "ROUND(SUM(cents) / 100.0, 2) AS revenue "
+        "FROM cells GROUP BY ROLLUP (channel, d_year)"
+    ),
+)
+def tpcds_channel_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-channel UNION report — the TPC-DS cross-channel template
+    (Q5/Q77's store/catalog/web union): each sales "channel" (orders
+    as the store channel, lineitem net revenue as the catalog channel)
+    aggregates INDEPENDENTLY against one shared generated calendar
+    dimension, the per-channel cells union, and a ROLLUP over
+    (channel, year) produces per-channel-year, per-channel, and
+    grand-total grains.
+
+    Plan shape — the scale-critical property is that the UNION happens
+    AFTER each channel's aggregate: each fact table is scanned once,
+    broadcast-joins the kilobyte calendar, and partial-aggregates down
+    to ≤ |years| rows before its single wide exchange — so the union
+    carries a handful of cells, never raw facts, and the rollup's
+    Expand runs over |channels|×|years| rows. The naive TPC-DS
+    rendering (union the raw channels, then aggregate) would shuffle
+    the combined 100 TB fact volume through one exchange; this shape
+    shuffles each channel's partial rows only. Revenue stays integer
+    cents through every grain (the fp-drift lesson from
+    mv_incremental_maintenance)."""
+    dd = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.expr(
+                    "sequence(DATE'1995-01-01', DATE'1997-12-31', interval 1 day)"
+                )
+            ).alias("d_date")
+        )
+        .select("d_date", F.year("d_date").cast("bigint").alias("d_year"))
+    )
+    od = load_table(spark, "orders", sf_dir).select("o_orderdate", "o_totalprice")
+    store = (
+        od.join(F.broadcast(dd), F.to_date("o_orderdate") == F.col("d_date"))
+        .groupBy("d_year")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"),
+        )
+        .select(F.lit("store").alias("channel"), "d_year", "n", "cents")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    net_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    catalog = (
+        li.join(F.broadcast(dd), F.to_date("l_shipdate") == F.col("d_date"))
+        .groupBy("d_year")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(net_cents).alias("cents"))
+        .select(F.lit("catalog").alias("channel"), "d_year", "n", "cents")
+    )
+    cells = store.unionByName(catalog)
+    return (
+        cells.rollup("channel", "d_year")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_sales"),
+            # 100e0 keeps the division DOUBLE (100.0 would type DECIMAL)
+            F.round(F.sum("cents") / F.lit(100e0), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("channel", F.lit("ALL")).alias("channel"),
+            F.coalesce("d_year", F.lit(0)).cast("bigint").alias("d_year"),
+            "n_sales",
+            "revenue",
+        )
+    )

@@ -238,3 +238,24 @@ def test_phash_dedup_shuffles_hashes_not_blobs(spark, oracle_sf_dir):
     plan = _plan("multimodal_phash_dedup", spark, oracle_sf_dir)
     assert "image_bytes" not in plan.split("Exchange")[0]  # agg side is hash-only
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_tpcds_channel_union_aggregates_before_union(spark, oracle_sf_dir):
+    """The multi-channel union must union AGGREGATED CELLS, not raw
+    facts: each channel gets its own partial-agg exchange after a
+    broadcast calendar join (2 channel exchanges + 1 rollup exchange,
+    nothing more), and the rollup's Expand sits ABOVE the Union —
+    unioning raw channels first would funnel the combined fact volume
+    through a single exchange."""
+    import re as _re
+
+    plan = _plan("tpcds_channel_union", spark, oracle_sf_dir)
+    assert plan.count("Union") == 1
+    assert plan.count("BroadcastHashJoin") == 2  # one calendar join per channel
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 3
+    # Expand (the rollup) must consume the union of cells, never a scan
+    assert plan.index("Expand") < plan.index("Union")
+    # each channel reduces BEFORE its exchange: a partial aggregate
+    # appears below each channel's hash exchange
+    assert plan.count("partial_count") >= 2
