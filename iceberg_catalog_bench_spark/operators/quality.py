@@ -98,3 +98,97 @@ def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "check_name string, observed bigint, passed boolean"
     )
+
+
+@register(
+    "quality_gopher_rules",
+    oracle=(
+        # Per-doc metrics once in a CTE, then one row per rule. All
+        # thresholds are cross-multiplied to integer comparisons so no
+        # float ratio ever reaches the hash compare.
+        "WITH m AS (SELECT "
+        "  len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        "      w -> w <> '')) AS n_words, "
+        "  length(array_to_string(list_filter(regexp_split_to_array("
+        "      trim(text), '\\s+'), w -> w <> ''), '')) AS n_chars, "
+        "  len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        "      w -> regexp_matches(w, '[a-z]'))) AS n_alpha, "
+        "  len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        "      w -> w IN ('the','a','of','and','to','in','is','on'))) AS n_stop, "
+        "  length(text) - length(replace(text, '#', '')) AS n_sym "
+        "FROM documents) "
+        "SELECT 'word_count_20_1000' AS rule, CAST(COUNT(CASE WHEN "
+        "n_words < 20 OR n_words > 1000 THEN 1 END) AS BIGINT) AS n_docs FROM m "
+        "UNION ALL SELECT 'mean_word_len_4_10', CAST(COUNT(CASE WHEN "
+        "n_chars < 4 * n_words OR n_chars > 10 * n_words THEN 1 END) AS BIGINT) FROM m "
+        "UNION ALL SELECT 'symbol_ratio_le_10pct', CAST(COUNT(CASE WHEN "
+        "10 * n_sym > n_words THEN 1 END) AS BIGINT) FROM m "
+        "UNION ALL SELECT 'alpha_word_frac_ge_80pct', CAST(COUNT(CASE WHEN "
+        "5 * n_alpha < 4 * n_words THEN 1 END) AS BIGINT) FROM m "
+        "UNION ALL SELECT 'stopwords_ge_2', CAST(COUNT(CASE WHEN "
+        "n_stop < 2 THEN 1 END) AS BIGINT) FROM m "
+        "UNION ALL SELECT 'retained_all_rules', CAST(COUNT(CASE WHEN "
+        "n_words >= 20 AND n_words <= 1000 "
+        "AND n_chars >= 4 * n_words AND n_chars <= 10 * n_words "
+        "AND 10 * n_sym <= n_words AND 5 * n_alpha >= 4 * n_words "
+        "AND n_stop >= 2 THEN 1 END) AS BIGINT) FROM m"
+    ),
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021, "Scaling
+    Language Models" §A1.1): the five repetition-free heuristics that
+    survive on this corpus's feature set — word count in [20, 1000],
+    mean word length in [4, 10], symbol-to-word ratio ≤ 0.1 (# is the
+    corpus's symbol), ≥ 80% of words contain an alphabetic character,
+    and ≥ 2 stopwords — reported as per-rule failure counts plus the
+    retained-document count.
+
+    Scale shape: ONE scan. Per-doc metrics are JVM higher-order
+    functions over a single split array (no Python, no explode — an
+    exploded words table would shuffle |corpus words| rows); the six
+    counts come out of one map-combined aggregate whose output is six
+    numbers per map task. Every ratio threshold is cross-multiplied
+    into integer arithmetic so the gate — and the oracle hash — never
+    touches float rounding. At 100 TB this is the cheapest possible
+    corpus pass: narrow projection (text only), partial aggs, a
+    1-row-per-rule result."""
+    stop = ("the", "a", "of", "and", "to", "in", "is", "on")
+    doc = load_table(spark, "documents", sf_dir)
+    words = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != F.lit("")
+    )
+    m = doc.select(
+        F.size(words).alias("n_words"),
+        F.length(F.concat_ws("", words)).alias("n_chars"),
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).alias("n_alpha"),
+        F.size(F.filter(words, lambda w: w.isin(*stop))).alias("n_stop"),
+        (
+            F.length(F.col("text"))
+            - F.length(F.regexp_replace(F.col("text"), "#", ""))
+        ).alias("n_sym"),
+    )
+    fail_wc = (F.col("n_words") < 20) | (F.col("n_words") > 1000)
+    fail_mwl = (F.col("n_chars") < 4 * F.col("n_words")) | (
+        F.col("n_chars") > 10 * F.col("n_words")
+    )
+    fail_sym = 10 * F.col("n_sym") > F.col("n_words")
+    fail_alpha = 5 * F.col("n_alpha") < 4 * F.col("n_words")
+    fail_stop = F.col("n_stop") < 2
+    retained = ~(fail_wc | fail_mwl | fail_sym | fail_alpha | fail_stop)
+    agg = m.agg(
+        F.sum(fail_wc.cast("long")).alias("word_count_20_1000"),
+        F.sum(fail_mwl.cast("long")).alias("mean_word_len_4_10"),
+        F.sum(fail_sym.cast("long")).alias("symbol_ratio_le_10pct"),
+        F.sum(fail_alpha.cast("long")).alias("alpha_word_frac_ge_80pct"),
+        F.sum(fail_stop.cast("long")).alias("stopwords_ge_2"),
+        F.sum(retained.cast("long")).alias("retained_all_rules"),
+    )
+    return agg.selectExpr(
+        "stack(6, "
+        "'word_count_20_1000', word_count_20_1000, "
+        "'mean_word_len_4_10', mean_word_len_4_10, "
+        "'symbol_ratio_le_10pct', symbol_ratio_le_10pct, "
+        "'alpha_word_frac_ge_80pct', alpha_word_frac_ge_80pct, "
+        "'stopwords_ge_2', stopwords_ge_2, "
+        "'retained_all_rules', retained_all_rules) AS (rule, n_docs)"
+    )

@@ -41,7 +41,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # replay-idempotency, auto-compact hooks on the delete paths, counted
 # k_returned, quarantine domain rule, byte-based phash oracle,
 # global partition field-ids, per-catalog REST privileges) plus the
-# two round-5 debuts; (b) the 22 queries whose ONLY green is round 1
+# five round-5 debuts; (b) the 22 queries whose ONLY green is round 1
 # (the reference's §2.3 correctness core — three rounds stale); (c) as
 # many of the 32 r2-latest (dedup/ANN/streaming families) as the
 # 50-query cap admits — the remainder stays r2-latest (within the
@@ -52,6 +52,9 @@ PRIORITY: tuple[str, ...] = (
     # -- (a) round-5 code-touched + debuts --
     "delete_files_advisory",            # NEW r5: advisory + auto-compact
     "tpcds_channel_union",              # NEW r5: multi-channel UNION template
+    "tpch_q17_small_qty_revenue",       # NEW r5: correlated-avg decorrelation
+    "tpch_q22_global_sales_opportunity",  # NEW r5: scalar sub + anti-join
+    "quality_gopher_rules",             # NEW r5: one-pass corpus quality gate
     "streaming_ingest_laketable",       # r5: replay-idempotent streaming_append
     "streaming_quarantine_gate",        # r5: domain + null rules added
     "multimodal_phash_dedup",           # r5: byte-based oracle
@@ -99,10 +102,10 @@ PRIORITY: tuple[str, ...] = (
     "embedding_quantize_int8",
     "streaming_enrich_join",
     "streaming_windowed_agg",
+    # ---- 50-query cap lands here; the rest leads round 6 ----
     "streaming_dedup_count",
     "streaming_sessionize_stateful",
     "streaming_stream_stream_join",
-    # ---- 50-query cap lands here; the rest leads round 6 ----
     "multimodal_image_meta",
     "multimodal_frame_sample",
     "multimodal_audio_features",

@@ -1016,3 +1016,131 @@ def window_time_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice").over(w), 2).alias("revenue_30d"),
         )
     )
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    oracle=(
+        # Textbook correlated-scalar-subquery rendering; the Spark side
+        # runs the decorrelated rewrite and DuckDB proves equivalence.
+        "SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly, "
+        "CAST(COUNT(*) AS BIGINT) AS small_qty_lines "
+        "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+        "WHERE p.p_brand = 'Brand#12' "
+        "AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) "
+        "FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"
+    ),
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 — small-quantity-order revenue: lineitems of one
+    brand whose quantity is under 20% of that part's average quantity
+    (lost revenue if such orders moved to bulk). Reference semantics
+    is a correlated scalar subquery re-aggregating lineitem PER OUTER
+    ROW.
+
+    Spark-first decorrelation: the brand filter hits `part` first
+    (tiny → broadcast), the brand's lineitems are pruned by that
+    broadcast join BEFORE any aggregate, and the per-part average is
+    one map-combined aggregate over the pruned fact whose output is
+    |parts in brand| rows — rebroadcast to the pruned fact for the
+    threshold filter. The fact never hash-shuffles: every join is a
+    broadcast, and the threshold agg's exchange carries partial-avg
+    cells (≤ |brand parts| per map task), not rows. The fact IS
+    scanned twice (threshold branch + probe branch — the standard
+    Spark Q17 plan; the subtrees project different columns so AQE
+    can't reuse one exchange), which beats the alternative
+    window-over-partition single-scan at scale: the window would
+    hash-shuffle every surviving fact row and lose map-side combine.
+    Correlation on l_partkey is legal to decorrelate because the
+    subquery's only free variable is the equality-correlated key. At
+    100 TB the naive plan re-aggregates lineitem per probe row; this
+    plan's cost is two narrow scans + three broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#12")
+        .select("p_partkey")
+    )
+    li_b = li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thresh = li_b.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cap")
+    ).withColumnRenamed("l_partkey", "t_partkey")
+    return (
+        li_b.join(F.broadcast(thresh), li_b.l_partkey == thresh.t_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("small_qty_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    oracle=(
+        # Phone country codes don't exist in this corpus; c_nationkey
+        # plays the cntrycode role (same shape: a computed group key, a
+        # scalar-subquery threshold, and NOT EXISTS against orders).
+        "SELECT c.c_nationkey AS cntrycode, "
+        "CAST(COUNT(*) AS BIGINT) AS numcust, "
+        "ROUND(SUM(c.c_acctbal), 2) AS totacctbal "
+        "FROM customer c "
+        "WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13) "
+        "AND c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2 "
+        "WHERE c2.c_acctbal > 0.0 "
+        "AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)) "
+        "AND NOT EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_orderdate >= TIMESTAMP '2001-01-01') "
+        "GROUP BY c.c_nationkey ORDER BY cntrycode"
+    ),
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 — global sales opportunity: well-funded customers
+    (balance above the positive-balance average of their cohort) in
+    target countries with no RECENT order (nothing since 2001-01-01 —
+    this corpus's every customer has ancient orders, so the dormancy
+    cutoff plays Q22's "no orders in 7 years" role), grouped by
+    country. Two classic decorrelations in one query: an uncorrelated
+    scalar subquery (the average) and an anti-join (NOT EXISTS).
+
+    Spark-first: the scalar average is computed once on the filtered
+    customer slice and attached via a 1-row broadcast crossJoin (no
+    driver collect in the plan-build path — the scalar stays a
+    DataFrame). The NOT EXISTS compiles to a left_anti join against
+    the DISTINCT o_custkey projection; customer is the small side
+    here but at scale both sides hash-partition on custkey — the
+    anti-join's build input is keys-only (one bigint column), the
+    cheapest possible shuffle payload. Grouping is on the 7-value
+    nationkey — bounded cells, map-side partials collapse
+    everything."""
+    target = F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(target)
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    buyers = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2001-01-01")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(buyers, cust.c_custkey == buyers.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

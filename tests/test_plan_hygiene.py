@@ -259,3 +259,39 @@ def test_tpcds_channel_union_aggregates_before_union(spark, oracle_sf_dir):
     # each channel reduces BEFORE its exchange: a partial aggregate
     # appears below each channel's hash exchange
     assert plan.count("partial_count") >= 2
+
+
+def test_tpch_q17_broadcast_only_decorrelation(spark, oracle_sf_dir):
+    """Q17's correlated scalar subquery must decorrelate into
+    broadcast joins: the lineitem fact never shuffles on a wide key
+    (no SortMergeJoin), the brand filter broadcasts into BOTH fact
+    branches (threshold + probe), and the per-part threshold joins
+    back as a broadcast — 3 broadcast joins total."""
+    plan = _plan("tpch_q17_small_qty_revenue", spark, oracle_sf_dir)
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters: [IsNotNull(p_brand), EqualTo(p_brand,Brand#12)" in plan
+
+
+def test_tpch_q22_anti_join_and_scalar_broadcast(spark, oracle_sf_dir):
+    """Q22's NOT EXISTS must compile to an anti join, the scalar
+    average must attach as a broadcast (no driver collect in the
+    plan), and the dormancy date filter must reach the orders scan."""
+    plan = _plan("tpch_q22_global_sales_opportunity", spark, oracle_sf_dir)
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastExchange") >= 1
+    assert "GreaterThanOrEqual(o_orderdate," in plan
+
+
+def test_gopher_rules_single_pass_jvm_side(spark, oracle_sf_dir):
+    """The quality gate is one scan + one partial/final aggregate:
+    no Python evaluation, no explode of the words array, exactly one
+    exchange (the 1-row agg merge), text as the only read column."""
+    plan = _plan("quality_gopher_rules", spark, oracle_sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only Generate is stack() pivoting the 1-row agg into the
+    # 6-row report — the words array must never explode pre-agg
+    assert "Generate explode" not in plan, "words must not explode"
+    assert plan.count("Generate") == 1 and "Generate stack" in plan
+    assert plan.count("Exchange") == 1
+    assert "ReadSchema: struct<text:string>" in plan
