@@ -668,11 +668,15 @@ class LakeTable:
         return entries
 
     def append(self, df: DataFrame, _retries: int = 5,
-               branch: str | None = None) -> Snapshot:
+               branch: str | None = None,
+               wap_id: str | None = None) -> Snapshot:
         """Bulk append — reference M1/M6 (`df.writeTo(t).append()`,
         blob-dfs_bench.py:104-105). ``branch`` targets a named branch
         head instead of main (Iceberg's ``toBranch`` / WAP staging
-        write): main readers never see the rows until ``fast_forward``.
+        write): main readers never see the rows until ``fast_forward``
+        (or ``cherrypick_snapshot`` when main advanced meanwhile).
+        ``wap_id`` stamps the staged snapshot (Iceberg's
+        ``spark.wap.id``) so a publish can be deduplicated.
 
         Appends auto-retry on commit conflicts (spec `:83`: concurrent
         writers, no lost commits): the new data files are written once;
@@ -694,13 +698,13 @@ class LakeTable:
                 head = (self._meta.get("branches") or {}).get(branch)
                 cur = self._snapshot(head) if head is not None else None
             base = list(cur.files) if cur else []
+            summary = {"added_files": len(new_files),
+                       "added_rows": sum(f.rows for f in new_files)}
+            if wap_id is not None:
+                summary["wap.id"] = wap_id
             try:
-                return self._commit(
-                    "append", base + new_files,
-                    {"added_files": len(new_files),
-                     "added_rows": sum(f.rows for f in new_files)},
-                    branch=branch,
-                )
+                return self._commit("append", base + new_files, summary,
+                                    branch=branch)
             except CommitConflict:
                 if attempt == _retries:
                     raise
@@ -1223,6 +1227,87 @@ class LakeTable:
             # state (rollback must reproduce the target snapshot exactly)
             delete_files=list(target.delete_files),
         )
+
+    def cherrypick_snapshot(self, snapshot_id: int, _retries: int = 5) -> Snapshot:
+        """CALL system.cherrypick_snapshot — apply one snapshot's NET
+        CHANGES on top of the current main head as a new commit
+        (Iceberg's WAP publish primitive for the case ``fast_forward``
+        refuses: main advanced while the audit branch was staged, so
+        the branch head is no longer a descendant and must be
+        re-applied, not pointed at).
+
+        Like Iceberg, only APPEND snapshots are cherry-pickable: the
+        change set is (files added vs the snapshot's own parent); a
+        snapshot that removed files or added delete files captured a
+        conflict-prone read-modify-write and must be re-run against
+        the new head instead of replayed blindly. The re-applied files
+        get a FRESH sequence number (the rows become visible at
+        publish time — replaying the stale sequence would let
+        equality deletes committed meanwhile tombstone them). A
+        ``wap.id`` stamped on the staged snapshot (``append(...,
+        wap_id=...)``) is recorded as ``published-wap-id`` on the
+        publish commit and guards against double-publishing the same
+        staged change."""
+        target = self._snapshot(snapshot_id)
+        parent = (
+            self._snapshot(target.parent_id) if target.parent_id is not None else None
+        )
+        parent_paths = {e.path for e in parent.files} if parent else set()
+        added = [e for e in target.files if e.path not in parent_paths]
+        removed = parent_paths - {e.path for e in target.files}
+        parent_dels = {d.path for d in parent.delete_files} if parent else set()
+        new_dels = [d for d in target.delete_files if d.path not in parent_dels]
+        if removed or new_dels:
+            raise ValueError(
+                f"cannot cherry-pick snapshot {snapshot_id}: only append "
+                f"snapshots can be cherry-picked (it removed "
+                f"{len(removed)} file(s) and added {len(new_dels)} delete "
+                f"file(s) — re-run the operation against the current head)"
+            )
+        wap_id = target.summary.get("wap.id")
+        for attempt in range(_retries + 1):
+            cur = self._snapshot() if self._meta.get("current_snapshot_id") else None
+            # Double-publish guard along the MAIN ancestry: the same
+            # staged snapshot (by id, or by wap.id) must not land twice.
+            node = cur
+            while node is not None:
+                if node.summary.get("cherry_picked_from") == snapshot_id or (
+                    wap_id is not None
+                    and node.summary.get("published-wap-id") == wap_id
+                ):
+                    raise ValueError(
+                        f"snapshot {snapshot_id} (wap.id={wap_id!r}) was "
+                        f"already published as snapshot {node.snapshot_id}"
+                    )
+                node = (
+                    self._snapshot(node.parent_id)
+                    if node.parent_id is not None
+                    else None
+                )
+            head_paths = {e.path for e in cur.files} if cur else set()
+            if any(e.path in head_paths for e in added):
+                raise ValueError(
+                    f"snapshot {snapshot_id}'s files are already present on main"
+                )
+            fresh = []
+            for e in added:
+                c = FileEntry.from_json(e.to_json())
+                c.seq = None  # _commit stamps the publishing snapshot's seq
+                fresh.append(c)
+            summary = {
+                "cherry_picked_from": snapshot_id,
+                "added_files": len(fresh),
+                "added_rows": sum(f.rows for f in fresh),
+            }
+            if wap_id is not None:
+                summary["published-wap-id"] = wap_id
+            base = list(cur.files) if cur else []
+            try:
+                return self._commit("cherrypick", base + fresh, summary)
+            except CommitConflict:
+                if attempt == _retries:
+                    raise
+                self._reload()
 
     # -- tags (named snapshot refs, Iceberg v2 refs) -------------------------
 

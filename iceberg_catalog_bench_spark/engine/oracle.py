@@ -46,6 +46,16 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+# The driver's gate hashes EXACT values — a locally-green query with a
+# last-ulp float difference would still go red in CORRECTNESS_r{N}.
+# So the local compare is exact by default (bit-level float equality
+# after NaN / -0.0 canonicalization); set SPARK_GRAFT_ORACLE_TOLERANT=1
+# to fall back to isclose() while debugging a genuine float divergence
+# (the fix is always rounding discipline in the query + oracle, never
+# loosening this gate).
+_TOLERANT = os.environ.get("SPARK_GRAFT_ORACLE_TOLERANT", "") == "1"
+
+
 def _values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -56,7 +66,11 @@ def _values_equal(a, b) -> bool:
             return str(a) == str(b)
         if math.isnan(af) and math.isnan(bf):
             return True
-        return math.isclose(af, bf, rel_tol=1e-9, abs_tol=1e-9)
+        if _TOLERANT:
+            return math.isclose(af, bf, rel_tol=1e-9, abs_tol=1e-9)
+        if af == 0.0 and bf == 0.0:  # -0.0 == 0.0 → same canonical value
+            return True
+        return af == bf
     return str(a) == str(b)
 
 

@@ -1036,6 +1036,11 @@ class SqlEngine:
         elif proc == "fast_forward":
             # CALL system.fast_forward(table => 't', branch => 'audit')
             res = {"current_snapshot_id": t.fast_forward(kwargs["branch"])}
+        elif proc == "cherrypick_snapshot":
+            # CALL system.cherrypick_snapshot(table => 't', snapshot_id => 7)
+            snap = t.cherrypick_snapshot(int(kwargs["snapshot_id"]))
+            res = {"source_snapshot_id": int(kwargs["snapshot_id"]),
+                   "current_snapshot_id": snap.snapshot_id}
         else:
             raise ValueError(f"unknown procedure {proc}")
         return StatementResult(s, rows=[res], rowcount=1, metadata={"op": proc})

@@ -483,22 +483,32 @@ def maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "branch_wap_publish",
     oracle=(
-        # Isolation + publish are pinned: while the batch is staged on
-        # the branch, main must still hold ONLY the base slice
-        # (main_rows_staged); after fast_forward it holds both slices.
+        # Isolation + both publish paths are pinned: while a batch is
+        # staged on a branch, main holds ONLY the base slice; after
+        # fast_forward it holds both; after the DIVERGED-main cherry-
+        # pick it holds all four slices, and both refusal guards fired.
         "SELECT (SELECT COUNT(*) FROM events WHERE user_id < 20) AS main_rows_staged, "
         "(SELECT COUNT(*) FROM events WHERE user_id < 40) AS main_rows_published, "
-        "CAST((SELECT ROUND(SUM(value), 2) FROM events WHERE user_id < 40) "
-        "AS DOUBLE) AS sum_value_published"
+        "(SELECT COUNT(*) FROM events WHERE user_id < 80) AS rows_after_cherrypick, "
+        "TRUE AS ff_refused_on_divergence, TRUE AS double_publish_blocked, "
+        "CAST((SELECT ROUND(SUM(value), 2) FROM events WHERE user_id < 80) "
+        "AS DOUBLE) AS sum_value_final"
     ),
 )
 def branch_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write-audit-publish via branches (Iceberg WAP / `toBranch`):
-    base rows land on main, a second batch is STAGED on an audit
-    branch (main readers cannot see it), audited via read_branch, then
-    published atomically with fast_forward. The returned row carries
-    main's row count both while staged and after publish, so the
-    oracle verifies the isolation window, not just the end state."""
+    """Write-audit-publish via branches (Iceberg WAP / `toBranch`),
+    BOTH publish paths: base rows land on main, a batch is STAGED on
+    an audit branch (main readers cannot see it), audited via
+    read_branch, then published atomically with fast_forward. A second
+    staged batch (stamped with a ``wap.id``) then faces the real-world
+    wrinkle: main advanced while the audit ran, fast_forward correctly
+    refuses the non-descendant head, and ``cherrypick_snapshot``
+    re-applies the staged append's net change onto the new head —
+    after which a second cherry-pick of the same staged snapshot is
+    blocked by the published-wap-id guard. The returned row carries
+    main's row count at every stage plus both refusal verdicts, so
+    the oracle verifies the isolation window and the guards, not just
+    the end state."""
     ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "value")
     d = _tmp_table_dir()
     t = LakeTable.create(
@@ -513,10 +523,32 @@ def branch_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     main_rows_staged = t.read().count()  # must exclude the staged batch
     t.fast_forward("audit")
+    main_rows_published = t.read().count()
+    # -- diverged-main publish: stage, advance main, cherry-pick --
+    t.create_branch("audit2")
+    staged = t.append(
+        ev.filter((F.col("user_id") >= 40) & (F.col("user_id") < 60)),
+        branch="audit2", wap_id="wap-batch-2",
+    )
+    t.append(ev.filter((F.col("user_id") >= 60) & (F.col("user_id") < 80)))
+    ff_refused = False
+    try:
+        t.fast_forward("audit2")
+    except ValueError:
+        ff_refused = True  # main head is no longer an ancestor
+    t.cherrypick_snapshot(staged.snapshot_id)
+    double_blocked = False
+    try:
+        t.cherrypick_snapshot(staged.snapshot_id)
+    except ValueError:
+        double_blocked = True  # published-wap-id guard
     return t.read().agg(
         F.lit(main_rows_staged).cast("bigint").alias("main_rows_staged"),
-        F.count(F.lit(1)).alias("main_rows_published"),
-        F.round(F.sum("value"), 2).cast("double").alias("sum_value_published"),
+        F.lit(main_rows_published).cast("bigint").alias("main_rows_published"),
+        F.count(F.lit(1)).alias("rows_after_cherrypick"),
+        F.lit(ff_refused).alias("ff_refused_on_divergence"),
+        F.lit(double_blocked).alias("double_publish_blocked"),
+        F.round(F.sum("value"), 2).cast("double").alias("sum_value_final"),
     )
 
 

@@ -55,6 +55,7 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q17_small_qty_revenue",       # NEW r5: correlated-avg decorrelation
     "tpch_q22_global_sales_opportunity",  # NEW r5: scalar sub + anti-join
     "quality_gopher_rules",             # NEW r5: one-pass corpus quality gate
+    "branch_wap_publish",               # r5: + cherrypick_snapshot publish leg
     "streaming_ingest_laketable",       # r5: replay-idempotent streaming_append
     "streaming_quarantine_gate",        # r5: domain + null rules added
     "multimodal_phash_dedup",           # r5: byte-based oracle
@@ -101,8 +102,8 @@ PRIORITY: tuple[str, ...] = (
     "dedup_connected_components",
     "embedding_quantize_int8",
     "streaming_enrich_join",
-    "streaming_windowed_agg",
     # ---- 50-query cap lands here; the rest leads round 6 ----
+    "streaming_windowed_agg",
     "streaming_dedup_count",
     "streaming_sessionize_stateful",
     "streaming_stream_stream_join",

@@ -1098,3 +1098,67 @@ def test_streaming_ingest_survives_checkpoint_loss(spark, tmp_path):
     assert t2.read().groupBy().agg(F.sum("v")).collect()[0][0] == sum(
         i * 2.0 for i in range(500)
     )
+
+
+def test_cherrypick_snapshot_wap_divergence(spark, tmp_path):
+    """The WAP case fast_forward refuses: main advanced while the
+    audit branch was staged — cherrypick re-applies the staged
+    append's net change on top of the new head with a fresh sequence
+    number, and the wap.id guard blocks a double publish."""
+    t = LakeTable.create(spark, str(tmp_path / "cp"), "k bigint, v double")
+    t.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k bigint, v double"))
+    t.create_branch("audit")
+    staged = t.append(
+        spark.createDataFrame([(3, 3.0)], "k bigint, v double"),
+        branch="audit", wap_id="batch-7",
+    )
+    # main moves on → branch head is not a descendant any more
+    t.append(spark.createDataFrame([(4, 4.0)], "k bigint, v double"))
+    with pytest.raises(ValueError, match="fast-forward"):
+        t.fast_forward("audit")
+    pub = t.cherrypick_snapshot(staged.snapshot_id)
+    assert {r["k"] for r in t.read().collect()} == {1, 2, 3, 4}
+    assert pub.summary["cherry_picked_from"] == staged.snapshot_id
+    assert pub.summary["published-wap-id"] == "batch-7"
+    # published rows got the PUBLISH commit's sequence, not the staged one
+    staged_paths = {e.path for e in staged.files} - {
+        e.path for e in t._snapshot(staged.parent_id).files
+    }
+    published = [e for e in pub.files if e.path in staged_paths]
+    assert published and all(e.seq == pub.snapshot_id for e in published)
+    # double publish: blocked by id / wap.id
+    with pytest.raises(ValueError, match="already published"):
+        t.cherrypick_snapshot(staged.snapshot_id)
+
+
+def test_cherrypick_refuses_non_append(spark, tmp_path):
+    """Snapshots that removed files (delete/rewrite) or added delete
+    files captured a read-modify-write — replaying them blindly onto
+    a different head would resurrect or re-delete rows, so they must
+    be refused (Iceberg cherry-pick contract)."""
+    t = LakeTable.create(spark, str(tmp_path / "cpna"), "k bigint, v double")
+    t.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k bigint, v double"))
+    del_snap = t.delete_where("k = 1")
+    with pytest.raises(ValueError, match="only append"):
+        t.cherrypick_snapshot(del_snap.snapshot_id)
+
+
+def test_sql_frontend_cherrypick(spark, tmp_path):
+    """CALL system.cherrypick_snapshot routes to the table op and
+    reports (source, new current) like the Iceberg procedure."""
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE cpt (k BIGINT, v DOUBLE)")
+    e.execute("INSERT INTO cpt VALUES (1, 1.0)")
+    e.execute("ALTER TABLE cpt CREATE BRANCH audit")
+    e.execute("INSERT INTO cpt.branch_audit VALUES (2, 2.0)")
+    staged_id = e.table("cpt")._meta["branches"]["audit"]
+    e.execute("INSERT INTO cpt VALUES (3, 3.0)")  # main diverges
+    res = e.execute(
+        f"CALL system.cherrypick_snapshot(table => 'cpt', "
+        f"snapshot_id => {staged_id})"
+    )[0]
+    assert res.rows[0]["source_snapshot_id"] == staged_id
+    rows = e.execute("SELECT k FROM cpt")[0].rows
+    assert {r["k"] for r in rows} == {1, 2, 3}
