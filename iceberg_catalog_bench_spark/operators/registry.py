@@ -56,6 +56,7 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q22_global_sales_opportunity",  # NEW r5: scalar sub + anti-join
     "quality_gopher_rules",             # NEW r5: one-pass corpus quality gate
     "branch_wap_publish",               # r5: + cherrypick_snapshot publish leg
+    "streaming_table_source_read",      # NEW r5: laketable streaming source
     "streaming_ingest_laketable",       # r5: replay-idempotent streaming_append
     "streaming_quarantine_gate",        # r5: domain + null rules added
     "multimodal_phash_dedup",           # r5: byte-based oracle
@@ -101,8 +102,8 @@ PRIORITY: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "dedup_connected_components",
     "embedding_quantize_int8",
-    "streaming_enrich_join",
     # ---- 50-query cap lands here; the rest leads round 6 ----
+    "streaming_enrich_join",
     "streaming_windowed_agg",
     "streaming_dedup_count",
     "streaming_sessionize_stateful",
@@ -142,6 +143,7 @@ def load_all() -> None:
     from . import analytics  # noqa: F401
     from . import multimodal  # noqa: F401
     from ..streaming import events  # noqa: F401
+    from ..streaming import table_source  # noqa: F401  — laketable format
     from ..sources import datagen  # noqa: F401
     from . import text  # noqa: F401
     from . import corpus  # noqa: F401

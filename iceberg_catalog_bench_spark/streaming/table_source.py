@@ -1,0 +1,343 @@
+"""Structured-Streaming SOURCE over a LakeTable — stream the table's
+committed appends, Iceberg's "streaming read" / incremental-consumption
+surface (reference analogue: the spec's incremental pipelines around
+snapshot lineage, ICEBERG-Interoperability-Test-Spec.md §7), built on
+PySpark 4's Python DataSource API (`pyspark.sql.datasource`).
+
+Usage::
+
+    spark.dataSource.register(LakeTableDataSource)
+    df = (spark.readStream.format("laketable")
+          .option("path", table_root).load())
+
+Semantics (mirrors Iceberg's Spark streaming read):
+
+- **Offsets are snapshot ids** on the MAIN ancestry. A micro-batch
+  covers the snapshots in ``(start, end]``; its input partitions are
+  the data files each of those snapshots ADDED vs its own parent —
+  one partition per file, so parallelism tracks the commit's fanout.
+- **Appends only.** A snapshot in the range that removed files or
+  added delete files (delete/update/rewrite) raises by default —
+  silently replaying its rewritten files would duplicate rows.
+  ``option("skip-non-appends", "true")`` skips such snapshots instead
+  (Iceberg's ``streaming-skip-delete/overwrite-snapshots``).
+- **Schema projection is by FIELD ID**, not name: each file entry
+  records its writer-time schema version, so a column renamed since
+  the file was written is still read (old physical name → current
+  name), a column added since is null-filled, and a type widened
+  since is cast — the same resolution rules the batch read path
+  applies, re-implemented over Arrow because Python data sources read
+  outside the JVM scan.
+
+Scale shape: the driver-side planner touches ONLY the metadata JSON
+(no data I/O — `latestOffset` is a stat + parse); workers read just
+the files their partition names. Exactly-once end-to-end comes from
+pairing this source with the checkpointed-batch-id sink
+(`LakeTable.streaming_append`): source offsets replay deterministically
+(same snapshot range → same files), the sink dedups on batch id.
+
+The batch reader (`spark.read.format("laketable")`) exists for API
+completeness / testing; production batch reads should use
+``LakeTable.read()`` — the JVM parquet scan with manifest pruning and
+merge-on-read delete application, none of which a Python-side reader
+can match for throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_META_REL = os.path.join("_meta", "metadata.json")
+
+# Spark DDL type → pyarrow factory (primitives the streaming tables
+# use; complex types would need nested Arrow casts — raise loudly).
+_DDL_ARROW = {
+    "bigint": "int64",
+    "long": "int64",
+    "int": "int32",
+    "integer": "int32",
+    "smallint": "int16",
+    "tinyint": "int8",
+    "double": "float64",
+    "float": "float32",
+    "string": "string",
+    "boolean": "bool_",
+    "binary": "binary",
+    "date": "date32",
+    "timestamp": "timestamp_us",
+    "timestamp_ntz": "timestamp_us",
+}
+
+
+def _arrow_type(ddl: str):
+    import pyarrow as pa
+
+    key = ddl.strip().lower()
+    if key not in _DDL_ARROW:
+        raise NotImplementedError(
+            f"laketable python source supports primitive columns only; "
+            f"got type {ddl!r} (use LakeTable.read() for complex types)"
+        )
+    name = _DDL_ARROW[key]
+    if name == "timestamp_us":
+        return pa.timestamp("us")
+    return getattr(pa, name)()
+
+
+def _load_meta(path: str) -> dict:
+    with open(os.path.join(path, _META_REL)) as fh:
+        return json.load(fh)
+
+
+class _FilePartition(InputPartition):
+    """One added data file. Carries the projection plan computed on the
+    driver (current name → physical name in this file, or None if the
+    field didn't exist at the file's schema version) so workers never
+    open the metadata JSON."""
+
+    def __init__(self, abs_path: str, columns: list[tuple[str, str, str | None]]):
+        self.abs_path = abs_path
+        self.columns = columns  # (current_name, ddl_type, physical_name|None)
+
+
+def _projection(meta: dict, file_schema_version: int) -> list[tuple[str, str, str | None]]:
+    """Field-id resolution: for every CURRENT field, the physical column
+    name inside a file written at ``file_schema_version`` (None → field
+    added later, read as nulls)."""
+    cur = meta["schemas"][str(meta["current_schema_version"])]
+    old = meta["schemas"][str(file_schema_version)]
+    old_by_id = {f["id"]: f["name"] for f in old}
+    return [(f["name"], f["type"], old_by_id.get(f["id"])) for f in cur]
+
+
+def _read_file(partition: _FilePartition) -> Iterator:
+    """Worker-side Arrow read with id-based projection + widening cast."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    physical = [p for _, _, p in partition.columns if p is not None]
+    tbl = pq.read_table(partition.abs_path, columns=physical)
+    n = tbl.num_rows
+    arrays, fields = [], []
+    for name, ddl, phys in partition.columns:
+        typ = _arrow_type(ddl)
+        if phys is None:
+            arrays.append(pa.nulls(n, type=typ))
+        else:
+            col = tbl.column(phys)
+            if col.type != typ:  # e.g. int32 file column widened to bigint
+                col = col.cast(typ)
+            arrays.append(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+        fields.append(pa.field(name, typ))
+    out = pa.table(arrays, schema=pa.schema(fields))
+    yield from out.to_batches(max_chunksize=1 << 16)
+
+
+def _added_files(meta: dict, snap: dict) -> tuple[list[dict], bool]:
+    """(files this snapshot added vs its parent, is_pure_append)."""
+    by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+    parent = by_id.get(snap.get("parent_id"))
+    parent_paths = {f["path"] for f in parent["files"]} if parent else set()
+    added = [f for f in snap["files"] if f["path"] not in parent_paths]
+    removed = parent_paths - {f["path"] for f in snap["files"]}
+    parent_dels = {d["path"] for d in (parent or {}).get("delete_files", [])}
+    new_dels = [
+        d for d in snap.get("delete_files", []) if d["path"] not in parent_dels
+    ]
+    return added, not (removed or new_dels)
+
+
+class LakeTableStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str, skip_non_appends: bool):
+        self.path = path
+        self.skip_non_appends = skip_non_appends
+
+    def initialOffset(self) -> dict:
+        return {"snapshot_id": 0}
+
+    def latestOffset(self) -> dict:
+        head = _load_meta(self.path).get("current_snapshot_id")
+        return {"snapshot_id": head or 0}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        s, e = start["snapshot_id"], end["snapshot_id"]
+        meta = _load_meta(self.path)
+        by_id = {sn["snapshot_id"]: sn for sn in meta["snapshots"]}
+        chain: list[dict] = []
+        node = e or None
+        while node and node != s:
+            sn = by_id[node]
+            chain.append(sn)
+            node = sn.get("parent_id")
+        parts: list[InputPartition] = []
+        for sn in reversed(chain):  # oldest commit first
+            added, pure = _added_files(meta, sn)
+            if not pure:
+                if self.skip_non_appends:
+                    continue
+                raise ValueError(
+                    f"snapshot {sn['snapshot_id']} ({sn.get('operation')}) "
+                    f"is not a pure append; streaming it would replay "
+                    f"rewritten rows — set skip-non-appends=true to skip"
+                )
+            for f in added:
+                parts.append(
+                    _FilePartition(
+                        os.path.join(self.path, f["path"]),
+                        _projection(meta, f["schema_version"]),
+                    )
+                )
+        return parts
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        return _read_file(partition)
+
+    def commit(self, end: dict) -> None:  # offsets live in the checkpoint
+        pass
+
+
+class LakeTableBatchReader(DataSourceReader):
+    def __init__(self, path: str):
+        self.path = path
+
+    def partitions(self) -> Sequence[InputPartition]:
+        meta = _load_meta(self.path)
+        head = meta.get("current_snapshot_id")
+        if head is None:
+            return []
+        snap = next(s for s in meta["snapshots"] if s["snapshot_id"] == head)
+        if snap.get("delete_files"):
+            raise ValueError(
+                "laketable python batch reader does not apply merge-on-read "
+                "deletes; use LakeTable.read() for tables with delete files"
+            )
+        return [
+            _FilePartition(
+                os.path.join(self.path, f["path"]),
+                _projection(meta, f["schema_version"]),
+            )
+            for f in snap["files"]
+        ]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        return _read_file(partition)
+
+
+class LakeTableDataSource(DataSource):
+    """`format("laketable")` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "laketable"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("laketable source needs .option('path', <table root>)")
+        return path
+
+    def schema(self) -> str:
+        meta = _load_meta(self._path())
+        fields = meta["schemas"][str(meta["current_schema_version"])]
+        return ", ".join(f"{f['name']} {f['type']}" for f in fields)
+
+    def reader(self, schema) -> DataSourceReader:
+        return LakeTableBatchReader(self._path())
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        skip = str(self.options.get("skip-non-appends", "false")).lower() == "true"
+        return LakeTableStreamReader(self._path(), skip)
+
+
+# ---------------------------------------------------------------------------
+# Registered driver-row query
+# ---------------------------------------------------------------------------
+
+_REGISTERED_SESSIONS: set[int] = set()
+
+
+def register_source(spark) -> None:
+    """Register the ``laketable`` format once per SparkSession."""
+    if id(spark) not in _REGISTERED_SESSIONS:
+        spark.dataSource.register(LakeTableDataSource)
+        _REGISTERED_SESSIONS.add(id(spark))
+
+
+def _register_queries() -> None:
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.registry import register
+    from ..sources import load_table
+
+    @register(
+        "streaming_table_source_read",
+        oracle=(
+            # Incrementality is pinned: the first stream pass must have
+            # delivered exactly the first three commits, the second
+            # pass exactly the fourth — never re-delivering pass-1 rows.
+            "SELECT (SELECT COUNT(*) FROM events WHERE user_id < 30) "
+            "AS rows_first_pass, "
+            "(SELECT COUNT(*) FROM events WHERE user_id < 40) AS rows_total, "
+            "CAST((SELECT ROUND(SUM(value), 2) FROM events WHERE user_id < 40) "
+            "AS DOUBLE) AS sum_value_streamed"
+        ),
+    )
+    def streaming_table_source_read(spark, sf_dir):
+        """Streaming READ of a LakeTable's commits (Iceberg streaming
+        read) through the `laketable` Python DataSource: three commits
+        land, an availableNow stream drains them into a parquet sink,
+        a fourth commit lands, and a SECOND stream run over the SAME
+        checkpoint delivers only the new commit — snapshot-id offsets
+        recorded in the checkpoint make redelivery impossible. The
+        result row carries the row count after each pass plus the
+        streamed value checksum, so the oracle verifies exactly-once
+        incremental delivery, not just the final state."""
+        from ..catalog.table import LakeTable
+
+        register_source(spark)
+        ev = load_table(spark, "events", sf_dir).select(
+            "event_id", "user_id", "value"
+        )
+        d = tempfile.mkdtemp(prefix="laketable-src-")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        t = LakeTable.create(
+            spark, os.path.join(d, "t"), "event_id bigint, user_id bigint, value double"
+        )
+        for lo, hi in ((0, 10), (10, 20), (20, 30)):
+            t.append(ev.filter((F.col("user_id") >= lo) & (F.col("user_id") < hi)))
+        sink, ck = os.path.join(d, "sink"), os.path.join(d, "ck")
+
+        def drain():
+            q = (
+                spark.readStream.format("laketable").option("path", t.path).load()
+                .writeStream.format("parquet").option("path", sink)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ck).start()
+            )
+            q.awaitTermination(300)
+
+        drain()
+        rows_first_pass = spark.read.parquet(sink).count()
+        t.append(ev.filter((F.col("user_id") >= 30) & (F.col("user_id") < 40)))
+        drain()
+        return spark.read.parquet(sink).agg(
+            F.lit(rows_first_pass).cast("bigint").alias("rows_first_pass"),
+            F.count(F.lit(1)).alias("rows_total"),
+            F.round(F.sum("value"), 2).cast("double").alias("sum_value_streamed"),
+        )
+
+
+_register_queries()

@@ -1,0 +1,100 @@
+"""The `laketable` Python DataSource (streaming + batch read of table
+commits): incremental offset semantics, field-id schema projection,
+and the append-only contract."""
+
+import os
+
+import pytest
+
+from iceberg_catalog_bench_spark.catalog.table import LakeTable
+from iceberg_catalog_bench_spark.streaming.table_source import register_source
+
+
+def _drain(spark, path, sink, ck, **opts):
+    reader = spark.readStream.format("laketable").option("path", path)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("parquet").option("path", sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck).start()
+    )
+    q.awaitTermination(300)
+
+
+def test_batch_and_incremental_stream(spark, tmp_path):
+    """Offsets are snapshot ids in the checkpoint: a second run over
+    the same checkpoint delivers ONLY commits made since the first —
+    never redelivers."""
+    register_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint, v double")
+    t.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k bigint, v double"))
+    t.append(spark.createDataFrame([(3, 3.0)], "k bigint, v double"))
+
+    bdf = spark.read.format("laketable").option("path", t.path).load()
+    assert sorted(r["k"] for r in bdf.collect()) == [1, 2, 3]
+
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+    _drain(spark, t.path, sink, ck)
+    assert sorted(r["k"] for r in spark.read.parquet(sink).collect()) == [1, 2, 3]
+
+    t.append(spark.createDataFrame([(4, 4.0)], "k bigint, v double"))
+    _drain(spark, t.path, sink, ck)
+    assert sorted(r["k"] for r in spark.read.parquet(sink).collect()) == [1, 2, 3, 4]
+
+
+def test_stream_projects_by_field_id(spark, tmp_path):
+    """Files written before a rename/add-column stream under the
+    CURRENT names: renamed column resolved by field id, added column
+    null-filled."""
+    register_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint, s string")
+    t.append(spark.createDataFrame([(1, "a")], "k bigint, s string"))
+    t.rename_column("s", "label")
+    t.add_column("extra", "bigint", default=None)
+    t.append(spark.createDataFrame([(2, "b", 9)], "k bigint, label string, extra bigint"))
+
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+    _drain(spark, t.path, sink, ck)
+    df = spark.read.parquet(sink)
+    assert df.schema.simpleString() == "struct<k:bigint,label:string,extra:bigint>"
+    rows = {r["k"]: (r["label"], r["extra"]) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9)}
+
+
+def test_stream_refuses_then_skips_non_appends(spark, tmp_path):
+    """A delete/rewrite snapshot in the offset range raises by default
+    (replaying rewritten files would duplicate rows);
+    skip-non-appends=true skips those snapshots but still delivers
+    later appends."""
+    register_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint, v double")
+    t.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k bigint, v double"))
+    t.delete_where("k = 1")
+    t.append(spark.createDataFrame([(3, 3.0)], "k bigint, v double"))
+
+    sink, ck = str(tmp_path / "s1"), str(tmp_path / "c1")
+    with pytest.raises(Exception, match="not a pure append"):
+        _drain(spark, t.path, sink, ck)
+
+    sink2, ck2 = str(tmp_path / "s2"), str(tmp_path / "c2")
+    _drain(spark, t.path, sink2, ck2, **{"skip-non-appends": "true"})
+    # first append + third append delivered; the delete snapshot's
+    # rewritten file is skipped (streaming read does not apply deletes)
+    assert sorted(r["k"] for r in spark.read.parquet(sink2).collect()) == [1, 2, 3]
+
+
+def test_batch_reader_refuses_mor_tables(spark, tmp_path):
+    """The Python batch reader cannot apply merge-on-read delete files
+    — it must refuse rather than return deleted rows."""
+    register_source(spark)
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), "k bigint, v double",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k bigint, v double"))
+    t.delete_where("k = 1")
+    assert t.delete_files().count() > 0  # precondition: MoR path taken
+    with pytest.raises(Exception, match="merge-on-read"):
+        spark.read.format("laketable").option("path", t.path).load().collect()
