@@ -57,6 +57,7 @@ PRIORITY: tuple[str, ...] = (
     "quality_gopher_rules",             # NEW r5: one-pass corpus quality gate
     "branch_wap_publish",               # r5: + cherrypick_snapshot publish leg
     "streaming_table_source_read",      # NEW r5: laketable streaming source
+    "streaming_table_source_cdc",       # NEW r5: CDC feed (mode=cdc)
     "streaming_ingest_laketable",       # r5: replay-idempotent streaming_append
     "streaming_quarantine_gate",        # r5: domain + null rules added
     "multimodal_phash_dedup",           # r5: byte-based oracle
@@ -101,8 +102,8 @@ PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_connected_components",
-    "embedding_quantize_int8",
     # ---- 50-query cap lands here; the rest leads round 6 ----
+    "embedding_quantize_int8",
     "streaming_enrich_join",
     "streaming_windowed_agg",
     "streaming_dedup_count",

@@ -16,11 +16,22 @@ Semantics (mirrors Iceberg's Spark streaming read):
   covers the snapshots in ``(start, end]``; its input partitions are
   the data files each of those snapshots ADDED vs its own parent —
   one partition per file, so parallelism tracks the commit's fanout.
-- **Appends only.** A snapshot in the range that removed files or
-  added delete files (delete/update/rewrite) raises by default —
-  silently replaying its rewritten files would duplicate rows.
-  ``option("skip-non-appends", "true")`` skips such snapshots instead
-  (Iceberg's ``streaming-skip-delete/overwrite-snapshots``).
+- **Appends only (default mode).** A snapshot in the range that
+  removed files or added delete files (delete/update/rewrite) raises
+  by default — silently replaying its rewritten files would duplicate
+  rows. ``option("skip-non-appends", "true")`` skips such snapshots
+  instead (Iceberg's ``streaming-skip-delete/overwrite-snapshots``).
+- **CDC mode** (``option("mode", "cdc")``): rows additionally carry
+  ``_change_type`` ('insert' / 'delete') and ``_commit_snapshot_id``.
+  Appended files stream as inserts; a merge-on-read commit's NEW
+  delete files stream as delete records — an equality-delete file's
+  key rows ARE the retractions (non-key columns null: the writer
+  retracted blind, the values were never read), and a position-delete
+  file re-reads the tombstoned rows from its referenced data files by
+  position, so CDC upserts surface as the -D/+I pair a downstream
+  materializer needs. Copy-on-write commits (rewritten files) are NOT
+  expressible as a per-file row feed and raise (or skip) — the batch
+  ``LakeTable.changelog()`` nets those with exceptAll.
 - **Schema projection is by FIELD ID**, not name: each file entry
   records its writer-time schema version, so a column renamed since
   the file was written is still read (old physical name → current
@@ -102,11 +113,42 @@ class _FilePartition(InputPartition):
     """One added data file. Carries the projection plan computed on the
     driver (current name → physical name in this file, or None if the
     field didn't exist at the file's schema version) so workers never
-    open the metadata JSON."""
+    open the metadata JSON. In CDC mode ``change``/``sid`` stamp the
+    emitted rows with (_change_type, _commit_snapshot_id)."""
 
-    def __init__(self, abs_path: str, columns: list[tuple[str, str, str | None]]):
+    def __init__(self, abs_path: str, columns: list[tuple[str, str, str | None]],
+                 change: str | None = None, sid: int | None = None):
         self.abs_path = abs_path
         self.columns = columns  # (current_name, ddl_type, physical_name|None)
+        self.change = change
+        self.sid = sid
+
+
+class _EqDeletePartition(InputPartition):
+    """One equality-delete file (CDC mode): its key rows are the -D
+    records; non-key columns null-fill. ``columns`` maps every current
+    field to its physical name INSIDE THE DELETE FILE (None for
+    non-key fields)."""
+
+    def __init__(self, abs_path: str, columns: list[tuple[str, str, str | None]],
+                 sid: int):
+        self.abs_path = abs_path
+        self.columns = columns
+        self.sid = sid
+
+
+class _PosDeletePartition(InputPartition):
+    """One (position-delete file, referenced data file) pair (CDC
+    mode): the -D records are the data file's rows at the tombstoned
+    positions — read the delete file, filter to this data file, take
+    the positions from the data file."""
+
+    def __init__(self, delete_abs: str, data_abs: str,
+                 columns: list[tuple[str, str, str | None]], sid: int):
+        self.delete_abs = delete_abs
+        self.data_abs = data_abs
+        self.columns = columns
+        self.sid = sid
 
 
 def _projection(meta: dict, file_schema_version: int) -> list[tuple[str, str, str | None]]:
@@ -119,18 +161,17 @@ def _projection(meta: dict, file_schema_version: int) -> list[tuple[str, str, st
     return [(f["name"], f["type"], old_by_id.get(f["id"])) for f in cur]
 
 
-def _read_file(partition: _FilePartition) -> Iterator:
-    """Worker-side Arrow read with id-based projection + widening cast."""
+def _project(tbl, columns, change: str | None = None, sid: int | None = None):
+    """Align an Arrow table onto the current schema (nulls for absent
+    fields, widening casts), appending CDC metadata columns when
+    requested."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    physical = [p for _, _, p in partition.columns if p is not None]
-    tbl = pq.read_table(partition.abs_path, columns=physical)
     n = tbl.num_rows
     arrays, fields = [], []
-    for name, ddl, phys in partition.columns:
+    for name, ddl, phys in columns:
         typ = _arrow_type(ddl)
-        if phys is None:
+        if phys is None or phys not in tbl.column_names:
             arrays.append(pa.nulls(n, type=typ))
         else:
             col = tbl.column(phys)
@@ -138,12 +179,51 @@ def _read_file(partition: _FilePartition) -> Iterator:
                 col = col.cast(typ)
             arrays.append(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
         fields.append(pa.field(name, typ))
-    out = pa.table(arrays, schema=pa.schema(fields))
+    if change is not None:
+        arrays.append(pa.array([change] * n, type=pa.string()))
+        fields.append(pa.field("_change_type", pa.string()))
+        arrays.append(pa.array([sid] * n, type=pa.int64()))
+        fields.append(pa.field("_commit_snapshot_id", pa.int64()))
+    return pa.table(arrays, schema=pa.schema(fields))
+
+
+def _read_file(partition: _FilePartition) -> Iterator:
+    """Worker-side Arrow read with id-based projection + widening cast."""
+    import pyarrow.parquet as pq
+
+    physical = [p for _, _, p in partition.columns if p is not None]
+    tbl = pq.read_table(partition.abs_path, columns=physical)
+    out = _project(tbl, partition.columns, partition.change, partition.sid)
     yield from out.to_batches(max_chunksize=1 << 16)
 
 
-def _added_files(meta: dict, snap: dict) -> tuple[list[dict], bool]:
-    """(files this snapshot added vs its parent, is_pure_append)."""
+def _read_eq_delete(partition: _EqDeletePartition) -> Iterator:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(partition.abs_path)
+    out = _project(tbl, partition.columns, "delete", partition.sid)
+    yield from out.to_batches(max_chunksize=1 << 16)
+
+
+def _read_pos_delete(partition: _PosDeletePartition) -> Iterator:
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    dels = pq.read_table(partition.delete_abs, columns=["file_path", "pos"])
+    mask = pc.equal(dels.column("file_path"), partition.data_abs)
+    positions = dels.filter(mask).column("pos").to_pylist()
+    if not positions:
+        return
+    physical = [p for _, _, p in partition.columns if p is not None]
+    data = pq.read_table(partition.data_abs, columns=physical)
+    out = _project(data.take(sorted(positions)), partition.columns,
+                   "delete", partition.sid)
+    yield from out.to_batches(max_chunksize=1 << 16)
+
+
+def _snapshot_changes(meta: dict, snap: dict) -> tuple[list[dict], set, list[dict]]:
+    """(files added, paths removed, delete files added) vs the
+    snapshot's own parent."""
     by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
     parent = by_id.get(snap.get("parent_id"))
     parent_paths = {f["path"] for f in parent["files"]} if parent else set()
@@ -153,13 +233,14 @@ def _added_files(meta: dict, snap: dict) -> tuple[list[dict], bool]:
     new_dels = [
         d for d in snap.get("delete_files", []) if d["path"] not in parent_dels
     ]
-    return added, not (removed or new_dels)
+    return added, removed, new_dels
 
 
 class LakeTableStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str, skip_non_appends: bool):
+    def __init__(self, path: str, skip_non_appends: bool, cdc: bool):
         self.path = path
         self.skip_non_appends = skip_non_appends
+        self.cdc = cdc
 
     def initialOffset(self) -> dict:
         return {"snapshot_id": 0}
@@ -167,6 +248,34 @@ class LakeTableStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         head = _load_meta(self.path).get("current_snapshot_id")
         return {"snapshot_id": head or 0}
+
+    def _cdc_delete_parts(self, meta: dict, sn: dict,
+                          new_dels: list[dict]) -> list[InputPartition]:
+        """-D partitions for a commit's new delete files. Equality
+        deletes ARE the retraction records (key cols, rest null);
+        position deletes point at rows to re-read by position."""
+        cur = meta["schemas"][str(meta["current_schema_version"])]
+        sid = sn["snapshot_id"]
+        parts: list[InputPartition] = []
+        for d in new_dels:
+            if d.get("content", "position") == "equality":
+                eq = d.get("equality_cols", [])
+                phys = d.get("file_cols") or eq
+                by_cur = dict(zip(eq, phys))
+                cols = [(f["name"], f["type"], by_cur.get(f["name"])) for f in cur]
+                parts.append(_EqDeletePartition(
+                    os.path.join(self.path, d["path"]), cols, sid))
+            else:
+                by_path = {f["path"]: f for f in sn["files"]}
+                for ref in d.get("referenced", []):
+                    f = by_path.get(ref)
+                    proj = _projection(
+                        meta, f["schema_version"] if f
+                        else meta["current_schema_version"])
+                    parts.append(_PosDeletePartition(
+                        os.path.join(self.path, d["path"]),
+                        os.path.join(self.path, ref), proj, sid))
+        return parts
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         s, e = start["snapshot_id"], end["snapshot_id"]
@@ -180,25 +289,42 @@ class LakeTableStreamReader(DataSourceStreamReader):
             node = sn.get("parent_id")
         parts: list[InputPartition] = []
         for sn in reversed(chain):  # oldest commit first
-            added, pure = _added_files(meta, sn)
-            if not pure:
+            added, removed, new_dels = _snapshot_changes(meta, sn)
+            sid = sn["snapshot_id"]
+            # Append mode streams pure appends only; CDC mode also
+            # streams merge-on-read commits (their delete files ARE the
+            # retraction records). Neither can express a copy-on-write
+            # rewrite (removed files) — that diff needs the batch
+            # changelog()'s exceptAll netting.
+            expressible = not removed and (self.cdc or not new_dels)
+            if not expressible:
                 if self.skip_non_appends:
                     continue
                 raise ValueError(
-                    f"snapshot {sn['snapshot_id']} ({sn.get('operation')}) "
-                    f"is not a pure append; streaming it would replay "
-                    f"rewritten rows — set skip-non-appends=true to skip"
+                    f"snapshot {sid} ({sn.get('operation')}) is not "
+                    + ("expressible as row-level changes (it rewrote "
+                       "files); use LakeTable.changelog() for this range"
+                       if self.cdc else
+                       "a pure append; streaming it would replay "
+                       "rewritten rows")
+                    + " — set skip-non-appends=true to skip"
                 )
+            if self.cdc:
+                parts.extend(self._cdc_delete_parts(meta, sn, new_dels))
             for f in added:
-                parts.append(
-                    _FilePartition(
-                        os.path.join(self.path, f["path"]),
-                        _projection(meta, f["schema_version"]),
-                    )
-                )
+                parts.append(_FilePartition(
+                    os.path.join(self.path, f["path"]),
+                    _projection(meta, f["schema_version"]),
+                    change="insert" if self.cdc else None,
+                    sid=sid if self.cdc else None,
+                ))
         return parts
 
-    def read(self, partition: _FilePartition) -> Iterator:
+    def read(self, partition: InputPartition) -> Iterator:
+        if isinstance(partition, _EqDeletePartition):
+            return _read_eq_delete(partition)
+        if isinstance(partition, _PosDeletePartition):
+            return _read_pos_delete(partition)
         return _read_file(partition)
 
     def commit(self, end: dict) -> None:  # offsets live in the checkpoint
@@ -245,17 +371,25 @@ class LakeTableDataSource(DataSource):
             raise ValueError("laketable source needs .option('path', <table root>)")
         return path
 
+    def _cdc(self) -> bool:
+        return str(self.options.get("mode", "append")).lower() == "cdc"
+
     def schema(self) -> str:
         meta = _load_meta(self._path())
         fields = meta["schemas"][str(meta["current_schema_version"])]
-        return ", ".join(f"{f['name']} {f['type']}" for f in fields)
+        ddl = ", ".join(f"{f['name']} {f['type']}" for f in fields)
+        if self._cdc():
+            ddl += ", _change_type string, _commit_snapshot_id bigint"
+        return ddl
 
     def reader(self, schema) -> DataSourceReader:
+        if self._cdc():
+            raise ValueError("mode=cdc is a streaming-only option")
         return LakeTableBatchReader(self._path())
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         skip = str(self.options.get("skip-non-appends", "false")).lower() == "true"
-        return LakeTableStreamReader(self._path(), skip)
+        return LakeTableStreamReader(self._path(), skip, self._cdc())
 
 
 # ---------------------------------------------------------------------------
@@ -337,6 +471,72 @@ def _register_queries() -> None:
             F.lit(rows_first_pass).cast("bigint").alias("rows_first_pass"),
             F.count(F.lit(1)).alias("rows_total"),
             F.round(F.sum("value"), 2).cast("double").alias("sum_value_streamed"),
+        )
+
+    @register(
+        "streaming_table_source_cdc",
+        oracle=(
+            # The CDC feed's shape is fully determined by the source
+            # slices: commit 1 inserts user_id<20, the upsert commit
+            # retracts + reinserts every key in [10,30) (equality
+            # deletes retract blind — present or not), so the insert
+            # checksum covers base + upserted values.
+            "SELECT (SELECT COUNT(*) FROM events WHERE user_id < 20) "
+            "+ (SELECT COUNT(*) FROM events WHERE user_id >= 10 AND user_id < 30) "
+            "AS insert_rows, "
+            "(SELECT COUNT(*) FROM events WHERE user_id >= 10 AND user_id < 30) "
+            "AS delete_rows, "
+            "CAST((SELECT ROUND(SUM(CASE WHEN user_id < 20 THEN value ELSE 0 END) "
+            "+ SUM(CASE WHEN user_id >= 10 AND user_id < 30 "
+            "THEN value + 1000 ELSE 0 END), 2) FROM events WHERE user_id < 30) "
+            "AS DOUBLE) AS insert_value_sum"
+        ),
+    )
+    def streaming_table_source_cdc(spark, sf_dir):
+        """CDC feed from a merge-on-read table through the `laketable`
+        source's mode=cdc: a base append then a CDC upsert (equality
+        deletes + new rows) stream as +I / -D records with commit ids
+        — the SOURCE half of the CDC story whose SINK half is
+        `streaming_cdc_upsert_laketable`. The oracle pins the exact
+        feed cardinalities and the insert-side checksum: equality
+        retractions appear once per upserted key (blind retraction —
+        Iceberg changelog semantics for equality deletes), inserts
+        carry base + upserted values."""
+        from ..catalog.table import LakeTable
+
+        register_source(spark)
+        ev = load_table(spark, "events", sf_dir).select(
+            "event_id", "user_id", "value"
+        )
+        d = tempfile.mkdtemp(prefix="laketable-cdc-")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        t = LakeTable.create(
+            spark, os.path.join(d, "t"),
+            "event_id bigint, user_id bigint, value double",
+            properties={"write.update.mode": "merge-on-read"},
+        )
+        t.append(ev.filter(F.col("user_id") < 20))
+        t.upsert_by_keys(
+            ev.filter((F.col("user_id") >= 10) & (F.col("user_id") < 30))
+            .withColumn("value", F.col("value") + 1000),
+            on=["event_id"],
+        )
+        sink, ck = os.path.join(d, "sink"), os.path.join(d, "ck")
+        q = (
+            spark.readStream.format("laketable")
+            .option("path", t.path).option("mode", "cdc").load()
+            .writeStream.format("parquet").option("path", sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck).start()
+        )
+        q.awaitTermination(300)
+        feed = spark.read.parquet(sink)
+        ins = F.col("_change_type") == "insert"
+        return feed.agg(
+            F.sum(ins.cast("long")).alias("insert_rows"),
+            F.sum((~ins).cast("long")).alias("delete_rows"),
+            F.round(F.sum(F.when(ins, F.col("value"))), 2)
+            .cast("double").alias("insert_value_sum"),
         )
 
 

@@ -98,3 +98,69 @@ def test_batch_reader_refuses_mor_tables(spark, tmp_path):
     assert t.delete_files().count() > 0  # precondition: MoR path taken
     with pytest.raises(Exception, match="merge-on-read"):
         spark.read.format("laketable").option("path", t.path).load().collect()
+
+
+def test_cdc_stream_emits_upsert_and_position_deletes(spark, tmp_path):
+    """mode=cdc: appends stream as +I; an upsert commit's equality
+    delete file streams as -D key retractions (non-key null — the
+    writer retracted blind) followed by its +I rows; a MoR position
+    delete re-reads the tombstoned row's full values by position."""
+    register_source(spark)
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), "k bigint, v double",
+        properties={"write.delete.mode": "merge-on-read",
+                    "write.update.mode": "merge-on-read"},
+    )
+    t.append(spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 3.0)], "k bigint, v double"))
+    t.upsert_by_keys(
+        spark.createDataFrame([(2, 20.0), (4, 4.0)], "k bigint, v double"), on=["k"]
+    )
+    t.delete_where("k = 1")
+
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("laketable")
+        .option("path", t.path).option("mode", "cdc").load()
+        .writeStream.format("parquet").option("path", sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck).start()
+    )
+    q.awaitTermination(300)
+    key = lambda t: (t[3], t[2], t[0], t[1] is None, t[1] or 0.0)  # noqa: E731
+    rows = sorted(
+        (tuple(r) for r in spark.read.parquet(sink)
+         .select("k", "v", "_change_type", "_commit_snapshot_id").collect()),
+        key=key,
+    )
+    assert rows == sorted([
+        (1, 1.0, "insert", 1), (2, 2.0, "insert", 1), (3, 3.0, "insert", 1),
+        (2, None, "delete", 2), (4, None, "delete", 2),
+        (2, 20.0, "insert", 2), (4, 4.0, "insert", 2),
+        (1, 1.0, "delete", 3),
+    ], key=key)
+
+
+def test_cdc_stream_refuses_cow_rewrites(spark, tmp_path):
+    """A copy-on-write delete rewrites files — not expressible as a
+    per-file row feed; CDC mode must refuse and point at changelog()."""
+    register_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint, v double")
+    t.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k bigint, v double"))
+    t.delete_where("k = 1")  # CoW: removes + rewrites the file
+    with pytest.raises(Exception, match="changelog"):
+        q = (
+            spark.readStream.format("laketable")
+            .option("path", t.path).option("mode", "cdc").load()
+            .writeStream.format("parquet").option("path", str(tmp_path / "s"))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "c")).start()
+        )
+        q.awaitTermination(300)
+
+
+def test_cdc_mode_is_streaming_only(spark, tmp_path):
+    register_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint")
+    with pytest.raises(Exception, match="streaming-only"):
+        (spark.read.format("laketable").option("path", t.path)
+         .option("mode", "cdc").load().collect())
