@@ -1,0 +1,110 @@
+"""Throughput probe for the `laketable` Python DataSource (round 5).
+
+Writes an N-row table (default 5M) in K append commits, then times:
+
+1. ``LakeTable.read()`` — the JVM parquet scan (the production batch
+   read path);
+2. ``spark.read.format("laketable")`` — the Python batch reader
+   (Arrow read in Python workers, rows shipped to the JVM);
+3. one availableNow drain of ``spark.readStream.format("laketable")``
+   into a parquet sink — the path the source actually exists for:
+   incremental consumption of commits;
+4. a SECOND drain after one more commit — the steady-state cost of an
+   incremental poll (one commit's files, not the table).
+
+What this pins down: the Python source pays the Arrow→JVM row-shipping
+tax on BULK reads (expect several× slower than the JVM scan — that's
+why the docstring tells bulk readers to use LakeTable.read()), but the
+incremental poll cost tracks the NEW data only, which is the number
+that matters for a commit-feed consumer at 100 TB: polling a table is
+O(new files), never O(table).
+
+    python scripts/table_source_probe.py [N_ROWS] [N_COMMITS]
+"""
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from iceberg_catalog_bench_spark.catalog.table import LakeTable
+from iceberg_catalog_bench_spark.session import get_spark
+from iceberg_catalog_bench_spark.streaming.table_source import register_source
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+    n_commits = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    spark = get_spark(app_name="table-source-probe")
+    register_source(spark)
+    d = tempfile.mkdtemp(prefix="lts-probe-")
+    try:
+        t = LakeTable.create(
+            spark, os.path.join(d, "t"),
+            "k bigint, v double, s string",
+        )
+        per = n_rows // n_commits
+        for i in range(n_commits):
+            df = (
+                spark.range(i * per, (i + 1) * per)
+                .select(
+                    F.col("id").alias("k"),
+                    (F.col("id") * 0.5).alias("v"),
+                    F.concat(F.lit("row-"), F.col("id")).alias("s"),
+                )
+            )
+            t.append(df)
+
+        t0 = time.perf_counter()
+        n_jvm = t.read().count()
+        jvm_s = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        n_py = spark.read.format("laketable").option("path", t.path).load().count()
+        py_s = time.perf_counter() - t0
+
+        sink, ck = os.path.join(d, "sink"), os.path.join(d, "ck")
+
+        def drain() -> float:
+            t0 = time.perf_counter()
+            q = (
+                spark.readStream.format("laketable").option("path", t.path).load()
+                .writeStream.format("parquet").option("path", sink)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ck).start()
+            )
+            q.awaitTermination(600)
+            return time.perf_counter() - t0
+
+        full_drain_s = drain()
+        t.append(
+            spark.range(n_rows, n_rows + per).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 0.5).alias("v"),
+                F.concat(F.lit("row-"), F.col("id")).alias("s"),
+            )
+        )
+        incr_drain_s = drain()
+        n_sink = spark.read.parquet(sink).count()
+
+        assert n_jvm == n_py == n_rows and n_sink == n_rows + per
+        print(
+            f"rows={n_rows} commits={n_commits}\n"
+            f"jvm_batch_read   {jvm_s:6.2f}s  ({n_rows/jvm_s/1e6:.1f}M rows/s)\n"
+            f"python_batch     {py_s:6.2f}s  ({n_rows/py_s/1e6:.1f}M rows/s, "
+            f"{py_s/jvm_s:.1f}x jvm)\n"
+            f"stream_full      {full_drain_s:6.2f}s  (drain {n_rows} rows + sink write)\n"
+            f"stream_incr      {incr_drain_s:6.2f}s  (drain {per} rows + sink write, "
+            f"{full_drain_s/incr_drain_s:.1f}x less than full)"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
