@@ -284,7 +284,14 @@ class LakeTableStreamReader(DataSourceStreamReader):
         chain: list[dict] = []
         node = e or None
         while node and node != s:
-            sn = by_id[node]
+            sn = by_id.get(node)
+            if sn is None:
+                raise ValueError(
+                    f"snapshot {node} in the offset range ({s}, {e}] was "
+                    f"expired (expire_snapshots) before the stream consumed "
+                    f"it; the commits are unrecoverable — restart from a "
+                    f"fresh checkpoint"
+                )
             chain.append(sn)
             node = sn.get("parent_id")
         parts: list[InputPartition] = []

@@ -164,3 +164,19 @@ def test_cdc_mode_is_streaming_only(spark, tmp_path):
     with pytest.raises(Exception, match="streaming-only"):
         (spark.read.format("laketable").option("path", t.path)
          .option("mode", "cdc").load().collect())
+
+
+def test_stream_reports_expired_offset_range(spark, tmp_path):
+    """If snapshots between the checkpointed offset and the head were
+    expired before the stream consumed them, the source must fail with
+    a clear unrecoverable-gap error, not a KeyError mid-ancestry-walk."""
+    register_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint, v double")
+    t.append(spark.createDataFrame([(1, 1.0)], "k bigint, v double"))
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+    _drain(spark, t.path, sink, ck)  # checkpoint at snapshot 1
+    t.append(spark.createDataFrame([(2, 2.0)], "k bigint, v double"))
+    t.append(spark.createDataFrame([(3, 3.0)], "k bigint, v double"))
+    t.expire_snapshots(retain_last=1)  # snapshot 2 (and 1) gone
+    with pytest.raises(Exception, match="expired"):
+        _drain(spark, t.path, sink, ck)
