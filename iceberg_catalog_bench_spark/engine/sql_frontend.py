@@ -1041,6 +1041,20 @@ class SqlEngine:
             snap = t.cherrypick_snapshot(int(kwargs["snapshot_id"]))
             res = {"source_snapshot_id": int(kwargs["snapshot_id"]),
                    "current_snapshot_id": snap.snapshot_id}
+        elif proc == "create_changelog_view":
+            # CALL system.create_changelog_view(table => 't',
+            #   start_snapshot_id => 3 [, end_snapshot_id => 7]
+            #   [, changelog_view => 'v']) — Iceberg's procedure:
+            # registers a temp view of net row-level changes
+            # (_change_type insert/delete) over the snapshot range.
+            df = t.changelog(
+                int(kwargs["start_snapshot_id"]),
+                int(kwargs["end_snapshot_id"])
+                if "end_snapshot_id" in kwargs else None,
+            )
+            view = kwargs.get("changelog_view", f"{ident.split('.')[-1]}_changes")
+            df.createOrReplaceTempView(view)
+            res = {"changelog_view": view}
         else:
             raise ValueError(f"unknown procedure {proc}")
         return StatementResult(s, rows=[res], rowcount=1, metadata={"op": proc})

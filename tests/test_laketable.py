@@ -1162,3 +1162,32 @@ def test_sql_frontend_cherrypick(spark, tmp_path):
     assert res.rows[0]["source_snapshot_id"] == staged_id
     rows = e.execute("SELECT k FROM cpt")[0].rows
     assert {r["k"] for r in rows} == {1, 2, 3}
+
+
+def test_sql_frontend_create_changelog_view(spark, tmp_path):
+    """CALL system.create_changelog_view mirrors the Iceberg procedure:
+    net row-level changes over a snapshot range land in a queryable
+    temp view with _change_type; an update surfaces as delete+insert."""
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE clv (k BIGINT, v DOUBLE)")
+    e.execute("INSERT INTO clv VALUES (1, 1.0), (2, 2.0)")
+    start = e.table("clv")._meta["current_snapshot_id"]
+    e.execute("UPDATE clv SET v = 20.0 WHERE k = 2")
+    e.execute("INSERT INTO clv VALUES (3, 3.0)")
+    res = e.execute(
+        f"CALL system.create_changelog_view(table => 'clv', "
+        f"start_snapshot_id => {start})"
+    )[0]
+    assert res.rows[0]["changelog_view"] == "clv_changes"
+    rows = sorted(
+        (r["k"], r["v"], r["_change_type"])
+        for r in spark.sql("SELECT * FROM clv_changes").collect()
+    )
+    # update of k=2 nets as delete(2.0)+insert(20.0); k=3 is an insert;
+    # k=1 is untouched and must NOT appear
+    assert rows == [(2, 2.0, "delete"), (2, 20.0, "insert"), (3, 3.0, "insert")]
+    # the frontend's own SELECT path also resolves the view
+    n = e.execute("SELECT COUNT(*) AS c FROM clv_changes")[0].rows[0]["c"]
+    assert n == 3
