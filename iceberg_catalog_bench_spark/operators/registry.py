@@ -40,8 +40,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # Build order: (a) queries whose CODE changed this round (streaming
 # replay-idempotency, auto-compact hooks on the delete paths, counted
 # k_returned, quarantine domain rule, byte-based phash oracle,
-# global partition field-ids, per-catalog REST privileges) plus the
-# five round-5 debuts; (b) the 22 queries whose ONLY green is round 1
+# global partition field-ids, per-catalog REST privileges, the
+# cherrypick leg in branch_wap_publish) plus the six round-5 debuts;
+# (b) the 22 queries whose ONLY green is round 1
 # (the reference's §2.3 correctness core — three rounds stale); (c) as
 # many of the 32 r2-latest (dedup/ANN/streaming families) as the
 # 50-query cap admits — the remainder stays r2-latest (within the
