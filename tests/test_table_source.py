@@ -180,3 +180,33 @@ def test_stream_reports_expired_offset_range(spark, tmp_path):
     t.expire_snapshots(retain_last=1)  # snapshot 2 (and 1) gone
     with pytest.raises(Exception, match="expired"):
         _drain(spark, t.path, sink, ck)
+
+
+def test_property_interleaved_commits_and_drains_exactly_once(spark, tmp_path):
+    """Property (hypothesis-style over a fixed seed set): for ANY
+    interleaving of append commits and checkpointed drains, the sink
+    ends up with every appended row exactly once — offsets never skip
+    a commit and never redeliver one."""
+    import random
+
+    register_source(spark)
+    rng = random.Random(5)
+    for case in range(3):
+        base = tmp_path / f"case{case}"
+        t = LakeTable.create(spark, str(base / "t"), "k bigint, v double")
+        sink, ck = str(base / "sink"), str(base / "ck")
+        appended, next_k = [], 0
+        ops = [rng.choice(["append", "drain"]) for _ in range(rng.randint(3, 5))]
+        ops += ["append", "drain"]  # always end with data + a final drain
+        for op in ops:
+            if op == "append":
+                n = rng.randint(1, 3)
+                rows = [(next_k + i, float(next_k + i)) for i in range(n)]
+                next_k += n
+                t.append(spark.createDataFrame(rows, "k bigint, v double"))
+                appended += rows
+            elif appended:  # drain on an empty table: nothing to plan
+                _drain(spark, t.path, sink, ck)
+        _drain(spark, t.path, sink, ck)
+        got = sorted((r["k"], r["v"]) for r in spark.read.parquet(sink).collect())
+        assert got == sorted(appended), f"case {case}: ops={ops}"
