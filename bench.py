@@ -203,6 +203,41 @@ def main() -> None:
     phase_once("expire_snapshots", lambda: t.expire_snapshots(retain_last=2))
     shutil.rmtree(scratch, ignore_errors=True)
 
+    # Streaming-source drain (round 5): one availableNow drain of a
+    # 4-commit table through the `laketable` Python DataSource into a
+    # parquet sink — the incremental-consumption surface. Times the
+    # whole pipeline: snapshot-offset planning (metadata JSON only) +
+    # per-file Python Arrow reads + sink write. The 4 setup appends
+    # are NOT timed. A projection/partition-planning regression moves
+    # this phase even though no registered batch query touches the
+    # source code path.
+    from iceberg_catalog_bench_spark.streaming.table_source import register_source
+
+    register_source(spark)
+    ssdir = tempfile.mkdtemp(prefix="bench-stream-src-")
+    sst = LakeTable.create(
+        spark, os.path.join(ssdir, "t"),
+        "event_id bigint, user_id bigint, value double",
+    )
+    ev_slim = load_table(spark, "events", SF_DIR).select(
+        "event_id", "user_id", "value"
+    )
+    for i in range(4):
+        sst.append(ev_slim.filter(F.col("user_id") % 4 == i))
+
+    def _source_drain() -> None:
+        q = (
+            spark.readStream.format("laketable").option("path", sst.path).load()
+            .writeStream.format("parquet")
+            .option("path", os.path.join(ssdir, "sink"))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(ssdir, "ck")).start()
+        )
+        q.awaitTermination(600)
+
+    phase_once("streaming_source_drain", _source_drain)
+    shutil.rmtree(ssdir, ignore_errors=True)
+
     # Standing synthetic probe (reference blob-dfs_bench.py:48-106 writes
     # a GENERATED table, not a copy): fanout write under days×bucket,
     # then the reads the fanout pays for — a 2-day pruned window and a
