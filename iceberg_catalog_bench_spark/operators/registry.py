@@ -41,7 +41,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # replay-idempotency, auto-compact hooks on the delete paths, counted
 # k_returned, quarantine domain rule, byte-based phash oracle,
 # global partition field-ids, per-catalog REST privileges, the
-# cherrypick leg in branch_wap_publish) plus the six round-5 debuts;
+# cherrypick leg in branch_wap_publish) plus the seven round-5 debuts;
 # (b) the 22 queries whose ONLY green is round 1
 # (the reference's §2.3 correctness core — three rounds stale); (c) as
 # many of the 32 r2-latest (dedup/ANN/streaming families) as the
@@ -59,6 +59,7 @@ PRIORITY: tuple[str, ...] = (
     "branch_wap_publish",               # r5: + cherrypick_snapshot publish leg
     "streaming_table_source_read",      # NEW r5: laketable streaming source
     "streaming_table_source_cdc",       # NEW r5: CDC feed (mode=cdc)
+    "tpch_q19_discounted_revenue",      # NEW r5: disjunctive pushdown
     "streaming_ingest_laketable",       # r5: replay-idempotent streaming_append
     "streaming_quarantine_gate",        # r5: domain + null rules added
     "multimodal_phash_dedup",           # r5: byte-based oracle
@@ -102,8 +103,8 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    "dedup_connected_components",
     # ---- 50-query cap lands here; the rest leads round 6 ----
+    "dedup_connected_components",
     "embedding_quantize_int8",
     "streaming_enrich_join",
     "streaming_windowed_agg",

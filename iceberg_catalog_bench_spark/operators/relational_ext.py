@@ -1144,3 +1144,58 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("cntrycode")
     )
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    oracle=(
+        "SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue, "
+        "CAST(COUNT(*) AS BIGINT) AS qualifying_lines "
+        "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+        "WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 "
+        "AND l.l_quantity BETWEEN 1 AND 11) "
+        "OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 "
+        "AND l.l_quantity BETWEEN 10 AND 20) "
+        "OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 "
+        "AND l.l_quantity BETWEEN 20 AND 30)"
+    ),
+)
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 — discounted revenue: a DISJUNCTION of three
+    (brand, size-band, quantity-band) conjunctions spanning BOTH join
+    sides. The shape is the optimizer's disjunctive-predicate test:
+    a naive plan evaluates the OR only after the join, scanning and
+    joining every lineitem; the right plan factors each side's
+    common bounds OUT of the disjunction so they prune BEFORE the
+    join. Catalyst does this when the predicate is written as-is
+    (CNF common-factor extraction): the lineitem scan gets the
+    quantity envelope [1, 30] and the part scan gets the brand IN
+    (...) + size envelope as PushedFilters, the join shrinks to the
+    candidate slices, and the full three-arm OR re-applies on the
+    joined rows. Plan-tested: both envelopes at the scans, broadcast
+    part side, no SortMergeJoin. At 100 TB the factored envelopes are
+    the difference between scanning 3 quantity bands and the whole
+    fact."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size") >= 1) & (F.col("p_size") <= smax)
+        & (F.col("l_quantity") >= qlo) & (F.col("l_quantity") <= qhi)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(
+            arm("Brand#12", 15, 1, 11)
+            | arm("Brand#23", 25, 10, 20)
+            | arm("Brand#34", 35, 20, 30)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("qualifying_lines"),
+        )
+    )

@@ -295,3 +295,21 @@ def test_gopher_rules_single_pass_jvm_side(spark, oracle_sf_dir):
     assert plan.count("Generate") == 1 and "Generate stack" in plan
     assert plan.count("Exchange") == 1
     assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_tpch_q19_factors_disjunction_to_both_scans(spark, oracle_sf_dir):
+    """Q19's OR-of-ANDs spans both join sides; Catalyst must factor
+    each side's common envelope OUT of the disjunction so it prunes
+    BEFORE the join: the quantity envelope reaches the lineitem scan,
+    the brand/size envelope reaches the part scan, and the join stays
+    a broadcast."""
+    plan = _plan("tpch_q19_discounted_revenue", spark, oracle_sf_dir)
+    li_scan = next(l for l in plan.splitlines()
+                   if "FileScan" in l and "l_quantity" in l)
+    p_scan = next(l for l in plan.splitlines()
+                  if "FileScan" in l and "p_brand" in l)
+    assert "l_quantity" in li_scan and "DataFilters" in li_scan
+    assert "Or(And(" in li_scan or "(l_quantity" in li_scan  # envelope pushed
+    assert "p_size" in p_scan and "Brand#12" in p_scan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
