@@ -138,14 +138,18 @@ class _EqDeletePartition(InputPartition):
 
 
 class _PosDeletePartition(InputPartition):
-    """One (position-delete file, referenced data file) pair (CDC
-    mode): the -D records are the data file's rows at the tombstoned
-    positions — read the delete file, filter to this data file, take
-    the positions from the data file."""
+    """One referenced DATA file plus every position-delete file of the
+    commit that tombstones rows in it (CDC mode): the -D records are
+    the data file's rows at the union of tombstoned positions. Grouped
+    BY DATA FILE on the driver — the expensive side (the data file) is
+    read exactly once per partition; the delete files are KBs (paths +
+    int64 positions) and re-reading them across partitions is noise.
+    The per-pair alternative reads every data file once per delete
+    part-file — D× the table scan for a fanout delete."""
 
-    def __init__(self, delete_abs: str, data_abs: str,
+    def __init__(self, delete_abs_list: list[str], data_abs: str,
                  columns: list[tuple[str, str, str | None]], sid: int):
-        self.delete_abs = delete_abs
+        self.delete_abs_list = delete_abs_list
         self.data_abs = data_abs
         self.columns = columns
         self.sid = sid
@@ -209,9 +213,11 @@ def _read_pos_delete(partition: _PosDeletePartition) -> Iterator:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    dels = pq.read_table(partition.delete_abs, columns=["file_path", "pos"])
-    mask = pc.equal(dels.column("file_path"), partition.data_abs)
-    positions = dels.filter(mask).column("pos").to_pylist()
+    positions: set[int] = set()
+    for delete_abs in partition.delete_abs_list:
+        dels = pq.read_table(delete_abs, columns=["file_path", "pos"])
+        mask = pc.equal(dels.column("file_path"), partition.data_abs)
+        positions.update(dels.filter(mask).column("pos").to_pylist())
     if not positions:
         return
     physical = [p for _, _, p in partition.columns if p is not None]
@@ -257,6 +263,7 @@ class LakeTableStreamReader(DataSourceStreamReader):
         cur = meta["schemas"][str(meta["current_schema_version"])]
         sid = sn["snapshot_id"]
         parts: list[InputPartition] = []
+        by_data_file: dict[str, list[str]] = {}
         for d in new_dels:
             if d.get("content", "position") == "equality":
                 eq = d.get("equality_cols", [])
@@ -266,15 +273,19 @@ class LakeTableStreamReader(DataSourceStreamReader):
                 parts.append(_EqDeletePartition(
                     os.path.join(self.path, d["path"]), cols, sid))
             else:
-                by_path = {f["path"]: f for f in sn["files"]}
                 for ref in d.get("referenced", []):
-                    f = by_path.get(ref)
-                    proj = _projection(
-                        meta, f["schema_version"] if f
-                        else meta["current_schema_version"])
-                    parts.append(_PosDeletePartition(
-                        os.path.join(self.path, d["path"]),
-                        os.path.join(self.path, ref), proj, sid))
+                    by_data_file.setdefault(ref, []).append(
+                        os.path.join(self.path, d["path"])
+                    )
+        if by_data_file:
+            by_path = {f["path"]: f for f in sn["files"]}
+            for ref, del_paths in by_data_file.items():
+                f = by_path.get(ref)
+                proj = _projection(
+                    meta, f["schema_version"] if f
+                    else meta["current_schema_version"])
+                parts.append(_PosDeletePartition(
+                    del_paths, os.path.join(self.path, ref), proj, sid))
         return parts
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:

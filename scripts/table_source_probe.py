@@ -91,8 +91,38 @@ def main() -> None:
         )
         incr_drain_s = drain()
         n_sink = spark.read.parquet(sink).count()
-
         assert n_jvm == n_py == n_rows and n_sink == n_rows + per
+
+        # CDC leg: a MoR position delete of ~1% of keys, then a cdc
+        # drain of ONLY that commit — times the -D path (delete-file
+        # filter + pyarrow take on each referenced data file).
+        cdc_sink, cdc_ck = os.path.join(d, "cdc_sink"), os.path.join(d, "cdc_ck")
+        q = (
+            spark.readStream.format("laketable").option("path", t.path)
+            .option("mode", "cdc").load()
+            .writeStream.format("parquet").option("path", cdc_sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", cdc_ck).start()
+        )
+        q.awaitTermination(600)  # baseline the checkpoint at the head
+        t.delete_where(f"k % 100 = 7 AND k < {n_rows}", mode="merge-on-read")
+        t0 = time.perf_counter()
+        q = (
+            spark.readStream.format("laketable").option("path", t.path)
+            .option("mode", "cdc").load()
+            .writeStream.format("parquet").option("path", cdc_sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", cdc_ck).start()
+        )
+        q.awaitTermination(600)
+        cdc_drain_s = time.perf_counter() - t0
+        import pyspark.sql.functions as SF
+
+        n_deletes = (
+            spark.read.parquet(cdc_sink)
+            .filter(SF.col("_change_type") == "delete").count()
+        )
+
         print(
             f"rows={n_rows} commits={n_commits}\n"
             f"jvm_batch_read   {jvm_s:6.2f}s  ({n_rows/jvm_s/1e6:.1f}M rows/s)\n"
@@ -100,7 +130,9 @@ def main() -> None:
             f"{py_s/jvm_s:.1f}x jvm)\n"
             f"stream_full      {full_drain_s:6.2f}s  (drain {n_rows} rows + sink write)\n"
             f"stream_incr      {incr_drain_s:6.2f}s  (drain {per} rows + sink write, "
-            f"{full_drain_s/incr_drain_s:.1f}x less than full)"
+            f"{full_drain_s/incr_drain_s:.1f}x less than full)\n"
+            f"cdc_pos_deletes  {cdc_drain_s:6.2f}s  ({n_deletes} -D rows re-read "
+            f"by position across the table's data files)"
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
