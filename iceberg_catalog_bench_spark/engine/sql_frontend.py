@@ -1041,6 +1041,16 @@ class SqlEngine:
             snap = t.cherrypick_snapshot(int(kwargs["snapshot_id"]))
             res = {"source_snapshot_id": int(kwargs["snapshot_id"]),
                    "current_snapshot_id": snap.snapshot_id}
+        elif proc == "maintenance_advice":
+            # CALL system.maintenance_advice(table => 't') — surfaces
+            # merge-on-read debt (outstanding delete files, estimated
+            # read amplification, compact/ok verdict) from manifests
+            # alone; the operational companion to the
+            # write.delete.auto-compact-after-files property.
+            rows = [r.asDict() for r in t.maintenance_advice().collect()]
+            return StatementResult(
+                s, rows=rows, rowcount=len(rows), metadata={"op": proc}
+            )
         elif proc == "create_changelog_view":
             # CALL system.create_changelog_view(table => 't',
             #   start_snapshot_id => 3 [, end_snapshot_id => 7]

@@ -725,3 +725,22 @@ def test_auto_compact_skips_branch_staged_dml(spark, tmp_path):
     t.delete_where("k = 2", branch="stage")
     head = (t._meta.get("branches") or {})["stage"]
     assert len(t._snapshot(head).delete_files) == 2, "branch left unfolded"
+
+
+def test_sql_frontend_maintenance_advice(spark, tmp_path):
+    """CALL system.maintenance_advice surfaces the MoR-debt advisory
+    (delete-file counts + read-amplification estimate + verdict)
+    through SQL."""
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE adv (k BIGINT, v DOUBLE) "
+              "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    e.execute("INSERT INTO adv VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    e.execute("DELETE FROM adv WHERE k = 1")
+    rows = e.execute("CALL system.maintenance_advice(table => 'adv')")[0].rows
+    assert rows, "advisory must return at least one row"
+    r = rows[0]
+    assert r["delete_file_count"] >= 1
+    assert r["read_amplification_est"] > 1.0
+    assert r["advice"] in ("ok", "compact")
