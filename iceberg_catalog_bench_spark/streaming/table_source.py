@@ -350,15 +350,28 @@ class LakeTableStreamReader(DataSourceStreamReader):
 
 
 class LakeTableBatchReader(DataSourceReader):
-    def __init__(self, path: str):
+    def __init__(self, path: str, snapshot_id: int | None = None):
         self.path = path
+        self.snapshot_id = snapshot_id
 
     def partitions(self) -> Sequence[InputPartition]:
         meta = _load_meta(self.path)
-        head = meta.get("current_snapshot_id")
+        head = (
+            self.snapshot_id
+            if self.snapshot_id is not None
+            else meta.get("current_snapshot_id")
+        )
         if head is None:
             return []
-        snap = next(s for s in meta["snapshots"] if s["snapshot_id"] == head)
+        try:
+            snap = next(
+                s for s in meta["snapshots"] if s["snapshot_id"] == head
+            )
+        except StopIteration:
+            raise ValueError(
+                f"no snapshot {head} (expired or never existed); "
+                f"available: {[s['snapshot_id'] for s in meta['snapshots']]}"
+            ) from None
         if snap.get("delete_files"):
             raise ValueError(
                 "laketable python batch reader does not apply merge-on-read "
@@ -403,7 +416,10 @@ class LakeTableDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         if self._cdc():
             raise ValueError("mode=cdc is a streaming-only option")
-        return LakeTableBatchReader(self._path())
+        sid = self.options.get("snapshot-id")
+        return LakeTableBatchReader(
+            self._path(), int(sid) if sid is not None else None
+        )
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         skip = str(self.options.get("skip-non-appends", "false")).lower() == "true"

@@ -210,3 +210,21 @@ def test_property_interleaved_commits_and_drains_exactly_once(spark, tmp_path):
         _drain(spark, t.path, sink, ck)
         got = sorted((r["k"], r["v"]) for r in spark.read.parquet(sink).collect())
         assert got == sorted(appended), f"case {case}: ops={ops}"
+
+
+def test_batch_reader_time_travel_by_snapshot_id(spark, tmp_path):
+    """option('snapshot-id', N) reads the table AS OF that snapshot —
+    the VERSION AS OF of the Python reader; a missing snapshot fails
+    with the available ids listed."""
+    register_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint")
+    s1 = t.append(spark.createDataFrame([(1,), (2,)], "k bigint"))
+    t.append(spark.createDataFrame([(3,)], "k bigint"))
+    old = (spark.read.format("laketable").option("path", t.path)
+           .option("snapshot-id", str(s1.snapshot_id)).load())
+    assert sorted(r["k"] for r in old.collect()) == [1, 2]
+    cur = spark.read.format("laketable").option("path", t.path).load()
+    assert sorted(r["k"] for r in cur.collect()) == [1, 2, 3]
+    with pytest.raises(Exception, match="no snapshot 99"):
+        (spark.read.format("laketable").option("path", t.path)
+         .option("snapshot-id", "99").load().collect())
