@@ -12,10 +12,31 @@ Usage::
 
 Semantics (mirrors Iceberg's Spark streaming read):
 
-- **Offsets are snapshot ids** on the MAIN ancestry. A micro-batch
-  covers the snapshots in ``(start, end]``; its input partitions are
-  the data files each of those snapshots ADDED vs its own parent —
-  one partition per file, so parallelism tracks the commit's fanout.
+- **Offsets are (snapshot id, file position)** on the MAIN ancestry
+  — the shape of Iceberg's ``StreamingOffset``. ``{"snapshot_id": N}``
+  means commit N is fully consumed; ``{"snapshot_id": N, "pos": K}``
+  means the first K files commit N added are consumed (a commit split
+  across micro-batches by the rate limit below). A micro-batch covers
+  the file range ``(start, end]``; its input partitions are the data
+  files each covered snapshot ADDED vs its own parent — one partition
+  per file, so parallelism tracks the commit's fanout.
+- **Rate limiting**: ``option("max-files-per-trigger", N)`` bounds a
+  micro-batch to ~N added files (Iceberg's
+  ``streaming-max-files-per-micro-batch``) — the catch-up-storm
+  control: a stream restarted hours behind drains in bounded batches
+  instead of one giant one. Append commits split at file granularity;
+  CDC / skipped commits advance atomically (a CDC commit's -D/+I
+  records never straddle batches — commit atomicity is part of the
+  feed contract). The Python DataSource API's ``latestOffset()``
+  receives no start offset, so the cap base is tracked reader-side:
+  fresh streams cap from snapshot 0, and on restart Spark replays the
+  offset log's last entry through ``partitions(start, end)`` BEFORE
+  the first ``latestOffset`` (verified against the Spark 4.1 runner),
+  which re-seeds the base at the checkpointed position — the cap
+  holds across restarts. ``partitions`` additionally fails loudly on
+  an offset regression (end behind start, e.g. a rolled-back table)
+  because Spark plans batches on offset INEQUALITY alone and would
+  otherwise silently redeliver.
 - **Appends only (default mode).** A snapshot in the range that
   removed files or added delete files (delete/update/rewrite) raises
   by default — silently replaying its rewritten files would duplicate
@@ -227,6 +248,12 @@ def _read_pos_delete(partition: _PosDeletePartition) -> Iterator:
     yield from out.to_batches(max_chunksize=1 << 16)
 
 
+def _pos_key(pos: int | None) -> float:
+    """Offset ordering: a missing ``pos`` means the snapshot is fully
+    consumed, which sorts AFTER any partial position."""
+    return float("inf") if pos is None else float(pos)
+
+
 def _snapshot_changes(meta: dict, snap: dict) -> tuple[list[dict], set, list[dict]]:
     """(files added, paths removed, delete files added) vs the
     snapshot's own parent."""
@@ -243,17 +270,95 @@ def _snapshot_changes(meta: dict, snap: dict) -> tuple[list[dict], set, list[dic
 
 
 class LakeTableStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str, skip_non_appends: bool, cdc: bool):
+    def __init__(self, path: str, skip_non_appends: bool, cdc: bool,
+                 max_files: int | None = None):
         self.path = path
         self.skip_non_appends = skip_non_appends
         self.cdc = cdc
+        self.max_files = max_files
+        # Last offset this reader emitted or planned — the base the
+        # rate limit advances from. None only before the first call:
+        # a fresh stream caps from snapshot 0, and on restart Spark
+        # replays the offset log's last batch through partitions()
+        # before any latestOffset, seeding the checkpointed position.
+        self._last: dict | None = None
 
     def initialOffset(self) -> dict:
+        self._last = {"snapshot_id": 0}
         return {"snapshot_id": 0}
 
+    def _chain(self, meta: dict, from_id: int, back_to: int) -> list[dict]:
+        """Main-ancestry snapshots (back_to, from_id], NEWEST first."""
+        by_id = {sn["snapshot_id"]: sn for sn in meta["snapshots"]}
+        chain: list[dict] = []
+        node = from_id or None
+        while node and node != back_to:
+            sn = by_id.get(node)
+            if sn is None:
+                raise ValueError(
+                    f"snapshot {node} in the offset range ({back_to}, "
+                    f"{from_id}] was expired (expire_snapshots) before the "
+                    f"stream consumed it; the commits are unrecoverable — "
+                    f"restart from a fresh checkpoint"
+                )
+            chain.append(sn)
+            node = sn.get("parent_id")
+        return chain
+
+    def _atomic(self, added, removed, new_dels) -> bool:
+        """Commits the rate limit may not split mid-snapshot: CDC
+        commits (their -D/+I records form one atomic feed unit) and
+        anything partitions() will raise-or-skip on."""
+        return self.cdc or bool(removed) or bool(new_dels)
+
     def latestOffset(self) -> dict:
-        head = _load_meta(self.path).get("current_snapshot_id")
-        return {"snapshot_id": head or 0}
+        meta = _load_meta(self.path)
+        head = meta.get("current_snapshot_id") or 0
+        if not head:
+            off = {"snapshot_id": 0}
+            self._last = off
+            return off
+        if self.max_files is None:
+            off = {"snapshot_id": head}
+            self._last = off
+            return off
+        # _last None ⇒ genuinely fresh stream (restart replays the
+        # offset log through partitions() first) — cap from the root.
+        last = self._last or {"snapshot_id": 0}
+        budget = self.max_files
+        last_sid = last["snapshot_id"]
+        cur = {"snapshot_id": last_sid} if last_sid else {"snapshot_id": 0}
+        # Resume a partially-consumed snapshot first.
+        if "pos" in last:
+            by_id = {sn["snapshot_id"]: sn for sn in meta["snapshots"]}
+            sn = by_id.get(last_sid)
+            if sn is None:
+                raise ValueError(
+                    f"snapshot {last_sid} expired while partially consumed "
+                    f"(pos={last['pos']}); restart from a fresh checkpoint"
+                )
+            total = len(_snapshot_changes(meta, sn)[0])
+            take = min(total - last["pos"], budget)
+            if last["pos"] + take < total:
+                off = {"snapshot_id": last_sid, "pos": last["pos"] + take}
+                self._last = off
+                return off
+            budget -= take
+        for sn in reversed(self._chain(meta, head, last_sid)):  # oldest first
+            if budget <= 0:
+                break
+            added, removed, new_dels = _snapshot_changes(meta, sn)
+            if self._atomic(added, removed, new_dels):
+                cur = {"snapshot_id": sn["snapshot_id"]}
+                budget -= max(len(added), 1)
+            elif len(added) > budget:
+                cur = {"snapshot_id": sn["snapshot_id"], "pos": budget}
+                budget = 0
+            else:
+                cur = {"snapshot_id": sn["snapshot_id"]}
+                budget -= max(len(added), 1)
+        self._last = cur
+        return cur
 
     def _cdc_delete_parts(self, meta: dict, sn: dict,
                           new_dels: list[dict]) -> list[InputPartition]:
@@ -290,23 +395,46 @@ class LakeTableStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         s, e = start["snapshot_id"], end["snapshot_id"]
+        # pos semantics: present → first `pos` added files consumed
+        # (start) / covered (end); absent → the snapshot is fully
+        # consumed/covered (also the shape of pre-rate-limit offsets,
+        # so old checkpoints keep working).
+        s_pos, e_pos = start.get("pos"), end.get("pos")
         meta = _load_meta(self.path)
         by_id = {sn["snapshot_id"]: sn for sn in meta["snapshots"]}
-        chain: list[dict] = []
-        node = e or None
-        while node and node != s:
-            sn = by_id.get(node)
-            if sn is None:
+        self._last = dict(end)  # seed the rate-limit base on restart replay
+        if s == e and s_pos == e_pos:
+            return []
+        # Loud guard: Spark plans a batch whenever latestOffset differs
+        # from the committed offset — it never checks ordering. An end
+        # behind start (a rolled-back table, or a corrupted cap base)
+        # must fail here, not silently redeliver consumed commits.
+        # Snapshot ids are allocated sequentially, so integer order is
+        # commit order.
+        if (e, _pos_key(e_pos)) < (s, _pos_key(s_pos)):
+            raise ValueError(
+                f"offset regression: batch end {end} is behind start "
+                f"{start} — the table's ancestry was rewound (rollback?) "
+                f"under a running stream; restart from a fresh checkpoint"
+            )
+        chain = self._chain(meta, e or 0, s)
+        # slices: (snapshot, lo, hi) bounds into its added-file list,
+        # oldest commit first.
+        slices: list[tuple[dict, int, int | None]] = []
+        for sn in reversed(chain):
+            hi = e_pos if sn["snapshot_id"] == e else None
+            slices.append((sn, 0, hi))
+        if s and s_pos is not None:
+            ssn = by_id.get(s)
+            if ssn is None:
                 raise ValueError(
-                    f"snapshot {node} in the offset range ({s}, {e}] was "
-                    f"expired (expire_snapshots) before the stream consumed "
-                    f"it; the commits are unrecoverable — restart from a "
-                    f"fresh checkpoint"
+                    f"snapshot {s} expired while partially consumed "
+                    f"(pos={s_pos}); restart from a fresh checkpoint"
                 )
-            chain.append(sn)
-            node = sn.get("parent_id")
+            hi = e_pos if s == e else None
+            slices.insert(0, (ssn, s_pos, hi))
         parts: list[InputPartition] = []
-        for sn in reversed(chain):  # oldest commit first
+        for sn, lo, hi in slices:
             added, removed, new_dels = _snapshot_changes(meta, sn)
             sid = sn["snapshot_id"]
             # Append mode streams pure appends only; CDC mode also
@@ -328,8 +456,13 @@ class LakeTableStreamReader(DataSourceStreamReader):
                     + " — set skip-non-appends=true to skip"
                 )
             if self.cdc:
+                if lo != 0 or (hi is not None and hi < len(added)):
+                    raise ValueError(
+                        f"internal: CDC snapshot {sid} sliced at "
+                        f"[{lo}:{hi}] — CDC commits are atomic feed units"
+                    )
                 parts.extend(self._cdc_delete_parts(meta, sn, new_dels))
-            for f in added:
+            for f in added[lo:hi]:
                 parts.append(_FilePartition(
                     os.path.join(self.path, f["path"]),
                     _projection(meta, f["schema_version"]),
@@ -350,9 +483,11 @@ class LakeTableStreamReader(DataSourceStreamReader):
 
 
 class LakeTableBatchReader(DataSourceReader):
-    def __init__(self, path: str, snapshot_id: int | None = None):
+    def __init__(self, path: str, snapshot_id: int | None = None,
+                 ts_ms: int | None = None):
         self.path = path
         self.snapshot_id = snapshot_id
+        self.ts_ms = ts_ms
 
     def partitions(self) -> Sequence[InputPartition]:
         meta = _load_meta(self.path)
@@ -361,6 +496,19 @@ class LakeTableBatchReader(DataSourceReader):
             if self.snapshot_id is not None
             else meta.get("current_snapshot_id")
         )
+        if self.ts_ms is not None:
+            # TIMESTAMP AS OF: newest main-ancestry snapshot committed
+            # at or before the cutoff (same rule as LakeTable.read).
+            eligible = [
+                sn for sn in meta["snapshots"]
+                if sn.get("timestamp_ms", 0) <= self.ts_ms
+            ]
+            if not eligible:
+                raise ValueError(
+                    f"no snapshot committed at or before timestamp "
+                    f"{self.ts_ms} ms"
+                )
+            head = max(eligible, key=lambda sn: sn["timestamp_ms"])["snapshot_id"]
         if head is None:
             return []
         try:
@@ -417,13 +565,24 @@ class LakeTableDataSource(DataSource):
         if self._cdc():
             raise ValueError("mode=cdc is a streaming-only option")
         sid = self.options.get("snapshot-id")
+        ts = self.options.get("timestamp-as-of")
+        if sid is not None and ts is not None:
+            raise ValueError("snapshot-id and timestamp-as-of are exclusive")
         return LakeTableBatchReader(
-            self._path(), int(sid) if sid is not None else None
+            self._path(),
+            int(sid) if sid is not None else None,
+            ts_ms=int(ts) if ts is not None else None,
         )
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         skip = str(self.options.get("skip-non-appends", "false")).lower() == "true"
-        return LakeTableStreamReader(self._path(), skip, self._cdc())
+        cap = self.options.get("max-files-per-trigger")
+        if cap is not None and int(cap) < 1:
+            raise ValueError("max-files-per-trigger must be >= 1")
+        return LakeTableStreamReader(
+            self._path(), skip, self._cdc(),
+            max_files=int(cap) if cap is not None else None,
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -212,6 +212,174 @@ def test_property_interleaved_commits_and_drains_exactly_once(spark, tmp_path):
         assert got == sorted(appended), f"case {case}: ops={ops}"
 
 
+def test_rate_limit_splits_commits_exactly_once(spark, tmp_path):
+    """max-files-per-trigger bounds each micro-batch to N added files,
+    splitting commits mid-snapshot via (snapshot_id, pos) offsets; the
+    union of all batches covers every file exactly once."""
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        LakeTableStreamReader,
+        _load_meta,
+        _snapshot_changes,
+    )
+
+    register_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint")
+    for lo in (0, 10, 20):
+        t.append(spark.range(lo, lo + 6).toDF("k").repartition(3))
+    meta = _load_meta(t.path)
+    total_files = sum(
+        len(_snapshot_changes(meta, sn)[0]) for sn in meta["snapshots"]
+    )
+    assert total_files >= 6  # three commits, multiple files each
+
+    r = LakeTableStreamReader(t.path, False, False, max_files=2)
+    off = r.initialOffset()
+    seen_files: list[str] = []
+    seen_rows: list[int] = []
+    batches = 0
+    while True:
+        nxt = r.latestOffset()
+        if nxt == off:
+            break
+        parts = r.partitions(off, nxt)
+        assert len(parts) <= 2, f"batch {batches} exceeded the cap: {nxt}"
+        for p in parts:
+            seen_files.append(p.abs_path)
+            for rb in r.read(p):
+                seen_rows.extend(rb.column(0).to_pylist())
+        off = nxt
+        batches += 1
+        assert batches < 50, "rate-limited walk failed to converge"
+    assert len(seen_files) == len(set(seen_files)) == total_files
+    assert sorted(seen_rows) == sorted(
+        list(range(0, 6)) + list(range(10, 16)) + list(range(20, 26))
+    )
+    assert batches >= (total_files + 1) // 2
+
+
+def test_rate_limit_end_to_end_drains_completely(spark, tmp_path):
+    """A capped stream under a processing-time trigger drains the whole
+    table across several micro-batches — bounded batches, complete
+    exactly-once delivery (the catch-up-storm control)."""
+    register_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint")
+    expected = []
+    for lo in (0, 100, 200):
+        t.append(spark.range(lo, lo + 6).toDF("k").repartition(3))
+        expected += list(range(lo, lo + 6))
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("laketable").option("path", t.path)
+        .option("max-files-per-trigger", "2").load()
+        .writeStream.format("parquet").option("path", sink)
+        .trigger(processingTime="0 seconds")
+        .option("checkpointLocation", ck).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r["k"] for r in spark.read.parquet(sink).collect())
+    assert got == sorted(expected)
+    batch_ids = [
+        n for n in os.listdir(os.path.join(ck, "offsets")) if n.isdigit()
+    ]
+    assert len(batch_ids) >= 5, f"expected >=5 capped batches, got {batch_ids}"
+
+
+def test_rate_limit_caps_across_restart_and_guards_regression(spark, tmp_path):
+    """Spark's restart protocol (verified against the 4.1 runner)
+    replays the offset log's last batch through partitions() BEFORE the
+    first latestOffset — a restarted reader must resume capping from
+    that checkpointed position, not from the table root (which would
+    regress) and not uncapped. And a batch whose end is behind its
+    start (rolled-back table) must raise, because Spark plans batches
+    on offset inequality alone."""
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        LakeTableStreamReader,
+    )
+
+    register_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint")
+    for lo in (0, 10, 20):
+        t.append(spark.range(lo, lo + 6).toDF("k").repartition(3))
+
+    a = LakeTableStreamReader(t.path, False, False, max_files=2)
+    start = a.initialOffset()
+    end1 = a.latestOffset()
+    a.partitions(start, end1)
+
+    # restart: fresh reader, Spark replays (start, end1] first
+    b = LakeTableStreamReader(t.path, False, False, max_files=2)
+    replay = b.partitions(start, end1)
+    assert len(replay) == 2
+    end2 = b.latestOffset()
+    nxt = b.partitions(end1, end2)
+    assert 1 <= len(nxt) <= 2, f"restart batch uncapped: {end1} -> {end2}"
+
+    with pytest.raises(Exception, match="offset regression"):
+        b.partitions(end2, end1)
+
+
+def test_rate_limit_never_splits_cdc_commits(spark, tmp_path):
+    """In CDC mode a commit's -D/+I records are one atomic feed unit:
+    even max-files-per-trigger=1 delivers a multi-file upsert commit in
+    a single batch."""
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        LakeTableStreamReader,
+    )
+
+    register_source(spark)
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), "k bigint, v double",
+        properties={"write.update.mode": "merge-on-read"},
+    )
+    t.append(
+        spark.createDataFrame([(i, float(i)) for i in range(6)],
+                              "k bigint, v double").repartition(3)
+    )
+    t.upsert_by_keys(
+        spark.createDataFrame([(2, 20.0), (3, 30.0)], "k bigint, v double"),
+        on=["k"],
+    )
+    r = LakeTableStreamReader(t.path, False, True, max_files=1)
+    off = r.initialOffset()
+    per_batch = []
+    while True:
+        nxt = r.latestOffset()
+        if nxt == off:
+            break
+        parts = r.partitions(off, nxt)
+        kinds = set()
+        for p in parts:
+            for rb in r.read(p):
+                kinds.update(rb.column(rb.schema.get_field_index("_change_type"))
+                             .to_pylist())
+        per_batch.append((len(parts), kinds))
+        off = nxt
+        assert len(per_batch) < 20
+    # batch 1: the base append's 3 files (atomic in CDC mode);
+    # final batch: the upsert commit — its retractions AND inserts together
+    assert per_batch[0][0] == 3
+    assert per_batch[-1][1] == {"delete", "insert"}
+
+
+def test_batch_reader_timestamp_as_of(spark, tmp_path):
+    """option('timestamp-as-of', ms) reads the newest snapshot committed
+    at or before the cutoff — TIMESTAMP AS OF for the Python reader."""
+    register_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint")
+    s1 = t.append(spark.createDataFrame([(1,), (2,)], "k bigint"))
+    t.append(spark.createDataFrame([(3,)], "k bigint"))
+    old = (spark.read.format("laketable").option("path", t.path)
+           .option("timestamp-as-of", str(s1.timestamp_ms)).load())
+    assert sorted(r["k"] for r in old.collect()) == [1, 2]
+    with pytest.raises(Exception, match="no snapshot committed"):
+        (spark.read.format("laketable").option("path", t.path)
+         .option("timestamp-as-of", str(s1.timestamp_ms - 10_000)).load()
+         .collect())
+
+
 def test_batch_reader_time_travel_by_snapshot_id(spark, tmp_path):
     """option('snapshot-id', N) reads the table AS OF that snapshot —
     the VERSION AS OF of the Python reader; a missing snapshot fails
