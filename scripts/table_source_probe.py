@@ -93,6 +93,30 @@ def main() -> None:
         n_sink = spark.read.parquet(sink).count()
         assert n_jvm == n_py == n_rows and n_sink == n_rows + per
 
+        # Rate-limit leg: a fresh capped stream over the same table.
+        # max-files-per-trigger bounds each micro-batch's input — the
+        # catch-up-storm control. The number that matters at 100 TB is
+        # PEAK per-batch rows (state/memory per micro-batch), traded
+        # against the fixed per-batch overhead × batch count.
+        cap_sink, cap_ck = os.path.join(d, "cap_sink"), os.path.join(d, "cap_ck")
+        t0 = time.perf_counter()
+        q = (
+            spark.readStream.format("laketable").option("path", t.path)
+            .option("max-files-per-trigger", "8").load()
+            .writeStream.format("parquet").option("path", cap_sink)
+            .trigger(processingTime="0 seconds")
+            .option("checkpointLocation", cap_ck).start()
+        )
+        q.processAllAvailable()
+        capped_s = time.perf_counter() - t0
+        prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        q.stop()
+        n_cap = spark.read.parquet(cap_sink).count()
+        assert n_cap == n_rows + per, (n_cap, n_rows + per)
+        cap_batches = len(prog)
+        cap_peak = max(p["numInputRows"] for p in prog)
+        uncapped_peak = n_rows  # the full-drain single batch above
+
         # CDC leg: a MoR position delete of ~1% of keys, then a cdc
         # drain of ONLY that commit — times the -D path (delete-file
         # filter + pyarrow take on each referenced data file).
@@ -132,7 +156,11 @@ def main() -> None:
             f"stream_incr      {incr_drain_s:6.2f}s  (drain {per} rows + sink write, "
             f"{full_drain_s/incr_drain_s:.1f}x less than full)\n"
             f"cdc_pos_deletes  {cdc_drain_s:6.2f}s  ({n_deletes} -D rows re-read "
-            f"by position across the table's data files)"
+            f"by position across the table's data files)\n"
+            f"stream_capped    {capped_s:6.2f}s  (max-files-per-trigger=8: "
+            f"{cap_batches} batches, peak {cap_peak} rows/batch vs "
+            f"{uncapped_peak} uncapped — "
+            f"{uncapped_peak/cap_peak:.0f}x smaller peak batch)"
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
