@@ -53,6 +53,14 @@ Semantics (mirrors Iceberg's Spark streaming read):
   materializer needs. Copy-on-write commits (rewritten files) are NOT
   expressible as a per-file row feed and raise (or skip) — the batch
   ``LakeTable.changelog()`` nets those with exceptAll.
+- **Start position** (stream): ``starting-snapshot-id`` /
+  ``starting-timestamp`` start the stream AFTER the named/covered
+  snapshot (exclusive — Iceberg's ``start-snapshot-id`` /
+  ``stream-from-timestamp``): a new consumer of a 100 TB table
+  subscribes to new commits without replaying the table's history.
+- **Branch reads**: ``option("branch", name)`` streams (or
+  batch-reads) a branch head's ancestry instead of main — the WAP
+  audit feed.
 - **Schema projection is by FIELD ID**, not name: each file entry
   records its writer-time schema version, so a column renamed since
   the file was written is still read (old physical name → current
@@ -271,11 +279,16 @@ def _snapshot_changes(meta: dict, snap: dict) -> tuple[list[dict], set, list[dic
 
 class LakeTableStreamReader(DataSourceStreamReader):
     def __init__(self, path: str, skip_non_appends: bool, cdc: bool,
-                 max_files: int | None = None):
+                 max_files: int | None = None, branch: str | None = None,
+                 start_snapshot_id: int | None = None,
+                 start_ts_ms: int | None = None):
         self.path = path
         self.skip_non_appends = skip_non_appends
         self.cdc = cdc
         self.max_files = max_files
+        self.branch = branch
+        self.start_snapshot_id = start_snapshot_id
+        self.start_ts_ms = start_ts_ms
         # Last offset this reader emitted or planned — the base the
         # rate limit advances from. None only before the first call:
         # a fresh stream caps from snapshot 0, and on restart Spark
@@ -283,9 +296,44 @@ class LakeTableStreamReader(DataSourceStreamReader):
         # before any latestOffset, seeding the checkpointed position.
         self._last: dict | None = None
 
+    def _head(self, meta: dict) -> int:
+        """Head snapshot id of the streamed ref (main, or a branch)."""
+        if self.branch is None:
+            return meta.get("current_snapshot_id") or 0
+        branches = meta.get("branches") or {}
+        if self.branch not in branches:
+            raise ValueError(
+                f"no branch {self.branch!r}; branches: {sorted(branches)}"
+            )
+        return branches[self.branch] or 0
+
     def initialOffset(self) -> dict:
-        self._last = {"snapshot_id": 0}
-        return {"snapshot_id": 0}
+        """Where a NEW stream starts. Default: the table root (replay
+        every commit). ``starting-snapshot-id`` / ``starting-timestamp``
+        mark a later start, EXCLUSIVE (Iceberg's ``start-snapshot-id``
+        / ``stream-from-timestamp``): the named/covered snapshot counts
+        as already consumed, only commits after it stream — how a new
+        consumer stands up against a 100 TB table without replaying
+        its entire history."""
+        off = {"snapshot_id": 0}
+        if self.start_snapshot_id is not None or self.start_ts_ms is not None:
+            meta = _load_meta(self.path)
+            ancestry = self._chain(meta, self._head(meta), 0)  # newest first
+            if self.start_snapshot_id is not None:
+                if all(sn["snapshot_id"] != self.start_snapshot_id
+                       for sn in ancestry):
+                    raise ValueError(
+                        f"starting-snapshot-id {self.start_snapshot_id} is "
+                        f"not on the streamed ref's ancestry"
+                    )
+                off = {"snapshot_id": self.start_snapshot_id}
+            else:
+                covered = [sn for sn in ancestry
+                           if sn.get("timestamp_ms", 0) <= self.start_ts_ms]
+                if covered:  # newest committed at-or-before the cutoff
+                    off = {"snapshot_id": covered[0]["snapshot_id"]}
+        self._last = off
+        return off
 
     def _chain(self, meta: dict, from_id: int, back_to: int) -> list[dict]:
         """Main-ancestry snapshots (back_to, from_id], NEWEST first."""
@@ -313,7 +361,7 @@ class LakeTableStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         meta = _load_meta(self.path)
-        head = meta.get("current_snapshot_id") or 0
+        head = self._head(meta)
         if not head:
             off = {"snapshot_id": 0}
             self._last = off
@@ -484,17 +532,27 @@ class LakeTableStreamReader(DataSourceStreamReader):
 
 class LakeTableBatchReader(DataSourceReader):
     def __init__(self, path: str, snapshot_id: int | None = None,
-                 ts_ms: int | None = None):
+                 ts_ms: int | None = None, branch: str | None = None):
         self.path = path
         self.snapshot_id = snapshot_id
         self.ts_ms = ts_ms
+        self.branch = branch
 
     def partitions(self) -> Sequence[InputPartition]:
         meta = _load_meta(self.path)
+        if self.branch is not None:
+            branches = meta.get("branches") or {}
+            if self.branch not in branches:
+                raise ValueError(
+                    f"no branch {self.branch!r}; branches: {sorted(branches)}"
+                )
+            default_head = branches[self.branch]
+        else:
+            default_head = meta.get("current_snapshot_id")
         head = (
             self.snapshot_id
             if self.snapshot_id is not None
-            else meta.get("current_snapshot_id")
+            else default_head
         )
         if self.ts_ms is not None:
             # TIMESTAMP AS OF: newest main-ancestry snapshot committed
@@ -572,6 +630,7 @@ class LakeTableDataSource(DataSource):
             self._path(),
             int(sid) if sid is not None else None,
             ts_ms=int(ts) if ts is not None else None,
+            branch=self.options.get("branch"),
         )
 
     def streamReader(self, schema) -> DataSourceStreamReader:
@@ -579,9 +638,18 @@ class LakeTableDataSource(DataSource):
         cap = self.options.get("max-files-per-trigger")
         if cap is not None and int(cap) < 1:
             raise ValueError("max-files-per-trigger must be >= 1")
+        ssid = self.options.get("starting-snapshot-id")
+        sts = self.options.get("starting-timestamp")
+        if ssid is not None and sts is not None:
+            raise ValueError(
+                "starting-snapshot-id and starting-timestamp are exclusive"
+            )
         return LakeTableStreamReader(
             self._path(), skip, self._cdc(),
             max_files=int(cap) if cap is not None else None,
+            branch=self.options.get("branch"),
+            start_snapshot_id=int(ssid) if ssid is not None else None,
+            start_ts_ms=int(sts) if sts is not None else None,
         )
 
 

@@ -364,6 +364,57 @@ def test_rate_limit_never_splits_cdc_commits(spark, tmp_path):
     assert per_batch[-1][1] == {"delete", "insert"}
 
 
+def test_stream_starting_position_is_exclusive(spark, tmp_path):
+    """starting-snapshot-id / starting-timestamp begin the stream AFTER
+    the named/covered snapshot — a new consumer subscribes to new
+    commits without replaying table history."""
+    register_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint")
+    t.append(spark.createDataFrame([(1,)], "k bigint"))
+    s2 = t.append(spark.createDataFrame([(2,)], "k bigint"))
+    t.append(spark.createDataFrame([(3,)], "k bigint"))
+
+    sink, ck = str(tmp_path / "s1"), str(tmp_path / "c1")
+    _drain(spark, t.path, sink, ck, **{"starting-snapshot-id": str(s2.snapshot_id)})
+    assert sorted(r["k"] for r in spark.read.parquet(sink).collect()) == [3]
+
+    sink2, ck2 = str(tmp_path / "s2"), str(tmp_path / "c2")
+    _drain(spark, t.path, sink2, ck2,
+           **{"starting-timestamp": str(s2.timestamp_ms)})
+    assert sorted(r["k"] for r in spark.read.parquet(sink2).collect()) == [3]
+
+    with pytest.raises(Exception, match="not on the streamed ref"):
+        sink3, ck3 = str(tmp_path / "s3"), str(tmp_path / "c3")
+        _drain(spark, t.path, sink3, ck3, **{"starting-snapshot-id": "999"})
+
+
+def test_stream_and_batch_read_a_branch(spark, tmp_path):
+    """option('branch', b) streams the branch head's ancestry (shared
+    main prefix + branch-staged commits) — the WAP audit feed; main
+    streams stay unaffected by branch commits."""
+    register_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint")
+    t.append(spark.createDataFrame([(1,)], "k bigint"))
+    t.create_branch("audit")
+    t.append(spark.createDataFrame([(2,)], "k bigint"), branch="audit")
+    t.append(spark.createDataFrame([(3,)], "k bigint"), branch="audit")
+
+    bsink, bck = str(tmp_path / "bs"), str(tmp_path / "bc")
+    _drain(spark, t.path, bsink, bck, branch="audit")
+    assert sorted(r["k"] for r in spark.read.parquet(bsink).collect()) == [1, 2, 3]
+
+    msink, mck = str(tmp_path / "ms"), str(tmp_path / "mc")
+    _drain(spark, t.path, msink, mck)
+    assert sorted(r["k"] for r in spark.read.parquet(msink).collect()) == [1]
+
+    bdf = (spark.read.format("laketable").option("path", t.path)
+           .option("branch", "audit").load())
+    assert sorted(r["k"] for r in bdf.collect()) == [1, 2, 3]
+    with pytest.raises(Exception, match="no branch"):
+        (spark.read.format("laketable").option("path", t.path)
+         .option("branch", "nope").load().collect())
+
+
 def test_batch_reader_timestamp_as_of(spark, tmp_path):
     """option('timestamp-as-of', ms) reads the newest snapshot committed
     at or before the cutoff — TIMESTAMP AS OF for the Python reader."""
