@@ -364,6 +364,48 @@ def test_rate_limit_never_splits_cdc_commits(spark, tmp_path):
     assert per_batch[-1][1] == {"delete", "insert"}
 
 
+def test_rate_limit_cap_sweep_matches_uncapped_delivery(spark, tmp_path):
+    """For EVERY cap 1..7 over one messy history (commits of 1/3/2/4
+    files with a CoW delete in the middle, skip-non-appends on), the
+    capped walk delivers exactly the uncapped file set, exactly once,
+    never exceeding the cap on splittable commits."""
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        LakeTableStreamReader,
+    )
+
+    register_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint")
+    t.append(spark.range(0, 4).toDF("k").repartition(1))
+    t.append(spark.range(10, 16).toDF("k").repartition(3))
+    t.delete_where("k = 11")  # CoW rewrite — skipped, not splittable
+    t.append(spark.range(20, 24).toDF("k").repartition(2))
+    t.append(spark.range(30, 38).toDF("k").repartition(4))
+
+    def walk(cap):
+        r = LakeTableStreamReader(t.path, True, False, max_files=cap)
+        off = r.initialOffset()
+        files, sizes = [], []
+        while True:
+            nxt = r.latestOffset()
+            if nxt == off:
+                return files, sizes
+            parts = r.partitions(off, nxt)
+            files += [p.abs_path for p in parts]
+            sizes.append(len(parts))
+            off = nxt
+            assert len(sizes) < 64
+
+    baseline, _ = walk(None)
+    assert len(baseline) == len(set(baseline)) >= 10
+    for cap in range(1, 8):
+        files, sizes = walk(cap)
+        assert sorted(files) == sorted(baseline), f"cap={cap}"
+        assert len(files) == len(set(files)), f"cap={cap} duplicated a file"
+        # every delivered file costs one unit of budget, and the
+        # skipped delete commit delivers nothing — no batch exceeds cap
+        assert max(sizes) <= cap, (cap, sizes)
+
+
 def test_stream_starting_position_is_exclusive(spark, tmp_path):
     """starting-snapshot-id / starting-timestamp begin the stream AFTER
     the named/covered snapshot — a new consumer subscribes to new
