@@ -742,6 +742,20 @@ class LakeTable:
         last = self.last_streaming_batch(query_id)
         if last is not None and batch_id <= last:
             return None
+        return self.commit_streaming_files(
+            self._write_files(df), batch_id, query_id, _retries=_retries
+        )
+
+    def commit_streaming_files(self, new_files: list["FileEntry"],
+                               batch_id: int, query_id: str = "default",
+                               _retries: int = 5) -> Snapshot | None:
+        """Publish ALREADY-WRITTEN data files as one replay-idempotent
+        streaming append — the driver-side half of the `laketable`
+        streaming SINK (executor tasks write the files, this commits
+        them). Same ``(query-id, batch-id)`` dedup as
+        :meth:`streaming_append`; on a skipped replay the duplicate
+        files are unlinked. Metadata + filesystem only — safe to call
+        without a SparkSession (``LakeTable.load(None, path)``)."""
 
         def _discard(files: list[FileEntry]) -> None:
             for e in files:
@@ -750,7 +764,11 @@ class LakeTable:
                 except OSError:
                     pass  # remove_orphan_files collects any leftovers
 
-        new_files = self._write_files(df)
+        self._reload()
+        last = self.last_streaming_batch(query_id)
+        if last is not None and batch_id <= last:
+            _discard(new_files)
+            return None
         for attempt in range(_retries + 1):
             cur = self._snapshot() if self._meta["current_snapshot_id"] else None
             base = list(cur.files) if cur else []

@@ -9,6 +9,10 @@ Usage::
     spark.dataSource.register(LakeTableDataSource)
     df = (spark.readStream.format("laketable")
           .option("path", table_root).load())
+    # and as a streaming SINK (exactly-once appends into a LakeTable):
+    q = (df.writeStream.format("laketable")
+         .option("path", dest_root)
+         .option("checkpointLocation", ck).start())
 
 Semantics (mirrors Iceberg's Spark streaming read):
 
@@ -92,8 +96,11 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 _META_REL = os.path.join("_meta", "metadata.json")
@@ -595,6 +602,124 @@ class LakeTableBatchReader(DataSourceReader):
         return _read_file(partition)
 
 
+class _SinkFileMessage(WriterCommitMessage):
+    """One executor task's written data file (None if the task saw no
+    rows): the relative path + footer-derived FileEntry fields the
+    driver needs to commit it."""
+
+    def __init__(self, rel_path: str | None = None, rows: int = 0,
+                 nbytes: int = 0, stats: dict | None = None):
+        self.rel_path = rel_path
+        self.rows = rows
+        self.nbytes = nbytes
+        self.stats = stats or {}
+
+
+class LakeTableStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming SINK half of the `laketable` format — Iceberg's
+    structured-streaming append sink re-expressed over the Python
+    DataSource writer API:
+
+    - ``write()`` runs on EXECUTORS: each task streams its Arrow
+      batches straight into one parquet file under the table's data
+      dir and reads its own footer for min/max stats — the driver
+      never sees row data, only per-file commit messages (path, rows,
+      bytes, stats). Parallelism and I/O scale with the cluster.
+    - ``commit(messages, batchId)`` runs once per micro-batch on the
+      driver: it publishes ALL the batch's files as ONE snapshot via
+      ``LakeTable.commit_streaming_files`` — the same checkpointed
+      ``(query-id, batch-id)`` guard as the foreachBatch path, so a
+      replayed micro-batch (crash between sink commit and checkpoint
+      commit) is skipped and its duplicate files unlinked:
+      exactly-once end-to-end.
+    - ``abort()`` unlinks the partial batch's files; the metadata
+      never referenced them, so readers never saw them.
+
+    Files are written UNCLUSTERED (no partition-transform fanout —
+    a micro-batch is small and latency-bound); on a partitioned table
+    pruning degrades conservatively (missing partition keys keep the
+    file; footer stats still prune) until ``rewrite_data_files`` folds
+    streamed files into the spec-clustered layout — Iceberg's own
+    streaming-write + compaction contract."""
+
+    def __init__(self, path: str, columns: list[tuple[str, str]],
+                 schema_version: int, query_id: str):
+        self.path = path
+        self.columns = columns  # (name, ddl type) of the CURRENT schema
+        self.schema_version = schema_version
+        self.query_id = query_id
+
+    def write(self, iterator):  # executor-side
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        target = pa.schema([pa.field(n, _arrow_type(d)) for n, d in self.columns])
+        batches = []
+        for rb in iterator:
+            tbl = pa.Table.from_batches([rb])
+            if tbl.schema != target:
+                tbl = tbl.cast(target)
+            batches.append(tbl)
+        if not batches or sum(t.num_rows for t in batches) == 0:
+            return _SinkFileMessage()
+        out = pa.concat_tables(batches)
+        rel = os.path.join("data", f"stream-{uuid.uuid4().hex}.parquet")
+        abs_path = os.path.join(self.path, rel)
+        os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+        pq.write_table(out, abs_path)
+        md = pq.ParquetFile(abs_path).metadata
+        stats: dict[str, list] = {}
+        for ci in range(md.num_columns):
+            name = md.schema.column(ci).name
+            lo = hi = None
+            try:
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            except Exception:
+                lo = hi = None
+            if lo is not None:
+                from ..catalog.table import _json_safe
+
+                stats[name] = [_json_safe(lo), _json_safe(hi)]
+        return _SinkFileMessage(rel, md.num_rows,
+                                os.path.getsize(abs_path), stats)
+
+    def commit(self, messages, batchId: int) -> None:  # driver-side
+        from ..catalog.table import FileEntry, LakeTable
+
+        entries = [
+            FileEntry(
+                path=m.rel_path, rows=m.rows, bytes=m.nbytes,
+                schema_version=self.schema_version, stats=m.stats,
+                partition={}, seq=None,
+            )
+            for m in messages
+            if m is not None and m.rel_path is not None
+        ]
+        # Empty batches still commit the batch-id watermark? No — the
+        # guard skips ids ≤ last, and Spark only replays PLANNED
+        # batches, so an empty batch simply publishes no snapshot.
+        if entries:
+            LakeTable.load(None, self.path).commit_streaming_files(
+                entries, batchId, self.query_id
+            )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and getattr(m, "rel_path", None):
+                try:
+                    os.remove(os.path.join(self.path, m.rel_path))
+                except OSError:
+                    pass
+
+
 class LakeTableDataSource(DataSource):
     """`format("laketable")` — see module docstring."""
 
@@ -631,6 +756,32 @@ class LakeTableDataSource(DataSource):
             int(sid) if sid is not None else None,
             ts_ms=int(ts) if ts is not None else None,
             branch=self.options.get("branch"),
+        )
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+        if overwrite:
+            raise ValueError(
+                "laketable streaming sink supports append output mode only"
+            )
+        if self._cdc():
+            raise ValueError("mode=cdc is a read-side option")
+        path = self._path()
+        meta = _load_meta(path)
+        version = meta["current_schema_version"]
+        table_cols = [(f["name"], f["type"]) for f in meta["schemas"][str(version)]]
+        incoming = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+        if incoming != table_cols:
+            raise ValueError(
+                f"stream schema {incoming} does not match table schema "
+                f"{table_cols}; align names, types and column order"
+            )
+        # One idempotency stream per (table, sink-query-id): two
+        # concurrent queries appending to one table must set distinct
+        # ids or their batch-id watermarks collide (same contract as
+        # LakeTable.streaming_append's query_id).
+        return LakeTableStreamWriter(
+            path, table_cols, version,
+            str(self.options.get("sink-query-id", "default")),
         )
 
     def streamReader(self, schema) -> DataSourceStreamReader:

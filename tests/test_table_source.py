@@ -457,6 +457,99 @@ def test_stream_and_batch_read_a_branch(spark, tmp_path):
          .option("branch", "nope").load().collect())
 
 
+def test_stream_writer_table_to_table(spark, tmp_path):
+    """writeStream.format('laketable'): executor tasks write parquet
+    files, the driver publishes each micro-batch as ONE snapshot with
+    the (query-id, batch-id) guard — a laketable-to-laketable pipe
+    delivers everything exactly once, incrementally."""
+    register_source(spark)
+    src = LakeTable.create(spark, str(tmp_path / "src"), "k bigint, v double")
+    dst = LakeTable.create(spark, str(tmp_path / "dst"), "k bigint, v double")
+    src.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k bigint, v double"))
+    src.append(spark.createDataFrame([(3, 3.0)], "k bigint, v double"))
+    ck = str(tmp_path / "ck")
+
+    def pipe():
+        q = (
+            spark.readStream.format("laketable").option("path", src.path).load()
+            .writeStream.format("laketable").option("path", dst.path)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck).start()
+        )
+        q.awaitTermination(300)
+
+    pipe()
+    dst._reload()
+    assert sorted(r["k"] for r in dst.read().collect()) == [1, 2, 3]
+    snap = dst._snapshot()
+    assert snap.summary.get("streaming.batch-id") == 0
+
+    src.append(spark.createDataFrame([(4, 4.0)], "k bigint, v double"))
+    pipe()
+    dst._reload()
+    assert sorted(r["k"] for r in dst.read().collect()) == [1, 2, 3, 4]
+
+
+def test_stream_writer_replay_and_abort_semantics(spark, tmp_path):
+    """Driving the writer directly: a replayed batch id is skipped and
+    its duplicate files unlinked; abort removes the partial batch's
+    files; a schema mismatch refuses at stream start."""
+    import glob
+
+    import pyarrow as pa
+
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        LakeTableDataSource,
+    )
+
+    register_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint, v double")
+    ds = LakeTableDataSource(options={"path": t.path})
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL("k bigint, v double")
+    w = ds.streamWriter(schema, overwrite=False)
+
+    def batch(rows):
+        return pa.RecordBatch.from_pylist(
+            [{"k": k, "v": v} for k, v in rows],
+            schema=pa.schema([("k", pa.int64()), ("v", pa.float64())]),
+        )
+
+    m0 = w.write(iter([batch([(1, 1.0), (2, 2.0)])]))
+    w.commit([m0, None], 0)
+    t._reload()
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+
+    # replay of batch 0: committed files must be unlinked, table unchanged
+    m0b = w.write(iter([batch([(1, 1.0), (2, 2.0)])]))
+    w.commit([m0b], 0)
+    t._reload()
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+    assert not os.path.exists(os.path.join(t.path, m0b.rel_path))
+
+    # abort: the file disappears, metadata never saw it
+    m1 = w.write(iter([batch([(9, 9.0)])]))
+    w.abort([m1], 1)
+    assert not os.path.exists(os.path.join(t.path, m1.rel_path))
+    # exactly one live data file remains (batch 0's)
+    live = glob.glob(os.path.join(t.path, "data", "stream-*.parquet"))
+    assert len(live) == 1
+
+    # empty task → no file, commit of nothing publishes no snapshot
+    m_empty = w.write(iter([]))
+    assert m_empty.rel_path is None
+    before = t._meta["current_snapshot_id"]
+    w.commit([m_empty], 1)
+    t._reload()
+    assert t._meta["current_snapshot_id"] == before
+
+    with pytest.raises(Exception, match="does not match table schema"):
+        ds.streamWriter(StructType.fromDDL("k bigint, wrong string"), False)
+    with pytest.raises(Exception, match="append output mode"):
+        ds.streamWriter(schema, True)
+
+
 def test_batch_reader_timestamp_as_of(spark, tmp_path):
     """option('timestamp-as-of', ms) reads the newest snapshot committed
     at or before the cutoff — TIMESTAMP AS OF for the Python reader."""
