@@ -117,6 +117,27 @@ def main() -> None:
         cap_peak = max(p["numInputRows"] for p in prog)
         uncapped_peak = n_rows  # the full-drain single batch above
 
+        # Sink leg: the same table piped into a laketable streaming
+        # SINK (writeStream.format("laketable")) — executor-side
+        # parquet writes + one snapshot per micro-batch. Times the
+        # full source→sink exactly-once pipe at N rows.
+        dst = LakeTable.create(
+            spark, os.path.join(d, "dst"), "k bigint, v double, s string"
+        )
+        sink_ck = os.path.join(d, "sink_ck")
+        t0 = time.perf_counter()
+        q = (
+            spark.readStream.format("laketable").option("path", t.path).load()
+            .writeStream.format("laketable").option("path", dst.path)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", sink_ck).start()
+        )
+        q.awaitTermination(600)
+        sink_s = time.perf_counter() - t0
+        dst._reload()
+        n_dst = dst.read().count()
+        assert n_dst == n_rows + per, (n_dst, n_rows + per)
+
         # CDC leg: a MoR position delete of ~1% of keys, then a cdc
         # drain of ONLY that commit — times the -D path (delete-file
         # filter + pyarrow take on each referenced data file).
@@ -160,7 +181,10 @@ def main() -> None:
             f"stream_capped    {capped_s:6.2f}s  (max-files-per-trigger=8: "
             f"{cap_batches} batches, peak {cap_peak} rows/batch vs "
             f"{uncapped_peak} uncapped — "
-            f"{uncapped_peak/cap_peak:.0f}x smaller peak batch)"
+            f"{uncapped_peak/cap_peak:.0f}x smaller peak batch)\n"
+            f"sink_pipe        {sink_s:6.2f}s  (laketable->laketable "
+            f"exactly-once pipe, {n_dst} rows, "
+            f"{n_dst/sink_s/1e6:.1f}M rows/s end-to-end)"
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)

@@ -550,6 +550,34 @@ def test_stream_writer_replay_and_abort_semantics(spark, tmp_path):
         ds.streamWriter(schema, True)
 
 
+def test_stream_writer_orphans_are_collected(spark, tmp_path):
+    """A sink task that wrote its file but died before the driver
+    commit leaves an orphan the metadata never referenced — readers
+    never see it, and remove_orphan_files sweeps it."""
+    import pyarrow as pa
+
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        LakeTableDataSource,
+    )
+    from pyspark.sql.types import StructType
+
+    register_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint, v double")
+    t.append(spark.createDataFrame([(1, 1.0)], "k bigint, v double"))
+    w = LakeTableDataSource(options={"path": t.path}).streamWriter(
+        StructType.fromDDL("k bigint, v double"), False
+    )
+    m = w.write(iter([pa.RecordBatch.from_pylist(
+        [{"k": 7, "v": 7.0}],
+        schema=pa.schema([("k", pa.int64()), ("v", pa.float64())]),
+    )]))
+    orphan = os.path.join(t.path, m.rel_path)
+    assert os.path.exists(orphan)
+    assert sorted(r["k"] for r in t.read().collect()) == [1]
+    t.remove_orphan_files()
+    assert not os.path.exists(orphan)
+
+
 def test_batch_reader_timestamp_as_of(spark, tmp_path):
     """option('timestamp-as-of', ms) reads the newest snapshot committed
     at or before the cutoff — TIMESTAMP AS OF for the Python reader."""
