@@ -656,19 +656,30 @@ class LakeTableStreamWriter(DataSourceStreamArrowWriter):
         import pyarrow.parquet as pq
 
         target = pa.schema([pa.field(n, _arrow_type(d)) for n, d in self.columns])
-        batches = []
-        for rb in iterator:
-            tbl = pa.Table.from_batches([rb])
-            if tbl.schema != target:
-                tbl = tbl.cast(target)
-            batches.append(tbl)
-        if not batches or sum(t.num_rows for t in batches) == 0:
-            return _SinkFileMessage()
-        out = pa.concat_tables(batches)
+        # Stream batches straight into the parquet writer — the task
+        # never buffers its partition (memory stays O(one Arrow batch)
+        # however large the micro-batch grows).
         rel = os.path.join("data", f"stream-{uuid.uuid4().hex}.parquet")
         abs_path = os.path.join(self.path, rel)
-        os.makedirs(os.path.dirname(abs_path), exist_ok=True)
-        pq.write_table(out, abs_path)
+        writer = None
+        rows = 0
+        try:
+            for rb in iterator:
+                if rb.num_rows == 0:
+                    continue
+                tbl = pa.Table.from_batches([rb])
+                if tbl.schema != target:
+                    tbl = tbl.cast(target)
+                if writer is None:
+                    os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+                    writer = pq.ParquetWriter(abs_path, target)
+                writer.write_table(tbl)
+                rows += tbl.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if rows == 0:
+            return _SinkFileMessage()
         md = pq.ParquetFile(abs_path).metadata
         stats: dict[str, list] = {}
         for ci in range(md.num_columns):
