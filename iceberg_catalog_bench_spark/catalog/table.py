@@ -746,6 +746,30 @@ class LakeTable:
             self._write_files(df), batch_id, query_id, _retries=_retries
         )
 
+    def commit_data_files(self, new_files: list["FileEntry"],
+                          overwrite: bool = False,
+                          _retries: int = 5) -> Snapshot:
+        """Publish ALREADY-WRITTEN data files as one batch append (or
+        overwrite) commit — the driver-side half of the `laketable`
+        batch writer (``df.write.format("laketable")``). Appends
+        auto-retry on conflicts exactly like :meth:`append` (the files
+        are written once; only the metadata commit re-bases); an
+        overwrite replaces the file set wholesale. Metadata +
+        filesystem only — no SparkSession needed."""
+        for attempt in range(_retries + 1):
+            summary = {"added_files": len(new_files),
+                       "added_rows": sum(f.rows for f in new_files)}
+            try:
+                if overwrite:
+                    return self._commit("overwrite", list(new_files), summary)
+                cur = self._snapshot() if self._meta["current_snapshot_id"] else None
+                base = list(cur.files) if cur else []
+                return self._commit("append", base + new_files, summary)
+            except CommitConflict:
+                if attempt == _retries:
+                    raise
+                self._reload()
+
     def commit_streaming_files(self, new_files: list["FileEntry"],
                                batch_id: int, query_id: str = "default",
                                _retries: int = 5) -> Snapshot | None:

@@ -96,6 +96,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceArrowWriter,
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     DataSourceStreamWriter,
@@ -650,70 +651,12 @@ class LakeTableStreamWriter(DataSourceStreamArrowWriter):
         self.query_id = query_id
 
     def write(self, iterator):  # executor-side
-        import uuid
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        target = pa.schema([pa.field(n, _arrow_type(d)) for n, d in self.columns])
-        # Stream batches straight into the parquet writer — the task
-        # never buffers its partition (memory stays O(one Arrow batch)
-        # however large the micro-batch grows).
-        rel = os.path.join("data", f"stream-{uuid.uuid4().hex}.parquet")
-        abs_path = os.path.join(self.path, rel)
-        writer = None
-        rows = 0
-        try:
-            for rb in iterator:
-                if rb.num_rows == 0:
-                    continue
-                tbl = pa.Table.from_batches([rb])
-                if tbl.schema != target:
-                    tbl = tbl.cast(target)
-                if writer is None:
-                    os.makedirs(os.path.dirname(abs_path), exist_ok=True)
-                    writer = pq.ParquetWriter(abs_path, target)
-                writer.write_table(tbl)
-                rows += tbl.num_rows
-        finally:
-            if writer is not None:
-                writer.close()
-        if rows == 0:
-            return _SinkFileMessage()
-        md = pq.ParquetFile(abs_path).metadata
-        stats: dict[str, list] = {}
-        for ci in range(md.num_columns):
-            name = md.schema.column(ci).name
-            lo = hi = None
-            try:
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(ci).statistics
-                    if st is None or not st.has_min_max:
-                        lo = hi = None
-                        break
-                    lo = st.min if lo is None else min(lo, st.min)
-                    hi = st.max if hi is None else max(hi, st.max)
-            except Exception:
-                lo = hi = None
-            if lo is not None:
-                from ..catalog.table import _json_safe
-
-                stats[name] = [_json_safe(lo), _json_safe(hi)]
-        return _SinkFileMessage(rel, md.num_rows,
-                                os.path.getsize(abs_path), stats)
+        return _write_task_file(self.path, self.columns, iterator)
 
     def commit(self, messages, batchId: int) -> None:  # driver-side
-        from ..catalog.table import FileEntry, LakeTable
+        from ..catalog.table import LakeTable
 
-        entries = [
-            FileEntry(
-                path=m.rel_path, rows=m.rows, bytes=m.nbytes,
-                schema_version=self.schema_version, stats=m.stats,
-                partition={}, seq=None,
-            )
-            for m in messages
-            if m is not None and m.rel_path is not None
-        ]
+        entries = _message_entries(messages, self.schema_version)
         # Empty batches still commit the batch-id watermark? No — the
         # guard skips ids ≤ last, and Spark only replays PLANNED
         # batches, so an empty batch simply publishes no snapshot.
@@ -723,12 +666,120 @@ class LakeTableStreamWriter(DataSourceStreamArrowWriter):
             )
 
     def abort(self, messages, batchId: int) -> None:
-        for m in messages:
-            if m is not None and getattr(m, "rel_path", None):
-                try:
-                    os.remove(os.path.join(self.path, m.rel_path))
-                except OSError:
-                    pass
+        _unlink_messages(self.path, messages)
+
+
+class LakeTableBatchWriter(DataSourceArrowWriter):
+    """Batch writer (``df.write.format("laketable")``): the same
+    executor-side parquet + footer-stats write as the streaming sink,
+    committed as one plain append — mode("overwrite") replaces the
+    table's file set (and thereby drops now-dangling delete files,
+    same as ``LakeTable.overwrite``). Appends auto-retry on commit
+    conflicts; tasks' files are written once, only the metadata commit
+    re-bases. Production bulk loads should still prefer
+    ``LakeTable.append`` (the JVM writer with partition-spec fanout);
+    this path completes the format's CRUD surface."""
+
+    def __init__(self, path: str, columns: list[tuple[str, str]],
+                 schema_version: int, overwrite: bool):
+        self.path = path
+        self.columns = columns
+        self.schema_version = schema_version
+        self.overwrite = overwrite
+
+    def write(self, iterator):  # executor-side
+        return _write_task_file(self.path, self.columns, iterator)
+
+    def commit(self, messages) -> None:  # driver-side
+        from ..catalog.table import LakeTable
+
+        entries = _message_entries(messages, self.schema_version)
+        if entries or self.overwrite:
+            LakeTable.load(None, self.path).commit_data_files(
+                entries, overwrite=self.overwrite
+            )
+
+    def abort(self, messages) -> None:
+        _unlink_messages(self.path, messages)
+
+
+def _write_task_file(path: str, columns: list[tuple[str, str]],
+                     iterator) -> _SinkFileMessage:
+    """Executor-side write shared by the streaming sink and the batch
+    writer: stream Arrow batches straight into ONE parquet file (the
+    task never buffers its partition — memory stays O(one batch)
+    however large the input grows), then read the file's own footer
+    for min/max stats so manifest pruning works from commit one."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    target = pa.schema([pa.field(n, _arrow_type(d)) for n, d in columns])
+    rel = os.path.join("data", f"stream-{uuid.uuid4().hex}.parquet")
+    abs_path = os.path.join(path, rel)
+    writer = None
+    rows = 0
+    try:
+        for rb in iterator:
+            if rb.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([rb])
+            if tbl.schema != target:
+                tbl = tbl.cast(target)
+            if writer is None:
+                os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+                writer = pq.ParquetWriter(abs_path, target)
+            writer.write_table(tbl)
+            rows += tbl.num_rows
+    finally:
+        if writer is not None:
+            writer.close()
+    if rows == 0:
+        return _SinkFileMessage()
+    md = pq.ParquetFile(abs_path).metadata
+    stats: dict[str, list] = {}
+    for ci in range(md.num_columns):
+        name = md.schema.column(ci).name
+        lo = hi = None
+        try:
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        except Exception:
+            lo = hi = None
+        if lo is not None:
+            from ..catalog.table import _json_safe
+
+            stats[name] = [_json_safe(lo), _json_safe(hi)]
+    return _SinkFileMessage(rel, md.num_rows, os.path.getsize(abs_path), stats)
+
+
+def _message_entries(messages, schema_version: int):
+    from ..catalog.table import FileEntry
+
+    return [
+        FileEntry(
+            path=m.rel_path, rows=m.rows, bytes=m.nbytes,
+            schema_version=schema_version, stats=m.stats,
+            partition={}, seq=None,
+        )
+        for m in messages
+        if m is not None and m.rel_path is not None
+    ]
+
+
+def _unlink_messages(path: str, messages) -> None:
+    for m in messages:
+        if m is not None and getattr(m, "rel_path", None):
+            try:
+                os.remove(os.path.join(path, m.rel_path))
+            except OSError:
+                pass
 
 
 class LakeTableDataSource(DataSource):
@@ -769,11 +820,7 @@ class LakeTableDataSource(DataSource):
             branch=self.options.get("branch"),
         )
 
-    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
-        if overwrite:
-            raise ValueError(
-                "laketable streaming sink supports append output mode only"
-            )
+    def _write_config(self, schema) -> tuple[str, list[tuple[str, str]], int]:
         if self._cdc():
             raise ValueError("mode=cdc is a read-side option")
         path = self._path()
@@ -786,6 +833,14 @@ class LakeTableDataSource(DataSource):
                 f"stream schema {incoming} does not match table schema "
                 f"{table_cols}; align names, types and column order"
             )
+        return path, table_cols, version
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+        if overwrite:
+            raise ValueError(
+                "laketable streaming sink supports append output mode only"
+            )
+        path, table_cols, version = self._write_config(schema)
         # One idempotency stream per (table, sink-query-id): two
         # concurrent queries appending to one table must set distinct
         # ids or their batch-id watermarks collide (same contract as
@@ -794,6 +849,10 @@ class LakeTableDataSource(DataSource):
             path, table_cols, version,
             str(self.options.get("sink-query-id", "default")),
         )
+
+    def writer(self, schema, overwrite: bool) -> DataSourceArrowWriter:
+        path, table_cols, version = self._write_config(schema)
+        return LakeTableBatchWriter(path, table_cols, version, overwrite)
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         skip = str(self.options.get("skip-non-appends", "false")).lower() == "true"

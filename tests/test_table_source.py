@@ -550,6 +550,42 @@ def test_stream_writer_replay_and_abort_semantics(spark, tmp_path):
         ds.streamWriter(schema, True)
 
 
+def test_batch_writer_append_and_overwrite(spark, tmp_path):
+    """df.write.format('laketable'): executor-side parquet writes
+    committed as one append snapshot; mode('overwrite') replaces the
+    file set; schema mismatches refuse before any write."""
+    register_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint, v double")
+
+    def w(rows, mode):
+        (spark.createDataFrame(rows, "k bigint, v double")
+         .write.format("laketable").option("path", t.path).mode(mode).save())
+
+    w([(1, 1.0), (2, 2.0)], "append")
+    t._reload()
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+    assert t._snapshot().operation == "append"
+
+    w([(3, 3.0)], "append")
+    t._reload()
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 3]
+
+    w([(9, 9.0)], "overwrite")
+    t._reload()
+    assert sorted(r["k"] for r in t.read().collect()) == [9]
+    assert t._snapshot().operation == "overwrite"
+    # history intact: time travel still sees the pre-overwrite state
+    old_sid = t._meta["snapshots"][-2]["snapshot_id"]
+    assert sorted(
+        r["k"] for r in t.read(snapshot_id=old_sid).collect()
+    ) == [1, 2, 3]
+
+    with pytest.raises(Exception, match="does not match table schema"):
+        (spark.createDataFrame([(1, "x")], "k bigint, wrong string")
+         .write.format("laketable").option("path", t.path)
+         .mode("append").save())
+
+
 def test_stream_writer_orphans_are_collected(spark, tmp_path):
     """A sink task that wrote its file but died before the driver
     commit leaves an orphan the metadata never referenced — readers
