@@ -84,7 +84,13 @@ The batch reader (`spark.read.format("laketable")`) exists for API
 completeness / testing; production batch reads should use
 ``LakeTable.read()`` — the JVM parquet scan with manifest pruning and
 merge-on-read delete application, none of which a Python-side reader
-can match for throughput.
+can match for throughput. It does, however, implement FILE-LEVEL
+filter pushdown (``option("filter-pushdown", "true")`` together with
+``spark.sql.python.filterPushdown.enabled=true`` — Spark refuses a
+reader that defines ``pushFilters`` while that conf is off, hence the
+opt-in): manifest stats prune whole files driver-side and the Arrow
+scan filters rows worker-side, so selective reads ship only matching
+data.
 """
 
 from __future__ import annotations
@@ -229,11 +235,16 @@ def _project(tbl, columns, change: str | None = None, sid: int | None = None):
 
 
 def _read_file(partition: _FilePartition) -> Iterator:
-    """Worker-side Arrow read with id-based projection + widening cast."""
+    """Worker-side Arrow read with id-based projection + widening cast.
+    Pushed-down predicates (batch reads) filter rows during the Arrow
+    scan, so only matching rows pay the Arrow→JVM shipping cost."""
     import pyarrow.parquet as pq
 
     physical = [p for _, _, p in partition.columns if p is not None]
-    tbl = pq.read_table(partition.abs_path, columns=physical)
+    tbl = pq.read_table(
+        partition.abs_path, columns=physical,
+        filters=getattr(partition, "filters", None),
+    )
     out = _project(tbl, partition.columns, partition.change, partition.sid)
     yield from out.to_batches(max_chunksize=1 << 16)
 
@@ -539,12 +550,53 @@ class LakeTableStreamReader(DataSourceStreamReader):
 
 
 class LakeTableBatchReader(DataSourceReader):
+    """Python batch reader. The pushdown-capable variant below adds
+    FILE-LEVEL filter pushdown; this base plans one partition per data
+    file of the resolved snapshot (Spark refuses any reader that even
+    DEFINES ``pushFilters`` while
+    ``spark.sql.python.filterPushdown.enabled`` is false, so the
+    pushdown method lives on an opt-in subclass)."""
+
     def __init__(self, path: str, snapshot_id: int | None = None,
                  ts_ms: int | None = None, branch: str | None = None):
         self.path = path
         self.snapshot_id = snapshot_id
         self.ts_ms = ts_ms
         self.branch = branch
+        self.preds: list = []
+
+    @staticmethod
+    def _stats_may_match(stats: dict, phys: str, f) -> bool:
+        """Conservative footer-stats check: False only when NO row of
+        the file can satisfy the predicate."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        if phys not in stats:
+            return True
+        lo, hi = stats[phys]
+        try:
+            if isinstance(f, EqualTo):
+                return lo <= f.value <= hi
+            if isinstance(f, In):
+                return any(lo <= v <= hi for v in f.value)
+            if isinstance(f, GreaterThan):
+                return hi > f.value
+            if isinstance(f, GreaterThanOrEqual):
+                return hi >= f.value
+            if isinstance(f, LessThan):
+                return lo < f.value
+            if isinstance(f, LessThanOrEqual):
+                return lo <= f.value
+        except TypeError:
+            return True  # incomparable literal/stat types — keep
+        return True
 
     def partitions(self) -> Sequence[InputPartition]:
         meta = _load_meta(self.path)
@@ -591,16 +643,84 @@ class LakeTableBatchReader(DataSourceReader):
                 "laketable python batch reader does not apply merge-on-read "
                 "deletes; use LakeTable.read() for tables with delete files"
             )
-        return [
-            _FilePartition(
-                os.path.join(self.path, f["path"]),
-                _projection(meta, f["schema_version"]),
+        from pyspark.sql.datasource import EqualTo, In
+
+        parts: list[_FilePartition] = []
+        for f in snap["files"]:
+            proj = _projection(meta, f["schema_version"])
+            by_cur = {name: phys for name, _ddl, phys in proj}
+            stats = f.get("stats", {}) or {}
+            keep = True
+            arrow_filters: list[tuple] = []
+            for p in self.preds:
+                col = p.attribute[0]
+                if col not in by_cur:
+                    continue  # not a table column (shouldn't happen)
+                phys = by_cur[col]
+                if phys is None:
+                    # column added after this file was written → every
+                    # row reads as NULL → no comparison can match
+                    keep = False
+                    break
+                if not self._stats_may_match(stats, phys, p):
+                    keep = False
+                    break
+                if isinstance(p, In):
+                    arrow_filters.append((phys, "in", list(p.value)))
+                elif isinstance(p, EqualTo):
+                    arrow_filters.append((phys, "=", p.value))
+                else:
+                    op = {"GreaterThan": ">", "GreaterThanOrEqual": ">=",
+                          "LessThan": "<", "LessThanOrEqual": "<="}[
+                              type(p).__name__]
+                    arrow_filters.append((phys, op, p.value))
+            if not keep:
+                continue
+            part = _FilePartition(
+                os.path.join(self.path, f["path"]), proj
             )
-            for f in snap["files"]
-        ]
+            part.filters = arrow_filters or None
+            parts.append(part)
+        return parts
 
     def read(self, partition: _FilePartition) -> Iterator:
         return _read_file(partition)
+
+
+class LakeTablePushdownBatchReader(LakeTableBatchReader):
+    """FILE-LEVEL filter pushdown (``option("filter-pushdown",
+    "true")`` + ``spark.sql.python.filterPushdown.enabled=true``):
+    Spark hands the scan's predicates to :meth:`pushFilters`;
+    ``partitions()`` then prunes whole files from the snapshot's
+    manifest by footer min/max stats BEFORE any task launches (and
+    skips files written before a filtered column existed — all-null
+    can never match), and workers pass the same predicates to the
+    Arrow read so matching files ship only matching rows. Every
+    filter is still returned to Spark for re-evaluation, so pruning
+    can only skip files, never change results."""
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        pushable = (EqualTo, GreaterThan, GreaterThanOrEqual,
+                    LessThan, LessThanOrEqual, In)
+        self.preds = []
+        for f in filters:
+            if isinstance(f, pushable) and len(f.attribute) == 1:
+                vals = list(f.value) if isinstance(f, In) else [f.value]
+                if vals and all(
+                    isinstance(v, (int, float, str)) and not isinstance(v, bool)
+                    for v in vals
+                ):
+                    self.preds.append(f)
+        return filters  # Spark re-applies everything; we only skip files
 
 
 class _SinkFileMessage(WriterCommitMessage):
@@ -813,7 +933,9 @@ class LakeTableDataSource(DataSource):
         ts = self.options.get("timestamp-as-of")
         if sid is not None and ts is not None:
             raise ValueError("snapshot-id and timestamp-as-of are exclusive")
-        return LakeTableBatchReader(
+        push = str(self.options.get("filter-pushdown", "false")).lower() == "true"
+        cls = LakeTablePushdownBatchReader if push else LakeTableBatchReader
+        return cls(
             self._path(),
             int(sid) if sid is not None else None,
             ts_ms=int(ts) if ts is not None else None,

@@ -550,6 +550,64 @@ def test_stream_writer_replay_and_abort_semantics(spark, tmp_path):
         ds.streamWriter(schema, True)
 
 
+def test_batch_reader_filter_pushdown_prunes_files(spark, tmp_path):
+    """pushFilters prunes whole files from the manifest by footer
+    min/max before any task launches; files written before a filtered
+    column existed (all-null) are skipped too; results are identical
+    with pushdown enabled end-to-end."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In
+    from pyspark.sql.types import StructType
+
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        LakeTableDataSource,
+    )
+
+    register_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint")
+    for lo in (0, 100, 200):
+        t.append(spark.range(lo, lo + 10).toDF("k").repartition(1))
+    t.add_column("tag", "bigint", default=None)
+    t.append(
+        spark.createDataFrame([(300, 7)], "k bigint, tag bigint").repartition(1)
+    )
+
+    ds = LakeTableDataSource(
+        options={"path": t.path, "filter-pushdown": "true"}
+    )
+
+    def plan(*filters):
+        r = ds.reader(StructType.fromDDL("k bigint, tag bigint"))
+        r.pushFilters(list(filters))
+        return r.partitions()
+
+    assert len(plan()) == 4
+    assert len(plan(EqualTo(("k",), 105))) == 1
+    assert len(plan(GreaterThan(("k",), 199))) == 2
+    assert len(plan(In(("k",), (5, 205)))) == 2
+    # tag existed only for the last file — all-null elsewhere can't match
+    assert len(plan(EqualTo(("tag",), 7))) == 1
+
+    # worker-side: the Arrow scan ships only matching rows
+    r = ds.reader(StructType.fromDDL("k bigint, tag bigint"))
+    r.pushFilters([EqualTo(("k",), 105)])
+    (part,) = r.partitions()
+    rows = [v for rb in r.read(part) for v in rb.column(0).to_pylist()]
+    assert rows == [105]
+
+    # end-to-end under the conf gate: same answer, pruning engaged
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        df = (spark.read.format("laketable").option("path", t.path)
+              .option("filter-pushdown", "true").load()
+              .filter("k = 105"))
+        assert [row["k"] for row in df.collect()] == [105]
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    # and without the option, default-conf reads keep working
+    df = spark.read.format("laketable").option("path", t.path).load()
+    assert df.count() == 31
+
+
 def test_batch_writer_append_and_overwrite(spark, tmp_path):
     """df.write.format('laketable'): executor-side parquet writes
     committed as one append snapshot; mode('overwrite') replaces the
