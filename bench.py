@@ -236,6 +236,34 @@ def main() -> None:
         q.awaitTermination(600)
 
     phase_once("streaming_source_drain", _source_drain)
+
+    # Streaming SINK pipe (round 5): the same 4-commit table pushed
+    # through writeStream.format("laketable") into a fresh table —
+    # executor-side parquet writes + one snapshot per micro-batch via
+    # the checkpointed batch-id guard. The standing regression signal
+    # for the sink's write/commit path (the source side is covered by
+    # streaming_source_drain above).
+    sink_dst = LakeTable.create(
+        spark, os.path.join(ssdir, "dst"),
+        "event_id bigint, user_id bigint, value double",
+    )
+
+    def _sink_pipe() -> None:
+        q = (
+            spark.readStream.format("laketable").option("path", sst.path).load()
+            .writeStream.format("laketable").option("path", sink_dst.path)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(ssdir, "sink_ck"))
+            .start()
+        )
+        q.awaitTermination(600)
+
+    phase_once("streaming_sink_pipe", _sink_pipe)
+    sink_dst._reload()
+    assert sink_dst.read().count() == sum(
+        s["summary"].get("added_rows", 0)
+        for s in LakeTable.load(spark, sst.path)._meta["snapshots"]
+    ), "sink pipe lost rows"
     shutil.rmtree(ssdir, ignore_errors=True)
 
     # Standing synthetic probe (reference blob-dfs_bench.py:48-106 writes
