@@ -127,6 +127,16 @@ PRIORITY: tuple[str, ...] = (
     "pipeline_training_data",
     "datagen_tx_events_dims",
 )
+# ROUND-6 ROTATION PLAN (rebuild PRIORITY from CORRECTNESS_r05 + the
+# r1-r5 union): (a) queries whose CODE changed in round 6, plus
+# streaming_table_source_read/cdc if table_source.py changes again
+# (round 5's late additions — rate limiting, branch/starting-position
+# reads, the streaming sink, batch writer, filter pushdown — all live
+# there); (b) the ~25 (c)-cohort queries above that missed round 5's
+# 50-cap (still r2-latest; oldest first); (c) the round-3 cohort
+# (merge_upsert, time_travel_checksum, schema_evolution_read, the
+# window/join/setop/corpus suites) — r3-latest after this round, two
+# rounds stale by round 6's end if not rotated.
 
 
 def load_all() -> None:
