@@ -68,10 +68,10 @@ Semantics (mirrors Iceberg's Spark streaming read):
 - **Schema projection is by FIELD ID**, not name: each file entry
   records its writer-time schema version, so a column renamed since
   the file was written is still read (old physical name → current
-  name), a column added since is null-filled, and a type widened
-  since is cast — the same resolution rules the batch read path
-  applies, re-implemented over Arrow because Python data sources read
-  outside the JVM scan.
+  name), a column added since fills its declared default (or null),
+  and a type widened since is cast — the same resolution rules the
+  batch read path applies, re-implemented over Arrow because Python
+  data sources read outside the JVM scan.
 
 Scale shape: the driver-side planner touches ONLY the metadata JSON
 (no data I/O — `latestOffset` is a stat + parse); workers read just
@@ -106,7 +106,13 @@ from pyspark.sql.datasource import (
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     DataSourceStreamWriter,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
 
@@ -154,17 +160,23 @@ def _load_meta(path: str) -> dict:
 
 class _FilePartition(InputPartition):
     """One added data file. Carries the projection plan computed on the
-    driver (current name → physical name in this file, or None if the
-    field didn't exist at the file's schema version) so workers never
-    open the metadata JSON. In CDC mode ``change``/``sid`` stamp the
-    emitted rows with (_change_type, _commit_snapshot_id)."""
+    driver (current name → physical name in this file, or None with the
+    field's declared default if it didn't exist at the file's schema
+    version) so workers never open the metadata JSON. In CDC mode
+    ``change``/``sid`` stamp the emitted rows with (_change_type,
+    _commit_snapshot_id). ``filters`` are pushed-down predicates
+    ((physical_name, op, value) triples) the worker hands to the Arrow
+    scan — batch reads only."""
 
-    def __init__(self, abs_path: str, columns: list[tuple[str, str, str | None]],
-                 change: str | None = None, sid: int | None = None):
+    def __init__(self, abs_path: str,
+                 columns: list[tuple[str, str, str | None, object]],
+                 change: str | None = None, sid: int | None = None,
+                 filters: list[tuple] | None = None):
         self.abs_path = abs_path
-        self.columns = columns  # (current_name, ddl_type, physical_name|None)
+        self.columns = columns  # (current_name, ddl, physical|None, default)
         self.change = change
         self.sid = sid
+        self.filters = filters
 
 
 class _EqDeletePartition(InputPartition):
@@ -198,28 +210,38 @@ class _PosDeletePartition(InputPartition):
         self.sid = sid
 
 
-def _projection(meta: dict, file_schema_version: int) -> list[tuple[str, str, str | None]]:
-    """Field-id resolution: for every CURRENT field, the physical column
-    name inside a file written at ``file_schema_version`` (None → field
-    added later, read as nulls)."""
+def _projection(
+    meta: dict, file_schema_version: int
+) -> list[tuple[str, str, str | None, object]]:
+    """Field-id resolution: for every CURRENT field, ``(name, ddl,
+    physical_name, default)`` where physical_name is the column's name
+    inside a file written at ``file_schema_version`` (None → the field
+    was added later; reads fill its declared default, like the JVM
+    path, or null when there is none)."""
     cur = meta["schemas"][str(meta["current_schema_version"])]
     old = meta["schemas"][str(file_schema_version)]
     old_by_id = {f["id"]: f["name"] for f in old}
-    return [(f["name"], f["type"], old_by_id.get(f["id"])) for f in cur]
+    return [
+        (f["name"], f["type"], old_by_id.get(f["id"]), f.get("default"))
+        for f in cur
+    ]
 
 
 def _project(tbl, columns, change: str | None = None, sid: int | None = None):
-    """Align an Arrow table onto the current schema (nulls for absent
-    fields, widening casts), appending CDC metadata columns when
-    requested."""
+    """Align an Arrow table onto the current schema (declared default —
+    or null — for absent fields, widening casts), appending CDC
+    metadata columns when requested."""
     import pyarrow as pa
 
     n = tbl.num_rows
     arrays, fields = [], []
-    for name, ddl, phys in columns:
+    for name, ddl, phys, default in columns:
         typ = _arrow_type(ddl)
         if phys is None or phys not in tbl.column_names:
-            arrays.append(pa.nulls(n, type=typ))
+            if default is None:
+                arrays.append(pa.nulls(n, type=typ))
+            else:
+                arrays.append(pa.array([default] * n, type=typ))
         else:
             col = tbl.column(phys)
             if col.type != typ:  # e.g. int32 file column widened to bigint
@@ -240,10 +262,9 @@ def _read_file(partition: _FilePartition) -> Iterator:
     scan, so only matching rows pay the Arrow→JVM shipping cost."""
     import pyarrow.parquet as pq
 
-    physical = [p for _, _, p in partition.columns if p is not None]
+    physical = [p for _, _, p, _d in partition.columns if p is not None]
     tbl = pq.read_table(
-        partition.abs_path, columns=physical,
-        filters=getattr(partition, "filters", None),
+        partition.abs_path, columns=physical, filters=partition.filters
     )
     out = _project(tbl, partition.columns, partition.change, partition.sid)
     yield from out.to_batches(max_chunksize=1 << 16)
@@ -268,11 +289,35 @@ def _read_pos_delete(partition: _PosDeletePartition) -> Iterator:
         positions.update(dels.filter(mask).column("pos").to_pylist())
     if not positions:
         return
-    physical = [p for _, _, p in partition.columns if p is not None]
+    physical = [p for _, _, p, _d in partition.columns if p is not None]
     data = pq.read_table(partition.data_abs, columns=physical)
     out = _project(data.take(sorted(positions)), partition.columns,
                    "delete", partition.sid)
     yield from out.to_batches(max_chunksize=1 << 16)
+
+
+def _value_matches(value, f) -> bool:
+    """Evaluate a pushed predicate against one scalar (the declared
+    default a missing column reads as). Conservative: keep on any
+    type mismatch."""
+    if value is None:
+        return False  # comparisons with NULL never match
+    try:
+        if isinstance(f, EqualTo):
+            return value == f.value
+        if isinstance(f, In):
+            return value in f.value
+        if isinstance(f, GreaterThan):
+            return value > f.value
+        if isinstance(f, GreaterThanOrEqual):
+            return value >= f.value
+        if isinstance(f, LessThan):
+            return value < f.value
+        if isinstance(f, LessThanOrEqual):
+            return value <= f.value
+    except TypeError:
+        return True
+    return True
 
 
 def _pos_key(pos: int | None) -> float:
@@ -441,7 +486,10 @@ class LakeTableStreamReader(DataSourceStreamReader):
                 eq = d.get("equality_cols", [])
                 phys = d.get("file_cols") or eq
                 by_cur = dict(zip(eq, phys))
-                cols = [(f["name"], f["type"], by_cur.get(f["name"])) for f in cur]
+                # default=None even for fields that declare one: a
+                # retraction's non-key columns are blind, never values
+                cols = [(f["name"], f["type"], by_cur.get(f["name"]), None)
+                        for f in cur]
                 parts.append(_EqDeletePartition(
                     os.path.join(self.path, d["path"]), cols, sid))
             else:
@@ -568,16 +616,11 @@ class LakeTableBatchReader(DataSourceReader):
     @staticmethod
     def _stats_may_match(stats: dict, phys: str, f) -> bool:
         """Conservative footer-stats check: False only when NO row of
-        the file can satisfy the predicate."""
-        from pyspark.sql.datasource import (
-            EqualTo,
-            GreaterThan,
-            GreaterThanOrEqual,
-            In,
-            LessThan,
-            LessThanOrEqual,
-        )
-
+        the file can satisfy the predicate. Same contract as the JVM
+        path's stats pruning (catalog/table.py stats_may_match),
+        re-expressed over the pushFilters classes; safe without that
+        path's stat normalization because pushFilters only admits
+        int/str literals on int/string columns."""
         if phys not in stats:
             return True
         lo, hi = stats[phys]
@@ -643,12 +686,10 @@ class LakeTableBatchReader(DataSourceReader):
                 "laketable python batch reader does not apply merge-on-read "
                 "deletes; use LakeTable.read() for tables with delete files"
             )
-        from pyspark.sql.datasource import EqualTo, In
-
         parts: list[_FilePartition] = []
         for f in snap["files"]:
             proj = _projection(meta, f["schema_version"])
-            by_cur = {name: phys for name, _ddl, phys in proj}
+            by_cur = {name: (phys, default) for name, _ddl, phys, default in proj}
             stats = f.get("stats", {}) or {}
             keep = True
             arrow_filters: list[tuple] = []
@@ -656,12 +697,16 @@ class LakeTableBatchReader(DataSourceReader):
                 col = p.attribute[0]
                 if col not in by_cur:
                     continue  # not a table column (shouldn't happen)
-                phys = by_cur[col]
+                phys, default = by_cur[col]
                 if phys is None:
                     # column added after this file was written → every
-                    # row reads as NULL → no comparison can match
-                    keep = False
-                    break
+                    # row reads as the declared default (or NULL): the
+                    # whole file matches iff the default does. No Arrow
+                    # filter either way — the column isn't in the file.
+                    if not _value_matches(default, p):
+                        keep = False
+                        break
+                    continue
                 if not self._stats_may_match(stats, phys, p):
                     keep = False
                     break
@@ -676,11 +721,10 @@ class LakeTableBatchReader(DataSourceReader):
                     arrow_filters.append((phys, op, p.value))
             if not keep:
                 continue
-            part = _FilePartition(
-                os.path.join(self.path, f["path"]), proj
-            )
-            part.filters = arrow_filters or None
-            parts.append(part)
+            parts.append(_FilePartition(
+                os.path.join(self.path, f["path"]), proj,
+                filters=arrow_filters or None,
+            ))
         return parts
 
     def read(self, partition: _FilePartition) -> Iterator:
@@ -699,27 +743,35 @@ class LakeTablePushdownBatchReader(LakeTableBatchReader):
     filter is still returned to Spark for re-evaluation, so pruning
     can only skip files, never change results."""
 
-    def pushFilters(self, filters):
-        from pyspark.sql.datasource import (
-            EqualTo,
-            GreaterThan,
-            GreaterThanOrEqual,
-            In,
-            LessThan,
-            LessThanOrEqual,
-        )
+    # Columns eligible for pushdown. Floats are deliberately EXCLUDED:
+    # Spark orders NaN greater than every value (and NaN = NaN true)
+    # while parquet footer stats omit NaN and Arrow filters use IEEE
+    # semantics — a pushed float range would silently drop NaN rows
+    # Spark's own filter keeps.
+    _PUSH_DDL_INT = {"bigint", "long", "int", "integer", "smallint", "tinyint"}
 
+    def pushFilters(self, filters):
         pushable = (EqualTo, GreaterThan, GreaterThanOrEqual,
                     LessThan, LessThanOrEqual, In)
+        meta = _load_meta(self.path)
+        ddl_of = {
+            f["name"]: f["type"].strip().lower()
+            for f in meta["schemas"][str(meta["current_schema_version"])]
+        }
         self.preds = []
         for f in filters:
-            if isinstance(f, pushable) and len(f.attribute) == 1:
-                vals = list(f.value) if isinstance(f, In) else [f.value]
-                if vals and all(
-                    isinstance(v, (int, float, str)) and not isinstance(v, bool)
-                    for v in vals
-                ):
-                    self.preds.append(f)
+            if not (isinstance(f, pushable) and len(f.attribute) == 1):
+                continue
+            ddl = ddl_of.get(f.attribute[0])
+            vals = list(f.value) if isinstance(f, In) else [f.value]
+            ok = bool(vals) and (
+                (ddl in self._PUSH_DDL_INT and all(
+                    isinstance(v, int) and not isinstance(v, bool) for v in vals
+                ))
+                or (ddl == "string" and all(isinstance(v, str) for v in vals))
+            )
+            if ok:
+                self.preds.append(f)
         return filters  # Spark re-applies everything; we only skip files
 
 

@@ -608,6 +608,67 @@ def test_batch_reader_filter_pushdown_prunes_files(spark, tmp_path):
     assert df.count() == 31
 
 
+def test_pushdown_honors_column_defaults_and_skips_floats(spark, tmp_path):
+    """Two review-driven contracts: (1) a column added with a non-null
+    DEFAULT reads as that default in pre-add files, and pushdown prunes
+    by evaluating the predicate against the default — never by assuming
+    all-null; (2) float predicates are never pushed (Spark orders NaN
+    above everything, Arrow/parquet use IEEE — pushing would silently
+    drop NaN rows)."""
+    from pyspark.sql.datasource import EqualTo
+    from pyspark.sql.types import StructType
+
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        LakeTableDataSource,
+    )
+
+    register_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint, v double")
+    t.append(spark.createDataFrame([(1, 1.0)], "k bigint, v double"))
+    t.add_column("src", "string", default="web")
+    t.append(spark.createDataFrame(
+        [(2, 2.0, "app")], "k bigint, v double, src string"
+    ))
+
+    # default fill: the pre-add file reads src='web', matching the JVM path
+    rows = {r["k"]: r["src"] for r in
+            (spark.read.format("laketable").option("path", t.path).load()
+             .collect())}
+    assert rows == {1: "web", 2: "app"}
+    jvm_rows = {r["k"]: r["src"] for r in t.read().collect()}
+    assert jvm_rows == rows
+
+    ds = LakeTableDataSource(
+        options={"path": t.path, "filter-pushdown": "true"}
+    )
+    schema = StructType.fromDDL("k bigint, v double, src string")
+
+    def plan(*filters):
+        r = ds.reader(schema)
+        r.pushFilters(list(filters))
+        return r.partitions()
+
+    assert len(plan()) == 2
+    # src='web' matches the old file's default → kept; the new file's
+    # footer stats say src='app' only → pruned
+    assert len(plan(EqualTo(("src",), "web"))) == 1
+    # src='app' cannot match the old file's default → pruned
+    assert len(plan(EqualTo(("src",), "app"))) == 1
+    assert len(plan(EqualTo(("src",), "ftp"))) == 0
+
+    # float predicates are refused: nothing pruned, Spark re-filters
+    r = ds.reader(schema)
+    r.pushFilters([EqualTo(("v",), 1.0)])
+    assert r.preds == []
+    assert len(r.partitions()) == 2
+
+    # streaming projection fills the default too
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+    _drain(spark, t.path, sink, ck)
+    srows = {r["k"]: r["src"] for r in spark.read.parquet(sink).collect()}
+    assert srows == {1: "web", 2: "app"}
+
+
 def test_batch_writer_append_and_overwrite(spark, tmp_path):
     """df.write.format('laketable'): executor-side parquet writes
     committed as one append snapshot; mode('overwrite') replaces the
