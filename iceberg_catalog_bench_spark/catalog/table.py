@@ -212,6 +212,31 @@ class Snapshot:
         )
 
 
+def footer_min_max(md) -> dict[str, list]:
+    """Per-column ``[min, max]`` from a parquet FileMetaData's
+    row-group statistics, json-safe — the one source of truth for
+    file-entry stats (shared by the JVM-write path's footer_entry and
+    the Python writers in streaming/table_source.py). Columns whose
+    physical type exposes no stats (e.g. INT96) are omitted."""
+    stats: dict[str, list] = {}
+    for ci in range(md.num_columns):
+        name = md.schema.column(ci).name
+        lo = hi = None
+        try:
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        except Exception:
+            lo = hi = None
+        if lo is not None:
+            stats[name] = [_json_safe(lo), _json_safe(hi)]
+    return stats
+
+
 def _json_safe(v: Any) -> Any:
     """Make a parquet-footer stat value JSON-serializable but comparable.
 
@@ -630,23 +655,7 @@ class LakeTable:
             md = pq.ParquetFile(fpath).metadata
             if md.num_rows == 0:
                 return None
-            stats: dict[str, list] = {}
-            for ci in range(md.num_columns):
-                col_name = md.schema.column(ci).name
-                lo = hi = None
-                try:
-                    for rg in range(md.num_row_groups):
-                        st = md.row_group(rg).column(ci).statistics
-                        if st is None or not st.has_min_max:
-                            lo = hi = None
-                            break
-                        lo = st.min if lo is None else min(lo, st.min)
-                        hi = st.max if hi is None else max(hi, st.max)
-                except Exception:
-                    # some physical types (e.g. INT96) expose no stats
-                    lo = hi = None
-                if lo is not None:
-                    stats[col_name] = [_json_safe(lo), _json_safe(hi)]
+            stats = footer_min_max(md)
             return FileEntry(
                 path=os.path.relpath(fpath, self.path),
                 rows=md.num_rows,
@@ -730,7 +739,14 @@ class LakeTable:
         semantics, ICEBERG-Interoperability-Test-Spec.md:70): the
         committed snapshot's summary records ``(query-id, batch-id)``
         atomically with the data, and any batch whose id is ≤ the last
-        committed id for that query is SKIPPED. This closes the
+        committed id for that query is SKIPPED. ``query_id`` is the
+        DURABLE identity: passing the same id across a checkpoint loss
+        deliberately dedups the full from-zero replay (stronger than
+        Iceberg, whose Spark-queryId key reprocesses on checkpoint
+        loss) — so a NEW logical query into the same table must use a
+        NEW query_id, or its batches 0..watermark are treated as
+        replays (the `laketable` sink derives its default id from the
+        checkpoint location for exactly this reason). This closes the
         double-append window when Spark replays a micro-batch after a
         crash between the sink commit and the checkpoint commit
         (VERDICT r4 item 3); the keyed CDC upsert path is naturally
@@ -777,9 +793,12 @@ class LakeTable:
         streaming append — the driver-side half of the `laketable`
         streaming SINK (executor tasks write the files, this commits
         them). Same ``(query-id, batch-id)`` dedup as
-        :meth:`streaming_append`; on a skipped replay the duplicate
-        files are unlinked. Metadata + filesystem only — safe to call
-        without a SparkSession (``LakeTable.load(None, path)``)."""
+        :meth:`streaming_append` — ids ≤ the watermark are replays,
+        skipped with their duplicate files unlinked; query_id is the
+        durable identity (the sink defaults it to the checkpoint
+        location so a fresh checkpoint is a fresh identity). Metadata
+        + filesystem only — safe to call without a SparkSession
+        (``LakeTable.load(None, path)``)."""
 
         def _discard(files: list[FileEntry]) -> None:
             for e in files:

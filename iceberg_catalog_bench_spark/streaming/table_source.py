@@ -296,6 +296,46 @@ def _read_pos_delete(partition: _PosDeletePartition) -> Iterator:
     yield from out.to_batches(max_chunksize=1 << 16)
 
 
+def _ref_head(meta: dict, branch: str | None) -> int:
+    """Head snapshot id of a ref — main, or a named branch."""
+    if branch is None:
+        return meta.get("current_snapshot_id") or 0
+    branches = meta.get("branches") or {}
+    if branch not in branches:
+        raise ValueError(f"no branch {branch!r}; branches: {sorted(branches)}")
+    return branches[branch] or 0
+
+
+def _ancestry(meta: dict, from_id: int, back_to: int) -> list[dict]:
+    """Snapshots (back_to, from_id] along parent pointers, NEWEST
+    first. Raises when a snapshot in the range was expired, and —
+    critically for exactly-once consumers — when ``back_to`` is not on
+    the ancestry at all (a re-pointed branch / rewound ref): walking
+    past it to the root would silently replay the entire history."""
+    by_id = {sn["snapshot_id"]: sn for sn in meta["snapshots"]}
+    chain: list[dict] = []
+    node = from_id or None
+    while node and node != back_to:
+        sn = by_id.get(node)
+        if sn is None:
+            raise ValueError(
+                f"snapshot {node} in the offset range ({back_to}, "
+                f"{from_id}] was expired (expire_snapshots) before the "
+                f"stream consumed it; the commits are unrecoverable — "
+                f"restart from a fresh checkpoint"
+            )
+        chain.append(sn)
+        node = sn.get("parent_id")
+    if back_to and node != back_to:
+        raise ValueError(
+            f"snapshot {back_to} is not on the ref's ancestry (the ref "
+            f"was re-pointed or rewound under a running stream); "
+            f"continuing would replay already-consumed commits — "
+            f"restart from a fresh checkpoint"
+        )
+    return chain
+
+
 def _value_matches(value, f) -> bool:
     """Evaluate a pushed predicate against one scalar (the declared
     default a missing column reads as). Conservative: keep on any
@@ -361,15 +401,7 @@ class LakeTableStreamReader(DataSourceStreamReader):
         self._last: dict | None = None
 
     def _head(self, meta: dict) -> int:
-        """Head snapshot id of the streamed ref (main, or a branch)."""
-        if self.branch is None:
-            return meta.get("current_snapshot_id") or 0
-        branches = meta.get("branches") or {}
-        if self.branch not in branches:
-            raise ValueError(
-                f"no branch {self.branch!r}; branches: {sorted(branches)}"
-            )
-        return branches[self.branch] or 0
+        return _ref_head(meta, self.branch)
 
     def initialOffset(self) -> dict:
         """Where a NEW stream starts. Default: the table root (replay
@@ -400,22 +432,7 @@ class LakeTableStreamReader(DataSourceStreamReader):
         return off
 
     def _chain(self, meta: dict, from_id: int, back_to: int) -> list[dict]:
-        """Main-ancestry snapshots (back_to, from_id], NEWEST first."""
-        by_id = {sn["snapshot_id"]: sn for sn in meta["snapshots"]}
-        chain: list[dict] = []
-        node = from_id or None
-        while node and node != back_to:
-            sn = by_id.get(node)
-            if sn is None:
-                raise ValueError(
-                    f"snapshot {node} in the offset range ({back_to}, "
-                    f"{from_id}] was expired (expire_snapshots) before the "
-                    f"stream consumed it; the commits are unrecoverable — "
-                    f"restart from a fresh checkpoint"
-                )
-            chain.append(sn)
-            node = sn.get("parent_id")
-        return chain
+        return _ancestry(meta, from_id, back_to)
 
     def _atomic(self, added, removed, new_dels) -> bool:
         """Commits the rate limit may not split mid-snapshot: CDC
@@ -643,33 +660,26 @@ class LakeTableBatchReader(DataSourceReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         meta = _load_meta(self.path)
-        if self.branch is not None:
-            branches = meta.get("branches") or {}
-            if self.branch not in branches:
-                raise ValueError(
-                    f"no branch {self.branch!r}; branches: {sorted(branches)}"
-                )
-            default_head = branches[self.branch]
-        else:
-            default_head = meta.get("current_snapshot_id")
         head = (
             self.snapshot_id
             if self.snapshot_id is not None
-            else default_head
+            else (_ref_head(meta, self.branch) or None)
         )
         if self.ts_ms is not None:
-            # TIMESTAMP AS OF: newest main-ancestry snapshot committed
-            # at or before the cutoff (same rule as LakeTable.read).
+            # TIMESTAMP AS OF: newest snapshot committed at or before
+            # the cutoff ON THE REQUESTED REF'S ANCESTRY — resolving
+            # over all snapshots would leak branch-staged (unpublished
+            # WAP) commits into a main read.
             eligible = [
-                sn for sn in meta["snapshots"]
+                sn for sn in _ancestry(meta, head or 0, 0)
                 if sn.get("timestamp_ms", 0) <= self.ts_ms
             ]
             if not eligible:
                 raise ValueError(
                     f"no snapshot committed at or before timestamp "
-                    f"{self.ts_ms} ms"
+                    f"{self.ts_ms} ms on the requested ref"
                 )
-            head = max(eligible, key=lambda sn: sn["timestamp_ms"])["snapshot_id"]
+            head = eligible[0]["snapshot_id"]  # ancestry is newest-first
         if head is None:
             return []
         try:
@@ -909,26 +919,11 @@ def _write_task_file(path: str, columns: list[tuple[str, str]],
             writer.close()
     if rows == 0:
         return _SinkFileMessage()
-    md = pq.ParquetFile(abs_path).metadata
-    stats: dict[str, list] = {}
-    for ci in range(md.num_columns):
-        name = md.schema.column(ci).name
-        lo = hi = None
-        try:
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(ci).statistics
-                if st is None or not st.has_min_max:
-                    lo = hi = None
-                    break
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
-        except Exception:
-            lo = hi = None
-        if lo is not None:
-            from ..catalog.table import _json_safe
+    from ..catalog.table import footer_min_max
 
-            stats[name] = [_json_safe(lo), _json_safe(hi)]
-    return _SinkFileMessage(rel, md.num_rows, os.path.getsize(abs_path), stats)
+    md = pq.ParquetFile(abs_path).metadata
+    return _SinkFileMessage(rel, md.num_rows, os.path.getsize(abs_path),
+                            footer_min_max(md))
 
 
 def _message_entries(messages, schema_version: int):
@@ -1001,10 +996,17 @@ class LakeTableDataSource(DataSource):
         meta = _load_meta(path)
         version = meta["current_schema_version"]
         table_cols = [(f["name"], f["type"]) for f in meta["schemas"][str(version)]]
+
+        def canon(ddl: str) -> str:  # 'long'/'BIGINT' etc. are one type
+            s = ddl.strip().lower()
+            return {"long": "bigint", "integer": "int"}.get(s, s)
+
         incoming = [(f.name, f.dataType.simpleString()) for f in schema.fields]
-        if incoming != table_cols:
+        if [(n, canon(t)) for n, t in incoming] != [
+            (n, canon(t)) for n, t in table_cols
+        ]:
             raise ValueError(
-                f"stream schema {incoming} does not match table schema "
+                f"write schema {incoming} does not match table schema "
                 f"{table_cols}; align names, types and column order"
             )
         return path, table_cols, version
@@ -1015,14 +1017,18 @@ class LakeTableDataSource(DataSource):
                 "laketable streaming sink supports append output mode only"
             )
         path, table_cols, version = self._write_config(schema)
-        # One idempotency stream per (table, sink-query-id): two
-        # concurrent queries appending to one table must set distinct
-        # ids or their batch-id watermarks collide (same contract as
-        # LakeTable.streaming_append's query_id).
-        return LakeTableStreamWriter(
-            path, table_cols, version,
-            str(self.options.get("sink-query-id", "default")),
-        )
+        # Idempotency identity: one batch-id watermark per (table,
+        # query id). Default to the CHECKPOINT LOCATION — the identity
+        # Iceberg gets from Spark's queryId: it survives restarts of
+        # the same checkpoint (replays dedup) and differs for a fresh
+        # checkpoint (a new query's batch 0 lands instead of being
+        # swallowed by the old watermark). sink-query-id overrides for
+        # tests or checkpoint migration; concurrent queries must not
+        # share an id.
+        qid = (self.options.get("sink-query-id")
+               or self.options.get("checkpointlocation")
+               or "default")
+        return LakeTableStreamWriter(path, table_cols, version, str(qid))
 
     def writer(self, schema, overwrite: bool) -> DataSourceArrowWriter:
         path, table_cols, version = self._write_config(schema)

@@ -1002,9 +1002,12 @@ def test_streaming_append_replay_idempotent(spark, tmp_path):
     spec :70): a micro-batch re-delivered after a sink-commit /
     checkpoint-commit crash must be SKIPPED — the snapshot summary
     records (query-id, batch-id) atomically with the data, and ids
-    ≤ the last committed are no-ops. Distinct query-ids keep
-    independent pointers; interleaved batch appends don't disturb
-    them."""
+    ≤ the last committed are no-ops. query_id is the DURABLE identity:
+    this deliberately dedups even a full from-zero replay after
+    checkpoint loss, so a NEW logical query must use a NEW query_id
+    (the laketable sink derives its default from the checkpoint
+    location for that reason). Distinct query-ids keep independent
+    pointers; interleaved batch appends don't disturb them."""
     t = LakeTable.create(spark, str(tmp_path / "s"), "k bigint, v double")
     mk = lambda lo, n: spark.range(lo, lo + n).select(
         F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
@@ -1019,11 +1022,15 @@ def test_streaming_append_replay_idempotent(spark, tmp_path):
     assert t.read().count() == 20
     assert len(t._meta["snapshots"]) == snaps_before
 
+    # a DIFFERENT query id is a new identity: its batch 0 lands
+    assert t.streaming_append(mk(100, 5), 0, query_id="q2") is not None
+    assert t.read().count() == 25
+
     # a plain batch append between micro-batches must not clobber the pointer
     t.append(mk(1000, 5))
     assert t.last_streaming_batch("q") == 1
     assert t.streaming_append(mk(20, 10), 2, query_id="q") is not None
-    assert t.read().count() == 35
+    assert t.read().count() == 40
 
     # an independent query id has its own sequence
     assert t.streaming_append(mk(2000, 3), 0, query_id="other") is not None

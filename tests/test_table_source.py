@@ -733,6 +733,87 @@ def test_stream_writer_orphans_are_collected(spark, tmp_path):
     assert not os.path.exists(orphan)
 
 
+def test_repointed_branch_raises_instead_of_replaying(spark, tmp_path):
+    """Review fix: a consumed offset missing from the streamed ref's
+    ancestry (branch re-pointed backward) must raise — walking past it
+    to the root would silently redeliver the entire history to an
+    exactly-once consumer."""
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        LakeTableStreamReader,
+    )
+
+    register_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint")
+    s1 = t.append(spark.createDataFrame([(1,)], "k bigint"))
+    t.create_branch("b")
+    t.append(spark.createDataFrame([(2,)], "k bigint"), branch="b")
+
+    r = LakeTableStreamReader(t.path, False, False, branch="b")
+    off0 = r.initialOffset()
+    end1 = r.latestOffset()
+    r.partitions(off0, end1)  # consumed through the branch head
+
+    # re-point the branch backward and stage a new commit on it
+    t.drop_branch("b")
+    t.create_branch("b", s1.snapshot_id)
+    t.append(spark.createDataFrame([(3,)], "k bigint"), branch="b")
+
+    r2 = LakeTableStreamReader(t.path, False, False, branch="b")
+    with pytest.raises(Exception, match="not on the ref's ancestry"):
+        r2.partitions(end1, r2.latestOffset())
+
+
+def test_timestamp_as_of_ignores_branch_staged_snapshots(spark, tmp_path):
+    """Review fix: TIMESTAMP AS OF resolves on the requested ref's
+    ancestry — a branch-staged (unpublished WAP) snapshot with a newer
+    timestamp must not leak into a main read."""
+    import time as _time
+
+    register_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint")
+    t.append(spark.createDataFrame([(1,)], "k bigint"))
+    t.create_branch("audit")
+    t.append(spark.createDataFrame([(99,)], "k bigint"), branch="audit")
+    cutoff = int(_time.time() * 1000) + 60_000
+    df = (spark.read.format("laketable").option("path", t.path)
+          .option("timestamp-as-of", str(cutoff)).load())
+    assert sorted(r["k"] for r in df.collect()) == [1]
+    # the branch read itself still sees its staged commit
+    bdf = (spark.read.format("laketable").option("path", t.path)
+           .option("branch", "audit")
+           .option("timestamp-as-of", str(cutoff)).load())
+    assert sorted(r["k"] for r in bdf.collect()) == [1, 99]
+
+
+def test_sink_fresh_checkpoint_restart_is_not_discarded(spark, tmp_path):
+    """Review fix: a NEW query into the same table (fresh checkpoint →
+    batch ids restart at 0) must append, not be silently swallowed by
+    the old watermark; only an exact replay of the last batch skips."""
+    register_source(spark)
+    src = LakeTable.create(spark, str(tmp_path / "src"), "k bigint")
+    dst = LakeTable.create(spark, str(tmp_path / "dst"), "k bigint")
+    src.append(spark.createDataFrame([(1,), (2,)], "k bigint"))
+
+    def pipe(ck):
+        q = (
+            spark.readStream.format("laketable").option("path", src.path).load()
+            .writeStream.format("laketable").option("path", dst.path)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / ck)).start()
+        )
+        q.awaitTermination(300)
+
+    pipe("ck1")
+    dst._reload()
+    assert dst.read().count() == 2
+    pipe("ck2")  # fresh checkpoint: same data re-piped as a NEW query
+    dst._reload()
+    assert dst.read().count() == 4, "new query generation was discarded"
+    pipe("ck1")  # the original checkpoint has nothing new: no change
+    dst._reload()
+    assert dst.read().count() == 4
+
+
 def test_batch_reader_timestamp_as_of(spark, tmp_path):
     """option('timestamp-as-of', ms) reads the newest snapshot committed
     at or before the cutoff — TIMESTAMP AS OF for the Python reader."""
