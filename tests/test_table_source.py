@@ -705,6 +705,44 @@ def test_batch_writer_append_and_overwrite(spark, tmp_path):
          .mode("append").save())
 
 
+def test_batch_writer_concurrent_commits_no_lost_update(spark, tmp_path):
+    """Two batch-writer commits racing on one table: the loser's
+    CommitConflict retry re-bases onto the winner's snapshot — both
+    appends land, no lost update (same contract as LakeTable.append)."""
+    import threading
+
+    import pyarrow as pa
+
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        LakeTableBatchWriter,
+    )
+
+    register_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint")
+    cols = [("k", "bigint")]
+
+    def commit_rows(lo):
+        w = LakeTableBatchWriter(t.path, cols, 0, overwrite=False)
+        m = w.write(iter([pa.RecordBatch.from_pylist(
+            [{"k": lo + i} for i in range(5)],
+            schema=pa.schema([("k", pa.int64())]),
+        )]))
+        w.commit([m])
+
+    threads = [threading.Thread(target=commit_rows, args=(lo,))
+               for lo in (0, 100, 200)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    t._reload()
+    got = sorted(r["k"] for r in t.read().collect())
+    assert got == sorted(
+        [i for lo in (0, 100, 200) for i in range(lo, lo + 5)]
+    )
+    assert len(t._meta["snapshots"]) == 3
+
+
 def test_stream_writer_orphans_are_collected(spark, tmp_path):
     """A sink task that wrote its file but died before the driver
     commit leaves an orphan the metadata never referenced — readers
