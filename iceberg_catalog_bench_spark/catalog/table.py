@@ -2760,10 +2760,34 @@ class LakeTable:
 
         return to_iceberg_metadata(self)
 
-    def remove_orphan_files(self) -> dict:
+    # Iceberg's remove_orphan_files default grace period: files younger
+    # than this are presumed in-flight (an executor task writes its data
+    # file BEFORE the driver commit references it — streaming sink /
+    # batch writer, streaming/table_source.py) and are never swept.
+    ORPHAN_GRACE_MS = 3 * 24 * 3600 * 1000
+
+    def remove_orphan_files(self, older_than_ms: int | None = None) -> dict:
         """CALL system.remove_orphan_files — reference P4 (spec `:85,:104`,
-        acceptance: orphan files = 0). Deletes data files on disk that no
-        snapshot references."""
+        acceptance: orphan files = 0). Deletes files on disk that no
+        snapshot references AND that are older than ``older_than_ms``
+        (an epoch-ms cutoff; default now − 3 days, Iceberg's default).
+        The grace period is the correctness half: the Python sink/batch
+        writer commits in two steps (executor file write → driver
+        metadata commit), so a freshly-written unreferenced file may be
+        referenced by an imminent commit — sweeping it would break that
+        commit. Pass an explicit cutoff (e.g. ``now``) only when no
+        writer can be in flight."""
+        import time as _time
+
+        if older_than_ms is None:
+            older_than_ms = int(_time.time() * 1000) - self.ORPHAN_GRACE_MS
+
+        def too_young(full: str) -> bool:
+            try:
+                return os.path.getmtime(full) * 1000 >= older_than_ms
+            except OSError:
+                return True  # vanished under us — someone else owns it
+
         referenced = {
             f["path"] for s in self._meta["snapshots"] for f in s["files"]
         } | {
@@ -2776,18 +2800,22 @@ class LakeTable:
             for fn in files:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, self.path)
-                if fn.endswith(".parquet") and rel not in referenced:
-                    os.remove(full)
+                if fn.endswith(".parquet") and rel in referenced:
+                    continue
+                if too_young(full):
+                    continue
+                os.remove(full)  # orphan parquet, or _SUCCESS/.crc markers
+                if fn.endswith(".parquet"):
                     removed += 1
-                elif not fn.endswith(".parquet"):
-                    os.remove(full)  # _SUCCESS / .crc markers
         # metadata debris: a writer killed inside _write_meta leaves a
         # never-renamed temp file (spec `:107-111` — crash debris must
-        # be collectable). The live metadata file never matches.
+        # be collectable). The live metadata file never matches; the
+        # grace period equally covers a writer mid-rename.
         meta_root = os.path.join(self.path, _META_DIR)
         for fn in os.listdir(meta_root):
-            if f"{_META_FILE}.tmp-" in fn:
-                os.remove(os.path.join(meta_root, fn))
+            full = os.path.join(meta_root, fn)
+            if f"{_META_FILE}.tmp-" in fn and not too_young(full):
+                os.remove(full)
                 removed += 1
         return {"orphan_file_count": removed}
 

@@ -1028,7 +1028,19 @@ class SqlEngine:
                 older_than_ms=older_ms,
             )
         elif proc == "remove_orphan_files":
-            res = t.remove_orphan_files()
+            # CALL system.remove_orphan_files(table => 't'
+            #                                 [, older_than => '<iso ts>'])
+            # default: the 3-day in-flight-writer grace (Iceberg's).
+            older = kwargs.get("older_than")
+            older_ms = None
+            if older is not None:
+                import datetime as _dt
+
+                older_ms = int(
+                    _dt.datetime.fromisoformat(older)
+                    .replace(tzinfo=_dt.timezone.utc).timestamp() * 1000
+                )
+            res = t.remove_orphan_files(older_than_ms=older_ms)
         elif proc == "rollback_to_snapshot":
             snap = t.rollback_to_snapshot(int(kwargs["snapshot_id"]))
             res = {"previous_snapshot_id": snap.parent_id,

@@ -36,74 +36,30 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Round-5 rotation (VERDICT r4 item 1: close the freshness backlog).
-# Build order: (a) queries whose CODE changed this round (streaming
-# replay-idempotency, auto-compact hooks on the delete paths, counted
-# k_returned, quarantine domain rule, byte-based phash oracle,
-# global partition field-ids, per-catalog REST privileges, the
-# cherrypick leg in branch_wap_publish) plus the seven round-5 debuts;
-# (b) the 22 queries whose ONLY green is round 1
-# (the reference's §2.3 correctness core — three rounds stale); (c) as
-# many of the 32 r2-latest (dedup/ANN/streaming families) as the
-# 50-query cap admits — the remainder stays r2-latest (within the
-# freshness bar) and leads round 6.
+# Round-6 rotation (VERDICT r5 item 1: execute the planned rotation —
+# after this round no query's latest green may be older than round 3).
+# Build order: (a) queries whose CODE changed this round (the round-6
+# table_source.py hardening: expired-offset semantics, CoW-changelog
+# netting, NaN-safe float pushdown, pos-delete path matching) plus the
+# cdc_cow debut; (b) the 22 r2-latest queries (dedup/streaming/
+# multimodal/text tails — three rounds stale by now); (c) 25 of the
+# 40-query r3 cohort, the §2 DDL/harness/time-travel correctness core
+# and TPC-H shapes first. The 15 r3 queries that miss the 50-cap
+# (attribution_last_touch, basket_part_affinity, corpus_mixture_weights,
+# corpus_shuffle_shards, customer_rfm_segments, doc_length_histogram,
+# events_anomaly_zscore, events_gapfill_locf, retention_cohort_weekly,
+# sample_importance_weighted, sample_stratified_by_lang,
+# text_repetition_scores, text_unigram_logprob,
+# tokenizer_bpe_pair_counts, top_tokens) stay r3-latest — inside the
+# bar — and LEAD ROUND 7 together with whatever round 7 touches.
 # REFRESH EACH ROUND: rebuild from the union of CORRECTNESS_r*.json —
 # never-green and code-touched queries first, oldest-green next.
 PRIORITY: tuple[str, ...] = (
-    # -- (a) round-5 code-touched + debuts --
-    "delete_files_advisory",            # NEW r5: advisory + auto-compact
-    "tpcds_channel_union",              # NEW r5: multi-channel UNION template
-    "tpch_q17_small_qty_revenue",       # NEW r5: correlated-avg decorrelation
-    "tpch_q22_global_sales_opportunity",  # NEW r5: scalar sub + anti-join
-    "quality_gopher_rules",             # NEW r5: one-pass corpus quality gate
-    "branch_wap_publish",               # r5: + cherrypick_snapshot publish leg
-    "streaming_table_source_read",      # NEW r5: laketable streaming source
-    "streaming_table_source_cdc",       # NEW r5: CDC feed (mode=cdc)
-    "tpch_q19_discounted_revenue",      # NEW r5: disjunctive pushdown
-    "streaming_ingest_laketable",       # r5: replay-idempotent streaming_append
-    "streaming_quarantine_gate",        # r5: domain + null rules added
-    "multimodal_phash_dedup",           # r5: byte-based oracle
-    "iceberg_metadata_roundtrip",       # r5: table-wide partition field-ids
-    "rest_catalog_conformance",         # r5: per-catalog privilege resolution
-    "ann_ivf",                          # r5: counted k_returned
-    "ann_ivf_partitioned",              # r5: counted k_returned
-    "ann_ivf_incremental",              # r5: counted k_returned
-    "cdc_equality_upsert",              # r5: auto-compact hook on delete_by_keys
-    "mor_delete_update_read",           # r5: auto-compact hook on MoR paths
-    "crud_update_delete",               # r5: auto-compact hook on delete/update
-    "merge_upsert",                     # r5: auto-compact hook on MoR merge
-    # -- (b) the 22 r1-only-green backlog (stale three rounds) --
-    "pricing_summary",
-    "shipping_priority_top10",
-    "range_pruned_agg",
-    "latest_event_top1",
-    "percentile_by_group",
-    "distinct_users_exact",
-    "distinct_pairs",
-    "having_filter",
-    "stats_aggregates",
-    "array_functions_suite",
-    "string_functions_suite",
-    "date_functions_suite",
-    "ordered_read",
-    "inlist_lookup",
-    "reagg_total",
-    "groupby_count",
-    "full_scan_projection",
-    "sum_checksum",
-    "revenue_checksum",
-    "point_lookup",
-    "limit_preview",
-    "count_star",
-    # -- (c) r2-latest cohort, code-drift-riskiest first (fills the cap) --
-    "knn_brute_force",
-    "knn_batch_queries",
-    "ann_lsh_buckets",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    # ---- 50-query cap lands here; the rest leads round 6 ----
+    # -- (a) round-6 code-touched + debut --
+    "streaming_table_source_cdc_cow",   # NEW r6: CoW commits netted into CDC
+    "streaming_table_source_read",      # r6: expired-offset + restart contract
+    "streaming_table_source_cdc",       # r6: pos-delete path matching
+    # -- (b) the 22 r2-latest (three rounds stale) --
     "dedup_connected_components",
     "embedding_quantize_int8",
     "streaming_enrich_join",
@@ -126,17 +82,33 @@ PRIORITY: tuple[str, ...] = (
     "maintenance_zorder",
     "pipeline_training_data",
     "datagen_tx_events_dims",
+    # -- (c) r3 cohort, correctness-core first (fills the 50 cap) --
+    "ddl_lifecycle",
+    "harness_crud_plan",
+    "time_travel_checksum",
+    "schema_evolution_read",
+    "snapshot_lineage",
+    "tag_and_rollback",
+    "incremental_read_changes",
+    "maintenance_compaction",           # also r6 code-touched: orphan grace
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume_customer",
+    "grouping_sets_revenue",
+    "pipeline_curate_full",
+    "pipeline_pack_sequences",
+    "corpus_contamination_check",
+    "corpus_split_train_val_test",
+    "corpus_shard_manifest",
+    "sketch_hll_union_rollup",
+    "percentile_approx_by_group",
+    "distinct_users_approx",
+    "events_resample_ohlc",
+    "regexp_functions_suite",
+    "text_pii_redaction",
 )
-# ROUND-6 ROTATION PLAN (rebuild PRIORITY from CORRECTNESS_r05 + the
-# r1-r5 union): (a) queries whose CODE changed in round 6, plus
-# streaming_table_source_read/cdc if table_source.py changes again
-# (round 5's late additions — rate limiting, branch/starting-position
-# reads, the streaming sink, batch writer, filter pushdown — all live
-# there); (b) the ~25 (c)-cohort queries above that missed round 5's
-# 50-cap (still r2-latest; oldest first); (c) the round-3 cohort
-# (merge_upsert, time_travel_checksum, schema_evolution_read, the
-# window/join/setop/corpus suites) — r3-latest after this round, two
-# rounds stale by round 6's end if not rotated.
 
 
 def load_all() -> None:

@@ -105,7 +105,7 @@ def test_sigkill_mid_commit_keeps_table_consistent(spark, tmp_path):
 
     # 3) crash debris is collectable: the orphan data file and the
     # metadata temp both go; referenced files stay referenced
-    res = t2.remove_orphan_files()
+    res = t2.remove_orphan_files(older_than_ms=int(time.time() * 1000) + 60_000)
     assert res["orphan_file_count"] >= 2
     assert not os.path.exists(
         os.path.join(table_path, "data", "crash-orphan.parquet")

@@ -186,11 +186,16 @@ def test_maintenance(table):
     assert res["expired_snapshots_count"] >= 1
     assert table.read().count() == 11  # current snapshot unaffected
 
-    res = table.remove_orphan_files()
+    import time as _time
+
+    _sweep_all = int(_time.time() * 1000) + 60_000  # no in-flight writers
+    res = table.remove_orphan_files(older_than_ms=_sweep_all)
     assert table.read().count() == 11
     # every remaining on-disk parquet is referenced
-    res2 = table.remove_orphan_files()
+    res2 = table.remove_orphan_files(older_than_ms=_sweep_all)
     assert res2["orphan_file_count"] == 0
+    # default cutoff (now - 3d grace): freshly-written orphans are kept
+    assert table.remove_orphan_files()["orphan_file_count"] == 0
 
 
 def test_commit_conflict(spark, table):
@@ -954,7 +959,9 @@ def test_migrate_parquet_inplace(spark, tmp_path):
     assert not any(
         e.path.startswith(d + "/legacy") for e in t._snapshot().files
     )  # folded into table-owned layout
-    t.remove_orphan_files()
+    import time as _time
+
+    t.remove_orphan_files(older_than_ms=int(_time.time() * 1000) + 60_000)
     assert len(glob.glob(d + "/legacy/*.parquet")) == 4  # source untouched
 
 

@@ -608,14 +608,14 @@ def test_batch_reader_filter_pushdown_prunes_files(spark, tmp_path):
     assert df.count() == 31
 
 
-def test_pushdown_honors_column_defaults_and_skips_floats(spark, tmp_path):
+def test_pushdown_honors_column_defaults_and_float_nan_rules(spark, tmp_path):
     """Two review-driven contracts: (1) a column added with a non-null
     DEFAULT reads as that default in pre-add files, and pushdown prunes
     by evaluating the predicate against the default — never by assuming
     all-null; (2) float predicates are never pushed (Spark orders NaN
     above everything, Arrow/parquet use IEEE — pushing would silently
     drop NaN rows)."""
-    from pyspark.sql.datasource import EqualTo
+    from pyspark.sql.datasource import EqualTo, GreaterThan
     from pyspark.sql.types import StructType
 
     from iceberg_catalog_bench_spark.streaming.table_source import (
@@ -656,9 +656,17 @@ def test_pushdown_honors_column_defaults_and_skips_floats(spark, tmp_path):
     assert len(plan(EqualTo(("src",), "app"))) == 1
     assert len(plan(EqualTo(("src",), "ftp"))) == 0
 
-    # float predicates are refused: nothing pruned, Spark re-filters
+    # float = / < / <= push safely: NaN matches under NEITHER Spark
+    # (NaN sorts greatest) nor IEEE semantics, so stats pruning and the
+    # Arrow row filter agree with Spark's own filter
     r = ds.reader(schema)
     r.pushFilters([EqualTo(("v",), 1.0)])
+    assert len(r.preds) == 1
+    assert len(r.partitions()) == 1
+    # float > / >= are refused: Spark KEEPS NaN rows for them but
+    # footer stats omit NaN and IEEE row filters drop them
+    r = ds.reader(schema)
+    r.pushFilters([GreaterThan(("v",), 0.5)])
     assert r.preds == []
     assert len(r.partitions()) == 2
 
@@ -767,7 +775,13 @@ def test_stream_writer_orphans_are_collected(spark, tmp_path):
     orphan = os.path.join(t.path, m.rel_path)
     assert os.path.exists(orphan)
     assert sorted(r["k"] for r in t.read().collect()) == [1]
+    import time as _time
+
+    # default grace keeps the fresh file (it could be an in-flight
+    # commit's); an explicit cutoff sweeps it
     t.remove_orphan_files()
+    assert os.path.exists(orphan)
+    t.remove_orphan_files(older_than_ms=int(_time.time() * 1000) + 60_000)
     assert not os.path.exists(orphan)
 
 
