@@ -199,6 +199,13 @@ def main() -> None:
         "value", F.col("value") + 1.0
     )
     phase_once("upsert_cdc", lambda: t.upsert_by_keys(upsert_batch, on=["event_id"]))
+    # Advisory scan (round 6): metadata-only — reads manifests, never
+    # data — run right after the CDC upsert so outstanding delete
+    # files give it real content. Times the raw advisory arithmetic
+    # (maintenance_advice_row — the DataFrame wrapper is fixed Spark
+    # overhead); sub-0.1s by design, a regression here means the
+    # advisory started touching data.
+    phase_once("maintenance_advice", lambda: t.maintenance_advice_row())
     phase_once("rewrite_manifests", lambda: t.rewrite_manifests())
     phase_once("expire_snapshots", lambda: t.expire_snapshots(retain_last=2))
     shutil.rmtree(scratch, ignore_errors=True)

@@ -503,3 +503,123 @@ def read_via_iceberg_metadata(
     if mor:
         out = out.drop("_ice_file", "_ice_pos")
     return out
+
+
+# DuckDB type spelling per Iceberg primitive — the second engine's half
+# of the cross-engine contract (reference: cross-engine readback,
+# ICEBERG-Interoperability-Test-Spec.md:10-14).
+_DUCK_TYPE = {
+    "long": "BIGINT",
+    "int": "INTEGER",
+    "string": "VARCHAR",
+    "double": "DOUBLE",
+    "float": "REAL",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamptz": "TIMESTAMP",
+    "timestamp": "TIMESTAMP",
+    "binary": "BLOB",
+}
+
+
+def _duck_type(iceberg: str) -> str:
+    if iceberg.startswith("decimal"):
+        return iceberg.upper()
+    try:
+        return _DUCK_TYPE[iceberg]
+    except KeyError:
+        raise ValueError(f"no DuckDB mapping for Iceberg type {iceberg!r}") from None
+
+
+def _sql_literal(v, duck_type: str) -> str:
+    if v is None:
+        return f"CAST(NULL AS {duck_type})"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return f"CAST({v!r} AS {duck_type})"
+    return "CAST('" + str(v).replace("'", "''") + f"' AS {duck_type})"
+
+
+def duckdb_scan_sql(metadata_path: str, snapshot_id: int | None = None) -> str:
+    """Compile the exported Iceberg chain into ONE DuckDB SQL statement
+    — a scan a SECOND, INDEPENDENT engine executes entirely itself.
+
+    The walk (metadata.json → snapshot → manifest list → manifests)
+    only RESOLVES the plan: which parquet files, which schema
+    generation wrote each, which position-delete files tombstone them.
+    Everything semantic — field-id projection (rename = alias, widen =
+    CAST, added column = its initial-default literal) and the
+    merge-on-read anti-join of ``(file_path, pos)`` tombstones against
+    DuckDB's own ``filename``/``file_row_number`` virtual columns — is
+    executed BY DuckDB from plain SQL, so agreement with
+    ``LakeTable.read()`` proves the exported metadata describes the
+    same table to an engine that shares no code with the repo's
+    readers. Equality deletes are refused (position deletes cover the
+    exported MoR surface here; external engines commonly draw the same
+    line).
+    """
+    with open(metadata_path) as fh:
+        md = json.load(fh)
+    sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+    with open(snap["manifest-list"]) as fh:
+        mlist = json.load(fh)
+    by_schema: dict[int, list[str]] = {}
+    delete_paths: list[str] = []
+    for m in mlist["manifests"]:
+        with open(m["manifest-path"]) as fh:
+            manifest = json.load(fh)
+        for e in manifest["entries"]:
+            df_entry = e["data-file"]
+            if df_entry.get("content") == 2:
+                raise ValueError(
+                    "duckdb_scan_sql does not apply equality deletes; "
+                    "compact them first (rewrite_data_files)"
+                )
+            if df_entry.get("content") == 1:
+                delete_paths.append(_strip_scheme(df_entry["file-path"]))
+                continue
+            by_schema.setdefault(df_entry["schema-id"], []).append(
+                _strip_scheme(df_entry["file-path"])
+            )
+    target = next(s for s in md["schemas"] if s["schema-id"] == snap["schema-id"])
+    names = ", ".join(f'"{f["name"]}"' for f in target["fields"])
+    if not by_schema:
+        cols = ", ".join(
+            f'{_sql_literal(None, _duck_type(f["type"]))} AS "{f["name"]}"'
+            for f in target["fields"]
+        )
+        return f"SELECT {cols} WHERE FALSE"
+    gens = []
+    for schema_id, files in sorted(by_schema.items()):
+        written = next(s for s in md["schemas"] if s["schema-id"] == schema_id)
+        names_by_id = {f["id"]: f["name"] for f in written["fields"]}
+        sel = []
+        for f in target["fields"]:
+            duck = _duck_type(f["type"])
+            old = names_by_id.get(f["id"])
+            if old is not None:
+                sel.append(f'CAST("{old}" AS {duck}) AS "{f["name"]}"')
+            else:
+                sel.append(
+                    f'{_sql_literal(f.get("initial-default"), duck)} AS "{f["name"]}"'
+                )
+        flist = ", ".join("'" + p.replace("'", "''") + "'" for p in files)
+        sel.append("filename AS _f")
+        sel.append("file_row_number AS _pos")
+        gens.append(
+            f"SELECT {', '.join(sel)} FROM read_parquet([{flist}], "
+            f"filename=true, file_row_number=true)"
+        )
+    union = " UNION ALL ".join(gens)
+    if not delete_paths:
+        return f"SELECT {names} FROM ({union})"
+    dlist = ", ".join("'" + p.replace("'", "''") + "'" for p in delete_paths)
+    return (
+        f"WITH _data AS ({union}), "
+        f"_pd AS (SELECT file_path, pos FROM read_parquet([{dlist}])) "
+        f"SELECT {names} FROM _data WHERE NOT EXISTS ("
+        f"SELECT 1 FROM _pd WHERE _pd.file_path = _data._f "
+        f"AND _pd.pos = _data._pos)"
+    )

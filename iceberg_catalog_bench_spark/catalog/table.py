@@ -2232,6 +2232,18 @@ class LakeTable:
         goes one further: any row-level op that leaves ≥ N outstanding
         delete files triggers ``rewrite_position_delete_files``
         post-commit, folding the tombstones in."""
+        return self.spark.createDataFrame(
+            [self.maintenance_advice_row()],
+            "delete_file_count bigint, position_delete_files bigint, "
+            "equality_delete_files bigint, delete_rows bigint, "
+            "affected_data_files bigint, total_data_files bigint, "
+            "read_amplification_est double, advice string",
+        )
+
+    def maintenance_advice_row(self) -> tuple:
+        """The advisory's raw row — pure metadata arithmetic, no Spark
+        (what `bench.py`'s maintenance_advice phase times: driver-side
+        manifest work must stay O(metadata), never O(data))."""
         snap = self._snapshot()
         props = self._meta.get("properties", {}) or {}
         threshold = int(props.get("write.delete.compact-advice-after-files", 3))
@@ -2248,7 +2260,7 @@ class LakeTable:
             affected_paths.update(e.path for e in hit)
             extra_bytes += sum(e.bytes for e in hit)
         amp = 1.0 + (extra_bytes / total_bytes if total_bytes else 0.0)
-        row = (
+        return (
             len(dels),
             sum(1 for d in dels if d.content == "position"),
             sum(1 for d in dels if d.content == "equality"),
@@ -2257,13 +2269,6 @@ class LakeTable:
             len(files),
             round(amp, 3),
             "compact" if len(dels) >= threshold else "ok",
-        )
-        return self.spark.createDataFrame(
-            [row],
-            "delete_file_count bigint, position_delete_files bigint, "
-            "equality_delete_files bigint, delete_rows bigint, "
-            "affected_data_files bigint, total_data_files bigint, "
-            "read_amplification_est double, advice string",
         )
 
     def _maybe_auto_compact(self, branch: str | None = None) -> None:

@@ -361,24 +361,42 @@ def tag_and_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT COUNT(*) AS row_count, "
         "ROUND(SUM(p_retailprice), 2) AS price_sum, "
         "CAST(SUM(CASE WHEN p_size <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_general, "
-        "CAST(SUM(CASE WHEN p_size > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize "
-        "FROM part"
+        "CAST(SUM(CASE WHEN p_size > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize, "
+        "COUNT(*) AS ext_row_count, "
+        "ROUND(SUM(p_retailprice), 2) AS ext_price_sum "
+        "FROM part WHERE p_partkey % 10 <> 0"
     ),
 )
 def iceberg_metadata_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-engine interoperability, driver-checked: build a table
-    WITH schema evolution (add-default + rename), export its metadata
-    in the Iceberg v2 layout (metadata.json → manifest list →
-    manifests), then read it back THROUGH that chain only — the walk
-    an external Iceberg reader performs, field-id projection included;
-    LakeTable's own metadata is never consulted on the read side. The
-    checksums must equal plain SQL over the source rows, proving the
-    exported chain describes the same table."""
-    from ..catalog.iceberg_export import read_via_iceberg_metadata, to_iceberg_metadata
+    WITH schema evolution (add-default + rename) AND merge-on-read
+    position deletes, export its metadata in the Iceberg v2 layout
+    (metadata.json → manifest list → manifests), then read it back
+    through TWO independent legs: (1) the repo's own chain walker
+    (``read_via_iceberg_metadata`` — never consults LakeTable
+    metadata), and (2) a SECOND ENGINE — the chain compiled to one
+    DuckDB SQL statement (``duckdb_scan_sql``) whose projection,
+    defaults, and (file, pos) tombstone anti-join DuckDB executes
+    itself over its own ``filename``/``file_row_number`` virtual
+    columns. Both checksums must equal plain SQL over the source rows
+    (``ext_*`` pins the DuckDB leg), proving the exported chain
+    describes the same table to a reader sharing no code with the
+    repo's scan paths — the reference's cross-engine readback
+    acceptance (ICEBERG-Interoperability-Test-Spec.md:10-14)."""
+    import duckdb
+
+    from ..catalog.iceberg_export import (
+        duckdb_scan_sql,
+        read_via_iceberg_metadata,
+        to_iceberg_metadata,
+    )
 
     part = load_table(spark, "part", sf_dir)
     d = _tmp_table_dir()
-    t = LakeTable.create(spark, d, "p_partkey bigint, p_name string, p_retailprice double")
+    t = LakeTable.create(
+        spark, d, "p_partkey bigint, p_name string, p_retailprice double",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
     t.append(part.filter(F.col("p_size") <= 25).select("p_partkey", "p_name", "p_retailprice"))
     t.add_column("category", "string", default="general")
     t.rename_column("p_name", "part_name")
@@ -390,12 +408,20 @@ def iceberg_metadata_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("oversize").alias("category"),
         )
     )
-    exported = read_via_iceberg_metadata(spark, to_iceberg_metadata(t))
+    t.delete_where("p_partkey % 10 = 0")  # MoR: position-delete files
+    meta_path = to_iceberg_metadata(t)
+    ext_count, ext_sum = duckdb.sql(
+        "SELECT COUNT(*), ROUND(SUM(p_retailprice), 2) FROM ("
+        + duckdb_scan_sql(meta_path) + ")"
+    ).fetchone()
+    exported = read_via_iceberg_metadata(spark, meta_path)
     return exported.agg(
         F.count(F.lit(1)).alias("row_count"),
         F.round(F.sum("p_retailprice"), 2).alias("price_sum"),
         F.sum((F.col("category") == "general").cast("bigint")).alias("n_general"),
         F.sum((F.col("category") == "oversize").cast("bigint")).alias("n_oversize"),
+        F.lit(int(ext_count)).cast("bigint").alias("ext_row_count"),
+        F.lit(float(ext_sum)).cast("double").alias("ext_price_sum"),
     )
 
 

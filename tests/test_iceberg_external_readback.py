@@ -1,0 +1,144 @@
+"""External (non-repo) decode of the exported Iceberg metadata chain.
+
+VERDICT r5 item 5: `iceberg_metadata_roundtrip` previously validated
+the export with the repo's OWN walker — circular if both sides shared
+a bug. This module closes that with two independent legs:
+
+1. a FROM-SCRATCH walker written HERE, in the tests, against the
+   exported layout only (metadata.json → snapshot → manifest list →
+   manifests → parquet files). It decodes with stdlib json + DuckDB
+   per-file reads + pandas projection, sharing no code with
+   `iceberg_export`'s readers, and must reproduce `LakeTable.read()`
+   exactly — schema evolution (rename/widen/default) and
+   merge-on-read position deletes included.
+2. `duckdb_scan_sql` — the chain compiled to ONE SQL statement that
+   DuckDB executes entirely itself (the driver row's cross-engine
+   leg) — must agree with both.
+
+Reference analogue: the spec's whole point is cross-engine readback
+(ICEBERG-Interoperability-Test-Spec.md:10-14).
+"""
+
+import json
+
+import duckdb
+import pytest
+
+from iceberg_catalog_bench_spark.catalog.iceberg_export import (
+    duckdb_scan_sql,
+    to_iceberg_metadata,
+)
+from iceberg_catalog_bench_spark.catalog.table import LakeTable
+
+
+def _strip(p: str) -> str:
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
+def _independent_walk(metadata_path: str) -> list[tuple]:
+    """Decode the exported chain from scratch: no imports from
+    iceberg_export's reader, no LakeTable metadata. Returns the
+    table's rows as a sorted list of tuples in current-schema column
+    order."""
+    md = json.load(open(metadata_path))
+    snap = next(
+        s for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    target = next(s for s in md["schemas"] if s["schema-id"] == snap["schema-id"])
+    schemas_by_id = {s["schema-id"]: s for s in md["schemas"]}
+    mlist = json.load(open(snap["manifest-list"]))
+
+    data_entries: list[dict] = []
+    tombstones: set[tuple[str, int]] = set()
+    for m in mlist["manifests"]:
+        for e in json.load(open(m["manifest-path"]))["entries"]:
+            df = e["data-file"]
+            if df.get("content") == 1:  # position deletes
+                pd_rows = duckdb.sql(
+                    f"SELECT file_path, pos FROM read_parquet('{_strip(df['file-path'])}')"
+                ).fetchall()
+                tombstones.update((fp, int(pos)) for fp, pos in pd_rows)
+            elif df.get("content") == 2:
+                raise AssertionError("test table should not have equality deletes")
+            else:
+                data_entries.append(df)
+
+    rows: list[tuple] = []
+    for df in data_entries:
+        path = _strip(df["file-path"])
+        written = schemas_by_id[df["schema-id"]]
+        names_by_id = {f["id"]: f["name"] for f in written["fields"]}
+        frame = duckdb.sql(f"SELECT * FROM read_parquet('{path}')").fetchdf()
+        for pos in range(len(frame)):
+            if (path, pos) in tombstones:
+                continue
+            out = []
+            for f in target["fields"]:
+                old = names_by_id.get(f["id"])
+                if old is None:
+                    out.append(f.get("initial-default"))
+                else:
+                    v = frame[old].iloc[pos]
+                    # pandas numpy scalars → python (int64 widening is a
+                    # no-op at the value level)
+                    out.append(v.item() if hasattr(v, "item") else v)
+            rows.append(tuple(out))
+    return sorted(rows)
+
+
+def test_external_walker_matches_native_read_and_duckdb_sql(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), "k int, name string, v double",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.append(spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "k int, name string, v double",
+    ))
+    t.alter_column_type("k", "bigint")      # widen int → bigint
+    t.rename_column("name", "label")        # rename
+    t.add_column("tag", "string", default="base")  # add with default
+    t.append(spark.createDataFrame(
+        [(4, "d", 4.0, "late"), (5, "e", 5.0, "late")],
+        "k bigint, label string, v double, tag string",
+    ))
+    t.delete_where("k = 2 OR k = 5")        # MoR position deletes
+    meta = to_iceberg_metadata(t)
+
+    native = sorted(tuple(r) for r in t.read().collect())
+    assert native == [
+        (1, "a", 1.0, "base"), (3, "c", 3.0, "base"), (4, "d", 4.0, "late"),
+    ]
+
+    # Leg 1: the from-scratch walker defined in this test module
+    assert _independent_walk(meta) == native
+
+    # Leg 2: DuckDB executing the compiled single-statement scan
+    duck = sorted(tuple(r) for r in duckdb.sql(duckdb_scan_sql(meta)).fetchall())
+    assert duck == native
+
+
+def test_duckdb_scan_sql_time_travel_and_eq_delete_refusal(spark, tmp_path):
+    """snapshot_id selects an older exported snapshot; a chain with
+    equality deletes is refused loudly rather than mis-scanned."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), "k bigint, v double",
+        properties={"write.update.mode": "merge-on-read"},
+    )
+    s1 = t.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k bigint, v double"))
+    t.append(spark.createDataFrame([(3, 3.0)], "k bigint, v double"))
+    meta = to_iceberg_metadata(t)
+    old = duckdb.sql(duckdb_scan_sql(meta, snapshot_id=s1.snapshot_id)).fetchall()
+    assert sorted(r[0] for r in old) == [1, 2]
+
+    t.upsert_by_keys(
+        spark.createDataFrame([(2, 20.0)], "k bigint, v double"), on=["k"]
+    )  # equality-delete file
+    meta2 = to_iceberg_metadata(t)
+    with pytest.raises(ValueError, match="equality deletes"):
+        duckdb_scan_sql(meta2)
