@@ -549,15 +549,16 @@ def duckdb_scan_sql(metadata_path: str, snapshot_id: int | None = None) -> str:
     only RESOLVES the plan: which parquet files, which schema
     generation wrote each, which position-delete files tombstone them.
     Everything semantic — field-id projection (rename = alias, widen =
-    CAST, added column = its initial-default literal) and the
+    CAST, added column = its initial-default literal), the
     merge-on-read anti-join of ``(file_path, pos)`` tombstones against
-    DuckDB's own ``filename``/``file_row_number`` virtual columns — is
-    executed BY DuckDB from plain SQL, so agreement with
-    ``LakeTable.read()`` proves the exported metadata describes the
-    same table to an engine that shares no code with the repo's
-    readers. Equality deletes are refused (position deletes cover the
-    exported MoR surface here; external engines commonly draw the same
-    line).
+    DuckDB's own ``filename``/``file_row_number`` virtual columns, and
+    equality-delete application (a null-safe NOT EXISTS against the
+    delete file's key rows, guarded by Iceberg's sequence rule: the
+    tombstone hits only data files with a STRICTLY smaller data
+    sequence number) — is executed BY DuckDB from plain SQL, so
+    agreement with ``LakeTable.read()`` proves the exported metadata
+    describes the same table to an engine that shares no code with the
+    repo's readers.
     """
     with open(metadata_path) as fh:
         md = json.load(fh)
@@ -565,34 +566,36 @@ def duckdb_scan_sql(metadata_path: str, snapshot_id: int | None = None) -> str:
     snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
     with open(snap["manifest-list"]) as fh:
         mlist = json.load(fh)
-    by_schema: dict[int, list[str]] = {}
+    # union arms are one per (schema generation, data sequence number):
+    # the generation fixes the projection, the sequence number rides
+    # along as a literal so equality deletes can apply their
+    # smaller-sequence rule row-free
+    by_arm: dict[tuple[int, int], list[str]] = {}
     delete_paths: list[str] = []
+    eq_deletes: list[dict] = []
     for m in mlist["manifests"]:
         with open(m["manifest-path"]) as fh:
             manifest = json.load(fh)
         for e in manifest["entries"]:
             df_entry = e["data-file"]
             if df_entry.get("content") == 2:
-                raise ValueError(
-                    "duckdb_scan_sql does not apply equality deletes; "
-                    "compact them first (rewrite_data_files)"
-                )
+                eq_deletes.append(df_entry)
+                continue
             if df_entry.get("content") == 1:
                 delete_paths.append(_strip_scheme(df_entry["file-path"]))
                 continue
-            by_schema.setdefault(df_entry["schema-id"], []).append(
-                _strip_scheme(df_entry["file-path"])
-            )
+            arm = (df_entry["schema-id"], df_entry.get("data-sequence-number") or 0)
+            by_arm.setdefault(arm, []).append(_strip_scheme(df_entry["file-path"]))
     target = next(s for s in md["schemas"] if s["schema-id"] == snap["schema-id"])
     names = ", ".join(f'"{f["name"]}"' for f in target["fields"])
-    if not by_schema:
+    if not by_arm:
         cols = ", ".join(
             f'{_sql_literal(None, _duck_type(f["type"]))} AS "{f["name"]}"'
             for f in target["fields"]
         )
         return f"SELECT {cols} WHERE FALSE"
     gens = []
-    for schema_id, files in sorted(by_schema.items()):
+    for (schema_id, seq), files in sorted(by_arm.items()):
         written = next(s for s in md["schemas"] if s["schema-id"] == schema_id)
         names_by_id = {f["id"]: f["name"] for f in written["fields"]}
         sel = []
@@ -608,18 +611,38 @@ def duckdb_scan_sql(metadata_path: str, snapshot_id: int | None = None) -> str:
         flist = ", ".join("'" + p.replace("'", "''") + "'" for p in files)
         sel.append("filename AS _f")
         sel.append("file_row_number AS _pos")
+        sel.append(f"CAST({seq} AS BIGINT) AS _seq")
         gens.append(
             f"SELECT {', '.join(sel)} FROM read_parquet([{flist}], "
             f"filename=true, file_row_number=true)"
         )
     union = " UNION ALL ".join(gens)
-    if not delete_paths:
+    conds = []
+    if delete_paths:
+        dlist = ", ".join("'" + p.replace("'", "''") + "'" for p in delete_paths)
+        conds.append(
+            f"NOT EXISTS (SELECT 1 FROM read_parquet([{dlist}]) _pd "
+            f"WHERE _pd.file_path = _data._f AND _pd.pos = _data._pos)"
+        )
+    for d in eq_deletes:
+        cols = d.get("equality-field-names", [])
+        if not cols:
+            raise ValueError(
+                f"equality-delete file {d['file-path']} records no key "
+                f"column names; cannot compile its tombstones to SQL"
+            )
+        dpath = _strip_scheme(d["file-path"]).replace("'", "''")
+        dseq = d.get("data-sequence-number") or 0
+        match = " AND ".join(
+            f'_eq."{c}" IS NOT DISTINCT FROM _data."{c}"' for c in cols
+        )
+        conds.append(
+            f"NOT (_data._seq < {dseq} AND EXISTS ("
+            f"SELECT 1 FROM read_parquet('{dpath}') _eq WHERE {match}))"
+        )
+    if not conds:
         return f"SELECT {names} FROM ({union})"
-    dlist = ", ".join("'" + p.replace("'", "''") + "'" for p in delete_paths)
     return (
-        f"WITH _data AS ({union}), "
-        f"_pd AS (SELECT file_path, pos FROM read_parquet([{dlist}])) "
-        f"SELECT {names} FROM _data WHERE NOT EXISTS ("
-        f"SELECT 1 FROM _pd WHERE _pd.file_path = _data._f "
-        f"AND _pd.pos = _data._pos)"
+        f"WITH _data AS ({union}) SELECT {names} FROM _data "
+        f"WHERE {' AND '.join(conds)}"
     )

@@ -41,24 +41,34 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # Build order: (a) queries whose CODE changed this round (the round-6
 # table_source.py hardening: expired-offset semantics, CoW-changelog
 # netting, NaN-safe float pushdown, pos-delete path matching) plus the
-# cdc_cow debut; (b) the 22 r2-latest queries (dedup/streaming/
-# multimodal/text tails — three rounds stale by now); (c) 25 of the
-# 40-query r3 cohort, the §2 DDL/harness/time-travel correctness core
-# and TPC-H shapes first. The 15 r3 queries that miss the 50-cap
-# (attribution_last_touch, basket_part_affinity, corpus_mixture_weights,
-# corpus_shuffle_shards, customer_rfm_segments, doc_length_histogram,
-# events_anomaly_zscore, events_gapfill_locf, retention_cohort_weekly,
-# sample_importance_weighted, sample_stratified_by_lang,
-# text_repetition_scores, text_unigram_logprob,
-# tokenizer_bpe_pair_counts, top_tokens) stay r3-latest — inside the
-# bar — and LEAD ROUND 7 together with whatever round 7 touches.
+# cdc_cow debut and the 11 TPC-H-completion debuts (never-green, so
+# they must make the cap); (b) the 22 r2-latest queries (dedup/
+# streaming/multimodal/text tails — three rounds stale by now);
+# (c) the r3 cohort, §2 DDL/harness/time-travel correctness core and
+# TPC-H shapes first — 13 of the 40 fit a 50-run; the rest stay
+# r3-latest (inside the freshness bar: nothing older than r3 after
+# this round) and LEAD ROUND 7 together with whatever round 7
+# touches. If the driver runs more than 50, the (c) tail below the
+# cap greens too — the whole r3 cohort is enumerated in order.
 # REFRESH EACH ROUND: rebuild from the union of CORRECTNESS_r*.json —
 # never-green and code-touched queries first, oldest-green next.
 PRIORITY: tuple[str, ...] = (
-    # -- (a) round-6 code-touched + debut --
+    # -- (a) round-6 code-touched + debuts --
     "streaming_table_source_cdc_cow",   # NEW r6: CoW commits netted into CDC
     "streaming_table_source_read",      # r6: expired-offset + restart contract
     "streaming_table_source_cdc",       # r6: pos-delete path matching
+    "iceberg_metadata_roundtrip",       # r6: + DuckDB second-engine leg, MoR
+    "tpch_q2_min_cost_supplier",        # NEW r6: TPC-H completion (11 shapes)
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promotion_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier",
+    "tpch_q20_potential_promotion",
     # -- (b) the 22 r2-latest (three rounds stale) --
     "dedup_connected_components",
     "embedding_quantize_int8",
@@ -108,6 +118,23 @@ PRIORITY: tuple[str, ...] = (
     "events_resample_ohlc",
     "regexp_functions_suite",
     "text_pii_redaction",
+    # ---- 50-query cap lands here; the (c) tail below greens only if
+    # the driver runs deeper, else it stays r3-latest and leads r7 ----
+    "attribution_last_touch",
+    "basket_part_affinity",
+    "corpus_mixture_weights",
+    "corpus_shuffle_shards",
+    "customer_rfm_segments",
+    "doc_length_histogram",
+    "events_anomaly_zscore",
+    "events_gapfill_locf",
+    "retention_cohort_weekly",
+    "sample_importance_weighted",
+    "sample_stratified_by_lang",
+    "text_repetition_scores",
+    "text_unigram_logprob",
+    "tokenizer_bpe_pair_counts",
+    "top_tokens",
 )
 
 
@@ -135,6 +162,7 @@ def load_all() -> None:
     from . import relational  # noqa: F401
     from . import relational_ext  # noqa: F401
     from . import tpcds  # noqa: F401
+    from . import tpch_complete  # noqa: F401  — Q2/Q4/Q7/Q9/Q11-16/Q20
     from . import physical  # noqa: F401
     from . import quality  # noqa: F401
 

@@ -22,7 +22,6 @@ Reference analogue: the spec's whole point is cross-engine readback
 import json
 
 import duckdb
-import pytest
 
 from iceberg_catalog_bench_spark.catalog.iceberg_export import (
     duckdb_scan_sql,
@@ -123,9 +122,12 @@ def test_external_walker_matches_native_read_and_duckdb_sql(spark, tmp_path):
     assert duck == native
 
 
-def test_duckdb_scan_sql_time_travel_and_eq_delete_refusal(spark, tmp_path):
-    """snapshot_id selects an older exported snapshot; a chain with
-    equality deletes is refused loudly rather than mis-scanned."""
+def test_duckdb_scan_sql_time_travel_and_equality_deletes(spark, tmp_path):
+    """snapshot_id selects an older exported snapshot; an equality
+    delete (CDC upsert) applies through the SQL leg with Iceberg's
+    smaller-sequence rule — the retracted key's OLD row disappears,
+    the upserted row (larger sequence, immune to its own tombstone)
+    survives."""
     t = LakeTable.create(
         spark, str(tmp_path / "t"), "k bigint, v double",
         properties={"write.update.mode": "merge-on-read"},
@@ -137,8 +139,10 @@ def test_duckdb_scan_sql_time_travel_and_eq_delete_refusal(spark, tmp_path):
     assert sorted(r[0] for r in old) == [1, 2]
 
     t.upsert_by_keys(
-        spark.createDataFrame([(2, 20.0)], "k bigint, v double"), on=["k"]
-    )  # equality-delete file
+        spark.createDataFrame([(2, 20.0), (4, 4.0)], "k bigint, v double"), on=["k"]
+    )  # equality-delete file retracting k=2 blind + new rows
     meta2 = to_iceberg_metadata(t)
-    with pytest.raises(ValueError, match="equality deletes"):
-        duckdb_scan_sql(meta2)
+    native = sorted(tuple(r) for r in t.read().collect())
+    assert native == [(1, 1.0), (2, 20.0), (3, 3.0), (4, 4.0)]
+    duck = sorted(tuple(r) for r in duckdb.sql(duckdb_scan_sql(meta2)).fetchall())
+    assert duck == native
