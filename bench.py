@@ -354,6 +354,32 @@ def main() -> None:
             continue
         phase_median(name, lambda fn=fn: fn(spark, SF_DIR).collect())
 
+    # --- TPC-H power run (round 6) ----------------------------------------
+    # All 22 TPC-H shapes back-to-back, once, as one composite phase —
+    # the classic single-stream metric. Individual shapes that need a
+    # tight gate stay separate phases above; this composite catches a
+    # regression anywhere in the suite (a lost broadcast or pushdown in
+    # any of the 22 moves it) at ~22 plans' worth of wall time.
+    TPCH_22 = [
+        "pricing_summary", "tpch_q2_min_cost_supplier",
+        "shipping_priority_top10", "tpch_q4_order_priority",
+        "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
+        "tpch_q7_volume_shipping", "tpch_q8_market_share",
+        "tpch_q9_product_type_profit", "tpch_q10_returned_items",
+        "tpch_q11_important_stock", "tpch_q12_priority_shipping",
+        "tpch_q13_customer_distribution", "tpch_q14_promotion_effect",
+        "tpch_q15_top_supplier", "tpch_q16_parts_supplier",
+        "tpch_q17_small_qty_revenue", "tpch_q18_large_volume_customer",
+        "tpch_q19_discounted_revenue", "tpch_q20_potential_promotion",
+        "tpch_q21_sole_fault_supplier", "tpch_q22_global_sales_opportunity",
+    ]
+
+    def _power_run() -> None:
+        for q in TPCH_22:
+            registry.QUERIES[q](spark, SF_DIR).collect()
+
+    phase_once("tpch_power_run", _power_run)
+
     total = sum(results.values())
     # Record protocol (VERDICT r4 item 2): the driver tail-captures the
     # LAST stdout line and json-parses it — round 4's inline per-phase

@@ -318,3 +318,67 @@ def test_tpch_q19_factors_disjunction_to_both_scans(spark, oracle_sf_dir):
     assert "p_brand" in p_scan.split("DataFilters", 1)[1]
     assert plan.count("BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q2_rank_limit_and_broadcast_dims(spark, oracle_sf_dir):
+    """Q2's correlated-min rewrite: the per-part winner comes from a
+    rank-limit-pushed window over the pre-aggregated supply relation,
+    with every dim broadcast — no self-join, no SortMergeJoin."""
+    plan = _plan("tpch_q2_min_cost_supplier", spark, oracle_sf_dir)
+    assert "WindowGroupLimit" in plan, "rn=1 must push a group limit"
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q4_semi_join_with_pruned_inputs(spark, oracle_sf_dir):
+    """Q4's EXISTS decorrelates to a semi join whose BOTH inputs are
+    scan-pruned: the quarter on orders, the returnflag on lineitem."""
+    plan = _plan("tpch_q4_order_priority", spark, oracle_sf_dir)
+    assert "LeftSemi" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate," in plan
+
+
+def test_tpch_q7_broadcasts_both_nation_sides(spark, oracle_sf_dir):
+    """Q7's nation-pair disjunction: each half pre-reduces its dim
+    (supplier / customer to the two nations) and broadcasts; the ship
+    window lands on the lineitem scan."""
+    plan = _plan("tpch_q7_volume_shipping", spark, oracle_sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "GreaterThanOrEqual(l_shipdate," in plan
+
+
+def test_tpch_q13_left_outer_keeps_zero_bucket(spark, oracle_sf_dir):
+    """Q13 must keep the LEFT OUTER join (zero-order customers are the
+    point) and push the priority exclusion to the orders scan."""
+    plan = _plan("tpch_q13_customer_distribution", spark, oracle_sf_dir)
+    assert "LeftOuter" in plan
+    assert "Not(EqualTo(o_orderpriority,4-NOT SPECIFIED))" in plan
+
+
+def test_tpch_q15_scalar_max_broadcast(spark, oracle_sf_dir):
+    """Q15's scalar-MAX threshold re-aggregates the grouped revenue
+    relation and broadcasts back — the quarter filter reaches the
+    lineitem scan; the supplier dim broadcasts."""
+    plan = _plan("tpch_q15_top_supplier", spark, oracle_sf_dir)
+    assert "GreaterThanOrEqual(l_shipdate," in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q16_anti_join_not_in(spark, oracle_sf_dir):
+    """Q16's NOT IN decorrelates to a broadcast LEFT ANTI (s_suppkey
+    is non-null, so the rewrite is safe) with the brand/size filter
+    reducing part before it broadcasts."""
+    plan = _plan("tpch_q16_parts_supplier", spark, oracle_sf_dir)
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q20_grouped_reagg_no_second_fact_scan(spark, oracle_sf_dir):
+    """Q20's per-part totals re-aggregate the grouped (supplier, part)
+    relation; the year window reaches the lineitem scan and the part /
+    supplier dims broadcast (semi + hash)."""
+    plan = _plan("tpch_q20_potential_promotion", spark, oracle_sf_dir)
+    assert "GreaterThanOrEqual(l_shipdate," in plan
+    assert "BroadcastHashJoin" in plan
