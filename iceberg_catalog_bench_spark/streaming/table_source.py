@@ -493,25 +493,43 @@ def _ancestry(meta: dict, from_id: int, back_to: int) -> list[dict]:
     return chain
 
 
+def _stat_comparable(v):
+    """Datetime/date literals → the string form footer stats record
+    (catalog.table._json_safe: naive-UTC, space separator — chosen
+    there so LEXICAL order is chronological order), so a pushed
+    temporal predicate can compare directly against file stats.
+    Non-temporal values pass through."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
+
+
 def _value_matches(value, f) -> bool:
     """Evaluate a pushed predicate against one scalar (the declared
     default a missing column reads as). Conservative: keep on any
     type mismatch."""
     if value is None:
         return False  # comparisons with NULL never match
+    value = _stat_comparable(value)
     try:
         if isinstance(f, EqualTo):
-            return value == f.value
+            return value == _stat_comparable(f.value)
         if isinstance(f, In):
-            return value in f.value
+            return value in [_stat_comparable(v) for v in f.value]
         if isinstance(f, GreaterThan):
-            return value > f.value
+            return value > _stat_comparable(f.value)
         if isinstance(f, GreaterThanOrEqual):
-            return value >= f.value
+            return value >= _stat_comparable(f.value)
         if isinstance(f, LessThan):
-            return value < f.value
+            return value < _stat_comparable(f.value)
         if isinstance(f, LessThanOrEqual):
-            return value <= f.value
+            return value <= _stat_comparable(f.value)
     except TypeError:
         return True
     return True
@@ -898,17 +916,17 @@ class LakeTableBatchReader(DataSourceReader):
             return True
         try:
             if isinstance(f, EqualTo):
-                return lo <= f.value <= hi
+                return lo <= _stat_comparable(f.value) <= hi
             if isinstance(f, In):
-                return any(lo <= v <= hi for v in f.value)
+                return any(lo <= _stat_comparable(v) <= hi for v in f.value)
             if isinstance(f, GreaterThan):
-                return hi > f.value
+                return hi > _stat_comparable(f.value)
             if isinstance(f, GreaterThanOrEqual):
-                return hi >= f.value
+                return hi >= _stat_comparable(f.value)
             if isinstance(f, LessThan):
-                return lo < f.value
+                return lo < _stat_comparable(f.value)
             if isinstance(f, LessThanOrEqual):
-                return lo <= f.value
+                return lo <= _stat_comparable(f.value)
         except TypeError:
             return True  # incomparable literal/stat types — keep
         return True
@@ -952,9 +970,13 @@ class LakeTableBatchReader(DataSourceReader):
                 "deletes; use LakeTable.read() for tables with delete files"
             )
         parts: list[_FilePartition] = []
+        temporal = getattr(self, "_PUSH_DDL_TEMPORAL", set())
         for f in snap["files"]:
             proj = _projection(meta, f["schema_version"])
-            by_cur = {name: (phys, default) for name, _ddl, phys, default in proj}
+            by_cur = {
+                name: (phys, default, ddl.strip().lower())
+                for name, ddl, phys, default in proj
+            }
             stats = f.get("stats", {}) or {}
             keep = True
             arrow_filters: list[tuple] = []
@@ -962,7 +984,7 @@ class LakeTableBatchReader(DataSourceReader):
                 col = p.attribute[0]
                 if col not in by_cur:
                     continue  # not a table column (shouldn't happen)
-                phys, default = by_cur[col]
+                phys, default, ddl = by_cur[col]
                 if phys is None:
                     # column added after this file was written → every
                     # row reads as the declared default (or NULL): the
@@ -975,6 +997,8 @@ class LakeTableBatchReader(DataSourceReader):
                 if not self._stats_may_match(stats, phys, p):
                     keep = False
                     break
+                if ddl in temporal:
+                    continue  # prune-only: no Arrow row filter (see above)
                 if isinstance(p, In):
                     arrow_filters.append((phys, "in", list(p.value)))
                 elif isinstance(p, EqualTo):
@@ -1019,11 +1043,22 @@ class LakeTablePushdownBatchReader(LakeTableBatchReader):
     # them), so float >/>= predicates are never pushed: Spark applies
     # them after a full read of the surviving files — correctness over
     # pruning, per the NaN-ordering contract.
+    # Temporal columns push PRUNE-ONLY: file-level stats comparison is
+    # string-vs-string in the footer's canonical form (_stat_comparable
+    # — lexical order IS chronological there), but the Arrow ROW filter
+    # is skipped for them: a datetime scalar against a file's native
+    # tz-aware/ns-unit column would drag timezone/unit coercion
+    # semantics into the worker, and Spark re-applies the predicate
+    # anyway — pruning is the scalable win, row filtering is free JVM
+    # work.
     _PUSH_DDL_INT = {"bigint", "long", "int", "integer", "smallint", "tinyint"}
     _PUSH_DDL_FLOAT = {"double", "float"}
+    _PUSH_DDL_TEMPORAL = {"date", "timestamp", "timestamp_ntz"}
     _FLOAT_SAFE_OPS = (EqualTo, In, LessThan, LessThanOrEqual)
 
     def pushFilters(self, filters):
+        import datetime
+
         pushable = (EqualTo, GreaterThan, GreaterThanOrEqual,
                     LessThan, LessThanOrEqual, In)
         meta = _load_meta(self.path)
@@ -1050,6 +1085,13 @@ class LakeTablePushdownBatchReader(LakeTableBatchReader):
                         and v == v  # a NaN literal inverts under Spark
                         for v in vals
                     ))
+                or (ddl == "date" and all(
+                    isinstance(v, datetime.date)
+                    and not isinstance(v, datetime.datetime) for v in vals
+                ))
+                or (ddl in ("timestamp", "timestamp_ntz") and all(
+                    isinstance(v, datetime.datetime) for v in vals
+                ))
             )
             if ok:
                 self.preds.append(f)

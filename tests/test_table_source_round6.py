@@ -345,3 +345,56 @@ def test_float_pushdown_prunes_files(spark, tmp_path):
     assert nparts(EqualTo(("v",), 40.0)) == 1
     assert nparts(LessThan(("v",), 2.5)) == 1
     assert nparts(GreaterThan(("v",), 10.0)) == 2  # never prunes on >
+
+
+def test_temporal_pushdown_prunes_files_and_keeps_rows(spark, tmp_path):
+    """date/timestamp predicates push PRUNE-ONLY: file stats compare in
+    the footer's canonical string form (lexical = chronological), no
+    Arrow row filter (Spark re-applies) — results must equal the JVM
+    read, and out-of-range files must not be planned."""
+    import datetime as dt
+
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+    from pyspark.sql.types import StructType
+
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        LakeTableDataSource,
+    )
+
+    register_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint, ts timestamp")
+    rows1 = [(1, dt.datetime(2024, 1, 1, 8)), (2, dt.datetime(2024, 1, 2, 9))]
+    rows2 = [(3, dt.datetime(2024, 3, 1, 8)), (4, dt.datetime(2024, 3, 2, 9))]
+    t.append(spark.createDataFrame(rows1, "k bigint, ts timestamp").coalesce(1))
+    t.append(spark.createDataFrame(rows2, "k bigint, ts timestamp").coalesce(1))
+
+    ds = LakeTableDataSource(options={"path": t.path, "filter-pushdown": "true"})
+    schema = StructType.fromDDL("k bigint, ts timestamp")
+
+    def nparts(*filters):
+        r = ds.reader(schema)
+        r.pushFilters(list(filters))
+        return len(r.partitions())
+
+    assert nparts() == 2
+    assert nparts(LessThan(("ts",), dt.datetime(2024, 2, 1))) == 1
+    assert nparts(GreaterThanOrEqual(("ts",), dt.datetime(2024, 2, 1))) == 1
+    assert nparts(LessThan(("ts",), dt.datetime(2023, 1, 1))) == 0
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        got = sorted(
+            r["k"] for r in
+            (spark.read.format("laketable").option("path", t.path)
+             .option("filter-pushdown", "true").load()
+             .filter("ts >= TIMESTAMP '2024-01-02 00:00:00' "
+                     "AND ts < TIMESTAMP '2024-03-02 00:00:00'").collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    want = sorted(
+        r["k"] for r in t.read().filter(
+            "ts >= TIMESTAMP '2024-01-02 00:00:00' "
+            "AND ts < TIMESTAMP '2024-03-02 00:00:00'").collect()
+    )
+    assert got == want == [2, 3]
