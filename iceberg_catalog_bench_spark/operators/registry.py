@@ -55,6 +55,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 PRIORITY: tuple[str, ...] = (
     # -- (a) round-6 code-touched + debuts --
     "streaming_table_source_cdc_cow",   # NEW r6: CoW commits netted into CDC
+    "cdc_replicate_table",              # NEW r6: feed applied to a replica
     "streaming_table_source_read",      # r6: expired-offset + restart contract
     "streaming_table_source_cdc",       # r6: pos-delete path matching
     "iceberg_metadata_roundtrip",       # r6: + DuckDB second-engine leg, MoR

@@ -1585,5 +1585,85 @@ def _register_queries() -> None:
             .cast("double").alias("insert_value_sum"),
         )
 
+    @register(
+        "cdc_replicate_table",
+        oracle=(
+            # Final replicated state: base user_id<20, minus the two
+            # deleted users, values +1000 for the updated band.
+            "SELECT COUNT(*) AS row_count, "
+            "CAST(ROUND(SUM(CASE WHEN user_id >= 10 AND user_id < 15 "
+            "THEN value + 1000 ELSE value END), 2) AS DOUBLE) AS value_sum, "
+            "TRUE AS replica_matches_source "
+            "FROM events WHERE user_id < 20 AND user_id NOT IN (3, 7)"
+        ),
+    )
+    def cdc_replicate_table(spark, sf_dir):
+        """End-to-end CDC REPLICATION — the consumer half of the feed:
+        a copy-on-write source table (append, then a CoW UPDATE, then a
+        CoW DELETE) streams through ``mode=cdc`` + ``cow-changelog``
+        netting into a ``foreachBatch`` applier that replays each
+        commit IN ORDER onto a merge-on-read replica — retractions as
+        O(batch) equality deletes (``delete_by_keys``, zero target
+        reads), images as appends. The replica must equal the source
+        bit-for-bit at the end (asserted via two-sided exceptAll), and
+        the oracle independently pins the final state from plain SQL —
+        proving feed completeness, ordering, and the netting's
+        carried-rows-cancel property in one row. The CoW→MoR pairing is
+        the scale story: the source pays rewrite-on-write once, every
+        downstream replica applies changes at O(batch)."""
+        from ..catalog.table import LakeTable
+
+        register_source(spark)
+        ev = load_table(spark, "events", sf_dir).select(
+            "event_id", "user_id", "value"
+        )
+        d = tempfile.mkdtemp(prefix="laketable-repl-")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        ddl = "event_id bigint, user_id bigint, value double"
+        src = LakeTable.create(spark, os.path.join(d, "src"), ddl)
+        src.append(ev.filter(F.col("user_id") < 20))
+        src.update({"value": "value + 1000"}, "user_id >= 10 AND user_id < 15")
+        src.delete_where("user_id IN (3, 7)")
+        replica = LakeTable.create(
+            spark, os.path.join(d, "replica"), ddl,
+            properties={"write.delete.mode": "merge-on-read"},
+        )
+
+        def apply_batch(batch_df, _batch_id):
+            sids = sorted(
+                r[0] for r in
+                batch_df.select("_commit_snapshot_id").distinct().collect()
+            )
+            for sid in sids:  # commit order — interleaving breaks replay
+                commit = batch_df.filter(F.col("_commit_snapshot_id") == sid)
+                dels = commit.filter(
+                    F.col("_change_type") == "delete"
+                ).select("event_id")
+                if not dels.isEmpty():
+                    replica.delete_by_keys(dels, on=["event_id"])
+                ins = commit.filter(F.col("_change_type") == "insert").select(
+                    "event_id", "user_id", "value"
+                )
+                if not ins.isEmpty():
+                    replica.append(ins)
+
+        q = (
+            spark.readStream.format("laketable")
+            .option("path", src.path).option("mode", "cdc")
+            .option("cow-changelog", "true").load()
+            .writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(d, "ck")).start()
+        )
+        q.awaitTermination(300)
+        replica._reload()
+        rep, source = replica.read(), src.read()
+        matches = rep.exceptAll(source).isEmpty() and source.exceptAll(rep).isEmpty()
+        return rep.agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.round(F.sum("value"), 2).cast("double").alias("value_sum"),
+            F.lit(bool(matches)).alias("replica_matches_source"),
+        )
+
 
 _register_queries()
