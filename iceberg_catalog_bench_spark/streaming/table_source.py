@@ -371,62 +371,67 @@ def _read_pos_delete(partition: _PosDeletePartition) -> Iterator:
     yield from out.to_batches(max_chunksize=1 << 16)
 
 
-def _cow_row_bucket(row: tuple, nbuckets: int) -> int:
-    """Stable (process- and replay-independent) bucket of a row tuple.
-    ``repr`` is deterministic for the primitive types the source
-    admits (int/float/str/bool/bytes/date/datetime/None); Python's
-    builtin ``hash`` is salted per-process and would break replay."""
-    import zlib
-
-    return zlib.crc32(repr(row).encode()) % nbuckets
-
-
 def _read_cow_net(partition: _CowNetPartition) -> Iterator:
-    """Net a copy-on-write commit's row changes for one hash bucket:
-    count rows of the removed files (+1) and the added files (-1);
-    positive residues are -D records, negative are +I — carried-over
-    rows cancel. NaN-keyed rows never cancel (NaN != NaN), so an
-    untouched row containing NaN surfaces as a -D/+I pair of itself —
-    noisy but consistent for a downstream materializer."""
-    from collections import Counter
-
+    """Net a copy-on-write commit's row changes for one hash bucket,
+    fully vectorized: concatenate the removed files' rows (sign +1)
+    and the added files' rows (sign -1), Arrow hash-group-by over ALL
+    columns summing the sign — positive residues are -D records
+    (repeated by multiplicity), negative are +I; carried-over rows
+    cancel, including NaN-keyed rows (Arrow's hash kernel groups NaNs
+    together). Bucketing uses pandas' deterministic row hash (fixed
+    key — stable across processes and replays, unlike builtin
+    ``hash``); one bucket skips hashing entirely."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     names = [n for n, _ in partition.out_cols]
-    counts: Counter = Counter()
+    schema = pa.schema(
+        [pa.field(n, _arrow_type(t)) for n, t in partition.out_cols]
+    )
 
-    def absorb(files: list[tuple[str, list]], sign: int) -> None:
+    def side(files: list[tuple[str, list]], sign: int) -> list:
+        out = []
         for abs_path, proj in files:
             physical = [p for _, _, p, _d in proj if p is not None]
             tbl = _project(pq.read_table(abs_path, columns=physical), proj)
-            for d in tbl.to_pylist():
-                row = tuple(d[n] for n in names)
-                if _cow_row_bucket(row, partition.nbuckets) == partition.bucket:
-                    counts[row] += sign
+            tbl = tbl.cast(schema)
+            if partition.nbuckets > 1:
+                import pandas as pd
 
-    absorb(partition.old_files, +1)
-    absorb(partition.new_files, -1)
+                h = pd.util.hash_pandas_object(
+                    tbl.to_pandas(), index=False
+                ).to_numpy()
+                tbl = tbl.filter(
+                    pa.array(h % partition.nbuckets == partition.bucket)
+                )
+            out.append(tbl.append_column(
+                "_sign", pa.array(np.full(len(tbl), sign, dtype="int64"))
+            ))
+        return out
 
-    def emit(rows: list[tuple], change: str) -> Iterator:
-        schema = pa.schema(
-            [pa.field(n, _arrow_type(t)) for n, t in partition.out_cols]
-            + [pa.field("_change_type", pa.string()),
-               pa.field("_commit_snapshot_id", pa.int64())]
+    sides = side(partition.old_files, +1) + side(partition.new_files, -1)
+    if not sides:
+        return
+    net = pa.TableGroupBy(pa.concat_tables(sides), names).aggregate(
+        [("_sign", "sum")]
+    )
+    counts = net.column("_sign_sum").to_numpy(zero_copy_only=False)
+    for change, reps in (
+        ("delete", np.clip(counts, 0, None)),
+        ("insert", np.clip(-counts, 0, None)),
+    ):
+        if reps.sum() == 0:
+            continue
+        out = net.select(names).take(np.repeat(np.arange(len(net)), reps))
+        n = len(out)
+        out = out.append_column(
+            "_change_type", pa.array([change] * n, type=pa.string())
+        ).append_column(
+            "_commit_snapshot_id",
+            pa.array(np.full(n, partition.sid, dtype="int64")),
         )
-        tbl = pa.Table.from_pylist(
-            [dict(zip(names, r), _change_type=change,
-                  _commit_snapshot_id=partition.sid) for r in rows],
-            schema=schema,
-        )
-        yield from tbl.to_batches(max_chunksize=1 << 16)
-
-    dels = [r for r, c in counts.items() for _ in range(max(c, 0))]
-    ins = [r for r, c in counts.items() for _ in range(max(-c, 0))]
-    if dels:
-        yield from emit(dels, "delete")
-    if ins:
-        yield from emit(ins, "insert")
+        yield from out.to_batches(max_chunksize=1 << 16)
 
 
 def _ref_head(meta: dict, branch: str | None) -> int:
