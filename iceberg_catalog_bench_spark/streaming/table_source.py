@@ -1606,16 +1606,18 @@ def _register_queries() -> None:
         """End-to-end CDC REPLICATION — the consumer half of the feed:
         a copy-on-write source table (append, then a CoW UPDATE, then a
         CoW DELETE) streams through ``mode=cdc`` + ``cow-changelog``
-        netting into a ``foreachBatch`` applier that replays each
-        commit IN ORDER onto a merge-on-read replica — retractions as
-        O(batch) equality deletes (``delete_by_keys``, zero target
-        reads), images as appends. The replica must equal the source
-        bit-for-bit at the end (asserted via two-sided exceptAll), and
-        the oracle independently pins the final state from plain SQL —
-        proving feed completeness, ordering, and the netting's
-        carried-rows-cancel property in one row. The CoW→MoR pairing is
-        the scale story: the source pays rewrite-on-write once, every
-        downstream replica applies changes at O(batch)."""
+        netting into ``LakeTable.apply_cdc_batch`` — ONE
+        replay-idempotent merge-on-read commit per micro-batch that
+        reduces the batch to the last action per key, equality-retracts
+        every touched key, and appends the final images (O(batch),
+        zero target reads, ``(query-id, batch-id)`` watermark against
+        replays). The replica must equal the source bit-for-bit at the
+        end (asserted via two-sided exceptAll), and the oracle
+        independently pins the final state from plain SQL — proving
+        feed completeness, per-key ordering, and the netting's
+        carried-rows-cancel property in one row. The CoW→MoR pairing
+        is the scale story: the source pays rewrite-on-write once,
+        every downstream replica applies changes at O(batch)."""
         from ..catalog.table import LakeTable
 
         register_source(spark)
@@ -1634,23 +1636,11 @@ def _register_queries() -> None:
             properties={"write.delete.mode": "merge-on-read"},
         )
 
-        def apply_batch(batch_df, _batch_id):
-            sids = sorted(
-                r[0] for r in
-                batch_df.select("_commit_snapshot_id").distinct().collect()
+        def apply_batch(batch_df, batch_id):
+            replica.apply_cdc_batch(
+                batch_df, on=["event_id"], batch_id=batch_id,
+                query_id="cdc_replicate_table",
             )
-            for sid in sids:  # commit order — interleaving breaks replay
-                commit = batch_df.filter(F.col("_commit_snapshot_id") == sid)
-                dels = commit.filter(
-                    F.col("_change_type") == "delete"
-                ).select("event_id")
-                if not dels.isEmpty():
-                    replica.delete_by_keys(dels, on=["event_id"])
-                ins = commit.filter(F.col("_change_type") == "insert").select(
-                    "event_id", "user_id", "value"
-                )
-                if not ins.isEmpty():
-                    replica.append(ins)
 
         q = (
             spark.readStream.format("laketable")

@@ -398,3 +398,53 @@ def test_temporal_pushdown_prunes_files_and_keeps_rows(spark, tmp_path):
             "AND ts < TIMESTAMP '2024-03-02 00:00:00'").collect()
     )
     assert got == want == [2, 3]
+
+
+def test_apply_cdc_batch_reduces_replays_and_orders(spark, tmp_path):
+    """LakeTable.apply_cdc_batch — the exactly-once replication
+    primitive: a batch spanning three source commits reduces to the
+    last action per key (upsert pair → insert wins; later delete wins
+    over earlier insert), applies as ONE MoR commit, and an exact
+    replay of the same batch id is skipped without double-applying."""
+    feed_ddl = ("k bigint, v double, _change_type string, "
+                "_commit_snapshot_id bigint")
+    replica = LakeTable.create(
+        spark, str(tmp_path / "r"), "k bigint, v double",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    replica.append(_df(spark, [(1, 1.0), (2, 2.0), (3, 3.0)]))
+    batch = spark.createDataFrame(
+        [
+            # commit 11: upsert k=2 (retract + new image)
+            (2, None, "delete", 11), (2, 20.0, "insert", 11),
+            # commit 12: delete k=1
+            (1, 1.0, "delete", 12),
+            # commit 12: insert new k=4; commit 13 deletes it again
+            (4, 4.0, "insert", 12), (4, 4.0, "delete", 13),
+            # commit 13: re-inserts k=1 — later commit wins
+            (1, 100.0, "insert", 13),
+        ],
+        feed_ddl,
+    )
+    snaps_before = len(replica._meta["snapshots"])
+    out = replica.apply_cdc_batch(batch, on=["k"], batch_id=0, query_id="q")
+    assert out is not None
+    assert len(replica._meta["snapshots"]) == snaps_before + 1  # ONE commit
+    state = sorted(tuple(r) for r in replica.read().collect())
+    assert state == [(1, 100.0), (2, 20.0), (3, 3.0)]
+
+    # exact replay: skipped, nothing double-applied, no new snapshot
+    assert replica.apply_cdc_batch(batch, on=["k"], batch_id=0, query_id="q") is None
+    assert len(replica._meta["snapshots"]) == snaps_before + 1
+    assert sorted(tuple(r) for r in replica.read().collect()) == state
+
+    # next batch id applies; a fresh query id is a fresh watermark
+    b1 = spark.createDataFrame([(5, 5.0, "insert", 14)], feed_ddl)
+    assert replica.apply_cdc_batch(b1, on=["k"], batch_id=1, query_id="q") is not None
+    assert sorted(r["k"] for r in replica.read().collect()) == [1, 2, 3, 5]
+
+
+def test_apply_cdc_batch_rejects_non_feed_frames(spark, tmp_path):
+    replica = LakeTable.create(spark, str(tmp_path / "r"), "k bigint, v double")
+    with pytest.raises(ValueError, match="not a CDC feed batch"):
+        replica.apply_cdc_batch(_df(spark, [(1, 1.0)]), on=["k"], batch_id=0)
