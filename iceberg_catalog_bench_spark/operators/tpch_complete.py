@@ -84,8 +84,17 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot do for a correlated MIN with an outer equality on a
     computed column. Costs are rounded to cents before ranking so the
     winner is cross-engine deterministic."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    ).select("p_partkey")
+    # The supply aggregate is part-keyed, so the part predicate prunes
+    # lineitem BEFORE the wide (partkey, suppkey) shuffle — a
+    # broadcast semi-join cuts the exchange by the part selectivity
+    # with no change to per-(part, supplier) unit costs.
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
     )
     supply = li.groupBy("l_partkey", "l_suppkey").agg(
         F.round(F.sum("l_extendedprice") / F.sum("l_quantity"), 2).alias("unit_cost")
@@ -105,11 +114,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    p = _t(spark, sf_dir, "part").filter(
-        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
-    ).select("p_partkey")
     ranked = (
-        supply.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        supply.withColumnRenamed("l_partkey", "p_partkey")
         .join(F.broadcast(euro), F.col("l_suppkey") == F.col("s_suppkey"))
         .withColumn(
             "rn",
@@ -287,7 +293,8 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         " JOIN region ON n_regionkey = r_regionkey "
         " WHERE r_name = 'EUROPE' GROUP BY l_partkey) "
         "SELECT l_partkey AS p_partkey, ROUND(val, 2) AS part_value "
-        "FROM v WHERE val > (SELECT SUM(val) * 0.001 FROM v) "
+        "FROM v WHERE ROUND(val, 2) > "
+        "(SELECT ROUND(SUM(val) * 0.001, 2) FROM v) "
         "ORDER BY part_value DESC, p_partkey LIMIT 100"
     ),
 )
@@ -321,10 +328,10 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum("l_extendedprice").alias("val"))
     )
-    total = v.agg((F.sum("val") * 0.001).alias("threshold"))
+    total = v.agg(F.round(F.sum("val") * 0.001, 2).alias("threshold"))
     return (
         v.crossJoin(F.broadcast(total))
-        .filter(F.col("val") > F.col("threshold"))
+        .filter(F.round(F.col("val"), 2) > F.col("threshold"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
             F.round("val", 2).alias("part_value"),
@@ -340,10 +347,10 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Adapted: no l_shipmode — the grouping dimension is
         # l_linestatus; high/low split by order priority, one ship year.
         "SELECT l_linestatus, "
-        "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
-        " THEN 1 ELSE 0 END) AS high_line_count, "
-        "SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
-        " THEN 1 ELSE 0 END) AS low_line_count "
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        " THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+        " THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
         "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
         "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
         "AND l_shipdate < TIMESTAMP '1998-01-01' "
@@ -566,15 +573,21 @@ def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier dims; DISTINCT collapses multi-part winners. Quantities
     are integral doubles, so the share comparison is exact in both
     engines."""
-    li = _t(spark, sf_dir, "lineitem").filter(_year_filter("l_shipdate", 1997)).select(
-        "l_suppkey", "l_partkey", "l_quantity"
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select(
+        "p_partkey"
+    )
+    # Both aggregates are part-keyed, so the 'small%' predicate prunes
+    # the year-filtered fact BEFORE the first wide shuffle; per-part
+    # totals over surviving parts are unchanged.
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(_year_filter("l_shipdate", 1997))
+        .select("l_suppkey", "l_partkey", "l_quantity")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
     )
     sp = li.groupBy("l_suppkey", "l_partkey").agg(F.sum("l_quantity").alias("qty"))
     pt = sp.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty")).withColumnRenamed(
         "l_partkey", "pt_partkey"
-    )
-    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select(
-        "p_partkey"
     )
     s = (
         _t(spark, sf_dir, "supplier")
@@ -588,7 +601,6 @@ def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         sp.join(pt, F.col("l_partkey") == F.col("pt_partkey"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .filter(F.col("qty") > 0.3 * F.col("total_qty"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_name")

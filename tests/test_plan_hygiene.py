@@ -328,6 +328,11 @@ def test_tpch_q2_rank_limit_and_broadcast_dims(spark, oracle_sf_dir):
     assert "WindowGroupLimit" in plan, "rn=1 must push a group limit"
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # The STANDARD/size part predicate must prune lineitem BEFORE the
+    # wide (partkey, suppkey) aggregation shuffle: the LeftSemi join
+    # sits below (prints after) the first hash Exchange.
+    ex = plan.index("Exchange hashpartitioning(l_partkey")
+    assert plan.index("LeftSemi") > ex, "part semi-join must sit below the wide agg exchange"
 
 
 def test_tpch_q4_semi_join_with_pruned_inputs(spark, oracle_sf_dir):
@@ -382,3 +387,7 @@ def test_tpch_q20_grouped_reagg_no_second_fact_scan(spark, oracle_sf_dir):
     plan = _plan("tpch_q20_potential_promotion", spark, oracle_sf_dir)
     assert "GreaterThanOrEqual(l_shipdate," in plan
     assert "BroadcastHashJoin" in plan
+    # The 'small%' part predicate must prune the year-filtered fact
+    # BEFORE the (suppkey, partkey) aggregation shuffle.
+    ex = plan.index("Exchange hashpartitioning(l_suppkey")
+    assert plan.index("LeftSemi") > ex, "part semi-join must sit below the wide agg exchange"
