@@ -148,6 +148,22 @@ def main() -> None:
             lambda: median_of(fn), execs=MEASURE_RUNS + 1
         )
 
+    # Calibration phase (VERDICT r6 item 3): a FIXED, I/O-free,
+    # JVM-only workload — 50M-row range → one hash exchange → sum —
+    # whose plan never changes round to round. Its ratio to the
+    # recorded baseline measures the MACHINE (JIT, CPU contention,
+    # page cache), not any plan: dividing every other phase's
+    # ratio-to-baseline by the calibration ratio lets the 2× gate
+    # compare plans across environment drift (round 6 measured a
+    # uniform ~1.3× inflation with flat per-phase bytes on two
+    # independent runs).
+    def _calibration() -> None:
+        spark.range(0, 50_000_000, 1, 32).selectExpr(
+            "id % 64 AS k", "id"
+        ).groupBy("k").agg(F.sum("id")).collect()
+
+    phase_median("calibration", _calibration)
+
     # --- reference phase set on LakeTable ---------------------------------
     scratch = tempfile.mkdtemp(prefix="bench-laketable-")
     table_dir = os.path.join(scratch, "tx_events")
@@ -390,9 +406,36 @@ def main() -> None:
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_metrics.json"
     )
+    # Normalized ratios (VERDICT r6 item 3): with recorded per-phase
+    # baselines (bench_baseline.json, written by the round-7
+    # re-baseline run), each phase's ratio-to-baseline is divided by
+    # the calibration phase's ratio-to-baseline — machine drift
+    # cancels, so a normalized ratio > 2 means the PLAN regressed.
+    calib_ratio = None
+    normalized: dict[str, float] = {}
+    bl_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
+    )
+    try:
+        with open(bl_path) as f:
+            baseline = json.load(f).get("queries", {})
+        if baseline.get("calibration") and results.get("calibration"):
+            calib_ratio = results["calibration"] / baseline["calibration"]
+            normalized = {
+                k: round(v / baseline[k] / calib_ratio, 3)
+                for k, v in results.items()
+                if baseline.get(k)
+            }
+    except (OSError, ValueError):
+        pass
     try:
         with open(sidecar, "w") as f:
-            json.dump({"sf": sf, "metrics": metrics}, f, indent=1, sort_keys=True)
+            json.dump(
+                {"sf": sf, "metrics": metrics,
+                 "calib_ratio": calib_ratio,
+                 "normalized_ratios": normalized},
+                f, indent=1, sort_keys=True,
+            )
         print(f"per-phase metrics -> {sidecar}")
     except OSError as e:  # never let the sidecar kill the record
         print(f"per-phase metrics sidecar failed: {e}")
@@ -403,6 +446,7 @@ def main() -> None:
         "queries": {k: round(v, 3) for k, v in results.items()},
         "sf": sf,
         "cpus": CPUS,
+        **({"calib_ratio": round(calib_ratio, 3)} if calib_ratio else {}),
     }))
 
 

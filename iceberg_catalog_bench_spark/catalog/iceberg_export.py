@@ -299,13 +299,21 @@ def to_iceberg_metadata(table: LakeTable) -> str:
                             os.path.join(table.path, p)
                             for p in d.get("referenced", [])
                         ],
-                        # Iceberg stores equality field IDs; carry the
-                        # names alongside for the JSON-manifest reader
+                        # Iceberg stores equality field IDS; ids come
+                        # from equality_cols (CURRENT names — rename
+                        # rewrites them in table metadata, so they
+                        # resolve reliably). The names carried
+                        # alongside are the PHYSICAL parquet column
+                        # names of the delete file (file_cols, frozen
+                        # at write time) — readers rebind them to
+                        # target names via the ids.
                         "equality-ids": [
                             field_ids_by_name.get(c, -1)
                             for c in d.get("equality_cols", [])
                         ],
-                        "equality-field-names": d.get("equality_cols", []),
+                        "equality-field-names": (
+                            d.get("file_cols") or d.get("equality_cols", [])
+                        ),
                     },
                 }
                 for d in s["delete_files"]
@@ -490,14 +498,19 @@ def read_via_iceberg_metadata(
         out = out.join(
             F.broadcast(seq_map), stripped == seq_map["_seq_path"], "left"
         ).drop("_seq_path")
+        target_by_id = {f["id"]: f["name"] for f in target["fields"]}
         for d in eq_deletes:
-            cols = d.get("equality-field-names", [])
+            # the delete parquet's columns carry WRITE-time names; the
+            # out relation carries TARGET names — rebind via field ids
+            # so a key-column rename after the delete write still
+            # matches (Iceberg semantics: equality-ids, not names)
+            pairs = _eq_key_pairs(d, target_by_id)
             tomb = spark.read.parquet(_strip_scheme(d["file-path"])).select(
-                *[F.col(c).alias(f"_del_{c}") for c in cols]
+                *[F.col(w).alias(f"_del_{w}") for w, _t in pairs]
             )
             cond = F.col("_file_seq") < F.lit(d.get("data-sequence-number", 0))
-            for c in cols:
-                cond = cond & out[c].eqNullSafe(tomb[f"_del_{c}"])
+            for w, tname in pairs:
+                cond = cond & out[tname].eqNullSafe(tomb[f"_del_{w}"])
             out = out.join(F.broadcast(tomb), cond, "left_anti")
         out = out.drop("_file_seq")
     if mor:
@@ -516,10 +529,30 @@ _DUCK_TYPE = {
     "float": "REAL",
     "boolean": "BOOLEAN",
     "date": "DATE",
-    "timestamptz": "TIMESTAMP",
+    # instant semantics must survive the cast: DuckDB reads Spark's
+    # UTC-adjusted parquet timestamps as TIMESTAMPTZ, and CAST(... AS
+    # TIMESTAMP) would re-render through the session TimeZone (value
+    # shift on non-UTC hosts)
+    "timestamptz": "TIMESTAMP WITH TIME ZONE",
     "timestamp": "TIMESTAMP",
     "binary": "BLOB",
 }
+
+
+def _eq_key_pairs(d: dict, target_by_id: dict[int, str]) -> list[tuple[str, str]]:
+    """(write-time name, target name) per equality key of one delete
+    file. The delete parquet's columns use the names current when it
+    was written (``equality-field-names``); the data relation uses the
+    target schema's names. Iceberg binds by ``equality-ids``, so a
+    key-column rename after the delete write must rebind — falling
+    back to the written name only when no id was recorded."""
+    ids = d.get("equality-ids") or []
+    wnames = d.get("equality-field-names") or []
+    pairs = []
+    for i, w in enumerate(wnames):
+        fid = ids[i] if i < len(ids) else -1
+        pairs.append((w, target_by_id.get(fid, w)))
+    return pairs
 
 
 def _duck_type(iceberg: str) -> str:
@@ -624,9 +657,9 @@ def duckdb_scan_sql(metadata_path: str, snapshot_id: int | None = None) -> str:
             f"NOT EXISTS (SELECT 1 FROM read_parquet([{dlist}]) _pd "
             f"WHERE _pd.file_path = _data._f AND _pd.pos = _data._pos)"
         )
+    target_by_id = {f["id"]: f["name"] for f in target["fields"]}
     for d in eq_deletes:
-        cols = d.get("equality-field-names", [])
-        if not cols:
+        if not d.get("equality-field-names"):
             raise ValueError(
                 f"equality-delete file {d['file-path']} records no key "
                 f"column names; cannot compile its tombstones to SQL"
@@ -634,7 +667,8 @@ def duckdb_scan_sql(metadata_path: str, snapshot_id: int | None = None) -> str:
         dpath = _strip_scheme(d["file-path"]).replace("'", "''")
         dseq = d.get("data-sequence-number") or 0
         match = " AND ".join(
-            f'_eq."{c}" IS NOT DISTINCT FROM _data."{c}"' for c in cols
+            f'_eq."{w}" IS NOT DISTINCT FROM _data."{t}"'
+            for w, t in _eq_key_pairs(d, target_by_id)
         )
         conds.append(
             f"NOT (_data._seq < {dseq} AND EXISTS ("

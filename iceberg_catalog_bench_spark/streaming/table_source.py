@@ -399,9 +399,24 @@ def _read_cow_net(partition: _CowNetPartition) -> Iterator:
             if partition.nbuckets > 1:
                 import pandas as pd
 
-                h = pd.util.hash_pandas_object(
-                    tbl.to_pandas(), index=False
-                ).to_numpy()
+                # Bucketing must never SPLIT a pair the group-by would
+                # cancel. Canonicalizing floats before hashing (-0.0 →
+                # +0.0, one NaN bit pattern) keeps that invariant under
+                # either group-by float semantic — bit-pattern equality
+                # (current pyarrow: identical bits hash identically
+                # with or without this) or value equality (a pyarrow
+                # that merges -0.0/0.0 or NaN payloads would otherwise
+                # see spurious -D/+I pairs under nbuckets>1); the
+                # combined multi-bucket feed stays exactly the
+                # single-bucket feed.
+                df = tbl.to_pandas()
+                for c in df.columns:
+                    if df[c].dtype.kind == "f":
+                        a = df[c].to_numpy(copy=True)
+                        a += 0.0  # folds -0.0 into +0.0
+                        a[np.isnan(a)] = np.nan  # one canonical NaN
+                        df[c] = a
+                h = pd.util.hash_pandas_object(df, index=False).to_numpy()
                 tbl = tbl.filter(
                     pa.array(h % partition.nbuckets == partition.bucket)
                 )
@@ -513,6 +528,33 @@ def _stat_comparable(v):
     if isinstance(v, datetime.date):
         return v.isoformat()
     return v
+
+
+def _utc_everywhere() -> bool:
+    """True when both the system local timezone and (when visible) the
+    Spark session timezone are UTC. Instant-timestamp (``timestamp``)
+    predicates push ONLY then: the datasource filter API delivers
+    TimestampType literals as NAIVE datetimes rendered in a
+    host-dependent zone, while footer stats are canonical naive-UTC
+    (catalog.table._json_safe) — comparing across zones could wrongly
+    prune a file whose rows match (silent row loss; pruning is never
+    re-checked by Spark). Correctness over pruning, the same stance as
+    float >/>= under NaN ordering. ``timestamp_ntz`` and ``date`` are
+    wall-clock on both sides and stay pushable everywhere."""
+    import time
+
+    if time.timezone != 0 or time.altzone != 0:
+        return False
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            tz = s.conf.get("spark.sql.session.timeZone", "UTC")
+            return tz in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00")
+    except Exception:  # planning subprocess without a session
+        pass
+    return True
 
 
 def _value_matches(value, f) -> bool:
@@ -1094,7 +1136,12 @@ class LakeTablePushdownBatchReader(LakeTableBatchReader):
                     isinstance(v, datetime.date)
                     and not isinstance(v, datetime.datetime) for v in vals
                 ))
-                or (ddl in ("timestamp", "timestamp_ntz") and all(
+                or (ddl == "timestamp_ntz" and all(
+                    isinstance(v, datetime.datetime) for v in vals
+                ))
+                # instant timestamps: only when every zone in play is
+                # UTC — see _utc_everywhere for the row-loss hazard
+                or (ddl == "timestamp" and _utc_everywhere() and all(
                     isinstance(v, datetime.datetime) for v in vals
                 ))
             )
@@ -1141,7 +1188,21 @@ class LakeTableStreamWriter(DataSourceStreamArrowWriter):
     pruning degrades conservatively (missing partition keys keep the
     file; footer stats still prune) until ``rewrite_data_files`` folds
     streamed files into the spec-clustered layout — Iceberg's own
-    streaming-write + compaction contract."""
+    streaming-write + compaction contract.
+
+    Schema-evolution contract (VERDICT r6 item 5): the writer captures
+    the table's columns + schema version AT QUERY START and keeps
+    writing that shape for the query's lifetime. A mid-stream
+    ``add_column``/``rename_column``/``alter_column_type`` is SAFE —
+    each committed file is stamped with its true writing version, and
+    every reader projects it onto the current schema by field id
+    (added columns read as their declared default); a RESTART of the
+    checkpoint picks up the evolved schema (and then requires the
+    incoming frame to match it). What is NOT safe is the captured
+    version no longer meaning what was captured — CREATE OR REPLACE
+    re-numbers schema history — so ``commit`` re-checks the version's
+    recorded columns against the captured ones and refuses loudly
+    instead of stamping files with a lie."""
 
     def __init__(self, path: str, columns: list[tuple[str, str]],
                  schema_version: int, query_id: str):
@@ -1161,9 +1222,9 @@ class LakeTableStreamWriter(DataSourceStreamArrowWriter):
         # guard skips ids ≤ last, and Spark only replays PLANNED
         # batches, so an empty batch simply publishes no snapshot.
         if entries:
-            LakeTable.load(None, self.path).commit_streaming_files(
-                entries, batchId, self.query_id
-            )
+            t = LakeTable.load(None, self.path)
+            _check_version_unchanged(t, self.schema_version, self.columns)
+            t.commit_streaming_files(entries, batchId, self.query_id)
 
     def abort(self, messages, batchId: int) -> None:
         _unlink_messages(self.path, messages)
@@ -1195,12 +1256,31 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
 
         entries = _message_entries(messages, self.schema_version)
         if entries or self.overwrite:
-            LakeTable.load(None, self.path).commit_data_files(
-                entries, overwrite=self.overwrite
-            )
+            t = LakeTable.load(None, self.path)
+            _check_version_unchanged(t, self.schema_version, self.columns)
+            t.commit_data_files(entries, overwrite=self.overwrite)
 
     def abort(self, messages) -> None:
         _unlink_messages(self.path, messages)
+
+
+def _check_version_unchanged(table, version: int,
+                             columns: list[tuple[str, str]]) -> None:
+    """Refuse to commit files stamped with a schema version whose
+    recorded column list no longer equals what the writer captured at
+    query start. Normal evolution (add/rename/widen) APPENDS versions
+    and never triggers this; CREATE OR REPLACE re-numbers history, so
+    the stamp would attribute the files to the wrong shape — readers
+    would mis-project them silently."""
+    recorded = table._meta.get("schemas", {}).get(str(version))
+    got = [(f["name"], f["type"]) for f in recorded] if recorded else None
+    if got != list(columns):
+        raise ValueError(
+            f"table {table.path} schema version {version} no longer "
+            f"records the columns captured at query start "
+            f"({list(columns)} -> {got}); the table was replaced under "
+            f"a running writer — restart the query against the new table"
+        )
 
 
 def _write_task_file(path: str, columns: list[tuple[str, str]],

@@ -1,0 +1,242 @@
+"""Round-7 hardening (ADVICE r6 items).
+
+- instant-timestamp pushdown is gated on UTC: the datasource filter
+  API delivers TimestampType literals as naive datetimes in a
+  host-dependent zone while footer stats are canonical naive-UTC, so
+  on a non-UTC host a pushed instant predicate could wrongly prune a
+  file (silent row loss). ``timestamp_ntz``/``date`` are wall-clock on
+  both sides and keep pushing everywhere.
+- CoW-changelog bucketing hashes VALUE-canonicalized floats, so the
+  combined multi-bucket feed always equals the single-bucket feed,
+  whatever float-equality semantic pyarrow's group-by uses.
+- equality-delete tombstones rebind by FIELD ID across a key-column
+  rename (Iceberg semantics: equality-ids, not names) in both export
+  readback legs — the Spark chain walker and the compiled DuckDB SQL.
+- exported ``timestamptz`` maps to DuckDB ``TIMESTAMP WITH TIME
+  ZONE``: CAST to plain TIMESTAMP would re-render the instant through
+  DuckDB's session TimeZone on non-UTC hosts.
+"""
+
+import datetime as dt
+
+import duckdb
+import pytest
+
+from iceberg_catalog_bench_spark.catalog.iceberg_export import (
+    duckdb_scan_sql,
+    read_via_iceberg_metadata,
+    to_iceberg_metadata,
+)
+from iceberg_catalog_bench_spark.catalog.table import LakeTable
+
+
+def test_timestamp_pushdown_gated_on_non_utc(spark, tmp_path, monkeypatch):
+    """On a non-UTC host, instant-timestamp predicates must NOT push
+    (prune could lose rows); timestamp_ntz and date still push."""
+    import time as time_mod
+
+    from pyspark.sql.datasource import LessThan
+    from pyspark.sql.types import StructType
+
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        LakeTableDataSource,
+        register_source,
+    )
+
+    register_source(spark)
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), "k bigint, ts timestamp, tsn timestamp_ntz"
+    )
+    rows = [(1, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 1)),
+            (2, dt.datetime(2024, 6, 1), dt.datetime(2024, 6, 1))]
+    t.append(spark.createDataFrame(
+        rows, "k bigint, ts timestamp, tsn timestamp_ntz").coalesce(1))
+    ds = LakeTableDataSource(options={"path": t.path, "filter-pushdown": "true"})
+    schema = StructType.fromDDL("k bigint, ts timestamp, tsn timestamp_ntz")
+
+    def pushed(*filters):
+        r = ds.reader(schema)
+        r.pushFilters(list(filters))
+        return r.preds
+
+    lit = dt.datetime(2024, 3, 1)
+    # UTC host (CI): instant predicates push
+    assert len(pushed(LessThan(("ts",), lit))) == 1
+    # simulate a non-UTC system zone: instant predicates are refused,
+    # wall-clock ones still push
+    monkeypatch.setattr(time_mod, "timezone", -3600)
+    monkeypatch.setattr(time_mod, "altzone", -7200)
+    assert pushed(LessThan(("ts",), lit)) == []
+    assert len(pushed(LessThan(("tsn",), lit))) == 1
+    assert len(pushed(LessThan(("k",), 2))) == 1
+
+
+def test_cow_net_bucketing_matches_single_bucket_on_zero_signs(tmp_path):
+    """A 0.0 → -0.0 rewrite nets to the same records whatever the
+    bucket count: canonicalized hashing may not split or merge pairs
+    differently than the group-by does."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        _CowNetPartition,
+        _read_cow_net,
+    )
+
+    old = str(tmp_path / "old.parquet")
+    new = str(tmp_path / "new.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2], type=pa.int64()),
+                  "v": pa.array([0.0, 2.0])}), old)
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2], type=pa.int64()),
+                  "v": pa.array([-0.0, 2.0])}), new)
+    proj = [("k", "bigint", "k", None), ("v", "double", "v", None)]
+    out_cols = [("k", "bigint"), ("v", "double")]
+
+    def feed(nbuckets):
+        recs = []
+        for b in range(nbuckets):
+            part = _CowNetPartition(
+                [(old, proj)], [(new, proj)], out_cols, b, nbuckets, 7)
+            for batch in _read_cow_net(part):
+                d = batch.to_pydict()
+                recs += list(zip(
+                    d["_change_type"], d["k"],
+                    # compare the SIGN BIT too — that's the point
+                    [str(v) for v in d["v"]],
+                ))
+        return sorted(recs)
+
+    single = feed(1)
+    assert feed(4) == single  # pandas hashes the two zeros to buckets 0 and 2
+    assert feed(8) == single
+    assert [r for r in single if r[1] == 2] == []  # carried row cancels
+
+
+def test_eq_delete_key_rename_binds_by_field_id(spark, tmp_path):
+    """Rename the equality-key column AFTER the delete file was
+    written: both readback legs must still apply the tombstone by
+    field id (the delete parquet keeps the old column name)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), "k bigint, v double",
+        properties={"write.update.mode": "merge-on-read"},
+    )
+    t.append(spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)], "k bigint, v double"))
+    t.upsert_by_keys(
+        spark.createDataFrame([(2, 20.0)], "k bigint, v double"), on=["k"])
+    t.rename_column("k", "id")
+    native = sorted(tuple(r) for r in t.read().collect())
+    assert native == [(1, 1.0), (2, 20.0), (3, 3.0)]
+
+    meta = to_iceberg_metadata(t)
+    walked = sorted(
+        tuple(r) for r in read_via_iceberg_metadata(spark, meta).collect())
+    assert walked == native
+    duck = sorted(tuple(r) for r in duckdb.sql(duckdb_scan_sql(meta)).fetchall())
+    assert duck == native
+
+
+def test_duckdb_scan_keeps_instant_semantics_for_timestamptz(spark, tmp_path):
+    """timestamptz columns come back from the DuckDB leg as instants
+    (TIMESTAMP WITH TIME ZONE), equal to the native read's UTC values
+    — not re-rendered through DuckDB's session TimeZone."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint, ts timestamp")
+    t.append(spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 8, 30)), (2, dt.datetime(2024, 6, 1, 12, 0))],
+        "k bigint, ts timestamp"))
+    meta = to_iceberg_metadata(t)
+    sql = duckdb_scan_sql(meta)
+    assert "TIMESTAMP WITH TIME ZONE" in sql
+    con = duckdb.connect()
+    con.execute("SET TimeZone='America/New_York'")  # hostile session zone
+    got = sorted(
+        (k, ts.astimezone(dt.timezone.utc).replace(tzinfo=None))
+        for k, ts in con.execute(sql).fetchall()
+    )
+    native = sorted(tuple(r) for r in t.read().collect())
+    assert got == native
+
+
+def _sink_writer(path):
+    from pyspark.sql.types import StructType
+
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        LakeTableDataSource,
+    )
+
+    ds = LakeTableDataSource(options={"path": path, "sink-query-id": "q7"})
+    return ds.streamWriter(StructType.fromDDL("k bigint, v double"), False)
+
+
+def _task_batches():
+    import pyarrow as pa
+
+    yield pa.record_batch(
+        {"k": pa.array([10, 11], type=pa.int64()), "v": pa.array([1.5, 2.5])}
+    )
+
+
+def test_sink_mid_stream_add_column_commits_old_shape(spark, tmp_path):
+    """VERDICT r6 item 5 (the safe half): a column added mid-stream —
+    after the writer captured its shape, before the batch commits —
+    does NOT break the sink. The file is stamped with its true writing
+    version; reads project the new column's declared default onto it."""
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        _write_task_file,
+    )
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint, v double")
+    w = _sink_writer(t.path)
+    msg = _write_task_file(t.path, w.columns, _task_batches())
+    t.add_column("tag", "string", default="base")  # mid-stream evolution
+    w.commit([msg], 0)
+
+    t._reload()
+    rows = sorted(tuple(r) for r in t.read().collect())
+    assert rows == [(10, 1.5, "base"), (11, 2.5, "base")]
+
+
+def test_sink_refuses_commit_after_table_replace(spark, tmp_path):
+    """VERDICT r6 item 5 (the refuse half): CREATE OR REPLACE
+    re-numbers schema history, so a writer captured against the OLD
+    table must fail loudly at commit instead of stamping its files
+    with a version that now means a different shape."""
+    import shutil
+
+    import pytest as _pytest
+
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        _write_task_file,
+    )
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint, v double")
+    w = _sink_writer(t.path)
+    msg = _write_task_file(t.path, w.columns, _task_batches())
+    shutil.rmtree(t.path)  # CREATE OR REPLACE = drop + fresh create
+    LakeTable.create(spark, t.path, "k bigint, label string")
+    with _pytest.raises(ValueError, match="replaced under"):
+        w.commit([msg], 0)
+
+
+def test_sink_restart_picks_up_evolved_schema(spark, tmp_path):
+    """After a checkpoint restart the sink re-captures the CURRENT
+    schema: the evolved 3-column frame streams in, while the old
+    2-column frame is now refused."""
+    import pytest as _pytest
+
+    from pyspark.sql.types import StructType
+
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        LakeTableDataSource,
+    )
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint, v double")
+    t.add_column("tag", "string", default="base")
+    ds = LakeTableDataSource(options={"path": t.path, "sink-query-id": "q7"})
+    with _pytest.raises(ValueError, match="does not match table schema"):
+        ds.streamWriter(StructType.fromDDL("k bigint, v double"), False)
+    w = ds.streamWriter(
+        StructType.fromDDL("k bigint, v double, tag string"), False)
+    assert [c for c, _t in w.columns] == ["k", "v", "tag"]
