@@ -36,106 +36,109 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Round-6 rotation (VERDICT r5 item 1: execute the planned rotation —
-# after this round no query's latest green may be older than round 3).
-# Build order: (a) queries whose CODE changed this round (the round-6
-# table_source.py hardening: expired-offset semantics, CoW-changelog
-# netting, NaN-safe float pushdown, pos-delete path matching) plus the
-# cdc_cow debut and the 11 TPC-H-completion debuts (never-green, so
-# they must make the cap); (b) the 22 r2-latest queries (dedup/
-# streaming/multimodal/text tails — three rounds stale by now);
-# (c) the r3 cohort, §2 DDL/harness/time-travel correctness core and
-# TPC-H shapes first — 13 of the 40 fit a 50-run; the rest stay
-# r3-latest (inside the freshness bar: nothing older than r3 after
-# this round) and LEAD ROUND 7 together with whatever round 7
-# touches. If the driver runs more than 50, the (c) tail below the
-# cap greens too — the whole r3 cohort is enumerated in order.
+# Round-7 rotation (VERDICT r6 items 1-2: re-green the q12 oracle fix
+# and rotate the 28-query r3-latest cohort — after this round nothing
+# may be older than round 4). Build order: (a) queries whose CODE
+# changed this round — the q12/q11 oracle fixes, the Q2/Q20
+# filter-below-aggregate push, the iceberg_export equality-id/
+# timestamptz fixes, the table_source TZ-gated pushdown + CoW-net
+# canonicalized bucketing + sink schema-version guard — plus the two
+# TPC-DS debuts and the r6 perf-weak pricing_summary; (b) the full
+# 28-query r3-latest cohort (four rounds stale if skipped); (c) the
+# §2-core slice of the r4 cohort fills the 50 cap; the rest of the r4
+# cohort is enumerated below the cap in order, so a deeper driver run
+# greens it too — otherwise it stays r4-latest and leads round 8.
 # REFRESH EACH ROUND: rebuild from the union of CORRECTNESS_r*.json —
 # never-green and code-touched queries first, oldest-green next.
 PRIORITY: tuple[str, ...] = (
-    # -- (a) round-6 code-touched + debuts --
-    "streaming_table_source_cdc_cow",   # NEW r6: CoW commits netted into CDC
-    "cdc_replicate_table",              # NEW r6: feed applied to a replica
-    "streaming_table_source_read",      # r6: expired-offset + restart contract
-    "streaming_table_source_cdc",       # r6: pos-delete path matching
-    "iceberg_metadata_roundtrip",       # r6: + DuckDB second-engine leg, MoR
-    "tpch_q2_min_cost_supplier",        # NEW r6: TPC-H completion (11 shapes)
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promotion_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier",
-    "tpch_q20_potential_promotion",
-    # -- (b) the 22 r2-latest (three rounds stale) --
-    "dedup_connected_components",
-    "embedding_quantize_int8",
-    "streaming_enrich_join",
-    "streaming_windowed_agg",
-    "streaming_dedup_count",
-    "streaming_sessionize_stateful",
-    "streaming_stream_stream_join",
-    "multimodal_image_meta",
-    "multimodal_frame_sample",
-    "multimodal_audio_features",
-    "text_quality_scores",
-    "text_quality_pandas_udf",
-    "text_token_count",
-    "text_lang_id",
-    "text_fingerprint",
-    "centroid_by_label",
-    "join_asof_last_purchase",
-    "join_range_error_context",
-    "sessionize_batch",
-    "maintenance_zorder",
-    "pipeline_training_data",
-    "datagen_tx_events_dims",
-    # -- (c) r3 cohort, correctness-core first (fills the 50 cap) --
-    "ddl_lifecycle",
-    "harness_crud_plan",
-    "time_travel_checksum",
-    "schema_evolution_read",
-    "snapshot_lineage",
-    "tag_and_rollback",
-    "incremental_read_changes",
-    "maintenance_compaction",           # also r6 code-touched: orphan grace
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q18_large_volume_customer",
-    "grouping_sets_revenue",
-    "pipeline_curate_full",
-    "pipeline_pack_sequences",
-    "corpus_contamination_check",
-    "corpus_split_train_val_test",
-    "corpus_shard_manifest",
-    "sketch_hll_union_rollup",
-    "percentile_approx_by_group",
-    "distinct_users_approx",
-    "events_resample_ohlc",
-    "regexp_functions_suite",
-    "text_pii_redaction",
-    # ---- 50-query cap lands here; the (c) tail below greens only if
-    # the driver runs deeper, else it stays r3-latest and leads r7 ----
+    # -- (a) round-7 code-touched + debuts --
+    "tpch_q12_priority_shipping",       # r6's one red row: oracle cast fixed
+    "tpch_q11_important_stock",         # rounded threshold both sides
+    "tpch_q2_min_cost_supplier",        # part filter pushed below first agg
+    "tpch_q20_potential_promotion",     # part filter pushed below first agg
+    "iceberg_metadata_roundtrip",       # eq-delete field-id rebind; timestamptz
+    "streaming_table_source_read",      # TZ-gated pushdown; sink version guard
+    "streaming_table_source_cdc",
+    "streaming_table_source_cdc_cow",   # canonicalized bucket hashing
+    "cdc_replicate_table",
+    "pricing_summary",                  # r6 perf-weak: adjudicated environmental
+    "tpcds_star_join_multi_dim",        # NEW r7: all-dim-predicate star join
+    "tpcds_rank_within_parent",         # NEW r7: Q36 lochierarchy rollup+rank
+    # -- (b) the 28-query r3-latest cohort (VERDICT r6 item 2) --
     "attribution_last_touch",
     "basket_part_affinity",
+    "corpus_contamination_check",
     "corpus_mixture_weights",
+    "corpus_shard_manifest",
     "corpus_shuffle_shards",
+    "corpus_split_train_val_test",
     "customer_rfm_segments",
+    "distinct_users_approx",
     "doc_length_histogram",
     "events_anomaly_zscore",
     "events_gapfill_locf",
+    "events_resample_ohlc",
+    "grouping_sets_revenue",
+    "percentile_approx_by_group",
+    "pipeline_curate_full",
+    "pipeline_pack_sequences",
+    "regexp_functions_suite",
     "retention_cohort_weekly",
     "sample_importance_weighted",
     "sample_stratified_by_lang",
+    "sketch_hll_union_rollup",
+    "text_pii_redaction",
     "text_repetition_scores",
     "text_unigram_logprob",
     "tokenizer_bpe_pair_counts",
     "top_tokens",
+    "tpch_q18_large_volume_customer",
+    # -- (c) §2-core r4-latest fills the 50 cap --
+    "partitions_metadata",
+    "cdc_changelog",
+    "streaming_cdc_upsert_laketable",
+    "migrate_parquet_inplace",
+    "partition_evolution_read",
+    "mv_incremental_maintenance",
+    "mv_join_incremental_maintenance",
+    "dq_expectation_suite",
+    "analyze_table_stats",
+    "tpcds_returned_ratio_by_date",
+    # ---- 50-query cap lands here; the r4 tail below greens only if
+    # the driver runs deeper, else it stays r4-latest and leads r8 ----
+    "tpcds_rollup_rolling_sales",
+    "conditional_aggregation",
+    "correlated_exists_subquery",
+    "cube_aggregation",
+    "dedup_ngram_jaccard",
+    "events_funnel_conversion",
+    "events_transition_matrix",
+    "full_outer_join_sets",
+    "join_broadcast_dim",
+    "join_bucketed_colocated",
+    "join_fact_fact",
+    "join_multiway_region_revenue",
+    "join_skew_salted",
+    "json_extraction",
+    "knn_metadata_filtered",
+    "knn_pq_adc",
+    "left_outer_join_orders",
+    "pivot_event_types",
+    "rollup_aggregation",
+    "scalar_subquery_above_avg",
+    "semi_anti_join",
+    "set_ops_customers",
+    "stats_gini_grouped_udaf",
+    "streaming_multibatch_windowed",
+    "streaming_ohlc_rollup",
+    "text_near_containment",
+    "tpch_q21_sole_fault_supplier",
+    "unpivot_part_metrics",
+    "window_lag_delta",
+    "window_moving_average",
+    "window_running_sum",
+    "window_time_range_agg",
+    "window_topn_per_group",
 )
 
 

@@ -274,3 +274,168 @@ def tpcds_channel_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+@register(
+    "tpcds_star_join_multi_dim",
+    oracle=(
+        # Every predicate lives on a DIMENSION (part type, supplier
+        # region, calendar year+weekday) — the fact carries none. The
+        # TPC-DS Q7/Q42 star shape over the TPC-H-ish fixtures.
+        "WITH date_dim AS (SELECT d AS d_date, "
+        "CAST(EXTRACT(quarter FROM d) AS BIGINT) AS d_qoy "
+        "FROM (SELECT unnest(generate_series(DATE '1997-01-01', "
+        "DATE '1997-12-31', INTERVAL 1 DAY))::DATE AS d) "
+        "WHERE EXTRACT(dow FROM d) NOT IN (0, 6)), "
+        "euro_s AS (SELECT s_suppkey FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE') "
+        "SELECT d_qoy, p_brand, "
+        "CAST(COUNT(*) AS BIGINT) AS n_items, "
+        "CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, "
+        "ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
+        "AS BIGINT)) / 100.0, 2) AS revenue "
+        "FROM lineitem "
+        "JOIN date_dim ON CAST(l_shipdate AS DATE) = d_date "
+        "JOIN part ON l_partkey = p_partkey "
+        "JOIN euro_s ON l_suppkey = s_suppkey "
+        "WHERE p_type = 'STANDARD' "
+        "GROUP BY d_qoy, p_brand ORDER BY d_qoy, p_brand"
+    ),
+)
+def tpcds_star_join_multi_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimension star join, TPC-DS Q7/Q42 shape: 1997-weekday
+    sales of STANDARD parts through EUROPE suppliers, per (quarter,
+    brand). The signature property TPC-H lacks: EVERY predicate lives
+    on a dimension — year+weekday on the generated calendar, type on
+    part, region on the supplier snowflake — and the fact is pruned
+    purely through broadcast hash/semi joins.
+
+    Plan shape at 100 TB: three broadcasts (calendar ~260 rows, the
+    filtered part dim, the region-filtered supplier keys as a
+    LEFT SEMI — it contributes no columns), all applied BEFORE the
+    single wide exchange, which carries only (quarter, brand) partial
+    rows. No fact-side filter, no SortMergeJoin, one shuffle.
+    Revenue sums integer cents so every engine re-adds exactly."""
+    dd = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.expr(
+                    "sequence(DATE'1997-01-01', DATE'1997-12-31', interval 1 day)"
+                )
+            ).alias("d_date")
+        )
+        .filter(~F.dayofweek("d_date").isin(1, 7))
+        .select("d_date", F.quarter("d_date").cast("bigint").alias("d_qoy"))
+    )
+    p = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey", "p_brand")
+    )
+    euro_s = (
+        load_table(spark, "supplier", sf_dir)
+        .join(
+            F.broadcast(
+                load_table(spark, "nation", sf_dir).join(
+                    F.broadcast(
+                        load_table(spark, "region", sf_dir).filter(
+                            F.col("r_name") == "EUROPE"
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_shipdate", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        li.join(F.broadcast(dd), F.to_date("l_shipdate") == F.col("d_date"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(euro_s), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_semi")
+        .groupBy("d_qoy", "p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            F.round(F.sum(cents) / F.lit(100e0), 2).alias("revenue"),
+        )
+        .orderBy("d_qoy", "p_brand")
+    )
+
+
+@register(
+    "tpcds_rank_within_parent",
+    oracle=(
+        # TPC-DS Q36's lochierarchy + rank-within-parent over a ROLLUP:
+        # revenue per (region, nation) at three grains, each cell
+        # ranked against its SIBLINGS under the same parent.
+        "WITH cells AS (SELECT "
+        "CASE WHEN GROUPING(r_name) = 0 THEN r_name END AS r_name, "
+        "CASE WHEN GROUPING(n_name) = 0 THEN n_name END AS n_name, "
+        "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents, "
+        "CAST(GROUPING(r_name) + GROUPING(n_name) AS BIGINT) AS lochierarchy "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY ROLLUP (r_name, n_name)) "
+        "SELECT COALESCE(r_name, 'ALL') AS r_name, "
+        "COALESCE(n_name, 'ALL') AS n_name, "
+        "ROUND(cents / 100.0, 2) AS revenue, lochierarchy, "
+        "CAST(RANK() OVER (PARTITION BY lochierarchy, "
+        "CASE WHEN lochierarchy = 0 THEN r_name END "
+        "ORDER BY cents DESC) AS BIGINT) AS rank_within_parent "
+        "FROM cells "
+        "ORDER BY lochierarchy DESC, r_name, rank_within_parent, n_name"
+    ),
+)
+def tpcds_rank_within_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q36: rollup revenue over the (region, nation) hierarchy,
+    then RANK each cell against its siblings under the same parent —
+    the ``lochierarchy`` pattern (``GROUPING(a)+GROUPING(b)`` selects
+    the grain; the window partitions on (grain, parent)).
+
+    Plan shape: customer is fact-sized so orders ⋈ customer stays a
+    key-hash join (AQE may broadcast at small SF); nation and region
+    broadcast; ONE Expand + shuffled aggregate produces all three
+    grains, and the rank window sorts |regions|+|nations|+1 aggregate
+    ROWS — never facts. Revenue in integer cents; ranks compare
+    integers, so ties are engine-independent."""
+    od = load_table(spark, "orders", sf_dir).select("o_custkey", "o_totalprice")
+    cu = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    na = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    re = load_table(spark, "region", sf_dir).select("r_regionkey", "r_name")
+    (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .createOrReplaceTempView("_tpcds_rwp")
+    )
+    return spark.sql(
+        "WITH cells AS (SELECT "
+        "CASE WHEN GROUPING(r_name) = 0 THEN r_name END AS r_name, "
+        "CASE WHEN GROUPING(n_name) = 0 THEN n_name END AS n_name, "
+        "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents, "
+        "CAST(GROUPING(r_name) + GROUPING(n_name) AS BIGINT) AS lochierarchy "
+        "FROM _tpcds_rwp GROUP BY ROLLUP (r_name, n_name)) "
+        "SELECT COALESCE(r_name, 'ALL') AS r_name, "
+        "COALESCE(n_name, 'ALL') AS n_name, "
+        # 100e0 keeps the division DOUBLE (100.0 would type DECIMAL)
+        "ROUND(cents / 100e0, 2) AS revenue, lochierarchy, "
+        "CAST(RANK() OVER (PARTITION BY lochierarchy, "
+        "CASE WHEN lochierarchy = 0 THEN r_name END "
+        "ORDER BY cents DESC) AS BIGINT) AS rank_within_parent "
+        "FROM cells "
+        "ORDER BY lochierarchy DESC, r_name, rank_within_parent, n_name"
+    )

@@ -391,3 +391,31 @@ def test_tpch_q20_grouped_reagg_no_second_fact_scan(spark, oracle_sf_dir):
     # BEFORE the (suppkey, partkey) aggregation shuffle.
     ex = plan.index("Exchange hashpartitioning(l_suppkey")
     assert plan.index("LeftSemi") > ex, "part semi-join must sit below the wide agg exchange"
+
+
+def test_tpcds_star_join_filters_live_on_dims(spark, oracle_sf_dir):
+    """Star-join shape: every predicate is a DIM filter reaching that
+    dim's scan; the fact is pruned purely through broadcast joins
+    (incl. the column-free supplier prune as LEFT SEMI) — no fact
+    filter, no SortMergeJoin, the only wide exchange is the final
+    (quarter, brand) aggregate."""
+    plan = _plan("tpcds_star_join_multi_dim", spark, oracle_sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EqualTo(p_type,STANDARD)" in plan  # pushed to the part scan
+    assert "EqualTo(r_name,EUROPE)" in plan    # pushed to the region scan
+
+
+def test_tpcds_rank_within_parent_windows_over_cells(spark, oracle_sf_dir):
+    """Q36 shape: one Expand feeds every rollup grain from a single
+    scan, and the rank window runs over AGGREGATE rows (it sits above
+    the final HashAggregate, partitioned on the grain id) — facts are
+    never sorted."""
+    plan = _plan("tpcds_rank_within_parent", spark, oracle_sf_dir)
+    assert "Expand" in plan
+    assert "Window" in plan
+    # window above (printed before) the rollup aggregate, which is
+    # above the fact join — aggregate rows in, never raw facts
+    assert plan.index("Window") < plan.index("Expand")
+    assert "BroadcastHashJoin" in plan
