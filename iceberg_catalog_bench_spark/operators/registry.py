@@ -64,6 +64,8 @@ PRIORITY: tuple[str, ...] = (
     "pricing_summary",                  # r6 perf-weak: adjudicated environmental
     "tpcds_star_join_multi_dim",        # NEW r7: all-dim-predicate star join
     "tpcds_rank_within_parent",         # NEW r7: Q36 lochierarchy rollup+rank
+    "dedup_incremental_minhash",        # NEW r7: stored-signature ingest dedup
+    "dedup_minhash_lsh",                # r7 code-touched: _band_rows refactor
     # -- (b) the 28-query r3-latest cohort (VERDICT r6 item 2) --
     "attribution_last_touch",
     "basket_part_affinity",
