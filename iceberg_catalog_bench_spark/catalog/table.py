@@ -1887,6 +1887,8 @@ class LakeTable:
         when_matched_update: dict[str, str] | str | None = None,
         when_matched_delete: str | bool | None = None,
         when_not_matched_insert: bool = True,
+        when_not_matched_by_source_update: dict[str, str] | None = None,
+        when_not_matched_by_source_delete: str | bool | None = None,
         mode: str | None = None,
     ) -> Snapshot:
         """MERGE INTO target USING source ON keys — reference M5
@@ -1905,6 +1907,18 @@ class LakeTable:
         ``when_matched_delete``: True or a SQL condition (over target
         cols + ``src_`` cols) — reference `merge_sales_events.sql:23`
         pairs the merge with a follow-up delete.
+
+        ``when_not_matched_by_source_*`` (Spark 3.4+/Iceberg MERGE
+        extension; beyond the reference surface): acts on TARGET rows
+        with no source key match. ``_delete`` is True or a SQL
+        condition over target columns; ``_update`` is {col: SQL expr}
+        over target columns applied to the anti rows the delete clause
+        left alive (clauses evaluate delete-first, Spark's order).
+        Copy-on-write rewrites every file holding a qualifying anti
+        row; merge-on-read position-tombstones them (and re-appends
+        updated images) — at scale, prefer a selective delete
+        condition: an unconditional by-source clause touches the
+        whole table by definition.
         """
         snap = self._snapshot()
         if snap is None:
@@ -1981,8 +1995,26 @@ class LakeTable:
             )
             norm = {_strip_scheme(r["_lake_file"]) for r in per_file}
             matched_rows = sum(r["count"] for r in per_file)
+            bys_upd = when_not_matched_by_source_update
+            bys_del = when_not_matched_by_source_delete
+            bys_norm: set[str] = set()
+            bys_rows = 0
+            if bys_upd or bys_del is not None:
+                # files holding anti-matched rows the by-source clauses
+                # touch: with an update clause every anti row is touched;
+                # delete-only with a condition prunes to qualifying files
+                anti_probe = keys_probe.join(src_for_join, join_cond, "left_anti")
+                if not bys_upd and isinstance(bys_del, str):
+                    anti_probe = anti_probe.filter(F.expr(bys_del))
+                per_file_bys = anti_probe.groupBy("_lake_file").count().collect()
+                bys_norm = {_strip_scheme(r["_lake_file"]) for r in per_file_bys}
+                bys_rows = sum(r["count"] for r in per_file_bys)
             affected = [e for e in snap.files if os.path.join(self.path, e.path) in norm]
-            keep = [e for e in snap.files if e not in affected]
+            cow_affected = [
+                e for e in snap.files
+                if os.path.join(self.path, e.path) in (norm | bys_norm)
+            ]
+            keep = [e for e in snap.files if e not in cow_affected]
 
             mor = self._row_op_mode("merge", mode) == "merge-on-read"
             upd = when_matched_update
@@ -2030,9 +2062,9 @@ class LakeTable:
                     rewritten = self._write_files(images.select(*out_cols))
                 finally:
                     joined.unpersist()
-            elif affected:
+            elif cow_affected:
                 tgt = self._read_with_deletes(
-                    snap, self._meta["current_schema_version"], entries=affected
+                    snap, self._meta["current_schema_version"], entries=cow_affected
                 )
                 cond = None
                 for k in on:
@@ -2045,16 +2077,69 @@ class LakeTable:
                         matched & F.expr(str(when_matched_delete))
                     )
                     joined = joined.filter(~del_cond)
+                if bys_del is not None:
+                    bdc = F.lit(True) if bys_del is True else F.expr(str(bys_del))
+                    joined = joined.filter(~(~matched & bdc))
                 out_cols = []
                 for f in fields:
+                    e = F.col(f.name)
+                    if bys_upd and f.name in bys_upd:
+                        # by-source update: anti rows the delete clause
+                        # left alive take the target-only expression
+                        e = F.when(
+                            ~matched, F.expr(bys_upd[f.name]).cast(f.type)
+                        ).otherwise(e)
                     if upd and f.name in upd:
-                        out_cols.append(
-                            F.when(matched, F.expr(upd[f.name]).cast(f.type))
-                            .otherwise(F.col(f.name)).alias(f.name)
-                        )
-                    else:
-                        out_cols.append(F.col(f.name))
+                        e = F.when(
+                            matched, F.expr(upd[f.name]).cast(f.type)
+                        ).otherwise(e)
+                    out_cols.append(e.alias(f.name))
                 rewritten = self._write_files(joined.select(*out_cols))
+
+            # 2b. by-source actions under merge-on-read: tombstone the
+            # touched anti rows; re-append updated images (deleted rows
+            # get no image). O(anti rows in qualifying files).
+            if mor and (bys_upd or bys_del is not None) and bys_norm:
+                bys_entries = [
+                    e for e in snap.files
+                    if os.path.join(self.path, e.path) in bys_norm
+                ]
+                tgt2 = self._read_with_deletes(
+                    snap, self._meta["current_schema_version"],
+                    entries=bys_entries, with_file_path=True, with_pos=True,
+                )
+                acond = None
+                for k in on:
+                    c = tgt2[k] == src[f"src_{k}"]
+                    acond = c if acond is None else (acond & c)
+                anti = tgt2.join(src_for_join, acond, "left_anti").cache()
+                try:
+                    bdc = (
+                        F.lit(True) if bys_del is True
+                        else F.expr(str(bys_del)) if bys_del is not None
+                        else F.lit(False)
+                    )
+                    touched = anti if bys_upd else anti.filter(bdc)
+                    new_dels += self._write_delete_files(
+                        touched.select(
+                            F.regexp_replace(
+                                F.col("_lake_file"), "^file:/+", "/"
+                            ).alias("file_path"),
+                            F.col("_lake_pos").alias("pos"),
+                        )
+                    )
+                    if bys_upd:
+                        upd_rows = (
+                            anti.filter(~bdc) if bys_del is not None else anti
+                        )
+                        out2 = [
+                            F.expr(bys_upd[f.name]).cast(f.type).alias(f.name)
+                            if f.name in bys_upd else F.col(f.name)
+                            for f in fields
+                        ]
+                        rewritten += self._write_files(upd_rows.select(*out2))
+                finally:
+                    anti.unpersist()
 
             # 3. not-matched inserts: source anti-join target keys
             inserted: list[FileEntry] = []
@@ -2077,6 +2162,7 @@ class LakeTable:
                 snap_out = self._commit(
                     "merge", list(snap.files) + rewritten + inserted,
                     {"matched_rows": matched_rows,
+                     "by_source_rows": bys_rows,
                      "inserted_rows": sum(e.rows for e in inserted),
                      "added_delete_files": len(new_dels),
                      "mode": "merge-on-read"},
@@ -2087,8 +2173,9 @@ class LakeTable:
                 snap_out = self._commit(
                     "merge", keep + rewritten + inserted,
                     {"matched_rows": matched_rows,
+                     "by_source_rows": bys_rows,
                      "inserted_rows": sum(e.rows for e in inserted),
-                     "rewritten_files": len(affected)},
+                     "rewritten_files": len(cow_affected)},
                 )
             return snap_out
         finally:

@@ -930,20 +930,49 @@ class SqlEngine:
         upd = None
         delete_matched: bool | str | None = None
         insert = False
+        bys_upd = None
+        bys_del: bool | str | None = None
+
+        def _set_dict(set_sql: str, src_visible: bool) -> dict[str, str]:
+            d = {}
+            for part in re.split(r",(?![^()]*\))", set_sql):
+                col, _, expr = part.partition("=")
+                col = col.strip().split(".")[-1]
+                expr = expr.strip()
+                if src_visible:
+                    expr = re.sub(rf"\b{re.escape(salias)}\.(\w+)", r"src_\1", expr)
+                expr = re.sub(rf"\b{re.escape(talias)}\.(\w+)", r"\1", expr)
+                d[col] = expr
+            return d
+
         for clause in re.finditer(
-            r"(?is)when\s+(not\s+)?matched\s+then\s+(update\s+set\s+(.*?)|insert\s*(\([^)]*\))?\s*values\s*\(([^)]*)\)|delete)\s*(?=when|$)",
+            r"(?is)when\s+(not\s+)?matched(\s+by\s+source)?"
+            r"(?:\s+and\s+(.*?))?\s+then\s+"
+            r"(update\s+set\s+(.*?)|insert\s*(\([^)]*\))?\s*values\s*\(([^)]*)\)|delete)\s*(?=when|$)",
             when_clauses,
         ):
-            not_matched, action, set_sql, _ins_cols, _ins_vals = clause.groups()
+            (not_matched, by_source, and_cond, action, set_sql,
+             _ins_cols, _ins_vals) = clause.groups()
+            if by_source:
+                # Spark 3.4+ MERGE extension: target rows with no
+                # source match (condition sees target columns only)
+                if not not_matched:
+                    raise ValueError("MATCHED BY SOURCE is not a clause; "
+                                     "use WHEN NOT MATCHED BY SOURCE")
+                if action.lower().startswith("update"):
+                    bys_upd = _set_dict(set_sql, src_visible=False)
+                elif action.lower().startswith("delete"):
+                    bys_del = (
+                        re.sub(rf"\b{re.escape(talias)}\.(\w+)", r"\1",
+                               and_cond.strip())
+                        if and_cond else True
+                    )
+                else:
+                    raise ValueError(
+                        "WHEN NOT MATCHED BY SOURCE supports UPDATE/DELETE only")
+                continue
             if action.lower().startswith("update"):
-                upd = {}
-                for part in re.split(r",(?![^()]*\))", set_sql):
-                    col, _, expr = part.partition("=")
-                    col = col.strip()
-                    col = col.split(".")[-1]
-                    expr = re.sub(rf"\b{re.escape(salias)}\.(\w+)", r"src_\1", expr.strip())
-                    expr = re.sub(rf"\b{re.escape(talias)}\.(\w+)", r"\1", expr)
-                    upd[col] = expr
+                upd = _set_dict(set_sql, src_visible=True)
             elif action.lower().startswith("delete"):
                 delete_matched = True
             elif action.lower().startswith("insert"):
@@ -952,6 +981,8 @@ class SqlEngine:
             source, on=on_keys, when_matched_update=upd,
             when_matched_delete=delete_matched,
             when_not_matched_insert=insert,
+            when_not_matched_by_source_update=bys_upd,
+            when_not_matched_by_source_delete=bys_del,
         )
         return StatementResult(
             s,

@@ -104,6 +104,46 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_not_matched_by_source",
+    oracle=(
+        # survivors: every source key (matched-updated or inserted),
+        # plus target-only keys the by-source delete spared
+        "SELECT o_orderkey, "
+        "ROUND(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1000 "
+        "ELSE o_totalprice END, 2) AS price_out FROM orders "
+        "WHERE o_orderkey % 2 = 0 "
+        "OR (o_orderkey % 4 <> 0 AND o_orderkey % 3 <> 0)"
+    ),
+)
+def merge_not_matched_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Spark-3.4 MERGE semantics in one commit (beyond the
+    reference's M5): matched → UPDATE, not-matched → INSERT, and NOT
+    MATCHED BY SOURCE → conditional DELETE of target rows the source
+    no longer carries — the snapshot-replication shape (make target
+    equal source for covered keys, garbage-collect the rest). Target =
+    orderkey % 4 != 0; source = even keys at price+1000; by-source
+    delete condition = orderkey % 3 = 0. The oracle reconstructs the
+    final state via key-set algebra."""
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    target = orders.filter(F.col("o_orderkey") % 4 != 0)
+    source = orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000
+    )
+    d = _tmp_table_dir()
+    t = LakeTable.create(
+        spark, d, "o_orderkey bigint, o_totalprice double",
+        partition_by=["bucket(8, o_orderkey)"],
+    )
+    t.append(target)
+    t.merge(source, on=["o_orderkey"], when_matched_update="*",
+            when_not_matched_insert=True,
+            when_not_matched_by_source_delete="o_orderkey % 3 = 0")
+    return t.read().select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price_out")
+    )
+
+
+@register(
     "time_travel_checksum",
     oracle=(
         "SELECT 'baseline' AS snap_label, COUNT(*) AS row_count, "

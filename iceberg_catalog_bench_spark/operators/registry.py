@@ -66,6 +66,8 @@ PRIORITY: tuple[str, ...] = (
     "tpcds_rank_within_parent",         # NEW r7: Q36 lochierarchy rollup+rank
     "dedup_incremental_minhash",        # NEW r7: stored-signature ingest dedup
     "dedup_minhash_lsh",                # r7 code-touched: _band_rows refactor
+    "merge_not_matched_by_source",      # NEW r7: Spark-3.4 MERGE extension
+    "merge_upsert",                     # r7 code-touched: merge() extended
     # -- (b) the 28-query r3-latest cohort (VERDICT r6 item 2) --
     "attribution_last_touch",
     "basket_part_affinity",

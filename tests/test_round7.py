@@ -240,3 +240,95 @@ def test_sink_restart_picks_up_evolved_schema(spark, tmp_path):
     w = ds.streamWriter(
         StructType.fromDDL("k bigint, v double, tag string"), False)
     assert [c for c, _t in w.columns] == ["k", "v", "tag"]
+
+
+# ---- MERGE ... WHEN NOT MATCHED BY SOURCE (Spark 3.4+ extension) ----
+
+def _merge_fixture(spark, tmp_path, props=None):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), "k bigint, v double, tag string",
+        properties=props or {},
+    )
+    t.append(spark.createDataFrame(
+        [(1, 1.0, "old"), (2, 2.0, "old"), (3, 3.0, "old"), (4, 4.0, "keep")],
+        "k bigint, v double, tag string",
+    ))
+    src = spark.createDataFrame(
+        [(2, 20.0, "src"), (5, 50.0, "src")], "k bigint, v double, tag string")
+    return t, src
+
+
+def test_merge_by_source_delete_cow(spark, tmp_path):
+    """Unmatched target rows delete; matched update; unmatched source
+    inserts — full Spark-3.4 MERGE semantics in one CoW commit."""
+    t, src = _merge_fixture(spark, tmp_path)
+    t.merge(src, on=["k"], when_matched_update="*",
+            when_not_matched_insert=True,
+            when_not_matched_by_source_delete=True)
+    rows = sorted(tuple(r) for r in t.read().collect())
+    assert rows == [(2, 20.0, "src"), (5, 50.0, "src")]
+
+
+def test_merge_by_source_delete_condition_cow(spark, tmp_path):
+    """A conditional by-source delete touches ONLY qualifying rows
+    (and only their files get rewritten)."""
+    t, src = _merge_fixture(spark, tmp_path)
+    t.merge(src, on=["k"], when_matched_update="*",
+            when_not_matched_insert=False,
+            when_not_matched_by_source_delete="tag = 'old'")
+    rows = sorted(tuple(r) for r in t.read().collect())
+    assert rows == [(2, 20.0, "src"), (4, 4.0, "keep")]
+
+
+def test_merge_by_source_update_cow(spark, tmp_path):
+    """By-source UPDATE marks unmatched target rows; delete clause
+    runs first (Spark clause order)."""
+    t, src = _merge_fixture(spark, tmp_path)
+    t.merge(src, on=["k"], when_matched_update="*",
+            when_not_matched_insert=True,
+            when_not_matched_by_source_delete="tag = 'keep'",
+            when_not_matched_by_source_update={"tag": "'stale'"})
+    rows = sorted(tuple(r) for r in t.read().collect())
+    assert rows == [
+        (1, 1.0, "stale"), (2, 20.0, "src"), (3, 3.0, "stale"),
+        (5, 50.0, "src"),
+    ]
+
+
+def test_merge_by_source_delete_mor(spark, tmp_path):
+    """Merge-on-read: by-source rows position-tombstone (no rewrite of
+    untouched files); updated anti rows re-append images."""
+    t, src = _merge_fixture(
+        spark, tmp_path, props={"write.merge.mode": "merge-on-read"})
+    n_files_before = len(t._snapshot().files)
+    snap = t.merge(src, on=["k"], when_matched_update="*",
+                   when_not_matched_insert=True,
+                   when_not_matched_by_source_update={"tag": "'stale'"})
+    rows = sorted(tuple(r) for r in t.read().collect())
+    assert rows == [
+        (1, 1.0, "stale"), (2, 20.0, "src"), (3, 3.0, "stale"),
+        (4, 4.0, "stale"), (5, 50.0, "src"),
+    ]
+    assert snap.summary["mode"] == "merge-on-read"
+    assert snap.summary["by_source_rows"] == 3
+    # originals still present + tombstoned, not rewritten
+    assert {e.path for e in t._snapshot().files} >= {
+        e.path for e in t._snapshot().files[:n_files_before]}
+    assert t._snapshot().delete_files
+
+
+def test_merge_by_source_sql(spark, tmp_path):
+    """The SQL spelling routes through the frontend."""
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE mt (k bigint, v double)")
+    e.execute("INSERT INTO mt VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    e.execute(
+        "MERGE INTO mt AS t USING (VALUES (2, 20.0)) AS s(k, v) "
+        "ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET t.v = s.v "
+        "WHEN NOT MATCHED BY SOURCE AND t.k = 3 THEN DELETE"
+    )
+    rows = e.execute("SELECT k, v FROM mt ORDER BY k")[0].rows
+    assert [(r["k"], r["v"]) for r in rows] == [(1, 1.0), (2, 20.0)]
