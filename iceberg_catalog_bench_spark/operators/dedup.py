@@ -649,9 +649,11 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     16×|batch| bucket rows against the store. The store is partitioned
     ``bucket(8, key)``, so at scale the join prunes to matching key
     buckets and the store side streams from its co-located files; the
-    verify step reads shingles for candidate docs only. Candidate
-    volume tracks duplicate density (16×2 banding, miss ~7e-8 at
-    j≥0.8), so the verified output equals exact cross-Jaccard — the
+    verify step semi-joins the shingle relation down to CANDIDATE
+    docs before any aggregation — its cost tracks duplicate density,
+    never corpus size. Candidate volume does too (16×2 banding, miss
+    ~7e-8 at j≥0.8), so the verified output equals exact
+    cross-Jaccard — the
     oracle is that exact SQL, making the approximation's completeness
     part of the correctness gate.
 
@@ -678,6 +680,20 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # -- ingest: the batch hashes itself; the store is only joined --
     batch_banded = _band_rows(sh_all.filter(batch_cond))
+    return minhash_ingest(
+        load_table(spark, "documents", sf_dir), batch_banded, corpus_banded
+    )
+
+
+def minhash_ingest(docs: DataFrame, batch_banded: DataFrame,
+                   corpus_banded: DataFrame) -> DataFrame:
+    """One incremental-dedup ingest: candidates from the batch's
+    bucket rows against (store ∪ batch), exact-verified by
+    re-shingling the CANDIDATE documents only — the documents table
+    is semi-joined down to candidate ids BEFORE the shingle explode,
+    so verify cost tracks duplicate density, never corpus size (at
+    scale, a doc_id-clustered documents table turns the semi-join
+    into point-lookup pruning)."""
     a = corpus_banded.unionByName(batch_banded).alias("a")
     b = batch_banded.alias("b")
     cand = (
@@ -689,13 +705,21 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
         )
         .distinct()
+        .cache()
     )
-
-    # exact verification of candidates only (shingle lookups for the
-    # candidate docs — never a corpus-wide rehash)
-    sizes = sh_all.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    sa = sh_all.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    sb = sh_all.select(F.col("doc_id").alias("doc_b_"), F.col("shingle").alias("sh_b"))
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        docs.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .select("doc_id", F.explode(F.expr(_SHINGLES_EXPR)).alias("shingle"))
+        .cache()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b_"), F.col("shingle").alias("sh_b"))
     inter = (
         cand.join(sa, "doc_a")
         .join(sb, (F.col("doc_b") == F.col("doc_b_")) & (F.col("sh_a") == F.col("sh_b")))
