@@ -972,10 +972,28 @@ class SqlEngine:
                         "WHEN NOT MATCHED BY SOURCE supports UPDATE/DELETE only")
                 continue
             if action.lower().startswith("update"):
+                if and_cond:
+                    raise ValueError(
+                        "WHEN MATCHED AND <cond> THEN UPDATE is not "
+                        "supported; split into a conditional DELETE + "
+                        "unconditional UPDATE or pre-filter the source")
                 upd = _set_dict(set_sql, src_visible=True)
             elif action.lower().startswith("delete"):
-                delete_matched = True
+                # conditional matched delete: condition sees target
+                # cols bare and source cols as src_<name>
+                delete_matched = (
+                    re.sub(
+                        rf"\b{re.escape(talias)}\.(\w+)", r"\1",
+                        re.sub(rf"\b{re.escape(salias)}\.(\w+)", r"src_\1",
+                               and_cond.strip()),
+                    )
+                    if and_cond else True
+                )
             elif action.lower().startswith("insert"):
+                if and_cond:
+                    raise ValueError(
+                        "WHEN NOT MATCHED AND <cond> THEN INSERT is not "
+                        "supported; pre-filter the source instead")
                 insert = bool(not_matched)
         snap = t.merge(
             source, on=on_keys, when_matched_update=upd,

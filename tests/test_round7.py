@@ -332,3 +332,26 @@ def test_merge_by_source_sql(spark, tmp_path):
     )
     rows = e.execute("SELECT k, v FROM mt ORDER BY k")[0].rows
     assert [(r["k"], r["v"]) for r in rows] == [(1, 1.0), (2, 20.0)]
+
+
+def test_merge_matched_delete_condition_sql(spark, tmp_path):
+    """WHEN MATCHED AND <cond> THEN DELETE routes the condition; an
+    unsupported conditional UPDATE raises instead of silently
+    applying unconditionally."""
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE md (k bigint, v double)")
+    e.execute("INSERT INTO md VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    e.execute(
+        "MERGE INTO md AS t USING (VALUES (2, 0.0), (3, 30.0)) AS s(k, v) "
+        "ON t.k = s.k "
+        "WHEN MATCHED AND s.v = 0.0 THEN DELETE"
+    )
+    rows = e.execute("SELECT k, v FROM md ORDER BY k")[0].rows
+    assert [(r["k"], r["v"]) for r in rows] == [(1, 1.0), (3, 3.0)]
+    with pytest.raises(ValueError, match="MATCHED AND"):
+        e.execute(
+            "MERGE INTO md AS t USING (VALUES (1, 9.0)) AS s(k, v) "
+            "ON t.k = s.k WHEN MATCHED AND s.v > 0 THEN UPDATE SET t.v = s.v"
+        )
