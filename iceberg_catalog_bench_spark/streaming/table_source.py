@@ -46,6 +46,19 @@ Semantics (mirrors Iceberg's Spark streaming read):
   batches on offset INEQUALITY alone and would otherwise silently
   redeliver; both call orders are pinned by
   ``test_restart_latest_offset_call_order_contract``.
+  **Cap × Trigger.AvailableNow = a PACED drain, not a full one**: the
+  Python DataSource API has no admission-control hooks
+  (``reportLatestOffset`` / ``latestOffset(start, limit)`` /
+  ``prepareForTriggerAvailableNow`` — runner protocol is four calls:
+  initial/latest/partitions/commit), so Spark's AvailableNow wrapper
+  captures ONE ``latestOffset`` as the run's entire target and the
+  capped offset IS that target. Each ``availableNow`` invocation
+  therefore advances exactly ≤cap files and terminates; re-invoking
+  on the same checkpoint continues from the watermark and CONVERGES
+  to the head with no loss and no duplicates (pinned by
+  ``test_capped_available_now_is_paced_and_converges``). Use an
+  uncapped reader (the default) when one invocation must drain
+  everything — the cap exists for continuous triggers.
 - **Appends only (default mode).** A snapshot in the range that
   removed files or added delete files (delete/update/rewrite) raises
   by default — silently replaying its rewritten files would duplicate

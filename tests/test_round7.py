@@ -355,3 +355,83 @@ def test_merge_matched_delete_condition_sql(spark, tmp_path):
             "MERGE INTO md AS t USING (VALUES (1, 9.0)) AS s(k, v) "
             "ON t.k = s.k WHEN MATCHED AND s.v > 0 THEN UPDATE SET t.v = s.v"
         )
+
+
+def test_concurrent_streaming_sinks_same_table(spark, tmp_path):
+    """Two streaming queries with DISTINCT sink identities write one
+    table concurrently: every row lands exactly once (commit conflicts
+    re-base, per-query batch watermarks never cross)."""
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        register_source,
+    )
+
+    register_source(spark)
+    srcs = []
+    for i in (0, 1):
+        t = LakeTable.create(
+            spark, str(tmp_path / f"src{i}"), "k bigint, v double")
+        for j in range(3):
+            t.append(spark.createDataFrame(
+                [(i * 1000 + j * 10 + x, float(x)) for x in range(5)],
+                "k bigint, v double"))
+        srcs.append(t)
+    dst = LakeTable.create(spark, str(tmp_path / "dst"), "k bigint, v double")
+
+    qs = []
+    for i, src in enumerate(srcs):
+        qs.append(
+            spark.readStream.format("laketable").option("path", src.path)
+            .load()
+            .writeStream.format("laketable").option("path", dst.path)
+            .option("sink-query-id", f"writer-{i}")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"ck{i}")).start()
+        )
+    for q in qs:
+        q.awaitTermination(300)
+    dst._reload()
+    got = sorted(r["k"] for r in dst.read().collect())
+    want = sorted(
+        r["k"] for src in srcs for r in src.read().collect())
+    assert got == want  # no lost rows, no duplicates
+    # each writer's batch watermark advanced independently
+    assert dst.last_streaming_batch("writer-0") is not None
+    assert dst.last_streaming_batch("writer-1") is not None
+
+
+def test_capped_available_now_is_paced_and_converges(spark, tmp_path):
+    """max-files-per-trigger × Trigger.AvailableNow: the Python
+    DataSource API has no admission-control hooks, so each invocation
+    is ONE capped batch — a PACED drain. Re-invocations on the same
+    checkpoint converge to the head with no loss and no duplicates
+    (the documented contract; an uncapped reader drains fully in one
+    run)."""
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        register_source,
+    )
+
+    register_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "src"), "k bigint, v double")
+    for j in range(3):
+        t.append(spark.createDataFrame(
+            [(j * 10 + x, float(x)) for x in range(5)],
+            "k bigint, v double").coalesce(1))
+    dst = LakeTable.create(spark, str(tmp_path / "dst"), "k bigint, v double")
+
+    def drain():
+        q = (
+            spark.readStream.format("laketable").option("path", t.path)
+            .option("max-files-per-trigger", "1").load()
+            .writeStream.format("laketable").option("path", dst.path)
+            .option("sink-query-id", "paced")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck")).start()
+        )
+        q.awaitTermination(300)
+        dst._reload()
+        return sorted(r["k"] for r in dst.read().collect())
+
+    counts = [len(drain()) for _ in range(4)]
+    assert counts == [5, 10, 15, 15]  # paced, convergent, no dupes
+    want = sorted(r["k"] for r in t.read().collect())
+    assert drain() == want
