@@ -1376,6 +1376,45 @@ class LakeTable:
             delete_files=list(target.delete_files),
         )
 
+    def rollback_to_timestamp(self, ts_ms: int) -> Snapshot:
+        """CALL system.rollback_to_timestamp — restore the newest
+        snapshot committed at or before the cutoff ON THE CURRENT
+        ANCESTRY (resolving over all snapshots would resurrect
+        branch-staged commits), as a new commit."""
+        head = self._meta.get("current_snapshot_id") or 0
+        eligible = [
+            sn for sn in _ancestry_of(self._meta, head)
+            if sn.get("timestamp_ms", 0) <= ts_ms
+        ]
+        if not eligible:
+            raise ValueError(
+                f"no snapshot committed at or before {ts_ms} ms on the "
+                f"current ancestry"
+            )
+        return self.rollback_to_snapshot(eligible[0]["snapshot_id"])
+
+    def set_current_snapshot(self, snapshot_id: int) -> Snapshot:
+        """CALL system.set_current_snapshot — point the table at ANY
+        retained snapshot's state (rollback's sibling without the
+        on-ancestry expectation: Iceberg allows jumping to e.g. a
+        branch-staged snapshot). Same mechanics: the target's file +
+        delete-file sets commit as a new head; history is preserved."""
+        return self.rollback_to_snapshot(snapshot_id)
+
+    def ancestors_of(self, snapshot_id: int | None = None) -> DataFrame:
+        """CALL system.ancestors_of — the parent-pointer walk from the
+        given snapshot (default: current head), newest first, as a
+        DataFrame of (snapshot_id, timestamp_ms). Metadata-only."""
+        head = (snapshot_id if snapshot_id is not None
+                else self._meta.get("current_snapshot_id") or 0)
+        rows = [
+            (sn["snapshot_id"], sn.get("timestamp_ms", 0))
+            for sn in _ancestry_of(self._meta, head)
+        ]
+        return self.spark.createDataFrame(
+            rows or [], "snapshot_id bigint, timestamp_ms bigint"
+        )
+
     def cherrypick_snapshot(self, snapshot_id: int, _retries: int = 5) -> Snapshot:
         """CALL system.cherrypick_snapshot — apply one snapshot's NET
         CHANGES on top of the current main head as a new commit
@@ -2655,43 +2694,7 @@ class LakeTable:
         )
         t = cls.create(spark, dest_path, ddl)
         version = t._meta["current_schema_version"]
-
-        def footer_entry(fpath: str) -> FileEntry | None:
-            md = pq.ParquetFile(fpath).metadata
-            if md.num_rows == 0:
-                return None
-            stats: dict[str, list] = {}
-            for ci in range(md.num_columns):
-                col_name = md.schema.column(ci).name
-                lo = hi = None
-                try:
-                    for rg in range(md.num_row_groups):
-                        st = md.row_group(rg).column(ci).statistics
-                        if st is None or not st.has_min_max:
-                            lo = hi = None
-                            break
-                        lo = st.min if lo is None else min(lo, st.min)
-                        hi = st.max if hi is None else max(hi, st.max)
-                except Exception:
-                    lo = hi = None
-                if lo is not None:
-                    stats[col_name] = [_json_safe(lo), _json_safe(hi)]
-            return FileEntry(
-                # ABSOLUTE path: the read path joins entries onto the
-                # table dir, and os.path.join yields the absolute path
-                # unchanged — external files read in place, zero copy
-                path=os.path.abspath(fpath),
-                rows=md.num_rows,
-                bytes=os.path.getsize(fpath),
-                schema_version=version,
-                stats=stats,
-                partition={},
-                seq=None,
-            )
-
-        with ThreadPoolExecutor(max_workers=16) as pool:
-            entries = [e for e in pool.map(footer_entry, src_files) if e is not None]
-        entries.sort(key=lambda e: e.path)
+        entries = _external_footer_entries(src_files, version)
         t._commit(
             "import", entries,
             {"imported_files": len(entries),
@@ -2699,6 +2702,66 @@ class LakeTable:
              "source": parquet_dir},
         )
         return t
+
+    def add_files(self, parquet_dir: str, _retries: int = 5) -> Snapshot:
+        """CALL system.add_files — import an EXISTING plain-parquet
+        directory's files into this table as one append commit WITHOUT
+        rewriting a byte (Iceberg's ``add_files`` procedure; the
+        sibling of :meth:`migrate_parquet`, which creates a new table
+        instead). The manifest points at the ORIGINAL files with
+        footer min/max stats, so pruning works immediately; imported
+        files carry no partition keys (same conservative degradation
+        as streamed files) until ``rewrite_data_files`` folds them
+        into the spec layout. The files' schema must match the
+        table's CURRENT schema by name and type — a mismatched import
+        would silently corrupt reads, so it refuses instead.
+
+        At 100 TB this is the incremental adoption path: each
+        historical drop costs one threaded metadata pass over its own
+        footers, never a data copy. ``remove_orphan_files`` sweeps
+        only the table's directory, so imported files are safe."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        src_files = sorted(
+            _glob.glob(os.path.join(parquet_dir, "**", "*.parquet"), recursive=True)
+        )
+        if not src_files:
+            raise ValueError(f"no parquet files under {parquet_dir}")
+        want = [(f.name, f.type.strip().lower()) for f in self._fields()]
+        got_schema = pq.ParquetFile(src_files[0]).schema_arrow
+        got = [
+            (got_schema.field(i).name,
+             _spark_ddl_of_arrow(got_schema.field(i).type))
+            for i in range(len(got_schema))
+        ]
+
+        def canon(t: str) -> str:
+            return {"long": "bigint", "integer": "int"}.get(t, t)
+
+        if [(n, canon(t)) for n, t in got] != [(n, canon(t)) for n, t in want]:
+            raise ValueError(
+                f"add_files schema mismatch: files carry {got}, table "
+                f"expects {want}; evolve the table (or rewrite the files) "
+                f"first"
+            )
+        version = self._meta["current_schema_version"]
+        entries = _external_footer_entries(src_files, version)
+        for attempt in range(_retries + 1):
+            cur = self._snapshot() if self._meta["current_snapshot_id"] else None
+            base = list(cur.files) if cur else []
+            try:
+                return self._commit(
+                    "append", base + entries,
+                    {"added_files": len(entries),
+                     "added_rows": sum(e.rows for e in entries),
+                     "imported_from": parquet_dir},
+                )
+            except CommitConflict:
+                if attempt == _retries:
+                    raise
+                self._reload()
 
     # -- table statistics (Iceberg Puffin role: ANALYZE TABLE) ---------------
 
@@ -2997,6 +3060,99 @@ class LakeTable:
                 os.remove(full)
                 removed += 1
         return {"orphan_file_count": removed}
+
+
+def _ancestry_of(meta: dict, head: int) -> list[dict]:
+    """Snapshot records along parent pointers from ``head``, newest
+    first; stops at the oldest retained snapshot (expired tails are
+    fine for rollback/ancestors queries)."""
+    by_id = {sn["snapshot_id"]: sn for sn in meta.get("snapshots", [])}
+    out: list[dict] = []
+    cur = head or None
+    while cur is not None:
+        sn = by_id.get(cur)
+        if sn is None:
+            break
+        out.append(sn)
+        cur = sn.get("parent_id")
+    return out
+
+
+def _spark_ddl_of_arrow(t) -> str:
+    """Arrow type → Spark DDL spelling, for add_files schema checks
+    (the closed type set §1.2 actually uses)."""
+    import pyarrow as pa
+
+    if pa.types.is_int64(t):
+        return "bigint"
+    if pa.types.is_int32(t):
+        return "int"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp" if t.tz else "timestamp_ntz"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    return str(t)
+
+
+def _external_footer_entries(src_files: list[str], version: int) -> list["FileEntry"]:
+    """FileEntry per external parquet file from its OWN footer —
+    absolute paths (read in place, zero copy), min/max stats so
+    pruning works from the first commit. Shared by ``migrate_parquet``
+    (new table) and ``add_files`` (existing table). Threaded: one
+    metadata read per file, no data I/O."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+
+    def footer_entry(fpath: str) -> FileEntry | None:
+        md = pq.ParquetFile(fpath).metadata
+        if md.num_rows == 0:
+            return None
+        stats: dict[str, list] = {}
+        for ci in range(md.num_columns):
+            col_name = md.schema.column(ci).name
+            lo = hi = None
+            try:
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            except Exception:
+                lo = hi = None
+            if lo is not None:
+                stats[col_name] = [_json_safe(lo), _json_safe(hi)]
+        return FileEntry(
+            # ABSOLUTE path: the read path joins entries onto the
+            # table dir, and os.path.join yields the absolute path
+            # unchanged — external files read in place, zero copy
+            path=os.path.abspath(fpath),
+            rows=md.num_rows,
+            bytes=os.path.getsize(fpath),
+            schema_version=version,
+            stats=stats,
+            partition={},
+            seq=None,
+        )
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        entries = [e for e in pool.map(footer_entry, src_files) if e is not None]
+    entries.sort(key=lambda e: e.path)
+    return entries
 
 
 def _strip_scheme(p: str) -> str:

@@ -1094,6 +1094,45 @@ class SqlEngine:
             snap = t.rollback_to_snapshot(int(kwargs["snapshot_id"]))
             res = {"previous_snapshot_id": snap.parent_id,
                    "current_snapshot_id": snap.snapshot_id}
+        elif proc == "rollback_to_timestamp":
+            # CALL system.rollback_to_timestamp(table => 't',
+            #   timestamp => '2024-01-01T00:00:00')
+            import datetime as _dt
+
+            ts = kwargs["timestamp"]
+            ts_ms = (
+                int(ts) if ts.isdigit()
+                else int(_dt.datetime.fromisoformat(ts)
+                         .replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
+            )
+            snap = t.rollback_to_timestamp(ts_ms)
+            res = {"previous_snapshot_id": snap.parent_id,
+                   "current_snapshot_id": snap.snapshot_id}
+        elif proc == "set_current_snapshot":
+            snap = t.set_current_snapshot(int(kwargs["snapshot_id"]))
+            res = {"previous_snapshot_id": snap.parent_id,
+                   "current_snapshot_id": snap.snapshot_id}
+        elif proc == "ancestors_of":
+            rows = [r.asDict() for r in t.ancestors_of(
+                int(kwargs["snapshot_id"]) if "snapshot_id" in kwargs else None
+            ).collect()]
+            return StatementResult(
+                s, rows=rows, rowcount=len(rows), metadata={"op": proc}
+            )
+        elif proc == "add_files":
+            # CALL system.add_files(table => 't', source_table =>
+            #   '`parquet`.`/path`' | source => '/path') — zero-copy
+            # import of external parquet into an EXISTING table.
+            src = kwargs.get("source") or kwargs.get("source_table") or ""
+            m2 = re.match(r"`parquet`\.`([^`]+)`", src)
+            src_dir = m2.group(1) if m2 else src
+            if not src_dir:
+                raise ValueError(
+                    "CALL system.add_files needs source => '<dir>' or "
+                    "source_table => '`parquet`.`<dir>`'")
+            snap = t.add_files(src_dir)
+            res = {"added_files_count": snap.summary.get("added_files"),
+                   "added_rows_count": snap.summary.get("added_rows")}
         elif proc == "fast_forward":
             # CALL system.fast_forward(table => 't', branch => 'audit')
             res = {"current_snapshot_id": t.fast_forward(kwargs["branch"])}

@@ -435,3 +435,85 @@ def test_capped_available_now_is_paced_and_converges(spark, tmp_path):
     assert counts == [5, 10, 15, 15]  # paced, convergent, no dupes
     want = sorted(r["k"] for r in t.read().collect())
     assert drain() == want
+
+
+def test_merge_by_source_conditional_delete_prunes_files(spark, tmp_path):
+    """The by-source probe selects FILES by the delete condition: a
+    conditional by-source delete rewrites only files holding
+    qualifying anti rows — the other files never rewrite (the 100 TB
+    property; an unconditional by-source clause touches the whole
+    table by definition)."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint, tag string")
+    t.append(spark.createDataFrame(
+        [(1, "old"), (2, "old")], "k bigint, tag string").coalesce(1))
+    t.append(spark.createDataFrame(
+        [(3, "keep"), (4, "keep")], "k bigint, tag string").coalesce(1))
+    src = spark.createDataFrame([(99, "src")], "k bigint, tag string")
+    snap = t.merge(src, on=["k"], when_not_matched_insert=False,
+                   when_not_matched_by_source_delete="tag = 'old'")
+    assert snap.summary["rewritten_files"] == 1  # only the 'old' file
+    assert sorted(r["k"] for r in t.read().collect()) == [3, 4]
+
+
+# ---- Iceberg procedure-surface completion (round 7) ----
+
+def test_add_files_zero_copy_import(spark, tmp_path):
+    """CALL system.add_files: external parquet joins an EXISTING
+    table metadata-only — manifests point at the ORIGINAL files,
+    footer stats prune, schema mismatches refuse."""
+    ext = str(tmp_path / "ext")
+    spark.createDataFrame(
+        [(10, 10.0), (11, 11.0)], "k bigint, v double"
+    ).coalesce(1).write.parquet(ext)
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint, v double")
+    t.append(spark.createDataFrame([(1, 1.0)], "k bigint, v double"))
+    snap = t.add_files(ext)
+    assert snap.summary["added_rows"] == 2
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 10, 11]
+    # zero copy: the imported entry is the ORIGINAL absolute path
+    ext_entries = [e for e in t._snapshot().files if e.path.startswith(ext)]
+    assert len(ext_entries) == 1 and ext_entries[0].stats
+
+    bad = str(tmp_path / "bad")
+    spark.createDataFrame([("x", 1.0)], "k string, v double") \
+        .coalesce(1).write.parquet(bad)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.add_files(bad)
+
+
+def test_rollback_to_timestamp_and_set_current(spark, tmp_path):
+    import time as _time
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint")
+    s1 = t.append(spark.createDataFrame([(1,)], "k bigint"))
+    _time.sleep(0.05)
+    cut_ms = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    t.append(spark.createDataFrame([(2,)], "k bigint"))
+    t.rollback_to_timestamp(cut_ms)
+    assert sorted(r["k"] for r in t.read().collect()) == [1]
+    # jump forward again by explicit snapshot id
+    heads = [s["snapshot_id"] for s in t._meta["snapshots"]]
+    t.set_current_snapshot(heads[1])  # the 2-row snapshot
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+    anc = [r["snapshot_id"] for r in t.ancestors_of().collect()]
+    assert anc[0] == t._snapshot().snapshot_id
+    assert s1.snapshot_id in anc
+
+
+def test_add_files_and_ancestors_sql(spark, tmp_path):
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    ext = str(tmp_path / "ext")
+    spark.createDataFrame([(5, 5.0)], "k bigint, v double") \
+        .coalesce(1).write.parquet(ext)
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE at (k bigint, v double)")
+    e.execute("INSERT INTO at VALUES (1, 1.0)")
+    r = e.execute(
+        f"CALL system.add_files(table => 'at', "
+        f"source_table => '`parquet`.`{ext}`')")[0]
+    assert r.rows[0]["added_rows_count"] == 1
+    assert e.execute("SELECT COUNT(*) AS c FROM at")[0].rows[0]["c"] == 2
+    anc = e.execute("CALL system.ancestors_of(table => 'at')")[0].rows
+    assert len(anc) == 2  # insert + import commits
