@@ -1323,13 +1323,14 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT event_type, COUNT(*) AS n_events, "
         "ROUND(SUM(ROUND(value, 2)), 2) AS sum_value, "
         "TRUE AS zero_copy, TRUE AS stats_collected "
-        "FROM events WHERE user_id < 60 GROUP BY event_type"
+        "FROM events WHERE user_id < 80 GROUP BY event_type"
     ),
 )
 def migrate_parquet_inplace(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iceberg's ``migrate`` / ``add_files`` on-ramp: an existing
+    """Iceberg's ``migrate`` + ``add_files`` on-ramp: an existing
     plain-parquet directory becomes a catalog table WITHOUT copying a
-    byte — the first snapshot's manifest points at the original files
+    byte, then a SECOND historical drop joins the live table through
+    ``add_files`` — the manifests point at the original files
     (absolute paths) with footer stats collected at import, so
     pruning works from commit one. Verdicts (pinned TRUE):
     ``zero_copy`` — every imported manifest entry resolves into the
@@ -1356,14 +1357,27 @@ def migrate_parquet_inplace(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
 
     t = LakeTable.migrate_parquet(spark, legacy, base)
+
+    # round 7: a SECOND historical drop joins the EXISTING table via
+    # add_files (Iceberg's sibling procedure) — same zero-copy bar
+    legacy2 = base + "-legacy2"
+    (
+        load_table(spark, "events", sf_dir)
+        .filter((F.col("user_id") >= 60) & (F.col("user_id") < 80))
+        .select("event_id", "event_type", "value")
+        .repartition(2).write.parquet(legacy2)
+    )
+    t.add_files(legacy2)
+
     files = t._snapshot().files
+    roots = (_os.path.abspath(legacy), _os.path.abspath(legacy2))
     zero_copy = (
-        all(e.path.startswith(_os.path.abspath(legacy)) for e in files)
+        all(e.path.startswith(roots) for e in files)
         and all(
             _os.path.getsize(_os.path.join(legacy, p)) == sz
             for p, sz in sizes_before.items()
         )
-        and len(files) == len(sizes_before)
+        and len(files) > len(sizes_before)
     )
     stats_collected = all("event_id" in e.stats for e in files)
     return (
