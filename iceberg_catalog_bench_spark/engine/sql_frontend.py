@@ -768,6 +768,47 @@ class SqlEngine:
             params = self._store("_db_params.json").get(m.group(1), {})
             rows = [{"key": k, "value": v} for k, v in sorted(params.items())]
             return StatementResult(s, rows=rows, rowcount=len(rows))
+        m = re.match(
+            r"(?is)^show\s+tblproperties\s+(" + _IDENT + r")\s*$", s
+        )
+        if m:
+            t = self.table(m.group(1))
+            props = t._meta.get("properties", {}) or {}
+            rows = [{"key": k, "value": str(v)} for k, v in sorted(props.items())]
+            return StatementResult(s, rows=rows, rowcount=len(rows))
+        m = re.match(
+            r"(?is)^show\s+partitions\s+(" + _IDENT + r")\s*$", s
+        )
+        if m:
+            rows = [r.asDict() for r in self.table(m.group(1)).partitions()
+                    .select("partition").collect()]
+            return StatementResult(s, rows=rows, rowcount=len(rows))
+        m = re.match(
+            r"(?is)^show\s+create\s+table\s+(" + _IDENT + r")\s*$", s
+        )
+        if m:
+            # reconstructed DDL from live metadata — evolution included
+            t = self.table(m.group(1))
+            cols = ", ".join(f"{f.name} {f.type}" for f in t._fields())
+            ddl = f"CREATE TABLE {m.group(1)} ({cols}) USING iceberg"
+            if t.partition_spec:
+                parts = ", ".join(
+                    tr.column if tr.name == "identity"
+                    else f"{tr.name}({tr.param}, {tr.column})" if tr.param is not None
+                    else f"{tr.name}({tr.column})"
+                    for tr in t.partition_spec
+                )
+                ddl += f" PARTITIONED BY ({parts})"
+            order = t._meta.get("sort_order") or []
+            if order:
+                ddl += " WRITE ORDERED BY (" + ", ".join(order) + ")"
+            props = t._meta.get("properties", {}) or {}
+            if props:
+                ddl += " TBLPROPERTIES (" + ", ".join(
+                    f"'{k}'='{v}'" for k, v in sorted(props.items())) + ")"
+            return StatementResult(
+                s, rows=[{"createtab_stmt": ddl}], rowcount=1
+            )
         raise ValueError(f"unsupported SHOW: {s[:120]}")
 
     def _use(self, s: str) -> StatementResult:

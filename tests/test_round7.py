@@ -517,3 +517,27 @@ def test_add_files_and_ancestors_sql(spark, tmp_path):
     assert e.execute("SELECT COUNT(*) AS c FROM at")[0].rows[0]["c"] == 2
     anc = e.execute("CALL system.ancestors_of(table => 'at')")[0].rows
     assert len(anc) == 2  # insert + import commits
+
+
+def test_show_create_table_tblproperties_partitions(spark, tmp_path):
+    """SHOW CREATE TABLE reconstructs live DDL (evolution included);
+    SHOW TBLPROPERTIES / SHOW PARTITIONS read metadata."""
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute(
+        "CREATE TABLE st (id bigint, cat string, v double) "
+        "PARTITIONED BY (cat, bucket(4, id)) "
+        "TBLPROPERTIES ('write.delete.mode'='merge-on-read')"
+    )
+    e.execute("INSERT INTO st VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    e.execute("ALTER TABLE st ADD COLUMN tag string DEFAULT 'x'")
+    ddl = e.execute("SHOW CREATE TABLE st")[0].rows[0]["createtab_stmt"]
+    assert "tag string" in ddl  # evolution reflected
+    assert "PARTITIONED BY (cat, bucket(4, id))" in ddl
+    assert "'write.delete.mode'='merge-on-read'" in ddl
+    props = {r["key"]: r["value"]
+             for r in e.execute("SHOW TBLPROPERTIES st")[0].rows}
+    assert props["write.delete.mode"] == "merge-on-read"
+    parts = e.execute("SHOW PARTITIONS st")[0].rows
+    assert len(parts) == 2  # one per cat value
