@@ -284,6 +284,84 @@ def _norm_stat(v: Any) -> Any:
     return v
 
 
+def encode_meta(meta: dict) -> dict:
+    """DISK form of table metadata: a snapshot whose parent is retained
+    in the same document stores its data-file list as a DELTA —
+    ``files_delta: {base, removed: [paths], added: [entries]}`` —
+    instead of the full cumulative list, when the delta is smaller.
+    Cuts the serialized metadata from O(snapshots × live files) to
+    O(live files + total changes): the per-commit metadata write then
+    scales with what the commit CHANGED, the property that keeps a
+    long-lived 100 TB table's commit latency flat. Fallbacks keep it
+    always-correct: root commits, snapshots whose parent was expired,
+    and snapshots whose delta would not shrink (e.g. a rollback far
+    back) store the full list. Delete-file lists stay full — they are
+    bounded by outstanding tombstones, not table size.
+
+    In-memory metadata is ALWAYS the expanded form; this runs only at
+    serialization (and :func:`expand_meta` at parse). Invariant it
+    relies on: data-file entry dicts are IMMUTABLE once committed
+    (expansion shares them across snapshots — every existing mutation
+    site touches delete files, schemas or specs, never data entries).
+    """
+    snaps = meta.get("snapshots") or []
+    by_id: dict[int, dict] = {}
+    enc: list[dict] = []
+    changed = False
+    for sj in snaps:
+        parent = by_id.get(sj.get("parent_id"))
+        by_id[sj["snapshot_id"]] = sj
+        if parent is None:
+            enc.append(sj)
+            continue
+        pf = {f["path"]: f for f in parent["files"]}
+        cf = sj["files"]
+        cpaths = {f["path"] for f in cf}
+        removed = [p for p in pf if p not in cpaths]
+        added = [
+            f for f in cf
+            if (pf.get(f["path"]) is not f and pf.get(f["path"]) != f)
+        ]
+        if len(removed) + len(added) >= len(cf):
+            enc.append(sj)
+            continue
+        e = {k: v for k, v in sj.items() if k != "files"}
+        e["files_delta"] = {
+            "base": sj["parent_id"], "removed": removed, "added": added,
+        }
+        enc.append(e)
+        changed = True
+    if not changed:
+        return meta
+    out = dict(meta)
+    out["snapshots"] = enc
+    return out
+
+
+def expand_meta(meta: dict) -> dict:
+    """Inverse of :func:`encode_meta`, applied at parse time: rebuild
+    every snapshot's full cumulative file list (parents always precede
+    children in the append-ordered snapshot list). Plain pre-delta
+    metadata passes through untouched — both forms load."""
+    by_id: dict[int, dict] = {}
+    for sj in meta.get("snapshots") or []:
+        d = sj.pop("files_delta", None)
+        if d is not None:
+            base = by_id.get(d["base"])
+            if base is None:
+                raise ValueError(
+                    f"metadata corrupt: snapshot {sj['snapshot_id']} "
+                    f"delta-encodes against snapshot {d['base']}, which is "
+                    f"not retained earlier in the document"
+                )
+            removed = set(d["removed"])
+            sj["files"] = [
+                f for f in base["files"] if f["path"] not in removed
+            ] + d["added"]
+        by_id[sj["snapshot_id"]] = sj
+    return meta
+
+
 class CommitConflict(Exception):
     """Optimistic-concurrency conflict: the table advanced underneath us."""
 
@@ -344,7 +422,7 @@ class LakeTable:
     def load(cls, spark: SparkSession, path: str) -> "LakeTable":
         path = os.path.abspath(path)
         with open(os.path.join(path, _META_DIR, _META_FILE)) as fh:
-            return cls(spark, path, json.load(fh))
+            return cls(spark, path, expand_meta(json.load(fh)))
 
     def drop(self) -> None:
         shutil.rmtree(self.path)
@@ -352,16 +430,24 @@ class LakeTable:
     # -- metadata plumbing ---------------------------------------------------
 
     def _write_meta(self) -> None:
-        """Atomic metadata commit (write-temp + rename), Iceberg-style."""
+        """Atomic metadata commit (write-temp + rename), Iceberg-style.
+
+        The DISK form delta-encodes snapshot file lists against their
+        parents (see :func:`encode_meta`): in-memory metadata always
+        carries every snapshot's FULL cumulative list, but serializing
+        that is O(retained snapshots × live files) per commit — the
+        quadratic growth Iceberg avoids with shared manifest files,
+        re-expressed here as structural sharing inside the one
+        metadata document."""
         meta_path = os.path.join(self.path, _META_DIR, _META_FILE)
         tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
-            json.dump(self._meta, fh, default=_json_safe)
+            json.dump(encode_meta(self._meta), fh, default=_json_safe)
         os.replace(tmp, meta_path)
 
     def _reload(self) -> None:
         with open(os.path.join(self.path, _META_DIR, _META_FILE)) as fh:
-            self._meta = json.load(fh)
+            self._meta = expand_meta(json.load(fh))
 
     @contextmanager
     def _commit_lock(self):

@@ -187,8 +187,10 @@ def _arrow_type(ddl: str):
 
 
 def _load_meta(path: str) -> dict:
+    from ..catalog.table import expand_meta
+
     with open(os.path.join(path, _META_REL)) as fh:
-        return json.load(fh)
+        return expand_meta(json.load(fh))
 
 
 class _FilePartition(InputPartition):

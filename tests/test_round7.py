@@ -541,3 +541,51 @@ def test_show_create_table_tblproperties_partitions(spark, tmp_path):
     assert props["write.delete.mode"] == "merge-on-read"
     parts = e.execute("SHOW PARTITIONS st")[0].rows
     assert len(parts) == 2  # one per cat value
+
+
+# ---- metadata delta encoding (round 7) ----
+
+def test_metadata_delta_encoding_roundtrip(spark, tmp_path):
+    """Disk metadata delta-encodes snapshot file lists against
+    parents; loads expand them back — time travel, deletes, expiry
+    fallback, and pre-delta metadata all keep working."""
+    import json as _json
+    import os as _os
+
+    from iceberg_catalog_bench_spark.catalog.table import (
+        _META_DIR,
+        _META_FILE,
+        expand_meta,
+    )
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint, v double")
+    snaps = []
+    for j in range(5):
+        snaps.append(t.append(spark.createDataFrame(
+            [(j * 10 + x, float(x)) for x in range(3)],
+            "k bigint, v double").coalesce(1)))
+    t.delete_where("k = 21")  # CoW rewrite commit
+
+    raw = _json.load(open(_os.path.join(t.path, _META_DIR, _META_FILE)))
+    deltas = [s for s in raw["snapshots"] if "files_delta" in s]
+    assert len(deltas) >= 4, "append commits must delta-encode"
+    # the delta form is strictly smaller than the expanded form
+    assert len(_json.dumps(raw)) < len(_json.dumps(expand_meta(
+        _json.loads(_json.dumps(raw)))))
+
+    t2 = LakeTable.load(spark, t.path)
+    assert t2.read().count() == 14
+    assert t2.read(snapshot_id=snaps[2].snapshot_id).count() == 9
+
+    # expiry removes delta bases mid-chain: the re-encode falls back
+    # to full lists where needed and everything still loads
+    t2.expire_snapshots(retain_last=2)
+    t3 = LakeTable.load(spark, t.path)
+    assert t3.read().count() == 14
+
+    # pre-delta (fully materialized) metadata still loads: write the
+    # expanded form back to disk and reload
+    full = _json.dumps(t3._meta, default=str)
+    with open(_os.path.join(t.path, _META_DIR, _META_FILE), "w") as fh:
+        fh.write(full)
+    assert LakeTable.load(spark, t.path).read().count() == 14
