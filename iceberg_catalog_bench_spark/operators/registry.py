@@ -52,6 +52,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # never-green and code-touched queries first, oldest-green next.
 PRIORITY: tuple[str, ...] = (
     # -- (a) round-7 code-touched + debuts --
+    # metadata delta encoding (encode_meta/expand_meta) touches every
+    # snapshot read/write — re-green the metadata-core plans first
+    "harness_crud_plan",
+    "snapshot_lineage",
+    "time_travel_checksum",
+    "tag_and_rollback",
+    "incremental_read_changes",
     "tpch_q12_priority_shipping",       # r6's one red row: oracle cast fixed
     "tpch_q11_important_stock",         # rounded threshold both sides
     "tpch_q2_min_cost_supplier",        # part filter pushed below first agg
@@ -97,7 +104,10 @@ PRIORITY: tuple[str, ...] = (
     "tokenizer_bpe_pair_counts",
     "top_tokens",
     "tpch_q18_large_volume_customer",
-    # -- (c) §2-core r4-latest fills the 50 cap --
+    # -- (c) §2-core r4-latest; the 50 cap lands after the FIRST
+    # entry here (21 code-touched + 28 rotation + 1) — the rest greens
+    # only if the driver runs deeper, else it stays r4-latest (inside
+    # the freshness bar) and leads round 8 --
     "partitions_metadata",
     "cdc_changelog",
     "streaming_cdc_upsert_laketable",
@@ -108,8 +118,6 @@ PRIORITY: tuple[str, ...] = (
     "dq_expectation_suite",
     "analyze_table_stats",
     "tpcds_returned_ratio_by_date",
-    # ---- 50-query cap lands here; the r4 tail below greens only if
-    # the driver runs deeper, else it stays r4-latest and leads r8 ----
     "tpcds_rollup_rolling_sales",
     "conditional_aggregation",
     "correlated_exists_subquery",
