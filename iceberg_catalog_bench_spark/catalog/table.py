@@ -419,6 +419,71 @@ class LakeTable:
         return t
 
     @classmethod
+    def snapshot_of(cls, src: "LakeTable", dest_path: str) -> "LakeTable":
+        """CALL system.snapshot — a ZERO-COPY clone: a new independent
+        table whose first snapshot references the source's CURRENT
+        live data files in place (absolute paths, stats carried over),
+        with the source's full schema history, partition spec, sort
+        order and properties. Writes to either table never affect the
+        other; the clone's ``remove_orphan_files`` sweeps only its own
+        directory, so shared source files are never collected. This is
+        Iceberg's staging/testing on-ramp: fork a 100 TB table for a
+        risky migration at metadata cost.
+
+        Refuses when the source has OUTSTANDING delete files: their
+        position/equality tombstones bind to the source's layout
+        (relative paths, sequence numbers) and would silently apply
+        wrong in the clone — compact first (``rewrite_data_files``
+        folds tombstones), then snapshot."""
+        dest_path = os.path.abspath(dest_path)
+        if os.path.exists(os.path.join(dest_path, _META_DIR, _META_FILE)):
+            raise FileExistsError(f"table already exists at {dest_path}")
+        snap = src._snapshot()
+        if snap is not None and snap.delete_files:
+            raise ValueError(
+                "source has outstanding merge-on-read delete files; run "
+                "rewrite_data_files first so tombstones fold into data "
+                "files, then snapshot"
+            )
+        meta = {
+            "format_version": 2,
+            "next_field_id": src._meta.get("next_field_id"),
+            "current_schema_version": src._meta["current_schema_version"],
+            "schemas": json.loads(json.dumps(src._meta["schemas"])),
+            "partition_spec": json.loads(json.dumps(src._meta["partition_spec"])),
+            "sort_order": list(src._meta.get("sort_order") or []),
+            "properties": dict(src._meta.get("properties") or {}),
+            "current_snapshot_id": None,
+            "snapshots": [],
+        }
+        for k in ("spec_history",):
+            if k in src._meta:
+                meta[k] = json.loads(json.dumps(src._meta[k]))
+        os.makedirs(os.path.join(dest_path, _META_DIR), exist_ok=True)
+        os.makedirs(os.path.join(dest_path, _DATA_DIR), exist_ok=True)
+        t = cls(src.spark, dest_path, meta)
+        t._write_meta()
+        if snap is None:
+            return t
+        entries = [
+            FileEntry(
+                path=os.path.join(src.path, e.path),  # absolute: in place
+                rows=e.rows, bytes=e.bytes,
+                schema_version=e.schema_version, stats=e.stats,
+                partition=e.partition, seq=None,
+            )
+            for e in snap.files
+        ]
+        t._commit(
+            "import", entries,
+            {"snapshot_of": src.path,
+             "source_snapshot_id": snap.snapshot_id,
+             "imported_files": len(entries),
+             "imported_rows": sum(e.rows for e in entries)},
+        )
+        return t
+
+    @classmethod
     def load(cls, spark: SparkSession, path: str) -> "LakeTable":
         path = os.path.abspath(path)
         with open(os.path.join(path, _META_DIR, _META_FILE)) as fh:

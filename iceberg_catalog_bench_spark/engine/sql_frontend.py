@@ -1069,6 +1069,26 @@ class SqlEngine:
             ident = pm.group(1) if pm else None
         if not ident:
             raise ValueError(f"CALL needs a table argument: {s[:120]}")
+        # snapshot creates the DEST table, so it resolves paths itself
+        if proc == "snapshot":
+            # CALL system.snapshot(source_table => 's', table => 'dest')
+            src_ident = kwargs.get("source_table")
+            if not src_ident:
+                raise ValueError(
+                    "CALL system.snapshot needs source_table => '<table>'")
+            if self.table_exists(ident):
+                raise ValueError(f"table {ident} already exists")
+            clone = LakeTable.snapshot_of(
+                self.table(src_ident), self._table_path(ident)
+            )
+            self._register_linked_table(ident, clone.path)
+            snap0 = clone._snapshot()
+            return StatementResult(
+                s,
+                rows=[{"imported_files_count":
+                       (snap0.summary.get("imported_files") if snap0 else 0)}],
+                rowcount=1, metadata={"op": proc},
+            )
         # migrate creates the table, so it resolves the path itself
         if proc == "migrate":
             src = kwargs.get("source") or kwargs.get("source_dir")

@@ -589,3 +589,54 @@ def test_metadata_delta_encoding_roundtrip(spark, tmp_path):
     with open(_os.path.join(t.path, _META_DIR, _META_FILE), "w") as fh:
         fh.write(full)
     assert LakeTable.load(spark, t.path).read().count() == 14
+
+
+def test_snapshot_procedure_zero_copy_clone(spark, tmp_path):
+    """CALL system.snapshot: an independent zero-copy fork — shared
+    data files read in place, schema history carried (old-version
+    files project through defaults), divergent writes stay isolated,
+    and a source with outstanding tombstones refuses."""
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), "k bigint, v double",
+        partition_by=["bucket(4, k)"],
+    )
+    src.append(spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "k bigint, v double"))
+    src.add_column("tag", "string", default="base")
+    src.append(spark.createDataFrame(
+        [(3, 3.0, "late")], "k bigint, v double, tag string"))
+
+    clone = LakeTable.snapshot_of(src, str(tmp_path / "clone"))
+    assert sorted(tuple(r) for r in clone.read().collect()) == [
+        (1, 1.0, "base"), (2, 2.0, "base"), (3, 3.0, "late")]
+    # zero copy: clone entries point into the source tree
+    assert all(e.path.startswith(src.path) for e in clone._snapshot().files)
+
+    # divergence is isolated both ways
+    clone.append(spark.createDataFrame(
+        [(4, 4.0, "clone-only")], "k bigint, v double, tag string"))
+    src.delete_where("k = 1")
+    assert sorted(r["k"] for r in clone.read().collect()) == [1, 2, 3, 4]
+    assert sorted(r["k"] for r in src.read().collect()) == [2, 3]
+
+    mor = LakeTable.create(
+        spark, str(tmp_path / "mor"), "k bigint",
+        properties={"write.delete.mode": "merge-on-read"})
+    mor.append(spark.createDataFrame([(1,), (2,)], "k bigint"))
+    mor.delete_where("k = 1")
+    with pytest.raises(ValueError, match="outstanding"):
+        LakeTable.snapshot_of(mor, str(tmp_path / "mor-clone"))
+
+
+def test_snapshot_procedure_sql(spark, tmp_path):
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE base (k bigint)")
+    e.execute("INSERT INTO base VALUES (1), (2)")
+    r = e.execute(
+        "CALL system.snapshot(source_table => 'base', table => 'fork')")[0]
+    assert r.rows[0]["imported_files_count"] >= 1
+    assert e.execute("SELECT COUNT(*) AS c FROM fork")[0].rows[0]["c"] == 2
+    e.execute("INSERT INTO fork VALUES (3)")
+    assert e.execute("SELECT COUNT(*) AS c FROM base")[0].rows[0]["c"] == 2
