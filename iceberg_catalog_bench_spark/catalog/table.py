@@ -2252,7 +2252,7 @@ class LakeTable:
                     rewritten = self._write_files(images.select(*out_cols))
                 finally:
                     joined.unpersist()
-            elif cow_affected:
+            elif cow_affected and not mor:
                 tgt = self._read_with_deletes(
                     snap, self._meta["current_schema_version"], entries=cow_affected
                 )

@@ -640,3 +640,19 @@ def test_snapshot_procedure_sql(spark, tmp_path):
     assert e.execute("SELECT COUNT(*) AS c FROM fork")[0].rows[0]["c"] == 2
     e.execute("INSERT INTO fork VALUES (3)")
     assert e.execute("SELECT COUNT(*) AS c FROM base")[0].rows[0]["c"] == 2
+
+
+def test_merge_by_source_only_mor_no_matches(spark, tmp_path):
+    """Merge-on-read with ZERO matched rows and only a by-source
+    clause: the copy-on-write rewrite branch must NOT fire alongside
+    the tombstone path (it would duplicate every surviving row)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), "k bigint, tag string",
+        properties={"write.merge.mode": "merge-on-read"})
+    t.append(spark.createDataFrame(
+        [(1, "old"), (2, "keep")], "k bigint, tag string"))
+    src = spark.createDataFrame([(99, "src")], "k bigint, tag string")
+    t.merge(src, on=["k"], when_not_matched_insert=False,
+            when_not_matched_by_source_delete="tag = 'old'")
+    rows = sorted(tuple(r) for r in t.read().collect())
+    assert rows == [(2, "keep")]  # no duplicates, no lost rows
