@@ -434,7 +434,15 @@ class LakeTable:
         position/equality tombstones bind to the source's layout
         (relative paths, sequence numbers) and would silently apply
         wrong in the clone — compact first (``rewrite_data_files``
-        folds tombstones), then snapshot."""
+        folds tombstones), then snapshot.
+
+        Lifecycle caveat (same as Iceberg's ``snapshot`` procedure):
+        the SOURCE does not know about clones — a source-side
+        ``expire_snapshots`` + ``remove_orphan_files`` that drops a
+        shared file breaks the clone's first snapshot. Treat clones as
+        staging tables whose lifetime is shorter than the source's
+        retention, or ``rewrite_data_files`` on the clone to take
+        ownership of its data."""
         dest_path = os.path.abspath(dest_path)
         if os.path.exists(os.path.join(dest_path, _META_DIR, _META_FILE)):
             raise FileExistsError(f"table already exists at {dest_path}")
