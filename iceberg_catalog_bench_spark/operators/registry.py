@@ -48,6 +48,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # §2-core slice of the r4 cohort fills the 50 cap; the rest of the r4
 # cohort is enumerated below the cap in order, so a deeper driver run
 # greens it too — otherwise it stays r4-latest and leads round 8.
+# ((a) is 22 after the Q88 debut, so the 50 cap lands exactly at the
+# end of (b) — the whole rotation cohort still fits.)
 # REFRESH EACH ROUND: rebuild from the union of CORRECTNESS_r*.json —
 # never-green and code-touched queries first, oldest-green next.
 PRIORITY: tuple[str, ...] = (
@@ -71,6 +73,7 @@ PRIORITY: tuple[str, ...] = (
     "pricing_summary",                  # r6 perf-weak: adjudicated environmental
     "tpcds_star_join_multi_dim",        # NEW r7: all-dim-predicate star join
     "tpcds_rank_within_parent",         # NEW r7: Q36 lochierarchy rollup+rank
+    "tpcds_multi_band_counts",          # NEW r7: Q88 eight-band single scan
     "dedup_incremental_minhash",        # NEW r7: stored-signature ingest dedup
     "dedup_minhash_lsh",                # r7 code-touched: _band_rows refactor
     "merge_not_matched_by_source",      # NEW r7: Spark-3.4 MERGE extension
@@ -104,10 +107,10 @@ PRIORITY: tuple[str, ...] = (
     "tokenizer_bpe_pair_counts",
     "top_tokens",
     "tpch_q18_large_volume_customer",
-    # -- (c) §2-core r4-latest; the 50 cap lands after the FIRST
-    # entry here (21 code-touched + 28 rotation + 1) — the rest greens
-    # only if the driver runs deeper, else it stays r4-latest (inside
-    # the freshness bar) and leads round 8 --
+    # -- (c) §2-core r4-latest; the 50 cap lands at the END of (b)
+    # (22 code-touched + 28 rotation) — this tier greens only if the
+    # driver runs deeper, else it stays r4-latest (inside the
+    # freshness bar) and leads round 8 --
     "partitions_metadata",
     "cdc_changelog",
     "streaming_cdc_upsert_laketable",

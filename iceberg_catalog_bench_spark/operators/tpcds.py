@@ -439,3 +439,70 @@ def tpcds_rank_within_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM cells "
         "ORDER BY lochierarchy DESC, r_name, rank_within_parent, n_name"
     )
+
+
+def _q88_band_preds() -> list[tuple[int, int]]:
+    """Eight disjoint l_quantity bands, [1..6], [7..12], … [43..48]."""
+    return [(1 + 6 * i, 6 + 6 * i) for i in range(8)]
+
+
+# The OR-triple every band shares (Q88 applies one household predicate
+# to all eight time bands; here: a discount OR tax OR returnflag mix).
+_Q88_COMMON = (
+    "(l_discount BETWEEN 0.00 AND 0.03 "
+    "OR l_tax BETWEEN 0.04 AND 0.06 "
+    "OR l_returnflag = 'A')"
+)
+
+
+@register(
+    "tpcds_multi_band_counts",
+    oracle=(
+        # The LITERAL TPC-DS Q88 spelling: eight independent scalar
+        # subqueries — eight fact scans — cross-joined into one row.
+        # The Spark side computes the same row from ONE scan; the
+        # oracle proves the single-scan rewrite is answer-equal to
+        # the eight-scan spelling.
+        "SELECT * FROM "
+        + ", ".join(
+            f"(SELECT CAST(COUNT(*) AS BIGINT) AS band{i + 1}_cnt "
+            f"FROM lineitem WHERE l_quantity BETWEEN {lo} AND {hi} "
+            f"AND {_Q88_COMMON})"
+            for i, (lo, hi) in enumerate(_q88_band_preds())
+        )
+    ),
+)
+def tpcds_multi_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88: eight band counts the benchmark spells as eight
+    scalar subqueries (s1..s8 cross-joined — eight full fact scans),
+    collapsed into ONE scan with conditional aggregation.
+
+    Plan shape: a single lineitem FileScan with the union quantity
+    range (1..48) pushed to the parquet reader, one partial+final
+    aggregate carrying eight SUM(CASE) counters — 8 longs per task.
+    At 100 TB the literal spelling reads the fact eight times; this
+    plan reads it once and shuffles 8 integers. The oracle runs the
+    literal eight-subquery form, so the rewrite's answer equality is
+    part of the correctness gate, not an assumption."""
+    bands = _q88_band_preds()
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_quantity", "l_discount", "l_tax", "l_returnflag"
+    )
+    common = (
+        F.col("l_discount").between(0.00, 0.03)
+        | F.col("l_tax").between(0.04, 0.06)
+        | (F.col("l_returnflag") == "A")
+    )
+    pruned = li.filter(
+        F.col("l_quantity").between(bands[0][0], bands[-1][1]) & common
+    )
+    return pruned.agg(
+        *[
+            F.sum(
+                F.when(F.col("l_quantity").between(lo, hi), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"band{i + 1}_cnt")
+            for i, (lo, hi) in enumerate(bands)
+        ]
+    )

@@ -419,3 +419,14 @@ def test_tpcds_rank_within_parent_windows_over_cells(spark, oracle_sf_dir):
     # above the fact join — aggregate rows in, never raw facts
     assert plan.index("Window") < plan.index("Expand")
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpcds_multi_band_counts_single_scan(spark, oracle_sf_dir):
+    """Q88's eight scalar subqueries must collapse to ONE fact scan
+    with the union band range pushed to the reader."""
+    df = registry.QUERIES["tpcds_multi_band_counts"](spark, oracle_sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("Relation") == 1, "one lineitem scan, not eight"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "LessThanOrEqual(l_quantity,48.0)" in plan
