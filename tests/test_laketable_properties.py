@@ -337,3 +337,110 @@ def test_partition_evolution_sequence_matches_model(spark, tmp_path_factory, ops
             check(f"v = {arg * 7}", model[model["v"] == arg * 7])
 
     check(None, model)
+
+
+# op sequences for the delta-encoding roundtrip property: every op
+# commits (encode_meta serializes), every step reloads from disk
+# (expand_meta parses) — random interleavings of the ops that mutate
+# the snapshot graph in different ways (linear appends, CoW rewrites,
+# rollbacks that re-point far back, expiry that drops delta bases,
+# branch commits that fork the parent chain).
+_DELTA_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.lists(st.integers(0, 99), min_size=1, max_size=5)),
+        st.tuples(st.just("delete_mod"), st.integers(2, 5)),
+        st.tuples(st.just("rollback"), st.integers(0, 9)),
+        st.tuples(st.just("expire"), st.integers(1, 3)),
+        st.tuples(st.just("branch_publish"), st.lists(st.integers(0, 99), min_size=1, max_size=4)),
+    ),
+    min_size=2,
+    max_size=7,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(ops=_DELTA_OPS)
+def test_delta_encoded_metadata_roundtrips_random_histories(
+    spark, tmp_path_factory, ops
+):
+    """The disk metadata's snapshot-list delta encoding must be
+    invisible: after ANY commit sequence, a fresh load (expand_meta
+    over the freshly encoded document) reproduces the model's current
+    state, and time travel to every retained recorded snapshot
+    reproduces the state recorded when it was the head."""
+    d = str(tmp_path_factory.mktemp("delta") / "t")
+    t = LakeTable.create(spark, d, "id bigint, v bigint",
+                         partition_by=["bucket(4, id)"])
+    model = pd.DataFrame({"id": pd.Series(dtype="int64"),
+                          "v": pd.Series(dtype="int64")})
+    next_uid = [0]
+    history: list[tuple[int, pd.DataFrame]] = []  # (snapshot_id, state)
+
+    def _mk(vals):
+        rows = [(next_uid[0] + i, int(x)) for i, x in enumerate(vals)]
+        next_uid[0] += len(vals)
+        return rows
+
+    for i, (op, arg) in enumerate(ops):
+        if op == "append":
+            rows = _mk(arg)
+            snap = t.append(spark.createDataFrame(rows, "id bigint, v bigint"))
+            model = pd.concat(
+                [model, pd.DataFrame(rows, columns=["id", "v"])],
+                ignore_index=True)
+            history.append((snap.snapshot_id, model.copy()))
+        elif op == "delete_mod":
+            if model.empty:
+                continue
+            snap = t.delete_where(f"v % {arg} = 0")
+            model = model[model["v"] % arg != 0]
+            history.append((snap.snapshot_id, model.copy()))
+        elif op == "rollback":
+            if not history:
+                continue
+            sid, state = history[arg % len(history)]
+            try:
+                snap = t.rollback_to_snapshot(sid)
+            except KeyError:
+                continue  # target expired
+            model = state.copy()
+            history.append((snap.snapshot_id, model.copy()))
+        elif op == "expire":
+            t.expire_snapshots(retain_last=arg)
+            retained = {s["snapshot_id"] for s in t._meta["snapshots"]}
+            history = [(sid, m) for sid, m in history if sid in retained]
+        elif op == "branch_publish":
+            if t._meta.get("current_snapshot_id") is None:
+                continue
+            name = f"b{i}"
+            t.create_branch(name)
+            rows = _mk(arg)
+            t.append(spark.createDataFrame(rows, "id bigint, v bigint"),
+                     branch=name, wap_id=f"w{i}")
+            sid = t.fast_forward(name)
+            model = pd.concat(
+                [model, pd.DataFrame(rows, columns=["id", "v"])],
+                ignore_index=True)
+            history.append((sid, model.copy()))
+
+        # encode → disk → expand roundtrip after EVERY op
+        t = LakeTable.load(spark, d)
+        got = t.read().toPandas().sort_values(["id", "v"]).reset_index(drop=True)
+        want = (model.sort_values(["id", "v"]).reset_index(drop=True)
+                .astype({"id": "int64", "v": "int64"}))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # time travel to every retained recorded head reproduces its state
+    retained = {s["snapshot_id"] for s in t._meta["snapshots"]}
+    for sid, state in history:
+        if sid not in retained:
+            continue
+        got = (t.read(snapshot_id=sid).toPandas()
+               .sort_values(["id", "v"]).reset_index(drop=True))
+        want = (state.sort_values(["id", "v"]).reset_index(drop=True)
+                .astype({"id": "int64", "v": "int64"}))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
