@@ -423,6 +423,24 @@ def main() -> None:
 
     phase_once("tpch_power_run", _power_run)
 
+    # --- TPC-DS report run (round 7) --------------------------------------
+    # The six TPC-DS report shapes back-to-back — date-dim star joins,
+    # grouping-sets rollups, rank-within-parent, the Q88 eight-band
+    # single scan. Same rationale as the TPC-H composite: one phase
+    # that moves if any DS plan loses a broadcast, a pushdown, or the
+    # single-scan collapse.
+    TPCDS_6 = [
+        "tpcds_returned_ratio_by_date", "tpcds_rollup_rolling_sales",
+        "tpcds_channel_union", "tpcds_star_join_multi_dim",
+        "tpcds_rank_within_parent", "tpcds_multi_band_counts",
+    ]
+
+    def _report_run() -> None:
+        for q in TPCDS_6:
+            registry.QUERIES[q](spark, SF_DIR).collect()
+
+    phase_once("tpcds_report_run", _report_run)
+
     total = sum(results.values())
     # Record protocol (VERDICT r4 item 2): the driver tail-captures the
     # LAST stdout line and json-parses it — round 4's inline per-phase

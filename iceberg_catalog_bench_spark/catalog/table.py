@@ -997,6 +997,111 @@ class LakeTable:
             "overwrite", new_files, {"added_files": len(new_files)}
         )
 
+    def overwrite_partitions(self, df: DataFrame,
+                             static: dict[str, Any] | None = None,
+                             _retries: int = 5) -> Snapshot:
+        """INSERT OVERWRITE — Iceberg's ``ReplacePartitions`` /
+        ``df.writeTo(t).overwritePartitions()``.
+
+        Dynamic (default): replaces exactly the partitions the incoming
+        rows land in under the CURRENT spec; every other partition's
+        files carry over untouched. The 100 TB backfill path — re-running
+        one day's pipeline rewrites that day's files only, so the commit
+        is O(changed partitions), never O(table).
+
+        ``static={col: literal}`` is the Spark/Hive static form
+        (``INSERT OVERWRITE ... PARTITION (col=val)``): the named
+        identity partition is cleared and replaced by the incoming rows
+        — even when the incoming set is empty (a static overwrite of
+        nothing TRUNCATES that partition, per Spark semantics). The
+        partition columns are assigned the literal, so the SELECT list
+        omits them, Hive-style.
+
+        Unpartitioned tables degenerate to a full overwrite (all rows
+        share the single empty partition — Iceberg semantics).
+
+        Files written under a DIFFERENT spec generation (after
+        ADD/DROP PARTITION FIELD, or before the table gained a spec)
+        record different partition keys and cannot be value-matched by
+        the current spec; silently keeping them could retain rows the
+        caller asked to replace, so finding one raises — run
+        ``rewrite_data_files`` to rewrite old-generation files into the
+        current layout first. Like :meth:`append`, the commit auto-
+        retries on conflicts: the replacement set is determined by
+        partition VALUES, not by a read of table data, so recomputing
+        the carried set against the advanced head is safe.
+        """
+        spec = self.partition_spec
+        if static:
+            by_col = {t.column: t for t in spec if t.name == "identity"}
+            missing = [c for c in static if c not in by_col]
+            if missing:
+                raise ValueError(
+                    f"static PARTITION columns {missing} are not identity "
+                    f"partition fields of spec "
+                    f"{[f'{t.name}({t.column})' for t in spec]}"
+                )
+            fields = {f.name: f for f in self._fields()}
+            for c, v in static.items():
+                df = df.withColumn(c, F.lit(v).cast(fields[c].type))
+        new_files = self._write_files(df)
+        if not spec:
+            return self._commit(
+                "overwrite", new_files,
+                {"added_files": len(new_files),
+                 "added_rows": sum(f.rows for f in new_files)},
+            )
+        current_keys = {f"_p_{t.name}_{t.column}" for t in spec}
+        if static:
+            target = {
+                f"_p_identity_{c}": self._transform_value(by_col[c], v)
+                for c, v in static.items()
+            }
+
+            def replaced(part: dict[str, str]) -> bool:
+                return all(part.get(k) == v for k, v in target.items())
+        else:
+            touched = {
+                tuple(sorted(f.partition.items())) for f in new_files
+            }
+
+            def replaced(part: dict[str, str]) -> bool:
+                return tuple(sorted(part.items())) in touched
+
+        for attempt in range(_retries + 1):
+            cur = self._snapshot() if self._meta["current_snapshot_id"] else None
+            base = list(cur.files) if cur else []
+            carried: list[FileEntry] = []
+            n_replaced = 0
+            for f in base:
+                if set(f.partition.keys()) != current_keys:
+                    raise ValueError(
+                        f"cannot overwrite partitions: {f.path} was written "
+                        f"under a different partition-spec generation "
+                        f"(keys {sorted(f.partition.keys())} vs current "
+                        f"{sorted(current_keys)}); rewrite_data_files first"
+                    )
+                if replaced(f.partition):
+                    n_replaced += 1
+                else:
+                    carried.append(f)
+            summary = {
+                "added_files": len(new_files),
+                "added_rows": sum(f.rows for f in new_files),
+                "replaced-data-files": n_replaced,
+                "replaced-partitions": (
+                    1 if static else len({
+                        tuple(sorted(f.partition.items())) for f in new_files
+                    })
+                ),
+            }
+            try:
+                return self._commit("overwrite", carried + new_files, summary)
+            except CommitConflict:
+                if attempt == _retries:
+                    raise
+                self._reload()
+
     def insert_rows(self, rows: list[tuple]) -> Snapshot:
         """INSERT INTO ... VALUES — reference M1
         (`bulk_insert_sales_events.sql:3-11`)."""

@@ -837,6 +837,54 @@ class SqlEngine:
     # -- DML (reference M1-M5) ----------------------------------------------
 
     def _insert(self, s: str) -> StatementResult:
+        # INSERT OVERWRITE [TABLE] t [PARTITION (c=v, ...)] SELECT ... —
+        # Iceberg ReplacePartitions: dynamic form replaces exactly the
+        # partitions the incoming rows land in; the static PARTITION
+        # clause names one identity partition to clear and replace
+        # (its columns are assigned the literals, Hive-style).
+        m = re.match(
+            r"(?is)^insert\s+overwrite\s+(?:table\s+)?(" + _IDENT + r")\s*"
+            r"(?:partition\s*\(([^)]*)\)\s*)?(select\b.+|values\s+.+)$",
+            s,
+        )
+        if m:
+            ident, partspec, src_sql = m.groups()
+            t = self.table(ident)
+            static: dict[str, object] | None = None
+            if partspec and partspec.strip():
+                static = {}
+                for item in partspec.split(","):
+                    k, eq, v = item.partition("=")
+                    if not eq:
+                        raise ValueError(
+                            "INSERT OVERWRITE PARTITION requires static "
+                            f"col=value assignments, got {item.strip()!r} "
+                            "(dynamic-partition form omits the clause)"
+                        )
+                    v = v.strip()
+                    static[k.strip()] = (
+                        v[1:-1] if v[:1] in "'\"" else
+                        (float(v) if "." in v else int(v))
+                    )
+            if src_sql.lower().startswith("values"):
+                fields = t._fields()
+                names = [
+                    f.name for f in fields
+                    if not (static and f.name in static)
+                ]
+                src = self.spark.sql(
+                    f"SELECT * FROM ({src_sql}) AS v({', '.join(names)})"
+                )
+            else:
+                src = self._select_df(src_sql)
+            snap = t.overwrite_partitions(src, static=static)
+            return StatementResult(
+                s, rowcount=snap.summary.get("added_rows"),
+                metadata={"op": "insert_overwrite",
+                          "replaced_partitions":
+                          snap.summary.get("replaced-partitions")},
+            )
+
         # INSERT INTO t SELECT ...
         m = re.match(
             r"(?is)^insert\s+into\s+(" + _IDENT + r")\s+(select\b.+)$", s

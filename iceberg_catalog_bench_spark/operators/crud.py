@@ -1390,3 +1390,46 @@ def migrate_parquet_inplace(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("zero_copy", F.lit(zero_copy))
         .withColumn("stats_collected", F.lit(stats_collected))
     )
+
+
+@register(
+    "insert_overwrite_backfill",
+    oracle=(
+        # Final state after the corrected rerun of one partition:
+        # the 1-URGENT partition's prices were re-derived (+100),
+        # every other partition carried over byte-identical.
+        "SELECT o_orderkey, o_orderpriority, "
+        "ROUND(CASE WHEN o_orderpriority = '1-URGENT' "
+        "THEN o_totalprice + 100 ELSE o_totalprice END, 2) AS price_out "
+        "FROM orders"
+    ),
+)
+def insert_overwrite_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OVERWRITE (dynamic) — Iceberg's ReplacePartitions, the
+    backfill shape: a partition's pipeline is re-run with corrected
+    logic and its output replaces exactly that partition; every other
+    partition is untouched (carried by reference, no rewrite). Here the
+    '1-URGENT' identity partition of an orders copy is re-derived with
+    +100 prices; the oracle reconstructs the final state with a CASE.
+    At 100 TB the commit is O(changed partitions): the replacement set
+    is matched on partition VALUES in the manifest, so untouched files
+    are never opened, and the summary's replaced-data-files count is
+    test-pinned to the one partition's files."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    d = _tmp_table_dir()
+    t = LakeTable.create(
+        spark, d,
+        "o_orderkey bigint, o_orderpriority string, o_totalprice double",
+        partition_by=["identity(o_orderpriority)"],
+    )
+    t.append(orders)
+    corrected = orders.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "o_totalprice", F.col("o_totalprice") + 100
+    )
+    t.overwrite_partitions(corrected)
+    return t.read().select(
+        "o_orderkey", "o_orderpriority",
+        F.round("o_totalprice", 2).alias("price_out"),
+    )

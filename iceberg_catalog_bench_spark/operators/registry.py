@@ -70,7 +70,10 @@ PRIORITY: tuple[str, ...] = (
     "streaming_table_source_cdc",
     "streaming_table_source_cdc_cow",   # canonicalized bucket hashing
     "cdc_replicate_table",
-    "pricing_summary",                  # r6 perf-weak: adjudicated environmental
+    # (pricing_summary's r6 perf flag was adjudicated environmental via
+    # the calibration phase — bench covers it; its correctness row
+    # stays r5-green, inside the freshness bar, to keep the cap at 50)
+    "insert_overwrite_backfill",        # NEW r7: dynamic ReplacePartitions
     "tpcds_star_join_multi_dim",        # NEW r7: all-dim-predicate star join
     "tpcds_rank_within_parent",         # NEW r7: Q36 lochierarchy rollup+rank
     "tpcds_multi_band_counts",          # NEW r7: Q88 eight-band single scan

@@ -656,3 +656,131 @@ def test_merge_by_source_only_mor_no_matches(spark, tmp_path):
             when_not_matched_by_source_delete="tag = 'old'")
     rows = sorted(tuple(r) for r in t.read().collect())
     assert rows == [(2, "keep")]  # no duplicates, no lost rows
+
+
+# --- INSERT OVERWRITE / ReplacePartitions --------------------------------
+
+
+def test_overwrite_partitions_dynamic(spark, tmp_path):
+    """Dynamic overwrite replaces exactly the partitions the incoming
+    rows land in; other partitions' files carry over by reference."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), "k bigint, cat string, v double",
+        partition_by=["identity(cat)"],
+    )
+    t.append(spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0), (4, "c", 4.0)],
+        "k bigint, cat string, v double"))
+    before = {f.path for f in t._snapshot().files if f.partition["_p_identity_cat"] == "b"}
+    snap = t.overwrite_partitions(spark.createDataFrame(
+        [(10, "a", 10.0), (11, "a", 11.0)], "k bigint, cat string, v double"))
+    assert snap.summary["replaced-partitions"] == 1
+    got = sorted((r.k, r.cat) for r in t.read().collect())
+    assert got == [(3, "b"), (4, "c"), (10, "a"), (11, "a")]
+    # partition b's file carried over untouched (same path, no rewrite)
+    after = {f.path for f in t._snapshot().files if f.partition["_p_identity_cat"] == "b"}
+    assert after == before
+
+
+def test_overwrite_partitions_static_and_truncate(spark, tmp_path):
+    """Static PARTITION (col=val) clears and replaces the named
+    partition — assigning the literal to incoming rows, and truncating
+    the partition when the incoming set is empty."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), "k bigint, cat string, v double",
+        partition_by=["identity(cat)"],
+    )
+    t.append(spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k bigint, cat string, v double"))
+    # rows WITHOUT the partition column: assigned the static literal
+    t.overwrite_partitions(
+        spark.createDataFrame([(9, 9.0)], "k bigint, v double")
+        .selectExpr("k", "CAST(NULL AS STRING) AS cat", "v"),
+        static={"cat": "a"},
+    )
+    got = sorted((r.k, r.cat) for r in t.read().collect())
+    assert got == [(2, "b"), (9, "a")]
+    # empty incoming set = TRUNCATE of the named partition
+    t.overwrite_partitions(
+        spark.createDataFrame([], "k bigint, cat string, v double"),
+        static={"cat": "b"},
+    )
+    assert [r.k for r in t.read().collect()] == [9]
+
+
+def test_overwrite_partitions_unpartitioned_full_replace(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint, v double")
+    t.append(spark.createDataFrame([(1, 1.0)], "k bigint, v double"))
+    t.overwrite_partitions(
+        spark.createDataFrame([(2, 2.0)], "k bigint, v double"))
+    assert [r.k for r in t.read().collect()] == [2]
+
+
+def test_overwrite_partitions_refuses_spec_generation_mismatch(spark, tmp_path):
+    """Files written before ADD PARTITION FIELD record different
+    partition keys — value-matching them is impossible, so the
+    overwrite refuses instead of silently keeping stale rows."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint, cat string")
+    t.append(spark.createDataFrame([(1, "a")], "k bigint, cat string"))
+    t.add_partition_field("identity(cat)")
+    with pytest.raises(ValueError, match="spec generation|partition-spec"):
+        t.overwrite_partitions(
+            spark.createDataFrame([(2, "a")], "k bigint, cat string"))
+
+
+def test_overwrite_partitions_static_requires_identity(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), "k bigint, cat string",
+        partition_by=["bucket(4, k)"],
+    )
+    with pytest.raises(ValueError, match="identity"):
+        t.overwrite_partitions(
+            spark.createDataFrame([(1, "a")], "k bigint, cat string"),
+            static={"cat": "a"},
+        )
+
+
+def test_overwrite_partitions_drops_replaced_tombstones(spark, tmp_path):
+    """MoR position deletes on a replaced partition's files become
+    dangling and are dropped by the commit's carry-over cleanup;
+    tombstones on carried partitions keep applying."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), "k bigint, cat string, v double",
+        partition_by=["identity(cat)"],
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.append(spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0), (4, "b", 4.0)],
+        "k bigint, cat string, v double"))
+    t.delete_where("k = 1")   # tombstone in partition a
+    t.delete_where("k = 3")   # tombstone in partition b
+    assert len(t._snapshot().delete_files) == 2
+    snap = t.overwrite_partitions(spark.createDataFrame(
+        [(10, "a", 10.0)], "k bigint, cat string, v double"))
+    got = sorted((r.k, r.cat) for r in t.read().collect())
+    assert got == [(4, "b"), (10, "a")]
+    # partition a's tombstone was dropped with its file; b's remains
+    remaining = snap.delete_files
+    assert len(remaining) == 1
+
+
+def test_sql_insert_overwrite(spark, tmp_path):
+    """SQL spellings: dynamic, static with literal assignment, and
+    VALUES sources."""
+    from iceberg_catalog_bench_spark.engine.sql_frontend import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute(
+        "CREATE TABLE iot (k BIGINT, cat STRING, v DOUBLE) "
+        "PARTITIONED BY (cat)"
+    )
+    e.execute("INSERT INTO iot VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    r = e.execute("INSERT OVERWRITE iot VALUES (10, 'a', 10.0)")[0]
+    assert r.metadata["replaced_partitions"] == 1
+    rows = e.execute("SELECT k, cat FROM iot ORDER BY k")[0].rows
+    assert [(x["k"], x["cat"]) for x in rows] == [(2, "b"), (10, "a")]
+    e.execute(
+        "INSERT OVERWRITE iot PARTITION (cat = 'b') VALUES (20, 20.0)"
+    )
+    rows = e.execute("SELECT k, cat FROM iot ORDER BY k")[0].rows
+    assert [(x["k"], x["cat"]) for x in rows] == [(10, "a"), (20, "b")]
