@@ -1760,6 +1760,33 @@ class LakeTable:
                     raise
                 self._reload()
 
+    def publish_changes(self, wap_id: str, _retries: int = 5) -> Snapshot:
+        """CALL system.publish_changes — Iceberg's publish-by-wap-id:
+        find the snapshot STAGED with ``wap.id = wap_id`` (an
+        ``append(..., wap_id=...)``, typically on an audit branch) and
+        cherry-pick its net changes onto main. The id-based spelling is
+        the one a WAP pipeline actually uses: the orchestrator knows
+        its own write-audit-publish id, not the snapshot id the staging
+        commit happened to get. All of :meth:`cherrypick_snapshot`'s
+        guards apply (append-only, fresh sequence number, double-
+        publish refusal)."""
+        matches = [
+            s for s in self._meta["snapshots"]
+            if (s.get("summary") or {}).get("wap.id") == wap_id
+            and "published-wap-id" not in (s.get("summary") or {})
+        ]
+        if not matches:
+            raise KeyError(f"no staged snapshot with wap.id {wap_id!r}")
+        if len(matches) > 1:
+            raise ValueError(
+                f"wap.id {wap_id!r} is stamped on {len(matches)} snapshots "
+                f"({[s['snapshot_id'] for s in matches]}); WAP ids must be "
+                f"unique per staged change"
+            )
+        return self.cherrypick_snapshot(
+            matches[0]["snapshot_id"], _retries=_retries
+        )
+
     # -- tags (named snapshot refs, Iceberg v2 refs) -------------------------
 
     def create_tag(self, name: str, snapshot_id: int | None = None) -> None:

@@ -1250,6 +1250,11 @@ class SqlEngine:
             snap = t.cherrypick_snapshot(int(kwargs["snapshot_id"]))
             res = {"source_snapshot_id": int(kwargs["snapshot_id"]),
                    "current_snapshot_id": snap.snapshot_id}
+        elif proc == "publish_changes":
+            # CALL system.publish_changes(table => 't', wap_id => 'etl-7')
+            snap = t.publish_changes(str(kwargs["wap_id"]))
+            res = {"wap_id": str(kwargs["wap_id"]),
+                   "current_snapshot_id": snap.snapshot_id}
         elif proc == "maintenance_advice":
             # CALL system.maintenance_advice(table => 't') — surfaces
             # merge-on-read debt (outstanding delete files, estimated

@@ -784,3 +784,36 @@ def test_sql_insert_overwrite(spark, tmp_path):
     )
     rows = e.execute("SELECT k, cat FROM iot ORDER BY k")[0].rows
     assert [(x["k"], x["cat"]) for x in rows] == [(10, "a"), (20, "b")]
+
+
+def test_publish_changes_by_wap_id(spark, tmp_path):
+    """CALL system.publish_changes publishes the snapshot staged with
+    the given wap.id; double publish and unknown ids refuse."""
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint, v double")
+    t.append(spark.createDataFrame([(1, 1.0)], "k bigint, v double"))
+    t.create_branch("audit")
+    t.append(spark.createDataFrame([(2, 2.0)], "k bigint, v double"),
+             branch="audit", wap_id="etl-7")
+    # main advanced meanwhile — fast_forward would refuse; publish by id
+    t.append(spark.createDataFrame([(3, 3.0)], "k bigint, v double"))
+    snap = t.publish_changes("etl-7")
+    assert snap.summary["published-wap-id"] == "etl-7"
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 3]
+    with pytest.raises(ValueError, match="already published"):
+        t.publish_changes("etl-7")
+    with pytest.raises(KeyError, match="no staged snapshot"):
+        t.publish_changes("nope")
+
+    # the SQL CALL spelling
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE wt (k BIGINT)")
+    e.execute("INSERT INTO wt VALUES (1)")
+    e.execute("ALTER TABLE wt CREATE BRANCH audit")
+    wt = e.table("wt")
+    wt.append(spark.createDataFrame([(5,)], "k bigint"),
+              branch="audit", wap_id="w1")
+    r = e.execute("CALL system.publish_changes(table => 'wt', wap_id => 'w1')")[0]
+    assert r.rows[0]["wap_id"] == "w1"
+    assert sorted(x["k"] for x in e.execute("SELECT k FROM wt")[0].rows) == [1, 5]
