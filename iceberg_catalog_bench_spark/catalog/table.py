@@ -3109,11 +3109,20 @@ class LakeTable:
     # -- maintenance procedures (reference P1-P4) ----------------------------
 
     def rewrite_data_files(
-        self, target_file_size_bytes: int = 128 * 1024 * 1024, min_input_files: int = 2
+        self, target_file_size_bytes: int = 128 * 1024 * 1024, min_input_files: int = 2,
+        where: str | None = None,
     ) -> dict:
         """CALL system.rewrite_data_files — reference P1
         (`blob-dfs_bench.py:140-143`). Bin-packs small files up to the
-        target size and rewrites each bin as one clustered write."""
+        target size and rewrites each bin as one clustered write.
+
+        ``where`` scopes the candidate set (Iceberg's ``where =>``
+        argument) via the same manifest-level partition/stats pruning
+        the read path uses: only files that MAY contain matching rows
+        are considered — at 100 TB you compact the one hot partition a
+        streaming sink fragments, not the whole table. Best-effort by
+        design (a file is rewritten whole if its range overlaps), same
+        as Iceberg."""
         snap = self._snapshot()
         if snap is None:
             return {"rewritten_data_files_count": 0, "added_data_files_count": 0}
@@ -3131,8 +3140,11 @@ class LakeTable:
             default=0,
         )
         dirty |= {e.path for e in snap.files if (e.seq or 0) < max_eq_seq}
+        candidates = (
+            self._prune_files(snap.files, where) if where else snap.files
+        )
         small = [
-            e for e in snap.files
+            e for e in candidates
             if e.bytes < target_file_size_bytes or e.path in dirty
         ]
 

@@ -1254,7 +1254,12 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
     conflicts; tasks' files are written once, only the metadata commit
     re-bases. Production bulk loads should still prefer
     ``LakeTable.append`` (the JVM writer with partition-spec fanout);
-    this path completes the format's CRUD surface."""
+    this path completes the format's CRUD surface. Partition-aware
+    replacement (``partitionOverwriteMode=dynamic``) is deliberately
+    NOT offered here — task files written through this path carry no
+    partition values, so the replacement set could not be matched;
+    use ``LakeTable.overwrite_partitions`` / SQL ``INSERT OVERWRITE``,
+    whose fanout write records them."""
 
     def __init__(self, path: str, columns: list[tuple[str, str]],
                  schema_version: int, overwrite: bool):
