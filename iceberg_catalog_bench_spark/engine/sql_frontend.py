@@ -1108,9 +1108,12 @@ class SqlEngine:
             raise ValueError(f"unsupported CALL: {s[:120]}")
         proc, args_sql = m.groups()
         kwargs: dict[str, str] = {}
-        for am in re.finditer(r"(\w+)\s*=>\s*('[^']*'|[\w.]+)", args_sql):
+        # string args use SQL doubled-quote escaping ('cat = ''x''')
+        for am in re.finditer(r"(\w+)\s*=>\s*('(?:[^']|'')*'|[\w.]+)", args_sql):
             v = am.group(2)
-            kwargs[am.group(1)] = v[1:-1] if v.startswith("'") else v
+            kwargs[am.group(1)] = (
+                v[1:-1].replace("''", "'") if v.startswith("'") else v
+            )
         ident = kwargs.get("table")
         if not ident:
             pm = re.search(r"^\s*'([^']+)'", args_sql)
@@ -1166,6 +1169,7 @@ class SqlEngine:
                 res = t.rewrite_data_files(
                     target_file_size_bytes=int(opts.get("max-file-size-bytes", 128 * 1024 * 1024)),
                     min_input_files=int(opts.get("min-input-files", 2)),
+                    where=opts.get("where"),
                 )
         elif proc == "rewrite_position_delete_files":
             res = t.rewrite_position_delete_files()

@@ -817,3 +817,37 @@ def test_publish_changes_by_wap_id(spark, tmp_path):
     r = e.execute("CALL system.publish_changes(table => 'wt', wap_id => 'w1')")[0]
     assert r.rows[0]["wap_id"] == "w1"
     assert sorted(x["k"] for x in e.execute("SELECT k FROM wt")[0].rows) == [1, 5]
+
+
+def test_rewrite_data_files_where_scopes_compaction(spark, tmp_path):
+    """rewrite_data_files(where=...) compacts only files that may
+    match — the other partitions' fragments stay in place."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), "k bigint, cat string",
+        partition_by=["identity(cat)"],
+    )
+    for i in range(3):  # 3 small files per partition value
+        t.append(spark.createDataFrame(
+            [(i, "a"), (i, "b")], "k bigint, cat string"))
+    before = t._snapshot().files
+    assert len(before) == 6
+    res = t.rewrite_data_files(where="cat = 'a'")
+    assert res["rewritten_data_files_count"] == 3
+    after = t._snapshot().files
+    a = [f for f in after if f.partition["_p_identity_cat"] == "a"]
+    b = {f.path for f in after if f.partition["_p_identity_cat"] == "b"}
+    assert len(a) == 1
+    assert b == {f.path for f in before if f.partition["_p_identity_cat"] == "b"}
+    assert sorted((r.k, r.cat) for r in t.read().collect()) == sorted(
+        (i, c) for i in range(3) for c in ("a", "b"))
+
+    # SQL spelling with where =>
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE rw (k BIGINT, cat STRING) PARTITIONED BY (cat)")
+    e.execute("INSERT INTO rw VALUES (1, 'x'), (2, 'y')")
+    e.execute("INSERT INTO rw VALUES (3, 'x'), (4, 'y')")
+    r = e.execute(
+        "CALL system.rewrite_data_files(table => 'rw', where => 'cat = ''x''')"
+    )[0]
+    assert r.rows[0]["rewritten_data_files_count"] == 2
