@@ -454,9 +454,17 @@ def main() -> None:
     # Normalized ratios (VERDICT r6 item 3): with recorded per-phase
     # baselines (bench_baseline.json, written by the round-7
     # re-baseline run), each phase's ratio-to-baseline is divided by
-    # the calibration phase's ratio-to-baseline — machine drift
-    # cancels, so a normalized ratio > 2 means the PLAN regressed.
+    # the MEDIAN ratio-to-baseline across all baselined phases —
+    # machine drift cancels, so a normalized ratio > 2 means the PLAN
+    # regressed. The median is the drift estimator (robust: a few
+    # genuine regressions move only their own phases, never the
+    # median); the dedicated calibration phase is kept as a pure-JVM
+    # CONTROL but deliberately NOT the divisor — measured round 7:
+    # CPU-bound synthetic work drifts differently (0.67x) than the
+    # overhead-carrying real phases (median 0.84x), and dividing by it
+    # overcorrects every phase by the gap.
     calib_ratio = None
+    drift = None
     normalized: dict[str, float] = {}
     bl_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
@@ -466,11 +474,12 @@ def main() -> None:
             baseline = json.load(f).get("queries", {})
         if baseline.get("calibration") and results.get("calibration"):
             calib_ratio = results["calibration"] / baseline["calibration"]
-            normalized = {
-                k: round(v / baseline[k] / calib_ratio, 3)
-                for k, v in results.items()
-                if baseline.get(k)
-            }
+        ratios = {
+            k: v / baseline[k] for k, v in results.items() if baseline.get(k)
+        }
+        if ratios:
+            drift = statistics.median(ratios.values())
+            normalized = {k: round(r / drift, 3) for k, r in ratios.items()}
     except (OSError, ValueError):
         pass
     try:
@@ -478,6 +487,7 @@ def main() -> None:
             json.dump(
                 {"sf": sf, "metrics": metrics,
                  "calib_ratio": calib_ratio,
+                 "drift": drift,
                  "normalized_ratios": normalized},
                 f, indent=1, sort_keys=True,
             )
@@ -492,6 +502,7 @@ def main() -> None:
         "sf": sf,
         "cpus": CPUS,
         **({"calib_ratio": round(calib_ratio, 3)} if calib_ratio else {}),
+        **({"drift": round(drift, 3)} if drift else {}),
     }))
 
 
