@@ -67,7 +67,8 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q20_potential_promotion",     # part filter pushed below first agg
     "iceberg_metadata_roundtrip",       # eq-delete field-id rebind; timestamptz
     "streaming_table_source_read",      # TZ-gated pushdown; sink version guard
-    "streaming_table_source_cdc",
+    # (streaming_table_source_cdc stays r6-green — its MoR-CDC path is
+    # untouched by the r7 diff; the r7-touched paths are read + cdc_cow)
     "streaming_table_source_cdc_cow",   # canonicalized bucket hashing
     "cdc_replicate_table",
     # (pricing_summary's r6 perf flag was adjudicated environmental via
@@ -81,6 +82,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",                # r7 code-touched: _band_rows refactor
     "merge_not_matched_by_source",      # NEW r7: Spark-3.4 MERGE extension
     "merge_upsert",                     # r7 code-touched: merge() extended
+    "hybrid_search_rrf",                # NEW r7: RRF keyword+vector fusion
     # -- (b) the 28-query r3-latest cohort (VERDICT r6 item 2) --
     "attribution_last_touch",
     "basket_part_affinity",

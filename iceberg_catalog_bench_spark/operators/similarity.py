@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import cosine_similarity
 from ..functions import dot_product as _dot
@@ -828,5 +829,99 @@ def knn_metadata_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(q))
         .select("vec_id", "lang", "source", F.round(cos, 4).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+_RRF_K = 60        # the standard reciprocal-rank-fusion constant
+_RRF_LEG_TOPK = 50  # per-leg candidate depth
+_RRF_TERM = "data"  # keyword leg's query term
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=(
+        # Same two legs in SQL: per-leg top-50 (deterministic
+        # tie-break on id), ranks assigned WITHIN the candidate set,
+        # inner-join fusion, top-10 by RRF score.
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv "
+        f"FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}), "
+        "vleg AS (SELECT id, CAST(ROW_NUMBER() OVER "
+        "(ORDER BY sim DESC, id) AS BIGINT) AS rank_v FROM "
+        "(SELECT e.vec_id AS id, "
+        "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim "
+        f"FROM embeddings e, q WHERE e.vec_id <> {_QUERY_VEC_ID} "
+        f"ORDER BY sim DESC, id LIMIT {_RRF_LEG_TOPK})), "
+        "kleg AS (SELECT id, CAST(ROW_NUMBER() OVER "
+        "(ORDER BY hits DESC, id) AS BIGINT) AS rank_k FROM "
+        "(SELECT doc_id AS id, CAST((length(text) - "
+        f"length(replace(text, '{_RRF_TERM}', ''))) / {len(_RRF_TERM)} "
+        "AS BIGINT) AS hits "
+        f"FROM documents ORDER BY hits DESC, id LIMIT {_RRF_LEG_TOPK})) "
+        "SELECT v.id AS doc_id, v.rank_v, k.rank_k, "
+        f"ROUND(1.0 / ({_RRF_K} + v.rank_v) + 1.0 / ({_RRF_K} + k.rank_k), 6) "
+        "AS rrf FROM vleg v JOIN kleg k ON v.id = k.id "
+        "ORDER BY rrf DESC, doc_id LIMIT 10"
+    ),
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — reciprocal-rank fusion of a keyword leg and
+    a vector leg (the RAG-corpus shape: BM25-ish term evidence fused
+    with embedding similarity; RRF is the standard score-free fusion,
+    Cormack et al.). Keyword leg: term-occurrence count over
+    documents; vector leg: cosine vs the vec_id=0 query embedding over
+    the aligned embeddings table; each leg independently takes its
+    top-50 (deterministic id tie-break), ranks are assigned WITHIN the
+    candidate set, and candidates surviving both legs fuse as
+    1/(60+rank_v) + 1/(60+rank_k).
+
+    Scale shape: ranks are only needed inside the fused candidate
+    pool, so each leg is a TakeOrderedAndProject top-k (per-partition
+    heaps + driver merge — never a global sort of the corpus), and the
+    window that assigns ranks sorts 50 rows. Both legs scan their
+    table once, map-side; the fusion join is 50×50. At 100 TB the legs
+    would be served by the IVF/LSH operators in this module — the
+    fusion stage is unchanged."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    sim = _dot("embedding", "qv") / (_norm("embedding") * _norm("qv"))
+    vcand = (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("id"), sim.alias("sim"))
+        .orderBy(F.desc("sim"), "id")
+        .limit(_RRF_LEG_TOPK)
+    )
+    vleg = vcand.select(
+        "id",
+        F.row_number().over(
+            Window.orderBy(F.desc("sim"), "id")
+        ).cast("bigint").alias("rank_v"),
+    )
+    hits = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(_RRF_TERM))))
+        / F.lit(len(_RRF_TERM))
+    ).cast("bigint")
+    kcand = (
+        docs.select(F.col("doc_id").alias("id"), hits.alias("hits"))
+        .orderBy(F.desc("hits"), "id")
+        .limit(_RRF_LEG_TOPK)
+    )
+    kleg = kcand.select(
+        "id",
+        F.row_number().over(
+            Window.orderBy(F.desc("hits"), "id")
+        ).cast("bigint").alias("rank_k"),
+    )
+    rrf = F.round(
+        1.0 / (_RRF_K + F.col("rank_v")) + 1.0 / (_RRF_K + F.col("rank_k")), 6
+    )
+    return (
+        vleg.join(kleg, "id")
+        .select(F.col("id").alias("doc_id"), "rank_v", "rank_k", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), "doc_id")
         .limit(10)
     )

@@ -430,3 +430,12 @@ def test_tpcds_multi_band_counts_single_scan(spark, oracle_sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
     assert "LessThanOrEqual(l_quantity,48.0)" in plan
+
+
+def test_hybrid_rrf_legs_use_topk_heaps(spark, oracle_sf_dir):
+    """Both RRF legs must be TakeOrderedAndProject top-k (per-partition
+    heaps), never a global sort of a corpus; the fusion join of two
+    50-row sets must not sort-merge."""
+    plan = _plan("hybrid_search_rrf", spark, oracle_sf_dir)
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "SortMergeJoin" not in plan
