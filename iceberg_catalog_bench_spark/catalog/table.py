@@ -1033,6 +1033,14 @@ class LakeTable:
         """
         spec = self.partition_spec
         if static:
+            if any(v is None for v in static.values()):
+                # the null partition is written as the hive null marker;
+                # a None literal would transform to SQL NULL and never
+                # value-match it — refuse rather than silently no-op
+                raise ValueError(
+                    "static PARTITION values must be non-null; use a "
+                    "dynamic overwrite to replace the null partition"
+                )
             by_col = {t.column: t for t in spec if t.name == "identity"}
             missing = [c for c in static if c not in by_col]
             if missing:

@@ -851,3 +851,31 @@ def test_rewrite_data_files_where_scopes_compaction(spark, tmp_path):
         "CALL system.rewrite_data_files(table => 'rw', where => 'cat = ''x''')"
     )[0]
     assert r.rows[0]["rewritten_data_files_count"] == 2
+
+
+def test_overwrite_partitions_static_null_refuses(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), "k bigint, cat string",
+        partition_by=["identity(cat)"],
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        t.overwrite_partitions(
+            spark.createDataFrame([(1, "a")], "k bigint, cat string"),
+            static={"cat": None},
+        )
+
+
+def test_overwrite_partitions_dynamic_replaces_null_partition(spark, tmp_path):
+    """Rows whose partition source is NULL land in the hive null
+    partition; a dynamic overwrite carrying nulls replaces it."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), "k bigint, cat string",
+        partition_by=["identity(cat)"],
+    )
+    t.append(spark.createDataFrame(
+        [(1, None), (2, "a")], "k bigint, cat string"))
+    t.overwrite_partitions(spark.createDataFrame(
+        [(10, None)], "k bigint, cat string"))
+    got = sorted(((r.k, r.cat) for r in t.read().collect()),
+                 key=lambda x: x[0])
+    assert got == [(2, "a"), (10, None)]
