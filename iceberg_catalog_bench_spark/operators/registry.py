@@ -70,7 +70,7 @@ PRIORITY: tuple[str, ...] = (
     # (streaming_table_source_cdc stays r6-green — its MoR-CDC path is
     # untouched by the r7 diff; the r7-touched paths are read + cdc_cow)
     "streaming_table_source_cdc_cow",   # canonicalized bucket hashing
-    "cdc_replicate_table",
+    # (cdc_replicate_table stays r6-green — apply_cdc_batch untouched in r7)
     # (pricing_summary's r6 perf flag was adjudicated environmental via
     # the calibration phase — bench covers it; its correctness row
     # stays r5-green, inside the freshness bar, to keep the cap at 50)
@@ -83,6 +83,7 @@ PRIORITY: tuple[str, ...] = (
     "merge_not_matched_by_source",      # NEW r7: Spark-3.4 MERGE extension
     "merge_upsert",                     # r7 code-touched: merge() extended
     "hybrid_search_rrf",                # NEW r7: RRF keyword+vector fusion
+    "text_chunk_sliding",               # NEW r7: RAG sliding-window chunking
     # -- (b) the 28-query r3-latest cohort (VERDICT r6 item 2) --
     "attribution_last_touch",
     "basket_part_affinity",

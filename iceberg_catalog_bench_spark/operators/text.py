@@ -797,3 +797,59 @@ def stats_gini_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_docs("n_chars").alias("n_docs"),
         F.round(gini("n_chars"), 6).alias("gini_n_chars"),
     )
+
+
+_CHUNK_WIN = 200     # characters per chunk
+_CHUNK_STRIDE = 150  # overlap = WIN - STRIDE = 50 chars
+
+
+@register(
+    "text_chunk_sliding",
+    oracle=(
+        # Same sliding windows via generate_series + substr.
+        "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+        f"substr(text, CAST(i * {_CHUNK_STRIDE} + 1 AS BIGINT), {_CHUNK_WIN}) "
+        "AS chunk_text, "
+        f"CAST(length(substr(text, CAST(i * {_CHUNK_STRIDE} + 1 AS BIGINT), "
+        f"{_CHUNK_WIN})) AS BIGINT) AS chunk_len "
+        "FROM documents, UNNEST(generate_series(0, "
+        f"CAST(floor((length(text) - 1) / {_CHUNK_STRIDE}) AS BIGINT))) AS t(i) "
+        "WHERE length(text) > 0"
+    ),
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the RAG/embedding-prep shape:
+    every document explodes into overlapping fixed-width windows
+    (200 chars, stride 150) with a stable (doc_id, chunk_idx) key, so
+    chunk embeddings can join back to their source and re-chunking is
+    reproducible. Character windows keep the operator deterministic
+    across engines (token windows would pin a tokenizer; the BPE and
+    token-count operators cover that axis).
+
+    Scale shape: one map-side ``explode(sequence(...))`` + substring —
+    pure JVM, zero shuffles, zero UDFs; output partitioning inherits
+    the scan, so a downstream embed stage streams chunk batches
+    without a repartition. At 100 TB this is the canonical
+    narrow-transform: throughput = scan throughput."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.length("text") > 0)
+    idx = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.floor((F.length("text") - 1) / _CHUNK_STRIDE).cast("bigint"),
+        )
+    ).alias("chunk_idx")
+    out = docs.select("doc_id", "text", idx)
+    # substring(col, pos, len) takes only literal pos in the Column
+    # API — the expr form accepts the per-row chunk offset
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.expr(
+            f"substring(text, chunk_idx * {_CHUNK_STRIDE} + 1, {_CHUNK_WIN})"
+        ).alias("chunk_text"),
+        F.length(
+            F.expr(
+                f"substring(text, chunk_idx * {_CHUNK_STRIDE} + 1, {_CHUNK_WIN})"
+            )
+        ).cast("bigint").alias("chunk_len"),
+    )
