@@ -444,3 +444,71 @@ def test_delta_encoded_metadata_roundtrips_random_histories(
         want = (state.sort_values(["id", "v"]).reset_index(drop=True)
                 .astype({"id": "int64", "v": "int64"}))
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# append / CoW delete / dynamic partition overwrite over an IDENTITY
+# spec (the model can mirror identity replacement exactly; bucket
+# transforms would need the engine's hash driver-side)
+_IOW_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.lists(st.integers(0, 99), min_size=1, max_size=6)),
+        st.tuples(st.just("delete_mod"), st.integers(2, 5)),
+        st.tuples(st.just("overwrite_dyn"), st.lists(st.integers(0, 99), min_size=1, max_size=6)),
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(ops=_IOW_OPS)
+def test_dynamic_overwrite_sequence_matches_model(spark, tmp_path_factory, ops):
+    """Random interleavings of append / CoW delete / dynamic INSERT
+    OVERWRITE must agree with the pandas model: an overwrite drops
+    exactly the rows of the partitions the incoming batch lands in,
+    then adds the batch."""
+    d = str(tmp_path_factory.mktemp("iow") / "t")
+    t = LakeTable.create(spark, d, "id bigint, v bigint, cat string",
+                         partition_by=["identity(cat)"])
+    model = pd.DataFrame({"id": pd.Series(dtype="int64"),
+                          "v": pd.Series(dtype="int64"),
+                          "cat": pd.Series(dtype="object")})
+    next_uid = [0]
+
+    def _rows(vals):
+        rows = [(next_uid[0] + i, int(x), f"c{int(x) % 3}")
+                for i, x in enumerate(vals)]
+        next_uid[0] += len(vals)
+        return rows
+
+    for op, arg in ops:
+        if op == "append":
+            rows = _rows(arg)
+            t.append(spark.createDataFrame(rows, "id bigint, v bigint, cat string"))
+            model = pd.concat(
+                [model, pd.DataFrame(rows, columns=["id", "v", "cat"])],
+                ignore_index=True)
+        elif op == "delete_mod":
+            if model.empty:
+                continue
+            t.delete_where(f"v % {arg} = 0")
+            model = model[model["v"] % arg != 0]
+        elif op == "overwrite_dyn":
+            rows = _rows(arg)
+            t.overwrite_partitions(spark.createDataFrame(
+                rows, "id bigint, v bigint, cat string"))
+            touched = {r[2] for r in rows}
+            model = pd.concat(
+                [model[~model["cat"].isin(touched)],
+                 pd.DataFrame(rows, columns=["id", "v", "cat"])],
+                ignore_index=True)
+
+    got = t.read().toPandas().sort_values(["id"]).reset_index(drop=True)
+    want = (model.sort_values(["id"]).reset_index(drop=True)
+            .astype({"id": "int64", "v": "int64"}))
+    pd.testing.assert_frame_equal(
+        got[["id", "v", "cat"]], want[["id", "v", "cat"]], check_dtype=False)
