@@ -999,6 +999,7 @@ class LakeTable:
 
     def overwrite_partitions(self, df: DataFrame,
                              static: dict[str, Any] | None = None,
+                             branch: str | None = None,
                              _retries: int = 5) -> Snapshot:
         """INSERT OVERWRITE — Iceberg's ``ReplacePartitions`` /
         ``df.writeTo(t).overwritePartitions()``.
@@ -1030,6 +1031,11 @@ class LakeTable:
         retries on conflicts: the replacement set is determined by
         partition VALUES, not by a read of table data, so recomputing
         the carried set against the advanced head is safe.
+
+        ``branch`` stages the overwrite on a named branch head (the
+        WAP backfill: overwrite on the audit branch, validate, then
+        ``fast_forward`` — ``cherrypick_snapshot`` refuses overwrites
+        by design, so a diverged main means re-running the backfill).
         """
         spec = self.partition_spec
         if static:
@@ -1052,12 +1058,18 @@ class LakeTable:
             fields = {f.name: f for f in self._fields()}
             for c, v in static.items():
                 df = df.withColumn(c, F.lit(v).cast(fields[c].type))
+        if branch is not None and branch not in (self._meta.get("branches") or {}):
+            raise KeyError(
+                f"no branch {branch!r}; branches: "
+                f"{sorted(self._meta.get('branches') or {})}"
+            )
         new_files = self._write_files(df)
         if not spec:
             return self._commit(
                 "overwrite", new_files,
                 {"added_files": len(new_files),
                  "added_rows": sum(f.rows for f in new_files)},
+                branch=branch,
             )
         current_keys = {f"_p_{t.name}_{t.column}" for t in spec}
         if static:
@@ -1077,7 +1089,11 @@ class LakeTable:
                 return tuple(sorted(part.items())) in touched
 
         for attempt in range(_retries + 1):
-            cur = self._snapshot() if self._meta["current_snapshot_id"] else None
+            if branch is None:
+                head = self._meta["current_snapshot_id"]
+            else:
+                head = (self._meta.get("branches") or {}).get(branch)
+            cur = self._snapshot(head) if head is not None else None
             base = list(cur.files) if cur else []
             carried: list[FileEntry] = []
             n_replaced = 0
@@ -1104,7 +1120,8 @@ class LakeTable:
                 ),
             }
             try:
-                return self._commit("overwrite", carried + new_files, summary)
+                return self._commit("overwrite", carried + new_files, summary,
+                                    branch=branch)
             except CommitConflict:
                 if attempt == _retries:
                     raise

@@ -879,3 +879,29 @@ def test_overwrite_partitions_dynamic_replaces_null_partition(spark, tmp_path):
     got = sorted(((r.k, r.cat) for r in t.read().collect()),
                  key=lambda x: x[0])
     assert got == [(2, "a"), (10, None)]
+
+
+def test_overwrite_partitions_on_branch_wap(spark, tmp_path):
+    """The WAP backfill: a dynamic overwrite staged on the audit
+    branch replaces the partition on the BRANCH head only — main is
+    untouched until fast_forward publishes it."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), "k bigint, cat string",
+        partition_by=["identity(cat)"],
+    )
+    t.append(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k bigint, cat string"))
+    t.create_branch("audit")
+    t.overwrite_partitions(
+        spark.createDataFrame([(10, "a")], "k bigint, cat string"),
+        branch="audit",
+    )
+    # main still sees the old partition a
+    assert sorted(r.k for r in t.read().collect()) == [1, 2]
+    t.fast_forward("audit")
+    assert sorted(r.k for r in t.read().collect()) == [2, 10]
+    with pytest.raises(KeyError, match="no branch"):
+        t.overwrite_partitions(
+            spark.createDataFrame([(1, "a")], "k bigint, cat string"),
+            branch="nope",
+        )
