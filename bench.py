@@ -215,6 +215,16 @@ def main() -> None:
         "value", F.col("value") + 1.0
     )
     phase_once("upsert_cdc", lambda: t.upsert_by_keys(upsert_batch, on=["event_id"]))
+    # Backfill (round 7): dynamic INSERT OVERWRITE of one day —
+    # ReplacePartitions matched on manifest partition values, so the
+    # phase cost is the ONE day's fanout write + an O(manifest) commit;
+    # a regression here means the replacement set started reading data.
+    backfill = events.filter(
+        (F.col("ts") >= "2024-01-03 00:00:00") & (F.col("ts") < "2024-01-04 00:00:00")
+    ).withColumn("value", F.col("value") * 2.0)
+    phase_once(
+        "overwrite_partition_day", lambda: t.overwrite_partitions(backfill)
+    )
     # Advisory scan (round 6): metadata-only — reads manifests, never
     # data — run right after the CDC upsert so outstanding delete
     # files give it real content. Times the raw advisory arithmetic

@@ -255,9 +255,24 @@ class SqlEngine:
             "use": self._use,
             "call": self._call,
             "analyze": self._analyze,
+            "explain": self._explain,
         }
         h = handlers.get(head, self._select)
         return h(s)
+
+    def _explain(self, s: str) -> StatementResult:
+        """EXPLAIN [EXTENDED|FORMATTED] <query> — the query routes
+        through the same LakeTable view rewriting as SELECT and the
+        plan comes back as one `plan` row (Spark's own EXPLAIN output
+        shape)."""
+        m = re.match(r"(?is)^explain\s+(extended\s+|formatted\s+)?(.+)$", s)
+        mode = (m.group(1) or "").strip().lower() or "simple"
+        df = self._select_df(m.group(2))
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode
+        )
+        return StatementResult(s, rows=[{"plan": plan}], rowcount=1,
+                               metadata={"op": "explain", "mode": mode})
 
     def _analyze(self, s: str) -> StatementResult:
         # ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS a, b | FOR ALL

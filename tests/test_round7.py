@@ -905,3 +905,16 @@ def test_overwrite_partitions_on_branch_wap(spark, tmp_path):
             spark.createDataFrame([(1, "a")], "k bigint, cat string"),
             branch="nope",
         )
+
+
+def test_explain_statement(spark, tmp_path):
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE ex (k BIGINT, v DOUBLE)")
+    e.execute("INSERT INTO ex VALUES (1, 1.0)")
+    r = e.execute("EXPLAIN SELECT k, SUM(v) AS s FROM ex GROUP BY k")[0]
+    assert "Physical Plan" in r.rows[0]["plan"]
+    r = e.execute("EXPLAIN FORMATTED SELECT * FROM ex WHERE k = 1")[0]
+    assert r.metadata["mode"] == "formatted"
+    assert "PushedFilters" in r.rows[0]["plan"] or "Filter" in r.rows[0]["plan"]
