@@ -2964,6 +2964,51 @@ class LakeTable:
             "added_data_files_count": len(new_files),
         }
 
+    def rewrite_sort(self, columns: list[str], target_files: int = 16) -> dict:
+        """Linear sort re-layout (Iceberg's ``rewrite_data_files`` with
+        ``strategy => 'sort', sort_order => 'c1 [DESC], c2'``): rewrite
+        the table so file boundaries follow the given sort order — one
+        ``repartitionByRange`` exchange (range boundaries from Spark's
+        sampled partitioner), files internally sorted. Footer stats on
+        the LEADING column become disjoint ranges, so point/range
+        predicates on it prune to ~1/target_files of the files; later
+        columns order within ties (the classic linear-sort tradeoff —
+        z-order covers the multi-column case). Unpartitioned tables
+        only, matching :meth:`rewrite_zorder`'s honesty rule."""
+        if self._meta.get("partition_spec"):
+            raise ValueError("rewrite_sort requires an unpartitioned table")
+        snap = self._snapshot()
+        if snap is None or not snap.files:
+            return {"rewritten_data_files_count": 0, "added_data_files_count": 0}
+        known = {f.name for f in self._fields()}
+        exprs = []
+        for c in columns:
+            m = re.match(r"(?i)^\s*(\w+)(?:\s+(asc|desc))?\s*$", c)
+            if not m or m.group(1) not in known:
+                raise ValueError(
+                    f"unknown sort column {c!r}; columns: {sorted(known)}"
+                )
+            col = F.col(m.group(1))
+            exprs.append(
+                col.desc() if (m.group(2) or "").lower() == "desc" else col.asc()
+            )
+        df = self._read_with_deletes(snap, self._meta["current_schema_version"])
+        shaped = (
+            df.repartitionByRange(target_files, *exprs)
+            .sortWithinPartitions(*exprs)
+        )
+        new_files = self._write_files(shaped, cluster=False)
+        self._commit(
+            "rewrite_sort", new_files,
+            {"sort_by": ",".join(columns),
+             "rewritten_files": len(snap.files),
+             "added_files": len(new_files)},
+        )
+        return {
+            "rewritten_data_files_count": len(snap.files),
+            "added_data_files_count": len(new_files),
+        }
+
     def history(self) -> DataFrame:
         """`t.history` — reference T5 (snapshot refresh history)."""
         return self.snapshots().select(

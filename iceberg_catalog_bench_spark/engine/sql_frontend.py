@@ -1180,6 +1180,12 @@ class SqlEngine:
                     [c.strip() for c in zm.group(1).split(",")],
                     target_files=int(opts.get("target_files", 16)),
                 )
+            elif opts.get("strategy", "").lower() == "sort":
+                # plain linear order: sort_order => 'c1 DESC, c2'
+                res = t.rewrite_sort(
+                    [c.strip() for c in opts.get("sort_order", "").split(",") if c.strip()],
+                    target_files=int(opts.get("target_files", 16)),
+                )
             else:
                 res = t.rewrite_data_files(
                     target_file_size_bytes=int(opts.get("max-file-size-bytes", 128 * 1024 * 1024)),

@@ -918,3 +918,39 @@ def test_explain_statement(spark, tmp_path):
     r = e.execute("EXPLAIN FORMATTED SELECT * FROM ex WHERE k = 1")[0]
     assert r.metadata["mode"] == "formatted"
     assert "PushedFilters" in r.rows[0]["plan"] or "Filter" in r.rows[0]["plan"]
+
+
+def test_rewrite_sort_linear_layout(spark, tmp_path):
+    """strategy=>'sort' with a plain column order: leading-column
+    footer ranges become disjoint, so a point predicate prunes to ~one
+    file; values and row counts are preserved."""
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint, v double")
+    import random
+    rng = random.Random(7)
+    rows = [(rng.randrange(10_000), float(i)) for i in range(4_000)]
+    t.append(spark.createDataFrame(rows, "k bigint, v double").repartition(8))
+    res = t.rewrite_sort(["k"], target_files=8)
+    assert res["added_data_files_count"] >= 4
+    snap = t._snapshot()
+    spans = sorted((f.stats["k"][0], f.stats["k"][1]) for f in snap.files)
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, "leading-column ranges must be disjoint"
+    assert t.read().count() == 4_000
+    kept = t._prune_files(snap.files, f"k = {rows[0][0]}")
+    assert len(kept) <= 2  # point predicate prunes to the covering file(s)
+
+    # SQL spelling: plain sort_order (non-zorder)
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE rs (k BIGINT, v DOUBLE)")
+    e.execute("INSERT INTO rs VALUES (3, 1.0), (1, 2.0), (2, 3.0)")
+    r = e.execute(
+        "CALL system.rewrite_data_files(table => 'rs', strategy => 'sort', "
+        "sort_order => 'k DESC', target_files => 1)"
+    )[0]
+    assert r.rows[0]["added_data_files_count"] == 1
+    assert [x["k"] for x in e.execute("SELECT k FROM rs ORDER BY k")[0].rows] == [1, 2, 3]
+
+    with pytest.raises(ValueError, match="unknown sort column"):
+        t.rewrite_sort(["nope"])
