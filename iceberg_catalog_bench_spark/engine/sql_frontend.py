@@ -968,7 +968,8 @@ class SqlEngine:
         for part in re.split(r",(?![^()]*\))", sets):
             col, _, expr = part.partition("=")
             set_exprs[col.strip()] = expr.strip()
-        snap = self.table(ident).update(set_exprs, where.strip())
+        ident, branch = self._split_branch_ident(ident)
+        snap = self.table(ident).update(set_exprs, where.strip(), branch=branch)
         return StatementResult(s, rowcount=snap.summary.get("updated_rows"), metadata={"op": "update"})
 
     def _delete(self, s: str) -> StatementResult:
@@ -976,7 +977,9 @@ class SqlEngine:
         m = re.match(r"(?is)^delete\s+from\s+(" + _IDENT + r")(?:\s+where\s+(.+))?$", s)
         if not m:
             raise ValueError(f"unsupported DELETE: {s[:120]}")
-        snap = self.table(m.group(1)).delete_where((m.group(2) or "true").strip())
+        ident, branch = self._split_branch_ident(m.group(1))
+        snap = self.table(ident).delete_where(
+            (m.group(2) or "true").strip(), branch=branch)
         return StatementResult(s, rowcount=snap.summary.get("deleted_rows"), metadata={"op": "delete"})
 
     def _merge(self, s: str) -> StatementResult:

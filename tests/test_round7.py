@@ -954,3 +954,21 @@ def test_rewrite_sort_linear_layout(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown sort column"):
         t.rewrite_sort(["nope"])
+
+
+def test_sql_update_delete_on_branch(spark, tmp_path):
+    """UPDATE t.branch_x / DELETE FROM t.branch_x stage on the branch;
+    main is untouched until fast_forward."""
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE bd (k BIGINT, v DOUBLE)")
+    e.execute("INSERT INTO bd VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    e.execute("ALTER TABLE bd CREATE BRANCH fix")
+    e.execute("UPDATE bd.branch_fix SET v = v + 10 WHERE k = 1")
+    e.execute("DELETE FROM bd.branch_fix WHERE k = 3")
+    rows = e.execute("SELECT k, v FROM bd ORDER BY k")[0].rows
+    assert [(r["k"], r["v"]) for r in rows] == [(1, 1.0), (2, 2.0), (3, 3.0)]
+    e.execute("CALL system.fast_forward(table => 'bd', branch => 'fix')")
+    rows = e.execute("SELECT k, v FROM bd ORDER BY k")[0].rows
+    assert [(r["k"], r["v"]) for r in rows] == [(1, 11.0), (2, 2.0)]
