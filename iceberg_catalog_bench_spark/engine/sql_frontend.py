@@ -864,6 +864,7 @@ class SqlEngine:
         )
         if m:
             ident, partspec, src_sql = m.groups()
+            ident, ow_branch = self._split_branch_ident(ident)
             t = self.table(ident)
             static: dict[str, object] | None = None
             if partspec and partspec.strip():
@@ -892,7 +893,7 @@ class SqlEngine:
                 )
             else:
                 src = self._select_df(src_sql)
-            snap = t.overwrite_partitions(src, static=static)
+            snap = t.overwrite_partitions(src, static=static, branch=ow_branch)
             return StatementResult(
                 s, rowcount=snap.summary.get("added_rows"),
                 metadata={"op": "insert_overwrite",

@@ -972,3 +972,18 @@ def test_sql_update_delete_on_branch(spark, tmp_path):
     e.execute("CALL system.fast_forward(table => 'bd', branch => 'fix')")
     rows = e.execute("SELECT k, v FROM bd ORDER BY k")[0].rows
     assert [(r["k"], r["v"]) for r in rows] == [(1, 11.0), (2, 2.0)]
+
+
+def test_sql_insert_overwrite_on_branch(spark, tmp_path):
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE ob (k BIGINT, cat STRING) PARTITIONED BY (cat)")
+    e.execute("INSERT INTO ob VALUES (1, 'a'), (2, 'b')")
+    e.execute("ALTER TABLE ob CREATE BRANCH audit")
+    e.execute("INSERT OVERWRITE ob.branch_audit VALUES (10, 'a')")
+    rows = e.execute("SELECT k FROM ob ORDER BY k")[0].rows
+    assert [r["k"] for r in rows] == [1, 2]  # main untouched
+    e.execute("CALL system.fast_forward(table => 'ob', branch => 'audit')")
+    rows = e.execute("SELECT k FROM ob ORDER BY k")[0].rows
+    assert [r["k"] for r in rows] == [2, 10]
