@@ -2245,6 +2245,7 @@ class LakeTable:
         when_not_matched_by_source_update: dict[str, str] | None = None,
         when_not_matched_by_source_delete: str | bool | None = None,
         mode: str | None = None,
+        branch: str | None = None,
     ) -> Snapshot:
         """MERGE INTO target USING source ON keys — reference M5
         (`merge_sales_events.sql:4-21`: WHEN MATCHED UPDATE SET, WHEN NOT
@@ -2274,8 +2275,13 @@ class LakeTable:
         updated images) — at scale, prefer a selective delete
         condition: an unconditional by-source clause touches the
         whole table by definition.
+
+        ``branch`` stages the whole merge on a branch head (Iceberg's
+        ``spark.wap.branch`` DML): target state is read from, and the
+        commit lands on, the branch — main is untouched until
+        fast_forward.
         """
-        snap = self._snapshot()
+        snap = self._ref_snapshot(branch)
         if snap is None:
             raise ValueError("merge into empty table; use append")
         fields = self._fields()
@@ -2521,9 +2527,10 @@ class LakeTable:
                      "inserted_rows": sum(e.rows for e in inserted),
                      "added_delete_files": len(new_dels),
                      "mode": "merge-on-read"},
+                    branch=branch,
                     delete_files=list(snap.delete_files) + new_dels,
                 )
-                self._maybe_auto_compact()
+                self._maybe_auto_compact(branch)
             else:
                 snap_out = self._commit(
                     "merge", keep + rewritten + inserted,
@@ -2531,6 +2538,7 @@ class LakeTable:
                      "by_source_rows": bys_rows,
                      "inserted_rows": sum(e.rows for e in inserted),
                      "rewritten_files": len(cow_affected)},
+                    branch=branch,
                 )
             return snap_out
         finally:

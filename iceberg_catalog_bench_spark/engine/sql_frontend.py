@@ -1000,6 +1000,7 @@ class SqlEngine:
             raise ValueError(f"unsupported MERGE: {s[:120]}")
         (ident, talias, values_sql, valias, vcols, sub_sql, sub_alias,
          src_table, salias, on_cond, when_clauses) = m.groups()
+        ident, mg_branch = self._split_branch_ident(ident)
         t = self.table(ident)
         talias = talias or ident.split(".")[-1]
         salias = (
@@ -1109,6 +1110,7 @@ class SqlEngine:
             when_not_matched_insert=insert,
             when_not_matched_by_source_update=bys_upd,
             when_not_matched_by_source_delete=bys_del,
+            branch=mg_branch,
         )
         return StatementResult(
             s,

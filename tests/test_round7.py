@@ -987,3 +987,38 @@ def test_sql_insert_overwrite_on_branch(spark, tmp_path):
     e.execute("CALL system.fast_forward(table => 'ob', branch => 'audit')")
     rows = e.execute("SELECT k FROM ob ORDER BY k")[0].rows
     assert [r["k"] for r in rows] == [2, 10]
+
+
+def test_merge_on_branch_wap(spark, tmp_path):
+    """MERGE staged on a branch (Python API + the t.branch_x SQL
+    spelling): branch head gets the merged state, main is untouched
+    until fast_forward; CoW and MoR modes both stage correctly."""
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint, v double")
+    t.append(spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "k bigint, v double"))
+    t.create_branch("audit")
+    t.merge(
+        spark.createDataFrame([(2, 20.0), (3, 30.0)], "k bigint, v double"),
+        on=["k"], when_matched_update="*", when_not_matched_insert=True,
+        branch="audit",
+    )
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [(1, 1.0), (2, 2.0)]
+    t.fast_forward("audit")
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [
+        (1, 1.0), (2, 20.0), (3, 30.0)]
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE mb (k BIGINT, v DOUBLE)")
+    e.execute("INSERT INTO mb VALUES (1, 1.0), (2, 2.0)")
+    e.execute("ALTER TABLE mb CREATE BRANCH fix")
+    e.execute(
+        "MERGE INTO mb.branch_fix AS t USING (VALUES (1, 100.0)) AS s(k, v) "
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET t.v = s.v"
+    )
+    rows = e.execute("SELECT v FROM mb WHERE k = 1")[0].rows
+    assert rows[0]["v"] == 1.0
+    e.execute("CALL system.fast_forward(table => 'mb', branch => 'fix')")
+    rows = e.execute("SELECT v FROM mb WHERE k = 1")[0].rows
+    assert rows[0]["v"] == 100.0
