@@ -235,3 +235,97 @@ def test_dynamic_overwrite_races_appends(spark, tmp_path):
         chain += 1
         cur = by_id[cur].get("parent_id")
     assert chain == len(t._meta["snapshots"])
+
+
+def _main_appender(table_path: str, wid: int) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_catalog_bench_spark.catalog.table import (
+        CommitConflict,
+        FileEntry,
+        LakeTable,
+    )
+
+    t = LakeTable.load(None, table_path)
+    for i in range(8):
+        # a real one-row data file, so main stays fully readable
+        rel = f"data/main-w{wid}-c{i}.parquet"
+        abspath = os.path.join(table_path, rel)
+        pq.write_table(
+            pa.table({"k": pa.array([100 + wid * 10 + i], pa.int64()),
+                      "v": pa.array([0.0], pa.float64())}),
+            abspath,
+        )
+        while True:
+            t._reload()
+            snap = t._snapshot()
+            base = list(snap.files) if snap else []
+            fe = FileEntry(
+                path=rel, rows=1, bytes=os.path.getsize(abspath),
+                schema_version=0, seq=None,
+            )
+            try:
+                t._commit("append", base + [fe], {"writer": wid, "commit": i})
+                break
+            except CommitConflict:
+                pass
+
+
+def test_branch_update_races_main_appends(spark, tmp_path):
+    """Branch-staged DML racing main appenders (the WAP audit writer
+    vs the production feed): both refs advance through the SAME
+    metadata commit lock, so every main append survives every branch
+    commit and vice versa; branch rewrites never leak into main's file
+    list; and the diverged publish is refused (fast_forward demands
+    main be an ancestor of the branch head — anything else would drop
+    the racers' commits)."""
+    import multiprocessing as mp
+
+    import pytest
+
+    table_path = str(tmp_path / "t")
+    t = LakeTable.create(spark, table_path, "k bigint, v double")
+    t.append(spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)], "k bigint, v double"))
+    t.create_branch("audit")
+
+    ctx = mp.get_context("spawn")
+    procs = [
+        ctx.Process(target=_main_appender, args=(table_path, w))
+        for w in range(2)
+    ]
+    for p in procs:
+        p.start()
+    # stage three successive updates on the audit branch while the
+    # appenders hammer main
+    for j in range(3):
+        t._reload()
+        t.update({"v": f"v + {10 ** (j + 1)}"}, "k = 1", branch="audit")
+    for p in procs:
+        p.join(timeout=300)
+        assert p.exitcode == 0
+
+    t = LakeTable.load(spark, table_path)
+    main_paths = {f.path for f in t._snapshot().files}
+    # every racer append survived every branch commit
+    assert main_paths >= {
+        f"data/main-w{w}-c{i}.parquet" for w in range(2) for i in range(8)
+    }
+    # no branch rewrite artifact leaked into main's file list: main's
+    # only real data file is still the original base append
+    assert not any("update" in p for p in main_paths)
+    # the branch head reflects all three updates (1110.0 = 1 + 10+100+1000),
+    # and none of the synthetic main appends
+    br = {(r.k, r.v) for r in t.read_branch("audit").collect()}
+    assert br == {(1, 1111.0), (2, 2.0), (3, 3.0)}
+    # main readers see the pre-branch values plus every racer row —
+    # and NOT the branch-staged update (k=1 keeps v=1.0)
+    main_rows = {(r.k, r.v) for r in t.read().collect()}
+    expected = {(1, 1.0), (2, 2.0), (3, 3.0)} | {
+        (100 + w * 10 + i, 0.0) for w in range(2) for i in range(8)
+    }
+    assert main_rows == expected
+    # diverged publish refused — main advanced past the branch point
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.fast_forward("audit")
