@@ -512,3 +512,100 @@ def test_dynamic_overwrite_sequence_matches_model(spark, tmp_path_factory, ops):
             .astype({"id": "int64", "v": "int64"}))
     pd.testing.assert_frame_equal(
         got[["id", "v", "cat"]], want[["id", "v", "cat"]], check_dtype=False)
+
+
+# -- branch (WAP) sequences vs a two-ref pandas model ---------------------
+
+# op = ("append_main"|"append_branch", [v...]) | ("update_branch", k)
+#    | ("delete_branch", k) | ("update_main", k) | ("publish", 0)
+_BR_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append_main"), st.lists(st.integers(0, 99), min_size=1, max_size=5)),
+        st.tuples(st.just("append_branch"), st.lists(st.integers(0, 99), min_size=1, max_size=5)),
+        st.tuples(st.just("update_branch"), st.integers(2, 5)),
+        st.tuples(st.just("delete_branch"), st.integers(2, 5)),
+        st.tuples(st.just("update_main"), st.integers(2, 5)),
+        st.tuples(st.just("publish"), st.just(0)),
+    ),
+    min_size=1,
+    max_size=7,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(ops=_BR_OPS)
+def test_branch_dml_sequence_matches_two_ref_model(spark, tmp_path_factory, ops):
+    """Random interleavings of main DML, branch-staged DML, and
+    fast_forward publishes must agree with a two-ref pandas model —
+    including WHEN the publish is allowed: fast_forward succeeds iff
+    main has not advanced since the branch last equalled it (ancestry),
+    exactly the flag the model tracks. Branch reads never see main
+    commits made after the fork; main reads never see staged commits."""
+    d = str(tmp_path_factory.mktemp("brprop") / "t")
+    t = LakeTable.create(spark, d, "id bigint, v bigint")
+    t.append(spark.createDataFrame([(0, 7), (1, 12)], "id bigint, v bigint"))
+    t.create_branch("b")
+
+    cols = ["id", "v"]
+    main = pd.DataFrame([(0, 7), (1, 12)], columns=cols)
+    branch = main.copy()
+    diverged = False  # has main advanced past the branch fork point?
+    next_uid = [2]
+
+    def _rows(vals):
+        rows = [(next_uid[0] + i, int(x)) for i, x in enumerate(vals)]
+        next_uid[0] += len(vals)
+        return rows
+
+    for op, arg in ops:
+        if op == "append_main":
+            rows = _rows(arg)
+            t.append(spark.createDataFrame(rows, "id bigint, v bigint"))
+            main = pd.concat([main, pd.DataFrame(rows, columns=cols)], ignore_index=True)
+            diverged = True
+        elif op == "append_branch":
+            rows = _rows(arg)
+            t.append(spark.createDataFrame(rows, "id bigint, v bigint"), branch="b")
+            branch = pd.concat([branch, pd.DataFrame(rows, columns=cols)], ignore_index=True)
+        elif op == "update_branch":
+            if branch.empty:
+                continue
+            t.update({"v": f"v + {arg}"}, f"v % {arg} = 1", branch="b")
+            branch = branch.copy()
+            mask = branch["v"] % arg == 1
+            branch.loc[mask, "v"] = branch.loc[mask, "v"] + arg
+        elif op == "delete_branch":
+            if branch.empty:
+                continue
+            t.delete_where(f"v % {arg} = 0", branch="b")
+            branch = branch[branch["v"] % arg != 0]
+        elif op == "update_main":
+            if main.empty:
+                continue
+            t.update({"v": f"v + {arg}"}, f"v % {arg} = 1")
+            main = main.copy()
+            mask = main["v"] % arg == 1
+            main.loc[mask, "v"] = main.loc[mask, "v"] + arg
+            diverged = True
+        elif op == "publish":
+            if diverged:
+                with pytest.raises(ValueError, match="not an ancestor"):
+                    t.fast_forward("b")
+            else:
+                t.fast_forward("b")
+                main = branch.copy()
+
+    def _canon(df):
+        return (
+            df.sort_values(cols).reset_index(drop=True).astype(
+                {"id": "int64", "v": "int64"})
+        )
+
+    got_main = _canon(t.read().toPandas())
+    got_branch = _canon(t.read_branch("b").toPandas())
+    pd.testing.assert_frame_equal(got_main, _canon(main), check_dtype=False)
+    pd.testing.assert_frame_equal(got_branch, _canon(branch), check_dtype=False)
