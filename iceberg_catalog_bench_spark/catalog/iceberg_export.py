@@ -96,11 +96,18 @@ def to_iceberg_metadata(table: LakeTable) -> str:
 
     schemas = []
     last_column_id = 0
+    ident_ids = meta.get("identifier-field-ids") or []
     for ver, fields in sorted(meta["schemas"].items(), key=lambda kv: int(kv[0])):
         schemas.append(
             {
                 "type": "struct",
                 "schema-id": int(ver),
+                # Iceberg spec: identifier-field-ids live on the schema
+                # struct; ids only (names rebind per version)
+                **({"identifier-field-ids": [
+                        i for i in ident_ids
+                        if any(f["id"] == i for f in fields)
+                    ]} if ident_ids else {}),
                 "fields": [
                     {
                         "id": f["id"],

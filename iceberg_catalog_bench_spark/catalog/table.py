@@ -1360,11 +1360,14 @@ class LakeTable:
         reading the target. Rows appended later are unaffected (the
         sequence-number guard). This is the Flink-CDC retraction path:
         at 100 TB a million-key delete costs writing a million-row
-        parquet file, zero scans."""
+        parquet file, zero scans.
+
+        ``on`` defaults to the declared identifier fields (SET
+        IDENTIFIER FIELDS) when present, else to ``keys``'s columns."""
         snap = self._snapshot()
         if snap is None:
             raise ValueError("delete on empty table")
-        cols = list(on or keys.columns)
+        cols = list(on or self.identifier_fields or keys.columns)
         for c in cols:
             if c not in {f.name for f in self._fields()}:
                 raise KeyError(f"unknown equality column {c!r}")
@@ -1388,7 +1391,8 @@ class LakeTable:
                     raise
                 self._reload()
 
-    def upsert_by_keys(self, df: DataFrame, on: list[str]) -> Snapshot:
+    def upsert_by_keys(self, df: DataFrame,
+                       on: list[str] | None = None) -> Snapshot:
         """Streaming-CDC upsert: one commit that equality-deletes the
         incoming keys and appends the new row images. The delete and
         the data files share the commit's sequence number, and equality
@@ -1400,7 +1404,18 @@ class LakeTable:
         Duplicate keys WITHIN the batch reduce to the last image per
         key first (batch order via monotonically_increasing_id), the
         Flink upsert-sink contract — the intra-commit sequence guard is
-        strictly 'older', so unreduced duplicates would all survive."""
+        strictly 'older', so unreduced duplicates would all survive.
+
+        ``on`` defaults to the declared identifier fields (Flink's
+        equality-field rule: the upsert key IS the schema's declared
+        row identity unless overridden)."""
+        if on is None:
+            on = self.identifier_fields
+            if not on:
+                raise ValueError(
+                    "upsert_by_keys needs key columns: pass on=[...] "
+                    "or declare them with SET IDENTIFIER FIELDS"
+                )
         for c in on:
             if c not in {f.name for f in self._fields()}:
                 raise KeyError(f"unknown key column {c!r}")
@@ -1441,7 +1456,8 @@ class LakeTable:
                     raise
                 self._reload()
 
-    def apply_cdc_batch(self, batch_df: DataFrame, on: list[str],
+    def apply_cdc_batch(self, batch_df: DataFrame,
+                        on: list[str] | None = None, *,
                         batch_id: int, query_id: str = "default",
                         _retries: int = 5) -> Snapshot | None:
         """Apply one CDC micro-batch — rows carrying ``_change_type``
@@ -1465,7 +1481,18 @@ class LakeTable:
           this commit and Spark's checkpoint write) is recognized,
           skipped, and its duplicate files unlinked — the
           ``streaming_append`` exactly-once guard extended to
-          row-level changes."""
+          row-level changes.
+
+        ``on`` defaults to the declared identifier fields (SET
+        IDENTIFIER FIELDS) — the replica inherits the source's row
+        identity instead of every caller restating it."""
+        if on is None:
+            on = self.identifier_fields
+            if not on:
+                raise ValueError(
+                    "apply_cdc_batch needs key columns: pass on=[...] "
+                    "or declare them with SET IDENTIFIER FIELDS"
+                )
         for c in on:
             if c not in {f.name for f in self._fields()}:
                 raise KeyError(f"unknown key column {c!r}")
@@ -2630,6 +2657,12 @@ class LakeTable:
             fields = [f for f in self._fields() if f.name != name]
             if len(fields) == len(self._fields()):
                 raise KeyError(name)
+            if name in self.identifier_fields:
+                raise ValueError(
+                    f"column {name} is a declared identifier field; "
+                    "SET IDENTIFIER FIELDS without it (or DROP "
+                    "IDENTIFIER FIELDS) before dropping the column"
+                )
             snap = self._snapshot()
             if snap is not None and any(
                 d.content == "equality" and name in d.equality_cols
@@ -2645,6 +2678,41 @@ class LakeTable:
             self._bump_schema(fields)
 
         self._locked_meta_mutation(mutate)
+
+    # -- identifier fields (Iceberg schema identifier-field-ids) -------------
+
+    def set_identifier_fields(self, names: list[str]) -> None:
+        """ALTER TABLE ... SET IDENTIFIER FIELDS — declare the table's
+        row-identity columns (Iceberg's schema-level
+        ``identifier-field-ids``, the key Flink-style CDC writers
+        default their equality fields to). Stored as FIELD IDS, not
+        names, so a later RENAME COLUMN keeps the declaration bound to
+        the same data (the Iceberg bind-by-id rule)."""
+        def mutate():
+            by_name = {f.name: f.id for f in self._fields()}
+            missing = [n for n in names if n not in by_name]
+            if missing:
+                raise KeyError(f"unknown identifier column(s) {missing}")
+            self._meta["identifier-field-ids"] = [by_name[n] for n in names]
+
+        self._locked_meta_mutation(mutate)
+
+    def drop_identifier_fields(self) -> None:
+        """ALTER TABLE ... DROP IDENTIFIER FIELDS — clear the declared
+        row identity; key-defaulting CDC writes then require explicit
+        ``on=`` again."""
+        def mutate():
+            self._meta.pop("identifier-field-ids", None)
+
+        self._locked_meta_mutation(mutate)
+
+    @property
+    def identifier_fields(self) -> list[str]:
+        """The declared identifier fields under their CURRENT-schema
+        names (ids resolve through renames)."""
+        ids = self._meta.get("identifier-field-ids") or []
+        by_id = {f.id: f.name for f in self._fields()}
+        return [by_id[i] for i in ids if i in by_id]
 
     # -- partition-spec evolution (Iceberg spec evolution) -------------------
 

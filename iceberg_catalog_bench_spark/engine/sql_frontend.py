@@ -645,6 +645,23 @@ class SqlEngine:
             self.table(m.group(1)).drop_branch(m.group(2))
             return StatementResult(s, metadata={"op": "drop_branch"})
 
+        # ALTER TABLE t SET IDENTIFIER FIELDS a, b / DROP IDENTIFIER
+        # FIELDS — Iceberg's schema-level row identity (stored as field
+        # ids; CDC upserts default their equality key to it).
+        m = re.match(
+            r"(?is)^alter\s+(?:iceberg\s+)?table\s+(" + _IDENT + r")\s+set\s+identifier\s+fields\s+(.+?)\s*$", s
+        )
+        if m:
+            cols = [c.strip() for c in m.group(2).split(",") if c.strip()]
+            self.table(m.group(1)).set_identifier_fields(cols)
+            return StatementResult(s, metadata={"op": "set_identifier_fields", "fields": cols})
+        m = re.match(
+            r"(?is)^alter\s+(?:iceberg\s+)?table\s+(" + _IDENT + r")\s+drop\s+identifier\s+fields\s*$", s
+        )
+        if m:
+            self.table(m.group(1)).drop_identifier_fields()
+            return StatementResult(s, metadata={"op": "drop_identifier_fields"})
+
         # ALTER TABLE t SET TBLPROPERTIES ('k'='v', ...) — Iceberg table
         # properties (e.g. write.delete.mode / write.update.mode to
         # switch row-level ops to merge-on-read), and UNSET to clear.

@@ -1022,3 +1022,95 @@ def test_merge_on_branch_wap(spark, tmp_path):
     e.execute("CALL system.fast_forward(table => 'mb', branch => 'fix')")
     rows = e.execute("SELECT v FROM mb WHERE k = 1")[0].rows
     assert rows[0]["v"] == 100.0
+
+
+def test_identifier_fields_lifecycle_and_rename(spark, tmp_path):
+    """SET IDENTIFIER FIELDS stores FIELD IDS: a later column rename
+    keeps the declaration bound to the same data; upsert_by_keys and
+    apply_cdc_batch default their key to it; DROP IDENTIFIER FIELDS
+    restores the explicit-on requirement; drop_column refuses to drop
+    a declared identifier."""
+    import pytest
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint, v double")
+    t.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k bigint, v double"))
+
+    with pytest.raises(KeyError, match="nope"):
+        t.set_identifier_fields(["nope"])
+    t.set_identifier_fields(["k"])
+    assert t.identifier_fields == ["k"]
+
+    # upsert without on= keys on the declared identity
+    t.upsert_by_keys(spark.createDataFrame([(2, 20.0), (3, 30.0)],
+                                           "k bigint, v double"))
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [
+        (1, 1.0), (2, 20.0), (3, 30.0)]
+
+    # rename: the declaration follows the field id to the new name
+    t.rename_column("k", "pk")
+    assert t.identifier_fields == ["pk"]
+    t.upsert_by_keys(spark.createDataFrame([(3, 33.0)], "pk bigint, v double"))
+    assert sorted((r.pk, r.v) for r in t.read().collect()) == [
+        (1, 1.0), (2, 20.0), (3, 33.0)]
+
+    # the identifier column cannot be dropped while declared
+    with pytest.raises(ValueError, match="identifier field"):
+        t.drop_column("pk")
+
+    t.drop_identifier_fields()
+    assert t.identifier_fields == []
+    with pytest.raises(ValueError, match="SET IDENTIFIER FIELDS"):
+        t.upsert_by_keys(spark.createDataFrame([(4, 4.0)], "pk bigint, v double"))
+
+
+def test_sql_set_identifier_fields(spark, tmp_path):
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE idt (k BIGINT, v DOUBLE)")
+    e.execute("INSERT INTO idt VALUES (1, 1.0)")
+    res = e.execute("ALTER TABLE idt SET IDENTIFIER FIELDS k")[0]
+    assert res.metadata["fields"] == ["k"]
+    assert e.table("idt").identifier_fields == ["k"]
+    e.execute("ALTER TABLE idt DROP IDENTIFIER FIELDS")
+    assert e.table("idt").identifier_fields == []
+
+
+def test_apply_cdc_batch_defaults_to_identifier_fields(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), "k bigint, v double",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.append(spark.createDataFrame([(1, 1.0)], "k bigint, v double"))
+    t.set_identifier_fields(["k"])
+    batch = spark.createDataFrame(
+        [(1, 10.0, "insert", 5), (2, 2.0, "insert", 5)],
+        "k bigint, v double, _change_type string, _commit_snapshot_id bigint",
+    )
+    assert t.apply_cdc_batch(batch, batch_id=0, query_id="q") is not None
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [(1, 10.0), (2, 2.0)]
+
+
+def test_iceberg_export_carries_identifier_field_ids(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    from iceberg_catalog_bench_spark.catalog.iceberg_export import (
+        to_iceberg_metadata,
+    )
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint, v double")
+    t.append(spark.createDataFrame([(1, 1.0)], "k bigint, v double"))
+    t.set_identifier_fields(["k"])
+    out = to_iceberg_metadata(t)
+    meta_path = out if isinstance(out, str) else out[0]
+    if _os.path.isdir(meta_path):
+        cands = sorted(p for p in _os.listdir(meta_path) if p.endswith(".metadata.json"))
+        meta_path = _os.path.join(meta_path, cands[-1])
+    md = _json.load(open(meta_path))
+    cur = md["current-schema-id"]
+    schema = next(s for s in md["schemas"] if s["schema-id"] == cur)
+    kid = next(f["id"] for f in schema["fields"] if f["name"] == "k")
+    assert schema["identifier-field-ids"] == [kid]
