@@ -834,6 +834,9 @@ class SqlEngine:
             order = t._meta.get("sort_order") or []
             if order:
                 ddl += " WRITE ORDERED BY (" + ", ".join(order) + ")"
+            idents = t.identifier_fields
+            if idents:
+                ddl += " IDENTIFIER FIELDS (" + ", ".join(idents) + ")"
             props = t._meta.get("properties", {}) or {}
             if props:
                 ddl += " TBLPROPERTIES (" + ", ".join(

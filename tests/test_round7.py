@@ -1072,8 +1072,12 @@ def test_sql_set_identifier_fields(spark, tmp_path):
     res = e.execute("ALTER TABLE idt SET IDENTIFIER FIELDS k")[0]
     assert res.metadata["fields"] == ["k"]
     assert e.table("idt").identifier_fields == ["k"]
+    ddl = e.execute("SHOW CREATE TABLE idt")[0].rows[0]["createtab_stmt"]
+    assert "IDENTIFIER FIELDS (k)" in ddl
     e.execute("ALTER TABLE idt DROP IDENTIFIER FIELDS")
     assert e.table("idt").identifier_fields == []
+    ddl = e.execute("SHOW CREATE TABLE idt")[0].rows[0]["createtab_stmt"]
+    assert "IDENTIFIER FIELDS" not in ddl
 
 
 def test_apply_cdc_batch_defaults_to_identifier_fields(spark, tmp_path):
