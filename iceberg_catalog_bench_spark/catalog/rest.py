@@ -55,6 +55,12 @@ class _State:
         self.namespaces: dict[str, dict] = {}
         self.tables: dict[tuple[str, str], dict] = {}
         self.views: dict[tuple[str, str], dict] = {}
+        # One lock serializes commit validation+apply: requirements are
+        # checked and updates applied atomically per request — the
+        # optimistic-concurrency contract of the Iceberg REST commit
+        # endpoints (a racer sees 409, never a half-applied commit).
+        self.commit_lock = threading.Lock()
+        self._uuid_counter = 0
         self.catalogs: dict[str, dict] = {
             "open_catalog": {
                 "name": "open_catalog",
@@ -84,8 +90,88 @@ class _State:
             "catalog_admin": {"TABLE_READ_DATA", "TABLE_WRITE_DATA"}
         }
 
+    def next_table_uuid(self) -> str:
+        """Deterministic spec-shaped table uuid (no randomness so
+        conformance runs replay byte-identically)."""
+        self._uuid_counter += 1
+        return f"00000000-0000-0000-0000-{self._uuid_counter:012d}"
+
 
 _PRIVILEGES = ("TABLE_READ_DATA", "TABLE_WRITE_DATA")
+
+
+def _check_requirements(md: dict, reqs: list) -> str | None:
+    """Validate Iceberg commit requirements against table metadata.
+    Returns an error message on the FIRST failed assertion, else None
+    (spec: TableRequirement — the optimistic-concurrency predicates a
+    committer captured at read time)."""
+    for r in reqs:
+        typ = r.get("type")
+        if typ == "assert-create":
+            # table already exists (we only route commits to existing
+            # tables), so a create assertion always conflicts
+            return "requirement failed: table already exists"
+        if typ == "assert-table-uuid":
+            if md.get("table-uuid") != r.get("uuid"):
+                return (f"requirement failed: uuid {md.get('table-uuid')} "
+                        f"!= {r.get('uuid')}")
+        elif typ == "assert-ref-snapshot-id":
+            ref = r.get("ref")
+            want = r.get("snapshot-id")  # None = ref must not exist yet
+            have = (md.get("refs", {}).get(ref) or {}).get("snapshot-id")
+            if have != want:
+                return (f"requirement failed: ref {ref!r} is at {have}, "
+                        f"expected {want}")
+        elif typ == "assert-current-schema-id":
+            if md.get("current-schema-id") != r.get("current-schema-id"):
+                return "requirement failed: current-schema-id moved"
+        elif typ == "assert-last-assigned-field-id":
+            if md.get("last-assigned-field-id", -1) > r.get(
+                    "last-assigned-field-id", -1):
+                return "requirement failed: last-assigned-field-id moved"
+        else:
+            return f"unsupported requirement type {typ!r}"
+    return None
+
+
+_UPDATE_TYPES = frozenset({
+    "add-snapshot", "set-snapshot-ref", "remove-snapshot-ref",
+    "set-properties", "remove-properties", "set-current-schema",
+})
+
+
+def _apply_updates(md: dict, updates: list) -> None:
+    """Apply Iceberg metadata updates (spec: TableUpdate subset —
+    snapshots, refs, properties, schema pointer). Types are validated
+    against :data:`_UPDATE_TYPES` BEFORE any table mutates, so this
+    never raises mid-transaction."""
+    for u in updates:
+        typ = u.get("type")
+        if typ == "add-snapshot":
+            snap = u["snapshot"]
+            md["snapshots"].append(snap)
+            md["last-sequence-number"] = max(
+                md.get("last-sequence-number", 0),
+                snap.get("sequence-number", 0))
+        elif typ == "set-snapshot-ref":
+            ref = u["ref-name"]
+            md.setdefault("refs", {})[ref] = {
+                "snapshot-id": u["snapshot-id"],
+                "type": u.get("type-ref", u.get("ref-type", "branch")),
+            }
+            if ref == "main":
+                md["current-snapshot-id"] = u["snapshot-id"]
+        elif typ == "remove-snapshot-ref":
+            md.get("refs", {}).pop(u["ref-name"], None)
+            if u["ref-name"] == "main":
+                md["current-snapshot-id"] = None
+        elif typ == "set-properties":
+            md.setdefault("properties", {}).update(u.get("updates", {}))
+        elif typ == "remove-properties":
+            for k in u.get("removals", []):
+                md.get("properties", {}).pop(k, None)
+        elif typ == "set-current-schema":
+            md["current-schema-id"] = u["schema-id"]
 
 
 def _make_handler(state: _State):
@@ -122,7 +208,8 @@ def _make_handler(state: _State):
             self._catalog = "open_catalog"
             if (
                 len(parts) >= 2 and parts[0] == "v1"
-                and parts[1] not in ("namespaces", "oauth", "config")
+                and parts[1] not in ("namespaces", "oauth", "config",
+                                     "transactions")
             ):
                 self._catalog = parts[1]
                 parts = [parts[0]] + parts[2:]
@@ -180,6 +267,16 @@ def _make_handler(state: _State):
                     "properties": body.get("properties", {}),
                     "location": loc,
                     "metrics_reports": [],
+                    # Iceberg TableMetadata subset the commit protocol
+                    # mutates (spec: CommitTableRequest)
+                    "metadata": {
+                        "table-uuid": state.next_table_uuid(),
+                        "current-snapshot-id": None,
+                        "snapshots": [],
+                        "refs": {},
+                        "current-schema-id": 0,
+                        "last-sequence-number": 0,
+                    },
                 }
                 return self._send(200, {"metadata-location": f"{loc}/metadata.json"})
             if (
@@ -205,7 +302,68 @@ def _make_handler(state: _State):
                     return self._send(404, {"error": "no such table"})
                 state.tables[key]["metrics_reports"].append(self._body())
                 return self._send(204)
+            # Iceberg REST commit: POST /v1/namespaces/{ns}/tables/{t}
+            # with {requirements, updates} — optimistic concurrency
+            # (spec: CommitTableRequest → 409 CommitFailedException)
+            if (
+                len(parts) == 5
+                and parts[:2] == ["v1", "namespaces"]
+                and parts[3] == "tables"
+            ):
+                body = self._body()
+                change = dict(body)
+                change["identifier"] = {
+                    "namespace": parts[2].split("."), "name": parts[4]}
+                return self._commit_changes([change], single=True)
+            # Iceberg REST multi-table transaction:
+            # POST /v1/transactions/commit — ALL requirements validate
+            # first, then ALL updates apply, or nothing does
+            if parts == ["v1", "transactions", "commit"]:
+                return self._commit_changes(
+                    self._body().get("table-changes", []))
             return self._send(404, {"error": "no route"})
+
+        # -- Iceberg REST commit protocol -----------------------------------
+        def _commit_changes(self, changes: list, single: bool = False):
+            with state.commit_lock:
+                resolved = []
+                for ch in changes:
+                    ident = ch.get("identifier") or {}
+                    key = (".".join(ident.get("namespace", [])),
+                           ident.get("name"))
+                    tbl = state.tables.get(key)
+                    if tbl is None:
+                        return self._send(404, {"error": {
+                            "message": f"no such table {key}",
+                            "type": "NoSuchTableException", "code": 404}})
+                    err = _check_requirements(
+                        tbl["metadata"], ch.get("requirements", []))
+                    if err:
+                        # atomic: first failed requirement aborts the
+                        # WHOLE transaction before any update applies
+                        return self._send(409, {"error": {
+                            "message": err,
+                            "type": "CommitFailedException", "code": 409}})
+                    updates = ch.get("updates", [])
+                    bad = [u.get("type") for u in updates
+                           if u.get("type") not in _UPDATE_TYPES]
+                    if bad:
+                        # unsupported types surface in the VALIDATION
+                        # pass so a partial transaction never applies
+                        return self._send(400, {"error": {
+                            "message": f"unsupported update type(s) {bad}",
+                            "type": "BadRequestException", "code": 400}})
+                    resolved.append((tbl, updates))
+                for tbl, updates in resolved:
+                    _apply_updates(tbl["metadata"], updates)
+            if single:
+                tbl = resolved[0][0]
+                return self._send(200, {
+                    "metadata-location":
+                        f"{tbl['location']}/metadata.json",
+                    "metadata": tbl["metadata"],
+                })
+            return self._send(204)
 
         def do_GET(self):  # noqa: N802
             parts = self._route()
@@ -488,6 +646,23 @@ class RestCatalogClient:
 
     def report_metrics(self, ns: str, name: str, report: dict):
         return self._request("POST", f"/v1/namespaces/{ns}/tables/{name}/metrics", report)
+
+    def commit_table(self, ns: str, name: str,
+                     requirements: list, updates: list):
+        """Iceberg REST commit (CommitTableRequest): optimistic —
+        requirements captured at read time must still hold or the
+        server answers 409 CommitFailedException."""
+        return self._request(
+            "POST", f"/v1/namespaces/{ns}/tables/{name}",
+            {"requirements": requirements, "updates": updates})
+
+    def commit_transaction(self, table_changes: list):
+        """Iceberg REST multi-table transaction: every change's
+        requirements validate before ANY update applies (204), else
+        nothing applies (409)."""
+        return self._request(
+            "POST", "/v1/transactions/commit",
+            {"table-changes": table_changes})
 
     def list_views(self, ns: str):
         return self._request("GET", f"/v1/namespaces/{ns}/views")

@@ -173,3 +173,140 @@ def test_per_catalog_privilege_enforcement():
         assert c._request("GET", "/v1/namespaces")[0] == 200
     finally:
         s.stop()
+
+
+def _mk(client, ns, name):
+    client.create_namespace(ns)
+    client.create_table(ns, name, {"type": "struct", "fields": []})
+
+
+def test_rest_commit_table_optimistic(server):
+    """Iceberg REST commit protocol (CommitTableRequest): a fresh
+    table commits with assert-ref-snapshot-id = None; a second commit
+    presenting the STALE snapshot id gets 409 CommitFailedException
+    and mutates nothing."""
+    c = RestCatalogClient(server.url)
+    c.authenticate()
+    _mk(c, "commit_ns", "t1")
+
+    snap = {"snapshot-id": 101, "sequence-number": 1,
+            "summary": {"operation": "append"}}
+    code, body = c.commit_table(
+        "commit_ns", "t1",
+        requirements=[{"type": "assert-ref-snapshot-id",
+                       "ref": "main", "snapshot-id": None}],
+        updates=[{"type": "add-snapshot", "snapshot": snap},
+                 {"type": "set-snapshot-ref", "ref-name": "main",
+                  "snapshot-id": 101, "ref-type": "branch"}],
+    )
+    assert code == 200
+    assert body["metadata"]["current-snapshot-id"] == 101
+
+    # stale committer: still believes main is unborn
+    code, body = c.commit_table(
+        "commit_ns", "t1",
+        requirements=[{"type": "assert-ref-snapshot-id",
+                       "ref": "main", "snapshot-id": None}],
+        updates=[{"type": "set-snapshot-ref", "ref-name": "main",
+                  "snapshot-id": 999, "ref-type": "branch"}],
+    )
+    assert code == 409
+    assert body["error"]["type"] == "CommitFailedException"
+    _code, loaded = c.load_table("commit_ns", "t1")
+    assert loaded["metadata"]["current-snapshot-id"] == 101
+
+    # retry from refreshed state succeeds (the optimistic retry loop)
+    code, body = c.commit_table(
+        "commit_ns", "t1",
+        requirements=[{"type": "assert-ref-snapshot-id",
+                       "ref": "main", "snapshot-id": 101}],
+        updates=[{"type": "add-snapshot",
+                  "snapshot": {"snapshot-id": 102, "sequence-number": 2,
+                               "summary": {"operation": "append"}}},
+                 {"type": "set-snapshot-ref", "ref-name": "main",
+                  "snapshot-id": 102, "ref-type": "branch"}],
+    )
+    assert code == 200
+    assert body["metadata"]["current-snapshot-id"] == 102
+    assert [s["snapshot-id"] for s in body["metadata"]["snapshots"]] == [101, 102]
+
+
+def test_rest_transaction_commit_atomic(server):
+    """Multi-table transaction (/v1/transactions/commit): when the
+    SECOND table's requirement is stale, the FIRST table's update must
+    not apply either — all requirements validate before any update."""
+    c = RestCatalogClient(server.url)
+    c.authenticate()
+    _mk(c, "txn_ns", "a")
+    _mk(c, "txn_ns", "b")
+
+    def change(name, expect, newid):
+        return {
+            "identifier": {"namespace": ["txn_ns"], "name": name},
+            "requirements": [{"type": "assert-ref-snapshot-id",
+                              "ref": "main", "snapshot-id": expect}],
+            "updates": [
+                {"type": "add-snapshot",
+                 "snapshot": {"snapshot-id": newid, "sequence-number": 1,
+                              "summary": {"operation": "append"}}},
+                {"type": "set-snapshot-ref", "ref-name": "main",
+                 "snapshot-id": newid, "ref-type": "branch"}],
+        }
+
+    # both fresh: atomic success
+    code, _ = c.commit_transaction([change("a", None, 11), change("b", None, 21)])
+    assert code == 204
+    assert c.load_table("txn_ns", "a")[1]["metadata"]["current-snapshot-id"] == 11
+    assert c.load_table("txn_ns", "b")[1]["metadata"]["current-snapshot-id"] == 21
+
+    # b's expectation is stale -> whole transaction refused, a untouched
+    code, body = c.commit_transaction([change("a", 11, 12), change("b", None, 22)])
+    assert code == 409
+    assert body["error"]["type"] == "CommitFailedException"
+    assert c.load_table("txn_ns", "a")[1]["metadata"]["current-snapshot-id"] == 11
+    assert c.load_table("txn_ns", "b")[1]["metadata"]["current-snapshot-id"] == 21
+
+    # properties ride along and unsupported update types refuse pre-apply
+    code, _ = c.commit_transaction([{
+        "identifier": {"namespace": ["txn_ns"], "name": "a"},
+        "requirements": [],
+        "updates": [{"type": "set-properties",
+                     "updates": {"owner": "etl"}}],
+    }])
+    assert code == 204
+    assert c.load_table("txn_ns", "a")[1]["metadata"]["properties"]["owner"] == "etl"
+    code, body = c.commit_transaction([{
+        "identifier": {"namespace": ["txn_ns"], "name": "a"},
+        "requirements": [],
+        "updates": [{"type": "no-such-update"}],
+    }])
+    assert code == 400
+
+
+def test_rest_commit_racers_exactly_one_wins(server):
+    """Two threads race the same CAS commit: exactly one 200, one 409 —
+    the commit lock's validate+apply atomicity under real concurrency."""
+    import threading
+
+    c = RestCatalogClient(server.url)
+    c.authenticate()
+    _mk(c, "race_ns", "t")
+    results = []
+
+    def racer(sid):
+        rc = RestCatalogClient(server.url)
+        rc.authenticate()
+        results.append(rc.commit_table(
+            "race_ns", "t",
+            requirements=[{"type": "assert-ref-snapshot-id",
+                           "ref": "main", "snapshot-id": None}],
+            updates=[{"type": "set-snapshot-ref", "ref-name": "main",
+                      "snapshot-id": sid, "ref-type": "branch"}],
+        )[0])
+
+    ts = [threading.Thread(target=racer, args=(s,)) for s in (1, 2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sorted(results) == [200, 409]
