@@ -1841,18 +1841,28 @@ class LakeTable:
 
     # -- tags (named snapshot refs, Iceberg v2 refs) -------------------------
 
-    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+    def create_tag(self, name: str, snapshot_id: int | None = None, *,
+                   max_ref_age_ms: int | None = None) -> None:
         """Tag a snapshot with a stable name (Iceberg ref): time travel
-        by meaning ('pre-migration') instead of by id."""
+        by meaning ('pre-migration') instead of by id.
+        ``max_ref_age_ms`` (Iceberg RETAIN): expire_snapshots drops the
+        tag once the tagged snapshot is older than this — bounded
+        metadata without a manual drop_tag sweep."""
         sid = snapshot_id if snapshot_id is not None else self._meta["current_snapshot_id"]
         self._snapshot(sid)  # validate
-        self._locked_meta_mutation(
-            lambda: self._meta.setdefault("refs", {}).__setitem__(name, sid)
-        )
+
+        def mutate():
+            self._meta.setdefault("refs", {})[name] = sid
+            if max_ref_age_ms is not None:
+                self._meta.setdefault("ref_retention", {})[name] = {
+                    "max-ref-age-ms": int(max_ref_age_ms)}
+
+        self._locked_meta_mutation(mutate)
 
     def drop_tag(self, name: str) -> None:
         def mutate():
             del self._meta.setdefault("refs", {})[name]
+            self._meta.get("ref_retention", {}).pop(name, None)
 
         self._locked_meta_mutation(mutate)
 
@@ -1864,21 +1874,40 @@ class LakeTable:
 
     # -- branches (writable refs — Iceberg WAP: write-audit-publish) ---------
 
-    def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
+    def create_branch(self, name: str, snapshot_id: int | None = None, *,
+                      min_snapshots_to_keep: int | None = None,
+                      max_ref_age_ms: int | None = None) -> None:
         """Create a writable branch at a snapshot (default: current
         main head; may be None on an empty table → empty branch).
         Writers then stage commits with ``append(df, branch=name)``;
-        main is untouched until ``fast_forward``."""
+        main is untouched until ``fast_forward``.
+
+        Retention (Iceberg branch options): ``min_snapshots_to_keep``
+        makes expire_snapshots retain that many snapshots of the
+        branch's ancestry (not just its head); ``max_ref_age_ms`` lets
+        expire_snapshots drop the whole branch once its head snapshot
+        is older than this — abandoned audit branches stop pinning
+        files forever."""
         sid = snapshot_id if snapshot_id is not None else self._meta.get("current_snapshot_id")
         if sid is not None:
             self._snapshot(sid)  # validate
-        self._locked_meta_mutation(
-            lambda: self._meta.setdefault("branches", {}).__setitem__(name, sid)
-        )
+
+        def mutate():
+            self._meta.setdefault("branches", {})[name] = sid
+            ret = {}
+            if min_snapshots_to_keep is not None:
+                ret["min-snapshots-to-keep"] = int(min_snapshots_to_keep)
+            if max_ref_age_ms is not None:
+                ret["max-ref-age-ms"] = int(max_ref_age_ms)
+            if ret:
+                self._meta.setdefault("ref_retention", {})[name] = ret
+
+        self._locked_meta_mutation(mutate)
 
     def drop_branch(self, name: str) -> None:
         def mutate():
             del self._meta.setdefault("branches", {})[name]
+            self._meta.get("ref_retention", {}).pop(name, None)
 
         self._locked_meta_mutation(mutate)
 
@@ -3402,17 +3431,51 @@ class LakeTable:
         ``retain_last`` is the floor in either form. Ref-protected
         (tagged/branch) snapshots and the current head are never
         expired — Iceberg's ref-retention semantics — so time travel to
-        a ref keeps working after expiry. Locked read-modify-write."""
+        a ref keeps working after expiry. Per-ref retention declared at
+        CREATE TAG/BRANCH is honored here: refs older than their
+        ``max-ref-age-ms`` are dropped first (so abandoned refs stop
+        pinning files), and each surviving branch keeps
+        ``min-snapshots-to-keep`` of its own ancestry, not just its
+        head. Locked read-modify-write."""
         result = {"deleted_data_files_count": 0, "expired_snapshots_count": 0}
 
         def mutate():
             snaps = self._meta["snapshots"]
             if len(snaps) <= retain_last:
                 return
+            by_id = {s["snapshot_id"]: s for s in snaps}
+            now_ms = int(time.time() * 1000)
+            retention = self._meta.get("ref_retention") or {}
+            # 1) age out refs past their max-ref-age (Iceberg RETAIN):
+            # age is measured from the REFERENCED snapshot's commit
+            # time; an aged ref is dropped entirely so its snapshots
+            # lose protection — main is not a named ref and never ages
+            for store_key in ("refs", "branches"):
+                store = self._meta.get(store_key) or {}
+                for rname in list(store):
+                    max_age = (retention.get(rname) or {}).get("max-ref-age-ms")
+                    sid = store[rname]
+                    if max_age is None or sid is None or sid not in by_id:
+                        continue
+                    if now_ms - by_id[sid]["timestamp_ms"] > max_age:
+                        del store[rname]
+                        retention.pop(rname, None)
             ref_ids = set((self._meta.get("refs") or {}).values()) | {
                 h for h in (self._meta.get("branches") or {}).values()
                 if h is not None
             } | {self._meta.get("current_snapshot_id")}
+            # 2) branch ancestry floors (Iceberg min-snapshots-to-keep):
+            # a surviving branch keeps that many snapshots of its own
+            # parent chain, not just its head — branch time travel
+            # stays valid across maintenance
+            for rname, head in (self._meta.get("branches") or {}).items():
+                keep_n = (retention.get(rname) or {}).get("min-snapshots-to-keep")
+                node = head
+                for _ in range(keep_n or 0):
+                    if node is None or node not in by_id:
+                        break
+                    ref_ids.add(node)
+                    node = by_id[node].get("parent_id")
             tail_ids = {s["snapshot_id"] for s in snaps[-retain_last:]}
             if older_than_ms is not None:
                 tail_ids |= {

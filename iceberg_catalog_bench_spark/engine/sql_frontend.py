@@ -30,6 +30,15 @@ from .statements import MAX_RESULT_ROWS, StatementResult
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_.]*"
 
+_RETAIN_UNIT_MS = {"minute": 60_000, "hour": 3_600_000, "day": 86_400_000}
+
+
+def _retain_ms(n: str | None, unit: str | None) -> int | None:
+    """RETAIN <n> DAYS|HOURS|MINUTES → milliseconds (Iceberg ref DDL)."""
+    if n is None:
+        return None
+    return int(n) * _RETAIN_UNIT_MS[unit.lower().rstrip("s")]
+
 
 def split_statements(script: str) -> list[str]:
     """Split a SQL script into statements on top-level semicolons
@@ -612,14 +621,19 @@ class SqlEngine:
                 t.drop_partition_field(transform)
             return StatementResult(s, metadata={"op": f"{action.lower()}_partition_field"})
 
-        # tags: ALTER TABLE t CREATE TAG name [AS OF VERSION n] / DROP TAG
+        # tags: ALTER TABLE t CREATE TAG name [AS OF VERSION n]
+        # [RETAIN n DAYS|HOURS|MINUTES] / DROP TAG — the RETAIN clause
+        # is Iceberg's tag max-ref-age (expire_snapshots ages it out)
         m = re.match(
             r"(?is)^alter\s+(?:iceberg\s+)?table\s+(" + _IDENT + r")\s+create\s+tag\s+(\w+)"
-            r"(?:\s+as\s+of\s+version\s+(\d+))?\s*$", s
+            r"(?:\s+as\s+of\s+version\s+(\d+))?"
+            r"(?:\s+retain\s+(\d+)\s+(days?|hours?|minutes?))?\s*$", s
         )
         if m:
-            ident, tag, ver = m.groups()
-            self.table(ident).create_tag(tag, int(ver) if ver else None)
+            ident, tag, ver, ret_n, ret_unit = m.groups()
+            self.table(ident).create_tag(
+                tag, int(ver) if ver else None,
+                max_ref_age_ms=_retain_ms(ret_n, ret_unit))
             return StatementResult(s, metadata={"op": "create_tag"})
         m = re.match(
             r"(?is)^alter\s+(?:iceberg\s+)?table\s+(" + _IDENT + r")\s+drop\s+tag\s+(\w+)\s*$", s
@@ -629,14 +643,21 @@ class SqlEngine:
             return StatementResult(s, metadata={"op": "drop_tag"})
 
         # branches (WAP): ALTER TABLE t CREATE BRANCH b [AS OF VERSION n]
-        # / DROP BRANCH b — Iceberg branch DDL
+        # [RETAIN n DAYS|HOURS|MINUTES]
+        # [WITH SNAPSHOT RETENTION k SNAPSHOTS] / DROP BRANCH b —
+        # Iceberg branch DDL incl. the retention clauses expire honors
         m = re.match(
             r"(?is)^alter\s+(?:iceberg\s+)?table\s+(" + _IDENT + r")\s+create\s+branch\s+(\w+)"
-            r"(?:\s+as\s+of\s+version\s+(\d+))?\s*$", s
+            r"(?:\s+as\s+of\s+version\s+(\d+))?"
+            r"(?:\s+retain\s+(\d+)\s+(days?|hours?|minutes?))?"
+            r"(?:\s+with\s+snapshot\s+retention\s+(\d+)\s+snapshots)?\s*$", s
         )
         if m:
-            ident, br, ver = m.groups()
-            self.table(ident).create_branch(br, int(ver) if ver else None)
+            ident, br, ver, ret_n, ret_unit, keep_n = m.groups()
+            self.table(ident).create_branch(
+                br, int(ver) if ver else None,
+                min_snapshots_to_keep=int(keep_n) if keep_n else None,
+                max_ref_age_ms=_retain_ms(ret_n, ret_unit))
             return StatementResult(s, metadata={"op": "create_branch"})
         m = re.match(
             r"(?is)^alter\s+(?:iceberg\s+)?table\s+(" + _IDENT + r")\s+drop\s+branch\s+(\w+)\s*$", s

@@ -1118,3 +1118,90 @@ def test_iceberg_export_carries_identifier_field_ids(spark, tmp_path):
     schema = next(s for s in md["schemas"] if s["schema-id"] == cur)
     kid = next(f["id"] for f in schema["fields"] if f["name"] == "k")
     assert schema["identifier-field-ids"] == [kid]
+
+
+def _backdate(t, sid, ms):
+    def mutate():
+        for s in t._meta["snapshots"]:
+            if s["snapshot_id"] == sid:
+                s["timestamp_ms"] = ms
+    t._locked_meta_mutation(mutate)
+
+
+def test_ref_retention_max_age_drops_stale_refs(spark, tmp_path):
+    """A tag/branch created with RETAIN ages out at expire_snapshots:
+    the ref is dropped, its snapshot loses protection and expires, and
+    its files are deleted — abandoned refs stop pinning data forever.
+    A retention-less ref never ages."""
+    import pytest
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint")
+    s1 = t.append(spark.createDataFrame([(1,)], "k bigint"))
+    t.create_tag("ephemeral", max_ref_age_ms=60_000)
+    t.create_tag("forever")  # no retention: must survive any expiry
+    t.create_branch("stale_audit", max_ref_age_ms=60_000)
+    s2 = t.append(spark.createDataFrame([(2,)], "k bigint"))
+    t.append(spark.createDataFrame([(3,)], "k bigint"))
+
+    # both refs point at s1; backdate it past the 60s budget
+    _backdate(t, s1.snapshot_id, 1_000)
+    res = t.expire_snapshots(retain_last=1)
+    assert res["expired_snapshots_count"] >= 1
+    assert "ephemeral" not in t._meta.get("refs", {})
+    assert "stale_audit" not in t._meta.get("branches", {})
+    # the retention-less tag still protects s1 from expiry
+    assert "forever" in t._meta.get("refs", {})
+    assert sorted(r.k for r in t.read_tag("forever").collect()) == [1]
+    with pytest.raises(KeyError):
+        t.read_tag("ephemeral")
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 3]
+    del s2
+
+
+def test_branch_min_snapshots_to_keep_retains_ancestry(spark, tmp_path):
+    """WITH SNAPSHOT RETENTION k SNAPSHOTS: expire keeps k snapshots of
+    the BRANCH's parent chain (not just the head), so branch-side time
+    travel survives maintenance; a plain branch keeps only its head."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint")
+    t.append(spark.createDataFrame([(0,)], "k bigint"))
+    t.create_branch("keepy", min_snapshots_to_keep=3)
+    t.create_branch("plain")
+    hist = []
+    for i in range(1, 4):
+        hist.append(t.append(
+            spark.createDataFrame([(i,)], "k bigint"), branch="keepy"))
+        t.append(spark.createDataFrame([(100 + i,)], "k bigint"), branch="plain")
+    t.expire_snapshots(retain_last=1)
+    ids = {s["snapshot_id"] for s in t._meta["snapshots"]}
+    # keepy's head + 2 ancestors survive
+    assert {h.snapshot_id for h in hist} <= ids
+    # plain kept only its head (the middle commits expired)
+    plain_head = t._meta["branches"]["plain"]
+    assert plain_head in ids
+    kept_plain = [s for s in t._meta["snapshots"]
+                  if s["snapshot_id"] == plain_head]
+    assert len(kept_plain) == 1
+    # branch time travel to a retained ancestor still reads
+    assert sorted(
+        r.k for r in t.read(snapshot_id=hist[0].snapshot_id).collect()
+    ) == [0, 1]
+
+
+def test_sql_create_branch_tag_retention_clauses(spark, tmp_path):
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE rt (k BIGINT)")
+    e.execute("INSERT INTO rt VALUES (1)")
+    e.execute("ALTER TABLE rt CREATE TAG snap1 RETAIN 7 DAYS")
+    e.execute("ALTER TABLE rt CREATE BRANCH audit RETAIN 2 HOURS "
+              "WITH SNAPSHOT RETENTION 5 SNAPSHOTS")
+    ret = e.table("rt")._meta["ref_retention"]
+    assert ret["snap1"] == {"max-ref-age-ms": 7 * 86_400_000}
+    assert ret["audit"] == {"max-ref-age-ms": 2 * 3_600_000,
+                            "min-snapshots-to-keep": 5}
+    # plain spellings still parse
+    e.execute("ALTER TABLE rt CREATE TAG plain_tag")
+    e.execute("ALTER TABLE rt CREATE BRANCH plain_branch")
+    e.execute("ALTER TABLE rt DROP BRANCH audit")
+    assert "audit" not in e.table("rt")._meta["ref_retention"]
