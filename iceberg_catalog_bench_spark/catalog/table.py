@@ -2846,6 +2846,60 @@ class LakeTable:
                   "equality_columns string, sequence_number bigint"
         )
 
+    def entries(self, snapshot_id: int | None = None) -> DataFrame:
+        """`t.entries` metadata table (Iceberg manifest entries): one
+        row per data file in the snapshot with its lifecycle ``status``
+        — 1 (ADDED by this snapshot) or 0 (EXISTING, carried forward) —
+        and the sequence number of the commit that added it. The status
+        split is what incremental readers and compaction planners key
+        on: ADDED rows are this commit's change set."""
+        snap = self._snapshot(snapshot_id)
+        if snap is None:
+            rows = []
+        else:
+            parent = next(
+                (s for s in self._meta["snapshots"]
+                 if s["snapshot_id"] == snap.parent_id), None)
+            carried = {f["path"] for f in (parent or {}).get("files", [])}
+            rows = [
+                (
+                    1 if e.path not in carried else 0,
+                    snap.snapshot_id,
+                    e.seq or 0,
+                    e.path,
+                    e.rows,
+                    e.bytes,
+                )
+                for e in snap.files
+            ]
+        return self.spark.createDataFrame(
+            rows, "status int, snapshot_id bigint, sequence_number bigint, "
+                  "file_path string, record_count bigint, file_size_bytes bigint"
+        )
+
+    def all_files(self) -> DataFrame:
+        """`t.all_files` metadata table: every data file referenced by
+        ANY retained snapshot (deduped by path), tagged with the first
+        and last snapshot that references it — the view maintenance
+        jobs use to find files only historical snapshots pin (expire
+        candidates) without opening a single manifest twice."""
+        first: dict[str, list] = {}
+        for s in self._meta["snapshots"]:
+            for f in s["files"]:
+                rec = first.setdefault(
+                    f["path"],
+                    [s["snapshot_id"], s["snapshot_id"], f["rows"], f["bytes"]],
+                )
+                rec[1] = s["snapshot_id"]
+        rows = [
+            (p, r[0], r[1], r[2], r[3]) for p, r in sorted(first.items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "file_path string, first_snapshot_id bigint, "
+                  "last_snapshot_id bigint, record_count bigint, "
+                  "file_size_bytes bigint"
+        )
+
     def maintenance_advice(self) -> DataFrame:
         """Metadata-only merge-on-read debt advisory (VERDICT r4 item 4;
         reference analogue: maintenance acceptance, spec `:85,:104`).

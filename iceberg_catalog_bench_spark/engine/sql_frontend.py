@@ -1482,7 +1482,8 @@ class SqlEngine:
             )
             base, meta_suffix = token, None
             for sfx in (".snapshots", ".files", ".history", ".partitions",
-                        ".refs", ".manifests", ".delete_files"):
+                        ".refs", ".manifests", ".delete_files",
+                        ".entries", ".all_files"):
                 if token.lower().endswith(sfx):
                     base, meta_suffix = token[: -len(sfx)], sfx
                     break
@@ -1496,6 +1497,8 @@ class SqlEngine:
                     ".refs": t.refs,
                     ".manifests": t.manifests,
                     ".delete_files": t.delete_files,
+                    ".entries": t.entries,
+                    ".all_files": t.all_files,
                 }[meta_suffix]()
             elif self.table_exists(token):
                 t = self.table(token)

@@ -1205,3 +1205,42 @@ def test_sql_create_branch_tag_retention_clauses(spark, tmp_path):
     e.execute("ALTER TABLE rt CREATE BRANCH plain_branch")
     e.execute("ALTER TABLE rt DROP BRANCH audit")
     assert "audit" not in e.table("rt")._meta["ref_retention"]
+
+
+def test_entries_and_all_files_metadata_tables(spark, tmp_path):
+    """`t.entries` splits ADDED (status 1) from EXISTING (status 0)
+    per snapshot; `t.all_files` lists every file ANY retained snapshot
+    references — including ones the current head no longer holds (the
+    expire-candidate view)."""
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE mt (k BIGINT, v DOUBLE)")
+    e.execute("INSERT INTO mt VALUES (1, 1.0)")
+    e.execute("INSERT INTO mt VALUES (2, 2.0)")
+    t = e.table("mt")
+    s2 = t._snapshot()
+
+    ent = {(r["status"], r["file_path"])
+           for r in e.execute("SELECT * FROM mt.entries")[0].rows}
+    added = {p for st, p in ent if st == 1}
+    existing = {p for st, p in ent if st == 0}
+    assert len(added) == 1 and len(existing) == 1  # second commit adds 1 file
+
+    # CoW update rewrites the k=1 file: head drops it, all_files keeps it
+    t.update({"v": "v + 10"}, "k = 1")
+    head_paths = {f.path for f in t._snapshot().files}
+    all_rows = e.execute("SELECT * FROM mt.all_files")[0].rows
+    all_paths = {r["file_path"] for r in all_rows}
+    assert head_paths < all_paths  # strictly more than the live set
+    # the rewritten-away file is still visible with its last snapshot
+    gone = all_paths - head_paths
+    assert all(
+        r["last_snapshot_id"] <= s2.snapshot_id
+        for r in all_rows if r["file_path"] in gone
+    )
+    # entries of the update snapshot: the rewritten file is ADDED,
+    # the untouched k=2 file is EXISTING
+    ent2 = [(r["status"], r["file_path"]) for r in
+            e.execute("SELECT * FROM mt.entries")[0].rows]
+    assert sorted(st for st, _ in ent2) == [0, 1]
