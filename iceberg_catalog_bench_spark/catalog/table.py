@@ -3475,6 +3475,68 @@ class LakeTable:
         self._write_meta()
         return {"rewritten_manifests_count": 1, "metadata_bytes": before}
 
+    def compact_delete_files(self) -> dict:
+        """CALL system.compact_delete_files — the DELETE-side-only MoR
+        compactor (Iceberg's literal ``rewrite_position_delete_files``
+        semantics; this repo's method of that name is the
+        fold-into-data variant): consolidate the snapshot's
+        position-delete files into one fresh set and drop DANGLING
+        tombstone rows (entries pointing at data files the current
+        snapshot no longer holds — commit-time carry-over only drops a
+        delete file once ALL its targets left, so a file referencing
+        one live and one rewritten target keeps riding with dead
+        rows). Data files are untouched: at 100 TB this pays down
+        read-side anti-join cost for the price of re-writing the
+        (small) delete files, not the table. Equality deletes are left
+        alone (their application window is sequence-gated, so merging
+        them would need seq-preserving splits — fold them with
+        rewrite_position_delete_files / rewrite_data_files instead)."""
+        result = {"rewritten_delete_files_count": 0,
+                  "added_delete_files_count": 0,
+                  "removed_dangling_rows": 0}
+        snap = self._snapshot()
+        if snap is None:
+            return result
+        pos_dels = [d for d in snap.delete_files if d.content == "position"]
+        if not pos_dels:
+            return result
+        live_abs = [os.path.join(self.path, e.path) for e in snap.files]
+        tomb = self.spark.read.parquet(
+            *[os.path.join(self.path, d.path) for d in pos_dels]
+        ).select("file_path", "pos")
+        live_df = self.spark.createDataFrame(
+            [(p,) for p in live_abs], "file_path string")
+        kept = tomb.join(F.broadcast(live_df), "file_path", "left_semi")
+        n_before = sum(d.rows for d in pos_dels)
+        new_dels = self._write_delete_files(kept) if not kept.isEmpty() else []
+        n_after = sum(d.rows for d in new_dels)
+        for attempt in range(6):
+            cur = self._snapshot()
+            # a concurrent commit may have added MORE position deletes;
+            # rebase keeps any delete file we did not consolidate
+            carried = [d for d in cur.delete_files
+                       if d.content != "position"
+                       or d.path not in {p.path for p in pos_dels}]
+            try:
+                self._commit(
+                    "rewrite-deletes", list(cur.files),
+                    {"rewritten_delete_files": len(pos_dels),
+                     "removed_dangling_rows": n_before - n_after},
+                    delete_files=carried + new_dels,
+                )
+                break
+            except CommitConflict:
+                if attempt == 5:
+                    raise
+                self._reload()
+        # old delete-file parquet stays on disk: PRIOR snapshots still
+        # reference it (time travel); expire_snapshots sweeps it once
+        # those snapshots age out
+        result["rewritten_delete_files_count"] = len(pos_dels)
+        result["added_delete_files_count"] = len(new_dels)
+        result["removed_dangling_rows"] = n_before - n_after
+        return result
+
     def expire_snapshots(self, retain_last: int = 2,
                          older_than_ms: int | None = None) -> dict:
         """CALL system.expire_snapshots(retain_last=>n [, older_than=>ts])

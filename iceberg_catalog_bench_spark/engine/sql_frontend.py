@@ -1243,6 +1243,8 @@ class SqlEngine:
             res = t.rewrite_position_delete_files()
         elif proc == "rewrite_manifests":
             res = t.rewrite_manifests()
+        elif proc == "compact_delete_files":
+            res = t.compact_delete_files()
         elif proc == "expire_snapshots":
             older = kwargs.get("older_than")
             older_ms = None

@@ -1244,3 +1244,51 @@ def test_entries_and_all_files_metadata_tables(spark, tmp_path):
     ent2 = [(r["status"], r["file_path"]) for r in
             e.execute("SELECT * FROM mt.entries")[0].rows]
     assert sorted(st for st, _ in ent2) == [0, 1]
+
+
+def test_compact_delete_files_drops_dangling(spark, tmp_path):
+    """Delete-side-ONLY compaction (compact_delete_files — data files
+    untouched, unlike rewrite_position_delete_files which folds into
+    data): a position-delete file referencing one live and one
+    rewritten-away data file keeps riding with dead rows (commit
+    carry-over only drops it when ALL targets leave); the procedure
+    consolidates to one fresh set, prunes the dangling rows, and reads
+    are unchanged. Prior snapshots still time-travel (the old delete
+    parquet is not unlinked)."""
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE pd (k BIGINT, v DOUBLE) "
+              "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    t = e.table("pd")
+    t.append(spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 3.0)],
+                                   "k bigint, v double").coalesce(1))
+    t.append(spark.createDataFrame([(4, 4.0), (5, 5.0), (6, 6.0)],
+                                   "k bigint, v double").coalesce(1))
+    # one delete file spanning BOTH data files, one spanning only B
+    t.delete_where("k IN (1, 4)", mode="merge-on-read")
+    t.delete_where("k = 5", mode="merge-on-read")
+    pre_travel = t._snapshot().snapshot_id
+    # CoW-update k=2: rewrites data file A; the A+B delete file stays
+    # (B still live) but its k=1 tombstone row is now dangling
+    t.update({"v": "v + 10"}, "k = 2", mode="copy-on-write")
+    before = sorted(tuple(r) for r in t.read().collect())
+    n_pos = [d for d in t._snapshot().delete_files if d.content == "position"]
+    rows_before = sum(d.rows for d in n_pos)
+    assert len(n_pos) >= 2
+
+    res = e.execute(
+        "CALL system.compact_delete_files(table => 'pd')"
+    )[0].rows[0]
+    assert res["rewritten_delete_files_count"] == len(n_pos)
+    assert res["removed_dangling_rows"] >= 1
+
+    t._reload()
+    after_dels = [d for d in t._snapshot().delete_files
+                  if d.content == "position"]
+    assert sum(d.rows for d in after_dels) == rows_before - res["removed_dangling_rows"]
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+    # time travel to the pre-compaction snapshot still applies the
+    # ORIGINAL delete files
+    old = sorted(r.k for r in t.read(snapshot_id=pre_travel).collect())
+    assert old == [2, 3, 6]
