@@ -1842,22 +1842,40 @@ class LakeTable:
     # -- tags (named snapshot refs, Iceberg v2 refs) -------------------------
 
     def create_tag(self, name: str, snapshot_id: int | None = None, *,
-                   max_ref_age_ms: int | None = None) -> None:
+                   max_ref_age_ms: int | None = None,
+                   replace: bool = False, if_not_exists: bool = False) -> None:
         """Tag a snapshot with a stable name (Iceberg ref): time travel
         by meaning ('pre-migration') instead of by id.
         ``max_ref_age_ms`` (Iceberg RETAIN): expire_snapshots drops the
         tag once the tagged snapshot is older than this — bounded
-        metadata without a manual drop_tag sweep."""
+        metadata without a manual drop_tag sweep.
+        Iceberg exists-semantics: an existing name errors unless
+        ``replace`` (repoint) or ``if_not_exists`` (no-op)."""
         sid = snapshot_id if snapshot_id is not None else self._meta["current_snapshot_id"]
         self._snapshot(sid)  # validate
 
         def mutate():
-            self._meta.setdefault("refs", {})[name] = sid
+            refs = self._meta.setdefault("refs", {})
+            if name in refs and not replace:
+                if if_not_exists:
+                    return
+                raise ValueError(
+                    f"tag {name!r} exists; use REPLACE TAG to repoint")
+            refs[name] = sid
             if max_ref_age_ms is not None:
                 self._meta.setdefault("ref_retention", {})[name] = {
                     "max-ref-age-ms": int(max_ref_age_ms)}
 
         self._locked_meta_mutation(mutate)
+
+    def replace_tag(self, name: str, snapshot_id: int | None = None, *,
+                    max_ref_age_ms: int | None = None) -> None:
+        """ALTER TABLE … REPLACE TAG — repoint an EXISTING tag (errors
+        if missing, the Iceberg REPLACE contract)."""
+        if name not in (self._meta.get("refs") or {}):
+            raise KeyError(f"no tag {name!r} to replace")
+        self.create_tag(name, snapshot_id,
+                        max_ref_age_ms=max_ref_age_ms, replace=True)
 
     def drop_tag(self, name: str) -> None:
         def mutate():
@@ -1876,7 +1894,9 @@ class LakeTable:
 
     def create_branch(self, name: str, snapshot_id: int | None = None, *,
                       min_snapshots_to_keep: int | None = None,
-                      max_ref_age_ms: int | None = None) -> None:
+                      max_ref_age_ms: int | None = None,
+                      replace: bool = False,
+                      if_not_exists: bool = False) -> None:
         """Create a writable branch at a snapshot (default: current
         main head; may be None on an empty table → empty branch).
         Writers then stage commits with ``append(df, branch=name)``;
@@ -1893,7 +1913,13 @@ class LakeTable:
             self._snapshot(sid)  # validate
 
         def mutate():
-            self._meta.setdefault("branches", {})[name] = sid
+            branches = self._meta.setdefault("branches", {})
+            if name in branches and not replace:
+                if if_not_exists:
+                    return
+                raise ValueError(
+                    f"branch {name!r} exists; use REPLACE BRANCH to repoint")
+            branches[name] = sid
             ret = {}
             if min_snapshots_to_keep is not None:
                 ret["min-snapshots-to-keep"] = int(min_snapshots_to_keep)
@@ -1903,6 +1929,18 @@ class LakeTable:
                 self._meta.setdefault("ref_retention", {})[name] = ret
 
         self._locked_meta_mutation(mutate)
+
+    def replace_branch(self, name: str, snapshot_id: int | None = None, *,
+                       min_snapshots_to_keep: int | None = None,
+                       max_ref_age_ms: int | None = None) -> None:
+        """ALTER TABLE … REPLACE BRANCH — repoint an EXISTING branch
+        (errors if missing). The WAP reset: throw away a bad audit
+        run's staged commits by repointing the branch at main."""
+        if name not in (self._meta.get("branches") or {}):
+            raise KeyError(f"no branch {name!r} to replace")
+        self.create_branch(name, snapshot_id, replace=True,
+                           min_snapshots_to_keep=min_snapshots_to_keep,
+                           max_ref_age_ms=max_ref_age_ms)
 
     def drop_branch(self, name: str) -> None:
         def mutate():

@@ -625,15 +625,22 @@ class SqlEngine:
         # [RETAIN n DAYS|HOURS|MINUTES] / DROP TAG — the RETAIN clause
         # is Iceberg's tag max-ref-age (expire_snapshots ages it out)
         m = re.match(
-            r"(?is)^alter\s+(?:iceberg\s+)?table\s+(" + _IDENT + r")\s+create\s+tag\s+(\w+)"
+            r"(?is)^alter\s+(?:iceberg\s+)?table\s+(" + _IDENT + r")\s+"
+            r"(create(?:\s+or\s+replace)?|replace)\s+tag\s+"
+            r"(?:(if\s+not\s+exists)\s+)?(\w+)"
             r"(?:\s+as\s+of\s+version\s+(\d+))?"
             r"(?:\s+retain\s+(\d+)\s+(days?|hours?|minutes?))?\s*$", s
         )
         if m:
-            ident, tag, ver, ret_n, ret_unit = m.groups()
-            self.table(ident).create_tag(
-                tag, int(ver) if ver else None,
-                max_ref_age_ms=_retain_ms(ret_n, ret_unit))
+            ident, verb, ine, tag, ver, ret_n, ret_unit = m.groups()
+            t, verb = self.table(ident), verb.lower()
+            kw = dict(max_ref_age_ms=_retain_ms(ret_n, ret_unit))
+            if verb == "replace":
+                t.replace_tag(tag, int(ver) if ver else None, **kw)
+            else:
+                t.create_tag(tag, int(ver) if ver else None,
+                             replace="replace" in verb,
+                             if_not_exists=bool(ine), **kw)
             return StatementResult(s, metadata={"op": "create_tag"})
         m = re.match(
             r"(?is)^alter\s+(?:iceberg\s+)?table\s+(" + _IDENT + r")\s+drop\s+tag\s+(\w+)\s*$", s
@@ -647,17 +654,25 @@ class SqlEngine:
         # [WITH SNAPSHOT RETENTION k SNAPSHOTS] / DROP BRANCH b —
         # Iceberg branch DDL incl. the retention clauses expire honors
         m = re.match(
-            r"(?is)^alter\s+(?:iceberg\s+)?table\s+(" + _IDENT + r")\s+create\s+branch\s+(\w+)"
+            r"(?is)^alter\s+(?:iceberg\s+)?table\s+(" + _IDENT + r")\s+"
+            r"(create(?:\s+or\s+replace)?|replace)\s+branch\s+"
+            r"(?:(if\s+not\s+exists)\s+)?(\w+)"
             r"(?:\s+as\s+of\s+version\s+(\d+))?"
             r"(?:\s+retain\s+(\d+)\s+(days?|hours?|minutes?))?"
             r"(?:\s+with\s+snapshot\s+retention\s+(\d+)\s+snapshots)?\s*$", s
         )
         if m:
-            ident, br, ver, ret_n, ret_unit, keep_n = m.groups()
-            self.table(ident).create_branch(
-                br, int(ver) if ver else None,
+            ident, verb, ine, br, ver, ret_n, ret_unit, keep_n = m.groups()
+            t, verb = self.table(ident), verb.lower()
+            kw = dict(
                 min_snapshots_to_keep=int(keep_n) if keep_n else None,
                 max_ref_age_ms=_retain_ms(ret_n, ret_unit))
+            if verb == "replace":
+                t.replace_branch(br, int(ver) if ver else None, **kw)
+            else:
+                t.create_branch(br, int(ver) if ver else None,
+                                replace="replace" in verb,
+                                if_not_exists=bool(ine), **kw)
             return StatementResult(s, metadata={"op": "create_branch"})
         m = re.match(
             r"(?is)^alter\s+(?:iceberg\s+)?table\s+(" + _IDENT + r")\s+drop\s+branch\s+(\w+)\s*$", s

@@ -1292,3 +1292,46 @@ def test_compact_delete_files_drops_dangling(spark, tmp_path):
     # ORIGINAL delete files
     old = sorted(r.k for r in t.read(snapshot_id=pre_travel).collect())
     assert old == [2, 3, 6]
+
+
+def test_ref_create_replace_exists_semantics(spark, tmp_path):
+    """Iceberg ref exists-semantics: CREATE errors on an existing
+    name (IF NOT EXISTS no-ops), CREATE OR REPLACE always repoints,
+    REPLACE requires existence — the WAP reset that throws away a bad
+    audit run by repointing the branch at main."""
+    import pytest
+
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE rr (k BIGINT)")
+    e.execute("INSERT INTO rr VALUES (1)")
+    e.execute("ALTER TABLE rr CREATE BRANCH audit")
+    e.execute("ALTER TABLE rr CREATE TAG v1")
+    t = e.table("rr")
+    v1 = t._meta["refs"]["v1"]
+
+    with pytest.raises(ValueError, match="exists"):
+        e.execute("ALTER TABLE rr CREATE BRANCH audit")
+    with pytest.raises(ValueError, match="exists"):
+        e.execute("ALTER TABLE rr CREATE TAG v1")
+    e.execute("ALTER TABLE rr CREATE BRANCH IF NOT EXISTS audit")  # no-op
+
+    # stage a bad run on the branch, then REPLACE resets it to main
+    t.append(spark.createDataFrame([(99,)], "k bigint"), branch="audit")
+    assert sorted(r.k for r in t.read_branch("audit").collect()) == [1, 99]
+    e.execute("ALTER TABLE rr REPLACE BRANCH audit")
+    t._reload()
+    assert sorted(r.k for r in t.read_branch("audit").collect()) == [1]
+
+    # REPLACE TAG repoints; REPLACE of a missing ref errors
+    e.execute("INSERT INTO rr VALUES (2)")
+    e.execute("ALTER TABLE rr REPLACE TAG v1")
+    t._reload()
+    assert t._meta["refs"]["v1"] != v1
+    with pytest.raises(KeyError):
+        e.execute("ALTER TABLE rr REPLACE BRANCH nope")
+    # CREATE OR REPLACE works for both present and absent names
+    e.execute("ALTER TABLE rr CREATE OR REPLACE TAG v1")
+    e.execute("ALTER TABLE rr CREATE OR REPLACE TAG v2")
+    assert {"v1", "v2"} <= set(t._reload() or t._meta["refs"])
