@@ -399,12 +399,16 @@ def to_iceberg_metadata(table: LakeTable) -> str:
         ],
         "metadata-log": [],
         "refs": {
+            # retention keys use Iceberg's metadata.json spellings
+            # (max-ref-age-ms / min-snapshots-to-keep)
             **{
-                name: {"snapshot-id": sid, "type": "tag"}
+                name: {"snapshot-id": sid, "type": "tag",
+                       **((meta.get("ref_retention") or {}).get(name) or {})}
                 for name, sid in (meta.get("refs") or {}).items()
             },
             **{
-                name: {"snapshot-id": sid, "type": "branch"}
+                name: {"snapshot-id": sid, "type": "branch",
+                       **((meta.get("ref_retention") or {}).get(name) or {})}
                 for name, sid in (meta.get("branches") or {}).items()
                 if sid is not None
             },

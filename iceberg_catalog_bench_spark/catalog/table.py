@@ -3039,18 +3039,26 @@ class LakeTable:
 
     def refs(self) -> DataFrame:
         """`t.refs` metadata table — every named ref (tags and
-        branches) with its snapshot id, mirroring Iceberg's refs
-        table."""
+        branches) with its snapshot id and declared retention,
+        mirroring Iceberg's refs table columns."""
+        retention = self._meta.get("ref_retention") or {}
+
+        def _row(name, typ, sid):
+            r = retention.get(name) or {}
+            return (name, typ, sid, r.get("max-ref-age-ms"),
+                    r.get("min-snapshots-to-keep"))
+
         rows = [
-            (name, "tag", sid)
+            _row(name, "tag", sid)
             for name, sid in sorted((self._meta.get("refs") or {}).items())
         ] + [
-            (name, "branch", sid)
+            _row(name, "branch", sid)
             for name, sid in sorted((self._meta.get("branches") or {}).items())
             if sid is not None
         ]
         return self.spark.createDataFrame(
-            rows, "name string, type string, snapshot_id bigint"
+            rows, "name string, type string, snapshot_id bigint, "
+                  "max_reference_age_in_ms bigint, min_snapshots_to_keep int"
         )
 
     def partitions(self, snapshot_id: int | None = None) -> DataFrame:
