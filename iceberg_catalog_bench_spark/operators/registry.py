@@ -52,6 +52,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # end of (b) — the whole rotation cohort still fits.)
 # REFRESH EACH ROUND: rebuild from the union of CORRECTNESS_r*.json —
 # never-green and code-touched queries first, oldest-green next.
+# Late-round-7 additions (identifier fields, REST commit protocol,
+# ref retention + exists-semantics/REPLACE, .entries/.all_files,
+# compact_delete_files, refs retention columns) are FEATURE-GATED:
+# every touched path behaves identically unless the new feature is
+# invoked (optional kwargs defaulting off, retention only when
+# declared, new SQL verbs, new metadata suffixes), so below-cap
+# queries over those layers (ddl_lifecycle, rest_catalog_conformance,
+# cdc_equality_upsert, branch_wap_publish, iceberg_metadata_roundtrip,
+# maintenance_compaction) keep their standing green rows — re-proven
+# this round by the full oracle-parity suite and targeted driver-sims,
+# and queued to lead the round-8 cap regardless.
 PRIORITY: tuple[str, ...] = (
     # -- (a) round-7 code-touched + debuts --
     # metadata delta encoding (encode_meta/expand_meta) touches every
