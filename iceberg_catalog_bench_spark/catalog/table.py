@@ -1865,6 +1865,9 @@ class LakeTable:
             if max_ref_age_ms is not None:
                 self._meta.setdefault("ref_retention", {})[name] = {
                     "max-ref-age-ms": int(max_ref_age_ms)}
+            else:
+                # full ref re-definition: unstated retention reverts
+                self._meta.get("ref_retention", {}).pop(name, None)
 
         self._locked_meta_mutation(mutate)
 
@@ -1927,6 +1930,10 @@ class LakeTable:
                 ret["max-ref-age-ms"] = int(max_ref_age_ms)
             if ret:
                 self._meta.setdefault("ref_retention", {})[name] = ret
+            else:
+                # REPLACE is a full ref re-definition (Iceberg):
+                # retention not restated reverts to the default
+                self._meta.get("ref_retention", {}).pop(name, None)
 
         self._locked_meta_mutation(mutate)
 

@@ -1335,3 +1335,25 @@ def test_ref_create_replace_exists_semantics(spark, tmp_path):
     e.execute("ALTER TABLE rr CREATE OR REPLACE TAG v1")
     e.execute("ALTER TABLE rr CREATE OR REPLACE TAG v2")
     assert {"v1", "v2"} <= set(t._reload() or t._meta["refs"])
+
+
+def test_replace_ref_resets_unstated_retention(spark, tmp_path):
+    """REPLACE / CREATE OR REPLACE is a full ref re-definition: a
+    retention clause not restated reverts to the default (no silent
+    carry-over of a stale RETAIN policy)."""
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE rd (k BIGINT)")
+    e.execute("INSERT INTO rd VALUES (1)")
+    e.execute("ALTER TABLE rd CREATE BRANCH b RETAIN 5 DAYS "
+              "WITH SNAPSHOT RETENTION 2 SNAPSHOTS")
+    t = e.table("rd")
+    assert "b" in t._meta["ref_retention"]
+    e.execute("ALTER TABLE rd CREATE OR REPLACE BRANCH b")
+    t._reload()
+    assert "b" not in t._meta.get("ref_retention", {})
+    # restating keeps it
+    e.execute("ALTER TABLE rd REPLACE BRANCH b RETAIN 1 DAYS")
+    t._reload()
+    assert t._meta["ref_retention"]["b"] == {"max-ref-age-ms": 86_400_000}
