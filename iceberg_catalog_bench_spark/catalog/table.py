@@ -2831,6 +2831,32 @@ class LakeTable:
 
         self._locked_meta_mutation(mutate)
 
+    def replace_partition_field(self, old: str, new: str) -> None:
+        """ALTER TABLE ... REPLACE PARTITION FIELD old WITH new —
+        Iceberg's atomic spec-evolution step (e.g. days(ts) →
+        hours(ts)): ONE new spec generation replaces the field
+        in place, where a drop+add pair would record two generations
+        and briefly expose a spec without either key to a concurrent
+        writer. No data rewrite; both file generations keep pruning
+        under the values they carry."""
+        target = parse_spec([old])[0]
+        incoming = parse_spec([new])[0]
+
+        def mutate():
+            spec = self._meta["partition_spec"]
+            idx = [i for i, t in enumerate(spec)
+                   if Transform.from_json(t) == target]
+            if not idx:
+                raise KeyError(old)
+            if any(Transform.from_json(t) == incoming for t in spec):
+                raise ValueError(f"partition field {new} already present")
+            self._meta.setdefault("partition_spec_history", []).append(
+                [dict(t) for t in spec]
+            )
+            spec[idx[0]] = incoming.to_json()
+
+        self._locked_meta_mutation(mutate)
+
     # -- metadata tables (reference T1/T4/T5) --------------------------------
 
     def snapshots(self) -> DataFrame:

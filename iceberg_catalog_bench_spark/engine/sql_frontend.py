@@ -608,7 +608,17 @@ class SqlEngine:
             self.table(m.group(1))._reload()
             return StatementResult(s, metadata={"op": "refresh"})
 
-        # partition-spec evolution: ALTER TABLE t ADD/DROP PARTITION FIELD
+        # partition-spec evolution: ALTER TABLE t ADD/DROP PARTITION
+        # FIELD, and the atomic REPLACE PARTITION FIELD old WITH new
+        m = re.match(
+            r"(?is)^alter\s+(?:iceberg\s+)?table\s+(" + _IDENT + r")\s+"
+            r"replace\s+partition\s+field\s+(.+?)\s+with\s+(.+?)\s*$", s
+        )
+        if m:
+            self.table(m.group(1)).replace_partition_field(
+                m.group(2), m.group(3))
+            return StatementResult(
+                s, metadata={"op": "replace_partition_field"})
         m = re.match(
             r"(?is)^alter\s+(?:iceberg\s+)?table\s+(" + _IDENT + r")\s+(add|drop)\s+partition\s+field\s+(.+?)\s*$", s
         )

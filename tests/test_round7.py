@@ -1357,3 +1357,40 @@ def test_replace_ref_resets_unstated_retention(spark, tmp_path):
     e.execute("ALTER TABLE rd REPLACE BRANCH b RETAIN 1 DAYS")
     t._reload()
     assert t._meta["ref_retention"]["b"] == {"max-ref-age-ms": 86_400_000}
+
+
+def test_replace_partition_field_atomic(spark, tmp_path):
+    """REPLACE PARTITION FIELD old WITH new: one spec generation swaps
+    the field in place (days(ts) → identity(cat) here); files written
+    under each generation keep pruning under the values they carry,
+    and the swap records exactly ONE new spec generation (a drop+add
+    pair would record two)."""
+    import pytest
+
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE pf (k BIGINT, cat STRING, grp BIGINT) "
+              "PARTITIONED BY (bucket(4, k))")
+    e.execute("INSERT INTO pf VALUES (1, 'a', 10), (2, 'b', 20)")
+    t = e.table("pf")
+    gens_before = len(t._meta.get("partition_spec_history", []))
+
+    e.execute("ALTER TABLE pf REPLACE PARTITION FIELD bucket(4, k) WITH cat")
+    t._reload()
+    spec = [(x["transform"], x.get("column"))
+            for x in t._meta["partition_spec"]]
+    assert spec == [("identity", "cat")]
+    assert len(t._meta["partition_spec_history"]) == gens_before + 1
+
+    # new writes cluster by the new spec; old files still read
+    e.execute("INSERT INTO pf VALUES (3, 'c', 30)")
+    rows = e.execute("SELECT k FROM pf ORDER BY k")[0].rows
+    assert [r["k"] for r in rows] == [1, 2, 3]
+
+    # replacing a missing field errors; replacing WITH a present one errors
+    with pytest.raises(KeyError):
+        e.execute("ALTER TABLE pf REPLACE PARTITION FIELD bucket(4, k) WITH grp")
+    t.add_partition_field("bucket(2, grp)")
+    with pytest.raises(ValueError, match="already present"):
+        e.execute("ALTER TABLE pf REPLACE PARTITION FIELD cat WITH bucket(2, grp)")
