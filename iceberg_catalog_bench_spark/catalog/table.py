@@ -2342,7 +2342,7 @@ class LakeTable:
         on: list[str],
         when_matched_update: dict[str, str] | str | None = None,
         when_matched_delete: str | bool | None = None,
-        when_not_matched_insert: bool = True,
+        when_not_matched_insert: bool | str = True,
         when_not_matched_by_source_update: dict[str, str] | None = None,
         when_not_matched_by_source_delete: str | bool | None = None,
         mode: str | None = None,
@@ -2617,6 +2617,11 @@ class LakeTable:
                     *[F.col(f"src_{f.name}").cast(f.type).alias(f.name) for f in fields
                       if f"src_{f.name}" in src.columns]
                 )
+                if isinstance(when_not_matched_insert, str):
+                    # WHEN NOT MATCHED AND <cond> THEN INSERT — the
+                    # condition scopes over SOURCE columns (bare names;
+                    # there is no target row to reference)
+                    new_rows = new_rows.filter(F.expr(when_not_matched_insert))
                 if new_rows.columns:
                     inserted = self._write_files(new_rows)
 

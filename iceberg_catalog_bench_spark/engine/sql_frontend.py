@@ -1055,10 +1055,11 @@ class SqlEngine:
         WHEN NOT MATCHED THEN INSERT [(cols)] VALUES (s.c1, ...)
         (merge_sales_events.sql:4-21)."""
         m = re.match(
-            r"(?is)^merge\s+into\s+(" + _IDENT + r")(?:\s+as\s+(\w+))?\s+using\s+"
+            r"(?is)^merge\s+into\s+(" + _IDENT + r")"
+            r"(?:\s+(?:as\s+)?(?!using\b)(\w+))?\s+using\s+"
             r"(?:\((\s*values.+?)\)\s+as\s+(\w+)\s*\(([^)]*)\)"
             r"|\((\s*select.+?)\)\s+as\s+(\w+)"
-            r"|(" + _IDENT + r")(?:\s+as\s+(\w+))?)\s+"
+            r"|(" + _IDENT + r")(?:\s+(?:as\s+)?(?!on\b)(\w+))?)\s+"
             r"on\s+(.+?)\s+(when\s+.+)$",
             s,
         )
@@ -1166,10 +1167,18 @@ class SqlEngine:
                 )
             elif action.lower().startswith("insert"):
                 if and_cond:
-                    raise ValueError(
-                        "WHEN NOT MATCHED AND <cond> THEN INSERT is not "
-                        "supported; pre-filter the source instead")
-                insert = bool(not_matched)
+                    # conditional insert: the condition scopes over
+                    # SOURCE columns only (there is no matched target
+                    # row); target-alias references are refused loudly
+                    if re.search(rf"\b{re.escape(talias)}\.", and_cond):
+                        raise ValueError(
+                            "WHEN NOT MATCHED AND <cond> THEN INSERT "
+                            "cannot reference target columns")
+                    insert = re.sub(
+                        rf"\b{re.escape(salias)}\.(\w+)", r"\1",
+                        and_cond.strip())
+                else:
+                    insert = bool(not_matched)
         snap = t.merge(
             source, on=on_keys, when_matched_update=upd,
             when_matched_delete=delete_matched,

@@ -1394,3 +1394,42 @@ def test_replace_partition_field_atomic(spark, tmp_path):
     t.add_partition_field("bucket(2, grp)")
     with pytest.raises(ValueError, match="already present"):
         e.execute("ALTER TABLE pf REPLACE PARTITION FIELD cat WITH bucket(2, grp)")
+
+
+def test_merge_conditional_insert(spark, tmp_path):
+    """WHEN NOT MATCHED AND <cond> THEN INSERT: the condition scopes
+    over source columns (bare or source-alias-qualified); unmatched
+    source rows failing it are dropped, matched-row handling is
+    unaffected, and target-column references are refused loudly."""
+    import pytest
+
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE ci (k BIGINT, v DOUBLE)")
+    e.execute("INSERT INTO ci VALUES (1, 1.0), (2, 2.0)")
+    e.execute("CREATE TABLE ci_src (k BIGINT, v DOUBLE)")
+    e.execute("INSERT INTO ci_src VALUES (2, 20.0), (3, 30.0), (4, 4.0)")
+
+    e.execute(
+        "MERGE INTO ci t USING ci_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED AND s.v > 10 THEN INSERT VALUES (s.k, s.v)"
+    )
+    rows = e.execute("SELECT k, v FROM ci ORDER BY k")[0].rows
+    # k=3 (v=30) inserted, k=4 (v=4) filtered out, k=2 updated
+    assert [(r["k"], r["v"]) for r in rows] == [(1, 1.0), (2, 20.0), (3, 30.0)]
+
+    with pytest.raises(ValueError, match="target columns"):
+        e.execute(
+            "MERGE INTO ci t USING ci_src s ON t.k = s.k "
+            "WHEN NOT MATCHED AND t.v > 0 THEN INSERT VALUES (s.k, s.v)"
+        )
+
+    # Python API: condition over bare source column names
+    t = e.table("ci")
+    t.merge(
+        spark.createDataFrame([(5, 50.0), (6, 6.0)], "k bigint, v double"),
+        on=["k"], when_not_matched_insert="v >= 10",
+    )
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 3, 5]
