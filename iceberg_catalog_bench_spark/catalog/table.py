@@ -2341,6 +2341,7 @@ class LakeTable:
         source: DataFrame,
         on: list[str],
         when_matched_update: dict[str, str] | str | None = None,
+        when_matched_update_condition: str | None = None,
         when_matched_delete: str | bool | None = None,
         when_not_matched_insert: bool | str = True,
         when_not_matched_by_source_update: dict[str, str] | None = None,
@@ -2516,8 +2517,16 @@ class LakeTable:
                             else F.expr(str(when_matched_delete))
                         )
                         images = images.filter(~del_cond)
+                    # WHEN MATCHED [AND cond] THEN UPDATE: rows failing
+                    # the condition re-append unchanged (they were
+                    # tombstoned with the rest of the matched set)
+                    upd_gate = (
+                        F.expr(when_matched_update_condition)
+                        if when_matched_update_condition else F.lit(True)
+                    )
                     out_cols = [
-                        F.expr(upd[f.name]).cast(f.type).alias(f.name)
+                        F.when(upd_gate, F.expr(upd[f.name]).cast(f.type))
+                        .otherwise(F.col(f.name)).alias(f.name)
                         if upd and f.name in upd else F.col(f.name)
                         for f in fields
                     ]
@@ -2542,6 +2551,8 @@ class LakeTable:
                 if bys_del is not None:
                     bdc = F.lit(True) if bys_del is True else F.expr(str(bys_del))
                     joined = joined.filter(~(~matched & bdc))
+                upd_gate = matched if when_matched_update_condition is None \
+                    else (matched & F.expr(when_matched_update_condition))
                 out_cols = []
                 for f in fields:
                     e = F.col(f.name)
@@ -2553,7 +2564,7 @@ class LakeTable:
                         ).otherwise(e)
                     if upd and f.name in upd:
                         e = F.when(
-                            matched, F.expr(upd[f.name]).cast(f.type)
+                            upd_gate, F.expr(upd[f.name]).cast(f.type)
                         ).otherwise(e)
                     out_cols.append(e.alias(f.name))
                 rewritten = self._write_files(joined.select(*out_cols))

@@ -1104,6 +1104,7 @@ class SqlEngine:
             on_keys.append(em.group(1))
 
         upd = None
+        upd_cond: str | None = None
         delete_matched: bool | str | None = None
         insert = False
         bys_upd = None
@@ -1148,12 +1149,16 @@ class SqlEngine:
                         "WHEN NOT MATCHED BY SOURCE supports UPDATE/DELETE only")
                 continue
             if action.lower().startswith("update"):
-                if and_cond:
-                    raise ValueError(
-                        "WHEN MATCHED AND <cond> THEN UPDATE is not "
-                        "supported; split into a conditional DELETE + "
-                        "unconditional UPDATE or pre-filter the source")
                 upd = _set_dict(set_sql, src_visible=True)
+                if and_cond:
+                    # conditional matched update: condition sees target
+                    # cols bare and source cols as src_<name> (same
+                    # scoping as conditional matched DELETE)
+                    upd_cond = re.sub(
+                        rf"\b{re.escape(talias)}\.(\w+)", r"\1",
+                        re.sub(rf"\b{re.escape(salias)}\.(\w+)", r"src_\1",
+                               and_cond.strip()),
+                    )
             elif action.lower().startswith("delete"):
                 # conditional matched delete: condition sees target
                 # cols bare and source cols as src_<name>
@@ -1181,6 +1186,7 @@ class SqlEngine:
                     insert = bool(not_matched)
         snap = t.merge(
             source, on=on_keys, when_matched_update=upd,
+            when_matched_update_condition=upd_cond,
             when_matched_delete=delete_matched,
             when_not_matched_insert=insert,
             when_not_matched_by_source_update=bys_upd,

@@ -335,9 +335,9 @@ def test_merge_by_source_sql(spark, tmp_path):
 
 
 def test_merge_matched_delete_condition_sql(spark, tmp_path):
-    """WHEN MATCHED AND <cond> THEN DELETE routes the condition; an
-    unsupported conditional UPDATE raises instead of silently
-    applying unconditionally."""
+    """WHEN MATCHED AND <cond> THEN DELETE routes the condition; a
+    conditional UPDATE (supported as of late round 7) applies only to
+    matched rows passing its condition."""
     from iceberg_catalog_bench_spark.engine import SqlEngine
 
     e = SqlEngine(spark, str(tmp_path / "wh"))
@@ -350,11 +350,12 @@ def test_merge_matched_delete_condition_sql(spark, tmp_path):
     )
     rows = e.execute("SELECT k, v FROM md ORDER BY k")[0].rows
     assert [(r["k"], r["v"]) for r in rows] == [(1, 1.0), (3, 3.0)]
-    with pytest.raises(ValueError, match="MATCHED AND"):
-        e.execute(
-            "MERGE INTO md AS t USING (VALUES (1, 9.0)) AS s(k, v) "
-            "ON t.k = s.k WHEN MATCHED AND s.v > 0 THEN UPDATE SET t.v = s.v"
-        )
+    e.execute(
+        "MERGE INTO md AS t USING (VALUES (1, 9.0), (3, -1.0)) AS s(k, v) "
+        "ON t.k = s.k WHEN MATCHED AND s.v > 0 THEN UPDATE SET v = s.v"
+    )
+    rows = e.execute("SELECT k, v FROM md ORDER BY k")[0].rows
+    assert [(r["k"], r["v"]) for r in rows] == [(1, 9.0), (3, 3.0)]
 
 
 def test_concurrent_streaming_sinks_same_table(spark, tmp_path):
@@ -1433,3 +1434,26 @@ def test_merge_conditional_insert(spark, tmp_path):
         on=["k"], when_not_matched_insert="v >= 10",
     )
     assert sorted(r.k for r in t.read().collect()) == [1, 2, 3, 5]
+
+
+def test_merge_conditional_matched_update(spark, tmp_path):
+    """WHEN MATCHED AND <cond> THEN UPDATE: only matched rows passing
+    the condition update (target cols bare, source cols via alias);
+    failing matched rows stay unchanged. CoW and MoR agree."""
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    for mode_props in ("", " TBLPROPERTIES ('write.merge.mode'='merge-on-read')"):
+        e = SqlEngine(spark, str(tmp_path / f"wh{bool(mode_props)}"))
+        e.execute(f"CREATE TABLE cu (k BIGINT, v DOUBLE){mode_props}")
+        e.execute("INSERT INTO cu VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+        e.execute(
+            "MERGE INTO cu t USING "
+            "(SELECT * FROM (VALUES (1, 100.0), (2, 0.5), (9, 9.0)) "
+            "AS v(k, v)) AS s ON t.k = s.k "
+            "WHEN MATCHED AND s.v > t.v THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.v)"
+        )
+        rows = e.execute("SELECT k, v FROM cu ORDER BY k")[0].rows
+        # k=1 updated (100 > 1), k=2 kept (0.5 < 2), k=9 inserted
+        assert [(r["k"], r["v"]) for r in rows] == [
+            (1, 100.0), (2, 2.0), (3, 3.0), (9, 9.0)], mode_props or "cow"
