@@ -1122,6 +1122,7 @@ class SqlEngine:
                 d[col] = expr
             return d
 
+        seen_clause_kinds: set[tuple] = set()
         for clause in re.finditer(
             r"(?is)when\s+(not\s+)?matched(\s+by\s+source)?"
             r"(?:\s+and\s+(.*?))?\s+then\s+"
@@ -1130,6 +1131,18 @@ class SqlEngine:
         ):
             (not_matched, by_source, and_cond, action, set_sql,
              _ins_cols, _ins_vals) = clause.groups()
+            # one clause per (kind, action): Spark's first-match-wins
+            # ordering across same-kind clauses is not modeled here, so
+            # a duplicate must refuse loudly rather than silently keep
+            # only the last one
+            kind = (bool(not_matched), bool(by_source),
+                    action.split()[0].lower())
+            if kind in seen_clause_kinds:
+                raise ValueError(
+                    f"duplicate MERGE clause {action.split()[0].upper()} "
+                    "for the same match kind: first-match-wins ordering "
+                    "across repeated clauses is not supported")
+            seen_clause_kinds.add(kind)
             if by_source:
                 # Spark 3.4+ MERGE extension: target rows with no
                 # source match (condition sees target columns only)

@@ -1457,3 +1457,33 @@ def test_merge_conditional_matched_update(spark, tmp_path):
         # k=1 updated (100 > 1), k=2 kept (0.5 < 2), k=9 inserted
         assert [(r["k"], r["v"]) for r in rows] == [
             (1, 100.0), (2, 2.0), (3, 3.0), (9, 9.0)], mode_props or "cow"
+
+
+def test_merge_duplicate_clause_refused(spark, tmp_path):
+    """Two WHEN MATCHED UPDATE clauses would need Spark's
+    first-match-wins ordering; the engine refuses loudly instead of
+    silently keeping only the last clause."""
+    import pytest
+
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE dc (k BIGINT, v DOUBLE)")
+    e.execute("INSERT INTO dc VALUES (1, 1.0)")
+    with pytest.raises(ValueError, match="duplicate MERGE clause"):
+        e.execute(
+            "MERGE INTO dc t USING (VALUES (1, 2.0)) AS s(k, v) "
+            "ON t.k = s.k "
+            "WHEN MATCHED AND s.v > 1 THEN UPDATE SET v = s.v "
+            "WHEN MATCHED THEN UPDATE SET v = 0.0"
+        )
+    # distinct kinds still compose (update + delete + insert)
+    e.execute(
+        "MERGE INTO dc t USING (VALUES (1, 2.0), (2, 0.0)) AS s(k, v) "
+        "ON t.k = s.k "
+        "WHEN MATCHED AND s.v = 0.0 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.v)"
+    )
+    rows = e.execute("SELECT k, v FROM dc ORDER BY k")[0].rows
+    assert [(r["k"], r["v"]) for r in rows] == [(1, 2.0), (2, 0.0)]
