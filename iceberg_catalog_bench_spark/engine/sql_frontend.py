@@ -1412,10 +1412,15 @@ class SqlEngine:
 
     # -- queries (reference Q1-Q13 / T1-T3 via SELECT) ------------------------
 
+    # VERSION AS OF / TIMESTAMP AS OF, plus the SQL-standard spellings
+    # Spark also accepts: FOR SYSTEM_VERSION AS OF / FOR SYSTEM_TIME
+    # AS OF (SQL:2011 temporal syntax)
     _TRAVEL_RE = re.compile(
         r"(?is)(" + _IDENT + r")"
-        r"(\s+version\s+as\s+of\s+(?:(\d+)|'(?:tag:)?([^']+)')"
-        r"|\s+timestamp\s+as\s+of\s+'([^']+)')?"
+        r"(\s+(?:for\s+system_version\s+as\s+of|version\s+as\s+of)"
+        r"\s+(?:(\d+)|'(?:tag:)?([^']+)')"
+        r"|\s+(?:for\s+system_time\s+as\s+of|timestamp\s+as\s+of)"
+        r"\s+'([^']+)')?"
     )
 
     # Snowflake relative/absolute travel (snowflake.sql:356-358):

@@ -1487,3 +1487,33 @@ def test_merge_duplicate_clause_refused(spark, tmp_path):
     )
     rows = e.execute("SELECT k, v FROM dc ORDER BY k")[0].rows
     assert [(r["k"], r["v"]) for r in rows] == [(1, 2.0), (2, 0.0)]
+
+
+def test_sql2011_temporal_spellings(spark, tmp_path):
+    """FOR SYSTEM_VERSION AS OF / FOR SYSTEM_TIME AS OF — the
+    SQL:2011 temporal spellings Spark accepts alongside Iceberg's
+    VERSION/TIMESTAMP AS OF — resolve to the same snapshots."""
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE tt (k BIGINT)")
+    e.execute("INSERT INTO tt VALUES (1)")
+    t = e.table("tt")
+    v1 = t._snapshot().snapshot_id
+    e.execute("INSERT INTO tt VALUES (2)")
+
+    rows = e.execute(
+        f"SELECT k FROM tt FOR SYSTEM_VERSION AS OF {v1} ORDER BY k")[0].rows
+    assert [r["k"] for r in rows] == [1]
+    # tag form through the standard spelling
+    e.execute("ALTER TABLE tt CREATE TAG first AS OF VERSION " + str(v1))
+    rows = e.execute(
+        "SELECT k FROM tt FOR SYSTEM_VERSION AS OF 'first' ORDER BY k")[0].rows
+    assert [r["k"] for r in rows] == [1]
+    import datetime as dt
+
+    ts = dt.datetime.utcfromtimestamp(
+        t._snapshot(v1).timestamp_ms / 1000).isoformat()
+    rows = e.execute(
+        f"SELECT k FROM tt FOR SYSTEM_TIME AS OF '{ts}' ORDER BY k")[0].rows
+    assert [r["k"] for r in rows] == [1]
