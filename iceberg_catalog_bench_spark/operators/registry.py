@@ -52,6 +52,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # end of (b) — the whole rotation cohort still fits.)
 # REFRESH EACH ROUND: rebuild from the union of CORRECTNESS_r*.json —
 # never-green and code-touched queries first, oldest-green next.
+# ROUND-8 ROTATION PLAN (pre-staged): tier (a) should lead with the
+# queries over round-7-touched layers that sat below this round's cap
+# — ddl_lifecycle, rest_catalog_conformance, cdc_equality_upsert,
+# branch_wap_publish, iceberg_metadata_roundtrip, maintenance_*,
+# mor_delete_update_read, cdc_replicate_table, streaming_cdc_upsert_
+# laketable (merge/ref/expire/refs/REST layers changed late r7) —
+# then the §2-core tier-(c) list below (r4-latest after this round);
+# tier (b) rotates whatever CORRECTNESS_r07 leaves oldest-green.
 # Late-round-7 additions (identifier fields, REST commit protocol,
 # ref retention + exists-semantics/REPLACE, .entries/.all_files,
 # compact_delete_files, refs retention columns) are FEATURE-GATED:
