@@ -609,3 +609,58 @@ def test_branch_dml_sequence_matches_two_ref_model(spark, tmp_path_factory, ops)
     got_branch = _canon(t.read_branch("b").toPandas())
     pd.testing.assert_frame_equal(got_main, _canon(main), check_dtype=False)
     pd.testing.assert_frame_equal(got_branch, _canon(branch), check_dtype=False)
+
+
+# -- conditional MERGE sequences vs a pandas model ------------------------
+
+# op = (source rows as {k: v}, update threshold t, insert modulus m):
+# MERGE ... WHEN MATCHED AND src_v > v + t THEN UPDATE SET v = src_v
+#           WHEN NOT MATCHED AND v % m = 0 THEN INSERT
+_MERGE_OPS = st.lists(
+    st.tuples(
+        st.dictionaries(st.integers(0, 30), st.integers(0, 99),
+                        min_size=1, max_size=6),
+        st.integers(0, 5),
+        st.integers(2, 4),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(ops=_MERGE_OPS)
+def test_conditional_merge_sequence_matches_pandas_model(
+    spark, tmp_path_factory, ops
+):
+    """Random conditional-MERGE sequences (condition-gated matched
+    UPDATE + condition-gated NOT MATCHED INSERT) must agree with a
+    pandas model: matched rows failing the update condition stay,
+    unmatched source rows failing the insert condition are dropped."""
+    d = str(tmp_path_factory.mktemp("mprop") / "t")
+    t = LakeTable.create(spark, d, "id bigint, v bigint")
+    t.append(spark.createDataFrame([(0, 10), (1, 3)], "id bigint, v bigint"))
+    model = {0: 10, 1: 3}
+
+    for src_rows, thresh, mod in ops:
+        src = spark.createDataFrame(
+            sorted(src_rows.items()), "id bigint, v bigint")
+        t.merge(
+            src, on=["id"],
+            when_matched_update={"v": "src_v"},
+            when_matched_update_condition=f"src_v > v + {thresh}",
+            when_not_matched_insert=f"v % {mod} = 0",
+        )
+        for k, v in src_rows.items():
+            if k in model:
+                if v > model[k] + thresh:
+                    model[k] = v
+            elif v % mod == 0:
+                model[k] = v
+
+    got = sorted((r.id, r.v) for r in t.read().collect())
+    assert got == sorted(model.items())
