@@ -134,43 +134,73 @@ def _check_requirements(md: dict, reqs: list) -> str | None:
     return None
 
 
-_UPDATE_TYPES = frozenset({
-    "add-snapshot", "set-snapshot-ref", "remove-snapshot-ref",
-    "set-properties", "remove-properties", "set-current-schema",
-})
+# required payload fields per update kind — checked in the VALIDATION
+# pass so a malformed update can never abort a transaction half-applied
+_UPDATE_TYPES = {
+    "add-snapshot": ("snapshot",),
+    "set-snapshot-ref": ("ref-name", "snapshot-id"),
+    "remove-snapshot-ref": ("ref-name",),
+    "set-properties": (),
+    "remove-properties": (),
+    "set-current-schema": ("schema-id",),
+}
+
+
+def _update_kind(u: dict) -> str | None:
+    """Discriminator: the Iceberg REST spec spells it ``action``; this
+    mock's original client used ``type`` — accept both (when ``action``
+    is present, ``type`` is the spec's ref-kind field, not the
+    discriminator)."""
+    return u.get("action") or u.get("type")
+
+
+def _validate_update(u: dict) -> str | None:
+    kind = _update_kind(u)
+    if kind not in _UPDATE_TYPES:
+        return f"unsupported update type {kind!r}"
+    missing = [k for k in _UPDATE_TYPES[kind] if k not in u]
+    if missing:
+        return f"update {kind!r} missing field(s) {missing}"
+    if kind == "add-snapshot" and not isinstance(u["snapshot"], dict):
+        return "update 'add-snapshot': snapshot must be an object"
+    return None
 
 
 def _apply_updates(md: dict, updates: list) -> None:
     """Apply Iceberg metadata updates (spec: TableUpdate subset —
-    snapshots, refs, properties, schema pointer). Types are validated
-    against :data:`_UPDATE_TYPES` BEFORE any table mutates, so this
-    never raises mid-transaction."""
+    snapshots, refs, properties, schema pointer). Kinds AND required
+    fields are validated by :func:`_validate_update` BEFORE any table
+    mutates, so this never raises mid-transaction."""
     for u in updates:
-        typ = u.get("type")
-        if typ == "add-snapshot":
+        kind = _update_kind(u)
+        if kind == "add-snapshot":
             snap = u["snapshot"]
             md["snapshots"].append(snap)
             md["last-sequence-number"] = max(
                 md.get("last-sequence-number", 0),
                 snap.get("sequence-number", 0))
-        elif typ == "set-snapshot-ref":
+        elif kind == "set-snapshot-ref":
             ref = u["ref-name"]
+            ref_kind = (
+                u.get("type", "branch") if "action" in u  # spec spelling
+                else u.get("type-ref", u.get("ref-type", "branch"))
+            )
             md.setdefault("refs", {})[ref] = {
                 "snapshot-id": u["snapshot-id"],
-                "type": u.get("type-ref", u.get("ref-type", "branch")),
+                "type": ref_kind,
             }
             if ref == "main":
                 md["current-snapshot-id"] = u["snapshot-id"]
-        elif typ == "remove-snapshot-ref":
+        elif kind == "remove-snapshot-ref":
             md.get("refs", {}).pop(u["ref-name"], None)
             if u["ref-name"] == "main":
                 md["current-snapshot-id"] = None
-        elif typ == "set-properties":
+        elif kind == "set-properties":
             md.setdefault("properties", {}).update(u.get("updates", {}))
-        elif typ == "remove-properties":
+        elif kind == "remove-properties":
             for k in u.get("removals", []):
                 md.get("properties", {}).pop(k, None)
-        elif typ == "set-current-schema":
+        elif kind == "set-current-schema":
             md["current-schema-id"] = u["schema-id"]
 
 
@@ -345,13 +375,13 @@ def _make_handler(state: _State):
                             "message": err,
                             "type": "CommitFailedException", "code": 409}})
                     updates = ch.get("updates", [])
-                    bad = [u.get("type") for u in updates
-                           if u.get("type") not in _UPDATE_TYPES]
+                    bad = [e for e in map(_validate_update, updates) if e]
                     if bad:
-                        # unsupported types surface in the VALIDATION
-                        # pass so a partial transaction never applies
+                        # malformed/unsupported updates surface in the
+                        # VALIDATION pass so a partial transaction
+                        # never applies
                         return self._send(400, {"error": {
-                            "message": f"unsupported update type(s) {bad}",
+                            "message": "; ".join(bad),
                             "type": "BadRequestException", "code": 400}})
                     resolved.append((tbl, updates))
                 for tbl, updates in resolved:

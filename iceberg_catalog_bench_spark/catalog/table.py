@@ -1362,12 +1362,15 @@ class LakeTable:
         at 100 TB a million-key delete costs writing a million-row
         parquet file, zero scans.
 
-        ``on`` defaults to the declared identifier fields (SET
-        IDENTIFIER FIELDS) when present, else to ``keys``'s columns."""
+        ``on`` defaults to ``keys``'s own columns — NOT the declared
+        identifier fields: the caller shaped the keys DataFrame to say
+        exactly which columns must match, and narrowing it to a
+        schema-level default would silently widen the delete (e.g.
+        dropping a region column deletes the ids in EVERY region)."""
         snap = self._snapshot()
         if snap is None:
             raise ValueError("delete on empty table")
-        cols = list(on or self.identifier_fields or keys.columns)
+        cols = list(on or keys.columns)
         for c in cols:
             if c not in {f.name for f in self._fields()}:
                 raise KeyError(f"unknown equality column {c!r}")
@@ -2624,15 +2627,28 @@ class LakeTable:
                 for k in on:
                     c = src[f"src_{k}"] == tgt_keys[k]
                     anti_cond = c if anti_cond is None else (anti_cond & c)
-                new_rows = src.join(tgt_keys, anti_cond, "left_anti").select(
+                anti = src.join(tgt_keys, anti_cond, "left_anti")
+                if isinstance(when_not_matched_insert, str):
+                    # WHEN NOT MATCHED AND <cond> THEN INSERT — the
+                    # condition scopes over SOURCE columns (bare
+                    # names). Filter BEFORE projecting to the target
+                    # schema so source-only columns (a CDC op flag,
+                    # say) stay referencable: rewrite each bare source
+                    # column to its src_-prefixed spelling.
+                    cond = when_not_matched_insert
+                    for c in sorted(
+                        (c[len("src_"):] for c in src.columns
+                         if c.startswith("src_")),
+                        key=len, reverse=True,
+                    ):
+                        cond = re.sub(
+                            rf"(?<![\w.]){re.escape(c)}(?![\w(])",
+                            f"src_{c}", cond)
+                    anti = anti.filter(F.expr(cond))
+                new_rows = anti.select(
                     *[F.col(f"src_{f.name}").cast(f.type).alias(f.name) for f in fields
                       if f"src_{f.name}" in src.columns]
                 )
-                if isinstance(when_not_matched_insert, str):
-                    # WHEN NOT MATCHED AND <cond> THEN INSERT — the
-                    # condition scopes over SOURCE columns (bare names;
-                    # there is no target row to reference)
-                    new_rows = new_rows.filter(F.expr(when_not_matched_insert))
                 if new_rows.columns:
                     inserted = self._write_files(new_rows)
 
@@ -2944,13 +2960,14 @@ class LakeTable:
         if snap is None:
             rows = []
         else:
-            parent = next(
-                (s for s in self._meta["snapshots"]
-                 if s["snapshot_id"] == snap.parent_id), None)
-            carried = {f["path"] for f in (parent or {}).get("files", [])}
+            # ADDED iff the file's data sequence number IS this
+            # snapshot's id (seq is stamped with the committing
+            # snapshot at commit time) — exact even after the parent
+            # snapshot has been expired, where a parent-diff would
+            # misreport every carried file as ADDED
             rows = [
                 (
-                    1 if e.path not in carried else 0,
+                    1 if (e.seq or 0) == snap.snapshot_id else 0,
                     snap.snapshot_id,
                     e.seq or 0,
                     e.path,
@@ -3589,38 +3606,48 @@ class LakeTable:
         result = {"rewritten_delete_files_count": 0,
                   "added_delete_files_count": 0,
                   "removed_dangling_rows": 0}
-        snap = self._snapshot()
-        if snap is None:
-            return result
-        pos_dels = [d for d in snap.delete_files if d.content == "position"]
-        if not pos_dels:
-            return result
-        live_abs = [os.path.join(self.path, e.path) for e in snap.files]
-        tomb = self.spark.read.parquet(
-            *[os.path.join(self.path, d.path) for d in pos_dels]
-        ).select("file_path", "pos")
-        live_df = self.spark.createDataFrame(
-            [(p,) for p in live_abs], "file_path string")
-        kept = tomb.join(F.broadcast(live_df), "file_path", "left_semi")
-        n_before = sum(d.rows for d in pos_dels)
-        new_dels = self._write_delete_files(kept) if not kept.isEmpty() else []
-        n_after = sum(d.rows for d in new_dels)
+        # conflict retry restarts the WHOLE consolidation: the kept
+        # tombstone set is live-file-relative, so rebasing the commit
+        # onto a snapshot whose files changed would ship tombstones
+        # semi-joined against a stale live set (re-introducing the
+        # dangling rows this procedure exists to prune)
         for attempt in range(6):
-            cur = self._snapshot()
-            # a concurrent commit may have added MORE position deletes;
-            # rebase keeps any delete file we did not consolidate
-            carried = [d for d in cur.delete_files
-                       if d.content != "position"
-                       or d.path not in {p.path for p in pos_dels}]
+            snap = self._snapshot()
+            if snap is None:
+                return result
+            pos_dels = [d for d in snap.delete_files
+                        if d.content == "position"]
+            if not pos_dels:
+                return result
+            live_abs = [os.path.join(self.path, e.path) for e in snap.files]
+            tomb = self.spark.read.parquet(
+                *[os.path.join(self.path, d.path) for d in pos_dels]
+            ).select("file_path", "pos")
+            live_df = self.spark.createDataFrame(
+                [(p,) for p in live_abs], "file_path string")
+            kept = tomb.join(F.broadcast(live_df), "file_path", "left_semi")
+            n_before = sum(d.rows for d in pos_dels)
+            new_dels = (self._write_delete_files(kept)
+                        if not kept.isEmpty() else [])
+            n_after = sum(d.rows for d in new_dels)
+            carried = [d for d in snap.delete_files
+                       if d.content != "position"]
             try:
                 self._commit(
-                    "rewrite-deletes", list(cur.files),
+                    "rewrite-deletes", list(snap.files),
                     {"rewritten_delete_files": len(pos_dels),
                      "removed_dangling_rows": n_before - n_after},
                     delete_files=carried + new_dels,
                 )
                 break
             except CommitConflict:
+                # unlink this attempt's never-referenced output and
+                # re-derive from the advanced snapshot
+                for e in new_dels:
+                    try:
+                        os.remove(os.path.join(self.path, e.path))
+                    except OSError:
+                        pass
                 if attempt == 5:
                     raise
                 self._reload()
@@ -3652,15 +3679,15 @@ class LakeTable:
 
         def mutate():
             snaps = self._meta["snapshots"]
-            if len(snaps) <= retain_last:
-                return
             by_id = {s["snapshot_id"]: s for s in snaps}
             now_ms = int(time.time() * 1000)
             retention = self._meta.get("ref_retention") or {}
             # 1) age out refs past their max-ref-age (Iceberg RETAIN):
             # age is measured from the REFERENCED snapshot's commit
             # time; an aged ref is dropped entirely so its snapshots
-            # lose protection — main is not a named ref and never ages
+            # lose protection — main is not a named ref and never ages.
+            # This runs BEFORE the retain_last short-circuit: a stale
+            # ref must drop even when no snapshot can expire yet.
             for store_key in ("refs", "branches"):
                 store = self._meta.get(store_key) or {}
                 for rname in list(store):
@@ -3671,6 +3698,8 @@ class LakeTable:
                     if now_ms - by_id[sid]["timestamp_ms"] > max_age:
                         del store[rname]
                         retention.pop(rname, None)
+            if len(snaps) <= retain_last:
+                return
             ref_ids = set((self._meta.get("refs") or {}).values()) | {
                 h for h in (self._meta.get("branches") or {}).values()
                 if h is not None

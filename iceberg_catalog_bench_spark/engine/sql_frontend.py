@@ -1173,6 +1173,16 @@ class SqlEngine:
                                and_cond.strip()),
                     )
             elif action.lower().startswith("delete"):
+                if upd is not None:
+                    # Spark is first-match-wins in CLAUSE ORDER; the
+                    # engine applies the matched DELETE before the
+                    # matched UPDATE, which matches DELETE-first
+                    # statements only — an UPDATE-first statement
+                    # would silently delete rows Spark updates
+                    raise ValueError(
+                        "WHEN MATCHED UPDATE before WHEN MATCHED "
+                        "DELETE is not supported (engine applies "
+                        "DELETE first); write the DELETE clause first")
                 # conditional matched delete: condition sees target
                 # cols bare and source cols as src_<name>
                 delete_matched = (
@@ -1184,6 +1194,12 @@ class SqlEngine:
                     if and_cond else True
                 )
             elif action.lower().startswith("insert"):
+                if not not_matched:
+                    # Spark rejects WHEN MATCHED THEN INSERT too;
+                    # silently reinterpreting it corrupted data before
+                    raise ValueError(
+                        "INSERT requires WHEN NOT MATCHED; "
+                        "WHEN MATCHED supports UPDATE/DELETE only")
                 if and_cond:
                     # conditional insert: the condition scopes over
                     # SOURCE columns only (there is no matched target

@@ -1517,3 +1517,136 @@ def test_sql2011_temporal_spellings(spark, tmp_path):
     rows = e.execute(
         f"SELECT k FROM tt FOR SYSTEM_TIME AS OF '{ts}' ORDER BY k")[0].rows
     assert [r["k"] for r in rows] == [1]
+
+
+# -- review fixes (late round 7) ------------------------------------------
+
+
+def test_delete_by_keys_keeps_caller_key_shape(spark, tmp_path):
+    """Declared identifier fields must NOT narrow delete_by_keys'
+    default key columns: the caller's keys DataFrame says exactly
+    which columns must match (dropping one would silently widen the
+    delete across, e.g., every region)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), "id bigint, region string, v double",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.append(spark.createDataFrame(
+        [(1, "eu", 1.0), (1, "us", 2.0), (2, "eu", 3.0)],
+        "id bigint, region string, v double"))
+    t.set_identifier_fields(["id"])
+    t.delete_by_keys(spark.createDataFrame(
+        [(1, "eu")], "id bigint, region string"))
+    # only (1, eu) deleted — (1, us) survives despite sharing the id
+    assert sorted((r.id, r.region) for r in t.read().collect()) == [
+        (1, "us"), (2, "eu")]
+
+
+def test_merge_matched_insert_and_update_order_refused(spark, tmp_path):
+    """WHEN MATCHED THEN INSERT is invalid SQL (refuse, never
+    reinterpret); WHEN MATCHED UPDATE written before WHEN MATCHED
+    DELETE would invert first-match-wins (engine deletes first), so it
+    refuses too."""
+    import pytest
+
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE mo (k BIGINT, v DOUBLE)")
+    e.execute("INSERT INTO mo VALUES (1, 1.0)")
+    with pytest.raises(ValueError, match="INSERT requires WHEN NOT MATCHED"):
+        e.execute(
+            "MERGE INTO mo t USING (VALUES (1, 2.0)) AS s(k, v) "
+            "ON t.k = s.k WHEN MATCHED THEN INSERT VALUES (s.k, s.v)"
+        )
+    with pytest.raises(ValueError, match="DELETE clause first"):
+        e.execute(
+            "MERGE INTO mo t USING (VALUES (1, 2.0)) AS s(k, v) "
+            "ON t.k = s.k "
+            "WHEN MATCHED AND s.v > 10 THEN UPDATE SET v = s.v "
+            "WHEN MATCHED THEN DELETE"
+        )
+
+
+def test_merge_conditional_insert_sees_source_only_columns(spark, tmp_path):
+    """The NOT MATCHED insert condition may reference source columns
+    outside the target schema (the CDC op-flag shape): filtering runs
+    before the projection to target columns."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint, v double")
+    t.append(spark.createDataFrame([(1, 1.0)], "k bigint, v double"))
+    src = spark.createDataFrame(
+        [(2, 2.0, "I"), (3, 3.0, "D"), (1, 10.0, "U")],
+        "k bigint, v double, op string")
+    t.merge(src, on=["k"], when_matched_update="*",
+            when_not_matched_insert="op = 'I'")
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [
+        (1, 10.0), (2, 2.0)]
+
+
+def test_aged_ref_drops_even_under_retain_floor(spark, tmp_path):
+    """max-ref-age aging runs BEFORE the retain_last short-circuit: a
+    stale tag drops even when no snapshot is expirable yet."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint")
+    s1 = t.append(spark.createDataFrame([(1,)], "k bigint"))
+    t.create_tag("ephemeral", max_ref_age_ms=60_000)
+    _backdate(t, s1.snapshot_id, 1_000)
+    # one snapshot, retain_last=2: nothing CAN expire — ref still ages
+    t.expire_snapshots(retain_last=2)
+    assert "ephemeral" not in t._meta.get("refs", {})
+
+
+def test_entries_status_exact_after_parent_expiry(spark, tmp_path):
+    """entries() derives ADDED from the file's sequence number, so the
+    status split stays exact after the parent snapshot is expired."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint")
+    t.append(spark.createDataFrame([(1,)], "k bigint"))
+    t.create_tag("keep2")  # protect s2 via ref so only s1 expires
+    t.append(spark.createDataFrame([(2,)], "k bigint"))
+    t.expire_snapshots(retain_last=1)
+    statuses = sorted(r.status for r in t.entries().collect())
+    assert statuses == [0, 1]  # carried file stays EXISTING
+
+
+def test_rest_commit_malformed_update_atomic_400(spark=None, tmp_path=None):
+    """A whitelisted-kind update missing a required field fails the
+    VALIDATION pass (400) with no table mutated — never a mid-apply
+    crash after an earlier table committed. The spec's 'action'
+    discriminator spelling is accepted alongside 'type'."""
+    from iceberg_catalog_bench_spark.catalog.rest import (
+        RestCatalogClient,
+        RestCatalogServer,
+    )
+
+    srv = RestCatalogServer().start()
+    try:
+        c = RestCatalogClient(srv.url)
+        c.authenticate()
+        c.create_namespace("vns")
+        c.create_table("vns", "a", {"type": "struct", "fields": []})
+        c.create_table("vns", "b", {"type": "struct", "fields": []})
+        code, body = c.commit_transaction([
+            {"identifier": {"namespace": ["vns"], "name": "a"},
+             "requirements": [],
+             "updates": [{"type": "set-properties", "updates": {"x": "1"}}]},
+            {"identifier": {"namespace": ["vns"], "name": "b"},
+             "requirements": [],
+             "updates": [{"type": "add-snapshot"}]},  # missing 'snapshot'
+        ])
+        assert code == 400
+        _c, a = c.load_table("vns", "a")
+        assert "x" not in a["metadata"].get("properties", {})  # atomic
+        # spec spelling: action discriminator + 'type' as ref kind
+        code, body = c.commit_table(
+            "vns", "a",
+            requirements=[{"type": "assert-ref-snapshot-id",
+                           "ref": "main", "snapshot-id": None}],
+            updates=[{"action": "add-snapshot",
+                      "snapshot": {"snapshot-id": 7, "sequence-number": 1}},
+                     {"action": "set-snapshot-ref", "ref-name": "main",
+                      "type": "branch", "snapshot-id": 7}],
+        )
+        assert code == 200
+        assert body["metadata"]["current-snapshot-id"] == 7
+        assert body["metadata"]["refs"]["main"]["type"] == "branch"
+    finally:
+        srv.stop()
