@@ -2641,9 +2641,13 @@ class LakeTable:
                          if c.startswith("src_")),
                         key=len, reverse=True,
                     ):
-                        cond = re.sub(
-                            rf"(?<![\w.]){re.escape(c)}(?![\w(])",
-                            f"src_{c}", cond)
+                        # rewrite only OUTSIDE single-quoted literals
+                        # (odd segments of a quote split are inside)
+                        cond = "'".join(
+                            re.sub(rf"(?<![\w.]){re.escape(c)}(?![\w(])",
+                                   f"src_{c}", seg) if i % 2 == 0 else seg
+                            for i, seg in enumerate(cond.split("'"))
+                        )
                     anti = anti.filter(F.expr(cond))
                 new_rows = anti.select(
                     *[F.col(f"src_{f.name}").cast(f.type).alias(f.name) for f in fields

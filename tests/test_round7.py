@@ -1650,3 +1650,15 @@ def test_rest_commit_malformed_update_atomic_400(spark=None, tmp_path=None):
         assert body["metadata"]["refs"]["main"]["type"] == "branch"
     finally:
         srv.stop()
+
+
+def test_merge_conditional_insert_literal_not_rewritten(spark, tmp_path):
+    """A string literal that happens to spell a source column name is
+    NOT rewritten by the insert-condition column mapping."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint, v double")
+    t.append(spark.createDataFrame([(1, 1.0)], "k bigint, v double"))
+    src = spark.createDataFrame(
+        [(2, 2.0, "op"), (3, 3.0, "x")], "k bigint, v double, op string")
+    # literal 'op' must survive; column op must rewrite
+    t.merge(src, on=["k"], when_not_matched_insert="op = 'op'")
+    assert sorted(r.k for r in t.read().collect()) == [1, 2]
