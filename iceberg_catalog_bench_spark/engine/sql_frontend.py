@@ -798,6 +798,39 @@ class SqlEngine:
             rows = [{"property": k, "value": v} for k, v in sorted(vol.items())]
             return StatementResult(s, rows=rows, rowcount=len(rows))
 
+        # DESCRIBE EXTENDED/FORMATTED: columns + the metadata section
+        # Spark renders (partition spec, location, properties, refs,
+        # identifier fields, current snapshot)
+        m = re.match(
+            r"(?is)^desc(?:ribe)?\s+(?:table\s+)?(?:extended|formatted)\s+(" + _IDENT + r")\s*$", s
+        )
+        if m:
+            t = self.table(m.group(1))
+            rows = [{"col_name": f.name, "data_type": f.type, "comment": None}
+                    for f in t._fields()]
+
+            def meta_row(k, v):
+                rows.append({"col_name": k, "data_type": str(v), "comment": None})
+
+            rows.append({"col_name": "", "data_type": "", "comment": None})
+            meta_row("# Detailed Table Information", "")
+            meta_row("Location", t.path)
+            if t.partition_spec:
+                meta_row("Partition Spec", ", ".join(
+                    tr.column if tr.name == "identity"
+                    else f"{tr.name}({tr.param}, {tr.column})" if tr.param is not None
+                    else f"{tr.name}({tr.column})"
+                    for tr in t.partition_spec))
+            idents = t.identifier_fields
+            if idents:
+                meta_row("Identifier Fields", ", ".join(idents))
+            props = t._meta.get("properties", {}) or {}
+            if props:
+                meta_row("Table Properties", ", ".join(
+                    f"{k}={v}" for k, v in sorted(props.items())))
+            meta_row("Current Snapshot", t._meta.get("current_snapshot_id"))
+            return StatementResult(s, rows=rows, rowcount=len(rows))
+
         # D9: DESCRIBE TABLE (schema_evolution_sales_events.sql:12)
         m = re.match(r"(?is)^desc(?:ribe)?\s+(?:table\s+)?(" + _IDENT + r")\s*$", s)
         if not m:

@@ -1662,3 +1662,27 @@ def test_merge_conditional_insert_literal_not_rewritten(spark, tmp_path):
     # literal 'op' must survive; column op must rewrite
     t.merge(src, on=["k"], when_not_matched_insert="op = 'op'")
     assert sorted(r.k for r in t.read().collect()) == [1, 2]
+
+
+def test_describe_extended(spark, tmp_path):
+    """DESCRIBE EXTENDED lists columns plus the detailed-information
+    section (location, partition spec, identifier fields, properties,
+    current snapshot); plain DESCRIBE keeps its column-only shape."""
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE de (k BIGINT, cat STRING) PARTITIONED BY (cat) "
+              "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    e.execute("INSERT INTO de VALUES (1, 'a')")
+    e.execute("ALTER TABLE de SET IDENTIFIER FIELDS k")
+    rows = e.execute("DESCRIBE EXTENDED de")[0].rows
+    names = [r["col_name"] for r in rows]
+    assert names[:2] == ["k", "cat"]
+    info = {r["col_name"]: r["data_type"] for r in rows[3:]}
+    assert info["Partition Spec"] == "cat"
+    assert info["Identifier Fields"] == "k"
+    assert "write.delete.mode=merge-on-read" in info["Table Properties"]
+    assert int(info["Current Snapshot"]) > 0
+    # plain DESCRIBE unchanged
+    plain = e.execute("DESCRIBE de")[0].rows
+    assert [r["col_name"] for r in plain] == ["k", "cat"]
