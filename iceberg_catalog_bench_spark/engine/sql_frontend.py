@@ -880,12 +880,23 @@ class SqlEngine:
             rows = [{"key": k, "value": v} for k, v in sorted(params.items())]
             return StatementResult(s, rows=rows, rowcount=len(rows))
         m = re.match(
-            r"(?is)^show\s+tblproperties\s+(" + _IDENT + r")\s*$", s
+            r"(?is)^show\s+tblproperties\s+(" + _IDENT + r")"
+            r"(?:\s*\(\s*'([^']+)'\s*\))?\s*$", s
         )
         if m:
             t = self.table(m.group(1))
             props = t._meta.get("properties", {}) or {}
-            rows = [{"key": k, "value": str(v)} for k, v in sorted(props.items())]
+            if m.group(2) is not None:
+                # single-key lookup: SHOW TBLPROPERTIES t ('key') —
+                # Spark errors on a missing key; match that loudly
+                key = m.group(2)
+                if key not in props:
+                    raise KeyError(
+                        f"table {m.group(1)} has no property {key!r}")
+                rows = [{"key": key, "value": str(props[key])}]
+            else:
+                rows = [{"key": k, "value": str(v)}
+                        for k, v in sorted(props.items())]
             return StatementResult(s, rows=rows, rowcount=len(rows))
         m = re.match(
             r"(?is)^show\s+partitions\s+(" + _IDENT + r")\s*$", s

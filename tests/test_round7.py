@@ -1686,3 +1686,21 @@ def test_describe_extended(spark, tmp_path):
     # plain DESCRIBE unchanged
     plain = e.execute("DESCRIBE de")[0].rows
     assert [r["col_name"] for r in plain] == ["k", "cat"]
+
+
+def test_show_tblproperties_single_key(spark, tmp_path):
+    """SHOW TBLPROPERTIES t ('key') returns just that property; a
+    missing key errors loudly (Spark behavior), and the listing form
+    is unchanged."""
+    import pytest
+
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute("CREATE TABLE sp (k BIGINT) "
+              "TBLPROPERTIES ('write.delete.mode'='merge-on-read', 'owner'='etl')")
+    rows = e.execute("SHOW TBLPROPERTIES sp ('owner')")[0].rows
+    assert rows == [{"key": "owner", "value": "etl"}]
+    with pytest.raises(KeyError):
+        e.execute("SHOW TBLPROPERTIES sp ('nope')")
+    assert len(e.execute("SHOW TBLPROPERTIES sp")[0].rows) == 2
