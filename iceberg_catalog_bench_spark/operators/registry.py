@@ -36,106 +36,36 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Round-7 rotation (VERDICT r6 items 1-2: re-green the q12 oracle fix
-# and rotate the 28-query r3-latest cohort — after this round nothing
-# may be older than round 4). Build order: (a) queries whose CODE
-# changed this round — the q12/q11 oracle fixes, the Q2/Q20
-# filter-below-aggregate push, the iceberg_export equality-id/
-# timestamptz fixes, the table_source TZ-gated pushdown + CoW-net
-# canonicalized bucketing + sink schema-version guard — plus the two
-# TPC-DS debuts and the r6 perf-weak pricing_summary; (b) the full
-# 28-query r3-latest cohort (four rounds stale if skipped); (c) the
-# §2-core slice of the r4 cohort fills the 50 cap; the rest of the r4
-# cohort is enumerated below the cap in order, so a deeper driver run
-# greens it too — otherwise it stays r4-latest and leads round 8.
-# ((a) is 22 after the Q88 debut, so the 50 cap lands exactly at the
-# end of (b) — the whole rotation cohort still fits.)
+# Round-8 rotation (VERDICT r7 items 1-2: zero debut slots — the cap
+# fits exactly). Tier (a) = the 7 standing-green queries over
+# late-round-7-modified layers: ddl_lifecycle (DESCRIBE EXTENDED /
+# SHOW TBLPROPERTIES in sql_frontend.py — oracle WIDENED this round
+# per VERDICT item 3), cdc_equality_upsert (delete_by_keys default
+# fix), mor_delete_update_read (compact_delete_files sibling paths),
+# rest_catalog_conformance (REST commit protocol),
+# branch_wap_publish (ref exists-semantics/REPLACE),
+# maintenance_compaction (sort strategy, where-scoping),
+# crud_update_delete (branch-DML routing). Tier (b) = the 43
+# r4-latest queries (recomputed from the CORRECTNESS_r01-r07 union
+# this round; identical to the pre-staged list). 7 + 43 = 50: after
+# this round nothing is latest-green older than round 5.
+# Below the cap: the r5-latest cohort in full (45 queries — the
+# round-9 rotation tier), then r6/r7, then this round's below-cap
+# debuts (feature-gated per VERDICT item 2, debuting green in r9).
 # REFRESH EACH ROUND: rebuild from the union of CORRECTNESS_r*.json —
 # never-green and code-touched queries first, oldest-green next.
-# ROUND-8 ROTATION PLAN (pre-staged): tier (a) should lead with the
-# queries over round-7-touched layers that sat below this round's cap
-# — ddl_lifecycle, rest_catalog_conformance, cdc_equality_upsert,
-# branch_wap_publish, iceberg_metadata_roundtrip, maintenance_*,
-# mor_delete_update_read, cdc_replicate_table, streaming_cdc_upsert_
-# laketable (merge/ref/expire/refs/REST layers changed late r7) —
-# then the §2-core tier-(c) list below (r4-latest after this round);
-# tier (b) rotates whatever CORRECTNESS_r07 leaves oldest-green.
-# Late-round-7 additions (identifier fields, REST commit protocol,
-# ref retention + exists-semantics/REPLACE, .entries/.all_files,
-# compact_delete_files, refs retention columns) are FEATURE-GATED:
-# every touched path behaves identically unless the new feature is
-# invoked (optional kwargs defaulting off, retention only when
-# declared, new SQL verbs, new metadata suffixes), so below-cap
-# queries over those layers (ddl_lifecycle, rest_catalog_conformance,
-# cdc_equality_upsert, branch_wap_publish, iceberg_metadata_roundtrip,
-# maintenance_compaction) keep their standing green rows — re-proven
-# this round by the full oracle-parity suite and targeted driver-sims,
-# and queued to lead the round-8 cap regardless.
 PRIORITY: tuple[str, ...] = (
-    # -- (a) round-7 code-touched + debuts --
-    # metadata delta encoding (encode_meta/expand_meta) touches every
-    # snapshot read/write — re-green the metadata-core plans first
-    "harness_crud_plan",
-    "snapshot_lineage",
-    "time_travel_checksum",
-    "tag_and_rollback",
-    "incremental_read_changes",
-    "tpch_q12_priority_shipping",       # r6's one red row: oracle cast fixed
-    "tpch_q11_important_stock",         # rounded threshold both sides
-    "tpch_q2_min_cost_supplier",        # part filter pushed below first agg
-    "tpch_q20_potential_promotion",     # part filter pushed below first agg
-    "iceberg_metadata_roundtrip",       # eq-delete field-id rebind; timestamptz
-    "streaming_table_source_read",      # TZ-gated pushdown; sink version guard
-    # (streaming_table_source_cdc stays r6-green — its MoR-CDC path is
-    # untouched by the r7 diff; the r7-touched paths are read + cdc_cow)
-    "streaming_table_source_cdc_cow",   # canonicalized bucket hashing
-    # (cdc_replicate_table stays r6-green — apply_cdc_batch untouched in r7)
-    # (pricing_summary's r6 perf flag was adjudicated environmental via
-    # the calibration phase — bench covers it; its correctness row
-    # stays r5-green, inside the freshness bar, to keep the cap at 50)
-    "insert_overwrite_backfill",        # NEW r7: dynamic ReplacePartitions
-    "tpcds_star_join_multi_dim",        # NEW r7: all-dim-predicate star join
-    "tpcds_rank_within_parent",         # NEW r7: Q36 lochierarchy rollup+rank
-    "tpcds_multi_band_counts",          # NEW r7: Q88 eight-band single scan
-    "dedup_incremental_minhash",        # NEW r7: stored-signature ingest dedup
-    "dedup_minhash_lsh",                # r7 code-touched: _band_rows refactor
-    "merge_not_matched_by_source",      # NEW r7: Spark-3.4 MERGE extension
-    "merge_upsert",                     # r7 code-touched: merge() extended
-    "hybrid_search_rrf",                # NEW r7: RRF keyword+vector fusion
-    "text_chunk_sliding",               # NEW r7: RAG sliding-window chunking
-    # -- (b) the 28-query r3-latest cohort (VERDICT r6 item 2) --
-    "attribution_last_touch",
-    "basket_part_affinity",
-    "corpus_contamination_check",
-    "corpus_mixture_weights",
-    "corpus_shard_manifest",
-    "corpus_shuffle_shards",
-    "corpus_split_train_val_test",
-    "customer_rfm_segments",
-    "distinct_users_approx",
-    "doc_length_histogram",
-    "events_anomaly_zscore",
-    "events_gapfill_locf",
-    "events_resample_ohlc",
-    "grouping_sets_revenue",
-    "percentile_approx_by_group",
-    "pipeline_curate_full",
-    "pipeline_pack_sequences",
-    "regexp_functions_suite",
-    "retention_cohort_weekly",
-    "sample_importance_weighted",
-    "sample_stratified_by_lang",
-    "sketch_hll_union_rollup",
-    "text_pii_redaction",
-    "text_repetition_scores",
-    "text_unigram_logprob",
-    "tokenizer_bpe_pair_counts",
-    "top_tokens",
-    "tpch_q18_large_volume_customer",
-    # -- (c) §2-core r4-latest; the 50 cap lands at the END of (b)
-    # (22 code-touched + 28 rotation) — this tier greens only if the
-    # driver runs deeper, else it stays r4-latest (inside the
-    # freshness bar) and leads round 8 --
+    # -- (a) round-7 code-touched, standing-green (7) --
+    "ddl_lifecycle",                # DESCRIBE EXTENDED/FORMATTED, SHOW
+    #                                 TBLPROPERTIES single-key; oracle
+    #                                 widened r8 (VERDICT item 3)
+    "cdc_equality_upsert",          # delete_by_keys silent-widen fix
+    "mor_delete_update_read",       # compact_delete_files siblings
+    "rest_catalog_conformance",     # REST commit protocol (CAS + txn)
+    "branch_wap_publish",           # ref exists-semantics / REPLACE
+    "maintenance_compaction",       # linear-sort strategy, where=> scope
+    "crud_update_delete",           # branch-qualified DML routing
+    # -- (b) the 43 r4-latest queries (freshness bar: 4 rounds) --
     "partitions_metadata",
     "cdc_changelog",
     "streaming_cdc_upsert_laketable",
@@ -179,6 +109,49 @@ PRIORITY: tuple[str, ...] = (
     "window_running_sum",
     "window_time_range_agg",
     "window_topn_per_group",
+    # ---- 50 cap lands exactly here ----
+    # -- below-cap: the r5-latest cohort (the round-9 rotation tier;
+    # greens early only if the driver runs deeper than 50) --
+    "ann_ivf",
+    "ann_ivf_incremental",
+    "ann_ivf_partitioned",
+    "ann_lsh_buckets",
+    "array_functions_suite",
+    "count_star",
+    "date_functions_suite",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_simhash",
+    "delete_files_advisory",
+    "distinct_pairs",
+    "distinct_users_exact",
+    "full_scan_projection",
+    "groupby_count",
+    "having_filter",
+    "inlist_lookup",
+    "knn_batch_queries",
+    "knn_brute_force",
+    "latest_event_top1",
+    "limit_preview",
+    "multimodal_phash_dedup",
+    "ordered_read",
+    "percentile_by_group",
+    "point_lookup",
+    "pricing_summary",
+    "quality_gopher_rules",
+    "range_pruned_agg",
+    "reagg_total",
+    "revenue_checksum",
+    "shipping_priority_top10",
+    "stats_aggregates",
+    "streaming_ingest_laketable",
+    "streaming_quarantine_gate",
+    "string_functions_suite",
+    "sum_checksum",
+    "tpcds_channel_union",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_global_sales_opportunity",
 )
 
 
