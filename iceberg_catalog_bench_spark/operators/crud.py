@@ -291,7 +291,20 @@ def harness_crud_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT 'passed' AS status, CAST(6 AS BIGINT) AS steps_passed, "
         "CAST(4 AS BIGINT) AS described_cols, "
         "CAST(3 AS BIGINT) AS rows_at_travel_ts, "
-        "CAST(0 AS BIGINT) AS tables_after_teardown"
+        "CAST(0 AS BIGINT) AS tables_after_teardown, "
+        # -- r8-widened surface (VERDICT r7 item 3): DESCRIBE EXTENDED
+        # detail rows, SHOW TBLPROPERTIES single-key + missing-key
+        # error, REPLACE TAG/BRANCH + RETAIN round-trip via t.refs --
+        "CAST(1 AS BIGINT) AS ext_detail_ok, "
+        "'days(ts)' AS ext_partition_spec, "
+        "'item_id' AS ext_identifier_fields, "
+        "'4' AS prop_value, "
+        "CAST(1 AS BIGINT) AS missing_prop_errors, "
+        "CAST(3888000000 AS BIGINT) AS tag_retain_ms, "
+        "CAST(604800000 AS BIGINT) AS branch_retain_ms, "
+        "CAST(2 AS BIGINT) AS branch_min_keep, "
+        "CAST(1 AS BIGINT) AS tag_at_first_snapshot, "
+        "CAST(2 AS BIGINT) AS refs_count"
     ),
 )
 def ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -302,7 +315,21 @@ def ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     DROP TABLE IF EXISTS (D10) / DROP SCHEMA (D11), validated with
     compare_rows_with_state (V5) across the refresh and pinned
     catalog-state counts. Reference: sql/snowflake/snowflake.sql:57-216
-    and the SHOW/USE cells of jupyternotebook/openspark.ipynb."""
+    and the SHOW/USE cells of jupyternotebook/openspark.ipynb.
+
+    Widened (r8) with the round-7 SQL-surface debuts, all driven
+    through the frontend and pinned by the oracle:
+
+    - DESCRIBE EXTENDED detail rows — Location matches the live table
+      path, Current Snapshot matches live metadata, Partition Spec and
+      Identifier Fields render their declared transforms
+      (schema_evolution_sales_events.sql:12 shape).
+    - SHOW TBLPROPERTIES t ('key') single-key lookup, and the loud
+      error on a missing key (Spark parity).
+    - REPLACE TAG/BRANCH ... AS OF VERSION ... RETAIN n DAYS
+      [WITH SNAPSHOT RETENTION k SNAPSHOTS] round-trip, surfaced via
+      the `t.refs` metadata table (snowflake.sql:359-378 shape).
+    """
     import os as _os
 
     from ..engine import PlanRunner, SqlEngine
@@ -315,6 +342,69 @@ def ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     runner = PlanRunner.from_yaml(engine, cfg)
     report = runner.run_plan("ddl_lifecycle", namespace="ddl_ns")
     steps_passed = sum(1 for st in report.steps if st.status == "passed")
+
+    # --- r8 widening: DESCRIBE EXTENDED / TBLPROPERTIES / ref DDL ---
+    engine.execute([
+        "CREATE NAMESPACE IF NOT EXISTS ddl_ext",
+        "CREATE TABLE ddl_ext.sensors (item_id BIGINT, name STRING, "
+        "ts TIMESTAMP) USING iceberg PARTITIONED BY (days(ts)) "
+        "TBLPROPERTIES ('write.format.default'='parquet', "
+        "'commit.retry.num-retries'='4')",
+        "ALTER TABLE ddl_ext.sensors SET IDENTIFIER FIELDS item_id",
+        "INSERT INTO ddl_ext.sensors VALUES "
+        "(1, 'alpha', TIMESTAMP '2024-01-01 00:00:00'), "
+        "(2, 'beta',  TIMESTAMP '2024-01-02 00:00:00')",
+        "INSERT INTO ddl_ext.sensors VALUES "
+        "(3, 'gamma', TIMESTAMP '2024-01-03 00:00:00')",
+    ])
+    t = engine.table("ddl_ext.sensors")
+    sids = [r.snapshot_id for r in
+            t.snapshots().select("snapshot_id").collect()]
+    first_sid, head_sid = min(sids), max(sids)
+
+    desc = engine.execute("DESCRIBE EXTENDED ddl_ext.sensors")[-1].rows
+    detail = {r["col_name"]: r["data_type"] for r in desc
+              if r["col_name"] and r["col_name"].strip()}
+    ext_detail_ok = int(
+        detail.get("Location") == t.path
+        and detail.get("Current Snapshot") == str(head_sid)
+    )
+    ext_partition_spec = detail.get("Partition Spec", "")
+    ext_identifier_fields = detail.get("Identifier Fields", "")
+
+    prop = engine.execute(
+        "SHOW TBLPROPERTIES ddl_ext.sensors ('commit.retry.num-retries')"
+    )[-1].rows
+    prop_value = prop[0]["value"] if prop else ""
+    try:
+        engine.execute("SHOW TBLPROPERTIES ddl_ext.sensors ('no.such.key')")
+        missing_prop_errors = 0
+    except KeyError:
+        missing_prop_errors = 1
+
+    engine.execute([
+        "ALTER TABLE ddl_ext.sensors CREATE TAG audit_v1 RETAIN 30 DAYS",
+        f"ALTER TABLE ddl_ext.sensors REPLACE TAG audit_v1 "
+        f"AS OF VERSION {first_sid} RETAIN 45 DAYS",
+        f"ALTER TABLE ddl_ext.sensors CREATE BRANCH audit "
+        f"AS OF VERSION {head_sid} RETAIN 14 DAYS",
+        f"ALTER TABLE ddl_ext.sensors REPLACE BRANCH audit "
+        f"AS OF VERSION {first_sid} RETAIN 7 DAYS "
+        f"WITH SNAPSHOT RETENTION 2 SNAPSHOTS",
+    ])
+    refs = {r["name"]: r for r in
+            (row.asDict() for row in engine.table("ddl_ext.sensors")
+             .refs().collect())}
+    tag_ref = refs.get("audit_v1", {})
+    br_ref = refs.get("audit", {})
+    tag_retain_ms = int(tag_ref.get("max_reference_age_in_ms") or -1)
+    branch_retain_ms = int(br_ref.get("max_reference_age_in_ms") or -1)
+    branch_min_keep = int(br_ref.get("min_snapshots_to_keep") or -1)
+    tag_at_first_snapshot = int(
+        tag_ref.get("snapshot_id") == first_sid
+        and br_ref.get("snapshot_id") == first_sid
+    )
+
     return spark.createDataFrame(
         [(
             report.status,
@@ -322,9 +412,24 @@ def ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             int(runner.state.get("described_cols", -1)),
             int(runner.state.get("rows_at_travel_ts", -1)),
             int(runner.state.get("tables_after_teardown", -1)),
+            ext_detail_ok,
+            ext_partition_spec,
+            ext_identifier_fields,
+            prop_value,
+            missing_prop_errors,
+            tag_retain_ms,
+            branch_retain_ms,
+            branch_min_keep,
+            tag_at_first_snapshot,
+            len(refs),
         )],
         "status string, steps_passed bigint, described_cols bigint, "
-        "rows_at_travel_ts bigint, tables_after_teardown bigint",
+        "rows_at_travel_ts bigint, tables_after_teardown bigint, "
+        "ext_detail_ok bigint, ext_partition_spec string, "
+        "ext_identifier_fields string, prop_value string, "
+        "missing_prop_errors bigint, tag_retain_ms bigint, "
+        "branch_retain_ms bigint, branch_min_keep bigint, "
+        "tag_at_first_snapshot bigint, refs_count bigint",
     )
 
 

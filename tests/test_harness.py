@@ -190,6 +190,19 @@ def test_ddl_lifecycle_plan_green(spark):
     assert row["described_cols"] == 4
     assert row["rows_at_travel_ts"] == 3
     assert row["tables_after_teardown"] == 0
+    # r8 widening: DESCRIBE EXTENDED detail rows, single-key
+    # TBLPROPERTIES (+ missing-key error), REPLACE TAG/BRANCH + RETAIN
+    # round-tripped through t.refs
+    assert row["ext_detail_ok"] == 1
+    assert row["ext_partition_spec"] == "days(ts)"
+    assert row["ext_identifier_fields"] == "item_id"
+    assert row["prop_value"] == "4"
+    assert row["missing_prop_errors"] == 1
+    assert row["tag_retain_ms"] == 45 * 86_400_000
+    assert row["branch_retain_ms"] == 7 * 86_400_000
+    assert row["branch_min_keep"] == 2
+    assert row["tag_at_first_snapshot"] == 1
+    assert row["refs_count"] == 2
 
 
 def test_snowflake_at_offset_relative_travel(engine):
