@@ -20,14 +20,16 @@ native metadata — the round-trip test's proof of convertibility.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
+import re
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .table import LakeTable, _strip_scheme
+from .table import _DATA_DIR, _META_DIR, _META_FILE, LakeTable, _strip_scheme
 from .transforms import Transform
 
 # Spark DDL type → Iceberg primitive type name
@@ -419,6 +421,303 @@ def to_iceberg_metadata(table: LakeTable) -> str:
     with open(metadata_path, "w") as fh:
         json.dump(metadata, fh, indent=1)
     return metadata_path
+
+
+_ICEBERG_TO_NATIVE_TRANSFORM = {
+    "identity": "identity",
+    "day": "days",
+    "hour": "hours",
+    "month": "months",
+    "year": "years",
+}
+
+
+def _native_spec_json(spec_fields: list, names_by_id: dict[int, str]) -> list:
+    """Iceberg partition-spec fields → native Transform JSON list."""
+    out = []
+    for f in spec_fields:
+        col = names_by_id.get(f["source-id"])
+        if col is None:
+            raise ValueError(
+                f"partition spec field {f.get('name')!r} references "
+                f"unknown source-id {f.get('source-id')}"
+            )
+        tr = f["transform"]
+        m = re.match(r"^(bucket|truncate)\[(\d+)\]$", tr)
+        if m:
+            out.append(Transform(m.group(1), col, int(m.group(2))).to_json())
+        elif tr in _ICEBERG_TO_NATIVE_TRANSFORM:
+            out.append(Transform(_ICEBERG_TO_NATIVE_TRANSFORM[tr], col).to_json())
+        else:
+            raise ValueError(f"unsupported Iceberg transform {tr!r}")
+    return out
+
+
+def _adopt_partition(part: dict, spec_fields_by_name: dict,
+                     names_by_id: dict[int, str]) -> dict:
+    """Foreign manifest partition struct → native ``_p_*`` hive keys.
+
+    Only conversions whose VALUE SPELLING provably matches the native
+    write path are emitted: identity (``CAST(v AS STRING)``) and day
+    (epoch-days int or ISO string → ISO date). Iceberg's bucket hash
+    is murmur3 while the native one is xxhash64, and Iceberg truncates
+    integers numerically while the native transform truncates the
+    string rendering — emitting those values would let
+    ``_prune_files`` compare incompatible hash/truncation spaces and
+    WRONGLY prune, so they are dropped instead: a missing partition
+    key means "never prune this file" (the same conservative
+    degradation streamed files use). Keys already in the native
+    ``_p_*`` dialect (this repo's own export) pass through whole.
+    """
+    out: dict[str, str] = {}
+    for k, v in part.items():
+        if k.startswith("_p_"):
+            out[k] = v
+            continue
+        f = spec_fields_by_name.get(k)
+        col = names_by_id.get(f["source-id"]) if f else None
+        if f is None or col is None:
+            continue
+        tr = f["transform"]
+        if tr == "identity":
+            out[f"_p_identity_{col}"] = str(v)
+        elif tr == "day":
+            if isinstance(v, int) and not isinstance(v, bool):
+                v = (datetime.date(1970, 1, 1)
+                     + datetime.timedelta(days=v)).isoformat()
+            out[f"_p_days_{col}"] = str(v)[:10]
+        # bucket/truncate/hour/month/year: incompatible value encodings
+        # — omit the key (file is simply never pruned on it)
+    return out
+
+
+def adopt_iceberg_metadata(
+    spark: SparkSession, metadata_path: str, dest_path: str
+) -> LakeTable:
+    """Register an EXTERNALLY-WRITTEN Iceberg v2 table as a live
+    LakeTable — the import direction of the reference's cross-engine
+    interop loop (``ICEBERG-Interoperability-Test-Spec.md:4-14``: one
+    engine reads what another wrote), inverting
+    :func:`to_iceberg_metadata`'s walk.
+
+    Zero-copy: the adopted snapshots' manifests point at the foreign
+    data/delete files IN PLACE (absolute paths, the
+    ``migrate_parquet``/``snapshot_of`` idiom), so adopting a 100 TB
+    table costs one metadata pass — no byte is rewritten, and
+    ``remove_orphan_files`` sweeps only the new table's own directory.
+
+    What carries over, by field id:
+
+    - the FULL schema history (renames/widenings/initial-defaults keep
+      working — files read through their written schema generation);
+    - every partition spec (default spec becomes the live write spec;
+      prior specs land in ``partition_spec_history``);
+    - all snapshots with parent lineage, operations, summaries and
+      data-sequence numbers (time travel + incremental reads work);
+    - position AND equality delete files (merge-on-read reads apply
+      them with the strictly-smaller-sequence rule);
+    - refs (tags/branches) with their declared retention, sort order,
+      identifier fields, and table properties.
+
+    Continued DML is immediate: new commits take ``max(snapshot
+    id)+1``, so foreign equality deletes can never reach rows written
+    after adoption, and new files cluster under the adopted default
+    spec. Manifests are this repo's JSON dialect of the v2 layout
+    (decoding spec Avro is a serialization change, per the module
+    docstring); bounds keyed by field id are rebound to the writing
+    schema's names.
+    """
+    with open(metadata_path) as fh:
+        md = json.load(fh)
+    if md.get("format-version") != 2:
+        raise ValueError(
+            f"can only adopt Iceberg format-version 2 metadata, got "
+            f"{md.get('format-version')!r}"
+        )
+    dest_path = os.path.abspath(dest_path)
+    if os.path.exists(os.path.join(dest_path, _META_DIR, _META_FILE)):
+        raise FileExistsError(f"table already exists at {dest_path}")
+
+    # --- schemas, by field id ---
+    schemas: dict[str, list] = {}
+    last_column_id = 0
+    for s in md["schemas"]:
+        schemas[str(s["schema-id"])] = [
+            {
+                "id": f["id"],
+                "name": f["name"],
+                "type": _spark_ddl_type(f["type"]),
+                "default": f.get("initial-default"),
+            }
+            for f in s["fields"]
+        ]
+        last_column_id = max(
+            last_column_id, *(f["id"] for f in s["fields"]), 0
+        )
+    cur_schema_id = md["current-schema-id"]
+    current = next(s for s in md["schemas"] if s["schema-id"] == cur_schema_id)
+    names_by_id = {f["id"]: f["name"] for f in current["fields"]}
+    schema_names_by_id = {
+        s["schema-id"]: {f["id"]: f["name"] for f in s["fields"]}
+        for s in md["schemas"]
+    }
+
+    # --- partition specs (default live, rest history) ---
+    spec_jsons = md.get("partition-specs") or []
+    default_spec_id = md.get("default-spec-id", 0)
+    native_specs: dict[int, list] = {}
+    spec_fields_by_id: dict[int, dict] = {}
+    for sp in spec_jsons:
+        native_specs[sp["spec-id"]] = _native_spec_json(sp["fields"], names_by_id)
+        spec_fields_by_id[sp["spec-id"]] = {
+            f["name"]: f for f in sp["fields"]
+        }
+    partition_spec = native_specs.get(default_spec_id, [])
+    spec_history = [
+        native_specs[i] for i in sorted(native_specs) if i != default_spec_id
+    ]
+
+    # --- sort order ---
+    sort_order = []
+    order_id = md.get("default-sort-order-id", 0)
+    for so in md.get("sort-orders") or []:
+        if so.get("order-id") == order_id:
+            sort_order = [
+                names_by_id[f["source-id"]]
+                for f in so.get("fields", [])
+                if f.get("source-id") in names_by_id
+            ]
+
+    # --- snapshots: walk each manifest list ---
+    snap_schema = {
+        s["snapshot-id"]: s.get("schema-id", cur_schema_id)
+        for s in md["snapshots"]
+    }
+
+    def _rebind_bounds(bounds: dict, schema_id: int) -> dict:
+        by_id = schema_names_by_id.get(schema_id, {})
+        out = {}
+        for k, v in (bounds or {}).items():
+            name = by_id.get(int(k)) if str(k).isdigit() else k
+            if name is not None:
+                out[name] = v
+        return out
+
+    native_snapshots = []
+    order_key = lambda s: (s.get("sequence-number", 0), s["snapshot-id"])  # noqa: E731
+    for s in sorted(md["snapshots"], key=order_key):
+        with open(_strip_scheme(s["manifest-list"])) as fh:
+            mlist = json.load(fh)
+        files: list[dict] = []
+        dels: list[dict] = []
+        for m in mlist["manifests"]:
+            spec_id = m.get("partition-spec-id", default_spec_id)
+            with open(_strip_scheme(m["manifest-path"])) as fh:
+                manifest = json.load(fh)
+            for e in manifest["entries"]:
+                if e.get("status") == 2:  # DELETED — not live
+                    continue
+                d = e["data-file"]
+                added_in = e.get("snapshot-id", s["snapshot-id"])
+                schema_id = d.get("schema-id", snap_schema.get(
+                    added_in, cur_schema_id))
+                if d.get("content", 0) == 0:
+                    lows = _rebind_bounds(d.get("lower-bounds"), schema_id)
+                    highs = _rebind_bounds(d.get("upper-bounds"), schema_id)
+                    files.append({
+                        "path": _strip_scheme(d["file-path"]),
+                        "rows": d["record-count"],
+                        "bytes": d["file-size-in-bytes"],
+                        "schema_version": schema_id,
+                        "stats": {c: [lo, highs.get(c)]
+                                  for c, lo in lows.items()},
+                        "partition": _adopt_partition(
+                            d.get("partition") or {},
+                            spec_fields_by_id.get(spec_id, {}),
+                            names_by_id,
+                        ),
+                        "seq": d.get("data-sequence-number", 0),
+                    })
+                else:
+                    eq_ids = d.get("equality-ids") or []
+                    eq_cols = [names_by_id[i] for i in eq_ids
+                               if i in names_by_id]
+                    if len(eq_cols) != len(eq_ids):
+                        raise ValueError(
+                            f"equality-delete file {d['file-path']!r} keys "
+                            f"fields {eq_ids} not all present in the "
+                            "current schema; cannot adopt"
+                        )
+                    dels.append({
+                        "path": _strip_scheme(d["file-path"]),
+                        "rows": d["record-count"],
+                        "bytes": d["file-size-in-bytes"],
+                        "referenced": [
+                            _strip_scheme(p)
+                            for p in d.get("referenced-data-files", [])
+                        ],
+                        "content": ("position" if d.get("content") == 1
+                                    else "equality"),
+                        "equality_cols": eq_cols,
+                        "seq": d.get("data-sequence-number", 0),
+                        **({"file_cols": d["equality-field-names"]}
+                           if d.get("equality-field-names") else {}),
+                    })
+        # a position delete with no recorded referenced-data-files
+        # applies to any file — reference every live data file (broad
+        # but correct: the anti-join simply scans more)
+        all_paths = [f["path"] for f in files]
+        for dd in dels:
+            if dd["content"] == "position" and not dd["referenced"]:
+                dd["referenced"] = list(all_paths)
+        native_snapshots.append({
+            "snapshot_id": s["snapshot-id"],
+            "parent_id": s.get("parent-snapshot-id"),
+            "timestamp_ms": s["timestamp-ms"],
+            "operation": (s.get("summary") or {}).get("operation", "append"),
+            "schema_version": snap_schema.get(s["snapshot-id"], cur_schema_id),
+            "files": files,
+            "summary": {k: v for k, v in (s.get("summary") or {}).items()
+                        if k != "operation"},
+            **({"delete_files": dels} if dels else {}),
+        })
+
+    # --- refs ---
+    tags, branches, retention = {}, {}, {}
+    for name, r in (md.get("refs") or {}).items():
+        keep = {k: r[k] for k in ("max-ref-age-ms", "min-snapshots-to-keep")
+                if r.get(k) is not None}
+        if keep:
+            retention[name] = keep
+        if r.get("type") == "branch":
+            if name != "main":
+                branches[name] = r["snapshot-id"]
+        else:
+            tags[name] = r["snapshot-id"]
+
+    ident_ids = current.get("identifier-field-ids") or []
+    meta = {
+        "format_version": 2,
+        "next_field_id": last_column_id + 1,
+        "current_schema_version": cur_schema_id,
+        "schemas": schemas,
+        "partition_spec": partition_spec,
+        "sort_order": sort_order,
+        "properties": dict(md.get("properties") or {}),
+        "current_snapshot_id": md.get("current-snapshot-id"),
+        "snapshots": native_snapshots,
+        **({"partition_spec_history": spec_history} if spec_history else {}),
+        **({"identifier-field-ids": ident_ids} if ident_ids else {}),
+        **({"refs": tags} if tags else {}),
+        **({"branches": branches} if branches else {}),
+        **({"ref_retention": retention} if retention else {}),
+        "adopted_from": os.path.abspath(metadata_path),
+    }
+    os.makedirs(os.path.join(dest_path, _META_DIR), exist_ok=True)
+    os.makedirs(os.path.join(dest_path, _DATA_DIR), exist_ok=True)
+    t = LakeTable(spark, dest_path, meta)
+    t._write_meta()
+    return t
 
 
 def read_via_iceberg_metadata(

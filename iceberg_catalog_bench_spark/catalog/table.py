@@ -3339,6 +3339,23 @@ class LakeTable:
         )
         return t
 
+    @classmethod
+    def from_iceberg_metadata(
+        cls, spark: SparkSession, metadata_path: str, dest_path: str
+    ) -> "LakeTable":
+        """Iceberg's ``register_table`` procedure: adopt an EXTERNALLY
+        WRITTEN Iceberg v2 table (its ``metadata.json`` chain) as a
+        live LakeTable with continued DML — schema history by field
+        id, partition specs, refs with retention, snapshot lineage,
+        and position + equality delete files all carry over; data
+        files are referenced in place (zero copy). The import
+        direction of the reference's cross-engine interop loop
+        (``ICEBERG-Interoperability-Test-Spec.md:4-14``). See
+        :func:`..catalog.iceberg_export.adopt_iceberg_metadata`."""
+        from .iceberg_export import adopt_iceberg_metadata
+
+        return adopt_iceberg_metadata(spark, metadata_path, dest_path)
+
     def add_files(self, parquet_dir: str, _retries: int = 5) -> Snapshot:
         """CALL system.add_files — import an EXISTING plain-parquet
         directory's files into this table as one append commit WITHOUT

@@ -1315,6 +1315,33 @@ class SqlEngine:
                        (snap0.summary.get("imported_files") if snap0 else 0)}],
                 rowcount=1, metadata={"op": proc},
             )
+        # register_table creates the table, so it resolves the path
+        # itself (Iceberg: CALL system.register_table(table => 't',
+        # metadata_file => '<path>/vN.metadata.json') — adopt a
+        # foreign-written Iceberg v2 table as a live table, zero-copy)
+        if proc == "register_table":
+            mf = kwargs.get("metadata_file") or kwargs.get("metadata_json")
+            if not mf:
+                raise ValueError(
+                    "CALL system.register_table needs metadata_file => "
+                    "'<vN.metadata.json>'")
+            if self.table_exists(ident):
+                raise ValueError(f"table {ident} already exists")
+            t = LakeTable.from_iceberg_metadata(
+                self.spark, mf, self._table_path(ident))
+            self._register_linked_table(ident, t.path)
+            snap = t._snapshot()
+            return StatementResult(
+                s,
+                rows=[{
+                    "current_snapshot_id": t._meta.get("current_snapshot_id"),
+                    "total_records_count":
+                        sum(f.rows for f in snap.files) if snap else 0,
+                    "total_data_files_count":
+                        len(snap.files) if snap else 0,
+                }],
+                rowcount=1, metadata={"op": proc},
+            )
         # migrate creates the table, so it resolves the path itself
         if proc == "migrate":
             src = kwargs.get("source") or kwargs.get("source_dir")

@@ -1,0 +1,396 @@
+"""Foreign-Iceberg ingest: adopt an EXTERNALLY-WRITTEN Iceberg v2
+chain as a live LakeTable (VERDICT r7 item 4 — the import direction of
+the reference's interop loop, ICEBERG-Interoperability-Test-Spec.md:4-14:
+one engine reads what another wrote).
+
+The chain here is deliberately NOT produced by `to_iceberg_metadata`:
+the data / delete parquet files are written by DUCKDB (a different
+engine) and the metadata.json → manifest-list → manifest documents are
+hand-authored in this module, in the same JSON dialect of the v2
+layout the exporter emits (decoding spec Avro is a serialization
+change, per iceberg_export's module docstring). Data-file entries
+carry NO "schema-id" extension — adoption must infer each file's
+writing schema from the snapshot that added it, the way a real chain
+forces — and bounds are keyed by FIELD ID, not name.
+
+Covered: schema history by field id (rename + initial-default add),
+time travel, refs with retention, identity/day partition-value
+conversion (and the murmur3-vs-xxhash64 bucket refusal), position and
+equality deletes with the strictly-smaller-sequence rule, continued
+DML (appends take max(snapshot)+1 so foreign equality deletes never
+reach new rows; CoW delete rewrites a foreign file into table-owned
+layout), and a re-export leg DuckDB scans back.
+"""
+
+import datetime
+import json
+import os
+
+import duckdb
+import pytest
+
+from iceberg_catalog_bench_spark.catalog.iceberg_export import (
+    adopt_iceberg_metadata,
+    duckdb_scan_sql,
+    to_iceberg_metadata,
+)
+from iceberg_catalog_bench_spark.catalog.table import LakeTable
+
+EPOCH_DAY = (datetime.date(2024, 1, 1) - datetime.date(1970, 1, 1)).days
+
+
+def _write_foreign_chain(root: str) -> str:
+    """Author a 4-snapshot Iceberg v2 chain with another engine's
+    hands: DuckDB writes the parquet, this function writes the JSON
+    metadata. Returns the metadata.json path.
+
+    history: 101 append (2 files, schema 0) → 102 append (1 file,
+    schema 1 = rename name→label + add tag default 'base') → 103
+    position-delete (k=2) → 104 equality-delete (k=3, seq rule).
+    """
+    data = os.path.join(root, "data")
+    meta = os.path.join(root, "metadata")
+    os.makedirs(data), os.makedirs(meta)
+
+    f1 = os.path.join(data, "f1.parquet")
+    f2 = os.path.join(data, "f2.parquet")
+    f3 = os.path.join(data, "f3.parquet")
+    pd1 = os.path.join(data, "pd1.parquet")
+    eq1 = os.path.join(data, "eq1.parquet")
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES "
+        "(CAST(1 AS BIGINT), 'a', 1.0, 'x', TIMESTAMPTZ '2024-01-01 00:00:00+00'), "
+        "(CAST(2 AS BIGINT), 'b', 2.0, 'x', TIMESTAMPTZ '2024-01-01 06:00:00+00')"
+        ") v(k, name, v, cat, ts)) TO '" + f1 + "' (FORMAT PARQUET)"
+    )
+    duckdb.sql(
+        "COPY (SELECT CAST(3 AS BIGINT) AS k, 'c' AS name, 3.0 AS v, "
+        "'y' AS cat, TIMESTAMPTZ '2024-01-02 00:00:00+00' AS ts) "
+        "TO '" + f2 + "' (FORMAT PARQUET)"
+    )
+    # written AFTER the evolution: schema 1 spells label + tag
+    duckdb.sql(
+        "COPY (SELECT CAST(4 AS BIGINT) AS k, 'd' AS label, 4.0 AS v, "
+        "'y' AS cat, TIMESTAMPTZ '2024-01-02 12:00:00+00' AS ts, "
+        "'late' AS tag) TO '" + f3 + "' (FORMAT PARQUET)"
+    )
+    # position delete: second row of f1 (k=2)
+    duckdb.sql(
+        "COPY (SELECT '" + f1 + "' AS file_path, CAST(1 AS BIGINT) AS pos) "
+        "TO '" + pd1 + "' (FORMAT PARQUET)"
+    )
+    # equality delete on k=3 (field id 1)
+    duckdb.sql(
+        "COPY (SELECT CAST(3 AS BIGINT) AS k) TO '" + eq1
+        + "' (FORMAT PARQUET)"
+    )
+
+    def entry(path, rows, snap_id, seq, part, lows, highs):
+        return {
+            "status": 1,
+            "snapshot-id": snap_id,
+            "data-file": {
+                "content": 0,
+                "file-path": path,
+                "file-format": "PARQUET",
+                "partition": part,
+                "data-sequence-number": seq,
+                "record-count": rows,
+                "file-size-in-bytes": os.path.getsize(path),
+                # bounds keyed by FIELD ID (spec spirit), not name
+                "lower-bounds": lows,
+                "upper-bounds": highs,
+            },
+        }
+
+    e1 = entry(f1, 2, 101, 1, {"cat": "x", "ts_day": EPOCH_DAY},
+               {"1": 1, "3": 1.0}, {"1": 2, "3": 2.0})
+    e2 = entry(f2, 1, 101, 1, {"cat": "y", "ts_day": EPOCH_DAY + 1},
+               {"1": 3, "3": 3.0}, {"1": 3, "3": 3.0})
+    e3 = entry(f3, 1, 102, 2, {"cat": "y", "ts_day": EPOCH_DAY + 1},
+               {"1": 4, "3": 4.0}, {"1": 4, "3": 4.0})
+    pos_entry = {
+        "status": 1,
+        "snapshot-id": 103,
+        "data-file": {
+            "content": 1,
+            "file-path": pd1,
+            "file-format": "PARQUET",
+            "record-count": 1,
+            "file-size-in-bytes": os.path.getsize(pd1),
+            "data-sequence-number": 3,
+            "referenced-data-files": [f1],
+        },
+    }
+    eq_entry = {
+        "status": 1,
+        "snapshot-id": 104,
+        "data-file": {
+            "content": 2,
+            "file-path": eq1,
+            "file-format": "PARQUET",
+            "record-count": 1,
+            "file-size-in-bytes": os.path.getsize(eq1),
+            "data-sequence-number": 4,
+            "equality-ids": [1],
+            "equality-field-names": ["k"],
+        },
+    }
+
+    def manifest(name, entries, spec_id=0):
+        p = os.path.join(meta, name)
+        with open(p, "w") as fh:
+            json.dump({"partition-spec-id": spec_id, "entries": entries}, fh)
+        return p
+
+    def mlist(name, manifests):
+        p = os.path.join(meta, name)
+        with open(p, "w") as fh:
+            json.dump({"manifests": [
+                {"manifest-path": mp, "manifest-length": os.path.getsize(mp),
+                 "content": c, "partition-spec-id": 0}
+                for mp, c in manifests
+            ]}, fh)
+        return p
+
+    m101 = manifest("m-101.json", [e1, e2])
+    m102 = manifest("m-102.json", [e1, e2, e3])
+    mdel103 = manifest("m-103-del.json", [pos_entry])
+    mdel104 = manifest("m-104-del.json", [pos_entry, eq_entry])
+    ml101 = mlist("sl-101.json", [(m101, 0)])
+    ml102 = mlist("sl-102.json", [(m102, 0)])
+    ml103 = mlist("sl-103.json", [(m102, 0), (mdel103, 1)])
+    ml104 = mlist("sl-104.json", [(m102, 0), (mdel104, 1)])
+
+    schema0 = {
+        "type": "struct", "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "long"},
+            {"id": 2, "name": "name", "required": False, "type": "string"},
+            {"id": 3, "name": "v", "required": False, "type": "double"},
+            {"id": 4, "name": "cat", "required": False, "type": "string"},
+            {"id": 5, "name": "ts", "required": False, "type": "timestamptz"},
+        ],
+    }
+    schema1 = {
+        "type": "struct", "schema-id": 1,
+        "identifier-field-ids": [1],
+        "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "long"},
+            {"id": 2, "name": "label", "required": False, "type": "string"},
+            {"id": 3, "name": "v", "required": False, "type": "double"},
+            {"id": 4, "name": "cat", "required": False, "type": "string"},
+            {"id": 5, "name": "ts", "required": False, "type": "timestamptz"},
+            {"id": 6, "name": "tag", "required": False, "type": "string",
+             "initial-default": "base"},
+        ],
+    }
+
+    def snap(sid, parent, seq, ml, schema_id, op):
+        return {
+            "snapshot-id": sid,
+            **({"parent-snapshot-id": parent} if parent else {}),
+            "sequence-number": seq,
+            "timestamp-ms": 1_700_000_000_000 + seq * 1000,
+            "manifest-list": ml,
+            "schema-id": schema_id,
+            "summary": {"operation": op},
+        }
+
+    md = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-00000000beef",
+        "location": root,
+        "last-sequence-number": 4,
+        "last-updated-ms": 1_700_000_004_000,
+        "last-column-id": 6,
+        "current-schema-id": 1,
+        "schemas": [schema0, schema1],
+        "default-spec-id": 0,
+        "partition-specs": [{
+            "spec-id": 0,
+            "fields": [
+                {"field-id": 1000, "source-id": 4, "name": "cat",
+                 "transform": "identity"},
+                {"field-id": 1001, "source-id": 5, "name": "ts_day",
+                 "transform": "day"},
+            ],
+        }],
+        "last-partition-id": 1001,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": [
+            {"transform": "identity", "source-id": 1, "direction": "asc",
+             "null-order": "nulls-first"}]}],
+        "properties": {"write.metadata.compression-codec": "none"},
+        "current-snapshot-id": 104,
+        "snapshots": [
+            snap(101, None, 1, ml101, 0, "append"),
+            snap(102, 101, 2, ml102, 1, "append"),
+            snap(103, 102, 3, ml103, 1, "delete"),
+            snap(104, 103, 4, ml104, 1, "delete"),
+        ],
+        "snapshot-log": [],
+        "metadata-log": [],
+        "refs": {
+            "v1": {"snapshot-id": 102, "type": "tag",
+                   "max-ref-age-ms": 1_234_567},
+            "main": {"snapshot-id": 104, "type": "branch"},
+        },
+    }
+    mp = os.path.join(meta, "v4.metadata.json")
+    with open(mp, "w") as fh:
+        json.dump(md, fh, indent=1)
+    return mp
+
+
+@pytest.fixture
+def adopted(spark, tmp_path):
+    mp = _write_foreign_chain(str(tmp_path / "foreign"))
+    t = LakeTable.from_iceberg_metadata(spark, mp, str(tmp_path / "adopted"))
+    return t
+
+
+def _rows(df, cols=("k", "label", "v", "cat", "tag")):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_adopt_current_read_applies_both_delete_kinds(adopted):
+    # k=2 position-deleted, k=3 equality-deleted; k=1 reads through
+    # schema 0 (name→label rebind by field id, tag defaulted)
+    assert _rows(adopted.read()) == [
+        (1, "a", 1.0, "x", "base"),
+        (4, "d", 4.0, "y", "late"),
+    ]
+
+
+def test_adopt_time_travel_and_schema_history(adopted):
+    assert _rows(adopted.read(snapshot_id=102)) == [
+        (1, "a", 1.0, "x", "base"),
+        (2, "b", 2.0, "x", "base"),
+        (3, "c", 3.0, "y", "base"),
+        (4, "d", 4.0, "y", "late"),
+    ]
+    # snapshot 101 predates the evolution: schema 0 spellings
+    old = sorted(tuple(r[c] for c in ("k", "name", "v")) for r in
+                 adopted.read(snapshot_id=101).collect())
+    assert old == [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]
+
+
+def test_adopt_refs_and_retention(adopted):
+    assert _rows(adopted.read_tag("v1")) == _rows(adopted.read(snapshot_id=102))
+    refs = {r["name"]: r.asDict() for r in adopted.refs().collect()}
+    assert refs["v1"]["max_reference_age_in_ms"] == 1_234_567
+    assert adopted.identifier_fields == ["k"]
+    assert adopted._meta.get("sort_order") == ["k"]
+
+
+def test_adopt_partition_value_conversion_and_pruning(adopted):
+    snap = adopted._snapshot(102)
+    f1 = next(e for e in snap.files if e.path.endswith("f1.parquet"))
+    # identity value passed through; epoch-day int → ISO date
+    assert f1.partition == {"_p_identity_cat": "x", "_p_days_ts": "2024-01-01"}
+    kept = adopted._prune_files(snap.files, "cat = 'x'")
+    assert [os.path.basename(e.path) for e in kept] == ["f1.parquet"]
+    kept = adopted._prune_files(snap.files, "ts >= '2024-01-02 00:00:00'")
+    assert sorted(os.path.basename(e.path) for e in kept) == [
+        "f2.parquet", "f3.parquet"]
+    # field-id-keyed bounds rebound to names → stats pruning works
+    kept = adopted._prune_files(snap.files, "k = 4")
+    assert [os.path.basename(e.path) for e in kept] == ["f3.parquet"]
+
+
+def test_adopt_refuses_bucket_partition_values(spark, tmp_path):
+    """Iceberg buckets with murmur3; the native writer with xxhash64.
+    Adoption must keep bucket-partitioned FILES readable but must NOT
+    surface their bucket values to the pruner (missing key = never
+    pruned)."""
+    mp = _write_foreign_chain(str(tmp_path / "foreign"))
+    md = json.load(open(mp))
+    md["partition-specs"][0]["fields"].append(
+        {"field-id": 1002, "source-id": 1, "name": "k_bucket",
+         "transform": "bucket[8]"})
+    with open(mp, "w") as fh:
+        json.dump(md, fh)
+    t = adopt_iceberg_metadata(spark, mp, str(tmp_path / "adopted2"))
+    # spec adopted (continued writes cluster by it) ...
+    assert [tr.name for tr in t.partition_spec] == [
+        "identity", "days", "bucket"]
+    # ... but no foreign file carries a _p_bucket_* key
+    snap = t._snapshot(102)
+    assert not any("_p_bucket_k" in e.partition for e in snap.files)
+    assert _rows(t.read())[0] == (1, "a", 1.0, "x", "base")
+
+
+def test_adopt_continued_dml(adopted, spark):
+    # appends take max(snapshot id)+1 = 105; its files get seq 105,
+    # so the foreign equality delete (seq 4) can never reach them —
+    # including a RE-INSERT of the retracted key k=3
+    adopted.append(spark.createDataFrame(
+        [(5, "e", 5.0, "x", "new",
+          datetime.datetime(2024, 1, 3, tzinfo=datetime.timezone.utc)),
+         (3, "c2", 3.5, "y", "re",
+          datetime.datetime(2024, 1, 3, tzinfo=datetime.timezone.utc))],
+        "k bigint, label string, v double, cat string, tag string, ts timestamp"
+    ).select("k", "label", "v", "cat", "ts", "tag"))
+    assert adopted._meta["current_snapshot_id"] == 105
+    assert _rows(adopted.read()) == [
+        (1, "a", 1.0, "x", "base"),
+        (3, "c2", 3.5, "y", "re"),
+        (4, "d", 4.0, "y", "late"),
+        (5, "e", 5.0, "x", "new"),
+    ]
+    # CoW delete rewrites the affected FOREIGN file into table-owned
+    # layout; everything else unaffected
+    adopted.delete_where("k = 4")
+    assert _rows(adopted.read()) == [
+        (1, "a", 1.0, "x", "base"),
+        (3, "c2", 3.5, "y", "re"),
+        (5, "e", 5.0, "x", "new"),
+    ]
+    # evolution continues from the adopted history: next version is 2
+    adopted.add_column("score", "double", default=0.5)
+    assert adopted._meta["current_schema_version"] == 2
+    row = adopted.read().filter("k = 1").collect()[0]
+    assert row["score"] == 0.5
+
+
+def test_adopt_reexport_roundtrip_via_duckdb(adopted, spark):
+    """The interop loop closed both ways: foreign chain → adopt →
+    continued DML → RE-EXPORT → a second engine (DuckDB) scans the
+    re-exported chain and agrees with the native read."""
+    adopted.append(spark.createDataFrame(
+        [(7, "g", 7.0, "z", "new",
+          datetime.datetime(2024, 1, 4, tzinfo=datetime.timezone.utc))],
+        "k bigint, label string, v double, cat string, tag string, ts timestamp"
+    ).select("k", "label", "v", "cat", "ts", "tag"))
+    meta2 = to_iceberg_metadata(adopted)
+    native = sorted(
+        tuple(r) for r in
+        adopted.read().select("k", "label", "v", "cat", "tag").collect()
+    )
+    duck = sorted(
+        (r[0], r[1], r[2], r[3], r[5])
+        for r in duckdb.sql(duckdb_scan_sql(meta2)).fetchall()
+    )
+    assert duck == native
+
+
+def test_register_table_sql_procedure(spark, tmp_path):
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    engine = SqlEngine(spark, str(tmp_path / "warehouse"))
+    mp = _write_foreign_chain(str(tmp_path / "foreign"))
+    engine.execute("CREATE NAMESPACE adoptns")
+    res = engine.execute(
+        "CALL system.register_table(table => 'adoptns.ext', "
+        f"metadata_file => '{mp}')"
+    )[-1]
+    assert res.rows[0]["current_snapshot_id"] == 104
+    assert res.rows[0]["total_data_files_count"] == 3
+    rows = engine.execute(
+        "SELECT k, label FROM adoptns.ext ORDER BY k")[-1].rows
+    assert rows == [{"k": 1, "label": "a"}, {"k": 4, "label": "d"}]
+    # time travel through the adopted lineage via SQL
+    rows = engine.execute(
+        "SELECT COUNT(*) AS n FROM adoptns.ext VERSION AS OF 102")[-1].rows
+    assert rows[0]["n"] == 4
