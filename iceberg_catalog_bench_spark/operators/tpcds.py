@@ -506,3 +506,106 @@ def tpcds_multi_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, (lo, hi) in enumerate(bands)
         ]
     )
+
+
+@register(
+    "tpcds_cumulative_channel_crossover",
+    oracle=(
+        # Q51: per-channel cumulative series, FULL OUTER joined on the
+        # (group, month) spine, running-MAX carried over the joined
+        # (null-holed) series, crossover rows reported. Integer cents
+        # end-to-end.
+        "WITH base AS (SELECT l_returnflag AS rf, "
+        "CAST(EXTRACT(year FROM l_shipdate) * 12 "
+        "+ EXTRACT(month FROM l_shipdate) AS BIGINT) AS m, "
+        "l_linenumber, "
+        "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents "
+        "FROM lineitem), "
+        "webc AS (SELECT rf, m, SUM(web_cents) OVER "
+        "(PARTITION BY rf ORDER BY m ROWS UNBOUNDED PRECEDING) AS web_cume "
+        "FROM (SELECT rf, m, SUM(cents) AS web_cents FROM base "
+        "WHERE l_linenumber % 2 = 0 GROUP BY rf, m)), "
+        "storec AS (SELECT rf, m, SUM(store_cents) OVER "
+        "(PARTITION BY rf ORDER BY m ROWS UNBOUNDED PRECEDING) AS store_cume "
+        "FROM (SELECT rf, m, SUM(cents) AS store_cents FROM base "
+        "WHERE l_linenumber % 2 = 1 GROUP BY rf, m)), "
+        "x AS (SELECT COALESCE(w.rf, s.rf) AS rf, COALESCE(w.m, s.m) AS m, "
+        "w.web_cume, s.store_cume "
+        "FROM webc w FULL OUTER JOIN storec s ON w.rf = s.rf AND w.m = s.m), "
+        "y AS (SELECT rf, m, "
+        "MAX(web_cume) OVER (PARTITION BY rf ORDER BY m "
+        "ROWS UNBOUNDED PRECEDING) AS web_run, "
+        "MAX(store_cume) OVER (PARTITION BY rf ORDER BY m "
+        "ROWS UNBOUNDED PRECEDING) AS store_run FROM x) "
+        "SELECT rf, m, ROUND(web_run / 100.0, 2) AS web_cumulative, "
+        "ROUND(store_run / 100.0, 2) AS store_cumulative "
+        "FROM y WHERE web_run > store_run"
+    ),
+)
+def tpcds_cumulative_channel_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q51 shape — WINDOW OVER A JOIN OF AGGREGATES: two sales
+    channels (even vs odd line numbers — the fixture's stand-in for
+    web vs store) each aggregate to a
+    per-(returnflag, month) cumulative series, the two series FULL
+    OUTER join on their (group, month) spine (either channel may skip
+    a month), a running MAX carries each channel's last-seen
+    cumulative across the other channel's null holes, and the report
+    keeps the crossover rows where the web series has overtaken the
+    store series.
+
+    Plan shape — the scale-critical property is AGGREGATE-BEFORE-JOIN:
+    each channel partial-aggregates its fact scan down to ≤ |rf×month|
+    cells before any join or window, so the full-outer join and both
+    window passes run over hundreds of rows, never raw facts (the
+    naive rendering windows over the joined raw detail — at 100 TB
+    that shuffles the fact volume three times). Both fact scans carry
+    their channel filter in the scan; the cumulative windows reuse
+    the aggregation's (rf) partitioning. Integer cents end-to-end so
+    every cumulative re-sums exactly (the mv_incremental_maintenance
+    fp-drift lesson)."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_shipdate", "l_linenumber",
+        "l_extendedprice", "l_discount",
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    base = li.select(
+        F.col("l_returnflag").alias("rf"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        .cast("bigint").alias("m"),
+        "l_linenumber",
+        cents.alias("cents"),
+    )
+    cume = W.partitionBy("rf").orderBy("m").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+
+    def channel(df, alias):
+        return (
+            df.groupBy("rf", "m")
+            .agg(F.sum("cents").alias(f"{alias}_cents"))
+            .select(
+                "rf", "m",
+                F.sum(f"{alias}_cents").over(cume).alias(f"{alias}_cume"),
+            )
+        )
+
+    web = channel(base.filter(F.col("l_linenumber") % 2 == 0), "web")
+    store = channel(base.filter(F.col("l_linenumber") % 2 == 1), "store")
+    x = web.join(store, on=["rf", "m"], how="full_outer")
+    return (
+        x.select(
+            "rf", "m",
+            F.max("web_cume").over(cume).alias("web_run"),
+            F.max("store_cume").over(cume).alias("store_run"),
+        )
+        .filter(F.col("web_run") > F.col("store_run"))
+        .select(
+            "rf", "m",
+            F.round(F.col("web_run") / F.lit(100e0), 2).alias("web_cumulative"),
+            F.round(F.col("store_run") / F.lit(100e0), 2).alias("store_cumulative"),
+        )
+    )
