@@ -3755,12 +3755,24 @@ class LakeTable:
                 {f["path"] for s in expired for f in s["files"]}
                 | {d["path"] for s in expired for d in s.get("delete_files", [])}
             ) - keep_paths
+            own_root = self.path + os.sep
+            deleted = 0
             for rel in dead_paths:
                 p = os.path.join(self.path, rel)
+                # EXTERNAL files — absolute paths registered in place by
+                # migrate_parquet / add_files / snapshot_of /
+                # from_iceberg_metadata — belong to their SOURCE table:
+                # expiry drops the reference but must never delete a
+                # byte outside this table's own directory (the same
+                # boundary remove_orphan_files honors), or expiring an
+                # adopted snapshot would destroy the foreign table.
+                if not os.path.abspath(p).startswith(own_root):
+                    continue
                 if os.path.exists(p):
                     os.remove(p)
+                    deleted += 1
             self._meta["snapshots"] = retained
-            result["deleted_data_files_count"] = len(dead_paths)
+            result["deleted_data_files_count"] = deleted
             result["expired_snapshots_count"] = len(expired)
 
         self._locked_meta_mutation(mutate)

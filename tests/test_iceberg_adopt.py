@@ -394,3 +394,27 @@ def test_register_table_sql_procedure(spark, tmp_path):
     rows = engine.execute(
         "SELECT COUNT(*) AS n FROM adoptns.ext VERSION AS OF 102")[-1].rows
     assert rows[0]["n"] == 4
+
+
+def test_expire_snapshots_never_deletes_foreign_files(adopted, spark):
+    """Expiring an adopted snapshot must drop the REFERENCE only —
+    the foreign table's bytes are not this table's to delete (the
+    same boundary remove_orphan_files honors). Regression: the GC
+    previously os.remove'd any dead path, and absolute external
+    paths (migrate/add_files/snapshot_of/adopt) pass through
+    os.path.join unchanged."""
+    foreign_files = [e.path for e in adopted._snapshot(101).files]
+    assert all(os.path.isabs(p) for p in foreign_files)
+    # fold the foreign files out of the live set, then add commits so
+    # the early foreign-only snapshots can expire
+    adopted.rewrite_data_files(min_input_files=1)
+    adopted.append(adopted.read().limit(1))
+    res = adopted.expire_snapshots(retain_last=2)
+    assert res["expired_snapshots_count"] >= 3
+    # references gone, bytes intact
+    kept_ids = {s["snapshot_id"] for s in adopted._meta["snapshots"]}
+    assert 101 not in kept_ids and 104 not in kept_ids
+    for p in foreign_files:
+        assert os.path.exists(p), f"foreign file deleted by expiry: {p}"
+    # the adopted table still reads correctly from its own files
+    assert adopted.read().count() >= 2
