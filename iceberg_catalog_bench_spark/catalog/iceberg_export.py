@@ -648,6 +648,20 @@ def adopt_iceberg_metadata(
                             f"fields {eq_ids} not all present in the "
                             "current schema; cannot adopt"
                         )
+                    # physical parquet column names inside the delete
+                    # file = the names current when it was WRITTEN
+                    # (the adding snapshot's schema) — real chains
+                    # carry only equality-ids, and binding the current
+                    # names would break after a post-delete rename
+                    write_names = schema_names_by_id.get(schema_id, {})
+                    file_cols = (d.get("equality-field-names")
+                                 or [write_names.get(i) for i in eq_ids])
+                    if any(c is None for c in file_cols):
+                        raise ValueError(
+                            f"equality-delete file {d['file-path']!r}: "
+                            f"fields {eq_ids} unresolved in writing "
+                            f"schema {schema_id}; cannot adopt"
+                        )
                     dels.append({
                         "path": _strip_scheme(d["file-path"]),
                         "rows": d["record-count"],
@@ -660,8 +674,8 @@ def adopt_iceberg_metadata(
                                     else "equality"),
                         "equality_cols": eq_cols,
                         "seq": d.get("data-sequence-number", 0),
-                        **({"file_cols": d["equality-field-names"]}
-                           if d.get("equality-field-names") else {}),
+                        **({"file_cols": file_cols}
+                           if d.get("content") == 2 else {}),
                     })
         # a position delete with no recorded referenced-data-files
         # applies to any file — reference every live data file (broad
@@ -689,8 +703,8 @@ def adopt_iceberg_metadata(
                 if r.get(k) is not None}
         if keep:
             retention[name] = keep
-        if r.get("type") == "branch":
-            if name != "main":
+        if r.get("type") == "branch" or name == "main":
+            if name != "main":  # main IS current-snapshot-id
                 branches[name] = r["snapshot-id"]
         else:
             tags[name] = r["snapshot-id"]

@@ -418,3 +418,34 @@ def test_expire_snapshots_never_deletes_foreign_files(adopted, spark):
         assert os.path.exists(p), f"foreign file deleted by expiry: {p}"
     # the adopted table still reads correctly from its own files
     assert adopted.read().count() >= 2
+
+
+def test_adopt_equality_delete_ids_only(spark, tmp_path):
+    """Real Iceberg manifests carry only equality-ids — no column
+    names. The delete file's physical column names must resolve from
+    the ADDING snapshot's schema (write-time spellings), so adoption
+    applies the tombstones without the exporter's name extension."""
+    mp = _write_foreign_chain(str(tmp_path / "foreign"))
+    md = json.load(open(mp))
+    # strip the name extension from every equality-delete entry
+    for snap in md["snapshots"]:
+        ml = json.load(open(snap["manifest-list"]))
+        for m in ml["manifests"]:
+            man = json.load(open(m["manifest-path"]))
+            changed = False
+            for e in man["entries"]:
+                if e["data-file"].get("content") == 2:
+                    e["data-file"].pop("equality-field-names", None)
+                    changed = True
+            if changed:
+                with open(m["manifest-path"], "w") as fh:
+                    json.dump(man, fh)
+    t = adopt_iceberg_metadata(spark, mp, str(tmp_path / "adopted3"))
+    # k=3 still equality-deleted
+    assert _rows(t.read()) == [
+        (1, "a", 1.0, "x", "base"),
+        (4, "d", 4.0, "y", "late"),
+    ]
+    dels = t._snapshot(104).delete_files
+    eq = next(d for d in dels if d.content == "equality")
+    assert eq.physical_cols == ["k"]
