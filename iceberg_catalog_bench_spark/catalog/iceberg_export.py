@@ -491,10 +491,14 @@ def _adopt_partition(part: dict, spec_fields_by_name: dict,
     return out
 
 
-def adopt_iceberg_metadata(
-    spark: SparkSession, metadata_path: str, dest_path: str
-) -> LakeTable:
-    """Register an EXTERNALLY-WRITTEN Iceberg v2 table as a live
+def _parse_iceberg_v2(metadata_path: str) -> dict:
+    """Walk an Iceberg v2 metadata chain (metadata.json → manifest
+    lists → manifests) into LakeTable's native metadata document —
+    the shared engine of :func:`adopt_iceberg_metadata` (first
+    registration) and :func:`sync_iceberg_metadata` (pulling foreign
+    advances after registration).
+
+    Register an EXTERNALLY-WRITTEN Iceberg v2 table as a live
     LakeTable — the import direction of the reference's cross-engine
     interop loop (``ICEBERG-Interoperability-Test-Spec.md:4-14``: one
     engine reads what another wrote), inverting
@@ -534,9 +538,6 @@ def adopt_iceberg_metadata(
             f"can only adopt Iceberg format-version 2 metadata, got "
             f"{md.get('format-version')!r}"
         )
-    dest_path = os.path.abspath(dest_path)
-    if os.path.exists(os.path.join(dest_path, _META_DIR, _META_FILE)):
-        raise FileExistsError(f"table already exists at {dest_path}")
 
     # --- schemas, by field id ---
     schemas: dict[str, list] = {}
@@ -727,11 +728,74 @@ def adopt_iceberg_metadata(
         **({"ref_retention": retention} if retention else {}),
         "adopted_from": os.path.abspath(metadata_path),
     }
+    return meta
+
+
+def adopt_iceberg_metadata(
+    spark: SparkSession, metadata_path: str, dest_path: str
+) -> LakeTable:
+    """First registration of a foreign Iceberg v2 table: parse the
+    chain (see :func:`_parse_iceberg_v2` for the full semantics) and
+    publish it as a new LakeTable at ``dest_path``."""
+    dest_path = os.path.abspath(dest_path)
+    if os.path.exists(os.path.join(dest_path, _META_DIR, _META_FILE)):
+        raise FileExistsError(f"table already exists at {dest_path}")
+    meta = _parse_iceberg_v2(metadata_path)
     os.makedirs(os.path.join(dest_path, _META_DIR), exist_ok=True)
     os.makedirs(os.path.join(dest_path, _DATA_DIR), exist_ok=True)
     t = LakeTable(spark, dest_path, meta)
     t._write_meta()
     return t
+
+
+def sync_iceberg_metadata(table: LakeTable, metadata_path: str | None = None) -> int:
+    """Pull FOREIGN ADVANCES into a registered (adopted) table — the
+    continuous half of the interop loop: the foreign engine keeps
+    committing, and each sync folds its new snapshots in at metadata
+    cost (zero data copied, O(new manifest entries) parsed).
+
+    ``metadata_path`` defaults to the chain the table was adopted
+    from, so a foreign writer that rewrites ``vN.metadata.json`` in
+    place (or a caller passing the newer version file) both work.
+
+    Fast-forward-only, Iceberg's catalog-refresh semantics: if LOCAL
+    commits exist that the foreign chain does not know (the table has
+    diverged — it is now an independent fork), sync refuses loudly
+    instead of merging histories. Schemas, specs, refs, retention,
+    properties and heads all move to the foreign chain's current
+    state under the commit lock. Returns the number of new snapshots
+    folded in."""
+    metadata_path = metadata_path or table._meta.get("adopted_from")
+    if not metadata_path:
+        raise ValueError(
+            "table was not adopted from an Iceberg chain and no "
+            "metadata_path was given"
+        )
+    fresh = _parse_iceberg_v2(metadata_path)
+    # identity = (id, commit timestamp): a LOCAL commit takes
+    # max(id)+1, which can collide with the foreign writer's next id —
+    # an id-only check would mistake the fork for a known snapshot
+    foreign_keys = {(s["snapshot_id"], s["timestamp_ms"])
+                    for s in fresh["snapshots"]}
+    pulled = {"n": 0}
+
+    def mutate() -> None:
+        local_keys = {(s["snapshot_id"], s["timestamp_ms"])
+                      for s in table._meta["snapshots"]}
+        diverged = local_keys - foreign_keys
+        if diverged:
+            raise ValueError(
+                f"local table has {len(diverged)} commit(s) the foreign "
+                f"chain does not know (e.g. snapshot "
+                f"{sorted(diverged)[0][0]}); it is an independent fork "
+                "now — cannot sync"
+            )
+        pulled["n"] = len(foreign_keys - local_keys)
+        table._meta.clear()
+        table._meta.update(fresh)
+
+    table._locked_meta_mutation(mutate)
+    return pulled["n"]
 
 
 def read_via_iceberg_metadata(

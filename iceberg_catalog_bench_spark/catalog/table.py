@@ -3356,6 +3356,16 @@ class LakeTable:
 
         return adopt_iceberg_metadata(spark, metadata_path, dest_path)
 
+    def sync_from_iceberg_metadata(self, metadata_path: str | None = None) -> int:
+        """Pull the FOREIGN chain's new snapshots into this adopted
+        table (fast-forward-only; refuses if local commits forked the
+        history). Defaults to the chain this table was adopted from.
+        Returns the number of snapshots folded in. See
+        :func:`..catalog.iceberg_export.sync_iceberg_metadata`."""
+        from .iceberg_export import sync_iceberg_metadata
+
+        return sync_iceberg_metadata(self, metadata_path)
+
     def add_files(self, parquet_dir: str, _retries: int = 5) -> Snapshot:
         """CALL system.add_files — import an EXISTING plain-parquet
         directory's files into this table as one append commit WITHOUT

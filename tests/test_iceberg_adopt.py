@@ -449,3 +449,77 @@ def test_adopt_equality_delete_ids_only(spark, tmp_path):
     dels = t._snapshot(104).delete_files
     eq = next(d for d in dels if d.content == "equality")
     assert eq.physical_cols == ["k"]
+
+
+def _advance_foreign_chain(mp: str) -> None:
+    """The foreign engine commits snapshot 105: one more data file
+    (schema 1), rewriting the metadata.json in place."""
+    md = json.load(open(mp))
+    root = md["location"]
+    meta = os.path.dirname(mp)
+    f4 = os.path.join(root, "data", "f4.parquet")
+    duckdb.sql(
+        "COPY (SELECT CAST(9 AS BIGINT) AS k, 'i' AS label, 9.0 AS v, "
+        "'z' AS cat, TIMESTAMPTZ '2024-01-05 00:00:00+00' AS ts, "
+        "'sync' AS tag) TO '" + f4 + "' (FORMAT PARQUET)"
+    )
+    snap104 = next(s for s in md["snapshots"] if s["snapshot-id"] == 104)
+    ml104 = json.load(open(snap104["manifest-list"]))
+    data_manifest = next(
+        m for m in ml104["manifests"] if m["content"] == 0)
+    del_manifest = next(
+        m for m in ml104["manifests"] if m["content"] == 1)
+    old_entries = json.load(open(data_manifest["manifest-path"]))["entries"]
+    e4 = {"status": 1, "snapshot-id": 105, "data-file": {
+        "content": 0, "file-path": f4, "file-format": "PARQUET",
+        "partition": {"cat": "z", "ts_day": EPOCH_DAY + 4},
+        "data-sequence-number": 5, "record-count": 1,
+        "file-size-in-bytes": os.path.getsize(f4),
+        "lower-bounds": {"1": 9}, "upper-bounds": {"1": 9}}}
+    m105 = os.path.join(meta, "m-105.json")
+    with open(m105, "w") as fh:
+        json.dump({"partition-spec-id": 0, "entries": old_entries + [e4]}, fh)
+    ml105 = os.path.join(meta, "sl-105.json")
+    with open(ml105, "w") as fh:
+        json.dump({"manifests": [
+            {"manifest-path": m105, "manifest-length": os.path.getsize(m105),
+             "content": 0, "partition-spec-id": 0},
+            del_manifest,
+        ]}, fh)
+    md["snapshots"].append({
+        "snapshot-id": 105, "parent-snapshot-id": 104,
+        "sequence-number": 5, "timestamp-ms": 1_700_000_005_000,
+        "manifest-list": ml105, "schema-id": 1,
+        "summary": {"operation": "append"}})
+    md["current-snapshot-id"] = 105
+    md["refs"]["main"] = {"snapshot-id": 105, "type": "branch"}
+    with open(mp, "w") as fh:
+        json.dump(md, fh)
+
+
+def test_sync_pulls_foreign_advances(spark, tmp_path):
+    mp = _write_foreign_chain(str(tmp_path / "foreign"))
+    t = LakeTable.from_iceberg_metadata(spark, mp, str(tmp_path / "adopted"))
+    assert t.sync_from_iceberg_metadata() == 0  # already current
+    _advance_foreign_chain(mp)
+    assert t.sync_from_iceberg_metadata() == 1  # default: adopted_from
+    assert t._meta["current_snapshot_id"] == 105
+    assert _rows(t.read()) == [
+        (1, "a", 1.0, "x", "base"),
+        (4, "d", 4.0, "y", "late"),
+        (9, "i", 9.0, "z", "sync"),
+    ]
+    # foreign deletes still applied; pre-sync travel intact
+    assert _rows(t.read(snapshot_id=104)) == [
+        (1, "a", 1.0, "x", "base"),
+        (4, "d", 4.0, "y", "late"),
+    ]
+
+
+def test_sync_refuses_diverged_local_history(spark, tmp_path):
+    mp = _write_foreign_chain(str(tmp_path / "foreign"))
+    t = LakeTable.from_iceberg_metadata(spark, mp, str(tmp_path / "adopted"))
+    t.append(t.read().limit(1))  # local commit → independent fork
+    _advance_foreign_chain(mp)
+    with pytest.raises(ValueError, match="fork"):
+        t.sync_from_iceberg_metadata()
