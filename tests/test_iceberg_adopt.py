@@ -523,3 +523,70 @@ def test_sync_refuses_diverged_local_history(spark, tmp_path):
     _advance_foreign_chain(mp)
     with pytest.raises(ValueError, match="fork"):
         t.sync_from_iceberg_metadata()
+
+
+def test_adopt_multi_spec_chain(spark, tmp_path):
+    """Foreign chains evolve partition specs; files reference theirs
+    by the MANIFEST's partition-spec-id. Spec 0 (identity(cat)) files
+    and spec 1 (identity(cat) + day(ts)) files coexist in one
+    snapshot — each manifest's spec converts its own files' partition
+    structs, the default spec becomes the live write spec, and the
+    outgoing spec lands in partition_spec_history."""
+    mp = _write_foreign_chain(str(tmp_path / "foreign"))
+    md = json.load(open(mp))
+    # rewrite history: spec 0 = identity(cat) only; spec 1 adds day(ts)
+    md["partition-specs"] = [
+        {"spec-id": 0, "fields": [
+            {"field-id": 1000, "source-id": 4, "name": "cat",
+             "transform": "identity"}]},
+        {"spec-id": 1, "fields": [
+            {"field-id": 1000, "source-id": 4, "name": "cat",
+             "transform": "identity"},
+            {"field-id": 1001, "source-id": 5, "name": "ts_day",
+             "transform": "day"}]},
+    ]
+    md["default-spec-id"] = 1
+    with open(mp, "w") as fh:
+        json.dump(md, fh)
+    # split snapshot 102's data manifest: f1/f2 under spec 0 (drop the
+    # ts_day key from their structs), f3 under spec 1
+    snap102 = next(s for s in md["snapshots"] if s["snapshot-id"] == 102)
+    ml = json.load(open(snap102["manifest-list"]))
+    entries = json.load(open(ml["manifests"][0]["manifest-path"]))["entries"]
+    old, new = entries[:2], entries[2:]
+    for e in old:
+        e["data-file"]["partition"].pop("ts_day")
+    meta_dir = os.path.dirname(mp)
+    m_old = os.path.join(meta_dir, "m-102-spec0.json")
+    m_new = os.path.join(meta_dir, "m-102-spec1.json")
+    with open(m_old, "w") as fh:
+        json.dump({"partition-spec-id": 0, "entries": old}, fh)
+    with open(m_new, "w") as fh:
+        json.dump({"partition-spec-id": 1, "entries": new}, fh)
+    with open(snap102["manifest-list"], "w") as fh:
+        json.dump({"manifests": [
+            {"manifest-path": m_old, "manifest-length": os.path.getsize(m_old),
+             "content": 0, "partition-spec-id": 0},
+            {"manifest-path": m_new, "manifest-length": os.path.getsize(m_new),
+             "content": 0, "partition-spec-id": 1},
+        ]}, fh)
+
+    t = adopt_iceberg_metadata(spark, mp, str(tmp_path / "adopted_ms"))
+    # default spec live, prior spec in history
+    assert [(tr.name, tr.column) for tr in t.partition_spec] == [
+        ("identity", "cat"), ("days", "ts")]
+    assert t._meta.get("partition_spec_history") == [
+        [{"transform": "identity", "column": "cat"}]]
+    snap = t._snapshot(102)
+    by_name = {os.path.basename(e.path): e.partition for e in snap.files}
+    assert by_name["f1.parquet"] == {"_p_identity_cat": "x"}
+    assert by_name["f3.parquet"] == {
+        "_p_identity_cat": "y", "_p_days_ts": "2024-01-02"}
+    # cross-spec pruning: cat prunes both generations; ts prunes only
+    # the day-keyed generation (missing key = keep)
+    kept = {os.path.basename(e.path)
+            for e in t._prune_files(snap.files, "cat = 'y'")}
+    assert kept == {"f2.parquet", "f3.parquet"}
+    kept = {os.path.basename(e.path)
+            for e in t._prune_files(snap.files, "ts >= '2024-01-03 00:00:00'")}
+    assert kept == {"f1.parquet", "f2.parquet"}
