@@ -54,6 +54,19 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # debuts (feature-gated per VERDICT item 2, debuting green in r9).
 # REFRESH EACH ROUND: rebuild from the union of CORRECTNESS_r*.json —
 # never-green and code-touched queries first, oldest-green next.
+# ROUND-9 ROTATION PLAN (pre-staged; recompute from CORRECTNESS_r08):
+# tier (a) = the two r8 debuts, never driver-green yet
+# (iceberg_register_adopted, tpcds_cumulative_channel_crossover) plus
+# ~1 row over an r8-touched layer if any needs re-proof (the r8
+# changes are additive/feature-gated: adopt/sync/register_table are
+# new surface; the expire_snapshots external-file fix only changes
+# behavior for absolute-path files no standing row commits); tier
+# (b) = the FULL 45-query r5-latest cohort (list = the below-cap
+# block right after the 50 marker; 4-rounds-stale if skipped).
+# 2 + 45 = 47, leaving ~3 slots — fill from the oldest r6-latest
+# queries (cdc_replicate_table, datagen_tx_events_dims,
+# schema_evolution_read lead that cohort alphabetically-agnostic;
+# pick by risk). Round 10 then owes the r6 cohort (38) + r7 tail.
 PRIORITY: tuple[str, ...] = (
     # -- (a) round-7 code-touched, standing-green (7) --
     "ddl_lifecycle",                # DESCRIBE EXTENDED/FORMATTED, SHOW
