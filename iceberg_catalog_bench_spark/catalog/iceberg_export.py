@@ -491,6 +491,61 @@ def _adopt_partition(part: dict, spec_fields_by_name: dict,
     return out
 
 
+def _resolve_metadata_path(path: str) -> str:
+    """Accept a metadata.json file OR a table directory. Directories
+    resolve the HadoopCatalog way: ``metadata/version-hint.text``
+    names the current version N → ``vN.metadata.json``; without a
+    hint, the highest ``vN.metadata.json`` under ``metadata/`` (or
+    the directory itself) wins."""
+    if os.path.isfile(path):
+        return path
+    meta_dir = path
+    for cand in (os.path.join(path, "metadata"), path):
+        if os.path.isdir(cand):
+            meta_dir = cand
+            hint = os.path.join(cand, "version-hint.text")
+            if os.path.isfile(hint):
+                with open(hint) as fh:
+                    n = fh.read().strip()
+                vf = os.path.join(cand, f"v{n}.metadata.json")
+                if os.path.isfile(vf):
+                    return vf
+            break
+    versions = []
+    for fn in os.listdir(meta_dir):
+        m = re.match(r"^v(\d+)\.metadata\.json$", fn)
+        if m:
+            versions.append((int(m.group(1)), fn))
+    if not versions:
+        raise FileNotFoundError(
+            f"no vN.metadata.json found under {meta_dir!r}")
+    return os.path.join(meta_dir, max(versions)[1])
+
+
+def _footer_schema_id(path: str, schemas: list, default_id: int) -> int:
+    """Last-resort writing-schema attribution: when a data file's
+    adding snapshot was EXPIRED out of the chain (its manifest entry
+    survives with an unknown snapshot-id), pick the schema generation
+    whose field names match the parquet footer — newest exact match
+    first, newest superset as fallback (a reader projects a subset
+    fine). Loud when nothing matches: silently defaulting would
+    misbind columns after a rename."""
+    import pyarrow.parquet as pq
+
+    names = set(pq.ParquetFile(path).schema_arrow.names)
+    by_newest = sorted(schemas, key=lambda s: -s["schema-id"])
+    for s in by_newest:
+        if {f["name"] for f in s["fields"]} == names:
+            return s["schema-id"]
+    for s in by_newest:
+        if names <= {f["name"] for f in s["fields"]}:
+            return s["schema-id"]
+    raise ValueError(
+        f"data file {path!r} matches no schema generation by footer "
+        f"column names {sorted(names)}; cannot attribute a writing schema"
+    )
+
+
 def _parse_iceberg_v2(metadata_path: str) -> dict:
     """Walk an Iceberg v2 metadata chain (metadata.json → manifest
     lists → manifests) into LakeTable's native metadata document —
@@ -620,9 +675,14 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
                     continue
                 d = e["data-file"]
                 added_in = e.get("snapshot-id", s["snapshot-id"])
-                schema_id = d.get("schema-id", snap_schema.get(
-                    added_in, cur_schema_id))
+                schema_id = d.get("schema-id", snap_schema.get(added_in))
                 if d.get("content", 0) == 0:
+                    if schema_id is None:
+                        # adding snapshot expired out of the chain —
+                        # attribute the writing schema by footer probe
+                        schema_id = _footer_schema_id(
+                            _strip_scheme(d["file-path"]),
+                            md["schemas"], cur_schema_id)
                     lows = _rebind_bounds(d.get("lower-bounds"), schema_id)
                     highs = _rebind_bounds(d.get("upper-bounds"), schema_id)
                     files.append({
@@ -640,6 +700,8 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
                         "seq": d.get("data-sequence-number", 0),
                     })
                 else:
+                    if schema_id is None:
+                        schema_id = cur_schema_id
                     eq_ids = d.get("equality-ids") or []
                     eq_cols = [names_by_id[i] for i in eq_ids
                                if i in names_by_id]
@@ -740,7 +802,9 @@ def adopt_iceberg_metadata(
     dest_path = os.path.abspath(dest_path)
     if os.path.exists(os.path.join(dest_path, _META_DIR, _META_FILE)):
         raise FileExistsError(f"table already exists at {dest_path}")
-    meta = _parse_iceberg_v2(metadata_path)
+    meta = _parse_iceberg_v2(_resolve_metadata_path(metadata_path))
+    # sync re-resolves a DIRECTORY each time, catching new version files
+    meta["adopted_from"] = os.path.abspath(metadata_path)
     os.makedirs(os.path.join(dest_path, _META_DIR), exist_ok=True)
     os.makedirs(os.path.join(dest_path, _DATA_DIR), exist_ok=True)
     t = LakeTable(spark, dest_path, meta)
@@ -771,7 +835,8 @@ def sync_iceberg_metadata(table: LakeTable, metadata_path: str | None = None) ->
             "table was not adopted from an Iceberg chain and no "
             "metadata_path was given"
         )
-    fresh = _parse_iceberg_v2(metadata_path)
+    fresh = _parse_iceberg_v2(_resolve_metadata_path(metadata_path))
+    fresh["adopted_from"] = os.path.abspath(metadata_path)
     # identity = (id, commit timestamp): a LOCAL commit takes
     # max(id)+1, which can collide with the foreign writer's next id —
     # an id-only check would mistake the fork for a known snapshot

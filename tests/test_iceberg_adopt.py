@@ -590,3 +590,58 @@ def test_adopt_multi_spec_chain(spark, tmp_path):
     kept = {os.path.basename(e.path)
             for e in t._prune_files(snap.files, "ts >= '2024-01-03 00:00:00'")}
     assert kept == {"f1.parquet", "f2.parquet"}
+
+
+def test_adopt_from_directory_with_version_hint(spark, tmp_path):
+    """HadoopCatalog layout: adopting a table DIRECTORY resolves
+    metadata/version-hint.text → vN.metadata.json; without a hint the
+    highest version wins. A directory-adopted table re-resolves on
+    sync, so a foreign writer publishing v5 is picked up."""
+    root = str(tmp_path / "foreign")
+    _write_foreign_chain(root)  # writes <root>/metadata/v4.metadata.json
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("4")
+    t = LakeTable.from_iceberg_metadata(spark, root, str(tmp_path / "a1"))
+    assert t._meta["current_snapshot_id"] == 104
+    # no hint → highest vN wins
+    os.remove(os.path.join(root, "metadata", "version-hint.text"))
+    t2 = LakeTable.from_iceberg_metadata(spark, root, str(tmp_path / "a2"))
+    assert t2._meta["current_snapshot_id"] == 104
+    # foreign writer publishes a NEW version file; dir-adopt re-resolves
+    mp4 = os.path.join(root, "metadata", "v4.metadata.json")
+    _advance_foreign_chain(mp4)  # rewrites v4 in place ...
+    os.rename(mp4, os.path.join(root, "metadata", "v5.metadata.json"))
+    assert t2.sync_from_iceberg_metadata() == 1
+    assert t2._meta["current_snapshot_id"] == 105
+
+
+def test_adopt_expired_adding_snapshot_uses_footer_probe(spark, tmp_path):
+    """A manifest entry whose adding snapshot was expired out of the
+    chain still attributes its writing schema — by probing the parquet
+    footer's column names against the schema generations (newest exact
+    match). f1 was written pre-rename: binding the current schema
+    would fail to resolve `name`."""
+    mp = _write_foreign_chain(str(tmp_path / "foreign"))
+    for snap in json.load(open(mp))["snapshots"]:
+        ml = json.load(open(snap["manifest-list"]))
+        for m in ml["manifests"]:
+            man = json.load(open(m["manifest-path"]))
+            changed = False
+            for e in man["entries"]:
+                if e["data-file"]["file-path"].endswith(
+                        ("f1.parquet", "f2.parquet")):
+                    e["snapshot-id"] = 99  # expired, unknown to the chain
+                    changed = True
+            if changed:
+                with open(m["manifest-path"], "w") as fh:
+                    json.dump(man, fh)
+    t = adopt_iceberg_metadata(spark, mp, str(tmp_path / "adopted_fp"))
+    snap = t._snapshot(102)
+    by_name = {os.path.basename(e.path): e.schema_version
+               for e in snap.files}
+    assert by_name["f1.parquet"] == 0  # footer {k,name,...} = schema 0
+    assert by_name["f3.parquet"] == 1
+    assert _rows(t.read()) == [
+        (1, "a", 1.0, "x", "base"),
+        (4, "d", 4.0, "y", "late"),
+    ]
