@@ -1295,8 +1295,20 @@ class LakeTable:
             F.col("file_path").cast("string"), F.col("pos").cast("bigint")
         ).write.mode("overwrite").parquet(out_dir)
         back = self.spark.read.parquet(out_dir)
+
+        def _entry_dialect(p: str) -> str:
+            # must spell EXACTLY like the FileEntry it tombstones:
+            # table-relative for table-owned files, absolute for
+            # EXTERNAL files registered in place (migrate_parquet /
+            # add_files / snapshot_of / from_iceberg_metadata) — a
+            # blind relpath renders those as ../../… and the read
+            # path's referenced-file match silently never fires
+            ap = os.path.abspath(p)
+            return (os.path.relpath(ap, self.path)
+                    if ap.startswith(self.path + os.sep) else ap)
+
         referenced = sorted(
-            os.path.relpath(r["file_path"], self.path)
+            _entry_dialect(r["file_path"])
             for r in back.select("file_path").distinct().collect()
         )
         entries: list[DeleteFileEntry] = []

@@ -645,3 +645,46 @@ def test_adopt_expired_adding_snapshot_uses_footer_probe(spark, tmp_path):
         (1, "a", 1.0, "x", "base"),
         (4, "d", 4.0, "y", "late"),
     ]
+
+
+def test_adopt_inverts_own_export(spark, tmp_path):
+    """adopt(export(t)) must reproduce t: the two functions are
+    inverses over the shared v2 dialect — evolution, partitioning
+    (native `_p_*` structs pass through), MoR position deletes, tags
+    and time travel all round-trip, and continued DML works on the
+    adopted side."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "src"),
+        "k bigint, name string, v double, ts timestamp",
+        partition_by=["days(ts)"],
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.append(spark.sql(
+        "SELECT id AS k, CONCAT('n', id) AS name, CAST(id AS DOUBLE) AS v, "
+        "TIMESTAMP'2024-01-01 00:00:00' + MAKE_INTERVAL(0,0,0,0,0,CAST(id AS INT),0) AS ts "
+        "FROM RANGE(20)"))
+    t.rename_column("name", "label")
+    t.add_column("tag", "string", default="base")
+    t.append(spark.createDataFrame(
+        [(100, "x", 100.0, datetime.datetime(2024, 2, 1), "late")],
+        "k bigint, label string, v double, ts timestamp, tag string"))
+    t.delete_where("k = 3")  # MoR tombstone
+    t.create_tag("v1")
+    meta_path = to_iceberg_metadata(t)
+
+    a = adopt_iceberg_metadata(spark, meta_path, str(tmp_path / "adopted"))
+    cols = ("k", "label", "v", "tag")
+    native = sorted(tuple(r[c] for c in cols) for r in t.read().collect())
+    adopted_rows = sorted(tuple(r[c] for c in cols) for r in a.read().collect())
+    assert adopted_rows == native
+    assert sorted(
+        tuple(r[c] for c in cols) for r in a.read_tag("v1").collect()
+    ) == native
+    # partition values passed through the native dialect → pruning works
+    snap = a._snapshot()
+    assert all("_p_days_ts" in e.partition for e in snap.files)
+    assert len(a._prune_files(snap.files, "ts >= '2024-02-01 00:00:00'")) < len(snap.files)
+    # continued DML on the adopted side
+    a.delete_where("k = 100")
+    assert a.read().filter("k = 100").count() == 0
+    assert t.read().filter("k = 100").count() == 1  # source untouched
