@@ -518,17 +518,17 @@ def tpcds_multi_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH base AS (SELECT l_returnflag AS rf, "
         "CAST(EXTRACT(year FROM l_shipdate) * 12 "
         "+ EXTRACT(month FROM l_shipdate) AS BIGINT) AS m, "
-        "l_linenumber, "
+        "l_orderkey, "
         "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents "
         "FROM lineitem), "
         "webc AS (SELECT rf, m, SUM(web_cents) OVER "
         "(PARTITION BY rf ORDER BY m ROWS UNBOUNDED PRECEDING) AS web_cume "
         "FROM (SELECT rf, m, SUM(cents) AS web_cents FROM base "
-        "WHERE l_linenumber % 2 = 0 GROUP BY rf, m)), "
+        "WHERE l_orderkey % 2 = 0 GROUP BY rf, m)), "
         "storec AS (SELECT rf, m, SUM(store_cents) OVER "
         "(PARTITION BY rf ORDER BY m ROWS UNBOUNDED PRECEDING) AS store_cume "
         "FROM (SELECT rf, m, SUM(cents) AS store_cents FROM base "
-        "WHERE l_linenumber % 2 = 1 GROUP BY rf, m)), "
+        "WHERE l_orderkey % 2 = 1 GROUP BY rf, m)), "
         "x AS (SELECT COALESCE(w.rf, s.rf) AS rf, COALESCE(w.m, s.m) AS m, "
         "w.web_cume, s.store_cume "
         "FROM webc w FULL OUTER JOIN storec s ON w.rf = s.rf AND w.m = s.m), "
@@ -544,8 +544,10 @@ def tpcds_multi_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpcds_cumulative_channel_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS Q51 shape — WINDOW OVER A JOIN OF AGGREGATES: two sales
-    channels (even vs odd line numbers — the fixture's stand-in for
-    web vs store) each aggregate to a
+    channels (even vs odd order keys — the fixture's stand-in for web
+    vs store; near-equal halves, so the series genuinely cross, unlike
+    a line-number split where line 1 exists in every order and one
+    channel dominates forever) each aggregate to a
     per-(returnflag, month) cumulative series, the two series FULL
     OUTER join on their (group, month) spine (either channel may skip
     a month), a running MAX carries each channel's last-seen
@@ -566,7 +568,7 @@ def tpcds_cumulative_channel_crossover(spark: SparkSession, sf_dir: str) -> Data
     from pyspark.sql import Window as W
 
     li = load_table(spark, "lineitem", sf_dir).select(
-        "l_returnflag", "l_shipdate", "l_linenumber",
+        "l_returnflag", "l_shipdate", "l_orderkey",
         "l_extendedprice", "l_discount",
     )
     cents = F.round(
@@ -576,7 +578,7 @@ def tpcds_cumulative_channel_crossover(spark: SparkSession, sf_dir: str) -> Data
         F.col("l_returnflag").alias("rf"),
         (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
         .cast("bigint").alias("m"),
-        "l_linenumber",
+        "l_orderkey",
         cents.alias("cents"),
     )
     cume = W.partitionBy("rf").orderBy("m").rowsBetween(
@@ -593,8 +595,8 @@ def tpcds_cumulative_channel_crossover(spark: SparkSession, sf_dir: str) -> Data
             )
         )
 
-    web = channel(base.filter(F.col("l_linenumber") % 2 == 0), "web")
-    store = channel(base.filter(F.col("l_linenumber") % 2 == 1), "store")
+    web = channel(base.filter(F.col("l_orderkey") % 2 == 0), "web")
+    store = channel(base.filter(F.col("l_orderkey") % 2 == 1), "store")
     x = web.join(store, on=["rf", "m"], how="full_outer")
     return (
         x.select(

@@ -469,5 +469,5 @@ def test_tpcds_q51_aggregates_before_full_outer_join(spark, oracle_sf_dir):
     scans = [l for l in final.splitlines() if "FileScan parquet" in l]
     assert len(scans) == 2
     for s in scans:
-        assert "l_linenumber" in s.split("DataFilters", 1)[1]
-        assert "l_orderkey" not in s, "scan must prune unused columns"
+        assert "l_orderkey" in s.split("DataFilters", 1)[1]
+        assert "l_quantity" not in s, "scan must prune unused columns"
