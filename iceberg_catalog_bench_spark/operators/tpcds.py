@@ -611,3 +611,73 @@ def tpcds_cumulative_channel_crossover(spark: SparkSession, sf_dir: str) -> Data
             F.round(F.col("store_run") / F.lit(100e0), 2).alias("store_cumulative"),
         )
     )
+
+
+@register(
+    "tpcds_topn_over_rollup",
+    oracle=(
+        # Q67: rank WITHIN each returnflag over ALL its rollup grains
+        # (month / year / flag-total cells compete in one ranking),
+        # top-5 kept; grand-total rows rank in their own 'ALL' bucket.
+        # Integer cents end-to-end; rank ties are engine-identical.
+        "WITH cells AS ("
+        "SELECT l_returnflag AS rf, "
+        "CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS y, "
+        "CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS m, "
+        "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) "
+        "AS cents "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, y, m)), "
+        "ranked AS (SELECT COALESCE(rf, 'ALL') AS rf, "
+        "COALESCE(y, 0) AS y, COALESCE(m, 0) AS m, cents, "
+        "RANK() OVER (PARTITION BY COALESCE(rf, 'ALL') "
+        "ORDER BY cents DESC) AS rk FROM cells) "
+        "SELECT rf, y, m, ROUND(cents / 100.0, 2) AS sales, rk "
+        "FROM ranked WHERE rk <= 5"
+    ),
+)
+def tpcds_topn_over_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q67 shape — TOP-N OVER A GROUPING-SETS ROLLUP: one pass
+    aggregates every grain of (returnflag, year, month) via ROLLUP,
+    then a rank window WITHIN each returnflag lets its month cells,
+    year cells and flag-total compete in one ranking; the report keeps
+    the top 5 per flag (the "which grains dominate" drill-down shape).
+
+    Plan shape — AGGREGATE-BEFORE-WINDOW with rank-limit pushdown: the
+    fact shuffles once into the rollup's Expand+aggregate, so the rank
+    window sees |grains| cells, never raw rows, and Spark's
+    WindowGroupLimit keeps only each partition's running top-5 on the
+    map side of the window sort — at 100 TB the window input is
+    hundreds of rows and the limit bounds even that. Integer cents
+    end-to-end; RANK ties resolve identically on both engines."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    from pyspark.sql import Window as W
+
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    cells = (
+        li.select(
+            F.col("l_returnflag").alias("rf"),
+            F.year("l_shipdate").cast("bigint").alias("y"),
+            F.month("l_shipdate").cast("bigint").alias("m"),
+            cents.alias("c"),
+        )
+        .rollup("rf", "y", "m")
+        .agg(F.sum("c").alias("cents"))
+        .select(
+            F.coalesce("rf", F.lit("ALL")).alias("rf"),
+            F.coalesce("y", F.lit(0)).cast("bigint").alias("y"),
+            F.coalesce("m", F.lit(0)).cast("bigint").alias("m"),
+            "cents",
+        )
+    )
+    ranked = cells.withColumn(
+        "rk", F.rank().over(W.partitionBy("rf").orderBy(F.col("cents").desc()))
+    )
+    return ranked.filter(F.col("rk") <= 5).select(
+        "rf", "y", "m",
+        F.round(F.col("cents") / F.lit(100e0), 2).alias("sales"),
+        F.col("rk").cast("bigint").alias("rk"),
+    )

@@ -471,3 +471,18 @@ def test_tpcds_q51_aggregates_before_full_outer_join(spark, oracle_sf_dir):
     for s in scans:
         assert "l_orderkey" in s.split("DataFilters", 1)[1]
         assert "l_quantity" not in s, "scan must prune unused columns"
+
+
+def test_tpcds_q67_rollup_before_ranked_window(spark, oracle_sf_dir):
+    """Q67 shape (top-N over a grouping-sets rollup): one fact scan
+    feeds the rollup's Expand+aggregate BELOW the rank window — the
+    window sees |grains| cells, never raw rows — and the rk <= 5
+    filter pushes a WindowGroupLimit (per-partition running top-5)
+    under the window sort."""
+    plan = _plan("tpcds_topn_over_rollup", spark, oracle_sf_dir)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "WindowGroupLimit" in final, "rank filter must push a group limit"
+    assert "Expand" in final, "rollup grains via one Expand, not re-scans"
+    assert final.index("Window") < final.index("Expand"), \
+        "the rollup aggregate must sit below the rank window"
+    assert final.count("FileScan parquet") == 1, "one fact scan for all grains"
