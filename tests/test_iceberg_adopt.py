@@ -688,3 +688,48 @@ def test_adopt_inverts_own_export(spark, tmp_path):
     a.delete_where("k = 100")
     assert a.read().filter("k = 100").count() == 0
     assert t.read().filter("k = 100").count() == 1  # source untouched
+
+
+def test_adopted_table_serves_laketable_stream(spark, tmp_path):
+    """An adopted table is a first-class `laketable` source: batch
+    read and incremental streaming work over the foreign-referenced
+    files once compaction folds the outstanding MoR tombstones (the
+    source's append-only contract), and a post-adoption append
+    streams incrementally without redelivery."""
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        register_source,
+    )
+
+    register_source(spark)
+    mp = _write_foreign_chain(str(tmp_path / "foreign"))
+    t = LakeTable.from_iceberg_metadata(spark, mp, str(tmp_path / "adopted"))
+    t.rewrite_data_files(min_input_files=1)  # fold foreign tombstones
+
+    bdf = spark.read.format("laketable").option("path", t.path).load()
+    assert sorted(r["k"] for r in bdf.collect()) == [1, 4]
+
+    # stream NEW commits from the compacted head (the adopted
+    # delete/rewrite lineage is history, not a replayable feed)
+    head = t._meta["current_snapshot_id"]
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+
+    def drain():
+        q = (spark.readStream.format("laketable").option("path", t.path)
+             .option("starting-snapshot-id", str(head))
+             .load().writeStream.format("parquet")
+             .option("path", sink).trigger(availableNow=True)
+             .option("checkpointLocation", ck).start())
+        q.awaitTermination(300)
+
+    t.append(spark.createDataFrame(
+        [(7, "g", 7.0, "z", datetime.datetime(2024, 1, 9), "new")],
+        "k bigint, label string, v double, cat string, ts timestamp, tag string"
+    ).select("k", "label", "v", "cat", "ts", "tag"))
+    drain()
+    assert sorted(r["k"] for r in spark.read.parquet(sink).collect()) == [7]
+    t.append(spark.createDataFrame(
+        [(8, "h", 8.0, "z", datetime.datetime(2024, 1, 10), "new")],
+        "k bigint, label string, v double, cat string, ts timestamp, tag string"
+    ).select("k", "label", "v", "cat", "ts", "tag"))
+    drain()  # incremental: no redelivery of 7
+    assert sorted(r["k"] for r in spark.read.parquet(sink).collect()) == [7, 8]
