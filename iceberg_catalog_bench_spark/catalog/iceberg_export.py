@@ -29,7 +29,14 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .table import _DATA_DIR, _META_DIR, _META_FILE, LakeTable, _strip_scheme
+from .table import (
+    _DATA_DIR,
+    _HIVE_NULL,
+    _META_DIR,
+    _META_FILE,
+    LakeTable,
+    _strip_scheme,
+)
 from .transforms import Transform
 
 # Spark DDL type → Iceberg primitive type name
@@ -479,7 +486,12 @@ def _adopt_partition(part: dict, spec_fields_by_name: dict,
         if f is None or col is None:
             continue
         tr = f["transform"]
-        if tr == "identity":
+        if v is None:
+            # null transform source → the native null sentinel (NOT
+            # the string "None", which could wrongly equality-prune)
+            if tr in ("identity", "day"):
+                out[f"_p_{_ICEBERG_TO_NATIVE_TRANSFORM[tr]}_{col}"] = _HIVE_NULL
+        elif tr == "identity":
             out[f"_p_identity_{col}"] = str(v)
         elif tr == "day":
             if isinstance(v, int) and not isinstance(v, bool):
@@ -850,10 +862,12 @@ def sync_iceberg_metadata(table: LakeTable, metadata_path: str | None = None) ->
         diverged = local_keys - foreign_keys
         if diverged:
             raise ValueError(
-                f"local table has {len(diverged)} commit(s) the foreign "
+                f"local table has {len(diverged)} snapshot(s) the foreign "
                 f"chain does not know (e.g. snapshot "
-                f"{sorted(diverged)[0][0]}); it is an independent fork "
-                "now — cannot sync"
+                f"{sorted(diverged)[0][0]}) — either local commits forked "
+                "the history, or the foreign writer expired those "
+                "snapshots; cannot fast-forward (re-adopt to a fresh "
+                "table if the foreign chain is the one to follow)"
             )
         pulled["n"] = len(foreign_keys - local_keys)
         table._meta.clear()
