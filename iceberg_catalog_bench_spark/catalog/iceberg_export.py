@@ -439,12 +439,21 @@ _ICEBERG_TO_NATIVE_TRANSFORM = {
 }
 
 
-def _native_spec_json(spec_fields: list, names_by_id: dict[int, str]) -> list:
-    """Iceberg partition-spec fields → native Transform JSON list."""
+def _native_spec_json(
+    spec_fields: list, names_by_id: dict[int, str], strict: bool = True
+) -> list:
+    """Iceberg partition-spec fields → native Transform JSON list.
+
+    ``strict=False`` (historical, non-default specs): a field sourced
+    from a column no schema generation still records is SKIPPED rather
+    than blocking the whole adoption — that spec is only history; no
+    live write will ever use it."""
     out = []
     for f in spec_fields:
         col = names_by_id.get(f["source-id"])
         if col is None:
+            if not strict:
+                continue
             raise ValueError(
                 f"partition spec field {f.get('name')!r} references "
                 f"unknown source-id {f.get('source-id')}"
@@ -629,6 +638,13 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
         s["schema-id"]: {f["id"]: f["name"] for f in s["fields"]}
         for s in md["schemas"]
     }
+    # historical specs may source since-dropped columns: resolve ids
+    # against the UNION of all schema generations (current names win)
+    union_names_by_id: dict[int, str] = {}
+    for s in sorted(md["schemas"], key=lambda s: s["schema-id"]):
+        for f in s["fields"]:
+            union_names_by_id[f["id"]] = f["name"]
+    union_names_by_id.update(names_by_id)
 
     # --- partition specs (default live, rest history) ---
     spec_jsons = md.get("partition-specs") or []
@@ -636,7 +652,10 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
     native_specs: dict[int, list] = {}
     spec_fields_by_id: dict[int, dict] = {}
     for sp in spec_jsons:
-        native_specs[sp["spec-id"]] = _native_spec_json(sp["fields"], names_by_id)
+        native_specs[sp["spec-id"]] = _native_spec_json(
+            sp["fields"], union_names_by_id,
+            strict=sp["spec-id"] == default_spec_id,
+        )
         spec_fields_by_id[sp["spec-id"]] = {
             f["name"]: f for f in sp["fields"]
         }
@@ -674,6 +693,11 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
     native_snapshots = []
     order_key = lambda s: (s.get("sequence-number", 0), s["snapshot-id"])  # noqa: E731
     for s in sorted(md["snapshots"], key=order_key):
+        # Iceberg sequence inheritance: an entry with no explicit
+        # data-sequence-number takes its snapshot's sequence number
+        # (defaulting to 0 would make the file strictly older than
+        # every equality delete — wrongly retracting its rows)
+        snap_seq = s.get("sequence-number", 0)
         with open(_strip_scheme(s["manifest-list"])) as fh:
             mlist = json.load(fh)
         files: list[dict] = []
@@ -709,7 +733,7 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
                             spec_fields_by_id.get(spec_id, {}),
                             names_by_id,
                         ),
-                        "seq": d.get("data-sequence-number", 0),
+                        "seq": d.get("data-sequence-number", snap_seq),
                     })
                 else:
                     if schema_id is None:
@@ -748,7 +772,7 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
                         "content": ("position" if d.get("content") == 1
                                     else "equality"),
                         "equality_cols": eq_cols,
-                        "seq": d.get("data-sequence-number", 0),
+                        "seq": d.get("data-sequence-number", snap_seq),
                         **({"file_cols": file_cols}
                            if d.get("content") == 2 else {}),
                     })
@@ -787,7 +811,12 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
     ident_ids = current.get("identifier-field-ids") or []
     meta = {
         "format_version": 2,
-        "next_field_id": last_column_id + 1,
+        # honor the chain's authoritative last-column-id: if the
+        # foreign table dropped its highest-id columns (and pruned
+        # those schema generations), allocating from the surviving max
+        # would REUSE a historical field id and corrupt by-id
+        # resolution against surviving bounds/delete metadata
+        "next_field_id": max(last_column_id, md.get("last-column-id", 0)) + 1,
         "current_schema_version": cur_schema_id,
         "schemas": schemas,
         "partition_spec": partition_spec,
@@ -841,6 +870,7 @@ def sync_iceberg_metadata(table: LakeTable, metadata_path: str | None = None) ->
     properties and heads all move to the foreign chain's current
     state under the commit lock. Returns the number of new snapshots
     folded in."""
+    explicit = metadata_path is not None
     metadata_path = metadata_path or table._meta.get("adopted_from")
     if not metadata_path:
         raise ValueError(
@@ -848,7 +878,16 @@ def sync_iceberg_metadata(table: LakeTable, metadata_path: str | None = None) ->
             "metadata_path was given"
         )
     fresh = _parse_iceberg_v2(_resolve_metadata_path(metadata_path))
-    fresh["adopted_from"] = os.path.abspath(metadata_path)
+    # An explicit vN.metadata.json override is a one-shot pull: keep
+    # following the ORIGINAL adoption source afterwards — overwriting
+    # it would permanently pin a directory-adopted table to that one
+    # version file and future default syncs would stop seeing newer
+    # versions
+    orig = table._meta.get("adopted_from")
+    if explicit and orig and not os.path.isdir(metadata_path):
+        fresh["adopted_from"] = orig
+    else:
+        fresh["adopted_from"] = os.path.abspath(metadata_path)
     # identity = (id, commit timestamp): a LOCAL commit takes
     # max(id)+1, which can collide with the foreign writer's next id —
     # an id-only check would mistake the fork for a known snapshot
@@ -946,8 +985,12 @@ def read_via_iceberg_metadata(
         out = out.unionByName(p)
     if delete_paths:
         # merge-on-read, content=1: (file_path, pos) tombstones applied
-        # as a broadcast anti-join
-        tomb = spark.read.parquet(*delete_paths).select("file_path", "pos")
+        # as a broadcast anti-join; the delete parquet may spell paths
+        # as URIs (file:///...) — normalize both sides
+        tomb = spark.read.parquet(*delete_paths).select(
+            F.regexp_replace("file_path", "^file:/+", "/").alias("file_path"),
+            "pos",
+        )
         stripped = F.regexp_replace(F.col("_ice_file"), "^file:/+", "/")
         out = out.join(
             F.broadcast(tomb),
@@ -1122,7 +1165,8 @@ def duckdb_scan_sql(metadata_path: str, snapshot_id: int | None = None) -> str:
         dlist = ", ".join("'" + p.replace("'", "''") + "'" for p in delete_paths)
         conds.append(
             f"NOT EXISTS (SELECT 1 FROM read_parquet([{dlist}]) _pd "
-            f"WHERE _pd.file_path = _data._f AND _pd.pos = _data._pos)"
+            f"WHERE regexp_replace(_pd.file_path, '^file:/+', '/') = _data._f "
+            f"AND _pd.pos = _data._pos)"
         )
     target_by_id = {f["id"]: f["name"] for f in target["fields"]}
     for d in eq_deletes:

@@ -1218,7 +1218,13 @@ class LakeTable:
             stripped = F.regexp_replace(F.col("_lake_file"), "^file:/+", "/")
             if pos_dels and any(e.path in referenced for e in dirty):
                 del_paths = [os.path.join(self.path, d.path) for d in pos_dels]
-                tomb = self.spark.read.parquet(*del_paths).select("file_path", "pos")
+                # normalize BOTH sides: a foreign writer may record URI
+                # spellings (file:///...) INSIDE the delete parquet, not
+                # just in manifest metadata
+                tomb = self.spark.read.parquet(*del_paths).select(
+                    F.regexp_replace("file_path", "^file:/+", "/").alias("file_path"),
+                    "pos",
+                )
                 if sum(d.bytes for d in pos_dels) <= _BROADCAST_DELETE_BYTES:
                     tomb = F.broadcast(tomb)
                 df = df.join(

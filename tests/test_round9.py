@@ -1,0 +1,266 @@
+"""Round-9 regression pins for the ADVICE r8 findings — all five are
+adoption-path semantics an external (foreign-written) Iceberg chain can
+legitimately exercise:
+
+1. (medium) a position-delete parquet whose ``file_path`` column spells
+   URIs (``file:///...``) must still tombstone rows — both sides of the
+   MoR anti-join normalize the scheme now;
+2. a manifest entry with NO explicit data-sequence-number inherits its
+   snapshot's sequence number (Iceberg sequence inheritance) — a seq-0
+   default made every such file strictly older than every equality
+   delete, wrongly retracting its rows;
+3. ``next_field_id`` honors the chain's authoritative ``last-column-id``
+   so ADD COLUMN after adoption can never reuse a historical field id;
+4. syncing once against an explicit ``vN.metadata.json`` must NOT pin a
+   directory-adopted table to that file — future default syncs keep
+   resolving the directory;
+5. a HISTORICAL partition spec sourcing a since-dropped column id is
+   skipped, not fatal — only the default spec resolves strictly.
+"""
+
+import json
+import os
+
+import duckdb
+import pytest
+
+from iceberg_catalog_bench_spark.catalog.table import LakeTable
+
+SCHEMA = {
+    "type": "struct", "schema-id": 0,
+    "fields": [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "v", "required": False, "type": "string"},
+    ],
+}
+
+
+def _chain(root, snapshots, *, schemas=None, specs=None, default_spec=0,
+           last_column_id=2, current_schema=0):
+    """Author a minimal foreign Iceberg v2 chain: ``snapshots`` is a
+    list of (snapshot_id, sequence_number, manifests) where manifests
+    is a list of (name, content, entries)."""
+    meta = os.path.join(root, "metadata")
+    os.makedirs(meta, exist_ok=True)
+    snap_docs = []
+    parent = None
+    for sid, seq, manifests in snapshots:
+        refs = []
+        for name, content, entries in manifests:
+            mp = os.path.join(meta, name)
+            if not os.path.exists(mp):
+                with open(mp, "w") as fh:
+                    json.dump({"partition-spec-id": 0, "entries": entries}, fh)
+            refs.append({"manifest-path": mp,
+                         "manifest-length": os.path.getsize(mp),
+                         "content": content, "partition-spec-id": 0})
+        ml = os.path.join(meta, f"sl-{sid}.json")
+        with open(ml, "w") as fh:
+            json.dump({"manifests": refs}, fh)
+        snap_docs.append({
+            "snapshot-id": sid,
+            **({"parent-snapshot-id": parent} if parent else {}),
+            "sequence-number": seq,
+            "timestamp-ms": 1_700_000_000_000 + seq * 1000,
+            "manifest-list": ml,
+            "schema-id": current_schema,
+            "summary": {"operation": "append"},
+        })
+        parent = sid
+    md = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-0000000000r9",
+        "location": root,
+        "last-sequence-number": snap_docs[-1]["sequence-number"],
+        "last-updated-ms": 1_700_000_009_000,
+        "last-column-id": last_column_id,
+        "current-schema-id": current_schema,
+        "schemas": schemas or [SCHEMA],
+        "default-spec-id": default_spec,
+        "partition-specs": specs or [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": snap_docs[-1]["snapshot-id"],
+        "snapshots": snap_docs,
+        "snapshot-log": [], "metadata-log": [], "refs": {},
+    }
+    n = len(snap_docs)
+    mp = os.path.join(meta, f"v{n}.metadata.json")
+    with open(mp, "w") as fh:
+        json.dump(md, fh)
+    return mp
+
+
+def _data_file(path, rows, *, seq=None, content=0, extra=None):
+    d = {
+        "content": content,
+        "file-path": path,
+        "file-format": "PARQUET",
+        "partition": {},
+        "record-count": rows,
+        "file-size-in-bytes": os.path.getsize(path),
+        **(extra or {}),
+    }
+    if seq is not None:
+        d["data-sequence-number"] = seq
+    return {"status": 1, "data-file": d}
+
+
+def _parquet(path, sql):
+    duckdb.sql(f"COPY ({sql}) TO '{path}' (FORMAT PARQUET)")
+    return path
+
+
+def test_adopt_uri_spelled_position_delete_payload(spark, tmp_path):
+    """ADVICE medium: delete parquet stores file:///... paths — the
+    tombstone must still match the plain-path data file."""
+    root = str(tmp_path / "foreign")
+    data = os.path.join(root, "data")
+    os.makedirs(data)
+    f1 = _parquet(os.path.join(data, "f1.parquet"),
+                  "SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'a'), "
+                  "(CAST(2 AS BIGINT), 'b'), (CAST(3 AS BIGINT), 'c')) t(k, v)")
+    pd1 = _parquet(os.path.join(data, "pd1.parquet"),
+                   f"SELECT 'file://{f1}' AS file_path, CAST(1 AS BIGINT) AS pos")
+    e1 = _data_file(f1, 3, seq=1)
+    e1["snapshot-id"] = 1
+    pd = _data_file(pd1, 1, seq=2, content=1,
+                    extra={"referenced-data-files": [f1]})
+    pd["snapshot-id"] = 2
+    mp = _chain(root, [
+        (1, 1, [("m1.json", 0, [e1])]),
+        (2, 2, [("m1.json", 0, [e1]), ("d2.json", 1, [pd])]),
+    ])
+    t = LakeTable.from_iceberg_metadata(spark, mp, str(tmp_path / "adopted"))
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == [
+        (1, "a"), (3, "c")
+    ]
+
+
+def test_adopt_sequence_inheritance_protects_new_files(spark, tmp_path):
+    """An entry with no explicit data-sequence-number inherits its
+    snapshot's sequence: a file appended AFTER an equality delete must
+    not be retracted by it (seq-0 default made it strictly older than
+    every delete)."""
+    root = str(tmp_path / "foreign")
+    data = os.path.join(root, "data")
+    os.makedirs(data)
+    f1 = _parquet(os.path.join(data, "f1.parquet"),
+                  "SELECT CAST(1 AS BIGINT) AS k, 'a' AS v")
+    eq1 = _parquet(os.path.join(data, "eq1.parquet"),
+                   "SELECT CAST(2 AS BIGINT) AS k")
+    f2 = _parquet(os.path.join(data, "f2.parquet"),
+                  "SELECT CAST(2 AS BIGINT) AS k, 'b-after' AS v")
+    e1 = _data_file(f1, 1, seq=1)
+    e1["snapshot-id"] = 1
+    eq = _data_file(eq1, 1, seq=2, content=2,
+                    extra={"equality-ids": [1],
+                           "equality-field-names": ["k"]})
+    eq["snapshot-id"] = 2
+    e2 = _data_file(f2, 1)  # NO explicit seq — inherits snapshot 3's seq 3
+    e2["snapshot-id"] = 3
+    mp = _chain(root, [
+        (1, 1, [("m1.json", 0, [e1])]),
+        (2, 2, [("m1.json", 0, [e1]), ("d2.json", 1, [eq])]),
+        (3, 3, [("m3.json", 0, [e1, e2]), ("d2.json", 1, [eq])]),
+    ])
+    t = LakeTable.from_iceberg_metadata(spark, mp, str(tmp_path / "adopted"))
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == [
+        (1, "a"), (2, "b-after")
+    ]
+
+
+def test_adopt_next_field_id_honors_last_column_id(spark, tmp_path):
+    """last-column-id=9 with surviving max field id 2 → the next field
+    id must be 10, never a reused historical id."""
+    root = str(tmp_path / "foreign")
+    data = os.path.join(root, "data")
+    os.makedirs(data)
+    f1 = _parquet(os.path.join(data, "f1.parquet"),
+                  "SELECT CAST(1 AS BIGINT) AS k, 'a' AS v")
+    e1 = _data_file(f1, 1, seq=1)
+    e1["snapshot-id"] = 1
+    mp = _chain(root, [(1, 1, [("m1.json", 0, [e1])])], last_column_id=9)
+    t = LakeTable.from_iceberg_metadata(spark, mp, str(tmp_path / "adopted"))
+    assert t._meta["next_field_id"] == 10
+    t.add_column("w", "int")
+    cur = t._meta["schemas"][str(t._meta["current_schema_version"])]
+    assert next(f["id"] for f in cur if f["name"] == "w") == 10
+
+
+def test_sync_explicit_version_does_not_pin_directory_adoption(spark, tmp_path):
+    """Directory-adopted table + one explicit-vN sync → adopted_from
+    stays the directory, so later default syncs see newer versions."""
+    root = str(tmp_path / "foreign")
+    data = os.path.join(root, "data")
+    os.makedirs(data)
+    f1 = _parquet(os.path.join(data, "f1.parquet"),
+                  "SELECT CAST(1 AS BIGINT) AS k, 'a' AS v")
+    e1 = _data_file(f1, 1, seq=1)
+    e1["snapshot-id"] = 1
+    _chain(root, [(1, 1, [("m1.json", 0, [e1])])])
+    t = LakeTable.from_iceberg_metadata(spark, root, str(tmp_path / "adopted"))
+    assert t._meta["adopted_from"] == os.path.abspath(root)
+
+    # foreign writer advances: v2 metadata with a second snapshot
+    f2 = _parquet(os.path.join(data, "f2.parquet"),
+                  "SELECT CAST(2 AS BIGINT) AS k, 'b' AS v")
+    e2 = _data_file(f2, 1, seq=2)
+    e2["snapshot-id"] = 2
+    v2 = _chain(root, [
+        (1, 1, [("m1.json", 0, [e1])]),
+        (2, 2, [("m2.json", 0, [e1, e2])]),
+    ])
+    assert v2.endswith("v2.metadata.json")
+    assert t.sync_from_iceberg_metadata(v2) == 1  # explicit one-shot pull
+    assert t._meta["adopted_from"] == os.path.abspath(root)  # NOT pinned
+
+    f3 = _parquet(os.path.join(data, "f3.parquet"),
+                  "SELECT CAST(3 AS BIGINT) AS k, 'c' AS v")
+    e3 = _data_file(f3, 1, seq=3)
+    e3["snapshot-id"] = 3
+    _chain(root, [
+        (1, 1, [("m1.json", 0, [e1])]),
+        (2, 2, [("m2.json", 0, [e1, e2])]),
+        (3, 3, [("m3.json", 0, [e1, e2, e3])]),
+    ])
+    # default sync re-resolves the DIRECTORY → finds v3
+    assert t.sync_from_iceberg_metadata() == 1
+    assert t.read().count() == 3
+
+
+def test_adopt_historical_spec_with_dropped_column_is_skipped(spark, tmp_path):
+    """Spec 0 (historical) sources an id no schema generation records;
+    default spec 1 resolves fine — adoption must succeed and only the
+    resolvable history survives."""
+    root = str(tmp_path / "foreign")
+    data = os.path.join(root, "data")
+    os.makedirs(data)
+    f1 = _parquet(os.path.join(data, "f1.parquet"),
+                  "SELECT CAST(1 AS BIGINT) AS k, 'a' AS v")
+    e1 = _data_file(f1, 1, seq=1)
+    e1["snapshot-id"] = 1
+    specs = [
+        {"spec-id": 0, "fields": [
+            {"field-id": 1000, "source-id": 99, "name": "ghost",
+             "transform": "identity"}]},
+        {"spec-id": 1, "fields": [
+            {"field-id": 1001, "source-id": 2, "name": "v",
+             "transform": "identity"}]},
+    ]
+    mp = _chain(root, [(1, 1, [("m1.json", 0, [e1])])],
+                specs=specs, default_spec=1)
+    t = LakeTable.from_iceberg_metadata(spark, mp, str(tmp_path / "adopted"))
+    assert [tr["column"] for tr in t._meta["partition_spec"]] == ["v"]
+    # historical spec 0 survives as an EMPTY spec (its one field was
+    # unresolvable) rather than blocking adoption
+    assert t.read().count() == 1
+
+    # but a DEFAULT spec with an unknown source-id still fails loud
+    bad = _chain(str(tmp_path / "foreign2"),
+                 [(1, 1, [("m1.json", 0, [e1])])],
+                 specs=[specs[0]], default_spec=0)
+    with pytest.raises(ValueError, match="unknown source-id"):
+        LakeTable.from_iceberg_metadata(spark, bad, str(tmp_path / "adopted2"))
