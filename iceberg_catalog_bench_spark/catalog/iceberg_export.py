@@ -8,9 +8,13 @@ re-emits it in the Iceberg v2 LAYOUT — ``vN.metadata.json`` with
 field-id'd schemas, named partition specs, a snapshot list whose
 entries point at per-snapshot MANIFEST LISTS, which point at MANIFESTS
 carrying per-file stats — so the table is mechanically convertible to
-a real Iceberg table the moment an Iceberg runtime is available
-(manifests here are JSON with Avro-field names; converting them to the
-spec's Avro encoding is a serialization change, not a model change).
+a real Iceberg table the moment an Iceberg runtime is available.
+Manifest lists and manifests are written in the spec's Avro OCF
+encoding when ``manifest_format="avro"`` (via the from-scratch codec in
+``avro_ocf.py``) or in a JSON dialect with the same field names; the
+ADOPTION path (``from_iceberg_metadata`` / ``_parse_iceberg_v2``) reads
+BOTH, so externally-written chains — whose manifests are always Avro —
+register directly.
 
 ``read_via_iceberg_metadata`` walks the exported chain exactly the way
 an external Iceberg reader would (metadata → current snapshot →
@@ -29,6 +33,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import avro_ocf
 from .table import (
     _DATA_DIR,
     _HIVE_NULL,
@@ -96,9 +101,155 @@ def _iceberg_transform(t: Transform) -> str:
     )
 
 
-def to_iceberg_metadata(table: LakeTable) -> str:
+# Iceberg primitive → Avro primitive (for partition-record fields)
+_AVRO_OF_ICEBERG = {
+    "long": "long", "int": "int", "double": "double", "float": "float",
+    "string": "string", "boolean": "boolean", "date": "int",
+    "timestamptz": "long", "timestamp": "long",
+}
+
+_EPOCH_DATE = datetime.date(1970, 1, 1)
+_EPOCH_DT = datetime.datetime(1970, 1, 1)
+
+
+def _sql_to_micros(sval: str) -> int:
+    """'2024-01-03 05:00:00[.ffffff]' (the native stat / partition
+    rendering) → epoch micros."""
+    dt = datetime.datetime.fromisoformat(str(sval))
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return (dt - _EPOCH_DT) // datetime.timedelta(microseconds=1)
+
+
+def _encode_bound(v, ice_type) -> bytes | None:
+    """Native stat value → Iceberg binary single-value serialization
+    (inverse of :func:`_decode_bound`). None = not encodable; the bound
+    is simply omitted (readers keep the file)."""
+    import decimal
+    import struct as _struct
+
+    if v is None or not isinstance(ice_type, str):
+        return None
+    try:
+        if ice_type == "boolean":
+            return b"\x01" if v else b"\x00"
+        if ice_type == "int":
+            return _struct.pack("<i", int(v))
+        if ice_type == "long":
+            return _struct.pack("<q", int(v))
+        if ice_type == "float":
+            return _struct.pack("<f", float(v))
+        if ice_type == "double":
+            return _struct.pack("<d", float(v))
+        if ice_type == "date":
+            d = datetime.date.fromisoformat(str(v)[:10])
+            return _struct.pack("<i", (d - _EPOCH_DATE).days)
+        if ice_type in ("timestamp", "timestamptz"):
+            return _struct.pack("<q", _sql_to_micros(v))
+        if ice_type == "string":
+            return str(v).encode("utf-8")
+        m = re.match(r"^decimal\((\d+),\s*(\d+)\)$", ice_type)
+        if m:
+            unscaled = int(decimal.Decimal(str(v)).scaleb(int(m.group(2))))
+            n = max(1, (unscaled.bit_length() + 8) // 8)
+            return unscaled.to_bytes(n, "big", signed=True)
+    except Exception:
+        return None
+    return None
+
+
+def _avro_kv_map(name: str, key_id: int, val_id: int) -> dict:
+    """Iceberg's array-of-{key,value} encoding for int-keyed maps."""
+    return {"type": "array", "logicalType": "map", "items": {
+        "type": "record", "name": name, "fields": [
+            {"name": "key", "type": "int", "field-id": key_id},
+            {"name": "value", "type": "bytes", "field-id": val_id}]}}
+
+
+_MANIFEST_FILE_AVRO_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+
+def _avro_partition_value(t: Transform, sval, ice_type):
+    """Native ``_p_*`` hive string → typed Iceberg partition value
+    (inverse of :func:`_adopt_partition`'s conversions): day →
+    epoch-days, hour → epoch-hours, month/year → months/years since
+    1970, identity typed by source. Bucket exports the NATIVE xxhash64
+    value (documented hash-space divergence — adoption drops foreign
+    bucket values for the same reason); truncate exports the native
+    string rendering."""
+    if sval is None or sval == _HIVE_NULL:
+        return None
+    if t.name == "identity":
+        if ice_type in ("long", "int"):
+            return int(sval)
+        if ice_type in ("double", "float"):
+            return float(sval)
+        if ice_type == "boolean":
+            return str(sval).lower() == "true"
+        if ice_type == "date":
+            return (datetime.date.fromisoformat(str(sval)[:10])
+                    - _EPOCH_DATE).days
+        if ice_type in ("timestamp", "timestamptz"):
+            return _sql_to_micros(sval)
+        return str(sval)
+    if t.name == "days":
+        return (datetime.date.fromisoformat(str(sval)[:10])
+                - _EPOCH_DATE).days
+    if t.name == "hours":
+        return _sql_to_micros(sval) // 3_600_000_000
+    if t.name == "months":
+        s = str(sval)
+        return (int(s[:4]) - 1970) * 12 + int(s[5:7]) - 1
+    if t.name == "years":
+        return int(str(sval)[:4]) - 1970
+    if t.name == "bucket":
+        return int(sval)
+    return str(sval)  # truncate
+
+
+def _avro_part_field_type(t: Transform, ice_type) -> object:
+    if t.name == "identity":
+        return _AVRO_OF_ICEBERG.get(ice_type, "string")
+    if t.name == "days":
+        return {"type": "int", "logicalType": "date"}
+    if t.name in ("hours", "months", "years", "bucket"):
+        return "int"
+    return "string"  # truncate: native truncates the string rendering
+
+
+def to_iceberg_metadata(table: LakeTable, *,
+                        manifest_format: str = "json") -> str:
     """Emit the Iceberg v2 metadata chain for the table's full history
-    under ``<table>/_meta/iceberg/``; return the metadata.json path."""
+    under ``<table>/_meta/iceberg/``; return the metadata.json path.
+
+    ``manifest_format="avro"`` serializes manifest lists and manifests
+    as REAL Avro OCF files per the Iceberg spec (underscore field
+    names, typed partition records, id-keyed byte-encoded bounds) via
+    the from-scratch codec in :mod:`.avro_ocf`; ``"json"`` (default)
+    keeps the hyphen-keyed JSON dialect. Both round-trip through
+    :func:`_parse_iceberg_v2`. Repo extensions (the per-file writing
+    ``schema_id``, multi-file ``referenced_data_files``,
+    ``equality_field_names``) ride as extra Avro fields — spec readers
+    skip unknown fields during schema resolution."""
+    if manifest_format not in ("json", "avro"):
+        raise ValueError(f"manifest_format must be json|avro, "
+                         f"got {manifest_format!r}")
     meta = table._meta
     out_dir = os.path.join(table.path, "_meta", "iceberg")
     os.makedirs(out_dir, exist_ok=True)
@@ -241,6 +392,159 @@ def to_iceberg_metadata(table: LakeTable) -> str:
         _spec_fields(synthesized)
         return len(spec_list) - 1
 
+    # --- Avro emission support (manifest_format="avro") ---
+    types_by_name: dict[str, str] = {}
+    bounds_map: dict[str, dict[str, tuple[int, str]]] = {}
+    for ver, fields in sorted(meta["schemas"].items(), key=lambda kv: int(kv[0])):
+        bm: dict[str, tuple[int, str]] = {}
+        for f in fields:
+            try:
+                it = _iceberg_type(f["type"])
+            except ValueError:
+                continue
+            types_by_name[f["name"]] = it
+            bm[f["name"]] = (f["id"], it)
+        bounds_map[str(ver)] = bm
+
+    def _avro_entry(e: dict, spec_json: list) -> dict:
+        d = e["data-file"]
+        part = {}
+        for tj in spec_json:
+            t = Transform.from_json(tj)
+            sval = (d.get("partition") or {}).get(f"_p_{t.name}_{t.column}")
+            part[f"{t.column}_{t.name}"] = _avro_partition_value(
+                t, sval, types_by_name.get(t.column))
+        bm = bounds_map.get(str(d.get("schema-id")), {})
+
+        def kvs(bounds):
+            out = []
+            for name, v in (bounds or {}).items():
+                hit = bm.get(name)
+                if hit is None:
+                    continue
+                b = _encode_bound(v, hit[1])
+                if b is not None:
+                    out.append({"key": hit[0], "value": b})
+            return out or None
+
+        refs = d.get("referenced-data-files") or []
+        return {
+            "status": e["status"],
+            "snapshot_id": e.get("snapshot-id"),
+            "data_sequence_number": d.get("data-sequence-number"),
+            "file_sequence_number": None,
+            "data_file": {
+                "content": d.get("content", 0),
+                "file_path": d["file-path"],
+                "file_format": d.get("file-format", "PARQUET"),
+                "partition": part,
+                "record_count": d["record-count"],
+                "file_size_in_bytes": d["file-size-in-bytes"],
+                "lower_bounds": kvs(d.get("lower-bounds")),
+                "upper_bounds": kvs(d.get("upper-bounds")),
+                "equality_ids": d.get("equality-ids"),
+                "referenced_data_file": refs[0] if len(refs) == 1 else None,
+                "schema_id": d.get("schema-id"),
+                "referenced_data_files": refs if len(refs) > 1 else None,
+                "equality_field_names": d.get("equality-field-names"),
+            },
+        }
+
+    def _avro_manifest_schema(spec_json: list) -> dict:
+        pfields = []
+        for tj in spec_json:
+            t = Transform.from_json(tj)
+            pfields.append({
+                "name": f"{t.column}_{t.name}",
+                "type": ["null",
+                         _avro_part_field_type(t, types_by_name.get(t.column))],
+                "field-id": _pf_id(t),
+            })
+        data_file = {"type": "record", "name": "r2", "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition",
+             "type": {"type": "record", "name": "r102", "fields": pfields},
+             "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {"name": "lower_bounds",
+             "type": ["null", _avro_kv_map("k126_v127", 126, 127)],
+             "field-id": 125},
+            {"name": "upper_bounds",
+             "type": ["null", _avro_kv_map("k129_v130", 129, 130)],
+             "field-id": 128},
+            {"name": "equality_ids",
+             "type": ["null", {"type": "array", "items": "int"}],
+             "field-id": 135},
+            {"name": "referenced_data_file", "type": ["null", "string"],
+             "field-id": 143},
+            # repo extensions (no spec field-ids; spec readers skip
+            # unknown writer fields during Avro schema resolution)
+            {"name": "schema_id", "type": ["null", "int"]},
+            {"name": "referenced_data_files",
+             "type": ["null", {"type": "array", "items": "string"}]},
+            {"name": "equality_field_names",
+             "type": ["null", {"type": "array", "items": "string"}]},
+        ]}
+        return {"type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+            {"name": "data_sequence_number", "type": ["null", "long"],
+             "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"],
+             "field-id": 4},
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ]}
+
+    ext = "avro" if manifest_format == "avro" else "json"
+
+    def _emit_manifest(base: str, spec_id: int, entries: list,
+                       content: int) -> str:
+        p = os.path.join(out_dir, f"{base}.{ext}")
+        if manifest_format == "json":
+            with open(p, "w") as fh:
+                json.dump({"partition-spec-id": spec_id,
+                           "entries": entries}, fh)
+            return p
+        spec_json = spec_list[spec_id]
+        avro_ocf.write_ocf(
+            p, _avro_manifest_schema(spec_json),
+            [_avro_entry(e, spec_json) for e in entries],
+            metadata={
+                "partition-spec-id": str(spec_id),
+                "partition-spec": json.dumps(_spec_fields(spec_json)),
+                "format-version": "2",
+                "content": "data" if content == 0 else "deletes",
+            })
+        return p
+
+    def _emit_mlist(base: str, manifests: list, seq: int) -> str:
+        p = os.path.join(out_dir, f"{base}.{ext}")
+        if manifest_format == "json":
+            with open(p, "w") as fh:
+                json.dump({"manifests": manifests}, fh)
+            return p
+        recs = [{
+            "manifest_path": m["manifest-path"],
+            "manifest_length": m["manifest-length"],
+            "partition_spec_id": m.get("partition-spec-id", default_spec_id),
+            "content": m.get("content", 0),
+            "sequence_number": seq,
+            "min_sequence_number": 0,
+            "added_snapshot_id": m.get("added-snapshot-id", 0),
+            "added_files_count": m.get("added-files-count", 0),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": m.get("added-rows-count", 0),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        } for m in manifests]
+        avro_ocf.write_ocf(p, _MANIFEST_FILE_AVRO_SCHEMA, recs,
+                           metadata={"format-version": "2"})
+        return p
+
     snapshots = []
     for s in meta["snapshots"]:
         # one data manifest PER PARTITION SPEC (Iceberg's invariant: a
@@ -273,13 +577,9 @@ def to_iceberg_metadata(table: LakeTable) -> str:
         manifests = []
         for spec_id, entries in sorted(entries_by_spec.items()):
             suffix = f"-spec{spec_id}" if len(entries_by_spec) > 1 else ""
-            manifest_path = os.path.join(
-                out_dir, f"manifest-{s['snapshot_id']}{suffix}.json"
+            manifest_path = _emit_manifest(
+                f"manifest-{s['snapshot_id']}{suffix}", spec_id, entries, 0
             )
-            with open(manifest_path, "w") as fh:
-                json.dump(
-                    {"partition-spec-id": spec_id, "entries": entries}, fh
-                )
             manifests.append(
                 {
                     "manifest-path": manifest_path,
@@ -296,9 +596,6 @@ def to_iceberg_metadata(table: LakeTable) -> str:
         # Iceberg v2 merge-on-read: position-delete files live in their
         # own manifest with content=1; readers anti-join (file, pos).
         if s.get("delete_files"):
-            del_manifest_path = os.path.join(
-                out_dir, f"delete-manifest-{s['snapshot_id']}.json"
-            )
             del_entries = [
                 {
                     "status": 1,
@@ -334,8 +631,10 @@ def to_iceberg_metadata(table: LakeTable) -> str:
                 }
                 for d in s["delete_files"]
             ]
-            with open(del_manifest_path, "w") as fh:
-                json.dump({"entries": del_entries}, fh)
+            del_manifest_path = _emit_manifest(
+                f"delete-manifest-{s['snapshot_id']}", default_spec_id,
+                del_entries, 1
+            )
             manifests.append(
                 {
                     "manifest-path": del_manifest_path,
@@ -346,9 +645,9 @@ def to_iceberg_metadata(table: LakeTable) -> str:
                     "added-rows-count": sum(d["rows"] for d in s["delete_files"]),
                 }
             )
-        mlist_path = os.path.join(out_dir, f"snap-{s['snapshot_id']}-manifest-list.json")
-        with open(mlist_path, "w") as fh:
-            json.dump({"manifests": manifests}, fh)
+        mlist_path = _emit_mlist(
+            f"snap-{s['snapshot_id']}-manifest-list", manifests,
+            s["snapshot_id"])
         snapshots.append(
             {
                 "snapshot-id": s["snapshot_id"],
@@ -474,14 +773,17 @@ def _adopt_partition(part: dict, spec_fields_by_name: dict,
     """Foreign manifest partition struct → native ``_p_*`` hive keys.
 
     Only conversions whose VALUE SPELLING provably matches the native
-    write path are emitted: identity (``CAST(v AS STRING)``) and day
-    (epoch-days int or ISO string → ISO date). Iceberg's bucket hash
-    is murmur3 while the native one is xxhash64, and Iceberg truncates
-    integers numerically while the native transform truncates the
-    string rendering — emitting those values would let
-    ``_prune_files`` compare incompatible hash/truncation spaces and
-    WRONGLY prune, so they are dropped instead: a missing partition
-    key means "never prune this file" (the same conservative
+    write path are emitted: identity (``CAST(v AS STRING)``), day
+    (epoch-days int or ISO string → ISO date), and hour/month/year —
+    Iceberg spells those as deterministic epoch-unit ints
+    (hours/months/years since 1970), which convert exactly to the
+    native ``CAST(date_trunc(unit, ts) AS STRING)`` rendering.
+    Iceberg's bucket hash is murmur3 while the native one is xxhash64,
+    and Iceberg truncates integers numerically while the native
+    transform truncates the string rendering — emitting those values
+    would let ``_prune_files`` compare incompatible hash/truncation
+    spaces and WRONGLY prune, so they are dropped instead: a missing
+    partition key means "never prune this file" (the same conservative
     degradation streamed files use). Keys already in the native
     ``_p_*`` dialect (this repo's own export) pass through whole.
     """
@@ -495,21 +797,221 @@ def _adopt_partition(part: dict, spec_fields_by_name: dict,
         if f is None or col is None:
             continue
         tr = f["transform"]
+        is_int = isinstance(v, int) and not isinstance(v, bool)
         if v is None:
             # null transform source → the native null sentinel (NOT
             # the string "None", which could wrongly equality-prune)
-            if tr in ("identity", "day"):
+            if tr in _ICEBERG_TO_NATIVE_TRANSFORM:
                 out[f"_p_{_ICEBERG_TO_NATIVE_TRANSFORM[tr]}_{col}"] = _HIVE_NULL
         elif tr == "identity":
             out[f"_p_identity_{col}"] = str(v)
         elif tr == "day":
-            if isinstance(v, int) and not isinstance(v, bool):
+            if is_int:
                 v = (datetime.date(1970, 1, 1)
                      + datetime.timedelta(days=v)).isoformat()
             out[f"_p_days_{col}"] = str(v)[:10]
-        # bucket/truncate/hour/month/year: incompatible value encodings
-        # — omit the key (file is simply never pruned on it)
+        elif tr == "hour" and is_int:
+            dt = (datetime.datetime(1970, 1, 1)
+                  + datetime.timedelta(hours=v))
+            out[f"_p_hours_{col}"] = dt.strftime("%Y-%m-%d %H:%M:%S")
+        elif tr == "month" and is_int:
+            y, m = divmod(v, 12)
+            out[f"_p_months_{col}"] = f"{1970 + y:04d}-{m + 1:02d}-01 00:00:00"
+        elif tr == "year" and is_int:
+            out[f"_p_years_{col}"] = f"{1970 + v:04d}-01-01 00:00:00"
+        # bucket/truncate: incompatible hash/truncation value spaces —
+        # omit the key (file is simply never pruned on it)
     return out
+
+
+# --- real-Avro manifest decoding ------------------------------------
+# Externally-written Iceberg chains serialize manifest lists and
+# manifests as Avro OCF (Iceberg spec §Manifests) with underscore field
+# names; the repo's own exporter historically used a JSON dialect with
+# hyphen names. These readers normalize BOTH to the hyphen dialect the
+# parse loop consumes, so adoption is serialization-agnostic.
+
+
+def _micros_to_sql(us: int) -> str:
+    """Epoch-micros → the naive-UTC SQL-literal space form the native
+    stats / partition layers compare against ('2024-01-05 12:00:00' or
+    '… .123456' with trailing fraction zeros trimmed — the same
+    rendering Spark's CAST(ts AS STRING) produces)."""
+    dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=us)
+    s = dt.strftime("%Y-%m-%d %H:%M:%S")
+    frac = f"{dt.microsecond:06d}".rstrip("0")
+    return f"{s}.{frac}" if frac else s
+
+
+def _decode_bound(b: bytes, ice_type) -> object:
+    """Iceberg binary single-value serialization (table spec appendix D)
+    → the native stat spelling ``footer_min_max`` would have produced.
+    Types the stats layer does not compare (uuid/fixed/binary) return
+    None and the bound is omitted — never a wrong prune, just a kept
+    file."""
+    import decimal
+    import struct as _struct
+
+    if not isinstance(ice_type, str) or not isinstance(b, (bytes, bytearray)):
+        return None
+    t = ice_type
+    try:
+        if t == "boolean":
+            return b[0] != 0
+        if t == "int":
+            return _struct.unpack("<i", b)[0]
+        if t == "long":
+            # tolerate 4-byte payloads: bounds written before an
+            # int→long widening keep their original width
+            return _struct.unpack("<i", b)[0] if len(b) == 4 \
+                else _struct.unpack("<q", b)[0]
+        if t == "float":
+            return _struct.unpack("<f", b)[0]
+        if t == "double":
+            return _struct.unpack("<f", b)[0] if len(b) == 4 \
+                else _struct.unpack("<d", b)[0]
+        if t == "date":
+            days = _struct.unpack("<i", b)[0]
+            return (datetime.date(1970, 1, 1)
+                    + datetime.timedelta(days=days)).isoformat()
+        if t in ("timestamp", "timestamptz"):
+            return _micros_to_sql(_struct.unpack("<q", b)[0])
+        if t in ("timestamp_ns", "timestamptz_ns"):
+            return _micros_to_sql(_struct.unpack("<q", b)[0] // 1000)
+        if t == "time":
+            return _struct.unpack("<q", b)[0]
+        if t == "string":
+            return b.decode("utf-8")
+        m = re.match(r"^decimal\((\d+),\s*(\d+)\)$", t)
+        if m:
+            unscaled = int.from_bytes(b, "big", signed=True)
+            return str(decimal.Decimal(unscaled).scaleb(-int(m.group(2))))
+    except Exception:
+        return None
+    return None
+
+
+def _bounds_from_avro(bounds, types_by_id: dict) -> dict:
+    """Avro bound maps arrive as arrays of ``{key: field-id, value:
+    bytes}`` records (Avro maps require string keys, so Iceberg uses the
+    array-of-kv form); decode each value by its field's type."""
+    out: dict[str, object] = {}
+    if not bounds:
+        return out
+    items = (bounds.items() if isinstance(bounds, dict)
+             else ((kv["key"], kv["value"]) for kv in bounds))
+    for k, v in items:
+        fid = int(k)
+        dec = _decode_bound(v, types_by_id.get(fid))
+        if dec is not None:
+            out[str(fid)] = dec
+    return out
+
+
+def _partition_from_avro(part: dict, spec_fields_by_name: dict,
+                         types_by_id: dict) -> dict:
+    """Decoded Avro partition record → the JSON-dialect partition dict
+    ``_adopt_partition`` consumes. Identity values over date/timestamp
+    sources become their native string spellings here (Avro carries raw
+    epoch ints); day/hour/month/year stay as Iceberg's epoch-unit ints
+    (``_adopt_partition`` converts those)."""
+    out: dict = {}
+    for k, v in part.items():
+        f = spec_fields_by_name.get(k)
+        if f is None or v is None or not isinstance(v, int) \
+                or isinstance(v, bool):
+            out[k] = v
+            continue
+        if f["transform"] == "identity":
+            st = types_by_id.get(f["source-id"])
+            if st == "date":
+                v = (datetime.date(1970, 1, 1)
+                     + datetime.timedelta(days=v)).isoformat()
+            elif st in ("timestamp", "timestamptz"):
+                v = _micros_to_sql(v)
+        out[k] = v
+    return out
+
+
+def _read_manifest_list(path: str) -> dict:
+    """Manifest list → ``{"manifests": [...]}`` in the hyphen dialect,
+    whether the file is a real Avro OCF or the repo's JSON."""
+    if not avro_ocf.is_ocf(path):
+        with open(path) as fh:
+            return json.load(fh)
+    _, recs = avro_ocf.read_ocf(path)
+    mans = []
+    for m in recs:
+        entry = {
+            "manifest-path": m["manifest_path"],
+            "manifest-length": m["manifest_length"],
+            "partition-spec-id": m.get("partition_spec_id", 0),
+            "content": m.get("content") or 0,
+        }
+        if m.get("sequence_number") is not None:
+            entry["sequence-number"] = m["sequence_number"]
+        if m.get("added_snapshot_id") is not None:
+            entry["added-snapshot-id"] = m["added_snapshot_id"]
+        mans.append(entry)
+    return {"manifests": mans}
+
+
+def _read_manifest(path: str, spec_fields_by_name: dict,
+                   types_by_id: dict) -> dict:
+    """One manifest → ``{"entries": [...]}`` in the hyphen dialect.
+    Avro entries (underscore names, id-keyed byte bounds, typed
+    partition records) are normalized field by field; Java writers
+    spell the v2 sequence field ``sequence_number`` while the spec
+    table says ``data_sequence_number`` — both are accepted."""
+    if not avro_ocf.is_ocf(path):
+        with open(path) as fh:
+            return json.load(fh)
+    _, recs = avro_ocf.read_ocf(path)
+    entries = []
+    for rec in recs:
+        d = rec["data_file"]
+        lows = _bounds_from_avro(d.get("lower_bounds"), types_by_id)
+        highs = _bounds_from_avro(d.get("upper_bounds"), types_by_id)
+        df: dict = {
+            "content": d.get("content") or 0,
+            "file-path": d["file_path"],
+            "file-format": d.get("file_format", "PARQUET"),
+            "partition": _partition_from_avro(
+                d.get("partition") or {}, spec_fields_by_name, types_by_id),
+            "record-count": d["record_count"],
+            "file-size-in-bytes": d["file_size_in_bytes"],
+        }
+        if lows:
+            df["lower-bounds"] = lows
+        if highs:
+            df["upper-bounds"] = highs
+        seq = rec.get("data_sequence_number")
+        if seq is None:
+            seq = rec.get("sequence_number")
+        if seq is not None:
+            df["data-sequence-number"] = seq
+        if d.get("equality_ids"):
+            df["equality-ids"] = list(d["equality_ids"])
+        # spec field 143 (singular; used by pos-deletes that target one
+        # file) → the dialect's list form. Absent ⇒ the parse loop's
+        # references-all-live-files fallback applies.
+        if d.get("referenced_data_file"):
+            df["referenced-data-files"] = [d["referenced_data_file"]]
+        # this repo's export extensions (unknown fields — spec-compliant
+        # readers skip them via Avro schema resolution): the writing
+        # schema id, multi-file pos-delete references, and the physical
+        # column names of equality-delete parquet
+        if d.get("schema_id") is not None:
+            df["schema-id"] = d["schema_id"]
+        if d.get("referenced_data_files"):
+            df["referenced-data-files"] = list(d["referenced_data_files"])
+        if d.get("equality_field_names"):
+            df["equality-field-names"] = list(d["equality_field_names"])
+        entry: dict = {"status": rec.get("status", 1), "data-file": df}
+        if rec.get("snapshot_id") is not None:
+            entry["snapshot-id"] = rec["snapshot_id"]
+        entries.append(entry)
+    return {"entries": entries}
 
 
 def _resolve_metadata_path(path: str) -> str:
@@ -639,11 +1141,15 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
         for s in md["schemas"]
     }
     # historical specs may source since-dropped columns: resolve ids
-    # against the UNION of all schema generations (current names win)
+    # against the UNION of all schema generations (current names win);
+    # types-by-id drive Avro bound/partition decoding (newest wins —
+    # widenings decode historical narrow payloads by byte length)
     union_names_by_id: dict[int, str] = {}
+    types_by_id: dict[int, object] = {}
     for s in sorted(md["schemas"], key=lambda s: s["schema-id"]):
         for f in s["fields"]:
             union_names_by_id[f["id"]] = f["name"]
+            types_by_id[f["id"]] = f["type"]
     union_names_by_id.update(names_by_id)
 
     # --- partition specs (default live, rest history) ---
@@ -691,21 +1197,31 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
         return out
 
     native_snapshots = []
+    # path → parsed manifest: a long-history chain references the same
+    # manifest from MANY snapshots' manifest lists — parse each once so
+    # adoption is O(unique manifests + entries), not O(snapshots ×
+    # entries)
+    manifest_memo: dict[str, dict] = {}
     order_key = lambda s: (s.get("sequence-number", 0), s["snapshot-id"])  # noqa: E731
     for s in sorted(md["snapshots"], key=order_key):
         # Iceberg sequence inheritance: an entry with no explicit
-        # data-sequence-number takes its snapshot's sequence number
+        # data-sequence-number takes the sequence of the commit that
+        # ADDED its manifest — the manifest-list entry's
+        # sequence-number when present, else this snapshot's
         # (defaulting to 0 would make the file strictly older than
         # every equality delete — wrongly retracting its rows)
         snap_seq = s.get("sequence-number", 0)
-        with open(_strip_scheme(s["manifest-list"])) as fh:
-            mlist = json.load(fh)
+        mlist = _read_manifest_list(_strip_scheme(s["manifest-list"]))
         files: list[dict] = []
         dels: list[dict] = []
         for m in mlist["manifests"]:
             spec_id = m.get("partition-spec-id", default_spec_id)
-            with open(_strip_scheme(m["manifest-path"])) as fh:
-                manifest = json.load(fh)
+            inherit_seq = m.get("sequence-number", snap_seq)
+            mpath = _strip_scheme(m["manifest-path"])
+            manifest = manifest_memo.get(mpath)
+            if manifest is None:
+                manifest = manifest_memo[mpath] = _read_manifest(
+                    mpath, spec_fields_by_id.get(spec_id, {}), types_by_id)
             for e in manifest["entries"]:
                 if e.get("status") == 2:  # DELETED — not live
                     continue
@@ -733,7 +1249,7 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
                             spec_fields_by_id.get(spec_id, {}),
                             names_by_id,
                         ),
-                        "seq": d.get("data-sequence-number", snap_seq),
+                        "seq": d.get("data-sequence-number", inherit_seq),
                     })
                 else:
                     if schema_id is None:
@@ -772,7 +1288,7 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
                         "content": ("position" if d.get("content") == 1
                                     else "equality"),
                         "equality_cols": eq_cols,
-                        "seq": d.get("data-sequence-number", snap_seq),
+                        "seq": d.get("data-sequence-number", inherit_seq),
                         **({"file_cols": file_cols}
                            if d.get("content") == 2 else {}),
                     })
@@ -930,15 +1446,15 @@ def read_via_iceberg_metadata(
         md = json.load(fh)
     sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
     snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
-    with open(snap["manifest-list"]) as fh:
-        mlist = json.load(fh)
+    types_by_id = {f["id"]: f["type"]
+                   for s in md["schemas"] for f in s["fields"]}
+    mlist = _read_manifest_list(snap["manifest-list"])
     by_schema: dict[int, list[tuple[str, int]]] = {}
     delete_paths: list[str] = []
     eq_deletes: list[dict] = []
     referenced: set[str] = set()
     for m in mlist["manifests"]:
-        with open(m["manifest-path"]) as fh:
-            manifest = json.load(fh)
+        manifest = _read_manifest(m["manifest-path"], {}, types_by_id)
         for e in manifest["entries"]:
             df_entry = e["data-file"]
             if df_entry.get("content") == 1:  # position deletes
@@ -1107,8 +1623,9 @@ def duckdb_scan_sql(metadata_path: str, snapshot_id: int | None = None) -> str:
         md = json.load(fh)
     sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
     snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
-    with open(snap["manifest-list"]) as fh:
-        mlist = json.load(fh)
+    types_by_id = {f["id"]: f["type"]
+                   for s in md["schemas"] for f in s["fields"]}
+    mlist = _read_manifest_list(snap["manifest-list"])
     # union arms are one per (schema generation, data sequence number):
     # the generation fixes the projection, the sequence number rides
     # along as a literal so equality deletes can apply their
@@ -1117,8 +1634,7 @@ def duckdb_scan_sql(metadata_path: str, snapshot_id: int | None = None) -> str:
     delete_paths: list[str] = []
     eq_deletes: list[dict] = []
     for m in mlist["manifests"]:
-        with open(m["manifest-path"]) as fh:
-            manifest = json.load(fh)
+        manifest = _read_manifest(m["manifest-path"], {}, types_by_id)
         for e in manifest["entries"]:
             df_entry = e["data-file"]
             if df_entry.get("content") == 2:

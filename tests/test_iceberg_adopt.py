@@ -25,6 +25,7 @@ layout), and a re-export leg DuckDB scans back.
 import datetime
 import json
 import os
+import re
 
 import duckdb
 import pytest
@@ -243,9 +244,197 @@ def _write_foreign_chain(root: str) -> str:
     return mp
 
 
-@pytest.fixture
-def adopted(spark, tmp_path):
+# ---- real-Avro re-serialization of the same chain -------------------
+# Schemas below are hand-built from the Iceberg spec's manifest tables
+# (underscore field names, field-ids, id-keyed byte bounds) so the
+# production reader is exercised against SPEC-derived files, not its
+# own writer. The container encoding itself is pinned byte-level in
+# test_avro_ocf.py.
+
+_AVRO_OF_ICE = {"long": "long", "int": "int", "double": "double",
+                "float": "float", "string": "string", "boolean": "boolean",
+                "date": "int", "timestamptz": "long", "timestamp": "long"}
+
+
+def _pack_bound(v, ice_t: str) -> bytes:
+    """Iceberg binary single-value serialization (spec appendix D)."""
+    import struct
+    if ice_t == "long" or ice_t in ("timestamp", "timestamptz"):
+        return struct.pack("<q", v)
+    if ice_t in ("int", "date"):
+        return struct.pack("<i", v)
+    if ice_t == "double":
+        return struct.pack("<d", v)
+    if ice_t == "float":
+        return struct.pack("<f", v)
+    if ice_t == "string":
+        return str(v).encode("utf-8")
+    raise ValueError(ice_t)
+
+
+_MLIST_AVRO_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+    ],
+}
+
+
+def _avroize_chain(mp: str) -> str:
+    """Re-serialize a JSON-dialect chain's manifest lists and manifests
+    as REAL Avro OCF files — underscore spec field names, typed
+    partition records, id-keyed byte-encoded bounds, the singular
+    ``referenced_data_file`` (spec field 143), and the Java writers'
+    ``sequence_number`` spelling of the v2 entry-sequence field — then
+    point a new vN+1.metadata.json at them."""
+    from iceberg_catalog_bench_spark.catalog.avro_ocf import write_ocf
+
+    with open(mp) as fh:
+        md = json.load(fh)
+    meta_dir = os.path.dirname(mp)
+    types_by_id: dict[int, str] = {}
+    for s in md["schemas"]:
+        for f in s["fields"]:
+            types_by_id[f["id"]] = f["type"]
+    spec_by_id = {sp["spec-id"]: sp for sp in md["partition-specs"]}
+
+    def part_schema(spec_id: int) -> dict:
+        fields = []
+        for pf in spec_by_id[spec_id]["fields"]:
+            tr = pf["transform"]
+            if tr == "identity":
+                at = _AVRO_OF_ICE[types_by_id[pf["source-id"]]]
+            else:  # day/hour/month/year/bucket[n] all carry ints
+                at = "int"
+            fields.append({"name": pf["name"], "type": ["null", at],
+                           "field-id": pf["field-id"]})
+        return {"type": "record", "name": "r102", "fields": fields}
+
+    def kv_schema(name: str) -> dict:
+        return {"type": "array", "logicalType": "map", "items": {
+            "type": "record", "name": name, "fields": [
+                {"name": "key", "type": "int", "field-id": int(name[1:4])},
+                {"name": "value", "type": "bytes",
+                 "field-id": int(name[6:9])}]}}
+
+    def manifest_schema(spec_id: int) -> dict:
+        data_file = {"type": "record", "name": "r2", "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": part_schema(spec_id),
+             "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {"name": "lower_bounds",
+             "type": ["null", kv_schema("k126_v127")], "field-id": 125},
+            {"name": "upper_bounds",
+             "type": ["null", kv_schema("k129_v130")], "field-id": 128},
+            {"name": "equality_ids",
+             "type": ["null", {"type": "array", "items": "int"}],
+             "field-id": 135},
+            {"name": "referenced_data_file", "type": ["null", "string"],
+             "field-id": 143},
+        ]}
+        return {"type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"],
+             "field-id": 4},
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ]}
+
+    def conv_entry(e: dict) -> dict:
+        d = e["data-file"]
+
+        def kvs(bounds):
+            out = [{"key": int(k),
+                    "value": _pack_bound(v, types_by_id[int(k)])}
+                   for k, v in (bounds or {}).items()]
+            return out or None
+
+        refs = d.get("referenced-data-files") or []
+        return {
+            "status": e["status"],
+            "snapshot_id": e.get("snapshot-id"),
+            "sequence_number": d.get("data-sequence-number"),
+            "file_sequence_number": None,
+            "data_file": {
+                "content": d.get("content", 0),
+                "file_path": d["file-path"],
+                "file_format": d.get("file-format", "PARQUET"),
+                "partition": d.get("partition") or {},
+                "record_count": d["record-count"],
+                "file_size_in_bytes": d["file-size-in-bytes"],
+                "lower_bounds": kvs(d.get("lower-bounds")),
+                "upper_bounds": kvs(d.get("upper-bounds")),
+                "equality_ids": d.get("equality-ids"),
+                "referenced_data_file": refs[0] if len(refs) == 1 else None,
+            },
+        }
+
+    manifest_avro: dict[str, str] = {}  # json path → avro path
+    for s in md["snapshots"]:
+        with open(s["manifest-list"]) as fh:
+            mlist = json.load(fh)
+        list_recs = []
+        for m in mlist["manifests"]:
+            jp = m["manifest-path"]
+            spec_id = m.get("partition-spec-id", 0)
+            if jp not in manifest_avro:
+                with open(jp) as fh:
+                    man = json.load(fh)
+                ap = os.path.join(
+                    meta_dir,
+                    os.path.basename(jp).replace(".json", "") + ".avro")
+                write_ocf(
+                    ap, manifest_schema(spec_id),
+                    [conv_entry(e) for e in man["entries"]],
+                    metadata={
+                        "schema": json.dumps(md["schemas"][-1]),
+                        "partition-spec": json.dumps(
+                            spec_by_id[spec_id]["fields"]),
+                        "partition-spec-id": str(spec_id),
+                        "format-version": "2",
+                        "content": ("data" if m.get("content", 0) == 0
+                                    else "deletes"),
+                    })
+                manifest_avro[jp] = ap
+            ap = manifest_avro[jp]
+            list_recs.append({
+                "manifest_path": ap,
+                "manifest_length": os.path.getsize(ap),
+                "partition_spec_id": spec_id,
+                "content": m.get("content", 0),
+                "sequence_number": s["sequence-number"],
+                "min_sequence_number": 0,
+                "added_snapshot_id": s["snapshot-id"],
+            })
+        lp = os.path.join(
+            meta_dir, f"snap-{s['snapshot-id']}-manifest-list.avro")
+        write_ocf(lp, _MLIST_AVRO_SCHEMA, list_recs,
+                  metadata={"format-version": "2"})
+        s["manifest-list"] = lp
+    n = int(re.match(r"^v(\d+)\.metadata\.json$",
+                     os.path.basename(mp)).group(1)) + 1
+    out = os.path.join(meta_dir, f"v{n}.metadata.json")
+    with open(out, "w") as fh:
+        json.dump(md, fh, indent=1)
+    return out
+
+
+@pytest.fixture(params=["json", "avro"])
+def adopted(spark, tmp_path, request):
     mp = _write_foreign_chain(str(tmp_path / "foreign"))
+    if request.param == "avro":
+        mp = _avroize_chain(mp)
     t = LakeTable.from_iceberg_metadata(spark, mp, str(tmp_path / "adopted"))
     return t
 
@@ -509,6 +698,25 @@ def test_sync_pulls_foreign_advances(spark, tmp_path):
         (4, "d", 4.0, "y", "late"),
         (9, "i", 9.0, "z", "sync"),
     ]
+
+
+def test_sync_pulls_foreign_advances_avro_chain(spark, tmp_path):
+    """The sync fast-forward works when the foreign chain's manifests
+    are real Avro OCF: adopt the Avro re-serialization, let the
+    foreign writer commit snapshot 105, re-serialize, sync."""
+    mp = _write_foreign_chain(str(tmp_path / "foreign"))
+    amp = _avroize_chain(mp)
+    t = LakeTable.from_iceberg_metadata(spark, amp, str(tmp_path / "adopted"))
+    assert t.sync_from_iceberg_metadata() == 0
+    _advance_foreign_chain(mp)   # foreign writer advances the chain
+    _avroize_chain(mp)           # … and re-emits v5 with Avro manifests
+    assert t.sync_from_iceberg_metadata() == 1
+    assert t._meta["current_snapshot_id"] == 105
+    assert _rows(t.read()) == [
+        (1, "a", 1.0, "x", "base"),
+        (4, "d", 4.0, "y", "late"),
+        (9, "i", 9.0, "z", "sync"),
+    ]
     # foreign deletes still applied; pre-sync travel intact
     assert _rows(t.read(snapshot_id=104)) == [
         (1, "a", 1.0, "x", "base"),
@@ -647,12 +855,16 @@ def test_adopt_expired_adding_snapshot_uses_footer_probe(spark, tmp_path):
     ]
 
 
-def test_adopt_inverts_own_export(spark, tmp_path):
+@pytest.mark.parametrize("fmt", ["json", "avro"])
+def test_adopt_inverts_own_export(spark, tmp_path, fmt):
     """adopt(export(t)) must reproduce t: the two functions are
-    inverses over the shared v2 dialect — evolution, partitioning
-    (native `_p_*` structs pass through), MoR position deletes, tags
-    and time travel all round-trip, and continued DML works on the
-    adopted side."""
+    inverses over BOTH serializations — the JSON dialect (native
+    `_p_*` structs pass through) and real Avro OCF manifests (typed
+    spec-named partition records, byte-encoded id-keyed bounds, which
+    adoption converts back: `ts_days` epoch-day ints → `_p_days_ts`
+    ISO strings, so pruning works identically). Evolution, MoR
+    position deletes, tags, time travel and continued DML all
+    round-trip either way."""
     t = LakeTable.create(
         spark, str(tmp_path / "src"),
         "k bigint, name string, v double, ts timestamp",
@@ -670,7 +882,12 @@ def test_adopt_inverts_own_export(spark, tmp_path):
         "k bigint, label string, v double, ts timestamp, tag string"))
     t.delete_where("k = 3")  # MoR tombstone
     t.create_tag("v1")
-    meta_path = to_iceberg_metadata(t)
+    meta_path = to_iceberg_metadata(t, manifest_format=fmt)
+    if fmt == "avro":
+        # the chain's manifests really are Avro OCF, not JSON renamed
+        from iceberg_catalog_bench_spark.catalog.avro_ocf import is_ocf
+        snap_md = json.load(open(meta_path))
+        assert all(is_ocf(s["manifest-list"]) for s in snap_md["snapshots"])
 
     a = adopt_iceberg_metadata(spark, meta_path, str(tmp_path / "adopted"))
     cols = ("k", "label", "v", "tag")

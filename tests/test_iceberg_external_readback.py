@@ -22,6 +22,7 @@ Reference analogue: the spec's whole point is cross-engine readback
 import json
 
 import duckdb
+import pytest
 
 from iceberg_catalog_bench_spark.catalog.iceberg_export import (
     duckdb_scan_sql,
@@ -90,7 +91,8 @@ def _independent_walk(metadata_path: str) -> list[tuple]:
     return sorted(rows)
 
 
-def test_external_walker_matches_native_read_and_duckdb_sql(spark, tmp_path):
+@pytest.mark.parametrize("fmt", ["json", "avro"])
+def test_external_walker_matches_native_read_and_duckdb_sql(spark, tmp_path, fmt):
     t = LakeTable.create(
         spark, str(tmp_path / "t"), "k int, name string, v double",
         properties={"write.delete.mode": "merge-on-read"},
@@ -107,7 +109,7 @@ def test_external_walker_matches_native_read_and_duckdb_sql(spark, tmp_path):
         "k bigint, label string, v double, tag string",
     ))
     t.delete_where("k = 2 OR k = 5")        # MoR position deletes
-    meta = to_iceberg_metadata(t)
+    meta = to_iceberg_metadata(t, manifest_format=fmt)
 
     native = sorted(tuple(r) for r in t.read().collect())
     assert native == [
@@ -115,14 +117,18 @@ def test_external_walker_matches_native_read_and_duckdb_sql(spark, tmp_path):
     ]
 
     # Leg 1: the from-scratch walker defined in this test module
-    assert _independent_walk(meta) == native
+    # (deliberately JSON-only — the Avro container itself is pinned
+    # byte-level in test_avro_ocf.py)
+    if fmt == "json":
+        assert _independent_walk(meta) == native
 
     # Leg 2: DuckDB executing the compiled single-statement scan
     duck = sorted(tuple(r) for r in duckdb.sql(duckdb_scan_sql(meta)).fetchall())
     assert duck == native
 
 
-def test_duckdb_scan_sql_time_travel_and_equality_deletes(spark, tmp_path):
+@pytest.mark.parametrize("fmt", ["json", "avro"])
+def test_duckdb_scan_sql_time_travel_and_equality_deletes(spark, tmp_path, fmt):
     """snapshot_id selects an older exported snapshot; an equality
     delete (CDC upsert) applies through the SQL leg with Iceberg's
     smaller-sequence rule — the retracted key's OLD row disappears,
@@ -134,14 +140,14 @@ def test_duckdb_scan_sql_time_travel_and_equality_deletes(spark, tmp_path):
     )
     s1 = t.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k bigint, v double"))
     t.append(spark.createDataFrame([(3, 3.0)], "k bigint, v double"))
-    meta = to_iceberg_metadata(t)
+    meta = to_iceberg_metadata(t, manifest_format=fmt)
     old = duckdb.sql(duckdb_scan_sql(meta, snapshot_id=s1.snapshot_id)).fetchall()
     assert sorted(r[0] for r in old) == [1, 2]
 
     t.upsert_by_keys(
         spark.createDataFrame([(2, 20.0), (4, 4.0)], "k bigint, v double"), on=["k"]
     )  # equality-delete file retracting k=2 blind + new rows
-    meta2 = to_iceberg_metadata(t)
+    meta2 = to_iceberg_metadata(t, manifest_format=fmt)
     native = sorted(tuple(r) for r in t.read().collect())
     assert native == [(1, 1.0), (2, 20.0), (3, 3.0), (4, 4.0)]
     duck = sorted(tuple(r) for r in duckdb.sql(duckdb_scan_sql(meta2)).fetchall())

@@ -264,3 +264,38 @@ def test_adopt_historical_spec_with_dropped_column_is_skipped(spark, tmp_path):
                  specs=[specs[0]], default_spec=0)
     with pytest.raises(ValueError, match="unknown source-id"):
         LakeTable.from_iceberg_metadata(spark, bad, str(tmp_path / "adopted2"))
+
+
+def test_adopted_month_partition_prunes(spark, tmp_path):
+    """VERDICT r8 item 4: hour/month/year partition values are
+    deterministic epoch-unit ints in Iceberg — adoption converts them
+    to the native `CAST(date_trunc(unit, ts) AS STRING)` spelling, so
+    an adopted month-partitioned table PRUNES on month-equality
+    predicates instead of scanning everything; a null-month file carries
+    the hive null sentinel and is dropped by any comparison."""
+    from iceberg_catalog_bench_spark.catalog.iceberg_export import (
+        adopt_iceberg_metadata, to_iceberg_metadata)
+    from iceberg_catalog_bench_spark.catalog.table import _HIVE_NULL
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "src"), "k bigint, ts timestamp",
+        partition_by=["months(ts)"])
+    for m in (1, 2, 3):
+        t.append(spark.sql(
+            f"SELECT CAST({m} AS BIGINT) AS k, "
+            f"TIMESTAMP'2024-0{m}-15 08:00:00' AS ts"))
+    t.append(spark.sql("SELECT CAST(9 AS BIGINT) AS k, "
+                       "CAST(NULL AS TIMESTAMP) AS ts"))
+    # Avro manifests carry months as ints-since-1970 — the conversion
+    # under test is int → native string, not a _p_* passthrough
+    mp = to_iceberg_metadata(t, manifest_format="avro")
+    a = adopt_iceberg_metadata(spark, mp, str(tmp_path / "adopted"))
+    snap = a._snapshot()
+    vals = {e.partition.get("_p_months_ts") for e in snap.files}
+    assert "2024-02-01 00:00:00" in vals
+    assert _HIVE_NULL in vals
+    pruned = a._prune_files(snap.files, "ts = '2024-02-20 10:00:00'")
+    assert len(pruned) < len(snap.files)
+    assert all(e.partition.get("_p_months_ts")
+               in ("2024-02-01 00:00:00",) for e in pruned)
+    assert sorted(r.k for r in a.read().collect()) == [1, 2, 3, 9]
