@@ -36,95 +36,31 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Round-8 rotation (VERDICT r7 items 1-2: zero debut slots — the cap
-# fits exactly). Tier (a) = the 7 standing-green queries over
-# late-round-7-modified layers: ddl_lifecycle (DESCRIBE EXTENDED /
-# SHOW TBLPROPERTIES in sql_frontend.py — oracle WIDENED this round
-# per VERDICT item 3), cdc_equality_upsert (delete_by_keys default
-# fix), mor_delete_update_read (compact_delete_files sibling paths),
-# rest_catalog_conformance (REST commit protocol),
-# branch_wap_publish (ref exists-semantics/REPLACE),
-# maintenance_compaction (sort strategy, where-scoping),
-# crud_update_delete (branch-DML routing). Tier (b) = the 43
-# r4-latest queries (recomputed from the CORRECTNESS_r01-r07 union
-# this round; identical to the pre-staged list). 7 + 43 = 50: after
-# this round nothing is latest-green older than round 5.
-# Below the cap: the r5-latest cohort in full (45 queries — the
-# round-9 rotation tier), then r6/r7, then this round's below-cap
-# debuts (feature-gated per VERDICT item 2, debuting green in r9).
+# Round-9 rotation (VERDICT r8 item 2, recomputed from the
+# CORRECTNESS_r01-r08 union: staleness histogram r5:40, r6:36, r7:50,
+# r8:50 — NOT the pre-staged comment's "45 r5-latest"). Tier (a) = the
+# 3 below-cap debuts, never driver-checked (iceberg_register_adopted —
+# which this round ALSO re-proves over the new Avro-manifest adoption
+# path — and the two TPC-DS shapes). Tier (b) = the FULL 40-query
+# r5-latest cohort (4-rounds-stale if skipped). The remaining 7 slots
+# take the riskiest r6-latest rows: schema_evolution_read (adoption
+# reads schema history; this round touched it), cdc_replicate_table,
+# datagen_tx_events_dims, maintenance_zorder, streaming_table_source_cdc
+# (adopted tables became streaming sources in r8), join_asof_last_purchase,
+# streaming_sessionize_stateful. 3 + 40 + 7 = 50 exactly; after this
+# round nothing is latest-green older than r6.
+# ROUND-10 ROTATION PLAN: tier (a) = any r9-code-touched rows + any r9
+# non-greens; tier (b) = the remaining 29 r6-latest queries (listed
+# right below the cap marker) + the oldest r7 rows to fill 50.
 # REFRESH EACH ROUND: rebuild from the union of CORRECTNESS_r*.json —
 # never-green and code-touched queries first, oldest-green next.
-# ROUND-9 ROTATION PLAN (pre-staged; recompute from CORRECTNESS_r08):
-# tier (a) = the two r8 debuts, never driver-green yet
-# (iceberg_register_adopted, tpcds_cumulative_channel_crossover) plus
-# ~1 row over an r8-touched layer if any needs re-proof (the r8
-# changes are additive/feature-gated: adopt/sync/register_table are
-# new surface; the expire_snapshots external-file fix only changes
-# behavior for absolute-path files no standing row commits); tier
-# (b) = the FULL 45-query r5-latest cohort (list = the below-cap
-# block right after the 50 marker; 4-rounds-stale if skipped).
-# 2 + 45 = 47, leaving ~3 slots — fill from the oldest r6-latest
-# queries (cdc_replicate_table, datagen_tx_events_dims,
-# schema_evolution_read lead that cohort alphabetically-agnostic;
-# pick by risk). Round 10 then owes the r6 cohort (38) + r7 tail.
 PRIORITY: tuple[str, ...] = (
-    # -- (a) round-7 code-touched, standing-green (7) --
-    "ddl_lifecycle",                # DESCRIBE EXTENDED/FORMATTED, SHOW
-    #                                 TBLPROPERTIES single-key; oracle
-    #                                 widened r8 (VERDICT item 3)
-    "cdc_equality_upsert",          # delete_by_keys silent-widen fix
-    "mor_delete_update_read",       # compact_delete_files siblings
-    "rest_catalog_conformance",     # REST commit protocol (CAS + txn)
-    "branch_wap_publish",           # ref exists-semantics / REPLACE
-    "maintenance_compaction",       # linear-sort strategy, where=> scope
-    "crud_update_delete",           # branch-qualified DML routing
-    # -- (b) the 43 r4-latest queries (freshness bar: 4 rounds) --
-    "partitions_metadata",
-    "cdc_changelog",
-    "streaming_cdc_upsert_laketable",
-    "migrate_parquet_inplace",
-    "partition_evolution_read",
-    "mv_incremental_maintenance",
-    "mv_join_incremental_maintenance",
-    "dq_expectation_suite",
-    "analyze_table_stats",
-    "tpcds_returned_ratio_by_date",
-    "tpcds_rollup_rolling_sales",
-    "conditional_aggregation",
-    "correlated_exists_subquery",
-    "cube_aggregation",
-    "dedup_ngram_jaccard",
-    "events_funnel_conversion",
-    "events_transition_matrix",
-    "full_outer_join_sets",
-    "join_broadcast_dim",
-    "join_bucketed_colocated",
-    "join_fact_fact",
-    "join_multiway_region_revenue",
-    "join_skew_salted",
-    "json_extraction",
-    "knn_metadata_filtered",
-    "knn_pq_adc",
-    "left_outer_join_orders",
-    "pivot_event_types",
-    "rollup_aggregation",
-    "scalar_subquery_above_avg",
-    "semi_anti_join",
-    "set_ops_customers",
-    "stats_gini_grouped_udaf",
-    "streaming_multibatch_windowed",
-    "streaming_ohlc_rollup",
-    "text_near_containment",
-    "tpch_q21_sole_fault_supplier",
-    "unpivot_part_metrics",
-    "window_lag_delta",
-    "window_moving_average",
-    "window_running_sum",
-    "window_time_range_agg",
-    "window_topn_per_group",
-    # ---- 50 cap lands exactly here ----
-    # -- below-cap: the r5-latest cohort (the round-9 rotation tier;
-    # greens early only if the driver runs deeper than 50) --
+    # -- (a) below-cap debuts, never driver-checked (3) --
+    "iceberg_register_adopted",     # foreign-Iceberg adopt (r8) + the
+    #                                 r9 Avro-manifest read path
+    "tpcds_cumulative_channel_crossover",   # Q51 shape (r8)
+    "tpcds_topn_over_rollup",               # Q67 shape (r8)
+    # -- (b) the full r5-latest cohort (40; freshness bar: 4 rounds) --
     "ann_ivf",
     "ann_ivf_incremental",
     "ann_ivf_partitioned",
@@ -165,6 +101,47 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q17_small_qty_revenue",
     "tpch_q19_discounted_revenue",
     "tpch_q22_global_sales_opportunity",
+    # -- (c) riskiest r6-latest rows (7) --
+    "schema_evolution_read",
+    "cdc_replicate_table",
+    "datagen_tx_events_dims",
+    "maintenance_zorder",
+    "streaming_table_source_cdc",
+    "join_asof_last_purchase",
+    "streaming_sessionize_stateful",
+    # ---- 50 cap lands exactly here ----
+    # -- below-cap: the remaining r6-latest cohort (29; the
+    # round-10 rotation tier), greens early only if the driver
+    # runs deeper than 50 --
+    "centroid_by_label",
+    "dedup_connected_components",
+    "embedding_quantize_int8",
+    "join_range_error_context",
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
+    "multimodal_image_meta",
+    "pipeline_training_data",
+    "sessionize_batch",
+    "streaming_dedup_count",
+    "streaming_enrich_join",
+    "streaming_stream_stream_join",
+    "streaming_windowed_agg",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_pandas_udf",
+    "text_quality_scores",
+    "text_token_count",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promotion_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
 )
 
 
