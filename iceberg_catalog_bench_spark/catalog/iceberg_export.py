@@ -1202,6 +1202,13 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
     # adoption is O(unique manifests + entries), not O(snapshots ×
     # entries)
     manifest_memo: dict[str, dict] = {}
+    # (path, inherited-seq) → (converted data files, delete files):
+    # CONVERSION (bounds rebind, partition translation) is the
+    # expensive half, so it too runs once per unique manifest; later
+    # snapshots share the same dict objects (safe: the disk form
+    # delta-encodes per-snapshot file lists, and the one mutating
+    # consumer below copies delete dicts first)
+    convert_memo: dict[tuple, tuple[list, list]] = {}
     order_key = lambda s: (s.get("sequence-number", 0), s["snapshot-id"])  # noqa: E731
     for s in sorted(md["snapshots"], key=order_key):
         # Iceberg sequence inheritance: an entry with no explicit
@@ -1218,6 +1225,16 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
             spec_id = m.get("partition-spec-id", default_spec_id)
             inherit_seq = m.get("sequence-number", snap_seq)
             mpath = _strip_scheme(m["manifest-path"])
+            memo_key = (mpath, inherit_seq)
+            cached = convert_memo.get(memo_key)
+            if cached is not None:
+                files.extend(cached[0])
+                # the no-referenced fallback below mutates delete
+                # dicts per snapshot — give each snapshot copies
+                dels.extend(dict(dd) for dd in cached[1])
+                continue
+            mfiles: list[dict] = []
+            mdels: list[dict] = []
             manifest = manifest_memo.get(mpath)
             if manifest is None:
                 manifest = manifest_memo[mpath] = _read_manifest(
@@ -1237,7 +1254,7 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
                             md["schemas"], cur_schema_id)
                     lows = _rebind_bounds(d.get("lower-bounds"), schema_id)
                     highs = _rebind_bounds(d.get("upper-bounds"), schema_id)
-                    files.append({
+                    mfiles.append({
                         "path": _strip_scheme(d["file-path"]),
                         "rows": d["record-count"],
                         "bytes": d["file-size-in-bytes"],
@@ -1277,7 +1294,7 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
                             f"fields {eq_ids} unresolved in writing "
                             f"schema {schema_id}; cannot adopt"
                         )
-                    dels.append({
+                    mdels.append({
                         "path": _strip_scheme(d["file-path"]),
                         "rows": d["record-count"],
                         "bytes": d["file-size-in-bytes"],
@@ -1292,6 +1309,9 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
                         **({"file_cols": file_cols}
                            if d.get("content") == 2 else {}),
                     })
+            convert_memo[memo_key] = (mfiles, mdels)
+            files.extend(mfiles)
+            dels.extend(dict(dd) for dd in mdels)
         # a position delete with no recorded referenced-data-files
         # applies to any file — reference every live data file (broad
         # but correct: the anti-join simply scans more)
