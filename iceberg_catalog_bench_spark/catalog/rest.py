@@ -26,6 +26,7 @@ real REST catalog; this keeps the API contract tested in-repo.
 from __future__ import annotations
 
 import json
+import os
 import threading
 import urllib.error
 import urllib.request
@@ -320,6 +321,81 @@ def _make_handler(state: _State):
                 body = self._body()
                 state.views[(ns, body["name"])] = body
                 return self._send(200, {"view": body["name"]})
+            # Iceberg REST register: POST /v1/namespaces/{ns}/register
+            # {"name", "metadata-location"} — the catalog-level
+            # spelling of foreign-table adoption (spec: RegisterTable;
+            # the reference's Polaris harness drives this lifecycle,
+            # opencatalog/scripts/opencatalog_api_tester.py:680-715).
+            # Delegates to the same chain walker behind
+            # LakeTable.from_iceberg_metadata, so only a chain that
+            # would actually adopt registers.
+            if (
+                len(parts) == 4
+                and parts[:2] == ["v1", "namespaces"]
+                and parts[3] == "register"
+            ):
+                ns = parts[2]
+                if ns not in state.namespaces:
+                    return self._send(404, {"error": "no such namespace"})
+                body = self._body()
+                name = body.get("name")
+                mloc = body.get("metadata-location")
+                if not name or not mloc:
+                    return self._send(
+                        400, {"error": "name and metadata-location required"})
+                if (ns, name) in state.tables:
+                    return self._send(409, {"error": "table exists"})
+                from .iceberg_export import (
+                    _parse_iceberg_v2, _resolve_metadata_path)
+                from .table import _strip_scheme
+                try:
+                    resolved = _resolve_metadata_path(_strip_scheme(mloc))
+                    native = _parse_iceberg_v2(resolved)
+                except Exception as e:  # loud, spec: 400 BadRequest
+                    return self._send(
+                        400, {"error": f"cannot register {mloc!r}: {e}"})
+                cur = str(native["current_schema_version"])
+                head = native.get("current_snapshot_id")
+                table = {
+                    "name": name,
+                    "schema": {"type": "struct", "fields": [
+                        {"id": f["id"], "name": f["name"],
+                         "type": f["type"]}
+                        for f in native["schemas"][cur]]},
+                    "properties": dict(native.get("properties") or {}),
+                    "location": os.path.dirname(os.path.dirname(resolved)),
+                    "metrics_reports": [],
+                    "metadata": {
+                        "table-uuid": state.next_table_uuid(),
+                        "current-snapshot-id": head,
+                        "snapshots": [
+                            {"snapshot-id": sn["snapshot_id"],
+                             "sequence-number": sn.get("seq",
+                                                       sn["snapshot_id"]),
+                             "timestamp-ms": sn.get("timestamp_ms")}
+                            for sn in native["snapshots"]],
+                        "refs": {
+                            "main": {"snapshot-id": head, "type": "branch"},
+                            **{n: {"snapshot-id": sid, "type": "tag"}
+                               for n, sid in
+                               (native.get("refs") or {}).items()},
+                            **{n: {"snapshot-id": sid, "type": "branch"}
+                               for n, sid in
+                               (native.get("branches") or {}).items()},
+                        },
+                        "current-schema-id":
+                            native["current_schema_version"],
+                        "last-sequence-number": max(
+                            (sn.get("seq", 0)
+                             for sn in native["snapshots"]), default=0),
+                    },
+                    "metadata-location": os.path.abspath(resolved),
+                }
+                state.tables[(ns, name)] = table
+                return self._send(200, {
+                    "metadata-location": table["metadata-location"],
+                    "metadata": table["metadata"],
+                })
             # table metrics report (tester :876-879)
             if (
                 len(parts) == 6
@@ -673,6 +749,13 @@ class RestCatalogClient:
 
     def drop_table(self, ns: str, name: str):
         return self._request("DELETE", f"/v1/namespaces/{ns}/tables/{name}")
+
+    def register_table(self, ns: str, name: str, metadata_location: str):
+        """Iceberg REST RegisterTable: adopt an existing chain by its
+        metadata location (spec: POST /v1/{prefix}/namespaces/{ns}/register)."""
+        return self._request(
+            "POST", f"/v1/namespaces/{ns}/register",
+            {"name": name, "metadata-location": metadata_location})
 
     def report_metrics(self, ns: str, name: str, report: dict):
         return self._request("POST", f"/v1/namespaces/{ns}/tables/{name}/metrics", report)

@@ -310,3 +310,44 @@ def test_rest_commit_racers_exactly_one_wins(server):
     for t in ts:
         t.join()
     assert sorted(results) == [200, 409]
+
+
+def test_register_table_endpoint(server, spark, tmp_path):
+    """Iceberg REST RegisterTable (POST /v1/namespaces/{ns}/register):
+    the catalog-level spelling of foreign-table adoption — name +
+    metadata-location in, LoadTableResult out; the chain is actually
+    walked (a bogus location 400s, a duplicate 409s), and the
+    registered entry serves loadTable with the chain's real head."""
+    from iceberg_catalog_bench_spark.catalog.iceberg_export import (
+        to_iceberg_metadata)
+    from iceberg_catalog_bench_spark.catalog.table import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "src"), "k bigint, v double")
+    t.append(spark.createDataFrame([(1, 1.0), (2, 2.0)],
+                                   "k bigint, v double"))
+    s2 = t.append(spark.createDataFrame([(3, 3.0)], "k bigint, v double"))
+    mp = to_iceberg_metadata(t, manifest_format="avro")
+
+    c = RestCatalogClient(server.url)
+    c.authenticate()
+    c.create_namespace("reg_ns")
+    status, body = c.register_table("reg_ns", "adopted", mp)
+    assert status == 200, body
+    assert body["metadata-location"].endswith(".metadata.json")
+    assert body["metadata"]["current-snapshot-id"] == s2.snapshot_id
+    assert len(body["metadata"]["snapshots"]) == 2
+
+    # the registered table is a first-class catalog entry
+    status, listing = c.list_tables("reg_ns")
+    assert status == 200
+    assert {"namespace": ["reg_ns"], "name": "adopted"} in listing["identifiers"]
+    status, loaded = c.load_table("reg_ns", "adopted")
+    assert status == 200
+    assert loaded["metadata"]["current-snapshot-id"] == s2.snapshot_id
+    assert [f["name"] for f in loaded["schema"]["fields"]] == ["k", "v"]
+
+    # duplicate name → 409; unreadable chain → 400; bad namespace → 404
+    assert c.register_table("reg_ns", "adopted", mp)[0] == 409
+    status, err = c.register_table("reg_ns", "bogus", "/nonexistent/v1.metadata.json")
+    assert status == 400 and "cannot register" in err["error"]
+    assert c.register_table("nope_ns", "x", mp)[0] == 404
