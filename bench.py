@@ -234,6 +234,24 @@ def main() -> None:
     phase_once("maintenance_advice", lambda: t.maintenance_advice_row())
     phase_once("rewrite_manifests", lambda: t.rewrite_manifests())
     phase_once("expire_snapshots", lambda: t.expire_snapshots(retain_last=2))
+
+    # Foreign-table adoption (round 9): export the bench table's full
+    # history as a REAL Avro-manifest Iceberg chain (setup, untimed),
+    # then time registration — one metadata pass, zero data bytes
+    # (the 100 TB story: adopting a table costs manifests, not data).
+    # Milliseconds by design; a regression means adoption started
+    # re-parsing manifests per snapshot or opening data files.
+    from iceberg_catalog_bench_spark.catalog.iceberg_export import (
+        adopt_iceberg_metadata, to_iceberg_metadata)
+    adopt_meta = to_iceberg_metadata(t, manifest_format="avro")
+    adopt_dirs = iter(range(1_000_000))
+
+    def _adopt() -> None:
+        adopt_iceberg_metadata(
+            spark, adopt_meta,
+            os.path.join(scratch, f"adopted-{next(adopt_dirs)}"))
+
+    phase_median("adopt_foreign_table", _adopt)
     shutil.rmtree(scratch, ignore_errors=True)
 
     # Streaming-source drain (round 5): one availableNow drain of a
@@ -439,14 +457,19 @@ def main() -> None:
     # single scan. Same rationale as the TPC-H composite: one phase
     # that moves if any DS plan loses a broadcast, a pushdown, or the
     # single-scan collapse.
-    TPCDS_6 = [
+    # (+ round 9: the Q51 cumulative-crossover and Q67 top-N-over-
+    # rollup shapes — window-over-join-of-aggregates and
+    # WindowGroupLimit under a grouping-sets Expand; baseline
+    # re-recorded for the widened phase per the drift protocol)
+    TPCDS_8 = [
         "tpcds_returned_ratio_by_date", "tpcds_rollup_rolling_sales",
         "tpcds_channel_union", "tpcds_star_join_multi_dim",
         "tpcds_rank_within_parent", "tpcds_multi_band_counts",
+        "tpcds_cumulative_channel_crossover", "tpcds_topn_over_rollup",
     ]
 
     def _report_run() -> None:
-        for q in TPCDS_6:
+        for q in TPCDS_8:
             registry.QUERIES[q](spark, SF_DIR).collect()
 
     phase_once("tpcds_report_run", _report_run)
