@@ -350,9 +350,9 @@ def write_ocf(path: str, schema: dict, records: list, *,
     meta["avro.schema"] = schema_json.encode("utf-8")
     meta["avro.codec"] = codec.encode("utf-8")
     import hashlib
-    sync = hashlib.md5(
+    sync = hashlib.sha256(
         schema_json.encode("utf-8") + str(len(records)).encode()
-    ).digest()
+    ).digest()[:16]
 
     body = io.BytesIO()
     for rec in records:

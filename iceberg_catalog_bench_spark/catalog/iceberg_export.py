@@ -804,6 +804,14 @@ def _adopt_partition(part: dict, spec_fields_by_name: dict,
             if tr in _ICEBERG_TO_NATIVE_TRANSFORM:
                 out[f"_p_{_ICEBERG_TO_NATIVE_TRANSFORM[tr]}_{col}"] = _HIVE_NULL
         elif tr == "identity":
+            if isinstance(v, float) and v != 0 and not (
+                    1e-3 <= abs(v) < 1e7):
+                # Spark's CAST(double AS STRING) switches to E notation
+                # outside [1e-3, 1e7) ('1.0E7') while Python's str uses
+                # different thresholds ('10000000.0') — emitting the
+                # Python spelling would make equality pruning WRONGLY
+                # drop the file. Omit the key (never-prune) instead.
+                continue
             out[f"_p_identity_{col}"] = str(v)
         elif tr == "day":
             if is_int:
@@ -1018,8 +1026,10 @@ def _resolve_metadata_path(path: str) -> str:
     """Accept a metadata.json file OR a table directory. Directories
     resolve the HadoopCatalog way: ``metadata/version-hint.text``
     names the current version N → ``vN.metadata.json``; without a
-    hint, the highest ``vN.metadata.json`` under ``metadata/`` (or
-    the directory itself) wins."""
+    hint, the highest version file under ``metadata/`` (or the
+    directory itself) wins — both the Hadoop ``vN.metadata.json``
+    spelling and the object-store-catalog
+    ``NNNNN-<uuid>.metadata.json`` spelling are recognized."""
     if os.path.isfile(path):
         return path
     meta_dir = path
@@ -1036,7 +1046,8 @@ def _resolve_metadata_path(path: str) -> str:
             break
     versions = []
     for fn in os.listdir(meta_dir):
-        m = re.match(r"^v(\d+)\.metadata\.json$", fn)
+        m = (re.match(r"^v(\d+)\.metadata\.json$", fn)
+             or re.match(r"^(\d+)-[0-9a-fA-F-]+\.metadata\.json$", fn))
         if m:
             versions.append((int(m.group(1)), fn))
     if not versions:

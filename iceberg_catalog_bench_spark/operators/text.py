@@ -853,3 +853,98 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("bigint").alias("chunk_len"),
     )
+
+
+_BM25_TERMS = ("hash", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_ORACLE_BM25 = f"""
+WITH tok AS (
+  SELECT doc_id, t AS term
+  FROM documents,
+       UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> ''
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ('hash', 'join', 'window')
+  GROUP BY doc_id, term
+), idf AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), parts AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           ln(1 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+           * tf.tf * ({_BM25_K1} + 1)
+           / (tf.tf + {_BM25_K1}
+              * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+           * 1e6) AS BIGINT) AS part_micro
+  FROM tf
+  JOIN idf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+)
+SELECT doc_id, CAST(SUM(part_micro) AS BIGINT) AS score_micro
+FROM parts
+GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id
+LIMIT 10
+"""
+
+
+@register("text_bm25_keyword_search", oracle=_ORACLE_BM25)
+def text_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword relevance over the corpus — the lexical leg every
+    RAG / retrieval pipeline needs next to the vector ANN family
+    (Robertson & Spärck Jones; k1=1.2, b=0.75).
+
+    Spark-first shape, 100 TB story: ONE tokenize-explode pass and ONE
+    shuffle build a per-doc row carrying the document length AND every
+    query term's frequency as COLUMNS (the term list is a fixed query
+    literal, so columnar beats a (doc, term)-keyed second shuffle);
+    corpus constants (N, avgdl, per-term document frequencies) are a
+    1-row aggregate over that same exchange — Catalyst's
+    ReusedExchange makes the corpus scan happen once — broadcast back
+    with a nested-loop join; top-k is a TakeOrdered. Per-term
+    contributions are micro-rounded BEFORE the sum so the oracle
+    compares integers, immune to float-summation order across engines.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+          .alias(f"tf_{t}") for t in _BM25_TERMS],
+    )
+    consts = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+          for t in _BM25_TERMS],
+    )
+
+    def _part(t: str):
+        tf, df = F.col(f"tf_{t}"), F.col(f"df_{t}")
+        idf = F.log(1 + (F.col("n_docs") - df + 0.5) / (df + 0.5))
+        norm = (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        return F.round(
+            idf * tf * (_BM25_K1 + 1) / (tf + _BM25_K1 * norm) * 1e6
+        ).cast("bigint")
+
+    score = sum((_part(t) for t in _BM25_TERMS), F.lit(0).cast("bigint"))
+    matched = sum((F.col(f"tf_{t}") for t in _BM25_TERMS),
+                  F.lit(0).cast("bigint"))
+    return (
+        per_doc.crossJoin(F.broadcast(consts))
+        .filter(matched > 0)  # = the oracle's "has a tf row" set
+        .select("doc_id", score.alias("score_micro"))
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(10)
+    )

@@ -247,3 +247,30 @@ def test_embedding_cosine_banding_recall_on_planted_dups(spark, tmp_path):
     got = registry.QUERIES["dedup_embedding_cosine"](spark, out).collect()
     top = {(r["vec_a"], r["vec_b"]) for r in got}
     assert top == planted, f"missed: {planted - top}; spurious: {top - planted}"
+
+
+def test_bm25_ranks_keyword_dense_docs_first(spark, tmp_path):
+    """BM25 semantics on a planted corpus: a document saturated with
+    the query terms outranks one that merely mentions them once, and a
+    term-free document never scores."""
+    import pandas as pd
+
+    out = str(tmp_path / "sf")
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "hash join window hash join window hash join",   # dense
+            "hash once in a long tail of other words " + "x " * 40,
+            "nothing relevant here at all",
+        ],
+        "lang": ["en"] * 3,
+        "source": ["t"] * 3,
+        "n_chars": [10, 10, 10],
+    })
+    spark.createDataFrame(docs).coalesce(1).write.parquet(
+        out + "/documents.parquet")
+    rows = registry.QUERIES["text_bm25_keyword_search"](spark, out).collect()
+    ranked = [r["doc_id"] for r in rows]
+    assert ranked[0] == 1                 # dense doc wins
+    assert 3 not in ranked                # no term, no score
+    assert rows[0]["score_micro"] > rows[-1]["score_micro"] > 0

@@ -486,3 +486,19 @@ def test_tpcds_q67_rollup_before_ranked_window(spark, oracle_sf_dir):
     assert final.index("Window") < final.index("Expand"), \
         "the rollup aggregate must sit below the rank window"
     assert final.count("FileScan parquet") == 1, "one fact scan for all grains"
+
+
+def test_bm25_single_corpus_pass_reused_exchange_topk(spark, oracle_sf_dir):
+    """BM25's scale contract: the corpus constants (N, avgdl, per-term
+    document frequencies) aggregate over the SAME per-doc exchange the
+    scores read (ReusedExchange — the tokenize+shuffle pass happens
+    once), come back as a 1-row broadcast, and top-k is a TakeOrdered,
+    never a global sort or a shuffle join."""
+    df = registry.QUERIES["text_bm25_keyword_search"](spark, oracle_sf_dir)
+    df.collect()  # AQE materializes ReusedExchange only in the FINAL plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan                      # one corpus pass
+    assert "BroadcastNestedLoopJoin" in plan             # 1-row constants
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan

@@ -299,3 +299,69 @@ def test_adopted_month_partition_prunes(spark, tmp_path):
     assert all(e.partition.get("_p_months_ts")
                in ("2024-02-01 00:00:00",) for e in pruned)
     assert sorted(r.k for r in a.read().collect()) == [1, 2, 3, 9]
+
+
+def test_float_identity_partition_e_notation_dropped(spark, tmp_path):
+    """Spark's CAST(double AS STRING) uses E notation outside
+    [1e-3, 1e7) while Python's str does not — an adopted float identity
+    value in that range would equality-prune WRONGLY, so the key is
+    omitted (never-prune); in-range values keep the shared spelling."""
+    root = str(tmp_path / "foreign")
+    data = os.path.join(root, "data")
+    os.makedirs(data)
+    f1 = _parquet(os.path.join(data, "f1.parquet"),
+                  "SELECT CAST(1 AS BIGINT) AS k, 'a' AS v")
+    f2 = _parquet(os.path.join(data, "f2.parquet"),
+                  "SELECT CAST(2 AS BIGINT) AS k, 'b' AS v")
+    e1 = _data_file(f1, 1, seq=1, extra={"partition": {"w": 1e8}})
+    e2 = _data_file(f2, 1, seq=1, extra={"partition": {"w": 5.0}})
+    e1["snapshot-id"] = 1
+    e2["snapshot-id"] = 1
+    schema = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "v", "required": False, "type": "string"},
+        {"id": 3, "name": "w", "required": False, "type": "double"},
+    ]}
+    mp = _chain(root, [(1, 1, [("m1.json", 0, [e1, e2])])],
+                schemas=[schema], last_column_id=3,
+                specs=[{"spec-id": 0, "fields": [
+                    {"field-id": 1000, "source-id": 3, "name": "w",
+                     "transform": "identity"}]}])
+    t = LakeTable.from_iceberg_metadata(spark, mp, str(tmp_path / "adopted"))
+    parts = {e.path: e.partition for e in t._snapshot().files}
+    assert parts[f1] == {}                              # 1e8: dropped
+    assert parts[f2] == {"_p_identity_w": "5.0"}        # in-range: kept
+    # the dropped key degrades to never-prune: f1 (which really holds
+    # w=1e8) SURVIVES the predicate; f2 ("5.0") is legitimately pruned
+    kept = t._prune_files(t._snapshot().files, "w = 100000000.0")
+    assert [e.path for e in kept] == [f1]
+
+
+def test_directory_resolution_objectstore_metadata_naming(spark, tmp_path):
+    """Object-store catalogs name metadata files
+    NNNNN-<uuid>.metadata.json (no version-hint, no vN) — directory
+    adoption must pick the highest sequence number."""
+    root = str(tmp_path / "foreign")
+    data = os.path.join(root, "data")
+    os.makedirs(data)
+    f1 = _parquet(os.path.join(data, "f1.parquet"),
+                  "SELECT CAST(1 AS BIGINT) AS k, 'a' AS v")
+    e1 = _data_file(f1, 1, seq=1)
+    e1["snapshot-id"] = 1
+    mp = _chain(root, [(1, 1, [("m1.json", 0, [e1])])])
+    meta_dir = os.path.dirname(mp)
+    # re-spell the chain the object-store way: two generations, the
+    # higher one current (v1.metadata.json removed)
+    with open(mp) as fh:
+        md = json.load(fh)
+    os.remove(mp)
+    stale = dict(md, **{"current-snapshot-id": -1, "snapshots": []})
+    u = "0f0e0d0c-0b0a-0908-0706-050403020100"
+    with open(os.path.join(meta_dir, f"00001-{u}.metadata.json"), "w") as fh:
+        json.dump(stale, fh)
+    with open(os.path.join(meta_dir, f"00002-{u}.metadata.json"), "w") as fh:
+        json.dump(md, fh)
+    t = LakeTable.from_iceberg_metadata(spark, root,
+                                        str(tmp_path / "adopted"))
+    assert t._meta["current_snapshot_id"] == 1
+    assert t.read().count() == 1
