@@ -1122,11 +1122,30 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
     """
     with open(metadata_path) as fh:
         md = json.load(fh)
-    if md.get("format-version") != 2:
+    if md.get("format-version") not in (1, 2):
         raise ValueError(
-            f"can only adopt Iceberg format-version 2 metadata, got "
+            f"can only adopt Iceberg format-version 1 or 2 metadata, got "
             f"{md.get('format-version')!r}"
         )
+    if md.get("format-version") == 1:
+        # v1 → normalize the legacy spellings, then the v2 walk applies
+        # verbatim (v1 is a strict subset: data files only, no
+        # content/sequence fields — the readers' defaults already
+        # cover their absence). Adoption upgrades: continued DML
+        # writes v2 semantics, exactly like Iceberg's own upgrade.
+        if "schemas" not in md:
+            legacy = dict(md["schema"])
+            legacy.setdefault("schema-id", 0)
+            md["schemas"] = [legacy]
+        if "current-schema-id" not in md:
+            md["current-schema-id"] = md["schemas"][-1].get("schema-id", 0)
+        if "partition-specs" not in md:
+            md["partition-specs"] = [{
+                "spec-id": md.get("default-spec-id", 0),
+                "fields": md.get("partition-spec", []),
+            }]
+        md.setdefault("default-spec-id",
+                      md["partition-specs"][0].get("spec-id", 0))
 
     # --- schemas, by field id ---
     schemas: dict[str, list] = {}

@@ -365,3 +365,84 @@ def test_directory_resolution_objectstore_metadata_naming(spark, tmp_path):
                                         str(tmp_path / "adopted"))
     assert t._meta["current_snapshot_id"] == 1
     assert t.read().count() == 1
+
+
+def test_adopt_format_version_1_chain(spark, tmp_path):
+    """Real older Iceberg tables are format-version 1: legacy singular
+    `schema` / flat `partition-spec` spellings, no sequence numbers,
+    no content field anywhere (data files only). Adoption normalizes
+    the legacy spellings and upgrades — continued DML writes v2
+    semantics, like Iceberg's own upgrade path. The manifest here is a
+    REAL Avro OCF whose writer schema simply LACKS the v2 fields, the
+    way a v1 writer's does."""
+    from iceberg_catalog_bench_spark.catalog.avro_ocf import write_ocf
+
+    root = str(tmp_path / "foreign")
+    data = os.path.join(root, "data")
+    meta = os.path.join(root, "metadata")
+    os.makedirs(data), os.makedirs(meta)
+    f1 = _parquet(os.path.join(data, "f1.parquet"),
+                  "SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'a'), "
+                  "(CAST(2 AS BIGINT), 'b')) t(k, v)")
+    man = os.path.join(meta, "m-1.avro")
+    v1_entry_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {"name": "file_format", "type": "string",
+                     "field-id": 101},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102", "fields": []},
+                     "field-id": 102},
+                    {"name": "record_count", "type": "long",
+                     "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long",
+                     "field-id": 104},
+                ]}, "field-id": 2},
+        ],
+    }
+    write_ocf(man, v1_entry_schema, [{
+        "status": 1, "snapshot_id": 7, "data_file": {
+            "file_path": f1, "file_format": "PARQUET", "partition": {},
+            "record_count": 2, "file_size_in_bytes": os.path.getsize(f1),
+        }}], metadata={"format-version": "1", "content": "data"})
+    ml = os.path.join(meta, "sl-7.json")
+    with open(ml, "w") as fh:
+        json.dump({"manifests": [{
+            "manifest-path": man,
+            "manifest-length": os.path.getsize(man)}]}, fh)
+    mp = os.path.join(meta, "v1.metadata.json")
+    with open(mp, "w") as fh:
+        json.dump({
+            "format-version": 1,
+            "table-uuid": "00000000-0000-0000-0000-0000000000v1",
+            "location": root, "last-updated-ms": 1_700_000_000_000,
+            "last-column-id": 2,
+            # legacy spellings: singular schema, flat partition-spec
+            "schema": SCHEMA,
+            "partition-spec": [],
+            "properties": {}, "current-snapshot-id": 7,
+            "snapshots": [{"snapshot-id": 7,
+                           "timestamp-ms": 1_700_000_000_000,
+                           "manifest-list": ml,
+                           "summary": {"operation": "append"}}],
+        }, fh)
+    t = LakeTable.from_iceberg_metadata(spark, mp, str(tmp_path / "adopted"))
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == [
+        (1, "a"), (2, "b")]
+    # upgraded: continued DML is v2-native
+    t.append(spark.createDataFrame([(3, "c")], "k bigint, v string"))
+    assert t.read().count() == 3
+    assert t._meta["format_version"] == 2
+
+    # v3+ still refuses loudly
+    bad = dict(json.load(open(mp)), **{"format-version": 3})
+    mp3 = os.path.join(meta, "v3.metadata.json")
+    with open(mp3, "w") as fh:
+        json.dump(bad, fh)
+    with pytest.raises(ValueError, match="format-version"):
+        LakeTable.from_iceberg_metadata(spark, mp3,
+                                        str(tmp_path / "adopted3"))
