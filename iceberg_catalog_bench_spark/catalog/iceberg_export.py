@@ -1498,6 +1498,11 @@ def read_via_iceberg_metadata(
     snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
     types_by_id = {f["id"]: f["type"]
                    for s in md["schemas"] for f in s["fields"]}
+    # foreign chains carry no per-file schema-id extension — attribute
+    # the writing schema through the ADDING snapshot, like adoption
+    cur_sid = snap.get("schema-id", md.get("current-schema-id", 0))
+    snap_schema = {s["snapshot-id"]: s.get("schema-id", cur_sid)
+                   for s in md["snapshots"]}
     mlist = _read_manifest_list(snap["manifest-list"])
     by_schema: dict[int, list[tuple[str, int]]] = {}
     delete_paths: list[str] = []
@@ -1506,6 +1511,8 @@ def read_via_iceberg_metadata(
     for m in mlist["manifests"]:
         manifest = _read_manifest(m["manifest-path"], {}, types_by_id)
         for e in manifest["entries"]:
+            if e.get("status") == 2:
+                continue
             df_entry = e["data-file"]
             if df_entry.get("content") == 1:  # position deletes
                 delete_paths.append(_strip_scheme(df_entry["file-path"]))
@@ -1514,13 +1521,17 @@ def read_via_iceberg_metadata(
                 )
                 continue
             if df_entry.get("content") == 2:  # equality deletes
-                eq_deletes.append(df_entry)
+                eq_deletes.append(_fill_equality_field_names(
+                    df_entry, e, md, snap_schema, cur_sid))
                 continue
-            by_schema.setdefault(df_entry["schema-id"], []).append(
+            schema_attr = df_entry.get("schema-id")
+            if schema_attr is None:
+                schema_attr = snap_schema.get(e.get("snapshot-id"), cur_sid)
+            by_schema.setdefault(schema_attr, []).append(
                 (_strip_scheme(df_entry["file-path"]),
                  df_entry.get("data-sequence-number", 0))
             )
-    target = next(s for s in md["schemas"] if s["schema-id"] == snap["schema-id"])
+    target = next(s for s in md["schemas"] if s["schema-id"] == cur_sid)
     if not by_schema:
         ddl = ", ".join(
             f"{f['name']} {_spark_ddl_type(f['type'])}" for f in target["fields"]
@@ -1615,6 +1626,26 @@ _DUCK_TYPE = {
 }
 
 
+def _fill_equality_field_names(df_entry: dict, entry: dict, md: dict,
+                               snap_schema: dict, cur_sid: int) -> dict:
+    """Foreign chains carry only ``equality-ids`` — derive the delete
+    parquet's PHYSICAL column names from the schema of the snapshot
+    that added the delete file (the names current at write time), the
+    same attribution adoption uses. No-op when the exporter's
+    ``equality-field-names`` extension is already present."""
+    if df_entry.get("equality-field-names"):
+        return df_entry
+    wid = snap_schema.get(entry.get("snapshot-id"), cur_sid)
+    wnames = {f["id"]: f["name"]
+              for s in md["schemas"] if s["schema-id"] == wid
+              for f in s["fields"]}
+    names = [wnames.get(i) for i in (df_entry.get("equality-ids") or [])]
+    if names and all(n is not None for n in names):
+        df_entry = dict(df_entry)
+        df_entry["equality-field-names"] = names
+    return df_entry
+
+
 def _eq_key_pairs(d: dict, target_by_id: dict[int, str]) -> list[tuple[str, str]]:
     """(write-time name, target name) per equality key of one delete
     file. The delete parquet's columns use the names current when it
@@ -1683,19 +1714,30 @@ def duckdb_scan_sql(metadata_path: str, snapshot_id: int | None = None) -> str:
     by_arm: dict[tuple[int, int], list[str]] = {}
     delete_paths: list[str] = []
     eq_deletes: list[dict] = []
+    cur_sid = snap.get("schema-id", md.get("current-schema-id", 0))
+    snap_schema = {s["snapshot-id"]: s.get("schema-id", cur_sid)
+                   for s in md["snapshots"]}
     for m in mlist["manifests"]:
         manifest = _read_manifest(m["manifest-path"], {}, types_by_id)
         for e in manifest["entries"]:
+            if e.get("status") == 2:
+                continue
             df_entry = e["data-file"]
             if df_entry.get("content") == 2:
-                eq_deletes.append(df_entry)
+                eq_deletes.append(_fill_equality_field_names(
+                    df_entry, e, md, snap_schema, cur_sid))
                 continue
             if df_entry.get("content") == 1:
                 delete_paths.append(_strip_scheme(df_entry["file-path"]))
                 continue
-            arm = (df_entry["schema-id"], df_entry.get("data-sequence-number") or 0)
+            schema_attr = df_entry.get("schema-id")
+            if schema_attr is None:
+                # foreign chains carry no schema-id extension —
+                # attribute through the adding snapshot
+                schema_attr = snap_schema.get(e.get("snapshot-id"), cur_sid)
+            arm = (schema_attr, df_entry.get("data-sequence-number") or 0)
             by_arm.setdefault(arm, []).append(_strip_scheme(df_entry["file-path"]))
-    target = next(s for s in md["schemas"] if s["schema-id"] == snap["schema-id"])
+    target = next(s for s in md["schemas"] if s["schema-id"] == cur_sid)
     names = ", ".join(f'"{f["name"]}"' for f in target["fields"])
     if not by_arm:
         cols = ", ".join(

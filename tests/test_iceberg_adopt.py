@@ -950,3 +950,31 @@ def test_adopted_table_serves_laketable_stream(spark, tmp_path):
     ).select("k", "label", "v", "cat", "ts", "tag"))
     drain()  # incremental: no redelivery of 7
     assert sorted(r["k"] for r in spark.read.parquet(sink).collect()) == [7, 8]
+
+
+def test_duckdb_scan_sql_over_foreign_avro_chain(spark, tmp_path):
+    """duckdb_scan_sql is a genuine cross-engine scanner, not just an
+    export reader: pointed at the FOREIGN Avro chain (no per-file
+    schema-id extension), it attributes each file's writing schema
+    through its adding snapshot and DuckDB reproduces the adopted
+    read — schema rebinding, the position delete and the
+    equality-delete sequence rule included."""
+    mp = _write_foreign_chain(str(tmp_path / "foreign"))
+    amp = _avroize_chain(mp)
+    t = LakeTable.from_iceberg_metadata(spark, amp, str(tmp_path / "adopted"))
+    native = _rows(t.read())
+    got = duckdb.sql(duckdb_scan_sql(amp)).fetchall()
+    cols = [d[0] for d in duckdb.sql(duckdb_scan_sql(amp)).description]
+    idx = [cols.index(c) for c in ("k", "label", "v", "cat", "tag")]
+    assert sorted(tuple(r[i] for i in idx) for r in got) == native
+
+    # time travel through the foreign chain too (snapshot 102:
+    # pre-delete state, schema 1)
+    old = duckdb.sql(duckdb_scan_sql(amp, snapshot_id=102)).fetchall()
+    assert sorted(r[idx[0]] for r in old) == [1, 2, 3, 4]
+
+    # the Spark metadata-only walker handles the same foreign chain
+    from iceberg_catalog_bench_spark.catalog.iceberg_export import (
+        read_via_iceberg_metadata)
+    walked = read_via_iceberg_metadata(spark, amp)
+    assert _rows(walked) == native
