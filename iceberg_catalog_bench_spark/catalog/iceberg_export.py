@@ -698,7 +698,22 @@ def to_iceberg_metadata(table: LakeTable, *,
                 ],
             }
         ],
-        "properties": meta.get("properties", {}),
+        "properties": {
+            **meta.get("properties", {}),
+            # Spark-written parquet carries no embedded Iceberg field
+            # ids; the spec's name-mapping property is how a real
+            # Iceberg runtime resolves such files by column name
+            # (Iceberg spec: "Column Projection" / name mapping
+            # serialization). Every historical spelling of a field id
+            # is listed, so files written before a rename still
+            # resolve.
+            "schema.name-mapping.default": json.dumps([
+                {"field-id": fid,
+                 "names": sorted({n for n, i in field_ids_by_name.items()
+                                  if i == fid})}
+                for fid in sorted(set(field_ids_by_name.values()))
+            ], separators=(",", ":")),
+        },
         "current-snapshot-id": meta.get("current_snapshot_id"),
         "snapshots": snapshots,
         "snapshot-log": [

@@ -446,3 +446,25 @@ def test_adopt_format_version_1_chain(spark, tmp_path):
     with pytest.raises(ValueError, match="format-version"):
         LakeTable.from_iceberg_metadata(spark, mp3,
                                         str(tmp_path / "adopted3"))
+
+
+def test_export_emits_name_mapping_property(spark, tmp_path):
+    """Spark-written parquet has no embedded Iceberg field ids; the
+    export must carry the spec's `schema.name-mapping.default`
+    property so a real Iceberg runtime can resolve files by name —
+    including every HISTORICAL spelling (files written before a rename
+    resolve through their old column name)."""
+    from iceberg_catalog_bench_spark.catalog.iceberg_export import (
+        to_iceberg_metadata)
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint, name string")
+    t.append(spark.createDataFrame([(1, "a")], "k bigint, name string"))
+    t.rename_column("name", "label")
+    mp = to_iceberg_metadata(t)
+    with open(mp) as fh:
+        md = json.load(fh)
+    mapping = {m["field-id"]: m["names"]
+               for m in json.loads(
+                   md["properties"]["schema.name-mapping.default"])}
+    assert mapping[1] == ["k"]
+    assert mapping[2] == ["label", "name"]  # both spellings resolve
