@@ -978,3 +978,43 @@ def test_duckdb_scan_sql_over_foreign_avro_chain(spark, tmp_path):
         read_via_iceberg_metadata)
     walked = read_via_iceberg_metadata(spark, amp)
     assert _rows(walked) == native
+
+
+def test_full_interop_cycle_foreign_to_export_to_readopt(spark, tmp_path):
+    """The whole loop the reference exists to test, in one arc: a
+    foreign engine's Avro chain is ADOPTED; the adopted table takes
+    continued DML AND schema evolution; its full history re-EXPORTS as
+    a real Avro chain; DuckDB executes the compiled scan of that
+    export; and a SECOND adoption of the export reproduces the table.
+    Every hop crosses a serialization or engine boundary."""
+    mp = _write_foreign_chain(str(tmp_path / "foreign"))
+    amp = _avroize_chain(mp)
+    a = LakeTable.from_iceberg_metadata(spark, amp, str(tmp_path / "gen1"))
+    # continued life on the adopted side: delete + evolve + append
+    a.delete_where("k = 4")
+    a.add_column("note", "string", default="n/a")
+    a.append(spark.createDataFrame(
+        [(9, "i", 9.0, "z", datetime.datetime(2024, 2, 1), "late", "fresh")],
+        "k bigint, label string, v double, cat string, ts timestamp, "
+        "tag string, note string"))
+    expect = sorted(
+        tuple(r[c] for c in ("k", "label", "v", "cat", "tag", "note"))
+        for r in a.read().collect())
+    assert [e[0] for e in expect] == [1, 9]  # 2,3 foreign-deleted; 4 local
+
+    meta2 = to_iceberg_metadata(a, manifest_format="avro")
+    # engine hop: DuckDB executes the compiled scan of the re-export
+    got = duckdb.sql(duckdb_scan_sql(meta2)).fetchall()
+    cols = [d[0] for d in duckdb.sql(duckdb_scan_sql(meta2)).description]
+    idx = [cols.index(c) for c in ("k", "label", "v", "cat", "tag", "note")]
+    assert sorted(tuple(r[i] for i in idx) for r in got) == expect
+
+    # second adoption: the exported chain registers as a NEW table
+    b = LakeTable.from_iceberg_metadata(spark, meta2, str(tmp_path / "gen2"))
+    assert sorted(
+        tuple(r[c] for c in ("k", "label", "v", "cat", "tag", "note"))
+        for r in b.read().collect()) == expect
+    # and the second generation still time-travels into the FIRST
+    # generation's foreign history (schema 0 rows read through renames
+    # and double defaults)
+    assert len(b._meta["snapshots"]) == len(a._meta["snapshots"])
