@@ -1018,3 +1018,36 @@ def test_full_interop_cycle_foreign_to_export_to_readopt(spark, tmp_path):
     # generation's foreign history (schema 0 rows read through renames
     # and double defaults)
     assert len(b._meta["snapshots"]) == len(a._meta["snapshots"])
+
+
+def test_maintenance_on_adopted_table_never_touches_foreign_files(
+        spark, tmp_path):
+    """Maintenance is first-class on adopted tables: rewrite_data_files
+    compacts the foreign-referenced files into table-owned layout,
+    expire_snapshots trims the adopted history — and the FOREIGN
+    directory is byte-identical afterwards (the r8 safety rule:
+    physical deletes never leave the table directory)."""
+    mp = _write_foreign_chain(str(tmp_path / "foreign"))
+    amp = _avroize_chain(mp)
+    t = LakeTable.from_iceberg_metadata(spark, amp, str(tmp_path / "adopted"))
+    before = _rows(t.read())
+
+    def snapshot_dir(root):
+        out = {}
+        for dp, _dn, fns in os.walk(root):
+            for fn in fns:
+                p = os.path.join(dp, fn)
+                out[p] = (os.path.getsize(p), os.path.getmtime(p))
+        return out
+
+    foreign_before = snapshot_dir(str(tmp_path / "foreign"))
+    t.rewrite_data_files(min_input_files=1)
+    t.expire_snapshots(retain_last=1)
+    assert _rows(t.read()) == before
+    # compaction rewrote into the TABLE directory; reads no longer
+    # depend on merge-on-read over foreign delete files
+    snap = t._snapshot()
+    table_root = str(tmp_path / "adopted")
+    assert all(os.path.join(table_root, e.path).startswith(table_root)
+               for e in snap.files)
+    assert snapshot_dir(str(tmp_path / "foreign")) == foreign_before
