@@ -1051,3 +1051,36 @@ def test_maintenance_on_adopted_table_never_touches_foreign_files(
     assert all(os.path.join(table_root, e.path).startswith(table_root)
                for e in snap.files)
     assert snapshot_dir(str(tmp_path / "foreign")) == foreign_before
+
+
+def test_stream_delivers_foreign_advances_after_sync(spark, tmp_path):
+    """Foreign CDC ingestion: adopt an Avro chain, open an incremental
+    stream at the adopted head, let the FOREIGN writer commit, sync
+    the fast-forward — the next drain delivers exactly the synced
+    delta, and a further drain redelivers nothing."""
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        register_source,
+    )
+
+    register_source(spark)
+    mp = _write_foreign_chain(str(tmp_path / "foreign"))
+    amp = _avroize_chain(mp)
+    t = LakeTable.from_iceberg_metadata(spark, amp, str(tmp_path / "adopted"))
+    head = t._meta["current_snapshot_id"]
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+
+    def drain():
+        q = (spark.readStream.format("laketable").option("path", t.path)
+             .option("starting-snapshot-id", str(head))
+             .load().writeStream.format("parquet")
+             .option("path", sink).trigger(availableNow=True)
+             .option("checkpointLocation", ck).start())
+        q.awaitTermination(300)
+
+    _advance_foreign_chain(mp)      # foreign writer commits 105 (k=9)
+    _avroize_chain(mp)              # … re-emitting Avro manifests
+    assert t.sync_from_iceberg_metadata() == 1
+    drain()
+    assert sorted(r["k"] for r in spark.read.parquet(sink).collect()) == [9]
+    drain()                          # no redelivery
+    assert sorted(r["k"] for r in spark.read.parquet(sink).collect()) == [9]
