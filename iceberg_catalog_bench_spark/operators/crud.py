@@ -597,9 +597,11 @@ def iceberg_register_adopted(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrote, ICEBERG-Interoperability-Test-Spec.md:4-14): a foreign
     Iceberg v2 chain is authored HERE by a different engine — DuckDB
     writes the data and equality-delete parquet, this function writes
-    the metadata.json → manifest-list → manifest documents (no
-    ``schema-id`` extension on data files; bounds would be field-id
-    keyed) — then adopted zero-copy via
+    the metadata.json and REAL Avro OCF manifest lists + manifests
+    (spec field names, Java's ``sequence_number`` spelling, no
+    ``schema-id`` extension, the delete file carrying ONLY
+    equality-ids so key names resolve through the writing schema, the
+    way real chains force) — then adopted zero-copy via
     ``LakeTable.from_iceberg_metadata`` and DRIVEN ON: the adopted
     table serves time travel across the foreign lineage, applies the
     foreign equality delete with the strictly-smaller-sequence rule,
@@ -655,39 +657,96 @@ def iceberg_register_adopted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "record-count": rows,
             "file-size-in-bytes": os.path.getsize(path), **extra}}
 
+    # the chain's manifests are REAL Avro OCF (spec field names,
+    # underscore spellings, Java's `sequence_number` for the v2 entry
+    # sequence) — what an actual foreign engine writes; the delete
+    # file carries ONLY equality-ids (no name extension), forcing the
+    # write-schema name resolution real chains require
+    from ..catalog.avro_ocf import write_ocf
+
+    _AVRO_ENTRY = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "field-id": 3},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int", "field-id": 134},
+                    {"name": "file_path", "type": "string",
+                     "field-id": 100},
+                    {"name": "file_format", "type": "string",
+                     "field-id": 101},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102", "fields": []},
+                     "field-id": 102},
+                    {"name": "record_count", "type": "long",
+                     "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long",
+                     "field-id": 104},
+                    {"name": "equality_ids",
+                     "type": ["null", {"type": "array", "items": "int"}],
+                     "field-id": 135},
+                ]}, "field-id": 2},
+        ],
+    }
+    _AVRO_MLIST = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string", "field-id": 500},
+            {"name": "manifest_length", "type": "long", "field-id": 501},
+            {"name": "partition_spec_id", "type": "int", "field-id": 502},
+            {"name": "content", "type": "int", "field-id": 517},
+            {"name": "sequence_number", "type": "long", "field-id": 515},
+            {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        ],
+    }
+
     def _manifest(name: str, entries: list) -> str:
         p = os.path.join(metad, name)
-        with open(p, "w") as fh:
-            json.dump({"partition-spec-id": 0, "entries": entries}, fh)
+        write_ocf(p, _AVRO_ENTRY, [{
+            "status": e["status"],
+            "snapshot_id": e["snapshot-id"],
+            "sequence_number": e["data-file"]["data-sequence-number"],
+            "data_file": {
+                "content": e["data-file"]["content"],
+                "file_path": e["data-file"]["file-path"],
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": e["data-file"]["record-count"],
+                "file_size_in_bytes": e["data-file"]["file-size-in-bytes"],
+                "equality_ids": e["data-file"].get("equality-ids"),
+            }} for e in entries],
+            metadata={"format-version": "2"})
         return p
 
-    def _mlist(name: str, pairs: list) -> str:
+    def _mlist(name: str, pairs: list, seq: int) -> str:
         p = os.path.join(metad, name)
-        with open(p, "w") as fh:
-            json.dump({"manifests": [
-                {"manifest-path": mp, "manifest-length": os.path.getsize(mp),
-                 "content": c, "partition-spec-id": 0} for mp, c in pairs]}, fh)
+        write_ocf(p, _AVRO_MLIST, [{
+            "manifest_path": mp, "manifest_length": os.path.getsize(mp),
+            "partition_spec_id": 0, "content": c,
+            "sequence_number": seq, "added_snapshot_id": 100 + seq}
+            for mp, c in pairs],
+            metadata={"format-version": "2"})
         return p
 
     e1 = _entry(f1, n1, 101, 1)
     e2 = _entry(f2, n2, 102, 2)
-    ed = _entry(eq, nd, 103, 3, content=2,
-                **{"equality-ids": [1], "equality-field-names": ["s_suppkey"]})
-    m1 = _manifest("m-101.json", [e1])
-    m2 = _manifest("m-102.json", [e1, e2])
-    md3 = _manifest("m-103-del.json", [ed])
+    ed = _entry(eq, nd, 103, 3, content=2, **{"equality-ids": [1]})
+    m1 = _manifest("m-101.avro", [e1])
+    m2 = _manifest("m-102.avro", [e1, e2])
+    md3 = _manifest("m-103-del.avro", [ed])
     snaps = [
         {"snapshot-id": 101, "sequence-number": 1,
          "timestamp-ms": 1_700_000_001_000, "schema-id": 0,
-         "manifest-list": _mlist("sl-101.json", [(m1, 0)]),
+         "manifest-list": _mlist("sl-101.avro", [(m1, 0)], 1),
          "summary": {"operation": "append"}},
         {"snapshot-id": 102, "parent-snapshot-id": 101, "sequence-number": 2,
          "timestamp-ms": 1_700_000_002_000, "schema-id": 1,
-         "manifest-list": _mlist("sl-102.json", [(m2, 0)]),
+         "manifest-list": _mlist("sl-102.avro", [(m2, 0)], 2),
          "summary": {"operation": "append"}},
         {"snapshot-id": 103, "parent-snapshot-id": 102, "sequence-number": 3,
          "timestamp-ms": 1_700_000_003_000, "schema-id": 1,
-         "manifest-list": _mlist("sl-103.json", [(m2, 0), (md3, 1)]),
+         "manifest-list": _mlist("sl-103.avro", [(m2, 0), (md3, 1)], 3),
          "summary": {"operation": "delete"}},
     ]
     mp = os.path.join(metad, "v3.metadata.json")
