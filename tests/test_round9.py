@@ -468,3 +468,35 @@ def test_export_emits_name_mapping_property(spark, tmp_path):
                    md["properties"]["schema.name-mapping.default"])}
     assert mapping[1] == ["k"]
     assert mapping[2] == ["label", "name"]  # both spellings resolve
+
+
+def test_bound_binary_serialization_spec_vectors():
+    """Iceberg binary single-value serialization (spec appendix D):
+    encode/decode are inverses, hand-computed byte vectors pin the
+    wire format, and widened columns decode their historical
+    narrow-width bounds."""
+    import struct
+
+    from iceberg_catalog_bench_spark.catalog.iceberg_export import (
+        _decode_bound, _encode_bound)
+
+    for v, t in [(5, "int"), (5, "long"), (2.5, "float"), (2.5, "double"),
+                 ("2024-01-05", "date"),
+                 ("2024-01-05 12:00:00", "timestamptz"),
+                 ("2024-01-05 12:00:00.123456", "timestamp"),
+                 ("abc", "string"), (True, "boolean"),
+                 ("123.45", "decimal(10,2)"), ("-0.07", "decimal(4,2)")]:
+        assert _decode_bound(_encode_bound(v, t), t) == v, (v, t)
+    # hand-computed vectors: little-endian int, IEEE double, epoch date
+    assert _encode_bound(1, "int") == b"\x01\x00\x00\x00"
+    assert _encode_bound(1.0, "double") == b"\x00\x00\x00\x00\x00\x00\xf0\x3f"
+    assert _encode_bound("1970-01-02", "date") == b"\x01\x00\x00\x00"
+    assert _decode_bound(b"\x2a\x00\x00\x00\x00\x00\x00\x00", "long") == 42
+    # decimal: minimal big-endian two's complement of the unscaled value
+    assert _encode_bound("123.45", "decimal(10,2)") == b"\x30\x39"
+    # widening tolerance: pre-widening 4-byte payloads under the NEW type
+    assert _decode_bound(struct.pack("<i", 7), "long") == 7
+    assert _decode_bound(struct.pack("<f", 1.5), "double") == 1.5
+    # non-comparable types are omitted, never wrong
+    assert _decode_bound(b"\x00" * 16, "uuid") is None
+    assert _decode_bound(b"\x01", "binary") is None
