@@ -1130,10 +1130,12 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
     Continued DML is immediate: new commits take ``max(snapshot
     id)+1``, so foreign equality deletes can never reach rows written
     after adoption, and new files cluster under the adopted default
-    spec. Manifests are this repo's JSON dialect of the v2 layout
-    (decoding spec Avro is a serialization change, per the module
-    docstring); bounds keyed by field id are rebound to the writing
-    schema's names.
+    spec. Manifest lists and manifests may be REAL Avro OCF (what
+    foreign engines write — decoded by :mod:`.avro_ocf`, bound bytes
+    per the binary single-value spec) or this repo's JSON dialect,
+    detected per file by magic; format-version 1 chains normalize
+    their legacy spellings first and upgrade on adoption. Bounds keyed
+    by field id are rebound to the writing schema's names.
     """
     with open(metadata_path) as fh:
         md = json.load(fh)

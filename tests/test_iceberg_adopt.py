@@ -6,9 +6,10 @@ one engine reads what another wrote).
 The chain here is deliberately NOT produced by `to_iceberg_metadata`:
 the data / delete parquet files are written by DUCKDB (a different
 engine) and the metadata.json → manifest-list → manifest documents are
-hand-authored in this module, in the same JSON dialect of the v2
-layout the exporter emits (decoding spec Avro is a serialization
-change, per iceberg_export's module docstring). Data-file entries
+hand-authored in this module — and every fixture-driven test runs
+TWICE: over the JSON dialect and over a re-serialization as REAL Avro
+OCF manifests built from the spec's own field tables
+(`_avroize_chain`). Data-file entries
 carry NO "schema-id" extension — adoption must infer each file's
 writing schema from the snapshot that added it, the way a real chain
 forces — and bounds are keyed by FIELD ID, not name.
