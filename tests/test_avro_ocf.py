@@ -165,3 +165,48 @@ def test_empty_file_and_bad_magic(tmp_path):
     assert not avro_ocf.is_ocf(str(bad))
     with pytest.raises(ValueError, match="magic"):
         read_ocf(str(bad))
+
+
+# ---- property tests (hypothesis) ------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_LONGS = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+_ROWS = st.lists(
+    st.tuples(
+        _LONGS,
+        st.text(max_size=40),
+        st.floats(allow_nan=False, width=64),
+        st.none() | st.binary(max_size=20),
+        st.lists(st.integers(min_value=-(2**31), max_value=2**31 - 1),
+                 max_size=5),
+        st.dictionaries(st.text(min_size=1, max_size=8), _LONGS,
+                        max_size=4),
+    ),
+    max_size=25,
+)
+
+_PROP_SCHEMA = {
+    "type": "record", "name": "row", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": "string"},
+        {"name": "c", "type": "double"},
+        {"name": "d", "type": ["null", "bytes"]},
+        {"name": "e", "type": {"type": "array", "items": "int"}},
+        {"name": "f", "type": {"type": "map", "values": "long"}},
+    ],
+}
+
+
+@settings(max_examples=60, deadline=None)
+@given(rows=_ROWS, codec=st.sampled_from(["null", "deflate"]))
+def test_ocf_roundtrip_property(tmp_path_factory, rows, codec):
+    """Any record set over the full primitive/array/map/union surface
+    survives write→read byte-exactly, under both codecs."""
+    recs = [{"a": a, "b": b, "c": c, "d": d, "e": e, "f": f}
+            for a, b, c, d, e, f in rows]
+    p = str(tmp_path_factory.mktemp("prop") / "r.avro")
+    write_ocf(p, _PROP_SCHEMA, recs, codec=codec)
+    _, back = read_ocf(p)
+    assert back == recs

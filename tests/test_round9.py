@@ -500,3 +500,41 @@ def test_bound_binary_serialization_spec_vectors():
     # non-comparable types are omitted, never wrong
     assert _decode_bound(b"\x00" * 16, "uuid") is None
     assert _decode_bound(b"\x01", "binary") is None
+
+
+def test_partition_value_conversions_are_inverses():
+    """Property: adoption's Iceberg-int → native-string conversion and
+    export's native-string → Iceberg-int conversion are exact inverses
+    for day/hour/month/year over a wide epoch range (±100 years), and
+    identity-date both ways."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iceberg_catalog_bench_spark.catalog.iceberg_export import (
+        _adopt_partition, _avro_partition_value)
+    from iceberg_catalog_bench_spark.catalog.transforms import Transform
+
+    spec_fields = {"p": {"name": "p", "source-id": 1, "transform": None}}
+    names_by_id = {1: "ts"}
+
+    @settings(max_examples=200, deadline=None)
+    @given(v=st.integers(min_value=-36_525, max_value=36_525),
+           tr=st.sampled_from(["day", "hour", "month", "year"]))
+    def roundtrip(v, tr):
+        if tr == "year":
+            v = v % 200 - 100          # ±100 years
+        if tr == "month":
+            v = v % 2400 - 1200
+        if tr == "hour":
+            v = v * 24                 # ±100 years of hours
+        sf = {"p": dict(spec_fields["p"], transform=tr)}
+        native = _adopt_partition({"p": v}, sf, names_by_id)
+        [(key, sval)] = native.items()
+        plural = {"day": "days", "hour": "hours",
+                  "month": "months", "year": "years"}[tr]
+        assert key == f"_p_{plural}_ts"
+        back = _avro_partition_value(Transform(plural, "ts"), sval,
+                                     "timestamptz")
+        assert back == v, (tr, v, sval, back)
+
+    roundtrip()
