@@ -1342,6 +1342,21 @@ class SqlEngine:
                 }],
                 rowcount=1, metadata={"op": proc},
             )
+        # sync_table pulls a registered foreign table's NEW snapshots
+        # (fast-forward-only): CALL system.sync_table(table => 't'
+        # [, metadata_file => '<vN.metadata.json or directory>'])
+        if proc == "sync_table":
+            t = self.table(ident)
+            pulled = t.sync_from_iceberg_metadata(
+                kwargs.get("metadata_file") or kwargs.get("metadata_json"))
+            return StatementResult(
+                s,
+                rows=[{
+                    "pulled_snapshots_count": pulled,
+                    "current_snapshot_id": t._meta.get("current_snapshot_id"),
+                }],
+                rowcount=1, metadata={"op": proc},
+            )
         # migrate creates the table, so it resolves the path itself
         if proc == "migrate":
             src = kwargs.get("source") or kwargs.get("source_dir")

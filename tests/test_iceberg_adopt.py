@@ -584,6 +584,18 @@ def test_register_table_sql_procedure(spark, tmp_path):
     rows = engine.execute(
         "SELECT COUNT(*) AS n FROM adoptns.ext VERSION AS OF 102")[-1].rows
     assert rows[0]["n"] == 4
+    # the foreign writer advances; CALL system.sync_table fast-forwards
+    res = engine.execute(
+        "CALL system.sync_table(table => 'adoptns.ext')")[-1]
+    assert res.rows[0]["pulled_snapshots_count"] == 0  # already current
+    _advance_foreign_chain(mp)
+    res = engine.execute(
+        "CALL system.sync_table(table => 'adoptns.ext')")[-1]
+    assert res.rows[0] == {"pulled_snapshots_count": 1,
+                           "current_snapshot_id": 105}
+    rows = engine.execute(
+        "SELECT COUNT(*) AS n FROM adoptns.ext")[-1].rows
+    assert rows[0]["n"] == 3  # k=9 arrived
 
 
 def test_expire_snapshots_never_deletes_foreign_files(adopted, spark):
