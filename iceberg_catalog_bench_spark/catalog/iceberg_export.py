@@ -660,9 +660,19 @@ def to_iceberg_metadata(table: LakeTable, *,
                 "timestamp-ms": s["timestamp_ms"],
                 "manifest-list": mlist_path,
                 "schema-id": s["schema_version"],
-                "summary": {"operation": s["operation"], **{
-                    k: str(v) for k, v in (s.get("summary") or {}).items()
-                }},
+                "summary": {
+                    "operation": s["operation"],
+                    # the spec's standard metrics (Iceberg spec,
+                    # Snapshots → Summary): external engines surface
+                    # these in their snapshots tables
+                    "total-data-files": str(len(s["files"])),
+                    "total-records": str(sum(
+                        f["rows"] for f in s["files"])),
+                    "total-delete-files": str(
+                        len(s.get("delete_files") or [])),
+                    **{k: str(v)
+                       for k, v in (s.get("summary") or {}).items()},
+                },
             }
         )
 
