@@ -538,3 +538,77 @@ def test_partition_value_conversions_are_inverses():
         assert back == v, (tr, v, sval, back)
 
     roundtrip()
+
+
+def test_adopted_equality_delete_semantics_match_reference_model(
+        spark, tmp_path_factory):
+    """Property: for RANDOM foreign chains — appends of keyed rows and
+    equality deletes at arbitrary sequence numbers — the adopted
+    table's read equals an independent Python replay of Iceberg's
+    rule: an equality delete retracts a row iff the row's data file
+    has a STRICTLY smaller data sequence number and the key matches."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # each step: ("append", [keys]) or ("delete", [keys]); seq = 1+index
+    steps_strategy = st.lists(
+        st.one_of(
+            st.tuples(st.just("append"),
+                      st.lists(st.integers(0, 9), min_size=1, max_size=4)),
+            st.tuples(st.just("delete"),
+                      st.lists(st.integers(0, 9), min_size=1, max_size=3,
+                               unique=True)),
+        ),
+        min_size=1, max_size=6,
+    ).filter(lambda steps: any(op == "append" for op, _ in steps))
+
+    counter = iter(range(10**9))
+
+    @settings(max_examples=12, deadline=None)
+    @given(steps=steps_strategy)
+    def check(steps):
+        root = str(tmp_path_factory.mktemp("prop-chain"))
+        data = os.path.join(root, "data")
+        os.makedirs(data)
+        entries, rows_model = [], []  # model: (uid, key, file_seq)
+        for i, (op, keys) in enumerate(steps):
+            seq = i + 1
+            if op == "append":
+                uids = [next(counter) for _ in keys]
+                vals = ", ".join(
+                    f"(CAST({u} AS BIGINT), CAST({k} AS BIGINT))"
+                    for u, k in zip(uids, keys))
+                f = _parquet(os.path.join(data, f"f{i}.parquet"),
+                             f"SELECT * FROM (VALUES {vals}) t(uid, k)")
+                e = _data_file(f, len(keys), seq=seq)
+                e["snapshot-id"] = i + 1
+                entries.append(e)
+                rows_model += [(u, k, seq) for u, k in zip(uids, keys)]
+            else:
+                vals = ", ".join(f"(CAST({k} AS BIGINT))" for k in keys)
+                f = _parquet(os.path.join(data, f"d{i}.parquet"),
+                             f"SELECT * FROM (VALUES {vals}) t(k)")
+                e = _data_file(f, len(keys), seq=seq, content=2,
+                               extra={"equality-ids": [2]})
+                e["snapshot-id"] = i + 1
+                entries.append(e)
+                # the model applies the strict-smaller rule
+                rows_model = [
+                    (u, k, fs) for (u, k, fs) in rows_model
+                    if not (k in keys and fs < seq)]
+        # one final snapshot referencing everything (cumulative live set)
+        schema = {"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "uid", "required": False, "type": "long"},
+            {"id": 2, "name": "k", "required": False, "type": "long"},
+        ]}
+        manifests = [(f"m{j}.json", e["data-file"]["content"] and 1 or 0,
+                      [e]) for j, e in enumerate(entries)]
+        mp = _chain(root, [(len(steps), len(steps), manifests)],
+                    schemas=[schema])
+        t = LakeTable.from_iceberg_metadata(
+            spark, mp, str(tmp_path_factory.mktemp("prop-adopt")))
+        got = sorted((r["uid"], r["k"]) for r in t.read().collect())
+        want = sorted((u, k) for (u, k, _fs) in rows_model)
+        assert got == want, (steps, got, want)
+
+    check()
