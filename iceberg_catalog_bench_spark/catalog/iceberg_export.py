@@ -1427,6 +1427,148 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
     return meta
 
 
+def validate_iceberg_metadata(metadata_path: str) -> list[dict]:
+    """Preflight a foreign Iceberg chain WITHOUT adopting it: walk the
+    metadata → manifest lists → manifests → file references and return
+    findings as ``[{severity, code, where, detail}]`` (empty list =
+    clean). The operational front door to adoption — a broken chain
+    fails HERE with every problem listed, instead of failing adoption
+    one error at a time.
+
+    severity: ``error`` = adoption would fail or read wrong;
+    ``warning`` = adoption succeeds but something is off (length
+    drift, unresolvable historical spec); ``info`` = known degradation
+    (bucket/truncate partition values never prune).
+    """
+    findings: list[dict] = []
+
+    def add(severity: str, code: str, where: str, detail: str) -> None:
+        findings.append({"severity": severity, "code": code,
+                         "where": where, "detail": detail})
+
+    try:
+        resolved = _resolve_metadata_path(_strip_scheme(metadata_path))
+        with open(resolved) as fh:
+            md = json.load(fh)
+    except Exception as e:
+        return [{"severity": "error", "code": "unreadable-metadata",
+                 "where": str(metadata_path), "detail": str(e)}]
+    fv = md.get("format-version")
+    if fv not in (1, 2):
+        add("error", "unsupported-format-version", resolved, f"got {fv!r}")
+        return findings
+    if fv == 1 and "schemas" not in md:
+        legacy = dict(md.get("schema") or {})
+        legacy.setdefault("schema-id", 0)
+        md["schemas"] = [legacy] if legacy else []
+        md.setdefault("current-schema-id", legacy.get("schema-id", 0))
+        md.setdefault("partition-specs", [{
+            "spec-id": md.get("default-spec-id", 0),
+            "fields": md.get("partition-spec", [])}])
+
+    # --- schemas ---
+    if not md.get("schemas"):
+        add("error", "no-schemas", resolved, "metadata carries no schema")
+        return findings
+    names_by_id: dict[int, str] = {}
+    for s in md["schemas"]:
+        seen: set[int] = set()
+        for f in s.get("fields", []):
+            if f["id"] in seen:
+                add("error", "duplicate-field-id",
+                    f"schema {s.get('schema-id')}",
+                    f"field id {f['id']} appears twice")
+            seen.add(f["id"])
+            names_by_id[f["id"]] = f["name"]
+    cur_sid = md.get("current-schema-id", 0)
+    if not any(s.get("schema-id") == cur_sid for s in md["schemas"]):
+        add("error", "missing-current-schema", resolved,
+            f"current-schema-id {cur_sid} matches no schema")
+
+    # --- partition specs ---
+    default_spec_id = md.get("default-spec-id", 0)
+    for sp in md.get("partition-specs") or []:
+        is_default = sp.get("spec-id") == default_spec_id
+        for f in sp.get("fields", []):
+            if f.get("source-id") not in names_by_id:
+                add("error" if is_default else "warning",
+                    "unresolvable-spec-source",
+                    f"spec {sp.get('spec-id')}",
+                    f"field {f.get('name')!r} sources unknown id "
+                    f"{f.get('source-id')}")
+            tr = f.get("transform", "")
+            if re.match(r"^(bucket|truncate)\[\d+\]$", tr):
+                add("info", "nonportable-transform-values",
+                    f"spec {sp.get('spec-id')}",
+                    f"{tr} values use engine-specific hash/truncation "
+                    "spaces; adopted files will not prune on this field")
+
+    # --- snapshots, manifests, files ---
+    snap_ids = {s["snapshot-id"] for s in md.get("snapshots") or []}
+    head = md.get("current-snapshot-id")
+    if head is not None and snap_ids and head not in snap_ids:
+        add("error", "dangling-head", resolved,
+            f"current-snapshot-id {head} is not in the snapshot list")
+    for name, r in (md.get("refs") or {}).items():
+        if r.get("snapshot-id") not in snap_ids:
+            add("error", "dangling-ref", f"ref {name!r}",
+                f"points at unknown snapshot {r.get('snapshot-id')}")
+    types_by_id = {f["id"]: f["type"]
+                   for s in md["schemas"] for f in s.get("fields", [])}
+    checked_manifests: set[str] = set()
+    for s in sorted(md.get("snapshots") or [],
+                    key=lambda s: (s.get("sequence-number", 0),
+                                   s["snapshot-id"])):
+        parent = s.get("parent-snapshot-id")
+        if parent is not None and parent not in snap_ids:
+            add("warning", "expired-parent",
+                f"snapshot {s['snapshot-id']}",
+                f"parent {parent} expired out of the chain")
+        mlp = _strip_scheme(s.get("manifest-list", ""))
+        try:
+            mlist = _read_manifest_list(mlp)
+        except Exception as e:
+            add("error", "unreadable-manifest-list",
+                f"snapshot {s['snapshot-id']}", f"{mlp}: {e}")
+            continue
+        for m in mlist["manifests"]:
+            mpath = _strip_scheme(m["manifest-path"])
+            if mpath in checked_manifests:
+                continue
+            checked_manifests.add(mpath)
+            try:
+                actual = os.path.getsize(mpath)
+            except OSError as e:
+                add("error", "missing-manifest", mpath, str(e))
+                continue
+            declared = m.get("manifest-length")
+            if declared is not None and declared != actual:
+                add("warning", "manifest-length-drift", mpath,
+                    f"declared {declared}, actual {actual}")
+            try:
+                manifest = _read_manifest(mpath, {}, types_by_id)
+            except Exception as e:
+                add("error", "unreadable-manifest", mpath, str(e))
+                continue
+            for e in manifest["entries"]:
+                if e.get("status") == 2:
+                    continue
+                d = e["data-file"]
+                fp = _strip_scheme(d["file-path"])
+                if not os.path.isfile(fp):
+                    add("error", "missing-data-file", mpath, fp)
+                for eq_id in d.get("equality-ids") or []:
+                    if eq_id not in names_by_id:
+                        add("error", "unresolvable-equality-id", fp,
+                            f"field id {eq_id} in no schema generation")
+                seq = d.get("data-sequence-number")
+                if seq is not None and seq > s.get("sequence-number", seq):
+                    add("warning", "entry-sequence-exceeds-snapshot",
+                        fp, f"entry seq {seq} > snapshot seq "
+                            f"{s.get('sequence-number')}")
+    return findings
+
+
 def adopt_iceberg_metadata(
     spark: SparkSession, metadata_path: str, dest_path: str
 ) -> LakeTable:

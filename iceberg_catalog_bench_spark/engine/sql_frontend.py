@@ -1293,7 +1293,8 @@ class SqlEngine:
         if not ident:
             pm = re.search(r"^\s*'([^']+)'", args_sql)
             ident = pm.group(1) if pm else None
-        if not ident:
+        if not ident and proc != "validate_table":
+            # validate_table targets a METADATA PATH, not a table
             raise ValueError(f"CALL needs a table argument: {s[:120]}")
         # snapshot creates the DEST table, so it resolves paths itself
         if proc == "snapshot":
@@ -1357,6 +1358,20 @@ class SqlEngine:
                 }],
                 rowcount=1, metadata={"op": proc},
             )
+        # validate_table preflights a FOREIGN chain without adopting:
+        # CALL system.validate_table(metadata_file => '<path or dir>')
+        # → one row per finding (severity/code/where/detail), or a
+        # single clean row. `table` names nothing here; accept either
+        # spelling of the target.
+        if proc == "validate_table":
+            from ..catalog.iceberg_export import validate_iceberg_metadata
+            mf = (kwargs.get("metadata_file") or kwargs.get("metadata_json")
+                  or ident)
+            findings = validate_iceberg_metadata(mf)
+            rows = findings or [{"severity": "ok", "code": "clean",
+                                 "where": mf, "detail": ""}]
+            return StatementResult(s, rows=rows, rowcount=len(rows),
+                                   metadata={"op": proc})
         # migrate creates the table, so it resolves the path itself
         if proc == "migrate":
             src = kwargs.get("source") or kwargs.get("source_dir")

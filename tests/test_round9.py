@@ -612,3 +612,76 @@ def test_adopted_equality_delete_semantics_match_reference_model(
         assert got == want, (steps, got, want)
 
     check()
+
+
+def test_validate_iceberg_metadata_reports_everything(spark, tmp_path):
+    """The adoption preflight lists every problem in one pass instead
+    of failing one error at a time: a clean chain (either
+    serialization) returns no findings; a sabotaged chain reports the
+    dangling ref, the missing data file, the unresolvable equality id,
+    the manifest-length drift and the bucket degradation together."""
+    from iceberg_catalog_bench_spark.catalog.iceberg_export import (
+        validate_iceberg_metadata)
+
+    root = str(tmp_path / "foreign")
+    data = os.path.join(root, "data")
+    os.makedirs(data)
+    f1 = _parquet(os.path.join(data, "f1.parquet"),
+                  "SELECT CAST(1 AS BIGINT) AS k, 'a' AS v")
+    f2 = _parquet(os.path.join(data, "f2.parquet"),
+                  "SELECT CAST(2 AS BIGINT) AS k, 'b' AS v")
+    eq = _parquet(os.path.join(data, "eq.parquet"),
+                  "SELECT CAST(1 AS BIGINT) AS k")
+    e1 = _data_file(f1, 1, seq=1)
+    e1["snapshot-id"] = 1
+    e2 = _data_file(f2, 1, seq=2)
+    e2["snapshot-id"] = 2
+    ed = _data_file(eq, 1, seq=2, content=2, extra={"equality-ids": [1]})
+    ed["snapshot-id"] = 2
+    mp = _chain(root, [
+        (1, 1, [("m1.json", 0, [e1])]),
+        (2, 2, [("m2.json", 0, [e1, e2]), ("d2.json", 1, [ed])]),
+    ])
+    assert validate_iceberg_metadata(mp) == []
+
+    # sabotage: dangling ref, vanished data file, alien equality id,
+    # stale manifest-length, bucket spec
+    md = json.load(open(mp))
+    md["refs"] = {"ghost": {"snapshot-id": 999, "type": "tag"}}
+    md["partition-specs"][0]["fields"].append(
+        {"field-id": 1000, "source-id": 1, "name": "k_bucket",
+         "transform": "bucket[8]"})
+    with open(mp, "w") as fh:
+        json.dump(md, fh)
+    os.remove(f2)
+    d2 = json.load(open(os.path.join(root, "metadata", "d2.json")))
+    d2["entries"][0]["data-file"]["equality-ids"] = [77]
+    with open(os.path.join(root, "metadata", "d2.json"), "w") as fh:
+        json.dump(d2, fh)
+    m1 = os.path.join(root, "metadata", "m1.json")
+    with open(m1, "a") as fh:
+        fh.write(" ")  # drift the real size past the declared length
+
+    codes = {f["code"] for f in validate_iceberg_metadata(mp)}
+    assert codes == {"dangling-ref", "missing-data-file",
+                     "unresolvable-equality-id", "manifest-length-drift",
+                     "nonportable-transform-values"}
+    severities = {f["code"]: f["severity"]
+                  for f in validate_iceberg_metadata(mp)}
+    assert severities["missing-data-file"] == "error"
+    assert severities["manifest-length-drift"] == "warning"
+    assert severities["nonportable-transform-values"] == "info"
+
+    # the SQL spelling: CALL system.validate_table(metadata_file => …)
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+    engine = SqlEngine(spark, str(tmp_path / "wh"))
+    rows = engine.execute(
+        f"CALL system.validate_table(metadata_file => '{mp}')")[-1].rows
+    assert {r["code"] for r in rows} == codes
+    # a clean avro chain validates clean through SQL too
+    from tests.test_iceberg_adopt import (
+        _avroize_chain, _write_foreign_chain)
+    amp = _avroize_chain(_write_foreign_chain(str(tmp_path / "f2")))
+    rows = engine.execute(
+        f"CALL system.validate_table(metadata_file => '{amp}')")[-1].rows
+    assert [r["code"] for r in rows] == ["clean"]
