@@ -1365,8 +1365,20 @@ class SqlEngine:
         # spelling of the target.
         if proc == "validate_table":
             from ..catalog.iceberg_export import validate_iceberg_metadata
-            mf = (kwargs.get("metadata_file") or kwargs.get("metadata_json")
-                  or ident)
+            mf = kwargs.get("metadata_file") or kwargs.get("metadata_json")
+            if not mf and ident and self.table_exists(ident):
+                # a registered table validates its recorded adoption
+                # source (the chain sync_table would pull from)
+                mf = self.table(ident)._meta.get("adopted_from")
+                if not mf:
+                    raise ValueError(
+                        f"table {ident} was not adopted from an Iceberg "
+                        "chain; pass metadata_file => '<path>'")
+            mf = mf or ident
+            if not mf:
+                raise ValueError(
+                    "CALL system.validate_table needs metadata_file => "
+                    "'<path>' or table => '<adopted table>'")
             findings = validate_iceberg_metadata(mf)
             rows = findings or [{"severity": "ok", "code": "clean",
                                  "where": mf, "detail": ""}]

@@ -685,3 +685,10 @@ def test_validate_iceberg_metadata_reports_everything(spark, tmp_path):
     rows = engine.execute(
         f"CALL system.validate_table(metadata_file => '{amp}')")[-1].rows
     assert [r["code"] for r in rows] == ["clean"]
+    # a REGISTERED table validates its recorded adoption source
+    engine.execute("CREATE NAMESPACE vns")
+    engine.execute("CALL system.register_table(table => 'vns.t', "
+                   f"metadata_file => '{amp}')")
+    rows = engine.execute(
+        "CALL system.validate_table(table => 'vns.t')")[-1].rows
+    assert [r["code"] for r in rows] == ["clean"]
