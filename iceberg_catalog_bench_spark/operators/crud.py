@@ -1752,3 +1752,136 @@ def insert_overwrite_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority",
         F.round("o_totalprice", 2).alias("price_out"),
     )
+
+
+@register(
+    "iceberg_validate_preflight",
+    oracle=(
+        # deterministic findings contract (the rest_catalog_conformance
+        # pinned-transcript pattern): a clean chain yields zero
+        # findings; the five-way sabotage yields exactly these codes
+        "SELECT 'clean' AS phase, CAST(0 AS BIGINT) AS n_errors, "
+        "CAST(0 AS BIGINT) AS n_warnings, CAST(0 AS BIGINT) AS n_infos, "
+        "'' AS codes "
+        "UNION ALL SELECT 'sabotaged', 3, 1, 1, "
+        "'dangling-ref,manifest-length-drift,missing-data-file,"
+        "nonportable-transform-values,unresolvable-equality-id' "
+        "ORDER BY phase"
+    ),
+)
+def iceberg_validate_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adoption preflight, driver-checked: author a foreign chain (the
+    same shape ``iceberg_register_adopted`` adopts — DuckDB parquet,
+    Avro manifests would behave identically), validate it CLEAN, then
+    sabotage it five distinct ways (dangling ref, vanished data file,
+    alien equality-id, manifest-length drift, bucket spec) and pin the
+    exact finding codes and severity counts
+    (``validate_iceberg_metadata`` — the reference is a validation
+    harness; this is the validation surface pointed at Iceberg
+    metadata itself)."""
+    import duckdb as _duck
+
+    from ..catalog.iceberg_export import validate_iceberg_metadata
+
+    root = _tmp_table_dir()
+    data = os.path.join(root, "data")
+    metad = os.path.join(root, "metadata")
+    os.makedirs(data)
+    os.makedirs(metad)
+    src = os.path.join(sf_dir, "region.parquet")
+    f1 = os.path.join(data, "f1.parquet")
+    f2 = os.path.join(data, "f2.parquet")
+    eq = os.path.join(data, "eq.parquet")
+    con = _duck.connect()
+    con.execute(f"COPY (SELECT r_regionkey AS k, r_name AS v "
+                f"FROM read_parquet('{src}')) TO '{f1}' (FORMAT PARQUET)")
+    con.execute(f"COPY (SELECT r_regionkey + 10 AS k, r_name AS v "
+                f"FROM read_parquet('{src}')) TO '{f2}' (FORMAT PARQUET)")
+    con.execute(f"COPY (SELECT CAST(0 AS BIGINT) AS k) TO '{eq}' "
+                "(FORMAT PARQUET)")
+    con.close()
+
+    def entry(path, snap, seq, content=0, **extra):
+        return {"status": 1, "snapshot-id": snap, "data-file": {
+            "content": content, "file-path": path, "file-format": "PARQUET",
+            "partition": {}, "data-sequence-number": seq,
+            "record-count": 5,
+            "file-size-in-bytes": os.path.getsize(path), **extra}}
+
+    def manifest(name, entries):
+        p = os.path.join(metad, name)
+        with open(p, "w") as fh:
+            json.dump({"partition-spec-id": 0, "entries": entries}, fh)
+        return p
+
+    m1 = manifest("m1.json", [entry(f1, 1, 1)])
+    m2 = manifest("m2.json", [entry(f1, 1, 1), entry(f2, 2, 2)])
+    d2 = manifest("d2.json", [entry(eq, 2, 2, content=2,
+                                    **{"equality-ids": [1]})])
+
+    def mlist(name, pairs):
+        p = os.path.join(metad, name)
+        with open(p, "w") as fh:
+            json.dump({"manifests": [
+                {"manifest-path": mp, "manifest-length": os.path.getsize(mp),
+                 "content": c, "partition-spec-id": 0}
+                for mp, c in pairs]}, fh)
+        return p
+
+    schema = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "v", "required": False, "type": "string"}]}
+    md = {
+        "format-version": 2, "location": root, "last-column-id": 2,
+        "current-schema-id": 0, "schemas": [schema],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999, "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {}, "current-snapshot-id": 2,
+        "snapshots": [
+            {"snapshot-id": 1, "sequence-number": 1,
+             "timestamp-ms": 1_700_000_001_000, "schema-id": 0,
+             "manifest-list": mlist("sl1.json", [(m1, 0)]),
+             "summary": {"operation": "append"}},
+            {"snapshot-id": 2, "parent-snapshot-id": 1,
+             "sequence-number": 2, "timestamp-ms": 1_700_000_002_000,
+             "schema-id": 0,
+             "manifest-list": mlist("sl2.json", [(m2, 0), (d2, 1)]),
+             "summary": {"operation": "overwrite"}}],
+        "refs": {},
+    }
+    mp = os.path.join(metad, "v2.metadata.json")
+    with open(mp, "w") as fh:
+        json.dump(md, fh)
+    clean = validate_iceberg_metadata(mp)
+
+    # five-way sabotage, same as the pytest pin
+    md["refs"] = {"ghost": {"snapshot-id": 999, "type": "tag"}}
+    md["partition-specs"][0]["fields"].append(
+        {"field-id": 1000, "source-id": 1, "name": "k_bucket",
+         "transform": "bucket[8]"})
+    with open(mp, "w") as fh:
+        json.dump(md, fh)
+    os.remove(f2)
+    doc = json.load(open(d2))
+    # same byte width as the original id so THIS file's declared
+    # manifest-length stays true — only m1 drifts
+    doc["entries"][0]["data-file"]["equality-ids"] = [7]
+    with open(d2, "w") as fh:
+        json.dump(doc, fh)
+    with open(m1, "a") as fh:
+        fh.write(" ")
+    bad = validate_iceberg_metadata(mp)
+
+    def row(phase, findings):
+        sev = [f["severity"] for f in findings]
+        return (phase, sev.count("error"), sev.count("warning"),
+                sev.count("info"),
+                ",".join(sorted({f["code"] for f in findings})))
+
+    return spark.createDataFrame(
+        [row("clean", clean), row("sabotaged", bad)],
+        "phase string, n_errors bigint, n_warnings bigint, "
+        "n_infos bigint, codes string",
+    ).orderBy("phase")
