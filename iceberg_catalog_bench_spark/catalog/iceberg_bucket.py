@@ -1,0 +1,219 @@
+"""Iceberg's bucket transform, hash-exact (table spec Appendix B).
+
+The Iceberg table spec defines ``bucket[N](v)`` as
+``(murmur3_x86_32(encode(v)) & Integer.MAX_VALUE) % N`` where
+``encode`` is the spec's single-value binary serialization:
+
+=============  =================================================
+type           hashed bytes
+=============  =================================================
+int, long      8-byte little-endian two's-complement of the long
+date           days-from-1970 hashed as a long
+time           microseconds-from-midnight hashed as a long
+timestamp(tz)  microseconds-from-epoch hashed as a long
+string         UTF-8 bytes
+uuid           16-byte big-endian
+fixed/binary   the bytes themselves
+decimal        minimum-length two's-complement big-endian of the
+               unscaled value
+=============  =================================================
+
+(float/double bucketing is deliberately unsupported, as upstream
+recommends against it.)
+
+The native engine historically bucketed with ``xxhash64`` (the
+``bucket`` transform in :mod:`.transforms`); this module provides the
+spec-true hash as a SECOND transform, ``ibucket``, so that
+
+* foreign Iceberg chains partitioned ``bucket[N]`` can be adopted with
+  their murmur3 partition values intact and PRUNE exactly
+  (``iceberg_export._adopt_partition``), and
+* tables created with ``ibucket(...)`` (or the
+  ``write.bucket-transform=iceberg`` table property) export partition
+  values a conforming external Iceberg reader prunes correctly.
+
+Everything here is from the public Iceberg table spec (Appendix B) and
+the public murmur3 reference algorithm; the unit tests pin the spec's
+own example vectors (int 34 → 2017239379, string "iceberg" →
+1210000089, date 2017-11-16 → -653330422, …).
+
+Reference parity: the reference's flagship tables bucket their tenant
+and user keys (ICEBERG-Interoperability-Test-Spec.md:50 declares
+``bucket(tenant_id,16)``; blob_dfs/blob-dfs_bench.py:72 uses
+``bucket(16, user_id)``), so adopted reference-shaped tables hit this
+on every point lookup.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import struct
+import uuid as _uuid
+
+import pandas as pd  # annotation target for the pandas UDFs below
+
+_C1 = 0xCC9E2D51
+_C2 = 0x1B873593
+_M32 = 0xFFFFFFFF
+_EPOCH_DATE = datetime.date(1970, 1, 1)
+_EPOCH_DT = datetime.datetime(1970, 1, 1)
+
+
+def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    """Public murmur3 (x86, 32-bit) — signed 32-bit result, the space
+    Iceberg's spec vectors are written in."""
+    h = seed & _M32
+    n = len(data) & ~3
+    for i in range(0, n, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * _C1) & _M32
+        k = ((k << 15) | (k >> 17)) & _M32
+        k = (k * _C2) & _M32
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & _M32
+        h = (h * 5 + 0xE6546B64) & _M32
+    tail = data[n:]
+    k = 0
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * _C1) & _M32
+        k = ((k << 15) | (k >> 17)) & _M32
+        k = (k * _C2) & _M32
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _M32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _M32
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _encode_long(v: int) -> bytes:
+    return struct.pack("<q", v)
+
+
+def iceberg_hash(val: object) -> int:
+    """Spec Appendix B hash of one Python value, dispatching on its
+    runtime type (ints/longs, str, date, datetime, time, Decimal,
+    bytes, UUID). Raises on types the spec does not bucket (floats)."""
+    if isinstance(val, bool):
+        raise TypeError("Iceberg does not define bucket(boolean)")
+    if isinstance(val, int):
+        return murmur3_x86_32(_encode_long(val))
+    if isinstance(val, str):
+        return murmur3_x86_32(val.encode("utf-8"))
+    if isinstance(val, datetime.datetime):
+        us = round((val.replace(tzinfo=None) - _EPOCH_DT).total_seconds()
+                   * 1_000_000)
+        return murmur3_x86_32(_encode_long(us))
+    if isinstance(val, datetime.date):
+        return murmur3_x86_32(_encode_long((val - _EPOCH_DATE).days))
+    if isinstance(val, datetime.time):
+        us = ((val.hour * 60 + val.minute) * 60 + val.second) * 1_000_000 \
+            + val.microsecond
+        return murmur3_x86_32(_encode_long(us))
+    if isinstance(val, decimal.Decimal):
+        unscaled = int(val.scaleb(-val.as_tuple().exponent))
+        nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+        return murmur3_x86_32(unscaled.to_bytes(nbytes, "big", signed=True))
+    if isinstance(val, (bytes, bytearray)):
+        return murmur3_x86_32(bytes(val))
+    if isinstance(val, _uuid.UUID):
+        return murmur3_x86_32(val.bytes)
+    if isinstance(val, float):
+        raise TypeError("Iceberg does not define bucket(float/double)")
+    raise TypeError(f"cannot Iceberg-bucket a {type(val).__name__}")
+
+
+def iceberg_bucket(val: object, n: int) -> int | None:
+    """``bucket[N](val)`` per the spec: hash, mask the sign bit, mod.
+    None buckets to None (a null partition value)."""
+    if val is None:
+        return None
+    return (iceberg_hash(val) & 0x7FFFFFFF) % n
+
+
+# -- vectorized / Spark-expression path -------------------------------
+
+
+def _hash_longs_numpy(arr):
+    """murmur3_x86_32 over 8-byte-LE lanes, vectorized: a long is
+    exactly two 4-byte blocks and no tail, so the whole algorithm is
+    branch-free uint32 arithmetic over the array."""
+    import numpy as np
+
+    v = arr.astype(np.int64).view(np.uint64)
+    k1 = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    k2 = (v >> np.uint64(32)).astype(np.uint32)
+    h = np.zeros(len(v), dtype=np.uint32)
+    c1 = np.uint32(_C1)
+    c2 = np.uint32(_C2)
+    with np.errstate(over="ignore"):
+        for k in (k1, k2):
+            k = k * c1
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k = k * c2
+            h ^= k
+            h = (h << np.uint32(13)) | (h >> np.uint32(19))
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+        h ^= np.uint32(8)
+        h ^= h >> np.uint32(16)
+        h = h * np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h = h * np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+    return h
+
+
+def ibucket_long_expr(col_long, n: int):
+    """Spec-true bucket of a Spark LONG column (the "hashed as a long"
+    family: int/long/date-days/timestamp-micros, pre-converted
+    JVM-side by the caller). The pandas UDF is kept null-free — nulls
+    are masked JVM-side and the UDF fed ``coalesce(c, 0)`` — so Arrow
+    never widens the batch to float64 (which would silently lose
+    precision above 2^53 on snowflake-scale ids). The hash itself is
+    fully vectorized numpy over 8-byte lanes. This is the one place
+    the write path leaves the JVM: a one-column-in / one-int-out
+    Arrow-batched projection."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType
+
+    @F.pandas_udf(IntegerType())
+    def _bucket(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(s) == 0:
+            return pd.Series([], dtype="int32")
+        h = _hash_longs_numpy(s.to_numpy(dtype="int64")).astype(np.int64)
+        return pd.Series(((h & 0x7FFFFFFF) % n).astype("int32"))
+
+    return F.when(col_long.isNull(), F.lit(None).cast("int")) \
+            .otherwise(_bucket(F.coalesce(col_long, F.lit(0).cast("long"))))
+
+
+def ibucket_obj_expr(col, n: int):
+    """Spec-true bucket of a non-long-family column (string, decimal,
+    binary): Arrow-batched object-dtype UDF, per-value spec encoding.
+    Nulls stay null."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType
+
+    @F.pandas_udf(IntegerType())
+    def _bucket(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None or (isinstance(v, float) and v != v):
+                return None
+            item = getattr(v, "item", None)
+            if item is not None and not isinstance(v, (bytes, bytearray)):
+                v = item()  # numpy scalar → native Python
+            return iceberg_bucket(v, n)
+
+        return pd.Series([one(v) for v in s], dtype="Int32")
+
+    return _bucket(col)

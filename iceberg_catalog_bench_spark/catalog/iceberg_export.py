@@ -90,15 +90,33 @@ def _spark_ddl_type(iceberg: str) -> str:
 
 
 def _iceberg_transform(t: Transform) -> str:
-    """Iceberg transform spelling: bucket[N] / truncate[W] / day / ..."""
-    if t.name == "bucket":
+    """Iceberg transform spelling: bucket[N] / truncate[W] / day / ...
+
+    The spec-true murmur3 transform (``ibucket``) exports as
+    ``bucket[N]`` — its values ARE what a conforming reader computes.
+    The legacy xxhash64 ``bucket`` exports as ``void``: its values live
+    in a different hash space, and a conforming reader binding a
+    ``col = v`` predicate through ``bucket[N]`` would murmur3-hash the
+    literal and SILENTLY WRONG-PRUNE files that contain matching rows;
+    ``void`` (always null, table spec §Partition Transforms) makes such
+    readers scan instead — correct, just unpruned."""
+    if t.name == "ibucket":
         return f"bucket[{t.param}]"
+    if t.name == "bucket":
+        return "void"
     if t.name == "truncate":
         return f"truncate[{t.param}]"
     # Iceberg uses singular day/hour/month/year
     return {"days": "day", "hours": "hour", "months": "month", "years": "year"}.get(
         t.name, t.name
     )
+
+
+def _pf_name(t: Transform) -> str:
+    """Exported partition field name: conventional `<col>_<transform>`;
+    the spec-true murmur3 transform displays as plain `bucket` (its
+    transform string is `bucket[N]`)."""
+    return f"{t.column}_{'bucket' if t.name == 'ibucket' else t.name}"
 
 
 # Iceberg primitive → Avro primitive (for partition-record fields)
@@ -189,10 +207,15 @@ def _avro_partition_value(t: Transform, sval, ice_type):
     """Native ``_p_*`` hive string → typed Iceberg partition value
     (inverse of :func:`_adopt_partition`'s conversions): day →
     epoch-days, hour → epoch-hours, month/year → months/years since
-    1970, identity typed by source. Bucket exports the NATIVE xxhash64
-    value (documented hash-space divergence — adoption drops foreign
-    bucket values for the same reason); truncate exports the native
+    1970, identity typed by source. ``ibucket`` exports its murmur3
+    value verbatim (it IS the spec hash, table spec Appendix B); the
+    legacy xxhash64 ``bucket`` exports as ``void`` — always null —
+    because its values live in a different hash space and a conforming
+    reader binding a predicate through ``bucket[N]`` would murmur3 the
+    literal and silently wrong-prune; truncate exports the native
     string rendering."""
+    if t.name == "bucket":
+        return None  # void: legacy hash space, see _iceberg_transform
     if sval is None or sval == _HIVE_NULL:
         return None
     if t.name == "identity":
@@ -218,7 +241,7 @@ def _avro_partition_value(t: Transform, sval, ice_type):
         return (int(s[:4]) - 1970) * 12 + int(s[5:7]) - 1
     if t.name == "years":
         return int(str(sval)[:4]) - 1970
-    if t.name == "bucket":
+    if t.name == "ibucket":
         return int(sval)
     return str(sval)  # truncate
 
@@ -228,7 +251,7 @@ def _avro_part_field_type(t: Transform, ice_type) -> object:
         return _AVRO_OF_ICEBERG.get(ice_type, "string")
     if t.name == "days":
         return {"type": "int", "logicalType": "date"}
-    if t.name in ("hours", "months", "years", "bucket"):
+    if t.name in ("hours", "months", "years", "bucket", "ibucket"):
         return "int"
     return "string"  # truncate: native truncates the string rendering
 
@@ -322,7 +345,7 @@ def to_iceberg_metadata(table: LakeTable, *,
                 {
                     "field-id": _pf_id(t),
                     "source-id": field_ids_by_name.get(t.column, -1),
-                    "name": f"{t.column}_{t.name}",
+                    "name": _pf_name(t),
                     "transform": _iceberg_transform(t),
                 }
             )
@@ -412,7 +435,7 @@ def to_iceberg_metadata(table: LakeTable, *,
         for tj in spec_json:
             t = Transform.from_json(tj)
             sval = (d.get("partition") or {}).get(f"_p_{t.name}_{t.column}")
-            part[f"{t.column}_{t.name}"] = _avro_partition_value(
+            part[_pf_name(t)] = _avro_partition_value(
                 t, sval, types_by_name.get(t.column))
         bm = bounds_map.get(str(d.get("schema-id")), {})
 
@@ -455,7 +478,7 @@ def to_iceberg_metadata(table: LakeTable, *,
         for tj in spec_json:
             t = Transform.from_json(tj)
             pfields.append({
-                "name": f"{t.column}_{t.name}",
+                "name": _pf_name(t),
                 "type": ["null",
                          _avro_part_field_type(t, types_by_name.get(t.column))],
                 "field-id": _pf_id(t),
@@ -785,7 +808,17 @@ def _native_spec_json(
         tr = f["transform"]
         m = re.match(r"^(bucket|truncate)\[(\d+)\]$", tr)
         if m:
-            out.append(Transform(m.group(1), col, int(m.group(2))).to_json())
+            # Foreign bucket[N] is Iceberg-spec murmur3 → the native
+            # `ibucket` transform is hash-identical (Appendix B), so
+            # adopted bucket partition values prune exactly and
+            # continued DML clusters into the same bucket layout.
+            name = "ibucket" if m.group(1) == "bucket" else m.group(1)
+            out.append(Transform(name, col, int(m.group(2))).to_json())
+        elif tr == "void":
+            # always-null transform (also what this repo's exports use
+            # for legacy xxhash64 bucket fields): carries no pruning
+            # or clustering information — skip it
+            continue
         elif tr in _ICEBERG_TO_NATIVE_TRANSFORM:
             out.append(Transform(_ICEBERG_TO_NATIVE_TRANSFORM[tr], col).to_json())
         else:
@@ -803,14 +836,19 @@ def _adopt_partition(part: dict, spec_fields_by_name: dict,
     Iceberg spells those as deterministic epoch-unit ints
     (hours/months/years since 1970), which convert exactly to the
     native ``CAST(date_trunc(unit, ts) AS STRING)`` rendering.
-    Iceberg's bucket hash is murmur3 while the native one is xxhash64,
-    and Iceberg truncates integers numerically while the native
-    transform truncates the string rendering — emitting those values
-    would let ``_prune_files`` compare incompatible hash/truncation
-    spaces and WRONGLY prune, so they are dropped instead: a missing
-    partition key means "never prune this file" (the same conservative
-    degradation streamed files use). Keys already in the native
-    ``_p_*`` dialect (this repo's own export) pass through whole.
+    ``bucket[N]`` values convert to the native ``ibucket`` transform
+    verbatim — both are murmur3_x86_32 over the spec's Appendix B
+    encodings, so a point lookup on an adopted bucket-partitioned
+    table (the reference's flagship shape: ``bucket(tenant_id,16)``,
+    ICEBERG-Interoperability-Test-Spec.md:50) prunes exactly.
+    Iceberg truncates integers numerically while the native transform
+    truncates the string rendering — emitting truncate values would
+    let ``_prune_files`` compare incompatible truncation spaces and
+    WRONGLY prune, so those are dropped instead: a missing partition
+    key means "never prune this file" (the same conservative
+    degradation streamed files use). ``void`` fields carry nothing and
+    are skipped. Keys already in the native ``_p_*`` dialect (this
+    repo's own export) pass through whole.
     """
     out: dict[str, str] = {}
     for k, v in part.items():
@@ -823,11 +861,17 @@ def _adopt_partition(part: dict, spec_fields_by_name: dict,
             continue
         tr = f["transform"]
         is_int = isinstance(v, int) and not isinstance(v, bool)
+        mb = re.match(r"^bucket\[\d+\]$", tr)
         if v is None:
             # null transform source → the native null sentinel (NOT
             # the string "None", which could wrongly equality-prune)
             if tr in _ICEBERG_TO_NATIVE_TRANSFORM:
                 out[f"_p_{_ICEBERG_TO_NATIVE_TRANSFORM[tr]}_{col}"] = _HIVE_NULL
+            elif mb:
+                out[f"_p_ibucket_{col}"] = _HIVE_NULL
+        elif mb and is_int:
+            # murmur3 bucket ordinal, hash-identical to native ibucket
+            out[f"_p_ibucket_{col}"] = str(v)
         elif tr == "identity":
             if isinstance(v, float) and v != 0 and not (
                     1e-3 <= abs(v) < 1e7):
@@ -852,8 +896,8 @@ def _adopt_partition(part: dict, spec_fields_by_name: dict,
             out[f"_p_months_{col}"] = f"{1970 + y:04d}-{m + 1:02d}-01 00:00:00"
         elif tr == "year" and is_int:
             out[f"_p_years_{col}"] = f"{1970 + v:04d}-01-01 00:00:00"
-        # bucket/truncate: incompatible hash/truncation value spaces —
-        # omit the key (file is simply never pruned on it)
+        # truncate: incompatible truncation value spaces — omit the
+        # key (file is simply never pruned on it)
     return out
 
 
@@ -1258,8 +1302,12 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
     # manifest from MANY snapshots' manifest lists — parse each once so
     # adoption is O(unique manifests + entries), not O(snapshots ×
     # entries)
-    manifest_memo: dict[str, dict] = {}
-    # (path, inherited-seq) → (converted data files, delete files):
+    # keyed (path, spec-id): _read_manifest's partition translation
+    # depends on the manifest-list entry's partition-spec-id, so a
+    # manifest referenced under two spec ids (pathological but legal)
+    # must not reuse the first spec's translation (ADVICE r9)
+    manifest_memo: dict[tuple, dict] = {}
+    # (path, inherited-seq, spec-id) → (converted data files, delete files):
     # CONVERSION (bounds rebind, partition translation) is the
     # expensive half, so it too runs once per unique manifest; later
     # snapshots share the same dict objects (safe: the disk form
@@ -1282,7 +1330,7 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
             spec_id = m.get("partition-spec-id", default_spec_id)
             inherit_seq = m.get("sequence-number", snap_seq)
             mpath = _strip_scheme(m["manifest-path"])
-            memo_key = (mpath, inherit_seq)
+            memo_key = (mpath, inherit_seq, spec_id)
             cached = convert_memo.get(memo_key)
             if cached is not None:
                 files.extend(cached[0])
@@ -1292,9 +1340,9 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
                 continue
             mfiles: list[dict] = []
             mdels: list[dict] = []
-            manifest = manifest_memo.get(mpath)
+            manifest = manifest_memo.get((mpath, spec_id))
             if manifest is None:
-                manifest = manifest_memo[mpath] = _read_manifest(
+                manifest = manifest_memo[(mpath, spec_id)] = _read_manifest(
                     mpath, spec_fields_by_id.get(spec_id, {}), types_by_id)
             for e in manifest["entries"]:
                 if e.get("status") == 2:  # DELETED — not live
@@ -1378,6 +1426,11 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
                 dd["referenced"] = list(all_paths)
         native_snapshots.append({
             "snapshot_id": s["snapshot-id"],
+            # the chain's real sequence number, preserved for
+            # consumers that report it (REST RegisterTable's
+            # LoadTableResult — ADVICE r9); Snapshot.from_json ignores
+            # it, so native table state is unaffected
+            "seq": s.get("sequence-number", s["snapshot-id"]),
             "parent_id": s.get("parent-snapshot-id"),
             "timestamp_ms": s["timestamp-ms"],
             "operation": (s.get("summary") or {}).get("operation", "append"),
@@ -1497,10 +1550,14 @@ def validate_iceberg_metadata(metadata_path: str) -> list[dict]:
                     f"field {f.get('name')!r} sources unknown id "
                     f"{f.get('source-id')}")
             tr = f.get("transform", "")
-            if re.match(r"^(bucket|truncate)\[\d+\]$", tr):
+            # bucket[N] is PORTABLE since round 10: the native ibucket
+            # transform is the spec's murmur3 (Appendix B), so adopted
+            # bucket values prune exactly. Only truncate still
+            # degrades (numeric vs string-rendering truncation).
+            if re.match(r"^truncate\[\d+\]$", tr):
                 add("info", "nonportable-transform-values",
                     f"spec {sp.get('spec-id')}",
-                    f"{tr} values use engine-specific hash/truncation "
+                    f"{tr} values use engine-specific truncation "
                     "spaces; adopted files will not prune on this field")
 
     # --- snapshots, manifests, files ---

@@ -401,6 +401,14 @@ class LakeTable:
             Field(i + 1, f.name, f.dataType.simpleString()) for i, f in enumerate(schema.fields)
         ]
         spec = [t.to_json() for t in parse_spec(partition_by or [])]
+        if (properties or {}).get("write.bucket-transform", "").lower() \
+                == "iceberg":
+            # property gate: make bucket() mean the Iceberg-spec
+            # murmur3 transform for this table, so its exported chains
+            # carry partition values a conforming external reader
+            # prunes correctly (table spec Appendix B).
+            spec = [dict(s, transform="ibucket")
+                    if s["transform"] == "bucket" else s for s in spec]
         meta = {
             "format_version": 2,
             "next_field_id": len(fields) + 1,
@@ -735,10 +743,13 @@ class LakeTable:
         spec = self.partition_spec if cluster else []
         pcols: list[str] = []
         if spec:
+            type_of = {f.name: f.type for f in fields}
             for t in spec:
                 # index-free key: stable across partition-spec evolution
                 name = f"_p_{t.name}_{t.column}"
-                df = df.withColumn(name, transform_expr(t).cast("string"))
+                df = df.withColumn(
+                    name,
+                    transform_expr(t, type_of.get(t.column)).cast("string"))
                 pcols.append(name)
             # co-locate each partition value in one task → one file per
             # value (write.distribution-mode=hash, framework.yaml:139)
@@ -2069,7 +2080,7 @@ class LakeTable:
         row = (
             self.spark.range(1)
             .select(F.lit(val).cast(fld.type).alias(t.column))
-            .select(transform_expr(t).cast("string").alias("v"))
+            .select(transform_expr(t, fld.type).cast("string").alias("v"))
             .collect()
         )
         cache[key] = row[0]["v"]

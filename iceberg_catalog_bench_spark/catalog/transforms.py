@@ -21,7 +21,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-SUPPORTED = ("identity", "days", "hours", "months", "years", "bucket", "truncate")
+SUPPORTED = ("identity", "days", "hours", "months", "years", "bucket",
+             "ibucket", "truncate")
 
 
 @dataclass(frozen=True)
@@ -43,8 +44,13 @@ class Transform:
         return Transform(d["transform"], d["column"], d.get("param"))
 
 
-def transform_expr(t: Transform) -> Column:
-    """Spark expression computing the transform value for clustering."""
+def transform_expr(t: Transform, input_type: str | None = None) -> Column:
+    """Spark expression computing the transform value for clustering.
+
+    ``input_type`` (a Spark SQL type string, when the caller knows the
+    source column's type) lets ``ibucket`` pre-convert the
+    hashed-as-a-long family JVM-side so the pandas UDF sees exact
+    int64 lanes; other transforms ignore it."""
     c = F.col(t.column)
     if t.name == "identity":
         return c
@@ -60,8 +66,31 @@ def transform_expr(t: Transform) -> Column:
         if not t.param:
             raise ValueError("bucket transform needs a bucket count")
         # xxhash64 ≈ Iceberg's bucket hash role: stable, uniform. pmod keeps
-        # the result non-negative.
+        # the result non-negative. NOT the Iceberg spec hash — see
+        # `ibucket` below for the spec-true (murmur3 Appendix B)
+        # transform; exports label this legacy transform `void` so a
+        # conforming external reader scans instead of wrong-pruning.
         return F.pmod(F.xxhash64(c), F.lit(t.param))
+    if t.name == "ibucket":
+        if not t.param:
+            raise ValueError("ibucket transform needs a bucket count")
+        # Iceberg-spec bucket: murmur3_x86_32 over Appendix B
+        # single-value encodings — hash-identical to what a conforming
+        # external engine computes, so adopted foreign bucket values
+        # prune exactly and exported chains are spec-true.
+        from .iceberg_bucket import ibucket_long_expr, ibucket_obj_expr
+
+        base = (input_type or "").lower().split("(")[0].strip()
+        if base in ("int", "integer", "bigint", "long", "smallint",
+                    "short", "tinyint", "byte"):
+            return ibucket_long_expr(c.cast("long"), t.param)
+        if base == "date":
+            return ibucket_long_expr(
+                F.datediff(c, F.lit("1970-01-01")).cast("long"), t.param)
+        if base in ("timestamp", "timestamp_ltz"):
+            # instant micros (tz-free), the spec's timestamptz encoding
+            return ibucket_long_expr(F.unix_micros(c), t.param)
+        return ibucket_obj_expr(c, t.param)
     if t.name == "truncate":
         if not t.param:
             raise ValueError("truncate transform needs a width")
@@ -86,7 +115,9 @@ def parse_spec(spec: list[str | dict | Transform]) -> list[Transform]:
             name, _, rest = s.partition("(")
             args = [a.strip() for a in rest.rstrip(")").split(",")]
             name = name.strip().lower()
-            if name in ("bucket", "truncate"):
+            if name == "iceberg_bucket":  # spec-true spelling alias
+                name = "ibucket"
+            if name in ("bucket", "ibucket", "truncate"):
                 out.append(Transform(name, args[1], int(args[0])))
             else:
                 out.append(Transform(name, args[0]))

@@ -1774,7 +1774,7 @@ def iceberg_validate_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shape ``iceberg_register_adopted`` adopts — DuckDB parquet,
     Avro manifests would behave identically), validate it CLEAN, then
     sabotage it five distinct ways (dangling ref, vanished data file,
-    alien equality-id, manifest-length drift, bucket spec) and pin the
+    alien equality-id, manifest-length drift, truncate spec) and pin the
     exact finding codes and severity counts
     (``validate_iceberg_metadata`` — the reference is a validation
     harness; this is the validation surface pointed at Iceberg
@@ -1859,8 +1859,8 @@ def iceberg_validate_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
     # five-way sabotage, same as the pytest pin
     md["refs"] = {"ghost": {"snapshot-id": 999, "type": "tag"}}
     md["partition-specs"][0]["fields"].append(
-        {"field-id": 1000, "source-id": 1, "name": "k_bucket",
-         "transform": "bucket[8]"})
+        {"field-id": 1000, "source-id": 1, "name": "k_trunc",
+         "transform": "truncate[8]"})
     with open(mp, "w") as fh:
         json.dump(md, fh)
     os.remove(f2)

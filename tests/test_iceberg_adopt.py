@@ -16,7 +16,8 @@ forces — and bounds are keyed by FIELD ID, not name.
 
 Covered: schema history by field id (rename + initial-default add),
 time travel, refs with retention, identity/day partition-value
-conversion (and the murmur3-vs-xxhash64 bucket refusal), position and
+conversion (and bucket[N] adoption as the spec-true murmur3
+transform — see test_iceberg_bucket.py for the full arc), position and
 equality deletes with the strictly-smaller-sequence rule, continued
 DML (appends take max(snapshot)+1 so foreign equality deletes never
 reach new rows; CoW delete rewrites a foreign file into table-owned
@@ -489,11 +490,12 @@ def test_adopt_partition_value_conversion_and_pruning(adopted):
     assert [os.path.basename(e.path) for e in kept] == ["f3.parquet"]
 
 
-def test_adopt_refuses_bucket_partition_values(spark, tmp_path):
-    """Iceberg buckets with murmur3; the native writer with xxhash64.
-    Adoption must keep bucket-partitioned FILES readable but must NOT
-    surface their bucket values to the pruner (missing key = never
-    pruned)."""
+def test_adopt_converts_bucket_partition_spec(spark, tmp_path):
+    """Iceberg's bucket[N] is murmur3 (table spec Appendix B) — the
+    native ``ibucket`` transform is hash-identical, so adoption maps
+    the spec field to it. Files whose partition structs never carried
+    the bucket value (this chain's spec field is appended after the
+    fact) simply lack the key: readable, never pruned on it."""
     mp = _write_foreign_chain(str(tmp_path / "foreign"))
     md = json.load(open(mp))
     md["partition-specs"][0]["fields"].append(
@@ -502,11 +504,13 @@ def test_adopt_refuses_bucket_partition_values(spark, tmp_path):
     with open(mp, "w") as fh:
         json.dump(md, fh)
     t = adopt_iceberg_metadata(spark, mp, str(tmp_path / "adopted2"))
-    # spec adopted (continued writes cluster by it) ...
+    # spec adopted as the spec-true murmur3 transform (continued
+    # writes cluster by it) ...
     assert [tr.name for tr in t.partition_spec] == [
-        "identity", "days", "bucket"]
-    # ... but no foreign file carries a _p_bucket_* key
+        "identity", "days", "ibucket"]
+    # ... and files without a recorded bucket value carry no key
     snap = t._snapshot(102)
+    assert not any("_p_ibucket_k" in e.partition for e in snap.files)
     assert not any("_p_bucket_k" in e.partition for e in snap.files)
     assert _rows(t.read())[0] == (1, "a", 1.0, "x", "base")
 

@@ -645,12 +645,12 @@ def test_validate_iceberg_metadata_reports_everything(spark, tmp_path):
     assert validate_iceberg_metadata(mp) == []
 
     # sabotage: dangling ref, vanished data file, alien equality id,
-    # stale manifest-length, bucket spec
+    # stale manifest-length, truncate spec
     md = json.load(open(mp))
     md["refs"] = {"ghost": {"snapshot-id": 999, "type": "tag"}}
     md["partition-specs"][0]["fields"].append(
-        {"field-id": 1000, "source-id": 1, "name": "k_bucket",
-         "transform": "bucket[8]"})
+        {"field-id": 1000, "source-id": 1, "name": "k_trunc",
+         "transform": "truncate[8]"})
     with open(mp, "w") as fh:
         json.dump(md, fh)
     os.remove(f2)
