@@ -198,6 +198,11 @@ def _compile(schema, names: dict, memo: dict):
 
         def _union(r, _b=branches):
             idx = _read_long(r)
+            # same range check as decode(): a corrupt OCF with a
+            # negative index must raise, not silently decode via
+            # Python negative indexing (ADVICE r9)
+            if not 0 <= idx < len(_b):
+                raise ValueError(f"union branch {idx} out of range")
             return _b[idx](r)
         return _union
     if isinstance(schema, str):

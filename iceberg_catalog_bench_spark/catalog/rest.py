@@ -363,7 +363,11 @@ def _make_handler(state: _State):
                          "type": f["type"]}
                         for f in native["schemas"][cur]]},
                     "properties": dict(native.get("properties") or {}),
-                    "location": os.path.dirname(os.path.dirname(resolved)),
+                    # prefer the metadata's own location (the directory
+                    # heuristic yields <table>/_meta for this repo's
+                    # exports, which nest metadata two levels deep)
+                    "location": native.get("source_location")
+                    or os.path.dirname(os.path.dirname(resolved)),
                     "metrics_reports": [],
                     "metadata": {
                         "table-uuid": state.next_table_uuid(),

@@ -1293,8 +1293,8 @@ class SqlEngine:
         if not ident:
             pm = re.search(r"^\s*'([^']+)'", args_sql)
             ident = pm.group(1) if pm else None
-        if not ident and proc != "validate_table":
-            # validate_table targets a METADATA PATH, not a table
+        if not ident and proc not in ("validate_table", "repair_table"):
+            # validate/repair target a METADATA PATH, not a table
             raise ValueError(f"CALL needs a table argument: {s[:120]}")
         # snapshot creates the DEST table, so it resolves paths itself
         if proc == "snapshot":
@@ -1382,6 +1382,30 @@ class SqlEngine:
             findings = validate_iceberg_metadata(mf)
             rows = findings or [{"severity": "ok", "code": "clean",
                                  "where": mf, "detail": ""}]
+            return StatementResult(s, rows=rows, rowcount=len(rows),
+                                   metadata={"op": proc})
+        # repair_table fixes the fixable preflight findings in place:
+        # CALL system.repair_table(metadata_file => '<path>'
+        # [, dry_run => true]) — quarantine entries whose data files
+        # are gone, re-resolve drifted manifest lengths, drop dangling
+        # refs; everything else reports unrepairable
+        if proc == "repair_table":
+            from ..catalog.iceberg_export import repair_iceberg_metadata
+            mf = kwargs.get("metadata_file") or kwargs.get("metadata_json")
+            if not mf and ident and self.table_exists(ident):
+                mf = self.table(ident)._meta.get("adopted_from")
+                if not mf:
+                    raise ValueError(
+                        f"table {ident} was not adopted from an Iceberg "
+                        "chain; pass metadata_file => '<path>'")
+            if not mf:
+                raise ValueError(
+                    "CALL system.repair_table needs metadata_file => "
+                    "'<path>' or table => '<adopted table>'")
+            dry = str(kwargs.get("dry_run", "false")).lower() == "true"
+            acts = repair_iceberg_metadata(mf, dry_run=dry)
+            rows = acts or [{"code": "clean", "where": mf,
+                             "action": "none", "detail": ""}]
             return StatementResult(s, rows=rows, rowcount=len(rows),
                                    metadata={"op": proc})
         # migrate creates the table, so it resolves the path itself

@@ -785,6 +785,111 @@ def iceberg_register_adopted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "adopted_bucket_pruning",
+    oracle=(
+        # the point-lookup row must come back exact, and the pruning
+        # accounting is deterministic by construction: the chain is
+        # authored with one file per murmur3 bucket (16) and a point
+        # lookup keeps exactly the key's bucket
+        "SELECT c_name, ROUND(c_acctbal, 2) AS acctbal, "
+        "CAST(16 AS BIGINT) AS files_total, "
+        "CAST(1 AS BIGINT) AS files_kept "
+        "FROM customer WHERE c_custkey = 42"
+    ),
+)
+def adopted_bucket_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship partitioning shape, adopted and
+    PRUNED: its tables bucket their tenant/user keys
+    (ICEBERG-Interoperability-Test-Spec.md:50 ``bucket(tenant_id,16)``;
+    blob_dfs/blob-dfs_bench.py:72 ``bucket(16, user_id)``). A foreign
+    engine (DuckDB) writes the customer table as 16 parquet files —
+    one per Iceberg-spec murmur3 bucket of ``c_custkey`` (table spec
+    Appendix B) — and the chain declares ``bucket[16]`` with the true
+    murmur3 partition ordinals. Adoption converts those values to the
+    hash-identical native ``ibucket`` transform, so the point lookup
+    scans ONE file out of 16; ``files_kept`` pins the skip. At 100 TB
+    this is the difference between reading ~6 TB and reading one
+    bucket's files — pruning is metadata-only, zero I/O."""
+    import duckdb
+
+    from ..catalog.iceberg_bucket import iceberg_bucket
+    from ..catalog.iceberg_export import adopt_iceberg_metadata
+
+    root = _tmp_table_dir()
+    data = os.path.join(root, "data")
+    metad = os.path.join(root, "metadata")
+    os.makedirs(data)
+    os.makedirs(metad)
+    src = os.path.join(sf_dir, "customer.parquet")
+    con = duckdb.connect()
+    keys = [r[0] for r in con.execute(
+        f"SELECT c_custkey FROM read_parquet('{src}')").fetchall()]
+    import pandas as _pd
+
+    bucket_map = _pd.DataFrame(
+        {"c_custkey": keys,
+         "b": [iceberg_bucket(int(k), 16) for k in keys]})
+    con.register("bucket_map", bucket_map)
+    entries = []
+    for b in range(16):
+        p = os.path.join(data, f"b{b}.parquet")
+        n = con.execute(
+            f"COPY (SELECT c.c_custkey, c.c_name, c.c_acctbal "
+            f"FROM read_parquet('{src}') c JOIN bucket_map m USING "
+            f"(c_custkey) WHERE m.b = {b} ORDER BY c.c_custkey) "
+            f"TO '{p}' (FORMAT PARQUET)").fetchone()[0]
+        entries.append({"status": 1, "snapshot-id": 201, "data-file": {
+            "content": 0, "file-path": p, "file-format": "PARQUET",
+            "partition": {"c_custkey_bucket": b},
+            "data-sequence-number": 1, "record-count": n,
+            "file-size-in-bytes": os.path.getsize(p)}})
+    con.close()
+    man = os.path.join(metad, "m1.json")
+    with open(man, "w") as fh:
+        json.dump({"partition-spec-id": 0, "entries": entries}, fh)
+    ml = os.path.join(metad, "sl1.json")
+    with open(ml, "w") as fh:
+        json.dump({"manifests": [{
+            "manifest-path": man, "manifest-length": os.path.getsize(man),
+            "partition-spec-id": 0, "content": 0, "sequence-number": 1,
+            "added-snapshot-id": 201}]}, fh)
+    mp = os.path.join(metad, "v1.metadata.json")
+    with open(mp, "w") as fh:
+        json.dump({
+            "format-version": 2, "location": root, "last-column-id": 3,
+            "current-schema-id": 0,
+            "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+                {"id": 1, "name": "c_custkey", "required": False,
+                 "type": "long"},
+                {"id": 2, "name": "c_name", "required": False,
+                 "type": "string"},
+                {"id": 3, "name": "c_acctbal", "required": False,
+                 "type": "double"}]}],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": [
+                {"field-id": 1000, "source-id": 1,
+                 "name": "c_custkey_bucket", "transform": "bucket[16]"}]}],
+            "last-partition-id": 1000, "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {}, "current-snapshot-id": 201,
+            "snapshots": [{"snapshot-id": 201, "sequence-number": 1,
+                           "timestamp-ms": 1_700_000_001_000,
+                           "schema-id": 0, "manifest-list": ml,
+                           "summary": {"operation": "append"}}],
+        }, fh)
+
+    t = adopt_iceberg_metadata(spark, mp, os.path.join(root, "adopted"))
+    snap = t._snapshot(t._meta["current_snapshot_id"])
+    kept = t._prune_files(snap.files, "c_custkey = 42")
+    return t.read().where("c_custkey = 42").select(
+        "c_name",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit(len(snap.files)).cast("bigint").alias("files_total"),
+        F.lit(len(kept)).cast("bigint").alias("files_kept"),
+    )
+
+
+@register(
     "rest_catalog_conformance",
     oracle=(
         # Pinned transcript shape: 43 ordered calls, 6 intentional
@@ -1759,10 +1864,16 @@ def insert_overwrite_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         # deterministic findings contract (the rest_catalog_conformance
         # pinned-transcript pattern): a clean chain yields zero
-        # findings; the five-way sabotage yields exactly these codes
+        # findings; the five-way sabotage yields exactly these codes;
+        # repair fixes the fixable three and the re-validation keeps
+        # only the unrepairable error + the informational truncate note
         "SELECT 'clean' AS phase, CAST(0 AS BIGINT) AS n_errors, "
         "CAST(0 AS BIGINT) AS n_warnings, CAST(0 AS BIGINT) AS n_infos, "
         "'' AS codes "
+        "UNION ALL SELECT 'repair', 0, 0, 0, "
+        "'dangling-ref,manifest-length-drift,missing-data-file' "
+        "UNION ALL SELECT 'repaired', 1, 0, 1, "
+        "'nonportable-transform-values,unresolvable-equality-id' "
         "UNION ALL SELECT 'sabotaged', 3, 1, 1, "
         "'dangling-ref,manifest-length-drift,missing-data-file,"
         "nonportable-transform-values,unresolvable-equality-id' "
@@ -1874,14 +1985,27 @@ def iceberg_validate_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
         fh.write(" ")
     bad = validate_iceberg_metadata(mp)
 
+    # ... and REPAIR the fixable (VERDICT r9 item 4): quarantine the
+    # vanished file's entries, re-resolve drifted manifest lengths,
+    # drop the ghost ref — then re-validate: only the unrepairable
+    # (alien equality id) and the informational (truncate) remain
+    from ..catalog.iceberg_export import repair_iceberg_metadata
+
+    acts = repair_iceberg_metadata(mp)
+    repaired = validate_iceberg_metadata(mp)
+
     def row(phase, findings):
         sev = [f["severity"] for f in findings]
         return (phase, sev.count("error"), sev.count("warning"),
                 sev.count("info"),
                 ",".join(sorted({f["code"] for f in findings})))
 
+    act_row = ("repair", 0, 0, 0,
+               ",".join(sorted({a["code"] for a in acts
+                                if a["action"] == "applied"})))
     return spark.createDataFrame(
-        [row("clean", clean), row("sabotaged", bad)],
+        [row("clean", clean), act_row, row("repaired", repaired),
+         row("sabotaged", bad)],
         "phase string, n_errors bigint, n_warnings bigint, "
         "n_infos bigint, codes string",
     ).orderBy("phase")

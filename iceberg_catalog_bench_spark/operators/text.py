@@ -859,8 +859,10 @@ _BM25_TERMS = ("hash", "join", "window")
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 
-_ORACLE_BM25 = f"""
-WITH tok AS (
+# The BM25 scoring pipeline as reusable CTE bodies (everything after
+# "WITH "): `bm25` ends as (doc_id, score_micro). Shared by this
+# module's registered oracle and similarity.hybrid_search_bm25_rrf's.
+BM25_SCORES_CTES = f"""tok AS (
   SELECT doc_id, t AS term
   FROM documents,
        UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS u(t)
@@ -887,33 +889,25 @@ WITH tok AS (
   JOIN idf USING (term)
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats
+), bm25 AS (
+  SELECT doc_id, CAST(SUM(part_micro) AS BIGINT) AS score_micro
+  FROM parts
+  GROUP BY doc_id
+)"""
+
+_ORACLE_BM25 = (
+    "WITH " + BM25_SCORES_CTES
+    + " SELECT doc_id, score_micro FROM bm25 "
+      "ORDER BY score_micro DESC, doc_id LIMIT 10"
 )
-SELECT doc_id, CAST(SUM(part_micro) AS BIGINT) AS score_micro
-FROM parts
-GROUP BY doc_id
-ORDER BY score_micro DESC, doc_id
-LIMIT 10
-"""
 
 
-@register("text_bm25_keyword_search", oracle=_ORACLE_BM25)
-def text_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 keyword relevance over the corpus — the lexical leg every
-    RAG / retrieval pipeline needs next to the vector ANN family
-    (Robertson & Spärck Jones; k1=1.2, b=0.75).
-
-    Spark-first shape, 100 TB story: ONE tokenize-explode pass and ONE
-    shuffle build a per-doc row carrying the document length AND every
-    query term's frequency as COLUMNS (the term list is a fixed query
-    literal, so columnar beats a (doc, term)-keyed second shuffle);
-    corpus constants (N, avgdl, per-term document frequencies) are a
-    1-row aggregate over that same exchange — Catalyst's
-    ReusedExchange makes the corpus scan happen once — broadcast back
-    with a nested-loop join; top-k is a TakeOrdered. Per-term
-    contributions are micro-rounded BEFORE the sum so the oracle
-    compares integers, immune to float-summation order across engines.
-    """
-    docs = load_table(spark, "documents", sf_dir)
+def bm25_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, score_micro) BM25 relevance of every document matching
+    ≥1 query term — the shared scorer behind the registered
+    ``text_bm25_keyword_search`` row and the keyword leg of
+    ``hybrid_search_bm25_rrf``. See the registered query's docstring
+    for the one-shuffle / ReusedExchange plan shape."""
     tok = docs.select(
         "doc_id",
         F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
@@ -945,6 +939,29 @@ def text_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_doc.crossJoin(F.broadcast(consts))
         .filter(matched > 0)  # = the oracle's "has a tf row" set
         .select("doc_id", score.alias("score_micro"))
+    )
+
+
+@register("text_bm25_keyword_search", oracle=_ORACLE_BM25)
+def text_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword relevance over the corpus — the lexical leg every
+    RAG / retrieval pipeline needs next to the vector ANN family
+    (Robertson & Spärck Jones; k1=1.2, b=0.75).
+
+    Spark-first shape, 100 TB story: ONE tokenize-explode pass and ONE
+    shuffle build a per-doc row carrying the document length AND every
+    query term's frequency as COLUMNS (the term list is a fixed query
+    literal, so columnar beats a (doc, term)-keyed second shuffle);
+    corpus constants (N, avgdl, per-term document frequencies) are a
+    1-row aggregate over that same exchange — Catalyst's
+    ReusedExchange makes the corpus scan happen once — broadcast back
+    with a nested-loop join; top-k is a TakeOrdered. Per-term
+    contributions are micro-rounded BEFORE the sum so the oracle
+    compares integers, immune to float-summation order across engines.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        bm25_scores(docs)
         .orderBy(F.desc("score_micro"), "doc_id")
         .limit(10)
     )

@@ -336,6 +336,12 @@ def test_register_table_endpoint(server, spark, tmp_path):
     assert body["metadata-location"].endswith(".metadata.json")
     assert body["metadata"]["current-snapshot-id"] == s2.snapshot_id
     assert len(body["metadata"]["snapshots"]) == 2
+    # the chain's real sequence numbers, not snapshot-id fallbacks or a
+    # constant-0 last-sequence-number (ADVICE r9)
+    seqs = sorted(sn["sequence-number"]
+                  for sn in body["metadata"]["snapshots"])
+    assert seqs == [1, 2]
+    assert body["metadata"]["last-sequence-number"] == 2
 
     # the registered table is a first-class catalog entry
     status, listing = c.list_tables("reg_ns")
@@ -345,6 +351,9 @@ def test_register_table_endpoint(server, spark, tmp_path):
     assert status == 200
     assert loaded["metadata"]["current-snapshot-id"] == s2.snapshot_id
     assert [f["name"] for f in loaded["schema"]["fields"]] == ["k", "v"]
+    # location is the metadata's own table root, not the _meta/iceberg
+    # parent the directory heuristic would yield (ADVICE r9)
+    assert loaded["location"] == t.path
 
     # duplicate name → 409; unreadable chain → 400; bad namespace → 404
     assert c.register_table("reg_ns", "adopted", mp)[0] == 409
