@@ -76,6 +76,10 @@ HEADLINE = [
     # round 4: the decorrelated dual-existential aggregate — tracks
     # the cost of the one-wide-aggregate Q21 rewrite per round
     "tpch_q21_sole_fault_supplier",
+    # round 10: BM25 — the retrieval family's standing perf signal for
+    # its tokenize-explode-shuffle spine (one corpus pass via
+    # ReusedExchange; baseline recorded per the drift protocol)
+    "text_bm25_keyword_search",
 ]
 
 

@@ -89,7 +89,7 @@ def _spark_ddl_type(iceberg: str) -> str:
     }.get(iceberg, "string")
 
 
-def _iceberg_transform(t: Transform) -> str:
+def _iceberg_transform(t: Transform, source_type: str | None = None) -> str:
     """Iceberg transform spelling: bucket[N] / truncate[W] / day / ...
 
     The spec-true murmur3 transform (``ibucket``) exports as
@@ -99,13 +99,17 @@ def _iceberg_transform(t: Transform) -> str:
     ``col = v`` predicate through ``bucket[N]`` would murmur3-hash the
     literal and SILENTLY WRONG-PRUNE files that contain matching rows;
     ``void`` (always null, table spec §Partition Transforms) makes such
-    readers scan instead — correct, just unpruned."""
+    readers scan instead — correct, just unpruned. ``truncate`` is
+    value-identical to Iceberg's ONLY for string sources (first W code
+    points both sides); for any other source the native transform
+    truncates the string RENDERING while Iceberg truncates numerically,
+    so non-string truncate exports as ``void`` for the same reason."""
     if t.name == "ibucket":
         return f"bucket[{t.param}]"
     if t.name == "bucket":
         return "void"
     if t.name == "truncate":
-        return f"truncate[{t.param}]"
+        return f"truncate[{t.param}]" if source_type == "string" else "void"
     # Iceberg uses singular day/hour/month/year
     return {"days": "day", "hours": "hour", "months": "month", "years": "year"}.get(
         t.name, t.name
@@ -243,7 +247,9 @@ def _avro_partition_value(t: Transform, sval, ice_type):
         return int(str(sval)[:4]) - 1970
     if t.name == "ibucket":
         return int(sval)
-    return str(sval)  # truncate
+    # truncate: spec-true for string sources (first W code points both
+    # sides); non-string sources export as void (always null)
+    return str(sval) if ice_type == "string" else None
 
 
 def _avro_part_field_type(t: Transform, ice_type) -> object:
@@ -321,6 +327,12 @@ def to_iceberg_metadata(table: LakeTable, *,
     field_ids_by_name.update(
         {f["name"]: f["id"] for f in meta["schemas"][str(meta["current_schema_version"])]}
     )
+    # native type per column (current spelling wins) — decides whether
+    # truncate is exportable as truncate[W] (string sources only)
+    ntype_by_name: dict[str, str] = {}
+    for _ver, fields in sorted(meta["schemas"].items(), key=lambda kv: int(kv[0])):
+        for f in fields:
+            ntype_by_name[f["name"]] = f["type"]
     # Partition field-ids are TABLE-WIDE in Iceberg: assigned once per
     # (source column, transform), starting at 1000, never reused, and
     # stable across spec evolution — a reader unions manifest partition
@@ -332,7 +344,7 @@ def to_iceberg_metadata(table: LakeTable, *,
     _pf_ids: dict[tuple[str, str], int] = {}
 
     def _pf_id(t: Transform) -> int:
-        key = (t.column, _iceberg_transform(t))
+        key = (t.column, _iceberg_transform(t, ntype_by_name.get(t.column)))
         if key not in _pf_ids:
             _pf_ids[key] = 1000 + len(_pf_ids)
         return _pf_ids[key]
@@ -346,7 +358,8 @@ def to_iceberg_metadata(table: LakeTable, *,
                     "field-id": _pf_id(t),
                     "source-id": field_ids_by_name.get(t.column, -1),
                     "name": _pf_name(t),
-                    "transform": _iceberg_transform(t),
+                    "transform": _iceberg_transform(
+                        t, ntype_by_name.get(t.column)),
                 }
             )
         return out
@@ -787,7 +800,8 @@ _ICEBERG_TO_NATIVE_TRANSFORM = {
 
 
 def _native_spec_json(
-    spec_fields: list, names_by_id: dict[int, str], strict: bool = True
+    spec_fields: list, names_by_id: dict[int, str], strict: bool = True,
+    types_by_id: dict[int, object] | None = None,
 ) -> list:
     """Iceberg partition-spec fields → native Transform JSON list.
 
@@ -807,11 +821,20 @@ def _native_spec_json(
             )
         tr = f["transform"]
         m = re.match(r"^(bucket|truncate)\[(\d+)\]$", tr)
+        if m and m.group(1) == "truncate" and (
+                (types_by_id or {}).get(f["source-id"]) != "string"):
+            # Iceberg truncates non-string sources NUMERICALLY while
+            # the native transform truncates the string rendering —
+            # value spaces diverge, so the field adopts as
+            # clustering-free (no native transform, values dropped)
+            continue
         if m:
             # Foreign bucket[N] is Iceberg-spec murmur3 → the native
             # `ibucket` transform is hash-identical (Appendix B), so
             # adopted bucket partition values prune exactly and
             # continued DML clusters into the same bucket layout.
+            # truncate[W] reaches here only for string sources, where
+            # both sides keep the first W code points — value-exact.
             name = "ibucket" if m.group(1) == "bucket" else m.group(1)
             out.append(Transform(name, col, int(m.group(2))).to_json())
         elif tr == "void":
@@ -896,8 +919,14 @@ def _adopt_partition(part: dict, spec_fields_by_name: dict,
             out[f"_p_months_{col}"] = f"{1970 + y:04d}-{m + 1:02d}-01 00:00:00"
         elif tr == "year" and is_int:
             out[f"_p_years_{col}"] = f"{1970 + v:04d}-01-01 00:00:00"
-        # truncate: incompatible truncation value spaces — omit the
-        # key (file is simply never pruned on it)
+        elif re.match(r"^truncate\[\d+\]$", tr) and isinstance(v, str):
+            # string truncate: both sides keep the first W code points
+            # — value-exact (the adopted spec carries the transform
+            # only for string sources, so prune literals truncate the
+            # same way)
+            out[f"_p_truncate_{col}"] = v
+        # non-string truncate: incompatible truncation value spaces —
+        # omit the key (file is simply never pruned on it)
     return out
 
 
@@ -1262,6 +1291,7 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
         native_specs[sp["spec-id"]] = _native_spec_json(
             sp["fields"], union_names_by_id,
             strict=sp["spec-id"] == default_spec_id,
+            types_by_id=types_by_id,
         )
         spec_fields_by_id[sp["spec-id"]] = {
             f["name"]: f for f in sp["fields"]
@@ -1554,15 +1584,22 @@ def validate_iceberg_metadata(metadata_path: str) -> list[dict]:
                     f"field {f.get('name')!r} sources unknown id "
                     f"{f.get('source-id')}")
             tr = f.get("transform", "")
-            # bucket[N] is PORTABLE since round 10: the native ibucket
-            # transform is the spec's murmur3 (Appendix B), so adopted
-            # bucket values prune exactly. Only truncate still
-            # degrades (numeric vs string-rendering truncation).
-            if re.match(r"^truncate\[\d+\]$", tr):
+            # bucket[N] is PORTABLE since round 10 (the native ibucket
+            # transform is the spec's murmur3, Appendix B), and
+            # truncate[W] on STRING sources is value-identical (first
+            # W code points both sides) — only non-string truncate
+            # still degrades (numeric vs string-rendering truncation).
+            src_type = None
+            for sc in md["schemas"]:
+                for sf in sc.get("fields", []):
+                    if sf["id"] == f.get("source-id"):
+                        src_type = sf["type"]
+            if re.match(r"^truncate\[\d+\]$", tr) and src_type != "string":
                 add("info", "nonportable-transform-values",
                     f"spec {sp.get('spec-id')}",
-                    f"{tr} values use engine-specific truncation "
-                    "spaces; adopted files will not prune on this field")
+                    f"{tr} over a {src_type} source uses engine-specific "
+                    "truncation spaces; adopted files will not prune on "
+                    "this field")
 
     # --- snapshots, manifests, files ---
     snap_ids = {s["snapshot-id"] for s in md.get("snapshots") or []}

@@ -36,83 +36,33 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Round-9 rotation (VERDICT r8 item 2, recomputed from the
-# CORRECTNESS_r01-r08 union: staleness histogram r5:40, r6:36, r7:50,
-# r8:50 — NOT the pre-staged comment's "45 r5-latest"). Tier (a) = the
-# 3 below-cap debuts, never driver-checked (iceberg_register_adopted —
-# which this round ALSO re-proves over the new Avro-manifest adoption
-# path — and the two TPC-DS shapes). Tier (b) = the FULL 40-query
-# r5-latest cohort (4-rounds-stale if skipped). The remaining 7 slots
-# take the riskiest r6-latest rows: schema_evolution_read (adoption
-# reads schema history; this round touched it), cdc_replicate_table,
-# datagen_tx_events_dims, maintenance_zorder, streaming_table_source_cdc
-# (adopted tables became streaming sources in r8), join_asof_last_purchase,
-# streaming_sessionize_stateful. 3 + 40 + 7 = 50 exactly; after this
-# round nothing is latest-green older than r6.
-# ROUND-10 ROTATION PLAN: tier (a) = any r9-code-touched rows + any r9
-# non-greens; tier (b) = the remaining 29 r6-latest queries (listed
-# right below the cap marker) + the oldest r7 rows to fill 50.
+# Round-10 rotation (VERDICT r9 item 2, recomputed from the
+# CORRECTNESS_r01-r09 union: staleness histogram r6:29, r7:50, r8:50,
+# r9:50; never-green = exactly the 6 debuts). Tier (a) = the 6 debuts
+# (2 staged in r9 + 4 new this round) + iceberg_register_adopted,
+# whose adoption path this round rewired (bucket[N] partition values
+# now convert to the murmur3 ibucket transform and PRUNE). Tier (b) =
+# the FULL 29-query r6-latest cohort (4-rounds-stale if skipped).
+# The remaining 14 slots take the riskiest r7 rows: the six VERDICT
+# names (merge_upsert, snapshot_lineage, time_travel_checksum,
+# harness_crud_plan, tag_and_rollback, iceberg_metadata_roundtrip —
+# M5/T1/T2/T5/T6/V1-V4 pins; the roundtrip row also re-proves the
+# export changes) + eight rows over this round's touched surfaces
+# (the partitioned write path, overwrite, streaming source reads, the
+# RRF sibling, and two bench headliners). 7 + 29 + 14 = 50 exactly;
+# after this round nothing is latest-green older than r7.
 # REFRESH EACH ROUND: rebuild from the union of CORRECTNESS_r*.json —
 # never-green and code-touched queries first, oldest-green next.
 PRIORITY: tuple[str, ...] = (
-    # -- (a) below-cap debuts, never driver-checked (3) --
-    "iceberg_register_adopted",     # foreign-Iceberg adopt (r8) + the
-    #                                 r9 Avro-manifest read path
-    "tpcds_cumulative_channel_crossover",   # Q51 shape (r8)
-    "tpcds_topn_over_rollup",               # Q67 shape (r8)
-    # -- (b) the full r5-latest cohort (40; freshness bar: 4 rounds) --
-    "ann_ivf",
-    "ann_ivf_incremental",
-    "ann_ivf_partitioned",
-    "ann_lsh_buckets",
-    "array_functions_suite",
-    "count_star",
-    "date_functions_suite",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_simhash",
-    "delete_files_advisory",
-    "distinct_pairs",
-    "distinct_users_exact",
-    "full_scan_projection",
-    "groupby_count",
-    "having_filter",
-    "inlist_lookup",
-    "knn_batch_queries",
-    "knn_brute_force",
-    "latest_event_top1",
-    "limit_preview",
-    "multimodal_phash_dedup",
-    "ordered_read",
-    "percentile_by_group",
-    "point_lookup",
-    "pricing_summary",
-    "quality_gopher_rules",
-    "range_pruned_agg",
-    "reagg_total",
-    "revenue_checksum",
-    "shipping_priority_top10",
-    "stats_aggregates",
-    "streaming_ingest_laketable",
-    "streaming_quarantine_gate",
-    "string_functions_suite",
-    "sum_checksum",
-    "tpcds_channel_union",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_global_sales_opportunity",
-    # -- (c) riskiest r6-latest rows (7) --
-    "schema_evolution_read",
-    "cdc_replicate_table",
-    "datagen_tx_events_dims",
-    "maintenance_zorder",
-    "streaming_table_source_cdc",
-    "join_asof_last_purchase",
-    "streaming_sessionize_stateful",
-    # ---- 50 cap lands exactly here ----
-    # -- below-cap: the remaining r6-latest cohort (29; the
-    # round-10 rotation tier), greens early only if the driver
-    # runs deeper than 50 --
+    # -- (a) never driver-checked debuts (6) + code-touched (1) --
+    "adopted_bucket_pruning",        # r10 headline: murmur3 bucket interop
+    "text_bm25_keyword_search",      # staged r9
+    "iceberg_validate_preflight",    # staged r9; now 4-phase with repair
+    "hybrid_search_bm25_rrf",        # r10: BM25-backed RRF
+    "tpcds_frequent_buyer_segments", # r10: Q34/Q73 shape
+    "tpcds_net_after_returns",       # r10: Q93 shape
+    "iceberg_register_adopted",      # adoption path rewired this round
+    # -- (b) the full r6-latest cohort (29; freshness bar: 4 rounds) --
     "centroid_by_label",
     "dedup_connected_components",
     "embedding_quantize_int8",
@@ -131,17 +81,72 @@ PRIORITY: tuple[str, ...] = (
     "text_quality_pandas_udf",
     "text_quality_scores",
     "text_token_count",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promotion_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_type_profit",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promotion_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier",
+    # -- (c) riskiest r7-latest rows (14) --
+    "merge_upsert",
+    "snapshot_lineage",
+    "time_travel_checksum",
+    "harness_crud_plan",
+    "tag_and_rollback",
+    "iceberg_metadata_roundtrip",
+    "insert_overwrite_backfill",
+    "streaming_table_source_cdc_cow",
+    "streaming_table_source_read",
+    "incremental_read_changes",
+    "merge_not_matched_by_source",
+    "hybrid_search_rrf",
+    "pipeline_curate_full",
+    "percentile_approx_by_group",
+    # ---- 50 cap lands exactly here ----
+    # -- below-cap: the remaining r7-latest cohort (36; the round-11
+    # rotation tier), greens early only if the driver runs deeper
+    # than 50 --
+    "attribution_last_touch",
+    "basket_part_affinity",
+    "corpus_contamination_check",
+    "corpus_mixture_weights",
+    "corpus_shard_manifest",
+    "corpus_shuffle_shards",
+    "corpus_split_train_val_test",
+    "customer_rfm_segments",
+    "dedup_incremental_minhash",
+    "dedup_minhash_lsh",
+    "distinct_users_approx",
+    "doc_length_histogram",
+    "events_anomaly_zscore",
+    "events_gapfill_locf",
+    "events_resample_ohlc",
+    "grouping_sets_revenue",
+    "pipeline_pack_sequences",
+    "regexp_functions_suite",
+    "retention_cohort_weekly",
+    "sample_importance_weighted",
+    "sample_stratified_by_lang",
+    "sketch_hll_union_rollup",
+    "text_chunk_sliding",
+    "text_pii_redaction",
+    "text_repetition_scores",
+    "text_unigram_logprob",
+    "tokenizer_bpe_pair_counts",
+    "top_tokens",
+    "tpcds_multi_band_counts",
+    "tpcds_rank_within_parent",
+    "tpcds_star_join_multi_dim",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_shipping",
+    "tpch_q18_large_volume_customer",
+    "tpch_q20_potential_promotion",
 )
 
 

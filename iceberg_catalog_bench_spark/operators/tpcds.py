@@ -681,3 +681,156 @@ def tpcds_topn_over_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cents") / F.lit(100e0), 2).alias("sales"),
         F.col("rk").cast("bigint").alias("rk"),
     )
+
+
+@register(
+    "tpcds_frequent_buyer_segments",
+    oracle=(
+        # Q34/Q73: HAVING on the grouped fact FIRST, dim join for
+        # reporting AFTER — the aggregate+filter reduce orders to a
+        # small per-customer summary before any customer attribute is
+        # touched. Integer cents; deterministic top-100 report.
+        "WITH freq AS ("
+        "  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) "
+        "              AS BIGINT) AS spend_cents "
+        "  FROM orders GROUP BY o_custkey "
+        "  HAVING COUNT(*) BETWEEN 12 AND 40"
+        ") "
+        "SELECT c.c_name, c.c_mktsegment, f.n_orders, "
+        "ROUND(f.spend_cents / 100.0, 2) AS total_spend "
+        "FROM freq f JOIN customer c ON c.c_custkey = f.o_custkey "
+        "ORDER BY f.n_orders DESC, f.spend_cents DESC, c.c_name "
+        "LIMIT 100"
+    ),
+)
+def tpcds_frequent_buyer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q34/Q73 shape — HAVING ON THE GROUPED FACT, THEN the dim
+    join for reporting: customers are grouped and band-filtered on
+    their order COUNT (12–40, the fixture's stand-in for Q73's ticket
+    band) entirely on the fact side; only the survivors join customer
+    for name/segment reporting, ordered by frequency.
+
+    Plan shape — the scale-critical property is the same
+    AGGREGATE-BEFORE-JOIN as Q51's: the orders scan partial-aggregates
+    to one row per customer and the HAVING band cuts that BEFORE the
+    reporting join, so the join input is the qualified-customer set,
+    never raw orders (the naive rendering joins 100 TB of orders to
+    customers first and aggregates the joined width). The report is a
+    TakeOrdered top-100 (per-partition heaps), and spend stays in
+    integer cents so ties break identically across engines
+    (plan-pinned in test_plan_hygiene.py)."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_totalprice")
+    freq = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint").alias("spend_cents"),
+        )
+        .filter(F.col("n_orders").between(12, 40))
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_mktsegment")
+    return (
+        freq.join(cust, freq["o_custkey"] == cust["c_custkey"])
+        .orderBy(F.desc("n_orders"), F.desc("spend_cents"), "c_name")
+        .limit(100)
+        .select(
+            "c_name", "c_mktsegment", "n_orders",
+            F.round(F.col("spend_cents") / F.lit(100e0), 2)
+            .alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "tpcds_net_after_returns",
+    oracle=(
+        # Q93: sales LEFT JOIN returns on the line key, net value via
+        # COALESCE, then the per-entity sum and an ASC report. The
+        # returns side is the flagged slice of the fact (partial
+        # return: half the revenue, half the quantity), so the
+        # arithmetic is non-trivial and the join genuinely outer.
+        "WITH sales AS ("
+        "  SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity, "
+        "         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
+        "              AS BIGINT) AS sale_cents "
+        "  FROM lineitem"
+        "), returns AS ("
+        "  SELECT l_orderkey, l_linenumber, "
+        "         CAST(FLOOR(l_quantity / 2) AS BIGINT) AS ret_qty, "
+        "         CAST(ROUND(l_extendedprice * (1 - l_discount) * 50) "
+        "              AS BIGINT) AS ret_cents "
+        "  FROM lineitem WHERE l_returnflag = 'R'"
+        ") "
+        "SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+        "CAST(SUM(CAST(s.l_quantity AS BIGINT) "
+        "         - COALESCE(r.ret_qty, 0)) AS BIGINT) AS net_qty, "
+        "ROUND(SUM(s.sale_cents - COALESCE(r.ret_cents, 0)) / 100.0, 2) "
+        "AS net_paid "
+        "FROM sales s "
+        "LEFT JOIN returns r ON s.l_orderkey = r.l_orderkey "
+        "AND s.l_linenumber = r.l_linenumber "
+        "JOIN supplier ON s_suppkey = s.l_suppkey "
+        "GROUP BY s_name "
+        "ORDER BY net_paid ASC, s_name LIMIT 100"
+    ),
+)
+def tpcds_net_after_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q93 shape — NET REVENUE AFTER RETURNS via a left join +
+    COALESCE: every sale line left-joins its (possible) return on the
+    line key, nets quantity and paid amount with COALESCE(…, 0), sums
+    per supplier, and reports the bottom-100 ascending (Q93's "who is
+    hurt most by returns" ordering). Returns are the R-flagged slice
+    with a PARTIAL return (half quantity, half revenue — one rounding,
+    no per-unit division) so the outer arithmetic is non-trivial.
+
+    Plan shape at 100 TB: the returns side carries its flag filter IN
+    THE SCAN (PushedFilters — it reads ~25% of the fact, and only 4 of
+    its columns), the sales↔returns join shuffles both sides ONCE on
+    the line key (the one unavoidable fact-fact exchange — Q93's
+    defining cost), the per-supplier aggregate partial-combines before
+    its exchange, and the supplier name join is a broadcast. The
+    report is a TakeOrdered top-100. Pinned in test_plan_hygiene.py:
+    returns-scan filter pushdown + aggregate below the broadcast
+    reporting join."""
+    li = load_table(spark, "lineitem", sf_dir)
+    sale_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    ret_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 50
+    ).cast("bigint")
+    sales = li.select(
+        "l_orderkey", "l_linenumber", "l_suppkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        sale_cents.alias("sale_cents"),
+    )
+    returns = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_linenumber",
+        F.floor(F.col("l_quantity") / 2).cast("bigint").alias("ret_qty"),
+        ret_cents.alias("ret_cents"),
+    )
+    net = (
+        sales.join(returns, ["l_orderkey", "l_linenumber"], "left")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(F.col("qty") - F.coalesce("ret_qty", F.lit(0)))
+            .cast("bigint").alias("net_qty"),
+            F.sum(F.col("sale_cents") - F.coalesce("ret_cents", F.lit(0)))
+            .alias("net_cents"),
+        )
+    )
+    sup = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    return (
+        net.join(F.broadcast(sup), net["l_suppkey"] == sup["s_suppkey"])
+        .select(
+            "s_name", "n_lines", "net_qty",
+            F.round(F.col("net_cents") / F.lit(100e0), 2).alias("net_paid"),
+        )
+        .orderBy(F.asc("net_paid"), "s_name")
+        .limit(100)
+    )

@@ -392,3 +392,107 @@ def test_export_ibucket_avro_roundtrip(spark, tmp_path):
     t2 = adopt_iceberg_metadata(spark, mp, str(tmp_path / "re"))
     s2 = t2._snapshot(t2._meta["current_snapshot_id"])
     assert 0 < len(t2._prune_files(s2.files, "k = 7")) < len(s2.files)
+
+
+# --- truncate portability (string sources are value-exact) -----------
+
+
+def test_adopted_string_truncate_prunes(spark, tmp_path):
+    """Iceberg truncate[W] on a STRING source keeps the first W code
+    points — identical to the native transform — so adopted string
+    truncate values prune; an INT-source truncate (numeric truncation)
+    adopts clustering-free instead."""
+    root = str(tmp_path / "f")
+    data, metad = os.path.join(root, "data"), os.path.join(root, "metadata")
+    os.makedirs(data), os.makedirs(metad)
+    con = duckdb.connect()
+    entries = []
+    for pfx in ("ab", "cd"):
+        p = os.path.join(data, f"{pfx}.parquet")
+        con.execute(
+            f"COPY (SELECT '{pfx}' || CAST(r AS VARCHAR) AS sku, "
+            f"r AS qty FROM range(5) t(r)) TO '{p}' (FORMAT PARQUET)")
+        entries.append({"status": 1, "snapshot-id": 7, "data-file": {
+            "content": 0, "file-path": p, "file-format": "PARQUET",
+            "partition": {"sku_trunc": pfx, "qty_trunc": 0},
+            "data-sequence-number": 1, "record-count": 5,
+            "file-size-in-bytes": os.path.getsize(p)}})
+    con.close()
+    man = os.path.join(metad, "m.json")
+    json.dump({"partition-spec-id": 0, "entries": entries}, open(man, "w"))
+    ml = os.path.join(metad, "sl.json")
+    json.dump({"manifests": [{
+        "manifest-path": man, "manifest-length": os.path.getsize(man),
+        "partition-spec-id": 0, "content": 0, "sequence-number": 1,
+        "added-snapshot-id": 7}]}, open(ml, "w"))
+    mp = os.path.join(metad, "v1.metadata.json")
+    json.dump({
+        "format-version": 2, "location": root, "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "sku", "required": False, "type": "string"},
+            {"id": 2, "name": "qty", "required": False, "type": "long"}]}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"field-id": 1000, "source-id": 1, "name": "sku_trunc",
+             "transform": "truncate[2]"},
+            {"field-id": 1001, "source-id": 2, "name": "qty_trunc",
+             "transform": "truncate[10]"}]}],
+        "last-partition-id": 1001, "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {}, "current-snapshot-id": 7,
+        "snapshots": [{"snapshot-id": 7, "sequence-number": 1,
+                       "timestamp-ms": 1_700_000_001_000, "schema-id": 0,
+                       "manifest-list": ml,
+                       "summary": {"operation": "append"}}],
+    }, open(mp, "w"))
+    # preflight: only the NON-STRING truncate degrades
+    infos = [f for f in validate_iceberg_metadata(mp)
+             if f["code"] == "nonportable-transform-values"]
+    assert len(infos) == 1 and "long source" in infos[0]["detail"]
+    t = adopt_iceberg_metadata(spark, mp, str(tmp_path / "adopted"))
+    # string truncate adopted as a live transform; int truncate dropped
+    assert [(s["transform"], s["column"])
+            for s in t._meta["partition_spec"]] == [("truncate", "sku")]
+    snap = t._snapshot(t._meta["current_snapshot_id"])
+    assert sorted(f.partition.get("_p_truncate_sku")
+                  for f in snap.files) == ["ab", "cd"]
+    pruned = t._prune_files(snap.files, "sku = 'cd3'")
+    assert len(pruned) == 1
+    assert [r.qty for r in t.read().where("sku = 'cd3'").collect()] == [3]
+
+
+def test_export_truncate_spec_true_for_strings_void_otherwise(
+        spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), "sku string, qty bigint",
+        partition_by=["truncate(2, sku)", "truncate(4, qty)"])
+    t.append(spark.createDataFrame(
+        [("ab1", 1), ("cd2", 12345)], "sku string, qty bigint"))
+    mp = to_iceberg_metadata(t)
+    md = json.load(open(mp))
+    fields = {s["spec-id"]: s for s in md["partition-specs"]}[
+        md["default-spec-id"]]["fields"]
+    assert [(f["name"], f["transform"]) for f in fields] == [
+        ("sku_truncate", "truncate[2]"), ("qty_truncate", "void")]
+    # avro manifests: string values verbatim, int-truncate nulls
+    mpa = to_iceberg_metadata(t, manifest_format="avro")
+    from iceberg_catalog_bench_spark.catalog import avro_ocf
+    mda = json.load(open(mpa))
+    head = mda["current-snapshot-id"]
+    snap = next(s for s in mda["snapshots"] if s["snapshot-id"] == head)
+    _, mans = avro_ocf.read_ocf(snap["manifest-list"])
+    vals = set()
+    for m in mans:
+        _, recs = avro_ocf.read_ocf(m["manifest_path"])
+        for r in recs:
+            part = r["data_file"]["partition"]
+            vals.add(part["sku_truncate"])
+            assert part["qty_truncate"] is None
+    assert vals == {"ab", "cd"}
+    # round-trip: re-adoption keeps string truncate live and prunes
+    t2 = adopt_iceberg_metadata(spark, mpa, str(tmp_path / "re"))
+    assert [(s["transform"], s["column"])
+            for s in t2._meta["partition_spec"]] == [("truncate", "sku")]
+    s2 = t2._snapshot(t2._meta["current_snapshot_id"])
+    assert 0 < len(t2._prune_files(s2.files, "sku = 'cd2'")) < len(s2.files)

@@ -502,3 +502,54 @@ def test_bm25_single_corpus_pass_reused_exchange_topk(spark, oracle_sf_dir):
     assert "BroadcastNestedLoopJoin" in plan             # 1-row constants
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tpcds_q73_having_cuts_before_reporting_join(spark, oracle_sf_dir):
+    """Q34/Q73 shape: the orders fact must aggregate to one row per
+    customer AND apply the HAVING band BEFORE the customer reporting
+    join — the join input is the qualified set, never raw orders —
+    and the report is a TakeOrdered top-100, not a global sort."""
+    df = registry.QUERIES["tpcds_frequent_buyer_segments"](
+        spark, oracle_sf_dir)
+    df.collect()  # AQE: final join strategy exists only after an action
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in final
+    # tree prints parents first: the aggregate and its HAVING filter
+    # must print BELOW (after) the join = be its descendants
+    join_at = min(i for i in (final.find("BroadcastHashJoin"),
+                              final.find("SortMergeJoin"),
+                              final.find("ShuffledHashJoin"))
+                  if i >= 0)
+    aggs = [i for i in range(len(final))
+            if final.startswith("HashAggregate", i)]
+    assert aggs and all(i > join_at for i in aggs), \
+        "per-customer aggregate must sit below the reporting join"
+    having_at = final.find("n_orders#", join_at)
+    assert having_at > join_at
+    # orders scan reads only the two needed columns
+    oscan = [l for l in final.splitlines()
+             if "FileScan parquet" in l and "o_custkey" in l]
+    assert oscan and all("o_orderdate" not in l for l in oscan), \
+        "orders scan must prune unused columns"
+
+
+def test_tpcds_q93_returns_filter_pushed_aggregate_below_report_join(
+        spark, oracle_sf_dir):
+    """Q93 shape: the returns side carries its flag filter in the scan
+    (it reads the R slice, not the whole fact), the per-supplier
+    aggregate partial-combines BELOW the broadcast reporting join, and
+    the report is a TakeOrdered bottom-100."""
+    df = registry.QUERIES["tpcds_net_after_returns"](spark, oracle_sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in final
+    assert "EqualTo(l_returnflag,R)" in final, \
+        "returns-side flag filter must reach the scan"
+    bj = final.find("BroadcastHashJoin")
+    assert bj >= 0, "supplier reporting join must broadcast"
+    aggs = [i for i in range(len(final))
+            if final.startswith("HashAggregate", i)]
+    assert aggs and all(i > bj for i in aggs), \
+        "per-supplier aggregate must sit below the reporting join"
