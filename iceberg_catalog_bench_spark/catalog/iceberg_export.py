@@ -108,6 +108,8 @@ def _iceberg_transform(t: Transform, source_type: str | None = None) -> str:
         return f"bucket[{t.param}]"
     if t.name == "bucket":
         return "void"
+    if t.name == "itruncate":  # spec numeric truncate — always exact
+        return f"truncate[{t.param}]"
     if t.name == "truncate":
         return f"truncate[{t.param}]" if source_type == "string" else "void"
     # Iceberg uses singular day/hour/month/year
@@ -118,9 +120,11 @@ def _iceberg_transform(t: Transform, source_type: str | None = None) -> str:
 
 def _pf_name(t: Transform) -> str:
     """Exported partition field name: conventional `<col>_<transform>`;
-    the spec-true murmur3 transform displays as plain `bucket` (its
-    transform string is `bucket[N]`)."""
-    return f"{t.column}_{'bucket' if t.name == 'ibucket' else t.name}"
+    the spec-true murmur3/numeric-truncate transforms display as plain
+    `bucket`/`truncate` (their transform strings are `bucket[N]` /
+    `truncate[W]`)."""
+    disp = {"ibucket": "bucket", "itruncate": "truncate"}.get(t.name, t.name)
+    return f"{t.column}_{disp}"
 
 
 # Iceberg primitive → Avro primitive (for partition-record fields)
@@ -245,7 +249,7 @@ def _avro_partition_value(t: Transform, sval, ice_type):
         return (int(s[:4]) - 1970) * 12 + int(s[5:7]) - 1
     if t.name == "years":
         return int(str(sval)[:4]) - 1970
-    if t.name == "ibucket":
+    if t.name in ("ibucket", "itruncate"):
         return int(sval)
     # truncate: spec-true for string sources (first W code points both
     # sides); non-string sources export as void (always null)
@@ -259,6 +263,8 @@ def _avro_part_field_type(t: Transform, ice_type) -> object:
         return {"type": "int", "logicalType": "date"}
     if t.name in ("hours", "months", "years", "bucket", "ibucket"):
         return "int"
+    if t.name == "itruncate":
+        return "long"
     return "string"  # truncate: native truncates the string rendering
 
 
@@ -821,21 +827,27 @@ def _native_spec_json(
             )
         tr = f["transform"]
         m = re.match(r"^(bucket|truncate)\[(\d+)\]$", tr)
-        if m and m.group(1) == "truncate" and (
-                (types_by_id or {}).get(f["source-id"]) != "string"):
-            # Iceberg truncates non-string sources NUMERICALLY while
-            # the native transform truncates the string rendering —
-            # value spaces diverge, so the field adopts as
-            # clustering-free (no native transform, values dropped)
-            continue
         if m:
-            # Foreign bucket[N] is Iceberg-spec murmur3 → the native
-            # `ibucket` transform is hash-identical (Appendix B), so
-            # adopted bucket partition values prune exactly and
-            # continued DML clusters into the same bucket layout.
-            # truncate[W] reaches here only for string sources, where
-            # both sides keep the first W code points — value-exact.
-            name = "ibucket" if m.group(1) == "bucket" else m.group(1)
+            src_type = (types_by_id or {}).get(f["source-id"])
+            if m.group(1) == "bucket":
+                # Foreign bucket[N] is Iceberg-spec murmur3 → the
+                # native `ibucket` transform is hash-identical
+                # (Appendix B): adopted values prune exactly and
+                # continued DML clusters into the same bucket layout
+                name = "ibucket"
+            elif src_type == "string":
+                # string truncate: both sides keep the first W code
+                # points — value-exact
+                name = "truncate"
+            elif src_type in ("int", "long"):
+                # numeric truncate: the native `itruncate` is the
+                # spec's v - (v mod W) — value-exact
+                name = "itruncate"
+            else:
+                # decimal/binary truncate: value spaces diverge from
+                # every native transform — the field adopts as
+                # clustering-free (no native transform, values dropped)
+                continue
             out.append(Transform(name, col, int(m.group(2))).to_json())
         elif tr == "void":
             # always-null transform (also what this repo's exports use
@@ -925,8 +937,11 @@ def _adopt_partition(part: dict, spec_fields_by_name: dict,
             # only for string sources, so prune literals truncate the
             # same way)
             out[f"_p_truncate_{col}"] = v
-        # non-string truncate: incompatible truncation value spaces —
-        # omit the key (file is simply never pruned on it)
+        elif re.match(r"^truncate\[\d+\]$", tr) and is_int:
+            # numeric truncate → the native spec-true itruncate
+            out[f"_p_itruncate_{col}"] = str(v)
+        # decimal/binary truncate: incompatible truncation value
+        # spaces — omit the key (file is simply never pruned on it)
     return out
 
 
@@ -1585,16 +1600,18 @@ def validate_iceberg_metadata(metadata_path: str) -> list[dict]:
                     f"{f.get('source-id')}")
             tr = f.get("transform", "")
             # bucket[N] is PORTABLE since round 10 (the native ibucket
-            # transform is the spec's murmur3, Appendix B), and
-            # truncate[W] on STRING sources is value-identical (first
-            # W code points both sides) — only non-string truncate
-            # still degrades (numeric vs string-rendering truncation).
+            # transform is the spec's murmur3, Appendix B), truncate[W]
+            # on STRING sources is value-identical (first W code points
+            # both sides), and truncate[W] on int/long is the native
+            # itruncate (v - (v mod W)) — only decimal/binary truncate
+            # still degrades.
             src_type = None
             for sc in md["schemas"]:
                 for sf in sc.get("fields", []):
                     if sf["id"] == f.get("source-id"):
                         src_type = sf["type"]
-            if re.match(r"^truncate\[\d+\]$", tr) and src_type != "string":
+            if re.match(r"^truncate\[\d+\]$", tr) and \
+                    str(src_type) not in ("string", "int", "long"):
                 add("info", "nonportable-transform-values",
                     f"spec {sp.get('spec-id')}",
                     f"{tr} over a {src_type} source uses engine-specific "

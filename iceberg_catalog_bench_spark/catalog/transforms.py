@@ -22,7 +22,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 SUPPORTED = ("identity", "days", "hours", "months", "years", "bucket",
-             "ibucket", "truncate")
+             "ibucket", "truncate", "itruncate")
 
 
 @dataclass(frozen=True)
@@ -95,6 +95,16 @@ def transform_expr(t: Transform, input_type: str | None = None) -> Column:
         if not t.param:
             raise ValueError("truncate transform needs a width")
         return F.substring(c.cast("string"), 1, t.param)
+    if t.name == "itruncate":
+        if not t.param:
+            raise ValueError("itruncate transform needs a width")
+        # Iceberg-spec NUMERIC truncate (table spec §Partition
+        # Transforms): v - (v mod W) with a floor-signed remainder, so
+        # truncate(-7, 10) = -10. pmod gives exactly that remainder.
+        # Pure JVM — value-identical to what a conforming external
+        # reader computes for int/long sources.
+        lc = c.cast("long")
+        return lc - F.pmod(lc, F.lit(t.param))
     raise ValueError(f"unsupported transform {t.name!r}; supported: {SUPPORTED}")
 
 
@@ -117,7 +127,9 @@ def parse_spec(spec: list[str | dict | Transform]) -> list[Transform]:
             name = name.strip().lower()
             if name == "iceberg_bucket":  # spec-true spelling alias
                 name = "ibucket"
-            if name in ("bucket", "ibucket", "truncate"):
+            if name == "iceberg_truncate":
+                name = "itruncate"
+            if name in ("bucket", "ibucket", "truncate", "itruncate"):
                 out.append(Transform(name, args[1], int(args[0])))
             else:
                 out.append(Transform(name, args[0]))

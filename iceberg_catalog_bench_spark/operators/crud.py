@@ -1885,7 +1885,7 @@ def iceberg_validate_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shape ``iceberg_register_adopted`` adopts — DuckDB parquet,
     Avro manifests would behave identically), validate it CLEAN, then
     sabotage it five distinct ways (dangling ref, vanished data file,
-    alien equality-id, manifest-length drift, truncate spec) and pin the
+    alien equality-id, manifest-length drift, decimal-truncate spec) and pin the
     exact finding codes and severity counts
     (``validate_iceberg_metadata`` — the reference is a validation
     harness; this is the validation surface pointed at Iceberg
@@ -1941,9 +1941,10 @@ def iceberg_validate_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = {"type": "struct", "schema-id": 0, "fields": [
         {"id": 1, "name": "k", "required": False, "type": "long"},
-        {"id": 2, "name": "v", "required": False, "type": "string"}]}
+        {"id": 2, "name": "v", "required": False, "type": "string"},
+        {"id": 3, "name": "w", "required": False, "type": "decimal(9, 2)"}]}
     md = {
-        "format-version": 2, "location": root, "last-column-id": 2,
+        "format-version": 2, "location": root, "last-column-id": 3,
         "current-schema-id": 0, "schemas": [schema],
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": []}],
@@ -1969,8 +1970,10 @@ def iceberg_validate_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # five-way sabotage, same as the pytest pin
     md["refs"] = {"ghost": {"snapshot-id": 999, "type": "tag"}}
+    # decimal source: the one truncate flavor that stays nonportable
+    # (string/int/long truncate are value-exact since round 10)
     md["partition-specs"][0]["fields"].append(
-        {"field-id": 1000, "source-id": 1, "name": "k_trunc",
+        {"field-id": 1000, "source-id": 3, "name": "w_trunc",
          "transform": "truncate[8]"})
     with open(mp, "w") as fh:
         json.dump(md, fh)

@@ -446,17 +446,21 @@ def test_adopted_string_truncate_prunes(spark, tmp_path):
                        "manifest-list": ml,
                        "summary": {"operation": "append"}}],
     }, open(mp, "w"))
-    # preflight: only the NON-STRING truncate degrades
+    # string AND int/long truncate are both portable now — no finding
     infos = [f for f in validate_iceberg_metadata(mp)
              if f["code"] == "nonportable-transform-values"]
-    assert len(infos) == 1 and "long source" in infos[0]["detail"]
+    assert infos == []
     t = adopt_iceberg_metadata(spark, mp, str(tmp_path / "adopted"))
-    # string truncate adopted as a live transform; int truncate dropped
+    # string truncate adopts as the native transform; numeric truncate
+    # as the spec-true itruncate (v - (v mod W))
     assert [(s["transform"], s["column"])
-            for s in t._meta["partition_spec"]] == [("truncate", "sku")]
+            for s in t._meta["partition_spec"]] == [
+        ("truncate", "sku"), ("itruncate", "qty")]
     snap = t._snapshot(t._meta["current_snapshot_id"])
     assert sorted(f.partition.get("_p_truncate_sku")
                   for f in snap.files) == ["ab", "cd"]
+    assert {f.partition.get("_p_itruncate_qty")
+            for f in snap.files} == {"0"}
     pruned = t._prune_files(snap.files, "sku = 'cd3'")
     assert len(pruned) == 1
     assert [r.qty for r in t.read().where("sku = 'cd3'").collect()] == [3]
@@ -496,3 +500,35 @@ def test_export_truncate_spec_true_for_strings_void_otherwise(
             for s in t2._meta["partition_spec"]] == [("truncate", "sku")]
     s2 = t2._snapshot(t2._meta["current_snapshot_id"])
     assert 0 < len(t2._prune_files(s2.files, "sku = 'cd2'")) < len(s2.files)
+
+
+def test_itruncate_native_roundtrip(spark, tmp_path):
+    """Spec numeric truncate: native writes cluster by v - (v mod W)
+    (floor-signed, so -7 → -100 at W=100), point lookups prune, and
+    the export carries truncate[W] with long values a conforming
+    reader prunes correctly; re-adoption prunes too."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), "k bigint, v string",
+        partition_by=["itruncate(100, k)"])
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in (1, 55, 155, 255, 999)] + [(-7, "neg")],
+        "k bigint, v string"))
+    snap = t._snapshot(t._meta["current_snapshot_id"])
+    vals = {f.partition["_p_itruncate_k"] for f in snap.files}
+    assert vals == {"0", "100", "200", "900", "-100"}
+    pruned = t._prune_files(snap.files, "k = 155")
+    assert len(pruned) == 1 and \
+        pruned[0].partition["_p_itruncate_k"] == "100"
+    assert [r.v for r in t.read().where("k = 155").collect()] == ["v155"]
+    # export: spec-true truncate[100] with numeric values
+    mp = to_iceberg_metadata(t)
+    md = json.load(open(mp))
+    fields = {s["spec-id"]: s for s in md["partition-specs"]}[
+        md["default-spec-id"]]["fields"]
+    assert [(f["name"], f["transform"]) for f in fields] == [
+        ("k_truncate", "truncate[100]")]
+    t2 = adopt_iceberg_metadata(spark, mp, str(tmp_path / "re"))
+    assert [(s["transform"], s["column"])
+            for s in t2._meta["partition_spec"]] == [("itruncate", "k")]
+    s2 = t2._snapshot(t2._meta["current_snapshot_id"])
+    assert 0 < len(t2._prune_files(s2.files, "k = 155")) < len(s2.files)

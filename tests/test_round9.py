@@ -645,11 +645,13 @@ def test_validate_iceberg_metadata_reports_everything(spark, tmp_path):
     assert validate_iceberg_metadata(mp) == []
 
     # sabotage: dangling ref, vanished data file, alien equality id,
-    # stale manifest-length, truncate spec
+    # stale manifest-length, decimal-truncate spec
     md = json.load(open(mp))
     md["refs"] = {"ghost": {"snapshot-id": 999, "type": "tag"}}
+    md["schemas"][0]["fields"].append(
+        {"id": 9, "name": "w", "required": False, "type": "decimal(9, 2)"})
     md["partition-specs"][0]["fields"].append(
-        {"field-id": 1000, "source-id": 1, "name": "k_trunc",
+        {"field-id": 1000, "source-id": 9, "name": "w_trunc",
          "transform": "truncate[8]"})
     with open(mp, "w") as fh:
         json.dump(md, fh)
