@@ -465,15 +465,19 @@ def main() -> None:
     # rollup shapes — window-over-join-of-aggregates and
     # WindowGroupLimit under a grouping-sets Expand; baseline
     # re-recorded for the widened phase per the drift protocol)
-    TPCDS_8 = [
+    # (+ round 10: the Q73 HAVING-before-reporting-join and Q93
+    # net-after-returns shapes; baseline re-recorded again for the
+    # widened phase — BASELINE.md documents both re-records)
+    TPCDS_10 = [
         "tpcds_returned_ratio_by_date", "tpcds_rollup_rolling_sales",
         "tpcds_channel_union", "tpcds_star_join_multi_dim",
         "tpcds_rank_within_parent", "tpcds_multi_band_counts",
         "tpcds_cumulative_channel_crossover", "tpcds_topn_over_rollup",
+        "tpcds_frequent_buyer_segments", "tpcds_net_after_returns",
     ]
 
     def _report_run() -> None:
-        for q in TPCDS_8:
+        for q in TPCDS_10:
             registry.QUERIES[q](spark, SF_DIR).collect()
 
     phase_once("tpcds_report_run", _report_run)

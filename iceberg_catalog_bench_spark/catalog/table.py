@@ -2061,6 +2061,11 @@ class LakeTable:
     _SIMPLE_PRED = re.compile(
         r"^\s*(\w+)\s*(=|==|<=|>=|<|>)\s*('[^']*'|[-\d.]+)\s*$"
     )
+    _IN_PRED = re.compile(
+        r"^\s*(\w+)\s+in\s*\(\s*('[^']*'|[-\d.]+)"
+        r"(?:\s*,\s*(?:'[^']*'|[-\d.]+))*\s*\)\s*$",
+        re.IGNORECASE,
+    )
 
     def _transform_value(self, t: Transform, val: Any) -> str | None:
         """Apply a partition transform to a literal, driver-side, via a
@@ -2101,13 +2106,28 @@ class LakeTable:
         the exact `_metadata.file_path` probe narrows further)."""
         conjuncts = [c.strip() for c in re.split(r"(?i)\s+and\s+", where)]
         preds = []
+
+        def _lit(lit: str) -> Any:
+            return lit[1:-1] if lit.startswith("'") else (
+                float(lit) if "." in lit else int(lit))
+
         for c in conjuncts:
             m = self._SIMPLE_PRED.match(c)
-            if not m:
+            if m:
+                col, op, lit = m.groups()
+                preds.append((col, op, _lit(lit)))
                 continue
-            col, op, lit = m.groups()
-            val: Any = lit[1:-1] if lit.startswith("'") else (float(lit) if "." in lit else int(lit))
-            preds.append((col, op, val))
+            m = self._IN_PRED.match(c)
+            if m:
+                # col IN (v1, v2, ...) — a disjunction of equalities:
+                # prunable on partition values (file survives if its
+                # transform value matches ANY member) and on stats
+                # (file survives if ANY member is inside [min, max])
+                col = m.group(1)
+                vals = [_lit(x) for x in re.findall(
+                    r"'[^']*'|[-\d.]+", c.split("(", 1)[1].rsplit(")", 1)[0])]
+                if vals:
+                    preds.append((col, "in", vals))
         if not preds:
             return entries
 
@@ -2128,6 +2148,16 @@ class LakeTable:
                     # NULL; a simple comparison on that column can never
                     # be true for NULL → drop the file
                     return False
+                if op == "in":
+                    if t.name == "days":
+                        if pval not in {str(v)[:10] for v in val}:
+                            return False
+                    else:
+                        tvs = {self._transform_value(t, v) for v in val}
+                        tvs.discard(None)
+                        if tvs and pval not in tvs:
+                            return False
+                    continue
                 sval = str(val)
                 if t.name == "days":
                     day = sval[:10]  # ISO prefix of the literal
@@ -2149,6 +2179,14 @@ class LakeTable:
                 if not rng:
                     continue
                 lo, hi = _norm_stat(rng[0]), _norm_stat(rng[1])
+                if op == "in":
+                    try:
+                        if not any(lo <= _norm_stat(v) <= hi
+                                   for v in raw_val):
+                            return False
+                    except TypeError:
+                        pass
+                    continue
                 val = _norm_stat(raw_val)
                 try:
                     if op in ("=", "=="):

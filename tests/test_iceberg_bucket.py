@@ -532,3 +532,59 @@ def test_itruncate_native_roundtrip(spark, tmp_path):
             for s in t2._meta["partition_spec"]] == [("itruncate", "k")]
     s2 = t2._snapshot(t2._meta["current_snapshot_id"])
     assert 0 < len(t2._prune_files(s2.files, "k = 155")) < len(s2.files)
+
+
+def test_compaction_preserves_ibucket_clustering(spark, tmp_path):
+    """rewrite_data_files on an adopted murmur3-bucketed table rewrites
+    through the live spec: compacted files carry `_p_ibucket_*` values
+    and point lookups still prune afterwards."""
+    mp = _bucketed_foreign_chain(str(tmp_path / "f"))
+    t = adopt_iceberg_metadata(spark, mp, str(tmp_path / "adopted"))
+    t.append(spark.createDataFrame(
+        [(100, "u100"), (101, "u101")], "user_id bigint, name string"))
+    before = t.read().count()
+    t.rewrite_data_files(min_input_files=2)
+    snap = t._snapshot(t._meta["current_snapshot_id"])
+    assert t.read().count() == before
+    # every live file records its murmur3 ordinal (or null sentinel)
+    assert all("_p_ibucket_user_id" in f.partition for f in snap.files)
+    pruned = t._prune_files(snap.files, "user_id = 7")
+    assert 0 < len(pruned) < len(snap.files)
+    assert [tuple(r) for r in
+            t.read().where("user_id = 7").collect()] == [(7, "u7")]
+
+
+def test_inlist_partition_and_stats_pruning(spark, tmp_path):
+    """`col IN (…)` prunes like a disjunction of equalities: a bucket
+    table keeps exactly the member buckets' files, and stats pruning
+    keeps a file only when SOME member falls inside its [min, max]."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), "k bigint, v string",
+        partition_by=["ibucket(8, k)"])
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(64)], "k bigint, v string"))
+    snap = t._snapshot(t._meta["current_snapshot_id"])
+    kept = t._prune_files(snap.files, "k IN (3, 17)")
+    want = {str(iceberg_bucket(3, 8)), str(iceberg_bucket(17, 8))}
+    assert {f.partition["_p_ibucket_k"] for f in kept} == want
+    assert len(kept) < len(snap.files)
+    got = sorted(r.k for r in t.read().where("k IN (3, 17)").collect())
+    assert got == [3, 17]
+    # string members + NULL-only files drop (IN is never true for NULL)
+    t2 = LakeTable.create(
+        spark, str(tmp_path / "s"), "s string, n int",
+        partition_by=["identity(s)"])
+    t2.append(spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3), (None, 4)], "s string, n int"))
+    s2 = t2._snapshot(t2._meta["current_snapshot_id"])
+    kept2 = t2._prune_files(s2.files, "s IN ('a', 'c')")
+    assert {f.partition["_p_identity_s"] for f in kept2} == {"a", "c"}
+    # stats-only pruning (unpartitioned): file ranges [0..9], [100..109]
+    t3 = LakeTable.create(spark, str(tmp_path / "u"), "k bigint")
+    t3.append(spark.createDataFrame([(i,) for i in range(10)], "k bigint"))
+    t3.append(spark.createDataFrame(
+        [(i,) for i in range(100, 110)], "k bigint"))
+    s3 = t3._snapshot(t3._meta["current_snapshot_id"])
+    kept3 = t3._prune_files(s3.files, "k IN (105, 108)")
+    assert len(kept3) < len(s3.files)
+    assert all(f.stats["k"][0] >= 100 for f in kept3)

@@ -909,8 +909,13 @@ def test_iceberg_export_partition_spec_evolution(spark, tmp_path):
     md = json.load(open(mpath))
     specs = {s["spec-id"]: s["fields"] for s in md["partition-specs"]}
     assert len(specs) == 3  # bucket → (empty intermediate) → truncate
-    assert specs[0][0]["transform"] == "bucket[2]"
+    # legacy xxhash64 bucket exports as void (its values live in a
+    # different hash space than spec murmur3 — a conforming reader
+    # must scan, never wrong-prune); see test_iceberg_bucket.py
+    assert specs[0][0]["transform"] == "void"
+    assert specs[0][0]["name"] == "id_bucket"
     assert specs[1] == []
+    # string truncate IS value-exact both sides → spec-true export
     assert specs[2][0]["transform"] == "truncate[1]"
     assert md["default-spec-id"] == 2
 
@@ -1001,9 +1006,11 @@ def test_iceberg_export_global_partition_field_ids(spark, tmp_path):
     assert all(len(ids) == 1 for ids in by_key.values()), by_key
     # different fields never share an id
     assert len({next(iter(v)) for v in by_key.values()}) == len(by_key)
-    # first-use order from spec 0: bucket=1000, truncate=1001, days=1002
+    # first-use order from spec 0: bucket (exported as void — legacy
+    # xxhash64 values must never let a conforming reader wrong-prune)
+    # =1000, string truncate (spec-true) =1001, days=1002
     ids = {k[1]: next(iter(v)) for k, v in by_key.items()}
-    assert ids == {"bucket[2]": 1000, "truncate[1]": 1001, "day": 1002}
+    assert ids == {"void": 1000, "truncate[1]": 1001, "day": 1002}
     assert md["last-partition-id"] == max(all_ids)
 
 
