@@ -1166,16 +1166,14 @@ class LakeTablePushdownBatchReader(LakeTableBatchReader):
 
 
 class _SinkFileMessage(WriterCommitMessage):
-    """One executor task's written data file (None if the task saw no
-    rows): the relative path + footer-derived FileEntry fields the
-    driver needs to commit it."""
+    """One executor task's written data files (``files`` empty if the
+    task saw no rows): per file the relative path + footer-derived
+    FileEntry fields + partition values the driver needs to commit it.
+    One task emits MULTIPLE files when partition-transform fanout
+    applies (every spec field exactly computable in Python)."""
 
-    def __init__(self, rel_path: str | None = None, rows: int = 0,
-                 nbytes: int = 0, stats: dict | None = None):
-        self.rel_path = rel_path
-        self.rows = rows
-        self.nbytes = nbytes
-        self.stats = stats or {}
+    def __init__(self, files: list | None = None):
+        self.files = files or []
 
 
 class LakeTableStreamWriter(DataSourceStreamArrowWriter):
@@ -1198,12 +1196,18 @@ class LakeTableStreamWriter(DataSourceStreamArrowWriter):
     - ``abort()`` unlinks the partial batch's files; the metadata
       never referenced them, so readers never saw them.
 
-    Files are written UNCLUSTERED (no partition-transform fanout —
-    a micro-batch is small and latency-bound); on a partitioned table
-    pruning degrades conservatively (missing partition keys keep the
-    file; footer stats still prune) until ``rewrite_data_files`` folds
-    streamed files into the spec-clustered layout — Iceberg's own
-    streaming-write + compaction contract.
+    Partition-transform FANOUT applies when every spec field is
+    exactly computable in Python (``_python_partition_fn``: identity
+    over int/string/date, days over date, murmur3 ``ibucket``, numeric
+    ``itruncate``, string ``truncate``) — streamed commits into a
+    murmur3-bucketed table carry partition values and PRUNE from the
+    first micro-batch. Any non-reproducible field (float/timestamp
+    renderings, timestamp-sourced calendar transforms, legacy xxhash64
+    bucket) disables fanout and files are written UNKEYED: pruning
+    degrades conservatively (missing partition keys keep the file;
+    footer stats still prune) until ``rewrite_data_files`` folds them
+    into the spec-clustered layout — Iceberg's own streaming-write +
+    compaction contract.
 
     Schema-evolution contract (VERDICT r6 item 5): the writer captures
     the table's columns + schema version AT QUERY START and keeps
@@ -1220,14 +1224,17 @@ class LakeTableStreamWriter(DataSourceStreamArrowWriter):
     instead of stamping files with a lie."""
 
     def __init__(self, path: str, columns: list[tuple[str, str]],
-                 schema_version: int, query_id: str):
+                 schema_version: int, query_id: str,
+                 partition_spec: list | None = None):
         self.path = path
         self.columns = columns  # (name, ddl type) of the CURRENT schema
         self.schema_version = schema_version
         self.query_id = query_id
+        self.partition_spec = partition_spec or []
 
     def write(self, iterator):  # executor-side
-        return _write_task_file(self.path, self.columns, iterator)
+        return _write_task_file(self.path, self.columns, iterator,
+                                self.partition_spec)
 
     def commit(self, messages, batchId: int) -> None:  # driver-side
         from ..catalog.table import LakeTable
@@ -1254,22 +1261,27 @@ class LakeTableBatchWriter(DataSourceArrowWriter):
     conflicts; tasks' files are written once, only the metadata commit
     re-bases. Production bulk loads should still prefer
     ``LakeTable.append`` (the JVM writer with partition-spec fanout);
-    this path completes the format's CRUD surface. Partition-aware
-    replacement (``partitionOverwriteMode=dynamic``) is deliberately
-    NOT offered here — task files written through this path carry no
-    partition values, so the replacement set could not be matched;
-    use ``LakeTable.overwrite_partitions`` / SQL ``INSERT OVERWRITE``,
-    whose fanout write records them."""
+    this path completes the format's CRUD surface — and fans out
+    partition values itself when the spec is exactly computable in
+    Python (see ``_python_partition_fn``). Partition-aware replacement
+    (``partitionOverwriteMode=dynamic``) is still deliberately NOT
+    offered here — on a spec with any non-reproducible field the task
+    files carry no partition values, so the replacement set could not
+    be matched; use ``LakeTable.overwrite_partitions`` / SQL
+    ``INSERT OVERWRITE``, whose JVM fanout write always records them."""
 
     def __init__(self, path: str, columns: list[tuple[str, str]],
-                 schema_version: int, overwrite: bool):
+                 schema_version: int, overwrite: bool,
+                 partition_spec: list | None = None):
         self.path = path
         self.columns = columns
         self.schema_version = schema_version
         self.overwrite = overwrite
+        self.partition_spec = partition_spec or []
 
     def write(self, iterator):  # executor-side
-        return _write_task_file(self.path, self.columns, iterator)
+        return _write_task_file(self.path, self.columns, iterator,
+                                self.partition_spec)
 
     def commit(self, messages) -> None:  # driver-side
         from ..catalog.table import LakeTable
@@ -1303,23 +1315,121 @@ def _check_version_unchanged(table, version: int,
         )
 
 
+def _python_partition_fn(spec_json: list, columns: list[tuple[str, str]]):
+    """Per-batch partition-value computation for the Python write path
+    — or ``None`` unless EVERY spec field is EXACTLY computable here.
+
+    "Exactly" is the whole contract: a recorded ``_p_*`` value that
+    renders differently from the JVM write path would make
+    ``_prune_files`` equality-compare different spellings and WRONGLY
+    prune (the r9 E-notation lesson). The exact subset:
+
+    * identity over int/bigint/smallint/tinyint (``str(int)`` ==
+      Spark's CAST), string (verbatim), date (isoformat == CAST);
+    * ``days`` over a DATE source (to_date is identity there);
+    * ``ibucket`` (murmur3 ordinals — integers, engine-independent);
+    * ``itruncate`` (``v - (v mod W)``, Python's ``%`` is
+      floor-signed like pmod);
+    * ``truncate`` over string (first W code points).
+
+    Float/timestamp renderings, time-zone-dependent day/hour/month/
+    year over timestamps, and the legacy xxhash64 bucket are NOT
+    reproducible here — any such field disables fanout entirely
+    (PARTIAL keysets would break spec attribution on export), and the
+    task writes one unkeyed file: the conservative never-prune
+    degradation this path always had."""
+    from ..catalog.iceberg_bucket import iceberg_bucket
+    from ..catalog.transforms import Transform
+
+    types = {n: t.strip().lower().split("(")[0] for n, t in columns}
+    _INTS = ("int", "bigint", "smallint", "tinyint", "integer", "long")
+    plan: list[tuple[str, Transform, str]] = []
+    for tj in spec_json:
+        t = Transform.from_json(tj)
+        ty = types.get(t.column, "")
+        key = f"_p_{t.name}_{t.column}"
+        if t.name == "identity" and ty in _INTS + ("string", "date"):
+            plan.append((key, t, "identity"))
+        elif t.name == "days" and ty == "date":
+            plan.append((key, t, "identity"))  # to_date(date) = date
+        elif t.name == "ibucket" and ty in _INTS + ("string",):
+            plan.append((key, t, "ibucket"))
+        elif t.name == "itruncate" and ty in _INTS:
+            plan.append((key, t, "itruncate"))
+        elif t.name == "truncate" and ty == "string":
+            plan.append((key, t, "truncate"))
+        else:
+            return None
+    if not plan:
+        return None
+
+    def compute(tbl) -> list[dict]:
+        """One partition dict per row of the Arrow table."""
+        from ..catalog.table import _HIVE_NULL
+
+        per_field = []
+        for key, t, kind in plan:
+            vals = tbl.column(t.column).to_pylist()
+            out = []
+            for v in vals:
+                if v is None:
+                    out.append(_HIVE_NULL)
+                elif kind == "identity":
+                    out.append(v.isoformat()
+                               if hasattr(v, "isoformat") else str(v))
+                elif kind == "ibucket":
+                    out.append(str(iceberg_bucket(v, t.param)))
+                elif kind == "itruncate":
+                    out.append(str(int(v) - int(v) % t.param))
+                else:  # truncate over string
+                    out.append(v[:t.param])
+            per_field.append((key, out))
+        n = tbl.num_rows
+        return [{k: col[i] for k, col in per_field} for i in range(n)]
+
+    return compute
+
+
+# one task fans out to at most this many clustered files; beyond it,
+# remaining rows go to one unkeyed file (correct, just unpruned) so
+# writer count and memory stay bounded on high-cardinality identity
+# specs
+_FANOUT_CAP = 64
+
+
 def _write_task_file(path: str, columns: list[tuple[str, str]],
-                     iterator) -> _SinkFileMessage:
+                     iterator, spec_json: list | None = None
+                     ) -> _SinkFileMessage:
     """Executor-side write shared by the streaming sink and the batch
-    writer: stream Arrow batches straight into ONE parquet file (the
-    task never buffers its partition — memory stays O(one batch)
-    however large the input grows), then read the file's own footer
-    for min/max stats so manifest pruning works from commit one."""
+    writer: stream Arrow batches straight into parquet (the task never
+    buffers its partition — memory stays O(one batch) however large
+    the input grows), then read each file's own footer for min/max
+    stats so manifest pruning works from commit one.
+
+    With a partition spec whose every field is exactly computable in
+    Python (``_python_partition_fn``), rows FAN OUT into one file per
+    partition value — streamed commits into a murmur3-bucketed table
+    prune from the first micro-batch, no compaction wait."""
     import uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     target = pa.schema([pa.field(n, _arrow_type(d)) for n, d in columns])
-    rel = os.path.join("data", f"stream-{uuid.uuid4().hex}.parquet")
-    abs_path = os.path.join(path, rel)
-    writer = None
-    rows = 0
+    part_fn = _python_partition_fn(spec_json or [], columns)
+
+    writers: dict[tuple, tuple] = {}  # key items -> (writer, rel, abs)
+
+    def _sink_for(part_items: tuple):
+        hit = writers.get(part_items)
+        if hit is None:
+            rel = os.path.join("data", f"stream-{uuid.uuid4().hex}.parquet")
+            ap = os.path.join(path, rel)
+            os.makedirs(os.path.dirname(ap), exist_ok=True)
+            hit = writers[part_items] = (pq.ParquetWriter(ap, target),
+                                         rel, ap)
+        return hit[0]
+
     try:
         for rb in iterator:
             if rb.num_rows == 0:
@@ -1327,21 +1437,36 @@ def _write_task_file(path: str, columns: list[tuple[str, str]],
             tbl = pa.Table.from_batches([rb])
             if tbl.schema != target:
                 tbl = tbl.cast(target)
-            if writer is None:
-                os.makedirs(os.path.dirname(abs_path), exist_ok=True)
-                writer = pq.ParquetWriter(abs_path, target)
-            writer.write_table(tbl)
-            rows += tbl.num_rows
+            if part_fn is None:
+                _sink_for(()).write_table(tbl)
+                continue
+            parts = part_fn(tbl)
+            order: dict[tuple, list[int]] = {}
+            for i, p in enumerate(parts):
+                order.setdefault(tuple(sorted(p.items())), []).append(i)
+            for items, idxs in order.items():
+                if items and len(writers) >= _FANOUT_CAP \
+                        and items not in writers:
+                    items = ()  # overflow: unkeyed (never-prune) file
+                sub = tbl if len(idxs) == tbl.num_rows else tbl.take(idxs)
+                _sink_for(items).write_table(sub)
     finally:
-        if writer is not None:
-            writer.close()
-    if rows == 0:
-        return _SinkFileMessage()
+        for w, _rel, _ap in writers.values():
+            w.close()
+
     from ..catalog.table import footer_min_max
 
-    md = pq.ParquetFile(abs_path).metadata
-    return _SinkFileMessage(rel, md.num_rows, os.path.getsize(abs_path),
-                            footer_min_max(md))
+    files = []
+    for items, (_w, rel, ap) in writers.items():
+        md = pq.ParquetFile(ap).metadata
+        if md.num_rows == 0:
+            os.remove(ap)
+            continue
+        files.append({"rel": rel, "rows": md.num_rows,
+                      "nbytes": os.path.getsize(ap),
+                      "stats": footer_min_max(md),
+                      "partition": dict(items)})
+    return _SinkFileMessage(files)
 
 
 def _message_entries(messages, schema_version: int):
@@ -1349,20 +1474,21 @@ def _message_entries(messages, schema_version: int):
 
     return [
         FileEntry(
-            path=m.rel_path, rows=m.rows, bytes=m.nbytes,
-            schema_version=schema_version, stats=m.stats,
-            partition={}, seq=None,
+            path=f["rel"], rows=f["rows"], bytes=f["nbytes"],
+            schema_version=schema_version, stats=f["stats"],
+            partition=f.get("partition") or {}, seq=None,
         )
         for m in messages
-        if m is not None and m.rel_path is not None
+        if m is not None
+        for f in m.files
     ]
 
 
 def _unlink_messages(path: str, messages) -> None:
     for m in messages:
-        if m is not None and getattr(m, "rel_path", None):
+        for f in (getattr(m, "files", None) or []):
             try:
-                os.remove(os.path.join(path, m.rel_path))
+                os.remove(os.path.join(path, f["rel"]))
             except OSError:
                 pass
 
@@ -1407,12 +1533,13 @@ class LakeTableDataSource(DataSource):
             branch=self.options.get("branch"),
         )
 
-    def _write_config(self, schema) -> tuple[str, list[tuple[str, str]], int]:
+    def _write_config(self, schema) -> tuple:
         if self._cdc():
             raise ValueError("mode=cdc is a read-side option")
         path = self._path()
         meta = _load_meta(path)
         version = meta["current_schema_version"]
+        spec = meta.get("partition_spec") or []
         table_cols = [(f["name"], f["type"]) for f in meta["schemas"][str(version)]]
 
         def canon(ddl: str) -> str:  # 'long'/'BIGINT' etc. are one type
@@ -1427,14 +1554,14 @@ class LakeTableDataSource(DataSource):
                 f"write schema {incoming} does not match table schema "
                 f"{table_cols}; align names, types and column order"
             )
-        return path, table_cols, version
+        return path, table_cols, version, spec
 
     def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
         if overwrite:
             raise ValueError(
                 "laketable streaming sink supports append output mode only"
             )
-        path, table_cols, version = self._write_config(schema)
+        path, table_cols, version, spec = self._write_config(schema)
         # Idempotency identity: one batch-id watermark per (table,
         # query id). Default to the CHECKPOINT LOCATION — the identity
         # Iceberg gets from Spark's queryId: it survives restarts of
@@ -1446,11 +1573,13 @@ class LakeTableDataSource(DataSource):
         qid = (self.options.get("sink-query-id")
                or self.options.get("checkpointlocation")
                or "default")
-        return LakeTableStreamWriter(path, table_cols, version, str(qid))
+        return LakeTableStreamWriter(path, table_cols, version, str(qid),
+                                     partition_spec=spec)
 
     def writer(self, schema, overwrite: bool) -> DataSourceArrowWriter:
-        path, table_cols, version = self._write_config(schema)
-        return LakeTableBatchWriter(path, table_cols, version, overwrite)
+        path, table_cols, version, spec = self._write_config(schema)
+        return LakeTableBatchWriter(path, table_cols, version, overwrite,
+                                    partition_spec=spec)
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         skip = str(self.options.get("skip-non-appends", "false")).lower() == "true"

@@ -186,3 +186,108 @@ def test_hybrid_bm25_rrf_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "TakeOrdered" in plan
+
+
+def test_streaming_sink_partition_fanout(spark, tmp_path):
+    """The Python write path records partition values whenever every
+    spec field is exactly computable (here: murmur3 ibucket) — a
+    streamed commit into a bucketed table PRUNES from the first
+    micro-batch, no compaction wait."""
+    from iceberg_catalog_bench_spark.catalog.iceberg_bucket import (
+        iceberg_bucket,
+    )
+    from iceberg_catalog_bench_spark.catalog.table import LakeTable
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        register_source,
+    )
+    from pyspark.sql import functions as F
+
+    register_source(spark)
+    src = LakeTable.create(spark, str(tmp_path / "src"),
+                           "k bigint, v string")
+    src.append(spark.range(32).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), "id").alias("v")))
+    dst = LakeTable.create(spark, str(tmp_path / "dst"),
+                           "k bigint, v string",
+                           partition_by=["ibucket(4, k)"])
+    q = (
+        spark.readStream.format("laketable").option("path", src.path).load()
+        .writeStream.format("laketable").option("path", dst.path)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    dst = LakeTable.load(spark, dst.path)
+    snap = dst._snapshot(dst._meta["current_snapshot_id"])
+    assert dst.read().count() == 32
+    # every streamed file carries its murmur3 ordinal
+    assert all("_p_ibucket_k" in f.partition for f in snap.files)
+    assert {f.partition["_p_ibucket_k"] for f in snap.files} == \
+        {str(iceberg_bucket(i, 4)) for i in range(32)}
+    kept = dst._prune_files(snap.files, "k = 7")
+    assert 0 < len(kept) < len(snap.files)
+    assert all(f.partition["_p_ibucket_k"] == str(iceberg_bucket(7, 4))
+               for f in kept)
+    assert [r.v for r in dst.read().where("k = 7").collect()] == ["v7"]
+
+
+def test_streaming_sink_fanout_disabled_for_nonreproducible(spark, tmp_path):
+    """A spec field the Python path can't render EXACTLY (legacy
+    xxhash64 bucket) disables fanout entirely — files are unkeyed
+    (never-prune, the old conservative behavior), never wrongly keyed."""
+    from iceberg_catalog_bench_spark.catalog.table import LakeTable
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        register_source,
+    )
+    from pyspark.sql import functions as F
+
+    register_source(spark)
+    src = LakeTable.create(spark, str(tmp_path / "src"),
+                           "k bigint, v string")
+    src.append(spark.range(8).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), "id").alias("v")))
+    dst = LakeTable.create(spark, str(tmp_path / "dst"),
+                           "k bigint, v string",
+                           partition_by=["bucket(4, k)"])
+    q = (
+        spark.readStream.format("laketable").option("path", src.path).load()
+        .writeStream.format("laketable").option("path", dst.path)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    dst = LakeTable.load(spark, dst.path)
+    snap = dst._snapshot(dst._meta["current_snapshot_id"])
+    assert dst.read().count() == 8
+    assert all(f.partition == {} for f in snap.files)
+
+
+def test_batch_writer_partition_fanout_and_nulls(spark, tmp_path):
+    """df.write.format('laketable') fans out too; null keys land in
+    the hive null sentinel and a point lookup drops that file."""
+    from iceberg_catalog_bench_spark.catalog.iceberg_bucket import (
+        iceberg_bucket,
+    )
+    from iceberg_catalog_bench_spark.catalog.table import LakeTable
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        register_source,
+    )
+
+    register_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"),
+                         "k bigint, v string",
+                         partition_by=["ibucket(4, k)"])
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(16)] + [(None, "nullrow")],
+        "k bigint, v string")
+    df.write.format("laketable").option("path", t.path).mode("append").save()
+    t = LakeTable.load(spark, t.path)
+    snap = t._snapshot(t._meta["current_snapshot_id"])
+    assert t.read().count() == 17
+    vals = {f.partition.get("_p_ibucket_k") for f in snap.files}
+    assert "__HIVE_DEFAULT_PARTITION__" in vals
+    assert {str(iceberg_bucket(i, 4)) for i in range(16)} <= vals
+    kept = t._prune_files(snap.files, "k = 7")
+    assert all(f.partition["_p_ibucket_k"] == str(iceberg_bucket(7, 4))
+               for f in kept)
+    assert 0 < len(kept) < len(snap.files)

@@ -526,19 +526,19 @@ def test_stream_writer_replay_and_abort_semantics(spark, tmp_path):
     w.commit([m0b], 0)
     t._reload()
     assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
-    assert not os.path.exists(os.path.join(t.path, m0b.rel_path))
+    assert not os.path.exists(os.path.join(t.path, m0b.files[0]["rel"]))
 
     # abort: the file disappears, metadata never saw it
     m1 = w.write(iter([batch([(9, 9.0)])]))
     w.abort([m1], 1)
-    assert not os.path.exists(os.path.join(t.path, m1.rel_path))
+    assert not os.path.exists(os.path.join(t.path, m1.files[0]["rel"]))
     # exactly one live data file remains (batch 0's)
     live = glob.glob(os.path.join(t.path, "data", "stream-*.parquet"))
     assert len(live) == 1
 
     # empty task → no file, commit of nothing publishes no snapshot
     m_empty = w.write(iter([]))
-    assert m_empty.rel_path is None
+    assert m_empty.files == []
     before = t._meta["current_snapshot_id"]
     w.commit([m_empty], 1)
     t._reload()
@@ -772,7 +772,7 @@ def test_stream_writer_orphans_are_collected(spark, tmp_path):
         [{"k": 7, "v": 7.0}],
         schema=pa.schema([("k", pa.int64()), ("v", pa.float64())]),
     )]))
-    orphan = os.path.join(t.path, m.rel_path)
+    orphan = os.path.join(t.path, m.files[0]["rel"])
     assert os.path.exists(orphan)
     assert sorted(r["k"] for r in t.read().collect()) == [1]
     import time as _time
