@@ -735,3 +735,111 @@ def minhash_ingest(docs: DataFrame, batch_banded: DataFrame,
         .filter(jac >= 0.8)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+_SEMDEDUP_K = 8      # centroid count (scales with n in production)
+_SEMDEDUP_TAU = 0.4  # within-cluster near-dup threshold (corpus floor)
+
+_ORACLE_SEMDEDUP = f"""
+WITH c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < {_SEMDEDUP_K}
+), ass AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(
+               c.cv, CAST(e.embedding AS DOUBLE[])) DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN c)
+  WHERE rn = 1
+), pairs AS (
+  SELECT x.cid, x.vec_id AS a, y.vec_id AS b,
+         list_cosine_similarity(x.v, y.v) AS s
+  FROM ass x JOIN ass y ON x.cid = y.cid AND x.vec_id < y.vec_id
+), drops AS (
+  SELECT cid, b FROM pairs WHERE s >= {_SEMDEDUP_TAU} GROUP BY cid, b
+)
+SELECT m.cid AS cluster_id,
+       CAST(m.n_vectors AS BIGINT) AS n_vectors,
+       CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+       COALESCE(ROUND(p.max_cos, 4), 0.0) AS max_cos
+FROM (SELECT cid, COUNT(*) AS n_vectors FROM ass GROUP BY cid) m
+LEFT JOIN (SELECT cid, COUNT(*) AS n_dropped FROM drops GROUP BY cid) d
+  ON d.cid = m.cid
+LEFT JOIN (SELECT cid, MAX(s) AS max_cos FROM pairs GROUP BY cid) p
+  ON p.cid = m.cid
+ORDER BY cluster_id
+"""
+
+
+@register("dedup_semantic_clusters", oracle=_ORACLE_SEMDEDUP)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, cluster-then-pair (the SemDeDup shape, Abbas et
+    al. 2023, public): assign every embedding to its nearest centroid,
+    then search near-duplicates ONLY within each cluster — the cluster
+    bound is what makes semantic dedup tractable, turning the n²
+    pairwise search into K independent (n/K)² searches that shuffle
+    once on cluster id. Reports per-cluster accounting: size, how many
+    vectors a keep-lowest-id policy drops (a vector drops when a
+    lower-id cluster-mate has cosine ≥ τ), and the tightest pair.
+
+    Determinism contract: centroids are the first K vectors (vec_id <
+    K) rather than k-means iterates, so the oracle reproduces the
+    assignment in SQL — production swaps in k-means|| centroids and
+    every stage downstream is unchanged. Ties in the nearest-centroid
+    argmax break on lowest centroid id in BOTH engines.
+
+    100 TB story: centroids broadcast (K rows); assignment is one
+    map-side pass (n×K similarity inside whole-stage codegen, no
+    shuffle); the pair search shuffles vectors ONCE on cluster id and
+    each task's quadratic is bounded by its cluster size — K scales
+    with n to hold n/K constant. Keep-lowest-id is a deterministic,
+    join-free policy (an aggregate per vector, not a sequential scan).
+    """
+    from ..functions import cosine_similarity
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id") < _SEMDEDUP_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    from pyspark.sql.window import Window as W
+
+    sim = cosine_similarity("cv", "embedding")
+    ass = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("s", sim)
+        .withColumn("rn", F.row_number().over(
+            W.partitionBy("vec_id").orderBy(F.desc("s"), "cid")))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    x = ass.select(F.col("cid"), F.col("vec_id").alias("a"),
+                   F.col("embedding").alias("va"))
+    y = ass.select(F.col("cid"), F.col("vec_id").alias("b"),
+                   F.col("embedding").alias("vb"))
+    pairs = (
+        x.join(y, ["cid"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("s", cosine_similarity("va", "vb"))
+        .select("cid", "a", "b", "s")
+    )
+    sizes = ass.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_vectors"))
+    drops = (
+        pairs.filter(F.col("s") >= _SEMDEDUP_TAU)
+        .select("cid", "b").distinct()
+        .groupBy("cid").agg(F.count("*").cast("bigint").alias("n_dropped"))
+    )
+    tight = pairs.groupBy("cid").agg(F.max("s").alias("max_cos"))
+    return (
+        sizes.join(drops, "cid", "left").join(tight, "cid", "left")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_vectors",
+            F.coalesce("n_dropped", F.lit(0)).cast("bigint")
+            .alias("n_dropped"),
+            F.coalesce(F.round("max_cos", 4), F.lit(0.0)).alias("max_cos"),
+        )
+        .orderBy("cluster_id")
+    )
