@@ -1748,17 +1748,26 @@ def repair_iceberg_metadata(metadata_path: str, *,
                 act("missing-manifest", mpath, "unrepairable",
                     "manifest file itself is gone")
                 continue
+            # Quarantine drops entries whose files are GONE — but only
+            # DATA files (content 0). Dropping a missing DELETE file
+            # (content 1/2) would silently RESURRECT the rows it
+            # tombstoned — strictly worse than the scan failing loudly
+            # — so those report unrepairable: restore the file or
+            # expire the snapshots that reference it.
             if avro_ocf.is_ocf(mpath):
                 meta, recs = avro_ocf.read_ocf(mpath)
-                gone = [r["data_file"]["file_path"] for r in recs
-                        if not os.path.isfile(
-                            _strip_scheme(r["data_file"]["file_path"]))]
-                if not gone:
-                    continue
-                keep = [r for r in recs
-                        if os.path.isfile(
-                            _strip_scheme(r["data_file"]["file_path"]))]
-                if not dry_run:
+                missing = [r for r in recs
+                           if not os.path.isfile(
+                               _strip_scheme(r["data_file"]["file_path"]))]
+                gone = [r["data_file"]["file_path"] for r in missing
+                        if not (r["data_file"].get("content") or 0)]
+                gone_del = [r["data_file"]["file_path"] for r in missing
+                            if (r["data_file"].get("content") or 0)]
+                if gone and not dry_run:
+                    keep = [r for r in recs
+                            if os.path.isfile(
+                                _strip_scheme(r["data_file"]["file_path"]))
+                            or (r["data_file"].get("content") or 0)]
                     schema = json.loads(meta["avro.schema"].decode("utf-8"))
                     extra = {k: v for k, v in meta.items()
                              if not k.startswith("avro.")}
@@ -1766,22 +1775,30 @@ def repair_iceberg_metadata(metadata_path: str, *,
             else:
                 with open(mpath) as fh:
                     doc = json.load(fh)
-                gone = [e["data-file"]["file-path"]
-                        for e in doc.get("entries", [])
-                        if not os.path.isfile(
-                            _strip_scheme(e["data-file"]["file-path"]))]
-                if not gone:
-                    continue
-                doc["entries"] = [
-                    e for e in doc.get("entries", [])
-                    if os.path.isfile(
-                        _strip_scheme(e["data-file"]["file-path"]))]
-                if not dry_run:
+                missing = [e for e in doc.get("entries", [])
+                           if not os.path.isfile(
+                               _strip_scheme(e["data-file"]["file-path"]))]
+                gone = [e["data-file"]["file-path"] for e in missing
+                        if not e["data-file"].get("content", 0)]
+                gone_del = [e["data-file"]["file-path"] for e in missing
+                            if e["data-file"].get("content", 0)]
+                if gone and not dry_run:
+                    doc["entries"] = [
+                        e for e in doc.get("entries", [])
+                        if os.path.isfile(
+                            _strip_scheme(e["data-file"]["file-path"]))
+                        or e["data-file"].get("content", 0)]
                     with open(mpath, "w") as fh:
                         json.dump(doc, fh)
-            act("missing-data-file", mpath, mode,
-                f"quarantined {len(gone)} entries: "
-                + ", ".join(sorted(gone)))
+            if gone:
+                act("missing-data-file", mpath, mode,
+                    f"quarantined {len(gone)} entries: "
+                    + ", ".join(sorted(gone)))
+            for p in sorted(gone_del):
+                act("missing-delete-file", mpath, "unrepairable",
+                    f"{p}: dropping a delete file would silently "
+                    "RESURRECT the rows it tombstones — restore it or "
+                    "expire the snapshots that reference it")
 
     # ---- pass 2: re-resolve manifest-list lengths (quarantine above
     # changed manifest sizes; pre-existing drift resolves the same way)

@@ -291,3 +291,21 @@ def test_batch_writer_partition_fanout_and_nulls(spark, tmp_path):
     assert all(f.partition["_p_ibucket_k"] == str(iceberg_bucket(7, 4))
                for f in kept)
     assert 0 < len(kept) < len(snap.files)
+
+
+def test_repair_never_quarantines_delete_files(spark, tmp_path):
+    """A missing DELETE file is unrepairable by quarantine — dropping
+    it would silently resurrect the rows it tombstoned. Repair must
+    leave the entry, report it, and still fix the rest."""
+    from tests.test_iceberg_adopt import _write_foreign_chain
+
+    mp = _write_foreign_chain(str(tmp_path / "f"))
+    eq = os.path.join(str(tmp_path / "f"), "data", "eq1.parquet")
+    os.remove(eq)
+    acts = repair_iceberg_metadata(mp)
+    dels = [a for a in acts if a["code"] == "missing-delete-file"]
+    assert dels and all(a["action"] == "unrepairable" for a in dels)
+    assert all("RESURRECT" in a["detail"] for a in dels)
+    # the entry is still in the manifest (validate still errors on it)
+    assert any(f["code"] == "missing-data-file"
+               for f in validate_iceberg_metadata(mp))
