@@ -2418,6 +2418,7 @@ class LakeTable:
         when_not_matched_by_source_delete: str | bool | None = None,
         mode: str | None = None,
         branch: str | None = None,
+        schema_evolution: bool = False,
     ) -> Snapshot:
         """MERGE INTO target USING source ON keys — reference M5
         (`merge_sales_events.sql:4-21`: WHEN MATCHED UPDATE SET, WHEN NOT
@@ -2452,7 +2453,19 @@ class LakeTable:
         ``spark.wap.branch`` DML): target state is read from, and the
         commit lands on, the branch — main is untouched until
         fast_forward.
+
+        ``schema_evolution`` (SQL: ``MERGE WITH SCHEMA EVOLUTION INTO``,
+        the Spark 4 / Iceberg clause): source columns missing from the
+        target are ADDED first (metadata-only, null default — old files
+        never rewritten), so ``UPDATE SET *`` / ``INSERT *`` carry the
+        new columns through. Without the clause, unknown source columns
+        are ignored (the pre-existing contract).
         """
+        if schema_evolution:
+            existing = {f.name for f in self._fields()}
+            for sf in source.schema.fields:
+                if sf.name not in existing:
+                    self.add_column(sf.name, sf.dataType.simpleString())
         snap = self._ref_snapshot(branch)
         if snap is None:
             raise ValueError("merge into empty table; use append")

@@ -1094,12 +1094,16 @@ class SqlEngine:
         return StatementResult(s, rowcount=snap.summary.get("deleted_rows"), metadata={"op": "delete"})
 
     def _merge(self, s: str) -> StatementResult:
-        """M5: MERGE INTO t [AS t] USING (VALUES ...) AS s(cols) | table [AS s]
+        """M5: MERGE [WITH SCHEMA EVOLUTION] INTO t [AS t]
+        USING (VALUES ...) AS s(cols) | table [AS s]
         ON t.k = s.k WHEN MATCHED THEN UPDATE SET t.a = s.a, ...
         WHEN NOT MATCHED THEN INSERT [(cols)] VALUES (s.c1, ...)
-        (merge_sales_events.sql:4-21)."""
+        (merge_sales_events.sql:4-21; WITH SCHEMA EVOLUTION is the
+        Spark 4 / Iceberg clause — unknown source columns are added to
+        the target first instead of ignored)."""
         m = re.match(
-            r"(?is)^merge\s+into\s+(" + _IDENT + r")"
+            r"(?is)^merge\s+(with\s+schema\s+evolution\s+)?into\s+("
+            + _IDENT + r")"
             r"(?:\s+(?:as\s+)?(?!using\b)(\w+))?\s+using\s+"
             r"(?:\((\s*values.+?)\)\s+as\s+(\w+)\s*\(([^)]*)\)"
             r"|\((\s*select.+?)\)\s+as\s+(\w+)"
@@ -1109,8 +1113,8 @@ class SqlEngine:
         )
         if not m:
             raise ValueError(f"unsupported MERGE: {s[:120]}")
-        (ident, talias, values_sql, valias, vcols, sub_sql, sub_alias,
-         src_table, salias, on_cond, when_clauses) = m.groups()
+        (evolve, ident, talias, values_sql, valias, vcols, sub_sql,
+         sub_alias, src_table, salias, on_cond, when_clauses) = m.groups()
         ident, mg_branch = self._split_branch_ident(ident)
         t = self.table(ident)
         talias = talias or ident.split(".")[-1]
@@ -1154,7 +1158,12 @@ class SqlEngine:
         bys_upd = None
         bys_del: bool | str | None = None
 
-        def _set_dict(set_sql: str, src_visible: bool) -> dict[str, str]:
+        def _set_dict(set_sql: str, src_visible: bool):
+            if set_sql.strip() == "*":
+                # UPDATE SET * (Iceberg/Spark shorthand): every non-key
+                # target column takes the same-named source column —
+                # merge() expands it natively
+                return "*"
             d = {}
             for part in re.split(r",(?![^()]*\))", set_sql):
                 col, _, expr = part.partition("=")
@@ -1170,7 +1179,8 @@ class SqlEngine:
         for clause in re.finditer(
             r"(?is)when\s+(not\s+)?matched(\s+by\s+source)?"
             r"(?:\s+and\s+(.*?))?\s+then\s+"
-            r"(update\s+set\s+(.*?)|insert\s*(\([^)]*\))?\s*values\s*\(([^)]*)\)|delete)\s*(?=when|$)",
+            r"(update\s+set\s+(.*?)|insert\s*\*|insert\s*(\([^)]*\))?"
+            r"\s*values\s*\(([^)]*)\)|delete)\s*(?=when|$)",
             when_clauses,
         ):
             (not_matched, by_source, and_cond, action, set_sql,
@@ -1265,6 +1275,7 @@ class SqlEngine:
             when_not_matched_by_source_update=bys_upd,
             when_not_matched_by_source_delete=bys_del,
             branch=mg_branch,
+            schema_evolution=bool(evolve),
         )
         return StatementResult(
             s,

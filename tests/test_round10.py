@@ -309,3 +309,42 @@ def test_repair_never_quarantines_delete_files(spark, tmp_path):
     # the entry is still in the manifest (validate still errors on it)
     assert any(f["code"] == "missing-data-file"
                for f in validate_iceberg_metadata(mp))
+
+
+def test_merge_with_schema_evolution(spark, tmp_path):
+    """MERGE WITH SCHEMA EVOLUTION (the Spark 4 / Iceberg clause):
+    unknown source columns are ADDED to the target (metadata-only,
+    null default) so UPDATE SET * / INSERT * carry them; without the
+    clause they are ignored — the pre-existing contract."""
+    from iceberg_catalog_bench_spark.catalog.table import LakeTable
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    engine = SqlEngine(spark, str(tmp_path / "wh"))
+    engine.execute("CREATE TABLE mt (k BIGINT, a STRING)")
+    engine.execute("INSERT INTO mt VALUES (1, 'a1'), (2, 'a2')")
+
+    # without the clause: the extra source column is ignored
+    engine.execute(
+        "MERGE INTO mt USING (VALUES (2, 'a2x', 'b2')) AS s(k, a, b) "
+        "ON mt.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *")
+    rows = engine.execute("SELECT * FROM mt ORDER BY k")[-1].rows
+    assert [tuple(r.values()) for r in rows] == [(1, "a1"), (2, "a2x")]
+
+    # with the clause: column b lands, populated for merged rows and
+    # null for untouched ones
+    engine.execute(
+        "MERGE WITH SCHEMA EVOLUTION INTO mt "
+        "USING (VALUES (2, 'a2y', 'b2'), (3, 'a3', 'b3')) AS s(k, a, b) "
+        "ON mt.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *")
+    rows = engine.execute("SELECT k, a, b FROM mt ORDER BY k")[-1].rows
+    assert [tuple(r.values()) for r in rows] == [
+        (1, "a1", None), (2, "a2y", "b2"), (3, "a3", "b3")]
+    # evolution bumped the schema version; old files never rewritten
+    t = LakeTable.load(spark, engine._table_path("mt"))
+    assert t._meta["current_schema_version"] >= 1
+    fields = {f.name: f.type for f in t._fields()}
+    assert fields["b"] == "string"
