@@ -106,6 +106,44 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_schema_evolution",
+    oracle=(
+        # post-evolution state: every supplier row; rows the source
+        # touched (acctbal >= 5000 or key % 100 == 0) carry the NEW
+        # column, everyone else reads its null default
+        "SELECT s_suppkey, ROUND(s_acctbal, 2) AS acctbal, "
+        "CASE WHEN s_acctbal >= 5000 OR s_suppkey % 100 = 0 "
+        "THEN CASE WHEN s_acctbal >= 5000 THEN 'premium' ELSE 'sampled' "
+        "END END AS tier "
+        "FROM supplier"
+    ),
+)
+def merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE WITH SCHEMA EVOLUTION (the Spark 4 / Iceberg clause, an
+    M5 extension): the source carries a column the target never had
+    (``tier``); the clause ADDS it (metadata-only, null default — no
+    file rewritten) and UPDATE SET * / INSERT * carry it through. Rows
+    the merge never touched read the column's null default through the
+    schema-history projection — the same field-id machinery D6-D8
+    evolution uses."""
+    sup = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_acctbal")
+    d = _tmp_table_dir()
+    t = LakeTable.create(spark, d, "s_suppkey bigint, s_acctbal double")
+    t.append(sup)
+    source = (
+        sup.filter((F.col("s_acctbal") >= 5000)
+                   | (F.col("s_suppkey") % 100 == 0))
+        .withColumn("tier", F.when(F.col("s_acctbal") >= 5000,
+                                   "premium").otherwise("sampled"))
+    )
+    t.merge(source, on=["s_suppkey"], when_matched_update="*",
+            when_not_matched_insert=True, schema_evolution=True)
+    return t.read().select(
+        "s_suppkey", F.round("s_acctbal", 2).alias("acctbal"), "tier")
+
+
+@register(
     "merge_not_matched_by_source",
     oracle=(
         # survivors: every source key (matched-updated or inserted),

@@ -108,9 +108,10 @@ PRIORITY: tuple[str, ...] = (
     "pipeline_curate_full",
     "percentile_approx_by_group",
     # ---- 50 cap lands exactly here ----
-    # -- below-cap: r11 debut (registered late in r10, after the cap
+    # -- below-cap: r11 debuts (registered late in r10, after the cap
     # was already exactly full) --
     "dedup_semantic_clusters",
+    "merge_schema_evolution",
     # -- below-cap: the remaining r7-latest cohort (36; the round-11
     # rotation tier), greens early only if the driver runs deeper
     # than 50 --
