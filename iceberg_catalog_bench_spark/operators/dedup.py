@@ -803,17 +803,20 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding")
     cents = emb.filter(F.col("vec_id") < _SEMDEDUP_K).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
-    from pyspark.sql.window import Window as W
-
+    # argmax via a partial-aggregatable max-of-struct (the ann_ivf
+    # _assign idiom), NOT a window: a window over the n×K crossJoin
+    # output would shuffle K copies of the corpus; the struct-max
+    # combines map-side so only (vec_id, best) rows cross the wire.
+    # Ties break on LOWEST centroid id (max of -cid) in both engines.
     sim = cosine_similarity("cv", "embedding")
-    ass = (
+    best = (
         emb.crossJoin(F.broadcast(cents))
-        .withColumn("s", sim)
-        .withColumn("rn", F.row_number().over(
-            W.partitionBy("vec_id").orderBy(F.desc("s"), "cid")))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cid")
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(sim.alias("s"),
+                            (-F.col("cid")).alias("ncid"))).alias("m"))
+        .select("vec_id", (-F.col("m.ncid")).alias("cid"))
     )
+    ass = emb.join(best, "vec_id").select("vec_id", "embedding", "cid")
     x = ass.select(F.col("cid"), F.col("vec_id").alias("a"),
                    F.col("embedding").alias("va"))
     y = ass.select(F.col("cid"), F.col("vec_id").alias("b"),

@@ -553,3 +553,16 @@ def test_tpcds_q93_returns_filter_pushed_aggregate_below_report_join(
             if final.startswith("HashAggregate", i)]
     assert aggs and all(i > bj for i in aggs), \
         "per-supplier aggregate must sit below the reporting join"
+
+
+def test_semdedup_assignment_is_mapside_no_window(spark, oracle_sf_dir):
+    """SemDeDup's nearest-centroid assignment must be the broadcast
+    crossJoin + partial-aggregatable struct-max (map-side combine) —
+    never a Window over the n×K crossJoin output, which would shuffle
+    K copies of the corpus."""
+    df = registry.QUERIES["dedup_semantic_clusters"](spark, oracle_sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in final
+    assert "BroadcastNestedLoopJoin" in final  # broadcast centroids
