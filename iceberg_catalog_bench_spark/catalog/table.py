@@ -2082,6 +2082,42 @@ class LakeTable:
         if fld is None:
             cache[key] = None
             return None
+        # ibucket/itruncate over the exactly-coercible types compute
+        # driver-side (hash-identical by construction — the pandas-UDF
+        # write path and iceberg_bucket() share the encoder, pinned in
+        # test_iceberg_bucket): an IN-list point lookup on a bucketed
+        # table costs |members| dict lookups, not |members| 1-row
+        # Spark jobs. Anything type-ambiguous (timestamp/decimal
+        # literals) falls through to the Spark eval below.
+        base = fld.type.strip().lower().split("(")[0]
+        if t.name in ("ibucket", "itruncate"):
+            from .iceberg_bucket import iceberg_bucket
+
+            coerced = None
+            if base in ("int", "integer", "bigint", "long", "smallint",
+                        "tinyint", "short", "byte") and \
+                    isinstance(val, (int, float)) and \
+                    not isinstance(val, bool) and float(val).is_integer():
+                coerced = int(val)
+            elif base == "string" and isinstance(val, str):
+                coerced = val
+            elif base == "date" and isinstance(val, str):
+                import datetime as _dt
+
+                try:
+                    coerced = _dt.date.fromisoformat(val[:10])
+                except ValueError:
+                    coerced = None
+            if coerced is not None:
+                if t.name == "ibucket":
+                    out = str(iceberg_bucket(coerced, t.param))
+                elif isinstance(coerced, int):
+                    out = str(coerced - coerced % t.param)
+                else:
+                    out = None  # itruncate is numeric-only
+                if out is not None:
+                    cache[key] = out
+                    return out
         row = (
             self.spark.range(1)
             .select(F.lit(val).cast(fld.type).alias(t.column))

@@ -588,3 +588,49 @@ def test_inlist_partition_and_stats_pruning(spark, tmp_path):
     kept3 = t3._prune_files(s3.files, "k IN (105, 108)")
     assert len(kept3) < len(s3.files)
     assert all(f.stats["k"][0] >= 100 for f in kept3)
+
+
+def test_transform_value_driver_path_matches_spark_eval(spark, tmp_path):
+    """_transform_value's driver-side fast path for ibucket/itruncate
+    must render EXACTLY what the Spark-eval path (and therefore the
+    pandas-UDF write path) renders — for ints, strings and dates —
+    and ambiguous types must still take the Spark eval."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        "k bigint, s string, d date, ts timestamp",
+        partition_by=["ibucket(8, k)"])
+    ib_k = parse_spec(["ibucket(8, k)"])[0]
+    ib_s = parse_spec(["ibucket(8, s)"])[0]
+    ib_d = parse_spec(["ibucket(8, d)"])[0]
+    it_k = parse_spec(["itruncate(100, k)"])[0]
+
+    def spark_eval(tr, val, typ, col):
+        from iceberg_catalog_bench_spark.catalog.transforms import (
+            transform_expr,
+        )
+        from pyspark.sql import functions as F
+
+        return (spark.range(1)
+                .select(F.lit(val).cast(typ).alias(col))
+                .select(transform_expr(tr, typ).cast("string").alias("v"))
+                .collect()[0]["v"])
+
+    for val in (0, 7, -7, 34, 12345678901, 7.0):
+        assert t._transform_value(ib_k, val) == spark_eval(
+            ib_k, int(val), "bigint", "k"), val
+        t._tv_cache.clear()
+    for val in ("iceberg", "hello", ""):
+        assert t._transform_value(ib_s, val) == spark_eval(
+            ib_s, val, "string", "s"), val
+        t._tv_cache.clear()
+    assert t._transform_value(ib_d, "2017-11-16") == spark_eval(
+        ib_d, "2017-11-16", "date", "d")
+    t._tv_cache.clear()
+    for val in (155, -7, 0, 99, 100):
+        assert t._transform_value(it_k, val) == spark_eval(
+            it_k, val, "bigint", "k"), val
+        t._tv_cache.clear()
+    # timestamp literal: no fast path — must still resolve via Spark
+    ib_ts = parse_spec(["ibucket(8, ts)"])[0]
+    v = t._transform_value(ib_ts, "2024-01-05 12:00:00")
+    assert v is not None and v.isdigit()
