@@ -109,8 +109,11 @@ def iceberg_hash(val: object) -> int:
     if isinstance(val, str):
         return murmur3_x86_32(val.encode("utf-8"))
     if isinstance(val, datetime.datetime):
-        us = round((val.replace(tzinfo=None) - _EPOCH_DT).total_seconds()
-                   * 1_000_000)
+        # timestamptz hashes the UTC instant, not the wall-clock; exact
+        # integer micros (timedelta floor-div), never float seconds.
+        if val.tzinfo is not None:
+            val = val.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        us = (val - _EPOCH_DT) // datetime.timedelta(microseconds=1)
         return murmur3_x86_32(_encode_long(us))
     if isinstance(val, datetime.date):
         return murmur3_x86_32(_encode_long((val - _EPOCH_DATE).days))
@@ -120,7 +123,11 @@ def iceberg_hash(val: object) -> int:
         return murmur3_x86_32(_encode_long(us))
     if isinstance(val, decimal.Decimal):
         unscaled = int(val.scaleb(-val.as_tuple().exponent))
-        nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+        # Java BigInteger.toByteArray() minimum length: one sign bit
+        # on top of the magnitude bits (for negatives, the magnitude
+        # of ~v), so -128 is the single byte 0x80, not 0xFF80.
+        mag = unscaled if unscaled >= 0 else ~unscaled
+        nbytes = mag.bit_length() // 8 + 1
         return murmur3_x86_32(unscaled.to_bytes(nbytes, "big", signed=True))
     if isinstance(val, (bytes, bytearray)):
         return murmur3_x86_32(bytes(val))

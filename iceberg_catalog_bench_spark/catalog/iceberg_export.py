@@ -347,23 +347,45 @@ def to_iceberg_metadata(table: LakeTable, *,
     # different fields that happen to share a position in different
     # specs. `_pf_ids` is the global allocator; `_spec_fields` only
     # looks up / extends it in first-use order.
-    _pf_ids: dict[tuple[str, str], int] = {}
+    # Keyed on the NATIVE transform identity (column, name, param), not
+    # the exported spelling: legacy bucket and non-string truncate both
+    # export as 'void', so spelling-keyed ids would conflate e.g.
+    # bucket(8,c) + truncate(4,c) on one column into one field-id —
+    # invalid metadata (ADVICE r10).
+    _pf_ids: dict[tuple[str, str, str], int] = {}
 
     def _pf_id(t: Transform) -> int:
-        key = (t.column, _iceberg_transform(t, ntype_by_name.get(t.column)))
+        key = (t.column, t.name, str(t.param))
         if key not in _pf_ids:
             _pf_ids[key] = 1000 + len(_pf_ids)
         return _pf_ids[key]
 
+    def _spec_pf_names(spec_json: list) -> list[str]:
+        """Exported field names for one spec, deduped in order: two
+        native transforms can share a display name (legacy bucket vs
+        ibucket on the same column both render `col_bucket`); the
+        later one gets a `_2`/`_3` suffix. Deterministic because every
+        caller iterates the same spec_json order."""
+        names: list[str] = []
+        for tj in spec_json:
+            base = _pf_name(Transform.from_json(tj))
+            name, k = base, 1
+            while name in names:
+                k += 1
+                name = f"{base}_{k}"
+            names.append(name)
+        return names
+
     def _spec_fields(spec_json: list) -> list:
         out = []
-        for tj in spec_json:
+        names = _spec_pf_names(spec_json)
+        for tj, name in zip(spec_json, names):
             t = Transform.from_json(tj)
             out.append(
                 {
                     "field-id": _pf_id(t),
                     "source-id": field_ids_by_name.get(t.column, -1),
-                    "name": _pf_name(t),
+                    "name": name,
                     "transform": _iceberg_transform(
                         t, ntype_by_name.get(t.column)),
                 }
@@ -451,10 +473,10 @@ def to_iceberg_metadata(table: LakeTable, *,
     def _avro_entry(e: dict, spec_json: list) -> dict:
         d = e["data-file"]
         part = {}
-        for tj in spec_json:
+        for tj, pfname in zip(spec_json, _spec_pf_names(spec_json)):
             t = Transform.from_json(tj)
             sval = (d.get("partition") or {}).get(f"_p_{t.name}_{t.column}")
-            part[_pf_name(t)] = _avro_partition_value(
+            part[pfname] = _avro_partition_value(
                 t, sval, types_by_name.get(t.column))
         bm = bounds_map.get(str(d.get("schema-id")), {})
 
@@ -494,10 +516,10 @@ def to_iceberg_metadata(table: LakeTable, *,
 
     def _avro_manifest_schema(spec_json: list) -> dict:
         pfields = []
-        for tj in spec_json:
+        for tj, pfname in zip(spec_json, _spec_pf_names(spec_json)):
             t = Transform.from_json(tj)
             pfields.append({
-                "name": _pf_name(t),
+                "name": pfname,
                 "type": ["null",
                          _avro_part_field_type(t, types_by_name.get(t.column))],
                 "field-id": _pf_id(t),

@@ -2497,16 +2497,9 @@ class LakeTable:
         new columns through. Without the clause, unknown source columns
         are ignored (the pre-existing contract).
         """
-        if schema_evolution:
-            existing = {f.name for f in self._fields()}
-            for sf in source.schema.fields:
-                if sf.name not in existing:
-                    self.add_column(sf.name, sf.dataType.simpleString())
         snap = self._ref_snapshot(branch)
         if snap is None:
             raise ValueError("merge into empty table; use append")
-        fields = self._fields()
-        fnames = [f.name for f in fields]
         src = source.select(
             *[F.col(c).alias(f"src_{c}") for c in source.columns],
             F.lit(True).alias("_src_match"),
@@ -2561,6 +2554,19 @@ class LakeTable:
             # OOMs the executors. (Iceberg's MERGE makes the same choice via
             # Spark's join planning.)
             src_for_join = F.broadcast(src) if src_rows <= 1_000_000 else src
+
+            # Schema evolution is applied only AFTER every validation
+            # that can reject the merge (empty-table ref check above,
+            # duplicate-key check) — a refused merge must not leave the
+            # target schema half-evolved (ADVICE r10). add_column is
+            # metadata-only, so `snap` stays valid.
+            if schema_evolution:
+                existing = {f.name for f in self._fields()}
+                for sf in source.schema.fields:
+                    if sf.name not in existing:
+                        self.add_column(sf.name, sf.dataType.simpleString())
+            fields = self._fields()
+            fnames = [f.name for f in fields]
 
             # 1. which target files contain matched keys — and how many
             # matching rows each holds (same probe job, no re-read later)

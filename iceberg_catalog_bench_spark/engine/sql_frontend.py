@@ -1160,6 +1160,13 @@ class SqlEngine:
 
         def _set_dict(set_sql: str, src_visible: bool):
             if set_sql.strip() == "*":
+                if not src_visible:
+                    # NOT MATCHED BY SOURCE has no source row to expand
+                    # * from — a silent no-op downstream, so refuse
+                    raise ValueError(
+                        "UPDATE SET * is invalid in WHEN NOT MATCHED BY "
+                        "SOURCE: there is no source row to copy columns "
+                        "from")
                 # UPDATE SET * (Iceberg/Spark shorthand): every non-key
                 # target column takes the same-named source column —
                 # merge() expands it natively

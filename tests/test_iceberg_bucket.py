@@ -80,6 +80,48 @@ def test_bucket_mod_and_nulls_and_refusals():
         iceberg_bucket(True, 16)
 
 
+def test_decimal_minimum_length_twos_complement_boundaries():
+    """ADVICE r10: negative unscaled values at byte boundaries must
+    encode at Java BigInteger.toByteArray() minimum length — -128 is
+    the single byte 0x80, NOT 0xFF80 — or buckets diverge from a
+    conforming engine."""
+    cases = [
+        (decimal.Decimal("-128"), b"\x80"),
+        (decimal.Decimal("-1.28"), b"\x80"),        # unscaled -128
+        (decimal.Decimal("-32768"), b"\x80\x00"),
+        (decimal.Decimal("-129"), b"\xff\x7f"),
+        (decimal.Decimal("-1"), b"\xff"),
+        (decimal.Decimal("127"), b"\x7f"),
+        (decimal.Decimal("128"), b"\x00\x80"),
+        (decimal.Decimal("0"), b"\x00"),
+        (decimal.Decimal("14.20"), (1420).to_bytes(2, "big")),
+    ]
+    for d, enc in cases:
+        assert iceberg_hash(d) == murmur3_x86_32(enc), d
+        # round-trip sanity: the encoding IS the unscaled value
+        unscaled = int(d.scaleb(-d.as_tuple().exponent))
+        assert int.from_bytes(enc, "big", signed=True) == unscaled, d
+
+
+def test_tz_aware_datetime_hashes_utc_instant():
+    """ADVICE r10: an aware datetime must hash its UTC instant (spec
+    timestamptz = micros from epoch UTC), not its wall-clock — and via
+    exact integer micros, not float seconds."""
+    naive = datetime.datetime(2017, 11, 16, 22, 31, 8)
+    utc = naive.replace(tzinfo=datetime.timezone.utc)
+    plus5 = utc.astimezone(datetime.timezone(datetime.timedelta(hours=5)))
+    assert iceberg_hash(utc) == -2047944441        # the spec vector
+    assert iceberg_hash(plus5) == -2047944441      # same instant
+    # wall-clock 22:31:08 at +05:00 is a DIFFERENT instant
+    wall = naive.replace(tzinfo=datetime.timezone(datetime.timedelta(hours=5)))
+    assert iceberg_hash(wall) != -2047944441
+    # exact integer micros far from epoch (float64 seconds would wobble)
+    far = datetime.datetime(2286, 11, 20, 17, 46, 40, 1)
+    us = (far - datetime.datetime(1970, 1, 1)) // \
+        datetime.timedelta(microseconds=1)
+    assert iceberg_hash(far) == iceberg_hash(us)
+
+
 def test_vectorized_lane_path_matches_scalar():
     import numpy as np
 
