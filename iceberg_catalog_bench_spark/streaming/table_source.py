@@ -128,6 +128,7 @@ data.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 from collections.abc import Iterator, Sequence
@@ -150,6 +151,9 @@ from pyspark.sql.datasource import (
 )
 
 _META_REL = os.path.join("_meta", "metadata.json")
+
+_EPOCH_DATE = datetime.date(1970, 1, 1)
+_EPOCH_DT = datetime.datetime(1970, 1, 1)
 
 # Spark DDL type → pyarrow factory (primitives the streaming tables
 # use; complex types would need nested Arrow casts — raise loudly).
@@ -1198,11 +1202,13 @@ class LakeTableStreamWriter(DataSourceStreamArrowWriter):
 
     Partition-transform FANOUT applies when every spec field is
     exactly computable in Python (``_python_partition_fn``: identity
-    over int/string/date, days over date, murmur3 ``ibucket``, numeric
-    ``itruncate``, string ``truncate``) — streamed commits into a
-    murmur3-bucketed table carry partition values and PRUNE from the
-    first micro-batch. Any non-reproducible field (float/timestamp
-    renderings, timestamp-sourced calendar transforms, legacy xxhash64
+    over int/string/date, murmur3 ``ibucket``, numeric ``itruncate``,
+    string ``truncate``, and — under a UTC session/host zone —
+    ``days/hours/months/years`` over timestamps, the reference's
+    flagship ``days(event_ts)`` shape) — streamed commits into such
+    tables carry partition values and PRUNE from the first
+    micro-batch. Any non-reproducible field (float renderings,
+    calendar transforms under a non-UTC zone, legacy xxhash64
     bucket) disables fanout and files are written UNKEYED: pruning
     degrades conservatively (missing partition keys keep the file;
     footer stats still prune) until ``rewrite_data_files`` folds them
@@ -1327,22 +1333,37 @@ def _python_partition_fn(spec_json: list, columns: list[tuple[str, str]]):
     * identity over int/bigint/smallint/tinyint (``str(int)`` ==
       Spark's CAST), string (verbatim), date (isoformat == CAST);
     * ``days`` over a DATE source (to_date is identity there);
+    * ``days``/``hours``/``months``/``years`` over TIMESTAMP sources —
+      but ONLY when :func:`_utc_everywhere` holds (the session already
+      pins UTC, ``session.py``): Arrow delivers the column's exact
+      epoch micros, and under UTC the JVM's ``to_date`` /
+      ``date_trunc`` renderings are pure integer arithmetic on them
+      (floor-div by the unit; month/year via proleptic-Gregorian
+      fields, which Python's datetime shares with Spark). This is the
+      reference's flagship partitioning — ``days(event_ts)``
+      (ICEBERG-Interoperability-Test-Spec.md:50,
+      blob_dfs/blob-dfs_bench.py:72) — so streamed commits into the
+      reference-shaped table prune from the first micro-batch;
+    * ``months``/``years``/``hours`` over DATE (same UTC gate: the
+      JVM renders date_trunc(date) through a timestamp);
     * ``ibucket`` (murmur3 ordinals — integers, engine-independent);
     * ``itruncate`` (``v - (v mod W)``, Python's ``%`` is
       floor-signed like pmod);
     * ``truncate`` over string (first W code points).
 
-    Float/timestamp renderings, time-zone-dependent day/hour/month/
-    year over timestamps, and the legacy xxhash64 bucket are NOT
-    reproducible here — any such field disables fanout entirely
-    (PARTIAL keysets would break spec attribution on export), and the
-    task writes one unkeyed file: the conservative never-prune
-    degradation this path always had."""
+    Float renderings, calendar transforms under a NON-UTC session/host
+    zone, and the legacy xxhash64 bucket are NOT reproducible here —
+    any such field disables fanout entirely (PARTIAL keysets would
+    break spec attribution on export), and the task writes one unkeyed
+    file: the conservative never-prune degradation this path always
+    had."""
     from ..catalog.iceberg_bucket import iceberg_bucket
     from ..catalog.transforms import Transform
 
     types = {n: t.strip().lower().split("(")[0] for n, t in columns}
     _INTS = ("int", "bigint", "smallint", "tinyint", "integer", "long")
+    _TS = ("timestamp", "timestamp_ntz", "timestamp_ltz")
+    _CAL = ("days", "hours", "months", "years")
     plan: list[tuple[str, Transform, str]] = []
     for tj in spec_json:
         t = Transform.from_json(tj)
@@ -1352,6 +1373,11 @@ def _python_partition_fn(spec_json: list, columns: list[tuple[str, str]]):
             plan.append((key, t, "identity"))
         elif t.name == "days" and ty == "date":
             plan.append((key, t, "identity"))  # to_date(date) = date
+        elif t.name in _CAL and ty in _TS and _utc_everywhere():
+            plan.append((key, t, f"{t.name}_us"))
+        elif t.name in ("months", "years", "hours") and ty == "date" \
+                and _utc_everywhere():
+            plan.append((key, t, f"{t.name}_date"))
         elif t.name == "ibucket" and ty in _INTS + ("string",):
             plan.append((key, t, "ibucket"))
         elif t.name == "itruncate" and ty in _INTS:
@@ -1363,13 +1389,31 @@ def _python_partition_fn(spec_json: list, columns: list[tuple[str, str]]):
     if not plan:
         return None
 
+    _US_HOUR = 3_600_000_000
+    _US_DAY = 86_400_000_000
+
+    def _render_naive(dt: datetime.datetime) -> str:
+        # JVM timestamp→string of a truncated (zero-micros) value
+        return dt.isoformat(sep=" ")
+
     def compute(tbl) -> list[dict]:
         """One partition dict per row of the Arrow table."""
+        import pyarrow as pa
+
         from ..catalog.table import _HIVE_NULL
 
         per_field = []
         for key, t, kind in plan:
-            vals = tbl.column(t.column).to_pylist()
+            col = tbl.column(t.column)
+            if kind.endswith("_us") and pa.types.is_timestamp(col.type):
+                # exact epoch micros (tz-aware instants and ntz
+                # wall-clocks alike — the UTC gate makes them equal);
+                # normalize the storage unit first (the write path
+                # casts batches to µs, but be robust to ns inputs)
+                vals = (col.cast(pa.timestamp("us", col.type.tz))
+                        .cast(pa.int64()).to_pylist())
+            else:
+                vals = col.to_pylist()
             out = []
             for v in vals:
                 if v is None:
@@ -1377,6 +1421,30 @@ def _python_partition_fn(spec_json: list, columns: list[tuple[str, str]]):
                 elif kind == "identity":
                     out.append(v.isoformat()
                                if hasattr(v, "isoformat") else str(v))
+                elif kind == "days_us":
+                    out.append((_EPOCH_DATE + datetime.timedelta(
+                        days=v // _US_DAY)).isoformat())
+                elif kind == "hours_us":
+                    out.append(_render_naive(
+                        _EPOCH_DT + datetime.timedelta(
+                            microseconds=v - v % _US_HOUR)))
+                elif kind == "months_us":
+                    d = _EPOCH_DATE + datetime.timedelta(days=v // _US_DAY)
+                    out.append(_render_naive(
+                        datetime.datetime(d.year, d.month, 1)))
+                elif kind == "years_us":
+                    d = _EPOCH_DATE + datetime.timedelta(days=v // _US_DAY)
+                    out.append(_render_naive(
+                        datetime.datetime(d.year, 1, 1)))
+                elif kind == "months_date":
+                    out.append(_render_naive(
+                        datetime.datetime(v.year, v.month, 1)))
+                elif kind == "years_date":
+                    out.append(_render_naive(
+                        datetime.datetime(v.year, 1, 1)))
+                elif kind == "hours_date":
+                    out.append(_render_naive(
+                        datetime.datetime(v.year, v.month, v.day)))
                 elif kind == "ibucket":
                     out.append(str(iceberg_bucket(v, t.param)))
                 elif kind == "itruncate":

@@ -6,8 +6,12 @@ Python (``_python_partition_fn``). This probe drains the same
 100k-row events slice through the streaming sink into (a) an
 unpartitioned table (single file per task, the old path) and (b) an
 ``ibucket(16, user_id)`` table (murmur3 fanout, 16 files per task),
-and prints wall time per drain — measuring the fanout's per-row
-Python cost (grouping + murmur3 + multi-writer) against the baseline.
+(c) the reference's flagship shape ``days(ts) + ibucket(16,
+user_id)`` (UTC-gated calendar fanout, r11 — the source table is
+day-partitioned so each drained task covers one day and fanout stays
+under the 64-writer cap), and prints wall time per drain — measuring
+the fanout's per-row Python cost (grouping + murmur3 + calendar
+rendering + multi-writer) against the baseline.
 
 Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python scripts/stream_fanout_probe.py
 """
@@ -39,14 +43,15 @@ def main() -> None:
     try:
         src = LakeTable.create(
             spark, os.path.join(root, "src"),
-            "event_id bigint, user_id bigint, value double")
+            "event_id bigint, ts timestamp, user_id bigint, value double",
+            partition_by=["days(ts)"])
         src.append(load_table(spark, "events", SF_DIR).select(
-            "event_id", "user_id", "value"))
+            "event_id", "ts", "user_id", "value"))
 
         def drain(label: str, part):
             dst = LakeTable.create(
                 spark, os.path.join(root, label),
-                "event_id bigint, user_id bigint, value double",
+                "event_id bigint, ts timestamp, user_id bigint, value double",
                 partition_by=part)
             times = []
             for i in range(3):
@@ -75,6 +80,7 @@ def main() -> None:
 
         drain("unpartitioned", None)
         drain("ibucket16", ["ibucket(16, user_id)"])
+        drain("days_ibucket16", ["days(ts)", "ibucket(16, user_id)"])
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -61,6 +61,131 @@ def test_schema_evolution_not_applied_when_merge_refused(spark, tmp_path):
     assert t2._meta["current_schema_version"] == 0
 
 
+def test_calendar_fanout_spelling_matches_jvm_write_path(spark, tmp_path):
+    """VERDICT r10 item 1: the Python write path's UTC-gated calendar
+    renderings (days/hours/months/years over TIMESTAMP, months/years/
+    hours over DATE) must equal the JVM path's
+    `transform_expr(t).cast("string")` EXACTLY for every value — the
+    r9 E-notation lesson: one divergent spelling and _prune_files
+    equality-compares different strings, wrongly pruning."""
+    import datetime
+
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from iceberg_catalog_bench_spark.catalog.transforms import (
+        parse_spec, transform_expr,
+    )
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        _python_partition_fn,
+    )
+
+    ts_vals = [
+        datetime.datetime(2024, 2, 29, 23, 59, 59, 999999),
+        datetime.datetime(2024, 3, 1, 0, 0, 0),
+        datetime.datetime(1969, 12, 31, 23, 0, 1),     # pre-epoch
+        datetime.datetime(1969, 6, 15, 11, 30),
+        datetime.datetime(1970, 1, 1, 0, 0, 0),
+        datetime.datetime(2001, 9, 9, 1, 46, 40, 1),
+        datetime.datetime(1900, 1, 2, 3, 4, 5),
+        None,
+    ]
+    d_vals = [datetime.date(2024, 2, 29), datetime.date(1969, 7, 20),
+              datetime.date(1970, 1, 1), None]
+    rows = [(t, d) for t in ts_vals for d in d_vals]
+    df = spark.createDataFrame(rows, "ts timestamp, d date")
+
+    cases = [("days", "ts"), ("hours", "ts"), ("months", "ts"),
+             ("years", "ts"), ("months", "d"), ("years", "d"),
+             ("hours", "d"), ("days", "d")]
+    columns = [("ts", "timestamp"), ("d", "date")]
+    spec = parse_spec([f"{n}({c})" for n, c in cases])
+    fn = _python_partition_fn([t.to_json() for t in spec], columns)
+    assert fn is not None, "UTC session must admit calendar fanout"
+
+    # JVM spellings, one column per case
+    type_of = dict(columns)
+    jvm = df.select(*[
+        transform_expr(t, type_of[t.column]).cast("string").alias(f"c{i}")
+        for i, t in enumerate(spec)
+    ]).collect()
+
+    tbl = pa.Table.from_pandas(df.toPandas())
+    got = fn(tbl)
+    from iceberg_catalog_bench_spark.catalog.table import _HIVE_NULL
+    for r_jvm, r_py in zip(jvm, got):
+        for i, t in enumerate(spec):
+            key = f"_p_{t.name}_{t.column}"
+            want = r_jvm[f"c{i}"] if r_jvm[f"c{i}"] is not None else _HIVE_NULL
+            assert r_py[key] == want, (t.name, t.column, want, r_py[key])
+
+
+def test_streamed_flagship_spec_prunes_from_first_batch(spark, tmp_path):
+    """The reference's flagship partitioning — days(event_ts) +
+    bucket(tenant_id,16) (ICEBERG-Interoperability-Test-Spec.md:50) —
+    now fans out on the STREAMED write path: the first micro-batch's
+    files carry both keys and a fresh-window + tenant point read
+    prunes without waiting for compaction."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from iceberg_catalog_bench_spark.catalog.iceberg_bucket import (
+        iceberg_bucket,
+    )
+    from iceberg_catalog_bench_spark.catalog.table import LakeTable
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        register_source,
+    )
+
+    register_source(spark)
+    src = LakeTable.create(spark, str(tmp_path / "src"),
+                           "tenant_id bigint, event_ts timestamp, v string")
+    src.append(spark.range(64).select(
+        (F.col("id") % 8).alias("tenant_id"),
+        (F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+         + F.make_interval(hours=F.col("id"))).alias("event_ts"),
+        F.concat(F.lit("v"), "id").alias("v")))
+    dst = LakeTable.create(
+        spark, str(tmp_path / "dst"),
+        "tenant_id bigint, event_ts timestamp, v string",
+        partition_by=["days(event_ts)", "ibucket(16, tenant_id)"])
+    q = (
+        spark.readStream.format("laketable").option("path", src.path).load()
+        .writeStream.format("laketable").option("path", dst.path)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    dst = LakeTable.load(spark, dst.path)
+    snap = dst._snapshot(dst._meta["current_snapshot_id"])
+    assert dst.read().count() == 64
+    # every streamed file carries BOTH keys — no compaction happened
+    assert all("_p_days_event_ts" in f.partition
+               and "_p_ibucket_tenant_id" in f.partition
+               for f in snap.files)
+    days = {f.partition["_p_days_event_ts"] for f in snap.files}
+    assert days == {"2024-03-01", "2024-03-02", "2024-03-03"}
+    # fresh-window read prunes on the day key
+    kept_day = dst._prune_files(
+        snap.files, "event_ts >= '2024-03-03 00:00:00'")
+    assert 0 < len(kept_day) < len(snap.files)
+    assert all(f.partition["_p_days_event_ts"] == "2024-03-03"
+               for f in kept_day)
+    # tenant point lookup prunes on the murmur3 key too
+    kept_t = dst._prune_files(snap.files, "tenant_id = 5")
+    assert 0 < len(kept_t) < len(snap.files)
+    assert all(f.partition["_p_ibucket_tenant_id"]
+               == str(iceberg_bucket(5, 16)) for f in kept_t)
+    got = sorted(
+        r.v for r in dst.read()
+        .where("tenant_id = 5 AND event_ts >= '2024-03-03 00:00:00'")
+        .collect())
+    want = sorted(f"v{i}" for i in range(64)
+                  if i % 8 == 5 and i >= 48)
+    assert got == want
+
+
 def test_export_disambiguates_void_colliding_partition_fields(spark, tmp_path):
     """ADVICE r10: legacy bucket and non-string truncate both export as
     'void', so field-ids must key on the NATIVE transform (not the
