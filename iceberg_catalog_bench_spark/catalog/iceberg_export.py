@@ -25,6 +25,7 @@ native metadata — the round-trip test's proof of convertibility.
 from __future__ import annotations
 
 import datetime
+import decimal
 import json
 import os
 import re
@@ -249,7 +250,20 @@ def _avro_partition_value(t: Transform, sval, ice_type):
         return (int(s[:4]) - 1970) * 12 + int(s[5:7]) - 1
     if t.name == "years":
         return int(str(sval)[:4]) - 1970
-    if t.name in ("ibucket", "itruncate"):
+    if t.name == "ibucket":
+        return int(sval)
+    if t.name == "itruncate":
+        st = str(ice_type or "")
+        if st.startswith("decimal"):
+            # native spelling "12.30" → Avro decimal logical value:
+            # minimum-length two's-complement big-endian of the
+            # unscaled int (same rule as the Appendix-B hash encoding)
+            sc = int(st.rstrip(" )").split(",")[1]) if "," in st else 0
+            u = int(decimal.Decimal(str(sval)).scaleb(sc))
+            mag = u if u >= 0 else ~u
+            return u.to_bytes(mag.bit_length() // 8 + 1, "big", signed=True)
+        if st == "binary":
+            return bytes.fromhex(str(sval))
         return int(sval)
     # truncate: spec-true for string sources (first W code points both
     # sides); non-string sources export as void (always null)
@@ -264,6 +278,14 @@ def _avro_part_field_type(t: Transform, ice_type) -> object:
     if t.name in ("hours", "months", "years", "bucket", "ibucket"):
         return "int"
     if t.name == "itruncate":
+        st = str(ice_type or "")
+        if st.startswith("decimal"):
+            m = re.match(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)", st)
+            p, s = (int(m.group(1)), int(m.group(2))) if m else (10, 0)
+            return {"type": "bytes", "logicalType": "decimal",
+                    "precision": p, "scale": s}
+        if st == "binary":
+            return "bytes"
         return "long"
     return "string"  # truncate: native truncates the string rendering
 
@@ -861,14 +883,18 @@ def _native_spec_json(
                 # string truncate: both sides keep the first W code
                 # points — value-exact
                 name = "truncate"
-            elif src_type in ("int", "long"):
-                # numeric truncate: the native `itruncate` is the
-                # spec's v - (v mod W) — value-exact
+            elif src_type in ("int", "long") \
+                    or str(src_type).startswith("decimal") \
+                    or src_type == "binary":
+                # int/long/decimal/binary truncate: the native
+                # `itruncate` computes the spec's exact semantics for
+                # all four (v - (v mod W) on the value / unscaled
+                # value; first-W-bytes for binary) — value-exact
                 name = "itruncate"
             else:
-                # decimal/binary truncate: value spaces diverge from
-                # every native transform — the field adopts as
-                # clustering-free (no native transform, values dropped)
+                # truncate over a type the spec does not define it on
+                # (float/double/…): no portable value space — the
+                # field adopts as clustering-free (values dropped)
                 continue
             out.append(Transform(name, col, int(m.group(2))).to_json())
         elif tr == "void":
@@ -884,7 +910,8 @@ def _native_spec_json(
 
 
 def _adopt_partition(part: dict, spec_fields_by_name: dict,
-                     names_by_id: dict[int, str]) -> dict:
+                     names_by_id: dict[int, str],
+                     types_by_id: dict | None = None) -> dict:
     """Foreign manifest partition struct → native ``_p_*`` hive keys.
 
     Only conversions whose VALUE SPELLING provably matches the native
@@ -953,17 +980,36 @@ def _adopt_partition(part: dict, spec_fields_by_name: dict,
             out[f"_p_months_{col}"] = f"{1970 + y:04d}-{m + 1:02d}-01 00:00:00"
         elif tr == "year" and is_int:
             out[f"_p_years_{col}"] = f"{1970 + v:04d}-01-01 00:00:00"
-        elif re.match(r"^truncate\[\d+\]$", tr) and isinstance(v, str):
-            # string truncate: both sides keep the first W code points
-            # — value-exact (the adopted spec carries the transform
-            # only for string sources, so prune literals truncate the
-            # same way)
-            out[f"_p_truncate_{col}"] = v
-        elif re.match(r"^truncate\[\d+\]$", tr) and is_int:
-            # numeric truncate → the native spec-true itruncate
-            out[f"_p_itruncate_{col}"] = str(v)
-        # decimal/binary truncate: incompatible truncation value
-        # spaces — omit the key (file is simply never pruned on it)
+        elif re.match(r"^truncate\[\d+\]$", tr):
+            st = str((types_by_id or {}).get(f["source-id"], ""))
+            if st.startswith("decimal"):
+                # decimal truncate: the value is the truncated decimal
+                # (Avro carries the unscaled two's-complement bytes;
+                # JSON dialects a rendered string). Native spelling =
+                # Spark's CAST(decimal AS STRING) at the declared
+                # scale, which Decimal(u)·10^-s reproduces exactly.
+                sc = int(st.rstrip(" )").split(",")[1]) if "," in st else 0
+                if isinstance(v, (bytes, bytearray)):
+                    u = int.from_bytes(bytes(v), "big", signed=True)
+                else:
+                    u = int(decimal.Decimal(str(v)).scaleb(sc))
+                out[f"_p_itruncate_{col}"] = str(
+                    decimal.Decimal(u).scaleb(-sc))
+            elif st == "binary" and isinstance(v, (bytes, bytearray)):
+                # binary truncate: first W bytes — native spelling is
+                # the uppercase hex the JVM hex() rendering produces
+                out[f"_p_itruncate_{col}"] = bytes(v).hex().upper()
+            elif isinstance(v, str):
+                # string truncate: both sides keep the first W code
+                # points — value-exact (the adopted spec carries the
+                # transform only for string sources, so prune literals
+                # truncate the same way)
+                out[f"_p_truncate_{col}"] = v
+            elif is_int:
+                # numeric truncate → the native spec-true itruncate
+                out[f"_p_itruncate_{col}"] = str(v)
+            # any other (type, value) combination: omit the key (the
+            # file is simply never pruned on it)
     return out
 
 
@@ -1437,6 +1483,7 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
                             d.get("partition") or {},
                             spec_fields_by_id.get(spec_id, {}),
                             names_by_id,
+                            types_by_id,
                         ),
                         "seq": d.get("data-sequence-number", inherit_seq),
                     })
@@ -1621,24 +1668,29 @@ def validate_iceberg_metadata(metadata_path: str) -> list[dict]:
                     f"field {f.get('name')!r} sources unknown id "
                     f"{f.get('source-id')}")
             tr = f.get("transform", "")
-            # bucket[N] is PORTABLE since round 10 (the native ibucket
-            # transform is the spec's murmur3, Appendix B), truncate[W]
-            # on STRING sources is value-identical (first W code points
-            # both sides), and truncate[W] on int/long is the native
-            # itruncate (v - (v mod W)) — only decimal/binary truncate
-            # still degrades.
+            # Every transform the Iceberg spec defines is PORTABLE
+            # now: bucket[N] is the native murmur3 ibucket (r10),
+            # truncate[W] on string keeps the first W code points both
+            # sides, and truncate[W] on int/long/decimal/binary is the
+            # native itruncate (r11: v - (v mod W) on the value /
+            # unscaled value, first-W-bytes for binary). The only
+            # remaining flag is a truncate over a source type the SPEC
+            # does not define it on — invalid metadata, not a
+            # portability degradation.
             src_type = None
             for sc in md["schemas"]:
                 for sf in sc.get("fields", []):
                     if sf["id"] == f.get("source-id"):
                         src_type = sf["type"]
-            if re.match(r"^truncate\[\d+\]$", tr) and \
-                    str(src_type) not in ("string", "int", "long"):
-                add("info", "nonportable-transform-values",
+            if re.match(r"^truncate\[\d+\]$", tr) and src_type is not None \
+                    and str(src_type) not in ("string", "int", "long") \
+                    and not str(src_type).startswith("decimal") \
+                    and str(src_type) != "binary":
+                add("warning", "invalid-transform-source",
                     f"spec {sp.get('spec-id')}",
-                    f"{tr} over a {src_type} source uses engine-specific "
-                    "truncation spaces; adopted files will not prune on "
-                    "this field")
+                    f"{tr} over a {src_type} source is not defined by "
+                    "the Iceberg spec; the field adopts as "
+                    "clustering-free")
 
     # --- snapshots, manifests, files ---
     snap_ids = {s["snapshot-id"] for s in md.get("snapshots") or []}

@@ -98,11 +98,29 @@ def transform_expr(t: Transform, input_type: str | None = None) -> Column:
     if t.name == "itruncate":
         if not t.param:
             raise ValueError("itruncate transform needs a width")
-        # Iceberg-spec NUMERIC truncate (table spec §Partition
-        # Transforms): v - (v mod W) with a floor-signed remainder, so
-        # truncate(-7, 10) = -10. pmod gives exactly that remainder.
-        # Pure JVM — value-identical to what a conforming external
-        # reader computes for int/long sources.
+        # Iceberg-spec truncate (table spec §Partition Transforms),
+        # value-identical to a conforming external reader for every
+        # source type the spec defines it on:
+        # - int/long: v - (v mod W), floor-signed remainder (pmod), so
+        #   truncate(-7, 10) = -10;
+        # - decimal(p,s): the same arithmetic on the UNSCALED value —
+        #   expressed as v - pmod(v, W·10^-s), which keeps scale s so
+        #   the string rendering carries the declared digits;
+        # - binary: the first W bytes, rendered as uppercase hex (our
+        #   dialect for a partition-value STRING spelling of bytes —
+        #   exports convert back to raw bytes).
+        # All pure JVM.
+        base = (input_type or "").strip().lower()
+        if base.startswith("decimal"):
+            import decimal as _dec
+            import re as _re
+
+            m = _re.match(r"decimal\(\s*\d+\s*,\s*(\d+)\s*\)", base)
+            scale = int(m.group(1)) if m else 0
+            w = _dec.Decimal(t.param).scaleb(-scale)
+            return c - F.pmod(c, F.lit(w))
+        if base == "binary":
+            return F.hex(F.substring(c, 1, t.param))
         lc = c.cast("long")
         return lc - F.pmod(lc, F.lit(t.param))
     raise ValueError(f"unsupported transform {t.name!r}; supported: {SUPPORTED}")

@@ -1904,17 +1904,20 @@ def insert_overwrite_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pinned-transcript pattern): a clean chain yields zero
         # findings; the five-way sabotage yields exactly these codes;
         # repair fixes the fixable three and the re-validation keeps
-        # only the unrepairable error + the informational truncate note
+        # only the unrepairable error + the invalid-spec warning
+        # (r11: decimal/binary truncate are PORTABLE — the truncate
+        # sabotage is now over a double source, which the Iceberg spec
+        # does not define truncate on at all)
         "SELECT 'clean' AS phase, CAST(0 AS BIGINT) AS n_errors, "
         "CAST(0 AS BIGINT) AS n_warnings, CAST(0 AS BIGINT) AS n_infos, "
         "'' AS codes "
         "UNION ALL SELECT 'repair', 0, 0, 0, "
         "'dangling-ref,manifest-length-drift,missing-data-file' "
-        "UNION ALL SELECT 'repaired', 1, 0, 1, "
-        "'nonportable-transform-values,unresolvable-equality-id' "
-        "UNION ALL SELECT 'sabotaged', 3, 1, 1, "
-        "'dangling-ref,manifest-length-drift,missing-data-file,"
-        "nonportable-transform-values,unresolvable-equality-id' "
+        "UNION ALL SELECT 'repaired', 1, 1, 0, "
+        "'invalid-transform-source,unresolvable-equality-id' "
+        "UNION ALL SELECT 'sabotaged', 3, 2, 0, "
+        "'dangling-ref,invalid-transform-source,manifest-length-drift,"
+        "missing-data-file,unresolvable-equality-id' "
         "ORDER BY phase"
     ),
 )
@@ -1923,7 +1926,8 @@ def iceberg_validate_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shape ``iceberg_register_adopted`` adopts — DuckDB parquet,
     Avro manifests would behave identically), validate it CLEAN, then
     sabotage it five distinct ways (dangling ref, vanished data file,
-    alien equality-id, manifest-length drift, decimal-truncate spec) and pin the
+    alien equality-id, manifest-length drift, truncate-over-double
+    spec — a transform the Iceberg spec does not define) and pin the
     exact finding codes and severity counts
     (``validate_iceberg_metadata`` — the reference is a validation
     harness; this is the validation surface pointed at Iceberg
@@ -1980,9 +1984,10 @@ def iceberg_validate_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = {"type": "struct", "schema-id": 0, "fields": [
         {"id": 1, "name": "k", "required": False, "type": "long"},
         {"id": 2, "name": "v", "required": False, "type": "string"},
-        {"id": 3, "name": "w", "required": False, "type": "decimal(9, 2)"}]}
+        {"id": 3, "name": "w", "required": False, "type": "decimal(9, 2)"},
+        {"id": 4, "name": "x", "required": False, "type": "double"}]}
     md = {
-        "format-version": 2, "location": root, "last-column-id": 3,
+        "format-version": 2, "location": root, "last-column-id": 4,
         "current-schema-id": 0, "schemas": [schema],
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": []}],
@@ -2008,10 +2013,11 @@ def iceberg_validate_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # five-way sabotage, same as the pytest pin
     md["refs"] = {"ghost": {"snapshot-id": 999, "type": "tag"}}
-    # decimal source: the one truncate flavor that stays nonportable
-    # (string/int/long truncate are value-exact since round 10)
+    # double source: truncate is undefined on it per the Iceberg spec
+    # (decimal/binary truncate are value-exact native itruncate since
+    # r11; string/int/long since r10) — flags invalid-transform-source
     md["partition-specs"][0]["fields"].append(
-        {"field-id": 1000, "source-id": 3, "name": "w_trunc",
+        {"field-id": 1000, "source-id": 4, "name": "x_trunc",
          "transform": "truncate[8]"})
     with open(mp, "w") as fh:
         json.dump(md, fh)
@@ -2029,7 +2035,7 @@ def iceberg_validate_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ... and REPAIR the fixable (VERDICT r9 item 4): quarantine the
     # vanished file's entries, re-resolve drifted manifest lengths,
     # drop the ghost ref — then re-validate: only the unrepairable
-    # (alien equality id) and the informational (truncate) remain
+    # (alien equality id) and the invalid-spec warning remain
     from ..catalog.iceberg_export import repair_iceberg_metadata
 
     acts = repair_iceberg_metadata(mp)

@@ -129,8 +129,10 @@ data.
 from __future__ import annotations
 
 import datetime
+import decimal
 import json
 import os
+import re
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
@@ -179,6 +181,10 @@ def _arrow_type(ddl: str):
     import pyarrow as pa
 
     key = ddl.strip().lower()
+    if key.startswith("decimal"):
+        m = re.match(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)", key)
+        p, s = (int(m.group(1)), int(m.group(2))) if m else (10, 0)
+        return pa.decimal128(p, s)
     if key not in _DDL_ARROW:
         raise NotImplementedError(
             f"laketable python source supports primitive columns only; "
@@ -1347,8 +1353,10 @@ def _python_partition_fn(spec_json: list, columns: list[tuple[str, str]]):
     * ``months``/``years``/``hours`` over DATE (same UTC gate: the
       JVM renders date_trunc(date) through a timestamp);
     * ``ibucket`` (murmur3 ordinals — integers, engine-independent);
-    * ``itruncate`` (``v - (v mod W)``, Python's ``%`` is
-      floor-signed like pmod);
+    * ``itruncate`` over int/long (``v - (v mod W)``, Python's ``%``
+      is floor-signed like pmod), decimal (the same arithmetic on the
+      exact unscaled int, rendered at the declared scale) and binary
+      (first W bytes as uppercase hex, matching JVM ``hex()``);
     * ``truncate`` over string (first W code points).
 
     Float renderings, calendar transforms under a NON-UTC session/host
@@ -1382,6 +1390,10 @@ def _python_partition_fn(spec_json: list, columns: list[tuple[str, str]]):
             plan.append((key, t, "ibucket"))
         elif t.name == "itruncate" and ty in _INTS:
             plan.append((key, t, "itruncate"))
+        elif t.name == "itruncate" and ty == "decimal":
+            plan.append((key, t, "itruncate_dec"))
+        elif t.name == "itruncate" and ty == "binary":
+            plan.append((key, t, "itruncate_bin"))
         elif t.name == "truncate" and ty == "string":
             plan.append((key, t, "truncate"))
         else:
@@ -1449,6 +1461,16 @@ def _python_partition_fn(spec_json: list, columns: list[tuple[str, str]]):
                     out.append(str(iceberg_bucket(v, t.param)))
                 elif kind == "itruncate":
                     out.append(str(int(v) - int(v) % t.param))
+                elif kind == "itruncate_dec":
+                    # exact unscaled arithmetic; rebuild at the same
+                    # exponent so str() renders the declared scale
+                    # (never E notation: exponent stays ≤ 0)
+                    exp = v.as_tuple().exponent
+                    u = int(v.scaleb(-exp))
+                    out.append(str(decimal.Decimal(
+                        u - u % t.param).scaleb(exp)))
+                elif kind == "itruncate_bin":
+                    out.append(bytes(v)[:t.param].hex().upper())
                 else:  # truncate over string
                     out.append(v[:t.param])
             per_field.append((key, out))

@@ -186,6 +186,210 @@ def test_streamed_flagship_spec_prunes_from_first_batch(spark, tmp_path):
     assert got == want
 
 
+def test_decimal_truncate_native_roundtrip(spark, tmp_path):
+    """VERDICT r10 item 3: spec decimal truncate — the unscaled value
+    truncates v - (v mod W) (floor-signed), native writes cluster by
+    it, point lookups prune, the export carries truncate[W] with Avro
+    decimal (min-length two's-complement unscaled bytes) a conforming
+    reader prunes correctly, and re-adoption prunes too."""
+    import decimal
+
+    from iceberg_catalog_bench_spark.catalog import avro_ocf
+    from iceberg_catalog_bench_spark.catalog.iceberg_export import (
+        adopt_iceberg_metadata, validate_iceberg_metadata,
+    )
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), "k bigint, d decimal(10,2)",
+        partition_by=["itruncate(100, d)"])  # W=100 unscaled = 1.00
+    rows = [(1, "0.05"), (2, "1.55"), (3, "1.99"), (4, "2.50"),
+            (5, "-0.07"), (6, "9.99")]
+    t.append(spark.createDataFrame(
+        [(k, decimal.Decimal(v)) for k, v in rows],
+        "k bigint, d decimal(10,2)"))
+    snap = t._snapshot(t._meta["current_snapshot_id"])
+    vals = {f.partition["_p_itruncate_d"] for f in snap.files}
+    assert vals == {"0.00", "1.00", "2.00", "-1.00", "9.00"}
+    kept = t._prune_files(snap.files, "d = 1.55")
+    assert len(kept) == 1 and \
+        kept[0].partition["_p_itruncate_d"] == "1.00"
+    assert [r.k for r in t.read().where("d = 1.55").collect()] == [2]
+
+    # export: spec-true truncate[100] with Avro decimal values — check
+    # against a simulated conforming evaluator (u - (u mod W) on the
+    # unscaled int, exactly the spec's formula)
+    mp = to_iceberg_metadata(t, manifest_format="avro")
+    md = json.load(open(mp))
+    fields = {s["spec-id"]: s for s in md["partition-specs"]}[
+        md["default-spec-id"]]["fields"]
+    assert [(f["name"], f["transform"]) for f in fields] == [
+        ("d_truncate", "truncate[100]")]
+    head = md["current-snapshot-id"]
+    sl = next(s for s in md["snapshots"] if s["snapshot-id"] == head)
+    _, mans = avro_ocf.read_ocf(sl["manifest-list"])
+    got = set()
+    for m in mans:
+        _, recs = avro_ocf.read_ocf(m["manifest_path"])
+        for r in recs:
+            b = r["data_file"]["partition"]["d_truncate"]
+            assert isinstance(b, (bytes, bytearray))
+            got.add(int.from_bytes(b, "big", signed=True))
+    def conforming(v):
+        u = int(decimal.Decimal(v).scaleb(2))
+        return u - u % 100
+    assert got == {conforming(v) for _, v in rows}
+    # min-length encoding: -100 is one byte (0x9C), not 0xFF9C
+    assert (-100).to_bytes(1, "big", signed=True) == b"\x9c"
+    assert all(len((u).to_bytes(
+        ((u if u >= 0 else ~u).bit_length() // 8) + 1, "big", signed=True))
+        >= 1 for u in got)
+
+    # no portability finding; re-adoption keeps the transform live
+    assert validate_iceberg_metadata(mp) == []
+    t2 = adopt_iceberg_metadata(spark, mp, str(tmp_path / "re"))
+    assert [(s["transform"], s["column"])
+            for s in t2._meta["partition_spec"]] == [("itruncate", "d")]
+    s2 = t2._snapshot(t2._meta["current_snapshot_id"])
+    kept2 = t2._prune_files(s2.files, "d = 1.55")
+    assert len(kept2) == 1 and \
+        kept2[0].partition["_p_itruncate_d"] == "1.00"
+    assert [r.k for r in t2.read().where("d = 1.55").collect()] == [2]
+
+
+def test_binary_truncate_native_roundtrip(spark, tmp_path):
+    """Spec binary truncate (first W bytes): native clustering renders
+    uppercase hex, exports raw bytes, re-adopts and prunes."""
+    from iceberg_catalog_bench_spark.catalog import avro_ocf
+    from iceberg_catalog_bench_spark.catalog.iceberg_export import (
+        adopt_iceberg_metadata, validate_iceberg_metadata,
+    )
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), "k bigint, b binary",
+        partition_by=["itruncate(4, b)"])
+    data = [(1, b"hello world"), (2, b"hellfire"), (3, b"ab"),
+            (4, b"\x00\xff\x10\x20\x30")]
+    t.append(spark.createDataFrame(data, "k bigint, b binary"))
+    snap = t._snapshot(t._meta["current_snapshot_id"])
+    vals = {f.partition["_p_itruncate_b"] for f in snap.files}
+    assert vals == {"68656C6C", "6162", "00FF1020"}
+    kept = t._prune_files(snap.files, "b = 'hello world'")
+    assert len(kept) == 1 and \
+        kept[0].partition["_p_itruncate_b"] == "68656C6C"
+    assert [r.k for r in t.read()
+            .where("b = CAST('hellfire' AS BINARY)").collect()] == [2]
+
+    mp = to_iceberg_metadata(t, manifest_format="avro")
+    md = json.load(open(mp))
+    fields = {s["spec-id"]: s for s in md["partition-specs"]}[
+        md["default-spec-id"]]["fields"]
+    assert [(f["name"], f["transform"]) for f in fields] == [
+        ("b_truncate", "truncate[4]")]
+    head = md["current-snapshot-id"]
+    sl = next(s for s in md["snapshots"] if s["snapshot-id"] == head)
+    _, mans = avro_ocf.read_ocf(sl["manifest-list"])
+    got = set()
+    for m in mans:
+        _, recs = avro_ocf.read_ocf(m["manifest_path"])
+        for r in recs:
+            got.add(bytes(r["data_file"]["partition"]["b_truncate"]))
+    # conforming evaluator: the first min(W, len) bytes
+    assert got == {v[:4] for _, v in data}
+    assert validate_iceberg_metadata(mp) == []
+    t2 = adopt_iceberg_metadata(spark, mp, str(tmp_path / "re"))
+    assert [(s["transform"], s["column"])
+            for s in t2._meta["partition_spec"]] == [("itruncate", "b")]
+    s2 = t2._snapshot(t2._meta["current_snapshot_id"])
+    kept2 = t2._prune_files(s2.files, "b = 'hellfire'")
+    assert len(kept2) == 1 and \
+        kept2[0].partition["_p_itruncate_b"] == "68656C6C"
+
+
+def test_python_writer_fanout_decimal_binary_itruncate(spark, tmp_path):
+    """The Python (laketable-format) write path fans out decimal and
+    binary itruncate too, with the exact JVM spellings."""
+    import decimal
+
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        register_source,
+    )
+
+    register_source(spark)
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        "k bigint, d decimal(10,2), b binary",
+        partition_by=["itruncate(100, d)", "itruncate(4, b)"])
+    df = spark.createDataFrame(
+        [(1, decimal.Decimal("1.55"), b"hello"),
+         (2, decimal.Decimal("-0.07"), b"ab"),
+         (3, None, None)],
+        "k bigint, d decimal(10,2), b binary")
+    df.write.format("laketable").option("path", t.path) \
+      .mode("append").save()
+    t = LakeTable.load(spark, t.path)
+    snap = t._snapshot(t._meta["current_snapshot_id"])
+    pairs = {(f.partition["_p_itruncate_d"], f.partition["_p_itruncate_b"])
+             for f in snap.files}
+    assert pairs == {("1.00", "68656C6C"), ("-1.00", "6162"),
+                     ("__HIVE_DEFAULT_PARTITION__",
+                      "__HIVE_DEFAULT_PARTITION__")}
+    kept = t._prune_files(snap.files, "d = 1.55")
+    assert len(kept) == 1 and kept[0].partition["_p_itruncate_d"] == "1.00"
+    assert [r.k for r in t.read().where("d = 1.55").collect()] == [1]
+
+
+def test_foreign_decimal_truncate_chain_adopts_and_prunes(spark, tmp_path):
+    """A foreign chain partitioned truncate[W] over a decimal source
+    (JSON dialect: rendered decimal strings) adopts as the native
+    itruncate with live pruning — the last nonportable-transform case
+    is gone, and truncate-over-double now flags invalid-transform-source."""
+    import duckdb
+
+    from iceberg_catalog_bench_spark.catalog.iceberg_export import (
+        adopt_iceberg_metadata, validate_iceberg_metadata,
+    )
+    from tests.test_round9 import _chain, _data_file
+
+    root = str(tmp_path / "foreign")
+    data = os.path.join(root, "data")
+    os.makedirs(data)
+    files = []
+    for i, (part, rows) in enumerate([
+        ("0.00", [(1, "0.70"), (2, "1.40")]),
+        ("2.00", [(3, "2.10"), (4, "2.80")]),
+        ("4.00", [(5, "4.20"), (6, "5.99")]),
+    ]):
+        p = os.path.join(data, f"f{i}.parquet")
+        vals = ", ".join(
+            f"(CAST({k} AS BIGINT), CAST({d} AS DECIMAL(9,2)))"
+            for k, d in rows)
+        duckdb.sql(f"COPY (SELECT * FROM (VALUES {vals}) t(k, d)) "
+                   f"TO '{p}' (FORMAT PARQUET)")
+        files.append((p, part))
+    schema = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "d", "required": False, "type": "decimal(9, 2)"}]}
+    spec = {"spec-id": 0, "fields": [
+        {"field-id": 1000, "source-id": 2, "name": "d_trunc",
+         "transform": "truncate[200]"}]}  # 200 unscaled = 2.00
+    entries = [_data_file(p, 2, seq=1,
+                          extra={"partition": {"d_trunc": part}})
+               for p, part in files]
+    mp = _chain(root, [(1, 1, [("m1.json", 0, entries)])],
+                schemas=[schema], specs=[spec])
+    assert validate_iceberg_metadata(mp) == []
+    t = adopt_iceberg_metadata(spark, mp, str(tmp_path / "adopted"))
+    assert [(s["transform"], s["column"], s.get("param"))
+            for s in t._meta["partition_spec"]] == [("itruncate", "d", 200)]
+    snap = t._snapshot(t._meta["current_snapshot_id"])
+    assert {f.partition["_p_itruncate_d"] for f in snap.files} == \
+        {"0.00", "2.00", "4.00"}
+    kept = t._prune_files(snap.files, "d = 2.80")  # i=4 → 2.80
+    assert len(kept) == 1 and \
+        kept[0].partition["_p_itruncate_d"] == "2.00"
+    assert [r.k for r in t.read().where("d = 2.80").collect()] == [4]
+
+
 def test_export_disambiguates_void_colliding_partition_fields(spark, tmp_path):
     """ADVICE r10: legacy bucket and non-string truncate both export as
     'void', so field-ids must key on the NATIVE transform (not the

@@ -645,7 +645,8 @@ def test_validate_iceberg_metadata_reports_everything(spark, tmp_path):
     assert validate_iceberg_metadata(mp) == []
 
     # sabotage: dangling ref, vanished data file, alien equality id,
-    # stale manifest-length, decimal-truncate spec
+    # stale manifest-length — plus a decimal-truncate spec field,
+    # which is PORTABLE since r11 (native itruncate) and must NOT flag
     md = json.load(open(mp))
     md["refs"] = {"ghost": {"snapshot-id": 999, "type": "tag"}}
     md["schemas"][0]["fields"].append(
@@ -666,13 +667,11 @@ def test_validate_iceberg_metadata_reports_everything(spark, tmp_path):
 
     codes = {f["code"] for f in validate_iceberg_metadata(mp)}
     assert codes == {"dangling-ref", "missing-data-file",
-                     "unresolvable-equality-id", "manifest-length-drift",
-                     "nonportable-transform-values"}
+                     "unresolvable-equality-id", "manifest-length-drift"}
     severities = {f["code"]: f["severity"]
                   for f in validate_iceberg_metadata(mp)}
     assert severities["missing-data-file"] == "error"
     assert severities["manifest-length-drift"] == "warning"
-    assert severities["nonportable-transform-values"] == "info"
 
     # the SQL spelling: CALL system.validate_table(metadata_file => …)
     from iceberg_catalog_bench_spark.engine import SqlEngine
