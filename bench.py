@@ -380,6 +380,38 @@ def main() -> None:
         )
         shutil.rmtree(sdir, ignore_errors=True)
 
+    # Murmur3 standing phase (VERDICT r10 item 4): append the events
+    # slice into an `ibucket(16, user_id)` table — the spec-true
+    # murmur3 write path (null-masked, numpy-vectorized Arrow UDF) —
+    # then a point lookup on it. The r10 write probe was a one-off
+    # script; this puts the ibucket hot path inside the 2× gate. The
+    # pruning claim (1 bucket in 16) is ASSERTED after the phase, not
+    # just timed.
+    ibdir = tempfile.mkdtemp(prefix="bench-ibucket-")
+    ibt = LakeTable.create(
+        spark, os.path.join(ibdir, "t"),
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+        partition_by=["ibucket(16, user_id)"],
+    )
+
+    def _ibucket_write_lookup() -> None:
+        ibt.append(events)
+        ibt.scan("user_id = 123").collect()
+
+    phase_once("ibucket_write_lookup", _ibucket_write_lookup)
+    from iceberg_catalog_bench_spark.catalog.iceberg_bucket import (
+        iceberg_bucket,
+    )
+
+    _ibsnap = ibt._snapshot(ibt._meta["current_snapshot_id"])
+    _ibkept = ibt._prune_files(_ibsnap.files, "user_id = 123")
+    _ibwant = str(iceberg_bucket(123, 16))
+    assert _ibkept and len(_ibkept) < len(_ibsnap.files) and all(
+        f.partition["_p_ibucket_user_id"] == _ibwant for f in _ibkept
+    ), "ibucket point lookup must prune to the key's bucket"
+    shutil.rmtree(ibdir, ignore_errors=True)
+
     # 10M-row scale pair (round 4): the fanout-write + manifest-pruned
     # read whose layout claims were previously only probe-verified in
     # BASELINE.md — promoted to a standing phase so a pruning/fanout
