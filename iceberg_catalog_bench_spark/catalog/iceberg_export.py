@@ -925,14 +925,16 @@ def _adopt_partition(part: dict, spec_fields_by_name: dict,
     encodings, so a point lookup on an adopted bucket-partitioned
     table (the reference's flagship shape: ``bucket(tenant_id,16)``,
     ICEBERG-Interoperability-Test-Spec.md:50) prunes exactly.
-    Iceberg truncates integers numerically while the native transform
-    truncates the string rendering — emitting truncate values would
-    let ``_prune_files`` compare incompatible truncation spaces and
-    WRONGLY prune, so those are dropped instead: a missing partition
-    key means "never prune this file" (the same conservative
-    degradation streamed files use). ``void`` fields carry nothing and
-    are skipped. Keys already in the native ``_p_*`` dialect (this
-    repo's own export) pass through whole.
+    ``truncate[W]`` converts by SOURCE TYPE to the native value-exact
+    transform: string → ``truncate`` (first W code points both sides),
+    int/long → ``itruncate`` numerals, decimal → ``itruncate`` at the
+    declared scale (Avro carries unscaled two's-complement bytes),
+    binary → ``itruncate`` uppercase hex (r11 — the full spec truncate
+    matrix). A (type, value) combination outside that matrix omits the
+    key: a missing partition key means "never prune this file" (the
+    same conservative degradation streamed files use). ``void`` fields
+    carry nothing and are skipped. Keys already in the native ``_p_*``
+    dialect (this repo's own export) pass through whole.
     """
     out: dict[str, str] = {}
     for k, v in part.items():

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..sources import load_table
 from .registry import register
@@ -773,6 +774,145 @@ ORDER BY cluster_id
 """
 
 
+def semdedup_centroids(spark: SparkSession, emb: DataFrame, k: int,
+                       method: str = "first", iters: int = 2) -> DataFrame:
+    """Centroid source for :func:`semdedup_report` — (cid, cv) rows.
+
+    ``method="first"``: the first K vectors by vec_id. Deterministic,
+    so the driver oracle reproduces the assignment in SQL; centroid
+    QUALITY is whatever the corpus head happens to be.
+
+    ``method="kmeans"``: production centroids — distributed sampled
+    seeding + Lloyd iterations (the ann_ivf training shape):
+
+    * seeds are the K corpus vectors with the smallest
+      ``xxhash64(vec_id)`` — a uniform pseudo-random sample computed
+      as ONE TakeOrdered top-K heap pass over the corpus (the
+      distributed stand-in for k-means||'s oversampled seeding: no
+      driver-side randomness, no full sort, deterministic given the
+      corpus);
+    * each Lloyd iteration is broadcast-assign (crossJoin + map-side
+      struct-max argmax — the same no-Window idiom the report stage
+      pins) → per-dimension mean → a K×d centroid table
+      driver-materialized between iterations (KB-sized at any corpus
+      scale, like any broadcast model).
+
+    Every stage downstream of the centroid table is unchanged between
+    the two methods — that is the point: swapping in real k-means
+    centroids never touches the report plan."""
+    if method == "first":
+        return emb.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    if method != "kmeans":
+        raise ValueError(f"unknown centroid method {method!r}")
+    seed_rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(k)
+        .collect()
+    )
+    vec_type = emb.schema["embedding"].dataType
+    cents = spark.createDataFrame(
+        [(i, r["embedding"]) for i, r in enumerate(seed_rows)],
+        T.StructType([
+            T.StructField("cid", T.LongType()),
+            T.StructField("cv", vec_type),
+        ]),
+    )
+    for _ in range(iters):
+        dims = emb.join(_semdedup_assign(emb, cents), "vec_id").select(
+            "cid", F.posexplode(F.col("embedding")).alias("pos", "val"))
+        new = (
+            dims.groupBy("cid", "pos").agg(F.avg("val").alias("v"))
+            .groupBy("cid")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s["v"]).alias("cv"))
+        )
+        cents = spark.createDataFrame(new.collect(), new.schema)
+    return cents
+
+
+def _unit_rows(df: DataFrame, vec_col: str) -> DataFrame:
+    """Replace ``vec_col`` with its unit-normalized double vector —
+    ONE extra pass per ROW, so every downstream cosine is a single
+    dot-product pass per PAIR instead of three (dot + two norms).
+    Spark interprets higher-order functions (no codegen), so at
+    SemDeDup's n·(n/K) pair volume the 3-pass cosine is the dominant
+    cost: measured 2.5× on the whole assign+pair report at 250k
+    vectors (260.9s → 105.9s, BASELINE.md r11 probe)."""
+    from ..functions import l2_norm
+
+    return (
+        df.withColumn("_norm", l2_norm(vec_col))
+        .withColumn(vec_col, F.expr(
+            f"transform({vec_col}, x -> CAST(x AS DOUBLE) / _norm)"))
+        .drop("_norm")
+    )
+
+
+def _semdedup_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cid): nearest centroid, ties → lowest cid. Broadcast
+    crossJoin + partial-aggregatable struct-max — map-side combine, so
+    only (vec_id, best) rows cross the wire; NEVER a window over the
+    n×K crossJoin output (plan-pinned). Both sides are unit-normalized
+    once, so each of the n×K evaluations is one dot pass."""
+    from ..functions import dot_product
+
+    sim = dot_product("cv", "embedding")
+    return (
+        _unit_rows(emb, "embedding")
+        .crossJoin(F.broadcast(_unit_rows(cents, "cv")))
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(sim.alias("s"),
+                            (-F.col("cid")).alias("ncid"))).alias("m"))
+        .select("vec_id", (-F.col("m.ncid")).alias("cid"))
+    )
+
+
+def semdedup_report(emb: DataFrame, cents: DataFrame,
+                    tau: float) -> DataFrame:
+    """The SemDeDup cluster-then-pair stages downstream of any
+    centroid source: assign (map-side), shuffle ONCE on cluster id,
+    per-cluster pair search bounded by cluster size, keep-lowest-id
+    drop accounting. Vectors are unit-normalized BEFORE the pair
+    join, so the per-pair similarity is one dot pass."""
+    from ..functions import dot_product
+
+    ass = _unit_rows(emb, "embedding").join(
+        _semdedup_assign(emb, cents), "vec_id").select(
+        "vec_id", "embedding", "cid")
+    x = ass.select(F.col("cid"), F.col("vec_id").alias("a"),
+                   F.col("embedding").alias("va"))
+    y = ass.select(F.col("cid"), F.col("vec_id").alias("b"),
+                   F.col("embedding").alias("vb"))
+    pairs = (
+        x.join(y, ["cid"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("s", dot_product("va", "vb"))
+        .select("cid", "a", "b", "s")
+    )
+    sizes = ass.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_vectors"))
+    drops = (
+        pairs.filter(F.col("s") >= tau)
+        .select("cid", "b").distinct()
+        .groupBy("cid").agg(F.count("*").cast("bigint").alias("n_dropped"))
+    )
+    tight = pairs.groupBy("cid").agg(F.max("s").alias("max_cos"))
+    return (
+        sizes.join(drops, "cid", "left").join(tight, "cid", "left")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_vectors",
+            F.coalesce("n_dropped", F.lit(0)).cast("bigint")
+            .alias("n_dropped"),
+            F.coalesce(F.round("max_cos", 4), F.lit(0.0)).alias("max_cos"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 @register("dedup_semantic_clusters", oracle=_ORACLE_SEMDEDUP)
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup, cluster-then-pair (the SemDeDup shape, Abbas et
@@ -796,53 +936,10 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     each task's quadratic is bounded by its cluster size — K scales
     with n to hold n/K constant. Keep-lowest-id is a deterministic,
     join-free policy (an aggregate per vector, not a sequential scan).
-    """
-    from ..functions import cosine_similarity
-
+    Production centroids: ``semdedup_centroids(..., method="kmeans")``
+    swaps k-means iterates in behind the SAME report stages
+    (plan-pinned, scale-probed in BASELINE.md)."""
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "embedding")
-    cents = emb.filter(F.col("vec_id") < _SEMDEDUP_K).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
-    # argmax via a partial-aggregatable max-of-struct (the ann_ivf
-    # _assign idiom), NOT a window: a window over the n×K crossJoin
-    # output would shuffle K copies of the corpus; the struct-max
-    # combines map-side so only (vec_id, best) rows cross the wire.
-    # Ties break on LOWEST centroid id (max of -cid) in both engines.
-    sim = cosine_similarity("cv", "embedding")
-    best = (
-        emb.crossJoin(F.broadcast(cents))
-        .groupBy("vec_id")
-        .agg(F.max(F.struct(sim.alias("s"),
-                            (-F.col("cid")).alias("ncid"))).alias("m"))
-        .select("vec_id", (-F.col("m.ncid")).alias("cid"))
-    )
-    ass = emb.join(best, "vec_id").select("vec_id", "embedding", "cid")
-    x = ass.select(F.col("cid"), F.col("vec_id").alias("a"),
-                   F.col("embedding").alias("va"))
-    y = ass.select(F.col("cid"), F.col("vec_id").alias("b"),
-                   F.col("embedding").alias("vb"))
-    pairs = (
-        x.join(y, ["cid"])
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("s", cosine_similarity("va", "vb"))
-        .select("cid", "a", "b", "s")
-    )
-    sizes = ass.groupBy("cid").agg(
-        F.count("*").cast("bigint").alias("n_vectors"))
-    drops = (
-        pairs.filter(F.col("s") >= _SEMDEDUP_TAU)
-        .select("cid", "b").distinct()
-        .groupBy("cid").agg(F.count("*").cast("bigint").alias("n_dropped"))
-    )
-    tight = pairs.groupBy("cid").agg(F.max("s").alias("max_cos"))
-    return (
-        sizes.join(drops, "cid", "left").join(tight, "cid", "left")
-        .select(
-            F.col("cid").alias("cluster_id"),
-            "n_vectors",
-            F.coalesce("n_dropped", F.lit(0)).cast("bigint")
-            .alias("n_dropped"),
-            F.coalesce(F.round("max_cos", 4), F.lit(0.0)).alias("max_cos"),
-        )
-        .orderBy("cluster_id")
-    )
+    cents = semdedup_centroids(spark, emb, _SEMDEDUP_K, method="first")
+    return semdedup_report(emb, cents, _SEMDEDUP_TAU)

@@ -104,6 +104,10 @@ PRIORITY: tuple[str, ...] = (
     "ddl_lifecycle",                 # D2/D5/D9-D14 + frontend surface
     "rest_catalog_conformance",      # §2.8 server+client
     # ---- 50 cap lands exactly here ----
+    # -- below-cap: r12 debuts (registered r11 with the cap already
+    # exactly full) --
+    "tpcds_returns_above_avg_customers",
+    "tpcds_weekly_yoy_ratio",
     # -- below-cap: next-riskiest r8 rows, green early only if the
     # driver runs deeper than 50 --
     "maintenance_compaction",

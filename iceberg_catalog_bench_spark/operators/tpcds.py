@@ -834,3 +834,166 @@ def tpcds_net_after_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("net_paid"), "s_name")
         .limit(100)
     )
+
+
+@register(
+    "tpcds_returns_above_avg_customers",
+    oracle=(
+        # Q1/Q30: customers whose return total exceeds 1.2× their
+        # nation's average — the correlated aggregate decorrelated to
+        # a join against a per-group average. Integer cents keep the
+        # per-customer totals exact; the 1.2× comparison and the
+        # averages are then identical doubles in both engines.
+        "WITH ctr AS ("
+        "  SELECT o_custkey, "
+        "         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) "
+        "              * 100) AS BIGINT)) AS BIGINT) AS ret_cents "
+        "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "  WHERE l_returnflag = 'R' GROUP BY o_custkey"
+        "), ctrn AS ("
+        "  SELECT ctr.ret_cents, c.c_nationkey, c.c_name "
+        "  FROM ctr JOIN customer c ON c.c_custkey = ctr.o_custkey"
+        "), avgs AS ("
+        "  SELECT c_nationkey, AVG(ret_cents) AS avg_cents "
+        "  FROM ctrn GROUP BY c_nationkey"
+        ") "
+        "SELECT n.n_name AS nation, t.c_name, "
+        "ROUND(t.ret_cents / 100.0, 2) AS returns_amt, "
+        "ROUND(a.avg_cents / 100.0, 2) AS nation_avg "
+        "FROM ctrn t JOIN avgs a ON a.c_nationkey = t.c_nationkey "
+        "JOIN nation n ON n.n_nationkey = t.c_nationkey "
+        "WHERE t.ret_cents > 1.2 * a.avg_cents "
+        "ORDER BY nation, returns_amt DESC, t.c_name LIMIT 100"
+    ),
+)
+def tpcds_returns_above_avg_customers(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """TPC-DS Q1/Q30 shape — PER-ENTITY TOTAL vs PER-GROUP AVERAGE:
+    the classic correlated subquery ("customers whose returns exceed
+    1.2× the average returns of their state") DECORRELATED into a
+    per-group aggregate joined back below the reporting projection.
+
+    Plan shape at 100 TB: the R-flag filter reaches the lineitem scan;
+    returns join orders ONCE on the order key (the one fact-fact
+    exchange) and partial-aggregate to one row per customer; customer
+    attributes come from a broadcast dim join; the nation averages are
+    |nations| rows computed FROM the per-customer aggregate (never
+    from raw facts) and broadcast back — the naive rendering re-scans
+    the fact per outer row. Report is a TakeOrdered top-100.
+    Plan-pinned: per-customer aggregate below the reporting join, the
+    average side fed by the aggregate, broadcast joins for dims."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    ctr = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", cents.alias("cents"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").cast("bigint").alias("ret_cents"))
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_nationkey")
+    ctrn = ctr.join(F.broadcast(cust),
+                    ctr["o_custkey"] == cust["c_custkey"]).select(
+        "ret_cents", "c_nationkey", "c_name")
+    avgs = ctrn.groupBy("c_nationkey").agg(
+        F.avg("ret_cents").alias("avg_cents"))
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name")
+    return (
+        ctrn.join(F.broadcast(avgs.withColumnRenamed("c_nationkey", "ak")),
+                  F.col("c_nationkey") == F.col("ak"))
+        .filter(F.col("ret_cents") > 1.2 * F.col("avg_cents"))
+        .join(F.broadcast(nation),
+              F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            "c_name",
+            F.round(F.col("ret_cents") / F.lit(100e0), 2)
+            .alias("returns_amt"),
+            F.round(F.col("avg_cents") / F.lit(100e0), 2)
+            .alias("nation_avg"),
+        )
+        .orderBy("nation", F.desc("returns_amt"), "c_name")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_weekly_yoy_ratio",
+    oracle=(
+        # Q59: week-over-week (year-over-year) sales ratio via a
+        # SELF-JOIN ON THE WEEK INDEX — of aggregate cells, never raw
+        # facts. Weeks count from Monday 1992-01-06; the YoY partner
+        # is week+52. Integer cents; the ratio is then the same
+        # double in both engines.
+        "WITH wk AS ("
+        "  SELECT o_orderpriority AS prio, "
+        "         CAST(FLOOR((CAST(o_orderdate AS DATE) "
+        "              - DATE '1992-01-06') / 7) AS BIGINT) AS week_seq, "
+        "         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) "
+        "              AS BIGINT) AS cents "
+        "  FROM orders WHERE o_orderdate >= DATE '1992-01-06' "
+        "  GROUP BY prio, week_seq"
+        ") "
+        "SELECT cur.prio, cur.week_seq, "
+        "ROUND(prev.cents / 100.0, 2) AS sales_prev_year, "
+        "ROUND(cur.cents / 100.0, 2) AS sales_cur, "
+        "ROUND(CAST(cur.cents AS DOUBLE) / prev.cents, 4) AS yoy_ratio "
+        "FROM wk cur JOIN wk prev ON prev.prio = cur.prio "
+        "AND prev.week_seq = cur.week_seq - 52 "
+        "ORDER BY cur.prio, cur.week_seq"
+    ),
+)
+def tpcds_weekly_yoy_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q59 shape — WEEK-OVER-WEEK (year-over-year) sales ratio
+    via a self-join on the week index: weekly sales per order
+    priority, each (prio, week) cell joined to its (prio, week−52)
+    partner, reporting last-year/this-year side by side with the
+    ratio.
+
+    Plan shape at 100 TB: raw orders shuffle ONCE into the weekly
+    aggregate; the self-join joins CELLS (|prios| × |weeks| rows —
+    kilobytes at any fact scale), and both join inputs are the SAME
+    grouped exchange, so Spark reuses it (ReusedExchange, plan-pinned)
+    rather than scanning the fact twice. The naive rendering
+    self-joins raw facts on week arithmetic — a second full-fact
+    exchange. Week index = whole weeks since Monday 1992-01-06, exact
+    integer arithmetic in both engines."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderpriority", "o_orderdate", "o_totalprice")
+    wk = (
+        orders.filter(F.col("o_orderdate") >= F.lit("1992-01-06").cast("date"))
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.floor(
+                F.datediff(F.col("o_orderdate"),
+                           F.lit("1992-01-06").cast("date")) / 7
+            ).cast("bigint").alias("week_seq"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+             .cast("bigint").alias("cents"))
+    )
+    cur = wk.alias("cur")
+    prev = wk.alias("prev")
+    return (
+        cur.join(
+            prev,
+            (F.col("prev.prio") == F.col("cur.prio"))
+            & (F.col("prev.week_seq") == F.col("cur.week_seq") - 52),
+        )
+        .select(
+            F.col("cur.prio").alias("prio"),
+            F.col("cur.week_seq").alias("week_seq"),
+            F.round(F.col("prev.cents") / F.lit(100e0), 2)
+            .alias("sales_prev_year"),
+            F.round(F.col("cur.cents") / F.lit(100e0), 2).alias("sales_cur"),
+            F.round(F.col("cur.cents").cast("double") / F.col("prev.cents"),
+                    4).alias("yoy_ratio"),
+        )
+        .orderBy("prio", "week_seq")
+    )

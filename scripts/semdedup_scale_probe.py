@@ -1,0 +1,68 @@
+"""Probe: SemDeDup at ~1M vectors with production (k-means) centroids.
+
+VERDICT r10 item 5: the driver row runs SemDeDup at oracle scale with
+deterministic first-K centroids; this probe measures the SAME report
+stages (map-side assignment → one shuffle on cluster id → per-cluster
+pair search) behind the production centroid source
+(`semdedup_centroids(..., method="kmeans")`) at two corpus sizes with
+K scaled to hold the mean cluster size n/K constant (~1000):
+
+* assignment cost is n×K broadcast-crossJoin similarity — it grows
+  with K, which is why production IVF-assigns against a centroid tree
+  once K outgrows the broadcast budget (the report stages would not
+  change);
+* pair-search cost is Σ per-cluster (n/K)² ≈ n·(n/K) — holding n/K
+  constant keeps the PER-ROW pair cost flat, which is the probe's
+  claim to verify.
+
+Usage: python scripts/semdedup_scale_probe.py [n1,n2,...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from iceberg_catalog_bench_spark.operators.dedup import (
+    semdedup_centroids, semdedup_report,
+)
+from iceberg_catalog_bench_spark.session import get_spark
+
+DIM = 16
+CLUSTER_SIZE = 1000  # target n/K
+TAU = 0.9
+
+
+def main() -> None:
+    sizes = [int(x) for x in (sys.argv[1].split(",") if len(sys.argv) > 1
+                              else ["250000", "1000000"])]
+    spark = get_spark(app_name="semdedup-scale-probe")
+    for n in sizes:
+        k = max(8, n // CLUSTER_SIZE)
+        emb = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.rand(seed=i) for i in range(DIM)]).alias("embedding"),
+        ).cache()
+        emb.count()
+        t0 = time.perf_counter()
+        cents = semdedup_centroids(spark, emb, k, method="kmeans", iters=1)
+        t_train = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        rows = semdedup_report(emb, cents, TAU).collect()
+        t_report = time.perf_counter() - t0
+        covered = sum(r["n_vectors"] for r in rows)
+        biggest = max(r["n_vectors"] for r in rows)
+        print(f"n={n:>9,} K={k:>5}  train(1 Lloyd) {t_train:6.1f}s  "
+              f"assign+pairs {t_report:6.1f}s  "
+              f"({t_report / n * 1e6:.1f}µs/row)  clusters={len(rows)} "
+              f"covered={covered} max_cluster={biggest}")
+        emb.unpersist()
+
+
+if __name__ == "__main__":
+    main()
