@@ -500,16 +500,19 @@ def main() -> None:
     # (+ round 10: the Q73 HAVING-before-reporting-join and Q93
     # net-after-returns shapes; baseline re-recorded again for the
     # widened phase — BASELINE.md documents both re-records)
-    TPCDS_10 = [
+    # (+ round 11: the Q1/Q30 returns-above-average and Q59 weekly
+    # YoY-ratio shapes; baseline re-recorded per the same protocol)
+    TPCDS_12 = [
         "tpcds_returned_ratio_by_date", "tpcds_rollup_rolling_sales",
         "tpcds_channel_union", "tpcds_star_join_multi_dim",
         "tpcds_rank_within_parent", "tpcds_multi_band_counts",
         "tpcds_cumulative_channel_crossover", "tpcds_topn_over_rollup",
         "tpcds_frequent_buyer_segments", "tpcds_net_after_returns",
+        "tpcds_returns_above_avg_customers", "tpcds_weekly_yoy_ratio",
     ]
 
     def _report_run() -> None:
-        for q in TPCDS_10:
+        for q in TPCDS_12:
             registry.QUERIES[q](spark, SF_DIR).collect()
 
     phase_once("tpcds_report_run", _report_run)
