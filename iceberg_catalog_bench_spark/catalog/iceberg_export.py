@@ -382,12 +382,21 @@ def to_iceberg_metadata(table: LakeTable, *,
             _pf_ids[key] = 1000 + len(_pf_ids)
         return _pf_ids[key]
 
+    # memoized per spec OBJECT (spec_list keeps every spec alive for
+    # this export, so ids are stable): _avro_entry calls this once per
+    # data file — without the memo an N-file export re-parses and
+    # re-dedups the spec N times
+    _pf_names_memo: dict[int, list[str]] = {}
+
     def _spec_pf_names(spec_json: list) -> list[str]:
         """Exported field names for one spec, deduped in order: two
         native transforms can share a display name (legacy bucket vs
         ibucket on the same column both render `col_bucket`); the
         later one gets a `_2`/`_3` suffix. Deterministic because every
         caller iterates the same spec_json order."""
+        hit = _pf_names_memo.get(id(spec_json))
+        if hit is not None:
+            return hit
         names: list[str] = []
         for tj in spec_json:
             base = _pf_name(Transform.from_json(tj))
@@ -396,6 +405,7 @@ def to_iceberg_metadata(table: LakeTable, *,
                 k += 1
                 name = f"{base}_{k}"
             names.append(name)
+        _pf_names_memo[id(spec_json)] = names
         return names
 
     def _spec_fields(spec_json: list) -> list:
@@ -992,20 +1002,39 @@ def _adopt_partition(part: dict, spec_fields_by_name: dict,
                 # scale, which Decimal(u)·10^-s reproduces exactly.
                 sc = int(st.rstrip(" )").split(",")[1]) if "," in st else 0
                 if isinstance(v, (bytes, bytearray)):
+                    # Avro decimal: unscaled two's-complement bytes
                     u = int.from_bytes(bytes(v), "big", signed=True)
+                elif isinstance(v, str):
+                    # JSON single-value serialization: the rendered
+                    # decimal string ("12.30", Iceberg spec Appendix C)
+                    u = int(decimal.Decimal(v).scaleb(sc))
                 else:
-                    u = int(decimal.Decimal(str(v)).scaleb(sc))
+                    # a bare NUMBER is ambiguous (rendered value vs
+                    # unscaled units) — guessing wrong would WRONGLY
+                    # prune, so omit the key (never-prune) instead
+                    continue
                 out[f"_p_itruncate_{col}"] = str(
                     decimal.Decimal(u).scaleb(-sc))
-            elif st == "binary" and isinstance(v, (bytes, bytearray)):
+            elif st == "binary":
                 # binary truncate: first W bytes — native spelling is
-                # the uppercase hex the JVM hex() rendering produces
-                out[f"_p_itruncate_{col}"] = bytes(v).hex().upper()
-            elif isinstance(v, str):
+                # the uppercase hex the JVM hex() rendering produces.
+                # Avro carries raw bytes; the Iceberg JSON single-value
+                # serialization is a hex STRING (normalize its case and
+                # validate — an unparseable value omits the key).
+                if isinstance(v, (bytes, bytearray)):
+                    out[f"_p_itruncate_{col}"] = bytes(v).hex().upper()
+                elif isinstance(v, str):
+                    try:
+                        out[f"_p_itruncate_{col}"] = \
+                            bytes.fromhex(v).hex().upper()
+                    except ValueError:
+                        pass  # not hex: never-prune on this field
+            elif isinstance(v, str) and st in ("string", ""):
                 # string truncate: both sides keep the first W code
-                # points — value-exact (the adopted spec carries the
-                # transform only for string sources, so prune literals
-                # truncate the same way)
+                # points — value-exact. Gated on the source type so a
+                # non-string value never lands under the wrong key
+                # ("" = legacy caller without a type map: a str value
+                # there can only be a string-truncate value).
                 out[f"_p_truncate_{col}"] = v
             elif is_int:
                 # numeric truncate → the native spec-true itruncate

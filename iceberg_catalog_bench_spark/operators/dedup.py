@@ -876,7 +876,15 @@ def semdedup_report(emb: DataFrame, cents: DataFrame,
     centroid source: assign (map-side), shuffle ONCE on cluster id,
     per-cluster pair search bounded by cluster size, keep-lowest-id
     drop accounting. Vectors are unit-normalized BEFORE the pair
-    join, so the per-pair similarity is one dot pass."""
+    join, so the per-pair similarity is one dot pass.
+
+    Float contract: dot(unit(a), unit(b)) differs from the oracle's
+    dot(a,b)/(|a||b|) by ULPs — the same tolerance class the
+    pre-normalization version already had vs DuckDB's own summation
+    order. A τ-boundary or argmax flip needs a pair within that ULP
+    band on the FIXED driver corpus; the per-round oracle parity run
+    is the regression gate for exactly that, and ``max_cos`` is
+    additionally rounded to 4 digits on both sides."""
     from ..functions import dot_product
 
     ass = _unit_rows(emb, "embedding").join(

@@ -1339,19 +1339,31 @@ def _python_partition_fn(spec_json: list, columns: list[tuple[str, str]]):
     * identity over int/bigint/smallint/tinyint (``str(int)`` ==
       Spark's CAST), string (verbatim), date (isoformat == CAST);
     * ``days`` over a DATE source (to_date is identity there);
-    * ``days``/``hours``/``months``/``years`` over TIMESTAMP sources —
-      but ONLY when :func:`_utc_everywhere` holds (the session already
-      pins UTC, ``session.py``): Arrow delivers the column's exact
-      epoch micros, and under UTC the JVM's ``to_date`` /
-      ``date_trunc`` renderings are pure integer arithmetic on them
-      (floor-div by the unit; month/year via proleptic-Gregorian
-      fields, which Python's datetime shares with Spark). This is the
-      reference's flagship partitioning — ``days(event_ts)``
+    * ``days``/``hours``/``months``/``years`` over INSTANT timestamps
+      — gated on the SESSION timezone being UTC, verified per task
+      from the Arrow batch itself: Spark ships TimestampType columns
+      as ``timestamp[us, tz=<session tz>]``, so the batch schema is
+      the authoritative session-tz signal even though the write runs
+      in a Python worker with no SparkSession (the returned plan
+      carries ``utc_instant_cols``; ``_write_task_file`` checks the
+      first batch and degrades to unkeyed files under any other
+      zone). Under UTC the JVM's ``to_date``/``date_trunc`` renderings
+      are pure integer arithmetic on the epoch micros (floor-div by
+      the unit; month/year via proleptic-Gregorian fields, which
+      Python's datetime shares with Spark). This is the reference's
+      flagship partitioning — ``days(event_ts)``
       (ICEBERG-Interoperability-Test-Spec.md:50,
       blob_dfs/blob-dfs_bench.py:72) — so streamed commits into the
       reference-shaped table prune from the first micro-batch;
-    * ``months``/``years``/``hours`` over DATE (same UTC gate: the
-      JVM renders date_trunc(date) through a timestamp);
+    * the same calendar family over TIMESTAMP_NTZ — unconditionally:
+      measured session-tz-INDEPENDENT (ntz stays in the wall-clock
+      domain through to_date/date_trunc; pinned across four zones in
+      tests). Calendar transforms over DATE sources (other than
+      ``days``) are NOT admitted: the JVM renders them through a
+      midnight timestamp, and a DST gap at the truncated midnight
+      shifts the spelling (measured: America/Santiago renders
+      date_trunc('hour', DATE'2024-09-08') as 01:00:00) — with no tz
+      metadata on date columns the session zone is unknowable here;
     * ``ibucket`` (murmur3 ordinals — integers, engine-independent);
     * ``itruncate`` over int/long (``v - (v mod W)``, Python's ``%``
       is floor-signed like pmod), decimal (the same arithmetic on the
@@ -1359,20 +1371,21 @@ def _python_partition_fn(spec_json: list, columns: list[tuple[str, str]]):
       (first W bytes as uppercase hex, matching JVM ``hex()``);
     * ``truncate`` over string (first W code points).
 
-    Float renderings, calendar transforms under a NON-UTC session/host
-    zone, and the legacy xxhash64 bucket are NOT reproducible here —
-    any such field disables fanout entirely (PARTIAL keysets would
-    break spec attribution on export), and the task writes one unkeyed
-    file: the conservative never-prune degradation this path always
-    had."""
+    Float renderings, instant-timestamp calendar transforms under a
+    non-UTC session zone (degraded per task by the batch-tz check),
+    calendar transforms over DATE sources, and the legacy xxhash64
+    bucket are NOT reproducible here — any such field disables fanout
+    entirely (PARTIAL keysets would break spec attribution on export),
+    and the task writes one unkeyed file: the conservative never-prune
+    degradation this path always had."""
     from ..catalog.iceberg_bucket import iceberg_bucket
     from ..catalog.transforms import Transform
 
     types = {n: t.strip().lower().split("(")[0] for n, t in columns}
     _INTS = ("int", "bigint", "smallint", "tinyint", "integer", "long")
-    _TS = ("timestamp", "timestamp_ntz", "timestamp_ltz")
     _CAL = ("days", "hours", "months", "years")
     plan: list[tuple[str, Transform, str]] = []
+    utc_instant_cols: set[str] = set()
     for tj in spec_json:
         t = Transform.from_json(tj)
         ty = types.get(t.column, "")
@@ -1381,11 +1394,14 @@ def _python_partition_fn(spec_json: list, columns: list[tuple[str, str]]):
             plan.append((key, t, "identity"))
         elif t.name == "days" and ty == "date":
             plan.append((key, t, "identity"))  # to_date(date) = date
-        elif t.name in _CAL and ty in _TS and _utc_everywhere():
+        elif t.name in _CAL and ty in ("timestamp", "timestamp_ltz"):
+            # exact only for UTC instants; the caller verifies the
+            # batch's Arrow tz (= the session tz) before keying
             plan.append((key, t, f"{t.name}_us"))
-        elif t.name in ("months", "years", "hours") and ty == "date" \
-                and _utc_everywhere():
-            plan.append((key, t, f"{t.name}_date"))
+            utc_instant_cols.add(t.column)
+        elif t.name in _CAL and ty == "timestamp_ntz":
+            # wall-clock domain end to end — session-independent
+            plan.append((key, t, f"{t.name}_us"))
         elif t.name == "ibucket" and ty in _INTS + ("string",):
             plan.append((key, t, "ibucket"))
         elif t.name == "itruncate" and ty in _INTS:
@@ -1448,15 +1464,6 @@ def _python_partition_fn(spec_json: list, columns: list[tuple[str, str]]):
                     d = _EPOCH_DATE + datetime.timedelta(days=v // _US_DAY)
                     out.append(_render_naive(
                         datetime.datetime(d.year, 1, 1)))
-                elif kind == "months_date":
-                    out.append(_render_naive(
-                        datetime.datetime(v.year, v.month, 1)))
-                elif kind == "years_date":
-                    out.append(_render_naive(
-                        datetime.datetime(v.year, 1, 1)))
-                elif kind == "hours_date":
-                    out.append(_render_naive(
-                        datetime.datetime(v.year, v.month, v.day)))
                 elif kind == "ibucket":
                     out.append(str(iceberg_bucket(v, t.param)))
                 elif kind == "itruncate":
@@ -1477,6 +1484,9 @@ def _python_partition_fn(spec_json: list, columns: list[tuple[str, str]]):
         n = tbl.num_rows
         return [{k: col[i] for k, col in per_field} for i in range(n)]
 
+    # instant-timestamp calendar sources whose Arrow batch tz (= the
+    # session tz) the task must verify is UTC before keying any file
+    compute.utc_instant_cols = frozenset(utc_instant_cols)
     return compute
 
 
@@ -1507,6 +1517,15 @@ def _write_task_file(path: str, columns: list[tuple[str, str]],
 
     target = pa.schema([pa.field(n, _arrow_type(d)) for n, d in columns])
     part_fn = _python_partition_fn(spec_json or [], columns)
+    # Instant-timestamp calendar fanout is exact only under a UTC
+    # SESSION zone — which this worker cannot read from a SparkSession
+    # (there is none here), but CAN read from the data: Spark ships
+    # TimestampType as Arrow timestamp[us, tz=<session tz>]. Verified
+    # against the first batch (the schema is constant per task); any
+    # other zone degrades the whole task to unkeyed files
+    # (never-prune), never wrongly-keyed ones.
+    _utc_tzs = {"UTC", "Etc/UTC", "GMT", "Z", "+00:00"}
+    pending_tz_cols = getattr(part_fn, "utc_instant_cols", frozenset())
 
     writers: dict[tuple, tuple] = {}  # key items -> (writer, rel, abs)
 
@@ -1524,6 +1543,13 @@ def _write_task_file(path: str, columns: list[tuple[str, str]],
         for rb in iterator:
             if rb.num_rows == 0:
                 continue
+            if pending_tz_cols:
+                for f in rb.schema:
+                    if f.name in pending_tz_cols and \
+                            getattr(f.type, "tz", None) not in _utc_tzs:
+                        part_fn = None  # non-UTC session: unkeyed files
+                        break
+                pending_tz_cols = frozenset()
             tbl = pa.Table.from_batches([rb])
             if tbl.schema != target:
                 tbl = tbl.cast(target)

@@ -92,16 +92,27 @@ def test_calendar_fanout_spelling_matches_jvm_write_path(spark, tmp_path):
     ]
     d_vals = [datetime.date(2024, 2, 29), datetime.date(1969, 7, 20),
               datetime.date(1970, 1, 1), None]
-    rows = [(t, d) for t in ts_vals for d in d_vals]
-    df = spark.createDataFrame(rows, "ts timestamp, d date")
+    rows = [(t, t, d) for t in ts_vals for d in d_vals]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, tsn timestamp_ntz, d date")
 
     cases = [("days", "ts"), ("hours", "ts"), ("months", "ts"),
-             ("years", "ts"), ("months", "d"), ("years", "d"),
-             ("hours", "d"), ("days", "d")]
-    columns = [("ts", "timestamp"), ("d", "date")]
+             ("years", "ts"), ("days", "tsn"), ("hours", "tsn"),
+             ("months", "tsn"), ("years", "tsn"), ("days", "d")]
+    columns = [("ts", "timestamp"), ("tsn", "timestamp_ntz"),
+               ("d", "date")]
     spec = parse_spec([f"{n}({c})" for n, c in cases])
     fn = _python_partition_fn([t.to_json() for t in spec], columns)
     assert fn is not None, "UTC session must admit calendar fanout"
+    # the plan declares which columns the task must tz-verify: the
+    # instant source, never the ntz/date ones
+    assert fn.utc_instant_cols == frozenset({"ts"})
+    # calendar transforms over DATE (other than days) are NOT
+    # admitted: a DST gap at the truncated midnight shifts the JVM
+    # spelling and date columns carry no tz metadata to check
+    months_d = parse_spec(["months(d)"])
+    assert _python_partition_fn(
+        [t.to_json() for t in months_d], columns) is None
 
     # JVM spellings, one column per case
     type_of = dict(columns)
@@ -118,6 +129,95 @@ def test_calendar_fanout_spelling_matches_jvm_write_path(spark, tmp_path):
             key = f"_p_{t.name}_{t.column}"
             want = r_jvm[f"c{i}"] if r_jvm[f"c{i}"] is not None else _HIVE_NULL
             assert r_py[key] == want, (t.name, t.column, want, r_py[key])
+
+
+def test_calendar_fanout_degrades_unkeyed_under_non_utc_session(
+        spark, tmp_path):
+    """The write task cannot see a SparkSession, so the UTC gate reads
+    the SESSION zone from the Arrow batch itself (Spark ships
+    TimestampType as timestamp[us, tz=<session tz>]). Under a non-UTC
+    session, days(ts) files must land UNKEYED (never-prune) — never
+    keyed with UTC renderings the JVM path and prune literals would
+    mismatch (wrong-prune)."""
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        register_source,
+    )
+
+    register_source(spark)
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        "k bigint, ts timestamp, v string",
+        partition_by=["days(ts)"])
+    df = spark.sql(
+        "SELECT CAST(1 AS BIGINT) k, "
+        "TIMESTAMP'2024-03-02 01:00:00' ts, 'a' v "
+        "UNION ALL SELECT 2, TIMESTAMP'2024-03-03 23:00:00', 'b'")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df.write.format("laketable").option("path", t.path) \
+          .mode("append").save()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t = LakeTable.load(spark, t.path)
+    snap = t._snapshot(t._meta["current_snapshot_id"])
+    assert all(f.partition == {} for f in snap.files)
+    assert t.read().count() == 2
+    # back under UTC the same write IS keyed
+    df.write.format("laketable").option("path", t.path) \
+      .mode("append").save()
+    t = LakeTable.load(spark, t.path)
+    snap2 = t._snapshot(t._meta["current_snapshot_id"])
+    keyed = [f for f in snap2.files if f.partition]
+    assert {f.partition["_p_days_ts"] for f in keyed} == \
+        {"2024-03-02", "2024-03-03"}
+
+
+def test_foreign_json_binary_truncate_hex_string_adopts(spark, tmp_path):
+    """A JSON-dialect foreign chain carries binary truncate values as
+    hex STRINGS (Iceberg JSON single-value serialization) — adoption
+    must key them as the native _p_itruncate_* uppercase-hex spelling,
+    never as a string-truncate key (which would silently never prune
+    AND re-export as a null partition value)."""
+    import duckdb
+
+    from iceberg_catalog_bench_spark.catalog.iceberg_export import (
+        adopt_iceberg_metadata,
+    )
+    from tests.test_round9 import _chain, _data_file
+
+    root = str(tmp_path / "foreign")
+    data = os.path.join(root, "data")
+    os.makedirs(data)
+    files = []
+    for i, (hexv, blob) in enumerate([
+        ("68656c6c", "hello world"),   # lowercase hex, as the spec writes
+        ("6162", "ab"),
+    ]):
+        p = os.path.join(data, f"f{i}.parquet")
+        duckdb.sql(f"COPY (SELECT CAST({i + 1} AS BIGINT) AS k, "
+                   f"encode('{blob}') AS b) TO '{p}' (FORMAT PARQUET)")
+        files.append((p, hexv))
+    schema = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "b", "required": False, "type": "binary"}]}
+    spec = {"spec-id": 0, "fields": [
+        {"field-id": 1000, "source-id": 2, "name": "b_trunc",
+         "transform": "truncate[4]"}]}
+    entries = [_data_file(p, 1, seq=1,
+                          extra={"partition": {"b_trunc": hexv}})
+               for p, hexv in files]
+    mp = _chain(root, [(1, 1, [("m1.json", 0, entries)])],
+                schemas=[schema], specs=[spec])
+    t = adopt_iceberg_metadata(spark, mp, str(tmp_path / "adopted"))
+    snap = t._snapshot(t._meta["current_snapshot_id"])
+    assert {f.partition.get("_p_itruncate_b") for f in snap.files} == \
+        {"68656C6C", "6162"}
+    assert all("_p_truncate_b" not in f.partition for f in snap.files)
+    kept = t._prune_files(snap.files, "b = 'hello world'")
+    assert len(kept) == 1 and \
+        kept[0].partition["_p_itruncate_b"] == "68656C6C"
+    assert [r.k for r in t.read().where("b = 'hello world'").collect()] \
+        == [1]
 
 
 def test_streamed_flagship_spec_prunes_from_first_batch(spark, tmp_path):
@@ -388,6 +488,45 @@ def test_foreign_decimal_truncate_chain_adopts_and_prunes(spark, tmp_path):
     assert len(kept) == 1 and \
         kept[0].partition["_p_itruncate_d"] == "2.00"
     assert [r.k for r in t.read().where("d = 2.80").collect()] == [4]
+
+
+def test_foreign_decimal_truncate_numeric_value_never_prunes(spark, tmp_path):
+    """A bare NUMBER as a decimal-truncate partition value is
+    ambiguous (rendered decimal vs unscaled units) — adoption must
+    omit the key (never-prune) rather than guess and wrongly prune."""
+    import duckdb
+
+    from iceberg_catalog_bench_spark.catalog.iceberg_export import (
+        adopt_iceberg_metadata,
+    )
+    from tests.test_round9 import _chain, _data_file
+
+    root = str(tmp_path / "foreign")
+    data = os.path.join(root, "data")
+    os.makedirs(data)
+    p = os.path.join(data, "f0.parquet")
+    duckdb.sql("COPY (SELECT CAST(1 AS BIGINT) AS k, "
+               "CAST(2.80 AS DECIMAL(9,2)) AS d) "
+               f"TO '{p}' (FORMAT PARQUET)")
+    schema = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "d", "required": False, "type": "decimal(9, 2)"}]}
+    spec = {"spec-id": 0, "fields": [
+        {"field-id": 1000, "source-id": 2, "name": "d_trunc",
+         "transform": "truncate[200]"}]}
+    # 200 could mean "2.00" (unscaled) or "200.00" (rendered) — either
+    # guess wrong-prunes for the other writer
+    entries = [_data_file(p, 1, seq=1,
+                          extra={"partition": {"d_trunc": 200}})]
+    mp = _chain(root, [(1, 1, [("m1.json", 0, entries)])],
+                schemas=[schema], specs=[spec])
+    t = adopt_iceberg_metadata(spark, mp, str(tmp_path / "adopted"))
+    snap = t._snapshot(t._meta["current_snapshot_id"])
+    assert all("_p_itruncate_d" not in f.partition for f in snap.files)
+    # never-prune: the file survives any point predicate and the read
+    # stays correct
+    assert len(t._prune_files(snap.files, "d = 2.80")) == len(snap.files)
+    assert [r.k for r in t.read().where("d = 2.80").collect()] == [1]
 
 
 def test_export_disambiguates_void_colliding_partition_fields(spark, tmp_path):
