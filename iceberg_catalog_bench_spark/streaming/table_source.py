@@ -1338,6 +1338,10 @@ def _python_partition_fn(spec_json: list, columns: list[tuple[str, str]]):
 
     * identity over int/bigint/smallint/tinyint (``str(int)`` ==
       Spark's CAST), string (verbatim), date (isoformat == CAST);
+      identity over timestamps too (r11): the trailing-zero-trimmed
+      fraction rendering of CAST(ts AS STRING), under the same
+      batch-tz gate as the calendar family for instant sources and
+      unconditionally for ntz;
     * ``days`` over a DATE source (to_date is identity there);
     * ``days``/``hours``/``months``/``years`` over INSTANT timestamps
       — gated on the SESSION timezone being UTC, verified per task
@@ -1392,6 +1396,14 @@ def _python_partition_fn(spec_json: list, columns: list[tuple[str, str]]):
         key = f"_p_{t.name}_{t.column}"
         if t.name == "identity" and ty in _INTS + ("string", "date"):
             plan.append((key, t, "identity"))
+        elif t.name == "identity" and ty in ("timestamp", "timestamp_ltz"):
+            # exact under a UTC session (batch-tz-verified, below):
+            # epoch micros render to the same trailing-zero-trimmed
+            # spelling as Spark's CAST(ts AS STRING)
+            plan.append((key, t, "identity_us"))
+            utc_instant_cols.add(t.column)
+        elif t.name == "identity" and ty == "timestamp_ntz":
+            plan.append((key, t, "identity_us"))  # wall micros, tz-free
         elif t.name == "days" and ty == "date":
             plan.append((key, t, "identity"))  # to_date(date) = date
         elif t.name in _CAL and ty in ("timestamp", "timestamp_ltz"):
@@ -1449,6 +1461,16 @@ def _python_partition_fn(spec_json: list, columns: list[tuple[str, str]]):
                 elif kind == "identity":
                     out.append(v.isoformat()
                                if hasattr(v, "isoformat") else str(v))
+                elif kind == "identity_us":
+                    # Spark's CAST(ts AS STRING): fraction only when
+                    # nonzero, trailing zeros trimmed (.5 not .500000);
+                    # manual year padding (strftime %Y is unpadded for
+                    # years < 1000 on glibc)
+                    dt = _EPOCH_DT + datetime.timedelta(microseconds=v)
+                    base = (f"{dt.year:04d}-{dt.month:02d}-{dt.day:02d} "
+                            f"{dt.hour:02d}:{dt.minute:02d}:{dt.second:02d}")
+                    frac = f"{dt.microsecond:06d}".rstrip("0")
+                    out.append(f"{base}.{frac}" if frac else base)
                 elif kind == "days_us":
                     out.append((_EPOCH_DATE + datetime.timedelta(
                         days=v // _US_DAY)).isoformat())

@@ -88,7 +88,16 @@ def test_calendar_fanout_spelling_matches_jvm_write_path(spark, tmp_path):
         datetime.datetime(1970, 1, 1, 0, 0, 0),
         datetime.datetime(2001, 9, 9, 1, 46, 40, 1),
         datetime.datetime(1900, 1, 2, 3, 4, 5),
+        datetime.datetime(2024, 5, 1, 12, 0, 0, 500000),   # .5 not .500000
+        datetime.datetime(2024, 5, 1, 12, 0, 0, 120000),   # .12
         None,
+    ]
+    # plus a seeded random sweep across ±45 years at µs granularity
+    rng = __import__("random").Random(11)
+    ts_vals += [
+        datetime.datetime(1970, 1, 1)
+        + datetime.timedelta(microseconds=rng.randrange(-2**50, 2**50))
+        for _ in range(60)
     ]
     d_vals = [datetime.date(2024, 2, 29), datetime.date(1969, 7, 20),
               datetime.date(1970, 1, 1), None]
@@ -97,8 +106,9 @@ def test_calendar_fanout_spelling_matches_jvm_write_path(spark, tmp_path):
         rows, "ts timestamp, tsn timestamp_ntz, d date")
 
     cases = [("days", "ts"), ("hours", "ts"), ("months", "ts"),
-             ("years", "ts"), ("days", "tsn"), ("hours", "tsn"),
-             ("months", "tsn"), ("years", "tsn"), ("days", "d")]
+             ("years", "ts"), ("identity", "ts"), ("days", "tsn"),
+             ("hours", "tsn"), ("months", "tsn"), ("years", "tsn"),
+             ("identity", "tsn"), ("days", "d")]
     columns = [("ts", "timestamp"), ("tsn", "timestamp_ntz"),
                ("d", "date")]
     spec = parse_spec([f"{n}({c})" for n, c in cases])
