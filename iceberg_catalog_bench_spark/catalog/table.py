@@ -265,6 +265,30 @@ def _json_safe(v: Any) -> Any:
 
 
 _ISO_TS = re.compile(r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}")
+_ISO_PREFIX = re.compile(r"^\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}:\d{2})?")
+
+
+def _calendar_floor(transform: str, val: Any) -> str | None:
+    """Floor an ISO-shaped predicate literal to a calendar transform's
+    partition-value SPELLING — pure string arithmetic, so equality and
+    range pruning on days/hours/months/years partitions never run a
+    Spark job. None when the transform is not calendar or the literal
+    is not ISO-shaped (callers fall back to the Spark-eval path)."""
+    if transform not in ("days", "hours", "months", "years"):
+        return None
+    s = str(val)
+    if not _ISO_PREFIX.match(s):
+        return None
+    if len(s) == 10:  # bare date literal
+        s = s + " 00:00:00"
+    s = s.replace("T", " ", 1)
+    if transform == "days":
+        return s[:10]
+    if transform == "hours":
+        return s[:13] + ":00:00"
+    if transform == "months":
+        return s[:7] + "-01 00:00:00"
+    return s[:4] + "-01-01 00:00:00"
 
 
 def _norm_stat(v: Any) -> Any:
@@ -2132,10 +2156,15 @@ class LakeTable:
         in two passes (both zero-I/O, driver-side):
 
         1. partition values: each file records its transform values
-           (directory components); `days()` supports range predicates
-           on the source column, identity/bucket/truncate support
-           equality (the transform of the literal is computed with a
-           1-row Spark eval so hashing matches the write path);
+           (directory components); the calendar family
+           (`days/hours/months/years`) supports equality, range AND
+           IN predicates via pure string flooring of ISO literals
+           (`_calendar_floor` — no Spark jobs, and ranges prune even
+           on files with NO footer stats, e.g. adopted stat-less
+           chains); identity/bucket/truncate support equality and IN
+           (driver fast paths where exact, else the transform of the
+           literal is computed with a memoized 1-row Spark eval so
+           hashing matches the write path);
         2. footer min/max stats of the data columns.
 
         Anything unparseable keeps all files (correctness preserved;
@@ -2185,8 +2214,9 @@ class LakeTable:
                     # be true for NULL → drop the file
                     return False
                 if op == "in":
-                    if t.name == "days":
-                        if pval not in {str(v)[:10] for v in val}:
+                    floors = [_calendar_floor(t.name, v) for v in val]
+                    if floors and all(f is not None for f in floors):
+                        if pval not in set(floors):
                             return False
                     else:
                         tvs = {self._transform_value(t, v) for v in val}
@@ -2194,14 +2224,20 @@ class LakeTable:
                         if tvs and pval not in tvs:
                             return False
                     continue
-                sval = str(val)
-                if t.name == "days":
-                    day = sval[:10]  # ISO prefix of the literal
-                    if op in ("=", "==") and pval != day:
+                floor = _calendar_floor(t.name, val)
+                if floor is not None:
+                    # calendar transform, ISO-shaped literal: the
+                    # partition value IS the floored literal spelling,
+                    # so equality and ranges compare lexicographically
+                    # — zero Spark jobs, and range predicates prune
+                    # even on files with no footer stats (adopted
+                    # stat-less chains). Conservative at the floor
+                    # boundary: pval == floor is always kept.
+                    if op in ("=", "==") and pval != floor:
                         return False
-                    if op in (">", ">=") and pval < day:
+                    if op in (">", ">=") and pval < floor:
                         return False
-                    if op in ("<", "<=") and pval > day:
+                    if op in ("<", "<=") and pval > floor:
                         return False
                 elif op in ("=", "=="):
                     tv = self._transform_value(t, val)

@@ -539,6 +539,82 @@ def test_foreign_decimal_truncate_numeric_value_never_prunes(spark, tmp_path):
     assert [r.k for r in t.read().where("d = 2.80").collect()] == [1]
 
 
+def test_calendar_partition_range_pruning_no_spark_jobs(spark, tmp_path):
+    """hours/months/years partitions now prune equality, range AND IN
+    predicates via pure string flooring (`_calendar_floor`) — zero
+    Spark jobs (pinned by poisoning _transform_value), and ranges
+    prune even on files with NO footer stats (the adopted stat-less
+    chain case)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), "k bigint, ts timestamp, v string",
+        partition_by=["hours(ts)"])
+    t.append(spark.range(48).select(
+        F.col("id").alias("k"),
+        (F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+         + F.make_interval(hours=F.col("id") / 2,
+                           mins=(F.col("id") % 2) * 30)).alias("ts"),
+        F.concat(F.lit("v"), "id").alias("v")))
+    snap = t._snapshot(t._meta["current_snapshot_id"])
+    # poison the Spark-eval path: calendar pruning must never call it
+    orig = t._transform_value
+    t._transform_value = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("calendar pruning must not Spark-eval literals"))
+    try:
+        kept = t._prune_files(snap.files, "ts >= '2024-03-01 20:00:00'")
+        assert 0 < len(kept) < len(snap.files)
+        assert all(f.partition["_p_hours_ts"] >= "2024-03-01 20:00:00"
+                   for f in kept)
+        kept_eq = t._prune_files(snap.files, "ts = '2024-03-01 05:30:00'")
+        assert {f.partition["_p_hours_ts"] for f in kept_eq} == \
+            {"2024-03-01 05:00:00"}
+        kept_in = t._prune_files(
+            snap.files,
+            "ts IN ('2024-03-01 03:00:00', '2024-03-01 07:30:00')")
+        assert {f.partition["_p_hours_ts"] for f in kept_in} == \
+            {"2024-03-01 03:00:00", "2024-03-01 07:00:00"}
+    finally:
+        t._transform_value = orig
+    assert sorted(r.k for r in t.read()
+                  .where("ts = '2024-03-01 05:30:00'").collect()) == [11]
+
+    # stat-less files (an adopted chain that recorded no bounds):
+    # partition range pruning still works because it never needs stats
+    for f in snap.files:
+        f.stats = {}
+    kept2 = t._prune_files(snap.files, "ts < '2024-03-01 02:00:00'")
+    assert 0 < len(kept2) < len(snap.files)
+    assert all(f.partition["_p_hours_ts"] <= "2024-03-01 02:00:00"
+               for f in kept2)
+
+    # months + years flooring, same zero-job contract
+    t2 = LakeTable.create(
+        spark, str(tmp_path / "m"), "k bigint, ts timestamp",
+        partition_by=["months(ts)", "years(ts)"])
+    t2.append(spark.createDataFrame(
+        [(1, "2023-11-15 10:00:00"), (2, "2024-01-05 00:00:00"),
+         (3, "2024-02-29 23:59:59"), (4, "2024-07-01 12:00:00")],
+        "k bigint, ts string").select(
+            "k", F.to_timestamp("ts").alias("ts")))
+    s2 = t2._snapshot(t2._meta["current_snapshot_id"])
+    t2._transform_value = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("calendar pruning must not Spark-eval literals"))
+    kept3 = t2._prune_files(s2.files, "ts >= '2024-02-01 00:00:00'")
+    assert sorted(f.partition["_p_months_ts"] for f in kept3) == \
+        ["2024-02-01 00:00:00", "2024-07-01 00:00:00"]
+    kept4 = t2._prune_files(s2.files, "ts < '2024-01-01 00:00:00'")
+    assert {f.partition["_p_years_ts"] for f in kept4} == \
+        {"2023-01-01 00:00:00"}
+    with _pytest.raises(AssertionError):
+        # non-calendar transforms still take the Spark-eval path (the
+        # poison proves the fast path is what kept the tests above
+        # job-free)
+        t2._transform_value(None, None)
+
+
 def test_export_disambiguates_void_colliding_partition_fields(spark, tmp_path):
     """ADVICE r10: legacy bucket and non-string truncate both export as
     'void', so field-ids must key on the NATIVE transform (not the
