@@ -15,7 +15,11 @@ K scaled to hold the mean cluster size n/K constant (~1000):
   constant keeps the PER-ROW pair cost flat, which is the probe's
   claim to verify.
 
-Usage: python scripts/semdedup_scale_probe.py [n1,n2,...]
+Usage: python scripts/semdedup_scale_probe.py [n1,n2,...] [impls]
+       impls: comma list of sql,arrow (default both) — `arrow` is the
+       BLAS twin (matmul assignment + per-cluster matmul pair search);
+       `sql` is the oracle-exact interpreted-HOF path the driver row
+       uses.
 """
 
 from __future__ import annotations
@@ -29,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from iceberg_catalog_bench_spark.operators.dedup import (
-    semdedup_centroids, semdedup_report,
+    semdedup_centroids, semdedup_report, semdedup_report_arrow,
 )
 from iceberg_catalog_bench_spark.session import get_spark
 
@@ -41,6 +45,9 @@ TAU = 0.9
 def main() -> None:
     sizes = [int(x) for x in (sys.argv[1].split(",") if len(sys.argv) > 1
                               else ["250000", "1000000"])]
+    impls = (sys.argv[2].split(",") if len(sys.argv) > 2
+             else ["sql", "arrow"])
+    report_fn = {"sql": semdedup_report, "arrow": semdedup_report_arrow}
     spark = get_spark(app_name="semdedup-scale-probe")
     for n in sizes:
         k = max(8, n // CLUSTER_SIZE)
@@ -52,15 +59,17 @@ def main() -> None:
         t0 = time.perf_counter()
         cents = semdedup_centroids(spark, emb, k, method="kmeans", iters=1)
         t_train = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        rows = semdedup_report(emb, cents, TAU).collect()
-        t_report = time.perf_counter() - t0
-        covered = sum(r["n_vectors"] for r in rows)
-        biggest = max(r["n_vectors"] for r in rows)
-        print(f"n={n:>9,} K={k:>5}  train(1 Lloyd) {t_train:6.1f}s  "
-              f"assign+pairs {t_report:6.1f}s  "
-              f"({t_report / n * 1e6:.1f}µs/row)  clusters={len(rows)} "
-              f"covered={covered} max_cluster={biggest}")
+        for impl in impls:
+            t0 = time.perf_counter()
+            rows = report_fn[impl](emb, cents, TAU).collect()
+            t_report = time.perf_counter() - t0
+            covered = sum(r["n_vectors"] for r in rows)
+            biggest = max(r["n_vectors"] for r in rows)
+            print(f"n={n:>9,} K={k:>5} {impl:>5}  "
+                  f"train(1 Lloyd) {t_train:6.1f}s  "
+                  f"assign+pairs {t_report:6.1f}s  "
+                  f"({t_report / n * 1e6:.1f}µs/row)  clusters={len(rows)} "
+                  f"covered={covered} max_cluster={biggest}")
         emb.unpersist()
 
 

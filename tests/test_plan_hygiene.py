@@ -638,3 +638,29 @@ def test_semdedup_kmeans_centroids_same_mapside_plan(spark, oracle_sf_dir):
     # Lloyd centroids are means, not corpus members: clusters should
     # be reasonably balanced vs the degenerate first-K assignment
     assert max(r["n_vectors"] for r in rows) < n
+
+
+def test_semdedup_arrow_twin_matches_sql_report(spark, oracle_sf_dir):
+    """The Arrow/BLAS report (matmul assignment + one V·Vᵀ per
+    cluster — 67× on the 1M probe) must produce the SAME accounting as
+    the oracle-exact SQL path, with both centroid sources, and its
+    plan must stay Window-free with the one shuffle on cluster id."""
+    from iceberg_catalog_bench_spark.operators.dedup import (
+        _SEMDEDUP_K, _SEMDEDUP_TAU, semdedup_centroids, semdedup_report,
+        semdedup_report_arrow,
+    )
+    from iceberg_catalog_bench_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", oracle_sf_dir).select(
+        "vec_id", "embedding")
+    for method in ("first", "kmeans"):
+        cents = semdedup_centroids(spark, emb, _SEMDEDUP_K, method=method)
+        a = semdedup_report(emb, cents, _SEMDEDUP_TAU).collect()
+        df = semdedup_report_arrow(emb, cents, _SEMDEDUP_TAU)
+        b = df.collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b], method
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in final
+    assert "FlatMapGroupsInPandas" in final     # per-cluster matmul
+    assert "MapInPandas" in final               # matmul assignment
