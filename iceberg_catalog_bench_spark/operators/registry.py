@@ -108,6 +108,8 @@ PRIORITY: tuple[str, ...] = (
     # exactly full) --
     "tpcds_returns_above_avg_customers",
     "tpcds_weekly_yoy_ratio",
+    "tpcds_monthly_deviation_neighbors",   # Q47/Q57: windows over cells
+    "tpcds_yoy_growth_channel_compare",    # Q4/Q11: 4 CTEs -> one scan
     # -- below-cap: next-riskiest r8 rows, green early only if the
     # driver runs deeper than 50 --
     "maintenance_compaction",

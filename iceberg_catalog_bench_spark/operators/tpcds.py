@@ -997,3 +997,209 @@ def tpcds_weekly_yoy_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio", "week_seq")
     )
+
+
+@register(
+    "tpcds_monthly_deviation_neighbors",
+    oracle=(
+        # Q47/Q57: months whose revenue deviates >10% from their
+        # nation's yearly average, reported with the NEIGHBOR months
+        # (lag/lead) — both windows run over the aggregate cell table,
+        # and the neighbors are computed BEFORE the year filter so
+        # December sees January of the next year. Integer cents; the
+        # yearly average is the same double in both engines.
+        "WITH cell AS ("
+        "  SELECT c.c_nationkey, "
+        "         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr, "
+        "         CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mon, "
+        "         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) "
+        "              AS BIGINT) AS cents "
+        "  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
+        "  GROUP BY 1, 2, 3"
+        "), w AS ("
+        "  SELECT c_nationkey, yr, mon, cents, "
+        "         AVG(cents) OVER (PARTITION BY c_nationkey, yr) AS yr_avg, "
+        "         LAG(cents) OVER (PARTITION BY c_nationkey "
+        "                          ORDER BY yr, mon) AS prev_cents, "
+        "         LEAD(cents) OVER (PARTITION BY c_nationkey "
+        "                           ORDER BY yr, mon) AS next_cents "
+        "  FROM cell"
+        ") "
+        "SELECT n.n_name AS nation, w.yr, w.mon, "
+        "ROUND(w.cents / 100.0, 2) AS revenue, "
+        "ROUND(w.yr_avg / 100.0, 2) AS yearly_avg, "
+        "ROUND(w.prev_cents / 100.0, 2) AS prev_month, "
+        "ROUND(w.next_cents / 100.0, 2) AS next_month "
+        "FROM w JOIN nation n ON n.n_nationkey = w.c_nationkey "
+        "WHERE w.yr = 1995 AND w.yr_avg > 0 "
+        "AND ABS(w.cents - w.yr_avg) > 0.1 * w.yr_avg "
+        "ORDER BY nation, yr, mon"
+    ),
+)
+def tpcds_monthly_deviation_neighbors(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """TPC-DS Q47/Q57 shape — MONTHLY DEVIATION FROM THE YEARLY
+    AVERAGE, WITH NEIGHBOR MONTHS: per-(nation, month) revenue cells,
+    a window average per (nation, year), lag/lead windows for the
+    adjacent months, then the report keeps months deviating more than
+    10% from their year's average.
+
+    Plan shape at 100 TB: raw orders shuffle ONCE into the
+    (nation, year, month) aggregate — every window (the yearly
+    average, lag, lead) runs over that CELL table (|nations|×|months|
+    rows, kilobytes at any fact scale), never over raw facts; the
+    naive rendering windows the fact table and pays a full-fact sort
+    per window frame. Customer is a broadcast dim join BELOW the
+    aggregate; nation names join the filtered report rows. Neighbors
+    are computed before the year filter (December's lead is next
+    January), matching TPC-DS's v1_monthly ordering contract.
+    Integer cents end-to-end; the 10% deviation band compares
+    identical doubles in both engines."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderdate", "o_totalprice")
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey")
+    cell = (
+        orders.join(F.broadcast(cust),
+                    F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            "c_nationkey",
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.month("o_orderdate").cast("bigint").alias("mon"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+             .cast("bigint").alias("cents"))
+    )
+    from pyspark.sql import Window
+
+    by_year = Window.partitionBy("c_nationkey", "yr")
+    by_seq = Window.partitionBy("c_nationkey").orderBy("yr", "mon")
+    w = cell.select(
+        "c_nationkey", "yr", "mon", "cents",
+        F.avg("cents").over(by_year).alias("yr_avg"),
+        F.lag("cents").over(by_seq).alias("prev_cents"),
+        F.lead("cents").over(by_seq).alias("next_cents"),
+    )
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name")
+    return (
+        w.filter((F.col("yr") == 1995) & (F.col("yr_avg") > 0)
+                 & (F.abs(F.col("cents") - F.col("yr_avg"))
+                    > 0.1 * F.col("yr_avg")))
+        .join(F.broadcast(nation),
+              F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"), "yr", "mon",
+            F.round(F.col("cents") / F.lit(100e0), 2).alias("revenue"),
+            F.round(F.col("yr_avg") / F.lit(100e0), 2).alias("yearly_avg"),
+            F.round(F.col("prev_cents") / F.lit(100e0), 2)
+            .alias("prev_month"),
+            F.round(F.col("next_cents") / F.lit(100e0), 2)
+            .alias("next_month"),
+        )
+        .orderBy("nation", "yr", "mon")
+    )
+
+
+@register(
+    "tpcds_yoy_growth_channel_compare",
+    oracle=(
+        # Q4/Q11: customers whose year-over-year growth in the URGENT
+        # channel beats their growth in the STANDARD channel — TPC-DS
+        # spells this as four CTE scans of the facts; conditional
+        # aggregation computes all four cells in ONE scan. Integer
+        # cents; the growth ratios divide identical integers, so the
+        # comparison is the same double in both engines.
+        "WITH cells AS ("
+        "  SELECT o_custkey, "
+        "  CAST(SUM(CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1996 "
+        "       AND o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "       THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) "
+        "       AS BIGINT) AS urgent_y1, "
+        "  CAST(SUM(CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1997 "
+        "       AND o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "       THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) "
+        "       AS BIGINT) AS urgent_y2, "
+        "  CAST(SUM(CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1996 "
+        "       AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+        "       THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) "
+        "       AS BIGINT) AS std_y1, "
+        "  CAST(SUM(CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1997 "
+        "       AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+        "       THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) "
+        "       AS BIGINT) AS std_y2 "
+        "  FROM orders "
+        "  WHERE EXTRACT(YEAR FROM o_orderdate) IN (1996, 1997) "
+        "  GROUP BY o_custkey"
+        ") "
+        "SELECT c.c_name, "
+        "ROUND(CAST(urgent_y2 AS DOUBLE) / urgent_y1, 4) AS urgent_growth, "
+        "ROUND(CAST(std_y2 AS DOUBLE) / std_y1, 4) AS std_growth "
+        "FROM cells JOIN customer c ON c.c_custkey = cells.o_custkey "
+        "WHERE urgent_y1 > 0 AND urgent_y2 > 0 "
+        "AND std_y1 > 0 AND std_y2 > 0 "
+        "AND CAST(urgent_y2 AS DOUBLE) / urgent_y1 "
+        "    > CAST(std_y2 AS DOUBLE) / std_y1 "
+        "ORDER BY urgent_growth DESC, c.c_name LIMIT 100"
+    ),
+)
+def tpcds_yoy_growth_channel_compare(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """TPC-DS Q4/Q11 shape — YEAR-OVER-YEAR GROWTH COMPARED ACROSS
+    CHANNELS: customers whose 1996→1997 growth in the urgent-priority
+    channel exceeds their growth in the standard channel (TPC-DS
+    store-vs-web, adapted to the order-priority split), both years'
+    totals required non-zero in both channels.
+
+    Plan shape at 100 TB: TPC-DS's reference SQL scans the fact FOUR
+    times (one CTE per channel×year) and joins the four aggregates;
+    conditional aggregation computes all four cells in ONE scan and
+    ONE shuffle on the customer key — the year filter still reaches
+    the fact scan, customer names broadcast-join the surviving rows,
+    and the report is a TakeOrdered top-100. At TPC-DS's 4-CTE
+    rendering the fact volume crosses the wire four times; here it
+    crosses once."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+    yr = F.year("o_orderdate")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+
+    def cell(cond):
+        return F.sum(F.when(cond, cents).otherwise(F.lit(0))) \
+            .cast("bigint")
+
+    # year(ts) is opaque to parquet pruning — carry the equivalent
+    # range predicate so row groups outside [1996, 1998) never decode
+    # (PushedFilters, plan-pinned); the isin() keeps the semantics
+    # literal and costs nothing on the surviving rows
+    cells = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            & yr.isin(1996, 1997))
+        .groupBy("o_custkey")
+        .agg(
+            cell((yr == 1996) & urgent).alias("urgent_y1"),
+            cell((yr == 1997) & urgent).alias("urgent_y2"),
+            cell((yr == 1996) & ~urgent).alias("std_y1"),
+            cell((yr == 1997) & ~urgent).alias("std_y2"),
+        )
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name")
+    ug = F.col("urgent_y2").cast("double") / F.col("urgent_y1")
+    sg = F.col("std_y2").cast("double") / F.col("std_y1")
+    return (
+        cells.filter((F.col("urgent_y1") > 0) & (F.col("urgent_y2") > 0)
+                     & (F.col("std_y1") > 0) & (F.col("std_y2") > 0))
+        .filter(ug > sg)
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            F.round(ug, 4).alias("urgent_growth"),
+            F.round(sg, 4).alias("std_growth"),
+        )
+        .orderBy(F.desc("urgent_growth"), "c_name")
+        .limit(100)
+    )

@@ -664,3 +664,37 @@ def test_semdedup_arrow_twin_matches_sql_report(spark, oracle_sf_dir):
     assert "Window" not in final
     assert "FlatMapGroupsInPandas" in final     # per-cluster matmul
     assert "MapInPandas" in final               # matmul assignment
+
+
+def test_tpcds_q47_windows_over_monthly_cells(spark, oracle_sf_dir):
+    """Q47/Q57 shape: every window (yearly average, lag, lead) must run
+    over the (nation, year, month) AGGREGATE cells — the fact shuffles
+    once into the aggregate and is never window-sorted; customer is a
+    broadcast join below the aggregate."""
+    plan = _plan("tpcds_monthly_deviation_neighbors", spark, oracle_sf_dir)
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    # windows sit above (print before) the monthly aggregate
+    assert plan.index("Window") < plan.index("HashAggregate")
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l
+             and "o_orderdate" in l]
+    assert len(scans) == 1, "orders fact must be scanned once"
+
+
+def test_tpcds_q4_channel_compare_single_scan(spark, oracle_sf_dir):
+    """Q4/Q11 shape: TPC-DS's four channel×year CTEs must collapse to
+    ONE orders scan with conditional aggregation — one shuffle on the
+    customer key — and the year filter must reach the scan."""
+    df = registry.QUERIES["tpcds_yoy_growth_channel_compare"](
+        spark, oracle_sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l
+             and "o_orderdate" in l]
+    assert len(scans) == 1, "orders fact must be scanned once, not 4x"
+    assert "BroadcastHashJoin" in plan          # customer names
+    assert "TakeOrderedAndProject" in plan      # top-100 heap
+    # the [1996, 1998) range twin of year() IN (1996,1997) reaches the
+    # parquet reader — row groups outside the window never decode
+    pushed = scans[0].split("PushedFilters: [")[1].split("]")[0]
+    assert "GreaterThanOrEqual(o_orderdate" in pushed, pushed
+    assert "LessThan(o_orderdate" in pushed, pushed
