@@ -822,9 +822,16 @@ def semdedup_centroids(spark: SparkSession, emb: DataFrame, k: int,
     for _ in range(iters):
         # Lloyd assignment via the Arrow/BLAS twin: training is not
         # oracle-bound (the driver row uses method="first"), and the
-        # matmul path is ~7× on the 1M probe's training step
-        dims = emb.join(_semdedup_assign_arrow(emb, cents),
-                        "vec_id").select(
+        # matmul path is ~7× on the 1M probe's training step. Past
+        # the flat-matmul budget the two-level IVF assigner takes
+        # over (13.7× at K=16k, BASELINE.md) — approximate Lloyd
+        # updates are standard IVF-training practice; the ±2% of
+        # boundary vectors averaged into a neighboring centroid
+        # perturb the iterate far less than one Lloyd step moves it
+        assign_fn = (_semdedup_assign_ivf_arrow
+                     if len(seed_rows) >= _IVF_TRAIN_MIN_K
+                     else _semdedup_assign_arrow)
+        dims = emb.join(assign_fn(emb, cents), "vec_id").select(
             "cid", F.posexplode(F.col("embedding")).alias("pos", "val"))
         new = (
             dims.groupBy("cid", "pos").agg(F.avg("val").alias("v"))
@@ -907,6 +914,7 @@ def _semdedup_assign_arrow(emb: DataFrame, cents: DataFrame) -> DataFrame:
 
 _IVF_ASSIGN_MIN_K = 64   # below this, flat matmul beats two probe passes
 _IVF_ASSIGN_NPROBE = 8   # coarse cells probed per vector
+_IVF_TRAIN_MIN_K = 1024  # Lloyd switches to IVF assignment here (2.8×+)
 
 
 def _train_coarse_cells(c, n_cells: int, iters: int = 5):
