@@ -881,22 +881,28 @@ def _semdedup_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _semdedup_assign_arrow(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """Arrow twin of :func:`_semdedup_assign`: the K×d centroid matrix
-    is collected once (KB-sized — the same driver materialization the
-    Lloyd trainer already does), unit-normalized, and shipped in the
-    closure; each Arrow batch assigns via ONE (batch × d)·(d × K) BLAS
-    matmul + argmax instead of batch×K interpreted zip_with dots.
-    Ties break on lowest cid (argmax returns the first maximum and the
-    matrix is cid-sorted). Map-side, no shuffle — same plan shape."""
+def _collect_unit_centroids(cents: DataFrame):
+    """Collect the centroid table into the driver-held model BOTH
+    Arrow assign twins ship in their closures: (K×d unit-row float64
+    matrix in cid order, int64 cid array). One place for the zero-norm
+    guard and the cid-sort that makes argmax tie-break on lowest cid."""
     import numpy as np
-    import pandas as pd
 
     rows = sorted(cents.collect(), key=lambda r: r["cid"])
     c = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
     cn = np.linalg.norm(c, axis=1, keepdims=True)
     c = c / np.where(cn == 0, 1.0, cn)
     cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    return c, cids
+
+
+def _assign_arrow_from_model(emb: DataFrame, c, cids) -> DataFrame:
+    """Flat-matmul assignment against an already-collected centroid
+    model — the body of :func:`_semdedup_assign_arrow`, also the
+    small-K fallback of the IVF twin (which has already paid the one
+    collect)."""
+    import numpy as np
+    import pandas as pd
 
     def assign(batches):
         for pdf in batches:
@@ -910,6 +916,18 @@ def _semdedup_assign_arrow(emb: DataFrame, cents: DataFrame) -> DataFrame:
                                 "cid": cids[best]})
 
     return emb.mapInPandas(assign, "vec_id bigint, cid bigint")
+
+
+def _semdedup_assign_arrow(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Arrow twin of :func:`_semdedup_assign`: the K×d centroid matrix
+    is collected once (KB-sized — the same driver materialization the
+    Lloyd trainer already does), unit-normalized, and shipped in the
+    closure; each Arrow batch assigns via ONE (batch × d)·(d × K) BLAS
+    matmul + argmax instead of batch×K interpreted zip_with dots.
+    Ties break on lowest cid (argmax returns the first maximum and the
+    matrix is cid-sorted). Map-side, no shuffle — same plan shape."""
+    c, cids = _collect_unit_centroids(cents)
+    return _assign_arrow_from_model(emb, c, cids)
 
 
 _IVF_ASSIGN_MIN_K = 64   # below this, flat matmul beats two probe passes
@@ -977,17 +995,22 @@ def _semdedup_assign_ivf_arrow(emb: DataFrame, cents: DataFrame,
     import numpy as np
     import pandas as pd
 
-    rows = sorted(cents.collect(), key=lambda r: r["cid"])
-    k = len(rows)
+    c, cids = _collect_unit_centroids(cents)
+    k = len(cids)
     n_cells = int(round(max(1, (nprobe * k) ** 0.5)))
     if k < _IVF_ASSIGN_MIN_K or n_cells >= k:
-        return _semdedup_assign_arrow(emb, cents)
-    c = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
-    cn = np.linalg.norm(c, axis=1, keepdims=True)
-    c = c / np.where(cn == 0, 1.0, cn)
-    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+        return _assign_arrow_from_model(emb, c, cids)
     coarse, members = _train_coarse_cells(c, n_cells)
-    nprobe = min(nprobe, n_cells)
+    # drop EMPTY cells before probing: duplicate-heavy centroid tables
+    # (a dedup corpus head under method="first") collapse the coarse
+    # Lloyd so most cells own nothing — probing an empty cell wastes a
+    # probe slot, and a vector whose every probed cell was empty would
+    # leak the int64-max sentinel out as a phantom cluster id. With
+    # only non-empty cells probed, every vector always gets a real cid.
+    keep = [j for j, m in enumerate(members) if len(m)]
+    coarse = coarse[keep]
+    members = [members[j] for j in keep]
+    nprobe = min(nprobe, len(members))
 
     def assign(batches):
         for pdf in batches:
@@ -1003,8 +1026,6 @@ def _semdedup_assign_ivf_arrow(emb: DataFrame, cents: DataFrame,
             best_c = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
             for j in np.unique(probes):
                 mem = members[j]
-                if not len(mem):
-                    continue
                 idx = np.nonzero((probes == j).any(axis=1))[0]
                 sims = v[idx] @ c[mem].T                   # m × |cell j|
                 arg = sims.argmax(axis=1)
@@ -1015,6 +1036,7 @@ def _semdedup_assign_ivf_arrow(emb: DataFrame, cents: DataFrame,
                 ui = idx[upd]
                 best_s[ui] = s[upd]
                 best_c[ui] = cand[upd]
+            assert (best_s > -np.inf).all()  # every cell probed is real
             yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
                                 "cid": best_c})
 
@@ -1047,8 +1069,11 @@ def semdedup_report_arrow(emb: DataFrame, cents: DataFrame,
     import pandas as pd
     from pyspark.sql import types as _T
 
-    assign_fn = {"flat": _semdedup_assign_arrow,
-                 "ivf": _semdedup_assign_ivf_arrow}[assign]
+    try:
+        assign_fn = {"flat": _semdedup_assign_arrow,
+                     "ivf": _semdedup_assign_ivf_arrow}[assign]
+    except KeyError:
+        raise ValueError(f"unknown assign mode {assign!r}") from None
     ass = _unit_rows(emb, "embedding").join(
         assign_fn(emb, cents), "vec_id").select(
         "vec_id", "embedding", "cid")

@@ -64,10 +64,17 @@ def assign_sweep() -> None:
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
     ks = [int(x) for x in (sys.argv[3].split(",") if len(sys.argv) > 3
                            else ["1024", "4096", "16384"])]
+    from iceberg_catalog_bench_spark.operators.dedup import _IVF_ASSIGN_MIN_K
+
     spark = get_spark(app_name="semdedup-assign-sweep")
     emb = _rand_emb(spark, n)
     emb.count()
     for k in ks:
+        if k < _IVF_ASSIGN_MIN_K:
+            print(f"n={n:>9,} K={k:>6}  SKIPPED: below the IVF gate "
+                  f"(K < {_IVF_ASSIGN_MIN_K}) — the 'ivf' column would "
+                  f"silently time the flat fallback")
+            continue
         cents = semdedup_centroids(spark, emb, k, method="first")
         t0 = time.perf_counter()
         flat = dict(_semdedup_assign_arrow(emb, cents)

@@ -685,9 +685,7 @@ def test_tpcds_q4_channel_compare_single_scan(spark, oracle_sf_dir):
     """Q4/Q11 shape: TPC-DS's four channel×year CTEs must collapse to
     ONE orders scan with conditional aggregation — one shuffle on the
     customer key — and the year filter must reach the scan."""
-    df = registry.QUERIES["tpcds_yoy_growth_channel_compare"](
-        spark, oracle_sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = _plan("tpcds_yoy_growth_channel_compare", spark, oracle_sf_dir)
     scans = [l for l in plan.splitlines() if "FileScan parquet" in l
              and "o_orderdate" in l]
     assert len(scans) == 1, "orders fact must be scanned once, not 4x"

@@ -114,3 +114,28 @@ def test_report_arrow_ivf_same_stages(spark):
     assert "Window" not in final
     assert "FlatMapGroupsInPandas" in final     # per-cluster matmul
     assert "MapInPandas" in final               # IVF assignment
+
+
+def test_ivf_assign_duplicate_heavy_centroids_no_phantom_cid(spark):
+    """Regression: duplicate-heavy centroid tables (a dedup corpus head
+    under method="first" can repeat embeddings) collapse the coarse
+    Lloyd so most cells own nothing — probing an empty cell used to be
+    able to leave a vector with NO real candidate, leaking the
+    int64-max sentinel out as a phantom cluster id. Empty cells are
+    now dropped before probing, so every emitted cid must be a real
+    centroid id."""
+    rng = np.random.default_rng(5)
+    k, dim = 256, 16
+    base = rng.normal(size=(k, dim))
+    base[50:250] = base[0]            # 200 duplicate centroids
+    cents = spark.createDataFrame(
+        [(int(i), [float(x) for x in base[i]]) for i in range(k)],
+        "cid bigint, cv array<double>")
+    v = rng.random((5_000, dim))
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in v[i]]) for i in range(5_000)],
+        "vec_id bigint, embedding array<double>")
+    out = _semdedup_assign_ivf_arrow(emb, cents).collect()
+    assert len(out) == 5_000
+    assert {r["cid"] for r in out} <= set(range(k)), \
+        "phantom cluster id leaked"
