@@ -1,0 +1,68 @@
+"""Hilbert-curve index, vectorized over rows with numpy.
+
+Implements John Skilling's transpose algorithm ("Programming the
+Hilbert Curve", AIP Conf. Proc. 707, 2004 — public domain pseudo-code,
+the same construction cited by the Iceberg/Delta clustering work).
+Used by ``LakeTable.rewrite_hilbert``: the Hilbert curve visits every
+cell of the 2^bits × … × 2^bits grid exactly once and only ever moves
+to an ADJACENT cell, so consecutive index ranges cover compact blobs —
+strictly better worst-case locality than the Z-curve, whose long
+diagonal jumps leave each z-range file covering two distant
+rectangles at every power-of-two boundary.
+
+Correctness is pinned by curve PROPERTIES, not a reference
+implementation: bijectivity over a full grid and unit-step adjacency
+of consecutive indices (`tests/test_hilbert.py`) — together these
+characterize a Hilbert-family curve.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_ONE = np.uint64(1)
+
+
+def hilbert_index(x: np.ndarray, bits: int) -> np.ndarray:
+    """Map (n, k) non-negative integer coordinates (< 2**bits each) to
+    their (n,) uint64 Hilbert-curve positions. k*bits must be ≤ 64.
+
+    Vectorized Skilling AxesToTranspose + bit interleave: O(k·bits)
+    numpy passes over the batch, no Python-per-row work."""
+    x = np.ascontiguousarray(x, dtype=np.uint64).copy()
+    n, k = x.shape
+    if k * bits > 64:
+        raise ValueError(f"k*bits = {k * bits} exceeds the uint64 index")
+    m = _ONE << np.uint64(bits - 1)
+
+    # Inverse undo excess work (Skilling)
+    q = m
+    while q > _ONE:
+        p = q - _ONE
+        for i in range(k):
+            hi = (x[:, i] & q) != 0
+            x[hi, 0] ^= p                       # invert
+            lo = ~hi                            # exchange
+            t = (x[lo, 0] ^ x[lo, i]) & p
+            x[lo, 0] ^= t
+            x[lo, i] ^= t
+        q >>= _ONE
+
+    # Gray encode
+    for i in range(1, k):
+        x[:, i] ^= x[:, i - 1]
+    t = np.zeros(n, dtype=np.uint64)
+    q = m
+    while q > _ONE:
+        hi = (x[:, k - 1] & q) != 0
+        t[hi] ^= q - _ONE
+        q >>= _ONE
+    for i in range(k):
+        x[:, i] ^= t
+
+    # Transpose → index: bit b of dim i lands at position b*k + (k-1-i)
+    h = np.zeros(n, dtype=np.uint64)
+    for b in range(bits - 1, -1, -1):
+        for i in range(k):
+            h = (h << _ONE) | ((x[:, i] >> np.uint64(b)) & _ONE)
+    return h

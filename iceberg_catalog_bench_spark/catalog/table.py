@@ -3397,6 +3397,101 @@ class LakeTable:
             "added_data_files_count": len(new_files),
         }
 
+    def rewrite_hilbert(self, columns: list[str],
+                        target_files: int = 16) -> dict:
+        """Hilbert-curve re-layout (``strategy => 'sort', sort_order =>
+        'hilbert(a, b)'``): like :meth:`rewrite_zorder` but file
+        boundaries follow the HILBERT curve — the curve only ever steps
+        to an adjacent grid cell, so every index range is one compact
+        blob, where the Z-curve's diagonal jumps split ranges across
+        distant rectangles. Measured: ~9–12% fewer files touched per
+        square range query at non-quadrant-aligned file counts (100–
+        1000 files); EQUAL when the file count is a power of 4 — both
+        curves then split into exactly the same quadrants (probe table
+        in BASELINE.md, pinned in tests/test_hilbert.py).
+
+        Mechanics: identical scaling to :meth:`rewrite_zorder`
+        (min/max from MANIFEST stats, no data read, agg fallback),
+        then the curve position per row is computed by a vectorized
+        Arrow UDF (`catalog/hilbert.py`, Skilling's transform — a
+        bit-state machine no fixed interleave expression can encode;
+        write-path-only Python, the ibucket budget class), one
+        ``repartitionByRange`` exchange on it, one file per range.
+        Bits per dimension shrink as dims grow (k·bits ≤ 63) so the
+        index stays an exact BIGINT."""
+        if self._meta.get("partition_spec"):
+            raise ValueError("rewrite_hilbert requires an unpartitioned table")
+        snap = self._snapshot()
+        if snap is None or not snap.files:
+            return {"rewritten_data_files_count": 0, "added_data_files_count": 0}
+        numeric = {"int", "bigint", "smallint", "tinyint", "double", "float"}
+        for f in self._fields():
+            if f.name in columns and f.type.lower() not in numeric:
+                raise ValueError(
+                    f"hilbert column {f.name!r} is {f.type}, not numeric")
+        df = self._read_with_deletes(snap, self._meta["current_schema_version"])
+
+        bounds: dict[str, tuple[float, float]] = {}
+        for c in columns:
+            los = [e.stats[c][0] for e in snap.files if c in e.stats]
+            his = [e.stats[c][1] for e in snap.files if c in e.stats]
+            if len(los) == len(snap.files):
+                bounds[c] = (float(min(los)), float(max(his)))
+        missing = [c for c in columns if c not in bounds]
+        if missing:
+            row = df.agg(
+                *[F.min(c).alias(f"lo_{c}") for c in missing],
+                *[F.max(c).alias(f"hi_{c}") for c in missing],
+            ).first()
+            for c in missing:
+                bounds[c] = (float(row[f"lo_{c}"]), float(row[f"hi_{c}"]))
+
+        k = len(columns)
+        bits = min(16, 63 // k)
+        top = (1 << bits) - 1
+        scaled_cols = []
+        for c in columns:
+            lo, hi = bounds[c]
+            span = (hi - lo) or 1.0
+            scaled_cols.append(F.least(
+                F.lit(top),
+                F.greatest(
+                    F.lit(0),
+                    ((F.col(c).cast("double") - F.lit(lo))
+                     / F.lit(span) * top).cast("int"),
+                ),
+            ))
+
+        import pandas as pd  # noqa: F401 — pandas_udf signature
+        from pyspark.sql.functions import pandas_udf
+
+        from .hilbert import hilbert_index
+
+        @pandas_udf("bigint")
+        def _h(*cols):
+            import numpy as np
+            import pandas as _pd
+
+            x = np.column_stack([s.to_numpy() for s in cols])
+            return _pd.Series(hilbert_index(x, bits).astype(np.int64))
+
+        shaped = (
+            df.withColumn("_h", _h(*scaled_cols))
+            .repartitionByRange(target_files, "_h")
+            .sortWithinPartitions("_h")
+        )
+        new_files = self._write_files(shaped, cluster=False)
+        self._commit(
+            "rewrite_hilbert", new_files,
+            {"hilbert_by": ",".join(columns),
+             "rewritten_files": len(snap.files),
+             "added_files": len(new_files)},
+        )
+        return {
+            "rewritten_data_files_count": len(snap.files),
+            "added_data_files_count": len(new_files),
+        }
+
     def rewrite_sort(self, columns: list[str], target_files: int = 16) -> dict:
         """Linear sort re-layout (Iceberg's ``rewrite_data_files`` with
         ``strategy => 'sort', sort_order => 'c1 [DESC], c2'``): rewrite

@@ -1445,10 +1445,17 @@ class SqlEngine:
         if proc == "rewrite_data_files":
             opts = kwargs
             zm = re.match(r"(?is)^zorder\s*\(([^)]*)\)$", opts.get("sort_order", ""))
+            hm = re.match(r"(?is)^hilbert\s*\(([^)]*)\)$", opts.get("sort_order", ""))
             if opts.get("strategy", "").lower() == "sort" and zm:
                 # Iceberg: strategy => 'sort', sort_order => 'zorder(a, b)'
                 res = t.rewrite_zorder(
                     [c.strip() for c in zm.group(1).split(",")],
+                    target_files=int(opts.get("target_files", 16)),
+                )
+            elif opts.get("strategy", "").lower() == "sort" and hm:
+                # sort_order => 'hilbert(a, b)' — the adjacent-step curve
+                res = t.rewrite_hilbert(
+                    [c.strip() for c in hm.group(1).split(",")],
                     target_files=int(opts.get("target_files", 16)),
                 )
             elif opts.get("strategy", "").lower() == "sort":

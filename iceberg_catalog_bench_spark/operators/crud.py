@@ -1155,6 +1155,59 @@ def maintenance_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "maintenance_hilbert_cluster",
+    oracle=(
+        # Deterministic: rows ride through the rewrite; the layout is
+        # pinned (16 hilbert-range files) and a point predicate on
+        # EITHER curve column must exclude at least half the files.
+        "SELECT (SELECT COUNT(*) FROM events) AS rows_after, "
+        "16 AS files_after, TRUE AS pruned_event_dim, TRUE AS pruned_user_dim"
+    ),
+)
+def maintenance_hilbert_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rewrite_data_files(strategy='sort', sort_order='hilbert(...)'):
+    multi-dimensional clustering on the HILBERT curve — the
+    adjacent-step curve, so every file's index range is one compact
+    blob (the Z-curve's diagonal jumps split ranges across distant
+    rectangles: measured ~9-12% fewer files touched per range query at
+    non-quadrant-aligned file counts, BASELINE.md). Same contract as
+    maintenance_zorder: stats prune point lookups on BOTH curve
+    columns; the oracle pins the verdicts TRUE. Exercised through the
+    SQL CALL so the frontend wiring is driver-checked too."""
+    from ..engine import SqlEngine
+
+    d = _tmp_table_dir()
+    eng = SqlEngine(spark, d)
+    eng.execute("CREATE TABLE hclust (event_id BIGINT, user_id BIGINT, "
+                "value DOUBLE)")
+    t = eng.table("hclust")
+    t.append(
+        load_table(spark, "events", sf_dir).select("event_id", "user_id", "value")
+    )
+    eng.execute(
+        "CALL system.rewrite_data_files(table => 'hclust', "
+        "strategy => 'sort', sort_order => 'hilbert(event_id, user_id)', "
+        "target_files => 16)"
+    )
+    t = eng.table("hclust")
+    snap = t._snapshot()
+
+    def covering(col: str, val: int) -> int:
+        return sum(
+            1 for e in snap.files
+            if col in e.stats and e.stats[col][0] <= val <= e.stats[col][1]
+        )
+
+    n_files = len(snap.files)
+    return t.read().agg(
+        F.count(F.lit(1)).alias("rows_after"),
+        F.lit(n_files).cast("int").alias("files_after"),
+        F.lit(covering("event_id", 100) <= n_files // 2).alias("pruned_event_dim"),
+        F.lit(covering("user_id", 50) <= n_files // 2).alias("pruned_user_dim"),
+    )
+
+
+@register(
     "cdc_changelog",
     oracle=(
         # Net changes from the baseline snapshot: every pre-update

@@ -110,6 +110,7 @@ PRIORITY: tuple[str, ...] = (
     "tpcds_weekly_yoy_ratio",
     "tpcds_monthly_deviation_neighbors",   # Q47/Q57: windows over cells
     "tpcds_yoy_growth_channel_compare",    # Q4/Q11: 4 CTEs -> one scan
+    "maintenance_hilbert_cluster",         # hilbert(a,b) sort strategy
     # -- below-cap: next-riskiest r8 rows, green early only if the
     # driver runs deeper than 50 --
     "maintenance_compaction",
