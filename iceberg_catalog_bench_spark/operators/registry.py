@@ -111,6 +111,8 @@ PRIORITY: tuple[str, ...] = (
     "tpcds_monthly_deviation_neighbors",   # Q47/Q57: windows over cells
     "tpcds_yoy_growth_channel_compare",    # Q4/Q11: 4 CTEs -> one scan
     "maintenance_hilbert_cluster",         # hilbert(a,b) sort strategy
+    "tpcds_revenue_band_histogram",        # Q54: aggregate of aggregate
+    "tpcds_return_repurchase_chain",       # Q17/Q29: disjoint-slice chain
     # -- below-cap: next-riskiest r8 rows, green early only if the
     # driver runs deeper than 50 --
     "maintenance_compaction",

@@ -1203,3 +1203,158 @@ def tpcds_yoy_growth_channel_compare(spark: SparkSession,
         .orderBy(F.desc("urgent_growth"), "c_name")
         .limit(100)
     )
+
+
+@register(
+    "tpcds_revenue_band_histogram",
+    oracle=(
+        # Q54: customers segmented into revenue bands — COUNT of an
+        # AGGREGATE: the histogram input is the per-customer total,
+        # never raw facts. Integer cents + integer band division keep
+        # every band edge exact in both engines.
+        "WITH per_cust AS ("
+        "  SELECT o_custkey, "
+        "         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) "
+        "              AS BIGINT) AS cents "
+        "  FROM orders "
+        "  WHERE o_orderdate >= DATE '1996-01-01' "
+        "  AND o_orderdate < DATE '1996-07-01' "
+        "  GROUP BY o_custkey"
+        ") "
+        # integer floor-average (SUM // COUNT), the
+        # tpcds_rollup_rolling_sales idiom — immune to the
+        # half-even/half-up ROUND divergence on .5 cents
+        "SELECT CAST(cents // 5000000 AS BIGINT) AS band, "
+        "CAST(COUNT(*) AS BIGINT) AS n_customers, "
+        "ROUND((SUM(cents) // COUNT(*)) / 100.0, 2) AS avg_revenue "
+        "FROM per_cust GROUP BY band ORDER BY band"
+    ),
+)
+def tpcds_revenue_band_histogram(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """TPC-DS Q54 shape — REVENUE SEGMENTATION HISTOGRAM, an aggregate
+    OF an aggregate: total H1-1996 revenue per customer, customers
+    counted into $50k bands.
+
+    Plan shape at 100 TB: the fact shuffles ONCE into the per-customer
+    aggregate (partial map-side combine); the histogram is a second
+    aggregate over |customers| rows keyed by ~dozens of bands — its
+    exchange carries band-count partials, kilobytes. The naive
+    rendering windows or re-joins raw facts per band. The date filter
+    is a native range on the scan (PushedFilters). Integer cents and
+    integer band division (cents // 5_000_000) make every band edge
+    exact in both engines — no float revenue ever decides a band."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderdate", "o_totalprice")
+    per_cust = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")))
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+             .cast("bigint").alias("cents"))
+    )
+    return (
+        per_cust
+        .groupBy(F.floor(F.col("cents") / 5_000_000).cast("bigint")
+                 .alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            # exact integer DIV (the rolling_sales idiom), never a
+            # floored double quotient
+            F.round(F.expr("sum(cents) DIV count(1)") / F.lit(100e0), 2)
+            .alias("avg_revenue"),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
+    "tpcds_return_repurchase_chain",
+    oracle=(
+        # Q17/Q29: sold -> returned -> repurchased chains. Three fact
+        # derivatives join on the SAME (customer, part) compound key;
+        # dispersion stats are rounded per the stats_aggregates
+        # precedent (whole-valued quantities, drift << 1e-4).
+        "WITH s AS ("
+        "  SELECT o_custkey AS ck, l_partkey AS pk, l_quantity AS q, "
+        "         o_orderdate AS d, l_returnflag AS rf "
+        "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        "), ret AS ("
+        "  SELECT ck, pk, MIN(d) AS first_ret FROM s "
+        "  WHERE rf = 'R' GROUP BY ck, pk"
+        "), rep AS ("
+        "  SELECT s.ck, s.pk, COUNT(*) AS n_rebuy, SUM(s.q) AS qty "
+        "  FROM s JOIN ret ON s.ck = ret.ck AND s.pk = ret.pk "
+        "  WHERE s.d > ret.first_ret AND s.rf <> 'R' "
+        "  GROUP BY s.ck, s.pk"
+        ") "
+        "SELECT n.n_name AS nation, "
+        "CAST(COUNT(*) AS BIGINT) AS n_chains, "
+        "ROUND(AVG(rep.n_rebuy), 4) AS avg_rebuys, "
+        "ROUND(AVG(rep.qty), 4) AS avg_qty, "
+        "ROUND(COALESCE(stddev_samp(rep.qty), 0.0), 4) AS qty_stddev "
+        "FROM rep "
+        "JOIN customer c ON c.c_custkey = rep.ck "
+        "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+        "GROUP BY nation ORDER BY nation"
+    ),
+)
+def tpcds_return_repurchase_chain(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """TPC-DS Q17/Q29 shape — SOLD → RETURNED → REPURCHASED chain with
+    dispersion stats: customers who returned a part and later bought
+    the same part again, reported per nation with count / mean /
+    sample-stddev of the repurchase quantities.
+
+    Plan shape at 100 TB: each chain branch scans its own DISJOINT,
+    filter-pushed slice of the fact — the return side reads only
+    R-flag rows (a quarter of lineitem, three columns), the
+    repurchase side only non-R rows (plan-verified: both scans carry
+    the returnflag predicate in the parquet filters, so neither
+    decodes the other's rows — strictly less I/O than one shared
+    full scan feeding both). The return side aggregates to one row
+    per returned (customer, part) BEFORE the chain join; the chain
+    join and the per-chain aggregate share the (custkey, partkey)
+    compound key, so the join's output partitioning serves the
+    groupBy without a third fact-volume exchange. Customer/nation
+    are broadcast dims; the report is |nations| rows. Quantities are
+    whole-valued, so the rounded mean/stddev are the stats_aggregates
+    tolerance class."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    s = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"),
+        F.col("l_quantity").alias("q"), F.col("o_orderdate").alias("d"),
+        F.col("l_returnflag").alias("rf"))
+    ret = (
+        s.filter(F.col("rf") == "R")
+        .groupBy("ck", "pk").agg(F.min("d").alias("first_ret"))
+    )
+    rep = (
+        s.filter(F.col("rf") != "R")
+        .join(ret, ["ck", "pk"])
+        .filter(F.col("d") > F.col("first_ret"))
+        .groupBy("ck", "pk")
+        .agg(F.count(F.lit(1)).alias("n_rebuy"), F.sum("q").alias("qty"))
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey")
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name")
+    return (
+        rep.join(F.broadcast(cust), F.col("c_custkey") == F.col("ck"))
+        .join(F.broadcast(nation),
+              F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chains"),
+            F.round(F.avg("n_rebuy"), 4).alias("avg_rebuys"),
+            F.round(F.avg("qty"), 4).alias("avg_qty"),
+            F.round(F.coalesce(F.stddev_samp("qty"), F.lit(0.0)), 4)
+            .alias("qty_stddev"),
+        )
+        .orderBy("nation")
+    )

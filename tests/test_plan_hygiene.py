@@ -696,3 +696,35 @@ def test_tpcds_q4_channel_compare_single_scan(spark, oracle_sf_dir):
     pushed = scans[0].split("PushedFilters: [")[1].split("]")[0]
     assert "GreaterThanOrEqual(o_orderdate" in pushed, pushed
     assert "LessThan(o_orderdate" in pushed, pushed
+
+
+def test_tpcds_q54_histogram_over_aggregate(spark, oracle_sf_dir):
+    """Q54 shape: the band histogram must aggregate the PER-CUSTOMER
+    aggregate (two stacked HashAggregate pairs), with the H1-1996 date
+    range pushed to the one orders scan."""
+    plan = _plan("tpcds_revenue_band_histogram", spark, oracle_sf_dir)
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l
+             and "o_orderdate" in l]
+    assert len(scans) == 1, "orders fact must be scanned once"
+    pushed = scans[0].split("PushedFilters: [")[1].split("]")[0]
+    assert "GreaterThanOrEqual(o_orderdate" in pushed, pushed
+    assert "LessThan(o_orderdate" in pushed, pushed
+    # two aggregation levels (each a partial+final HashAggregate pair):
+    # per-customer totals, then the band histogram over those rows
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_tpcds_q17_chain_scans_disjoint_slices(spark, oracle_sf_dir):
+    """Q17/Q29 shape: the return branch must scan ONLY R-flag rows and
+    the repurchase branch only non-R rows — both predicates pushed to
+    their scans (disjoint slices, strictly less I/O than a shared full
+    scan), and the return side must aggregate before the chain join."""
+    df = registry.QUERIES["tpcds_return_repurchase_chain"](
+        spark, oracle_sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    li_scans = [l for l in plan.splitlines() if "FileScan parquet" in l
+                and "l_returnflag" in l]
+    assert len(li_scans) == 2
+    pushed = " ".join(li_scans)
+    assert "EqualTo(l_returnflag,R)" in pushed, pushed
+    assert "Not(EqualTo(l_returnflag,R))" in pushed, pushed
