@@ -3111,6 +3111,39 @@ class LakeTable:
                   "equality_columns string, sequence_number bigint"
         )
 
+    def position_deletes(self, snapshot_id: int | None = None) -> DataFrame:
+        """`t.position_deletes` metadata table (Iceberg spec): one row
+        per position-delete TOMBSTONE live in the snapshot —
+        ``(file_path, pos, delete_file_path, sequence_number)``.
+        ``.delete_files`` lists the delete FILES; this lists their
+        ROWS — the view compaction planners and debuggers join against
+        data to see exactly which records are dead. Equality deletes
+        do not appear (they carry keys, not positions — Iceberg's
+        table is position-content only). The scan unions the
+        dimension-sized delete parquets; no data file is read."""
+        snap = self._snapshot(snapshot_id)
+        schema = ("file_path string, pos bigint, delete_file_path string, "
+                  "sequence_number bigint")
+        pos_dels = [d for d in (snap.delete_files if snap else [])
+                    if d.content == "position"]
+        if not pos_dels:
+            return self.spark.createDataFrame([], schema)
+        out = None
+        for d in pos_dels:
+            part = self.spark.read.parquet(
+                os.path.join(self.path, d.path)
+            ).select(
+                # same URI normalization as the MoR read path — a
+                # foreign writer may record file:///… spellings
+                F.regexp_replace("file_path", "^file:/+", "/")
+                .cast("string").alias("file_path"),
+                F.col("pos").cast("bigint"),
+                F.lit(d.path).alias("delete_file_path"),
+                F.lit(d.seq or 0).cast("bigint").alias("sequence_number"),
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
     def entries(self, snapshot_id: int | None = None) -> DataFrame:
         """`t.entries` metadata table (Iceberg manifest entries): one
         row per data file in the snapshot with its lifecycle ``status``

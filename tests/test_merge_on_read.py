@@ -744,3 +744,50 @@ def test_sql_frontend_maintenance_advice(spark, tmp_path):
     assert r["delete_file_count"] >= 1
     assert r["read_amplification_est"] > 1.0
     assert r["advice"] in ("ok", "compact")
+
+
+def test_position_deletes_metadata_table(mor_table, spark, tmp_path):
+    """`.position_deletes` (Iceberg spec metadata table): one row per
+    live tombstone — positions + owning delete file + sequence number;
+    empty before any MoR delete, empty again after compaction folds
+    the tombstones, and never surfaces equality deletes."""
+    t = mor_table
+    assert t.position_deletes().count() == 0
+    t.delete_where("id < 10")                 # 10 position tombstones
+    pd_rows = t.position_deletes().collect()
+    assert len(pd_rows) == 10
+    assert {r["pos"] for r in pd_rows} <= set(range(100))
+    # tombstones record absolute data-file paths; manifests are
+    # table-relative — every tombstone must point at a live data file
+    data_paths = {e.path for e in t._snapshot().files}
+    for r in pd_rows:
+        assert any(r["file_path"].endswith(p) for p in data_paths), r
+    del_paths = {d.path for d in t._snapshot().delete_files}
+    assert {r["delete_file_path"] for r in pd_rows} == del_paths
+    assert all(r["sequence_number"] > 0 for r in pd_rows)
+    # SQL suffix surface
+    from iceberg_catalog_bench_spark.engine import SqlEngine
+
+    e = SqlEngine(spark, str(tmp_path / "wh"))
+    e.execute(
+        "CREATE TABLE pdm (id BIGINT, v DOUBLE) TBLPROPERTIES "
+        "('write.delete.mode'='merge-on-read')")
+    # unaliased: Spark names CAST(id AS DOUBLE) just `id` — positional
+    # INSERT alignment must absorb the duplicate output names
+    e.execute("INSERT INTO pdm SELECT id, CAST(id AS DOUBLE) FROM RANGE(20)")
+    e.execute("DELETE FROM pdm WHERE id >= 15")
+    rows = e.execute(
+        "SELECT COUNT(*) AS n, MIN(pos) AS lo FROM pdm.position_deletes"
+    )[0].rows
+    assert rows[0]["n"] == 5
+    # compaction folds tombstones -> the metadata table drains
+    t.rewrite_data_files()
+    assert t.position_deletes().count() == 0
+    # equality deletes never appear (position-content only)
+    t2 = LakeTable.create(
+        spark, str(tmp_path / "eq"), "k bigint, v double",
+        properties={"write.delete.mode": "merge-on-read"})
+    t2.append(spark.range(5).selectExpr("id k", "cast(id as double) v"))
+    t2.delete_by_keys(spark.createDataFrame([(1,), (2,)], "k bigint"), ["k"])
+    assert t2.position_deletes().count() == 0
+    assert t2.delete_files().filter("content = 'equality-deletes'").count() == 1
