@@ -1002,7 +1002,8 @@ class SqlEngine:
                     f"SELECT * FROM ({src_sql}) AS v({', '.join(names)})"
                 )
             else:
-                src = self._select_df(src_sql)
+                src = self._align_positional(
+                    t, self._select_df(src_sql), skip=static)
             snap = t.overwrite_partitions(src, static=static, branch=ow_branch)
             return StatementResult(
                 s, rowcount=snap.summary.get("added_rows"),
@@ -1019,7 +1020,7 @@ class SqlEngine:
             ident, select_sql = m.groups()
             ident, branch = self._split_branch_ident(ident)
             t = self.table(ident)
-            src = self._select_df(select_sql)
+            src = self._align_positional(t, self._select_df(select_sql))
             snap = t.append(src, branch=branch)
             return StatementResult(
                 s, rowcount=snap.summary.get("added_rows"),
@@ -1058,6 +1059,23 @@ class SqlEngine:
         return StatementResult(
             s, rowcount=snap.summary.get("added_rows"), metadata={"op": "insert"}
         )
+
+    @staticmethod
+    def _align_positional(t, src, skip: dict | None = None):
+        """INSERT … SELECT maps source columns to target columns BY
+        POSITION (the SQL standard, and what Spark/Iceberg do) — never
+        by name. Name-based alignment silently remaps a reordered
+        SELECT (``INSERT INTO t SELECT b, a``) and breaks outright on
+        duplicate output names (Spark names ``CAST(id AS DOUBLE)``
+        just ``id``). ``skip`` omits statically-assigned partition
+        columns (the INSERT OVERWRITE PARTITION (c=v) form)."""
+        names = [f.name for f in t._fields()
+                 if not (skip and f.name in skip)]
+        if len(src.columns) != len(names):
+            raise ValueError(
+                f"INSERT column count mismatch: SELECT produces "
+                f"{len(src.columns)} columns, target has {len(names)}")
+        return src.toDF(*names)
 
     @staticmethod
     def _split_branch_ident(ident: str) -> tuple[str, str | None]:
@@ -1721,7 +1739,7 @@ class SqlEngine:
             base, meta_suffix = token, None
             for sfx in (".snapshots", ".files", ".history", ".partitions",
                         ".refs", ".manifests", ".delete_files",
-                        ".entries", ".all_files"):
+                        ".position_deletes", ".entries", ".all_files"):
                 if token.lower().endswith(sfx):
                     base, meta_suffix = token[: -len(sfx)], sfx
                     break
@@ -1735,6 +1753,7 @@ class SqlEngine:
                     ".refs": t.refs,
                     ".manifests": t.manifests,
                     ".delete_files": t.delete_files,
+                    ".position_deletes": t.position_deletes,
                     ".entries": t.entries,
                     ".all_files": t.all_files,
                 }[meta_suffix]()

@@ -640,3 +640,28 @@ def test_export_disambiguates_void_colliding_partition_fields(spark, tmp_path):
     assert sorted(f["transform"] for f in spec) == \
         ["bucket[4]", "void", "void"]
     assert by_tr["bucket[4]"]["name"].startswith("k_bucket")
+
+
+def test_insert_select_maps_columns_by_position(spark, tmp_path):
+    """INSERT INTO t SELECT maps source to target BY POSITION (the SQL
+    standard and Spark/Iceberg behavior). The old name-based alignment
+    silently remapped a reordered SELECT and broke on duplicate output
+    names (Spark names CAST(id AS DOUBLE) just `id`)."""
+    engine = SqlEngine(spark, str(tmp_path / "wh"))
+    engine.execute("CREATE TABLE pos (a BIGINT, b BIGINT)")
+    # select columns NAMED the other way round: position must win
+    engine.execute(
+        "INSERT INTO pos SELECT id * 10 AS b, id AS a FROM RANGE(3)")
+    rows = engine.execute("SELECT a, b FROM pos ORDER BY b")[0].rows
+    assert [(r["a"], r["b"]) for r in rows] == [(0, 0), (10, 1), (20, 2)]
+    # duplicate unaliased output names are fine positionally
+    engine.execute("INSERT INTO pos SELECT id, id + 100 FROM RANGE(1)")
+    assert engine.execute("SELECT COUNT(*) AS c FROM pos")[0].rows[0]["c"] == 4
+    # arity mismatch refuses loudly instead of null-filling
+    with pytest.raises(ValueError, match="column count mismatch"):
+        engine.execute("INSERT INTO pos SELECT id FROM RANGE(1)")
+    # INSERT OVERWRITE SELECT follows the same positional contract
+    engine.execute(
+        "INSERT OVERWRITE pos SELECT id * 7 AS b, id AS a FROM RANGE(2)")
+    rows = engine.execute("SELECT a, b FROM pos ORDER BY b")[0].rows
+    assert [(r["a"], r["b"]) for r in rows] == [(0, 0), (7, 1)]
