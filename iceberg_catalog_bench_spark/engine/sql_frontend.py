@@ -1012,15 +1012,41 @@ class SqlEngine:
                           snap.summary.get("replaced-partitions")},
             )
 
-        # INSERT INTO t SELECT ...
+        # INSERT INTO t [(col, ...)] SELECT ...
         m = re.match(
-            r"(?is)^insert\s+into\s+(" + _IDENT + r")\s+(select\b.+)$", s
+            r"(?is)^insert\s+into\s+(" + _IDENT + r")\s*"
+            r"(?:\(([^)]*)\)\s*)?(select\b.+)$", s
         )
         if m:
-            ident, select_sql = m.groups()
+            ident, collist, select_sql = m.groups()
             ident, branch = self._split_branch_ident(ident)
             t = self.table(ident)
-            src = self._align_positional(t, self._select_df(select_sql))
+            src = self._select_df(select_sql)
+            if collist:
+                # source maps positionally onto the NAMED columns;
+                # unnamed target columns take their declared defaults
+                # (the M2 post-evolution contract, same as the VALUES
+                # col-list form)
+                names = [c.strip() for c in collist.split(",")]
+                if len(src.columns) != len(names):
+                    raise ValueError(
+                        f"INSERT column count mismatch: SELECT produces "
+                        f"{len(src.columns)} columns, column list names "
+                        f"{len(names)}")
+                from pyspark.sql import functions as F
+
+                src = src.toDF(*names)
+                by_name = {f.name: f for f in t._fields()}
+                unknown = [n for n in names if n not in by_name]
+                if unknown:
+                    raise ValueError(f"unknown INSERT columns {unknown}")
+                src = src.select(*[
+                    F.col(f.name).cast(f.type) if f.name in names
+                    else F.lit(f.default).cast(f.type).alias(f.name)
+                    for f in t._fields()
+                ])
+            else:
+                src = self._align_positional(t, src)
             snap = t.append(src, branch=branch)
             return StatementResult(
                 s, rowcount=snap.summary.get("added_rows"),

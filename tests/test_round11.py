@@ -665,3 +665,22 @@ def test_insert_select_maps_columns_by_position(spark, tmp_path):
         "INSERT OVERWRITE pos SELECT id * 7 AS b, id AS a FROM RANGE(2)")
     rows = engine.execute("SELECT a, b FROM pos ORDER BY b")[0].rows
     assert [(r["a"], r["b"]) for r in rows] == [(0, 0), (7, 1)]
+
+
+def test_insert_select_with_column_list(spark, tmp_path):
+    """INSERT INTO t (cols) SELECT — source maps positionally onto the
+    NAMED columns; unnamed target columns take their declared defaults
+    (the M2 post-evolution contract the VALUES col-list form already
+    honors)."""
+    engine = SqlEngine(spark, str(tmp_path / "wh"))
+    engine.execute("CREATE TABLE cl (a BIGINT, b STRING)")
+    engine.execute("ALTER TABLE cl ADD COLUMN c BIGINT DEFAULT 7")
+    engine.execute(
+        "INSERT INTO cl (b, a) SELECT CONCAT('x', id), id FROM RANGE(2)")
+    rows = engine.execute("SELECT a, b, c FROM cl ORDER BY a")[0].rows
+    assert [(r["a"], r["b"], r["c"]) for r in rows] == \
+        [(0, "x0", 7), (1, "x1", 7)]
+    with pytest.raises(ValueError, match="column count mismatch"):
+        engine.execute("INSERT INTO cl (a, b) SELECT id FROM RANGE(1)")
+    with pytest.raises(ValueError, match="unknown INSERT columns"):
+        engine.execute("INSERT INTO cl (a, zz) SELECT id, id FROM RANGE(1)")
