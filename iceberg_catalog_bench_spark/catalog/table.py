@@ -3128,21 +3128,33 @@ class LakeTable:
                     if d.content == "position"]
         if not pos_dels:
             return self.spark.createDataFrame([], schema)
-        out = None
-        for d in pos_dels:
-            part = self.spark.read.parquet(
-                os.path.join(self.path, d.path)
-            ).select(
-                # same URI normalization as the MoR read path — a
-                # foreign writer may record file:///… spellings
-                F.regexp_replace("file_path", "^file:/+", "/")
-                .cast("string").alias("file_path"),
-                F.col("pos").cast("bigint"),
-                F.lit(d.path).alias("delete_file_path"),
-                F.lit(d.seq or 0).cast("bigint").alias("sequence_number"),
-            )
-            out = part if out is None else out.unionByName(part)
-        return out
+        # ONE multi-path scan (a per-file unionByName builds a plan
+        # that grows with delete-file count — hundreds deep on a busy
+        # MoR table); the owning delete file comes from
+        # input_file_name() and its sequence number from a literal map
+        # (delete files are dimension-sized, the map is KBs)
+        abs_to_rel = {os.path.join(self.path, d.path): d.path
+                      for d in pos_dels}
+        seq_map = F.create_map(*[
+            x for d in pos_dels
+            for x in (F.lit(d.path), F.lit(d.seq or 0))
+        ])
+        rel_map = F.create_map(*[
+            x for a, r in abs_to_rel.items()
+            for x in (F.lit(a), F.lit(r))
+        ])
+        own = F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+        rel = F.element_at(rel_map, own)
+        return self.spark.read.parquet(*abs_to_rel).select(
+            # same URI normalization as the MoR read path — a foreign
+            # writer may record file:///… spellings
+            F.regexp_replace("file_path", "^file:/+", "/")
+            .cast("string").alias("file_path"),
+            F.col("pos").cast("bigint"),
+            rel.alias("delete_file_path"),
+            F.element_at(seq_map, rel).cast("bigint")
+            .alias("sequence_number"),
+        )
 
     def entries(self, snapshot_id: int | None = None) -> DataFrame:
         """`t.entries` metadata table (Iceberg manifest entries): one
@@ -3353,6 +3365,62 @@ class LakeTable:
                   "total_size_bytes bigint, delete_affected_file_count bigint"
         )
 
+    def _cluster_grid_cols(self, kind: str, columns: list[str], bits: int):
+        """Shared scaffolding for the multi-dimensional clustering
+        rewrites (zorder/hilbert): partition guard, numeric-type check,
+        per-column min/max bounds from MANIFEST stats (falling back to
+        one agg job for columns with missing footer stats), and the
+        clamped [0, 2^bits) grid-cell expression per column. Returns
+        ``(df, scaled_cols)``, or ``(None, None)`` for an empty table.
+        One place for every future fix — the two curves must never
+        diverge in how they scale coordinates."""
+        if self._meta.get("partition_spec"):
+            raise ValueError(f"rewrite_{kind} requires an unpartitioned table")
+        snap = self._snapshot()
+        if snap is None or not snap.files:
+            return None, None
+        numeric = {"int", "bigint", "smallint", "tinyint", "double", "float"}
+        for f in self._fields():
+            if f.name in columns and f.type.lower() not in numeric:
+                raise ValueError(
+                    f"{kind} column {f.name!r} is {f.type}, not numeric")
+        df = self._read_with_deletes(snap, self._meta["current_schema_version"])
+
+        bounds: dict[str, tuple[float, float]] = {}
+        for c in columns:
+            los = [e.stats[c][0] for e in snap.files if c in e.stats]
+            his = [e.stats[c][1] for e in snap.files if c in e.stats]
+            if len(los) == len(snap.files):
+                bounds[c] = (float(min(los)), float(max(his)))
+        missing = [c for c in columns if c not in bounds]
+        if missing:
+            row = df.agg(
+                *[F.min(c).alias(f"lo_{c}") for c in missing],
+                *[F.max(c).alias(f"hi_{c}") for c in missing],
+            ).first()
+            for c in missing:
+                lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+                if lo is None or hi is None:
+                    raise ValueError(
+                        f"{kind} column {c!r} has no non-null values — "
+                        "cannot derive clustering bounds")
+                bounds[c] = (float(lo), float(hi))
+
+        top = (1 << bits) - 1
+        scaled_cols = []
+        for c in columns:
+            lo, hi = bounds[c]
+            span = (hi - lo) or 1.0
+            scaled_cols.append(F.least(
+                F.lit(top),
+                F.greatest(
+                    F.lit(0),
+                    ((F.col(c).cast("double") - F.lit(lo))
+                     / F.lit(span) * top).cast("int"),
+                ),
+            ))
+        return df, scaled_cols
+
     def rewrite_zorder(self, columns: list[str], target_files: int = 16) -> dict:
         """Z-order re-layout (Iceberg's ``rewrite_data_files`` with
         ``strategy => 'sort', sort_order => 'zorder(a, b)'``): rewrite
@@ -3369,45 +3437,13 @@ class LakeTable:
         Unpartitioned tables only: a partitioned table's layout is
         already pinned to its spec (Iceberg z-orders within partitions;
         LakeTable keeps the two strategies separate and honest)."""
-        if self._meta.get("partition_spec"):
-            raise ValueError("rewrite_zorder requires an unpartitioned table")
-        snap = self._snapshot()
-        if snap is None or not snap.files:
+        df, scaled_cols = self._cluster_grid_cols("zorder", columns, bits=16)
+        if df is None:
             return {"rewritten_data_files_count": 0, "added_data_files_count": 0}
-        numeric = {"int", "bigint", "smallint", "tinyint", "double", "float"}
-        for f in self._fields():
-            if f.name in columns and f.type.lower() not in numeric:
-                raise ValueError(f"zorder column {f.name!r} is {f.type}, not numeric")
-        df = self._read_with_deletes(snap, self._meta["current_schema_version"])
-
-        bounds: dict[str, tuple[float, float]] = {}
-        for c in columns:
-            los = [e.stats[c][0] for e in snap.files if c in e.stats]
-            his = [e.stats[c][1] for e in snap.files if c in e.stats]
-            if len(los) == len(snap.files):
-                bounds[c] = (float(min(los)), float(max(his)))
-        missing = [c for c in columns if c not in bounds]
-        if missing:
-            row = df.agg(
-                *[F.min(c).alias(f"lo_{c}") for c in missing],
-                *[F.max(c).alias(f"hi_{c}") for c in missing],
-            ).first()
-            for c in missing:
-                bounds[c] = (float(row[f"lo_{c}"]), float(row[f"hi_{c}"]))
-
+        snap = self._snapshot()
         k, bits = len(columns), 16
         z = F.lit(0).cast("bigint")
-        for j, c in enumerate(columns):
-            lo, hi = bounds[c]
-            span = (hi - lo) or 1.0
-            scaled = F.least(
-                F.lit(65535),
-                F.greatest(
-                    F.lit(0),
-                    ((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * 65535)
-                    .cast("int"),
-                ),
-            )
+        for j, scaled in enumerate(scaled_cols):
             for i in range(bits):
                 z = z + F.shiftleft(
                     F.shiftright(scaled, i).bitwiseAND(F.lit(1)).cast("bigint"),
@@ -3452,50 +3488,13 @@ class LakeTable:
         ``repartitionByRange`` exchange on it, one file per range.
         Bits per dimension shrink as dims grow (k·bits ≤ 63) so the
         index stays an exact BIGINT."""
-        if self._meta.get("partition_spec"):
-            raise ValueError("rewrite_hilbert requires an unpartitioned table")
-        snap = self._snapshot()
-        if snap is None or not snap.files:
-            return {"rewritten_data_files_count": 0, "added_data_files_count": 0}
-        numeric = {"int", "bigint", "smallint", "tinyint", "double", "float"}
-        for f in self._fields():
-            if f.name in columns and f.type.lower() not in numeric:
-                raise ValueError(
-                    f"hilbert column {f.name!r} is {f.type}, not numeric")
-        df = self._read_with_deletes(snap, self._meta["current_schema_version"])
-
-        bounds: dict[str, tuple[float, float]] = {}
-        for c in columns:
-            los = [e.stats[c][0] for e in snap.files if c in e.stats]
-            his = [e.stats[c][1] for e in snap.files if c in e.stats]
-            if len(los) == len(snap.files):
-                bounds[c] = (float(min(los)), float(max(his)))
-        missing = [c for c in columns if c not in bounds]
-        if missing:
-            row = df.agg(
-                *[F.min(c).alias(f"lo_{c}") for c in missing],
-                *[F.max(c).alias(f"hi_{c}") for c in missing],
-            ).first()
-            for c in missing:
-                bounds[c] = (float(row[f"lo_{c}"]), float(row[f"hi_{c}"]))
-
         k = len(columns)
         bits = min(16, 63 // k)
-        top = (1 << bits) - 1
-        scaled_cols = []
-        for c in columns:
-            lo, hi = bounds[c]
-            span = (hi - lo) or 1.0
-            scaled_cols.append(F.least(
-                F.lit(top),
-                F.greatest(
-                    F.lit(0),
-                    ((F.col(c).cast("double") - F.lit(lo))
-                     / F.lit(span) * top).cast("int"),
-                ),
-            ))
+        df, scaled_cols = self._cluster_grid_cols("hilbert", columns, bits)
+        if df is None:
+            return {"rewritten_data_files_count": 0, "added_data_files_count": 0}
+        snap = self._snapshot()
 
-        import pandas as pd  # noqa: F401 — pandas_udf signature
         from pyspark.sql.functions import pandas_udf
 
         from .hilbert import hilbert_index

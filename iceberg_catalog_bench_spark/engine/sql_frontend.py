@@ -1027,7 +1027,7 @@ class SqlEngine:
                 # unnamed target columns take their declared defaults
                 # (the M2 post-evolution contract, same as the VALUES
                 # col-list form)
-                names = [c.strip() for c in collist.split(",")]
+                names = self._resolve_collist(t, collist)
                 if len(src.columns) != len(names):
                     raise ValueError(
                         f"INSERT column count mismatch: SELECT produces "
@@ -1036,10 +1036,6 @@ class SqlEngine:
                 from pyspark.sql import functions as F
 
                 src = src.toDF(*names)
-                by_name = {f.name: f for f in t._fields()}
-                unknown = [n for n in names if n not in by_name]
-                if unknown:
-                    raise ValueError(f"unknown INSERT columns {unknown}")
                 src = src.select(*[
                     F.col(f.name).cast(f.type) if f.name in names
                     else F.lit(f.default).cast(f.type).alias(f.name)
@@ -1063,7 +1059,8 @@ class SqlEngine:
         t = self.table(ident)
         fields = t._fields()
         names = (
-            [c.strip() for c in collist.split(",")] if collist else [f.name for f in fields]
+            self._resolve_collist(t, collist) if collist
+            else [f.name for f in fields]
         )
         # Let Spark's own parser handle the literal tuples (TIMESTAMP/
         # DATE literals included) — M1's typed VALUES
@@ -1085,6 +1082,26 @@ class SqlEngine:
         return StatementResult(
             s, rowcount=snap.summary.get("added_rows"), metadata={"op": "insert"}
         )
+
+    @staticmethod
+    def _resolve_collist(t, collist: str) -> list[str]:
+        """Resolve an INSERT column list to the DECLARED field names —
+        case-insensitively, like Spark's own column resolution. A name
+        that matches no field refuses loudly (the old `f.name in names`
+        check was case-sensitive, so `INSERT INTO t (ID) VALUES (5)`
+        silently wrote the column DEFAULT instead of 5 — a silent data
+        loss class); duplicates refuse too (they would otherwise
+        surface as an opaque AMBIGUOUS_REFERENCE from the select)."""
+        by_lower = {f.name.lower(): f.name for f in t._fields()}
+        names: list[str] = []
+        for c in (x.strip() for x in collist.split(",")):
+            resolved = by_lower.get(c.lower())
+            if resolved is None:
+                raise ValueError(f"unknown INSERT columns ['{c}']")
+            if resolved in names:
+                raise ValueError(f"duplicate INSERT column {c!r}")
+            names.append(resolved)
+        return names
 
     @staticmethod
     def _align_positional(t, src, skip: dict | None = None):

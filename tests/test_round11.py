@@ -684,3 +684,38 @@ def test_insert_select_with_column_list(spark, tmp_path):
         engine.execute("INSERT INTO cl (a, b) SELECT id FROM RANGE(1)")
     with pytest.raises(ValueError, match="unknown INSERT columns"):
         engine.execute("INSERT INTO cl (a, zz) SELECT id, id FROM RANGE(1)")
+
+
+def test_insert_collist_case_insensitive_and_duplicates(spark, tmp_path):
+    """Review findings: the old case-sensitive `f.name in names` check
+    made INSERT INTO t (ID, v) VALUES (5, 1.0) silently write the
+    column DEFAULT for id instead of 5; duplicate list entries died as
+    an opaque AMBIGUOUS_REFERENCE. Both now resolve like Spark's own
+    (case-insensitive) column resolution or refuse loudly."""
+    engine = SqlEngine(spark, str(tmp_path / "wh"))
+    engine.execute("CREATE TABLE ci (id BIGINT, v DOUBLE)")
+    engine.execute("INSERT INTO ci (ID, V) VALUES (5, 1.0)")
+    rows = engine.execute("SELECT id, v FROM ci")[0].rows
+    assert [(r["id"], r["v"]) for r in rows] == [(5, 1.0)]  # was (None, 1.0)
+    engine.execute("INSERT INTO ci (Id, v) SELECT id, CAST(id AS DOUBLE) "
+                   "FROM RANGE(1)")
+    assert engine.execute("SELECT COUNT(*) AS c FROM ci")[0].rows[0]["c"] == 2
+    with pytest.raises(ValueError, match="duplicate INSERT column"):
+        engine.execute("INSERT INTO ci (id, ID) VALUES (1, 2)")
+    with pytest.raises(ValueError, match="unknown INSERT columns"):
+        engine.execute("INSERT INTO ci (nope) VALUES (1)")
+
+
+def test_cluster_rewrite_all_null_column_refuses(spark, tmp_path):
+    """Review finding: an all-NULL clustering column used to crash with
+    a bare TypeError (float(None)) in the stats fallback — both curve
+    rewrites must refuse with a clear error instead."""
+    from iceberg_catalog_bench_spark.catalog.table import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "n"),
+                         "a bigint, b bigint, v double")
+    t.append(spark.range(100).selectExpr(
+        "id a", "CAST(NULL AS BIGINT) b", "CAST(id AS DOUBLE) v"))
+    for fn in (t.rewrite_zorder, t.rewrite_hilbert):
+        with pytest.raises(ValueError, match="no non-null values"):
+            fn(["a", "b"])
