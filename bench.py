@@ -502,17 +502,25 @@ def main() -> None:
     # widened phase — BASELINE.md documents both re-records)
     # (+ round 11: the Q1/Q30 returns-above-average and Q59 weekly
     # YoY-ratio shapes; baseline re-recorded per the same protocol)
-    TPCDS_12 = [
+    TPCDS_16 = [
         "tpcds_returned_ratio_by_date", "tpcds_rollup_rolling_sales",
         "tpcds_channel_union", "tpcds_star_join_multi_dim",
         "tpcds_rank_within_parent", "tpcds_multi_band_counts",
         "tpcds_cumulative_channel_crossover", "tpcds_topn_over_rollup",
         "tpcds_frequent_buyer_segments", "tpcds_net_after_returns",
         "tpcds_returns_above_avg_customers", "tpcds_weekly_yoy_ratio",
+        # round-11 extended-session widening (12 -> 16, adjudicated
+        # re-record in BASELINE.md): Q47/Q57 windows-over-cells, Q4/Q11
+        # one-scan channel compare, Q54 histogram-of-aggregate, Q17/Q29
+        # disjoint-slice chain
+        "tpcds_monthly_deviation_neighbors",
+        "tpcds_yoy_growth_channel_compare",
+        "tpcds_revenue_band_histogram",
+        "tpcds_return_repurchase_chain",
     ]
 
     def _report_run() -> None:
-        for q in TPCDS_12:
+        for q in TPCDS_16:
             registry.QUERIES[q](spark, SF_DIR).collect()
 
     phase_once("tpcds_report_run", _report_run)
