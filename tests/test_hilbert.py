@@ -126,3 +126,34 @@ def test_hilbert_ranges_beat_zorder_locality():
     # non-aligned count: hilbert strictly better
     zf, hf = avg_files(z, 100), avg_files(h, 100)
     assert hf < 0.95 * zf, (hf, zf)
+
+
+def test_hilbert_index_properties_random(spark=None):
+    """Hypothesis sweep: on RANDOM coordinate sets (not just full
+    grids) the index stays in range and is injective — distinct cells
+    never collide, at any (k, bits) within the uint64 budget."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(min_value=2, max_value=5),
+        st.integers(min_value=2, max_value=10),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def check(k, bits, seed):
+        if k * bits > 64:
+            return
+        side = 1 << bits
+        n = min(200, side ** k)
+        rng = np.random.default_rng(seed)
+        flat = rng.choice(side ** k, size=n, replace=False)
+        pts = np.empty((n, k), dtype=np.uint64)
+        for i in range(k):                      # decode mixed-radix
+            pts[:, k - 1 - i] = flat % side
+            flat = flat // side
+        h = hilbert_index(pts, bits)
+        assert (h < (1 << (k * bits))).all()
+        assert len(set(h.tolist())) == n, "distinct cells collided"
+
+    check()

@@ -791,3 +791,24 @@ def test_position_deletes_metadata_table(mor_table, spark, tmp_path):
     t2.delete_by_keys(spark.createDataFrame([(1,), (2,)], "k bigint"), ["k"])
     assert t2.position_deletes().count() == 0
     assert t2.delete_files().filter("content = 'equality-deletes'").count() == 1
+
+
+def test_position_deletes_single_scan_plan(mor_table):
+    """Review pin: with several delete files the metadata table must
+    plan ONE multi-path scan — the per-file unionByName draft built a
+    plan that grew linearly with delete-file count."""
+    t = mor_table
+    for lo in (0, 10, 20):                      # three delete commits
+        t.delete_where(f"id >= {lo} AND id < {lo + 5}")
+    n_del = len([d for d in t._snapshot().delete_files
+                 if d.content == "position"])
+    assert n_del >= 3                       # per-partition fanout: 3×|cats|
+    df = t.position_deletes()
+    assert df.count() == 15
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1, "one scan, not per-file"
+    assert "Union" not in plan
+    # every row still carries its owning file + a real sequence number
+    rows = df.collect()
+    assert len({r["delete_file_path"] for r in rows}) == n_del
+    assert all(r["sequence_number"] > 0 for r in rows)
