@@ -1192,3 +1192,160 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding")
     cents = semdedup_centroids(spark, emb, _SEMDEDUP_K, method="first")
     return semdedup_report(emb, cents, _SEMDEDUP_TAU)
+
+
+_ORACLE_SEMDEDUP_INCR = f"""
+WITH c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < {_SEMDEDUP_K}
+), ass AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(
+               c.cv, CAST(e.embedding AS DOUBLE[])) DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN c)
+  WHERE rn = 1
+), corpus AS (
+  SELECT * FROM ass WHERE vec_id % 10 <> 7
+), batch AS (
+  SELECT * FROM ass WHERE vec_id % 10 = 7
+), pairs AS (
+  SELECT b.cid, b.vec_id AS b, list_cosine_similarity(x.v, b.v) AS s
+  FROM corpus x JOIN batch b ON x.cid = b.cid
+  UNION ALL
+  SELECT b.cid, b.vec_id, list_cosine_similarity(a.v, b.v)
+  FROM batch a JOIN batch b ON a.cid = b.cid AND a.vec_id < b.vec_id
+), drops AS (
+  SELECT cid, b FROM pairs WHERE s >= {_SEMDEDUP_TAU} GROUP BY cid, b
+)
+SELECT m.cid AS cluster_id,
+       CAST(COALESCE(x.n_corpus, 0) AS BIGINT) AS n_corpus,
+       CAST(COALESCE(nb.n_batch, 0) AS BIGINT) AS n_batch,
+       CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+       COALESCE(ROUND(p.max_cos, 4), 0.0) AS max_cos
+FROM (SELECT DISTINCT cid FROM ass) m
+LEFT JOIN (SELECT cid, COUNT(*) AS n_corpus FROM corpus GROUP BY cid) x
+  ON x.cid = m.cid
+LEFT JOIN (SELECT cid, COUNT(*) AS n_batch FROM batch GROUP BY cid) nb
+  ON nb.cid = m.cid
+LEFT JOIN (SELECT cid, COUNT(*) AS n_dropped FROM drops GROUP BY cid) d
+  ON d.cid = m.cid
+LEFT JOIN (SELECT cid, MAX(s) AS max_cos FROM pairs GROUP BY cid) p
+  ON p.cid = m.cid
+ORDER BY cluster_id
+"""
+
+
+@register("dedup_semantic_incremental", oracle=_ORACLE_SEMDEDUP_INCR)
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup — the continuous-ingestion twin of
+    :func:`dedup_semantic_clusters`, completing the dedup family's
+    symmetry (exact and MinHash already have incremental variants):
+    the standing corpus lives ASSIGNED in a persisted, cid-partitioned
+    LakeTable (unit vectors, nearest-centroid id computed once at
+    store-build); each arriving batch assigns ONLY ITSELF against the
+    broadcast centroids and pairs only against (a) the store rows of
+    its own clusters and (b) earlier batch arrivals in the same
+    cluster. A batch vector drops when any corpus cluster-mate — the
+    already-kept set — or any lower-id batch mate has cosine ≥ τ (the
+    same deterministic, join-free keep-policy the batch row pins).
+
+    This query runs one full cycle end-to-end: vectors with
+    ``vec_id % 10 = 7`` are "the arriving batch"; the rest are written
+    to and READ BACK from the store table, so the persistence
+    round-trip (unit-normalized doubles through parquet) is part of
+    the gate, not an in-memory shortcut.
+
+    Scale accounting per ingest: O(batch × K) assignment (the corpus
+    is NEVER re-assigned — that is the whole point; at large K the
+    IVF twin takes over), ONE join of the batch against the store
+    keyed on cluster id — the store is identity-partitioned on cid,
+    so the join reads only the clusters the batch actually touches
+    (manifest partition pruning; an untouched cluster's files never
+    open), and the per-cluster pair volume is |store_cid|×|batch_cid|
+    + |batch_cid|² — duplicate-density-bound, never corpus-bound.
+    Float contract: store vectors are unit-normalized ONCE at write,
+    so every pair similarity is a single dot pass (the
+    dedup_semantic_clusters ULP tolerance class, max_cos rounded to 4
+    on both engines).
+
+    Reference analogue: none (no dedup surface); north-star per
+    BASELINE.json."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..catalog import LakeTable
+    from ..functions import dot_product
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding")
+    cents = semdedup_centroids(spark, emb, _SEMDEDUP_K, method="first")
+    batch_cond = F.col("vec_id") % 10 == 7
+    unit = _unit_rows(emb, "embedding")
+    ass_all = unit.join(_semdedup_assign(emb, cents), "vec_id")
+
+    d = tempfile.mkdtemp(prefix="laketable-semstore-")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    store = LakeTable.create(
+        spark, d + "/sem", "vec_id bigint, cid bigint, embedding array<double>",
+        partition_by=["cid"],
+    )
+    store.append(ass_all.filter(~batch_cond)
+                 .select("vec_id", "cid", "embedding"))
+    batch = ass_all.filter(batch_cond).select("vec_id", "cid", "embedding")
+    # the batch's touched clusters are K-bounded (≤ |centroids| values)
+    # — collect them and scan the store with an explicit IN-list so
+    # manifest partition pruning actually skips untouched clusters'
+    # files (pinned in tests/test_round11.py; a bare store.read() would
+    # open every partition since the join does no dynamic pruning)
+    touched = sorted(r["cid"] for r in batch.select("cid").distinct().collect())
+    corpus = store.scan(
+        "cid IN (" + ", ".join(str(c) for c in touched) + ")")
+
+    x = corpus.select("cid", F.col("vec_id").alias("m"),
+                      F.col("embedding").alias("vm"))
+    b = batch.select("cid", F.col("vec_id").alias("b"),
+                     F.col("embedding").alias("vb"))
+    a = batch.select("cid", F.col("vec_id").alias("m"),
+                     F.col("embedding").alias("vm"))
+    # corpus→batch and earlier-batch→batch pairs, one shuffle on cid
+    cb = x.join(b, "cid").withColumn("s", dot_product("vm", "vb"))
+    bb = (a.join(b, "cid").filter(F.col("m") < F.col("b"))
+          .withColumn("s", dot_product("vm", "vb")))
+    pairs = cb.select("cid", "b", "s").unionByName(bb.select("cid", "b", "s"))
+
+    # per-cluster corpus counts come from the store's MANIFEST stats —
+    # zero data read, and they cover clusters the batch never touched
+    # (the pruned pair scan above only opens touched clusters)
+    n_corpus = store.partitions().select(
+        F.get_json_object("partition", "$._p_identity_cid")
+        .cast("bigint").alias("cid"),
+        F.col("record_count").cast("bigint").alias("n_corpus"),
+    )
+    all_cids = (n_corpus.select("cid")
+                .unionByName(batch.select("cid")).distinct())
+    n_batch = batch.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batch"))
+    drops = (pairs.filter(F.col("s") >= _SEMDEDUP_TAU)
+             .select("cid", "b").distinct()
+             .groupBy("cid").agg(F.count(F.lit(1)).cast("bigint")
+                                 .alias("n_dropped")))
+    tight = pairs.groupBy("cid").agg(F.max("s").alias("max_cos"))
+    return (
+        all_cids.join(n_corpus, "cid", "left")
+        .join(n_batch, "cid", "left")
+        .join(drops, "cid", "left")
+        .join(tight, "cid", "left")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            F.coalesce("n_corpus", F.lit(0)).cast("bigint").alias("n_corpus"),
+            F.coalesce("n_batch", F.lit(0)).cast("bigint").alias("n_batch"),
+            F.coalesce("n_dropped", F.lit(0)).cast("bigint")
+            .alias("n_dropped"),
+            F.coalesce(F.round("max_cos", 4), F.lit(0.0)).alias("max_cos"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -113,6 +113,7 @@ PRIORITY: tuple[str, ...] = (
     "maintenance_hilbert_cluster",         # hilbert(a,b) sort strategy
     "tpcds_revenue_band_histogram",        # Q54: aggregate of aggregate
     "tpcds_return_repurchase_chain",       # Q17/Q29: disjoint-slice chain
+    "dedup_semantic_incremental",          # SemDeDup continuous-ingest twin
     # -- below-cap: next-riskiest r8 rows, green early only if the
     # driver runs deeper than 50 --
     "maintenance_compaction",

@@ -719,3 +719,35 @@ def test_cluster_rewrite_all_null_column_refuses(spark, tmp_path):
     for fn in (t.rewrite_zorder, t.rewrite_hilbert):
         with pytest.raises(ValueError, match="no non-null values"):
             fn(["a", "b"])
+
+
+def test_semantic_incremental_store_prunes_untouched_clusters(spark, tmp_path):
+    """The incremental-SemDeDup scale claim, pinned: the persisted
+    store is identity-partitioned on cluster id and the ingest scans
+    it with the batch's (K-bounded) cid IN-list — manifest pruning
+    must skip every untouched cluster's files, and the per-cluster
+    corpus counts must come from manifest stats (partitions()), not a
+    data read."""
+    from iceberg_catalog_bench_spark.catalog.table import LakeTable
+
+    store = LakeTable.create(
+        spark, str(tmp_path / "sem"),
+        "vec_id bigint, cid bigint, embedding array<double>",
+        partition_by=["cid"],
+    )
+    store.append(spark.range(80).selectExpr(
+        "id vec_id", "id % 8 cid", "array(cast(id as double)) embedding"))
+    snap = store._snapshot()
+    assert len(snap.files) == 8               # one file per cluster
+    kept = store._prune_files(snap.files, "cid IN (2, 5)")
+    assert len(kept) == 2, "untouched clusters' files must not open"
+    assert {f.partition["_p_identity_cid"] for f in kept} == {"2", "5"}
+    # metadata-only corpus counts cover ALL clusters
+    from pyspark.sql import functions as F
+
+    pp = store.partitions().select(
+        F.get_json_object("partition", "$._p_identity_cid")
+        .cast("bigint").alias("cid"),
+        F.col("record_count").cast("bigint").alias("n"))
+    assert {(r["cid"], r["n"]) for r in pp.collect()} == \
+        {(c, 10) for c in range(8)}
