@@ -1285,7 +1285,11 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = semdedup_centroids(spark, emb, _SEMDEDUP_K, method="first")
     batch_cond = F.col("vec_id") % 10 == 7
     unit = _unit_rows(emb, "embedding")
-    ass_all = unit.join(_semdedup_assign(emb, cents), "vec_id")
+    # cached: the assignment feeds the store build, the touched-cid
+    # collect, AND the report plan — without it the n×K broadcast-dot
+    # pass re-runs per job (the dedup_incremental_minhash sh_all
+    # precedent)
+    ass_all = unit.join(_semdedup_assign(emb, cents), "vec_id").cache()
 
     d = tempfile.mkdtemp(prefix="laketable-semstore-")
     atexit.register(shutil.rmtree, d, ignore_errors=True)
@@ -1302,8 +1306,12 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # files (pinned in tests/test_round11.py; a bare store.read() would
     # open every partition since the join does no dynamic pruning)
     touched = sorted(r["cid"] for r in batch.select("cid").distinct().collect())
-    corpus = store.scan(
-        "cid IN (" + ", ".join(str(c) for c in touched) + ")")
+    corpus = (
+        store.scan("cid IN (" + ", ".join(str(c) for c in touched) + ")")
+        if touched
+        # empty arriving batch: nothing to pair — "IN ()" won't parse
+        else store.read().filter(F.lit(False))
+    )
 
     x = corpus.select("cid", F.col("vec_id").alias("m"),
                       F.col("embedding").alias("vm"))
