@@ -1258,14 +1258,20 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip (unit-normalized doubles through parquet) is part of
     the gate, not an in-memory shortcut.
 
-    Scale accounting per ingest: O(batch × K) assignment (the corpus
-    is NEVER re-assigned — that is the whole point; at large K the
-    IVF twin takes over), ONE join of the batch against the store
-    keyed on cluster id — the store is identity-partitioned on cid,
-    so the join reads only the clusters the batch actually touches
-    (manifest partition pruning; an untouched cluster's files never
-    open), and the per-cluster pair volume is |store_cid|×|batch_cid|
-    + |batch_cid|² — duplicate-density-bound, never corpus-bound.
+    Scale accounting per ingest (probe-measured, BASELINE.md):
+    O(batch × K) assignment (the corpus is NEVER re-assigned — that is
+    the whole point; at large K the IVF twin takes over), then ONE
+    join of the batch against the store keyed on cluster id. The store
+    is identity-partitioned on cid and scanned with the batch's
+    K-bounded cid IN-list, so the scan/shuffle term is bounded by the
+    batch's CLUSTER FOOTPRINT Σ_touched |store_cid| — in the
+    production regime (K large, a batch touches a small cluster
+    subset) that is flat in corpus size (probe: 5.0s → 5.9s per ingest
+    at 4× corpus, fixed 16-cluster footprint); in the worst case
+    (batch touches every cluster) it degrades to one full store pass —
+    corpus-bound I/O with still-flat pair work (probe: 19.0s → 43.2s
+    at 4× corpus, all clusters touched). Pair volume per cluster is
+    |store_cid|×|batch_cid| + |batch_cid|².
     Float contract: store vectors are unit-normalized ONCE at write,
     so every pair similarity is a single dot pass (the
     dedup_semantic_clusters ULP tolerance class, max_cos rounded to 4
