@@ -31,6 +31,10 @@ def hilbert_index(x: np.ndarray, bits: int) -> np.ndarray:
     numpy passes over the batch, no Python-per-row work."""
     x = np.ascontiguousarray(x, dtype=np.uint64).copy()
     n, k = x.shape
+    if bits < 1:
+        # bits=0 passes the product check but np.uint64(bits - 1)
+        # underflows to 2**64-1 below — garbage indexes (ADVICE r11)
+        raise ValueError("hilbert_index needs at least 1 bit per dimension")
     if k * bits > 64:
         raise ValueError(f"k*bits = {k * bits} exceeds the uint64 index")
     m = _ONE << np.uint64(bits - 1)

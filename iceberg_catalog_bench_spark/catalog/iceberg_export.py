@@ -63,6 +63,11 @@ _TYPE_MAP = {
 
 
 def _iceberg_type(ddl: str) -> str:
+    """Spark DDL PRIMITIVE → Iceberg primitive name. Nested types
+    raise (callers that can allocate element/field ids use
+    :func:`_iceberg_type_full`; callers that can't — bounds maps,
+    partition sources — must skip nested columns, and the ValueError
+    is their skip signal)."""
     ddl = ddl.strip().lower()
     if ddl.startswith("decimal"):
         return ddl  # decimal(p, s) spells identically
@@ -72,8 +77,98 @@ def _iceberg_type(ddl: str) -> str:
         raise ValueError(f"no Iceberg mapping for Spark type {ddl!r}") from None
 
 
-def _spark_ddl_type(iceberg: str) -> str:
-    """Inverse of `_iceberg_type` — Iceberg primitive → Spark DDL."""
+def _split_top(s: str) -> list[str]:
+    """Split a DDL type-argument list on commas at bracket depth 0
+    (``a:int,b:array<double>,c:decimal(18,2)`` → three parts)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p for p in parts if p.strip()]
+
+
+def _iceberg_type_full(ddl: str, alloc, path: str = ""):
+    """Spark DDL type (possibly nested) → Iceberg schema-JSON type.
+
+    Nested types (``array<T>``/``struct<n:T,...>``/``map<K,V>``) carry
+    their OWN field ids in Iceberg (element-id / struct field ids /
+    key-id+value-id — table spec §Schemas); native LakeTable metadata
+    records only top-level column ids, so ``alloc(path)`` assigns the
+    nested ids — deterministically and persistently (see
+    ``_NestedIdAllocator``) so re-exports of the same table keep them
+    stable. ``path`` components: ``element`` (list), ``key``/``value``
+    (map), the field name (struct), joined with ``.`` under the
+    owning top-level column id. The one spec line no prior round
+    implemented: nested structs/arrays as Iceberg interop coverage
+    (reference ``ICEBERG-Interoperability-Test-Spec.md:44``)."""
+    s = ddl.strip()
+    low = s.lower()
+    if low.startswith("array<") and low.endswith(">"):
+        inner = s[6:-1]
+        return {
+            "type": "list",
+            "element-id": alloc(path + ".element" if path else "element"),
+            "element": _iceberg_type_full(
+                inner, alloc, path + ".element" if path else "element"),
+            "element-required": False,
+        }
+    if low.startswith("map<") and low.endswith(">"):
+        kv = _split_top(s[4:-1])
+        if len(kv) != 2:
+            raise ValueError(f"malformed map type {ddl!r}")
+        kp = path + ".key" if path else "key"
+        vp = path + ".value" if path else "value"
+        return {
+            "type": "map",
+            "key-id": alloc(kp),
+            "key": _iceberg_type_full(kv[0], alloc, kp),
+            "value-id": alloc(vp),
+            "value": _iceberg_type_full(kv[1], alloc, vp),
+            "value-required": False,
+        }
+    if low.startswith("struct<") and low.endswith(">"):
+        fields = []
+        for part in _split_top(s[7:-1]):
+            name, _, ftype = part.partition(":")
+            name = name.strip().strip("`")
+            if not name or not ftype:
+                raise ValueError(f"malformed struct field {part!r} in {ddl!r}")
+            fp = path + "." + name if path else name
+            fields.append({
+                "id": alloc(fp),
+                "name": name,
+                "required": False,
+                "type": _iceberg_type_full(ftype, alloc, fp),
+            })
+        return {"type": "struct", "fields": fields}
+    return _iceberg_type(s)
+
+
+def _spark_ddl_type(iceberg) -> str:
+    """Inverse of `_iceberg_type_full` — Iceberg primitive name or
+    nested schema-JSON type object → Spark DDL string (element/field
+    ids drop here; adoption preserves them separately so a re-export
+    stays id-faithful — see ``nested_ids_of_schema``)."""
+    if isinstance(iceberg, dict):
+        t = iceberg.get("type")
+        if t == "list":
+            return f"array<{_spark_ddl_type(iceberg['element'])}>"
+        if t == "map":
+            return (f"map<{_spark_ddl_type(iceberg['key'])},"
+                    f"{_spark_ddl_type(iceberg['value'])}>")
+        if t == "struct":
+            inner = ",".join(
+                f"{f['name']}:{_spark_ddl_type(f['type'])}"
+                for f in iceberg.get("fields", [])
+            )
+            return f"struct<{inner}>"
+        raise ValueError(f"unsupported nested Iceberg type {t!r}")
     if iceberg.startswith("decimal"):
         return iceberg
     return {
@@ -88,6 +183,93 @@ def _spark_ddl_type(iceberg: str) -> str:
         "timestamp": "timestamp_ntz",
         "binary": "binary",
     }.get(iceberg, "string")
+
+
+def nested_ids_of_schema(schemas: list) -> dict[str, int]:
+    """Walk Iceberg schema JSON collecting every NESTED field id keyed
+    ``"<top-level-field-id>:<path>"`` — the persistence format
+    ``_NestedIdAllocator`` reads, so adopting a foreign chain and
+    re-exporting it emits the foreign chain's own element/field ids."""
+    out: dict[str, int] = {}
+
+    def walk(t, base: str, path: str) -> None:
+        if not isinstance(t, dict):
+            return
+        if t.get("type") == "list":
+            p = f"{path}.element" if path else "element"
+            out[f"{base}:{p}"] = t["element-id"]
+            walk(t["element"], base, p)
+        elif t.get("type") == "map":
+            kp = f"{path}.key" if path else "key"
+            vp = f"{path}.value" if path else "value"
+            out[f"{base}:{kp}"] = t["key-id"]
+            out[f"{base}:{vp}"] = t["value-id"]
+            walk(t["key"], base, kp)
+            walk(t["value"], base, vp)
+        elif t.get("type") == "struct":
+            for f in t.get("fields", []):
+                p = f"{path}.{f['name']}" if path else f["name"]
+                out[f"{base}:{p}"] = f["id"]
+                walk(f["type"], base, p)
+
+    for s in schemas:
+        for f in s.get("fields", []):
+            walk(f.get("type"), str(f["id"]), "")
+    return out
+
+
+class _NestedIdAllocator:
+    """Table-wide allocator for nested element/field ids, persisted at
+    ``<table>/_meta/iceberg/nested-field-ids.json`` so ids are STABLE
+    across re-exports (Iceberg readers key nested resolution on them).
+    Keys are ``"<top-level-field-id>:<path>"`` — immutable under
+    column RENAME (the top-level id never changes) and stable across
+    schema versions (nested types don't evolve natively).
+
+    Collision rule: native ``ADD COLUMN`` after a prior export may
+    take a top-level id a nested id already used (native metadata
+    doesn't know about export-side allocations) — such entries are
+    REALLOCATED above the new ceiling; each metadata.json stays
+    self-consistent, at the cost of nested-id stability across that
+    one evolution (documented degradation, loud in the file)."""
+
+    def __init__(self, out_dir: str, forbidden: set[int], floor: int):
+        self.path = os.path.join(out_dir, "nested-field-ids.json")
+        self.forbidden = forbidden
+        self.map: dict[str, int] = {}
+        if os.path.isfile(self.path):
+            with open(self.path) as fh:
+                self.map = {k: int(v) for k, v in json.load(fh).items()}
+        self.next = max(
+            [floor] + [v + 1 for v in self.map.values()]
+        )
+
+    def seed(self, mapping: dict[str, int]) -> None:
+        for k, v in mapping.items():
+            self.map.setdefault(k, v)
+            self.next = max(self.next, v + 1)
+
+    def for_field(self, field_id: int):
+        def alloc(path: str) -> int:
+            key = f"{field_id}:{path}"
+            hit = self.map.get(key)
+            if hit is not None and hit not in self.forbidden:
+                return hit
+            while self.next in self.forbidden:
+                self.next += 1
+            self.map[key] = self.next
+            self.next += 1
+            return self.map[key]
+
+        return alloc
+
+    def max_id(self, default: int = 0) -> int:
+        return max(self.map.values(), default=default)
+
+    def save(self) -> None:
+        if self.map:
+            with open(self.path, "w") as fh:
+                json.dump(self.map, fh, indent=1, sort_keys=True)
 
 
 def _iceberg_transform(t: Transform, source_type: str | None = None) -> str:
@@ -312,7 +494,15 @@ def to_iceberg_metadata(table: LakeTable, *,
     os.makedirs(out_dir, exist_ok=True)
 
     schemas = []
-    last_column_id = 0
+    # top-level ids across EVERY schema generation are forbidden to the
+    # nested-id allocator; the floor also clears the native
+    # next_field_id so ids the table may still assign to future
+    # columns are never taken first
+    top_ids = {f["id"] for fields in meta["schemas"].values() for f in fields}
+    last_column_id = max(top_ids, default=0)
+    ids = _NestedIdAllocator(
+        out_dir, top_ids,
+        max(last_column_id + 1, meta.get("next_field_id") or 0))
     ident_ids = meta.get("identifier-field-ids") or []
     for ver, fields in sorted(meta["schemas"].items(), key=lambda kv: int(kv[0])):
         schemas.append(
@@ -330,7 +520,8 @@ def to_iceberg_metadata(table: LakeTable, *,
                         "id": f["id"],
                         "name": f["name"],
                         "required": False,
-                        "type": _iceberg_type(f["type"]),
+                        "type": _iceberg_type_full(
+                            f["type"], ids.for_field(f["id"])),
                         **(
                             {"initial-default": f["default"]}
                             if f.get("default") is not None
@@ -341,8 +532,10 @@ def to_iceberg_metadata(table: LakeTable, *,
                 ],
             }
         )
-        if fields:
-            last_column_id = max(last_column_id, *(f["id"] for f in fields))
+    ids.save()
+    # the spec's last-column-id covers NESTED ids too (it is the
+    # assign-next ceiling a real runtime continues from)
+    last_column_id = max(last_column_id, ids.max_id())
 
     # Renames keep field ids, but a partition spec / sort order created
     # before a rename still names the column by its old spelling —
@@ -1682,6 +1875,15 @@ def validate_iceberg_metadata(metadata_path: str) -> list[dict]:
                     f"field id {f['id']} appears twice")
             seen.add(f["id"])
             names_by_id[f["id"]] = f["name"]
+        # nested element/key/value/struct-field ids share the same
+        # table-wide id space — a collision with a column id (or
+        # another nested id) corrupts by-id resolution
+        for key, nid in nested_ids_of_schema([s]).items():
+            if nid in seen:
+                add("error", "duplicate-field-id",
+                    f"schema {s.get('schema-id')}",
+                    f"nested field id {nid} ({key}) collides")
+            seen.add(nid)
     cur_sid = md.get("current-schema-id", 0)
     if not any(s.get("schema-id") == cur_sid for s in md["schemas"]):
         add("error", "missing-current-schema", resolved,
@@ -1970,13 +2172,27 @@ def adopt_iceberg_metadata(
     dest_path = os.path.abspath(dest_path)
     if os.path.exists(os.path.join(dest_path, _META_DIR, _META_FILE)):
         raise FileExistsError(f"table already exists at {dest_path}")
-    meta = _parse_iceberg_v2(_resolve_metadata_path(metadata_path))
+    resolved = _resolve_metadata_path(metadata_path)
+    meta = _parse_iceberg_v2(resolved)
     # sync re-resolves a DIRECTORY each time, catching new version files
     meta["adopted_from"] = os.path.abspath(metadata_path)
     os.makedirs(os.path.join(dest_path, _META_DIR), exist_ok=True)
     os.makedirs(os.path.join(dest_path, _DATA_DIR), exist_ok=True)
     t = LakeTable(spark, dest_path, meta)
     t._write_meta()
+    # preserve the FOREIGN chain's nested element/field ids (native
+    # metadata keeps only DDL strings): seed the export-side allocator
+    # so adopt → re-export emits the same ids a conforming reader
+    # already resolved against
+    with open(resolved) as fh:
+        foreign_md = json.load(fh)
+    seeds = nested_ids_of_schema(foreign_md.get("schemas") or [])
+    if seeds:
+        ice_dir = os.path.join(dest_path, "_meta", "iceberg")
+        os.makedirs(ice_dir, exist_ok=True)
+        alloc = _NestedIdAllocator(ice_dir, set(), 1)
+        alloc.seed(seeds)
+        alloc.save()
     return t
 
 
@@ -2113,9 +2329,17 @@ def read_via_iceberg_metadata(
             if old_name is not None:
                 sel.append(F.col(old_name).alias(f["name"]))
             else:
-                sel.append(F.lit(f.get("initial-default")).alias(f["name"]))
+                # typed (a bare NULL lit is NullType, which breaks the
+                # cross-generation unionByName for nested columns)
+                sel.append(F.lit(f.get("initial-default"))
+                           .cast(_spark_ddl_type(f["type"]))
+                           .alias(f["name"]))
         if mor:
-            sel.append(F.col("_metadata.file_path").alias("_ice_file"))
+            # percent-decode: tombstone file_path values are raw
+            # location strings (spec), the URI spelling is encoded
+            decoded = F.url_decode(F.regexp_replace(
+                F.col("_metadata.file_path"), r"\+", "%2B"))
+            sel.append(decoded.alias("_ice_file"))
             sel.append(F.col("_metadata.row_index").alias("_ice_pos"))
         parts.append(raw.select(*sel))
     out = parts[0]
@@ -2223,7 +2447,21 @@ def _eq_key_pairs(d: dict, target_by_id: dict[int, str]) -> list[tuple[str, str]
     return pairs
 
 
-def _duck_type(iceberg: str) -> str:
+def _duck_type(iceberg) -> str:
+    if isinstance(iceberg, dict):
+        t = iceberg.get("type")
+        if t == "list":
+            return f"{_duck_type(iceberg['element'])}[]"
+        if t == "map":
+            return (f"MAP({_duck_type(iceberg['key'])}, "
+                    f"{_duck_type(iceberg['value'])})")
+        if t == "struct":
+            inner = ", ".join(
+                f'"{f["name"]}" {_duck_type(f["type"])}'
+                for f in iceberg.get("fields", [])
+            )
+            return f"STRUCT({inner})"
+        raise ValueError(f"no DuckDB mapping for Iceberg type {t!r}")
     if iceberg.startswith("decimal"):
         return iceberg.upper()
     try:

@@ -212,6 +212,18 @@ class Snapshot:
         )
 
 
+def _decode_path_uri(col):
+    """Spark's ``_metadata.file_path`` is a PERCENT-ENCODED URI (a
+    table under ``/tmp/odd dir`` reads back as ``/tmp/odd%20dir``) —
+    canonicalize to the raw filesystem path so every path match
+    (tombstone joins, referenced-file attribution, Python-side
+    relpath) happens in ONE domain, and position-delete files record
+    the spec's raw location strings a foreign reader expects. Literal
+    ``+`` is pre-escaped because ``url_decode`` is FORM decoding
+    (``+`` → space) while the URI producer leaves ``+`` unencoded."""
+    return F.url_decode(F.regexp_replace(col, r"\+", "%2B"))
+
+
 def footer_min_max(md) -> dict[str, list]:
     """Per-column ``[min, max]`` from a parquet FileMetaData's
     row-group statistics, json-safe — the one source of truth for
@@ -220,7 +232,14 @@ def footer_min_max(md) -> dict[str, list]:
     physical type exposes no stats (e.g. INT96) are omitted."""
     stats: dict[str, list] = {}
     for ci in range(md.num_columns):
-        name = md.schema.column(ci).name
+        col = md.schema.column(ci)
+        # nested columns (array/struct/map) flatten to LEAF parquet
+        # columns whose .name is the leaf ("element", "key", a struct
+        # member) — attributing those stats to a same-named TOP-LEVEL
+        # field would wrongly prune; skip any dotted path
+        if "." in col.path:
+            continue
+        name = col.name
         lo = hi = None
         try:
             for rg in range(md.num_row_groups):
@@ -1207,7 +1226,8 @@ class LakeTable:
                 else:
                     sel.append(F.lit(f.default).cast(f.type).alias(f.name))
             if with_file_path:
-                sel.append(F.col("_metadata.file_path").alias("_lake_file"))
+                sel.append(_decode_path_uri(F.col("_metadata.file_path"))
+                           .alias("_lake_file"))
             if with_pos:
                 sel.append(F.col("_metadata.row_index").alias("_lake_pos"))
             parts.append(raw.select(*sel))
@@ -3139,11 +3159,30 @@ class LakeTable:
             x for d in pos_dels
             for x in (F.lit(d.path), F.lit(d.seq or 0))
         ])
+        # input_file_name() returns a URI whose path is PERCENT-ENCODED
+        # (space → %20), so an exact full-path match against d.path
+        # would silently miss and emit NULL owner columns (ADVICE r11).
+        # Match on the BASENAME instead — file names here are
+        # uuid-generated, so they are collision-free and encoding-free;
+        # map BOTH the raw and the URI-quoted spelling defensively for
+        # foreign delete files whose names carry encodable characters.
+        import urllib.parse as _up
+        base_pairs: dict[str, str] = {}
+        for d in pos_dels:
+            b = os.path.basename(d.path)
+            for key in {b, _up.quote(b)}:
+                if base_pairs.get(key, d.path) != d.path:
+                    raise ValueError(
+                        f"position-delete file basename {key!r} is "
+                        "ambiguous across delete files; cannot attribute "
+                        "tombstone ownership"
+                    )
+                base_pairs[key] = d.path
         rel_map = F.create_map(*[
-            x for a, r in abs_to_rel.items()
-            for x in (F.lit(a), F.lit(r))
+            x for k, r in base_pairs.items()
+            for x in (F.lit(k), F.lit(r))
         ])
-        own = F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+        own = F.element_at(F.split(F.input_file_name(), "/"), -1)
         rel = F.element_at(rel_map, own)
         return self.spark.read.parquet(*abs_to_rel).select(
             # same URI normalization as the MoR read path — a foreign
@@ -3490,6 +3529,13 @@ class LakeTable:
         index stays an exact BIGINT."""
         k = len(columns)
         bits = min(16, 63 // k)
+        if bits < 1:
+            # 64+ columns: zero bits per dimension — every row would
+            # collapse to index 0 (and the uint shift arithmetic in
+            # hilbert_index underflows). Fail loudly instead (ADVICE r11).
+            raise ValueError(
+                f"hilbert clustering supports at most 63 columns, got {k}"
+            )
         df, scaled_cols = self._cluster_grid_cols("hilbert", columns, bits)
         if df is None:
             return {"rewritten_data_files_count": 0, "added_data_files_count": 0}

@@ -1095,9 +1095,12 @@ class SqlEngine:
         by_lower = {f.name.lower(): f.name for f in t._fields()}
         names: list[str] = []
         for c in (x.strip() for x in collist.split(",")):
+            if not c:
+                raise ValueError(
+                    f"empty entry in INSERT column list ({collist!r})")
             resolved = by_lower.get(c.lower())
             if resolved is None:
-                raise ValueError(f"unknown INSERT columns ['{c}']")
+                raise ValueError(f"unknown INSERT column {c!r}")
             if resolved in names:
                 raise ValueError(f"duplicate INSERT column {c!r}")
             names.append(resolved)

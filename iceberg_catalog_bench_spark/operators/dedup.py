@@ -1312,6 +1312,14 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # files (pinned in tests/test_round11.py; a bare store.read() would
     # open every partition since the join does no dynamic pruning)
     touched = sorted(r["cid"] for r in batch.select("cid").distinct().collect())
+    # the cache has now served all three of its consumers (store build,
+    # touched-cid collect, and — via the checkpoint below — the report
+    # plan's batch side). Pin the SMALL batch slice as materialized
+    # blocks and release the full-corpus cache: without this, repeated
+    # invocations in one long driver/bench session accumulate executor
+    # storage memory for the whole assignment relation (ADVICE r11).
+    batch = batch.localCheckpoint(eager=True)
+    ass_all.unpersist()
     corpus = (
         store.scan("cid IN (" + ", ".join(str(c) for c in touched) + ")")
         if touched

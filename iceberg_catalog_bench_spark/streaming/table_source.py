@@ -157,8 +157,9 @@ _META_REL = os.path.join("_meta", "metadata.json")
 _EPOCH_DATE = datetime.date(1970, 1, 1)
 _EPOCH_DT = datetime.datetime(1970, 1, 1)
 
-# Spark DDL type → pyarrow factory (primitives the streaming tables
-# use; complex types would need nested Arrow casts — raise loudly).
+# Spark DDL type → pyarrow factory (primitives plus array<primitive> —
+# the embedding-store column shape; struct/map would need nested Arrow
+# projection/cast rules — raise loudly and route to the JVM reader).
 _DDL_ARROW = {
     "bigint": "int64",
     "long": "int64",
@@ -185,10 +186,19 @@ def _arrow_type(ddl: str):
         m = re.match(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)", key)
         p, s = (int(m.group(1)), int(m.group(2))) if m else (10, 0)
         return pa.decimal128(p, s)
+    if key.startswith("array<") and key.endswith(">"):
+        # array<primitive> (and nested arrays thereof): Spark ships
+        # ArrayType as Arrow list — projection, widening cast
+        # (list<float> → list<double> is one Arrow cast) and the
+        # parquet writers all handle list columns natively. Filter
+        # pushdown never admits an array column (pushFilters is a
+        # per-type allowlist), so the Arrow scan stays correct.
+        return pa.list_(_arrow_type(key[6:-1]))
     if key not in _DDL_ARROW:
         raise NotImplementedError(
-            f"laketable python source supports primitive columns only; "
-            f"got type {ddl!r} (use LakeTable.read() for complex types)"
+            f"laketable python source supports primitive and "
+            f"array<primitive> columns; got type {ddl!r} "
+            f"(use LakeTable.read() for struct/map columns)"
         )
     name = _DDL_ARROW[key]
     if name == "timestamp_us":
@@ -926,6 +936,19 @@ class LakeTableStreamReader(DataSourceStreamReader):
             )
         cur = meta["schemas"][str(meta["current_schema_version"])]
         out_cols = [(f["name"], f["type"]) for f in cur]
+        nested = [n for n, t in out_cols
+                  if t.strip().lower().startswith(("array<", "struct<",
+                                                   "map<"))]
+        if nested:
+            # netting group-bys over EVERY column; Arrow's hash
+            # group-by (and pandas' row hash) cannot key on list
+            # values — refuse at planning time rather than failing
+            # (or, worse, mis-bucketing) executor-side. The batch
+            # changelog() nets arrays fine (JVM exceptAll).
+            raise NotImplementedError(
+                f"cow-changelog netting cannot key on nested columns "
+                f"{nested}; use LakeTable.changelog() for this range"
+            )
         old_by_path = {f["path"]: f for f in parent.get("files", [])}
         old_files = [
             (os.path.join(self.path, p),

@@ -682,7 +682,7 @@ def test_insert_select_with_column_list(spark, tmp_path):
         [(0, "x0", 7), (1, "x1", 7)]
     with pytest.raises(ValueError, match="column count mismatch"):
         engine.execute("INSERT INTO cl (a, b) SELECT id FROM RANGE(1)")
-    with pytest.raises(ValueError, match="unknown INSERT columns"):
+    with pytest.raises(ValueError, match="unknown INSERT column"):
         engine.execute("INSERT INTO cl (a, zz) SELECT id, id FROM RANGE(1)")
 
 
@@ -702,7 +702,7 @@ def test_insert_collist_case_insensitive_and_duplicates(spark, tmp_path):
     assert engine.execute("SELECT COUNT(*) AS c FROM ci")[0].rows[0]["c"] == 2
     with pytest.raises(ValueError, match="duplicate INSERT column"):
         engine.execute("INSERT INTO ci (id, ID) VALUES (1, 2)")
-    with pytest.raises(ValueError, match="unknown INSERT columns"):
+    with pytest.raises(ValueError, match="unknown INSERT column"):
         engine.execute("INSERT INTO ci (nope) VALUES (1)")
 
 
