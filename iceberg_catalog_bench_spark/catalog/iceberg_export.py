@@ -1036,6 +1036,52 @@ def to_iceberg_metadata(table: LakeTable, *,
             },
         },
     }
+    # ANALYZE results export as a Puffin statistics file (the spec's
+    # apache-datasketches-theta-v1 NDV blobs, one per analyzed column)
+    # so a conforming reader recovers the NDVs instead of re-deriving
+    # them with a table scan. Readers that ignore `statistics` lose
+    # nothing — the data chain is complete without it.
+    cstats = meta.get("column_stats")
+    if cstats and cstats.get("columns"):
+        from . import puffin
+
+        stats_snap = cstats.get("snapshot_id") or 0
+        blobs = []
+        for cname, cs in sorted(cstats["columns"].items()):
+            fid = field_ids_by_name.get(cname)
+            if fid is None:
+                continue
+            blobs.append((
+                {
+                    "type": "apache-datasketches-theta-v1",
+                    "fields": [fid],
+                    "snapshot-id": stats_snap,
+                    "sequence-number": stats_snap,
+                    "properties": {
+                        "ndv": str(int(cs["ndv"])),
+                        # repo extension (spec properties are free-form)
+                        "null-count": str(int(cs.get("null_count", 0))),
+                    },
+                },
+                puffin.theta_sketch_bytes(int(cs["ndv"])),
+            ))
+        if blobs:
+            spath = os.path.join(out_dir, f"stats-{stats_snap}.puffin")
+            info = puffin.write_puffin(
+                spath, blobs,
+                {"row-count": str(int(cstats.get("row_count", 0)))})
+            metadata["statistics"] = [{
+                "snapshot-id": stats_snap,
+                "statistics-path": spath,
+                "file-size-in-bytes": info["file-size-in-bytes"],
+                "file-footer-size-in-bytes":
+                    info["file-footer-size-in-bytes"],
+                "blob-metadata": [
+                    {k: v for k, v in m.items()
+                     if k not in ("offset", "length")}
+                    for m, _payload in blobs
+                ],
+            }]
     n = meta.get("current_snapshot_id") or 0
     metadata_path = os.path.join(out_dir, f"v{n}.metadata.json")
     with open(metadata_path, "w") as fh:
@@ -1792,6 +1838,56 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
         else:
             tags[name] = r["snapshot-id"]
 
+    # --- Puffin statistics: recover ANALYZE-grade column NDVs from the
+    # chain's apache-datasketches-theta-v1 blobs (estimate read from
+    # the sketch itself; the writer's `ndv` property is the fallback
+    # for blob types we can't parse). Missing/corrupt statistics files
+    # degrade to no stats — never block adoption.
+    column_stats = None
+    for st in md.get("statistics") or []:
+        if st.get("snapshot-id") != md.get("current-snapshot-id"):
+            continue
+        try:
+            from . import puffin
+
+            _footer, blobs = puffin.read_puffin(
+                _strip_scheme(st["statistics-path"]))
+        except Exception:
+            continue
+        cols: dict[str, dict] = {}
+        row_count = None
+        for m, payload in blobs:
+            fids = m.get("fields") or []
+            name = names_by_id.get(fids[0]) if len(fids) == 1 else None
+            if name is None:
+                continue
+            props = m.get("properties") or {}
+            ndv = None
+            if m.get("type") == "apache-datasketches-theta-v1":
+                try:
+                    ndv = int(round(puffin.theta_estimate(payload)))
+                except Exception:
+                    ndv = None
+            if ndv is None and str(props.get("ndv", "")).isdigit():
+                ndv = int(props["ndv"])
+            if ndv is None:
+                continue
+            cols[name] = {"ndv": ndv}
+            if str(props.get("null-count", "")).isdigit():
+                cols[name]["null_count"] = int(props["null-count"])
+        try:
+            row_count = int((_footer.get("properties") or {})
+                            .get("row-count"))
+        except (TypeError, ValueError):
+            row_count = None
+        if cols:
+            column_stats = {
+                "snapshot_id": st.get("snapshot-id"),
+                **({"row_count": row_count} if row_count is not None
+                   else {}),
+                "columns": cols,
+            }
+
     ident_ids = current.get("identifier-field-ids") or []
     meta = {
         "format_version": 2,
@@ -1813,6 +1909,7 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
         **({"refs": tags} if tags else {}),
         **({"branches": branches} if branches else {}),
         **({"ref_retention": retention} if retention else {}),
+        **({"column_stats": column_stats} if column_stats else {}),
         "adopted_from": os.path.abspath(metadata_path),
         # the chain's own authoritative table root (REST RegisterTable
         # reports it; a directory heuristic misplaces this repo's own
@@ -1935,6 +2032,11 @@ def validate_iceberg_metadata(metadata_path: str) -> list[dict]:
         if r.get("snapshot-id") not in snap_ids:
             add("error", "dangling-ref", f"ref {name!r}",
                 f"points at unknown snapshot {r.get('snapshot-id')}")
+    for st in md.get("statistics") or []:
+        sp = _strip_scheme(st.get("statistics-path") or "")
+        if not os.path.isfile(sp):
+            add("warning", "missing-statistics-file", sp,
+                "statistics are advisory; adoption proceeds without them")
     types_by_id = {f["id"]: f["type"]
                    for s in md["schemas"] for f in s.get("fields", [])}
     checked_manifests: set[str] = set()
