@@ -440,6 +440,43 @@ def main() -> None:
         )
         shutil.rmtree(sdir, ignore_errors=True)
 
+    # SemDeDup report under the gate (VERDICT r11 item 4): the
+    # production path — k-means centroids (distributed seeded Lloyd)
+    # + the Arrow/BLAS twin report (matmul assignment, one shuffle on
+    # cluster id, per-cluster V·Vᵀ) — at the r11 probe's shape scaled
+    # to bench budget (n=200k, dim 16, K=n/1000; the sf0.1 embeddings
+    # table is 2k rows — too small to regress on). Previously a
+    # regression in _unit_rows/assignment surfaced only in one-off
+    # probes; now it moves BENCH_rN. Totals asserted post-phase.
+    sem_rows = int(os.environ.get("SPARK_GRAFT_BENCH_SEMDEDUP_ROWS",
+                                  "200000"))
+    if sem_rows > 0:
+        from iceberg_catalog_bench_spark.operators.dedup import (
+            semdedup_centroids,
+            semdedup_report_arrow,
+        )
+
+        sem_emb = spark.range(sem_rows).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.rand(seed=i) for i in range(16)]).alias("embedding"),
+        ).cache()
+        sem_emb.count()  # materialize the corpus outside the phase
+        sem_k = max(16, sem_rows // 1000)
+        sem_out: dict = {}
+
+        def _semdedup_report() -> None:
+            cents = semdedup_centroids(spark, sem_emb, sem_k,
+                                       method="kmeans")
+            rows = semdedup_report_arrow(sem_emb, cents, 0.9).collect()
+            sem_out["rows"] = rows
+
+        phase_once("semdedup_report", _semdedup_report)
+        _rows = sem_out["rows"]
+        assert sum(r["n_vectors"] for r in _rows) == sem_rows \
+            and 0 < len(_rows) <= sem_k, \
+            "semdedup report must cover every vector in <= K clusters"
+        sem_emb.unpersist()
+
     # --- headline queries (median of 3, spec protocol) --------------------
     for name in HEADLINE:
         if name == "percentile_approx_by_group":
@@ -502,7 +539,7 @@ def main() -> None:
     # widened phase — BASELINE.md documents both re-records)
     # (+ round 11: the Q1/Q30 returns-above-average and Q59 weekly
     # YoY-ratio shapes; baseline re-recorded per the same protocol)
-    TPCDS_16 = [
+    TPCDS_18 = [
         "tpcds_returned_ratio_by_date", "tpcds_rollup_rolling_sales",
         "tpcds_channel_union", "tpcds_star_join_multi_dim",
         "tpcds_rank_within_parent", "tpcds_multi_band_counts",
@@ -517,10 +554,16 @@ def main() -> None:
         "tpcds_yoy_growth_channel_compare",
         "tpcds_revenue_band_histogram",
         "tpcds_return_repurchase_chain",
+        # round-12 widening (16 -> 18, adjudicated re-record in
+        # BASELINE.md): Q14 cross-channel INTERSECT reduced to one
+        # fact pass + semi join, Q64 buy/return/rebuy chain on the
+        # Q17/Q29 disjoint-slice spine
+        "tpcds_cross_channel_items",
+        "tpcds_buy_return_rebuy_margin",
     ]
 
     def _report_run() -> None:
-        for q in TPCDS_16:
+        for q in TPCDS_18:
             registry.QUERIES[q](spark, SF_DIR).collect()
 
     phase_once("tpcds_report_run", _report_run)

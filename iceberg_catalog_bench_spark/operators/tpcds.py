@@ -1270,6 +1270,222 @@ def tpcds_revenue_band_histogram(spark: SparkSession,
 
 
 @register(
+    "tpcds_cross_channel_items",
+    oracle=(
+        # Q14 shape: the cross-channel item INTERSECT collapses to ONE
+        # fact pass (HAVING COUNT(DISTINCT channel) = 3); the report
+        # leg semi-joins that part-sized set, with a HAVING threshold
+        # against the cells' own average (Q14's avg-sales scalar).
+        "WITH li AS ("
+        "  SELECT l_partkey AS pk, "
+        "    CASE CAST(l_linenumber % 3 AS INT) WHEN 0 THEN 'store' "
+        "      WHEN 1 THEN 'catalog' ELSE 'web' END AS channel, "
+        "    l_shipdate, "
+        "    CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
+        "      AS BIGINT) AS cents "
+        "  FROM lineitem"
+        "), cross_items AS ("
+        "  SELECT pk FROM li GROUP BY pk "
+        "  HAVING COUNT(DISTINCT channel) = 3"
+        "), cells AS ("
+        "  SELECT channel, p_brand AS brand, COUNT(*) AS n_sales, "
+        "         SUM(cents) AS cents "
+        "  FROM li JOIN part ON p_partkey = pk "
+        "  WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        "    AND l_shipdate < TIMESTAMP '1998-01-01' "
+        "    AND pk IN (SELECT pk FROM cross_items) "
+        "  GROUP BY channel, brand"
+        "), thresholded AS ("
+        "  SELECT channel, brand, n_sales, cents, "
+        "         AVG(cents) OVER () AS avg_cents FROM cells"
+        ") "
+        "SELECT channel, brand, CAST(n_sales AS BIGINT) AS n_sales, "
+        "ROUND(cents / 100.0, 2) AS revenue "
+        "FROM thresholded WHERE cents > avg_cents "
+        "ORDER BY channel, brand"
+    ),
+)
+def tpcds_cross_channel_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q14 shape — cross-channel item INTERSECT feeding a
+    thresholded report: items that sold in ALL THREE channels (the
+    store∩catalog∩web item set), then 1997 revenue per (channel,
+    brand) over just those items, keeping only cells above the
+    average cell revenue (Q14's avg-sales scalar subquery).
+
+    Plan shape at 100 TB: Q14's three INTERSECT subqueries collapse
+    to ONE fact pass that aggregates to per-part channel counts
+    (HAVING COUNT(DISTINCT channel) = 3) — the semi-join chain is
+    REDUCED to a part-cardinality set before any fact join. The
+    report leg is a second scan with the 1997 range PUSHED to
+    parquet (it decodes one year, not seven), semi-joined against
+    the broadcast cross-item set, aggregated to |channels|×|brands|
+    cells; the threshold compares cells against the broadcast 1-row
+    average — no window, no re-scan. Money stays integer cents until
+    the display division (the channel_union idiom)."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_partkey").alias("pk"),
+        F.when(F.col("l_linenumber") % 3 == 0, "store")
+        .when(F.col("l_linenumber") % 3 == 1, "catalog")
+        .otherwise("web").alias("channel"),
+        "l_shipdate",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint").alias("cents"),
+    )
+    cross_items = (
+        li.groupBy("pk")
+        .agg(F.countDistinct("channel").alias("nch"))
+        .filter(F.col("nch") == 3)
+        .select("pk")
+    )
+    part = load_table(spark, "part", sf_dir).select(
+        "p_partkey", F.col("p_brand").alias("brand"))
+    cells = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(cross_items), "pk", "left_semi")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("pk"))
+        .groupBy("channel", "brand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sales"),
+             F.sum("cents").alias("cents"))
+    )
+    # threshold via an unpartitioned window over the CELLS relation
+    # (|channels|×|brands| rows): one single-partition pass on ~90
+    # rows. A scalar-agg join would duplicate the cells subtree in the
+    # physical plan — re-scanning the fact twice (plan-verified).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    return (
+        cells.withColumn("avg_cents", F.avg("cents").over(w))
+        .filter(F.col("cents") > F.col("avg_cents"))
+        .select(
+            "channel", "brand", "n_sales",
+            # 100e0 keeps the division DOUBLE (100.0 would type DECIMAL)
+            F.round(F.col("cents") / F.lit(100e0), 2).alias("revenue"),
+        )
+        .orderBy("channel", "brand")
+    )
+
+
+@register(
+    "tpcds_buy_return_rebuy_margin",
+    oracle=(
+        # Q64 shape on the Q17/Q29 disjoint-slice spine: per-year
+        # purchase cells chain through the first return year; money
+        # stays integer cents end-to-end (no rounding divergence
+        # surface at all).
+        "WITH s AS ("
+        "  SELECT o_custkey AS ck, l_partkey AS pk, "
+        "    CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr, "
+        "    l_returnflag AS rf, "
+        "    CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
+        "      AS BIGINT) AS cents "
+        "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        "), nonr AS ("
+        "  SELECT ck, pk, yr, SUM(cents) AS cents FROM s "
+        "  WHERE rf <> 'R' GROUP BY ck, pk, yr"
+        "), ret AS ("
+        "  SELECT ck, pk, MIN(yr) AS ry FROM s "
+        "  WHERE rf = 'R' GROUP BY ck, pk"
+        "), j AS ("
+        "  SELECT nonr.*, ret.ry FROM nonr "
+        "  JOIN ret ON nonr.ck = ret.ck AND nonr.pk = ret.pk"
+        "), chains AS ("
+        "  SELECT ck, pk, "
+        "    MIN(CASE WHEN yr <= ry THEN yr END) AS fb_yr, "
+        "    arg_min(CASE WHEN yr <= ry THEN cents END, "
+        "            CASE WHEN yr <= ry THEN yr END) AS fb_cents, "
+        "    MIN(CASE WHEN yr > ry THEN yr END) AS rb_yr, "
+        "    arg_min(CASE WHEN yr > ry THEN cents END, "
+        "            CASE WHEN yr > ry THEN yr END) AS rb_cents "
+        "  FROM j GROUP BY ck, pk "
+        "  HAVING fb_yr IS NOT NULL AND rb_yr IS NOT NULL"
+        ") "
+        "SELECT fb_yr AS first_buy_year, rb_yr AS rebuy_year, "
+        "CAST(COUNT(*) AS BIGINT) AS n_chains, "
+        "CAST(SUM(fb_cents) AS BIGINT) AS fb_cents_sum, "
+        "CAST(SUM(rb_cents) AS BIGINT) AS rb_cents_sum, "
+        "CAST(SUM(rb_cents - fb_cents) AS BIGINT) AS delta_cents_sum "
+        "FROM chains GROUP BY fb_yr, rb_yr ORDER BY fb_yr, rb_yr"
+    ),
+)
+def tpcds_buy_return_rebuy_margin(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """TPC-DS Q64 shape — multi-year buy → return → re-buy chains
+    with the spend comparison between the two purchase years: for
+    each (customer, part) that was returned, the last pre-return
+    purchase year vs the first post-return year, reported per
+    (first_buy_year, rebuy_year) with chained-spend sums.
+
+    Plan shape at 100 TB — the Q17/Q29 disjoint-slice spine reused:
+    the non-return branch scans ONLY non-R rows and the return branch
+    only R rows (both returnflag predicates pushed to parquet —
+    neither decodes the other's slice); the non-return slice
+    aggregates to (customer, part, year) cells — the ONLY fact-volume
+    exchange — before any chain join; fb/rb/chain all key on the same
+    (ck, pk) compound so they share one cell-sized exchange layout.
+    ``min_by``/``arg_min`` are deterministic here because the year is
+    unique per (ck, pk) group after the cell aggregate. The report is
+    |year-pair| rows; money stays integer cents end-to-end, so the
+    oracle comparison has NO floating surface at all."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey", "l_returnflag",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint").alias("cents"),
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    s = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.col("l_returnflag").alias("rf"), "cents")
+    nonr = (
+        s.filter(F.col("rf") != "R")
+        .groupBy("ck", "pk", "yr").agg(F.sum("cents").alias("cents"))
+    )
+    ret = (
+        s.filter(F.col("rf") == "R")
+        .groupBy("ck", "pk").agg(F.min("yr").alias("ry"))
+    )
+    j = nonr.join(ret, ["ck", "pk"])
+    # fb and rb as ONE conditional aggregate over j (min/min_by skip
+    # null ordering keys, like DuckDB's arg_min): separate fb/rb
+    # groupBys would consume j twice and duplicate the whole fact
+    # spine in the physical plan — two extra scans (plan-verified);
+    # this shape also deletes the fb⋈rb join outright.
+    pre = F.when(F.col("yr") <= F.col("ry"), F.col("yr"))
+    post = F.when(F.col("yr") > F.col("ry"), F.col("yr"))
+    chains = (
+        j.groupBy("ck", "pk")
+        .agg(
+            F.min(pre).alias("fb_yr"),
+            F.min_by(F.when(F.col("yr") <= F.col("ry"), F.col("cents")),
+                     pre).alias("fb_cents"),
+            F.min(post).alias("rb_yr"),
+            F.min_by(F.when(F.col("yr") > F.col("ry"), F.col("cents")),
+                     post).alias("rb_cents"),
+        )
+        .filter(F.col("fb_yr").isNotNull() & F.col("rb_yr").isNotNull())
+    )
+    return (
+        chains.groupBy(
+            F.col("fb_yr").alias("first_buy_year"),
+            F.col("rb_yr").alias("rebuy_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chains"),
+            F.sum("fb_cents").cast("bigint").alias("fb_cents_sum"),
+            F.sum("rb_cents").cast("bigint").alias("rb_cents_sum"),
+            F.sum(F.col("rb_cents") - F.col("fb_cents")).cast("bigint")
+            .alias("delta_cents_sum"),
+        )
+        .orderBy("first_buy_year", "rebuy_year")
+    )
+
+
+@register(
     "tpcds_return_repurchase_chain",
     oracle=(
         # Q17/Q29: sold -> returned -> repurchased chains. Three fact

@@ -728,3 +728,40 @@ def test_tpcds_q17_chain_scans_disjoint_slices(spark, oracle_sf_dir):
     pushed = " ".join(li_scans)
     assert "EqualTo(l_returnflag,R)" in pushed, pushed
     assert "Not(EqualTo(l_returnflag,R))" in pushed, pushed
+
+
+def test_tpcds_q14_cross_items_reduced_before_fact_join(spark, oracle_sf_dir):
+    """Q14 shape: the three-channel INTERSECT must collapse to ONE
+    aggregated fact pass (no third scan), the report leg's 1997 range
+    must push to parquet, the cross-item set must arrive as a
+    BROADCAST semi join, and the avg threshold must be a window over
+    the cells — never a second cells computation (which would re-scan
+    the fact: the scalar-agg-join draft did exactly that)."""
+    df = registry.QUERIES["tpcds_cross_channel_items"](spark, oracle_sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    li_scans = [l for l in plan.splitlines()
+                if "FileScan parquet" in l and "l_partkey" in l]
+    assert len(li_scans) == 2, "one scan per leg (cross set + report)"
+    assert "GreaterThanOrEqual(l_shipdate,1997-01-01" in plan
+    assert "LessThan(l_shipdate,1998" in plan  # rendering truncates
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpcds_q64_chain_single_conditional_aggregate(spark, oracle_sf_dir):
+    """Q64 shape on the Q17/Q29 spine: the R and non-R slices each
+    scan once with their returnflag predicate pushed (disjoint
+    slices); fb/rb come from ONE conditional aggregate over the
+    joined cells — separate fb/rb aggregates would duplicate the
+    whole fact spine (4 lineitem scans, plan-verified during
+    development)."""
+    df = registry.QUERIES["tpcds_buy_return_rebuy_margin"](
+        spark, oracle_sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    li_scans = [l for l in plan.splitlines()
+                if "FileScan parquet" in l and "l_returnflag" in l]
+    assert len(li_scans) == 2, "one scan per returnflag slice"
+    pushed = " ".join(li_scans)
+    assert "EqualTo(l_returnflag,R)" in pushed
+    assert "Not(EqualTo(l_returnflag,R))" in pushed
+    assert "min_by" in plan.lower()
