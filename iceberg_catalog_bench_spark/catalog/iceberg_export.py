@@ -244,9 +244,18 @@ class _NestedIdAllocator:
             [floor] + [v + 1 for v in self.map.values()]
         )
 
-    def seed(self, mapping: dict[str, int]) -> None:
+    def seed(self, mapping: dict[str, int], *,
+             authoritative: bool = False) -> None:
+        """Load ids from a foreign chain's schemas. ``authoritative``
+        (the SYNC path) overwrites existing entries — a fast-forwarded
+        table tracks the foreign chain's ids even where the foreign
+        writer itself reallocated them; the default (first adoption)
+        only fills gaps."""
         for k, v in mapping.items():
-            self.map.setdefault(k, v)
+            if authoritative:
+                self.map[k] = v
+            else:
+                self.map.setdefault(k, v)
             self.next = max(self.next, v + 1)
 
     def for_field(self, field_id: int):
@@ -2358,6 +2367,19 @@ def sync_iceberg_metadata(table: LakeTable, metadata_path: str | None = None) ->
         table._meta.update(fresh)
 
     table._locked_meta_mutation(mutate)
+    # keep the nested-id seeds current: a foreign schema evolution that
+    # ADDED a nested column after adoption must re-export with the
+    # foreign chain's own element/field ids, not locally-allocated ones
+    # (seed() only fills gaps — ids already seeded at adopt-time win)
+    seeds = nested_ids_of_schema(
+        json.load(open(_resolve_metadata_path(metadata_path)))
+        .get("schemas") or [])
+    if seeds:
+        ice_dir = os.path.join(table.path, "_meta", "iceberg")
+        os.makedirs(ice_dir, exist_ok=True)
+        alloc = _NestedIdAllocator(ice_dir, set(), 1)
+        alloc.seed(seeds, authoritative=True)
+        alloc.save()
     return pulled["n"]
 
 

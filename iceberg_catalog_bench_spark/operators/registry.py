@@ -50,7 +50,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # iceberg_register_adopted re-verify those). Code-touched rows whose
 # EXECUTED delta is trivial were triaged below-cap with the reason:
 # streamed_calendar_fanout_pruning (one additive startswith branch in
-# _arrow_type; 137 table_source pytest rows green), adopted_bucket_
+# _arrow_type; the 46 table_source pytest rows green), adopted_bucket_
 # pruning + iceberg_validate_preflight (no-op loops over absent
 # statistics/nested metadata; covered by the two kept iceberg rows +
 # the nested debut). Tier (b) = the 36 riskiest of the 45 r8-latest

@@ -1319,9 +1319,11 @@ def tpcds_cross_channel_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     report leg is a second scan with the 1997 range PUSHED to
     parquet (it decodes one year, not seven), semi-joined against
     the broadcast cross-item set, aggregated to |channels|×|brands|
-    cells; the threshold compares cells against the broadcast 1-row
-    average — no window, no re-scan. Money stays integer cents until
-    the display division (the channel_union idiom)."""
+    cells; the threshold is an UNPARTITIONED WINDOW average over that
+    ~90-row cells relation (one single-partition pass — a scalar-agg
+    join would duplicate the cells subtree and re-scan the fact,
+    plan-pinned below). Money stays integer cents until the display
+    division (the channel_union idiom)."""
     li = load_table(spark, "lineitem", sf_dir).select(
         F.col("l_partkey").alias("pk"),
         F.when(F.col("l_linenumber") % 3 == 0, "store")
@@ -1415,9 +1417,11 @@ def tpcds_buy_return_rebuy_margin(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """TPC-DS Q64 shape — multi-year buy → return → re-buy chains
     with the spend comparison between the two purchase years: for
-    each (customer, part) that was returned, the last pre-return
-    purchase year vs the first post-return year, reported per
-    (first_buy_year, rebuy_year) with chained-spend sums.
+    each (customer, part) that was returned, the EARLIEST purchase
+    year at or before the first return year (MIN(yr) over yr ≤ ry —
+    a purchase in the return year itself qualifies) vs the first
+    purchase year strictly after it, reported per (first_buy_year,
+    rebuy_year) with chained-spend sums.
 
     Plan shape at 100 TB — the Q17/Q29 disjoint-slice spine reused:
     the non-return branch scans ONLY non-R rows and the return branch

@@ -175,3 +175,27 @@ def test_type_converters_inverse():
         n = iter(range(100, 200))
         ice = _iceberg_type_full(ddl, lambda _p: next(n))
         assert _spark_ddl_type(ice) == ddl
+
+
+def test_sync_refreshes_nested_id_seeds(spark, tmp_path):
+    """A foreign schema evolution that ADDS a nested column after
+    adoption must re-export with the foreign chain's ids: sync
+    refreshes the allocator seeds (adopt-time seeds win; only gaps
+    fill)."""
+    from iceberg_catalog_bench_spark.catalog.iceberg_export import (
+        sync_iceberg_metadata,
+    )
+
+    src = _mk(spark, str(tmp_path / "src"))
+    mp1 = to_iceberg_metadata(src, manifest_format="avro")
+    t2 = adopt_iceberg_metadata(spark, mp1, str(tmp_path / "dst"))
+    # foreign side evolves: a NEW nested column + more data
+    src.add_column("aux", "array<int>")
+    src.append(src.read().limit(1))
+    mp2 = to_iceberg_metadata(src, manifest_format="avro")
+    assert sync_iceberg_metadata(t2, mp2) == 1
+    md_src = json.load(open(mp2))
+    md_back = json.load(open(to_iceberg_metadata(t2,
+                                                 manifest_format="avro")))
+    assert nested_ids_of_schema(md_src["schemas"]) == \
+        nested_ids_of_schema(md_back["schemas"])
