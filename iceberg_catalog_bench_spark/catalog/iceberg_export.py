@@ -41,6 +41,7 @@ from .table import (
     _META_DIR,
     _META_FILE,
     LakeTable,
+    _decode_path_uri,
     _strip_scheme,
 )
 from .transforms import Transform
@@ -185,35 +186,60 @@ def _spark_ddl_type(iceberg) -> str:
     }.get(iceberg, "string")
 
 
-def nested_ids_of_schema(schemas: list) -> dict[str, int]:
+def nested_ids_of_schema(schemas: list, strict: bool = False) -> dict[str, int]:
     """Walk Iceberg schema JSON collecting every NESTED field id keyed
     ``"<top-level-field-id>:<path>"`` — the persistence format
     ``_NestedIdAllocator`` reads, so adopting a foreign chain and
-    re-exporting it emits the foreign chain's own element/field ids."""
+    re-exporting it emits the foreign chain's own element/field ids.
+
+    Malformed nested nodes (a list without ``element-id``, a struct
+    field without ``id``/``name``) are SKIPPED by default — seeding
+    simply learns nothing for them; ``strict=True`` raises instead,
+    which is how the validator turns them into findings rather than
+    crashing mid-walk."""
     out: dict[str, int] = {}
+
+    def take(node: dict, key: str, where: str):
+        v = node.get(key)
+        if v is None and strict:
+            raise ValueError(f"nested type at {where!r} is missing {key!r}")
+        return v
+
+    def put(key: str, nid) -> None:
+        if nid is not None:
+            out[key] = nid
 
     def walk(t, base: str, path: str) -> None:
         if not isinstance(t, dict):
             return
         if t.get("type") == "list":
             p = f"{path}.element" if path else "element"
-            out[f"{base}:{p}"] = t["element-id"]
-            walk(t["element"], base, p)
+            put(f"{base}:{p}", take(t, "element-id", f"{base}:{p}"))
+            walk(t.get("element"), base, p)
         elif t.get("type") == "map":
             kp = f"{path}.key" if path else "key"
             vp = f"{path}.value" if path else "value"
-            out[f"{base}:{kp}"] = t["key-id"]
-            out[f"{base}:{vp}"] = t["value-id"]
-            walk(t["key"], base, kp)
-            walk(t["value"], base, vp)
+            put(f"{base}:{kp}", take(t, "key-id", f"{base}:{kp}"))
+            put(f"{base}:{vp}", take(t, "value-id", f"{base}:{vp}"))
+            walk(t.get("key"), base, kp)
+            walk(t.get("value"), base, vp)
         elif t.get("type") == "struct":
             for f in t.get("fields", []):
-                p = f"{path}.{f['name']}" if path else f["name"]
-                out[f"{base}:{p}"] = f["id"]
-                walk(f["type"], base, p)
+                name = f.get("name")
+                if name is None:
+                    if strict:
+                        raise ValueError(
+                            f"struct field under {base}:{path or '<top>'} "
+                            "is missing 'name'")
+                    continue
+                p = f"{path}.{name}" if path else name
+                put(f"{base}:{p}", take(f, "id", f"{base}:{p}"))
+                walk(f.get("type"), base, p)
 
     for s in schemas:
         for f in s.get("fields", []):
+            if f.get("id") is None:
+                continue  # top-level ids are the validator's own check
             walk(f.get("type"), str(f["id"]), "")
     return out
 
@@ -1849,13 +1875,20 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
 
     # --- Puffin statistics: recover ANALYZE-grade column NDVs from the
     # chain's apache-datasketches-theta-v1 blobs (estimate read from
-    # the sketch itself; the writer's `ndv` property is the fallback
-    # for blob types we can't parse). Missing/corrupt statistics files
-    # degrade to no stats — never block adoption.
+    # the sketch itself; reconciled against the writer's `ndv`
+    # property within the sketch's theta granularity — Iceberg
+    # writers carry both, and the property preserves exactness where
+    # 63-bit theta cannot). The MOST RECENT parseable statistics
+    # entry wins even when it predates the current snapshot: stats
+    # are stamped with their snapshot (consumers judge staleness,
+    # exactly like native ANALYZE persists across later appends) —
+    # dropping them would make the roundtrip lossy for any table
+    # modified after its last ANALYZE (review r12). Missing/corrupt
+    # statistics files degrade to no stats — never block adoption.
     column_stats = None
-    for st in md.get("statistics") or []:
-        if st.get("snapshot-id") != md.get("current-snapshot-id"):
-            continue
+    stats_entries = sorted(md.get("statistics") or [],
+                           key=lambda st: st.get("snapshot-id") or 0)
+    for st in stats_entries:
         try:
             from . import puffin
 
@@ -1871,14 +1904,22 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
             if name is None:
                 continue
             props = m.get("properties") or {}
+            prop_ndv = (int(props["ndv"])
+                        if str(props.get("ndv", "")).isdigit() else None)
             ndv = None
             if m.get("type") == "apache-datasketches-theta-v1":
                 try:
-                    ndv = int(round(puffin.theta_estimate(payload)))
+                    est = puffin.theta_estimate(payload)
+                    ndv = int(round(est))
+                    if prop_ndv is not None and ndv != prop_ndv and \
+                            abs(est - prop_ndv) <= max(1.0, 1e-6 * prop_ndv):
+                        # within theta granularity: the property is
+                        # the writer's exact intent
+                        ndv = prop_ndv
                 except Exception:
                     ndv = None
-            if ndv is None and str(props.get("ndv", "")).isdigit():
-                ndv = int(props["ndv"])
+            if ndv is None:
+                ndv = prop_ndv
             if ndv is None:
                 continue
             cols[name] = {"ndv": ndv}
@@ -1983,8 +2024,15 @@ def validate_iceberg_metadata(metadata_path: str) -> list[dict]:
             names_by_id[f["id"]] = f["name"]
         # nested element/key/value/struct-field ids share the same
         # table-wide id space — a collision with a column id (or
-        # another nested id) corrupts by-id resolution
-        for key, nid in nested_ids_of_schema([s]).items():
+        # another nested id) corrupts by-id resolution; a nested node
+        # MISSING its id is invalid metadata (finding, not a crash)
+        try:
+            nested = nested_ids_of_schema([s], strict=True)
+        except ValueError as e:
+            add("error", "invalid-nested-type",
+                f"schema {s.get('schema-id')}", str(e))
+            nested = nested_ids_of_schema([s])
+        for key, nid in nested.items():
             if nid in seen:
                 add("error", "duplicate-field-id",
                     f"schema {s.get('schema-id')}",
@@ -2331,7 +2379,11 @@ def sync_iceberg_metadata(table: LakeTable, metadata_path: str | None = None) ->
             "table was not adopted from an Iceberg chain and no "
             "metadata_path was given"
         )
-    fresh = _parse_iceberg_v2(_resolve_metadata_path(metadata_path))
+    # resolve the version file ONCE: a foreign writer committing a new
+    # vN.metadata.json mid-sync must not split the snapshot fold and
+    # the nested-id seeding below across two versions
+    resolved_path = _resolve_metadata_path(metadata_path)
+    fresh = _parse_iceberg_v2(resolved_path)
     # An explicit vN.metadata.json override is a one-shot pull: keep
     # following the ORIGINAL adoption source afterwards — overwriting
     # it would permanently pin a directory-adopted table to that one
@@ -2367,13 +2419,14 @@ def sync_iceberg_metadata(table: LakeTable, metadata_path: str | None = None) ->
         table._meta.update(fresh)
 
     table._locked_meta_mutation(mutate)
-    # keep the nested-id seeds current: a foreign schema evolution that
-    # ADDED a nested column after adoption must re-export with the
-    # foreign chain's own element/field ids, not locally-allocated ones
-    # (seed() only fills gaps — ids already seeded at adopt-time win)
-    seeds = nested_ids_of_schema(
-        json.load(open(_resolve_metadata_path(metadata_path)))
-        .get("schemas") or [])
+    # keep the nested-id seeds current: a fast-forwarded table tracks
+    # the foreign chain's element/field ids AUTHORITATIVELY — including
+    # where the foreign writer itself reallocated one (its chain is the
+    # id authority; local re-exports must agree with what its readers
+    # already resolved). Same resolved version file as the parse above
+    # (resolved once) so seeds and snapshots describe one version.
+    with open(resolved_path) as fh:
+        seeds = nested_ids_of_schema(json.load(fh).get("schemas") or [])
     if seeds:
         ice_dir = os.path.join(table.path, "_meta", "iceberg")
         os.makedirs(ice_dir, exist_ok=True)
@@ -2459,11 +2512,11 @@ def read_via_iceberg_metadata(
                            .cast(_spark_ddl_type(f["type"]))
                            .alias(f["name"]))
         if mor:
-            # percent-decode: tombstone file_path values are raw
-            # location strings (spec), the URI spelling is encoded
-            decoded = F.url_decode(F.regexp_replace(
-                F.col("_metadata.file_path"), r"\+", "%2B"))
-            sel.append(decoded.alias("_ice_file"))
+            # percent-decode (shared helper — ONE path-matching
+            # domain): tombstone file_path values are raw location
+            # strings (spec), the URI spelling is encoded
+            sel.append(_decode_path_uri(F.col("_metadata.file_path"))
+                       .alias("_ice_file"))
             sel.append(F.col("_metadata.row_index").alias("_ice_pos"))
         parts.append(raw.select(*sel))
     out = parts[0]

@@ -39,12 +39,16 @@ sorted uint64 longs < theta. ``getEstimate`` = retained / (theta/2^63).
 
 ``ANALYZE`` stores an HLL-derived NDV integer, not retained hashes, so
 :func:`theta_sketch_bytes` synthesizes a VALID estimation-mode sketch
-whose estimate is exactly that NDV: retained = min(ndv, 4096) evenly
-spaced values below theta = retained/ndv. Any conforming reader's
-estimate recovers the ANALYZE NDV exactly; unions behave like a KMV
-union over deterministic values (statistically conservative, never
-crashing). Small NDVs (≤ 4096) emit exact-mode sketches — estimate is
-exact by construction.
+whose estimate rounds back to that NDV: retained = min(ndv, 4096)
+evenly spaced values below theta ≈ retained/ndv (the integer theta is
+probed so the reader's double arithmetic recovers the NDV exactly).
+Exactness is information-bounded by theta's 63-bit granularity: exact
+for NDV up to ≈ sqrt(retained·2^62) ≈ 1.4e11; beyond, the error is
+bounded by the granularity itself (adjacent thetas are ndv²/(R·2^63)
+apart) and adoption reconciles against the blob's ``ndv`` property.
+Unions behave like a KMV union over deterministic values
+(statistically conservative, never crashing). Small NDVs (≤ 4096)
+emit exact-mode sketches — estimate exact by construction.
 """
 
 from __future__ import annotations
@@ -152,10 +156,22 @@ def theta_sketch_bytes(ndv: int) -> bytes:
                struct.pack("<iI", retained, 0)]
         out += [struct.pack("<Q", e) for e in entries]
         return b"".join(out)
-    # estimation mode: theta chosen so retained/theta == ndv exactly
-    # (as the double arithmetic a reader performs)
+    # estimation mode: theta chosen so the READER's double arithmetic
+    # retained/(theta/2^63) rounds back to ndv — probe the integer
+    # neighbors of the exact ratio (float truncation here used to
+    # drift the estimate by a few counts above ~1.4e11, review r12).
+    # Exactness is information-bounded by theta's granularity at
+    # ndv ≈ sqrt(retained·2^62) ≈ 1.4e11; past that the error is at
+    # most the granularity ndv²/(R·2^63) and adoption reconciles
+    # against the blob's ndv property (see iceberg_export adoption).
     retained = _MAX_RETAINED
-    theta_long = int(_THETA_MAX * (retained / ndv))
+    base = (_THETA_MAX * retained) // ndv  # exact integer arithmetic
+    theta_long = max(1, base)
+    for cand in (base, base + 1, base - 1):
+        if 0 < cand <= _THETA_MAX and \
+                round(retained / (cand / _THETA_MAX)) == ndv:
+            theta_long = cand
+            break
     step = theta_long // (retained + 1)
     if step == 0:
         raise ValueError(f"ndv {ndv} too large to synthesize")

@@ -1861,6 +1861,85 @@ def partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_puffin_stats_roundtrip",
+    oracle=(
+        # Exact legs: per-column null counts + row count of the same
+        # slice; the approximate leg (NDV) is pinned as a TRUE flag —
+        # the Puffin theta sketch's estimate equals the ANALYZE NDV by
+        # construction (retained/theta identity), so adoption must
+        # recover it EXACTLY, not within tolerance.
+        "WITH sv AS (SELECT s_suppkey, s_name, "
+        "CASE WHEN s_suppkey % 5 = 0 THEN NULL ELSE s_acctbal END "
+        "AS s_acctbal FROM supplier) "
+        "SELECT col, null_count, "
+        "(SELECT COUNT(*) FROM sv) AS row_count, "
+        "TRUE AS ndv_roundtrip_ok FROM ("
+        "SELECT 's_acctbal' AS col, "
+        "COUNT(CASE WHEN s_acctbal IS NULL THEN 1 END) AS null_count "
+        "FROM sv "
+        "UNION ALL SELECT 's_name', "
+        "COUNT(CASE WHEN s_name IS NULL THEN 1 END) FROM sv "
+        "UNION ALL SELECT 's_suppkey', "
+        "COUNT(CASE WHEN s_suppkey IS NULL THEN 1 END) FROM sv) "
+        "ORDER BY col"
+    ),
+)
+def iceberg_puffin_stats_roundtrip(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Puffin statistics across the export/adopt boundary (VERDICT
+    r11 item 5, driver-checked): ANALYZE computes NDV + null counts,
+    the Iceberg export writes them as a spec-shaped Puffin file
+    (apache-datasketches-theta-v1 blobs referenced from
+    metadata.json ``statistics``), and ADOPTION parses the sketches
+    back — so a conforming reader recovers what the table already
+    knew instead of re-deriving it with a scan. The returned rows
+    carry the EXACT profile parts (null counts, row count —
+    hash-compared against DuckDB) plus the roundtrip verdict: the
+    adopted NDV must equal the native NDV EXACTLY (the synthesized
+    compact theta sketch's estimate is the NDV by the
+    retained/theta identity — tested to double precision in
+    tests/test_puffin.py), and the chain must be validator-clean."""
+    from ..catalog.iceberg_export import (
+        adopt_iceberg_metadata,
+        to_iceberg_metadata,
+        validate_iceberg_metadata,
+    )
+
+    src = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_name",
+        F.when(F.col("s_suppkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("s_acctbal")).alias("s_acctbal"),
+    )
+    d = _tmp_table_dir()
+    t = LakeTable.create(
+        spark, os.path.join(d, "t"),
+        "s_suppkey bigint, s_name string, s_acctbal double")
+    t.append(src)
+    native = t.analyze()
+    meta_path = to_iceberg_metadata(t, manifest_format="avro")
+    assert validate_iceberg_metadata(meta_path) == []
+    adopted = adopt_iceberg_metadata(
+        spark, meta_path, os.path.join(d, "adopted")).column_stats()
+    assert adopted is not None \
+        and adopted["row_count"] == native["row_count"]
+    rows = [
+        (
+            col,
+            int(cs["null_count"]),
+            int(native["row_count"]),
+            adopted["columns"][col]["ndv"] == cs["ndv"]
+            and adopted["columns"][col]["null_count"] == cs["null_count"],
+        )
+        for col, cs in sorted(native["columns"].items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "col string, null_count bigint, row_count bigint, "
+        "ndv_roundtrip_ok boolean",
+    ).orderBy("col")
+
+
+@register(
     "analyze_table_stats",
     oracle=(
         # Exact per-column profile of the same slice (nulls injected at

@@ -131,6 +131,7 @@ PRIORITY: tuple[str, ...] = (
     # -- below-cap: staged r13 debuts (registered r12, cap full) --
     "tpcds_cross_channel_items",           # Q14: INTERSECT -> one pass
     "tpcds_buy_return_rebuy_margin",       # Q64 on the Q17/Q29 spine
+    "iceberg_puffin_stats_roundtrip",      # ANALYZE -> Puffin -> adopt
     # -- below-cap: triaged code-touched (trivial executed delta;
     # pytest-covered) — green early only if the driver runs deep --
     "streamed_calendar_fanout_pruning",

@@ -180,8 +180,11 @@ def test_type_converters_inverse():
 def test_sync_refreshes_nested_id_seeds(spark, tmp_path):
     """A foreign schema evolution that ADDS a nested column after
     adoption must re-export with the foreign chain's ids: sync
-    refreshes the allocator seeds (adopt-time seeds win; only gaps
-    fill)."""
+    refreshes the allocator seeds AUTHORITATIVELY (fast-forward
+    semantics — the foreign writer's own reallocations win over
+    adopt-time seeds; here `aux` takes top-level id 5, forcing the
+    foreign exporter to reallocate embedding's element id, and the
+    synced table must follow it)."""
     from iceberg_catalog_bench_spark.catalog.iceberg_export import (
         sync_iceberg_metadata,
     )
@@ -199,3 +202,20 @@ def test_sync_refreshes_nested_id_seeds(spark, tmp_path):
                                                  manifest_format="avro")))
     assert nested_ids_of_schema(md_src["schemas"]) == \
         nested_ids_of_schema(md_back["schemas"])
+
+
+def test_validator_reports_malformed_nested_type(tmp_path):
+    """Review r12: a list type missing its element-id used to escape
+    the validator as a raw KeyError; it is a finding now."""
+    schema = {"schema-id": 0, "fields": [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "emb", "required": False,
+         "type": {"type": "list", "element": "double"}},  # no element-id
+    ]}
+    p = os.path.join(str(tmp_path), "v1.metadata.json")
+    with open(p, "w") as fh:
+        json.dump({"format-version": 2, "schemas": [schema],
+                   "current-schema-id": 0, "partition-specs": [],
+                   "snapshots": []}, fh)
+    findings = validate_iceberg_metadata(p)
+    assert any(f["code"] == "invalid-nested-type" for f in findings)

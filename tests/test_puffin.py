@@ -138,3 +138,37 @@ def test_walker_tolerates_missing_statistics(spark, tmp_path):
     t2 = adopt_iceberg_metadata(spark, mp, str(tmp_path / "t2"))
     assert t2.column_stats() is None
     assert t2.read().count() == 5000
+
+
+@pytest.mark.parametrize("ndv", [141_000_000_000, 1_000_000_000_000,
+                                 200_000_000_000_000])
+def test_theta_sketch_huge_ndv(ndv):
+    """Review r12: float-truncated theta drifted the estimate by a few
+    counts above ~1.4e11 (1e12 read back as 1000000000025). The theta
+    probe now recovers the NDV exactly wherever 63-bit theta
+    granularity allows; beyond it the error is bounded by the
+    granularity itself — adjacent theta values are ndv²/(R·2^63)
+    apart — and the adoption path reconciles against the ndv
+    property."""
+    est = theta_estimate(theta_sketch_bytes(ndv))
+    bound = max(1, ndv * ndv // (4096 * 2 ** 63))
+    assert abs(round(est) - ndv) <= bound
+
+
+def test_stale_statistics_survive_adoption(spark, tmp_path):
+    """Review r12: adoption used to DROP statistics whenever the
+    ANALYZE snapshot differed from the chain head — lossy for any
+    table modified after its last ANALYZE. The most recent parseable
+    statistics entry now adopts WITH its snapshot stamp (consumers
+    judge staleness, like native ANALYZE persisting across appends)."""
+    t = _stats_table(spark, str(tmp_path / "t"))
+    analyzed_snap = t.column_stats()["snapshot_id"]
+    t.append(spark.range(5).select(
+        (F.col("id") + 10_000).alias("k"),
+        F.lit("gX").alias("grp"), F.lit(1.0).alias("v")))
+    mp = to_iceberg_metadata(t, manifest_format="avro")
+    t2 = adopt_iceberg_metadata(spark, mp, str(tmp_path / "t2"))
+    got = t2.column_stats()
+    assert got is not None and got["snapshot_id"] == analyzed_snap
+    assert got["columns"]["k"]["ndv"] == \
+        t.column_stats()["columns"]["k"]["ndv"]
