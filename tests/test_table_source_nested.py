@@ -119,3 +119,42 @@ def test_cow_changelog_refuses_nested_columns(spark, tmp_path):
     ch = t.changelog(1, t._snapshot().snapshot_id)
     kinds = sorted((r["_change_type"], r["k"]) for r in ch.collect())
     assert kinds == [("delete", 1), ("insert", 11)]
+
+
+def test_cdc_stream_arrays_through_upsert_and_pos_delete(spark, tmp_path):
+    """CDC mode over an embedding-shaped MoR table: +I images carry
+    the list column; an equality-delete retraction null-fills it
+    (typed null through _project's pa.nulls(list)); a position delete
+    re-reads the tombstoned row's full vector by position."""
+    register_source(spark)
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), "k bigint, emb array<double>",
+        properties={"write.delete.mode": "merge-on-read",
+                    "write.update.mode": "merge-on-read"},
+    )
+    t.append(spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "k bigint, emb array<double>"))
+    t.upsert_by_keys(
+        spark.createDataFrame([(2, [30.0, 40.0])],
+                              "k bigint, emb array<double>"), on=["k"])
+    t.delete_where("k = 1")
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("laketable").option("path", t.path)
+        .option("mode", "cdc").load()
+        .writeStream.format("parquet").option("path", sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck).start()
+    )
+    q.awaitTermination(300)
+    rows = sorted(
+        ((r["_commit_snapshot_id"], r["_change_type"], r["k"],
+          tuple(r["emb"]) if r["emb"] is not None else None)
+         for r in spark.read.parquet(sink).collect())
+    )
+    assert rows == [
+        (1, "insert", 1, (1.0, 2.0)), (1, "insert", 2, (3.0, 4.0)),
+        (2, "delete", 2, None),               # blind key retraction
+        (2, "insert", 2, (30.0, 40.0)),       # new image
+        (3, "delete", 1, (1.0, 2.0)),         # full values by position
+    ]
