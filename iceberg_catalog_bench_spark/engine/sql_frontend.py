@@ -1425,6 +1425,33 @@ class SqlEngine:
                 }],
                 rowcount=1, metadata={"op": proc},
             )
+        # export_table emits the Iceberg v2 metadata chain for a live
+        # table (the outbound half of the interop loop — register/sync
+        # are the inbound half): CALL system.export_table(table => 't'
+        # [, manifest_format => 'avro'|'json']). Returns the
+        # metadata.json path plus what rode along (snapshot count,
+        # whether ANALYZE statistics exported as a Puffin file).
+        if proc == "export_table":
+            import json
+
+            from ..catalog.iceberg_export import to_iceberg_metadata
+
+            fmt = kwargs.get("manifest_format", "avro")
+            t = self.table(ident)
+            mp = to_iceberg_metadata(t, manifest_format=fmt)
+            with open(mp) as fh:
+                md = json.load(fh)
+            return StatementResult(
+                s,
+                rows=[{
+                    "metadata_file": mp,
+                    "snapshots_count": len(md.get("snapshots") or []),
+                    "current_snapshot_id": md.get("current-snapshot-id"),
+                    "statistics_files_count":
+                        len(md.get("statistics") or []),
+                }],
+                rowcount=1, metadata={"op": proc},
+            )
         # sync_table pulls a registered foreign table's NEW snapshots
         # (fast-forward-only): CALL system.sync_table(table => 't'
         # [, metadata_file => '<vN.metadata.json or directory>'])

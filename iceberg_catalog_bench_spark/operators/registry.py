@@ -132,6 +132,10 @@ PRIORITY: tuple[str, ...] = (
     "tpcds_cross_channel_items",           # Q14: INTERSECT -> one pass
     "tpcds_buy_return_rebuy_margin",       # Q64 on the Q17/Q29 spine
     "iceberg_puffin_stats_roundtrip",      # ANALYZE -> Puffin -> adopt
+    "tpcds_qoq_growth_nation_channels",    # Q31: 6 cells -> 2 scans
+    # (Q31 stays OUT of the tpcds_report_run composite this round —
+    # the 16->18 widening was already re-recorded; fold it into the
+    # next adjudicated widening rather than re-basing twice)
     # -- below-cap: triaged code-touched (trivial executed delta;
     # pytest-covered) — green early only if the driver runs deep --
     "streamed_calendar_fanout_pruning",

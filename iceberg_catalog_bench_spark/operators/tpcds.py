@@ -1490,6 +1490,133 @@ def tpcds_buy_return_rebuy_margin(spark: SparkSession,
 
 
 @register(
+    "tpcds_qoq_growth_nation_channels",
+    oracle=(
+        # Q31 shape: two channels' quarterly cells per nation, joined
+        # at cell volume; growth comparisons via integer
+        # CROSS-MULTIPLICATION (w2·s1 > s2·w1) — no float division
+        # anywhere, so the oracle has zero rounding surface.
+        "WITH store AS ("
+        "  SELECT n_name AS nation, "
+        "    SUM(CASE WHEN EXTRACT(quarter FROM o_orderdate) = 1 "
+        "      THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS s1, "
+        "    SUM(CASE WHEN EXTRACT(quarter FROM o_orderdate) = 2 "
+        "      THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS s2, "
+        "    SUM(CASE WHEN EXTRACT(quarter FROM o_orderdate) = 3 "
+        "      THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS s3 "
+        "  FROM orders "
+        "  JOIN customer ON c_custkey = o_custkey "
+        "  JOIN nation ON n_nationkey = c_nationkey "
+        "  WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+        "    AND o_orderdate < TIMESTAMP '1997-10-01' "
+        "  GROUP BY n_name"
+        "), supply AS ("
+        "  SELECT n_name AS nation, "
+        "    SUM(CASE WHEN EXTRACT(quarter FROM l_shipdate) = 1 "
+        "      THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
+        "      AS BIGINT) END) AS w1, "
+        "    SUM(CASE WHEN EXTRACT(quarter FROM l_shipdate) = 2 "
+        "      THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
+        "      AS BIGINT) END) AS w2, "
+        "    SUM(CASE WHEN EXTRACT(quarter FROM l_shipdate) = 3 "
+        "      THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
+        "      AS BIGINT) END) AS w3 "
+        "  FROM lineitem "
+        "  JOIN supplier ON s_suppkey = l_suppkey "
+        "  JOIN nation ON n_nationkey = s_nationkey "
+        "  WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        "    AND l_shipdate < TIMESTAMP '1997-10-01' "
+        "  GROUP BY n_name"
+        ") "
+        "SELECT store.nation AS nation, "
+        "CAST(s1 AS BIGINT) AS store_q1_cents, "
+        "CAST(s2 AS BIGINT) AS store_q2_cents, "
+        "CAST(s3 AS BIGINT) AS store_q3_cents, "
+        "CAST(w1 AS BIGINT) AS supply_q1_cents, "
+        "CAST(w2 AS BIGINT) AS supply_q2_cents, "
+        "CAST(w3 AS BIGINT) AS supply_q3_cents "
+        "FROM store JOIN supply ON store.nation = supply.nation "
+        "WHERE s1 > 0 AND s2 > 0 AND w1 > 0 AND w2 > 0 "
+        "  AND w2 * s1 > s2 * w1 AND w3 * s2 > s3 * w2 "
+        "ORDER BY nation"
+    ),
+)
+def tpcds_qoq_growth_nation_channels(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """TPC-DS Q31 shape — quarter-over-quarter growth compared across
+    two channels per geography: nations where the supply channel
+    (lineitem revenue by supplier nation) out-grew the store channel
+    (order totals by customer nation) in BOTH 1997 Q1→Q2 and Q2→Q3.
+
+    Plan shape at 100 TB: Q31's six period subqueries collapse to TWO
+    conditional-aggregation scans (one per channel — the Q4/Q11
+    one-scan-per-source idiom), each with the 9-month range PUSHED to
+    parquet and the dims broadcast; the six-way self-join of period
+    cells becomes one |nations|-row join of the two channel cell
+    tables. Growth comparisons are integer CROSS-MULTIPLICATIONS over
+    cent sums (w2·s1 > s2·w1) — ratio semantics without a single
+    float division, so the oracle comparison is exact by
+    construction."""
+    cents_o = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    q_o = F.quarter("o_orderdate")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderdate", "o_totalprice").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp")))
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey")
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name")
+    store = (
+        orders
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation),
+              F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(*[F.sum(F.when(q_o == i, cents_o)).alias(f"s{i}")
+               for i in (1, 2, 3)])
+    )
+    cents_l = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    q_l = F.quarter("l_shipdate")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp")))
+    supp = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_nationkey")
+    supply = (
+        li
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation),
+              F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(*[F.sum(F.when(q_l == i, cents_l)).alias(f"w{i}")
+               for i in (1, 2, 3)])
+    )
+    return (
+        store.join(supply, "nation")
+        .filter(
+            (F.col("s1") > 0) & (F.col("s2") > 0)
+            & (F.col("w1") > 0) & (F.col("w2") > 0)
+            & (F.col("w2") * F.col("s1") > F.col("s2") * F.col("w1"))
+            & (F.col("w3") * F.col("s2") > F.col("s3") * F.col("w2"))
+        )
+        .select(
+            "nation",
+            F.col("s1").alias("store_q1_cents"),
+            F.col("s2").alias("store_q2_cents"),
+            F.col("s3").alias("store_q3_cents"),
+            F.col("w1").alias("supply_q1_cents"),
+            F.col("w2").alias("supply_q2_cents"),
+            F.col("w3").alias("supply_q3_cents"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
     "tpcds_return_repurchase_chain",
     oracle=(
         # Q17/Q29: sold -> returned -> repurchased chains. Three fact

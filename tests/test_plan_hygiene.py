@@ -765,3 +765,22 @@ def test_tpcds_q64_chain_single_conditional_aggregate(spark, oracle_sf_dir):
     assert "EqualTo(l_returnflag,R)" in pushed
     assert "Not(EqualTo(l_returnflag,R))" in pushed
     assert "min_by" in plan.lower()
+
+
+def test_tpcds_q31_two_scans_cell_join(spark, oracle_sf_dir):
+    """Q31 shape: six period subqueries collapse to TWO
+    conditional-aggregation fact scans (one per channel) with the
+    9-month 1997 range pushed to both; dims broadcast; the six-way
+    period self-join becomes one |nations|-row cell join. Growth is
+    integer cross-multiplication — the plan must carry no float
+    division."""
+    df = registry.QUERIES["tpcds_qoq_growth_nation_channels"](
+        spark, oracle_sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    facts = [l for l in plan.splitlines() if "FileScan parquet" in l
+             and ("o_orderdate" in l or "l_shipdate" in l)]
+    assert len(facts) == 2, "one conditional-aggregation scan per channel"
+    assert "GreaterThanOrEqual(o_orderdate,1997-01-01" in plan
+    assert "GreaterThanOrEqual(l_shipdate,1997-01-01" in plan
+    assert "LessThan(o_orderdate" in plan and "LessThan(l_shipdate" in plan
+    assert plan.count("BroadcastHashJoin") == 4  # cust+nation, supp+nation

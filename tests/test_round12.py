@@ -86,3 +86,25 @@ def test_insert_collist_error_hygiene(spark, tmp_path):
         engine.execute("INSERT INTO eh (nope) VALUES (1)")
     with pytest.raises(ValueError, match="empty entry"):
         engine.execute("INSERT INTO eh (id,) VALUES (1)")
+
+
+def test_call_system_export_table(spark, tmp_path):
+    """CALL system.export_table — the outbound half of the interop
+    loop gets a SQL spelling (register/sync/validate/repair already
+    had theirs): exports the chain, reports the statistics ride-along,
+    and the emitted file round-trips through register_table."""
+    engine = SqlEngine(spark, str(tmp_path / "wh"))
+    engine.execute("CREATE TABLE ex (id BIGINT, v DOUBLE)")
+    engine.execute("INSERT INTO ex VALUES (1, 1.5), (2, 2.5)")
+    engine.execute("ANALYZE TABLE ex COMPUTE STATISTICS")
+    r = engine.execute(
+        "CALL system.export_table(table => 'ex', "
+        "manifest_format => 'avro')")[0].rows[0]
+    assert r["snapshots_count"] == 1
+    assert r["statistics_files_count"] == 1  # ANALYZE rode along
+    r2 = engine.execute(
+        "CALL system.register_table(table => 'ex2', "
+        f"metadata_file => '{r['metadata_file']}')")[0].rows[0]
+    assert r2["total_records_count"] == 2
+    got = engine.execute("SELECT id, v FROM ex2 ORDER BY id")[0].rows
+    assert [(x["id"], x["v"]) for x in got] == [(1, 1.5), (2, 2.5)]
