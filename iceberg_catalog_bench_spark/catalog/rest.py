@@ -356,12 +356,26 @@ def _make_handler(state: _State):
                         400, {"error": f"cannot register {mloc!r}: {e}"})
                 cur = str(native["current_schema_version"])
                 head = native.get("current_snapshot_id")
+                # serve the chain's OWN Iceberg schema JSON verbatim —
+                # spec type spellings (long, not bigint) and nested
+                # list/struct/map types with their element/field ids
+                # survive exactly as the foreign writer emitted them;
+                # the native-DDL reconstruction is only the fallback
+                # for legacy v1 chains without a schemas list
+                import json as _json
+                with open(resolved) as fh:
+                    _fmd = _json.load(fh)
+                foreign_schema = next(
+                    (sc for sc in _fmd.get("schemas") or []
+                     if sc.get("schema-id") == _fmd.get("current-schema-id")),
+                    None) or _fmd.get("schema")
                 table = {
                     "name": name,
-                    "schema": {"type": "struct", "fields": [
-                        {"id": f["id"], "name": f["name"],
-                         "type": f["type"]}
-                        for f in native["schemas"][cur]]},
+                    "schema": foreign_schema or {
+                        "type": "struct", "fields": [
+                            {"id": f["id"], "name": f["name"],
+                             "type": f["type"]}
+                            for f in native["schemas"][cur]]},
                     "properties": dict(native.get("properties") or {}),
                     # prefer the metadata's own location (the directory
                     # heuristic yields <table>/_meta for this repo's

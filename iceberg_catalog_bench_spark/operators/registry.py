@@ -53,8 +53,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # _arrow_type; the 46 table_source pytest rows green), adopted_bucket_
 # pruning + iceberg_validate_preflight (no-op loops over absent
 # statistics/nested metadata; covered by the two kept iceberg rows +
-# the nested debut). Tier (b) = the 36 riskiest of the 45 r8-latest
-# rows (VERDICT's leads first). 14 + 36 = 50 exactly; the 9 unserved
+# the nested debut). Tier (b) = the 35 riskiest of the 45 r8-latest
+# rows (VERDICT's leads first; it was 36 until the REST register
+# change made rest_catalog_conformance code-touched mid-round).
+# 15 + 35 = 50 exactly; the 10 unserved
 # r8 rows are all pure relational shapes over UNTOUCHED code
 # (window/rollup/pivot/set-ops) and lead r13's list below the cap
 # marker — the freshness bar yields to code-touched-first this round
@@ -79,7 +81,9 @@ PRIORITY: tuple[str, ...] = (
     "cdc_equality_upsert",           # equality deletes through decode
     "iceberg_metadata_roundtrip",    # export types + MoR walker decode
     "iceberg_register_adopted",      # adoption + statistics parse
-    # -- (b) the 36 riskiest r8-latest rows (VERDICT leads first) --
+    "rest_catalog_conformance",      # RegisterTable now serves the
+                                     # chain's own schema JSON (r12)
+    # -- (b) the 35 riskiest r8-latest rows (VERDICT leads first) --
     "analyze_table_stats",
     "branch_wap_publish",
     "cdc_changelog",
@@ -115,10 +119,12 @@ PRIORITY: tuple[str, ...] = (
     "tpcds_rollup_rolling_sales",
     "tpch_q21_sole_fault_supplier",
     "window_time_range_agg",
-    "window_topn_per_group",
     # ---- 50 cap lands exactly here ----
-    # -- below-cap: the 9 unserved r8 rows (untouched pure-relational
-    # shapes) — these lead r13's tier (b) --
+    # -- below-cap: the 10 unserved r8 rows (untouched pure-relational
+    # shapes; window_topn_per_group yielded its slot when the REST
+    # register change made rest_catalog_conformance code-touched) —
+    # these lead r13's tier (b) --
+    "window_topn_per_group",
     "conditional_aggregation",
     "cube_aggregation",
     "pivot_event_types",

@@ -360,3 +360,34 @@ def test_register_table_endpoint(server, spark, tmp_path):
     status, err = c.register_table("reg_ns", "bogus", "/nonexistent/v1.metadata.json")
     assert status == 400 and "cannot register" in err["error"]
     assert c.register_table("nope_ns", "x", mp)[0] == 404
+
+
+def test_register_table_serves_spec_schema_spellings(server, spark, tmp_path):
+    """RegisterTable must serve the chain's OWN Iceberg schema JSON —
+    spec type spellings ('long', not the native 'bigint') and nested
+    types with their element ids — not a native-DDL reconstruction
+    (review r12: the old response leaked Spark DDL spellings, and
+    would have mangled array/struct columns entirely)."""
+    from iceberg_catalog_bench_spark.catalog.iceberg_export import (
+        to_iceberg_metadata)
+    from iceberg_catalog_bench_spark.catalog.table import LakeTable
+    from pyspark.sql import functions as F
+
+    t = LakeTable.create(spark, str(tmp_path / "src"),
+                         "k bigint, emb array<double>")
+    t.append(spark.range(3).select(
+        F.col("id").alias("k"), F.array(F.col("id") * 1.0).alias("emb")))
+    mp = to_iceberg_metadata(t, manifest_format="avro")
+
+    c = RestCatalogClient(server.url)
+    c.authenticate()
+    c.create_namespace("reg_nested")
+    status, body = c.register_table("reg_nested", "adopted", mp)
+    assert status == 200, body
+    status, loaded = c.load_table("reg_nested", "adopted")
+    assert status == 200, loaded
+    fields = {f["name"]: f for f in loaded["schema"]["fields"]}
+    assert fields["k"]["type"] == "long"  # spec spelling, not 'bigint'
+    emb = fields["emb"]["type"]
+    assert emb["type"] == "list" and emb["element"] == "double"
+    assert isinstance(emb["element-id"], int)
