@@ -303,8 +303,12 @@ class _NestedIdAllocator:
 
     def save(self) -> None:
         if self.map:
-            with open(self.path, "w") as fh:
+            # atomic (tmp + rename, the _write_meta idiom): a reader
+            # racing a re-export must never see a truncated id map
+            tmp = self.path + ".tmp"
+            with open(tmp, "w") as fh:
                 json.dump(self.map, fh, indent=1, sort_keys=True)
+            os.replace(tmp, self.path)
 
 
 def _iceberg_transform(t: Transform, source_type: str | None = None) -> str:

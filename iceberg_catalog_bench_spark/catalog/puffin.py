@@ -213,7 +213,10 @@ def write_puffin(path: str, blobs: list[tuple[dict, bytes]],
     ``{"file-size-in-bytes", "file-footer-size-in-bytes"}`` for the
     metadata.json statistics entry."""
     metas = []
-    with open(path, "wb") as fh:
+    # atomic (tmp + rename): a re-export overwriting the same-named
+    # statistics file must never expose a truncated Puffin container
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
         fh.write(MAGIC)
         for meta, payload in blobs:
             m = dict(meta)
@@ -231,6 +234,7 @@ def write_puffin(path: str, blobs: list[tuple[dict, bytes]],
         fh.write(struct.pack("<i", 0))  # flags: payload uncompressed
         fh.write(MAGIC)
         size = fh.tell()
+    os.replace(tmp, path)
     return {"file-size-in-bytes": size,
             "file-footer-size-in-bytes": size - footer_start}
 
