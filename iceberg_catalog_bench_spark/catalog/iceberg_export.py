@@ -257,7 +257,15 @@ class _NestedIdAllocator:
     doesn't know about export-side allocations) — such entries are
     REALLOCATED above the new ceiling; each metadata.json stays
     self-consistent, at the cost of nested-id stability across that
-    one evolution (documented degradation, loud in the file)."""
+    one evolution (documented degradation, loud in the file).
+
+    Concurrency: allocation is DETERMINISTIC given the table's schema
+    history and the loaded map, and ``save()`` is atomic
+    (tmp + rename) — two concurrent exports of the same table state
+    write byte-identical maps, and an export racing a schema
+    evolution leaves whichever self-consistent map landed last (the
+    next export reloads and extends it; existing keys never move
+    unless newly forbidden). No lock needed."""
 
     def __init__(self, out_dir: str, forbidden: set[int], floor: int):
         self.path = os.path.join(out_dir, "nested-field-ids.json")
