@@ -244,6 +244,27 @@ def nested_ids_of_schema(schemas: list, strict: bool = False) -> dict[str, int]:
     return out
 
 
+def _leaf_fields(fields: list, prefix: str = "") -> dict[str, tuple[int, object]]:
+    """Iceberg schema-JSON fields → ``{path: (field-id, primitive
+    type)}`` for every primitive reachable through STRUCTS only
+    (top-level primitives included; list/map interiors excluded —
+    their element stats aggregate over collection members, not rows).
+    The shared shape for bounds encoding (export) and bounds
+    decode/rebind (adoption)."""
+    out: dict[str, tuple[int, object]] = {}
+    for f in fields:
+        t = f.get("type")
+        name = f"{prefix}{f.get('name')}"
+        if f.get("id") is None or f.get("name") is None:
+            continue
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                out.update(_leaf_fields(t.get("fields") or [], name + "."))
+        elif isinstance(t, str):
+            out[name] = (f["id"], t)
+    return out
+
+
 class _NestedIdAllocator:
     """Table-wide allocator for nested element/field ids, persisted at
     ``<table>/_meta/iceberg/nested-field-ids.json`` so ids are STABLE
@@ -729,18 +750,19 @@ def to_iceberg_metadata(table: LakeTable, *,
         return len(spec_list) - 1
 
     # --- Avro emission support (manifest_format="avro") ---
+    # bounds maps come from the EMITTED schema JSON (ids + Iceberg
+    # types authoritative), and include STRUCT-LEAF paths ("meta.n" →
+    # the leaf's own field id) — native stats record struct leaves
+    # under the dotted spelling, so those bounds export as the
+    # leaf-field bounds a conforming reader prunes on
     types_by_name: dict[str, str] = {}
     bounds_map: dict[str, dict[str, tuple[int, str]]] = {}
-    for ver, fields in sorted(meta["schemas"].items(), key=lambda kv: int(kv[0])):
-        bm: dict[str, tuple[int, str]] = {}
-        for f in fields:
-            try:
-                it = _iceberg_type(f["type"])
-            except ValueError:
-                continue
-            types_by_name[f["name"]] = it
-            bm[f["name"]] = (f["id"], it)
-        bounds_map[str(ver)] = bm
+    for sj in schemas:
+        bm = _leaf_fields(sj["fields"])
+        bounds_map[str(sj["schema-id"])] = bm
+        for name, (_fid, it) in bm.items():
+            if "." not in name:
+                types_by_name[name] = it
 
     def _avro_entry(e: dict, spec_json: list) -> dict:
         d = e["data-file"]
@@ -1680,7 +1702,21 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
         for f in s["fields"]:
             union_names_by_id[f["id"]] = f["name"]
             types_by_id[f["id"]] = f["type"]
+        # STRUCT-LEAF ids get their primitive types too, so Avro
+        # bounds keyed on leaf field ids decode (leaf ids are disjoint
+        # from top-level ids — validator-enforced)
+        for _path, (fid, t) in _leaf_fields(s["fields"]).items():
+            types_by_id.setdefault(fid, t)
     union_names_by_id.update(names_by_id)
+    # leaf-id → dotted path per schema version: bounds rebind to the
+    # native stats spelling ("meta.n"), where the prune grammar reads
+    # them (top-level primitives included — same map, plain names)
+    leaf_names_by_schema = {
+        s["schema-id"]: {fid: path
+                         for path, (fid, _t) in
+                         _leaf_fields(s["fields"]).items()}
+        for s in md["schemas"]
+    }
 
     # --- partition specs (default live, rest history) ---
     spec_jsons = md.get("partition-specs") or []
@@ -1719,7 +1755,9 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
     }
 
     def _rebind_bounds(bounds: dict, schema_id: int) -> dict:
-        by_id = schema_names_by_id.get(schema_id, {})
+        # leaf map covers top-level primitives AND struct leaves
+        # (dotted spelling) — the names native stats pruning reads
+        by_id = leaf_names_by_schema.get(schema_id, {})
         out = {}
         for k, v in (bounds or {}).items():
             name = by_id.get(int(k)) if str(k).isdigit() else k

@@ -233,13 +233,18 @@ def footer_min_max(md) -> dict[str, list]:
     stats: dict[str, list] = {}
     for ci in range(md.num_columns):
         col = md.schema.column(ci)
-        # nested columns (array/struct/map) flatten to LEAF parquet
-        # columns whose .name is the leaf ("element", "key", a struct
-        # member) — attributing those stats to a same-named TOP-LEVEL
-        # field would wrongly prune; skip any dotted path
-        if "." in col.path:
+        # nested columns flatten to LEAF parquet columns. STRUCT
+        # leaves are row-level values — their stats record under the
+        # dotted path ("meta.n") so struct-field predicates prune
+        # natively and export as Iceberg leaf-field bounds. List/map
+        # leaves (paths containing the ".list."/".key_value."
+        # repetition groups) aggregate over ELEMENTS, which the
+        # row-predicate grammar cannot express — skip them; and never
+        # attribute a leaf's stats to a same-named top-level field
+        # (the bare-leaf-name bug this guard originally fixed).
+        if ".list." in col.path or ".key_value." in col.path:
             continue
-        name = col.name
+        name = col.path if "." in col.path else col.name
         lo = hi = None
         try:
             for rg in range(md.num_row_groups):
@@ -2102,11 +2107,14 @@ class LakeTable:
 
     # -- file pruning --------------------------------------------------------
 
+    # column refs admit dotted STRUCT-leaf paths (meta.n): leaf stats
+    # are recorded under the dotted spelling (footer_min_max), so an
+    # embedding-store scan like meta.n >= 5 manifests-prunes too
     _SIMPLE_PRED = re.compile(
-        r"^\s*(\w+)\s*(=|==|<=|>=|<|>)\s*('[^']*'|[-\d.]+)\s*$"
+        r"^\s*(\w+(?:\.\w+)*)\s*(=|==|<=|>=|<|>)\s*('[^']*'|[-\d.]+)\s*$"
     )
     _IN_PRED = re.compile(
-        r"^\s*(\w+)\s+in\s*\(\s*('[^']*'|[-\d.]+)"
+        r"^\s*(\w+(?:\.\w+)*)\s+in\s*\(\s*('[^']*'|[-\d.]+)"
         r"(?:\s*,\s*(?:'[^']*'|[-\d.]+))*\s*\)\s*$",
         re.IGNORECASE,
     )

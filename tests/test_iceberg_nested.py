@@ -219,3 +219,38 @@ def test_validator_reports_malformed_nested_type(tmp_path):
                    "snapshots": []}, fh)
     findings = validate_iceberg_metadata(p)
     assert any(f["code"] == "invalid-nested-type" for f in findings)
+
+
+def test_struct_leaf_bounds_roundtrip_and_prune(spark, tmp_path):
+    """Struct-leaf statistics (r12 extension): native file stats record
+    struct leaves under the dotted path ('meta.n'), the prune grammar
+    admits dotted predicates (manifest-level file skips, zero data
+    read), the Avro export encodes them as LEAF-FIELD-ID bounds, and
+    the adopted chain prunes identically."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        "vec_id bigint, embedding array<double>, "
+        "meta struct<lang:string,n:int>")
+    for lo in (0, 100, 200):
+        t.append(spark.range(lo, lo + 100).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.lit(1.0)).alias("embedding"),
+            F.struct(F.lit("en").alias("lang"),
+                     F.col("id").cast("int").alias("n")).alias("meta")))
+    snap = t._snapshot()
+    assert "meta.n" in snap.files[0].stats
+    assert "meta.lang" in snap.files[0].stats
+    # list leaves never record (element stats aggregate over members)
+    assert not any(".list." in k or k == "element"
+                   for f in snap.files for k in f.stats)
+    kept = t._prune_files(snap.files, "meta.n >= 250")
+    assert 0 < len(kept) < len(snap.files)
+    assert t.scan("meta.n >= 250").count() == 50
+
+    mp = to_iceberg_metadata(t, manifest_format="avro")
+    assert validate_iceberg_metadata(mp) == []
+    t2 = adopt_iceberg_metadata(spark, mp, str(tmp_path / "t2"))
+    s2 = t2._snapshot()
+    assert "meta.n" in s2.files[0].stats  # leaf-id bounds rebound
+    assert len(t2._prune_files(s2.files, "meta.n >= 250")) == len(kept)
+    assert t2.scan("meta.n >= 250").count() == 50
