@@ -1115,9 +1115,17 @@ def to_iceberg_metadata(table: LakeTable, *,
         from . import puffin
 
         stats_snap = cstats.get("snapshot_id") or 0
+        # leaf map resolves BOTH top-level names and dotted
+        # struct-leaf paths ("meta.n") to their own field ids
+        cur_leaf_ids = {
+            path: fid for path, (fid, _t) in _leaf_fields(
+                next(sj["fields"] for sj in schemas
+                     if sj["schema-id"] == meta["current_schema_version"])
+            ).items()
+        }
         blobs = []
         for cname, cs in sorted(cstats["columns"].items()):
-            fid = field_ids_by_name.get(cname)
+            fid = cur_leaf_ids.get(cname, field_ids_by_name.get(cname))
             if fid is None:
                 continue
             blobs.append((
@@ -1950,7 +1958,11 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
         row_count = None
         for m, payload in blobs:
             fids = m.get("fields") or []
-            name = names_by_id.get(fids[0]) if len(fids) == 1 else None
+            # leaf map resolves struct-leaf blob ids to their dotted
+            # spelling; top-level ids resolve either way
+            name = (leaf_names_by_schema.get(cur_schema_id, {})
+                    .get(fids[0]) or names_by_id.get(fids[0])) \
+                if len(fids) == 1 else None
             if name is None:
                 continue
             props = m.get("properties") or {}

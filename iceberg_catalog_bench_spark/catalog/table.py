@@ -3782,9 +3782,13 @@ class LakeTable:
         scan."""
         fields = [f.name for f in self._fields()]
         cols = list(columns) if columns else fields
-        unknown = [c for c in cols if c not in fields]
+        # dotted STRUCT-LEAF paths are analyzable too (the same
+        # spelling the prune grammar and leaf stats use: "meta.n")
+        valid = set(fields) | set(self._leaf_columns())
+        unknown = [c for c in cols if c not in valid]
         if unknown:
-            raise ValueError(f"no such column(s): {unknown}; have {fields}")
+            raise ValueError(
+                f"no such column(s): {unknown}; have {sorted(valid)}")
         aggs = [F.count(F.lit(1)).alias("_row_count")]
         for c in cols:
             # rsd 0.016 (HLL++ precision ~2^12 registers) — Spark's
@@ -3816,6 +3820,27 @@ class LakeTable:
     def column_stats(self) -> dict | None:
         """Most recent ANALYZE result (None if never analyzed)."""
         return self._meta.get("column_stats")
+
+    def _leaf_columns(self) -> list[str]:
+        """Dotted struct-leaf paths of the current schema ("meta.n") —
+        the columns beyond the top level that stats, pruning and
+        ANALYZE all address by the same spelling. List/map interiors
+        are not row-level values and are excluded."""
+        out: list[str] = []
+
+        def walk(dt, prefix: str) -> None:
+            for sf in dt.fields:
+                p = f"{prefix}.{sf.name}"
+                if isinstance(sf.dataType, T.StructType):
+                    walk(sf.dataType, p)
+                elif not isinstance(sf.dataType, (T.ArrayType, T.MapType)):
+                    out.append(p)
+
+        for f in self._fields():
+            dt = _parse_type(f.type)
+            if isinstance(dt, T.StructType):
+                walk(dt, f.name)
+        return out
 
     # -- maintenance procedures (reference P1-P4) ----------------------------
 

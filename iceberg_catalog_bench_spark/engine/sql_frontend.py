@@ -289,7 +289,7 @@ class SqlEngine:
         # (Puffin-role NDV/null-count metadata stamped with snapshot id)
         m = re.match(
             r"(?is)^analyze\s+table\s+(" + _IDENT + r")\s+compute\s+statistics"
-            r"(?:\s+for\s+(?:all\s+columns|columns\s+([\w\s,]+)))?\s*$",
+            r"(?:\s+for\s+(?:all\s+columns|columns\s+([\w.\s,]+)))?\s*$",
             s,
         )
         if not m:

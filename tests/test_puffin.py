@@ -172,3 +172,29 @@ def test_stale_statistics_survive_adoption(spark, tmp_path):
     assert got is not None and got["snapshot_id"] == analyzed_snap
     assert got["columns"]["k"]["ndv"] == \
         t.column_stats()["columns"]["k"]["ndv"]
+
+
+def test_analyze_struct_leaf_puffin_roundtrip(spark, tmp_path):
+    """r12 extension: ANALYZE accepts dotted struct-leaf paths (the
+    same spelling pruning and leaf stats use), the Puffin export maps
+    them to the LEAF's own field id, and adoption rebinds the blob to
+    the dotted spelling."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        "vec_id bigint, meta struct<lang:string,n:int>")
+    t.append(spark.range(1000).select(
+        F.col("id").alias("vec_id"),
+        F.struct(F.lit("en").alias("lang"),
+                 (F.col("id") % 37).cast("int").alias("n")).alias("meta")))
+    native = t.analyze(columns=["vec_id", "meta.n"])
+    assert native["columns"]["meta.n"]["ndv"] > 0
+    mp = to_iceberg_metadata(t, manifest_format="avro")
+    t2 = adopt_iceberg_metadata(spark, mp, str(tmp_path / "t2"))
+    got = t2.column_stats()
+    assert got["columns"]["meta.n"]["ndv"] == \
+        native["columns"]["meta.n"]["ndv"]
+    assert got["columns"]["vec_id"]["ndv"] == \
+        native["columns"]["vec_id"]["ndv"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no such column"):
+        t.analyze(columns=["meta.zzz"])

@@ -108,3 +108,19 @@ def test_call_system_export_table(spark, tmp_path):
     assert r2["total_records_count"] == 2
     got = engine.execute("SELECT id, v FROM ex2 ORDER BY id")[0].rows
     assert [(x["id"], x["v"]) for x in got] == [(1, 1.5), (2, 2.5)]
+
+
+def test_sql_analyze_struct_leaf_columns(spark, tmp_path):
+    """ANALYZE ... FOR COLUMNS accepts dotted struct-leaf paths — the
+    same spelling the prune grammar, leaf stats and Puffin export use
+    (r12 struct-leaf statistics extension)."""
+    engine = SqlEngine(spark, str(tmp_path / "wh"))
+    engine.execute("CREATE TABLE st (id BIGINT, "
+                   "meta STRUCT<lang: STRING, n: INT>)")
+    engine.execute(
+        "INSERT INTO st VALUES (1, struct('en', 5)), (2, struct('de', 7))")
+    r = engine.execute(
+        "ANALYZE TABLE st COMPUTE STATISTICS FOR COLUMNS id, meta.n")[0]
+    cols = r.metadata["stats"]["columns"]
+    assert cols["meta.n"] == {"ndv": 2, "null_count": 0}
+    assert cols["id"]["ndv"] == 2
