@@ -1116,12 +1116,11 @@ def to_iceberg_metadata(table: LakeTable, *,
 
         stats_snap = cstats.get("snapshot_id") or 0
         # leaf map resolves BOTH top-level names and dotted
-        # struct-leaf paths ("meta.n") to their own field ids
+        # struct-leaf paths ("meta.n") to their own field ids —
+        # reuse the bounds map (same walk, one leaf-selection rule)
         cur_leaf_ids = {
-            path: fid for path, (fid, _t) in _leaf_fields(
-                next(sj["fields"] for sj in schemas
-                     if sj["schema-id"] == meta["current_schema_version"])
-            ).items()
+            path: fid for path, (fid, _t) in bounds_map[
+                str(meta["current_schema_version"])].items()
         }
         blobs = []
         for cname, cs in sorted(cstats["columns"].items()):
@@ -1706,25 +1705,24 @@ def _parse_iceberg_v2(metadata_path: str) -> dict:
     # widenings decode historical narrow payloads by byte length)
     union_names_by_id: dict[int, str] = {}
     types_by_id: dict[int, object] = {}
+    # leaf-id → dotted path per schema version: bounds rebind to the
+    # native stats spelling ("meta.n"), where the prune grammar reads
+    # them (top-level primitives included — same map, plain names).
+    # One _leaf_fields walk per schema serves BOTH maps, and leaf
+    # types follow the same newest-wins rule as top-level ids (a
+    # post-promotion int→long leaf must decode 8-byte bounds —
+    # review r12).
+    leaf_names_by_schema: dict[int, dict[int, str]] = {}
     for s in sorted(md["schemas"], key=lambda s: s["schema-id"]):
         for f in s["fields"]:
             union_names_by_id[f["id"]] = f["name"]
             types_by_id[f["id"]] = f["type"]
-        # STRUCT-LEAF ids get their primitive types too, so Avro
-        # bounds keyed on leaf field ids decode (leaf ids are disjoint
-        # from top-level ids — validator-enforced)
-        for _path, (fid, t) in _leaf_fields(s["fields"]).items():
-            types_by_id.setdefault(fid, t)
+        lf = _leaf_fields(s["fields"])
+        for _path, (fid, t) in lf.items():
+            types_by_id[fid] = t
+        leaf_names_by_schema[s["schema-id"]] = {
+            fid: path for path, (fid, _t) in lf.items()}
     union_names_by_id.update(names_by_id)
-    # leaf-id → dotted path per schema version: bounds rebind to the
-    # native stats spelling ("meta.n"), where the prune grammar reads
-    # them (top-level primitives included — same map, plain names)
-    leaf_names_by_schema = {
-        s["schema-id"]: {fid: path
-                         for path, (fid, _t) in
-                         _leaf_fields(s["fields"]).items()}
-        for s in md["schemas"]
-    }
 
     # --- partition specs (default live, rest history) ---
     spec_jsons = md.get("partition-specs") or []

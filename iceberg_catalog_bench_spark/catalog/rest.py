@@ -348,9 +348,15 @@ def _make_handler(state: _State):
                 from .iceberg_export import (
                     _parse_iceberg_v2, _resolve_metadata_path)
                 from .table import _strip_scheme
+                import json as _json
                 try:
                     resolved = _resolve_metadata_path(_strip_scheme(mloc))
                     native = _parse_iceberg_v2(resolved)
+                    # read once, inside the SAME error contract: an
+                    # I/O race here must surface as the endpoint's 400,
+                    # not an unhandled exception (review r12)
+                    with open(resolved) as fh:
+                        _fmd = _json.load(fh)
                 except Exception as e:  # loud, spec: 400 BadRequest
                     return self._send(
                         400, {"error": f"cannot register {mloc!r}: {e}"})
@@ -362,9 +368,6 @@ def _make_handler(state: _State):
                 # survive exactly as the foreign writer emitted them;
                 # the native-DDL reconstruction is only the fallback
                 # for legacy v1 chains without a schemas list
-                import json as _json
-                with open(resolved) as fh:
-                    _fmd = _json.load(fh)
                 foreign_schema = next(
                     (sc for sc in _fmd.get("schemas") or []
                      if sc.get("schema-id") == _fmd.get("current-schema-id")),

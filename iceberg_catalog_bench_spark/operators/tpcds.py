@@ -1537,7 +1537,8 @@ def tpcds_buy_return_rebuy_margin(spark: SparkSession,
         "CAST(w3 AS BIGINT) AS supply_q3_cents "
         "FROM store JOIN supply ON store.nation = supply.nation "
         "WHERE s1 > 0 AND s2 > 0 AND w1 > 0 AND w2 > 0 "
-        "  AND w2 * s1 > s2 * w1 AND w3 * s2 > s3 * w2 "
+        "  AND CAST(w2 AS HUGEINT) * s1 > CAST(s2 AS HUGEINT) * w1 "
+        "  AND CAST(w3 AS HUGEINT) * s2 > CAST(s3 AS HUGEINT) * w2 "
         "ORDER BY nation"
     ),
 )
@@ -1553,10 +1554,12 @@ def tpcds_qoq_growth_nation_channels(spark: SparkSession,
     one-scan-per-source idiom), each with the 9-month range PUSHED to
     parquet and the dims broadcast; the six-way self-join of period
     cells becomes one |nations|-row join of the two channel cell
-    tables. Growth comparisons are integer CROSS-MULTIPLICATIONS over
-    cent sums (w2·s1 > s2·w1) — ratio semantics without a single
-    float division, so the oracle comparison is exact by
-    construction."""
+    tables. Growth comparisons are 128-BIT integer
+    CROSS-MULTIPLICATIONS over cent sums (w2·s1 > s2·w1 in Spark
+    decimal(38,0) / DuckDB HUGEINT — bigint products would wrap past
+    2^63 at large scale while DuckDB widens) — ratio semantics
+    without a single float division, exact at any magnitude the cent
+    sums themselves can reach."""
     cents_o = F.round(F.col("o_totalprice") * 100).cast("bigint")
     q_o = F.quarter("o_orderdate")
     orders = load_table(spark, "orders", sf_dir).select(
@@ -1595,13 +1598,19 @@ def tpcds_qoq_growth_nation_channels(spark: SparkSession,
         .agg(*[F.sum(F.when(q_l == i, cents_l)).alias(f"w{i}")
                for i in (1, 2, 3)])
     )
+    # cross-multiplication in 128-bit integer space (Spark
+    # decimal(19,0)×decimal(19,0) → decimal(38,0); DuckDB HUGEINT):
+    # bigint products of two cent SUMS overflow 2^63 well below the
+    # 100 TB scale the shape targets, and Spark (ANSI off) would WRAP
+    # while DuckDB widens — review r12
+    d = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     return (
         store.join(supply, "nation")
         .filter(
             (F.col("s1") > 0) & (F.col("s2") > 0)
             & (F.col("w1") > 0) & (F.col("w2") > 0)
-            & (F.col("w2") * F.col("s1") > F.col("s2") * F.col("w1"))
-            & (F.col("w3") * F.col("s2") > F.col("s3") * F.col("w2"))
+            & (d("w2") * d("s1") > d("s2") * d("w1"))
+            & (d("w3") * d("s2") > d("s3") * d("w2"))
         )
         .select(
             "nation",
