@@ -139,8 +139,9 @@ PRIORITY: tuple[str, ...] = (
     "tpcds_buy_return_rebuy_margin",       # Q64 on the Q17/Q29 spine
     "iceberg_puffin_stats_roundtrip",      # ANALYZE -> Puffin -> adopt
     "tpcds_qoq_growth_nation_channels",    # Q31: 6 cells -> 2 scans
-    # (Q31 stays OUT of the tpcds_report_run composite this round —
-    # the 16->18 widening was already re-recorded; fold it into the
+    "tpcds_frequent_items_best_customers",  # Q23: double semi-reduce
+    # (Q31/Q23 stay OUT of the tpcds_report_run composite this round —
+    # the 16->18 widening was already re-recorded; fold them into the
     # next adjudicated widening rather than re-basing twice)
     # -- below-cap: triaged code-touched (trivial executed delta;
     # pytest-covered) — green early only if the driver runs deep --

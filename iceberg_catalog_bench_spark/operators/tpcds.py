@@ -1490,6 +1490,80 @@ def tpcds_buy_return_rebuy_margin(spark: SparkSession,
 
 
 @register(
+    "tpcds_frequent_items_best_customers",
+    oracle=(
+        # Q23 shape: TWO independent semi-reductions (frequent items,
+        # best customers) gate one fact aggregate. Both sets are
+        # COUNT-thresholded (exact integers — no percentile-cutoff
+        # float surface), and money is integer cents.
+        "WITH s AS ("
+        "  SELECT l_partkey AS pk, o_custkey AS ck, o_orderdate AS d, "
+        "    CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
+        "      AS BIGINT) AS cents, l_orderkey AS ok "
+        "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        "), frequent_items AS ("
+        "  SELECT pk FROM ("
+        "    SELECT pk, CAST(EXTRACT(year FROM d) AS BIGINT) AS yr, "
+        "           COUNT(DISTINCT ok) AS n "
+        "    FROM s GROUP BY pk, yr) "
+        "  GROUP BY pk HAVING MAX(n) >= 4"
+        "), best_customers AS ("
+        "  SELECT ck FROM s GROUP BY ck "
+        "  HAVING COUNT(DISTINCT ok) >= 12"
+        ") "
+        "SELECT CAST(EXTRACT(year FROM d) AS BIGINT) AS yr, "
+        "CAST(COUNT(*) AS BIGINT) AS n_sales, "
+        "CAST(SUM(cents) AS BIGINT) AS cents "
+        "FROM s "
+        "WHERE pk IN (SELECT pk FROM frequent_items) "
+        "  AND ck IN (SELECT ck FROM best_customers) "
+        "GROUP BY yr ORDER BY yr"
+    ),
+)
+def tpcds_frequent_items_best_customers(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """TPC-DS Q23 shape — DOUBLE SEMI-REDUCTION: revenue from
+    FREQUENT ITEMS (bought in ≥4 distinct orders within some year)
+    sold to BEST CUSTOMERS (≥12 distinct orders overall), per year.
+
+    Plan shape at 100 TB: Q23's two expensive subqueries each
+    aggregate the fact down to a key set (items, customers) BEFORE
+    any gating — the final pass is one fact scan semi-joined against
+    both broadcast sets; nothing fact-sized crosses a join twice.
+    Both thresholds are exact distinct-order COUNTS rather than
+    Q23's top-percentile spend cutoff — a percentile threshold would
+    put a float boundary between the two engines (the
+    percentile_approx_by_group lesson), while count gates are exact
+    at any scale. Money stays integer cents end-to-end."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint").alias("cents"))
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", F.col("o_custkey").alias("ck"),
+        F.year("o_orderdate").cast("bigint").alias("yr"))
+    s = li.join(orders, F.col("ok") == F.col("o_orderkey")).select(
+        "pk", "ck", "yr", "cents", "ok")
+    frequent_items = (
+        s.groupBy("pk", "yr").agg(F.countDistinct("ok").alias("n"))
+        .groupBy("pk").agg(F.max("n").alias("mx"))
+        .filter(F.col("mx") >= 4).select("pk")
+    )
+    best_customers = (
+        s.groupBy("ck").agg(F.countDistinct("ok").alias("n"))
+        .filter(F.col("n") >= 12).select("ck")
+    )
+    return (
+        s.join(F.broadcast(frequent_items), "pk", "left_semi")
+        .join(F.broadcast(best_customers), "ck", "left_semi")
+        .groupBy("yr")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sales"),
+             F.sum("cents").cast("bigint").alias("cents"))
+        .orderBy("yr")
+    )
+
+
+@register(
     "tpcds_qoq_growth_nation_channels",
     oracle=(
         # Q31 shape: two channels' quarterly cells per nation, joined

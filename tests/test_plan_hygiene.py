@@ -784,3 +784,16 @@ def test_tpcds_q31_two_scans_cell_join(spark, oracle_sf_dir):
     assert "GreaterThanOrEqual(l_shipdate,1997-01-01" in plan
     assert "LessThan(o_orderdate" in plan and "LessThan(l_shipdate" in plan
     assert plan.count("BroadcastHashJoin") == 4  # cust+nation, supp+nation
+
+
+def test_tpcds_q23_double_semi_reduction(spark, oracle_sf_dir):
+    """Q23 shape: both gating sets must arrive as BROADCAST LEFT SEMI
+    joins against key-set reductions (never a fact-sized join twice),
+    with the final pass one scan per fact table."""
+    df = registry.QUERIES["tpcds_frequent_items_best_customers"](
+        spark, oracle_sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftSemi") == 2, "both gates semi-join"
+    semi_lines = [l for l in plan.splitlines()
+                  if "LeftSemi" in l and "BroadcastHashJoin" in l]
+    assert len(semi_lines) == 2, "both gates broadcast"
