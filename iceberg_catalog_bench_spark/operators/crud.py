@@ -624,6 +624,7 @@ def iceberg_metadata_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN label ELSE 0 END) "
         "  AS BIGINT) AS aux_sum, "
         "CAST(SUM(label) AS BIGINT) AS meta_n_sum, "
+        "CAST(SUM(label % 16) AS BIGINT) AS tag_a_sum, "
         "COUNT(*) AS ext_row_count, "
         "CAST(SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 10000) "
         "  AS BIGINT)) AS BIGINT) AS ext_e1_floor_sum, "
@@ -640,7 +641,9 @@ def iceberg_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding store).
 
     The table carries a list column (``embedding array<double>``), a
-    struct column (``meta struct<lang:string,n:int>``), schema
+    struct column (``meta struct<lang:string,n:int>``), a map column
+    (``tags map<string,int>`` — aggregated through all three read
+    legs), schema
     evolution ACROSS a nested type (``aux array<int>`` added after the
     first append — old files read it back as a typed null), and
     merge-on-read position deletes. Its metadata exports in the
@@ -674,20 +677,22 @@ def iceberg_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = LakeTable.create(
         spark, os.path.join(d, "nested"),
         "vec_id bigint, embedding array<double>, "
-        "meta struct<lang:string,n:int>",
+        "meta struct<lang:string,n:int>, tags map<string,int>",
         properties={"write.delete.mode": "merge-on-read"},
     )
     with_meta = emb.select(
         "vec_id", "embedding",
         F.struct(F.lit("en").alias("lang"),
                  F.col("label").cast("int").alias("n")).alias("meta"),
+        F.create_map(F.lit("a"), (F.col("label") % 16).cast("int"))
+        .alias("tags"),
         "label",
     )
     t.append(with_meta.filter(F.col("vec_id") % 2 == 0)
-             .select("vec_id", "embedding", "meta"))
+             .select("vec_id", "embedding", "meta", "tags"))
     t.add_column("aux", "array<int>")  # nested evolution: typed-null fill
     t.append(with_meta.filter(F.col("vec_id") % 2 == 1).select(
-        "vec_id", "embedding", "meta",
+        "vec_id", "embedding", "meta", "tags",
         F.array(F.col("label").cast("int")).alias("aux")))
     t.delete_where("vec_id % 7 = 0")  # MoR tombstones over nested data
     meta_path = to_iceberg_metadata(t, manifest_format="avro")
@@ -709,6 +714,7 @@ def iceberg_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce(F.element_at("aux", 1), F.lit(0)))
         .cast("bigint").alias("aux_sum"),
         F.sum(F.col("meta.n")).cast("bigint").alias("meta_n_sum"),
+        F.sum(F.element_at("tags", "a")).cast("bigint").alias("tag_a_sum"),
         F.lit(int(ext_count)).cast("bigint").alias("ext_row_count"),
         F.lit(int(ext_e1)).cast("bigint").alias("ext_e1_floor_sum"),
         F.lit(int(adopted_count)).cast("bigint").alias("adopted_row_count"),

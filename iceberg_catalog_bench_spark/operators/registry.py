@@ -140,6 +140,7 @@ PRIORITY: tuple[str, ...] = (
     "iceberg_puffin_stats_roundtrip",      # ANALYZE -> Puffin -> adopt
     "tpcds_qoq_growth_nation_channels",    # Q31: 6 cells -> 2 scans
     "tpcds_frequent_items_best_customers",  # Q23: double semi-reduce
+    "knn_over_adopted_store",              # ANN over an adopted chain
     # (Q31/Q23 stay OUT of the tpcds_report_run composite this round —
     # the 16->18 widening was already re-recorded; fold them into the
     # next adjudicated widening rather than re-basing twice)

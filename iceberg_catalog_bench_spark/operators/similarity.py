@@ -1013,3 +1013,49 @@ def hybrid_search_bm25_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(10)
     )
+
+
+@register("knn_over_adopted_store", oracle=_ORACLE_KNN)
+def knn_over_adopted_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integration row (r12): the similarity family composes with the
+    interop layer. The embedding corpus persists as a LakeTable (the
+    ``array<float>`` store shape the dedup/ANN operators build),
+    exports its Iceberg v2 chain — nested list schema JSON + Avro
+    manifests — and re-registers by ZERO-COPY ADOPTION; the exact
+    cosine top-10 then runs over the ADOPTED table and must equal
+    ``knn_brute_force`` over the raw parquet (same oracle). This is
+    the reference's cross-engine promise applied to the pipeline's
+    own highest-value tables: hand an embedding store to another
+    engine and query it back unchanged. Plan properties match
+    knn_brute_force: broadcast 1-row query, map-side dot, TakeOrdered
+    top-k — adoption adds metadata cost only (scale probe:
+    BASELINE.md round-12, flat 5–8 ms export/adopt)."""
+    from ..catalog import LakeTable
+    from ..catalog.iceberg_export import (
+        adopt_iceberg_metadata,
+        to_iceberg_metadata,
+    )
+    from .crud import _tmp_table_dir
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding", "label")
+    d = _tmp_table_dir()
+    import os as _os
+
+    t = LakeTable.create(
+        spark, _os.path.join(d, "store"),
+        "vec_id bigint, embedding array<float>, label int")
+    t.append(emb)
+    adopted = adopt_iceberg_metadata(
+        spark, to_iceberg_metadata(t, manifest_format="avro"),
+        _os.path.join(d, "adopted")).read()
+    q = adopted.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"))
+    cos = _dot("embedding", "qv") / (_norm("embedding") * _norm("qv"))
+    return (
+        adopted.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
