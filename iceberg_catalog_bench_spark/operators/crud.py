@@ -624,11 +624,13 @@ def iceberg_metadata_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN label ELSE 0 END) "
         "  AS BIGINT) AS aux_sum, "
         "CAST(SUM(label) AS BIGINT) AS meta_n_sum, "
-        "CAST(SUM(label % 16) AS BIGINT) AS tag_a_sum, "
+        "CAST(SUM(label * 3 + 1) AS BIGINT) AS tag_a_sum, "
         "COUNT(*) AS ext_row_count, "
         "CAST(SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 10000) "
         "  AS BIGINT)) AS BIGINT) AS ext_e1_floor_sum, "
-        "COUNT(*) AS adopted_row_count "
+        "CAST(SUM(label * 3 + 1) AS BIGINT) AS ext_tag_a_sum, "
+        "COUNT(*) AS adopted_row_count, "
+        "CAST(SUM(label * 3 + 1) AS BIGINT) AS adopted_tag_a_sum "
         "FROM kept"
     ),
 )
@@ -642,8 +644,9 @@ def iceberg_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The table carries a list column (``embedding array<double>``), a
     struct column (``meta struct<lang:string,n:int>``), a map column
-    (``tags map<string,int>`` — aggregated through all three read
-    legs), schema
+    (``tags map<string,int>``, its value DECORRELATED from the struct
+    field and summed through ALL THREE read legs — walker, DuckDB
+    map-extract, adopted read), schema
     evolution ACROSS a nested type (``aux array<int>`` added after the
     first append — old files read it back as a typed null), and
     merge-on-read position deletes. Its metadata exports in the
@@ -684,7 +687,9 @@ def iceberg_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding",
         F.struct(F.lit("en").alias("lang"),
                  F.col("label").cast("int").alias("n")).alias("meta"),
-        F.create_map(F.lit("a"), (F.col("label") % 16).cast("int"))
+        # value DECORRELATED from meta.n (label*3+1 ≠ label): a
+        # leaf-id mix-up resolving tags to meta.n must FAIL the gate
+        F.create_map(F.lit("a"), (F.col("label") * 3 + 1).cast("int"))
         .alias("tags"),
         "label",
     )
@@ -697,13 +702,16 @@ def iceberg_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.delete_where("vec_id % 7 = 0")  # MoR tombstones over nested data
     meta_path = to_iceberg_metadata(t, manifest_format="avro")
 
-    ext_count, ext_e1 = duckdb.sql(
+    ext_count, ext_e1, ext_tag = duckdb.sql(
         "SELECT COUNT(*), CAST(SUM(CAST(FLOOR(embedding[1] * 10000) AS "
-        "BIGINT)) AS BIGINT) FROM (" + duckdb_scan_sql(meta_path) + ")"
+        "BIGINT)) AS BIGINT), CAST(SUM(tags['a'][1]) AS BIGINT) "
+        "FROM (" + duckdb_scan_sql(meta_path) + ")"
     ).fetchone()
     adopted = adopt_iceberg_metadata(
         spark, meta_path, os.path.join(d, "adopted"))
-    adopted_count = adopted.read().count()
+    adopted_count, adopted_tag = adopted.read().agg(
+        F.count(F.lit(1)),
+        F.sum(F.element_at("tags", "a")).cast("bigint")).collect()[0]
 
     exported = read_via_iceberg_metadata(spark, meta_path)
     return exported.agg(
@@ -717,7 +725,9 @@ def iceberg_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.element_at("tags", "a")).cast("bigint").alias("tag_a_sum"),
         F.lit(int(ext_count)).cast("bigint").alias("ext_row_count"),
         F.lit(int(ext_e1)).cast("bigint").alias("ext_e1_floor_sum"),
+        F.lit(int(ext_tag)).cast("bigint").alias("ext_tag_a_sum"),
         F.lit(int(adopted_count)).cast("bigint").alias("adopted_row_count"),
+        F.lit(int(adopted_tag)).cast("bigint").alias("adopted_tag_a_sum"),
     )
 
 

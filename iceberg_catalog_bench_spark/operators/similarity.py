@@ -54,23 +54,30 @@ _ORACLE_KNN = (
 )
 
 
-def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 neighbors of vec_id=0. The query vector is a
-    1-row broadcast (crossJoin) — no shuffle of the corpus side; the
-    global top-k compiles to TakeOrderedAndProject (per-partition heaps,
-    driver merge), never a full sort."""
-    emb = load_table(spark, "embeddings", sf_dir)
-    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+def _exact_top10(corpus: DataFrame) -> DataFrame:
+    """The shared exact-cosine top-10 scoring block: 1-row broadcast
+    query (vec_id = _QUERY_VEC_ID), map-side dot, TakeOrdered top-k.
+    knn_brute_force and knn_over_adopted_store MUST score identically
+    (same oracle) — one implementation, two corpus sources."""
+    q = corpus.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("embedding").alias("qv")
     )
     cos = _dot("embedding", "qv") / (_norm("embedding") * _norm("qv"))
     return (
-        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        corpus.filter(F.col("vec_id") != _QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
         .select("vec_id", "label", F.round(cos, 4).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
+
+
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of vec_id=0. The query vector is a
+    1-row broadcast (crossJoin) — no shuffle of the corpus side; the
+    global top-k compiles to TakeOrderedAndProject (per-partition heaps,
+    driver merge), never a full sort."""
+    return _exact_top10(load_table(spark, "embeddings", sf_dir))
 
 
 # OR-of-ANDs banding: 24 independent tables × 6 sign bits, query-side
@@ -1049,13 +1056,4 @@ def knn_over_adopted_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     adopted = adopt_iceberg_metadata(
         spark, to_iceberg_metadata(t, manifest_format="avro"),
         _os.path.join(d, "adopted")).read()
-    q = adopted.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
-        F.col("embedding").alias("qv"))
-    cos = _dot("embedding", "qv") / (_norm("embedding") * _norm("qv"))
-    return (
-        adopted.filter(F.col("vec_id") != _QUERY_VEC_ID)
-        .crossJoin(F.broadcast(q))
-        .select("vec_id", "label", F.round(cos, 4).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), "vec_id")
-        .limit(10)
-    )
+    return _exact_top10(adopted)  # the SAME scoring block, by design

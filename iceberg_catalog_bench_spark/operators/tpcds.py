@@ -1496,66 +1496,75 @@ def tpcds_buy_return_rebuy_margin(spark: SparkSession,
         # best customers) gate one fact aggregate. Both sets are
         # COUNT-thresholded (exact integers — no percentile-cutoff
         # float surface), and money is integer cents.
-        "WITH s AS ("
-        "  SELECT l_partkey AS pk, o_custkey AS ck, o_orderdate AS d, "
-        "    CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
-        "      AS BIGINT) AS cents, l_orderkey AS ok "
-        "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
-        "), frequent_items AS ("
+        # each gate reduces from ONE source table (lineitem alone /
+        # orders alone), so neither duplicates the fact-fact join —
+        # lineitem and orders are each scanned exactly twice
+        # (gate + final pass), plan-pinned
+        "WITH frequent_items AS ("
         "  SELECT pk FROM ("
-        "    SELECT pk, CAST(EXTRACT(year FROM d) AS BIGINT) AS yr, "
-        "           COUNT(DISTINCT ok) AS n "
-        "    FROM s GROUP BY pk, yr) "
-        "  GROUP BY pk HAVING MAX(n) >= 4"
+        "    SELECT l_partkey AS pk, "
+        "           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS sy, "
+        "           COUNT(DISTINCT l_orderkey) AS n "
+        "    FROM lineitem GROUP BY pk, sy) "
+        "  GROUP BY pk HAVING MAX(n) >= 9"
         "), best_customers AS ("
-        "  SELECT ck FROM s GROUP BY ck "
-        "  HAVING COUNT(DISTINCT ok) >= 12"
+        "  SELECT o_custkey AS ck FROM orders GROUP BY ck "
+        "  HAVING COUNT(*) >= 12"
         ") "
-        "SELECT CAST(EXTRACT(year FROM d) AS BIGINT) AS yr, "
+        "SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr, "
         "CAST(COUNT(*) AS BIGINT) AS n_sales, "
-        "CAST(SUM(cents) AS BIGINT) AS cents "
-        "FROM s "
-        "WHERE pk IN (SELECT pk FROM frequent_items) "
-        "  AND ck IN (SELECT ck FROM best_customers) "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
+        "  AS BIGINT)) AS BIGINT) AS cents "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_partkey IN (SELECT pk FROM frequent_items) "
+        "  AND o_custkey IN (SELECT ck FROM best_customers) "
         "GROUP BY yr ORDER BY yr"
     ),
 )
 def tpcds_frequent_items_best_customers(spark: SparkSession,
                                         sf_dir: str) -> DataFrame:
     """TPC-DS Q23 shape — DOUBLE SEMI-REDUCTION: revenue from
-    FREQUENT ITEMS (bought in ≥4 distinct orders within some year)
-    sold to BEST CUSTOMERS (≥12 distinct orders overall), per year.
+    FREQUENT ITEMS (≥9 distinct orders within some ship-year — a
+    selective gate: ~20% of parts pass at the shipped SFs, measured)
+    sold to BEST CUSTOMERS (≥12 orders overall), per order-year.
 
-    Plan shape at 100 TB: Q23's two expensive subqueries each
-    aggregate the fact down to a key set (items, customers) BEFORE
-    any gating — the final pass is one fact scan semi-joined against
-    both broadcast sets; nothing fact-sized crosses a join twice.
-    Both thresholds are exact distinct-order COUNTS rather than
-    Q23's top-percentile spend cutoff — a percentile threshold would
-    put a float boundary between the two engines (the
-    percentile_approx_by_group lesson), while count gates are exact
-    at any scale. Money stays integer cents end-to-end."""
+    Plan shape at 100 TB: Q23's two expensive subqueries each reduce
+    ONE SOURCE TABLE to a key set — items from lineitem alone (by
+    ship-year), customers from orders alone — so neither gate
+    duplicates the fact-fact join; lineitem and orders are each
+    scanned exactly TWICE (gate + final pass, plan-pinned), and the
+    final pass is the one join, semi-gated by both broadcast sets.
+    (A shared gated-join CTE reads nicer but physically triples every
+    fact scan — the Q14/Q64 subtree-duplication trap.) Both
+    thresholds are exact COUNTS rather than Q23's top-percentile
+    spend cutoff — a percentile threshold would put a float boundary
+    between the two engines, while count gates are exact at any
+    scale. Money stays integer cents end-to-end."""
     li = load_table(spark, "lineitem", sf_dir).select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"),
+        "l_orderkey", "l_partkey", "l_shipdate",
         F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
         .cast("bigint").alias("cents"))
     orders = load_table(spark, "orders", sf_dir).select(
-        "o_orderkey", F.col("o_custkey").alias("ck"),
+        "o_orderkey", "o_custkey",
         F.year("o_orderdate").cast("bigint").alias("yr"))
-    s = li.join(orders, F.col("ok") == F.col("o_orderkey")).select(
-        "pk", "ck", "yr", "cents", "ok")
     frequent_items = (
-        s.groupBy("pk", "yr").agg(F.countDistinct("ok").alias("n"))
+        li.groupBy(F.col("l_partkey").alias("pk"),
+                   F.year("l_shipdate").alias("sy"))
+        .agg(F.countDistinct("l_orderkey").alias("n"))
         .groupBy("pk").agg(F.max("n").alias("mx"))
-        .filter(F.col("mx") >= 4).select("pk")
+        .filter(F.col("mx") >= 9).select("pk")
     )
     best_customers = (
-        s.groupBy("ck").agg(F.countDistinct("ok").alias("n"))
+        orders.groupBy(F.col("o_custkey").alias("ck"))
+        .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 12).select("ck")
     )
     return (
-        s.join(F.broadcast(frequent_items), "pk", "left_semi")
-        .join(F.broadcast(best_customers), "ck", "left_semi")
+        li.join(F.broadcast(frequent_items),
+                F.col("l_partkey") == F.col("pk"), "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(best_customers),
+              F.col("o_custkey") == F.col("ck"), "left_semi")
         .groupBy("yr")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_sales"),
              F.sum("cents").cast("bigint").alias("cents"))

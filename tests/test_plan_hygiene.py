@@ -774,9 +774,7 @@ def test_tpcds_q31_two_scans_cell_join(spark, oracle_sf_dir):
     period self-join becomes one |nations|-row cell join. Growth is
     integer cross-multiplication — the plan must carry no float
     division."""
-    df = registry.QUERIES["tpcds_qoq_growth_nation_channels"](
-        spark, oracle_sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = _plan("tpcds_qoq_growth_nation_channels", spark, oracle_sf_dir)
     facts = [l for l in plan.splitlines() if "FileScan parquet" in l
              and ("o_orderdate" in l or "l_shipdate" in l)]
     assert len(facts) == 2, "one conditional-aggregation scan per channel"
@@ -788,12 +786,19 @@ def test_tpcds_q31_two_scans_cell_join(spark, oracle_sf_dir):
 
 def test_tpcds_q23_double_semi_reduction(spark, oracle_sf_dir):
     """Q23 shape: both gating sets must arrive as BROADCAST LEFT SEMI
-    joins against key-set reductions (never a fact-sized join twice),
-    with the final pass one scan per fact table."""
-    df = registry.QUERIES["tpcds_frequent_items_best_customers"](
-        spark, oracle_sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    joins against SINGLE-SOURCE key-set reductions — each fact table
+    scanned exactly twice (its gate + the final pass). The
+    shared-CTE rendering physically TRIPLED every fact scan (the
+    Q14/Q64 subtree-duplication trap, caught by review)."""
+    plan = _plan("tpcds_frequent_items_best_customers",
+                 spark, oracle_sf_dir)
     assert plan.count("LeftSemi") == 2, "both gates semi-join"
     semi_lines = [l for l in plan.splitlines()
                   if "LeftSemi" in l and "BroadcastHashJoin" in l]
     assert len(semi_lines) == 2, "both gates broadcast"
+    li_scans = [l for l in plan.splitlines()
+                if "FileScan parquet" in l and "l_orderkey" in l]
+    o_scans = [l for l in plan.splitlines()
+               if "FileScan parquet" in l and "o_custkey" in l]
+    assert len(li_scans) == 2, "lineitem: gate + final pass only"
+    assert len(o_scans) == 2, "orders: gate + final pass only"
