@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import struct
 import zlib
 
@@ -477,8 +478,14 @@ def write_ocf(path: str, schema: dict, records: list, *,
         _write_long(out, len(block))
         out.write(block)
         out.write(sync)
-    with open(path, "wb") as fh:
+    # atomic (tmp + rename): a re-export overwrites same-named
+    # manifests IN PLACE while the previous metadata.json still
+    # references them — a reader racing the rewrite must see either
+    # version whole, never a torn file
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
         fh.write(out.getvalue())
+    os.replace(tmp, path)
 
 
 def is_ocf(path: str) -> bool:

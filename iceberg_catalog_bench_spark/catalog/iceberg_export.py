@@ -862,9 +862,13 @@ def to_iceberg_metadata(table: LakeTable, *,
                        content: int) -> str:
         p = os.path.join(out_dir, f"{base}.{ext}")
         if manifest_format == "json":
-            with open(p, "w") as fh:
+            # atomic, same reason as the Avro writer: re-exports
+            # overwrite same-named manifests the live metadata.json
+            # still references
+            with open(p + ".tmp", "w") as fh:
                 json.dump({"partition-spec-id": spec_id,
                            "entries": entries}, fh)
+            os.replace(p + ".tmp", p)
             return p
         spec_json = spec_list[spec_id]
         avro_ocf.write_ocf(
@@ -881,8 +885,9 @@ def to_iceberg_metadata(table: LakeTable, *,
     def _emit_mlist(base: str, manifests: list, seq: int) -> str:
         p = os.path.join(out_dir, f"{base}.{ext}")
         if manifest_format == "json":
-            with open(p, "w") as fh:
+            with open(p + ".tmp", "w") as fh:
                 json.dump({"manifests": manifests}, fh)
+            os.replace(p + ".tmp", p)
             return p
         recs = [{
             "manifest_path": m["manifest-path"],
@@ -1160,8 +1165,13 @@ def to_iceberg_metadata(table: LakeTable, *,
             }]
     n = meta.get("current_snapshot_id") or 0
     metadata_path = os.path.join(out_dir, f"v{n}.metadata.json")
-    with open(metadata_path, "w") as fh:
+    # atomic: metadata.json is the chain's ROOT and version resolution
+    # picks the highest vN file — a crash mid-write must never leave a
+    # truncated newest version for readers to resolve
+    tmp = metadata_path + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump(metadata, fh, indent=1)
+    os.replace(tmp, metadata_path)
     return metadata_path
 
 
