@@ -254,3 +254,21 @@ def test_struct_leaf_bounds_roundtrip_and_prune(spark, tmp_path):
     assert "meta.n" in s2.files[0].stats  # leaf-id bounds rebound
     assert len(t2._prune_files(s2.files, "meta.n >= 250")) == len(kept)
     assert t2.scan("meta.n >= 250").count() == 50
+
+
+def test_export_crash_debris_never_resolves(spark, tmp_path):
+    """Chain writes are atomic (tmp+rename): the debris a crash
+    mid-export leaves (*.metadata.json.tmp) must never resolve as the
+    current version, and the previous export stays readable."""
+    t = _mk(spark, str(tmp_path / "t"), n=5)
+    mp1 = to_iceberg_metadata(t, manifest_format="avro")
+    ice_dir = os.path.dirname(mp1)
+    # simulate a crash mid-write of the NEXT version
+    with open(os.path.join(ice_dir, "v99.metadata.json.tmp"), "w") as fh:
+        fh.write('{"format-version": 2, "truncat')
+    from iceberg_catalog_bench_spark.catalog.iceberg_export import (
+        _resolve_metadata_path,
+    )
+    assert _resolve_metadata_path(ice_dir) == mp1  # debris invisible
+    assert validate_iceberg_metadata(ice_dir) == []
+    assert read_via_iceberg_metadata(spark, mp1).count() == 5
