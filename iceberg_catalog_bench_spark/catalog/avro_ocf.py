@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import io
 import json
-import os
 import struct
 import zlib
 
@@ -478,14 +477,12 @@ def write_ocf(path: str, schema: dict, records: list, *,
         _write_long(out, len(block))
         out.write(block)
         out.write(sync)
-    # atomic (tmp + rename): a re-export overwrites same-named
-    # manifests IN PLACE while the previous metadata.json still
-    # references them — a reader racing the rewrite must see either
-    # version whole, never a torn file
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as fh:
-        fh.write(out.getvalue())
-    os.replace(tmp, path)
+    # atomic + concurrency-safe publication (shared helper): readers
+    # racing a rewrite see either version whole, concurrent writers
+    # never interleave
+    from ._fsutil import atomic_write
+
+    atomic_write(path, out.getvalue())
 
 
 def is_ocf(path: str) -> bool:

@@ -35,6 +35,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from . import avro_ocf
+from ._fsutil import atomic_write
 from .table import (
     _DATA_DIR,
     _HIVE_NULL,
@@ -332,12 +333,10 @@ class _NestedIdAllocator:
 
     def save(self) -> None:
         if self.map:
-            # atomic (tmp + rename, the _write_meta idiom): a reader
+            # atomic publication (shared uuid-tmp helper): a reader
             # racing a re-export must never see a truncated id map
-            tmp = self.path + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(self.map, fh, indent=1, sort_keys=True)
-            os.replace(tmp, self.path)
+            atomic_write(self.path,
+                         json.dumps(self.map, indent=1, sort_keys=True))
 
 
 def _iceberg_transform(t: Transform, source_type: str | None = None) -> str:
@@ -860,15 +859,23 @@ def to_iceberg_metadata(table: LakeTable, *,
 
     def _emit_manifest(base: str, spec_id: int, entries: list,
                        content: int) -> str:
-        p = os.path.join(out_dir, f"{base}.{ext}")
+        # CONTENT-ADDRESSED name (review r12): Iceberg manifests are
+        # immutable files — a re-export whose content CHANGED (schema
+        # evolution, quarantine) must write a NEW file, never mutate
+        # one a still-resolvable older metadata.json references (a
+        # racing external reader would see a whole-but-different
+        # manifest whose recorded length no longer matches). Same
+        # content → same digest → idempotent overwrite of identical
+        # bytes; old manifests stay referenced by their version files.
+        import hashlib as _hl
+
+        digest = _hl.sha256(json.dumps(
+            [spec_id, content, entries], sort_keys=True,
+            default=str).encode()).hexdigest()[:10]
+        p = os.path.join(out_dir, f"{base}-{digest}.{ext}")
         if manifest_format == "json":
-            # atomic, same reason as the Avro writer: re-exports
-            # overwrite same-named manifests the live metadata.json
-            # still references
-            with open(p + ".tmp", "w") as fh:
-                json.dump({"partition-spec-id": spec_id,
-                           "entries": entries}, fh)
-            os.replace(p + ".tmp", p)
+            atomic_write(p, json.dumps({"partition-spec-id": spec_id,
+                                        "entries": entries}))
             return p
         spec_json = spec_list[spec_id]
         avro_ocf.write_ocf(
@@ -883,11 +890,14 @@ def to_iceberg_metadata(table: LakeTable, *,
         return p
 
     def _emit_mlist(base: str, manifests: list, seq: int) -> str:
-        p = os.path.join(out_dir, f"{base}.{ext}")
+        import hashlib as _hl
+
+        digest = _hl.sha256(json.dumps(
+            [manifests, seq], sort_keys=True,
+            default=str).encode()).hexdigest()[:10]
+        p = os.path.join(out_dir, f"{base}-{digest}.{ext}")
         if manifest_format == "json":
-            with open(p + ".tmp", "w") as fh:
-                json.dump({"manifests": manifests}, fh)
-            os.replace(p + ".tmp", p)
+            atomic_write(p, json.dumps({"manifests": manifests}))
             return p
         recs = [{
             "manifest_path": m["manifest-path"],
@@ -1168,10 +1178,7 @@ def to_iceberg_metadata(table: LakeTable, *,
     # atomic: metadata.json is the chain's ROOT and version resolution
     # picks the highest vN file — a crash mid-write must never leave a
     # truncated newest version for readers to resolve
-    tmp = metadata_path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(metadata, fh, indent=1)
-    os.replace(tmp, metadata_path)
+    atomic_write(metadata_path, json.dumps(metadata, indent=1))
     return metadata_path
 
 
@@ -2324,8 +2331,7 @@ def repair_iceberg_metadata(metadata_path: str, *,
                         if os.path.isfile(
                             _strip_scheme(e["data-file"]["file-path"]))
                         or e["data-file"].get("content", 0)]
-                    with open(mpath, "w") as fh:
-                        json.dump(doc, fh)
+                    atomic_write(mpath, json.dumps(doc))
             if gone:
                 act("missing-data-file", mpath, mode,
                     f"quarantined {len(gone)} entries: "
@@ -2366,8 +2372,7 @@ def repair_iceberg_metadata(metadata_path: str, *,
                         drifted.append(mp)
                         m["manifest-length"] = actual
             if drifted and not dry_run:
-                with open(mlp, "w") as fh:
-                    json.dump(doc, fh)
+                atomic_write(mlp, json.dumps(doc))
         if drifted:
             act("manifest-length-drift", mlp, mode,
                 f"re-resolved {len(drifted)} manifest lengths")
@@ -2385,8 +2390,10 @@ def repair_iceberg_metadata(metadata_path: str, *,
         if not dry_run:
             for n in dangling:
                 del md["refs"][n]
-            with open(resolved, "w") as fh:
-                json.dump(md, fh)
+            # the resolved CURRENT metadata.json is the only copy —
+            # a torn in-place rewrite here would destroy the chain
+            # root (review r12); atomic like every other chain write
+            atomic_write(resolved, json.dumps(md))
         act("dangling-ref", resolved, mode,
             "dropped refs: " + ", ".join(sorted(dangling)))
     return actions

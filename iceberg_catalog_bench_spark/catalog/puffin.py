@@ -54,7 +54,6 @@ emit exact-mode sketches — estimate exact by construction.
 from __future__ import annotations
 
 import json
-import os
 import struct
 
 MAGIC = b"PFA1"
@@ -212,29 +211,34 @@ def write_puffin(path: str, blobs: list[tuple[dict, bytes]],
     payload_bytes)]; offsets/lengths are filled in here. Returns
     ``{"file-size-in-bytes", "file-footer-size-in-bytes"}`` for the
     metadata.json statistics entry."""
+    import io
+
+    from ._fsutil import atomic_write
+
     metas = []
-    # atomic (tmp + rename): a re-export overwriting the same-named
-    # statistics file must never expose a truncated Puffin container
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as fh:
-        fh.write(MAGIC)
-        for meta, payload in blobs:
-            m = dict(meta)
-            m["offset"] = fh.tell()
-            m["length"] = len(payload)
-            fh.write(payload)
-            metas.append(m)
-        payload_json = json.dumps(
-            {"blobs": metas, "properties": dict(properties or {})},
-            separators=(",", ":")).encode("utf-8")
-        footer_start = fh.tell()
-        fh.write(MAGIC)
-        fh.write(payload_json)
-        fh.write(struct.pack("<i", len(payload_json)))
-        fh.write(struct.pack("<i", 0))  # flags: payload uncompressed
-        fh.write(MAGIC)
-        size = fh.tell()
-    os.replace(tmp, path)
+    # built in memory, published atomically (shared uuid-tmp helper):
+    # a re-export overwriting the same-named statistics file must
+    # never expose a truncated Puffin container, and concurrent
+    # exporters must never interleave
+    fh = io.BytesIO()
+    fh.write(MAGIC)
+    for meta, payload in blobs:
+        m = dict(meta)
+        m["offset"] = fh.tell()
+        m["length"] = len(payload)
+        fh.write(payload)
+        metas.append(m)
+    payload_json = json.dumps(
+        {"blobs": metas, "properties": dict(properties or {})},
+        separators=(",", ":")).encode("utf-8")
+    footer_start = fh.tell()
+    fh.write(MAGIC)
+    fh.write(payload_json)
+    fh.write(struct.pack("<i", len(payload_json)))
+    fh.write(struct.pack("<i", 0))  # flags: payload uncompressed
+    fh.write(MAGIC)
+    size = fh.tell()
+    atomic_write(path, fh.getvalue())
     return {"file-size-in-bytes": size,
             "file-footer-size-in-bytes": size - footer_start}
 

@@ -4208,16 +4208,20 @@ class LakeTable:
                 os.remove(full)  # orphan parquet, or _SUCCESS/.crc markers
                 if fn.endswith(".parquet"):
                     removed += 1
-        # metadata debris: a writer killed inside _write_meta leaves a
-        # never-renamed temp file (spec `:107-111` — crash debris must
-        # be collectable). The live metadata file never matches; the
-        # grace period equally covers a writer mid-rename.
+        # metadata debris: a writer killed inside _write_meta — or any
+        # of the atomic chain writers under _meta/iceberg/ (exported
+        # manifests, metadata.json, Puffin, the nested-id map) —
+        # leaves a never-renamed uuid-suffixed temp file (spec
+        # `:107-111` — crash debris must be collectable). Live files
+        # never carry the ".tmp-" infix; the grace period equally
+        # covers a writer mid-rename. Recursive: exported chains nest.
         meta_root = os.path.join(self.path, _META_DIR)
-        for fn in os.listdir(meta_root):
-            full = os.path.join(meta_root, fn)
-            if f"{_META_FILE}.tmp-" in fn and not too_young(full):
-                os.remove(full)
-                removed += 1
+        for dirpath, _dirs, files in os.walk(meta_root):
+            for fn in files:
+                full = os.path.join(dirpath, fn)
+                if ".tmp-" in fn and not too_young(full):
+                    os.remove(full)
+                    removed += 1
         return {"orphan_file_count": removed}
 
 
