@@ -117,16 +117,44 @@ class PhaseMetrics:
             t["dur"] += e.totalDuration()
         return t
 
+    @staticmethod
+    def _cpu_jiffies() -> tuple[int, int]:
+        """(busy, steal) jiffies from /proc/stat — the r13 host-steal
+        instrument. This box is a guest VM whose host oversubscribes
+        CPU: under a full 32-thread load the hypervisor steals a
+        TIME-VARYING share of our cycles (33% measured during the r13
+        investigation), which inflates exactly the long all-core
+        phases (the composites) while sub-second phases dodge it —
+        the r12 'composite inflation' pattern. Recording per-phase
+        steal makes the next such episode attributable from the
+        BENCH record alone."""
+        try:
+            with open("/proc/stat") as f:
+                v = [int(x) for x in f.readline().split()[1:]]
+            busy = v[0] + v[1] + v[2]  # user + nice + system
+            steal = v[7] if len(v) > 7 else 0
+            return busy, steal
+        except (OSError, ValueError, IndexError):
+            return 0, 0
+
     def measure(self, fn, execs: int = 1) -> tuple[object, dict]:
         before = self._totals()
+        b_busy, b_steal = self._cpu_jiffies()
         out = fn()
+        a_busy, a_steal = self._cpu_jiffies()
         after = self._totals()
         mb = 1024.0 * 1024.0
+        d_busy, d_steal = a_busy - b_busy, a_steal - b_steal
+        steal_pct = (
+            round(100.0 * d_steal / (d_busy + d_steal), 1)
+            if d_busy + d_steal > 0 else 0.0
+        )
         return out, {
             "input_mb": round((after["input"] - before["input"]) / mb, 2),
             "shuffle_read_mb": round((after["sread"] - before["sread"]) / mb, 2),
             "shuffle_write_mb": round((after["swrite"] - before["swrite"]) / mb, 2),
             "task_sec": round((after["dur"] - before["dur"]) / 1000.0, 2),
+            "steal_pct": steal_pct,
             "execs": execs,
         }
 
@@ -165,6 +193,16 @@ def main() -> None:
         spark.range(0, 50_000_000, 1, 32).selectExpr(
             "id % 64 AS k", "id"
         ).groupBy("k").agg(F.sum("id")).collect()
+
+    # Python/Arrow worker pre-warm (VERDICT r12 item 6), UNTIMED: one
+    # tiny applyInPandas forks the python worker pool and JITs the
+    # Arrow serialization path once at bench start, so the first
+    # Pandas-UDF-heavy phase doesn't pay worker cold-start inside its
+    # timer (the semdedup_report 8.4-14.1s cold spread was mostly
+    # this; 3-reading spread after the prewarm is recorded in
+    # bench_baseline.json's protocol note).
+    spark.range(0, 64, 1, 32).groupBy((F.col("id") % 8).alias("g")) \
+        .applyInPandas(lambda pdf: pdf, "g bigint, id bigint").count()
 
     phase_median("calibration", _calibration)
 
@@ -440,43 +478,6 @@ def main() -> None:
         )
         shutil.rmtree(sdir, ignore_errors=True)
 
-    # SemDeDup report under the gate (VERDICT r11 item 4): the
-    # production path — k-means centroids (distributed seeded Lloyd)
-    # + the Arrow/BLAS twin report (matmul assignment, one shuffle on
-    # cluster id, per-cluster V·Vᵀ) — at the r11 probe's shape scaled
-    # to bench budget (n=200k, dim 16, K=n/1000; the sf0.1 embeddings
-    # table is 2k rows — too small to regress on). Previously a
-    # regression in _unit_rows/assignment surfaced only in one-off
-    # probes; now it moves BENCH_rN. Totals asserted post-phase.
-    sem_rows = int(os.environ.get("SPARK_GRAFT_BENCH_SEMDEDUP_ROWS",
-                                  "200000"))
-    if sem_rows > 0:
-        from iceberg_catalog_bench_spark.operators.dedup import (
-            semdedup_centroids,
-            semdedup_report_arrow,
-        )
-
-        sem_emb = spark.range(sem_rows).select(
-            F.col("id").alias("vec_id"),
-            F.array(*[F.rand(seed=i) for i in range(16)]).alias("embedding"),
-        ).cache()
-        sem_emb.count()  # materialize the corpus outside the phase
-        sem_k = max(16, sem_rows // 1000)
-        sem_out: dict = {}
-
-        def _semdedup_report() -> None:
-            cents = semdedup_centroids(spark, sem_emb, sem_k,
-                                       method="kmeans")
-            rows = semdedup_report_arrow(sem_emb, cents, 0.9).collect()
-            sem_out["rows"] = rows
-
-        phase_once("semdedup_report", _semdedup_report)
-        _rows = sem_out["rows"]
-        assert sum(r["n_vectors"] for r in _rows) == sem_rows \
-            and 0 < len(_rows) <= sem_k, \
-            "semdedup report must cover every vector in <= K clusters"
-        sem_emb.unpersist()
-
     # --- headline queries (median of 3, spec protocol) --------------------
     for name in HEADLINE:
         if name == "percentile_approx_by_group":
@@ -539,7 +540,7 @@ def main() -> None:
     # widened phase — BASELINE.md documents both re-records)
     # (+ round 11: the Q1/Q30 returns-above-average and Q59 weekly
     # YoY-ratio shapes; baseline re-recorded per the same protocol)
-    TPCDS_18 = [
+    TPCDS_20 = [
         "tpcds_returned_ratio_by_date", "tpcds_rollup_rolling_sales",
         "tpcds_channel_union", "tpcds_star_join_multi_dim",
         "tpcds_rank_within_parent", "tpcds_multi_band_counts",
@@ -560,13 +561,67 @@ def main() -> None:
         # Q17/Q29 disjoint-slice spine
         "tpcds_cross_channel_items",
         "tpcds_buy_return_rebuy_margin",
+        # round-13 widening (18 -> 20, adjudicated re-record in
+        # BASELINE.md): Q23 frequent-items/best-customers double
+        # broadcast-semi reduction, Q31 QoQ growth by integer
+        # cross-multiplication — staged r12, held out of the composite
+        # until this round's single adjudicated re-record
+        "tpcds_frequent_items_best_customers",
+        "tpcds_qoq_growth_nation_channels",
     ]
 
     def _report_run() -> None:
-        for q in TPCDS_18:
+        for q in TPCDS_20:
             registry.QUERIES[q](spark, SF_DIR).collect()
 
     phase_once("tpcds_report_run", _report_run)
+
+    # (r13 protocol: NEW-PHASE-LAST — the Python-worker-heavy
+    # semdedup phase now runs AFTER the composites. The r12 'composite
+    # inflation' suspicion that its 200k-row cached corpus + worker
+    # fleet perturbed downstream phases was A/B-refuted (BASELINE.md
+    # r13: composites stayed 1.2-2.1x normalized with
+    # SPARK_GRAFT_BENCH_SEMDEDUP_ROWS=0; the real cause is host CPU
+    # steal), but last-position is still the right protocol: a
+    # NEW phase's process footprint can never sit upstream of the
+    # long-recorded ones.)
+    # SemDeDup report under the gate (VERDICT r11 item 4): the
+    # production path — k-means centroids (distributed seeded Lloyd)
+    # + the Arrow/BLAS twin report (matmul assignment, one shuffle on
+    # cluster id, per-cluster V·Vᵀ) — at the r11 probe's shape scaled
+    # to bench budget (n=200k, dim 16, K=n/1000; the sf0.1 embeddings
+    # table is 2k rows — too small to regress on). Previously a
+    # regression in _unit_rows/assignment surfaced only in one-off
+    # probes; now it moves BENCH_rN. Totals asserted post-phase.
+    sem_rows = int(os.environ.get("SPARK_GRAFT_BENCH_SEMDEDUP_ROWS",
+                                  "200000"))
+    if sem_rows > 0:
+        from iceberg_catalog_bench_spark.operators.dedup import (
+            semdedup_centroids,
+            semdedup_report_arrow,
+        )
+
+        sem_emb = spark.range(sem_rows).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.rand(seed=i) for i in range(16)]).alias("embedding"),
+        ).cache()
+        sem_emb.count()  # materialize the corpus outside the phase
+        sem_k = max(16, sem_rows // 1000)
+        sem_out: dict = {}
+
+        def _semdedup_report() -> None:
+            cents = semdedup_centroids(spark, sem_emb, sem_k,
+                                       method="kmeans")
+            rows = semdedup_report_arrow(sem_emb, cents, 0.9).collect()
+            sem_out["rows"] = rows
+
+        phase_once("semdedup_report", _semdedup_report)
+        _rows = sem_out["rows"]
+        assert sum(r["n_vectors"] for r in _rows) == sem_rows \
+            and 0 < len(_rows) <= sem_k, \
+            "semdedup report must cover every vector in <= K clusters"
+        sem_emb.unpersist()
+
 
     total = sum(results.values())
     # Record protocol (VERDICT r4 item 2): the driver tail-captures the

@@ -36,94 +36,53 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Round-12 rotation (VERDICT r11 item 2, recomputed from the
-# CORRECTNESS_r01-r11 union: staleness histogram r8:45, r9:49,
-# r10:44, r11:50; never-green = the 8 staged r12 debuts). Tier (a) =
-# those 8 debuts + this round's new debut (iceberg_nested_roundtrip,
-# the VERDICT item-1 "done" criterion) + 5 code-touched rows: the
-# _lake_file percent-decode change rewired path matching on EVERY
-# row-level op's green path (CoW probe, MoR tombstone write/read,
-# equality deletes — crud_update_delete / mor_delete_update_read /
-# cdc_equality_upsert re-verify it), and the export schema emission
-# now routes all columns through the nested-capable type writer while
-# adoption gained the statistics parse (iceberg_metadata_roundtrip /
-# iceberg_register_adopted re-verify those). Code-touched rows whose
-# EXECUTED delta is trivial were triaged below-cap with the reason:
-# streamed_calendar_fanout_pruning (one additive startswith branch in
-# _arrow_type; the 46 table_source pytest rows green), adopted_bucket_
-# pruning + iceberg_validate_preflight (no-op loops over absent
-# statistics/nested metadata; covered by the two kept iceberg rows +
-# the nested debut). Tier (b) = the 35 riskiest of the 45 r8-latest
-# rows (VERDICT's leads first; it was 36 until the REST register
-# change made rest_catalog_conformance code-touched mid-round).
-# 15 + 35 = 50 exactly; the 10 unserved
-# r8 rows are all pure relational shapes over UNTOUCHED code
-# (window/rollup/pivot/set-ops) and lead r13's list below the cap
-# marker — the freshness bar yields to code-touched-first this round
-# because re-verifying changed DML paths beats re-greening static
-# window shapes.
+# Round-13 rotation (VERDICT r12 item 2, recomputed from the
+# CORRECTNESS_r01-r12 union: staleness histogram r8:10, r9:49,
+# r10:44, r11:44, r12:50; never-green = the 6 staged r12 debuts).
+# Tier (a) = 3 NEW r13 debuts (streaming_struct_map_pipe — the
+# VERDICT item-3 "done" criterion; the two item-5 TPC-DS widenings)
+# + the 6 staged debuts + the 3 rows triaged below-cap in r12
+# (streamed_calendar_fanout_pruning / adopted_bucket_pruning /
+# iceberg_validate_preflight — the judge asked for them by name).
+# Tier (b) = ALL 10 four-round-stale r8 rows (deferred once in r12;
+# VERDICT: "no second deferral") + the 28 riskiest r9 rows:
+# 12 + 10 + 28 = 50 exactly. The 21 unserved r9 rows (below the cap
+# marker, leading r14's tier (b)) are all either single-operator
+# relational scans over code untouched since r9 (count_star,
+# limit_preview, ordered_read, point_lookup, full_scan_projection,
+# groupby_count, having_filter, sum/revenue checksums, reagg_total,
+# distinct_pairs/users, latest_event_top1) or re-executed EVERY round
+# by the standing bench gate — pricing_summary, range_pruned_agg,
+# inlist_lookup, shipping_priority_top10, dedup_exact,
+# knn_brute_force, percentile_by_group (approx twin) are HEADLINE
+# phases and tpcds_channel_union runs inside tpcds_report_run, so a
+# breakage there moves BENCH_r13 even without a driver row.
+# r13 code-touch triage: the struct/map streaming work
+# (table_source.py) is strictly additive — new Arrow-type branches;
+# primitive-path rows execute identical code — so the three r12-green
+# laketable rows keep their r12 slots; the FOUR r9-stale
+# streaming/table-source rows kept in tier (b) re-verify the shared
+# source/sink spine anyway, and the new streaming_struct_map_pipe
+# debut executes the new branches directly.
 # REFRESH EACH ROUND: rebuild from the union of CORRECTNESS_r*.json —
 # never-green and code-touched queries first, oldest-green next.
 PRIORITY: tuple[str, ...] = (
-    # -- (a) never driver-checked debuts (8 staged + 1 new) --
-    "iceberg_nested_roundtrip",            # r12 headline: list/struct/map
-    "tpcds_returns_above_avg_customers",
-    "tpcds_weekly_yoy_ratio",
-    "tpcds_monthly_deviation_neighbors",   # Q47/Q57: windows over cells
-    "tpcds_yoy_growth_channel_compare",    # Q4/Q11: 4 CTEs -> one scan
-    "maintenance_hilbert_cluster",         # hilbert(a,b) sort strategy
-    "tpcds_revenue_band_histogram",        # Q54: aggregate of aggregate
-    "tpcds_return_repurchase_chain",       # Q17/Q29: disjoint-slice chain
-    "dedup_semantic_incremental",          # SemDeDup continuous-ingest twin
-    # -- (a) r12 code-touched (the _lake_file decode + export/adopt) --
-    "crud_update_delete",            # CoW probe + MoR delete planning
-    "mor_delete_update_read",        # MoR read + position_deletes table
-    "cdc_equality_upsert",           # equality deletes through decode
-    "iceberg_metadata_roundtrip",    # export types + MoR walker decode
-    "iceberg_register_adopted",      # adoption + statistics parse
-    "rest_catalog_conformance",      # RegisterTable now serves the
-                                     # chain's own schema JSON (r12)
-    # -- (b) the 35 riskiest r8-latest rows (VERDICT leads first) --
-    "analyze_table_stats",
-    "branch_wap_publish",
-    "cdc_changelog",
-    "mv_incremental_maintenance",
-    "maintenance_compaction",
-    "partitions_metadata",
-    "events_funnel_conversion",
-    "correlated_exists_subquery",
-    "dedup_ngram_jaccard",
-    "dq_expectation_suite",
-    "events_transition_matrix",
-    "full_outer_join_sets",
-    "join_broadcast_dim",
-    "join_bucketed_colocated",
-    "join_fact_fact",
-    "join_multiway_region_revenue",
-    "join_skew_salted",
-    "json_extraction",
-    "knn_metadata_filtered",
-    "knn_pq_adc",
-    "left_outer_join_orders",
-    "migrate_parquet_inplace",
-    "mv_join_incremental_maintenance",
-    "partition_evolution_read",
-    "scalar_subquery_above_avg",
-    "semi_anti_join",
-    "stats_gini_grouped_udaf",
-    "streaming_cdc_upsert_laketable",
-    "streaming_multibatch_windowed",
-    "streaming_ohlc_rollup",
-    "text_near_containment",
-    "tpcds_returned_ratio_by_date",
-    "tpcds_rollup_rolling_sales",
-    "tpch_q21_sole_fault_supplier",
-    "window_time_range_agg",
-    # ---- 50 cap lands exactly here ----
-    # -- below-cap: the 10 unserved r8 rows (untouched pure-relational
-    # shapes; window_topn_per_group yielded its slot when the REST
-    # register change made rest_catalog_conformance code-touched) —
-    # these lead r13's tier (b) --
+    # -- (a) new r13 debuts --
+    "streaming_struct_map_pipe",           # struct/map through the pipe
+    "tpcds_item_day_channel_crossover",    # Q51 at item-day grain
+    "tpcds_brand_decline_yoy",             # Q75: YoY decline, returns netted
+    # -- (a) the 6 staged r12 debuts (never driver-checked) --
+    "tpcds_cross_channel_items",           # Q14: INTERSECT -> one pass
+    "tpcds_buy_return_rebuy_margin",       # Q64 on the Q17/Q29 spine
+    "iceberg_puffin_stats_roundtrip",      # ANALYZE -> Puffin -> adopt
+    "tpcds_qoq_growth_nation_channels",    # Q31: 6 cells -> 2 scans
+    "tpcds_frequent_items_best_customers",  # Q23: double semi-reduce
+    "knn_over_adopted_store",              # ANN over an adopted chain
+    # -- (a) r12's triaged code-touched rows (judge-named) --
+    "streamed_calendar_fanout_pruning",
+    "adopted_bucket_pruning",
+    "iceberg_validate_preflight",
+    # -- (b) ALL 10 r8-latest rows (four rounds stale; no deferral) --
     "window_topn_per_group",
     "conditional_aggregation",
     "cube_aggregation",
@@ -134,21 +93,59 @@ PRIORITY: tuple[str, ...] = (
     "window_lag_delta",
     "window_moving_average",
     "window_running_sum",
-    # -- below-cap: staged r13 debuts (registered r12, cap full) --
-    "tpcds_cross_channel_items",           # Q14: INTERSECT -> one pass
-    "tpcds_buy_return_rebuy_margin",       # Q64 on the Q17/Q29 spine
-    "iceberg_puffin_stats_roundtrip",      # ANALYZE -> Puffin -> adopt
-    "tpcds_qoq_growth_nation_channels",    # Q31: 6 cells -> 2 scans
-    "tpcds_frequent_items_best_customers",  # Q23: double semi-reduce
-    "knn_over_adopted_store",              # ANN over an adopted chain
-    # (Q31/Q23 stay OUT of the tpcds_report_run composite this round —
-    # the 16->18 widening was already re-recorded; fold them into the
-    # next adjudicated widening rather than re-basing twice)
-    # -- below-cap: triaged code-touched (trivial executed delta;
-    # pytest-covered) — green early only if the driver runs deep --
-    "streamed_calendar_fanout_pruning",
-    "adopted_bucket_pruning",
-    "iceberg_validate_preflight",
+    # -- (b) the 28 riskiest r9-latest rows --
+    "streaming_ingest_laketable",
+    "streaming_table_source_cdc",
+    "streaming_quarantine_gate",
+    "streaming_sessionize_stateful",
+    "ann_ivf",
+    "ann_ivf_incremental",
+    "ann_ivf_partitioned",
+    "ann_lsh_buckets",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "knn_batch_queries",
+    "multimodal_phash_dedup",
+    "join_asof_last_purchase",
+    "cdc_replicate_table",
+    "schema_evolution_read",
+    "maintenance_zorder",
+    "delete_files_advisory",
+    "datagen_tx_events_dims",
+    "array_functions_suite",
+    "date_functions_suite",
+    "string_functions_suite",
+    "stats_aggregates",
+    "quality_gopher_rules",
+    "tpcds_cumulative_channel_crossover",
+    "tpcds_topn_over_rollup",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_global_sales_opportunity",
+    # ---- 50 cap lands exactly here ----
+    # -- below-cap: the 21 deferred r9 rows (reasons above) — these
+    # lead r14's tier (b) --
+    "count_star",
+    "dedup_exact",
+    "distinct_pairs",
+    "distinct_users_exact",
+    "full_scan_projection",
+    "groupby_count",
+    "having_filter",
+    "inlist_lookup",
+    "knn_brute_force",
+    "latest_event_top1",
+    "limit_preview",
+    "ordered_read",
+    "percentile_by_group",
+    "point_lookup",
+    "pricing_summary",
+    "range_pruned_agg",
+    "reagg_total",
+    "revenue_checksum",
+    "shipping_priority_top10",
+    "sum_checksum",
+    "tpcds_channel_union",
 )
 
 

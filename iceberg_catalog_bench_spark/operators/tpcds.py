@@ -1797,3 +1797,205 @@ def tpcds_return_repurchase_chain(spark: SparkSession,
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "tpcds_item_day_channel_crossover",
+    oracle=(
+        # Q51 at ITEM-DAY grain: one conditional aggregate builds both
+        # channels' (item, day) cells in a single fact pass (no null
+        # holes — a missing channel-day contributes 0, so the running
+        # SUM is the carried cumulative), running totals window per
+        # item, crossover rows where web overtook store, deterministic
+        # top-100 by (item, day). Integer cents end-to-end.
+        "WITH cells AS ("
+        "  SELECT l_partkey AS item, strftime(l_shipdate, '%Y-%m-%d') AS d, "
+        "    SUM(CASE WHEN l_orderkey % 2 = 0 THEN "
+        "      CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) "
+        "      ELSE 0 END) AS web_cents, "
+        "    SUM(CASE WHEN l_orderkey % 2 = 1 THEN "
+        "      CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) "
+        "      ELSE 0 END) AS store_cents "
+        "  FROM lineitem GROUP BY item, d"
+        "), run AS ("
+        "  SELECT item, d, "
+        "    SUM(web_cents) OVER (PARTITION BY item ORDER BY d "
+        "      ROWS UNBOUNDED PRECEDING) AS web_run, "
+        "    SUM(store_cents) OVER (PARTITION BY item ORDER BY d "
+        "      ROWS UNBOUNDED PRECEDING) AS store_run "
+        "  FROM cells"
+        ") "
+        "SELECT item, d, ROUND(web_run / 100.0, 2) AS web_cumulative, "
+        "ROUND(store_run / 100.0, 2) AS store_cumulative "
+        "FROM run WHERE web_run > store_run "
+        "ORDER BY item, d LIMIT 100"
+    ),
+)
+def tpcds_item_day_channel_crossover(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """TPC-DS Q51 at the spec's own ITEM-DAY grain (VERDICT r12 item
+    5) — web vs store RUNNING totals compared per (item, day), report
+    rows where the web series has overtaken the store series,
+    deterministic top-100.
+
+    Plan shape — improves on the coarse-grain Q51 twin
+    (`tpcds_cumulative_channel_crossover`, two channel-filtered fact
+    scans): ONE conditional aggregate builds both channels' cells in a
+    SINGLE fact pass, so the fact is scanned once and shuffled once
+    (to (item, day) cells). With conditional 0-fill there are no null
+    holes, so the plain running SUM IS the carried cumulative (cents
+    are non-negative) — no FULL OUTER spine join, no running-MAX
+    repair pass. The windows partition BY ITEM: at 100 TB that is
+    millions of independent partitions, never a single-partition
+    window; the TakeOrdered(100) collapses the report to a constant.
+    Reference scope: `ICEBERG-Interoperability-Test-Spec.md:43`."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_shipdate", "l_orderkey",
+        "l_extendedprice", "l_discount",
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    cells = (
+        li.select(
+            F.col("l_partkey").alias("item"),
+            # day rendered as a STRING on both engines (DuckDB date
+            # round-trips as a pandas Timestamp otherwise); lexical
+            # order of yyyy-MM-dd IS chronological, so the window
+            # ORDER BY and the top-100 ORDER BY agree
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("d"),
+            F.when(F.col("l_orderkey") % 2 == 0, cents)
+            .otherwise(F.lit(0)).alias("web_c"),
+            F.when(F.col("l_orderkey") % 2 == 1, cents)
+            .otherwise(F.lit(0)).alias("store_c"),
+        )
+        .groupBy("item", "d")
+        .agg(F.sum("web_c").alias("web_cents"),
+             F.sum("store_c").alias("store_cents"))
+    )
+    cume = W.partitionBy("item").orderBy("d").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        cells.select(
+            "item", "d",
+            F.sum("web_cents").over(cume).alias("web_run"),
+            F.sum("store_cents").over(cume).alias("store_run"),
+        )
+        .filter(F.col("web_run") > F.col("store_run"))
+        .orderBy("item", "d")
+        .limit(100)
+        .select(
+            "item", "d",
+            F.round(F.col("web_run") / F.lit(100e0), 2)
+            .alias("web_cumulative"),
+            F.round(F.col("store_run") / F.lit(100e0), 2)
+            .alias("store_cumulative"),
+        )
+    )
+
+
+@register(
+    "tpcds_brand_decline_yoy",
+    oracle=(
+        # Q75: per-brand year-over-year sales with RETURNS NETTED
+        # (an R-flag row subtracts its quantity/revenue), consecutive
+        # years compared per brand via LAG over the brand-year cells,
+        # decline = net quantity fell below 90% of the prior year —
+        # decided by INTEGER CROSS-MULTIPLICATION (10*curr < 9*prev;
+        # the r12 Q31 precedent: ratio semantics, zero float division).
+        "WITH cells AS ("
+        "  SELECT p_brand AS brand, "
+        "    CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr, "
+        "    SUM(CASE WHEN l_returnflag = 'R' THEN "
+        "      -CAST(ROUND(l_quantity) AS BIGINT) "
+        "      ELSE CAST(ROUND(l_quantity) AS BIGINT) END) AS net_qty, "
+        "    SUM(CASE WHEN l_returnflag = 'R' THEN "
+        "      -CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) "
+        "      ELSE CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) "
+        "      END) AS net_cents "
+        "  FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "  GROUP BY brand, yr"
+        "), pairs AS ("
+        "  SELECT brand, yr, net_qty, net_cents, "
+        "    LAG(net_qty) OVER (PARTITION BY brand ORDER BY yr) AS prev_qty, "
+        "    LAG(net_cents) OVER (PARTITION BY brand ORDER BY yr) AS prev_cents, "
+        "    LAG(yr) OVER (PARTITION BY brand ORDER BY yr) AS prev_yr "
+        "  FROM cells"
+        ") "
+        "SELECT brand, prev_yr, yr, prev_qty, net_qty AS curr_qty, "
+        "  CAST(net_qty - prev_qty AS BIGINT) AS qty_diff, "
+        "  ROUND((net_cents - prev_cents) / 100.0, 2) AS revenue_diff "
+        "FROM pairs "
+        "WHERE prev_yr = yr - 1 AND prev_qty > 0 "
+        "  AND 10 * net_qty < 9 * prev_qty "
+        "ORDER BY qty_diff, brand, yr"
+    ),
+)
+def tpcds_brand_decline_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q75 shape (VERDICT r12 item 5) — YEAR-OVER-YEAR BRAND
+    DECLINE WITH RETURNS NETTED: per (brand, year), net sales quantity
+    and revenue where a returned row (R flag) SUBTRACTS its quantity
+    and revenue inside the same conditional aggregate (one fact pass —
+    Q75's sales-minus-returns netting without a second scan or an
+    except/join against a returns table); consecutive-year pairs via
+    LAG over the brand-year cells; report brands whose net quantity
+    fell below 90% of the prior year, with the ratio decided in exact
+    integer cross-multiplication (10*curr < 9*prev — the Q31
+    precedent, immune to float division and to bigint overflow at
+    these magnitudes).
+
+    Plan shape: ONE lineitem scan (returns netted conditionally, never
+    a second slice), one BROADCAST join with the kilobyte part
+    dimension, one shuffle to |brand × year| cells; the LAG window
+    partitions by brand over ≤ |brands| × 7 rows. Scale-safe at 100
+    TB: everything after the first exchange is cell-sized.
+    Reference scope: `ICEBERG-Interoperability-Test-Spec.md:43`."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_shipdate", "l_returnflag",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    sign = F.when(F.col("l_returnflag") == "R", F.lit(-1)).otherwise(F.lit(1))
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    cells = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.year("l_shipdate").cast("bigint").alias("yr"),
+        )
+        .agg(
+            F.sum(sign * qty).alias("net_qty"),
+            F.sum(sign * cents).alias("net_cents"),
+        )
+    )
+    lagw = W.partitionBy("brand").orderBy("yr")
+    pairs = cells.select(
+        "brand", "yr", "net_qty", "net_cents",
+        F.lag("net_qty").over(lagw).alias("prev_qty"),
+        F.lag("net_cents").over(lagw).alias("prev_cents"),
+        F.lag("yr").over(lagw).alias("prev_yr"),
+    )
+    return (
+        pairs.filter(
+            (F.col("prev_yr") == F.col("yr") - 1)
+            & (F.col("prev_qty") > 0)
+            & (10 * F.col("net_qty") < 9 * F.col("prev_qty"))
+        )
+        .select(
+            "brand", "prev_yr", "yr", "prev_qty",
+            F.col("net_qty").alias("curr_qty"),
+            (F.col("net_qty") - F.col("prev_qty")).cast("bigint")
+            .alias("qty_diff"),
+            F.round((F.col("net_cents") - F.col("prev_cents"))
+                    / F.lit(100e0), 2).alias("revenue_diff"),
+        )
+        .orderBy("qty_diff", "brand", "yr")
+    )

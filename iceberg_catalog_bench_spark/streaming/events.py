@@ -831,3 +831,84 @@ def streaming_quarantine_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_passed", F.lit(0)).alias("n_passed"),
         F.coalesce("n_quarantined", F.lit(0)).alias("n_quarantined"),
     )
+
+
+@register(
+    "streaming_struct_map_pipe",
+    oracle=(
+        # The piped curation table, flattened back to cells: every
+        # aggregate reaches through a NESTED column (struct leaf, two
+        # map lookups, an array element), so a value mismatch anywhere
+        # in the python reader/writer's nested plumbing moves the hash.
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+        "CAST(SUM(CAST(length(text) - length(replace(text, ' ', '')) + 1 "
+        "  AS BIGINT)) AS BIGINT) AS sum_words, "
+        "CAST(SUM(doc_id % 7) AS BIGINT) AS sum_sig "
+        "FROM documents GROUP BY lang ORDER BY lang"
+    ),
+)
+def streaming_struct_map_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """laketable→laketable STREAMING PIPE of the curation shape this
+    repo itself builds — ``meta struct<lang,n>`` + ``tags
+    map<string,bigint>`` + ``sig array<bigint>`` (VERDICT r12 item 3):
+    documents reshape into a nested source table, an availableNow pipe
+    streams it through the PYTHON source (Arrow batch read, id-based
+    projection) and the PYTHON sink (executor-side parquet write,
+    driver commit), and the report aggregates the DESTINATION table
+    back to flat cells — every output column reaching through a nested
+    value (struct leaf, map lookups, array element), read back through
+    the python BATCH reader so both python legs sit on the verified
+    path. The oracle recomputes the same cells straight from the
+    source parquet.
+
+    Scale: the pipe is embarrassingly parallel (one task per data
+    file, no shuffle); exactly-once delivery and nested round-trip
+    fidelity are pinned bit-exact in
+    tests/test_table_source_struct_map.py."""
+    from ..catalog import LakeTable
+    from ..sources import load_table as _lt
+    from .table_source import register_source
+
+    register_source(spark)
+    d = tempfile.mkdtemp(prefix="stream-structmap-")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    ddl = ("doc_id bigint, meta struct<lang:string,n:bigint>, "
+           "tags map<string,bigint>, sig array<bigint>")
+    src = LakeTable.create(spark, d + "/src", ddl)
+    dst = LakeTable.create(spark, d + "/dst", ddl)
+    docs = _lt(spark, "documents", sf_dir)
+    words = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    ).cast("bigint")
+    nested = docs.select(
+        "doc_id",
+        F.struct(F.col("lang"), F.col("n_chars").alias("n")).alias("meta"),
+        F.create_map(
+            F.lit("chars"), F.col("n_chars"),
+            F.lit("words"), words,
+        ).alias("tags"),
+        F.array(F.col("doc_id") % 7, F.col("n_chars") % 13).alias("sig"),
+    )
+    # two commits so the drain covers a multi-snapshot ancestry
+    src.append(nested.filter(F.col("doc_id") % 2 == 0))
+    src.append(nested.filter(F.col("doc_id") % 2 == 1))
+    q = (
+        spark.readStream.format("laketable").option("path", src.path)
+        .load()
+        .writeStream.format("laketable").option("path", dst.path)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", d + "/ck").start()
+    )
+    q.awaitTermination()
+    piped = spark.read.format("laketable").option("path", dst.path).load()
+    return (
+        piped.groupBy(F.col("meta.lang").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.element_at("tags", "chars")).alias("sum_chars"),
+            F.sum(F.element_at("tags", "words")).alias("sum_words"),
+            F.sum(F.element_at("sig", 1)).alias("sum_sig"),
+        )
+        .orderBy("lang")
+    )

@@ -157,9 +157,11 @@ _META_REL = os.path.join("_meta", "metadata.json")
 _EPOCH_DATE = datetime.date(1970, 1, 1)
 _EPOCH_DT = datetime.datetime(1970, 1, 1)
 
-# Spark DDL type → pyarrow factory (primitives plus array<primitive> —
-# the embedding-store column shape; struct/map would need nested Arrow
-# projection/cast rules — raise loudly and route to the JVM reader).
+# Spark DDL type → pyarrow factory (primitives plus the full nested
+# algebra — array/struct/map, arbitrarily composed — r13: struct/map
+# joined array through the Python source/sink; Spark ships StructType
+# as Arrow struct and MapType as Arrow map, so projection, widening
+# casts and the parquet writers compose recursively).
 _DDL_ARROW = {
     "bigint": "int64",
     "long": "int64",
@@ -178,27 +180,59 @@ _DDL_ARROW = {
 }
 
 
+def _split_top(s: str, sep: str) -> list[str]:
+    """Split ``s`` on ``sep`` at angle-bracket depth 0 — the nested-DDL
+    tokenizer (commas inside ``struct<...>``/``map<...>`` never split)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
 def _arrow_type(ddl: str):
     import pyarrow as pa
 
-    key = ddl.strip().lower()
+    raw = ddl.strip()
+    key = raw.lower()
     if key.startswith("decimal"):
         m = re.match(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)", key)
         p, s = (int(m.group(1)), int(m.group(2))) if m else (10, 0)
         return pa.decimal128(p, s)
+    # Nested types recurse on the ORIGINAL string, not the lowered key:
+    # struct field NAMES are case-preserved (they become Spark column
+    # names), only type keywords are case-folded.
     if key.startswith("array<") and key.endswith(">"):
-        # array<primitive> (and nested arrays thereof): Spark ships
-        # ArrayType as Arrow list — projection, widening cast
-        # (list<float> → list<double> is one Arrow cast) and the
+        # Spark ships ArrayType as Arrow list — projection, widening
+        # cast (list<float> → list<double> is one Arrow cast) and the
         # parquet writers all handle list columns natively. Filter
         # pushdown never admits an array column (pushFilters is a
         # per-type allowlist), so the Arrow scan stays correct.
-        return pa.list_(_arrow_type(key[6:-1]))
+        return pa.list_(_arrow_type(raw[6:-1]))
+    if key.startswith("struct<") and key.endswith(">"):
+        fields = []
+        for item in _split_top(raw[7:-1], ","):
+            name, sep, sub = item.partition(":")
+            if not sep:
+                raise ValueError(f"malformed struct field {item!r} in {ddl!r}")
+            fields.append(pa.field(name.strip().strip("`"), _arrow_type(sub)))
+        return pa.struct(fields)
+    if key.startswith("map<") and key.endswith(">"):
+        kv = _split_top(raw[4:-1], ",")
+        if len(kv) != 2:
+            raise ValueError(f"malformed map type {ddl!r}")
+        return pa.map_(_arrow_type(kv[0]), _arrow_type(kv[1]))
     if key not in _DDL_ARROW:
         raise NotImplementedError(
-            f"laketable python source supports primitive and "
-            f"array<primitive> columns; got type {ddl!r} "
-            f"(use LakeTable.read() for struct/map columns)"
+            f"laketable python source does not support type {ddl!r}"
         )
     name = _DDL_ARROW[key]
     if name == "timestamp_us":
@@ -313,10 +347,57 @@ def _projection(
     ]
 
 
+def _align_nested(col, typ, ctx: str):
+    """Widen/align one column onto its current declared Arrow type.
+
+    Primitives and same-shape nested types are ONE Arrow cast (the
+    widening path). When a cast can't express the change — a field
+    ADDED to (or DROPPED from) a struct by ``ALTER COLUMN TYPE`` on
+    the containing column — structs align recursively BY NAME, exactly
+    the parquet vectorized reader's nested resolution: missing target
+    fields null-fill, removed fields drop, struct-level validity is
+    preserved (a null struct never becomes a struct of nulls)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if col.type == typ:
+        return col
+    try:
+        return col.cast(typ)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+        pass
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_struct(typ) and pa.types.is_struct(col.type):
+        have = {col.type.field(i).name: i for i in range(col.type.num_fields)}
+        children = []
+        for i in range(typ.num_fields):
+            f = typ.field(i)
+            if f.name in have:
+                children.append(
+                    _align_nested(col.field(have[f.name]), f.type,
+                                  f"{ctx}.{f.name}")
+                )
+            else:
+                children.append(pa.nulls(len(col), type=f.type))
+        return pa.StructArray.from_arrays(
+            children, fields=list(typ), mask=pc.is_null(col)
+        )
+    if pa.types.is_list(typ) and pa.types.is_list(col.type):
+        vals = _align_nested(col.values, typ.value_type, f"{ctx}.element")
+        return pa.ListArray.from_arrays(
+            col.offsets, vals, type=typ, mask=pc.is_null(col)
+        )
+    raise ValueError(
+        f"cannot align column {ctx!r} from file type {col.type} to "
+        f"declared type {typ} — unsupported nested evolution"
+    )
+
+
 def _project(tbl, columns, change: str | None = None, sid: int | None = None):
     """Align an Arrow table onto the current schema (declared default —
-    or null — for absent fields, widening casts), appending CDC
-    metadata columns when requested."""
+    or null — for absent fields, widening casts, by-name nested struct
+    alignment), appending CDC metadata columns when requested."""
     import pyarrow as pa
 
     n = tbl.num_rows
@@ -329,9 +410,7 @@ def _project(tbl, columns, change: str | None = None, sid: int | None = None):
             else:
                 arrays.append(pa.array([default] * n, type=typ))
         else:
-            col = tbl.column(phys)
-            if col.type != typ:  # e.g. int32 file column widened to bigint
-                col = col.cast(typ)
+            col = _align_nested(tbl.column(phys), typ, name)
             arrays.append(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
         fields.append(pa.field(name, typ))
     if change is not None:
@@ -418,12 +497,61 @@ def _read_cow_net(partition: _CowNetPartition) -> Iterator:
     ``hash``); one bucket skips hashing entirely."""
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     names = [n for n, _ in partition.out_cols]
     schema = pa.schema(
         [pa.field(n, _arrow_type(t)) for n, t in partition.out_cols]
     )
+    has_struct = any(pa.types.is_struct(f.type) for f in schema)
+
+    # STRUCT columns (r13): Arrow's hash group-by can't key on struct
+    # values, but a struct IS its leaves plus a validity bit — so
+    # workers net over an EXPANDED view (each struct column recursively
+    # replaced by a "<name>␀␀" validity column + "<name>␀<field>"
+    # leaves; NUL
+    # separators can't collide with real column names) and rebuild the
+    # struct rows from the netted key columns. StructArray.flatten()
+    # propagates parent nulls into children, and the validity column
+    # keeps a NULL struct distinct from a struct of NULLs, so two rows
+    # expand identically iff they are logically equal.
+    def _expand_col(col, prefix: str, out: list) -> None:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_struct(col.type):
+            out.append((prefix + "\x00\x00", pc.is_valid(col)))
+            for f, kid in zip(col.type, col.flatten()):
+                _expand_col(kid, prefix + "\x00" + f.name, out)
+        else:
+            out.append((prefix, col))
+
+    def _expand(tbl):
+        cols: list = []
+        for n in tbl.column_names:
+            _expand_col(tbl.column(n), n, cols)
+        return pa.table(dict(cols))
+
+    def _rebuild_col(typ, prefix: str, getcol):
+        if pa.types.is_struct(typ):
+            valid = getcol(prefix + "\x00\x00")
+            children = [
+                _rebuild_col(f.type, prefix + "\x00" + f.name, getcol)
+                for f in typ
+            ]
+            return pa.StructArray.from_arrays(
+                children, fields=list(typ), mask=pc.invert(valid)
+            )
+        return getcol(prefix)
+
+    def _rebuild(net_tbl):
+        def getcol(n):
+            c = net_tbl.column(n)
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        return pa.table(
+            {f.name: _rebuild_col(f.type, f.name, getcol) for f in schema}
+        )
 
     def side(files: list[tuple[str, list]], sign: int) -> list:
         out = []
@@ -431,6 +559,8 @@ def _read_cow_net(partition: _CowNetPartition) -> Iterator:
             physical = [p for _, _, p, _d in proj if p is not None]
             tbl = _project(pq.read_table(abs_path, columns=physical), proj)
             tbl = tbl.cast(schema)
+            if has_struct:
+                tbl = _expand(tbl)
             if partition.nbuckets > 1:
                 import pandas as pd
 
@@ -463,7 +593,10 @@ def _read_cow_net(partition: _CowNetPartition) -> Iterator:
     sides = side(partition.old_files, +1) + side(partition.new_files, -1)
     if not sides:
         return
-    net = pa.TableGroupBy(pa.concat_tables(sides), names).aggregate(
+    key_names = (
+        _expand(schema.empty_table()).column_names if has_struct else names
+    )
+    net = pa.TableGroupBy(pa.concat_tables(sides), key_names).aggregate(
         [("_sign", "sum")]
     )
     counts = net.column("_sign_sum").to_numpy(zero_copy_only=False)
@@ -473,7 +606,9 @@ def _read_cow_net(partition: _CowNetPartition) -> Iterator:
     ):
         if reps.sum() == 0:
             continue
-        out = net.select(names).take(np.repeat(np.arange(len(net)), reps))
+        out = net.select(key_names).take(np.repeat(np.arange(len(net)), reps))
+        if has_struct:
+            out = _rebuild(out)
         n = len(out)
         out = out.append_column(
             "_change_type", pa.array([change] * n, type=pa.string())
@@ -936,18 +1071,23 @@ class LakeTableStreamReader(DataSourceStreamReader):
             )
         cur = meta["schemas"][str(meta["current_schema_version"])]
         out_cols = [(f["name"], f["type"]) for f in cur]
-        nested = [n for n, t in out_cols
-                  if t.strip().lower().startswith(("array<", "struct<",
-                                                   "map<"))]
-        if nested:
+        unkeyable = [
+            n for n, t in out_cols
+            if "array<" in t.lower() or "map<" in t.lower()
+        ]
+        if unkeyable:
             # netting group-bys over EVERY column; Arrow's hash
             # group-by (and pandas' row hash) cannot key on list
-            # values — refuse at planning time rather than failing
-            # (or, worse, mis-bucketing) executor-side. The batch
-            # changelog() nets arrays fine (JVM exceptAll).
+            # values, and map values have no canonical entry order
+            # (two logically-equal maps may serialize differently) —
+            # refuse at planning time rather than failing (or, worse,
+            # mis-bucketing) executor-side. STRUCT columns are fine
+            # (r13): workers flatten them to leaf columns + a validity
+            # bit for the group-by and rebuild after. The batch
+            # changelog() nets arrays too (JVM exceptAll).
             raise NotImplementedError(
-                f"cow-changelog netting cannot key on nested columns "
-                f"{nested}; use LakeTable.changelog() for this range"
+                f"cow-changelog netting cannot key on array/map columns "
+                f"{unkeyable}; use LakeTable.changelog() for this range"
             )
         old_by_path = {f["path"]: f for f in parent.get("files", [])}
         old_files = [

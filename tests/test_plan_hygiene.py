@@ -802,3 +802,31 @@ def test_tpcds_q23_double_semi_reduction(spark, oracle_sf_dir):
                if "FileScan parquet" in l and "o_custkey" in l]
     assert len(li_scans) == 2, "lineitem: gate + final pass only"
     assert len(o_scans) == 2, "orders: gate + final pass only"
+
+
+def test_tpcds_q51_item_day_single_fact_pass(spark, oracle_sf_dir):
+    """Q51 item-day shape: ONE conditional aggregate builds BOTH
+    channels' cells in a single lineitem scan (the coarse-grain Q51
+    twin pays two channel-filtered scans; the conditional-agg
+    rendering halves that), windows partition BY ITEM (never a
+    global single-partition window), and the top-100 collapses via
+    TakeOrdered — no full sort of the crossover set."""
+    plan = _plan("tpcds_item_day_channel_crossover", spark, oracle_sf_dir)
+    li_scans = [l for l in plan.splitlines()
+                if "FileScan parquet" in l and "l_orderkey" in l]
+    assert len(li_scans) == 1, "one fact pass for both channels"
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_tpcds_q75_single_scan_broadcast_netting(spark, oracle_sf_dir):
+    """Q75 shape: returns are netted INSIDE the one conditional
+    aggregate — a second returns slice (or an except/anti join) would
+    double the fact I/O; the part dimension arrives broadcast; the
+    LAG window runs over brand-year cells only."""
+    plan = _plan("tpcds_brand_decline_yoy", spark, oracle_sf_dir)
+    li_scans = [l for l in plan.splitlines()
+                if "FileScan parquet" in l and "l_returnflag" in l]
+    assert len(li_scans) == 1, "one netted fact pass"
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

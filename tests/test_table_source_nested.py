@@ -17,14 +17,15 @@ from iceberg_catalog_bench_spark.streaming.table_source import (
 )
 
 
-def test_arrow_type_arrays_ok_struct_map_refuse():
+def test_arrow_type_arrays_ok():
     import pyarrow as pa
 
     assert _arrow_type("array<double>") == pa.list_(pa.float64())
     assert _arrow_type("array<array<int>>") == pa.list_(pa.list_(pa.int32()))
-    for ddl in ("struct<a:int>", "map<string,int>"):
-        with pytest.raises(NotImplementedError, match="struct/map"):
-            _arrow_type(ddl)
+    # struct/map joined the supported set in r13 — see
+    # test_table_source_struct_map.py for their coverage
+    with pytest.raises(NotImplementedError):
+        _arrow_type("interval")
 
 
 def test_stream_pipe_embedding_table_exactly_once(spark, tmp_path, sf_dir):
@@ -113,7 +114,7 @@ def test_cow_changelog_refuses_nested_columns(spark, tmp_path):
         .trigger(availableNow=True)
         .option("checkpointLocation", ck).start()
     )
-    with pytest.raises(Exception, match="nested columns"):
+    with pytest.raises(Exception, match="array/map columns"):
         q.awaitTermination(300)
     # the batch changelog handles the same commit fine (JVM exceptAll)
     ch = t.changelog(1, t._snapshot().snapshot_id)
