@@ -555,16 +555,22 @@ def tpcds_cumulative_channel_crossover(spark: SparkSession, sf_dir: str) -> Data
     keeps the crossover rows where the web series has overtaken the
     store series.
 
-    Plan shape — the scale-critical property is AGGREGATE-BEFORE-JOIN:
-    each channel partial-aggregates its fact scan down to ≤ |rf×month|
-    cells before any join or window, so the full-outer join and both
-    window passes run over hundreds of rows, never raw facts (the
-    naive rendering windows over the joined raw detail — at 100 TB
-    that shuffles the fact volume three times). Both fact scans carry
-    their channel filter in the scan; the cumulative windows reuse
-    the aggregation's (rf) partitioning. Integer cents end-to-end so
-    every cumulative re-sums exactly (the mv_incremental_maintenance
-    fp-drift lesson)."""
+    Plan shape (r13 rewrite — ONE fact pass): a single CONDITIONAL
+    aggregate builds both channels' (rf, month) cells in one scan —
+    ``SUM(CASE WHEN <channel> THEN cents END)`` with NO else, so a
+    month where a channel sold nothing holds NULL, not 0 — and one
+    running window SUM per channel reproduces the oracle's FULL OUTER
+    spine + running-MAX carry EXACTLY: window SUM skips NULLs (the
+    carried cumulative over a channel's silent months) and is NULL
+    until the channel's first sale, which is precisely when the
+    oracle's running MAX over the null-holed joined series is NULL.
+    The r9 rendering paid two channel-filtered fact scans + a
+    full-outer join; this one halves the fact I/O and drops the join
+    while returning the identical result (the oracle SQL is
+    unchanged — the equivalence IS the pinned claim). The windows run
+    over ≤ |rf×month| cells, never raw facts; integer cents
+    end-to-end so every cumulative re-sums exactly (the
+    mv_incremental_maintenance fp-drift lesson)."""
     from pyspark.sql import Window as W
 
     li = load_table(spark, "lineitem", sf_dir).select(
@@ -574,35 +580,26 @@ def tpcds_cumulative_channel_crossover(spark: SparkSession, sf_dir: str) -> Data
     cents = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("bigint")
-    base = li.select(
-        F.col("l_returnflag").alias("rf"),
-        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
-        .cast("bigint").alias("m"),
-        "l_orderkey",
-        cents.alias("cents"),
+    cells = (
+        li.select(
+            F.col("l_returnflag").alias("rf"),
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+            .cast("bigint").alias("m"),
+            F.when(F.col("l_orderkey") % 2 == 0, cents).alias("web_c"),
+            F.when(F.col("l_orderkey") % 2 == 1, cents).alias("store_c"),
+        )
+        .groupBy("rf", "m")
+        .agg(F.sum("web_c").alias("web_cents"),
+             F.sum("store_c").alias("store_cents"))
     )
     cume = W.partitionBy("rf").orderBy("m").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
-
-    def channel(df, alias):
-        return (
-            df.groupBy("rf", "m")
-            .agg(F.sum("cents").alias(f"{alias}_cents"))
-            .select(
-                "rf", "m",
-                F.sum(f"{alias}_cents").over(cume).alias(f"{alias}_cume"),
-            )
-        )
-
-    web = channel(base.filter(F.col("l_orderkey") % 2 == 0), "web")
-    store = channel(base.filter(F.col("l_orderkey") % 2 == 1), "store")
-    x = web.join(store, on=["rf", "m"], how="full_outer")
     return (
-        x.select(
+        cells.select(
             "rf", "m",
-            F.max("web_cume").over(cume).alias("web_run"),
-            F.max("store_cume").over(cume).alias("store_run"),
+            F.sum("web_cents").over(cume).alias("web_run"),
+            F.sum("store_cents").over(cume).alias("store_run"),
         )
         .filter(F.col("web_run") > F.col("store_run"))
         .select(

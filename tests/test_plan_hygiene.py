@@ -441,33 +441,25 @@ def test_hybrid_rrf_legs_use_topk_heaps(spark, oracle_sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_tpcds_q51_aggregates_before_full_outer_join(spark, oracle_sf_dir):
-    """Q51 shape (window over a join of aggregates): each channel must
-    partial-aggregate its fact scan down to (rf, month) cells BEFORE
-    the full-outer join — the join and both window passes run over
-    cells, never raw facts — and each scan carries its channel parity
-    filter and reads only the five needed columns."""
+def test_tpcds_q51_single_conditional_fact_pass(spark, oracle_sf_dir):
+    """Q51 shape (r13 rewrite): ONE conditional aggregate builds both
+    channels' (rf, month) cells in a SINGLE fact scan (the r9
+    rendering paid two channel-filtered scans + a full-outer join);
+    the running windows run over cells, never raw detail. The
+    SUM(CASE ... END)-without-ELSE null semantics reproduce the
+    oracle's full-outer spine + running-MAX carry exactly — the
+    unchanged oracle SQL is the equivalence pin."""
     plan = _plan("tpcds_cumulative_channel_crossover", spark, oracle_sf_dir)
-    # AQE wraps the final plan; assert on the final section only
     final = plan.split("== Initial Plan ==")[0]
-    assert "FullOuter" in final
-    # tree prints parents first: every channel aggregate must print
-    # BELOW (after) the join node = be its descendant
-    join_at = final.index("FullOuter")
+    assert "FullOuter" not in final, "spine join eliminated"
+    scans = [l for l in final.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 1, "one fact pass for both channels"
+    # one partial+final aggregate pair, one window pass over cells
     aggs = [i for i in range(len(final))
             if final.startswith("HashAggregate", i)]
-    assert len(aggs) == 4, "partial+final aggregate per channel"
-    assert all(i > join_at for i in aggs), \
-        "channel aggregates must sit below the full-outer join"
-    # the cumulative windows also run over cells, not raw detail:
-    # three Window nodes total (2 per-channel cume + 1 running max),
-    # per-channel ones below the join
+    assert len(aggs) == 2, "one conditional aggregate pair"
     wins = [i for i in range(len(final)) if final.startswith("Window", i)]
-    assert len(wins) == 3
-    assert sum(1 for i in wins if i > join_at) == 2
-    # channel parity filters live in the scans; projection pruned
-    scans = [l for l in final.splitlines() if "FileScan parquet" in l]
-    assert len(scans) == 2
+    assert len(wins) == 1
     for s in scans:
         assert "l_orderkey" in s.split("DataFilters", 1)[1]
         assert "l_quantity" not in s, "scan must prune unused columns"
