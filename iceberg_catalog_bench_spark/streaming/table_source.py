@@ -181,13 +181,16 @@ _DDL_ARROW = {
 
 
 def _split_top(s: str, sep: str) -> list[str]:
-    """Split ``s`` on ``sep`` at angle-bracket depth 0 — the nested-DDL
-    tokenizer (commas inside ``struct<...>``/``map<...>`` never split)."""
+    """Split ``s`` on ``sep`` at bracket depth 0 — the nested-DDL
+    tokenizer. Tracks BOTH angle brackets and parentheses: commas
+    inside ``struct<...>``/``map<...>`` AND inside ``decimal(p,s)``
+    never split (review-caught: ``struct<a:decimal(10,2)>`` split on
+    the decimal's comma)."""
     parts, depth, cur = [], 0, []
     for ch in s:
-        if ch == "<":
+        if ch in "<(":
             depth += 1
-        elif ch == ">":
+        elif ch in ">)":
             depth -= 1
         if ch == sep and depth == 0:
             parts.append("".join(cur))
@@ -364,7 +367,13 @@ def _align_nested(col, typ, ctx: str):
         return col
     try:
         return col.cast(typ)
-    except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+    except (pa.ArrowTypeError, pa.ArrowNotImplementedError):
+        # SHAPE mismatches only (field added/dropped inside a struct)
+        # fall through to by-name alignment; a DATA-level cast failure
+        # (ArrowInvalid, e.g. integer out of range) propagates with
+        # Arrow's precise message — re-labelling it as nested
+        # evolution would send the operator debugging the wrong layer
+        # (review-caught).
         pass
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -575,6 +584,20 @@ def _read_cow_net(partition: _CowNetPartition) -> Iterator:
                 # combined multi-bucket feed stays exactly the
                 # single-bucket feed.
                 df = tbl.to_pandas()
+                for c in df.columns:
+                    if df[c].dtype.kind in "iu":
+                        # pandas promotes an integer column to float64
+                        # only when THAT FILE holds a null in it, and
+                        # hash_pandas_object hashes int64 5 and float64
+                        # 5.0 differently — the same logical row would
+                        # bucket differently per file and fail to
+                        # cancel (review-caught; struct flatten's
+                        # parent-null propagation makes null leaves
+                        # routine). Hash every integer column as
+                        # float64 on EVERY file: bucketing needs
+                        # consistency, not injectivity (a >2^53
+                        # collision just co-locates two rows).
+                        df[c] = df[c].astype("float64")
                 for c in df.columns:
                     if df[c].dtype.kind == "f":
                         a = df[c].to_numpy(copy=True)

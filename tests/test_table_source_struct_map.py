@@ -240,3 +240,52 @@ def test_struct_leaf_stats_prune_python_batch_reader(spark, tmp_path):
     dst._reload()
     entries = dst._snapshot().files
     assert entries and all("meta.n" in (e.stats or {}) for e in entries)
+
+
+def test_arrow_type_decimal_inside_struct_and_map():
+    """Review-caught: the nested-DDL tokenizer must not split on the
+    comma inside decimal(p,s)."""
+    import pyarrow as pa
+
+    assert _arrow_type("struct<a:decimal(10,2),b:int>") == pa.struct(
+        [("a", pa.decimal128(10, 2)), ("b", pa.int32())]
+    )
+    assert _arrow_type("map<string,decimal(20,4)>") == pa.map_(
+        pa.string(), pa.decimal128(20, 4)
+    )
+
+
+def test_cow_changelog_struct_netting_multi_bucket_null_leaf(spark, tmp_path):
+    """Review-caught dtype hazard: with cdc-cow-buckets > 1, a file
+    holding a null in an integer struct leaf converts that pandas
+    column to float64 while a null-free file keeps int64 — without
+    dtype canonicalization the SAME carried-over row hashes to
+    different buckets per file and surfaces as a spurious -D/+I pair.
+    The delete of the null-struct row makes the NEW file null-free
+    while the old file still carries the null."""
+    register_source(spark)
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        "k bigint, meta struct<lang:string,n:bigint>")
+    t.append(spark.createDataFrame(
+        [(1, ("en", 5)), (2, ("fr", 7)), (3, None)],
+        "k bigint, meta struct<lang:string,n:bigint>"))
+    t.delete_where("k = 3", mode="copy-on-write")
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("laketable").option("path", t.path)
+        .option("mode", "cdc").option("cow-changelog", "true")
+        .option("cdc-cow-buckets", "4").load()
+        .writeStream.format("parquet").option("path", sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck).start()
+    )
+    q.awaitTermination(300)
+    snap2 = sorted(
+        (r["_change_type"], r["k"])
+        for r in spark.read.parquet(sink).collect()
+        if r["_commit_snapshot_id"] == 2
+    )
+    # rows 1 and 2 carried over and must cancel ACROSS buckets; only
+    # the deleted null-struct row surfaces
+    assert snap2 == [("delete", 3)]
