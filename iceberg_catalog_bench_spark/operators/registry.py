@@ -146,6 +146,9 @@ PRIORITY: tuple[str, ...] = (
     "shipping_priority_top10",
     "sum_checksum",
     "tpcds_channel_union",
+    # -- below-cap: staged r14 debuts (registered r13, cap full) --
+    "tpcds_worst_return_ratios_dual_rank",  # Q49: dual rank, one pass
+    "tpcds_cov_consecutive_months",         # Q39: integer-exact cov
 )
 
 

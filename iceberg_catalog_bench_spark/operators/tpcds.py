@@ -1996,3 +1996,214 @@ def tpcds_brand_decline_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qty_diff", "brand", "yr")
     )
+
+
+@register(
+    "tpcds_worst_return_ratios_dual_rank",
+    oracle=(
+        # Q49: per channel, the items with the WORST return ratios,
+        # ranked BOTH by quantity ratio and by amount ratio, kept when
+        # either rank <= 10. One conditional aggregate builds return
+        # and sold sums per (channel, item) in a single fact pass;
+        # the ranks order by exact-integer ratio comparisons rendered
+        # as double division of bigint cents/qty (identical operands
+        # -> identical IEEE result in both engines), ties broken by
+        # item for determinism.
+        "WITH cells AS ("
+        "  SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'web' ELSE 'store' END "
+        "    AS channel, l_partkey AS item, "
+        "    SUM(CASE WHEN l_returnflag = 'R' THEN "
+        "      CAST(ROUND(l_quantity) AS BIGINT) ELSE 0 END) AS ret_qty, "
+        "    SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS qty, "
+        "    SUM(CASE WHEN l_returnflag = 'R' THEN "
+        "      CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) "
+        "      ELSE 0 END) AS ret_cents, "
+        "    CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) "
+        "      AS BIGINT) AS cents "
+        "  FROM lineitem GROUP BY channel, item HAVING SUM(l_quantity) > 0"
+        "), ranked AS ("
+        "  SELECT channel, item, "
+        "    ROUND(CAST(ret_qty AS DOUBLE) / qty, 6) AS qty_ratio, "
+        "    ROUND(CAST(ret_cents AS DOUBLE) / cents, 6) AS amt_ratio, "
+        "    RANK() OVER (PARTITION BY channel "
+        "      ORDER BY CAST(ret_qty AS DOUBLE) / qty DESC, item) AS qty_rank, "
+        "    RANK() OVER (PARTITION BY channel "
+        "      ORDER BY CAST(ret_cents AS DOUBLE) / cents DESC, item) AS amt_rank "
+        "  FROM cells"
+        ") "
+        "SELECT channel, item, qty_ratio, amt_ratio, "
+        "  CAST(qty_rank AS BIGINT) AS qty_rank, "
+        "  CAST(amt_rank AS BIGINT) AS amt_rank "
+        "FROM ranked WHERE qty_rank <= 10 OR amt_rank <= 10 "
+        "ORDER BY channel, qty_rank, amt_rank, item"
+    ),
+)
+def tpcds_worst_return_ratios_dual_rank(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """TPC-DS Q49 shape (staged r14) — WORST RETURN RATIOS, DUAL
+    RANKING: per channel (even/odd order keys — the fixture's web vs
+    store), each item's return-to-sold ratio by quantity AND by
+    amount, ranked independently, reported when either rank makes the
+    bottom-10. Q49's signature is the union-of-channels each carrying
+    two window ranks over the same aggregate.
+
+    Plan shape: ONE conditional aggregate builds ret/sold sums for
+    both channels in a single fact pass (Q49's per-channel UNION ALL
+    subqueries each re-scan their fact; the channel is just a GROUP BY
+    key here), then two RANK windows run over |channel × item| cells
+    partitioned by channel. Ratio ORDER BY uses double division of
+    exact integer sums — identical operands give identical IEEE
+    doubles in both engines, with item tie-breaks for full
+    determinism. Scale: one fact exchange, cell-sized windows.
+    Reference scope: `ICEBERG-Interoperability-Test-Spec.md:43`."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey", "l_returnflag",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    is_ret = F.col("l_returnflag") == "R"
+    cells = (
+        li.groupBy(
+            F.when(F.col("l_orderkey") % 2 == 0, F.lit("web"))
+            .otherwise(F.lit("store")).alias("channel"),
+            F.col("l_partkey").alias("item"),
+        )
+        .agg(
+            F.sum(F.when(is_ret, qty).otherwise(F.lit(0))).alias("ret_qty"),
+            F.sum(qty).alias("qty"),
+            F.sum(F.when(is_ret, cents).otherwise(F.lit(0)))
+            .alias("ret_cents"),
+            # match the oracle exactly: sum the raw revenue first,
+            # round the TOTAL to cents (DuckDB renders the same)
+            F.round(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))) * 100)
+            .cast("bigint").alias("cents"),
+        )
+        .filter(F.col("qty") > 0)
+    )
+    qty_ratio = F.col("ret_qty").cast("double") / F.col("qty")
+    amt_ratio = F.col("ret_cents").cast("double") / F.col("cents")
+    wq = W.partitionBy("channel").orderBy(qty_ratio.desc(), F.col("item"))
+    wa = W.partitionBy("channel").orderBy(amt_ratio.desc(), F.col("item"))
+    return (
+        cells.select(
+            "channel", "item",
+            F.round(qty_ratio, 6).alias("qty_ratio"),
+            F.round(amt_ratio, 6).alias("amt_ratio"),
+            F.rank().over(wq).cast("bigint").alias("qty_rank"),
+            F.rank().over(wa).cast("bigint").alias("amt_rank"),
+        )
+        .filter((F.col("qty_rank") <= 10) | (F.col("amt_rank") <= 10))
+        .orderBy("channel", "qty_rank", "amt_rank", "item")
+    )
+
+
+@register(
+    "tpcds_cov_consecutive_months",
+    oracle=(
+        # Q39: per (item, month) demand mean/deviation; flag months
+        # whose coefficient of variation clears a threshold and pair
+        # each flagged month with its flagged SUCCESSOR month. The
+        # cov > 0.65 filter is decided in EXACT INTEGER arithmetic on
+        # the raw sums (the r12/r13 cross-multiplication discipline
+        # extended to second moments): var_samp > t^2 * mean^2
+        # <=> 400*n*(n*S2 - S1^2) > 169*(n-1)*S1^2 for t = 0.65,
+        # with S1 = sum(q), S2 = sum(q^2) as bigints — no float ever
+        # decides a row's membership; floats only render the report.
+        "WITH cells AS ("
+        "  SELECT l_partkey AS item, "
+        "    CAST(EXTRACT(year FROM l_shipdate) * 12 "
+        "      + EXTRACT(month FROM l_shipdate) AS BIGINT) AS m, "
+        "    COUNT(*) AS n, "
+        "    SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS s1, "
+        "    SUM(CAST(ROUND(l_quantity) AS BIGINT) "
+        "      * CAST(ROUND(l_quantity) AS BIGINT)) AS s2 "
+        "  FROM lineitem GROUP BY item, m HAVING COUNT(*) >= 2"
+        "), flagged AS ("
+        "  SELECT item, m, "
+        "    ROUND(SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE) "
+        "      / (n * (n - 1))) * n / s1, 4) AS cov "
+        "  FROM cells "
+        "  WHERE 400 * n * (n * s2 - s1 * s1) > 169 * (n - 1) * s1 * s1"
+        "), pairs AS ("
+        "  SELECT item, m, cov, "
+        "    LAG(m) OVER (PARTITION BY item ORDER BY m) AS prev_m, "
+        "    LAG(cov) OVER (PARTITION BY item ORDER BY m) AS prev_cov "
+        "  FROM flagged"
+        ") "
+        "SELECT item, prev_m AS m1, m AS m2, prev_cov AS cov1, cov AS cov2 "
+        "FROM pairs WHERE prev_m = m - 1 "
+        "ORDER BY item, m1"
+    ),
+)
+def tpcds_cov_consecutive_months(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """TPC-DS Q39 shape (staged r14) — DEMAND-VARIABILITY PAIRS: per
+    (item, month), the coefficient of variation of line quantities;
+    months clearing cov > 0.65 pair with their immediately-following
+    flagged month (Q39's two-self-join rendered as one LAG window over
+    the flagged cells).
+
+    The membership filter is EXACT: var_samp and mean² reduce to the
+    integer sums S1=Σq, S2=Σq² and the threshold comparison
+    cross-multiplies to ``400·n·(n·S2−S1²) > 169·(n−1)·S1²`` — the
+    r12 Q31 / r13 Q75 integer-ratio discipline extended to second
+    moments, so no float rounding ever decides which rows exist
+    (SQRT/division only RENDER the cov values, over identical integer
+    operands in both engines → identical IEEE doubles).
+
+    Plan shape: one fact pass partial-aggregates (COUNT/SUM/SUM-of-
+    squares all map-side combinable) to |item × month| cells; the
+    flag filter is cell-local; the LAG window partitions by item.
+    At 100 TB: one fact exchange, everything downstream cell-sized.
+    Reference scope: `ICEBERG-Interoperability-Test-Spec.md:43`."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_shipdate", "l_quantity",
+    )
+    q = F.round(F.col("l_quantity")).cast("bigint")
+    cells = (
+        li.groupBy(
+            F.col("l_partkey").alias("item"),
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+            .cast("bigint").alias("m"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(q).alias("s1"),
+            F.sum(q * q).alias("s2"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    var_num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    flagged = cells.filter(
+        400 * F.col("n") * var_num
+        > 169 * (F.col("n") - 1) * F.col("s1") * F.col("s1")
+    ).select(
+        "item", "m",
+        F.round(
+            F.sqrt(var_num.cast("double") / (F.col("n") * (F.col("n") - 1)))
+            * F.col("n") / F.col("s1"), 4
+        ).alias("cov"),
+    )
+    lagw = W.partitionBy("item").orderBy("m")
+    pairs = flagged.select(
+        "item", "m", "cov",
+        F.lag("m").over(lagw).alias("prev_m"),
+        F.lag("cov").over(lagw).alias("prev_cov"),
+    )
+    return (
+        pairs.filter(F.col("prev_m") == F.col("m") - 1)
+        .select(
+            "item",
+            F.col("prev_m").alias("m1"), F.col("m").alias("m2"),
+            F.col("prev_cov").alias("cov1"), F.col("cov").alias("cov2"),
+        )
+        .orderBy("item", "m1")
+    )

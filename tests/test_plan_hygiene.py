@@ -825,3 +825,28 @@ def test_tpcds_q75_single_scan_broadcast_netting(spark, oracle_sf_dir):
     assert len(li_scans) == 1, "one netted fact pass"
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tpcds_q49_dual_rank_single_fact_pass(spark, oracle_sf_dir):
+    """Q49 shape: both channels' return/sold sums come from ONE
+    conditional aggregate (Q49's per-channel UNION ALL subqueries each
+    re-scan the fact; here channel is a GROUP BY key), and both RANK
+    windows run over the cells."""
+    plan = _plan("tpcds_worst_return_ratios_dual_rank",
+                 spark, oracle_sf_dir)
+    final = plan.split("== Initial Plan ==")[0]
+    scans = [l for l in final.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 1, "one fact pass for both channels"
+    assert "SortMergeJoin" not in final
+
+
+def test_tpcds_q39_cov_pairs_single_fact_pass(spark, oracle_sf_dir):
+    """Q39 shape: COUNT/SUM/SUM-of-squares partial-aggregate in one
+    fact pass; the integer cov filter is cell-local; the successor
+    pairing is a LAG window per item — never a self-join that would
+    re-derive (and re-scan) the cells."""
+    plan = _plan("tpcds_cov_consecutive_months", spark, oracle_sf_dir)
+    final = plan.split("== Initial Plan ==")[0]
+    scans = [l for l in final.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 1, "one fact pass"
+    assert "Join" not in final, "successor pairing via LAG, not self-join"
