@@ -201,6 +201,26 @@ def _split_top(s: str, sep: str) -> list[str]:
     return parts
 
 
+def _nested_leaf_ddl(top_ddl: str, path: tuple) -> str | None:
+    """DDL of the struct LEAF at ``path`` inside ``top_ddl``, walking
+    only struct nesting (None when any step crosses a map/array or
+    names a missing field) — the resolver behind struct-leaf predicate
+    pruning (field names match case-insensitively, like Spark)."""
+    cur = top_ddl
+    for name in path:
+        key = cur.strip().lower()
+        if not (key.startswith("struct<") and key.endswith(">")):
+            return None
+        for item in _split_top(cur.strip()[7:-1], ","):
+            fname, sep, sub = item.partition(":")
+            if sep and fname.strip().strip("`").lower() == name.lower():
+                cur = sub.strip()
+                break
+        else:
+            return None
+    return cur
+
+
 def _arrow_type(ddl: str):
     import pyarrow as pa
 
@@ -1243,6 +1263,32 @@ class LakeTableBatchReader(DataSourceReader):
                 if col not in by_cur:
                     continue  # not a table column (shouldn't happen)
                 phys, default, ddl = by_cur[col]
+                if len(p.attribute) > 1:
+                    # struct-leaf predicate: stats key is the file's
+                    # dotted leaf path (top-level renames follow the
+                    # field-id projection; leaf names never rename).
+                    # PRUNE-ONLY — never an Arrow row filter.
+                    if phys is None:
+                        # struct column added after this file: every
+                        # row reads the declared default. A NULL (or
+                        # absent-leaf) default can never satisfy a
+                        # comparison predicate → skip the whole file;
+                        # any non-null default keeps it (conservative).
+                        leaf_default = default
+                        for step in p.attribute[1:]:
+                            if not isinstance(leaf_default, dict):
+                                leaf_default = None
+                                break
+                            leaf_default = leaf_default.get(step)
+                        if not _value_matches(leaf_default, p):
+                            keep = False
+                            break
+                        continue
+                    dotted = ".".join((phys,) + tuple(p.attribute[1:]))
+                    if not self._stats_may_match(stats, dotted, p):
+                        keep = False
+                        break
+                    continue
                 if phys is None:
                     # column added after this file was written → every
                     # row reads as the declared default (or NULL): the
@@ -1326,7 +1372,30 @@ class LakeTablePushdownBatchReader(LakeTableBatchReader):
         }
         self.preds = []
         for f in filters:
-            if not (isinstance(f, pushable) and len(f.attribute) == 1):
+            if not isinstance(f, pushable):
+                continue
+            if len(f.attribute) > 1:
+                # STRUCT-LEAF predicates (r13): Spark delivers nested
+                # column paths (("meta","n")), and the writers record
+                # dotted footer stats ("meta.n") — so struct-leaf
+                # predicates prune whole files, PRUNE-ONLY (no Arrow
+                # row filter — pq.read_table filters address flat
+                # columns only; Spark re-applies the predicate). Gated
+                # to int/string leaves, the two types whose stats
+                # comparisons are exact (the float/temporal caveats
+                # above apply unchanged, so those leaves never push).
+                top = ddl_of.get(f.attribute[0])
+                leaf = _nested_leaf_ddl(top, f.attribute[1:]) if top else None
+                leaf = leaf.strip().lower() if leaf else None
+                vals = list(f.value) if isinstance(f, In) else [f.value]
+                if bool(vals) and (
+                    (leaf in self._PUSH_DDL_INT and all(
+                        isinstance(v, int) and not isinstance(v, bool)
+                        for v in vals))
+                    or (leaf == "string"
+                        and all(isinstance(v, str) for v in vals))
+                ):
+                    self.preds.append(f)
                 continue
             ddl = ddl_of.get(f.attribute[0])
             vals = list(f.value) if isinstance(f, In) else [f.value]

@@ -289,3 +289,64 @@ def test_cow_changelog_struct_netting_multi_bucket_null_leaf(spark, tmp_path):
     # rows 1 and 2 carried over and must cancel ACROSS buckets; only
     # the deleted null-struct row surfaces
     assert snap2 == [("delete", 3)]
+
+
+def test_struct_leaf_predicate_prunes_files(spark, tmp_path):
+    """Struct-leaf predicate pushdown (r13): Spark delivers nested
+    column paths to the Python source, the writers record dotted
+    footer stats ("meta.n"), and the planner prunes whole files on
+    them — PRUNE-ONLY (never an Arrow row filter), int/string leaves
+    only, with the same adopted semantics as the JVM scan path."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+    from pyspark.sql.types import StructType
+
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        LakeTableDataSource,
+    )
+
+    register_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint")
+    t.append(spark.range(0, 5).toDF("k").repartition(1))
+    t.add_column("meta", "struct<lang:string,n:bigint,w:double>")
+    ddl = "k bigint, meta struct<lang:string,n:bigint,w:double>"
+    for lo, lang in ((100, "en"), (200, "fr"), (300, "de")):
+        t.append(spark.createDataFrame(
+            [(lo + i, (lang, lo + i, 0.5)) for i in range(5)], ddl
+        ).repartition(1))
+
+    ds = LakeTableDataSource(
+        options={"path": t.path, "filter-pushdown": "true"}
+    )
+    schema = StructType.fromDDL(ddl)
+
+    def plan(*filters):
+        r = ds.reader(schema)
+        r.pushFilters(list(filters))
+        return r.partitions()
+
+    assert len(plan()) == 4
+    # int leaf range: only the n>=300 file (+ never the pre-struct
+    # file: its NULL default can't satisfy a comparison)
+    assert len(plan(GreaterThan(("meta", "n"), 299))) == 1
+    # string leaf equality: one lang per file
+    assert len(plan(EqualTo(("meta", "lang"), "fr"))) == 1
+    # FLOAT leaf: not admitted (stats comparison is not exact) — no
+    # pruning, all four files planned
+    assert len(plan(EqualTo(("meta", "w"), 0.5))) == 4
+    # prune-only: the struct-leaf predicate must never become an
+    # Arrow row filter
+    r = ds.reader(schema)
+    r.pushFilters([GreaterThan(("meta", "n"), 299)])
+    (part,) = r.partitions()
+    assert part.filters is None
+
+    # end-to-end under the conf gate: same answer, pruning engaged
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        df = (spark.read.format("laketable").option("path", t.path)
+              .option("filter-pushdown", "true").load()
+              .filter("meta.n > 299 AND meta.lang = 'de'"))
+        assert sorted(r["k"] for r in df.collect()) == [300, 301, 302,
+                                                        303, 304]
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
