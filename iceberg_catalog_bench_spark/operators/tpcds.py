@@ -2018,8 +2018,8 @@ def tpcds_brand_decline_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "    SUM(CASE WHEN l_returnflag = 'R' THEN "
         "      CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) "
         "      ELSE 0 END) AS ret_cents, "
-        "    CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) "
-        "      AS BIGINT) AS cents "
+        "    SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
+        "      AS BIGINT)) AS cents "
         "  FROM lineitem GROUP BY channel, item HAVING SUM(l_quantity) > 0"
         "), ranked AS ("
         "  SELECT channel, item, "
@@ -2078,11 +2078,11 @@ def tpcds_worst_return_ratios_dual_rank(spark: SparkSession,
             F.sum(qty).alias("qty"),
             F.sum(F.when(is_ret, cents).otherwise(F.lit(0)))
             .alias("ret_cents"),
-            # match the oracle exactly: sum the raw revenue first,
-            # round the TOTAL to cents (DuckDB renders the same)
-            F.round(F.sum(F.col("l_extendedprice")
-                          * (1 - F.col("l_discount"))) * 100)
-            .cast("bigint").alias("cents"),
+            # per-row exact cents then integer SUM — the repo's
+            # established idiom; rounding a float TOTAL to cents is
+            # order-dependent (partial-agg order can land a half-cent
+            # on either side between engines, review-caught)
+            F.sum(cents).alias("cents"),
         )
         .filter(F.col("qty") > 0)
     )
@@ -2155,7 +2155,11 @@ def tpcds_cov_consecutive_months(spark: SparkSession,
     r12 Q31 / r13 Q75 integer-ratio discipline extended to second
     moments, so no float rounding ever decides which rows exist
     (SQRT/division only RENDER the cov values, over identical integer
-    operands in both engines → identical IEEE doubles).
+    operands in both engines → identical IEEE doubles). The
+    comparison itself runs in decimal(38,0) on the Spark side and
+    HUGEINT on DuckDB's (its SUM(BIGINT) widens automatically): the
+    cubic products pass 2^63 at ~25k rows per (item, month) cell, and
+    Spark's bigint would WRAP silently there.
 
     Plan shape: one fact pass partial-aggregates (COUNT/SUM/SUM-of-
     squares all map-side combinable) to |item × month| cells; the
@@ -2181,10 +2185,19 @@ def tpcds_cov_consecutive_months(spark: SparkSession,
         )
         .filter(F.col("n") >= 2)
     )
+    # the membership comparison runs in decimal(38,0) — Spark's
+    # bigint arithmetic WRAPS silently (non-ANSI) while DuckDB's
+    # SUM(BIGINT) is HUGEINT; the cubic-in-n products exceed 2^63
+    # once a cell holds ~25k rows, well inside the operator's 100 TB
+    # contract (review-caught). decimal(38,0) is exact to 1e38 ≈
+    # n ~ 1e10 rows per cell on both engines.
+    n_d = F.col("n").cast("decimal(38,0)")
+    s1_d = F.col("s1").cast("decimal(38,0)")
+    s2_d = F.col("s2").cast("decimal(38,0)")
     var_num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
     flagged = cells.filter(
-        400 * F.col("n") * var_num
-        > 169 * (F.col("n") - 1) * F.col("s1") * F.col("s1")
+        F.lit(400).cast("decimal(38,0)") * n_d * (n_d * s2_d - s1_d * s1_d)
+        > F.lit(169).cast("decimal(38,0)") * (n_d - 1) * s1_d * s1_d
     ).select(
         "item", "m",
         F.round(

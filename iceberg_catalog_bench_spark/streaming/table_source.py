@@ -604,22 +604,27 @@ def _read_cow_net(partition: _CowNetPartition) -> Iterator:
                 # combined multi-bucket feed stays exactly the
                 # single-bucket feed.
                 df = tbl.to_pandas()
-                for c in df.columns:
-                    if df[c].dtype.kind in "iu":
-                        # pandas promotes an integer column to float64
-                        # only when THAT FILE holds a null in it, and
-                        # hash_pandas_object hashes int64 5 and float64
-                        # 5.0 differently — the same logical row would
-                        # bucket differently per file and fail to
-                        # cancel (review-caught; struct flatten's
-                        # parent-null propagation makes null leaves
-                        # routine). Hash every integer column as
-                        # float64 on EVERY file: bucketing needs
-                        # consistency, not injectivity (a >2^53
-                        # collision just co-locates two rows).
+                # dtype canonicalization is driven by the ARROW types,
+                # not pandas dtypes: pandas promotes a null-bearing
+                # int64 column to float64 and a null-bearing bool
+                # column to object — per FILE — and hash_pandas_object
+                # hashes int64 5 / float64 5.0 (and bool True / object
+                # True) differently, so the same logical carried-over
+                # row would bucket differently in the old vs new file
+                # and fail to cancel (review-caught; struct flatten's
+                # parent-null propagation makes null leaves routine).
+                # Hash every int/bool column as float64 on EVERY file:
+                # bucketing needs consistency, not injectivity (a
+                # >2^53 collision just co-locates two rows). Fresh
+                # float64 from ints/bools can't hold -0.0 or a stray
+                # NaN payload, so only NATIVE float columns pay the
+                # canonicalization copy.
+                for field in tbl.schema:
+                    c = field.name
+                    if pa.types.is_integer(field.type) or \
+                            pa.types.is_boolean(field.type):
                         df[c] = df[c].astype("float64")
-                for c in df.columns:
-                    if df[c].dtype.kind == "f":
+                    elif pa.types.is_floating(field.type):
                         a = df[c].to_numpy(copy=True)
                         a += 0.0  # folds -0.0 into +0.0
                         a[np.isnan(a)] = np.nan  # one canonical NaN

@@ -258,18 +258,19 @@ def test_arrow_type_decimal_inside_struct_and_map():
 def test_cow_changelog_struct_netting_multi_bucket_null_leaf(spark, tmp_path):
     """Review-caught dtype hazard: with cdc-cow-buckets > 1, a file
     holding a null in an integer struct leaf converts that pandas
-    column to float64 while a null-free file keeps int64 — without
+    column to float64 while a null-free file keeps int64 (and a
+    null-bearing BOOLEAN column flips to object dtype) — without
     dtype canonicalization the SAME carried-over row hashes to
     different buckets per file and surfaces as a spurious -D/+I pair.
-    The delete of the null-struct row makes the NEW file null-free
-    while the old file still carries the null."""
+    The delete of the null-struct/null-flag row makes the NEW file
+    null-free while the old file still carries the nulls."""
     register_source(spark)
     t = LakeTable.create(
         spark, str(tmp_path / "t"),
-        "k bigint, meta struct<lang:string,n:bigint>")
+        "k bigint, meta struct<lang:string,n:bigint>, flag boolean")
     t.append(spark.createDataFrame(
-        [(1, ("en", 5)), (2, ("fr", 7)), (3, None)],
-        "k bigint, meta struct<lang:string,n:bigint>"))
+        [(1, ("en", 5), True), (2, ("fr", 7), False), (3, None, None)],
+        "k bigint, meta struct<lang:string,n:bigint>, flag boolean"))
     t.delete_where("k = 3", mode="copy-on-write")
     sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
     q = (
