@@ -171,6 +171,7 @@ def main() -> None:
     results: dict[str, float] = {}
     metrics: dict[str, dict] = {}
     pm = PhaseMetrics(spark)
+    run_busy0, run_steal0 = pm._cpu_jiffies()
 
     def phase_once(name: str, fn) -> None:
         results[name], metrics[name] = pm.measure(lambda: timed(fn))
@@ -645,6 +646,13 @@ def main() -> None:
     # CPU-bound synthetic work drifts differently (0.67x) than the
     # overhead-carrying real phases (median 0.84x), and dividing by it
     # overcorrects every phase by the gap.
+    # whole-run host CPU steal (r13): the one-glance host-health
+    # number on the record's final line; per-phase values in the
+    # sidecar
+    run_busy1, run_steal1 = pm._cpu_jiffies()
+    d_busy, d_steal = run_busy1 - run_busy0, run_steal1 - run_steal0
+    run_steal = (round(100.0 * d_steal / (d_busy + d_steal), 1)
+                 if d_busy + d_steal > 0 else None)
     calib_ratio = None
     drift = None
     normalized: dict[str, float] = {}
@@ -685,6 +693,7 @@ def main() -> None:
         "cpus": CPUS,
         **({"calib_ratio": round(calib_ratio, 3)} if calib_ratio else {}),
         **({"drift": round(drift, 3)} if drift else {}),
+        **({"steal_pct": run_steal} if run_steal is not None else {}),
     }))
 
 
