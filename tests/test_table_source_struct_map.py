@@ -351,3 +351,52 @@ def test_struct_leaf_predicate_prunes_files(spark, tmp_path):
                                                         303, 304]
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+
+
+def test_nested_leaf_ddl_resolver_units():
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        _nested_leaf_ddl,
+    )
+
+    t = "struct<lang:string,n:bigint,inner:struct<d:decimal(10,2)>>"
+    assert _nested_leaf_ddl(t, ("n",)) == "bigint"
+    assert _nested_leaf_ddl(t, ("LANG",)) == "string"  # case-insensitive
+    assert _nested_leaf_ddl(t, ("inner", "d")) == "decimal(10,2)"
+    assert _nested_leaf_ddl(t, ("missing",)) is None
+    assert _nested_leaf_ddl(t, ("n", "deeper")) is None  # past a leaf
+    assert _nested_leaf_ddl("map<string,int>", ("k",)) is None  # not struct
+    assert _nested_leaf_ddl("array<struct<a:int>>", ("a",)) is None
+
+
+def test_struct_leaf_prune_nonnull_default(spark, tmp_path):
+    """A struct column added WITH a non-null default: pre-struct files
+    are kept or pruned by evaluating the predicate against the
+    default's LEAF value."""
+    from pyspark.sql.datasource import EqualTo
+    from pyspark.sql.types import StructType
+
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        LakeTableDataSource,
+    )
+
+    register_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint")
+    t.append(spark.range(0, 3).toDF("k").repartition(1))
+    t.add_column("meta", "struct<lang:string,n:bigint>",
+                 default={"lang": "xx", "n": 0})
+    ddl = "k bigint, meta struct<lang:string,n:bigint>"
+    t.append(spark.createDataFrame([(10, ("en", 5))], ddl).repartition(1))
+    ds = LakeTableDataSource(
+        options={"path": t.path, "filter-pushdown": "true"}
+    )
+    schema = StructType.fromDDL(ddl)
+
+    def plan(*filters):
+        r = ds.reader(schema)
+        r.pushFilters(list(filters))
+        return r.partitions()
+
+    # default lang='xx' matches the pre-struct file; 'en' only the new
+    assert len(plan(EqualTo(("meta", "lang"), "xx"))) == 1
+    assert len(plan(EqualTo(("meta", "lang"), "en"))) == 1
+    assert len(plan()) == 2
