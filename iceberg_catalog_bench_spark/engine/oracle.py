@@ -74,6 +74,33 @@ def _values_equal(a, b) -> bool:
     return str(a) == str(b)
 
 
+def _dtype_kind_errors(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """The driver's hash is TYPE-sensitive: an int64 34105 on the Spark
+    side vs a float64 34105.0 on the oracle side (DuckDB HUGEINT →
+    fetchdf float64) hashes red even though every value compares equal
+    under the float coercion in ``_values_equal`` — the exact r13
+    ``tpcds_brand_decline_yoy`` failure. Mirror that strictness: a
+    column whose dtype KIND differs (integer vs float vs bool) between
+    the frames is an error before any value compare. Nulls force pandas
+    to widen int → float/object on EITHER side while the driver's
+    arrow-level types can still agree, so a kind mismatch is only
+    conclusive when neither column holds nulls."""
+    errs: list[str] = []
+    for c in sorted(sdf.columns):
+        sk, ok = sdf[c].dtype.kind, odf[c].dtype.kind
+        if sk == ok or {sk, ok} <= {"i", "u"}:
+            continue
+        if sdf[c].isna().any() or odf[c].isna().any():
+            continue
+        if {sk, ok} & {"i", "u", "f", "b"}:
+            errs.append(
+                f"dtype kind differs for col {c}: spark={sdf[c].dtype} "
+                f"oracle={odf[c].dtype} (driver hash is type-sensitive; "
+                f"CAST the oracle or align the Spark type)"
+            )
+    return errs
+
+
 def compare(name: str, spark: SparkSession, sf_dir: str) -> ParityResult:
     from ..operators import registry
 
@@ -97,6 +124,9 @@ def compare(name: str, spark: SparkSession, sf_dir: str) -> ParityResult:
     if not errors:
         sdf.columns = [c.lower() for c in sdf.columns]
         odf.columns = [c.lower() for c in odf.columns]
+        errors.extend(_dtype_kind_errors(sdf, odf))
+        if errors:
+            return ParityResult(name, False, len(sdf), len(odf), errors)
         a, b = _normalize(sdf), _normalize(odf)
         for i in range(len(a)):
             for c in a.columns:

@@ -1922,7 +1922,14 @@ def tpcds_item_day_channel_crossover(spark: SparkSession,
         "    LAG(yr) OVER (PARTITION BY brand ORDER BY yr) AS prev_yr "
         "  FROM cells"
         ") "
-        "SELECT brand, prev_yr, yr, prev_qty, net_qty AS curr_qty, "
+        # CAST both quantity projections: DuckDB widens SUM(BIGINT) to
+        # HUGEINT, which fetchdf() renders as float64 — the driver's
+        # type-sensitive hash then sees 34105.0 vs Spark's int64 34105
+        # (the exact r13 red row; qty_diff below already carried the
+        # cast, which is why it alone matched).
+        "SELECT brand, prev_yr, yr, "
+        "  CAST(prev_qty AS BIGINT) AS prev_qty, "
+        "  CAST(net_qty AS BIGINT) AS curr_qty, "
         "  CAST(net_qty - prev_qty AS BIGINT) AS qty_diff, "
         "  ROUND((net_cents - prev_cents) / 100.0, 2) AS revenue_diff "
         "FROM pairs "
