@@ -2201,15 +2201,20 @@ def tpcds_cov_consecutive_months(spark: SparkSession,
     n_d = F.col("n").cast("decimal(38,0)")
     s1_d = F.col("s1").cast("decimal(38,0)")
     s2_d = F.col("s2").cast("decimal(38,0)")
-    var_num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    # The RENDER shares the decimal operands with the membership filter
+    # (ADVICE r13): n·S2−S1² in bigint wraps silently past ~6e7 rows
+    # per cell while the filter (decimal) and DuckDB (HUGEINT) stay
+    # exact — the rendered cov would diverge at scale even though row
+    # membership matched. Same for the n·(n−1) denominator (~3e9 rows).
+    var_num = (n_d * s2_d - s1_d * s1_d).cast("double")
+    var_den = (n_d * (n_d - F.lit(1))).cast("double")
     flagged = cells.filter(
         F.lit(400).cast("decimal(38,0)") * n_d * (n_d * s2_d - s1_d * s1_d)
         > F.lit(169).cast("decimal(38,0)") * (n_d - 1) * s1_d * s1_d
     ).select(
         "item", "m",
         F.round(
-            F.sqrt(var_num.cast("double") / (F.col("n") * (F.col("n") - 1)))
-            * F.col("n") / F.col("s1"), 4
+            F.sqrt(var_num / var_den) * F.col("n") / F.col("s1"), 4
         ).alias("cov"),
     )
     lagw = W.partitionBy("item").orderBy("m")

@@ -185,18 +185,24 @@ def _split_top(s: str, sep: str) -> list[str]:
     tokenizer. Tracks BOTH angle brackets and parentheses: commas
     inside ``struct<...>``/``map<...>`` AND inside ``decimal(p,s)``
     never split (review-caught: ``struct<a:decimal(10,2)>`` split on
-    the decimal's comma)."""
+    the decimal's comma). Unbalanced brackets raise — a malformed DDL
+    like ``struct<a:int>>`` must fail at parse time, not misparse into
+    a skewed nested type (ADVICE r13)."""
     parts, depth, cur = [], 0, []
     for ch in s:
         if ch in "<(":
             depth += 1
         elif ch in ">)":
             depth -= 1
+            if depth < 0:
+                raise ValueError(f"unbalanced brackets in DDL fragment: {s!r}")
         if ch == sep and depth == 0:
             parts.append("".join(cur))
             cur = []
         else:
             cur.append(ch)
+    if depth != 0:
+        raise ValueError(f"unbalanced brackets in DDL fragment: {s!r}")
     parts.append("".join(cur))
     return parts
 
@@ -514,6 +520,117 @@ def _read_pos_delete(partition: _PosDeletePartition) -> Iterator:
     yield from out.to_batches(max_chunksize=1 << 16)
 
 
+def _canon_map_cols(col):
+    """Canonical group-by key for a MAP column (r14): maps have no
+    hashable netting key (two logically-equal maps may store entries in
+    any order), so render each row as a DETERMINISTIC string — entries
+    sorted by key, each encoded length-prefixed (``klen:key vlen:val``)
+    so the rendering is injective even when keys/values contain the
+    separators — plus a validity bit that keeps a NULL map distinct
+    from an empty map (both join to ""). Fully vectorized: the map is
+    viewed as its physical ``list<struct<key,value>>`` layout
+    (``list_value_length`` has no map kernel in pyarrow 16), entries
+    are ordered by one numpy lexsort over (row, key), and the per-row
+    join is Arrow ``binary_join``. Float values canonicalize -0.0 → 0.0
+    and NaN payloads to one NaN WITHOUT merging NaN into NULL (NULL
+    value and NaN value stay distinct groups).
+
+    Returns ``(validity BooleanArray, canonical StringArray)``."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    valid = pc.is_valid(col)
+    as_list = col.view(pa.list_(pa.struct(
+        [("key", col.type.key_type), ("value", col.type.item_type)]
+    )))
+    sizes = (pc.list_value_length(as_list).fill_null(0)
+             .to_numpy(zero_copy_only=False).astype("int64"))
+    ent = as_list.flatten()
+    keys, vals = ent.field(0), ent.field(1)
+    row_id = np.repeat(np.arange(len(col), dtype="int64"), sizes)
+    if len(row_id):
+        order = np.lexsort((keys.to_pandas().to_numpy(), row_id))
+        keys, vals = keys.take(pa.array(order)), vals.take(pa.array(order))
+    if pa.types.is_floating(vals.type):
+        nulls = pc.is_null(vals)
+        a = vals.to_numpy(zero_copy_only=False).copy()
+        a += 0.0  # folds -0.0 into +0.0
+        a[np.isnan(a)] = np.nan  # one canonical NaN bit pattern
+        vals = pc.if_else(nulls, pa.scalar(None, type=vals.type),
+                          pa.array(a, type=vals.type))
+    ks = pc.cast(keys, pa.string())
+    vs = pc.cast(vals, pa.string())
+    klen = pc.cast(pc.utf8_length(ks), pa.string())
+    # NULL value → vlen '~' (no stringified value has that length
+    # marker), so a null value never collides with any real value
+    vlen = pc.cast(pc.utf8_length(vs), pa.string()).fill_null("~")
+    entry = pc.binary_join_element_wise(
+        klen, ks, vlen, vs.fill_null(""), ":",
+        null_handling="replace", null_replacement="",
+    )
+    off = np.concatenate([[0], np.cumsum(sizes)])
+    lst = pa.LargeListArray.from_arrays(pa.array(off, type=pa.int64()),
+                                        entry)
+    return valid, pc.binary_join(lst, ";")
+
+
+# reserved suffixes for expanded netting columns (NUL can't appear in
+# real field names): struct validity / map canonical bytes / raw
+# passthrough (never a group-by key; rebuilt via representative row)
+_X_VALID = "\x00\x00"
+_X_BYTES = "\x00\x01"
+_X_RAW = "\x00\x02"
+
+# primitive DDL types a map entry can render canonically: keys must
+# stringify deterministically AND order deterministically under the
+# lexsort (floats excluded as keys — NaN/-0.0 break total order);
+# values additionally allow floats (canonicalized before rendering)
+_NET_MAP_KEY_PRIMS = frozenset({
+    "int", "integer", "bigint", "long", "smallint", "short", "tinyint",
+    "byte", "string", "varchar", "char", "boolean", "date",
+    "timestamp", "timestamp_ntz",
+})
+_NET_MAP_VAL_EXTRA = frozenset({"double", "float", "real"})
+
+
+def _net_unkeyable_reason(ddl: str) -> str | None:
+    """Why a column of type ``ddl`` cannot be a cow-changelog netting
+    key (None when it can). Arrays refuse anywhere; top-level maps net
+    when key AND value are canonicalizable primitives (r14); structs
+    recurse but refuse map/array leaves (the leaf-flatten rebuild has
+    no raw-passthrough for nested-in-struct)."""
+    t = ddl.strip()
+    k = t.lower()
+    if k.startswith("array<"):
+        return "array values have no hashable netting key"
+    if k.startswith("map<") and k.endswith(">"):
+        kv = _split_top(t[4:-1], ",")
+        if len(kv) != 2:
+            return "malformed map type"
+        kk, vv = kv[0].strip().lower(), kv[1].strip().lower()
+        if not (kk in _NET_MAP_KEY_PRIMS or kk.startswith("decimal")):
+            return f"map key type {kv[0].strip()!r} not canonicalizable"
+        if not (vv in _NET_MAP_KEY_PRIMS or vv in _NET_MAP_VAL_EXTRA
+                or vv.startswith("decimal")):
+            return f"map value type {kv[1].strip()!r} not canonicalizable"
+        return None
+    if k.startswith("struct<") and k.endswith(">"):
+        for item in _split_top(t[7:-1], ","):
+            name, sep, sub = item.partition(":")
+            if not sep:
+                continue
+            sk = sub.strip().lower()
+            if sk.startswith("map<") or sk.startswith("array<"):
+                return (f"map/array inside struct field "
+                        f"{name.strip().strip('`')!r}")
+            reason = _net_unkeyable_reason(sub)
+            if reason:
+                return reason
+        return None
+    return None
+
+
 def _read_cow_net(partition: _CowNetPartition) -> Iterator:
     """Net a copy-on-write commit's row changes for one hash bucket,
     fully vectorized: concatenate the removed files' rows (sign +1)
@@ -534,6 +651,8 @@ def _read_cow_net(partition: _CowNetPartition) -> Iterator:
         [pa.field(n, _arrow_type(t)) for n, t in partition.out_cols]
     )
     has_struct = any(pa.types.is_struct(f.type) for f in schema)
+    has_map = any(pa.types.is_map(f.type) for f in schema)
+    has_nested = has_struct or has_map
 
     # STRUCT columns (r13): Arrow's hash group-by can't key on struct
     # values, but a struct IS its leaves plus a validity bit — so
@@ -549,9 +668,18 @@ def _read_cow_net(partition: _CowNetPartition) -> Iterator:
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         if pa.types.is_struct(col.type):
-            out.append((prefix + "\x00\x00", pc.is_valid(col)))
+            out.append((prefix + _X_VALID, pc.is_valid(col)))
             for f, kid in zip(col.type, col.flatten()):
                 _expand_col(kid, prefix + "\x00" + f.name, out)
+        elif pa.types.is_map(col.type):
+            # MAP columns (r14): group-by keys are the validity bit +
+            # the canonical entry rendering; the raw map rides along
+            # (never a key) so output rows rebuild exactly via a
+            # representative-row take — no parse-back of the bytes.
+            valid, joined = _canon_map_cols(col)
+            out.append((prefix + _X_VALID, valid))
+            out.append((prefix + _X_BYTES, joined))
+            out.append((prefix + _X_RAW, col))
         else:
             out.append((prefix, col))
 
@@ -559,27 +687,43 @@ def _read_cow_net(partition: _CowNetPartition) -> Iterator:
         cols: list = []
         for n in tbl.column_names:
             _expand_col(tbl.column(n), n, cols)
+        # Duplicate struct field names (Spark DDL parses them) would
+        # collapse inside dict() and net on a PARTIAL key — fail loudly
+        # instead of silently losing a key column (ADVICE r13).
+        names = [n for n, _ in cols]
+        if len(set(names)) != len(names):
+            dupes = sorted({n for n in names if names.count(n) > 1})
+            raise ValueError(
+                "duplicate expanded column names in struct netting key: "
+                f"{[d.replace(chr(0), '.') for d in dupes]}"
+            )
         return pa.table(dict(cols))
 
-    def _rebuild_col(typ, prefix: str, getcol):
+    def _rebuild_col(typ, prefix: str, getcol, refs):
         if pa.types.is_struct(typ):
-            valid = getcol(prefix + "\x00\x00")
+            valid = getcol(prefix + _X_VALID)
             children = [
-                _rebuild_col(f.type, prefix + "\x00" + f.name, getcol)
+                _rebuild_col(f.type, prefix + "\x00" + f.name, getcol, refs)
                 for f in typ
             ]
             return pa.StructArray.from_arrays(
                 children, fields=list(typ), mask=pc.invert(valid)
             )
+        if pa.types.is_map(typ):
+            # rebuild from the representative row's raw map (allt is
+            # the concatenated sides table; refs index into it)
+            c = allt.column(prefix + _X_RAW).take(refs)
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
         return getcol(prefix)
 
-    def _rebuild(net_tbl):
+    def _rebuild(net_tbl, refs=None):
         def getcol(n):
             c = net_tbl.column(n)
             return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
 
         return pa.table(
-            {f.name: _rebuild_col(f.type, f.name, getcol) for f in schema}
+            {f.name: _rebuild_col(f.type, f.name, getcol, refs)
+             for f in schema}
         )
 
     def side(files: list[tuple[str, list]], sign: int) -> list:
@@ -588,7 +732,7 @@ def _read_cow_net(partition: _CowNetPartition) -> Iterator:
             physical = [p for _, _, p, _d in proj if p is not None]
             tbl = _project(pq.read_table(abs_path, columns=physical), proj)
             tbl = tbl.cast(schema)
-            if has_struct:
+            if has_nested:
                 tbl = _expand(tbl)
             if partition.nbuckets > 1:
                 import pandas as pd
@@ -603,7 +747,14 @@ def _read_cow_net(partition: _CowNetPartition) -> Iterator:
                 # see spurious -D/+I pairs under nbuckets>1); the
                 # combined multi-bucket feed stays exactly the
                 # single-bucket feed.
-                df = tbl.to_pandas()
+                # raw map passthrough columns are NOT hashed: the
+                # canonical bytes + validity key columns already
+                # determine the map value, and pandas can't hash
+                # object-of-list map cells anyway
+                hash_tbl = tbl.drop_columns(
+                    [n for n in tbl.column_names if n.endswith(_X_RAW)]
+                ) if has_map else tbl
+                df = hash_tbl.to_pandas()
                 # dtype canonicalization is driven by the ARROW types,
                 # not pandas dtypes: pandas promotes a null-bearing
                 # int64 column to float64 and a null-bearing bool
@@ -619,7 +770,7 @@ def _read_cow_net(partition: _CowNetPartition) -> Iterator:
                 # float64 from ints/bools can't hold -0.0 or a stray
                 # NaN payload, so only NATIVE float columns pay the
                 # canonicalization copy.
-                for field in tbl.schema:
+                for field in hash_tbl.schema:
                     c = field.name
                     if pa.types.is_integer(field.type) or \
                             pa.types.is_boolean(field.type):
@@ -641,12 +792,23 @@ def _read_cow_net(partition: _CowNetPartition) -> Iterator:
     sides = side(partition.old_files, +1) + side(partition.new_files, -1)
     if not sides:
         return
-    key_names = (
-        _expand(schema.empty_table()).column_names if has_struct else names
-    )
-    net = pa.TableGroupBy(pa.concat_tables(sides), key_names).aggregate(
-        [("_sign", "sum")]
-    )
+    key_names = names
+    if has_nested:
+        key_names = [
+            n for n in _expand(schema.empty_table()).column_names
+            if not n.endswith(_X_RAW)
+        ]
+    allt = pa.concat_tables(sides)
+    aggs = [("_sign", "sum")]
+    if has_map:
+        # a representative ROW index per group: every row in a group is
+        # logically equal on all columns (the keys canonicalize every
+        # column), so any member's raw map rebuilds the output exactly
+        allt = allt.append_column(
+            "_rowref", pa.array(np.arange(len(allt), dtype="int64"))
+        )
+        aggs.append(("_rowref", "min"))
+    net = pa.TableGroupBy(allt, key_names).aggregate(aggs)
     counts = net.column("_sign_sum").to_numpy(zero_copy_only=False)
     for change, reps in (
         ("delete", np.clip(counts, 0, None)),
@@ -654,9 +816,12 @@ def _read_cow_net(partition: _CowNetPartition) -> Iterator:
     ):
         if reps.sum() == 0:
             continue
-        out = net.select(key_names).take(np.repeat(np.arange(len(net)), reps))
-        if has_struct:
-            out = _rebuild(out)
+        rep_idx = np.repeat(np.arange(len(net)), reps)
+        out = net.select(key_names).take(rep_idx)
+        if has_nested:
+            refs = (net.column("_rowref_min").take(rep_idx)
+                    if has_map else None)
+            out = _rebuild(out, refs)
         n = len(out)
         out = out.append_column(
             "_change_type", pa.array([change] * n, type=pa.string())
@@ -1120,21 +1285,22 @@ class LakeTableStreamReader(DataSourceStreamReader):
         cur = meta["schemas"][str(meta["current_schema_version"])]
         out_cols = [(f["name"], f["type"]) for f in cur]
         unkeyable = [
-            n for n, t in out_cols
-            if "array<" in t.lower() or "map<" in t.lower()
+            f"{n} ({reason})" for n, t in out_cols
+            for reason in [_net_unkeyable_reason(t)] if reason
         ]
         if unkeyable:
             # netting group-bys over EVERY column; Arrow's hash
             # group-by (and pandas' row hash) cannot key on list
-            # values, and map values have no canonical entry order
-            # (two logically-equal maps may serialize differently) —
-            # refuse at planning time rather than failing (or, worse,
-            # mis-bucketing) executor-side. STRUCT columns are fine
-            # (r13): workers flatten them to leaf columns + a validity
-            # bit for the group-by and rebuild after. The batch
-            # changelog() nets arrays too (JVM exceptAll).
+            # values — refuse at planning time rather than failing
+            # (or, worse, mis-bucketing) executor-side. STRUCT columns
+            # net via leaf-flatten + validity bit (r13); TOP-LEVEL MAP
+            # columns with primitive key/value net via a canonical
+            # sorted-entry rendering + validity bit (r14). What's left
+            # refused: arrays anywhere, map/array INSIDE a struct, and
+            # maps with nested/binary/float-keyed entries. The batch
+            # changelog() nets all of those too (JVM exceptAll).
             raise NotImplementedError(
-                f"cow-changelog netting cannot key on array/map columns "
+                f"cow-changelog netting cannot key on columns "
                 f"{unkeyable}; use LakeTable.changelog() for this range"
             )
         old_by_path = {f["path"]: f for f in parent.get("files", [])}
@@ -1193,7 +1359,14 @@ class LakeTableBatchReader(DataSourceReader):
         path's stat normalization because pushFilters only admits
         int/str literals on int/string columns."""
         if phys not in stats:
-            return True
+            # the pushdown gate resolves leaf names case-insensitively
+            # (like Spark); a dotted stats key cased differently from
+            # the pushed attribute must still prune when it matches
+            # exactly one recorded key (ADVICE r14 follow-through)
+            hits = [k for k in stats if k.lower() == phys.lower()]
+            if len(hits) != 1:
+                return True
+            phys = hits[0]
         lo, hi = stats[phys]
         if lo != lo or hi != hi:  # NaN-poisoned stats prove nothing
             return True
@@ -1279,13 +1452,35 @@ class LakeTableBatchReader(DataSourceReader):
                         # absent-leaf) default can never satisfy a
                         # comparison predicate → skip the whole file;
                         # any non-null default keeps it (conservative).
+                        # Resolve each step CASE-INSENSITIVELY, like
+                        # the pushdown gate (_nested_leaf_ddl) that
+                        # admitted this predicate — a casing divergence
+                        # between the pushed attribute and the stored
+                        # default keys must not prune a file whose
+                        # non-null default could match (ADVICE r13).
                         leaf_default = default
+                        ambiguous = False
                         for step in p.attribute[1:]:
                             if not isinstance(leaf_default, dict):
                                 leaf_default = None
                                 break
-                            leaf_default = leaf_default.get(step)
-                        if not _value_matches(leaf_default, p):
+                            if step in leaf_default:
+                                leaf_default = leaf_default[step]
+                                continue
+                            hits = [
+                                v for k, v in leaf_default.items()
+                                if k.lower() == step.lower()
+                            ]
+                            if len(hits) == 1:
+                                leaf_default = hits[0]
+                            else:
+                                # >1: keys differing only by case —
+                                # can't tell which default applies;
+                                # keep the file (conservative).
+                                ambiguous = len(hits) > 1
+                                leaf_default = None
+                                break
+                        if not ambiguous and not _value_matches(leaf_default, p):
                             keep = False
                             break
                         continue

@@ -1,0 +1,130 @@
+"""Round 14 pins: map-key CoW-changelog netting units, the narrowed
+planner gate, the DDL tokenizer's unbalanced-bracket guard, and the
+case-insensitive struct-leaf default walk (ADVICE r13 items)."""
+
+import pyarrow as pa
+import pytest
+
+from iceberg_catalog_bench_spark.streaming.table_source import (
+    _canon_map_cols,
+    _net_unkeyable_reason,
+    _split_top,
+)
+
+
+def _canon(rows, typ=None):
+    arr = pa.array(rows, type=typ or pa.map_(pa.string(), pa.int64()))
+    valid, joined = _canon_map_cols(arr)
+    return valid.to_pylist(), joined.to_pylist()
+
+
+def test_canon_map_order_insensitive_and_injective():
+    valid, joined = _canon([
+        [("b", 2), ("a", 1)],   # same logical map, different order...
+        [("a", 1), ("b", 2)],   # ...must render identically
+        [("ab", 1)],            # "ab"=1 vs "a"=1,"b"=2: length prefixes
+        [("a", 12)],            # "a"=12 vs "a"=1 + junk
+        [("a", None)],          # null value distinct from any value
+        [("a", 0)],
+        None,                   # null map...
+        [],                     # ...distinct from empty map via validity
+    ])
+    assert joined[0] == joined[1]
+    assert len({joined[0], joined[2], joined[3], joined[4], joined[5]}) == 5
+    assert joined[6] == joined[7] == ""  # both join to "" ...
+    assert (valid[6], valid[7]) == (False, True)  # ... validity splits them
+
+
+def test_canon_map_embedded_separators_stay_injective():
+    # keys containing the ':'/';' join separators must not collide with
+    # entry or map boundaries — the length prefixes disambiguate
+    valid, joined = _canon(
+        [[("a:1", 2)], [("a", 1)], [("a;1", 2), ("b", 1)]],
+    )
+    assert len(set(joined)) == 3
+
+
+def test_canon_map_float_values_canonicalize_but_keep_null():
+    typ = pa.map_(pa.string(), pa.float64())
+    valid, joined = _canon(
+        [[("a", -0.0)], [("a", 0.0)], [("a", float("nan"))], [("a", None)]],
+        typ,
+    )
+    assert joined[0] == joined[1]          # -0.0 folds into +0.0
+    assert joined[2] != joined[3]          # NaN value is NOT a NULL value
+
+
+def test_canon_map_sliced_input_row_aligned():
+    arr = pa.array(
+        [[("x", 9)], [("b", 2), ("a", 1)], None, [("c", 3)]],
+        type=pa.map_(pa.string(), pa.int64()),
+    )
+    valid, joined = _canon_map_cols(arr.slice(1, 3))
+    full_valid, full_joined = _canon_map_cols(arr)
+    assert joined.to_pylist() == full_joined.to_pylist()[1:4]
+    assert valid.to_pylist() == full_valid.to_pylist()[1:4]
+
+
+def test_net_unkeyable_reason_matrix():
+    ok = [
+        "bigint", "string", "struct<a:int,b:string>",
+        "map<string,bigint>", "map<int,double>", "map<string,decimal(10,2)>",
+        "struct<a:struct<b:int>>", "map<date,timestamp>",
+    ]
+    for t in ok:
+        assert _net_unkeyable_reason(t) is None, t
+    bad = [
+        "array<int>", "map<string,array<int>>", "map<double,int>",
+        "map<string,map<string,int>>", "struct<a:map<string,int>>",
+        "struct<a:struct<b:array<int>>>", "map<string,binary>",
+    ]
+    for t in bad:
+        assert _net_unkeyable_reason(t), t
+
+
+def test_split_top_raises_on_unbalanced_ddl():
+    assert _split_top("a:int,b:struct<c:int,d:decimal(10,2)>", ",") == [
+        "a:int", "b:struct<c:int,d:decimal(10,2)>"
+    ]
+    with pytest.raises(ValueError, match="unbalanced"):
+        _split_top("a:struct<b:int>>", ",")
+    with pytest.raises(ValueError, match="unbalanced"):
+        _split_top("a:struct<b:int", ",")
+
+
+def test_struct_leaf_default_walk_case_insensitive(spark, tmp_path):
+    """ADVICE r13: the pushdown gate matches leaf names
+    case-insensitively, so the pre-struct-file default walk must too —
+    a predicate cased differently from the stored default keys must
+    not prune a file whose non-null default matches."""
+    from pyspark.sql.datasource import EqualTo
+    from pyspark.sql.types import StructType
+
+    from iceberg_catalog_bench_spark.catalog.table import LakeTable
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        LakeTableDataSource,
+        register_source,
+    )
+
+    register_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k bigint")
+    t.append(spark.range(0, 3).toDF("k").repartition(1))
+    t.add_column("meta", "struct<lang:string,n:bigint>",
+                 default={"lang": "xx", "n": 0})
+    ddl = "k bigint, meta struct<lang:string,n:bigint>"
+    t.append(spark.createDataFrame([(10, ("en", 5))], ddl).repartition(1))
+    ds = LakeTableDataSource(
+        options={"path": t.path, "filter-pushdown": "true"}
+    )
+    schema = StructType.fromDDL(ddl)
+
+    def plan(*filters):
+        r = ds.reader(schema)
+        r.pushFilters(list(filters))
+        return r.partitions()
+
+    # differently-cased leaf path still resolves the default 'xx' →
+    # the pre-struct file is KEPT (pre-fix: case-miss → None → pruned)
+    assert len(plan(EqualTo(("meta", "LANG"), "xx"))) == 1
+    # and a non-matching value still prunes it
+    assert len(plan(EqualTo(("meta", "LANG"), "yy"))) == 0

@@ -114,7 +114,7 @@ def test_cow_changelog_refuses_nested_columns(spark, tmp_path):
         .trigger(availableNow=True)
         .option("checkpointLocation", ck).start()
     )
-    with pytest.raises(Exception, match="array/map columns"):
+    with pytest.raises(Exception, match="cannot key on columns"):
         q.awaitTermination(300)
     # the batch changelog handles the same commit fine (JVM exceptAll)
     ch = t.changelog(1, t._snapshot().snapshot_id)

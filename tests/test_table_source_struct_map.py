@@ -169,12 +169,50 @@ def test_cow_changelog_nets_struct_columns(spark, tmp_path):
     ]
 
 
-def test_cow_changelog_refusal_narrowed_to_array_map(spark, tmp_path):
+def test_cow_changelog_map_netting_multi_bucket(spark, tmp_path):
+    """MAP keys through CoW-changelog netting (r14, VERDICT r13 item
+    5): the ``tags map<string,bigint>`` curation shape nets through a
+    copy-on-write rewrite — carried-over map rows (including a NULL
+    map and an EMPTY map, which must stay distinct) cancel across 4
+    hash buckets; only the updated row surfaces as -D/+I with its map
+    value bit-exact."""
     register_source(spark)
-    t = LakeTable.create(spark, str(tmp_path / "t"),
-                         "k bigint, tags map<string,bigint>")
-    t.append(spark.createDataFrame([(1, {"a": 1})],
-                                   "k bigint, tags map<string,bigint>"))
+    ddl = "k bigint, tags map<string,bigint>"
+    t = LakeTable.create(spark, str(tmp_path / "t"), ddl)
+    t.append(spark.createDataFrame(
+        [(1, {"a": 1, "b": 2}), (2, {"words": 7}), (3, None), (4, {})],
+        ddl))
+    t.update({"k": "k + 10"}, "k = 1")  # CoW rewrite commit
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("laketable").option("path", t.path)
+        .option("mode", "cdc").option("cow-changelog", "true")
+        .option("cdc-cow-buckets", "4").load()
+        .writeStream.format("parquet").option("path", sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck).start()
+    )
+    q.awaitTermination(300)
+    rows = sorted(
+        (r["_commit_snapshot_id"], r["_change_type"], r["k"],
+         None if r["tags"] is None else tuple(sorted(r["tags"].items())))
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert rows == [
+        (1, "insert", 1, (("a", 1), ("b", 2))),
+        (1, "insert", 2, (("words", 7),)),
+        (1, "insert", 3, None),
+        (1, "insert", 4, ()),
+        (2, "delete", 1, (("a", 1), ("b", 2))),
+        (2, "insert", 11, (("a", 1), ("b", 2))),
+    ]
+
+
+def test_cow_changelog_still_refuses_map_inside_struct(spark, tmp_path):
+    register_source(spark)
+    ddl = "k bigint, meta struct<lang:string,tags:map<string,bigint>>"
+    t = LakeTable.create(spark, str(tmp_path / "t"), ddl)
+    t.append(spark.createDataFrame([(1, ("en", {"a": 1}))], ddl))
     t.update({"k": "k + 10"}, "k = 1")
     sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
     q = (
@@ -184,7 +222,7 @@ def test_cow_changelog_refusal_narrowed_to_array_map(spark, tmp_path):
         .trigger(availableNow=True)
         .option("checkpointLocation", ck).start()
     )
-    with pytest.raises(Exception, match="array/map columns"):
+    with pytest.raises(Exception, match="cannot key on columns"):
         q.awaitTermination(300)
 
 
