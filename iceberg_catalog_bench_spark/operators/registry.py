@@ -36,95 +36,41 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Round-13 rotation (VERDICT r12 item 2, recomputed from the
-# CORRECTNESS_r01-r12 union: staleness histogram r8:10, r9:49,
-# r10:44, r11:44, r12:50; never-green = the 6 staged r12 debuts).
-# Tier (a) = 3 NEW r13 debuts (streaming_struct_map_pipe — the
-# VERDICT item-3 "done" criterion; the two item-5 TPC-DS widenings)
-# + the 6 staged debuts + the 3 rows triaged below-cap in r12
-# (streamed_calendar_fanout_pruning / adopted_bucket_pruning /
-# iceberg_validate_preflight — the judge asked for them by name).
-# Tier (b) = ALL 10 four-round-stale r8 rows (deferred once in r12;
-# VERDICT: "no second deferral") + the 28 riskiest r9 rows:
-# 12 + 10 + 28 = 50 exactly. The 21 unserved r9 rows (below the cap
-# marker, leading r14's tier (b)) are all either single-operator
-# relational scans over code untouched since r9 (count_star,
-# limit_preview, ordered_read, point_lookup, full_scan_projection,
-# groupby_count, having_filter, sum/revenue checksums, reagg_total,
-# distinct_pairs/users, latest_event_top1) or re-executed EVERY round
-# by the standing bench gate — pricing_summary, range_pruned_agg,
-# inlist_lookup, shipping_priority_top10, dedup_exact,
-# knn_brute_force, percentile_by_group (approx twin) are HEADLINE
-# phases and tpcds_channel_union runs inside tpcds_report_run, so a
-# breakage there moves BENCH_r13 even without a driver row.
-# r13 code-touch triage: the struct/map streaming work
-# (table_source.py) is strictly additive — new Arrow-type branches;
-# primitive-path rows execute identical code — so the three r12-green
-# laketable rows keep their r12 slots; the FOUR r9-stale
-# streaming/table-source rows kept in tier (b) re-verify the shared
-# source/sink spine anyway, and the new streaming_struct_map_pipe
-# debut executes the new branches directly.
+# Round-14 rotation (VERDICT r13 item 3, recomputed from the
+# CORRECTNESS_r01-r13 union: staleness histogram r9:21, r10:44,
+# r11:41, r12:50, r13:49; red: tpcds_brand_decline_yoy (the Q75
+# oracle HUGEINT dtype leak, fixed this round); never-green: the 2
+# staged r13 debuts).
+# Tier (a) = the 2 staged debuts + the re-greened Q75 + the 5
+# r13-green rows whose code r14 touched (table_source.py map netting
+# refactors _read_cow_net/_expand/_stats_may_match — the pipe, cdc,
+# ingest, calendar-fanout and bucket-pruning rows execute those
+# paths) = 8.
+# Tier (b) = ALL 21 r9-latest rows (five rounds stale if skipped; the
+# VERDICT says no deferral) = 29 cumulative.
+# Fill = 21 of the 44 r10-latest rows, code-touched first
+# (streaming_table_source_cdc_cow / _read / incremental_read_changes
+# run the refactored netting+changelog code), then the catalog/
+# streaming/multimodal rows with the most hand-written surface.
+# 8 + 21 + 21 = 50 exactly. The 23 deferred r10 rows lead r15's
+# tier (b); none is older than r10 and the bench-gated pair among
+# them (percentile_approx_by_group, pipeline_curate_full) re-executes
+# every round inside BENCH anyway.
 # REFRESH EACH ROUND: rebuild from the union of CORRECTNESS_r*.json —
 # never-green and code-touched queries first, oldest-green next.
 PRIORITY: tuple[str, ...] = (
-    # -- (a) new r13 debuts --
-    "streaming_struct_map_pipe",           # struct/map through the pipe
-    "tpcds_item_day_channel_crossover",    # Q51 at item-day grain
-    "tpcds_brand_decline_yoy",             # Q75: YoY decline, returns netted
-    # -- (a) the 6 staged r12 debuts (never driver-checked) --
-    "tpcds_cross_channel_items",           # Q14: INTERSECT -> one pass
-    "tpcds_buy_return_rebuy_margin",       # Q64 on the Q17/Q29 spine
-    "iceberg_puffin_stats_roundtrip",      # ANALYZE -> Puffin -> adopt
-    "tpcds_qoq_growth_nation_channels",    # Q31: 6 cells -> 2 scans
-    "tpcds_frequent_items_best_customers",  # Q23: double semi-reduce
-    "knn_over_adopted_store",              # ANN over an adopted chain
-    # -- (a) r12's triaged code-touched rows (judge-named) --
+    # -- (a) staged r13 debuts (never driver-checked) --
+    "tpcds_worst_return_ratios_dual_rank",  # Q49: dual rank, one pass
+    "tpcds_cov_consecutive_months",         # Q39: integer-exact cov
+    # -- (a) the r13 red row, oracle fixed this round --
+    "tpcds_brand_decline_yoy",              # Q75: CAST AS BIGINT fix
+    # -- (a) r14 code-touched (table_source map-netting refactor) --
+    "streaming_struct_map_pipe",
+    "streaming_table_source_cdc",
+    "streaming_ingest_laketable",
     "streamed_calendar_fanout_pruning",
     "adopted_bucket_pruning",
-    "iceberg_validate_preflight",
-    # -- (b) ALL 10 r8-latest rows (four rounds stale; no deferral) --
-    "window_topn_per_group",
-    "conditional_aggregation",
-    "cube_aggregation",
-    "pivot_event_types",
-    "rollup_aggregation",
-    "set_ops_customers",
-    "unpivot_part_metrics",
-    "window_lag_delta",
-    "window_moving_average",
-    "window_running_sum",
-    # -- (b) the 28 riskiest r9-latest rows --
-    "streaming_ingest_laketable",
-    "streaming_table_source_cdc",
-    "streaming_quarantine_gate",
-    "streaming_sessionize_stateful",
-    "ann_ivf",
-    "ann_ivf_incremental",
-    "ann_ivf_partitioned",
-    "ann_lsh_buckets",
-    "dedup_embedding_cosine",
-    "dedup_simhash",
-    "knn_batch_queries",
-    "multimodal_phash_dedup",
-    "join_asof_last_purchase",
-    "cdc_replicate_table",
-    "schema_evolution_read",
-    "maintenance_zorder",
-    "delete_files_advisory",
-    "datagen_tx_events_dims",
-    "array_functions_suite",
-    "date_functions_suite",
-    "string_functions_suite",
-    "stats_aggregates",
-    "quality_gopher_rules",
-    "tpcds_cumulative_channel_crossover",
-    "tpcds_topn_over_rollup",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_global_sales_opportunity",
-    # ---- 50 cap lands exactly here ----
-    # -- below-cap: the 21 deferred r9 rows (reasons above) — these
-    # lead r14's tier (b) --
+    # -- (b) ALL 21 r9-latest rows (no deferral) --
     "count_star",
     "dedup_exact",
     "distinct_pairs",
@@ -146,9 +92,53 @@ PRIORITY: tuple[str, ...] = (
     "shipping_priority_top10",
     "sum_checksum",
     "tpcds_channel_union",
-    # -- below-cap: staged r14 debuts (registered r13, cap full) --
-    "tpcds_worst_return_ratios_dual_rank",  # Q49: dual rank, one pass
-    "tpcds_cov_consecutive_months",         # Q39: integer-exact cov
+    # -- fill: 21 oldest (r10) rows, code-touched first --
+    "streaming_table_source_cdc_cow",       # runs the new netting code
+    "streaming_table_source_read",
+    "incremental_read_changes",
+    "harness_crud_plan",
+    "snapshot_lineage",
+    "time_travel_checksum",
+    "tag_and_rollback",
+    "insert_overwrite_backfill",
+    "streaming_dedup_count",
+    "streaming_enrich_join",
+    "streaming_stream_stream_join",
+    "streaming_windowed_agg",
+    "sessionize_batch",
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
+    "multimodal_image_meta",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_token_count",
+    "dedup_connected_components",
+    "join_range_error_context",
+    # ---- 50 cap lands exactly here ----
+    # -- below-cap: the 23 deferred r10 rows (lead r15's tier (b)) --
+    "centroid_by_label",
+    "embedding_quantize_int8",
+    "hybrid_search_bm25_rrf",
+    "hybrid_search_rrf",
+    "percentile_approx_by_group",
+    "pipeline_curate_full",
+    "pipeline_training_data",
+    "text_bm25_keyword_search",
+    "text_quality_pandas_udf",
+    "text_quality_scores",
+    "tpcds_frequent_buyer_segments",
+    "tpcds_net_after_returns",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promotion_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
 )
 
 
