@@ -139,6 +139,9 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_type_profit",
+    # -- below-cap: staged r15 debuts (registered r14, cap full) --
+    "tpcds_ticket_size_repeat_buyers",      # Q34/Q73: ticket buckets
+    "tpcds_customer_value_yoy_lag",         # Q11 on the LAG spine
 )
 
 

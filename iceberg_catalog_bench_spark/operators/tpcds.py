@@ -2232,3 +2232,165 @@ def tpcds_cov_consecutive_months(spark: SparkSession,
         )
         .orderBy("item", "m1")
     )
+
+
+@register(
+    "tpcds_ticket_size_repeat_buyers",
+    oracle=(
+        # Q34/Q73: oversized-ticket buckets — per ORDER, the line-item
+        # count (the "ticket size"); tickets inside the 8-13 band feed
+        # a per-customer ticket count; repeat buyers (>= 2 oversized
+        # tickets) report with their biggest ticket. One conditional
+        # fact pass + HAVING on the cell, never the spec's self-join.
+        "WITH cells AS ("
+        "  SELECT l_orderkey, COUNT(*) AS items FROM lineitem "
+        "  GROUP BY l_orderkey HAVING COUNT(*) BETWEEN 8 AND 13"
+        "), buyers AS ("
+        "  SELECT o_custkey, COUNT(*) AS tickets, MAX(items) AS biggest "
+        "  FROM cells JOIN orders ON o_orderkey = l_orderkey "
+        "  GROUP BY o_custkey HAVING COUNT(*) >= 2"
+        ") "
+        "SELECT c_name, tickets, biggest "
+        "FROM buyers JOIN customer ON c_custkey = o_custkey "
+        "ORDER BY tickets DESC, c_name LIMIT 100"
+    ),
+)
+def tpcds_ticket_size_repeat_buyers(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """TPC-DS Q34/Q73 shape (staged r15) — TICKET-SIZE BUCKETS AND
+    REPEAT BUYERS: the line-item count per order is the "ticket size";
+    orders in the oversized band (8-13 items — Q34's 15-20 dov band on
+    this fixture's 1-13 distribution) feed a per-customer ticket
+    count, and customers holding >= 2 such tickets report with their
+    biggest ticket. Q34/Q73 spell the bucket as a correlated
+    self-join; here it is ONE aggregate + HAVING on the cell.
+
+    Plan shape at 100 TB: one lineitem pass partial-aggregates
+    (map-side combinable COUNT) to |orders| ticket cells, the band
+    HAVING keeps a few percent of them, and the orderkey join with
+    orders is KEY-CO-LOCATED (both sides cluster on orderkey in any
+    sane layout; Q73's own ss_ticket_number join is the same shuffle)
+    — never a broadcast claim on a linearly-growing set. The final
+    buyers⋈customer join shuffles on the customer key exactly as
+    TPC-DS does; the report is a TakeOrdered top-100.
+    Reference scope: `ICEBERG-Interoperability-Test-Spec.md:43`."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey")
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name")
+    cells = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("items"))
+        .filter(F.col("items").between(8, 13))
+    )
+    buyers = (
+        cells.join(orders, cells.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("tickets"),
+             F.max("items").alias("biggest"))
+        .filter(F.col("tickets") >= 2)
+    )
+    return (
+        buyers.join(cust, buyers.o_custkey == cust.c_custkey)
+        .select("c_name", "tickets", "biggest")
+        .orderBy(F.desc("tickets"), "c_name")
+        .limit(100)
+    )
+
+
+@register(
+    "tpcds_customer_value_yoy_lag",
+    oracle=(
+        # Q11 on the Q75 LAG spine: per (customer, year), both
+        # channels' value cells from ONE conditional aggregate;
+        # consecutive-year pairs via LAG; growth comparison decided by
+        # INTEGER CROSS-MULTIPLICATION in overflow-safe width
+        # (HUGEINT here, decimal(38,0) on the Spark side — the
+        # Q31/Q39 discipline: no float division ever decides
+        # membership; the rendered ratios divide identical integers).
+        "WITH cells AS ("
+        "  SELECT o_custkey, "
+        "    CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr, "
+        "    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+        "      THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) "
+        "      AS BIGINT) AS u, "
+        "    CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') "
+        "      THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) "
+        "      AS BIGINT) AS s "
+        "  FROM orders GROUP BY o_custkey, yr"
+        "), pairs AS ("
+        "  SELECT o_custkey, yr, u, s, "
+        "    LAG(u) OVER (PARTITION BY o_custkey ORDER BY yr) AS pu, "
+        "    LAG(s) OVER (PARTITION BY o_custkey ORDER BY yr) AS ps, "
+        "    LAG(yr) OVER (PARTITION BY o_custkey ORDER BY yr) AS pyr "
+        "  FROM cells"
+        ") "
+        "SELECT o_custkey AS custkey, yr, "
+        "  ROUND(CAST(u AS DOUBLE) / pu, 4) AS urgent_growth, "
+        "  ROUND(CAST(s AS DOUBLE) / ps, 4) AS std_growth "
+        "FROM pairs "
+        "WHERE pyr = yr - 1 AND pu > 0 AND ps > 0 AND u > 0 AND s > 0 "
+        "  AND CAST(u AS HUGEINT) * ps > CAST(s AS HUGEINT) * pu "
+        "ORDER BY urgent_growth DESC, custkey, yr LIMIT 100"
+    ),
+)
+def tpcds_customer_value_yoy_lag(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """TPC-DS Q11 shape (staged r15) — YEAR-OVER-YEAR CUSTOMER VALUE
+    across two channels on the Q75 LAG SPINE: unlike the fixed-pair
+    `tpcds_yoy_growth_channel_compare` (Q4/Q11 with two pinned
+    years), every consecutive-year pair per customer qualifies via
+    LAG over the (customer, year) cells, and the growth comparison
+    u/pu > s/ps is decided by integer cross-multiplication
+    u·ps > s·pu in decimal(38,0) — cents-per-customer-year can reach
+    ~1e13 at 100 TB, and the cross product passes 2^63 well before
+    that (the Q39 review lesson); DuckDB's HUGEINT is the oracle-side
+    twin. The RENDERED growth ratios divide identical int64 pairs in
+    both engines → identical IEEE doubles.
+
+    Plan shape at 100 TB: Q11's reference SQL scans the fact once per
+    channel×year CTE; here ONE orders pass partial-aggregates both
+    channels' cells (conditional SUMs, map-side combinable) to
+    |customer × 7 years| rows, the LAG window partitions by customer
+    over <= 7 rows each, and the report is a TakeOrdered top-100.
+    Reference scope: `ICEBERG-Interoperability-Test-Spec.md:43`."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cells = orders.groupBy(
+        "o_custkey",
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+    ).agg(
+        F.sum(F.when(urgent, cents).otherwise(F.lit(0))).alias("u"),
+        F.sum(F.when(~urgent, cents).otherwise(F.lit(0))).alias("s"),
+    )
+    w = W.partitionBy("o_custkey").orderBy("yr")
+    pairs = cells.select(
+        "o_custkey", "yr", "u", "s",
+        F.lag("u").over(w).alias("pu"),
+        F.lag("s").over(w).alias("ps"),
+        F.lag("yr").over(w).alias("pyr"),
+    )
+
+    def dec(c):
+        return F.col(c).cast("decimal(38,0)")
+
+    return (
+        pairs.filter(
+            (F.col("pyr") == F.col("yr") - 1)
+            & (F.col("pu") > 0) & (F.col("ps") > 0)
+            & (F.col("u") > 0) & (F.col("s") > 0)
+            & (dec("u") * dec("ps") > dec("s") * dec("pu"))
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"), "yr",
+            F.round(F.col("u") / F.col("pu"), 4).alias("urgent_growth"),
+            F.round(F.col("s") / F.col("ps"), 4).alias("std_growth"),
+        )
+        .orderBy(F.desc("urgent_growth"), "custkey", "yr")
+        .limit(100)
+    )

@@ -850,3 +850,26 @@ def test_tpcds_q39_cov_pairs_single_fact_pass(spark, oracle_sf_dir):
     scans = [l for l in final.splitlines() if "FileScan parquet" in l]
     assert len(scans) == 1, "one fact pass"
     assert "Join" not in final, "successor pairing via LAG, not self-join"
+
+
+def test_tpcds_ticket_buckets_one_pass_per_table(spark, oracle_sf_dir):
+    """Q34/Q73 shape: the ticket bucket is ONE aggregate + HAVING on
+    the cell (never the spec's correlated self-join) — each of the
+    three tables scans exactly once; the report is a TakeOrdered."""
+    plan = _plan("tpcds_ticket_size_repeat_buyers", spark, oracle_sf_dir)
+    final = plan.split("== Initial Plan ==")[0]
+    scans = [l for l in final.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 3, "one scan each: lineitem, orders, customer"
+    assert "TakeOrderedAndProject" in final
+
+
+def test_tpcds_customer_value_yoy_single_fact_pass(spark, oracle_sf_dir):
+    """Q11-LAG shape: both channels' value cells come from ONE
+    conditional aggregate over orders (Q11's reference SQL re-scans
+    per channel×year CTE); the pairing is a LAG window per customer,
+    never a self-join."""
+    plan = _plan("tpcds_customer_value_yoy_lag", spark, oracle_sf_dir)
+    final = plan.split("== Initial Plan ==")[0]
+    scans = [l for l in final.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 1, "one fact pass for both channels"
+    assert "Join" not in final, "pairing via LAG, not self-join"
