@@ -541,7 +541,7 @@ def main() -> None:
     # widened phase — BASELINE.md documents both re-records)
     # (+ round 11: the Q1/Q30 returns-above-average and Q59 weekly
     # YoY-ratio shapes; baseline re-recorded per the same protocol)
-    TPCDS_20 = [
+    TPCDS_24 = [
         "tpcds_returned_ratio_by_date", "tpcds_rollup_rolling_sales",
         "tpcds_channel_union", "tpcds_star_join_multi_dim",
         "tpcds_rank_within_parent", "tpcds_multi_band_counts",
@@ -569,10 +569,19 @@ def main() -> None:
         # until this round's single adjudicated re-record
         "tpcds_frequent_items_best_customers",
         "tpcds_qoq_growth_nation_channels",
+        # round-14 widening (20 -> 24, adjudicated re-record in
+        # BASELINE.md): Q51 at item-day grain (one conditional
+        # aggregate replacing two scans + FULL OUTER), Q75 YoY brand
+        # decline with returns netted in the same aggregate, Q49 dual
+        # rank from one conditional pass, Q39 integer-exact cov pairs
+        "tpcds_item_day_channel_crossover",
+        "tpcds_brand_decline_yoy",
+        "tpcds_worst_return_ratios_dual_rank",
+        "tpcds_cov_consecutive_months",
     ]
 
     def _report_run() -> None:
-        for q in TPCDS_20:
+        for q in TPCDS_24:
             registry.QUERIES[q](spark, SF_DIR).collect()
 
     phase_once("tpcds_report_run", _report_run)
@@ -684,6 +693,21 @@ def main() -> None:
         print(f"per-phase metrics -> {sidecar}")
     except OSError as e:  # never let the sidecar kill the record
         print(f"per-phase metrics sidecar failed: {e}")
+    # Steal-aware gate annotation (VERDICT r13 item 7): any phase
+    # whose drift-normalized ratio exceeds 1.5 carries its own
+    # adjudication data ON the record's final line — phase steal and
+    # the byte-counter deltas (flat bytes + high steal = host episode,
+    # not a plan regression) — so a hot driver record is
+    # self-adjudicating without opening bench_metrics.json.
+    hot = {
+        k: {
+            "norm": n,
+            "steal_pct": metrics.get(k, {}).get("steal_pct"),
+            "input_mb": metrics.get(k, {}).get("input_mb"),
+            "shuffle_write_mb": metrics.get(k, {}).get("shuffle_write_mb"),
+        }
+        for k, n in normalized.items() if n > 1.5
+    }
     print(json.dumps({
         "metric": "bench_phase_total",
         "value": round(total, 3),
@@ -694,6 +718,7 @@ def main() -> None:
         **({"calib_ratio": round(calib_ratio, 3)} if calib_ratio else {}),
         **({"drift": round(drift, 3)} if drift else {}),
         **({"steal_pct": run_steal} if run_steal is not None else {}),
+        **({"hot_phases": hot} if hot else {}),
     }))
 
 

@@ -5,8 +5,10 @@ The curation shape this repo itself builds (``meta struct<lang,n>`` +
 ``tags map<string,int>``) now flows through the Arrow batch/stream
 reader, the streaming writer, widening casts and BY-NAME nested struct
 alignment — with filter pushdown still structurally excluded for
-nested columns and cow-changelog netting narrowed to refuse only
-array/map (struct columns net via leaf-flatten + validity bit)."""
+nested columns. Cow-changelog netting: struct columns net via
+leaf-flatten + validity bit (r13); top-level map columns with
+primitive key/value net via a canonical sorted-entry rendering (r14);
+arrays and map/array-inside-struct still refuse at planning time."""
 
 import pytest
 from pyspark.sql import functions as F
