@@ -552,6 +552,25 @@ def _canon_map_cols(col):
     if len(row_id):
         order = np.lexsort((keys.to_pandas().to_numpy(), row_id))
         keys, vals = keys.take(pa.array(order)), vals.take(pa.array(order))
+    vlen, vs = _canon_value_strings(vals)
+    ks = pc.cast(keys, pa.string())
+    klen = pc.cast(pc.utf8_length(ks), pa.string())
+    entry = pc.binary_join_element_wise(
+        klen, ks, vlen, vs, ":",
+        null_handling="replace", null_replacement="",
+    )
+    return valid, _join_rows(sizes, entry)
+
+
+def _canon_value_strings(vals):
+    """(length-prefix, value-string) canonical rendering of a primitive
+    array: floats fold -0.0 → 0.0 and NaN payloads to one NaN WITHOUT
+    merging NaN into NULL; a NULL renders as length marker '~' (no
+    stringified value carries it) + empty string."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     if pa.types.is_floating(vals.type):
         nulls = pc.is_null(vals)
         a = vals.to_numpy(zero_copy_only=False).copy()
@@ -559,20 +578,41 @@ def _canon_map_cols(col):
         a[np.isnan(a)] = np.nan  # one canonical NaN bit pattern
         vals = pc.if_else(nulls, pa.scalar(None, type=vals.type),
                           pa.array(a, type=vals.type))
-    ks = pc.cast(keys, pa.string())
     vs = pc.cast(vals, pa.string())
-    klen = pc.cast(pc.utf8_length(ks), pa.string())
-    # NULL value → vlen '~' (no stringified value has that length
-    # marker), so a null value never collides with any real value
     vlen = pc.cast(pc.utf8_length(vs), pa.string()).fill_null("~")
-    entry = pc.binary_join_element_wise(
-        klen, ks, vlen, vs.fill_null(""), ":",
-        null_handling="replace", null_replacement="",
-    )
+    return vlen, vs.fill_null("")
+
+
+def _join_rows(sizes, entry):
+    """Join per-entry strings back into one string per row given the
+    per-row entry counts (int64 offsets — no 2^31 entry ceiling)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     off = np.concatenate([[0], np.cumsum(sizes)])
     lst = pa.LargeListArray.from_arrays(pa.array(off, type=pa.int64()),
                                         entry)
-    return valid, pc.binary_join(lst, ";")
+    return pc.binary_join(lst, ";")
+
+
+def _canon_list_cols(col):
+    """Canonical group-by key for an ARRAY column (r14): element ORDER
+    is semantic (unlike map entries), so the rendering is the in-order
+    length-prefixed element join — injective under embedded separators
+    for the same reason as the map rendering — plus the validity bit
+    keeping a NULL array distinct from an empty one."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    valid = pc.is_valid(col)
+    sizes = (pc.list_value_length(col).fill_null(0)
+             .to_numpy(zero_copy_only=False).astype("int64"))
+    vlen, vs = _canon_value_strings(col.flatten())
+    entry = pc.binary_join_element_wise(
+        vlen, vs, ":", null_handling="replace", null_replacement="",
+    )
+    return valid, _join_rows(sizes, entry)
 
 
 # reserved suffixes for expanded netting columns (NUL can't appear in
@@ -596,14 +636,24 @@ _NET_MAP_VAL_EXTRA = frozenset({"double", "float", "real"})
 
 def _net_unkeyable_reason(ddl: str) -> str | None:
     """Why a column of type ``ddl`` cannot be a cow-changelog netting
-    key (None when it can). Arrays refuse anywhere; top-level maps net
-    when key AND value are canonicalizable primitives (r14); structs
-    recurse but refuse map/array leaves (the leaf-flatten rebuild has
-    no raw-passthrough for nested-in-struct)."""
+    key (None when it can). Maps net when key AND value are
+    canonicalizable primitives; arrays net when the ELEMENT is a
+    canonicalizable primitive (r14 — element order is semantic, so no
+    sort); structs recurse to any depth. What's left refused: nested
+    elements inside maps/arrays (array<array<...>>, map values that
+    are themselves nested, array<struct<...>>) and binary entries."""
+
+    def _prim_ok(x: str) -> bool:
+        return (x in _NET_MAP_KEY_PRIMS or x in _NET_MAP_VAL_EXTRA
+                or x.startswith("decimal"))
+
     t = ddl.strip()
     k = t.lower()
-    if k.startswith("array<"):
-        return "array values have no hashable netting key"
+    if k.startswith("array<") and k.endswith(">"):
+        ev = t[6:-1].strip()
+        if not _prim_ok(ev.lower()):
+            return f"array element type {ev!r} not canonicalizable"
+        return None
     if k.startswith("map<") and k.endswith(">"):
         kv = _split_top(t[4:-1], ",")
         if len(kv) != 2:
@@ -611,8 +661,7 @@ def _net_unkeyable_reason(ddl: str) -> str | None:
         kk, vv = kv[0].strip().lower(), kv[1].strip().lower()
         if not (kk in _NET_MAP_KEY_PRIMS or kk.startswith("decimal")):
             return f"map key type {kv[0].strip()!r} not canonicalizable"
-        if not (vv in _NET_MAP_KEY_PRIMS or vv in _NET_MAP_VAL_EXTRA
-                or vv.startswith("decimal")):
+        if not _prim_ok(vv):
             return f"map value type {kv[1].strip()!r} not canonicalizable"
         return None
     if k.startswith("struct<") and k.endswith(">"):
@@ -620,10 +669,6 @@ def _net_unkeyable_reason(ddl: str) -> str | None:
             name, sep, sub = item.partition(":")
             if not sep:
                 continue
-            sk = sub.strip().lower()
-            if sk.startswith("map<") or sk.startswith("array<"):
-                return (f"map/array inside struct field "
-                        f"{name.strip().strip('`')!r}")
             reason = _net_unkeyable_reason(sub)
             if reason:
                 return reason
@@ -650,9 +695,16 @@ def _read_cow_net(partition: _CowNetPartition) -> Iterator:
     schema = pa.schema(
         [pa.field(n, _arrow_type(t)) for n, t in partition.out_cols]
     )
+    def _needs_ref(typ) -> bool:
+        # map/array columns (at any struct depth) rebuild via the
+        # representative-row take rather than from the key columns
+        if pa.types.is_struct(typ):
+            return any(_needs_ref(f.type) for f in typ)
+        return pa.types.is_map(typ) or pa.types.is_list(typ)
+
     has_struct = any(pa.types.is_struct(f.type) for f in schema)
-    has_map = any(pa.types.is_map(f.type) for f in schema)
-    has_nested = has_struct or has_map
+    has_ref = any(_needs_ref(f.type) for f in schema)
+    has_nested = has_struct or has_ref
 
     # STRUCT columns (r13): Arrow's hash group-by can't key on struct
     # values, but a struct IS its leaves plus a validity bit — so
@@ -671,12 +723,18 @@ def _read_cow_net(partition: _CowNetPartition) -> Iterator:
             out.append((prefix + _X_VALID, pc.is_valid(col)))
             for f, kid in zip(col.type, col.flatten()):
                 _expand_col(kid, prefix + "\x00" + f.name, out)
-        elif pa.types.is_map(col.type):
-            # MAP columns (r14): group-by keys are the validity bit +
-            # the canonical entry rendering; the raw map rides along
-            # (never a key) so output rows rebuild exactly via a
-            # representative-row take — no parse-back of the bytes.
-            valid, joined = _canon_map_cols(col)
+        elif pa.types.is_map(col.type) or pa.types.is_list(col.type):
+            # MAP/ARRAY columns (r14): group-by keys are the validity
+            # bit + the canonical entry rendering (maps sort entries by
+            # key; arrays keep element order — it's semantic); the raw
+            # column rides along (never a key) so output rows rebuild
+            # exactly via a representative-row take — the rendering is
+            # never parsed back. Works at any struct depth: flatten
+            # propagates parent nulls into the child before we land
+            # here, and the rebuild takes the raw child at this prefix.
+            canon = (_canon_map_cols if pa.types.is_map(col.type)
+                     else _canon_list_cols)
+            valid, joined = canon(col)
             out.append((prefix + _X_VALID, valid))
             out.append((prefix + _X_BYTES, joined))
             out.append((prefix + _X_RAW, col))
@@ -709,9 +767,11 @@ def _read_cow_net(partition: _CowNetPartition) -> Iterator:
             return pa.StructArray.from_arrays(
                 children, fields=list(typ), mask=pc.invert(valid)
             )
-        if pa.types.is_map(typ):
-            # rebuild from the representative row's raw map (allt is
-            # the concatenated sides table; refs index into it)
+        if pa.types.is_map(typ) or pa.types.is_list(typ):
+            # rebuild from the representative row's raw map/array
+            # (allt is the concatenated sides table; refs index into
+            # it); under a struct parent the raw child at this prefix
+            # carries the flatten-propagated parent nulls
             c = allt.column(prefix + _X_RAW).take(refs)
             return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
         return getcol(prefix)
@@ -753,7 +813,7 @@ def _read_cow_net(partition: _CowNetPartition) -> Iterator:
                 # object-of-list map cells anyway
                 hash_tbl = tbl.drop_columns(
                     [n for n in tbl.column_names if n.endswith(_X_RAW)]
-                ) if has_map else tbl
+                ) if has_ref else tbl
                 df = hash_tbl.to_pandas()
                 # dtype canonicalization is driven by the ARROW types,
                 # not pandas dtypes: pandas promotes a null-bearing
@@ -800,7 +860,7 @@ def _read_cow_net(partition: _CowNetPartition) -> Iterator:
         ]
     allt = pa.concat_tables(sides)
     aggs = [("_sign", "sum")]
-    if has_map:
+    if has_ref:
         # a representative ROW index per group: every row in a group is
         # logically equal on all columns (the keys canonicalize every
         # column), so any member's raw map rebuilds the output exactly
@@ -820,7 +880,7 @@ def _read_cow_net(partition: _CowNetPartition) -> Iterator:
         out = net.select(key_names).take(rep_idx)
         if has_nested:
             refs = (net.column("_rowref_min").take(rep_idx)
-                    if has_map else None)
+                    if has_ref else None)
             out = _rebuild(out, refs)
         n = len(out)
         out = out.append_column(
@@ -1293,12 +1353,14 @@ class LakeTableStreamReader(DataSourceStreamReader):
             # group-by (and pandas' row hash) cannot key on list
             # values — refuse at planning time rather than failing
             # (or, worse, mis-bucketing) executor-side. STRUCT columns
-            # net via leaf-flatten + validity bit (r13); TOP-LEVEL MAP
-            # columns with primitive key/value net via a canonical
-            # sorted-entry rendering + validity bit (r14). What's left
-            # refused: arrays anywhere, map/array INSIDE a struct, and
-            # maps with nested/binary/float-keyed entries. The batch
-            # changelog() nets all of those too (JVM exceptAll).
+            # net via leaf-flatten + validity bit (r13); MAP and ARRAY
+            # columns with primitive entries — at any struct depth —
+            # net via a canonical entry rendering + validity bit +
+            # raw-passthrough rebuild (r14). What's left refused:
+            # nested entries inside maps/arrays (array<array>,
+            # array<struct>, map values that are themselves nested),
+            # binary entries, float map keys. The batch changelog()
+            # nets all of those too (JVM exceptAll).
             raise NotImplementedError(
                 f"cow-changelog netting cannot key on columns "
                 f"{unkeyable}; use LakeTable.changelog() for this range"

@@ -70,13 +70,18 @@ def test_net_unkeyable_reason_matrix():
         "bigint", "string", "struct<a:int,b:string>",
         "map<string,bigint>", "map<int,double>", "map<string,decimal(10,2)>",
         "struct<a:struct<b:int>>", "map<date,timestamp>",
+        # r14: arrays with primitive elements and nested-in-struct
+        # maps/arrays net too (raw-passthrough + rowref rebuild)
+        "array<int>", "array<double>", "array<decimal(20,4)>",
+        "struct<a:map<string,int>>", "struct<a:struct<b:array<int>>>",
     ]
     for t in ok:
         assert _net_unkeyable_reason(t) is None, t
     bad = [
-        "array<int>", "map<string,array<int>>", "map<double,int>",
-        "map<string,map<string,int>>", "struct<a:map<string,int>>",
-        "struct<a:struct<b:array<int>>>", "map<string,binary>",
+        "map<string,array<int>>", "map<double,int>",
+        "map<string,map<string,int>>", "map<string,binary>",
+        "array<array<int>>", "array<struct<a:int>>", "array<binary>",
+        "struct<a:array<array<int>>>",
     ]
     for t in bad:
         assert _net_unkeyable_reason(t), t
@@ -128,3 +133,20 @@ def test_struct_leaf_default_walk_case_insensitive(spark, tmp_path):
     assert len(plan(EqualTo(("meta", "LANG"), "xx"))) == 1
     # and a non-matching value still prunes it
     assert len(plan(EqualTo(("meta", "LANG"), "yy"))) == 0
+
+
+def test_canon_list_order_is_semantic_and_injective():
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        _canon_list_cols,
+    )
+
+    arr = pa.array(
+        [[1, 2], [2, 1], None, [], [12], [1, None], [1], [None]],
+        type=pa.list_(pa.int64()),
+    )
+    valid, joined = _canon_list_cols(arr)
+    j = joined.to_pylist()
+    assert j[0] != j[1]                      # order is semantic
+    assert j[2] == j[3] == ""                # null vs empty join alike...
+    assert valid.to_pylist()[2:4] == [False, True]  # ...validity splits
+    assert len({j[0], j[4], j[5], j[6], j[7]}) == 5  # no collisions

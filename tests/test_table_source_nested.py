@@ -95,17 +95,56 @@ def test_batch_read_projects_added_array_column(spark, tmp_path):
     assert rows[3] == ([4.5], [7])
 
 
-def test_cow_changelog_refuses_nested_columns(spark, tmp_path):
-    """CDC cow-changelog netting group-bys on every column; Arrow
-    cannot key a hash group-by on list values — the planner refuses
-    loudly (pointing at the batch changelog) instead of failing or
-    mis-bucketing executor-side."""
+def test_cow_changelog_nets_primitive_arrays(spark, tmp_path):
+    """r14: ARRAY columns with primitive elements net through the CoW
+    changelog (canonical in-order rendering + validity bit + raw
+    passthrough) — the embedding-table shape. Arrays with NESTED
+    elements still refuse at planning time, pointing at the batch
+    changelog."""
     register_source(spark)
-    t = LakeTable.create(spark, str(tmp_path / "t"),
-                         "k bigint, emb array<double>")
-    t.append(spark.createDataFrame([(1, [1.0])],
-                                   "k bigint, emb array<double>"))
+    ddl = "k bigint, emb array<double>"
+    t = LakeTable.create(spark, str(tmp_path / "t"), ddl)
+    t.append(spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [2.0, 1.0]), (3, None), (4, [])], ddl))
     t.update({"k": "k + 10"}, "k = 1")  # CoW rewrite commit
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("laketable").option("path", t.path)
+        .option("mode", "cdc").option("cow-changelog", "true")
+        .option("cdc-cow-buckets", "4").load()
+        .writeStream.format("parquet").option("path", sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck).start()
+    )
+    q.awaitTermination(300)
+    rows = sorted(
+        (r["_commit_snapshot_id"], r["_change_type"], r["k"],
+         None if r["emb"] is None else tuple(r["emb"]))
+        for r in spark.read.parquet(sink).collect()
+    )
+    # carried-over rows (incl. the NULL and EMPTY arrays, and the
+    # order-swapped [2,1] twin of the changed row's vector) cancel
+    # across buckets; only the update surfaces
+    assert rows == [
+        (1, "insert", 1, (1.0, 2.0)),
+        (1, "insert", 2, (2.0, 1.0)),
+        (1, "insert", 3, None),
+        (1, "insert", 4, ()),
+        (2, "delete", 1, (1.0, 2.0)),
+        (2, "insert", 11, (1.0, 2.0)),
+    ]
+    # the batch changelog agrees on the same commit (JVM exceptAll)
+    ch = t.changelog(1, t._snapshot().snapshot_id)
+    kinds = sorted((r["_change_type"], r["k"]) for r in ch.collect())
+    assert kinds == [("delete", 1), ("insert", 11)]
+
+
+def test_cow_changelog_refuses_nested_element_arrays(spark, tmp_path):
+    register_source(spark)
+    ddl = "k bigint, grid array<array<double>>"
+    t = LakeTable.create(spark, str(tmp_path / "t"), ddl)
+    t.append(spark.createDataFrame([(1, [[1.0]])], ddl))
+    t.update({"k": "k + 10"}, "k = 1")
     sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
     q = (
         spark.readStream.format("laketable").option("path", t.path)
@@ -116,10 +155,6 @@ def test_cow_changelog_refuses_nested_columns(spark, tmp_path):
     )
     with pytest.raises(Exception, match="cannot key on columns"):
         q.awaitTermination(300)
-    # the batch changelog handles the same commit fine (JVM exceptAll)
-    ch = t.changelog(1, t._snapshot().snapshot_id)
-    kinds = sorted((r["_change_type"], r["k"]) for r in ch.collect())
-    assert kinds == [("delete", 1), ("insert", 11)]
 
 
 def test_cdc_stream_arrays_through_upsert_and_pos_delete(spark, tmp_path):

@@ -6,9 +6,11 @@ The curation shape this repo itself builds (``meta struct<lang,n>`` +
 reader, the streaming writer, widening casts and BY-NAME nested struct
 alignment — with filter pushdown still structurally excluded for
 nested columns. Cow-changelog netting: struct columns net via
-leaf-flatten + validity bit (r13); top-level map columns with
-primitive key/value net via a canonical sorted-entry rendering (r14);
-arrays and map/array-inside-struct still refuse at planning time."""
+leaf-flatten + validity bit (r13); map and array columns with
+primitive entries — at any struct depth — net via a canonical entry
+rendering + raw-passthrough rebuild (r14); only nested-inside-nested
+entries (array<array>, array<struct>, nested map values) and binary
+entries still refuse at planning time."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -210,22 +212,46 @@ def test_cow_changelog_map_netting_multi_bucket(spark, tmp_path):
     ]
 
 
-def test_cow_changelog_still_refuses_map_inside_struct(spark, tmp_path):
+def test_cow_changelog_nets_map_inside_struct(spark, tmp_path):
+    """r14 follow-through: a map INSIDE a struct nets too — the struct
+    flatten lands the child map at its dotted prefix, where the same
+    canonical rendering + raw passthrough apply; the rebuild takes the
+    raw child (with flatten-propagated parent nulls) at that prefix.
+    The NULL-struct row pins the parent-null path end-to-end."""
     register_source(spark)
     ddl = "k bigint, meta struct<lang:string,tags:map<string,bigint>>"
     t = LakeTable.create(spark, str(tmp_path / "t"), ddl)
-    t.append(spark.createDataFrame([(1, ("en", {"a": 1}))], ddl))
+    t.append(spark.createDataFrame(
+        [(1, ("en", {"a": 1})), (2, ("fr", {"b": 2, "c": 3})), (3, None)],
+        ddl))
     t.update({"k": "k + 10"}, "k = 1")
     sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
     q = (
         spark.readStream.format("laketable").option("path", t.path)
-        .option("mode", "cdc").option("cow-changelog", "true").load()
+        .option("mode", "cdc").option("cow-changelog", "true")
+        .option("cdc-cow-buckets", "4").load()
         .writeStream.format("parquet").option("path", sink)
         .trigger(availableNow=True)
         .option("checkpointLocation", ck).start()
     )
-    with pytest.raises(Exception, match="cannot key on columns"):
-        q.awaitTermination(300)
+    q.awaitTermination(300)
+
+    def render(r):
+        m = r["meta"]
+        return (r["_commit_snapshot_id"], r["_change_type"], r["k"],
+                None if m is None else (
+                    m["lang"],
+                    None if m["tags"] is None
+                    else tuple(sorted(m["tags"].items()))))
+
+    rows = sorted(render(r) for r in spark.read.parquet(sink).collect())
+    assert rows == [
+        (1, "insert", 1, ("en", (("a", 1),))),
+        (1, "insert", 2, ("fr", (("b", 2), ("c", 3)))),
+        (1, "insert", 3, None),
+        (2, "delete", 1, ("en", (("a", 1),))),
+        (2, "insert", 11, ("en", (("a", 1),))),
+    ]
 
 
 def test_cdc_stream_struct_map_through_upsert(spark, tmp_path):
