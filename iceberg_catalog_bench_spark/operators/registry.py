@@ -46,13 +46,15 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # refactors _read_cow_net/_expand/_stats_may_match — the pipe, cdc,
 # ingest, calendar-fanout and bucket-pruning rows execute those
 # paths) = 8.
+# + the brand-new netting row (never-green-first, served the round
+# it ships) = 9.
 # Tier (b) = ALL 21 r9-latest rows (five rounds stale if skipped; the
-# VERDICT says no deferral) = 29 cumulative.
-# Fill = 21 of the 44 r10-latest rows, code-touched first
+# VERDICT says no deferral) = 30 cumulative.
+# Fill = 20 of the 44 r10-latest rows, code-touched first
 # (streaming_table_source_cdc_cow / _read / incremental_read_changes
 # run the refactored netting+changelog code), then the catalog/
 # streaming/multimodal rows with the most hand-written surface.
-# 8 + 21 + 21 = 50 exactly. The 23 deferred r10 rows lead r15's
+# 9 + 21 + 20 = 50 exactly. The 24 deferred r10 rows lead r15's
 # tier (b); none is older than r10 and the bench-gated pair among
 # them (percentile_approx_by_group, pipeline_curate_full) re-executes
 # every round inside BENCH anyway.
@@ -70,6 +72,9 @@ PRIORITY: tuple[str, ...] = (
     "streaming_ingest_laketable",
     "streamed_calendar_fanout_pruning",
     "adopted_bucket_pruning",
+    # -- (a) r14 debut: the new netting capability, driver-checked
+    # the round it ships (never-green-first) --
+    "streaming_cdc_nested_netting",
     # -- (b) ALL 21 r9-latest rows (no deferral) --
     "count_star",
     "dedup_exact",
@@ -92,7 +97,7 @@ PRIORITY: tuple[str, ...] = (
     "shipping_priority_top10",
     "sum_checksum",
     "tpcds_channel_union",
-    # -- fill: 21 oldest (r10) rows, code-touched first --
+    # -- fill: 20 oldest (r10) rows, code-touched first --
     "streaming_table_source_cdc_cow",       # runs the new netting code
     "streaming_table_source_read",
     "incremental_read_changes",
@@ -113,8 +118,11 @@ PRIORITY: tuple[str, ...] = (
     "text_fingerprint",
     "text_token_count",
     "dedup_connected_components",
-    "join_range_error_context",
     # ---- 50 cap lands exactly here ----
+    # (join_range_error_context yields its fill slot to the r14 debut
+    # above; it stays r10-latest and leads r15's fill with the other
+    # deferred r10 rows)
+    "join_range_error_context",
     # -- below-cap: the 23 deferred r10 rows (lead r15's tier (b)) --
     "centroid_by_label",
     "embedding_quantize_int8",

@@ -912,3 +912,95 @@ def streaming_struct_map_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "streaming_cdc_nested_netting",
+    oracle=(
+        # The netted CoW feed is fully determined by the source slice:
+        # the base commit inserts every document; the CoW update
+        # rewrites files but only doc_id % 10 = 3 rows change (their
+        # map value bumps by 1000), so the feed nets to exactly one
+        # -D (old map) and one +I (new map) per changed row —
+        # carried-over rows (struct/map/array-valued alike) cancel.
+        # Every checksum reaches through a nested value (map lookups,
+        # an array element), so a mis-netted or mis-rebuilt container
+        # anywhere moves the hash. CASTs: DuckDB SUM(BIGINT)→HUGEINT.
+        "SELECT CAST((SELECT COUNT(*) FROM documents) "
+        "  + (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 3) "
+        "  AS BIGINT) AS insert_rows, "
+        "CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 3) "
+        "  AS BIGINT) AS delete_rows, "
+        "CAST((SELECT SUM(n_chars) FROM documents) "
+        "  + (SELECT SUM(n_chars + 1000) FROM documents "
+        "     WHERE doc_id % 10 = 3) AS BIGINT) AS sum_chars_inserts, "
+        "CAST((SELECT SUM(doc_id % 7) FROM documents "
+        "  WHERE doc_id % 10 = 3) AS BIGINT) AS sum_sig_deletes"
+    ),
+)
+def streaming_cdc_nested_netting(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """CoW-CHANGELOG NETTING OVER NESTED COLUMNS through the driver
+    gate (r14): a curation-shaped table (``tags map<string,bigint>``
+    + ``sig array<bigint>``) takes a copy-on-write UPDATE that bumps
+    one map value on a 10% slice; the ``laketable`` source's
+    cdc/cow-changelog mode nets the rewrite across 4 hash buckets —
+    map rows keyed by the canonical sorted-entry rendering, array
+    rows by the in-order rendering, output containers rebuilt via the
+    representative-row take — and the report checksums the feed
+    THROUGH the nested values (map lookups on the insert side, an
+    array element on the delete side). Carried-over rows must cancel
+    exactly or the counts move; a mis-rebuilt container moves the
+    sums.
+
+    Scale: netting reads only the REWRITTEN file set (never the
+    table), buckets bound worker memory, and the canonicalization is
+    vectorized Arrow/numpy (one lexsort per file's map column) —
+    probe: struct netting reads +2.1% over flat columns at 1M rows
+    (BASELINE.md r13); the map/array rendering shares that spine."""
+    from ..catalog import LakeTable
+    from ..sources import load_table as _lt
+    from .table_source import register_source
+
+    register_source(spark)
+    d = tempfile.mkdtemp(prefix="stream-nestnet-")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    ddl = ("doc_id bigint, tags map<string,bigint>, sig array<bigint>")
+    t = LakeTable.create(spark, d + "/t", ddl)
+    docs = _lt(spark, "documents", sf_dir)
+    words = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    ).cast("bigint")
+    t.append(docs.select(
+        "doc_id",
+        F.create_map(
+            F.lit("chars"), F.col("n_chars"),
+            F.lit("words"), words,
+        ).alias("tags"),
+        F.array(F.col("doc_id") % 7, F.col("n_chars") % 13).alias("sig"),
+    ))
+    t.update(
+        {"tags": "map('chars', element_at(tags, 'chars') + 1000, "
+                 "'words', element_at(tags, 'words'))"},
+        "doc_id % 10 = 3",
+    )
+    sink, ck = d + "/sink", d + "/ck"
+    q = (
+        spark.readStream.format("laketable").option("path", t.path)
+        .option("mode", "cdc").option("cow-changelog", "true")
+        .option("cdc-cow-buckets", "4").load()
+        .writeStream.format("parquet").option("path", sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck).start()
+    )
+    q.awaitTermination(300)
+    feed = spark.read.parquet(sink)
+    ins = F.col("_change_type") == "insert"
+    return feed.agg(
+        F.sum(ins.cast("long")).alias("insert_rows"),
+        F.sum((~ins).cast("long")).alias("delete_rows"),
+        F.sum(F.when(ins, F.element_at("tags", "chars")))
+        .alias("sum_chars_inserts"),
+        F.sum(F.when(~ins, F.element_at("sig", 1)))
+        .alias("sum_sig_deletes"),
+    )
