@@ -550,8 +550,15 @@ def _canon_map_cols(col):
     keys, vals = ent.field(0), ent.field(1)
     row_id = np.repeat(np.arange(len(col), dtype="int64"), sizes)
     if len(row_id):
-        order = np.lexsort((keys.to_pandas().to_numpy(), row_id))
-        keys, vals = keys.take(pa.array(order)), vals.take(pa.array(order))
+        # Arrow-native stable sort on (row, key) — string keys never
+        # round-trip through Python objects (a numpy lexsort over an
+        # object-dtype key column measured ~2x the whole netting cost
+        # at 1M rows; scripts/r14/map_array_netting_probe.py)
+        order = pc.sort_indices(
+            pa.table({"r": row_id, "k": keys}),
+            sort_keys=[("r", "ascending"), ("k", "ascending")],
+        )
+        keys, vals = keys.take(order), vals.take(order)
     vlen, vs = _canon_value_strings(vals)
     ks = pc.cast(keys, pa.string())
     klen = pc.cast(pc.utf8_length(ks), pa.string())
