@@ -520,74 +520,84 @@ def _read_pos_delete(partition: _PosDeletePartition) -> Iterator:
     yield from out.to_batches(max_chunksize=1 << 16)
 
 
-def _canon_map_cols(col):
-    """Canonical group-by key for a MAP column (r14): maps have no
-    hashable netting key (two logically-equal maps may store entries in
-    any order), so render each row as a DETERMINISTIC string — entries
-    sorted by key, each encoded length-prefixed (``klen:key vlen:val``)
-    so the rendering is injective even when keys/values contain the
-    separators — plus a validity bit that keeps a NULL map distinct
-    from an empty map (both join to ""). Fully vectorized: the map is
-    viewed as its physical ``list<struct<key,value>>`` layout
-    (``list_value_length`` has no map kernel in pyarrow 16), entries
-    are ordered by one numpy lexsort over (row, key), and the per-row
-    join is Arrow ``binary_join``. Float values canonicalize -0.0 → 0.0
-    and NaN payloads to one NaN WITHOUT merging NaN into NULL (NULL
-    value and NaN value stay distinct groups).
-
-    Returns ``(validity BooleanArray, canonical StringArray)``."""
+def _canon_strings(vals):
+    """Canonical NULLABLE string rendering of any supported Arrow
+    array — primitive, list, map, or struct, arbitrarily composed
+    (r14): two values render identically iff they are logically equal.
+    Maps ignore entry order (entries sort by key via an Arrow-native
+    stable ``sort_indices`` — string keys never round-trip through
+    Python objects); lists keep element order (it is semantic); floats
+    fold -0.0 → +0.0 and NaN payloads to one canonical NaN WITHOUT
+    merging NaN into NULL; every level length-prefixes its parts
+    (``len:text``) so the rendering is injective even when values
+    contain the separators, and NULL children render as the length
+    marker '~' (no stringified value carries it). A NULL value at THIS
+    level renders as an Arrow null — containers above add their own
+    markers, and top-level callers pair the rendering with a validity
+    bit so NULL containers stay distinct from empty ones. Fully
+    vectorized at every level: flatten/sort/cast/binary_join kernels
+    only, one recursion per nesting level."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    valid = pc.is_valid(col)
-    as_list = col.view(pa.list_(pa.struct(
-        [("key", col.type.key_type), ("value", col.type.item_type)]
-    )))
-    sizes = (pc.list_value_length(as_list).fill_null(0)
-             .to_numpy(zero_copy_only=False).astype("int64"))
-    ent = as_list.flatten()
-    keys, vals = ent.field(0), ent.field(1)
-    row_id = np.repeat(np.arange(len(col), dtype="int64"), sizes)
-    if len(row_id):
-        # Arrow-native stable sort on (row, key) — string keys never
-        # round-trip through Python objects (a numpy lexsort over an
-        # object-dtype key column measured ~2x the whole netting cost
-        # at 1M rows; scripts/r14/map_array_netting_probe.py)
-        order = pc.sort_indices(
-            pa.table({"r": row_id, "k": keys}),
-            sort_keys=[("r", "ascending"), ("k", "ascending")],
+    t = vals.type
+    if pa.types.is_struct(t):
+        parts = []
+        for i in range(t.num_fields):
+            s = _canon_strings(vals.field(i))
+            parts.append(pc.cast(pc.utf8_length(s), pa.string())
+                         .fill_null("~"))
+            parts.append(s.fill_null(""))
+        cell = pc.binary_join_element_wise(
+            *parts, ":", null_handling="replace", null_replacement="",
+        ) if parts else pa.array([""] * len(vals), type=pa.string())
+        return pc.if_else(pc.is_valid(vals), cell,
+                          pa.scalar(None, type=pa.string()))
+    if pa.types.is_map(t):
+        as_list = vals.view(pa.list_(pa.struct(
+            [("key", t.key_type), ("value", t.item_type)]
+        )))
+        sizes = (pc.list_value_length(as_list).fill_null(0)
+                 .to_numpy(zero_copy_only=False).astype("int64"))
+        ent = pc.list_flatten(as_list)
+        keys, items = ent.field(0), ent.field(1)
+        row_id = np.repeat(np.arange(len(vals), dtype="int64"), sizes)
+        if len(row_id):
+            order = pc.sort_indices(
+                pa.table({"r": row_id, "k": keys}),
+                sort_keys=[("r", "ascending"), ("k", "ascending")],
+            )
+            keys, items = keys.take(order), items.take(order)
+        ks = pc.cast(keys, pa.string())
+        klen = pc.cast(pc.utf8_length(ks), pa.string())
+        vs = _canon_strings(items)
+        vlen = pc.cast(pc.utf8_length(vs), pa.string()).fill_null("~")
+        entry = pc.binary_join_element_wise(
+            klen, ks, vlen, vs.fill_null(""), ":",
+            null_handling="replace", null_replacement="",
         )
-        keys, vals = keys.take(order), vals.take(order)
-    vlen, vs = _canon_value_strings(vals)
-    ks = pc.cast(keys, pa.string())
-    klen = pc.cast(pc.utf8_length(ks), pa.string())
-    entry = pc.binary_join_element_wise(
-        klen, ks, vlen, vs, ":",
-        null_handling="replace", null_replacement="",
-    )
-    return valid, _join_rows(sizes, entry)
-
-
-def _canon_value_strings(vals):
-    """(length-prefix, value-string) canonical rendering of a primitive
-    array: floats fold -0.0 → 0.0 and NaN payloads to one NaN WITHOUT
-    merging NaN into NULL; a NULL renders as length marker '~' (no
-    stringified value carries it) + empty string."""
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    if pa.types.is_floating(vals.type):
+        return pc.if_else(pc.is_valid(vals), _join_rows(sizes, entry),
+                          pa.scalar(None, type=pa.string()))
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        sizes = (pc.list_value_length(vals).fill_null(0)
+                 .to_numpy(zero_copy_only=False).astype("int64"))
+        vs = _canon_strings(pc.list_flatten(vals))
+        vlen = pc.cast(pc.utf8_length(vs), pa.string()).fill_null("~")
+        entry = pc.binary_join_element_wise(
+            vlen, vs.fill_null(""), ":",
+            null_handling="replace", null_replacement="",
+        )
+        return pc.if_else(pc.is_valid(vals), _join_rows(sizes, entry),
+                          pa.scalar(None, type=pa.string()))
+    if pa.types.is_floating(t):
         nulls = pc.is_null(vals)
         a = vals.to_numpy(zero_copy_only=False).copy()
         a += 0.0  # folds -0.0 into +0.0
         a[np.isnan(a)] = np.nan  # one canonical NaN bit pattern
-        vals = pc.if_else(nulls, pa.scalar(None, type=vals.type),
-                          pa.array(a, type=vals.type))
-    vs = pc.cast(vals, pa.string())
-    vlen = pc.cast(pc.utf8_length(vs), pa.string()).fill_null("~")
-    return vlen, vs.fill_null("")
+        vals = pc.if_else(nulls, pa.scalar(None, type=t),
+                          pa.array(a, type=t))
+    return pc.cast(vals, pa.string())
 
 
 def _join_rows(sizes, entry):
@@ -603,23 +613,18 @@ def _join_rows(sizes, entry):
     return pc.binary_join(lst, ";")
 
 
-def _canon_list_cols(col):
-    """Canonical group-by key for an ARRAY column (r14): element ORDER
-    is semantic (unlike map entries), so the rendering is the in-order
-    length-prefixed element join — injective under embedded separators
-    for the same reason as the map rendering — plus the validity bit
-    keeping a NULL array distinct from an empty one."""
-    import pyarrow as pa
+def _canon_container_cols(col):
+    """(validity bit, canonical rendering) group-by key pair for a
+    MAP/ARRAY netting column: the validity bit keeps a NULL container
+    distinct from an empty one (both render "")."""
     import pyarrow.compute as pc
 
-    valid = pc.is_valid(col)
-    sizes = (pc.list_value_length(col).fill_null(0)
-             .to_numpy(zero_copy_only=False).astype("int64"))
-    vlen, vs = _canon_value_strings(col.flatten())
-    entry = pc.binary_join_element_wise(
-        vlen, vs, ":", null_handling="replace", null_replacement="",
-    )
-    return valid, _join_rows(sizes, entry)
+    return pc.is_valid(col), _canon_strings(col).fill_null("")
+
+
+# test-visible aliases (the map/array cases of the same rendering)
+_canon_map_cols = _canon_container_cols
+_canon_list_cols = _canon_container_cols
 
 
 # reserved suffixes for expanded netting columns (NUL can't appear in
@@ -629,54 +634,46 @@ _X_VALID = "\x00\x00"
 _X_BYTES = "\x00\x01"
 _X_RAW = "\x00\x02"
 
-# primitive DDL types a map entry can render canonically: keys must
+# primitive DDL types a map KEY can render canonically: keys must
 # stringify deterministically AND order deterministically under the
-# lexsort (floats excluded as keys — NaN/-0.0 break total order);
-# values additionally allow floats (canonicalized before rendering)
+# entry sort (floats excluded — NaN/-0.0 break total order; values
+# have no such limit: the recursive rendering canonicalizes them)
 _NET_MAP_KEY_PRIMS = frozenset({
     "int", "integer", "bigint", "long", "smallint", "short", "tinyint",
     "byte", "string", "varchar", "char", "boolean", "date",
     "timestamp", "timestamp_ntz",
 })
-_NET_MAP_VAL_EXTRA = frozenset({"double", "float", "real"})
 
 
-def _net_unkeyable_reason(ddl: str) -> str | None:
+def _net_unkeyable_reason(ddl: str, inside: bool = False) -> str | None:
     """Why a column of type ``ddl`` cannot be a cow-changelog netting
-    key (None when it can). Maps net when key AND value are
-    canonicalizable primitives; arrays net when the ELEMENT is a
-    canonicalizable primitive (r14 — element order is semantic, so no
-    sort); structs recurse to any depth. What's left refused: nested
-    elements inside maps/arrays (array<array<...>>, map values that
-    are themselves nested, array<struct<...>>) and binary entries."""
-
-    def _prim_ok(x: str) -> bool:
-        return (x in _NET_MAP_KEY_PRIMS or x in _NET_MAP_VAL_EXTRA
-                or x.startswith("decimal"))
-
+    key (None when it can). Containers (map/array, arbitrarily
+    composed with structs) net via the recursive canonical rendering
+    (r14); structs outside containers flatten to leaves. What's left
+    refused: BINARY inside a container (no vectorized canonical text
+    rendering; top-level binary keys Arrow's hash group-by directly)
+    and map KEYS that are float (no total sort order under NaN/-0.0),
+    binary, or themselves nested."""
     t = ddl.strip()
     k = t.lower()
+    if k == "binary" and inside:
+        return "binary inside a container has no canonical rendering"
     if k.startswith("array<") and k.endswith(">"):
-        ev = t[6:-1].strip()
-        if not _prim_ok(ev.lower()):
-            return f"array element type {ev!r} not canonicalizable"
-        return None
+        return _net_unkeyable_reason(t[6:-1], inside=True)
     if k.startswith("map<") and k.endswith(">"):
         kv = _split_top(t[4:-1], ",")
         if len(kv) != 2:
             return "malformed map type"
-        kk, vv = kv[0].strip().lower(), kv[1].strip().lower()
+        kk = kv[0].strip().lower()
         if not (kk in _NET_MAP_KEY_PRIMS or kk.startswith("decimal")):
-            return f"map key type {kv[0].strip()!r} not canonicalizable"
-        if not _prim_ok(vv):
-            return f"map value type {kv[1].strip()!r} not canonicalizable"
-        return None
+            return f"map key type {kv[0].strip()!r} has no canonical order"
+        return _net_unkeyable_reason(kv[1], inside=True)
     if k.startswith("struct<") and k.endswith(">"):
         for item in _split_top(t[7:-1], ","):
             name, sep, sub = item.partition(":")
             if not sep:
                 continue
-            reason = _net_unkeyable_reason(sub)
+            reason = _net_unkeyable_reason(sub, inside=inside)
             if reason:
                 return reason
         return None
@@ -733,15 +730,15 @@ def _read_cow_net(partition: _CowNetPartition) -> Iterator:
         elif pa.types.is_map(col.type) or pa.types.is_list(col.type):
             # MAP/ARRAY columns (r14): group-by keys are the validity
             # bit + the canonical entry rendering (maps sort entries by
-            # key; arrays keep element order — it's semantic); the raw
-            # column rides along (never a key) so output rows rebuild
-            # exactly via a representative-row take — the rendering is
-            # never parsed back. Works at any struct depth: flatten
-            # propagates parent nulls into the child before we land
-            # here, and the rebuild takes the raw child at this prefix.
-            canon = (_canon_map_cols if pa.types.is_map(col.type)
-                     else _canon_list_cols)
-            valid, joined = canon(col)
+            # key; arrays keep element order — it's semantic; nesting
+            # recurses, so array<array>/array<struct>/nested map values
+            # all render); the raw column rides along (never a key) so
+            # output rows rebuild exactly via a representative-row take
+            # — the rendering is never parsed back. Works at any struct
+            # depth: flatten propagates parent nulls into the child
+            # before we land here, and the rebuild takes the raw child
+            # at this prefix.
+            valid, joined = _canon_container_cols(col)
             out.append((prefix + _X_VALID, valid))
             out.append((prefix + _X_BYTES, joined))
             out.append((prefix + _X_RAW, col))
@@ -1362,12 +1359,12 @@ class LakeTableStreamReader(DataSourceStreamReader):
             # (or, worse, mis-bucketing) executor-side. STRUCT columns
             # net via leaf-flatten + validity bit (r13); MAP and ARRAY
             # columns with primitive entries — at any struct depth —
-            # net via a canonical entry rendering + validity bit +
-            # raw-passthrough rebuild (r14). What's left refused:
-            # nested entries inside maps/arrays (array<array>,
-            # array<struct>, map values that are themselves nested),
-            # binary entries, float map keys. The batch changelog()
-            # nets all of those too (JVM exceptAll).
+            # net via a RECURSIVE canonical entry rendering +
+            # validity bit + raw-passthrough rebuild (r14) — any
+            # struct/map/array composition included. What's left
+            # refused: binary inside a container and float/binary/
+            # nested map keys. The batch changelog() nets those too
+            # (JVM exceptAll).
             raise NotImplementedError(
                 f"cow-changelog netting cannot key on columns "
                 f"{unkeyable}; use LakeTable.changelog() for this range"

@@ -74,14 +74,22 @@ def test_net_unkeyable_reason_matrix():
         # maps/arrays net too (raw-passthrough + rowref rebuild)
         "array<int>", "array<double>", "array<decimal(20,4)>",
         "struct<a:map<string,int>>", "struct<a:struct<b:array<int>>>",
+        # r14 recursion: any container composition with non-binary
+        # leaves renders canonically
+        "array<array<int>>", "array<struct<a:int>>",
+        "map<string,array<int>>", "map<string,map<string,int>>",
+        "struct<a:array<array<int>>>",
+        "array<map<string,struct<x:double>>>",
+        "binary", "struct<a:binary>",  # binary OUTSIDE containers: a
+        # plain leaf column Arrow's hash group-by keys directly
     ]
     for t in ok:
         assert _net_unkeyable_reason(t) is None, t
     bad = [
-        "map<string,array<int>>", "map<double,int>",
-        "map<string,map<string,int>>", "map<string,binary>",
-        "array<array<int>>", "array<struct<a:int>>", "array<binary>",
-        "struct<a:array<array<int>>>",
+        "map<double,int>",            # float map key: no total order
+        "map<array<int>,int>",        # nested map key
+        "array<binary>", "map<string,binary>",
+        "array<struct<a:binary>>", "struct<a:array<binary>>",
     ]
     for t in bad:
         assert _net_unkeyable_reason(t), t
@@ -150,3 +158,42 @@ def test_canon_list_order_is_semantic_and_injective():
     assert j[2] == j[3] == ""                # null vs empty join alike...
     assert valid.to_pylist()[2:4] == [False, True]  # ...validity splits
     assert len({j[0], j[4], j[5], j[6], j[7]}) == 5  # no collisions
+
+
+def test_canon_recursive_compositions():
+    """r14 recursion: array<array>, array<struct>, nested map values
+    all render canonically — distinct logical values never collide,
+    logically-equal ones always do."""
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        _canon_container_cols,
+    )
+
+    # array<array<int>>: nesting boundaries can't be faked by flat twins
+    aa = pa.array(
+        [[[1], [2]], [[1, 2]], [[1, 2], []], [[1, 2], None], [], None],
+        type=pa.list_(pa.list_(pa.int64())),
+    )
+    v, j = _canon_container_cols(aa)
+    js = j.to_pylist()
+    assert len(set(js[:4])) == 4            # all distinct
+    assert js[4] == js[5] == ""             # empty vs NULL outer ...
+    assert v.to_pylist()[4:] == [True, False]  # ... split by validity
+
+    # array<struct>: NULL struct element vs struct-of-nulls stay apart
+    ast = pa.array(
+        [[{"a": 1, "b": "x"}], [None], [{"a": None, "b": None}]],
+        type=pa.list_(pa.struct([("a", pa.int64()), ("b", pa.string())])),
+    )
+    _, j2 = _canon_container_cols(ast)
+    assert len(set(j2.to_pylist())) == 3
+
+    # map<string,array<int>>: entry order canonical, values recurse
+    mv = pa.array(
+        [[("b", [2]), ("a", [1])], [("a", [1]), ("b", [2])],
+         [("a", [1, 2])], [("a", None)]],
+        type=pa.map_(pa.string(), pa.list_(pa.int64())),
+    )
+    _, j3 = _canon_container_cols(mv)
+    js3 = j3.to_pylist()
+    assert js3[0] == js3[1]
+    assert len({js3[0], js3[2], js3[3]}) == 3

@@ -139,11 +139,47 @@ def test_cow_changelog_nets_primitive_arrays(spark, tmp_path):
     assert kinds == [("delete", 1), ("insert", 11)]
 
 
-def test_cow_changelog_refuses_nested_element_arrays(spark, tmp_path):
+def test_cow_changelog_nets_nested_element_arrays(spark, tmp_path):
+    """r14 recursion: array<array<double>> nets too — the canonical
+    rendering recurses into nested elements, and the rebuild is the
+    same raw-passthrough take. [[1],[2]] vs [[1,2]] must stay distinct
+    (nesting boundaries are length-prefixed)."""
     register_source(spark)
     ddl = "k bigint, grid array<array<double>>"
     t = LakeTable.create(spark, str(tmp_path / "t"), ddl)
-    t.append(spark.createDataFrame([(1, [[1.0]])], ddl))
+    t.append(spark.createDataFrame(
+        [(1, [[1.0], [2.0]]), (2, [[1.0, 2.0]]), (3, None)], ddl))
+    t.update({"k": "k + 10"}, "k = 1")
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("laketable").option("path", t.path)
+        .option("mode", "cdc").option("cow-changelog", "true")
+        .option("cdc-cow-buckets", "4").load()
+        .writeStream.format("parquet").option("path", sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck).start()
+    )
+    q.awaitTermination(300)
+    rows = sorted(
+        (r["_commit_snapshot_id"], r["_change_type"], r["k"],
+         None if r["grid"] is None
+         else tuple(tuple(x) for x in r["grid"]))
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert rows == [
+        (1, "insert", 1, ((1.0,), (2.0,))),
+        (1, "insert", 2, ((1.0, 2.0),)),
+        (1, "insert", 3, None),
+        (2, "delete", 1, ((1.0,), (2.0,))),
+        (2, "insert", 11, ((1.0,), (2.0,))),
+    ]
+
+
+def test_cow_changelog_refuses_binary_in_container(spark, tmp_path):
+    register_source(spark)
+    ddl = "k bigint, blobs array<binary>"
+    t = LakeTable.create(spark, str(tmp_path / "t"), ddl)
+    t.append(spark.createDataFrame([(1, [bytearray(b"x")])], ddl))
     t.update({"k": "k + 10"}, "k = 1")
     sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
     q = (

@@ -7,10 +7,10 @@ reader, the streaming writer, widening casts and BY-NAME nested struct
 alignment — with filter pushdown still structurally excluded for
 nested columns. Cow-changelog netting: struct columns net via
 leaf-flatten + validity bit (r13); map and array columns with
-primitive entries — at any struct depth — net via a canonical entry
-rendering + raw-passthrough rebuild (r14); only nested-inside-nested
-entries (array<array>, array<struct>, nested map values) and binary
-entries still refuse at planning time."""
+entries of any struct/map/array composition net via a RECURSIVE
+canonical entry rendering + raw-passthrough rebuild (r14); only
+binary-inside-container and float/binary/nested map keys still
+refuse at planning time."""
 
 import pytest
 from pyspark.sql import functions as F
