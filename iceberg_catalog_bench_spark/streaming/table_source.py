@@ -207,6 +207,30 @@ def _split_top(s: str, sep: str) -> list[str]:
     return parts
 
 
+def _erase_char_types(ddl: str) -> str:
+    """Rewrite ``varchar(n)``/``char(n)`` to ``string`` at every
+    nesting level — the type Spark itself ships through DataFrames."""
+    t = ddl.strip()
+    k = t.lower()
+    if re.fullmatch(r"(var)?char\s*\(\s*\d+\s*\)", k):
+        return "string"
+    if k.startswith("array<") and k.endswith(">"):
+        return f"array<{_erase_char_types(t[6:-1])}>"
+    if k.startswith("map<") and k.endswith(">"):
+        kv = _split_top(t[4:-1], ",")
+        if len(kv) == 2:
+            return (f"map<{_erase_char_types(kv[0])},"
+                    f"{_erase_char_types(kv[1])}>")
+        return t
+    if k.startswith("struct<") and k.endswith(">"):
+        items = []
+        for item in _split_top(t[7:-1], ","):
+            name, sep, sub = item.partition(":")
+            items.append(f"{name}:{_erase_char_types(sub)}" if sep else item)
+        return f"struct<{','.join(items)}>"
+    return t
+
+
 def _nested_leaf_ddl(top_ddl: str, path: tuple) -> str | None:
     """DDL of the struct LEAF at ``path`` inside ``top_ddl``, walking
     only struct nesting (None when any step crosses a map/array or
@@ -259,6 +283,11 @@ def _arrow_type(ddl: str):
         if len(kv) != 2:
             raise ValueError(f"malformed map type {ddl!r}")
         return pa.map_(_arrow_type(kv[0]), _arrow_type(kv[1]))
+    if key.startswith("varchar") or key.startswith("char"):
+        # Spark ships VARCHAR(n)/CHAR(n) as plain STRING through Arrow —
+        # length enforcement happens at analysis/write time, never in
+        # the batch format (r14 widening of the exotic-DDL refusal)
+        return pa.string()
     if key not in _DDL_ARROW:
         raise NotImplementedError(
             f"laketable python source does not support type {ddl!r}"
@@ -665,7 +694,8 @@ def _net_unkeyable_reason(ddl: str, inside: bool = False) -> str | None:
         if len(kv) != 2:
             return "malformed map type"
         kk = kv[0].strip().lower()
-        if not (kk in _NET_MAP_KEY_PRIMS or kk.startswith("decimal")):
+        if not (kk in _NET_MAP_KEY_PRIMS
+                or kk.startswith(("decimal", "varchar", "char"))):
             return f"map key type {kv[0].strip()!r} has no canonical order"
         return _net_unkeyable_reason(kv[1], inside=True)
     if k.startswith("struct<") and k.endswith(">"):
@@ -2171,7 +2201,13 @@ class LakeTableDataSource(DataSource):
     def schema(self) -> str:
         meta = _load_meta(self._path())
         fields = meta["schemas"][str(meta["current_schema_version"])]
-        ddl = ", ".join(f"{f['name']} {f['type']}" for f in fields)
+        # ERASE varchar(n)/char(n) to string in the DECLARED schema:
+        # Spark itself erases them in DataFrames (the length lives only
+        # in table metadata), and the Python-DataSource Arrow bridge
+        # refuses VarcharType outright (r14 exotic-DDL widening)
+        ddl = ", ".join(
+            f"{f['name']} {_erase_char_types(f['type'])}" for f in fields
+        )
         if self._cdc():
             ddl += ", _change_type string, _commit_snapshot_id bigint"
         return ddl

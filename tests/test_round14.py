@@ -197,3 +197,31 @@ def test_canon_recursive_compositions():
     js3 = j3.to_pylist()
     assert js3[0] == js3[1]
     assert len({js3[0], js3[2], js3[3]}) == 3
+
+
+def test_arrow_type_varchar_char_as_string(spark, tmp_path):
+    """r14: VARCHAR(n)/CHAR(n) ship as Arrow STRING (Spark enforces
+    length at analysis/write, never in the batch format) — end-to-end
+    through the python source."""
+    from iceberg_catalog_bench_spark.catalog.table import LakeTable
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        _arrow_type,
+        register_source,
+    )
+
+    assert _arrow_type("varchar(10)") == pa.string()
+    assert _arrow_type("CHAR(3)") == pa.string()
+    assert _arrow_type("struct<v:varchar(5)>") == pa.struct(
+        [("v", pa.string())]
+    )
+    register_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "t"),
+                         "k bigint, code varchar(8)")
+    # Spark itself erases char/varchar to string in DataFrames (the
+    # length lives only in table metadata) — appends arrive as string
+    t.append(spark.createDataFrame([(1, "abc"), (2, None)],
+                                   "k bigint, code string"))
+    rows = {r["k"]: r["code"] for r in (
+        spark.read.format("laketable").option("path", t.path).load()
+        .collect())}
+    assert rows == {1: "abc", 2: None}
