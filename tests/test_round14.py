@@ -225,3 +225,71 @@ def test_arrow_type_varchar_char_as_string(spark, tmp_path):
         spark.read.format("laketable").option("path", t.path).load()
         .collect())}
     assert rows == {1: "abc", 2: None}
+
+
+# --- property: rendering equality ⟺ logical equality --------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    # adversarial alphabet: the rendering's own separators and markers
+    _KEYS = st.text(alphabet=":;~0123456789ab", min_size=0, max_size=5)
+    _INTS = st.one_of(st.none(), st.integers(-2**31, 2**31))
+
+    def _logical(v):
+        """Order-insensitive-for-maps logical normal form."""
+        if isinstance(v, dict):
+            return ("m", tuple(sorted((k, _logical(x))
+                                      for k, x in v.items())))
+        if isinstance(v, (list, tuple)):
+            return ("l", tuple(_logical(x) for x in v))
+        return v
+
+    def _roundtrip(rows, typ):
+        from iceberg_catalog_bench_spark.streaming.table_source import (
+            _canon_container_cols,
+        )
+
+        arr = pa.array(rows, type=typ)
+        valid, joined = _canon_container_cols(arr)
+        rendered = list(zip(valid.to_pylist(), joined.to_pylist()))
+        logical = [None if r is None else _logical(r) for r in rows]
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                same_logical = logical[i] == logical[j] and \
+                    (rows[i] is None) == (rows[j] is None)
+                assert (rendered[i] == rendered[j]) == same_logical, (
+                    rows[i], rows[j], rendered[i], rendered[j])
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(
+        st.one_of(st.none(),
+                  st.dictionaries(_KEYS, _INTS, max_size=4)),
+        min_size=2, max_size=8))
+    def test_prop_map_render_iff_logical(rows):
+        rows2 = [None if r is None else list(r.items()) for r in rows]
+        _roundtrip(rows2, pa.map_(pa.string(), pa.int64()))
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(
+        st.one_of(st.none(), st.lists(
+            st.one_of(st.none(), st.lists(_INTS, max_size=3)),
+            max_size=3)),
+        min_size=2, max_size=8))
+    def test_prop_nested_list_render_iff_logical(rows):
+        _roundtrip(rows, pa.list_(pa.list_(pa.int64())))
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(
+        st.one_of(st.none(),
+                  st.dictionaries(_KEYS, st.one_of(
+                      st.none(), st.lists(_KEYS, max_size=3)), max_size=3)),
+        min_size=2, max_size=8))
+    def test_prop_map_of_string_lists_render_iff_logical(rows):
+        rows2 = [None if r is None else list(r.items()) for r in rows]
+        _roundtrip(rows2, pa.map_(pa.string(), pa.list_(pa.string())))
