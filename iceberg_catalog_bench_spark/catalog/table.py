@@ -315,6 +315,79 @@ def _calendar_floor(transform: str, val: Any) -> str | None:
     return s[:4] + "-01-01 00:00:00"
 
 
+def _map_free(dt: T.DataType) -> bool:
+    """True when no MapType appears anywhere in the type tree."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.StructType):
+        return all(_map_free(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _map_free(dt.elementType)
+    return True
+
+
+def _maps_to_entries(col, dt: T.DataType):
+    """Lossless rewrite of every MapType inside ``dt`` (any nesting) to
+    a key-sorted ``array<struct<key,value>>`` — Spark rejects map
+    columns in set operations (exceptAll), but arrays and structs
+    compare fine, and sorting entries by the (unique) key makes the
+    rendering canonical: two logically equal maps always convert to
+    the same array, two distinct maps never collide. Inverted exactly
+    by :func:`_entries_to_maps` (ADVICE r14: the changelog fallback
+    must accept the map types the streaming netting refuses)."""
+    if isinstance(dt, T.MapType):
+        entries = F.map_entries(col)
+        if not (_map_free(dt.keyType) and _map_free(dt.valueType)):
+            entries = F.transform(entries, lambda e: F.struct(
+                _maps_to_entries(e["key"], dt.keyType).alias("key"),
+                _maps_to_entries(e["value"], dt.valueType).alias("value"),
+            ))
+        return F.array_sort(entries)
+    if isinstance(dt, T.ArrayType):
+        if _map_free(dt.elementType):
+            return col
+        return F.when(col.isNotNull(), F.transform(
+            col, lambda e: _maps_to_entries(e, dt.elementType)))
+    if isinstance(dt, T.StructType):
+        if _map_free(dt):
+            return col
+        rebuilt = F.struct(*[
+            _maps_to_entries(col[f.name], f.dataType).alias(f.name)
+            for f in dt.fields
+        ])
+        # rebuilding from fields would turn a NULL struct into a
+        # struct of NULLs — guard to keep them distinct under exceptAll
+        return F.when(col.isNotNull(), rebuilt)
+    return col
+
+
+def _entries_to_maps(col, dt: T.DataType):
+    """Inverse of :func:`_maps_to_entries`: ``dt`` is the ORIGINAL
+    (map-bearing) type; ``col`` holds its entry-array encoding."""
+    if isinstance(dt, T.MapType):
+        entries = col
+        if not (_map_free(dt.keyType) and _map_free(dt.valueType)):
+            entries = F.transform(entries, lambda e: F.struct(
+                _entries_to_maps(e["key"], dt.keyType).alias("key"),
+                _entries_to_maps(e["value"], dt.valueType).alias("value"),
+            ))
+        return F.map_from_entries(entries)
+    if isinstance(dt, T.ArrayType):
+        if _map_free(dt.elementType):
+            return col
+        return F.when(col.isNotNull(), F.transform(
+            col, lambda e: _entries_to_maps(e, dt.elementType)))
+    if isinstance(dt, T.StructType):
+        if _map_free(dt):
+            return col
+        rebuilt = F.struct(*[
+            _entries_to_maps(col[f.name], f.dataType).alias(f.name)
+            for f in dt.fields
+        ])
+        return F.when(col.isNotNull(), rebuilt)
+    return col
+
+
 def _norm_stat(v: Any) -> Any:
     """Normalize ISO timestamp strings — 'T' separator, tz offsets —
     to the naive-UTC SQL-literal space form so stats written by older
@@ -1752,13 +1825,33 @@ class LakeTable:
         ]
         new_rows = self._read_with_deletes(end, version, entries=changed_new)
         old_rows = self._read_with_deletes(start, version, entries=changed_old)
+        schema = new_rows.schema
+        if not all(_map_free(f.dataType) for f in schema.fields):
+            # Spark rejects map columns in set operations — net on the
+            # lossless key-sorted entry-array encoding and decode after
+            # (ADVICE r14: this is the documented fallback for the map
+            # types the streaming cow-netting refuses, e.g.
+            # map<double,int>, so it must actually accept them)
+            def enc(df: DataFrame) -> DataFrame:
+                return df.select(*[
+                    _maps_to_entries(F.col(f.name), f.dataType).alias(f.name)
+                    for f in schema.fields
+                ])
+
+            new_rows, old_rows = enc(new_rows), enc(old_rows)
         inserts = new_rows.exceptAll(old_rows).withColumn(
             "_change_type", F.lit("insert")
         )
         deletes = old_rows.exceptAll(new_rows).withColumn(
             "_change_type", F.lit("delete")
         )
-        return inserts.unionAll(deletes)
+        changes = inserts.unionAll(deletes)
+        if not all(_map_free(f.dataType) for f in schema.fields):
+            changes = changes.select(*[
+                _entries_to_maps(F.col(f.name), f.dataType).alias(f.name)
+                for f in schema.fields
+            ], "_change_type")
+        return changes
 
     def rollback_to_snapshot(self, snapshot_id: int) -> Snapshot:
         """CALL system.rollback_to_snapshot — restore an earlier

@@ -74,30 +74,67 @@ def _values_equal(a, b) -> bool:
     return str(a) == str(b)
 
 
-def _dtype_kind_errors(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+def _spark_kind(dt) -> str | None:
+    """Numeric/bool kind of a Spark SQL type: i / f / b / d."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "i"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "f"
+    if isinstance(dt, T.BooleanType):
+        return "b"
+    if isinstance(dt, T.DecimalType):
+        return "d"
+    return None
+
+
+def _arrow_kind(dt) -> str | None:
+    import pyarrow.types as pat
+
+    if pat.is_integer(dt):
+        return "i"
+    if pat.is_floating(dt):
+        return "f"
+    if pat.is_boolean(dt):
+        return "b"
+    if pat.is_decimal(dt):
+        return "d"
+    return None
+
+
+def _type_kind_errors(spark_schema, oracle_arrow_schema) -> list[str]:
     """The driver's hash is TYPE-sensitive: an int64 34105 on the Spark
     side vs a float64 34105.0 on the oracle side (DuckDB HUGEINT →
     fetchdf float64) hashes red even though every value compares equal
     under the float coercion in ``_values_equal`` — the exact r13
-    ``tpcds_brand_decline_yoy`` failure. Mirror that strictness: a
-    column whose dtype KIND differs (integer vs float vs bool) between
-    the frames is an error before any value compare. Nulls force pandas
-    to widen int → float/object on EITHER side while the driver's
-    arrow-level types can still agree, so a kind mismatch is only
-    conclusive when neither column holds nulls."""
+    ``tpcds_brand_decline_yoy`` failure. Mirror that strictness at the
+    ENGINE type level (Spark schema vs DuckDB's Arrow result schema),
+    not pandas dtypes: pandas widens a null-bearing int64 to float64 on
+    either side, so a pandas-kind gate had to skip null-bearing columns
+    and an int-vs-float leak there went undetected (ADVICE r14). Engine
+    types are null-immune — DuckDB's HUGEINT surfaces as Arrow
+    decimal128(38,0) with or without nulls.
+
+    The one tolerated mismatch is Spark float vs DuckDB DECIMAL:
+    ``fetchdf`` renders DECIMAL as float64, so the frames the driver
+    hashes agree (the adjudicated ROUND(...,4) tolerance class)."""
     errs: list[str] = []
-    for c in sorted(sdf.columns):
-        sk, ok = sdf[c].dtype.kind, odf[c].dtype.kind
-        if sk == ok or {sk, ok} <= {"i", "u"}:
+    duck = {f.name.lower(): f.type for f in oracle_arrow_schema}
+    for f in spark_schema.fields:
+        ot = duck.get(f.name.lower())
+        if ot is None:
+            continue  # column-set mismatch reported separately
+        sk, ok = _spark_kind(f.dataType), _arrow_kind(ot)
+        if sk is None or ok is None or sk == ok:
             continue
-        if sdf[c].isna().any() or odf[c].isna().any():
+        if sk == "f" and ok == "d":
             continue
-        if {sk, ok} & {"i", "u", "f", "b"}:
-            errs.append(
-                f"dtype kind differs for col {c}: spark={sdf[c].dtype} "
-                f"oracle={odf[c].dtype} (driver hash is type-sensitive; "
-                f"CAST the oracle or align the Spark type)"
-            )
+        errs.append(
+            f"type kind differs for col {f.name}: spark={f.dataType.simpleString()} "
+            f"oracle(arrow)={ot} (driver hash is type-sensitive; "
+            f"CAST the oracle or align the Spark type)"
+        )
     return errs
 
 
@@ -105,7 +142,9 @@ def compare(name: str, spark: SparkSession, sf_dir: str) -> ParityResult:
     from ..operators import registry
 
     fn = registry.QUERIES[name]
-    sdf = fn(spark, sf_dir).toPandas()
+    sdf_frame = fn(spark, sf_dir)
+    spark_schema = sdf_frame.schema
+    sdf = sdf_frame.toPandas()
     errors: list[str] = []
 
     oracle = registry.ORACLES.get(name)
@@ -114,6 +153,10 @@ def compare(name: str, spark: SparkSession, sf_dir: str) -> ParityResult:
         return ParityResult(name, True, len(sdf), -1, [])
 
     con = _duck_con(sf_dir)
+    # Arrow schema for the null-immune type-kind gate (fetchdf's pandas
+    # dtypes widen under nulls); values still compare on the fetchdf
+    # frame — the rendering the driver hashes.
+    oracle_arrow_schema = con.execute(oracle).fetch_arrow_table().schema
     odf = con.execute(oracle).fetchdf()
 
     if sorted(map(str.lower, sdf.columns)) != sorted(map(str.lower, odf.columns)):
@@ -124,7 +167,7 @@ def compare(name: str, spark: SparkSession, sf_dir: str) -> ParityResult:
     if not errors:
         sdf.columns = [c.lower() for c in sdf.columns]
         odf.columns = [c.lower() for c in odf.columns]
-        errors.extend(_dtype_kind_errors(sdf, odf))
+        errors.extend(_type_kind_errors(spark_schema, oracle_arrow_schema))
         if errors:
             return ParityResult(name, False, len(sdf), len(odf), errors)
         a, b = _normalize(sdf), _normalize(odf)

@@ -34,24 +34,40 @@ def test_tolerant_mode_is_opt_in(monkeypatch):
     _fresh(monkeypatch, tolerant=False)
 
 
-def test_dtype_kind_gate_catches_int_vs_float(monkeypatch):
-    """The r13 Q75 class: identical values, int64 vs float64 dtypes —
-    the driver's type-sensitive hash goes red, so the local gate must
-    too (VERDICT r13 item 2a)."""
-    import pandas as pd
+def test_type_kind_gate_catches_int_vs_float(monkeypatch):
+    """The r13 Q75 class: identical values, Spark int64 vs oracle
+    float/HUGEINT — the driver's type-sensitive hash goes red, so the
+    local gate must too (VERDICT r13 item 2a). The gate compares ENGINE
+    types (Spark schema vs DuckDB Arrow schema), so it stays conclusive
+    for null-bearing columns where pandas dtypes widen (ADVICE r14)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
 
     o = _fresh(monkeypatch, tolerant=False)
-    sdf = pd.DataFrame({"qty": pd.Series([34105, 7], dtype="int64")})
-    odf = pd.DataFrame({"qty": pd.Series([34105.0, 7.0], dtype="float64")})
-    errs = o._dtype_kind_errors(sdf, odf)
+    spark_int = T.StructType([T.StructField("qty", T.LongType())])
+    errs = o._type_kind_errors(spark_int, pa.schema([("qty", pa.float64())]))
     assert errs and "qty" in errs[0]
 
-    # same-kind frames pass; signed-vs-unsigned int is not a hash risk
-    assert not o._dtype_kind_errors(odf, odf.copy())
-    u = pd.DataFrame({"qty": pd.Series([34105, 7], dtype="uint64")})
-    assert not o._dtype_kind_errors(sdf, u)
+    # the HUGEINT leak signature itself: DuckDB SUM(BIGINT) → Arrow
+    # decimal128(38,0) — red against a Spark integer even with nulls
+    errs = o._type_kind_errors(
+        spark_int, pa.schema([("qty", pa.decimal128(38, 0))])
+    )
+    assert errs and "qty" in errs[0]
 
-    # nulls widen int->float on one side legitimately: inconclusive
-    sn = pd.DataFrame({"qty": pd.Series([34105, None], dtype="float64")})
-    si = pd.DataFrame({"qty": pd.Series([34105, 2], dtype="int64")})
-    assert not o._dtype_kind_errors(si, sn)
+    # same-kind passes; int width/signedness is not a hash risk
+    assert not o._type_kind_errors(spark_int, pa.schema([("qty", pa.int32())]))
+    assert not o._type_kind_errors(spark_int, pa.schema([("QTY", pa.uint64())]))
+
+    # Spark float vs DuckDB DECIMAL renders float64 in fetchdf — the
+    # one tolerated cross-kind pairing
+    spark_f = T.StructType([T.StructField("r", T.DoubleType())])
+    assert not o._type_kind_errors(spark_f, pa.schema([("r", pa.decimal128(10, 4))]))
+    # ... but the reverse (Spark decimal vs oracle float) is flagged
+    spark_d = T.StructType([T.StructField("r", T.DecimalType(10, 4))])
+    assert o._type_kind_errors(spark_d, pa.schema([("r", pa.float64())]))
+
+    # non-numeric columns and column-set mismatches are out of scope
+    spark_s = T.StructType([T.StructField("s", T.StringType())])
+    assert not o._type_kind_errors(spark_s, pa.schema([("s", pa.int64())]))
+    assert not o._type_kind_errors(spark_int, pa.schema([("other", pa.float64())]))
