@@ -1004,3 +1004,110 @@ def streaming_cdc_nested_netting(spark: SparkSession,
         F.sum(F.when(~ins, F.element_at("sig", 1)))
         .alias("sum_sig_deletes"),
     )
+
+
+@register(
+    "streaming_cdc_binary_netting",
+    oracle=(
+        # The netted CoW feed is fully determined by the source slice:
+        # the base commit inserts every document; the CoW update
+        # rewrites files but only doc_id % 10 = 7 rows WITH a non-null
+        # blob array change (a NUL byte is prepended to blob 1; rows
+        # whose array is NULL — n_chars % 97 = 0 — rewrite unchanged
+        # and must cancel). The match counts compare netted BYTES
+        # against a recomputation from the source text, so a blob that
+        # nets on a lossy rendering or rebuilds wrong moves them.
+        # CASTs: DuckDB SUM/COUNT widen to HUGEINT.
+        "WITH base AS (SELECT doc_id, text, lang, n_chars, "
+        "  n_chars % 97 <> 0 AS has_blob, "
+        "  doc_id % 10 = 7 AND n_chars % 97 <> 0 AS changed "
+        "  FROM documents) "
+        "SELECT "
+        "CAST((SELECT COUNT(*) FROM base) "
+        "  + (SELECT COUNT(*) FROM base WHERE changed) "
+        "  AS BIGINT) AS insert_rows, "
+        "CAST((SELECT COUNT(*) FROM base WHERE changed) "
+        "  AS BIGINT) AS delete_rows, "
+        # old first-blob bytes appear once per base insert of an
+        # UNCHANGED row and once per -D of a changed row... plus the
+        # base insert of the changed row itself: count(*ha blob) +
+        # count(changed)
+        "CAST((SELECT COUNT(*) FROM base WHERE has_blob) "
+        "  + (SELECT COUNT(*) FROM base WHERE changed) "
+        "  AS BIGINT) AS match_old_first, "
+        "CAST((SELECT COUNT(*) FROM base WHERE changed) "
+        "  AS BIGINT) AS match_new_first, "
+        "CAST((SELECT SUM(octet_length(encode(substr(text, 1, 8)))) "
+        "  FROM base WHERE has_blob) "
+        "  + (SELECT SUM(octet_length(encode(substr(text, 1, 8))) + 1) "
+        "  FROM base WHERE changed) AS BIGINT) AS sum_len_inserts"
+    ),
+)
+def streaming_cdc_binary_netting(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """CoW-CHANGELOG NETTING OVER BINARY-IN-CONTAINER COLUMNS through
+    the driver gate (r15): a multimodal-shaped table (``blobs
+    array<binary>`` — opaque bytes + a text-derived prefix) takes a
+    copy-on-write UPDATE that prepends a NUL byte to the first blob
+    on a 10% slice; the ``laketable`` source's cdc/cow-changelog mode
+    nets the rewrite across 4 hash buckets, keying binary elements by
+    the length-prefixed raw-bytes rendering (no utf8 cast — NUL and
+    invalid-utf8 bytes are first-class). NULL blob arrays on the
+    slice rewrite unchanged and must cancel. The report joins the
+    feed back to the source and counts BYTE-EXACT matches of the
+    netted blobs against a recomputation from the text, so a lossy
+    rendering or a wrong representative-row rebuild moves the counts,
+    not just the row totals.
+
+    Scale: identical spine to the nested-netting shape — only the
+    rewritten file set is read, buckets bound worker memory, the
+    rendering is one vectorized Arrow pass over the blob column; the
+    join back to the source is for the CHECKSUM only (the feed is
+    O(changed rows))."""
+    from ..catalog import LakeTable
+    from ..sources import load_table as _lt
+    from .table_source import register_source
+
+    register_source(spark)
+    d = tempfile.mkdtemp(prefix="stream-binnet-")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    ddl = "doc_id bigint, blobs array<binary>"
+    t = LakeTable.create(spark, d + "/t", ddl)
+    docs = _lt(spark, "documents", sf_dir)
+    first = F.encode(F.substring("text", 1, 8), "UTF-8")
+    t.append(docs.select(
+        "doc_id",
+        F.when(F.col("n_chars") % 97 != 0,
+               F.array(first, F.encode("lang", "UTF-8"))).alias("blobs"),
+    ))
+    t.update(
+        {"blobs": "CASE WHEN blobs IS NULL THEN NULL ELSE "
+                  "array(concat(X'00', element_at(blobs, 1)), "
+                  "element_at(blobs, 2)) END"},
+        "doc_id % 10 = 7",
+    )
+    sink, ck = d + "/sink", d + "/ck"
+    q = (
+        spark.readStream.format("laketable").option("path", t.path)
+        .option("mode", "cdc").option("cow-changelog", "true")
+        .option("cdc-cow-buckets", "4").load()
+        .writeStream.format("parquet").option("path", sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck).start()
+    )
+    q.awaitTermination(300)
+    feed = spark.read.parquet(sink).join(
+        F.broadcast(docs.select("doc_id", "text")), "doc_id"
+    )
+    ins = F.col("_change_type") == "insert"
+    b1 = F.element_at("blobs", 1)
+    expect = F.encode(F.substring("text", 1, 8), "UTF-8")
+    return feed.agg(
+        F.sum(ins.cast("long")).alias("insert_rows"),
+        F.sum((~ins).cast("long")).alias("delete_rows"),
+        F.sum(F.when(b1 == expect, 1).cast("long"))
+        .alias("match_old_first"),
+        F.sum(F.when(b1 == F.concat(F.lit(b"\x00"), expect), 1)
+              .cast("long")).alias("match_new_first"),
+        F.sum(F.when(ins, F.octet_length(b1))).alias("sum_len_inserts"),
+    )

@@ -550,22 +550,27 @@ def _read_pos_delete(partition: _PosDeletePartition) -> Iterator:
 
 
 def _canon_strings(vals):
-    """Canonical NULLABLE string rendering of any supported Arrow
-    array — primitive, list, map, or struct, arbitrarily composed
-    (r14): two values render identically iff they are logically equal.
-    Maps ignore entry order (entries sort by key via an Arrow-native
-    stable ``sort_indices`` — string keys never round-trip through
-    Python objects); lists keep element order (it is semantic); floats
-    fold -0.0 → +0.0 and NaN payloads to one canonical NaN WITHOUT
-    merging NaN into NULL; every level length-prefixes its parts
-    (``len:text``) so the rendering is injective even when values
-    contain the separators, and NULL children render as the length
-    marker '~' (no stringified value carries it). A NULL value at THIS
-    level renders as an Arrow null — containers above add their own
-    markers, and top-level callers pair the rendering with a validity
-    bit so NULL containers stay distinct from empty ones. Fully
-    vectorized at every level: flatten/sort/cast/binary_join kernels
-    only, one recursion per nesting level."""
+    """Canonical NULLABLE BINARY rendering of any supported Arrow
+    array — primitive, list, map, struct, or binary, arbitrarily
+    composed (r14; binary leaves r15): two values render identically
+    iff they are logically equal. Maps ignore entry order (entries
+    sort by key via an Arrow-native stable ``sort_indices`` — string
+    keys never round-trip through Python objects); lists keep element
+    order (it is semantic); floats fold -0.0 → +0.0 and NaN payloads
+    to one canonical NaN WITHOUT merging NaN into NULL; every level
+    length-prefixes its parts (``len:bytes``, length in BYTES) so the
+    rendering is injective even when values contain the separators,
+    and NULL children render as the length marker '~' (no rendered
+    length carries it). Rendering as raw BYTES rather than utf8 is
+    what admits binary leaves (r15): a byte string needs no text
+    canonicalization — the length prefix alone delimits it — and
+    ``binary_join(_element_wise)`` operates on BinaryArray natively.
+    A NULL value at THIS level renders as an Arrow null — containers
+    above add their own markers, and top-level callers pair the
+    rendering with a validity bit so NULL containers stay distinct
+    from empty ones. Fully vectorized at every level:
+    flatten/sort/cast/binary_join kernels only, one recursion per
+    nesting level."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -575,14 +580,13 @@ def _canon_strings(vals):
         parts = []
         for i in range(t.num_fields):
             s = _canon_strings(vals.field(i))
-            parts.append(pc.cast(pc.utf8_length(s), pa.string())
-                         .fill_null("~"))
-            parts.append(s.fill_null(""))
+            parts.append(_blen(s).fill_null(b"~"))
+            parts.append(s.fill_null(b""))
         cell = pc.binary_join_element_wise(
-            *parts, ":", null_handling="replace", null_replacement="",
-        ) if parts else pa.array([""] * len(vals), type=pa.string())
+            *parts, b":", null_handling="replace", null_replacement=b"",
+        ) if parts else pa.array([b""] * len(vals), type=pa.binary())
         return pc.if_else(pc.is_valid(vals), cell,
-                          pa.scalar(None, type=pa.string()))
+                          pa.scalar(None, type=pa.binary()))
     if pa.types.is_map(t):
         as_list = vals.view(pa.list_(pa.struct(
             [("key", t.key_type), ("value", t.item_type)]
@@ -598,27 +602,27 @@ def _canon_strings(vals):
                 sort_keys=[("r", "ascending"), ("k", "ascending")],
             )
             keys, items = keys.take(order), items.take(order)
-        ks = pc.cast(keys, pa.string())
-        klen = pc.cast(pc.utf8_length(ks), pa.string())
+        ks = pc.cast(pc.cast(keys, pa.string()), pa.binary())
+        klen = _blen(ks)
         vs = _canon_strings(items)
-        vlen = pc.cast(pc.utf8_length(vs), pa.string()).fill_null("~")
+        vlen = _blen(vs).fill_null(b"~")
         entry = pc.binary_join_element_wise(
-            klen, ks, vlen, vs.fill_null(""), ":",
-            null_handling="replace", null_replacement="",
+            klen, ks, vlen, vs.fill_null(b""), b":",
+            null_handling="replace", null_replacement=b"",
         )
         return pc.if_else(pc.is_valid(vals), _join_rows(sizes, entry),
-                          pa.scalar(None, type=pa.string()))
+                          pa.scalar(None, type=pa.binary()))
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         sizes = (pc.list_value_length(vals).fill_null(0)
                  .to_numpy(zero_copy_only=False).astype("int64"))
         vs = _canon_strings(pc.list_flatten(vals))
-        vlen = pc.cast(pc.utf8_length(vs), pa.string()).fill_null("~")
+        vlen = _blen(vs).fill_null(b"~")
         entry = pc.binary_join_element_wise(
-            vlen, vs.fill_null(""), ":",
-            null_handling="replace", null_replacement="",
+            vlen, vs.fill_null(b""), b":",
+            null_handling="replace", null_replacement=b"",
         )
         return pc.if_else(pc.is_valid(vals), _join_rows(sizes, entry),
-                          pa.scalar(None, type=pa.string()))
+                          pa.scalar(None, type=pa.binary()))
     if pa.types.is_floating(t):
         nulls = pc.is_null(vals)
         a = vals.to_numpy(zero_copy_only=False).copy()
@@ -626,11 +630,23 @@ def _canon_strings(vals):
         a[np.isnan(a)] = np.nan  # one canonical NaN bit pattern
         vals = pc.if_else(nulls, pa.scalar(None, type=t),
                           pa.array(a, type=t))
-    return pc.cast(vals, pa.string())
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t) \
+            or pa.types.is_fixed_size_binary(t):
+        return pc.cast(vals, pa.binary())
+    return pc.cast(pc.cast(vals, pa.string()), pa.binary())
+
+
+def _blen(b):
+    """Byte length of a binary array, rendered as binary digits (the
+    injectivity prefix)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pc.cast(pc.cast(pc.binary_length(b), pa.string()), pa.binary())
 
 
 def _join_rows(sizes, entry):
-    """Join per-entry strings back into one string per row given the
+    """Join per-entry byte strings back into one per row given the
     per-row entry counts (int64 offsets — no 2^31 entry ceiling)."""
     import numpy as np
     import pyarrow as pa
@@ -639,7 +655,7 @@ def _join_rows(sizes, entry):
     off = np.concatenate([[0], np.cumsum(sizes)])
     lst = pa.LargeListArray.from_arrays(pa.array(off, type=pa.int64()),
                                         entry)
-    return pc.binary_join(lst, ";")
+    return pc.binary_join(lst, b";")
 
 
 def _canon_container_cols(col):
@@ -648,7 +664,7 @@ def _canon_container_cols(col):
     distinct from an empty one (both render "")."""
     import pyarrow.compute as pc
 
-    return pc.is_valid(col), _canon_strings(col).fill_null("")
+    return pc.is_valid(col), _canon_strings(col).fill_null(b"")
 
 
 # test-visible aliases (the map/array cases of the same rendering)
@@ -674,21 +690,20 @@ _NET_MAP_KEY_PRIMS = frozenset({
 })
 
 
-def _net_unkeyable_reason(ddl: str, inside: bool = False) -> str | None:
+def _net_unkeyable_reason(ddl: str) -> str | None:
     """Why a column of type ``ddl`` cannot be a cow-changelog netting
     key (None when it can). Containers (map/array, arbitrarily
     composed with structs) net via the recursive canonical rendering
-    (r14); structs outside containers flatten to leaves. What's left
-    refused: BINARY inside a container (no vectorized canonical text
-    rendering; top-level binary keys Arrow's hash group-by directly)
-    and map KEYS that are float (no total sort order under NaN/-0.0),
-    binary, or themselves nested."""
+    (r14), including BINARY leaves at any depth (r15 — the rendering
+    is length-prefixed raw bytes, so a byte string needs no text
+    canonicalization); structs outside containers flatten to leaves.
+    What's left refused: map KEYS that are float (no total sort order
+    under NaN/-0.0), binary (keys render through a utf8 cast for the
+    entry sort), or themselves nested."""
     t = ddl.strip()
     k = t.lower()
-    if k == "binary" and inside:
-        return "binary inside a container has no canonical rendering"
     if k.startswith("array<") and k.endswith(">"):
-        return _net_unkeyable_reason(t[6:-1], inside=True)
+        return _net_unkeyable_reason(t[6:-1])
     if k.startswith("map<") and k.endswith(">"):
         kv = _split_top(t[4:-1], ",")
         if len(kv) != 2:
@@ -697,13 +712,13 @@ def _net_unkeyable_reason(ddl: str, inside: bool = False) -> str | None:
         if not (kk in _NET_MAP_KEY_PRIMS
                 or kk.startswith(("decimal", "varchar", "char"))):
             return f"map key type {kv[0].strip()!r} has no canonical order"
-        return _net_unkeyable_reason(kv[1], inside=True)
+        return _net_unkeyable_reason(kv[1])
     if k.startswith("struct<") and k.endswith(">"):
         for item in _split_top(t[7:-1], ","):
             name, sep, sub = item.partition(":")
             if not sep:
                 continue
-            reason = _net_unkeyable_reason(sub, inside=inside)
+            reason = _net_unkeyable_reason(sub)
             if reason:
                 return reason
         return None
@@ -1388,13 +1403,13 @@ class LakeTableStreamReader(DataSourceStreamReader):
             # values — refuse at planning time rather than failing
             # (or, worse, mis-bucketing) executor-side. STRUCT columns
             # net via leaf-flatten + validity bit (r13); MAP and ARRAY
-            # columns with primitive entries — at any struct depth —
-            # net via a RECURSIVE canonical entry rendering +
-            # validity bit + raw-passthrough rebuild (r14) — any
-            # struct/map/array composition included. What's left
-            # refused: binary inside a container and float/binary/
-            # nested map keys. The batch changelog() nets those too
-            # (JVM exceptAll).
+            # columns — at any struct depth, any struct/map/array
+            # composition, binary leaves included (r15) — net via a
+            # RECURSIVE canonical entry rendering + validity bit +
+            # raw-passthrough rebuild (r14). What's left refused:
+            # float/binary/nested map KEYS. The batch changelog()
+            # nets those too (JVM exceptAll over a key-sorted
+            # entry-array encoding for map columns).
             raise NotImplementedError(
                 f"cow-changelog netting cannot key on columns "
                 f"{unkeyable}; use LakeTable.changelog() for this range"

@@ -31,7 +31,7 @@ def test_canon_map_order_insensitive_and_injective():
     ])
     assert joined[0] == joined[1]
     assert len({joined[0], joined[2], joined[3], joined[4], joined[5]}) == 5
-    assert joined[6] == joined[7] == ""  # both join to "" ...
+    assert joined[6] == joined[7] == b""  # both join to b"" ...
     assert (valid[6], valid[7]) == (False, True)  # ... validity splits them
 
 
@@ -74,22 +74,26 @@ def test_net_unkeyable_reason_matrix():
         # maps/arrays net too (raw-passthrough + rowref rebuild)
         "array<int>", "array<double>", "array<decimal(20,4)>",
         "struct<a:map<string,int>>", "struct<a:struct<b:array<int>>>",
-        # r14 recursion: any container composition with non-binary
-        # leaves renders canonically
+        # r14 recursion: any container composition renders
+        # canonically
         "array<array<int>>", "array<struct<a:int>>",
         "map<string,array<int>>", "map<string,map<string,int>>",
         "struct<a:array<array<int>>>",
         "array<map<string,struct<x:double>>>",
-        "binary", "struct<a:binary>",  # binary OUTSIDE containers: a
-        # plain leaf column Arrow's hash group-by keys directly
+        "binary", "struct<a:binary>",
+        # r15: binary INSIDE containers nets too — the rendering is
+        # length-prefixed raw bytes, no text canonicalization needed
+        "array<binary>", "map<string,binary>",
+        "array<struct<a:binary>>", "struct<a:array<binary>>",
+        "map<string,array<binary>>",
     ]
     for t in ok:
         assert _net_unkeyable_reason(t) is None, t
     bad = [
         "map<double,int>",            # float map key: no total order
         "map<array<int>,int>",        # nested map key
-        "array<binary>", "map<string,binary>",
-        "array<struct<a:binary>>", "struct<a:array<binary>>",
+        "map<binary,int>",            # binary map key: keys render
+                                      # via utf8 cast for the sort
     ]
     for t in bad:
         assert _net_unkeyable_reason(t), t
@@ -155,7 +159,7 @@ def test_canon_list_order_is_semantic_and_injective():
     valid, joined = _canon_list_cols(arr)
     j = joined.to_pylist()
     assert j[0] != j[1]                      # order is semantic
-    assert j[2] == j[3] == ""                # null vs empty join alike...
+    assert j[2] == j[3] == b""               # null vs empty join alike...
     assert valid.to_pylist()[2:4] == [False, True]  # ...validity splits
     assert len({j[0], j[4], j[5], j[6], j[7]}) == 5  # no collisions
 
@@ -176,7 +180,7 @@ def test_canon_recursive_compositions():
     v, j = _canon_container_cols(aa)
     js = j.to_pylist()
     assert len(set(js[:4])) == 4            # all distinct
-    assert js[4] == js[5] == ""             # empty vs NULL outer ...
+    assert js[4] == js[5] == b""            # empty vs NULL outer ...
     assert v.to_pylist()[4:] == [True, False]  # ... split by validity
 
     # array<struct>: NULL struct element vs struct-of-nulls stay apart
@@ -293,3 +297,27 @@ if _HYP:
     def test_prop_map_of_string_lists_render_iff_logical(rows):
         rows2 = [None if r is None else list(r.items()) for r in rows]
         _roundtrip(rows2, pa.map_(pa.string(), pa.list_(pa.string())))
+
+    # r15: binary leaves — adversarial byte strings built from the
+    # rendering's own separators/markers plus non-utf8 bytes
+    _BYTES = st.binary(max_size=5).map(
+        lambda b: bytes(x % 256 for x in b)
+    ) | st.sampled_from([b":", b";", b"~", b"1:", b"\x00", b"\xff\xfe"])
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(
+        st.one_of(st.none(), st.lists(
+            st.one_of(st.none(), _BYTES), max_size=3)),
+        min_size=2, max_size=8))
+    def test_prop_binary_list_render_iff_logical(rows):
+        _roundtrip(rows, pa.list_(pa.binary()))
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(
+        st.one_of(st.none(),
+                  st.dictionaries(_KEYS, st.one_of(st.none(), _BYTES),
+                                  max_size=4)),
+        min_size=2, max_size=8))
+    def test_prop_map_of_binary_render_iff_logical(rows):
+        rows2 = [None if r is None else list(r.items()) for r in rows]
+        _roundtrip(rows2, pa.map_(pa.string(), pa.binary()))

@@ -175,22 +175,49 @@ def test_cow_changelog_nets_nested_element_arrays(spark, tmp_path):
     ]
 
 
-def test_cow_changelog_refuses_binary_in_container(spark, tmp_path):
+def test_cow_changelog_nets_binary_in_container(spark, tmp_path):
+    """r15: BINARY inside a container nets — the canonical rendering
+    is length-prefixed raw bytes, so [b"ab"] vs [b"a", b"b"] and
+    bytes containing the separators stay distinct, carried-over rows
+    (incl. an empty-blob list and NULL) cancel, and the rebuild is
+    the usual raw-passthrough take."""
     register_source(spark)
     ddl = "k bigint, blobs array<binary>"
     t = LakeTable.create(spark, str(tmp_path / "t"), ddl)
-    t.append(spark.createDataFrame([(1, [bytearray(b"x")])], ddl))
-    t.update({"k": "k + 10"}, "k = 1")
+    t.append(spark.createDataFrame(
+        [(1, [bytearray(b"ab")]), (2, [bytearray(b"a"), bytearray(b"b")]),
+         (3, [bytearray(b"a:1;"), bytearray(b"\x00\xff")]),
+         (4, []), (5, None)], ddl))
+    t.update({"k": "k + 10"}, "k = 1")  # CoW rewrite commit
     sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
     q = (
         spark.readStream.format("laketable").option("path", t.path)
-        .option("mode", "cdc").option("cow-changelog", "true").load()
+        .option("mode", "cdc").option("cow-changelog", "true")
+        .option("cdc-cow-buckets", "4").load()
         .writeStream.format("parquet").option("path", sink)
         .trigger(availableNow=True)
         .option("checkpointLocation", ck).start()
     )
-    with pytest.raises(Exception, match="cannot key on columns"):
-        q.awaitTermination(300)
+    q.awaitTermination(300)
+    rows = sorted(
+        (r["_commit_snapshot_id"], r["_change_type"], r["k"],
+         None if r["blobs"] is None
+         else tuple(bytes(b) for b in r["blobs"]))
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert rows == [
+        (1, "insert", 1, (b"ab",)),
+        (1, "insert", 2, (b"a", b"b")),
+        (1, "insert", 3, (b"a:1;", b"\x00\xff")),
+        (1, "insert", 4, ()),
+        (1, "insert", 5, None),
+        (2, "delete", 1, (b"ab",)),
+        (2, "insert", 11, (b"ab",)),
+    ]
+    # the batch changelog agrees on the same commit (JVM exceptAll)
+    ch = t.changelog(1, t._snapshot().snapshot_id)
+    kinds = sorted((r["_change_type"], r["k"]) for r in ch.collect())
+    assert kinds == [("delete", 1), ("insert", 11)]
 
 
 def test_cdc_stream_arrays_through_upsert_and_pos_delete(spark, tmp_path):
