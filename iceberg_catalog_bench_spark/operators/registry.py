@@ -36,98 +36,48 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Round-14 rotation (VERDICT r13 item 3, recomputed from the
-# CORRECTNESS_r01-r13 union: staleness histogram r9:21, r10:44,
-# r11:41, r12:50, r13:49; red: tpcds_brand_decline_yoy (the Q75
-# oracle HUGEINT dtype leak, fixed this round); never-green: the 2
-# staged r13 debuts).
-# Tier (a) = the 2 staged debuts + the re-greened Q75 + the 5
-# r13-green rows whose code r14 touched (table_source.py map netting
-# refactors _read_cow_net/_expand/_stats_may_match — the pipe, cdc,
-# ingest, calendar-fanout and bucket-pruning rows execute those
-# paths) = 8.
-# + the brand-new netting row (never-green-first, served the round
-# it ships) = 9.
-# Tier (b) = ALL 21 r9-latest rows (five rounds stale if skipped; the
-# VERDICT says no deferral) = 30 cumulative.
-# Fill = 20 of the 44 r10-latest rows, code-touched first
-# (streaming_table_source_cdc_cow / _read / incremental_read_changes
-# run the refactored netting+changelog code), then the catalog/
-# streaming/multimodal rows with the most hand-written surface.
-# 9 + 21 + 20 = 50 exactly. The 24 deferred r10 rows lead r15's
-# tier (b); none is older than r10 and the bench-gated pair among
-# them (percentile_approx_by_group, pipeline_curate_full) re-executes
-# every round inside BENCH anyway.
+# Round-15 rotation (VERDICT r14 item 1, recomputed from the
+# CORRECTNESS_r01-r14 union: staleness histogram r10:24, r11:41,
+# r12:50, r13:44, r14:50; 209/209 latest-green, zero red;
+# never-green: the 2 staged r14 debuts).
+# Tier (a) = the 2 staged debuts + the brand-new binary-netting
+# debut (never-green-first, served the round it ships) + the 3
+# r15-code-touched rows: the canonical container rendering moved to
+# raw bytes (_canon_strings/_join_rows — the two cow-netting rows
+# execute it) and changelog() gained map-column netting
+# (cdc_changelog exercises the changelog path; its map-free schema
+# takes the unchanged guard branch, but it IS the flagship changelog
+# row). Demoted with reason: mv_incremental_maintenance and
+# mv_join_incremental_maintenance also call changelog() but are
+# map-free (guard-only delta, identical plan) and r12-latest — they
+# rotate in with the r12 cohort next round rather than displace two
+# r11 rows here. = 6.
+# Tier (b) = ALL 24 r10-latest rows (five rounds stale if skipped;
+# the VERDICT says no deferral) = 30 cumulative.
+# Fill = 20 of the 41 r11-latest rows; none is r15-code-touched, so
+# the pick is the most hand-written surface first: the merge matrix,
+# the dedup/sketch bank, the text/corpus/sample LLM-pipeline rows,
+# and ddl_lifecycle. 6 + 24 + 20 = 50 exactly. The 21 deferred r11
+# rows lead r16's tier (b); none is older than r11 after this round.
 # REFRESH EACH ROUND: rebuild from the union of CORRECTNESS_r*.json —
 # never-green and code-touched queries first, oldest-green next.
 PRIORITY: tuple[str, ...] = (
-    # -- (a) staged r13 debuts (never driver-checked) --
-    "tpcds_worst_return_ratios_dual_rank",  # Q49: dual rank, one pass
-    "tpcds_cov_consecutive_months",         # Q39: integer-exact cov
-    # -- (a) the r13 red row, oracle fixed this round --
-    "tpcds_brand_decline_yoy",              # Q75: CAST AS BIGINT fix
-    # -- (a) r14 code-touched (table_source map-netting refactor) --
-    "streaming_struct_map_pipe",
-    "streaming_table_source_cdc",
-    "streaming_ingest_laketable",
-    "streamed_calendar_fanout_pruning",
-    "adopted_bucket_pruning",
-    # -- (a) r14 debut: the new netting capability, driver-checked
+    # -- (a) staged r14 debuts (never driver-checked) --
+    "tpcds_ticket_size_repeat_buyers",      # Q34/Q73: ticket buckets
+    "tpcds_customer_value_yoy_lag",         # Q11 on the LAG spine
+    # -- (a) r15 debut: binary-in-container netting, driver-checked
     # the round it ships (never-green-first) --
+    "streaming_cdc_binary_netting",
+    # -- (a) r15 code-touched (raw-bytes rendering / map changelog) --
     "streaming_cdc_nested_netting",
-    # -- (b) ALL 21 r9-latest rows (no deferral) --
-    "count_star",
-    "dedup_exact",
-    "distinct_pairs",
-    "distinct_users_exact",
-    "full_scan_projection",
-    "groupby_count",
-    "having_filter",
-    "inlist_lookup",
-    "knn_brute_force",
-    "latest_event_top1",
-    "limit_preview",
-    "ordered_read",
-    "percentile_by_group",
-    "point_lookup",
-    "pricing_summary",
-    "range_pruned_agg",
-    "reagg_total",
-    "revenue_checksum",
-    "shipping_priority_top10",
-    "sum_checksum",
-    "tpcds_channel_union",
-    # -- fill: 20 oldest (r10) rows, code-touched first --
-    "streaming_table_source_cdc_cow",       # runs the new netting code
-    "streaming_table_source_read",
-    "incremental_read_changes",
-    "harness_crud_plan",
-    "snapshot_lineage",
-    "time_travel_checksum",
-    "tag_and_rollback",
-    "insert_overwrite_backfill",
-    "streaming_dedup_count",
-    "streaming_enrich_join",
-    "streaming_stream_stream_join",
-    "streaming_windowed_agg",
-    "sessionize_batch",
-    "multimodal_audio_features",
-    "multimodal_frame_sample",
-    "multimodal_image_meta",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_token_count",
-    "dedup_connected_components",
-    # ---- 50 cap lands exactly here ----
-    # (join_range_error_context yields its fill slot to the r14 debut
-    # above; it stays r10-latest and leads r15's fill with the other
-    # deferred r10 rows)
-    "join_range_error_context",
-    # -- below-cap: the 23 deferred r10 rows (lead r15's tier (b)) --
+    "streaming_table_source_cdc_cow",
+    "cdc_changelog",
+    # -- (b) ALL 24 r10-latest rows (no deferral) --
     "centroid_by_label",
     "embedding_quantize_int8",
     "hybrid_search_bm25_rrf",
     "hybrid_search_rrf",
+    "join_range_error_context",
     "percentile_approx_by_group",
     "pipeline_curate_full",
     "pipeline_training_data",
@@ -147,9 +97,54 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_type_profit",
-    # -- below-cap: staged r15 debuts (registered r14, cap full) --
-    "tpcds_ticket_size_repeat_buyers",      # Q34/Q73: ticket buckets
-    "tpcds_customer_value_yoy_lag",         # Q11 on the LAG spine
+    # -- fill: 20 of the 41 r11-latest rows, most hand-written
+    # surface first --
+    "ddl_lifecycle",
+    "merge_upsert",
+    "merge_not_matched_by_source",
+    "merge_schema_evolution",
+    "dedup_minhash_lsh",
+    "dedup_incremental_minhash",
+    "dedup_semantic_clusters",
+    "sketch_hll_union_rollup",
+    "tokenizer_bpe_pair_counts",
+    "text_pii_redaction",
+    "text_unigram_logprob",
+    "text_chunk_sliding",
+    "text_repetition_scores",
+    "corpus_contamination_check",
+    "corpus_mixture_weights",
+    "corpus_shard_manifest",
+    "corpus_shuffle_shards",
+    "corpus_split_train_val_test",
+    "pipeline_pack_sequences",
+    "sample_stratified_by_lang",
+    # ---- 50 cap lands exactly here ----
+    # -- below-cap: the 21 deferred r11 rows (lead r16's tier (b)) --
+    "attribution_last_touch",
+    "basket_part_affinity",
+    "customer_rfm_segments",
+    "distinct_users_approx",
+    "doc_length_histogram",
+    "events_anomaly_zscore",
+    "events_gapfill_locf",
+    "events_resample_ohlc",
+    "grouping_sets_revenue",
+    "regexp_functions_suite",
+    "retention_cohort_weekly",
+    "sample_importance_weighted",
+    "top_tokens",
+    "tpcds_multi_band_counts",
+    "tpcds_rank_within_parent",
+    "tpcds_star_join_multi_dim",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_shipping",
+    "tpch_q18_large_volume_customer",
+    "tpch_q20_potential_promotion",
+    "tpch_q2_min_cost_supplier",
+    # -- below-cap: staged r16 debuts (registered r15, cap full) --
+    "tpcds_two_existential_shipping",       # Q94/Q95 on the Q21 spine
+    "tpcds_cross_channel_netted_ratio",     # Q78 on the Q75 spine
 )
 
 
