@@ -65,9 +65,10 @@ PRIORITY: tuple[str, ...] = (
     # -- (a) staged r14 debuts (never driver-checked) --
     "tpcds_ticket_size_repeat_buyers",      # Q34/Q73: ticket buckets
     "tpcds_customer_value_yoy_lag",         # Q11 on the LAG spine
-    # -- (a) r15 debut: binary-in-container netting, driver-checked
-    # the round it ships (never-green-first) --
+    # -- (a) r15 debuts: binary-in-container netting + float-map-key
+    # netting, driver-checked the round they ship (never-green-first) --
     "streaming_cdc_binary_netting",
+    "streaming_cdc_mapkey_netting",
     # -- (a) r15 code-touched (raw-bytes rendering / map changelog) --
     "streaming_cdc_nested_netting",
     "streaming_table_source_cdc_cow",
@@ -97,7 +98,7 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_type_profit",
-    # -- fill: 20 of the 41 r11-latest rows, most hand-written
+    # -- fill: 19 of the 41 r11-latest rows, most hand-written
     # surface first --
     "ddl_lifecycle",
     "merge_upsert",
@@ -118,9 +119,9 @@ PRIORITY: tuple[str, ...] = (
     "corpus_shuffle_shards",
     "corpus_split_train_val_test",
     "pipeline_pack_sequences",
-    "sample_stratified_by_lang",
     # ---- 50 cap lands exactly here ----
-    # -- below-cap: the 21 deferred r11 rows (lead r16's tier (b)) --
+    # -- below-cap: the 22 deferred r11 rows (lead r16's tier (b)) --
+    "sample_stratified_by_lang",
     "attribution_last_touch",
     "basket_part_affinity",
     "customer_rfm_segments",

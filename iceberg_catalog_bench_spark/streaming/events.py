@@ -1111,3 +1111,122 @@ def streaming_cdc_binary_netting(spark: SparkSession,
               .cast("long")).alias("match_new_first"),
         F.sum(F.when(ins, F.octet_length(b1))).alias("sum_len_inserts"),
     )
+
+
+@register(
+    "streaming_cdc_mapkey_netting",
+    oracle=(
+        # Fully determined by the source slice: the base commit
+        # inserts every document with a float-keyed feature map
+        # (NULL where n_chars % 97 = 0; a NaN-keyed entry where
+        # doc_id % 3 = 0); the CoW update increments every map VALUE
+        # on the doc_id % 10 = 7 slice — rows rewritten unchanged
+        # (incl. NaN-keyed maps and NULL maps) must cancel. Lookup
+        # matches compare element_at by the float key, so a lossy key
+        # rendering or wrong representative-row rebuild moves them.
+        "WITH base AS (SELECT doc_id, n_chars, "
+        "  n_chars % 97 <> 0 AS has_map, "
+        "  doc_id % 10 = 7 AND n_chars % 97 <> 0 AS changed, "
+        "  doc_id % 3 = 0 AS has_nan "
+        "  FROM documents) "
+        "SELECT "
+        "CAST((SELECT COUNT(*) FROM base) "
+        "  + (SELECT COUNT(*) FROM base WHERE changed) "
+        "  AS BIGINT) AS insert_rows, "
+        "CAST((SELECT COUNT(*) FROM base WHERE changed) "
+        "  AS BIGINT) AS delete_rows, "
+        "CAST((SELECT COUNT(*) FROM base WHERE has_map) "
+        "  + (SELECT COUNT(*) FROM base WHERE changed) "
+        "  AS BIGINT) AS match_old, "
+        "CAST((SELECT COUNT(*) FROM base WHERE changed) "
+        "  AS BIGINT) AS match_new, "
+        "CAST((SELECT SUM(n_chars + doc_id "
+        "    + CASE WHEN has_nan THEN 42 ELSE 0 END) "
+        "  FROM base WHERE has_map) "
+        "  + (SELECT SUM(n_chars + doc_id + 2 "
+        "    + CASE WHEN has_nan THEN 43 ELSE 0 END) "
+        "  FROM base WHERE changed) AS BIGINT) AS sum_vals_inserts"
+    ),
+)
+def streaming_cdc_mapkey_netting(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """CoW-CHANGELOG NETTING OVER FLOAT-KEYED MAP COLUMNS through the
+    driver gate (r15): a feature-map table (``feats
+    map<double,bigint>`` — keys are a positive measurement, a
+    negative bucket, and for a third of rows a NaN sentinel) takes a
+    copy-on-write UPDATE that increments every map VALUE on a 10%
+    slice; the ``laketable`` source's cdc/cow-changelog mode nets the
+    rewrite across 4 hash buckets, sorting map entries by the
+    recursively-RENDERED key bytes (r15 — the raw float key has no
+    total sort order under NaN, and r14 refused it at planning time).
+    NULL maps and NaN-keyed maps rewritten unchanged must cancel.
+    The report joins the feed back to the source and counts
+    element_at lookups BY THE FLOAT KEY against a recomputation from
+    the source, so a lossy key rendering, a NaN/-0.0 mis-fold, or a
+    wrong representative-row rebuild moves the counts.
+
+    Scale: identical spine to the nested/binary netting shapes —
+    only the rewritten file set is read, buckets bound worker
+    memory, the rendering is one vectorized Arrow pass; the join
+    back to the source is for the CHECKSUM only (the feed is
+    O(changed rows))."""
+    from ..catalog import LakeTable
+    from ..sources import load_table as _lt
+    from .table_source import register_source
+
+    register_source(spark)
+    d = tempfile.mkdtemp(prefix="stream-mapkeynet-")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    ddl = "doc_id bigint, feats map<double,bigint>"
+    t = LakeTable.create(spark, d + "/t", ddl)
+    docs = _lt(spark, "documents", sf_dir)
+    t.append(docs.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN n_chars % 97 <> 0 THEN map_from_entries(filter("
+            "array("
+            "named_struct('key', CAST(n_chars AS DOUBLE), "
+            "             'value', n_chars), "
+            "named_struct('key', -1.0D * CAST(doc_id % 7 AS DOUBLE)"
+            "                    - 1.0D, "
+            "             'value', doc_id), "
+            "CASE WHEN doc_id % 3 = 0 THEN "
+            "named_struct('key', CAST('NaN' AS DOUBLE), "
+            "             'value', CAST(42 AS BIGINT)) END"
+            "), x -> x IS NOT NULL)) END"
+        ).alias("feats"),
+    ))
+    t.update(
+        {"feats": "CASE WHEN feats IS NULL THEN NULL ELSE "
+                  "map_from_entries(transform(map_entries(feats), "
+                  "e -> named_struct('key', e.key, "
+                  "'value', e.value + CAST(1 AS BIGINT)))) END"},
+        "doc_id % 10 = 7",
+    )
+    sink, ck = d + "/sink", d + "/ck"
+    q = (
+        spark.readStream.format("laketable").option("path", t.path)
+        .option("mode", "cdc").option("cow-changelog", "true")
+        .option("cdc-cow-buckets", "4").load()
+        .writeStream.format("parquet").option("path", sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck).start()
+    )
+    q.awaitTermination(300)
+    feed = spark.read.parquet(sink).join(
+        F.broadcast(docs.select("doc_id", "n_chars")), "doc_id"
+    )
+    ins = F.col("_change_type") == "insert"
+    by_key = F.element_at("feats", F.col("n_chars").cast("double"))
+    return feed.agg(
+        F.sum(ins.cast("long")).alias("insert_rows"),
+        F.sum((~ins).cast("long")).alias("delete_rows"),
+        F.sum(F.when(by_key == F.col("n_chars"), 1).cast("long"))
+        .alias("match_old"),
+        F.sum(F.when(by_key == F.col("n_chars") + 1, 1).cast("long"))
+        .alias("match_new"),
+        F.sum(F.when(ins, F.aggregate(
+            F.map_values("feats"), F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ))).alias("sum_vals_inserts"),
+    )

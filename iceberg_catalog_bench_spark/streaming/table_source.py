@@ -553,10 +553,14 @@ def _canon_strings(vals):
     """Canonical NULLABLE BINARY rendering of any supported Arrow
     array — primitive, list, map, struct, or binary, arbitrarily
     composed (r14; binary leaves r15): two values render identically
-    iff they are logically equal. Maps ignore entry order (entries
-    sort by key via an Arrow-native stable ``sort_indices`` — string
-    keys never round-trip through Python objects); lists keep element
-    order (it is semantic); floats fold -0.0 → +0.0 and NaN payloads
+    iff they are logically equal. Maps ignore entry order — entries
+    sort by the recursively-RENDERED key bytes via an Arrow-native
+    stable ``sort_indices``, so float/binary/struct/array keys
+    canonicalize too (r15; equal maps carry equal entry sets, so any
+    deterministic total order over the injective rendering fixes the
+    entry order) — keys never round-trip through Python objects;
+    lists keep element order (it is semantic); floats fold -0.0 →
+    +0.0 and NaN payloads
     to one canonical NaN WITHOUT merging NaN into NULL; every level
     length-prefixes its parts (``len:bytes``, length in BYTES) so the
     rendering is injective even when values contain the separators,
@@ -595,14 +599,23 @@ def _canon_strings(vals):
                  .to_numpy(zero_copy_only=False).astype("int64"))
         ent = pc.list_flatten(as_list)
         keys, items = ent.field(0), ent.field(1)
+        # render keys FIRST through the same recursion (injective, and
+        # it folds float -0.0/NaN — matching Spark's key-normalization
+        # semantics — and takes binary/struct/array keys raw), then
+        # sort entries by the RENDERED bytes: equal maps carry equal
+        # entry sets, so any deterministic total order on the rendered
+        # keys canonicalizes entry order — it need not be the key
+        # type's own order (r15: this is what admits float, binary,
+        # and nested map KEYS — r14 sorted the raw key, which needs
+        # the key type itself Arrow-sortable and utf8-castable)
+        ks = _canon_strings(keys)
         row_id = np.repeat(np.arange(len(vals), dtype="int64"), sizes)
         if len(row_id):
             order = pc.sort_indices(
-                pa.table({"r": row_id, "k": keys}),
+                pa.table({"r": row_id, "k": ks}),
                 sort_keys=[("r", "ascending"), ("k", "ascending")],
             )
-            keys, items = keys.take(order), items.take(order)
-        ks = pc.cast(pc.cast(keys, pa.string()), pa.binary())
+            ks, items = ks.take(order), items.take(order)
         klen = _blen(ks)
         vs = _canon_strings(items)
         vlen = _blen(vs).fill_null(b"~")
@@ -679,17 +692,6 @@ _X_VALID = "\x00\x00"
 _X_BYTES = "\x00\x01"
 _X_RAW = "\x00\x02"
 
-# primitive DDL types a map KEY can render canonically: keys must
-# stringify deterministically AND order deterministically under the
-# entry sort (floats excluded — NaN/-0.0 break total order; values
-# have no such limit: the recursive rendering canonicalizes them)
-_NET_MAP_KEY_PRIMS = frozenset({
-    "int", "integer", "bigint", "long", "smallint", "short", "tinyint",
-    "byte", "string", "varchar", "char", "boolean", "date",
-    "timestamp", "timestamp_ntz",
-})
-
-
 def _net_unkeyable_reason(ddl: str) -> str | None:
     """Why a column of type ``ddl`` cannot be a cow-changelog netting
     key (None when it can). Containers (map/array, arbitrarily
@@ -697,9 +699,11 @@ def _net_unkeyable_reason(ddl: str) -> str | None:
     (r14), including BINARY leaves at any depth (r15 — the rendering
     is length-prefixed raw bytes, so a byte string needs no text
     canonicalization); structs outside containers flatten to leaves.
-    What's left refused: map KEYS that are float (no total sort order
-    under NaN/-0.0), binary (keys render through a utf8 cast for the
-    entry sort), or themselves nested."""
+    Map KEYS of any renderable type — float, binary, struct, array —
+    net too (r15): entries sort by the RENDERED key bytes rather than
+    the raw key, so the key type only needs the injective rendering,
+    not a native Arrow sort order. Nothing type-shaped is refused any
+    more; only malformed DDL is."""
     t = ddl.strip()
     k = t.lower()
     if k.startswith("array<") and k.endswith(">"):
@@ -708,11 +712,8 @@ def _net_unkeyable_reason(ddl: str) -> str | None:
         kv = _split_top(t[4:-1], ",")
         if len(kv) != 2:
             return "malformed map type"
-        kk = kv[0].strip().lower()
-        if not (kk in _NET_MAP_KEY_PRIMS
-                or kk.startswith(("decimal", "varchar", "char"))):
-            return f"map key type {kv[0].strip()!r} has no canonical order"
-        return _net_unkeyable_reason(kv[1])
+        return (_net_unkeyable_reason(kv[0])
+                or _net_unkeyable_reason(kv[1]))
     if k.startswith("struct<") and k.endswith(">"):
         for item in _split_top(t[7:-1], ","):
             name, sep, sub = item.partition(":")
@@ -1398,18 +1399,11 @@ class LakeTableStreamReader(DataSourceStreamReader):
             for reason in [_net_unkeyable_reason(t)] if reason
         ]
         if unkeyable:
-            # netting group-bys over EVERY column; Arrow's hash
-            # group-by (and pandas' row hash) cannot key on list
-            # values — refuse at planning time rather than failing
-            # (or, worse, mis-bucketing) executor-side. STRUCT columns
-            # net via leaf-flatten + validity bit (r13); MAP and ARRAY
-            # columns — at any struct depth, any struct/map/array
-            # composition, binary leaves included (r15) — net via a
-            # RECURSIVE canonical entry rendering + validity bit +
-            # raw-passthrough rebuild (r14). What's left refused:
-            # float/binary/nested map KEYS. The batch changelog()
-            # nets those too (JVM exceptAll over a key-sorted
-            # entry-array encoding for map columns).
+            # every SUPPORTED type now nets: structs leaf-flatten
+            # (r13), map/array containers render canonically (r14),
+            # binary leaves ride the raw-bytes rendering and map KEYS
+            # of any type sort by their rendered bytes (r15) — only
+            # malformed DDL reaches this refusal.
             raise NotImplementedError(
                 f"cow-changelog netting cannot key on columns "
                 f"{unkeyable}; use LakeTable.changelog() for this range"

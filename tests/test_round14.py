@@ -86,14 +86,17 @@ def test_net_unkeyable_reason_matrix():
         "array<binary>", "map<string,binary>",
         "array<struct<a:binary>>", "struct<a:array<binary>>",
         "map<string,array<binary>>",
+        # r15: map KEYS of any renderable type — entries sort by the
+        # rendered key bytes, not the raw key
+        "map<double,int>",
+        "map<array<int>,int>",
+        "map<binary,int>",
+        "map<struct<a:int,b:string>,bigint>",
     ]
     for t in ok:
         assert _net_unkeyable_reason(t) is None, t
     bad = [
-        "map<double,int>",            # float map key: no total order
-        "map<array<int>,int>",        # nested map key
-        "map<binary,int>",            # binary map key: keys render
-                                      # via utf8 cast for the sort
+        "map<string>",                # malformed: one type param
     ]
     for t in bad:
         assert _net_unkeyable_reason(t), t

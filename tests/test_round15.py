@@ -1,17 +1,135 @@
-"""Round 15 pins: ADVICE r14 items (map-capable batch changelog —
-the fallback the netting refusal names must accept map columns; the
-Arrow-level oracle type gate lives in test_oracle_compare_unit) and
-the binary-in-container netting lift (VERDICT r15 item 4)."""
+"""Round 15 pins: map KEYS of any renderable type net through the
+CoW changelog — entries sort by the recursively-RENDERED key bytes
+(injective, float-folding, raw-bytes for binary) instead of the raw
+key, which r14 required to be Arrow-sortable and utf8-castable."""
 
 import pyarrow as pa
-import pytest
+from pyspark.sql import functions as F
 
 from iceberg_catalog_bench_spark.catalog.table import LakeTable
+from iceberg_catalog_bench_spark.streaming.table_source import (
+    _canon_map_cols,
+    _net_unkeyable_reason,
+    register_source,
+)
+
+
+def _canon(rows, typ):
+    valid, joined = _canon_map_cols(pa.array(rows, type=typ))
+    return valid.to_pylist(), joined.to_pylist()
+
+
+def test_canon_float_keys_fold_and_order_insensitive():
+    t = pa.map_(pa.float64(), pa.int64())
+    _, j = _canon([
+        [(1.5, 1), (2.5, 2)],
+        [(2.5, 2), (1.5, 1)],          # reorder -> identical render
+        [(-0.0, 7)], [(0.0, 7)],       # -0.0 folds into +0.0
+        [(float("nan"), 3)], [(float("nan"), 3)],  # canonical NaN key
+        [(10.0, 1)], [(9.0, 1)],       # the rendered-bytes sort need
+                                       # not be numeric — only
+                                       # deterministic and injective
+    ], t)
+    assert j[0] == j[1]
+    assert j[2] == j[3]
+    assert j[4] == j[5]
+    assert j[6] != j[7]
+    assert j[4] != j[6]                # NaN key is its own key
+
+
+def test_canon_binary_keys_raw_bytes():
+    t = pa.map_(pa.binary(), pa.int64())
+    _, j = _canon([
+        [(b"\x00\xff", 1), (b"a", 2)],   # invalid utf8 + NUL bytes
+        [(b"a", 2), (b"\x00\xff", 1)],
+        [(b"\x00", 1)], [(b"\x00\x00", 1)],  # length-prefix splits them
+    ], t)
+    assert j[0] == j[1]
+    assert j[2] != j[3]
+
+
+def test_canon_struct_and_array_keys():
+    ts = pa.map_(pa.struct([("a", pa.int64()), ("b", pa.string())]),
+                 pa.int64())
+    _, j = _canon([
+        [({"a": 1, "b": "x"}, 1), ({"a": 2, "b": "y"}, 2)],
+        [({"a": 2, "b": "y"}, 2), ({"a": 1, "b": "x"}, 1)],
+        [({"a": 1, "b": "xy"}, 1)],
+    ], ts)
+    assert j[0] == j[1]
+    assert j[2] != j[0]
+    tl = pa.map_(pa.list_(pa.int64()), pa.string())
+    _, j = _canon([
+        [([1, 2], "u"), ([3], "w")],
+        [([3], "w"), ([1, 2], "u")],
+        [([1], "u"), ([2, 3], "w")],   # same flat ints, different split
+    ], tl)
+    assert j[0] == j[1]
+    assert j[2] != j[0]
+
+
+def test_unkeyable_gate_lifts_exotic_keys():
+    for t in ("map<double,int>", "map<binary,int>",
+              "map<array<int>,int>", "map<struct<a:int>,bigint>",
+              "array<map<float,string>>",
+              "struct<m:map<double,array<binary>>>"):
+        assert _net_unkeyable_reason(t) is None, t
+    assert _net_unkeyable_reason("map<int>")  # malformed still refuses
+
+
+def test_cow_changelog_nets_float_and_binary_keyed_maps(
+        spark, tmp_path):
+    """e2e r15: map<double,bigint> (NaN key included) and
+    map<binary,string> columns through the CoW-changelog netting —
+    rows rewritten unchanged cancel, the one updated row surfaces
+    with bit-exact map values, and the batch changelog agrees."""
+    register_source(spark)
+    ddl = "k bigint, fm map<double,bigint>, bm map<binary,string>"
+    t = LakeTable.create(spark, str(tmp_path / "t"), ddl)
+    nan = float("nan")
+    t.append(spark.createDataFrame(
+        [(1, {1.5: 10, nan: 42}, {b"\x00\xff": "a"}),
+         (2, {2.5: 20}, {b"k": "b", b"\x00": "c"}),
+         (3, None, None)],
+        ddl))
+    t.update({"fm": "map_from_entries(transform(map_entries(fm), "
+                    "e -> named_struct('key', e.key, "
+                    "'value', e.value + CAST(1 AS BIGINT))))"},
+             "k = 1")
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("laketable").option("path", t.path)
+        .option("mode", "cdc").option("cow-changelog", "true")
+        .option("cdc-cow-buckets", "4").load()
+        .writeStream.format("parquet").option("path", sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck).start()
+    )
+    q.awaitTermination(300)
+    feed = spark.read.parquet(sink)
+    kinds = sorted(
+        (r["_commit_snapshot_id"], r["_change_type"], r["k"])
+        for r in feed.collect()
+    )
+    assert kinds == [
+        (1, "insert", 1), (1, "insert", 2), (1, "insert", 3),
+        (2, "delete", 1), (2, "insert", 1),
+    ]
+    upd = feed.filter("_commit_snapshot_id = 2 AND "
+                      "_change_type = 'insert'").collect()[0]
+    assert upd["fm"][1.5] == 11
+    nan_vals = [v for kk, v in upd["fm"].items() if kk != kk]
+    assert nan_vals == [43]
+    assert upd["bm"][b"\x00\xff"] == "a"   # binary-keyed map rebuilt raw
+    ch = t.changelog(1, t._snapshot().snapshot_id)
+    assert sorted((r["_change_type"], r["k"]) for r in ch.collect()) \
+        == [("delete", 1), ("insert", 1)]
 
 
 def test_batch_changelog_nets_map_columns(spark, tmp_path):
-    """ADVICE r14: the streaming netting refuses map<double,int> (float
-    map key) and points at LakeTable.changelog() — which used a bare
+    """ADVICE r14: the streaming netting refused map<double,int> (float
+    map key — lifted later in r15) and pointed at LakeTable.changelog()
+    — which used a bare
     exceptAll that Spark rejects for map columns. It now nets on the
     lossless key-sorted entry-array encoding: carried-over rows cancel
     (including entry-order twins), updates surface as delete+insert,
