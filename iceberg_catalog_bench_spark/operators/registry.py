@@ -120,6 +120,10 @@ PRIORITY: tuple[str, ...] = (
     "corpus_split_train_val_test",
     "pipeline_pack_sequences",
     # ---- 50 cap lands exactly here ----
+    # -- below-cap: staged r16 debuts (never driver-checked; lead
+    # r16's tier (a)) --
+    "tpcds_customer_activity_profile",
+    "tpcds_monthly_return_pivot",
     # -- below-cap: the 22 deferred r11 rows (lead r16's tier (b)) --
     "sample_stratified_by_lang",
     "attribution_last_touch",

@@ -2394,3 +2394,164 @@ def tpcds_customer_value_yoy_lag(spark: SparkSession,
         .orderBy(F.desc("urgent_growth"), "custkey", "yr")
         .limit(100)
     )
+
+
+@register(
+    "tpcds_customer_activity_profile",
+    oracle=(
+        # Q10/Q35/Q69: demographic profile of customers selected by an
+        # EXISTS on one activity slice AND a NOT EXISTS on another —
+        # here, customers who ever placed an urgent-priority order but
+        # have NO order at all on/after 2000-07-01 (lapsed urgent
+        # buyers), profiled per (nation, market segment).
+        "SELECT n_name, c_mktsegment, "
+        "CAST(COUNT(*) AS BIGINT) AS n_cust, "
+        "ROUND(AVG(c_acctbal), 2) AS avg_bal, "
+        "ROUND(MIN(c_acctbal), 2) AS min_bal, "
+        "ROUND(MAX(c_acctbal), 2) AS max_bal "
+        "FROM customer JOIN nation ON n_nationkey = c_nationkey "
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "  AND o_orderpriority IN ('1-URGENT','2-HIGH') "
+        "  AND o_orderdate < TIMESTAMP '2000-07-01 00:00:00') "
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "  AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00') "
+        "GROUP BY n_name, c_mktsegment "
+        "ORDER BY n_name, c_mktsegment"
+    ),
+)
+def tpcds_customer_activity_profile(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """TPC-DS Q10/Q35/Q69 shape (staged r16) — CUSTOMER ACTIVITY
+    PROFILE BY EXISTS + NOT EXISTS: the signature TPC-DS demographic
+    report selects customers by existential activity tests on fact
+    slices (bought in channel A, never in channel B) and aggregates
+    their attributes per demographic cell. On this fixture: customers
+    who ever placed an urgent-priority order (EXISTS) and have no
+    order at all on/after 2000-07-01 (NOT EXISTS — lapsed buyers),
+    profiled per (nation, market segment) with count and
+    account-balance stats. This is the
+    one TPC-DS signature the suite had not modeled: a LEFT SEMI and a
+    LEFT ANTI join feeding the same aggregate.
+
+    Plan shape at 100 TB: each activity slice filter-pushes into the
+    orders scan, partial-aggregates to DISTINCT custkeys map-side
+    (the explicit distinct() keeps the semi/anti shuffle at
+    |active customers|, not |order rows|), and both joins shuffle on
+    the customer key — co-located with each other and with any sane
+    customer-table layout, so AQE plans at most one exchange per
+    side. The nation dimension broadcasts; the final aggregate is
+    |nation × segment| cells. Q10's own plan is identical with
+    date_dim in place of the year predicates.
+    Reference scope: `ICEBERG-Interoperability-Test-Spec.md:43`."""
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderdate", "o_orderpriority")
+    cutoff = F.lit("2000-07-01 00:00:00").cast("timestamp")
+    urgent_before = (
+        orders.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & (F.col("o_orderdate") < cutoff)
+        ).select("o_custkey").distinct()
+    )
+    any_after = (
+        orders.filter(F.col("o_orderdate") >= cutoff)
+        .select("o_custkey").distinct()
+    )
+    return (
+        cust.join(urgent_before, cust.c_custkey == urgent_before.o_custkey,
+                  "left_semi")
+        .join(any_after, cust.c_custkey == any_after.o_custkey,
+              "left_anti")
+        .join(F.broadcast(nation),
+              cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("n_name", "c_mktsegment")
+    )
+
+
+@register(
+    "tpcds_monthly_return_pivot",
+    oracle=(
+        # Q66: the wide month-pivot report — per (supplier nation,
+        # ship year), twelve monthly revenue columns from ONE fact
+        # pass of conditional sums, split into kept vs returned
+        # streams (the fixture's twin of Q66's two ship-mode
+        # families), plus the year totals.
+        "SELECT n_name, "
+        "CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr, "
+        + ", ".join(
+            f"ROUND(SUM(CASE WHEN EXTRACT(month FROM l_shipdate) = {m} "
+            f"AND l_returnflag <> 'R' THEN l_extendedprice "
+            f"* (1 - l_discount) ELSE 0 END), 2) AS kept_m{m:02d}"
+            for m in range(1, 13)
+        ) + ", "
+        "ROUND(SUM(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice "
+        "* (1 - l_discount) ELSE 0 END), 2) AS kept_total, "
+        "ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_extendedprice "
+        "* (1 - l_discount) ELSE 0 END), 2) AS returned_total "
+        "FROM lineitem "
+        "JOIN supplier ON s_suppkey = l_suppkey "
+        "JOIN nation ON n_nationkey = s_nationkey "
+        "GROUP BY n_name, yr "
+        "ORDER BY n_name, yr"
+    ),
+)
+def tpcds_monthly_return_pivot(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TPC-DS Q66 shape (staged r16) — THE WIDE MONTH-PIVOT REPORT:
+    per (supplier nation, ship year), twelve monthly revenue columns
+    materialize from ONE fact pass of conditional sums — Q66's
+    signature 'jan_sales … dec_sales' pivot — split into kept vs
+    returned streams (this fixture's twin of Q66's two ship-mode
+    families) plus year totals. The spec spells the pivot as a UNION
+    ALL of two scans; here both streams and all twelve months come
+    out of a single aggregate.
+
+    Plan shape at 100 TB: the 14 conditional sums are all map-side
+    combinable, so the one shuffle carries |nation × year| × 14
+    cells — a few hundred rows of state per partial regardless of
+    fact volume (Q66's warehouse grain is the same trick). The
+    supplier join shuffles on suppkey once (or broadcasts at small
+    dimension scale — AQE decides); nation broadcasts. No window, no
+    second fact pass.
+    Reference scope: `ICEBERG-Interoperability-Test-Spec.md:43`."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_suppkey", "l_shipdate", "l_returnflag",
+        "l_extendedprice", "l_discount")
+    sup = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_nationkey")
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    kept = F.col("l_returnflag") != "R"
+    monthly = [
+        F.round(F.sum(F.when(
+            (F.month("l_shipdate") == m) & kept, rev
+        ).otherwise(F.lit(0.0))), 2).alias(f"kept_m{m:02d}")
+        for m in range(1, 13)
+    ]
+    return (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.year("l_shipdate").cast("bigint").alias("yr"),
+        )
+        .agg(
+            *monthly,
+            F.round(F.sum(F.when(kept, rev).otherwise(F.lit(0.0))), 2)
+            .alias("kept_total"),
+            F.round(F.sum(F.when(~kept, rev).otherwise(F.lit(0.0))), 2)
+            .alias("returned_total"),
+        )
+        .orderBy("n_name", "yr")
+    )
