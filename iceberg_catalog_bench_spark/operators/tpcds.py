@@ -2404,11 +2404,15 @@ def tpcds_customer_value_yoy_lag(spark: SparkSession,
         # here, customers who ever placed an urgent-priority order but
         # have NO order at all on/after 2000-07-01 (lapsed urgent
         # buyers), profiled per (nation, market segment).
+        # balances sum as exact integer cents and divide identical
+        # integers (the Q31/Q39 discipline): SUM(double) in a
+        # different reduction order lands on ROUND boundaries
         "SELECT n_name, c_mktsegment, "
         "CAST(COUNT(*) AS BIGINT) AS n_cust, "
-        "ROUND(AVG(c_acctbal), 2) AS avg_bal, "
-        "ROUND(MIN(c_acctbal), 2) AS min_bal, "
-        "ROUND(MAX(c_acctbal), 2) AS max_bal "
+        "CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) "
+        "  / (100.0 * COUNT(*)) AS avg_bal, "
+        "MIN(c_acctbal) AS min_bal, "
+        "MAX(c_acctbal) AS max_bal "
         "FROM customer JOIN nation ON n_nationkey = c_nationkey "
         "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
         "  AND o_orderpriority IN ('1-URGENT','2-HIGH') "
@@ -2470,9 +2474,11 @@ def tpcds_customer_activity_profile(spark: SparkSession,
         .groupBy("n_name", "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
-            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
-            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            (F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+             .cast("double")
+             / (F.count(F.lit(1)) * F.lit(100.0))).alias("avg_bal"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
         )
         .orderBy("n_name", "c_mktsegment")
     )
@@ -2486,18 +2492,25 @@ def tpcds_customer_activity_profile(spark: SparkSession,
         # pass of conditional sums, split into kept vs returned
         # streams (the fixture's twin of Q66's two ship-mode
         # families), plus the year totals.
+        # revenue sums as exact integer cents rendered by /100.0 —
+        # identical integers divide to identical doubles in both
+        # engines (SUM(double) order-dependence lands on ROUND
+        # boundaries across 2450 cells)
         "SELECT n_name, "
         "CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr, "
         + ", ".join(
-            f"ROUND(SUM(CASE WHEN EXTRACT(month FROM l_shipdate) = {m} "
-            f"AND l_returnflag <> 'R' THEN l_extendedprice "
-            f"* (1 - l_discount) ELSE 0 END), 2) AS kept_m{m:02d}"
+            f"CAST(SUM(CASE WHEN EXTRACT(month FROM l_shipdate) = {m} "
+            f"AND l_returnflag <> 'R' THEN CAST(ROUND(l_extendedprice "
+            f"* (1 - l_discount) * 100) AS BIGINT) ELSE 0 END) "
+            f"AS DOUBLE) / 100.0 AS kept_m{m:02d}"
             for m in range(1, 13)
         ) + ", "
-        "ROUND(SUM(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice "
-        "* (1 - l_discount) ELSE 0 END), 2) AS kept_total, "
-        "ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_extendedprice "
-        "* (1 - l_discount) ELSE 0 END), 2) AS returned_total "
+        "CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN "
+        "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) "
+        "ELSE 0 END) AS DOUBLE) / 100.0 AS kept_total, "
+        "CAST(SUM(CASE WHEN l_returnflag = 'R' THEN "
+        "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) "
+        "ELSE 0 END) AS DOUBLE) / 100.0 AS returned_total "
         "FROM lineitem "
         "JOIN supplier ON s_suppkey = l_suppkey "
         "JOIN nation ON n_nationkey = s_nationkey "
@@ -2531,12 +2544,15 @@ def tpcds_monthly_return_pivot(spark: SparkSession,
         "s_suppkey", "s_nationkey")
     nation = load_table(spark, "nation", sf_dir).select(
         "n_nationkey", "n_name")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
     kept = F.col("l_returnflag") != "R"
+    zero = F.lit(0).cast("bigint")
     monthly = [
-        F.round(F.sum(F.when(
-            (F.month("l_shipdate") == m) & kept, rev
-        ).otherwise(F.lit(0.0))), 2).alias(f"kept_m{m:02d}")
+        (F.sum(F.when((F.month("l_shipdate") == m) & kept, cents)
+               .otherwise(zero)).cast("double") / 100.0)
+        .alias(f"kept_m{m:02d}")
         for m in range(1, 13)
     ]
     return (
@@ -2548,10 +2564,10 @@ def tpcds_monthly_return_pivot(spark: SparkSession,
         )
         .agg(
             *monthly,
-            F.round(F.sum(F.when(kept, rev).otherwise(F.lit(0.0))), 2)
-            .alias("kept_total"),
-            F.round(F.sum(F.when(~kept, rev).otherwise(F.lit(0.0))), 2)
-            .alias("returned_total"),
+            (F.sum(F.when(kept, cents).otherwise(zero))
+             .cast("double") / 100.0).alias("kept_total"),
+            (F.sum(F.when(~kept, cents).otherwise(zero))
+             .cast("double") / 100.0).alias("returned_total"),
         )
         .orderBy("n_name", "yr")
     )
