@@ -823,18 +823,30 @@ def semdedup_centroids(spark: SparkSession, emb: DataFrame, k: int,
         # Lloyd assignment via the Arrow/BLAS twin: training is not
         # oracle-bound (the driver row uses method="first"), and the
         # matmul path is ~7× on the 1M probe's training step. Past
-        # the flat-matmul budget the two-level IVF assigner takes
+        # the flat-matmul budget the two-level IVF scorer takes
         # over (13.7× at K=16k, BASELINE.md) — approximate Lloyd
         # updates are standard IVF-training practice; the ±2% of
         # boundary vectors averaged into a neighboring centroid
-        # perturb the iterate far less than one Lloyd step moves it
-        assign_fn = (_semdedup_assign_ivf_arrow
-                     if len(seed_rows) >= _IVF_TRAIN_MIN_K
-                     else _semdedup_assign_arrow)
-        dims = emb.join(assign_fn(emb, cents), "vec_id").select(
-            "cid", F.posexplode(F.col("embedding")).alias("pos", "val"))
+        # perturb the iterate far less than one Lloyd step moves it.
+        # r15: the per-dimension mean comes from MAP-SIDE partial
+        # sums emitted by the same Arrow pass that assigns (the
+        # parameter-server step) — the reduce input is K×partitions
+        # rows, independent of corpus size, where the previous
+        # join-back + posexplode shuffled n×d values per iteration.
+        # Sum order differs from the old per-value F.avg by ULPs —
+        # training is not oracle-bound, and one Lloyd step moves the
+        # iterate far more.
+        c, cids = _collect_unit_centroids(cents)
+        score = (_ivf_scorer(c, cids)
+                 if len(seed_rows) >= _IVF_TRAIN_MIN_K else None)
+        if score is None:
+            score = _flat_scorer(c, cids)
+        partials = _lloyd_partials(emb, score, int(cids.max()) + 1)
         new = (
-            dims.groupBy("cid", "pos").agg(F.avg("val").alias("v"))
+            partials.select(
+                "cid", "cnt", F.posexplode("vsum").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg((F.sum("val") / F.sum("cnt")).alias("v"))
             .groupBy("cid")
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "v"))),
@@ -842,6 +854,40 @@ def semdedup_centroids(spark: SparkSession, emb: DataFrame, k: int,
         )
         cents = spark.createDataFrame(new.collect(), new.schema)
     return cents
+
+
+def _lloyd_partials(emb: DataFrame, score, n_slots: int) -> DataFrame:
+    """One map-side Arrow pass per Lloyd iteration: each partition
+    assigns its vectors (``score`` over the unit rows) and accumulates
+    per-centroid RAW-value sums + counts into a K×d accumulator,
+    emitting only the non-empty (cid, cnt, vsum) rows — the classic
+    parameter-server partial. The downstream reduce sees
+    K × partitions rows regardless of corpus size."""
+    import numpy as np
+    import pandas as pd
+
+    def part(batches):
+        acc = cnt = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vn = np.linalg.norm(v, axis=1, keepdims=True)
+            vu = v / np.where(vn == 0, 1.0, vn)
+            cid = score(vu)
+            if acc is None:
+                acc = np.zeros((n_slots, v.shape[1]))
+                cnt = np.zeros(n_slots, dtype=np.int64)
+            np.add.at(acc, cid, v)
+            cnt += np.bincount(cid, minlength=n_slots)
+        if acc is None:
+            return
+        nz = np.nonzero(cnt)[0]
+        yield pd.DataFrame({"cid": nz.astype(np.int64),
+                            "cnt": cnt[nz],
+                            "vsum": list(acc[nz])})
+
+    return emb.mapInPandas(part, "cid bigint, cnt bigint, vsum array<double>")
 
 
 def _unit_rows(df: DataFrame, vec_col: str) -> DataFrame:
@@ -896,11 +942,25 @@ def _collect_unit_centroids(cents: DataFrame):
     return c, cids
 
 
-def _assign_arrow_from_model(emb: DataFrame, c, cids) -> DataFrame:
-    """Flat-matmul assignment against an already-collected centroid
-    model — the body of :func:`_semdedup_assign_arrow`, also the
-    small-K fallback of the IVF twin (which has already paid the one
-    collect)."""
+def _flat_scorer(c, cids):
+    """score(unit-rows batch) -> cid array via ONE BLAS matmul +
+    argmax. Ties break on lowest cid (the matrix is cid-sorted and
+    argmax returns the first maximum)."""
+    def score(v):
+        return cids[(v @ c.T).argmax(axis=1)]
+
+    return score
+
+
+def _assign_arrow(emb: DataFrame, score, carry_vec: bool = False
+                  ) -> DataFrame:
+    """Map-side Arrow assignment: each batch normalizes, scores via
+    ``score`` (flat or IVF), and emits (vec_id, cid) — plus the input
+    embedding column when ``carry_vec`` (r15: both downstream
+    consumers used to JOIN the assignment back to the vectors on
+    vec_id, a full corpus shuffle×2 that carrying the column through
+    the same map pass removes — the report's only shuffle is then the
+    groupBy on cluster id)."""
     import numpy as np
     import pandas as pd
 
@@ -911,14 +971,30 @@ def _assign_arrow_from_model(emb: DataFrame, c, cids) -> DataFrame:
             v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             vn = np.linalg.norm(v, axis=1, keepdims=True)
             v = v / np.where(vn == 0, 1.0, vn)
-            best = (v @ c.T).argmax(axis=1)
-            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
-                                "cid": cids[best]})
+            out = {"vec_id": pdf["vec_id"].to_numpy(),
+                   "cid": score(v)}
+            if carry_vec:
+                out["embedding"] = pdf["embedding"]
+            yield pd.DataFrame(out)
 
-    return emb.mapInPandas(assign, "vec_id bigint, cid bigint")
+    schema = "vec_id bigint, cid bigint"
+    if carry_vec:
+        vec_ddl = emb.schema["embedding"].dataType.simpleString()
+        schema += f", embedding {vec_ddl}"
+    return emb.mapInPandas(assign, schema)
 
 
-def _semdedup_assign_arrow(emb: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign_arrow_from_model(emb: DataFrame, c, cids,
+                             carry_vec: bool = False) -> DataFrame:
+    """Flat-matmul assignment against an already-collected centroid
+    model — the body of :func:`_semdedup_assign_arrow`, also the
+    small-K fallback of the IVF twin (which has already paid the one
+    collect)."""
+    return _assign_arrow(emb, _flat_scorer(c, cids), carry_vec)
+
+
+def _semdedup_assign_arrow(emb: DataFrame, cents: DataFrame,
+                           carry_vec: bool = False) -> DataFrame:
     """Arrow twin of :func:`_semdedup_assign`: the K×d centroid matrix
     is collected once (KB-sized — the same driver materialization the
     Lloyd trainer already does), unit-normalized, and shipped in the
@@ -927,7 +1003,7 @@ def _semdedup_assign_arrow(emb: DataFrame, cents: DataFrame) -> DataFrame:
     Ties break on lowest cid (argmax returns the first maximum and the
     matrix is cid-sorted). Map-side, no shuffle — same plan shape."""
     c, cids = _collect_unit_centroids(cents)
-    return _assign_arrow_from_model(emb, c, cids)
+    return _assign_arrow_from_model(emb, c, cids, carry_vec)
 
 
 _IVF_ASSIGN_MIN_K = 64   # below this, flat matmul beats two probe passes
@@ -962,8 +1038,8 @@ def _train_coarse_cells(c, n_cells: int, iters: int = 5):
 
 
 def _semdedup_assign_ivf_arrow(emb: DataFrame, cents: DataFrame,
-                               nprobe: int = _IVF_ASSIGN_NPROBE
-                               ) -> DataFrame:
+                               nprobe: int = _IVF_ASSIGN_NPROBE,
+                               carry_vec: bool = False) -> DataFrame:
     """Two-level (IVF) twin of :func:`_semdedup_assign_arrow` — the
     documented handoff once K outgrows the flat-matmul budget (VERDICT
     r10 / BASELINE.md: the assignment leg is the only SemDeDup stage
@@ -992,14 +1068,24 @@ def _semdedup_assign_ivf_arrow(emb: DataFrame, cents: DataFrame,
 
     K < ``_IVF_ASSIGN_MIN_K`` falls back to the flat twin (two passes
     cost more than one small matmul)."""
-    import numpy as np
-    import pandas as pd
-
     c, cids = _collect_unit_centroids(cents)
+    score = _ivf_scorer(c, cids, nprobe)
+    if score is None:
+        return _assign_arrow_from_model(emb, c, cids, carry_vec)
+    return _assign_arrow(emb, score, carry_vec)
+
+
+def _ivf_scorer(c, cids, nprobe: int = _IVF_ASSIGN_NPROBE):
+    """score(unit-rows batch) -> cid array via the two-level probe, or
+    None when K is below the IVF budget (caller falls back to the flat
+    scorer). The body of :func:`_semdedup_assign_ivf_arrow`, factored
+    so the Lloyd trainer's partial-sum pass (r15) shares it."""
+    import numpy as np
+
     k = len(cids)
     n_cells = int(round(max(1, (nprobe * k) ** 0.5)))
     if k < _IVF_ASSIGN_MIN_K or n_cells >= k:
-        return _assign_arrow_from_model(emb, c, cids)
+        return None
     coarse, members = _train_coarse_cells(c, n_cells)
     # drop EMPTY cells before probing: duplicate-heavy centroid tables
     # (a dedup corpus head under method="first") collapse the coarse
@@ -1012,35 +1098,28 @@ def _semdedup_assign_ivf_arrow(emb: DataFrame, cents: DataFrame,
     members = [members[j] for j in keep]
     nprobe = min(nprobe, len(members))
 
-    def assign(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            vn = np.linalg.norm(v, axis=1, keepdims=True)
-            v = v / np.where(vn == 0, 1.0, vn)
-            n = len(v)
-            cs = v @ coarse.T                              # n × C
-            probes = np.argpartition(-cs, nprobe - 1, axis=1)[:, :nprobe]
-            best_s = np.full(n, -np.inf)
-            best_c = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
-            for j in np.unique(probes):
-                mem = members[j]
-                idx = np.nonzero((probes == j).any(axis=1))[0]
-                sims = v[idx] @ c[mem].T                   # m × |cell j|
-                arg = sims.argmax(axis=1)
-                s = sims[np.arange(len(idx)), arg]
-                cand = cids[mem[arg]]
-                upd = (s > best_s[idx]) | (
-                    (s == best_s[idx]) & (cand < best_c[idx]))
-                ui = idx[upd]
-                best_s[ui] = s[upd]
-                best_c[ui] = cand[upd]
-            assert (best_s > -np.inf).all()  # every cell probed is real
-            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
-                                "cid": best_c})
+    def score(v):
+        n = len(v)
+        cs = v @ coarse.T                              # n × C
+        probes = np.argpartition(-cs, nprobe - 1, axis=1)[:, :nprobe]
+        best_s = np.full(n, -np.inf)
+        best_c = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        for j in np.unique(probes):
+            mem = members[j]
+            idx = np.nonzero((probes == j).any(axis=1))[0]
+            sims = v[idx] @ c[mem].T                   # m × |cell j|
+            arg = sims.argmax(axis=1)
+            s = sims[np.arange(len(idx)), arg]
+            cand = cids[mem[arg]]
+            upd = (s > best_s[idx]) | (
+                (s == best_s[idx]) & (cand < best_c[idx]))
+            ui = idx[upd]
+            best_s[ui] = s[upd]
+            best_c[ui] = cand[upd]
+        assert (best_s > -np.inf).all()  # every cell probed is real
+        return best_c
 
-    return emb.mapInPandas(assign, "vec_id bigint, cid bigint")
+    return score
 
 
 def semdedup_report_arrow(emb: DataFrame, cents: DataFrame,
@@ -1074,9 +1153,12 @@ def semdedup_report_arrow(emb: DataFrame, cents: DataFrame,
                      "ivf": _semdedup_assign_ivf_arrow}[assign]
     except KeyError:
         raise ValueError(f"unknown assign mode {assign!r}") from None
-    ass = _unit_rows(emb, "embedding").join(
-        assign_fn(emb, cents), "vec_id").select(
-        "vec_id", "embedding", "cid")
+    # r15: the assignment pass CARRIES the unit vectors through
+    # (carry_vec) instead of being joined back to them on vec_id —
+    # that join was two full-corpus shuffles; the report's only
+    # shuffle is now the groupBy on cluster id below.
+    ass = assign_fn(_unit_rows(emb, "embedding"), cents,
+                    carry_vec=True).select("vec_id", "embedding", "cid")
     out_schema = _T.StructType([
         _T.StructField("cluster_id", _T.LongType()),
         _T.StructField("n_vectors", _T.LongType()),
