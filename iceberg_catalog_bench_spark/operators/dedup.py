@@ -1453,3 +1453,126 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+_SPAN_L = 8  # duplicated-span seed length, in whitespace tokens
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=(
+        # exact duplicate-SPAN detection (the "Deduplicating Training
+        # Data Makes Language Models Better" pipeline stage): every
+        # 8-token window that occurs >= 2 times anywhere in the corpus
+        # seeds a duplicated span; per document, the distinct token
+        # positions covered by any duplicated window measure how much
+        # of the document is copied text. Ratio divides identical
+        # integers -> identical doubles.
+        "WITH words AS (SELECT doc_id, "
+        "  string_split_regex(trim(text), '\\s+') AS w FROM documents), "
+        "sized AS (SELECT doc_id, w, len(w) AS nw FROM words "
+        "  WHERE len(w) >= 8), "
+        "grams AS (SELECT doc_id, nw, i AS start, "
+        "  array_to_string(w[i:i+7], ' ') AS gram "
+        "  FROM sized, LATERAL (SELECT unnest(generate_series(1, nw - 7)) "
+        "  AS i) t), "
+        "dup AS (SELECT gram FROM grams GROUP BY gram "
+        "  HAVING COUNT(*) >= 2), "
+        "occ AS (SELECT g.doc_id, g.nw, g.start "
+        "  FROM grams g JOIN dup USING (gram)), "
+        "cov AS (SELECT doc_id, nw, "
+        "  COUNT(DISTINCT pos) AS covered_tokens FROM occ, "
+        "  LATERAL (SELECT unnest(generate_series(start, start + 7)) "
+        "  AS pos) p GROUP BY doc_id, nw), "
+        "oc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) "
+        "  AS dup_occurrences FROM occ GROUP BY doc_id) "
+        "SELECT c.doc_id, CAST(c.nw AS BIGINT) AS n_tokens, "
+        "  oc.dup_occurrences, "
+        "  CAST(c.covered_tokens AS BIGINT) AS covered_tokens, "
+        "  CAST(c.covered_tokens AS DOUBLE) / c.nw AS dup_ratio "
+        "FROM cov c JOIN oc USING (doc_id) "
+        "ORDER BY covered_tokens DESC, c.doc_id LIMIT 100"
+    ),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT DUPLICATE-SPAN DETECTION — the suffix-array substring
+    dedup stage of published LM-data pipelines (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"),
+    re-expressed as the equivalent rolling-window hash-join: every
+    L=8-token window occurring >= 2 times ANYWHERE in the corpus
+    (within- or cross-document) seeds a duplicated span; per document
+    the report counts duplicated-window occurrences and the distinct
+    token positions covered — the span-coverage measure a cutter would
+    use to excise copied text. Complements the near-dup family
+    (MinHash/SimHash/ngram-Jaccard score whole documents; this finds
+    WHERE the copied text is).
+
+    Plan shape at 100 TB: window generation is a map-side explode
+    (O(total tokens) rows, each one small string); the duplicate test
+    is ONE shuffle on the window text with map-side partial counts,
+    and the occurrence join REUSES that partitioning (groupBy and
+    join share the `gram` key, so AQE plans no extra exchange for
+    the probe side beyond the one it already paid). Coverage then
+    shuffles O(duplicated occurrences) — corpus-size-independent for
+    clean corpora. The suffix array's O(n log n) global sort is
+    deliberately traded for the hash approach Spark executes well;
+    windows shorter than L are invisible, exactly as in the published
+    minhash-seeded span cutters. At petabyte scale the window STRING
+    would be replaced by its 128-bit hash (xxhash64 pair) to shrink
+    the shuffle ~3x; the driver row keys on the string so the DuckDB
+    oracle is exact."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    words = (
+        docs.select(
+            "doc_id",
+            F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+        .withColumn("nw", F.size("w"))
+        .filter(F.col("nw") >= _SPAN_L)
+    )
+    grams = words.select(
+        "doc_id", "nw",
+        F.explode(F.expr(
+            f"transform(sequence(1, nw - {_SPAN_L - 1}), "
+            f"i -> struct(i AS start, "
+            f"concat_ws(' ', slice(w, i, {_SPAN_L})) AS gram))"
+        )).alias("g"),
+    ).select("doc_id", "nw", F.col("g.start").alias("start"),
+             F.col("g.gram").alias("gram"))
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gram")
+    )
+    occ = grams.join(dup, "gram")
+    # ONE pass over the duplicated occurrences: a (doc, start) window
+    # appears at most once in occ, so distinct starts count the
+    # occurrences while distinct exploded positions count the
+    # coverage — both from the same grouped aggregate (a second
+    # fact-side tokenization pass for a separate occurrence count
+    # would double the dominant scan at scale)
+    per = (
+        occ.select(
+            "doc_id", "nw", "start",
+            F.explode(F.expr(
+                f"sequence(start, start + {_SPAN_L - 1})")).alias("pos"))
+        .groupBy("doc_id", "nw")
+        .agg(
+            F.countDistinct("start").cast("bigint")
+            .alias("dup_occurrences"),
+            F.countDistinct("pos").alias("covered_tokens"),
+        )
+    )
+    return (
+        per
+        .select(
+            "doc_id",
+            F.col("nw").cast("bigint").alias("n_tokens"),
+            "dup_occurrences",
+            F.col("covered_tokens").cast("bigint").alias("covered_tokens"),
+            (F.col("covered_tokens").cast("double") / F.col("nw"))
+            .alias("dup_ratio"),
+        )
+        .orderBy(F.desc("covered_tokens"), "doc_id")
+        .limit(100)
+    )

@@ -66,9 +66,11 @@ PRIORITY: tuple[str, ...] = (
     "tpcds_ticket_size_repeat_buyers",      # Q34/Q73: ticket buckets
     "tpcds_customer_value_yoy_lag",         # Q11 on the LAG spine
     # -- (a) r15 debuts: binary-in-container netting + float-map-key
-    # netting, driver-checked the round they ship (never-green-first) --
+    # netting + duplicate-span dedup, driver-checked the round they
+    # ship (never-green-first) --
     "streaming_cdc_binary_netting",
     "streaming_cdc_mapkey_netting",
+    "dedup_substring_spans",
     # -- (a) r15 code-touched (raw-bytes rendering / map changelog) --
     "streaming_cdc_nested_netting",
     "streaming_table_source_cdc_cow",
@@ -98,7 +100,7 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_type_profit",
-    # -- fill: 19 of the 41 r11-latest rows, most hand-written
+    # -- fill: 18 of the 41 r11-latest rows, most hand-written
     # surface first --
     "ddl_lifecycle",
     "merge_upsert",
@@ -118,13 +120,16 @@ PRIORITY: tuple[str, ...] = (
     "corpus_shard_manifest",
     "corpus_shuffle_shards",
     "corpus_split_train_val_test",
-    "pipeline_pack_sequences",
     # ---- 50 cap lands exactly here ----
-    # -- below-cap: staged r16 debuts (never driver-checked; lead
-    # r16's tier (a)) --
-    "tpcds_customer_activity_profile",
-    "tpcds_monthly_return_pivot",
-    # -- below-cap: the 22 deferred r11 rows (lead r16's tier (b)) --
+    # -- below-cap: the 4 staged r16 TPC-DS debuts (never
+    # driver-checked; all oracle-green in the in-suite parity sweep;
+    # lead r16's tier (a)) --
+    "tpcds_customer_activity_profile",      # Q10/Q35/Q69 semi+anti
+    "tpcds_monthly_return_pivot",           # Q66 month pivot
+    "tpcds_two_existential_shipping",       # Q94/Q95 on the Q21 spine
+    "tpcds_cross_channel_netted_ratio",     # Q78 on the Q75 spine
+    # -- below-cap: the 23 deferred r11 rows (lead r16's tier (b)) --
+    "pipeline_pack_sequences",
     "sample_stratified_by_lang",
     "attribution_last_touch",
     "basket_part_affinity",
@@ -147,9 +152,6 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q18_large_volume_customer",
     "tpch_q20_potential_promotion",
     "tpch_q2_min_cost_supplier",
-    # -- below-cap: staged r16 debuts (registered r15, cap full) --
-    "tpcds_two_existential_shipping",       # Q94/Q95 on the Q21 spine
-    "tpcds_cross_channel_netted_ratio",     # Q78 on the Q75 spine
 )
 
 

@@ -2571,3 +2571,155 @@ def tpcds_monthly_return_pivot(spark: SparkSession,
         )
         .orderBy("n_name", "yr")
     )
+
+
+@register(
+    "tpcds_two_existential_shipping",
+    oracle=(
+        # Q94/Q95 on the Q21 spine: orders qualified by TWO
+        # existential tests — EXISTS a second line from a DIFFERENT
+        # supplier, NOT EXISTS any returned line — reported per
+        # priority. The oracle spells the literal EXISTS/NOT EXISTS;
+        # the Spark plan collapses both into ONE lineitem aggregate.
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) "
+        "  / 100.0 AS total_price "
+        "FROM orders "
+        "WHERE EXISTS (SELECT 1 FROM lineitem a, lineitem b "
+        "  WHERE a.l_orderkey = o_orderkey AND b.l_orderkey = o_orderkey "
+        "  AND a.l_suppkey <> b.l_suppkey) "
+        "AND NOT EXISTS (SELECT 1 FROM lineitem "
+        "  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+)
+def tpcds_two_existential_shipping(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """TPC-DS Q94/Q95 shape (staged r16) — THE DOUBLE-EXISTENTIAL
+    ORDER FILTER: an order qualifies when a second line item shipped
+    from a DIFFERENT supplier EXISTS (multi-warehouse fulfilment,
+    Q94's wh1<>wh2 self-join) and NO returned line EXISTS (Q94's
+    NOT EXISTS on web_returns); qualifying orders report count and
+    total value per priority. The spec spells a lineitem self-join
+    plus an anti-join; both existentials collapse into ONE lineitem
+    aggregate — COUNT(DISTINCT supplier) >= 2 covers the positive
+    test and MAX(returned)=0 the negative, per order key.
+
+    Plan shape at 100 TB: one lineitem pass partial-aggregates to
+    |orders| qualification cells (both tests map-side combinable —
+    the distinct-supplier count partial-aggregates per orderkey), the
+    HAVING keeps qualified keys, and the orders join is KEY-CO-LOCATED
+    on orderkey (Q95's own plan joins web_sales to itself and to
+    web_returns on ws_order_number the same way). The report is
+    |priorities| rows. No self-join of the fact ever materializes.
+    Reference scope: `ICEBERG-Interoperability-Test-Spec.md:43`."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_returnflag")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    quals = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.max((F.col("l_returnflag") == "R").cast("int"))
+            .alias("any_ret"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("any_ret") == 0))
+        .select("l_orderkey")
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        orders.join(quals, orders.o_orderkey == quals.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents).cast("double") / 100.0).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpcds_cross_channel_netted_ratio",
+    oracle=(
+        # Q78 on the Q75 spine: per (part, year), urgent-vs-standard
+        # channel revenue EXCLUDING returned lines (the "netted"
+        # sales Q78 keeps after its returns anti-join); parts selling
+        # on both channels rank by the urgent/standard ratio. Cents
+        # stay integer; the rendered ratio divides identical BIGINTs.
+        "WITH net AS ("
+        "  SELECT l_partkey, "
+        "    CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr, "
+        "    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+        "      THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
+        "      AS BIGINT) ELSE 0 END) AS BIGINT) AS u, "
+        "    CAST(SUM(CASE WHEN o_orderpriority NOT IN "
+        "      ('1-URGENT','2-HIGH') "
+        "      THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
+        "      AS BIGINT) ELSE 0 END) AS BIGINT) AS s "
+        "  FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+        "  WHERE l_returnflag <> 'R' "
+        "  GROUP BY l_partkey, yr"
+        ") "
+        "SELECT l_partkey AS partkey, yr, "
+        "  CAST(u AS DOUBLE) / 100.0 AS urgent_rev, "
+        "  CAST(s AS DOUBLE) / 100.0 AS std_rev, "
+        "  CAST(u AS DOUBLE) / s AS channel_ratio "
+        "FROM net WHERE u > 0 AND s > 0 "
+        "ORDER BY channel_ratio DESC, partkey, yr LIMIT 100"
+    ),
+)
+def tpcds_cross_channel_netted_ratio(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """TPC-DS Q78 shape (staged r16) — CROSS-CHANNEL RATIO OVER
+    NETTED SALES: Q78 removes sold-and-returned rows (a returns
+    anti-join per channel), aggregates what remains per (item, year)
+    per channel, and ranks items selling on both channels by the
+    channel ratio. On this fixture the returned-line filter
+    (l_returnflag <> 'R') is Q78's netting, urgent-vs-standard
+    priority is the channel split (the Q75/Q11 convention), and the
+    ratio renders by dividing identical integer-cent BIGINTs.
+
+    Plan shape at 100 TB: the returns filter pushes into the lineitem
+    scan (a predicate, not Q78's anti-join — the fixture marks
+    returns in-row, which is exactly how a netted fact table lands
+    after CDC), the orders join shuffles on orderkey once, both
+    channels' cells come from ONE conditional aggregate (map-side
+    combinable) at |parts × years| grain, and the report is a
+    TakeOrdered top-100. One fact pass; Q78's three per-channel CTE
+    scans collapse to one.
+    Reference scope: `ICEBERG-Interoperability-Test-Spec.md:43`."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_discount",
+        "l_returnflag")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    zero = F.lit(0).cast("bigint")
+    net = (
+        li.filter(F.col("l_returnflag") != "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "l_partkey",
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+        )
+        .agg(
+            F.sum(F.when(urgent, cents).otherwise(zero)).alias("u"),
+            F.sum(F.when(~urgent, cents).otherwise(zero)).alias("s"),
+        )
+    )
+    return (
+        net.filter((F.col("u") > 0) & (F.col("s") > 0))
+        .select(
+            F.col("l_partkey").alias("partkey"), "yr",
+            (F.col("u").cast("double") / 100.0).alias("urgent_rev"),
+            (F.col("s").cast("double") / 100.0).alias("std_rev"),
+            (F.col("u").cast("double") / F.col("s"))
+            .alias("channel_ratio"),
+        )
+        .orderBy(F.desc("channel_ratio"), "partkey", "yr")
+        .limit(100)
+    )
