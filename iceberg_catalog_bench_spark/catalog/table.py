@@ -388,6 +388,29 @@ def _entries_to_maps(col, dt: T.DataType):
     return col
 
 
+def _align_read_col(col, inferred: T.DataType | None, target: str):
+    """Align one raw-read column onto its declared type string.
+
+    Plain CAST everywhere except the one inference-unsafe case:
+    parquet cannot self-describe DAY-TO-SECOND intervals (both Spark
+    and the python sink store plain INT64 micros, Spark-written files
+    only recover the type from their footer metadata), so a
+    python-sink-written interval column infers as BIGINT — and
+    CAST(bigint AS interval) reinterprets stored MICROS as SECONDS
+    (r15, caught by the interval sink-pipe e2e). Reinterpret micros
+    exactly instead: make_dt_interval over an exact decimal seconds
+    value. Every other inferred/declared pair keeps the CAST — adopted
+    FOREIGN files rely on it (decimal rescale, numeric widenings)."""
+    if (isinstance(inferred, T.LongType)
+            and target.strip().lower().startswith("interval day")):
+        secs = (col.cast("decimal(26,0)") / 1000000).cast("decimal(26,6)")
+        return F.when(
+            col.isNotNull(),
+            F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), secs),
+        ).cast(target)
+    return col.cast(target)
+
+
 def _norm_stat(v: Any) -> Any:
     """Normalize ISO timestamp strings — 'T' separator, tz offsets —
     to the naive-UTC SQL-literal space form so stats written by older
@@ -1296,11 +1319,15 @@ class LakeTable:
             old_fields = {f.id: f for f in self._fields(v)}
             paths = [os.path.join(self.path, e.path) for e in group]
             raw = self.spark.read.parquet(*paths)
+            inferred = {sf.name: sf.dataType for sf in raw.schema.fields}
             sel = []
             for f in target_fields:
                 old = old_fields.get(f.id)
                 if old is not None:
-                    sel.append(F.col(old.name).cast(f.type).alias(f.name))
+                    sel.append(
+                        _align_read_col(F.col(old.name),
+                                        inferred.get(old.name), f.type)
+                        .alias(f.name))
                 else:
                     sel.append(F.lit(f.default).cast(f.type).alias(f.name))
             if with_file_path:

@@ -177,6 +177,17 @@ _DDL_ARROW = {
     "date": "date32",
     "timestamp": "timestamp_us",
     "timestamp_ntz": "timestamp_us",
+    # ANSI day-time interval (r15): Spark ships DayTimeIntervalType
+    # through Arrow as duration[us] and stores it in parquet as plain
+    # INT64 micros, so the read path is one int64→duration cast over
+    # JVM-written files (pyarrow-written files round-trip the duration
+    # type natively). YEAR TO MONTH stays refused — Spark's own Arrow
+    # conversion rejects YearMonthIntervalType, so no python data
+    # source can ship it. Only the full DAY TO SECOND range is
+    # admitted: narrower unit ranges (e.g. HOUR TO MINUTE) are
+    # distinct Spark types that all erase to the same micros on disk,
+    # and admitting them would alias each other through the python leg.
+    "interval day to second": "duration_us",
 }
 
 
@@ -295,6 +306,8 @@ def _arrow_type(ddl: str):
     name = _DDL_ARROW[key]
     if name == "timestamp_us":
         return pa.timestamp("us")
+    if name == "duration_us":
+        return pa.duration("us")
     return getattr(pa, name)()
 
 

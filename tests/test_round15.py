@@ -178,3 +178,78 @@ def test_batch_changelog_nets_nested_map_in_struct(spark, tmp_path):
         ("delete", 1, (("a", 1),)),
         ("insert", 11, (("a", 1),)),
     ]
+
+
+def test_interval_day_second_through_python_source(spark, tmp_path):
+    """r15: ANSI DAY-TO-SECOND intervals through every python leg —
+    Spark ships DayTimeIntervalType through Arrow as duration[us] and
+    stores INT64 micros in parquet, so the source reads either
+    writer's files with one int64→duration cast. The JVM re-read of
+    python-sink-written files must go through the EXPLICIT per-version
+    schema (schema inference types the unannotated INT64 as bigint,
+    and CAST(bigint AS interval) reinterprets micros as SECONDS — the
+    1e6 corruption this test pins)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    register_source(spark)
+    ddl = "k bigint, iv interval day to second"
+    t = LakeTable.create(spark, str(tmp_path / "t"), ddl)
+    src = spark.sql(
+        "SELECT id AS k, make_dt_interval(CAST(id AS INT), 2, 3, 4.5) "
+        "AS iv FROM range(5)")
+    t.append(src)
+    want = [tuple(r) for r in src.orderBy("k").collect()]
+    got = (spark.read.format("laketable").option("path", t.path).load()
+           .orderBy("k").collect())
+    assert [tuple(r) for r in got] == want
+    # python sink writes duration[us] parquet; JVM re-read stays exact
+    dst = LakeTable.create(spark, str(tmp_path / "dst"), ddl)
+    q = (
+        spark.readStream.format("laketable").option("path", t.path)
+        .load()
+        .writeStream.format("laketable").option("path", dst.path)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    q.awaitTermination(300)
+    dst._reload()
+    assert [tuple(r) for r in dst.read().orderBy("k").collect()] == want
+    # CoW netting keys on the interval column (Arrow hash group-by
+    # over duration); carried-over rows cancel
+    t.update({"k": "k + 100"}, "k = 2")
+    sink, ck2 = str(tmp_path / "sink"), str(tmp_path / "ck2")
+    q = (
+        spark.readStream.format("laketable").option("path", t.path)
+        .option("mode", "cdc").option("cow-changelog", "true")
+        .option("cdc-cow-buckets", "4").load()
+        .writeStream.format("parquet").option("path", sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck2).start()
+    )
+    q.awaitTermination(300)
+    rows = sorted(
+        (r["_commit_snapshot_id"], r["_change_type"], r["k"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert rows == [
+        (1, "insert", 0), (1, "insert", 1), (1, "insert", 2),
+        (1, "insert", 3), (1, "insert", 4),
+        (2, "delete", 2), (2, "insert", 102),
+    ]
+
+
+def test_interval_year_month_still_refused(spark, tmp_path):
+    """YEAR TO MONTH cannot ship through ANY python data source
+    (Spark's Arrow conversion rejects YearMonthIntervalType), so the
+    DDL gate refuses it loudly at planning time."""
+    import pytest as _pytest
+
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        _arrow_type,
+    )
+
+    with _pytest.raises(NotImplementedError, match="does not support"):
+        _arrow_type("interval year to month")
+    import pyarrow as pa
+
+    assert _arrow_type("interval day to second") == pa.duration("us")
