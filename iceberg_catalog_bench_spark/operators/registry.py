@@ -40,10 +40,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # CORRECTNESS_r01-r14 union: staleness histogram r10:24, r11:41,
 # r12:50, r13:44, r14:50; 209/209 latest-green, zero red;
 # never-green: the 2 staged r14 debuts).
-# Tier (a) = the 2 staged debuts + the brand-new binary-netting
-# debut (never-green-first, served the round it ships) + the 3
-# r15-code-touched rows: the canonical container rendering moved to
-# raw bytes (_canon_strings/_join_rows — the two cow-netting rows
+# Tier (a) = the 2 staged r14 debuts + the 4 brand-new r15 debuts
+# (binary-in-container netting, float/binary/nested-map-KEY netting,
+# duplicate-span dedup, DAY-TO-SECOND interval pipe — never-green-
+# first, each served the round it ships) + the 3 r15-code-touched
+# rows: the canonical container rendering moved to raw bytes and
+# rendered-key entry sort (_canon_strings — the cow-netting rows
 # execute it) and changelog() gained map-column netting
 # (cdc_changelog exercises the changelog path; its map-free schema
 # takes the unchanged guard branch, but it IS the flagship changelog
@@ -51,14 +53,16 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # mv_join_incremental_maintenance also call changelog() but are
 # map-free (guard-only delta, identical plan) and r12-latest — they
 # rotate in with the r12 cohort next round rather than displace two
-# r11 rows here. = 6.
+# r11 rows here. = 9.
 # Tier (b) = ALL 24 r10-latest rows (five rounds stale if skipped;
-# the VERDICT says no deferral) = 30 cumulative.
-# Fill = 20 of the 41 r11-latest rows; none is r15-code-touched, so
+# the VERDICT says no deferral) = 33 cumulative.
+# Fill = 17 of the 41 r11-latest rows; none is r15-code-touched, so
 # the pick is the most hand-written surface first: the merge matrix,
-# the dedup/sketch bank, the text/corpus/sample LLM-pipeline rows,
-# and ddl_lifecycle. 6 + 24 + 20 = 50 exactly. The 21 deferred r11
-# rows lead r16's tier (b); none is older than r11 after this round.
+# the dedup/sketch bank, the text/corpus LLM-pipeline rows, and
+# ddl_lifecycle. 9 + 24 + 17 = 50 exactly. Below the cap: the 4
+# staged r16 TPC-DS shapes (oracle-green in the in-suite sweep) lead
+# r16's tier (a), the 24 deferred r11 rows its tier (b); no
+# driver-green row is older than r11 after this round.
 # REFRESH EACH ROUND: rebuild from the union of CORRECTNESS_r*.json —
 # never-green and code-touched queries first, oldest-green next.
 PRIORITY: tuple[str, ...] = (
@@ -66,11 +70,12 @@ PRIORITY: tuple[str, ...] = (
     "tpcds_ticket_size_repeat_buyers",      # Q34/Q73: ticket buckets
     "tpcds_customer_value_yoy_lag",         # Q11 on the LAG spine
     # -- (a) r15 debuts: binary-in-container netting + float-map-key
-    # netting + duplicate-span dedup, driver-checked the round they
-    # ship (never-green-first) --
+    # netting + duplicate-span dedup + interval pipe, driver-checked
+    # the round they ship (never-green-first) --
     "streaming_cdc_binary_netting",
     "streaming_cdc_mapkey_netting",
     "dedup_substring_spans",
+    "streaming_interval_laketable",
     # -- (a) r15 code-touched (raw-bytes rendering / map changelog) --
     "streaming_cdc_nested_netting",
     "streaming_table_source_cdc_cow",
@@ -100,7 +105,7 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_type_profit",
-    # -- fill: 18 of the 41 r11-latest rows, most hand-written
+    # -- fill: 17 of the 41 r11-latest rows, most hand-written
     # surface first --
     "ddl_lifecycle",
     "merge_upsert",
@@ -119,7 +124,6 @@ PRIORITY: tuple[str, ...] = (
     "corpus_mixture_weights",
     "corpus_shard_manifest",
     "corpus_shuffle_shards",
-    "corpus_split_train_val_test",
     # ---- 50 cap lands exactly here ----
     # -- below-cap: the 4 staged r16 TPC-DS debuts (never
     # driver-checked; all oracle-green in the in-suite parity sweep;
@@ -128,7 +132,8 @@ PRIORITY: tuple[str, ...] = (
     "tpcds_monthly_return_pivot",           # Q66 month pivot
     "tpcds_two_existential_shipping",       # Q94/Q95 on the Q21 spine
     "tpcds_cross_channel_netted_ratio",     # Q78 on the Q75 spine
-    # -- below-cap: the 23 deferred r11 rows (lead r16's tier (b)) --
+    # -- below-cap: the 24 deferred r11 rows (lead r16's tier (b)) --
+    "corpus_split_train_val_test",
     "pipeline_pack_sequences",
     "sample_stratified_by_lang",
     "attribution_last_touch",

@@ -1230,3 +1230,83 @@ def streaming_cdc_mapkey_netting(spark: SparkSession,
             lambda a, x: a + x,
         ))).alias("sum_vals_inserts"),
     )
+
+
+@register(
+    "streaming_interval_laketable",
+    oracle=(
+        # The piped interval table is fully determined by orders: per
+        # order, iv = (days since 1995-01-01) days + (orderkey % 24)
+        # hours, NULL where orderkey % 53 = 0. The report extracts
+        # integer day/hour fields after BOTH python legs (source read
+        # of JVM-written files; sink write; JVM-side aggregate of the
+        # re-read), so a micros-vs-seconds reinterpretation anywhere
+        # moves the sums by 1e6-scale amounts, not rounding noise.
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(COUNT(iv_days) AS BIGINT) AS n_iv, "
+        "CAST(SUM(iv_days) AS BIGINT) AS sum_days, "
+        "CAST(SUM(iv_hours) AS BIGINT) AS sum_hours FROM ("
+        "  SELECT o_orderkey, "
+        "  CASE WHEN o_orderkey % 53 = 0 THEN NULL ELSE "
+        "    date_diff('day', TIMESTAMP '1995-01-01 00:00:00', "
+        "              o_orderdate) END AS iv_days, "
+        "  CASE WHEN o_orderkey % 53 = 0 THEN NULL ELSE "
+        "    o_orderkey % 24 END AS iv_hours "
+        "  FROM orders) t"
+    ),
+)
+def streaming_interval_laketable(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """ANSI DAY-TO-SECOND INTERVALS through the driver gate (r15): an
+    interval column built from orders (whole days since the epoch of
+    the fixture plus an orderkey-derived hour part, NULL on a slice)
+    is appended to a laketable (JVM parquet write), piped
+    laketable→laketable through the PYTHON source and sink
+    (Arrow duration[us] both ways), and re-read via the python source
+    for the report. The report extracts the integer DAY and HOUR
+    fields — a micros-vs-seconds reinterpretation on any leg (the
+    corruption class the r15 read-alignment fix pins) moves the sums
+    by six orders of magnitude.
+
+    Scale: the pipe is the standard streaming laketable spine
+    (exactly-once offsets, executor-side parquet); intervals add one
+    int64 column — no extra shuffle, no python-side per-row work."""
+    from ..catalog import LakeTable
+    from ..sources import load_table as _lt
+    from .table_source import register_source
+
+    register_source(spark)
+    d = tempfile.mkdtemp(prefix="stream-interval-")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    ddl = "o_orderkey bigint, iv interval day to second"
+    src_t = LakeTable.create(spark, d + "/src", ddl)
+    dst_t = LakeTable.create(spark, d + "/dst", ddl)
+    orders = _lt(spark, "orders", sf_dir)
+    src_t.append(orders.select(
+        "o_orderkey",
+        F.expr(
+            "CASE WHEN o_orderkey % 53 = 0 THEN NULL ELSE "
+            "make_dt_interval(CAST(datediff(o_orderdate, "
+            "DATE '1995-01-01') AS INT), "
+            "CAST(o_orderkey % 24 AS INT), 0, 0) END"
+        ).alias("iv"),
+    ))
+    q = (
+        spark.readStream.format("laketable").option("path", src_t.path)
+        .load()
+        .writeStream.format("laketable").option("path", dst_t.path)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", d + "/ck").start()
+    )
+    q.awaitTermination(300)
+    back = (
+        spark.read.format("laketable").option("path", dst_t.path).load()
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("iv").alias("n_iv"),
+        F.sum(F.expr("extract(DAY FROM iv)")).cast("bigint")
+        .alias("sum_days"),
+        F.sum(F.expr("extract(HOUR FROM iv)")).cast("bigint")
+        .alias("sum_hours"),
+    )
