@@ -253,3 +253,78 @@ def test_interval_year_month_still_refused(spark, tmp_path):
     import pyarrow as pa
 
     assert _arrow_type("interval day to second") == pa.duration("us")
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    # r15 key-type properties: entries sort by the RENDERED key, so
+    # equal maps must render equal for float keys (-0.0 folds),
+    # binary keys (raw bytes incl. the rendering's own separators)
+    # and struct keys — and unequal maps must never collide.
+    _BKEYS = st.binary(max_size=4) | st.sampled_from(
+        [b":", b";", b"~", b"1:", b"\x00", b"\xff\xfe"])
+    _FKEYS = st.one_of(
+        st.floats(allow_nan=False, allow_infinity=True, width=64),
+        st.sampled_from([-0.0, 0.0, 1.5, -1.5]))
+    _VALS = st.one_of(st.none(), st.integers(-2**31, 2**31))
+
+    def _map_rt(rows, typ, knorm=lambda k: k):
+        """rendered_i == rendered_j iff entry SETS equal (keys folded
+        by ``knorm``) and validity equal."""
+        from iceberg_catalog_bench_spark.streaming.table_source import (
+            _canon_map_cols,
+        )
+
+        arr = pa.array(rows, type=typ)
+        valid, joined = _canon_map_cols(arr)
+        rendered = list(zip(valid.to_pylist(), joined.to_pylist()))
+        logical = [
+            None if r is None else tuple(sorted(
+                (repr(knorm(k)), repr(v)) for k, v in r))
+            for r in rows
+        ]
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                same = (logical[i] == logical[j])
+                assert (rendered[i] == rendered[j]) == same, (
+                    rows[i], rows[j], rendered[i], rendered[j])
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(
+        st.one_of(st.none(), st.dictionaries(_FKEYS, _VALS, max_size=4)
+                  .map(lambda d: list(d.items()))),
+        min_size=2, max_size=8))
+    def test_prop_float_keyed_map_render_iff_logical(rows):
+        _map_rt(rows, pa.map_(pa.float64(), pa.int64()),
+                knorm=lambda k: k + 0.0)  # folds -0.0 into +0.0
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(
+        st.one_of(st.none(), st.dictionaries(_BKEYS, _VALS, max_size=4)
+                  .map(lambda d: list(d.items()))),
+        min_size=2, max_size=8))
+    def test_prop_binary_keyed_map_render_iff_logical(rows):
+        _map_rt(rows, pa.map_(pa.binary(), pa.int64()))
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(
+        st.one_of(st.none(), st.dictionaries(
+            st.tuples(st.integers(-9, 9), st.text(
+                alphabet=":;~ab", max_size=3)),
+            _VALS, max_size=3)
+            .map(lambda d: [({"a": k[0], "b": k[1]}, v)
+                            for k, v in d.items()])),
+        min_size=2, max_size=8))
+    def test_prop_struct_keyed_map_render_iff_logical(rows):
+        _map_rt(
+            rows,
+            pa.map_(pa.struct([("a", pa.int64()), ("b", pa.string())]),
+                    pa.int64()),
+            knorm=lambda k: (k["a"], k["b"]))
