@@ -188,6 +188,14 @@ _DDL_ARROW = {
     # distinct Spark types that all erase to the same micros on disk,
     # and admitting them would alias each other through the python leg.
     "interval day to second": "duration_us",
+    # VARIANT stays refused (measured r15): the Arrow CONVERSION works
+    # (an annotated struct<value:binary,metadata:binary>), but Spark
+    # writes variant columns with parquet's VARIANT LogicalType, which
+    # this pyarrow cannot even open ("Thrift LogicalType that is not
+    # recognized") — so the python reader could never read a
+    # JVM-appended variant table, and a sink-only half-support would
+    # corrupt mixed-writer tables. Revisit when pyarrow learns the
+    # logical type.
 }
 
 
