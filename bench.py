@@ -699,9 +699,17 @@ def main() -> None:
     # the byte-counter deltas (flat bytes + high steal = host episode,
     # not a plan regression) — so a hot driver record is
     # self-adjudicating without opening bench_metrics.json.
+    # r15: carry the ABSOLUTE seconds (measured + baseline) with every
+    # flag — a microsecond-scale phase (e.g. maintenance_advice,
+    # 0.002 s baseline) can post a 10×+ norm from pure scheduler
+    # jitter, and without the absolute pair a reader can't tell that
+    # 26 ms of noise is not a regression. The threshold is unchanged;
+    # the flag just self-explains.
     hot = {
         k: {
             "norm": n,
+            "sec": round(results[k], 3) if k in results else None,
+            "baseline_sec": baseline.get(k),
             "steal_pct": metrics.get(k, {}).get("steal_pct"),
             "input_mb": metrics.get(k, {}).get("input_mb"),
             "shuffle_write_mb": metrics.get(k, {}).get("shuffle_write_mb"),
