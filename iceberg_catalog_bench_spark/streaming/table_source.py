@@ -185,8 +185,11 @@ _DDL_ARROW = {
     # conversion rejects YearMonthIntervalType, so no python data
     # source can ship it. Only the full DAY TO SECOND range is
     # admitted: narrower unit ranges (e.g. HOUR TO MINUTE) are
-    # distinct Spark types that all erase to the same micros on disk,
-    # and admitting them would alias each other through the python leg.
+    # distinct Spark types that all erase to the same micros on disk —
+    # but the declared DDL in the table metadata fixes each column's
+    # Spark-side type, so every day-time range is admitted (the
+    # regex branch in _arrow_type); this entry keeps the canonical
+    # full-range spelling in the supported-type table.
     "interval day to second": "duration_us",
     # VARIANT stays refused (measured r15): the Arrow CONVERSION works
     # (an annotated struct<value:binary,metadata:binary>), but Spark
@@ -307,6 +310,18 @@ def _arrow_type(ddl: str):
         # length enforcement happens at analysis/write time, never in
         # the batch format (r14 widening of the exotic-DDL refusal)
         return pa.string()
+    if key.startswith("interval"):
+        # EVERY day-time unit range ships as duration[us] (r15 —
+        # verified per-range through the python source: the declared
+        # DDL in the table metadata fixes the Spark-side type, so
+        # ranges never alias each other on disk). Year-month ranges
+        # fall through to the refusal: Spark's own Arrow conversion
+        # rejects YearMonthIntervalType.
+        if re.fullmatch(
+            r"interval\s+(day|hour|minute|second)"
+            r"(\s+to\s+(hour|minute|second))?", key,
+        ):
+            return pa.duration("us")
     if key not in _DDL_ARROW:
         raise NotImplementedError(
             f"laketable python source does not support type {ddl!r}"

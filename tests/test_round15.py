@@ -328,3 +328,32 @@ if _HYP:
             pa.map_(pa.struct([("a", pa.int64()), ("b", pa.string())]),
                     pa.int64()),
             knorm=lambda k: (k["a"], k["b"]))
+
+
+def test_interval_unit_ranges_admitted(spark, tmp_path):
+    """r15 widening: every DAY-TIME unit range ships as duration[us]
+    — the declared DDL in the table metadata fixes the Spark-side
+    type, so ranges never alias on disk. e2e: an HOUR TO MINUTE
+    column through the python batch read."""
+    import pyarrow as pa
+
+    from iceberg_catalog_bench_spark.streaming.table_source import (
+        _arrow_type,
+    )
+
+    for t in ("interval hour to minute", "interval day",
+              "interval second", "INTERVAL MINUTE TO SECOND"):
+        assert _arrow_type(t) == pa.duration("us"), t
+    register_source(spark)
+    ddl = "k bigint, hm interval hour to minute"
+    t = LakeTable.create(spark, str(tmp_path / "t"), ddl)
+    src = spark.sql(
+        "SELECT id AS k, CAST(make_dt_interval(0, CAST(id AS INT), 30, 0)"
+        " AS interval hour to minute) AS hm FROM range(3)")
+    t.append(src)
+    got = (spark.read.format("laketable").option("path", t.path).load()
+           .orderBy("k").collect())
+    assert [tuple(r) for r in got] \
+        == [tuple(r) for r in src.orderBy("k").collect()]
+    assert dict(spark.read.format("laketable").option("path", t.path)
+                .load().dtypes)["hm"] == "interval hour to minute"
