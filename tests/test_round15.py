@@ -357,3 +357,40 @@ def test_interval_unit_ranges_admitted(spark, tmp_path):
         == [tuple(r) for r in src.orderBy("k").collect()]
     assert dict(spark.read.format("laketable").option("path", t.path)
                 .load().dtypes)["hm"] == "interval hour to minute"
+
+
+def test_interval_inside_container_nets(spark, tmp_path):
+    """Composition check: array<interval day to second> flows through
+    the python batch read AND the CoW-changelog netting with no
+    special-casing — duration leaves ride the canonical rendering's
+    default cast (micros digits, deterministic and injective)."""
+    register_source(spark)
+    ddl = "k bigint, ivs array<interval day to second>"
+    t = LakeTable.create(spark, str(tmp_path / "t"), ddl)
+    src = spark.sql(
+        "SELECT id AS k, array(make_dt_interval(CAST(id AS INT), 0, 0, "
+        "1.5), NULL) AS ivs FROM range(4)")
+    t.append(src)
+    got = (spark.read.format("laketable").option("path", t.path).load()
+           .orderBy("k").collect())
+    assert [tuple(r) for r in got] \
+        == [tuple(r) for r in src.orderBy("k").collect()]
+    t.update({"k": "k + 100"}, "k = 2")
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("laketable").option("path", t.path)
+        .option("mode", "cdc").option("cow-changelog", "true")
+        .option("cdc-cow-buckets", "4").load()
+        .writeStream.format("parquet").option("path", sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck).start()
+    )
+    q.awaitTermination(300)
+    rows = sorted(
+        (r["_commit_snapshot_id"], r["_change_type"], r["k"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert rows == [
+        (1, "insert", 0), (1, "insert", 1), (1, "insert", 2),
+        (1, "insert", 3), (2, "delete", 2), (2, "insert", 102),
+    ]
