@@ -59,8 +59,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # Fill = 17 of the 41 r11-latest rows; none is r15-code-touched, so
 # the pick is the most hand-written surface first: the merge matrix,
 # the dedup/sketch bank, the text/corpus LLM-pipeline rows, and
-# ddl_lifecycle. 9 + 24 + 17 = 50 exactly. Below the cap: the 4
-# staged r16 TPC-DS shapes (oracle-green in the in-suite sweep) lead
+# ddl_lifecycle. 9 + 24 + 17 = 50 exactly. Below the cap: the 5
+# staged r16 TPC-DS shapes (oracle-green in the sweep) lead
 # r16's tier (a), the 24 deferred r11 rows its tier (b); no
 # driver-green row is older than r11 after this round.
 # REFRESH EACH ROUND: rebuild from the union of CORRECTNESS_r*.json —
@@ -125,13 +125,14 @@ PRIORITY: tuple[str, ...] = (
     "corpus_shard_manifest",
     "corpus_shuffle_shards",
     # ---- 50 cap lands exactly here ----
-    # -- below-cap: the 4 staged r16 TPC-DS debuts (never
+    # -- below-cap: the 5 staged r16 TPC-DS debuts (never
     # driver-checked; all oracle-green in the in-suite parity sweep;
     # lead r16's tier (a)) --
     "tpcds_customer_activity_profile",      # Q10/Q35/Q69 semi+anti
     "tpcds_monthly_return_pivot",           # Q66 month pivot
     "tpcds_two_existential_shipping",       # Q94/Q95 on the Q21 spine
     "tpcds_cross_channel_netted_ratio",     # Q78 on the Q75 spine
+    "tpcds_customer_channel_setops",        # Q38/Q87 set-op collapse
     # -- below-cap: the 24 deferred r11 rows (lead r16's tier (b)) --
     "corpus_split_train_val_test",
     "pipeline_pack_sequences",

@@ -2723,3 +2723,67 @@ def tpcds_cross_channel_netted_ratio(spark: SparkSession,
         .orderBy(F.desc("channel_ratio"), "partkey", "yr")
         .limit(100)
     )
+
+
+@register(
+    "tpcds_customer_channel_setops",
+    oracle=(
+        # Q38/Q87: the set-operation signature over per-channel
+        # DISTINCT customer sets — INTERSECT of all three channels
+        # (Q38) and the EXCEPT chain leaving single-channel customers
+        # (Q87), spelled LITERALLY here; the Spark plan computes both
+        # from ONE aggregate (channel bitmask per customer).
+        "WITH ch AS (SELECT o_custkey, "
+        "  CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'a' "
+        "       WHEN o_orderpriority = '3-MEDIUM' THEN 'b' "
+        "       ELSE 'c' END AS channel FROM orders) "
+        "SELECT "
+        "CAST((SELECT COUNT(*) FROM ("
+        "  SELECT DISTINCT o_custkey FROM ch WHERE channel = 'a' "
+        "  INTERSECT SELECT DISTINCT o_custkey FROM ch WHERE channel = 'b' "
+        "  INTERSECT SELECT DISTINCT o_custkey FROM ch WHERE channel = 'c')"
+        ") AS BIGINT) AS in_all_three, "
+        "CAST((SELECT COUNT(*) FROM ("
+        "  SELECT DISTINCT o_custkey FROM ch WHERE channel = 'a' "
+        "  EXCEPT SELECT DISTINCT o_custkey FROM ch WHERE channel = 'b' "
+        "  EXCEPT SELECT DISTINCT o_custkey FROM ch WHERE channel = 'c')"
+        ") AS BIGINT) AS only_urgent"
+    ),
+)
+def tpcds_customer_channel_setops(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """TPC-DS Q38/Q87 shape (staged r16) — THE SET-OPERATION
+    SIGNATURE: Q38 counts customers active in ALL THREE channels
+    (two INTERSECTs of distinct customer-date sets), Q87 counts
+    customers in the first channel and NEITHER other (two EXCEPTs).
+    The oracle spells the literal INTERSECT / EXCEPT chains; the
+    Spark side computes BOTH answers from ONE aggregate — per
+    customer, a channel BITMASK via conditional MAXes — so the six
+    distinct-set scans and four set operations of the reference SQL
+    collapse to a single fact pass.
+
+    Plan shape at 100 TB: one orders scan partial-aggregates three
+    boolean MAXes per customer (map-side combinable — each partial
+    carries |customers-in-partition| rows), one shuffle on custkey,
+    then a second map-side-combinable aggregate folds the masks into
+    the two counts (2 rows cross the second exchange per partition).
+    Spark's own INTERSECT/EXCEPT would plan three aggregates + two
+    joins over the same scan read three times.
+    Reference scope: `ICEBERG-Interoperability-Test-Spec.md:43`."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderpriority")
+    a = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    b = F.col("o_orderpriority") == "3-MEDIUM"
+    masks = orders.groupBy("o_custkey").agg(
+        F.max(a.cast("int")).alias("in_a"),
+        F.max(b.cast("int")).alias("in_b"),
+        F.max((~a & ~b).cast("int")).alias("in_c"),
+    )
+    all3 = (F.col("in_a") == 1) & (F.col("in_b") == 1) \
+        & (F.col("in_c") == 1)
+    only_a = (F.col("in_a") == 1) & (F.col("in_b") == 0) \
+        & (F.col("in_c") == 0)
+    return masks.agg(
+        F.sum(all3.cast("long")).alias("in_all_three"),
+        F.sum(only_a.cast("long")).alias("only_urgent"),
+    )
