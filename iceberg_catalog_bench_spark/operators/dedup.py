@@ -1576,3 +1576,100 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("covered_tokens"), "doc_id")
         .limit(100)
     )
+
+
+@register(
+    "dedup_substring_cut",
+    oracle=(
+        # The CUTTING stage over the duplicate-span seeds: the FIRST
+        # occurrence of every 8-token window (lowest (doc_id, start),
+        # encoded as doc_id*100000+start — starts are bounded far
+        # below 100000) is kept; every LATER occurrence marks its 8
+        # token positions for excision. Per doc: tokens cut (distinct
+        # marked positions) and tokens kept.
+        "WITH words AS (SELECT doc_id, "
+        "  string_split_regex(trim(text), '\\s+') AS w FROM documents), "
+        "sized AS (SELECT doc_id, w, len(w) AS nw FROM words "
+        "  WHERE len(w) >= 8), "
+        "grams AS (SELECT doc_id, nw, i AS start, "
+        "  doc_id * 100000 + i AS ord, "
+        "  array_to_string(w[i:i+7], ' ') AS gram "
+        "  FROM sized, LATERAL (SELECT unnest(generate_series(1, nw - 7)) "
+        "  AS i) t), "
+        "firsts AS (SELECT gram, MIN(ord) AS first_ord FROM grams "
+        "  GROUP BY gram), "
+        "laters AS (SELECT g.doc_id, g.nw, g.start FROM grams g "
+        "  JOIN firsts f ON g.gram = f.gram AND g.ord <> f.first_ord), "
+        "cuts AS (SELECT doc_id, nw, COUNT(DISTINCT pos) AS cut_tokens "
+        "  FROM laters, LATERAL (SELECT unnest(generate_series(start, "
+        "  start + 7)) AS pos) p GROUP BY doc_id, nw) "
+        "SELECT doc_id, CAST(nw AS BIGINT) AS n_tokens, "
+        "  CAST(cut_tokens AS BIGINT) AS cut_tokens, "
+        "  CAST(nw - cut_tokens AS BIGINT) AS kept_tokens "
+        "FROM cuts ORDER BY cut_tokens DESC, doc_id LIMIT 100"
+    ),
+)
+def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE SPAN-CUTTING STAGE (staged r16) — the output side of
+    suffix-array substring dedup (Lee et al. 2022): the corpus keeps
+    each duplicated 8-token window's FIRST occurrence (lowest
+    (doc_id, start)) and excises every later one; the report counts
+    cut and kept tokens per affected document. Complements
+    `dedup_substring_spans` (which measures coverage symmetrically —
+    a fully-duplicated PAIR both report; here the first copy
+    survives).
+
+    Plan shape at 100 TB: first-occurrence selection is a struct-MIN
+    aggregate per window text (map-side combinable — deliberately NOT
+    a row_number window, whose per-gram partitions would put a
+    boilerplate window's 1e9 occurrences in one task), and the
+    later-occurrence join REUSES the gram partitioning the aggregate
+    just created. Everything downstream is O(duplicated occurrences).
+    The (doc_id, start) order encodes as one integer
+    (doc_id*100000+start; token counts are bounded far below 100000)
+    so both engines order identically in pure int64 math."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    words = (
+        docs.select(
+            "doc_id",
+            F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+        .withColumn("nw", F.size("w"))
+        .filter(F.col("nw") >= _SPAN_L)
+    )
+    grams = words.select(
+        "doc_id", "nw",
+        F.explode(F.expr(
+            f"transform(sequence(1, nw - {_SPAN_L - 1}), "
+            f"i -> struct(i AS start, "
+            f"concat_ws(' ', slice(w, i, {_SPAN_L})) AS gram))"
+        )).alias("g"),
+    ).select(
+        "doc_id", "nw", F.col("g.start").alias("start"),
+        (F.col("doc_id") * 100000 + F.col("g.start")).alias("ord"),
+        F.col("g.gram").alias("gram"),
+    )
+    firsts = grams.groupBy("gram").agg(F.min("ord").alias("first_ord"))
+    laters = (
+        grams.join(firsts, "gram")
+        .filter(F.col("ord") != F.col("first_ord"))
+        .select("doc_id", "nw", "start")
+    )
+    cuts = (
+        laters.select(
+            "doc_id", "nw",
+            F.explode(F.expr(
+                f"sequence(start, start + {_SPAN_L - 1})")).alias("pos"))
+        .groupBy("doc_id", "nw")
+        .agg(F.countDistinct("pos").alias("cut_tokens"))
+    )
+    return (
+        cuts.select(
+            "doc_id",
+            F.col("nw").cast("bigint").alias("n_tokens"),
+            F.col("cut_tokens").cast("bigint").alias("cut_tokens"),
+            (F.col("nw") - F.col("cut_tokens")).cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .orderBy(F.desc("cut_tokens"), "doc_id")
+        .limit(100)
+    )
