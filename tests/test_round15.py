@@ -394,3 +394,43 @@ def test_interval_inside_container_nets(spark, tmp_path):
         (1, "insert", 0), (1, "insert", 1), (1, "insert", 2),
         (1, "insert", 3), (2, "delete", 2), (2, "insert", 102),
     ]
+
+
+def test_substring_span_semantics_crafted_corpus(spark, tmp_path):
+    """Hand-computed fixture for the substring-dedup pair (the DuckDB
+    oracle mirrors the algorithm, so parity alone cannot catch a
+    shared misdesign): doc 1 and doc 2 are identical 10-token texts
+    (3 windows each, all duplicated); doc 3 shares exactly doc 1's
+    first 8 tokens then diverges; doc 4 is clean; doc 5 is 7 tokens
+    (below L, invisible)."""
+    import pandas as pd
+
+    from iceberg_catalog_bench_spark.operators.registry import (
+        QUERIES,
+        load_all,
+    )
+
+    load_all()
+    base = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    rows = [
+        (1, base), (2, base),
+        (3, "t0 t1 t2 t3 t4 t5 t6 t7 x8 x9"),
+        (4, "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+        (5, "v0 v1 v2 v3 v4 v5 v6"),
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        str(tmp_path / "documents.parquet"))
+    spans = {r["doc_id"]: (r["n_tokens"], r["dup_occurrences"],
+                           r["covered_tokens"])
+             for r in QUERIES["dedup_substring_spans"](
+                 spark, str(tmp_path)).collect()}
+    # docs 1/2: all 3 windows duplicated, full 10-token coverage;
+    # doc 3: only its first window (shared with 1/2) -> 8 covered
+    assert spans == {1: (10, 3, 10), 2: (10, 3, 10), 3: (10, 1, 8)}
+    cuts = {r["doc_id"]: (r["cut_tokens"], r["kept_tokens"])
+            for r in QUERIES["dedup_substring_cut"](
+                spark, str(tmp_path)).collect()}
+    # first occurrences live in doc 1 (lowest doc_id) -> doc 1 keeps
+    # everything and is ABSENT from the cut report; doc 2 cuts all 10;
+    # doc 3's shared first window is a later occurrence -> cuts 8
+    assert cuts == {2: (10, 0), 3: (8, 2)}
