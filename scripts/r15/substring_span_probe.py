@@ -45,6 +45,38 @@ def _pipeline(docs):
     )
 
 
+def _cut_pipeline(docs):
+    words = (
+        docs.select("doc_id",
+                    F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+        .withColumn("nw", F.size("w")).filter(F.col("nw") >= _L)
+    )
+    grams = words.select(
+        "doc_id", "nw",
+        F.explode(F.expr(
+            f"transform(sequence(1, nw - {_L - 1}), "
+            f"i -> struct(i AS start, "
+            f"concat_ws(' ', slice(w, i, {_L})) AS gram))")).alias("g"),
+    ).select("doc_id", "nw", F.col("g.start").alias("start"),
+             (F.col("doc_id") * 100000 + F.col("g.start")).alias("ord"),
+             F.col("g.gram").alias("gram"))
+    firsts = (grams.groupBy("gram")
+              .agg(F.min("ord").alias("first_ord"),
+                   F.count(F.lit(1)).alias("c"))
+              .filter(F.col("c") >= 2).select("gram", "first_ord"))
+    laters = (grams.join(firsts, "gram")
+              .filter(F.col("ord") != F.col("first_ord"))
+              .select("doc_id", "nw", "start"))
+    return (
+        laters.select("doc_id", "nw",
+                      F.explode(F.expr(
+                          f"sequence(start, start + {_L - 1})"))
+                      .alias("pos"))
+        .groupBy("doc_id", "nw")
+        .agg(F.count_distinct("pos").alias("cut_tokens"))
+    )
+
+
 def main() -> None:
     spark = (
         SparkSession.builder.master("local[32]")
@@ -81,9 +113,17 @@ def main() -> None:
         rows = out.collect()
         t1 = time.perf_counter()
         occ = sum(r["dup_occurrences"] for r in rows)
-        print(f"{tag:9s} {t1 - t0:6.2f}s  docs_hit={len(rows):6d}  "
+        print(f"{tag:9s} spans {t1 - t0:6.2f}s  docs_hit={len(rows):6d}  "
               f"dup_occurrences={occ}")
+        cut = _cut_pipeline(d)
+        t0 = time.perf_counter()
+        crows = cut.collect()
+        t1 = time.perf_counter()
+        tot_cut = sum(r["cut_tokens"] for r in crows)
+        print(f"{tag:9s} cut   {t1 - t0:6.2f}s  docs_cut={len(crows):6d}  "
+              f"cut_tokens={tot_cut}")
         d.unpersist()
+
 
 
 if __name__ == "__main__":
