@@ -1686,3 +1686,88 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cut_tokens"), "doc_id")
         .limit(100)
     )
+
+
+@register(
+    "corpus_ngram_novelty",
+    oracle=(
+        # Novel-content profile (the mixing/curation signal): a
+        # window is NOVEL in its document when that document holds
+        # the window's first corpus occurrence (lowest
+        # doc_id*100000+start). Per language: documents, total
+        # windows, novel windows, and the corpus novelty ratio from
+        # identical integers.
+        "WITH words AS (SELECT doc_id, lang, "
+        "  string_split_regex(trim(text), '\\s+') AS w FROM documents), "
+        "sized AS (SELECT doc_id, lang, w, len(w) AS nw FROM words "
+        "  WHERE len(w) >= 8), "
+        "grams AS (SELECT doc_id, lang, "
+        "  doc_id * 100000 + i AS ord, "
+        "  array_to_string(w[i:i+7], ' ') AS gram "
+        "  FROM sized, LATERAL (SELECT unnest(generate_series(1, nw - 7)) "
+        "  AS i) t), "
+        "firsts AS (SELECT gram, MIN(ord) AS first_ord FROM grams "
+        "  GROUP BY gram), "
+        "flagged AS (SELECT g.lang, "
+        "  CASE WHEN g.ord = f.first_ord THEN 1 ELSE 0 END AS novel "
+        "  FROM grams g JOIN firsts f ON g.gram = f.gram) "
+        "SELECT lang, "
+        "CAST(COUNT(*) AS BIGINT) AS n_windows, "
+        "CAST(SUM(novel) AS BIGINT) AS novel_windows, "
+        "CAST(SUM(novel) AS DOUBLE) / COUNT(*) AS novelty "
+        "FROM flagged GROUP BY lang ORDER BY lang"
+    ),
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM NOVELTY PROFILE (staged r16) — the per-slice
+    novel-content fraction data-mixing pipelines weigh corpora by: a
+    window counts as novel where its document holds the FIRST corpus
+    occurrence; per language the report carries window counts and the
+    novelty ratio (identical-integer division). The third member of
+    the substring family: `dedup_substring_spans` measures coverage,
+    `dedup_substring_cut` excises, this scores slices for mixing.
+
+    Plan shape at 100 TB: the same single corpus-sized exchange on
+    the window text (map-side-combinable MIN — no row_number window,
+    no per-gram task skew); the novelty flag joins first-occurrence
+    ords back along the partitioning that aggregate just produced,
+    and the per-language fold is |languages| cells. Unlike the cut
+    stage, every window flows through the join (each contributes to
+    the denominator) — the probe-measured clean-corpus cost of
+    exactly that shape."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "text")
+    words = (
+        docs.select(
+            "doc_id", "lang",
+            F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+        .withColumn("nw", F.size("w"))
+        .filter(F.col("nw") >= _SPAN_L)
+    )
+    grams = words.select(
+        "doc_id", "lang",
+        F.explode(F.expr(
+            f"transform(sequence(1, nw - {_SPAN_L - 1}), "
+            f"i -> struct(i AS start, "
+            f"concat_ws(' ', slice(w, i, {_SPAN_L})) AS gram))"
+        )).alias("g"),
+    ).select(
+        "lang",
+        (F.col("doc_id") * 100000 + F.col("g.start")).alias("ord"),
+        F.col("g.gram").alias("gram"),
+    )
+    firsts = grams.groupBy("gram").agg(F.min("ord").alias("first_ord"))
+    flagged = grams.join(firsts, "gram").select(
+        "lang",
+        (F.col("ord") == F.col("first_ord")).cast("long").alias("novel"),
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("novel").alias("novel_windows"),
+            (F.sum("novel").cast("double") / F.count(F.lit(1)))
+            .alias("novelty"),
+        )
+        .orderBy("lang")
+    )

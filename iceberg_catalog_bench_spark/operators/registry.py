@@ -133,8 +133,9 @@ PRIORITY: tuple[str, ...] = (
     "tpcds_two_existential_shipping",       # Q94/Q95 on the Q21 spine
     "tpcds_cross_channel_netted_ratio",     # Q78 on the Q75 spine
     "tpcds_customer_channel_setops",        # Q38/Q87 set-op collapse
-    # -- below-cap: staged r16 pipeline debut --
+    # -- below-cap: staged r16 pipeline debuts --
     "dedup_substring_cut",                  # span-cutting stage
+    "corpus_ngram_novelty",                 # mixing novelty profile
     # -- below-cap: the 24 deferred r11 rows (lead r16's tier (b)) --
     "corpus_split_train_val_test",
     "pipeline_pack_sequences",
