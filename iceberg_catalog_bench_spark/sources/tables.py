@@ -29,6 +29,31 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Schema cache (r15 optimization round, guide §6): ``spark.read.parquet``
+# infers the schema by reading parquet footers on the DRIVER on every
+# call — measured 100-230 ms per call at sf0.1 vs 22 ms with an
+# explicit schema. The composite bench phases issue ~100+ load_table
+# calls per run, so footer re-inference alone costs seconds of pure
+# driver time. A real deployment gets the schema from the catalog
+# (Iceberg metadata), not from data-file footers; this cache is that
+# catalog lookup, keyed on (path, mtime_ns, size) so any rewrite of
+# the file invalidates it. METADATA only — never rows.
+_SCHEMA_CACHE: dict[tuple[str, int, int], object] = {}
+
+
+def _read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return spark.read.parquet(path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one logical table as a DataFrame (parquet scan, pruned by Catalyst).
@@ -52,12 +77,15 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         return _events_normalize_ts(_load_events_raw(spark, path))
-    return spark.read.parquet(path)
+    return _read_parquet_cached(spark, path)
 
 
 def _load_events_raw(spark: SparkSession, path: str) -> DataFrame:
+    # the legacy flag must be set BEFORE schema inference; with a cached
+    # schema it still governs how the vectorized reader materializes a
+    # TIMESTAMP(NANOS) column declared bigint
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(path)
+    return _read_parquet_cached(spark, path)
 
 
 def _events_normalize_ts(raw: DataFrame) -> DataFrame:
