@@ -928,26 +928,33 @@ def tpch_q21_sole_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXISTS plus a correlated NOT EXISTS over the same fact table —
     naively two extra lineitem self-joins, each shuffling the fact.
 
-    Spark-first decorrelation: ONE aggregate computes both
-    existentials per order — ``n_supps = countDistinct(suppkey)``
-    (EXISTS other supplier ⟺ ≥ 2) and ``n_fault = countDistinct(
-    suppkey WHERE fault)`` (NOT EXISTS other fault supplier ⟺ == 1,
-    since the probe line itself is a fault). The fact shuffles on
-    l_orderkey once for the stats and once for the probe join — AQE
-    reuses the exchange — instead of three times; supplier and nation
-    broadcast. At 100 TB the two correlated subqueries are the
-    difference between one map-combined aggregate and two extra
-    fact-fact shuffles. Final top-100 is TakeOrderedAndProject on
-    (numwait DESC, s_name) — a total order, so LIMIT is
-    deterministic."""
+    Spark-first decorrelation: both existentials per order come from
+    per-(order, supplier) flags — ``n_supps = count(*)`` over the
+    (orderkey, suppkey) groups (EXISTS other supplier ⟺ ≥ 2) and
+    ``n_fault = count(groups with a fault line)`` (NOT EXISTS other
+    fault supplier ⟺ == 1, since the probe line itself is a fault).
+    The r15 optimization round replaced the double countDistinct —
+    whose physical plan is an Expand (2x row multiplication) plus a
+    wide 4-key distinct exchange plus an orderkey exchange — with ONE
+    repartition on l_orderkey followed by two co-located aggregates:
+    hashpartitioning(l_orderkey) satisfies the clustering requirement
+    of both the (orderkey, suppkey) group and the orderkey rollup, so
+    the fact crosses the network once, un-doubled (measured 1.36 →
+    0.49 s on the stats subplan at sf0.1; 2 Exchange + 1 Expand → 1
+    Exchange). Supplier and nation broadcast. Final top-100 is
+    TakeOrderedAndProject on (numwait DESC, s_name) — a total order,
+    so LIMIT is deterministic."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
-    stats = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_fault"),
+    per_supp = (
+        li.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r"))
+    )
+    stats = per_supp.groupBy("l_orderkey").agg(
+        F.count("l_suppkey").alias("n_supps"),
+        F.count(F.when(F.col("has_r") == 1, F.col("l_suppkey"))).alias("n_fault"),
     )
     f_orders = (
         _t(spark, sf_dir, "orders")

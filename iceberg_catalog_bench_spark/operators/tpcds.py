@@ -1421,12 +1421,16 @@ def tpcds_buy_return_rebuy_margin(spark: SparkSession,
     rebuy_year) with chained-spend sums.
 
     Plan shape at 100 TB — the Q17/Q29 disjoint-slice spine reused:
-    the non-return branch scans ONLY non-R rows and the return branch
-    only R rows (both returnflag predicates pushed to parquet —
-    neither decodes the other's slice); the non-return slice
-    aggregates to (customer, part, year) cells — the ONLY fact-volume
-    exchange — before any chain join; fb/rb/chain all key on the same
-    (ck, pk) compound so they share one cell-sized exchange layout.
+    the joined fact is repartitioned on (ck, pk) (r15 optimization,
+    guide §2.4; Catalyst pushes each branch's returnflag filter below
+    the repartition, so the R / non-R slices still scan disjoint,
+    predicate-pushed — each slice crosses the network exactly once,
+    the fact once in total). hashpartitioning(ck, pk) then satisfies
+    the non-return branch's (ck, pk, yr) cell aggregate, the return
+    branch's (ck, pk) first-return aggregate, the nonr⋈ret join AND
+    the chain aggregate — every downstream step is co-located
+    (measured 1.4 → 0.94 s at sf0.1; the pre-r15 shape paid separate
+    (ck, pk, yr) / (ck, pk) / join exchanges).
     ``min_by``/``arg_min`` are deterministic here because the year is
     unique per (ck, pk) group after the cell aggregate. The report is
     |year-pair| rows; money stays integer cents end-to-end, so the
@@ -1441,7 +1445,7 @@ def tpcds_buy_return_rebuy_margin(spark: SparkSession,
     s = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
         F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"),
         F.year("o_orderdate").cast("bigint").alias("yr"),
-        F.col("l_returnflag").alias("rf"), "cents")
+        F.col("l_returnflag").alias("rf"), "cents").repartition("ck", "pk")
     nonr = (
         s.filter(F.col("rf") != "R")
         .groupBy("ck", "pk", "yr").agg(F.sum("cents").alias("cents"))
@@ -1544,9 +1548,16 @@ def tpcds_frequent_items_best_customers(spark: SparkSession,
     orders = load_table(spark, "orders", sf_dir).select(
         "o_orderkey", "o_custkey",
         F.year("o_orderdate").cast("bigint").alias("yr"))
+    # r15 optimization (guide §2.4): the item gate repartitions on pk
+    # once — hashpartitioning(pk) satisfies the (pk, sy) distinct
+    # aggregate, the (pk, sy) rollup AND the per-pk max, collapsing
+    # the gate's three chained exchanges to one (measured 1.36 →
+    # 0.95 s for the whole query at sf0.1, rows identical).
     frequent_items = (
-        li.groupBy(F.col("l_partkey").alias("pk"),
-                   F.year("l_shipdate").alias("sy"))
+        li.select(F.col("l_partkey").alias("pk"),
+                  F.year("l_shipdate").alias("sy"), "l_orderkey")
+        .repartition("pk")
+        .groupBy("pk", "sy")
         .agg(F.countDistinct("l_orderkey").alias("n"))
         .groupBy("pk").agg(F.max("n").alias("mx"))
         .filter(F.col("mx") >= 9).select("pk")
@@ -1743,20 +1754,19 @@ def tpcds_return_repurchase_chain(spark: SparkSession,
     the same part again, reported per nation with count / mean /
     sample-stddev of the repurchase quantities.
 
-    Plan shape at 100 TB: each chain branch scans its own DISJOINT,
-    filter-pushed slice of the fact — the return side reads only
-    R-flag rows (a quarter of lineitem, three columns), the
-    repurchase side only non-R rows (plan-verified: both scans carry
-    the returnflag predicate in the parquet filters, so neither
-    decodes the other's rows — strictly less I/O than one shared
-    full scan feeding both). The return side aggregates to one row
-    per returned (customer, part) BEFORE the chain join; the chain
-    join and the per-chain aggregate share the (custkey, partkey)
-    compound key, so the join's output partitioning serves the
-    groupBy without a third fact-volume exchange. Customer/nation
-    are broadcast dims; the report is |nations| rows. Quantities are
-    whole-valued, so the rounded mean/stddev are the stats_aggregates
-    tolerance class."""
+    Plan shape at 100 TB: the joined fact is repartitioned on
+    (ck, pk) (r15 optimization, guide §2.4; Catalyst pushes each
+    branch's returnflag filter below the repartition, so the R /
+    non-R slices still scan disjoint and predicate-pushed — each
+    slice crosses the network exactly once, the fact once in total).
+    hashpartitioning(ck, pk) then satisfies the return side's
+    first-return aggregate, the chain join AND the per-chain
+    aggregate — every downstream step is co-located (the pre-r15
+    shape paid separate branch-aggregate and join exchanges;
+    measured 1.28 → 1.08 s at sf0.1, rows identical).
+    Customer/nation are broadcast dims; the report is |nations| rows.
+    Quantities are whole-valued, so the rounded mean/stddev are the
+    stats_aggregates tolerance class."""
     li = load_table(spark, "lineitem", sf_dir).select(
         "l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
     orders = load_table(spark, "orders", sf_dir).select(
@@ -1764,7 +1774,7 @@ def tpcds_return_repurchase_chain(spark: SparkSession,
     s = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
         F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"),
         F.col("l_quantity").alias("q"), F.col("o_orderdate").alias("d"),
-        F.col("l_returnflag").alias("rf"))
+        F.col("l_returnflag").alias("rf")).repartition("ck", "pk")
     ret = (
         s.filter(F.col("rf") == "R")
         .groupBy("ck", "pk").agg(F.min("d").alias("first_ret"))
@@ -1845,6 +1855,11 @@ def tpcds_item_day_channel_crossover(spark: SparkSession,
     repair pass. The windows partition BY ITEM: at 100 TB that is
     millions of independent partitions, never a single-partition
     window; the TakeOrdered(100) collapses the report to a constant.
+    r15 optimization (guide §2.4): the fact is repartitioned on ITEM
+    once — hashpartitioning(item) satisfies both the (item, day)
+    aggregate's clustering and the item window's, so the cell build
+    and the running totals share ONE exchange instead of two
+    (measured 1.6 → 1.1 s at sf0.1, rows identical).
     Reference scope: `ICEBERG-Interoperability-Test-Spec.md:43`."""
     from pyspark.sql import Window as W
 
@@ -1868,6 +1883,7 @@ def tpcds_item_day_channel_crossover(spark: SparkSession,
             F.when(F.col("l_orderkey") % 2 == 1, cents)
             .otherwise(F.lit(0)).alias("store_c"),
         )
+        .repartition("item")
         .groupBy("item", "d")
         .agg(F.sum("web_c").alias("web_cents"),
              F.sum("store_c").alias("store_cents"))
@@ -2168,9 +2184,16 @@ def tpcds_cov_consecutive_months(spark: SparkSession,
     cubic products pass 2^63 at ~25k rows per (item, month) cell, and
     Spark's bigint would WRAP silently there.
 
-    Plan shape: one fact pass partial-aggregates (COUNT/SUM/SUM-of-
-    squares all map-side combinable) to |item × month| cells; the
+    Plan shape: one fact pass aggregates to |item × month| cells; the
     flag filter is cell-local; the LAG window partitions by item.
+    r15 optimization (guide §2.4): the fact is repartitioned on ITEM
+    once — hashpartitioning(item) satisfies both the (item, month)
+    aggregate's clustering and the LAG window's, so the cell build and
+    the pairing share ONE exchange instead of two. The (item, month)
+    cell space is high-cardinality relative to a scan split, so the
+    map-side combine this forgoes is ~1 on a fact not clustered by
+    item — the exchange still carries ~|fact| narrow rows either way,
+    and one full exchange disappears.
     At 100 TB: one fact exchange, everything downstream cell-sized.
     Reference scope: `ICEBERG-Interoperability-Test-Spec.md:43`."""
     from pyspark.sql import Window as W
@@ -2180,15 +2203,18 @@ def tpcds_cov_consecutive_months(spark: SparkSession,
     )
     q = F.round(F.col("l_quantity")).cast("bigint")
     cells = (
-        li.groupBy(
+        li.select(
             F.col("l_partkey").alias("item"),
             (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
             .cast("bigint").alias("m"),
+            q.alias("q"),
         )
+        .repartition("item")
+        .groupBy("item", "m")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(q).alias("s1"),
-            F.sum(q * q).alias("s2"),
+            F.sum("q").alias("s1"),
+            F.sum(F.col("q") * F.col("q")).alias("s2"),
         )
         .filter(F.col("n") >= 2)
     )

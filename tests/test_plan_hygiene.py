@@ -180,18 +180,21 @@ def test_rfm_avoids_global_ntile_sort(spark, oracle_sf_dir):
 
 
 def test_tpch_q21_single_aggregate_decorrelation(spark, oracle_sf_dir):
-    """Q21's two correlated existentials must come from ONE per-order
-    aggregate (a single Expand feeding both countDistincts), never
-    materialize as extra fact self-joins, and the top-100 must be
-    TakeOrderedAndProject."""
+    """Q21's two correlated existentials must come from per-(order,
+    supplier) flags over ONE orderkey repartition — no Expand row
+    doubling, never extra fact self-joins — and the top-100 must be
+    TakeOrderedAndProject. (r15 optimization: the double countDistinct
+    planned an Expand + wide 4-key distinct exchange + orderkey
+    exchange; the flag rollup crosses the network once, un-doubled —
+    1.36 -> 0.49 s on the stats subplan at sf0.1.)"""
     plan = _plan("tpch_q21_sole_fault_supplier", spark, oracle_sf_dir)
-    assert plan.count("Expand") == 1
+    assert plan.count("Expand") == 0
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "TakeOrderedAndProject" in plan
-    # exactly the three intended exchanges: the two-step distinct
-    # aggregate plus the final (s_name, n_name) group
+    # exactly the two intended exchanges: the orderkey repartition both
+    # aggregates ride, plus the final (s_name, n_name) group
     import re as _re
-    assert len(_re.findall(r"Exchange hashpartitioning", plan)) <= 3
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) <= 2
 
 
 def test_time_range_window_single_exchange(spark, oracle_sf_dir):
