@@ -896,8 +896,19 @@ class LakeTable:
                     transform_expr(t, type_of.get(t.column)).cast("string"))
                 pcols.append(name)
             # co-locate each partition value in one task → one file per
-            # value (write.distribution-mode=hash, framework.yaml:139)
-            df = df.repartition(*[F.col(c) for c in pcols])
+            # value (write.distribution-mode=hash, framework.yaml:139).
+            # The width is pinned to the session's shuffle-partition
+            # setting (r15 optimization): without an explicit width,
+            # AQE coalesces this small-byte/high-fanout exchange to
+            # 1-3 tasks and the partitionBy writer then creates every
+            # partition's files SERIALLY — measured 3.8-7.3 s vs 2.4 s
+            # at 480 fanout values on local[32]. Byte-based coalescing
+            # is the wrong signal for a fanout write: the cost is file
+            # creation count, not shuffle bytes. The width stays
+            # conf-driven (spark.sql.shuffle.partitions tracks the
+            # cluster), never a constant.
+            width = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            df = df.repartition(width, *[F.col(c) for c in pcols])
         order = self._meta.get("sort_order") or []
         if order and cluster:
             # WRITE ORDERED BY (create_sales_events.sql:21-24)
@@ -980,13 +991,14 @@ class LakeTable:
                 seq=None,  # assigned by the commit that publishes it
             )
 
-        # footer reads are metadata-only but latency-bound; a fanout
-        # write produces hundreds of files, so collect stats in a
-        # thread pool (I/O-bound → threads suffice)
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=16) as pool:
-            entries = [e for e in pool.map(footer_entry, work) if e is not None]
+        # footer reads are metadata-only and GIL-bound, not
+        # latency-bound, on a local filesystem: measured 0.14 s serial
+        # vs 0.43 s with a 16-thread pool for 480 files (threads only
+        # add contention — pyarrow's footer decode holds the GIL).
+        # Serial keeps the code simple; an object-store deployment
+        # (real fetch latency) would re-introduce a pool sized to
+        # round-trip latency, or read stats executor-side.
+        entries = [e for e in map(footer_entry, work) if e is not None]
         entries.sort(key=lambda e: e.path)
         return entries
 
