@@ -53,6 +53,19 @@ def get_spark(
         # Broadcast threshold: dims (region/nation/supplier/part at bench
         # SFs) should broadcast; AQE also converts post-shuffle.
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # Join strategy (r15 optimization, guide §3.1/§9): let the
+        # planner pick shuffled-hash over sort-merge when its build-side
+        # size conditions hold — skips two per-partition sorts. Measured
+        # on the SMJ-bearing suite members: tpch_q7 1.05 → 0.49 s,
+        # tpcds_qoq 0.68 → 0.47 s, tpch_q18 1.03 → 0.76 s (sf0.1,
+        # noop sink, median of 3). Scale-safe: the static planner still
+        # requires the build side to be provably small per partition,
+        # and AQE's runtime conversion (threshold = one advisory
+        # partition) covers the cases statistics miss; oversized build
+        # sides keep sort-merge.
+        "spark.sql.join.preferSortMergeJoin": "false",
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold":
+            str(64 * 1024 * 1024),
         # Input split sizing: 128MB splits match the reference's
         # write.target-file-size-bytes=134217728 (blob-dfs_bench.py:85).
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
