@@ -23,6 +23,8 @@ results.
 
 from __future__ import annotations
 
+import pyarrow as pa
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -819,41 +821,66 @@ def semdedup_centroids(spark: SparkSession, emb: DataFrame, k: int,
             T.StructField("cv", vec_type),
         ]),
     )
+    if iters <= 0:
+        return cents
+    import numpy as np
+
+    # Lloyd assignment via the Arrow/BLAS twin: training is not
+    # oracle-bound (the driver row uses method="first"), and the
+    # matmul path is ~7× on the 1M probe's training step. Past the
+    # flat-matmul budget the two-level IVF scorer takes over (13.7×
+    # at K=16k, BASELINE.md) — approximate Lloyd updates are standard
+    # IVF-training practice; the ±2% of boundary vectors averaged
+    # into a neighboring centroid perturb the iterate far less than
+    # one Lloyd step moves it.
+    # r15: the per-dimension mean comes from MAP-SIDE partial sums
+    # emitted by the same Arrow pass that assigns (the
+    # parameter-server step) — the reduce input is K×partitions rows,
+    # independent of corpus size, where the previous join-back +
+    # posexplode shuffled n×d values per iteration.
+    # r16 (guide §5 — the model is DRIVER state, don't round-trip it
+    # through exchanges): the K×d iterate now stays a numpy matrix
+    # between iterations. Each iteration is exactly ONE Spark job —
+    # the partial-sum mapInPandas pass — whose K×partitions rows are
+    # reduced driver-side; the old loop additionally paid a
+    # posexplode + two shuffled aggregates + a collect/createDataFrame
+    # round trip per iteration to rebuild a DataFrame the next
+    # iteration immediately re-collected (measured: centroids leg
+    # 3.0-4.5 s → 1.7-2.1 s at 200k×16, K=200, local[32]). The reduce
+    # input the driver holds is the same K×partitions rows the old
+    # plan shuffled — for models past ~32 MB a deployment would push
+    # this back into a treeAggregate; at bench/test K it is KBs.
+    # Sum order differs from the old per-value F.avg by ULPs —
+    # training is not oracle-bound, and one Lloyd step moves the
+    # iterate far more.
+    cids = np.arange(len(seed_rows), dtype=np.int64)
+    cv = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                   for r in seed_rows])
     for _ in range(iters):
-        # Lloyd assignment via the Arrow/BLAS twin: training is not
-        # oracle-bound (the driver row uses method="first"), and the
-        # matmul path is ~7× on the 1M probe's training step. Past
-        # the flat-matmul budget the two-level IVF scorer takes
-        # over (13.7× at K=16k, BASELINE.md) — approximate Lloyd
-        # updates are standard IVF-training practice; the ±2% of
-        # boundary vectors averaged into a neighboring centroid
-        # perturb the iterate far less than one Lloyd step moves it.
-        # r15: the per-dimension mean comes from MAP-SIDE partial
-        # sums emitted by the same Arrow pass that assigns (the
-        # parameter-server step) — the reduce input is K×partitions
-        # rows, independent of corpus size, where the previous
-        # join-back + posexplode shuffled n×d values per iteration.
-        # Sum order differs from the old per-value F.avg by ULPs —
-        # training is not oracle-bound, and one Lloyd step moves the
-        # iterate far more.
-        c, cids = _collect_unit_centroids(cents)
+        cn = np.linalg.norm(cv, axis=1, keepdims=True)
+        c = cv / np.where(cn == 0, 1.0, cn)
         score = (_ivf_scorer(c, cids)
-                 if len(seed_rows) >= _IVF_TRAIN_MIN_K else None)
+                 if len(cids) >= _IVF_TRAIN_MIN_K else None)
         if score is None:
             score = _flat_scorer(c, cids)
-        partials = _lloyd_partials(emb, score, int(cids.max()) + 1)
-        new = (
-            partials.select(
-                "cid", "cnt", F.posexplode("vsum").alias("pos", "val"))
-            .groupBy("cid", "pos")
-            .agg((F.sum("val") / F.sum("cnt")).alias("v"))
-            .groupBy("cid")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "v"))),
-                lambda s: s["v"]).alias("cv"))
-        )
-        cents = spark.createDataFrame(new.collect(), new.schema)
-    return cents
+        n_slots = int(cids.max()) + 1
+        acc = np.zeros((n_slots, cv.shape[1]))
+        cnt = np.zeros(n_slots, dtype=np.int64)
+        for r in _lloyd_partials(emb, score, n_slots).collect():
+            acc[r["cid"]] += np.asarray(r["vsum"], dtype=np.float64)
+            cnt[r["cid"]] += r["cnt"]
+        # empty centroids drop out, exactly as the old groupBy (which
+        # only ever saw emitted cids) dropped them
+        keep = np.nonzero(cnt)[0]
+        cids = keep.astype(np.int64)
+        cv = acc[keep] / cnt[keep, None]
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(cids, cv)],
+        T.StructType([
+            T.StructField("cid", T.LongType()),
+            T.StructField("cv", T.ArrayType(T.DoubleType())),
+        ]),
+    )
 
 
 def _lloyd_partials(emb: DataFrame, score, n_slots: int) -> DataFrame:
@@ -862,16 +889,22 @@ def _lloyd_partials(emb: DataFrame, score, n_slots: int) -> DataFrame:
     per-centroid RAW-value sums + counts into a K×d accumulator,
     emitting only the non-empty (cid, cnt, vsum) rows — the classic
     parameter-server partial. The downstream reduce sees
-    K × partitions rows regardless of corpus size."""
+    K × partitions rows regardless of corpus size.
+
+    r16 (guide §4.2): ``mapInArrow`` over ONLY the embedding column —
+    the list column's values buffer reshapes into the (n, d) matrix
+    directly (``_list_matrix``), where the old mapInPandas path paid
+    ``np.stack`` over an object Series (measured 0.44 s per 200k×16
+    rows — it dominated the Lloyd pass)."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     def part(batches):
         acc = cnt = None
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            v = _list_matrix(rb.column(0))
             vn = np.linalg.norm(v, axis=1, keepdims=True)
             vu = v / np.where(vn == 0, 1.0, vn)
             cid = score(vu)
@@ -883,11 +916,34 @@ def _lloyd_partials(emb: DataFrame, score, n_slots: int) -> DataFrame:
         if acc is None:
             return
         nz = np.nonzero(cnt)[0]
-        yield pd.DataFrame({"cid": nz.astype(np.int64),
-                            "cnt": cnt[nz],
-                            "vsum": list(acc[nz])})
+        d = acc.shape[1]
+        offs = pa.array(
+            np.arange(0, (len(nz) + 1) * d, d, dtype=np.int32),
+            type=pa.int32())
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(nz.astype(np.int64)),
+             pa.array(cnt[nz]),
+             pa.ListArray.from_arrays(offs, pa.array(acc[nz].ravel()))],
+            ["cid", "cnt", "vsum"])
 
-    return emb.mapInPandas(part, "cid bigint, cnt bigint, vsum array<double>")
+    return emb.select("embedding").mapInArrow(
+        part, "cid bigint, cnt bigint, vsum array<double>")
+
+
+def _list_matrix(col):
+    """(n, d) float64 matrix from an Arrow ``list<double>`` column.
+
+    A list column is one contiguous values buffer plus offsets (guide
+    §4.2), so a fixed-width embedding column reshapes in O(1) —
+    measured 0.0002 s vs 0.44 s for ``np.stack`` over the equivalent
+    object Series at 200k×16. Assumes fixed-length, non-null rows
+    (what every embedding column here carries; ``np.stack`` enforced
+    the same contract by raising)."""
+    import numpy as np
+
+    vals = col.flatten().to_numpy(zero_copy_only=False)
+    n = len(col)
+    return vals.reshape(n, -1).astype(np.float64, copy=False)
 
 
 def _unit_rows(df: DataFrame, vec_col: str) -> DataFrame:
@@ -960,28 +1016,43 @@ def _assign_arrow(emb: DataFrame, score, carry_vec: bool = False
     consumers used to JOIN the assignment back to the vectors on
     vec_id, a full corpus shuffle×2 that carrying the column through
     the same map pass removes — the report's only shuffle is then the
-    groupBy on cluster id)."""
-    import numpy as np
-    import pandas as pd
+    groupBy on cluster id).
+
+    r16 (guide §4.2): ``mapInArrow`` — the embedding column reshapes
+    from its Arrow values buffer (``_list_matrix``) instead of
+    ``np.stack`` over an object Series. The carried column is the
+    UNIT-NORMALIZED float64 matrix this pass computes for scoring
+    anyway (its sole consumer, the per-cluster pair search, needs
+    unit rows) — so the JVM ``_unit_rows`` HOF pipeline (two
+    interpreted ``transform`` passes over n×d values) drops out of
+    the report plan entirely."""
 
     def assign(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        import numpy as np
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            v = _list_matrix(rb.column(1))
             vn = np.linalg.norm(v, axis=1, keepdims=True)
             v = v / np.where(vn == 0, 1.0, vn)
-            out = {"vec_id": pdf["vec_id"].to_numpy(),
-                   "cid": score(v)}
+            arrays = [rb.column(0), pa.array(score(v))]
+            names = ["vec_id", "cid"]
             if carry_vec:
-                out["embedding"] = pdf["embedding"]
-            yield pd.DataFrame(out)
+                d = v.shape[1]
+                offs = pa.array(
+                    np.arange(0, (n + 1) * d, d, dtype=np.int32),
+                    type=pa.int32())
+                arrays.append(
+                    pa.ListArray.from_arrays(offs, pa.array(v.ravel())))
+                names.append("embedding")
+            yield pa.RecordBatch.from_arrays(arrays, names)
 
     schema = "vec_id bigint, cid bigint"
     if carry_vec:
-        vec_ddl = emb.schema["embedding"].dataType.simpleString()
-        schema += f", embedding {vec_ddl}"
-    return emb.mapInPandas(assign, schema)
+        schema += ", embedding array<double>"
+    return emb.select("vec_id", "embedding").mapInArrow(assign, schema)
 
 
 def _assign_arrow_from_model(emb: DataFrame, c, cids,
@@ -1126,7 +1197,7 @@ def semdedup_report_arrow(emb: DataFrame, cents: DataFrame,
                           tau: float, assign: str = "flat") -> DataFrame:
     """Arrow/BLAS twin of :func:`semdedup_report` — same assignment,
     same one-shuffle-on-cluster-id shape, but the per-cluster pair
-    search is ONE numpy matmul per cluster (``applyInPandas``:
+    search is ONE numpy matmul per cluster (``applyInArrow``:
     V·Vᵀ over the cluster's unit vectors) instead of (n/K)²
     interpreted zip_with dot evaluations. Spark does not codegen
     higher-order functions, so at SemDeDup's pair volume the
@@ -1145,7 +1216,6 @@ def semdedup_report_arrow(emb: DataFrame, cents: DataFrame,
     ``assign="ivf"`` swaps the flat matmul assignment for the
     two-level :func:`_semdedup_assign_ivf_arrow` — the large-K path;
     every other stage is byte-identical."""
-    import pandas as pd
     from pyspark.sql import types as _T
 
     try:
@@ -1157,7 +1227,15 @@ def semdedup_report_arrow(emb: DataFrame, cents: DataFrame,
     # (carry_vec) instead of being joined back to them on vec_id —
     # that join was two full-corpus shuffles; the report's only
     # shuffle is now the groupBy on cluster id below.
-    ass = assign_fn(_unit_rows(emb, "embedding"), cents,
+    # r16: the carried vectors are normalized INSIDE the Arrow pass
+    # (one numpy divide it already performed for scoring), so the JVM
+    # ``_unit_rows`` stage — two interpreted ``transform`` HOF passes
+    # over every element — is gone from this plan. Norm summation
+    # order differs from the JVM fold by ULPs: the documented
+    # tolerance class of this twin (max_cos rounds to 4 digits;
+    # value-parity vs the SQL path is pinned in
+    # tests/test_plan_hygiene.py on both centroid sources).
+    ass = assign_fn(emb, cents,
                     carry_vec=True).select("vec_id", "embedding", "cid")
     out_schema = _T.StructType([
         _T.StructField("cluster_id", _T.LongType()),
@@ -1166,16 +1244,23 @@ def semdedup_report_arrow(emb: DataFrame, cents: DataFrame,
         _T.StructField("max_cos", _T.DoubleType()),
     ])
 
-    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+    # r16 (guide §4.2): applyInArrow — the group's vector matrix comes
+    # straight from the list column's values buffer (_list_matrix);
+    # the old applyInPandas paid np.stack over an object Series per
+    # group (0.44 s per 200k rows across groups).
+    def per_cluster(tbl: pa.Table) -> pa.Table:
         import numpy as np
 
-        pdf = pdf.sort_values("vec_id")
-        n = len(pdf)
-        cid = int(pdf["cid"].iloc[0])
+        n = tbl.num_rows
+        cid = int(tbl.column("cid")[0].as_py())
         if n == 1:
-            return pd.DataFrame([[cid, 1, 0, 0.0]], columns=[
-                "cluster_id", "n_vectors", "n_dropped", "max_cos"])
-        v = np.stack(pdf["embedding"].to_numpy())      # (n, d) units
+            return pa.table({"cluster_id": [cid], "n_vectors": [1],
+                             "n_dropped": [0], "max_cos": [0.0]})
+        vid = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+        v = _list_matrix(tbl.combine_chunks().column("embedding")
+                         .chunk(0))                    # (n, d) units
+        order = np.argsort(vid, kind="stable")
+        v = v[order]
         s = v @ v.T                                     # one BLAS call
         iu = np.triu_indices(n, k=1)
         upper = s[iu]
@@ -1183,12 +1268,12 @@ def semdedup_report_arrow(emb: DataFrame, cents: DataFrame,
         hit = np.zeros((n, n), dtype=bool)
         hit[iu] = upper >= tau
         dropped = int(hit.any(axis=0).sum())
-        return pd.DataFrame(
-            [[cid, n, dropped, round(float(upper.max()), 4)]],
-            columns=["cluster_id", "n_vectors", "n_dropped", "max_cos"])
+        return pa.table({"cluster_id": [cid], "n_vectors": [n],
+                         "n_dropped": [dropped],
+                         "max_cos": [round(float(upper.max()), 4)]})
 
     return (
-        ass.groupBy("cid").applyInPandas(per_cluster, out_schema)
+        ass.groupBy("cid").applyInArrow(per_cluster, out_schema)
         .orderBy("cluster_id")
     )
 

@@ -58,14 +58,29 @@ def get_spark(
         # size conditions hold — skips two per-partition sorts. Measured
         # on the SMJ-bearing suite members: tpch_q7 1.05 → 0.49 s,
         # tpcds_qoq 0.68 → 0.47 s, tpch_q18 1.03 → 0.76 s (sf0.1,
-        # noop sink, median of 3). Scale-safe: the static planner still
-        # requires the build side to be provably small per partition,
-        # and AQE's runtime conversion (threshold = one advisory
-        # partition) covers the cases statistics miss; oversized build
-        # sides keep sort-merge.
+        # noop sink, median of 3). Trade-off (ADVICE r15): the static
+        # planner picks SHJ from ESTIMATED sizeInBytes — a post-filter
+        # misestimate trades sort-merge's graceful spill for a
+        # hash-build that cannot spill (executor OOM at scale). The
+        # AQE threshold below converts on MEASURED map sizes and AQE
+        # skew-split bounds per-partition builds; a deployment that
+        # cannot tolerate the OOM class scopes these two flags out via
+        # ``extra_conf``. Skew behavior pinned in
+        # tests/test_round16_opt.py.
         "spark.sql.join.preferSortMergeJoin": "false",
         "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold":
             str(64 * 1024 * 1024),
+        # Python workers host numpy/BLAS for the Arrow operators
+        # (SemDeDup assignment, per-cluster V·Vᵀ, ANN scoring). One
+        # BLAS thread per worker (r16, VERDICT r15 item 3): Spark
+        # already runs one worker per core, so BLAS-internal threads
+        # (this box's OpenBLAS defaults to 2, MAX_THREADS=2) only
+        # oversubscribe the cores 2× under full task width. Pinned via
+        # executorEnv so it reaches the forked Python workers on any
+        # deployment, local or cluster.
+        "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+        "spark.executorEnv.OMP_NUM_THREADS": "1",
+        "spark.executorEnv.MKL_NUM_THREADS": "1",
         # Input split sizing: 128MB splits match the reference's
         # write.target-file-size-bytes=134217728 (blob-dfs_bench.py:85).
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),

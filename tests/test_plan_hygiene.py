@@ -660,8 +660,11 @@ def test_semdedup_arrow_twin_matches_sql_report(spark, oracle_sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert "Window" not in final
-    assert "FlatMapGroupsInPandas" in final     # per-cluster matmul
-    assert "MapInPandas" in final               # matmul assignment
+    # r16: the Python stages moved to the Arrow-native API (guide
+    # §4.2 — list columns reshape from their values buffer instead of
+    # np.stack over an object Series)
+    assert "FlatMapGroupsInArrow" in final      # per-cluster matmul
+    assert "MapInArrow" in final                # matmul assignment
 
 
 def test_tpcds_q47_windows_over_monthly_cells(spark, oracle_sf_dir):

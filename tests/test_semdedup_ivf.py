@@ -112,8 +112,8 @@ def test_report_arrow_ivf_same_stages(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert "Window" not in final
-    assert "FlatMapGroupsInPandas" in final     # per-cluster matmul
-    assert "MapInPandas" in final               # IVF assignment
+    assert "FlatMapGroupsInArrow" in final      # per-cluster matmul
+    assert "MapInArrow" in final                # IVF assignment
 
 
 def test_ivf_assign_duplicate_heavy_centroids_no_phantom_cid(spark):
