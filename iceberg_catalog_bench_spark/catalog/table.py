@@ -907,7 +907,14 @@ class LakeTable:
             # creation count, not shuffle bytes. The width stays
             # conf-driven (spark.sql.shuffle.partitions tracks the
             # cluster), never a constant.
-            width = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            # ADVICE r15: the conf is not an integer on every runtime
+            # (some managed platforms set "auto") — fall back to the
+            # scheduler's parallelism rather than failing the write.
+            try:
+                width = int(
+                    self.spark.conf.get("spark.sql.shuffle.partitions"))
+            except ValueError:
+                width = self.spark.sparkContext.defaultParallelism
             df = df.repartition(width, *[F.col(c) for c in pcols])
         order = self._meta.get("sort_order") or []
         if order and cluster:
