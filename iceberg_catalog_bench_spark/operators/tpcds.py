@@ -1754,19 +1754,31 @@ def tpcds_return_repurchase_chain(spark: SparkSession,
     the same part again, reported per nation with count / mean /
     sample-stddev of the repurchase quantities.
 
-    Plan shape at 100 TB: the joined fact is repartitioned on
-    (ck, pk) (r15 optimization, guide §2.4; Catalyst pushes each
-    branch's returnflag filter below the repartition, so the R /
-    non-R slices still scan disjoint and predicate-pushed — each
-    slice crosses the network exactly once, the fact once in total).
-    hashpartitioning(ck, pk) then satisfies the return side's
-    first-return aggregate, the chain join AND the per-chain
-    aggregate — every downstream step is co-located (the pre-r15
-    shape paid separate branch-aggregate and join exchanges;
-    measured 1.28 → 1.08 s at sf0.1, rows identical).
+    Plan shape at 100 TB (r16, guide §2.4 — the r15 repartition edit
+    claimed an exchange collapse the plan dumps contradicted: Catalyst
+    pushed the branch filters below the repartition, leaving the two
+    branches' subtrees distinct, so the fact still crossed the wire
+    twice and the chain join paid a SortMergeJoin): the per-(ck, pk)
+    FIRST RETURN DATE is now a window MIN over the same partition the
+    chain aggregate needs — ``min(CASE rf='R' THEN d) OVER
+    (PARTITION BY ck, pk)`` — so the sold→returned→repurchased chain
+    is ONE fact pass, ONE hashpartitioning(ck, pk) exchange (window,
+    filter, and per-chain aggregate all co-located on it), and ZERO
+    chain joins. Rows with no R mate get a NULL first_ret and the
+    ``d > first_ret`` filter drops them — exactly the inner chain
+    join's semantics (plan: 2 fact scans + SMJ + 8 Exchange → 1 fact
+    scan + 6 Exchange, no SMJ; wall time a WASH at sf0.1 where both
+    dims broadcast and scans are page-cached — ABAB noop medians
+    1.28-1.83 old vs 1.41-1.61 new, rows identical — the win is the
+    scale shape: the returnflag slices were low-cardinality row-group
+    residents, so the "disjoint" scans each read every page — 2× scan
+    I/O — and at 100 TB orders outgrows broadcast, doubling the
+    orderkey join too).
     Customer/nation are broadcast dims; the report is |nations| rows.
     Quantities are whole-valued, so the rounded mean/stddev are the
     stats_aggregates tolerance class."""
+    from pyspark.sql import Window as W
+
     li = load_table(spark, "lineitem", sf_dir).select(
         "l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
     orders = load_table(spark, "orders", sf_dir).select(
@@ -1774,15 +1786,13 @@ def tpcds_return_repurchase_chain(spark: SparkSession,
     s = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
         F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"),
         F.col("l_quantity").alias("q"), F.col("o_orderdate").alias("d"),
-        F.col("l_returnflag").alias("rf")).repartition("ck", "pk")
-    ret = (
-        s.filter(F.col("rf") == "R")
-        .groupBy("ck", "pk").agg(F.min("d").alias("first_ret"))
-    )
+        F.col("l_returnflag").alias("rf"))
+    chain = W.partitionBy("ck", "pk")
     rep = (
-        s.filter(F.col("rf") != "R")
-        .join(ret, ["ck", "pk"])
-        .filter(F.col("d") > F.col("first_ret"))
+        s.withColumn(
+            "first_ret",
+            F.min(F.when(F.col("rf") == "R", F.col("d"))).over(chain))
+        .filter((F.col("rf") != "R") & (F.col("d") > F.col("first_ret")))
         .groupBy("ck", "pk")
         .agg(F.count(F.lit(1)).alias("n_rebuy"), F.sum("q").alias("qty"))
     )

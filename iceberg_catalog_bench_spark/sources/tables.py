@@ -41,10 +41,28 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _SCHEMA_CACHE: dict[tuple[str, int, int], object] = {}
 
 
+def _schema_cache_key(path: str) -> tuple:
+    """Cache key for ``path``'s parquet schema. For a single file:
+    (mtime_ns, size). For a DIRECTORY (ADVICE r15): the dir inode's
+    mtime only moves on entry add/delete/rename, so an in-place
+    rewrite of a part file would serve a stale schema silently — key
+    on the sorted (name, mtime_ns, size) listing digest instead (a
+    scandir of a local dir is microseconds against the 100-230 ms
+    footer inference the cache avoids)."""
+    st = os.stat(path)
+    if not os.path.isdir(path):
+        return (path, st.st_mtime_ns, st.st_size)
+    entries = []
+    with os.scandir(path) as it:
+        for e in it:
+            es = e.stat()
+            entries.append((e.name, es.st_mtime_ns, es.st_size))
+    return (path, tuple(sorted(entries)))
+
+
 def _read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
     try:
-        st = os.stat(path)
-        key = (path, st.st_mtime_ns, st.st_size)
+        key = _schema_cache_key(path)
     except OSError:
         return spark.read.parquet(path)
     schema = _SCHEMA_CACHE.get(key)

@@ -715,20 +715,21 @@ def test_tpcds_q54_histogram_over_aggregate(spark, oracle_sf_dir):
     assert plan.count("HashAggregate") >= 4
 
 
-def test_tpcds_q17_chain_scans_disjoint_slices(spark, oracle_sf_dir):
-    """Q17/Q29 shape: the return branch must scan ONLY R-flag rows and
-    the repurchase branch only non-R rows — both predicates pushed to
-    their scans (disjoint slices, strictly less I/O than a shared full
-    scan), and the return side must aggregate before the chain join."""
+def test_tpcds_q17_chain_single_pass_window(spark, oracle_sf_dir):
+    """Q17/Q29 shape (r16, guide §2.4): the sold→returned→repurchased
+    chain must be ONE fact pass — the first-return date is a window
+    MIN over (ck, pk), never a self-join of returnflag slices (the
+    pre-r16 shape scanned lineitem twice — returnflag is a
+    low-cardinality row-group resident, so each 'slice' read every
+    page — and paid a SortMergeJoin for the chain)."""
     df = registry.QUERIES["tpcds_return_repurchase_chain"](
         spark, oracle_sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     li_scans = [l for l in plan.splitlines() if "FileScan parquet" in l
                 and "l_returnflag" in l]
-    assert len(li_scans) == 2
-    pushed = " ".join(li_scans)
-    assert "EqualTo(l_returnflag,R)" in pushed, pushed
-    assert "Not(EqualTo(l_returnflag,R))" in pushed, pushed
+    assert len(li_scans) == 1, "lineitem must be scanned once"
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Window" in plan
 
 
 def test_tpcds_q14_cross_items_reduced_before_fact_join(spark, oracle_sf_dir):
