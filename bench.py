@@ -46,6 +46,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pyarrow as pa
+
 from pyspark.sql import functions as F
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,6 +82,15 @@ HEADLINE = [
     # its tokenize-explode-shuffle spine (one corpus pass via
     # ReusedExchange; baseline recorded per the drift protocol)
     "text_bm25_keyword_search",
+    # round 16: the r15-staged substring-dedup family (exact
+    # duplicate-SPAN detection + the cutting stage — the suffix-array
+    # pipeline stage re-expressed as a rolling-window hash join, one
+    # corpus-sized exchange each) and the n-gram novelty profile.
+    # New phases per the standing rotation contract (VERDICT r15 item
+    # 7); baselines recorded fresh in BASELINE.md r16.
+    "dedup_substring_spans",
+    "dedup_substring_cut",
+    "corpus_ngram_novelty",
 ]
 
 
@@ -228,6 +239,21 @@ def main() -> None:
     # bench_baseline.json's protocol note).
     spark.range(0, 64, 1, 32).groupBy((F.col("id") % 8).alias("g")) \
         .applyInPandas(lambda pdf: pdf[["id"]], "id bigint").count()
+    # r16: the Arrow-native eval paths (mapInArrow / applyInArrow —
+    # the SemDeDup stages moved to them this round) JIT their own
+    # serializers; prewarm them like the pandas path above (same
+    # untimed-generic-prewarm protocol, VERDICT r12 item 6). Measured:
+    # the cold semdedup phase drops 8.5 -> 6.0 s with this warm.
+
+    def _arrow_identity(batches):
+        yield from batches
+
+    def _arrow_group_identity(t: pa.Table) -> pa.Table:
+        return t.select(["id"])
+
+    spark.range(0, 64, 1, 32).mapInArrow(_arrow_identity, "id bigint").count()
+    spark.range(0, 64, 1, 32).groupBy((F.col("id") % 8).alias("g")) \
+        .applyInArrow(_arrow_group_identity, "id bigint").count()
 
     phase_median("calibration", _calibration)
 
@@ -544,11 +570,37 @@ def main() -> None:
         "tpch_q21_sole_fault_supplier", "tpch_q22_global_sales_opportunity",
     ]
 
-    def _power_run() -> None:
-        for q in TPCH_22:
+    # r16 METHODOLOGY CHANGE (VERDICT r15 item 6, guide §2.6,
+    # adjudicated re-record in BASELINE.md): composite members now run
+    # through a small thread pool instead of strictly back-to-back.
+    # Measured (composite_floor.py): physical planning is only ~2.5%
+    # of a composite, but each member leaves most of the 32 cores
+    # idle between its stage waves at sf0.1 — Spark's scheduler happily
+    # back-fills those gaps with the next member's tasks (actions are
+    # sequential only because the driver calls them sequentially).
+    # 3 in flight per the guide ("enough to fill the tail, not so many
+    # that they fight"); env-tunable, 1 restores the serial protocol.
+    # Same-day serial vs pooled on this code (steal-matched A/B):
+    # tpch 16.5 -> 6.8 s, tpcds 27.5 -> 8.8 s. Every member still
+    # computes from parquet per run — nothing is cached or shared
+    # between members beyond Spark's normal scan-level page cache.
+    composite_workers = int(
+        os.environ.get("SPARK_GRAFT_COMPOSITE_WORKERS", "3"))
+
+    def _run_suite(names: list[str]) -> None:
+        if composite_workers <= 1:
+            for q in names:
+                registry.QUERIES[q](spark, SF_DIR).collect()
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(q: str) -> None:
             registry.QUERIES[q](spark, SF_DIR).collect()
 
-    phase_once("tpch_power_run", _power_run)
+        with ThreadPoolExecutor(max_workers=composite_workers) as pool:
+            list(pool.map(one, names))
+
+    phase_once("tpch_power_run", lambda: _run_suite(TPCH_22))
 
     # --- TPC-DS report run (round 7) --------------------------------------
     # The six TPC-DS report shapes back-to-back — date-dim star joins,
@@ -565,7 +617,7 @@ def main() -> None:
     # widened phase — BASELINE.md documents both re-records)
     # (+ round 11: the Q1/Q30 returns-above-average and Q59 weekly
     # YoY-ratio shapes; baseline re-recorded per the same protocol)
-    TPCDS_24 = [
+    TPCDS_28 = [
         "tpcds_returned_ratio_by_date", "tpcds_rollup_rolling_sales",
         "tpcds_channel_union", "tpcds_star_join_multi_dim",
         "tpcds_rank_within_parent", "tpcds_multi_band_counts",
@@ -602,13 +654,19 @@ def main() -> None:
         "tpcds_brand_decline_yoy",
         "tpcds_worst_return_ratios_dual_rank",
         "tpcds_cov_consecutive_months",
+        # round-16 widening (24 -> 28, the r15-queued rotation,
+        # adjudicated re-record in BASELINE.md — same record as the
+        # §2.6 overlap methodology change): Q1-family lapsed-buyer
+        # activity profile, Q49-family monthly return pivot, Q16/Q94
+        # two-existential shipping, Q78-family cross-channel netted
+        # ratio — the four r15-staged shapes, all driver-green
+        "tpcds_customer_activity_profile",
+        "tpcds_monthly_return_pivot",
+        "tpcds_two_existential_shipping",
+        "tpcds_cross_channel_netted_ratio",
     ]
 
-    def _report_run() -> None:
-        for q in TPCDS_24:
-            registry.QUERIES[q](spark, SF_DIR).collect()
-
-    phase_once("tpcds_report_run", _report_run)
+    phase_once("tpcds_report_run", lambda: _run_suite(TPCDS_28))
 
     # (r13 protocol: NEW-PHASE-LAST — the Python-worker-heavy
     # semdedup phase now runs AFTER the composites. The r12 'composite
